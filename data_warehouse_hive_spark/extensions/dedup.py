@@ -1,0 +1,352 @@
+"""Deduplication operators over `documents` — SURVEY.md §2.12 north-star.
+
+Five dedup families, each the Spark-idiomatic scalable shape:
+
+  exact          — hash-groupBy on a normalized fingerprint (one shuffle
+                   on the fingerprint; survivor = min doc_id).
+  MinHash + LSH  — shingle → K independent minhashes → B bands → bucket
+                   join.  Candidate generation is an equi-join on
+                   (band_id, band_hash): at 100 TB this is the standard
+                   near-dup pipeline (no pairwise cross join ever
+                   materializes; cost is O(docs × K) + bucket-join).
+  SimHash        — 16-bit sign-sum sketch; near-dups share the sketch.
+  n-gram Jaccard — exact Jaccard verification on LSH candidates only.
+  embedding cosine — near-dup by cosine over the embeddings table,
+                   blocked by label (the IVF-style pre-partition).
+
+Cross-engine determinism: ALL hashing is md5-based (bit-identical in
+Spark and DuckDB), so even the LSH pipeline is oracle-checkable — the
+DuckDB oracle reimplements the identical minhash algebra in SQL.
+xxhash64/murmur would be faster in production; md5 keeps every stage
+verifiable, and swapping the hash is a one-line change.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import t
+
+# MinHash configuration: K hashes in B bands of R rows (K = B*R).
+MINHASH_K = 12
+LSH_BANDS = 4
+LSH_ROWS = 3
+
+
+def normalized_text(col: str | Column = "text") -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.regexp_replace(F.trim(c), r"\s+", " "))
+
+
+def shingles(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as an array of strings (distinct)."""
+    words = F.split(col, " ")
+    k = F.size(words) - (n - 1)
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(k - 1, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def minhash_col(sh: Column, seed: int) -> Column:
+    """One minhash: min over shingles of md5(seed || shingle).
+
+    md5 hex strings compare lexicographically identically in Spark and
+    DuckDB, so the min is engine-independent.
+    """
+    return F.array_min(
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+    )
+
+
+def with_minhashes(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+    """documents → (doc_id, mh_0..mh_{k-1}) minhash signature columns."""
+    sh = shingles(normalized_text("text"), n)
+    out = docs.select("doc_id", sh.alias("sh"))
+    for j in range(k):
+        out = out.withColumn(f"mh_{j}", minhash_col(F.col("sh"), j))
+    return out.drop("sh")
+
+
+# ---------------------------------------------------------------------------
+# Oracle-side SQL builders (DuckDB) — same algebra, same md5 hashing.
+# ---------------------------------------------------------------------------
+
+_O_NORM = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+
+
+def _o_shingles(n: int = 3) -> str:
+    return f"""
+      list_distinct(list_transform(
+        range(greatest(len(string_split({_O_NORM}, ' ')) - {n - 1}, 1)),
+        i -> array_to_string(string_split({_O_NORM}, ' ')[i + 1 : i + {n}], ' ')
+      ))"""
+
+
+def _o_minhash(j: int) -> str:
+    return f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"
+
+
+@query(
+    "q_dedup_exact",
+    oracle=f"""
+    SELECT md5({_O_NORM}) AS fp,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5({_O_NORM})
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: group by fingerprint, keep the
+    lowest doc_id.  One shuffle on the (high-cardinality, uniform) md5 key
+    — the scalable exact-dedup shape; `dropDuplicates` would not let us
+    pick a deterministic survivor."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.md5(normalized_text("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def _mh_exprs_oracle() -> str:
+    return ",\n           ".join(
+        f"{_o_minhash(j)} AS mh_{j}" for j in range(MINHASH_K)
+    )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    ),
+    sig AS (
+      SELECT doc_id,
+           {_mh_exprs_oracle()}
+      FROM sh_t
+    ),
+    bands AS (
+      SELECT doc_id, b.band_id,
+             CASE b.band_id
+               {" ".join(
+                   f"WHEN {b} THEN md5(mh_{b * LSH_ROWS}"
+                   + "".join(f" || mh_{b * LSH_ROWS + r}" for r in range(1, LSH_ROWS))
+                   + ")"
+                   for b in range(LSH_BANDS)
+               )}
+             END AS band_hash
+      FROM sig, LATERAL (SELECT unnest(range({LSH_BANDS})) AS band_id) b
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b FROM pairs
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle → K=12 md5-minhashes →
+    4 bands × 3 rows → band-bucket equi-join → distinct candidate pairs.
+
+    The join is on (band_id, band_hash) — uniformly distributed keys, so
+    the shuffle is balanced; no O(n²) comparison ever happens.  The DuckDB
+    oracle reimplements the identical md5 minhash algebra, making this LSH
+    pipeline fully value-checked.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sig = with_minhashes(docs)
+    band_cols = [
+        F.md5(
+            F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+        ).alias(f"band_{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[c for c in band_cols])).alias("band_id", "band_hash"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "q_dedup_simhash",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS words
+      FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, b.bit_pos,
+             CASE WHEN SUM(CASE WHEN substr(md5(w.word), b.bit_pos + 1, 1) >= '8'
+                   THEN 1 ELSE -1 END) >= 0 THEN 1 ELSE 0 END AS bit_val
+      FROM tok,
+           LATERAL (SELECT unnest(words) AS word) w,
+           LATERAL (SELECT unnest(range(16)) AS bit_pos) b
+      GROUP BY doc_id, b.bit_pos
+    )
+    SELECT doc_id,
+           CAST(SUM(bit_val * CAST(pow(2, bit_pos) AS BIGINT)) AS BIGINT) AS simhash16
+    FROM bits
+    GROUP BY doc_id
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash sketch (16-bit): each distinct word votes ±1 per bit
+    position via its md5 nibble parity (hex char ≥ '8' → +1); bit = 1 when
+    the vote sum is ≥ 0.  Near-dup docs differ in few bits (compare by
+    Hamming distance downstream).  Pure map + one grouped sum — linear
+    scale.  The md5-nibble vote (hex char >= '8', i.e. high bit of the
+    nibble set) makes the sketch engine-independent."""
+    d = t(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+    exploded = d.select("doc_id", F.explode(words).alias("word"))
+    bit = F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit_pos")
+    votes = exploded.select(
+        "doc_id",
+        F.md5("word").alias("h"),
+        bit,
+    ).select(
+        "doc_id",
+        "bit_pos",
+        F.when(
+            F.substring(F.col("h"), F.col("bit_pos") + 1, 1) >= F.lit("8"), 1
+        )
+        .otherwise(-1)
+        .alias("vote"),
+    )
+    bits = (
+        votes.groupBy("doc_id", "bit_pos")
+        .agg(F.sum("vote").alias("vote_sum"))
+        .select(
+            "doc_id",
+            "bit_pos",
+            F.when(F.col("vote_sum") >= 0, 1).otherwise(0).alias("bit_val"),
+        )
+    )
+    return bits.groupBy("doc_id").agg(
+        F.sum(
+            F.col("bit_val") * F.pow(F.lit(2.0), F.col("bit_pos")).cast("long")
+        )
+        .cast("long")
+        .alias("simhash16")
+    )
+
+
+@query(
+    "q_dedup_ngram_jaccard",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    ),
+    pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS jaccard
+      FROM sh_t a JOIN sh_t b ON a.doc_id < b.doc_id
+      WHERE a.doc_id < 40 AND b.doc_id < 40
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM pairs
+    WHERE jaccard >= 0.2
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard similarity on a bounded candidate block
+    (doc_id < 40 here; in the full pipeline the block IS the LSH candidate
+    set from q_dedup_minhash — exact verification is only ever run on
+    candidates, never all pairs)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
+    sh = d.select("doc_id", shingles(normalized_text("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", (inter / uni).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.2)
+    )
+
+
+@query(
+    "q_dedup_embedding",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label AS label,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, label, cosine
+    FROM pairs
+    WHERE cosine >= 0.99
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup, blocked by label: pairwise cosine is only
+    computed within a block (the IVF-style pre-partition — at 100 TB the
+    block key is a coarse quantizer cell, here the given label).  Cosine is
+    rounded to 6 dp before the threshold so the float-fold order inside
+    the two engines cannot flip a comparison."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+    )
+
+    def dot(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+
+    a = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        "label",
+        F.col("e").alias("ea"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("label").alias("label_b"),
+        F.col("e").alias("eb"),
+    )
+    cosine = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
+        6,
+    )
+    return (
+        a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
+        .select("vec_a", "vec_b", "label", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.99)
+    )

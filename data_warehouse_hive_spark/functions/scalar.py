@@ -1,0 +1,246 @@
+"""Scalar function families — SURVEY.md §2.8 (HiveQL builtin library; every
+family maps to same-name `pyspark.sql.functions` builtins, JVM-side inside
+whole-stage codegen — never Python UDFs).
+
+Cross-engine notes encoded below (each one is a real Spark↔DuckDB dialect
+divergence handled explicitly):
+  * DuckDB CAST(double AS INT) rounds; Spark truncates → oracle uses TRUNC.
+  * DuckDB floor()/ceil() return DOUBLE; Spark return BIGINT → oracle casts.
+  * DuckDB sign() returns INT for ints; Spark returns DOUBLE → cast both.
+  * ln/log10 go through libm variants that may differ in the last ulp
+    (JVM intrinsic vs glibc) → rounded to 9 decimals on both sides.
+  * DuckDB has no pmod() → ((a % b) + b) % b in the oracle.
+  * Spark date_format pattern 'yyyy-MM-dd' ≙ DuckDB strftime '%Y-%m-%d'.
+  * Spark datediff(end, start) ≙ DuckDB date_diff('day', start, end).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import t
+
+
+@query(
+    "q_fn_string",
+    oracle=r"""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_u,
+           lower(p_type) AS type_l,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 8) AS name_prefix,
+           concat_ws('|', p_brand, p_type) AS brand_type,
+           trim(concat(' ', p_name, ' ')) AS trimmed,
+           regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
+           regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
+           string_split(p_type, ' ') AS type_words
+    FROM part
+    """,
+)
+def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String family: concat/concat_ws, substr, upper/lower, trim, length,
+    regexp_extract, regexp_replace, split, lpad."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("|", "p_brand", "p_type").alias("brand_type"),
+        F.trim(F.concat(F.lit(" "), F.col("p_name"), F.lit(" "))).alias("trimmed"),
+        F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
+        F.split("p_type", " ").alias("type_words"),
+    )
+
+
+@query(
+    "q_fn_date",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(month(o_orderdate) AS INT) AS mo,
+           CAST(day(o_orderdate) AS INT) AS dom,
+           CAST(quarter(o_orderdate) AS INT) AS qtr,
+           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
+           CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+           date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
+           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
+           CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+    FROM orders
+    """,
+)
+def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time family: extract fields, date_add/sub, datediff, trunc,
+    date_format, unix_timestamp.  Session timezone is pinned to UTC so
+    epoch conversions agree with DuckDB's naive timestamps."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_add(d.cast("date"), 30).alias("plus_30d"),
+        F.date_sub(d.cast("date"), 7).alias("minus_7d"),
+        F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("long").alias(
+            "days_to_y2k"
+        ),
+        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
+        F.unix_timestamp(d).alias("epoch_s"),
+    )
+
+
+@query(
+    "q_fn_math",
+    oracle="""
+    SELECT c_custkey,
+           round(c_acctbal, 1) AS bal_r1,
+           CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
+           CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+           abs(c_acctbal - 5000.0) AS dist_from_5k,
+           pow(CAST(c_nationkey AS DOUBLE), 2.0) AS nation_sq,
+           sqrt(abs(c_acctbal)) AS bal_sqrt,
+           round(ln(abs(c_acctbal) + 1.0), 9) AS bal_ln,
+           round(log10(abs(c_acctbal) + 1.0), 9) AS bal_log10,
+           ((CAST(c_custkey AS BIGINT) % 7) + 7) % 7 AS key_mod7,
+           CAST(sign(c_acctbal - 5000.0) AS DOUBLE) AS bal_sign
+    FROM customer
+    """,
+)
+def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math family: round, floor, ceil, abs, pow, sqrt, ln, log10, pmod,
+    sign (transcendentals rounded to 9 dp — see module docstring)."""
+    c = t(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
+    return c.select(
+        "c_custkey",
+        F.round(bal, 1).alias("bal_r1"),
+        F.floor(bal).alias("bal_floor"),
+        F.ceil(bal).alias("bal_ceil"),
+        F.abs(bal - 5000.0).alias("dist_from_5k"),
+        F.pow(F.col("c_nationkey").cast("double"), 2.0).alias("nation_sq"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
+        F.round(F.log(F.abs(bal) + 1.0), 9).alias("bal_ln"),
+        F.round(F.log10(F.abs(bal) + 1.0), 9).alias("bal_log10"),
+        F.pmod(F.col("c_custkey"), F.lit(7)).alias("key_mod7"),
+        F.signum(bal - 5000.0).alias("bal_sign"),
+    )
+
+
+@query(
+    "q_fn_cast",
+    oracle="""
+    SELECT l_orderkey,
+           CAST(TRUNC(l_quantity) AS INT) AS qty_int,
+           CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS qty_dec,
+           CAST(l_orderkey AS VARCHAR) AS key_str,
+           CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
+           CAST(l_shipdate AS DATE) AS ship_day,
+           CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ship_day_via_str
+    FROM lineitem
+    """,
+)
+def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CAST matrix: double→int (truncating — DuckDB's rounding cast is
+    neutralized with TRUNC in the oracle), double→decimal, int↔string,
+    timestamp→date, string→date round-trip."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        F.col("l_quantity").cast("int").alias("qty_int"),
+        F.col("l_quantity").cast("decimal(10,2)").cast("double").alias("qty_dec"),
+        F.col("l_orderkey").cast("string").alias("key_str"),
+        F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
+        F.col("l_shipdate").cast("date").alias("ship_day"),
+        F.to_date(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("ship_day_via_str"),
+    )
+
+
+@query(
+    "q_fn_array",
+    oracle="""
+    SELECT p_partkey,
+           [CAST(p_size AS DOUBLE), p_retailprice] AS sz_price,
+           CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
+           string_split(p_name, ' ')[1] AS first_word,
+           array_contains(string_split(p_type, ' '), 'BRASS') AS is_brass,
+           map_keys(MAP(['brand'], [p_brand])) AS mk,
+           map_values(MAP(['brand'], [p_brand])) AS mv
+    FROM part
+    """,
+)
+def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array/map construction + access: array literal, size, element_at,
+    array_contains, create_map (+keys/values — DuckDB map element access
+    returns a list, so keys/values arrays are the portable comparison)."""
+    p = t(spark, sf_dir, "part")
+    words = F.split("p_name", " ")
+    return p.select(
+        "p_partkey",
+        F.array(F.col("p_size").cast("double"), F.col("p_retailprice")).alias(
+            "sz_price"
+        ),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_contains(F.split("p_type", " "), "BRASS").alias("is_brass"),
+        F.map_keys(F.create_map(F.lit("brand"), F.col("p_brand"))).alias("mk"),
+        F.map_values(F.create_map(F.lit("brand"), F.col("p_brand"))).alias("mv"),
+    )
+
+
+@query(
+    "q_fn_explode",
+    oracle="""
+    SELECT l.p_partkey, l.pos, l.word
+    FROM (
+      SELECT p.p_partkey,
+             CAST(u.i AS INT) AS pos,
+             u.w AS word
+      FROM part p,
+           LATERAL (SELECT unnest(string_split(p.p_name, ' ')) AS w,
+                           unnest(range(len(string_split(p.p_name, ' ')))) AS i) u
+    ) l
+    """,
+)
+def q_fn_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW posexplode — one output row per array element with its
+    position (Hive's posexplode ≙ Spark posexplode ≙ DuckDB zipped unnest)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.posexplode(F.split("p_name", " ")).alias("pos", "word")
+    )
+
+
+@query(
+    "q_fn_json",
+    oracle="""
+    SELECT event_id, event_type,
+           json_extract_string(props, '$.k') AS k_str,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high
+    FROM events
+    WHERE event_type IN ('click', 'purchase')
+    """,
+)
+def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON access over the events.props JSON-string column:
+    get_json_object path extraction + typed cast (Hive's get_json_object /
+    json_tuple surface)."""
+    e = t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "event_type",
+        k.alias("k_str"),
+        k.cast("long").alias("k_num"),
+        (k.cast("long") > 50).alias("k_high"),
+    )

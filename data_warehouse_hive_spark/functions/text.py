@@ -1,0 +1,218 @@
+"""Text analysis over the `documents` table — SURVEY.md §2.12 (extension /
+north-star: the ops a large-scale training-data pipeline needs).
+
+Everything here is expressed with JVM-side builtins (split/regexp/
+aggregate/transform) — no Python in the hot path — so the per-document
+work is a narrow map over the corpus: at 100 TB it parallelizes linearly
+with zero shuffle until the final (tiny) aggregation.
+
+Determinism: fingerprints use md5 (identical across engines); ratios are
+per-row IEEE double ops on identical operands; corpus-level aggregates use
+the exact-decimal idiom from registry.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import davg, o_davg, query
+from data_warehouse_hive_spark.tables import t
+
+# Tiny per-language stopword marker lists for the n-gram/stopword language
+# heuristic.  Chosen from the fixture corpus vocabulary; the heuristic is
+# the *mechanism* (stopword-ratio language scoring) — real deployments
+# plug in real stopword tables.
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of"),
+    "es": ("el", "la", "de"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def tokens(col: str | Column) -> Column:
+    """Whitespace tokenization (the baseline tokenizer)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(F.trim(c), r"\s+")
+
+
+def bpe_ish_tokens(col: str | Column) -> Column:
+    """BPE-ish sub-word tokenization by token-class *matching* (letters |
+    digits | single punctuation), a regex approximation of a GPT-2-style
+    pre-tokenizer.  Match-based (regexp_extract_all) rather than
+    lookaround-split so the same pattern runs on both Java regex and RE2
+    (DuckDB), which lacks lookarounds."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_extract_all(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0)
+
+
+_O_WS_TOKENS = r"len(string_split_regex(trim(text), '\s+'))"
+
+
+@query(
+    "q_text_stats",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CAST({_O_WS_TOKENS} AS BIGINT)) AS BIGINT) AS total_tokens,
+           {o_davg(_O_WS_TOKENS, 'avg_tokens')},
+           {o_davg('n_chars', 'avg_chars')},
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus statistics per language: doc counts, token totals/averages,
+    char-length extremes — the profiling pass a data pipeline runs first."""
+    d = t(spark, sf_dir, "documents")
+    n_tok = F.size(tokens("text")).cast("long")
+    return (
+        d.withColumn("n_tok", n_tok)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            davg("n_tok", "avg_tokens"),
+            davg("n_chars", "avg_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+    )
+
+
+@query(
+    "q_text_tokens",
+    oracle="""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]'))
+                AS BIGINT) AS bpe_ish_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_computed
+    FROM documents
+    """,
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens + BPE-ish subword token count (the
+    pretraining-cost estimator)."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("ws_tokens"),
+        F.size(bpe_ish_tokens("text")).cast("long").alias("bpe_ish_tokens"),
+        F.length("text").cast("long").alias("n_chars_computed"),
+    )
+
+
+@query(
+    "q_text_quality",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang, text, n_chars,
+             string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang,
+           CAST(len(ws) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS DOUBLE) / CAST(len(ws) AS DOUBLE) AS chars_per_token,
+           CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / CAST(length(text) AS DOUBLE) AS punct_ratio,
+           CAST(len(list_filter(ws, x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+             / CAST(len(ws) AS DOUBLE) AS stopword_ratio,
+           (len(ws) >= 5 AND length(text) >= 30) AS len_ok
+    FROM tok
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: chars-per-token, punctuation ratio, stopword ratio,
+    minimum-length gate — the standard cheap pre-filters before expensive
+    model-based quality scoring."""
+    d = t(spark, sf_dir, "documents")
+    ws = tokens("text")
+    n_tok = F.size(ws).cast("double")
+    n_chars = F.length("text").cast("double")
+    stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "a", "of", "and", "is"))
+    ).cast("double")
+    punct_chars = F.length("text") - F.length(
+        F.regexp_replace("text", r"[^a-zA-Z0-9 ]", "")
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size(ws).cast("long").alias("n_tokens"),
+        (n_chars / n_tok).alias("chars_per_token"),
+        (punct_chars.cast("double") / n_chars).alias("punct_ratio"),
+        (stop / n_tok).alias("stopword_ratio"),
+        ((F.size(ws) >= 5) & (F.length("text") >= 30)).alias("len_ok"),
+    )
+
+
+@query(
+    "q_text_langid",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id, lang AS labeled_lang,
+           CAST(len(list_filter(ws, x -> x IN ('the','a','of'))) AS BIGINT) AS en_hits,
+           CAST(len(list_filter(ws, x -> x IN ('el','la','de'))) AS BIGINT) AS es_hits,
+           CAST(len(list_filter(ws, x -> x IN ('der','die','und'))) AS BIGINT) AS de_hits,
+           CAST(len(list_filter(ws, x -> x IN ('le','la','et'))) AS BIGINT) AS fr_hits,
+           CASE WHEN len(list_filter(ws, x -> x IN ('the','a','of'))) > 0
+                THEN 'en' ELSE 'und' END AS predicted_lang
+    FROM scored
+    """,
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword-marker hit counts and
+    an argmax-style prediction ('und' = undetermined, ISO 639-3 style).
+    The fixture corpus is synthetic English-ish text with random lang
+    labels, so the *mechanism* (marker scoring) is what's exercised."""
+    d = t(spark, sf_dir, "documents")
+    ws = tokens(F.lower(F.col("text")))
+
+    def hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(ws, lambda x: x.isin(*markers))).cast("long")
+
+    en = hits(_LANG_MARKERS["en"])
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        en.alias("en_hits"),
+        hits(_LANG_MARKERS["es"]).alias("es_hits"),
+        hits(_LANG_MARKERS["de"]).alias("de_hits"),
+        hits(_LANG_MARKERS["fr"]).alias("fr_hits"),
+        F.when(en > 0, "en").otherwise("und").alias("predicted_lang"),
+    )
+
+
+@query(
+    "q_text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fp_md5,
+           md5(array_to_string(list_sort(list_distinct(
+               string_split_regex(trim(lower(text)), '\\s+'))), ' ')) AS fp_bag
+    FROM documents
+    """,
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: (1) normalized-text md5 (exact-dup key
+    after whitespace/case normalization), (2) sorted-unique-word-bag md5
+    (order-insensitive near-dup key).  md5 is bit-identical across
+    engines, making fingerprints portable join keys."""
+    d = t(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    bag = F.array_join(
+        F.array_sort(F.array_distinct(tokens(F.lower(F.col("text"))))), " "
+    )
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        F.md5(bag).alias("fp_bag"),
+    )

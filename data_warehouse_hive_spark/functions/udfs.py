@@ -1,0 +1,122 @@
+"""UDF / UDAF / UDTF surface — SURVEY.md §2.9.
+
+The reference exposes Hive's CREATE FUNCTION surface but defines no
+functions of its own (absence verified across reference backend/).  Here
+the three extension points are demonstrated the Spark-native way:
+
+  * scalar UDF    → `@pandas_udf` (Arrow-vectorized, 10-100× faster than
+                    row-at-a-time Python UDFs; the ONLY acceptable form in
+                    a hot path when a builtin truly can't express it)
+  * grouped UDAF  → `applyInPandas` over groupBy (arbitrary per-group
+                    pandas logic, partitioned by the group key)
+  * UDTF          → one row in → N rows out, via builtin explode of a
+                    UDF-computed array (the composable, codegen-friendly
+                    shape for table functions)
+
+Each demo computes something a builtin could also compute, precisely so
+the DuckDB oracle can verify the UDF machinery end-to-end.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import t
+
+
+@pandas_udf(DoubleType())
+def _effective_price(price: pd.Series, discount: pd.Series, tax: pd.Series) -> pd.Series:
+    """Vectorized scalar UDF: same IEEE ops as the SQL expression, executed
+    on Arrow batches."""
+    return price * (1.0 - discount) * (1.0 + tax)
+
+
+@query(
+    "q_udf_scalar",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) * (1 + l_tax) AS eff_price
+    FROM lineitem
+    WHERE l_quantity <= 5
+    """,
+)
+def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-vectorized scalar pandas UDF (pandas elementwise arithmetic is
+    the same IEEE double op sequence as the SQL expression, so results are
+    bit-identical to the oracle)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_quantity") <= 5)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        _effective_price("l_extendedprice", "l_discount", "l_tax").alias("eff_price"),
+    )
+
+
+@query(
+    "q_udaf_grouped",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+             AS weighted_avg_price,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped UDAF via applyInPandas: quantity-weighted average price per
+    return flag.  The pandas code mirrors the exact-decimal discipline by
+    summing with Python Decimal (exact, order-independent) before the final
+    double division, so it hash-matches the decimal-anchored oracle."""
+    import decimal
+
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+
+    def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
+        q6 = decimal.Decimal("0.000001")
+
+        def dec6(x: float) -> decimal.Decimal:
+            return decimal.Decimal(x).quantize(q6, rounding=decimal.ROUND_HALF_UP)
+
+        num = sum(
+            (dec6(p * q) for p, q in zip(pdf["l_extendedprice"], pdf["l_quantity"])),
+            decimal.Decimal(0),
+        )
+        den = sum((dec6(q) for q in pdf["l_quantity"]), decimal.Decimal(0))
+        return pd.DataFrame(
+            {
+                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
+                "weighted_avg_price": [float(num) / float(den)],
+                "n": [len(pdf)],
+            }
+        )
+
+    return li.groupBy("l_returnflag").applyInPandas(
+        weighted, schema="l_returnflag string, weighted_avg_price double, n long"
+    )
+
+
+@query(
+    "q_udtf",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_type, ' ')) AS type_word
+    FROM part
+    WHERE p_size >= 40
+    """,
+)
+def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-function shape (one row → N rows): explode over a computed
+    array — Hive UDTF / LATERAL VIEW ≙ Spark generator expression."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_size") >= 40)
+    return p.select(
+        "p_partkey", F.explode(F.split("p_type", " ")).alias("type_word")
+    )

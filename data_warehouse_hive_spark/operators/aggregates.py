@@ -1,0 +1,265 @@
+"""Aggregations — SURVEY.md §2.4.
+
+Provenance: the reference's own code issues only COUNT(*) (reference
+backend/hive_manager.py:400-401) and computes client-side column stats in
+Polars (backend/csv_processor.py:147-170); all grouped SQL aggregation is
+delegated to the deployed Hive 4.1.0.  Here every aggregate is a
+DataFrame plan — Spark does partial (map-side) + final aggregation
+automatically, which is exactly the two-phase combine a 1000-executor
+cluster needs: per-partition partial state, one shuffle on the group keys,
+final merge.  Group-key cardinality is low for all queries below, so the
+shuffled data volume is O(groups × partitions), independent of row count.
+
+Floating-point aggregates use the registry's exact-decimal idiom (see
+registry.py docstring) so results are bit-identical across engines
+regardless of aggregation order.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import DEC, davg, dsum, o_davg, o_dsum, query
+from data_warehouse_hive_spark.tables import t
+
+
+@query(
+    "q_count_star",
+    oracle="SELECT COUNT(*) AS n_rows FROM lineitem",
+)
+def q_count_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT COUNT(*) — the one real query the reference backend issues
+    (reference backend/hive_manager.py:400-401)."""
+    return t(spark, sf_dir, "lineitem").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@query(
+    "q_groupby_agg",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity', 'sum_qty')},
+           {o_dsum('l_extendedprice', 'sum_base_price')},
+           {o_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {o_davg('l_quantity', 'avg_qty')},
+           {o_davg('l_extendedprice', 'avg_price')},
+           {o_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: TPC-H Q1-style pricing summary (filter → grouped agg).
+
+    Exercises scan + pushed filter + partial/final hash aggregation in one
+    plan.  At 100 TB this stays a single shuffle of ~4 groups × partial
+    states — the canonical scalable aggregation shape.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2000-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q_stats_profile",
+    oracle=f"""
+    SELECT COUNT(*) AS n_rows,
+           CAST(COUNT(*) - COUNT(l_quantity) AS BIGINT) AS qty_nulls,
+           CAST(COUNT(DISTINCT l_quantity) AS BIGINT) AS qty_distinct,
+           MIN(l_quantity) AS qty_min,
+           MAX(l_quantity) AS qty_max,
+           {o_davg('l_quantity', 'qty_mean')},
+           MIN(l_extendedprice) AS price_min,
+           MAX(l_extendedprice) AS price_max,
+           {o_davg('l_extendedprice', 'price_mean')},
+           SQRT((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
+                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+                   / CAST(COUNT(l_extendedprice) AS DOUBLE))
+                / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS price_std
+    FROM lineitem
+    """,
+)
+def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column profile: null/distinct counts, min/max/mean/stddev in ONE
+    pass — the Spark-native form of the reference's Polars column stats
+    (reference backend/csv_processor.py:147-170, served by
+    backend/app.py:149-180).
+
+    stddev is derived from exact decimal sums (sum, sum-of-squares) so the
+    value is bit-identical across engines; Spark's own stddev_samp would
+    differ from DuckDB's in the last ulps due to aggregation order.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    price = F.col("l_extendedprice")
+    sum_price = F.sum(price.cast(DEC)).cast("double")
+    sumsq_price = F.sum((price * price).cast("decimal(28,6)")).cast("double")
+    n_price = F.count(price).cast("double")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("l_quantity")).alias("qty_nulls"),
+        F.countDistinct("l_quantity").alias("qty_distinct"),
+        F.min("l_quantity").alias("qty_min"),
+        F.max("l_quantity").alias("qty_max"),
+        davg("l_quantity", "qty_mean"),
+        F.min(price).alias("price_min"),
+        F.max(price).alias("price_max"),
+        davg(price, "price_mean"),
+        F.sqrt(
+            (sumsq_price - sum_price * sum_price / n_price) / (n_price - F.lit(1.0))
+        ).alias("price_std"),
+    )
+
+
+@query(
+    "q_agg_distinct",
+    oracle=f"""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps,
+           CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_distinct_qty
+    FROM lineitem
+    """,
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) / SUM(DISTINCT).  The distinct-sum goes through the
+    exact-decimal carrier so its value is order-independent."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.countDistinct("l_partkey").alias("nd_parts"),
+        F.countDistinct("l_suppkey").alias("nd_supps"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double").alias(
+            "sum_distinct_qty"
+        ),
+    )
+
+
+@query(
+    "q_agg_approx",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_nd,
+           TRUE AS approx_within_tol
+    FROM lineitem
+    """,
+)
+def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate count-distinct (HyperLogLog++).
+
+    HLL estimates differ across engines by design, so the checkable
+    contract is emitted instead: the exact NDV plus a boolean asserting the
+    Spark approx estimate (rsd=1%) landed within 5% (≈5σ) of exact.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.countDistinct("l_orderkey").alias("exact_nd"),
+        F.approx_count_distinct("l_orderkey", rsd=0.01).alias("approx_nd"),
+    )
+    return agg.select(
+        "exact_nd",
+        (
+            F.abs(F.col("approx_nd") - F.col("exact_nd"))
+            / F.col("exact_nd").cast("double")
+            <= 0.05
+        ).alias("approx_within_tol"),
+    )
+
+
+@query(
+    "q_having",
+    oracle=f"""
+    SELECT l_suppkey,
+           {o_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n_items
+    FROM lineitem
+    GROUP BY l_suppkey
+    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 500
+    """,
+)
+def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HAVING — a filter over the aggregated result (post-shuffle, tiny)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_suppkey")
+        .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n_items"))
+        .filter(F.col("sum_qty") > 500)
+    )
+
+
+@query(
+    "q_rollup",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_extendedprice', 'sum_price')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH ROLLUP (hierarchical subtotals + grand total)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice", "sum_price"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_cube",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {o_dsum('l_quantity', 'sum_qty')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ... WITH CUBE (all grouping-key combinations)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+           {o_dsum('l_extendedprice', 'sum_price')},
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+    """,
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS + grouping_id() (same MSB-first bitmask in Spark and
+    DuckDB, verified)."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price,
+               COUNT(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
+        """
+    )

@@ -1,0 +1,86 @@
+"""Set operations — SURVEY.md §2.7 (UNION [ALL] / INTERSECT / EXCEPT;
+Hive 4 supports all of these, our engine maps them to native DataFrame ops).
+
+UNION ALL is shuffle-free (plan concatenation).  UNION DISTINCT /
+INTERSECT / EXCEPT each cost one hash shuffle on the full row — the
+minimal implementation of their semantics; at scale prefer UNION ALL +
+downstream dedup-on-key when the distinct-ness is already guaranteed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import t
+
+
+def _cust_nations(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "customer")
+        .select(F.col("c_nationkey").alias("nationkey"))
+    )
+
+
+def _supp_nations(spark, sf_dir) -> DataFrame:
+    return (
+        t(spark, sf_dir, "supplier")
+        .select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+@query(
+    "q_union_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey, 'customer' AS side FROM customer
+    UNION ALL
+    SELECT s_nationkey AS nationkey, 'supplier' AS side FROM supplier
+    """,
+)
+def q_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL — bag union, no dedup, no shuffle."""
+    c = _cust_nations(spark, sf_dir).withColumn("side", F.lit("customer"))
+    s = _supp_nations(spark, sf_dir).withColumn("side", F.lit("supplier"))
+    return c.unionByName(s)
+
+
+@query(
+    "q_union_distinct",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    UNION
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (DISTINCT) — set union."""
+    return _cust_nations(spark, sf_dir).union(_supp_nations(spark, sf_dir)).distinct()
+
+
+@query(
+    "q_intersect",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT [DISTINCT] — nations having both customers and suppliers."""
+    return _cust_nations(spark, sf_dir).intersect(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "q_except",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT s_nationkey AS nationkey FROM supplier
+    """,
+)
+def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT / MINUS (distinct semantics) — nations with customers but no
+    suppliers.  `subtract` is Spark's EXCEPT DISTINCT; `exceptAll` would be
+    the bag variant (EXCEPT ALL), a different semantic."""
+    return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))

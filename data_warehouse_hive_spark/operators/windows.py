@@ -1,0 +1,196 @@
+"""Window functions — SURVEY.md §2.5 (HiveQL windowing, delegated by the
+reference to Hive; native `pyspark.sql.Window` here).
+
+Determinism: every ORDER BY inside a window carries a unique-key tiebreak
+(orderkey / event_id) so ROW_NUMBER / LAG / frame contents are a function
+of the data, not of partition order — required for cross-engine checks and
+plain good practice for reproducible pipelines.
+
+Scale: a window over PARTITION BY k is one shuffle on k + a per-partition
+sort.  Partition keys below (custkey, suppkey) have high cardinality, so
+state per key stays small — no single-executor hotspot at 100 TB.  The one
+anti-pattern avoided: a window with ORDER BY and *no* PARTITION BY
+collapses to a single partition; only `q_win_global_rank`-style analytics
+on pre-aggregated (small) inputs may do that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import DEC, query
+from data_warehouse_hive_spark.tables import t
+
+
+@query(
+    "q_win_rownum",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           ROW_NUMBER()  OVER w AS rn,
+           RANK()        OVER w AS rk,
+           DENSE_RANK()  OVER w AS drk,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROW_NUMBER / RANK / DENSE_RANK / NTILE over PARTITION BY ... ORDER BY."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(w).cast("long").alias("rk"),
+        F.dense_rank().over(w).cast("long").alias("drk"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+@query(
+    "q_win_lag",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           LAG(value)  OVER w AS prev_value,
+           LEAD(value) OVER w AS next_value,
+           FIRST_VALUE(value) OVER w AS first_val,
+           LAST_VALUE(value)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                             AND UNBOUNDED FOLLOWING) AS last_val
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAG / LEAD / FIRST_VALUE / LAST_VALUE per user ordered by event time.
+
+    LAST_VALUE uses an explicit unbounded frame — the default frame stops
+    at CURRENT ROW in both engines, which is rarely what's meant.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.first("value").over(w).alias("first_val"),
+        F.last("value").over(w_full).alias("last_val"),
+    )
+
+
+@query(
+    "q_win_frame_rows",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS running_total,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / LEAST(CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                      ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 3.0)
+             AS moving_avg3
+    FROM orders
+    """,
+)
+def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROWS-frame aggregates: running total + 3-row moving average.
+
+    Frame sums go through the exact-decimal carrier (registry.py) so every
+    prefix sum is bit-identical across engines; the moving average divides
+    two identical doubles.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last3 = w.rowsBetween(-2, Window.currentRow)
+    price_dec = F.col("o_totalprice").cast(DEC)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        (
+            F.sum(price_dec).over(last3).cast("double")
+            / F.least(F.row_number().over(w).cast("double"), F.lit(3.0))
+        ).alias("moving_avg3"),
+    )
+
+
+@query(
+    "q_win_frame_range",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                               RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS n_within_50k,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+                      RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             AS sum_within_50k
+    FROM orders
+    """,
+)
+def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame aggregates: peers are defined by order-column *value*
+    (all rows within 50k below the current price), so ties share a frame
+    and no unique tiebreak is needed for determinism."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice")
+        .rangeBetween(-50000, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_50k"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
+            "sum_within_50k"
+        ),
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT c_mktsegment, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                  ORDER BY o.o_totalprice DESC, o.o_orderkey) AS rn
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ) ranked
+    WHERE rn <= 3
+    """,
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per group (rank ≤ k idiom): top 3 orders per market segment.
+
+    Spark pushes the rank filter into the window sort (WindowGroupLimit),
+    so each partition keeps only k rows through the shuffle — the scalable
+    form of per-group top-k.
+    """
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+    )

@@ -1,0 +1,143 @@
+"""Query registry — the single source of truth for SURVEY.md §2 coverage.
+
+Each operator from the SURVEY inventory is registered exactly once with:
+  * its Spark implementation  ``(spark, sf_dir) -> DataFrame``
+  * its DuckDB oracle SQL (ANSI, runs on the same parquet tables), or None
+    for ops whose semantics aren't SQL-expressible (rows-only check).
+
+``__spark_entry__.py`` and the test suite both iterate this registry, so a
+query cannot be "implemented" without being driver-checkable.
+
+Cross-engine determinism
+------------------------
+The driver hash-compares Spark results against DuckDB, so results must be
+**value-identical**, not merely close.  Floating-point aggregation order
+differs between engines (Spark does partial/final aggregation across
+partitions; DuckDB streams), so double sums are NOT reproducible.  The
+registry's helper idiom eliminates this instead of papering over it with
+rounding:
+
+  * Sum doubles through an exact decimal:  ``CAST(x AS DECIMAL(18,6))`` per
+    row (deterministic per-row rounding of the same IEEE double in both
+    engines), exact associative decimal addition, then one final cast to
+    DOUBLE.  Any aggregation order yields the same bits.
+  * Averages: exact decimal sum → double, divided by the exact count; each
+    IEEE op has identical operands in both engines, hence identical results.
+  * Integer sums: cast to BIGINT on the DuckDB side (DuckDB widens integer
+    SUM to HUGEINT; Spark keeps LongType).
+
+Helpers ``dsum``/``davg`` (Spark side) pair with ``o_dsum``/``o_davg``
+(oracle side); use them for every double aggregation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SparkQuery = Callable[[SparkSession, str], DataFrame]
+
+# Exact-decimal carrier for double aggregation; 18 digits / 6 decimals covers
+# every fixture column (|x| < 1e12) and sums stay within Spark's widened
+# DECIMAL(28,6) and DuckDB's DECIMAL(38,6) at any tested scale factor.
+DEC = "decimal(18,6)"
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: SparkQuery
+    oracle: str | None
+    doc: str = ""
+    # Marked True for queries whose oracle comparison needs a small float
+    # tolerance in the local test harness (e.g. stddev); the driver may be
+    # stricter — prefer exact idioms wherever possible.
+    approx: bool = False
+    tags: tuple[str, ...] = field(default=())
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+
+def query(
+    name: str,
+    oracle: str | None = None,
+    approx: bool = False,
+    tags: tuple[str, ...] = (),
+) -> Callable[[SparkQuery], SparkQuery]:
+    """Register a SURVEY §2 operator implementation."""
+
+    def deco(fn: SparkQuery) -> SparkQuery:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query id {name!r}")
+
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # Runtime-settable determinism conf, applied even when the
+            # session was built by the external driver.
+            from data_warehouse_hive_spark.session import ensure_engine_conf
+
+            ensure_engine_conf(spark)
+            return fn(spark, sf_dir)
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        REGISTRY[name] = QuerySpec(
+            name=name, fn=wrapped, oracle=oracle, doc=fn.__doc__ or "", approx=approx, tags=tags
+        )
+        return wrapped
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Cross-engine-exact aggregation helpers (Spark side)
+# --------------------------------------------------------------------------
+
+def dsum(col: Column | str, alias: str) -> Column:
+    """Order-independent double sum: exact decimal sum cast back to double."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(DEC)).cast("double").alias(alias)
+
+
+def davg(col: Column | str, alias: str) -> Column:
+    """Order-independent double mean: exact decimal sum / exact count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return (
+        F.sum(c.cast(DEC)).cast("double")
+        / F.count(c).cast("double")
+    ).alias(alias)
+
+
+# Oracle-side (DuckDB SQL) counterparts — keep textually in sync with above.
+
+def o_dsum(expr: str, alias: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE) AS {alias}"
+
+
+def o_davg(expr: str, alias: str) -> str:
+    return (
+        f"CAST(SUM(CAST(({expr}) AS DECIMAL(18,6))) AS DOUBLE)"
+        f" / CAST(COUNT({expr}) AS DOUBLE) AS {alias}"
+    )
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every module that registers queries, then return the registry."""
+    import data_warehouse_hive_spark.operators.relational  # noqa: F401
+    import data_warehouse_hive_spark.operators.joins  # noqa: F401
+    import data_warehouse_hive_spark.operators.aggregates  # noqa: F401
+    import data_warehouse_hive_spark.operators.windows  # noqa: F401
+    import data_warehouse_hive_spark.operators.sorts  # noqa: F401
+    import data_warehouse_hive_spark.operators.setops  # noqa: F401
+    import data_warehouse_hive_spark.functions.scalar  # noqa: F401
+    import data_warehouse_hive_spark.functions.text  # noqa: F401
+    import data_warehouse_hive_spark.functions.udfs  # noqa: F401
+    import data_warehouse_hive_spark.streaming.time_windows  # noqa: F401
+    import data_warehouse_hive_spark.extensions.dedup  # noqa: F401
+    import data_warehouse_hive_spark.extensions.similarity  # noqa: F401
+    import data_warehouse_hive_spark.sources.ddl_queries  # noqa: F401
+
+    return REGISTRY

@@ -1,0 +1,1 @@
+"""Subpackage of data_warehouse_hive_spark."""

@@ -1,0 +1,190 @@
+"""CSV ingestion pipeline — the reference's flagship path, Spark-native.
+
+Reference behavior being re-expressed (all cited file:line are in
+/root/reference/):
+  * delimiter sniffed over ",;\\t|" from a 1 KiB prefix
+    (backend/csv_processor.py:25-34,89-91)
+  * bounded schema inference: 1000-row sample, date parsing on
+    (backend/csv_processor.py:94-103, backend/config.py:26)
+  * table-name sanitization rules (backend/hive_manager.py:69-92) — kept,
+    but the reference's Unix-time suffix is nondeterministic AND buggy
+    (re-sanitizing on lookup generates a fresh suffix so lookups by
+    original name can never match, hive_manager.py:109,124,390); here the
+    suffix is opt-in and content-deterministic instead.
+  * external table = metadata-only registration over files in object
+    storage; dropping keeps data (backend/hive_manager.py:169-181,121)
+  * header skip via table property (backend/hive_manager.py:180-181) →
+    the `header` CSV option.
+
+The reference's 3-process HTTP/Thrift topology (browser → Next.js tus →
+Sanic → HiveServer2, reference backend/app.py:32-118) collapses into
+`ingest_csv()` — one in-process call on a SparkSession.
+
+Scale: inference reads ONLY the bounded sample (mirroring the reference's
+sample discipline); registration moves no data; the actual reads are
+distributed schema-on-read scans, splittable per file by Spark.
+"""
+
+from __future__ import annotations
+
+import csv as _csv
+import io
+import os
+import re
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+SNIFF_DELIMITERS = ",;\t|"  # reference backend/csv_processor.py:29
+SNIFF_PREFIX_BYTES = 1024  # reference backend/csv_processor.py:90
+MAX_SAMPLE_ROWS = 1000  # reference backend/config.py:26
+MAX_TABLE_NAME_LEN = 32  # reference backend/hive_manager.py:84-86
+
+
+def sniff_delimiter(path_or_text: str, default: str = ",") -> str:
+    """Detect the delimiter from a 1 KiB prefix over the reference's
+    candidate set (csv.Sniffer, same as Polars' default behavior the
+    reference relies on)."""
+    if os.path.exists(path_or_text):
+        with io.open(path_or_text, "r", errors="replace") as f:
+            prefix = f.read(SNIFF_PREFIX_BYTES)
+    else:
+        prefix = path_or_text[:SNIFF_PREFIX_BYTES]
+    try:
+        return _csv.Sniffer().sniff(prefix, delimiters=SNIFF_DELIMITERS).delimiter
+    except _csv.Error:
+        return default
+
+
+def sanitize_table_name(name: str, *, unique_suffix: bool = False) -> str:
+    """Reference sanitize rules (backend/hive_manager.py:69-92), made
+    deterministic: non-alnum → '_', digit-prefix → 'table_' prefix, empty →
+    'table_unknown', truncate to 32 chars.  The reference appends a 6-digit
+    Unix-time suffix unconditionally; that is opt-in here (and when used,
+    callers should persist the result — see module docstring for the
+    reference's re-sanitize lookup bug)."""
+    sanitized = re.sub(r"[^a-zA-Z0-9_]", "_", name)
+    if sanitized and sanitized[0].isdigit():
+        sanitized = f"table_{sanitized}"
+    if not sanitized:
+        sanitized = "table_unknown"
+    sanitized = sanitized[:MAX_TABLE_NAME_LEN]
+    if unique_suffix:
+        suffix = str(int(time.time()))[-6:]
+        sanitized = f"{sanitized[: MAX_TABLE_NAME_LEN - 7]}_{suffix}"
+    return sanitized
+
+
+def infer_csv_schema(
+    spark: SparkSession,
+    path: str,
+    *,
+    delimiter: str | None = None,
+    header: bool = True,
+    sample_rows: int = MAX_SAMPLE_ROWS,
+) -> tuple[T.StructType, str]:
+    """Bounded schema inference: read at most `sample_rows` rows with
+    inferSchema + date/timestamp parsing (the Spark equivalent of the
+    reference's 1000-row Polars inference window).  Returns (schema,
+    delimiter)."""
+    delim = delimiter or sniff_delimiter(path)
+    sample = (
+        spark.read.options(
+            header=str(header).lower(),
+            sep=delim,
+            inferSchema="true",
+            # Polars try_parse_dates=True equivalents:
+            dateFormat="yyyy-MM-dd",
+            timestampFormat="yyyy-MM-dd HH:mm:ss",
+            nullValue="",
+            samplingRatio="1.0",
+        )
+        .csv(path)
+        .limit(sample_rows)
+    )
+    return sample.schema, delim
+
+
+@dataclass
+class IngestResult:
+    """What the reference's POST /process-csv returns (backend/app.py:100-111),
+    minus the HTTP envelope."""
+
+    table_name: str
+    location: str
+    delimiter: str
+    schema: T.StructType
+    columns: list[dict[str, str]] = field(default_factory=list)
+
+
+def create_external_csv_table(
+    spark: SparkSession,
+    table_name: str,
+    location: str,
+    schema: T.StructType,
+    *,
+    delimiter: str = ",",
+    header: bool = True,
+) -> None:
+    """External (unmanaged) CSV table: metadata-only registration, data
+    stays in place, DROP keeps the files — the Spark form of the
+    reference's CREATE EXTERNAL TABLE ... ROW FORMAT DELIMITED ...
+    LOCATION DDL (backend/hive_manager.py:169-181)."""
+    cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
+    delim_sql = delimiter.replace("\\", "\\\\").replace("'", "\\'")
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS `{table_name}` ({cols}) "
+        f"USING CSV OPTIONS (header '{str(header).lower()}', sep '{delim_sql}') "
+        f"LOCATION '{location}'"
+    )
+
+
+def create_managed_table(
+    spark: SparkSession, df: DataFrame, table_name: str, *, format: str = "parquet"
+) -> None:
+    """Managed table (engine-owned storage) — the reference's fallback path
+    (backend/hive_manager.py:234-264).  Parquet-first per our standard."""
+    df.write.format(format).mode("errorifexists").saveAsTable(table_name)
+
+
+def insert_into(spark: SparkSession, df: DataFrame, table_name: str) -> None:
+    """Batched INSERT sink (reference backend/hive_manager.py:282-332 does
+    10k-row VALUES batches with per-row fallback; Spark task batching +
+    retry subsumes both)."""
+    df.write.insertInto(table_name)
+
+
+def ingest_csv(
+    spark: SparkSession,
+    path: str,
+    table_name: str | None = None,
+    *,
+    header: bool = True,
+    delimiter: str | None = None,
+) -> IngestResult:
+    """The end-to-end pipeline (reference backend/app.py:32-118, steps
+    numbered :61-98): sniff → bounded inference → external-table
+    registration → refresh.  One in-process call; no data is moved."""
+    name = sanitize_table_name(
+        table_name or os.path.splitext(os.path.basename(path))[0]
+    )
+    schema, delim = infer_csv_schema(
+        spark, path, delimiter=delimiter, header=header
+    )
+    create_external_csv_table(
+        spark, name, path, schema, delimiter=delim, header=header
+    )
+    # MSCK REPAIR / REFRESH equivalent (reference backend/app.py:98)
+    spark.sql(f"REFRESH TABLE `{name}`")
+    return IngestResult(
+        table_name=name,
+        location=path,
+        delimiter=delim,
+        schema=schema,
+        columns=[
+            {"name": f.name, "spark_type": f.dataType.simpleString()}
+            for f in schema.fields
+        ],
+    )

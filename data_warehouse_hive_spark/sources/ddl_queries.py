@@ -1,0 +1,199 @@
+"""Registry entries for the DDL/ingestion surface (SURVEY.md §2.1, §2.11).
+
+These are behavioral (rows-only) checks — catalog state is not DuckDB-
+oracle-comparable, so each entry returns a small result DataFrame whose
+row count proves the operation ran.  Each run uses a unique temp table
+name and cleans up after itself, so re-runs are idempotent.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.sources import catalog as cat
+from data_warehouse_hive_spark.sources.csv_ingest import (
+    ingest_csv,
+    sanitize_table_name,
+    sniff_delimiter,
+)
+from data_warehouse_hive_spark.tables import t
+
+
+def _scratch_csv(delimiter: str = ",") -> str:
+    """Write a small typed CSV to a scratch dir; returns its path."""
+    d = tempfile.mkdtemp(prefix="dwh_spark_ddl_")
+    path = os.path.join(d, "sample.csv")
+    rows = [
+        ["id", "price", "is_active", "created_date", "name"],
+        ["1", "19.99", "true", "2024-03-01", "widget"],
+        ["2", "5.50", "false", "2024-03-02", "gadget"],
+        ["3", "7.25", "true", "2024-03-03", "sprocket"],
+    ]
+    with open(path, "w") as f:
+        f.write("\n".join(delimiter.join(r) for r in rows) + "\n")
+    return path
+
+
+@query("ddl_csv_infer")
+def ddl_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV load + delimiter sniff + bounded schema inference
+    (reference backend/csv_processor.py:25-103)."""
+    path = _scratch_csv(";")
+    delim = sniff_delimiter(path)
+    res = ingest_csv(spark, path, f"infer_{uuid.uuid4().hex[:8]}")
+    out = spark.createDataFrame(
+        [
+            Row(
+                detected_delimiter=delim,
+                n_columns=len(res.columns),
+                col_types=",".join(c["spark_type"] for c in res.columns),
+            )
+        ]
+    )
+    cat.drop_table(spark, res.table_name)
+    return out
+
+
+@query("ddl_csv_external")
+def ddl_csv_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """External CSV table round-trip: register → query → drop keeps data
+    (reference backend/hive_manager.py:169-181, :121)."""
+    path = _scratch_csv(",")
+    res = ingest_csv(spark, path, f"ext_{uuid.uuid4().hex[:8]}")
+    n = spark.table(res.table_name).count()
+    info = cat.table_info(spark, res.table_name)
+    cat.drop_table(spark, res.table_name)
+    data_survives = os.path.exists(path)
+    return spark.createDataFrame(
+        [
+            Row(
+                rows_read=n,
+                is_external=info.is_external,
+                dropped_data_survives=data_survives,
+            )
+        ]
+    )
+
+
+@query("ddl_managed_table")
+def ddl_managed_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Managed (engine-owned) table create + insert + drop
+    (reference backend/hive_manager.py:234-264, :282-332)."""
+    name = f"managed_{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "region")
+    src.write.mode("overwrite").saveAsTable(name)
+    src.write.insertInto(name)  # ddl_insert_batch surface
+    n = spark.table(name).count()
+    cat.drop_table(spark, name)
+    return spark.createDataFrame([Row(rows_after_double_insert=n)])
+
+
+@query("ddl_catalog_ops")
+def ddl_catalog_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES / LIKE-existence / DESCRIBE / DROP in one behavioral
+    pass (reference backend/app.py:186-195, backend/hive_manager.py:105-133,
+    :396-407)."""
+    name = f"catop_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "nation").write.saveAsTable(name)
+    listed = name in cat.show_tables(spark)
+    exists = cat.table_exists(spark, name)
+    n_cols = len(cat.describe(spark, name))
+    cat.repair_table(spark, name)  # ddl_msck surface (no-op when unpartitioned)
+    dropped = cat.drop_table(spark, name)
+    gone = not cat.table_exists(spark, name)
+    return spark.createDataFrame(
+        [
+            Row(
+                listed=listed,
+                exists=exists,
+                n_cols=n_cols,
+                dropped=dropped,
+                gone=gone,
+            )
+        ]
+    )
+
+
+@query("ddl_sanitize_names")
+def ddl_sanitize_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-sanitization rules (reference backend/hive_manager.py:69-92),
+    deterministic here — including idempotence, which the reference's
+    timestamp suffix breaks (re-sanitize on lookup → new suffix → misses)."""
+    cases = ["2 bad-name!", "ok_name", "", "x" * 50, "Sales Data (2024)"]
+    rows = [
+        Row(
+            raw=c,
+            sanitized=sanitize_table_name(c),
+            idempotent=sanitize_table_name(sanitize_table_name(c))
+            == sanitize_table_name(c),
+        )
+        for c in cases
+    ]
+    return spark.createDataFrame(rows)
+
+
+@query("ddl_pipeline_e2e")
+def ddl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full ingestion pipeline: upload(path) → sniff → infer → register →
+    refresh → stats (reference backend/app.py:32-118 steps :61-98), plus
+    the schema-preview stats pass (backend/app.py:149-180)."""
+    from data_warehouse_hive_spark.sources.stats import column_stats
+
+    path = _scratch_csv("|")
+    res = ingest_csv(spark, path, f"e2e_{uuid.uuid4().hex[:8]}")
+    df = spark.table(res.table_name)
+    stats = column_stats(df)
+    cat.drop_table(spark, res.table_name)
+    return spark.createDataFrame(
+        [
+            Row(
+                delimiter=res.delimiter,
+                n_rows=stats["id"]["non_null_count"],
+                id_distinct=stats["id"]["distinct_count"],
+                price_mean_positive=float(stats["price"]["mean"] or 0) > 0,
+            )
+        ]
+    )
+
+
+@query("ddl_health")
+def ddl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connectivity self-check (reference backend/app.py:120-147)."""
+    h = cat.health_check(spark)
+    return spark.createDataFrame([Row(engine_ok=h["engine"], catalog_ok=h["catalog"])])
+
+
+@query("ddl_multimodal_features")
+def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: synthesize binary payloads from the
+    documents table, run the mapInPandas feature extractor (stubbed decode,
+    real Spark plumbing), count frame samples (see sources/multimodal.py)."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        extract_features,
+        frame_sample_plan,
+    )
+
+    docs = t(spark, sf_dir, "documents").limit(50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "video")
+        .when(F.col("doc_id") % 3 == 1, "image")
+        .otherwise("audio")
+        .alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit(64).alias("width"),
+        F.lit(64).alias("height"),
+        (F.col("n_chars") * 10).cast("long").alias("duration_ms"),
+    )
+    feats = extract_features(media)
+    n_feat = feats.filter(F.size("feature") == 8).count()
+    n_frames = frame_sample_plan(media, every_ms=1000).count()
+    return spark.createDataFrame(
+        [Row(n_features=n_feat, n_frame_samples=n_frames)]
+    )

@@ -1,0 +1,125 @@
+"""Multimodal columns — SURVEY.md §2.12 north-star.
+
+Pattern: media payloads are opaque `binary` columns (or object-store
+pointers, the reference's external-table pattern — reference
+backend/hive_manager.py:176) carried alongside typed metadata.  All
+per-item compute (decode, feature-extract, resize, frame-sample) runs as
+Arrow-batched pandas iterators via `mapInPandas`, so the Spark-side
+plumbing — schema, partitioning, batch shape — is identical whether the
+inner function calls Pillow/ffmpeg or a stub.
+
+The actual codec libraries are NOT in this container, so `decode_image`
+raises NotImplementedError and the pipeline is exercised end-to-end with
+`fake_decode_image` — a deterministic stand-in keyed on the payload's md5
+(real plumbing, fake pixels).  Swapping in a real decoder changes ONE
+function and zero Spark code.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), True),
+        T.StructField("payload_md5", T.StringType(), True),
+        T.StructField("payload_bytes", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+FEATURE_DIM = 8
+
+
+def decode_image(payload: bytes) -> "object":
+    """Real decode path — requires an image codec library (Pillow/opencv),
+    which is intentionally not vendored here."""
+    raise NotImplementedError(
+        "image decoding requires a codec library (e.g. Pillow); "
+        "use fake_decode_image for plumbing tests"
+    )
+
+
+def fake_decode_image(payload: bytes) -> list[float]:
+    """Deterministic stand-in for decode+embed: derive FEATURE_DIM floats
+    from the payload's md5.  Stable across processes/engines, so tests can
+    assert exact values through the whole distributed pipeline."""
+    digest = hashlib.md5(payload).digest()
+    return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
+
+
+def extract_features(media: DataFrame, *, use_real_decoder: bool = False) -> DataFrame:
+    """media table → per-item features via mapInPandas (Arrow batches in,
+    Arrow batches out; no per-row Python overhead).  Partition-parallel:
+    no shuffle — feature extraction is embarrassingly parallel at 100 TB
+    as long as payloads are stored splittable (one file per shard)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            feats = []
+            for p in payloads:
+                raw = bytes(p) if p is not None else b""
+                if use_real_decoder:
+                    feats.append(decode_image(raw))  # raises: no codec here
+                else:
+                    feats.append(fake_decode_image(raw))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "payload_md5": [
+                        hashlib.md5(bytes(p) if p is not None else b"").hexdigest()
+                        for p in payloads
+                    ],
+                    "payload_bytes": [
+                        len(bytes(p)) if p is not None else 0 for p in payloads
+                    ],
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling *plan*: one output row per sampled frame
+    timestamp (the decode of each frame is the stubbed step).  Shows the
+    1-row → N-rows generator shape on binary media columns."""
+    n_frames = (F.col("duration_ms") / every_ms).cast("long")
+    return (
+        media.filter(F.col("kind") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))
+            ).alias("frame_idx"),
+        )
+        .withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+    )
+
+
+def read_binary_dir(spark, path: str) -> DataFrame:
+    """Directory of media files → (path, modificationTime, length, content)
+    via Spark's binaryFile source — the pointers-in-table, bytes-in-store
+    layout the reference uses for CSVs, generalized to media."""
+    return spark.read.format("binaryFile").load(path)

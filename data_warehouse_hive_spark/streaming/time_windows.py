@@ -1,0 +1,135 @@
+"""Batch time-window queries over `events` — SURVEY.md §2.10.
+
+The reference has no streaming surface at all (absence verified across
+reference backend/ and docker/ — ingestion is request-driven batch), so
+these are extension operators: the batch forms of the standard streaming
+aggregations, written so the same logic lifts to Structured Streaming
+unchanged (see streaming/stream.py for the readStream/watermark form).
+
+Scale: tumbling windows shuffle once on (window, key) with partial
+aggregation; sessionization shuffles once on user_id then does a linear
+per-user scan — both the canonical scalable shapes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import dsum, o_dsum, query
+from data_warehouse_hive_spark.tables import t
+
+
+@query(
+    "q_time_tumbling",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {o_dsum('value', 'sum_value')},
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def q_time_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over event time.
+
+    Uses `F.window('ts', '1 hour')` — the same operator Structured
+    Streaming uses — whose aligned window start equals date_trunc('hour').
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "sum_value"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+@query(
+    "q_time_sliding",
+    oracle=f"""
+    WITH slid AS (
+      SELECT e.*, s.window_start
+      FROM events e,
+           LATERAL (SELECT unnest([
+               time_bucket(INTERVAL 30 MINUTE, e.ts),
+               time_bucket(INTERVAL 30 MINUTE, e.ts) - INTERVAL 30 MINUTE
+             ]) AS window_start) s
+      WHERE e.ts >= s.window_start
+        AND e.ts < s.window_start + INTERVAL 1 HOUR
+    )
+    SELECT window_start, COUNT(*) AS n_events, {o_dsum('value', 'sum_value')}
+    FROM slid
+    GROUP BY window_start
+    """,
+)
+def q_time_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 30 min slide): each event lands in two
+    overlapping windows — Spark's windowing generator expands them natively.
+    """
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "sum_value")
+    )
+
+
+@query(
+    "q_time_session_gap",
+    oracle=f"""
+    WITH marked AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS session_id
+      FROM marked
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           {o_dsum('value', 'sum_value')}
+    FROM sessioned
+    GROUP BY user_id, session_id
+    """,
+)
+def q_time_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization by 30-minute inactivity gap: the lag + cumulative-sum
+    session-id idiom (one shuffle on user_id, linear per-user pass), then
+    per-session aggregates.  The streaming twin is `F.session_window`."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    is_start = F.when(gap.isNull() | (gap > 1800.0), 1).otherwise(0)
+    return (
+        e.withColumn("is_start", is_start)
+        .withColumn("session_id", F.sum("is_start").over(run).cast("long"))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            dsum("value", "sum_value"),
+        )
+    )

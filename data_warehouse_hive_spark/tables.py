@@ -1,0 +1,64 @@
+"""Fixture-table access.
+
+The driver materializes a TPC-H-ish star schema plus ``events`` /
+``documents`` / ``embeddings`` as one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/`` (see TESTDATA.md / FIXTURES.md).
+Every query callable receives ``(spark, sf_dir)`` and reads lazily from
+here — scans stay declarative so Catalyst applies column pruning and
+predicate pushdown into the parquet reader.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = "/root/testdata/sf0.001"
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table as a lazy DataFrame.
+
+    `events.ts` is nanosecond-precision in the parquet file, which Spark's
+    reader rejects (PARQUET_TYPE_ILLEGAL) unless nanos are read as long
+    (conf set in session.ensure_engine_conf); the raw nanos are truncated
+    to microseconds here — the same truncation DuckDB applies when casting
+    TIMESTAMP_NS → TIMESTAMP — so both engines see identical values.
+    """
+    if name not in TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.LongType):
+            # integer division — a double division would lose precision
+            # (ns epoch values exceed 2^53)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view for spark.sql queries."""
+    for name in TABLES:
+        t(spark, sf_dir, name).createOrReplaceTempView(name)
