@@ -1,0 +1,91 @@
+#!/usr/bin/env python
+"""Benchmark runner — times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full distributed
+execution, no driver-side collect cost in the measurement).  The headline
+set spans every operator family: scan+agg, star join, window, set-op,
+text, LSH dedup, vector search, time windows.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from data_warehouse_hive_spark.registry import load_all
+from data_warehouse_hive_spark.session import get_spark
+
+HEADLINE = [
+    "q_groupby_agg",       # flagship TPC-H Q1 shape
+    "q_stats_profile",     # single-pass column profile
+    "q_join_multiway",     # 5-table star join
+    "q_join_inner",        # fact-dim row-level join
+    "q_win_rownum",        # ranking windows
+    "q_win_frame_rows",    # frame aggregates
+    "q_topk_per_group",    # per-group top-k
+    "q_topk",              # global top-k (TakeOrderedAndProject)
+    "q_union_all",         # set op
+    "q_fn_string",         # scalar-function projection throughput
+    "q_text_stats",        # corpus profiling
+    "q_text_fingerprint",  # md5 fingerprints
+    "q_dedup_exact",       # exact dedup
+    "q_dedup_minhash",     # MinHash LSH candidate pairs
+    "q_sim_search",        # brute-force top-k cosine
+    "q_time_tumbling",     # event-time windows
+    "q_time_session_gap",  # sessionization
+]
+
+
+def _force(df) -> int:
+    """Execute the full plan distributed; returns row count via a cheap
+    count over the cached-free plan (noop write when available)."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+        return -1
+    except Exception:
+        return df.count()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+    spark = get_spark(app_name="dwh-spark-bench")
+    registry = load_all()
+
+    # JVM/codegen warmup on the smallest SF so measured times reflect
+    # steady-state execution, not first-query classloading.
+    warm = registry["q_groupby_agg"].fn(spark, "/root/testdata/sf0.001")
+    _force(warm)
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        _force(registry[name].fn(spark, sf_dir))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -52,24 +52,47 @@ def shingles(col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_col(sh: Column, seed: int) -> Column:
-    """One minhash: min over shingles of md5(seed || shingle).
+# Universal-hash family over a single md5-derived 32-bit base hash:
+# h = int(md5(shingle)[:8], 16) % P;  h_j = (A_j * h + B_j) % P.
+# One md5 per shingle total (instead of K) — the K permutations are cheap
+# integer ops, identical in both engines (products < 2^62, no overflow).
+MINHASH_P = 2_147_483_647  # 2^31 - 1 (Mersenne prime)
+MINHASH_AB = [
+    (1_103_515_245, 12_345),
+    (1_234_567_891, 987_654_321),
+    (766_245_317, 88_888_887),
+    (99_990_001, 55_555_333),
+    (1_034_567_891, 271_828_183),
+    (314_159_257, 161_803_399),
+    (999_999_937, 42),
+    (192_837_465, 918_273_645),
+    (777_767_777, 123_456_789),
+    (1_111_111_121, 222_222_227),
+    (1_412_356_789, 333_444_555),
+    (658_123_741, 777_888_999),
+]
+assert len(MINHASH_AB) == MINHASH_K
 
-    md5 hex strings compare lexicographically identically in Spark and
-    DuckDB, so the min is engine-independent.
-    """
-    return F.array_min(
-        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s)))
+
+def base_hash(s: Column) -> Column:
+    """Engine-portable 32-bit shingle hash: first 8 hex chars of md5 → int,
+    reduced mod P (Spark: conv(hex,16,10); DuckDB: '0x'||hex cast)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % MINHASH_P
+
+
+def signature(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
+    """documents → (doc_id, mh_0..mh_{k-1}) minhash signature via explode +
+    one grouped aggregation (one shuffle on doc_id; md5 computed once per
+    shingle, the K permutations are integer min-aggregates)."""
+    sh = docs.select(
+        "doc_id", F.explode(shingles(normalized_text("text"), n)).alias("s")
     )
-
-
-def with_minhashes(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
-    """documents → (doc_id, mh_0..mh_{k-1}) minhash signature columns."""
-    sh = shingles(normalized_text("text"), n)
-    out = docs.select("doc_id", sh.alias("sh"))
-    for j in range(k):
-        out = out.withColumn(f"mh_{j}", minhash_col(F.col("sh"), j))
-    return out.drop("sh")
+    hashed = sh.select("doc_id", base_hash(F.col("s")).alias("h"))
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_P).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(MINHASH_AB[:k])
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
 
 
 # ---------------------------------------------------------------------------
@@ -87,8 +110,8 @@ def _o_shingles(n: int = 3) -> str:
       ))"""
 
 
-def _o_minhash(j: int) -> str:
-    return f"list_min(list_transform(sh, s -> md5('{j}:' || s)))"
+def _o_base_hash(expr: str = "s") -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 8))::UBIGINT::BIGINT % {MINHASH_P})"
 
 
 @query(
@@ -119,7 +142,8 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _mh_exprs_oracle() -> str:
     return ",\n           ".join(
-        f"{_o_minhash(j)} AS mh_{j}" for j in range(MINHASH_K)
+        f"MIN(({a} * h + {b}) % {MINHASH_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(MINHASH_AB)
     )
 
 
@@ -129,52 +153,59 @@ def _mh_exprs_oracle() -> str:
     WITH sh_t AS (
       SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
     ),
+    hashed AS (
+      SELECT doc_id, {_o_base_hash('u.s')} AS h
+      FROM sh_t, LATERAL (SELECT unnest(sh) AS s) u
+    ),
     sig AS (
       SELECT doc_id,
            {_mh_exprs_oracle()}
-      FROM sh_t
+      FROM hashed
+      GROUP BY doc_id
     ),
     bands AS (
       SELECT doc_id, b.band_id,
              CASE b.band_id
                {" ".join(
-                   f"WHEN {b} THEN md5(mh_{b * LSH_ROWS}"
-                   + "".join(f" || mh_{b * LSH_ROWS + r}" for r in range(1, LSH_ROWS))
+                   f"WHEN {b} THEN concat_ws('_', mh_{b * LSH_ROWS}"
+                   + "".join(f", mh_{b * LSH_ROWS + r}" for r in range(1, LSH_ROWS))
                    + ")"
                    for b in range(LSH_BANDS)
                )}
-             END AS band_hash
+             END AS band_key
       FROM sig, LATERAL (SELECT unnest(range({LSH_BANDS})) AS band_id) b
     ),
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
-        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
     )
     SELECT doc_a, doc_b FROM pairs
     """,
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: shingle → K=12 md5-minhashes →
-    4 bands × 3 rows → band-bucket equi-join → distinct candidate pairs.
+    """MinHash+LSH near-dup candidate pairs: shingle → md5-seeded universal
+    hashes (K=12) → 4 bands × 3 rows → band-bucket equi-join → distinct
+    candidate pairs.
 
-    The join is on (band_id, band_hash) — uniformly distributed keys, so
-    the shuffle is balanced; no O(n²) comparison ever happens.  The DuckDB
-    oracle reimplements the identical md5 minhash algebra, making this LSH
+    The join is on (band_id, band_key) — uniformly distributed keys, so
+    the shuffle is balanced; no O(n²) comparison ever happens.  md5 runs
+    once per shingle; the K permutations are integer (A·h+B) mod P ops.
+    The DuckDB oracle reimplements the identical algebra, making the LSH
     pipeline fully value-checked.
     """
     docs = t(spark, sf_dir, "documents")
-    sig = with_minhashes(docs)
+    sig = signature(docs)
     band_cols = [
-        F.md5(
-            F.concat(*[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)])
+        F.concat_ws(
+            "_", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
         ).alias(f"band_{b}")
         for b in range(LSH_BANDS)
     ]
     banded = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[c for c in band_cols])).alias("band_id", "band_hash"),
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -182,7 +213,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
