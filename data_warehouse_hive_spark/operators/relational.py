@@ -22,6 +22,18 @@ from data_warehouse_hive_spark.tables import t
 
 
 @query(
+    "q_scan_parquet",
+    oracle="SELECT p_partkey, p_name, p_retailprice FROM part",
+)
+def q_scan_parquet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Columnar parquet scan with column pruning — the flagship data
+    access for every q_… query (the deployed Hive's STORED AS surface;
+    our standard format per BASELINE.json).  ReadSchema in .explain shows
+    only the 3 projected columns reach the scan."""
+    return t(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+
+
+@query(
     "q_project",
     oracle="""
     SELECT l_orderkey, l_linenumber,

@@ -77,6 +77,20 @@ def sanitize_table_name(name: str, *, unique_suffix: bool = False) -> str:
     return sanitized
 
 
+def normalize_upload_key(key: str) -> str:
+    """Object-store key layout normalization (reference
+    backend/csv_processor.py:43-71): a file uploaded at the prefix root,
+    e.g. ``uploads/<id>.csv``, is addressed as ``uploads/<id>/<id>.csv``
+    (directory-per-upload, so Spark/Hive can scan the directory).  Keys
+    already in directory form pass through unchanged."""
+    parts = key.split("/")
+    fname = parts[-1]
+    stem = os.path.splitext(fname)[0]
+    if len(parts) >= 2 and parts[-2] == stem:
+        return key
+    return "/".join(parts[:-1] + [stem, fname])
+
+
 def infer_csv_schema(
     spark: SparkSession,
     path: str,

@@ -162,6 +162,155 @@ def ddl_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("ddl_insert_batch")
+def ddl_insert_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batched INSERT sink (reference backend/hive_manager.py:282-332:
+    10k-row VALUES batches + per-row fault isolation; Spark's task
+    batching + retries subsume both).  Appends twice, counts."""
+    name = f"ins_{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "region")
+    src.write.saveAsTable(name)
+    before = spark.table(name).count()
+    src.write.insertInto(name)
+    after = spark.table(name).count()
+    cat.drop_table(spark, name)
+    return spark.createDataFrame([Row(before=before, after=after, doubled=after == 2 * before)])
+
+
+@query("ddl_drop")
+def ddl_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DROP TABLE IF EXISTS; for externals, metadata-only (reference
+    backend/hive_manager.py:120-133)."""
+    path = _scratch_csv(",")
+    res = ingest_csv(spark, path, f"drop_{uuid.uuid4().hex[:8]}")
+    dropped = cat.drop_table(spark, res.table_name)
+    second = cat.drop_table(spark, res.table_name)  # IF EXISTS → no error
+    return spark.createDataFrame(
+        [Row(dropped=dropped, idempotent_ok=not second, data_kept=os.path.exists(path))]
+    )
+
+
+@query("ddl_show_tables")
+def ddl_show_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES (reference backend/app.py:186-195)."""
+    name = f"show_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "region").write.saveAsTable(name)
+    listed = name in cat.show_tables(spark)
+    cat.drop_table(spark, name)
+    return spark.createDataFrame([Row(listed=listed)])
+
+
+@query("ddl_show_like")
+def ddl_show_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHOW TABLES LIKE existence check (reference
+    backend/hive_manager.py:105-118)."""
+    name = f"like_{uuid.uuid4().hex[:8]}"
+    missing_before = not cat.table_exists(spark, name)
+    t(spark, sf_dir, "region").write.saveAsTable(name)
+    present = cat.table_exists(spark, name)
+    cat.drop_table(spark, name)
+    return spark.createDataFrame([Row(missing_before=missing_before, present=present)])
+
+
+@query("ddl_describe")
+def ddl_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE / DESCRIBE FORMATTED (reference
+    backend/hive_manager.py:396-407)."""
+    name = f"desc_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "nation").write.saveAsTable(name)
+    cols = cat.describe(spark, name)
+    cat.drop_table(spark, name)
+    return spark.createDataFrame(
+        [Row(col_name=c["col_name"], data_type=c["data_type"]) for c in cols]
+    )
+
+
+@query("ddl_msck")
+def ddl_msck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MSCK REPAIR TABLE: partition re-sync after files appear under an
+    external partitioned location (reference backend/hive_manager.py:334-349).
+    New partition directories become visible only after recoverPartitions."""
+    d = tempfile.mkdtemp(prefix="dwh_spark_msck_")
+    name = f"msck_{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "region")
+    src.withColumn("pt", F.lit("a")).write.partitionBy("pt").parquet(d, mode="overwrite")
+    spark.sql(
+        f"CREATE TABLE `{name}` (r_regionkey INT, r_name STRING) "
+        f"USING PARQUET PARTITIONED BY (pt STRING) LOCATION '{d}'"
+    )
+    spark.catalog.recoverPartitions(name)
+    n_before = spark.table(name).count()
+    # new partition lands out-of-band
+    src.withColumn("pt", F.lit("b")).write.partitionBy("pt").mode("append").parquet(d)
+    n_stale = spark.table(name).count()
+    cat.repair_table(spark, name)
+    n_after = spark.table(name).count()
+    cat.drop_table(spark, name)
+    return spark.createDataFrame(
+        [Row(n_before=n_before, n_stale=n_stale, n_after=n_after,
+             repaired=n_after == 2 * n_before)]
+    )
+
+
+@query("ddl_s3_layout")
+def ddl_s3_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Object-store key normalization uploads/<id>.csv → uploads/<id>/<id>.csv
+    (reference backend/csv_processor.py:43-71)."""
+    from data_warehouse_hive_spark.sources.csv_ingest import normalize_upload_key
+
+    cases = ["uploads/abc.csv", "uploads/abc/abc.csv", "deep/x/y.csv"]
+    return spark.createDataFrame(
+        [
+            Row(
+                key=c,
+                normalized=normalize_upload_key(c),
+                idempotent=normalize_upload_key(normalize_upload_key(c))
+                == normalize_upload_key(c),
+            )
+            for c in cases
+        ]
+    )
+
+
+@query("ddl_schema_preview")
+def ddl_schema_preview(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema preview endpoint: bounded sample + per-column type map +
+    stats (reference backend/app.py:149-180)."""
+    from data_warehouse_hive_spark.sources.csv_ingest import infer_csv_schema
+    from data_warehouse_hive_spark.sources.stats import column_stats
+
+    path = _scratch_csv(",")
+    schema, delim = infer_csv_schema(spark, path)
+    df = spark.read.options(header="true", sep=delim).schema(schema).csv(path)
+    stats = column_stats(df, sample_rows=1000)
+    return spark.createDataFrame(
+        [
+            Row(col=name, dtype=s["dtype"], nulls=s["null_count"], distinct=s["distinct_count"])
+            for name, s in stats.items()
+        ]
+    )
+
+
+@query("ddl_table_info")
+def ddl_table_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table info: schema + row count + external flag (reference
+    backend/app.py:204-216, backend/hive_manager.py:386-418)."""
+    path = _scratch_csv(",")
+    res = ingest_csv(spark, path, f"info_{uuid.uuid4().hex[:8]}")
+    info = cat.table_info(spark, res.table_name)
+    cat.drop_table(spark, res.table_name)
+    return spark.createDataFrame(
+        [
+            Row(
+                n_cols=len(info.columns),
+                row_count=info.row_count,
+                is_external=info.is_external,
+                has_location=info.location is not None,
+            )
+        ]
+    )
+
+
 @query("ddl_health")
 def ddl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connectivity self-check (reference backend/app.py:120-147)."""

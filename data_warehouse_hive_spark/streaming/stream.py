@@ -1,0 +1,105 @@
+"""True Structured Streaming pipelines — SURVEY.md §2.10 extension.
+
+The reference has no streaming surface (request-driven batch only); these
+are the streaming twins of the batch time-window queries in
+time_windows.py, built on readStream → event-time windows + watermark →
+writeStream.  Tests drive them with Trigger.AvailableNow over parquet
+input (one bounded run through the real streaming engine — micro-batch
+planner, state store, watermark bookkeeping).
+
+At scale: file/Kafka source partitions map to tasks; the windowed
+aggregation keeps per-(window, key) state in the state store, pruned by
+the watermark — the watermark delay bounds state size, which is the knob
+that keeps unbounded streams at bounded memory on a 1000-executor
+cluster.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+
+def read_events_stream(
+    spark: SparkSession, path: str, schema=None, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source event stream (each new parquet file = new micro-batch
+    input; swap for Kafka in production — the downstream plan is
+    unchanged)."""
+    reader = spark.readStream
+    if schema is None:
+        # bounded batch read to fix the schema (streaming requires one)
+        schema = spark.read.parquet(path).schema
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if os.path.isfile(path):
+        # the file-stream source requires a directory; expose a single
+        # fixture file through a symlinked staging dir
+        staging = tempfile.mkdtemp(prefix="dwh_stream_src_")
+        os.symlink(os.path.abspath(path), os.path.join(staging, os.path.basename(path)))
+        path = staging
+    stream = reader.schema(schema).parquet(path)
+    # ns-precision parquet timestamps arrive as long (nanosAsLong conf);
+    # convert to a proper event-time column (same truncation as tables.t)
+    from pyspark.sql import types as T
+
+    if "ts" in stream.columns and isinstance(stream.schema["ts"].dataType, T.LongType):
+        stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time window aggregation with late-data handling: the
+    watermark closes windows older than max(event_time) - delay, letting
+    state be dropped and results finalized."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows by inactivity gap — the streaming-native form of
+    the batch lag+cumsum sessionization (F.session_window manages dynamic,
+    mergeable window state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, sink_table: str) -> StreamingQuery:
+    """Execute a bounded pass over all available input through the real
+    streaming engine into an in-memory sink (tests / smoke checks)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(sink_table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q

@@ -1,0 +1,27 @@
+"""Driver-contract tests for __spark_entry__.py."""
+
+from __future__ import annotations
+
+import __spark_entry__ as entry_mod
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_contract_shapes():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert len(qs) >= 70
+    assert set(oracles) <= set(qs)
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in oracles.values())
+
+
+def test_queries_accept_sf_dir(spark, sf_dir):
+    qs = entry_mod.queries()
+    df = qs["q_count_star"](spark, sf_dir)
+    assert df.collect()[0]["n_rows"] > 0

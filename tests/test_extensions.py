@@ -1,0 +1,167 @@
+"""Extension-operator semantics beyond the oracle checks: planted
+near-duplicates for MinHash/SimHash recall, IVF recall vs brute force,
+multimodal stub contract."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.extensions.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    normalized_text,
+    shingles,
+    signature,
+)
+from data_warehouse_hive_spark.registry import load_all
+from data_warehouse_hive_spark.tables import t
+
+REGISTRY = load_all()
+
+
+def test_minhash_finds_planted_near_duplicates(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog while the rain "
+        "falls gently on the quiet green hills of the northern valley "
+        "and the river runs slowly toward the distant silver sea"
+    )
+    near_dup = base.replace("silver", "golden")  # 1-word edit
+    unrelated = (
+        "completely different content about database engines columnar "
+        "storage vectorized execution adaptive query planning and the "
+        "cost based optimization of distributed analytical workloads"
+    )
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=near_dup),
+            Row(doc_id=3, text=unrelated),
+            Row(doc_id=4, text=base),  # exact dup
+        ]
+    )
+    sig = signature(docs)
+    rows = {r["doc_id"]: [r[f"mh_{j}"] for j in range(MINHASH_K)] for r in sig.collect()}
+    assert rows[1] == rows[4]  # exact dup → identical signature
+    # near-dup shares most minhashes; unrelated shares ~none
+    shared_near = sum(a == b for a, b in zip(rows[1], rows[2]))
+    shared_far = sum(a == b for a, b in zip(rows[1], rows[3]))
+    assert shared_near >= MINHASH_K // 2 > shared_far
+    # and at least one full band collides for the near-dup pair
+    bands_1 = [tuple(rows[1][b * LSH_ROWS : (b + 1) * LSH_ROWS]) for b in range(LSH_BANDS)]
+    bands_2 = [tuple(rows[2][b * LSH_ROWS : (b + 1) * LSH_ROWS]) for b in range(LSH_BANDS)]
+    assert any(x == y for x, y in zip(bands_1, bands_2))
+
+
+def test_shingles_cover_short_docs(spark):
+    docs = spark.createDataFrame([Row(doc_id=1, text="only two")])
+    sh = docs.select(shingles(normalized_text("text"), 3).alias("s")).collect()[0]["s"]
+    assert sh == ["only two"]
+
+
+def test_ivf_recall_on_planted_clusters(spark):
+    """IVF recall ≈ 1.0 when cells reflect real neighborhood structure
+    (10 planted clusters, points = center + small noise)."""
+    import random
+
+    from data_warehouse_hive_spark.extensions.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    rng = random.Random(7)
+    dim, n_clusters, per_cluster = 16, 10, 30
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c_idx, center in enumerate(centers):
+        for _ in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.05) for x in center]
+            rows.append(Row(vec_id=vid, label=c_idx, e=vec))
+            vid += 1
+    v = spark.createDataFrame(rows)
+    q = v.filter(F.col("vec_id") % per_cluster == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in brute_force_topk(v, q, 5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"]) for r in ivf_topk(v, q, 5, n_probe=1).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f}"
+
+
+def test_ivf_fixture_pipeline_invariants(spark, sf_dir):
+    """On the driver fixture (random labels → no cluster structure) the
+    IVF *pipeline* invariants still hold: ≤k results per query, ranks
+    contiguous from 1, cosine non-increasing in rank."""
+    out = REGISTRY["q_sim_search_ivf"].fn(spark, sf_dir).collect()
+    assert out
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rows in by_q.values():
+        rows.sort(key=lambda r: r["rk"])
+        assert [r["rk"] for r in rows] == list(range(1, len(rows) + 1))
+        cosines = [r["cosine"] for r in rows]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_simhash_hamming_close_for_near_dups(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = a.replace("kappa", "lambda")
+    c = "totally different words describing unrelated subject matter entirely"
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text=a), Row(doc_id=2, text=b), Row(doc_id=3, text=c)]
+    )
+    docs.createOrReplaceTempView("_simhash_docs")
+    import data_warehouse_hive_spark.extensions.dedup as dd
+
+    # reuse the registered query's logic by swapping the table
+    orig_t = dd.t
+    dd.t = lambda spark_, sf_, name_: docs
+    try:
+        out = {r["doc_id"]: r["simhash16"] for r in REGISTRY["q_dedup_simhash"].fn(spark, "unused").collect()}
+    finally:
+        dd.t = orig_t
+    ham_ab = bin(out[1] ^ out[2]).count("1")
+    ham_ac = bin(out[1] ^ out[3]).count("1")
+    assert ham_ab < ham_ac
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_image,
+        extract_features,
+        fake_decode_image,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG...")
+    # deterministic fake: same payload → same feature, cross-process
+    assert fake_decode_image(b"abc") == fake_decode_image(b"abc")
+    media = spark.createDataFrame(
+        [Row(media_id=1, kind="image", payload=b"abc", width=1, height=1, duration_ms=0)]
+    )
+    feats = extract_features(media).collect()
+    assert len(feats) == 1 and len(feats[0]["feature"]) == 8
+    with pytest.raises(Exception):
+        extract_features(media, use_real_decoder=True).collect()
+
+
+def test_exact_dedup_survivor_is_min_doc_id(spark, sf_dir):
+    out = REGISTRY["q_dedup_exact"].fn(spark, sf_dir)
+    dupes = out.filter(F.col("n_copies") > 1)
+    # fixture corpus may or may not contain exact dups; invariant holds
+    # either way: every group's survivor is its min doc_id and fingerprint
+    # count equals distinct normalized texts
+    n_docs = t(spark, sf_dir, "documents").count()
+    assert out.agg(F.sum("n_copies")).collect()[0][0] == n_docs
+    assert dupes.filter(F.col("keep_doc_id").isNull()).count() == 0

@@ -1,0 +1,143 @@
+"""Ingestion-path behavioral tests (FIXTURES.md §B): delimiter sniffing,
+name sanitization (property-tested), bounded inference, external-table
+round-trips for every sniffable delimiter, dirty-data fallbacks."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import types as T
+
+from data_warehouse_hive_spark.sources import catalog as cat
+from data_warehouse_hive_spark.sources.csv_ingest import (
+    MAX_TABLE_NAME_LEN,
+    infer_csv_schema,
+    ingest_csv,
+    normalize_upload_key,
+    sanitize_table_name,
+    sniff_delimiter,
+)
+
+
+def _write(tmp_path, name, lines):
+    p = tmp_path / name
+    p.write_text("\n".join(lines) + "\n")
+    return str(p)
+
+
+# --- delimiter sniffing (reference candidates , ; \t |) ---------------------
+
+@pytest.mark.parametrize("delim", [",", ";", "\t", "|"])
+def test_sniff_each_delimiter(tmp_path, delim):
+    path = _write(
+        tmp_path,
+        "t.csv",
+        [delim.join(["a", "b", "c"]), delim.join(["1", "2.5", "x"]), delim.join(["2", "3.5", "y"])],
+    )
+    assert sniff_delimiter(path) == delim
+
+
+def test_sniff_falls_back_to_comma(tmp_path):
+    path = _write(tmp_path, "one.csv", ["justonecolumn", "value1", "value2"])
+    assert sniff_delimiter(path) == ","
+
+
+# --- name sanitization (reference rules, deterministic) ---------------------
+
+def test_sanitize_reference_cases():
+    assert sanitize_table_name("2 bad-name!") == "table_2_bad_name_"
+    assert sanitize_table_name("") == "table_unknown"
+    assert sanitize_table_name("ok_name") == "ok_name"
+    assert len(sanitize_table_name("x" * 99)) == MAX_TABLE_NAME_LEN
+    assert sanitize_table_name("Sales Data (2024)") == "Sales_Data__2024_"
+
+
+@given(st.text(max_size=80))
+@settings(max_examples=200, deadline=None)
+def test_sanitize_properties(name):
+    out = sanitize_table_name(name)
+    # valid identifier charset, bounded, non-empty, no digit prefix
+    assert out
+    assert len(out) <= MAX_TABLE_NAME_LEN
+    assert all(c.isalnum() or c == "_" for c in out)
+    assert not out[0].isdigit()
+    # idempotent — the property the reference's timestamp suffix broke
+    assert sanitize_table_name(out) == out
+
+
+def test_upload_key_layout():
+    assert normalize_upload_key("uploads/abc.csv") == "uploads/abc/abc.csv"
+    assert normalize_upload_key("uploads/abc/abc.csv") == "uploads/abc/abc.csv"
+    k = normalize_upload_key("deep/x/y.csv")
+    assert normalize_upload_key(k) == k
+
+
+# --- inference + external round-trip ----------------------------------------
+
+def test_typed_inference(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "typed.csv",
+        [
+            "id,small_count,price,is_active,created_date,updated_at,name,nullable_note",
+            '1,42,19.99,true,2024-03-01,2024-03-01 12:34:56,"widget, deluxe",note',
+            "2,7,5.25,false,2024-03-02,2024-03-02 08:00:00,gadget,",
+        ],
+    )
+    schema, delim = infer_csv_schema(spark, path)
+    assert delim == ","
+    by_name = {f.name: type(f.dataType) for f in schema.fields}
+    assert by_name["id"] in (T.IntegerType, T.LongType)
+    assert by_name["price"] == T.DoubleType
+    assert by_name["is_active"] == T.BooleanType
+    assert by_name["created_date"] == T.DateType
+    assert by_name["updated_at"] == T.TimestampType
+    assert by_name["name"] == T.StringType
+
+
+@pytest.mark.parametrize("delim", [",", ";", "\t", "|"])
+def test_external_roundtrip_every_delimiter(spark, tmp_path, delim):
+    path = _write(
+        tmp_path,
+        f"rt_{ord(delim)}.csv",
+        [delim.join(["k", "v"]), delim.join(["1", "a"]), delim.join(["2", "b"])],
+    )
+    res = ingest_csv(spark, path, f"rt_{ord(delim)}")
+    try:
+        df = spark.table(res.table_name)
+        assert df.count() == 2
+        assert [f.name for f in df.schema.fields] == ["k", "v"]
+        assert res.delimiter == delim
+    finally:
+        cat.drop_table(spark, res.table_name)
+    assert os.path.exists(path)  # external: drop kept the data
+
+
+def test_noheader_positional_names(spark, tmp_path):
+    path = _write(tmp_path, "nh.csv", ["1;2.5;x", "2;3.5;y", "3;4.5;z"])
+    res = ingest_csv(spark, path, "nh_case", header=False)
+    try:
+        df = spark.table(res.table_name)
+        assert df.count() == 3  # row 1 is data, not header
+        assert [f.name for f in df.schema.fields] == ["_c0", "_c1", "_c2"]
+    finally:
+        cat.drop_table(spark, res.table_name)
+
+
+def test_dirty_csv_fallback_string(spark, tmp_path):
+    path = _write(
+        tmp_path, "dirty.csv", ["mixed,num", "abc,1", "123,2", "2024-01-01,"]
+    )
+    schema, _ = infer_csv_schema(spark, path)
+    by_name = {f.name: type(f.dataType) for f in schema.fields}
+    assert by_name["mixed"] == T.StringType  # mixed tokens → string fallback
+    res = ingest_csv(spark, path, "dirty_case")
+    try:
+        rows = spark.table(res.table_name).collect()
+        assert any(r["num"] is None for r in rows)  # empty cell → NULL
+    finally:
+        cat.drop_table(spark, res.table_name)

@@ -1,0 +1,81 @@
+"""Physical-plan shape assertions — the scale contract.
+
+Locks in: filters pushed to the parquet scan, column pruning, broadcast
+joins where intended, TakeOrderedAndProject for top-k, bounded shuffle
+counts, whole-stage codegen.  A change that silently degrades a plan
+(e.g. un-pushes a filter) fails here even though results stay correct.
+"""
+
+from __future__ import annotations
+
+from data_warehouse_hive_spark.plans.explain import (
+    count_exchanges,
+    formatted_plan,
+    has_whole_stage_codegen,
+    join_strategies,
+    pushed_filters,
+    read_schemas,
+    uses_take_ordered,
+)
+from data_warehouse_hive_spark.registry import load_all
+
+REGISTRY = load_all()
+
+
+def _plan(spark, sf_dir, name):
+    return formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_parquet")
+    schemas = read_schemas(plan)
+    assert schemas, plan
+    # only the 3 projected columns reach the scan
+    assert all(
+        "p_partkey" in s and "p_brand" not in s and "p_size" not in s for s in schemas
+    ), schemas
+
+
+def test_filters_are_pushed(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_filter_compare")
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_quantity" in pushed and "l_shipdate" in pushed, plan
+
+
+def test_flagship_filter_pushed_and_single_shuffle(spark, sf_dir):
+    df = REGISTRY["q_groupby_agg"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "l_shipdate" in " ".join(pushed_filters(plan)), plan
+    # partial/final hash agg over one exchange on the group keys
+    assert count_exchanges(plan) == 1, plan
+    assert has_whole_stage_codegen(df)
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+
+
+def test_multiway_star_join_broadcasts_dims(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_multiway")
+    strategies = join_strategies(plan)
+    # dimension chain (customer/nation/region) broadcast; at most the
+    # fact-fact join shuffles
+    assert strategies.count("BroadcastHashJoin") >= 3, strategies
+    assert strategies.count("SortMergeJoin") + strategies.count("ShuffledHashJoin") <= 1, strategies
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk")
+    assert uses_take_ordered(plan), plan
+
+
+def test_theta_join_broadcasts_small_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_theta")
+    assert "BroadcastNestedLoopJoin" in join_strategies(plan), plan
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    for name in ("q_join_semi", "q_join_anti"):
+        plan = _plan(spark, sf_dir, name)
+        assert join_strategies(plan), plan  # a real join op, not a filter scan
