@@ -1,0 +1,343 @@
+"""Advanced relational shapes — CTEs, subqueries, pivot/unpivot, as-of and
+range joins, skew-aware (salted) joins, latest-record-per-key.
+
+These extend SURVEY.md §2 beyond the reference's delegated HiveQL core
+with the composite query shapes real warehouse users run daily, plus the
+custom operators Spark has no single built-in for (as-of join, range
+join) implemented as compositions of DataFrame ops — the (a)-tier
+strategy from the build brief (never Python UDFs).
+
+Scale notes per operator in each docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from data_warehouse_hive_spark.registry import DEC, dsum, o_dsum, query
+from data_warehouse_hive_spark.tables import t
+
+
+@query(
+    "q_cte",
+    oracle=f"""
+    WITH seg_totals AS (
+      SELECT c.c_mktsegment AS seg,
+             {o_dsum('o.o_totalprice', 'seg_total')},
+             COUNT(*) AS n_orders
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    grand AS (
+      SELECT CAST(SUM(CAST(seg_total AS DECIMAL(18,6))) AS DOUBLE) AS total FROM seg_totals
+    )
+    SELECT s.seg, s.seg_total, s.n_orders,
+           s.seg_total / g.total AS share
+    FROM seg_totals s CROSS JOIN grand g
+    """,
+)
+def q_cte(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH-clause pipeline: per-segment totals + share of grand total.
+    The grand total is a 1-row broadcast — no re-scan of the base data
+    (Spark reuses the aggregated frame in both branches)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    seg = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(dsum("o_totalprice", "seg_total"), F.count(F.lit(1)).alias("n_orders"))
+    )
+    grand = seg.agg(
+        F.sum(F.col("seg_total").cast(DEC)).cast("double").alias("total")
+    )
+    return seg.crossJoin(broadcast(grand)).select(
+        "seg", "seg_total", "n_orders", (F.col("seg_total") / F.col("total")).alias("share")
+    )
+
+
+@query(
+    "q_subquery_scalar",
+    oracle=f"""
+    WITH cust_avg AS (
+      SELECT o_custkey, {o_dsum('o_totalprice', 'cust_sum')},
+             COUNT(*) AS cust_n
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+    FROM orders o JOIN cust_avg a ON o.o_custkey = a.o_custkey
+    WHERE o.o_totalprice > a.cust_sum / a.cust_n
+    """,
+)
+def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (orders above their customer's average),
+    decorrelated into aggregate + self-join — exactly the rewrite Catalyst
+    applies to correlated subqueries; written explicitly so the exact-
+    decimal average survives the oracle check."""
+    o = t(spark, sf_dir, "orders")
+    avg_ = o.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("cust_sum"),
+        F.count(F.lit(1)).alias("cust_n"),
+    ).withColumnRenamed("o_custkey", "k")
+    return (
+        o.join(avg_, o.o_custkey == avg_.k)
+        .filter(F.col("o_totalprice") > F.col("cust_sum") / F.col("cust_n"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_subquery_in",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_custkey IN (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    )
+    """,
+)
+def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN-subquery → left-semi join (the decorrelation Catalyst performs;
+    the rich-customer set is small → broadcast semi join, no shuffle of
+    orders)."""
+    o = t(spark, sf_dir, "orders")
+    rich = t(spark, sf_dir, "customer").filter(F.col("c_acctbal") > 9000).select(
+        "c_custkey"
+    )
+    return o.join(broadcast(rich), o.o_custkey == rich.c_custkey, "left_semi").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-LOW"]
+_PIV_COLS = {p: "p" + p[0] for p in _PRIORITIES}  # 1-URGENT → p1 ...
+
+
+@query(
+    "q_pivot",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {", ".join(
+             f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}"
+             for p, a in _PIV_COLS.items()
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts by status × priority (explicit value list — the
+    scalable form; an unlisted pivot needs a distinct-values pass first).
+    Columns renamed to stable identifiers so both engines agree."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv
+    for p, a in _PIV_COLS.items():
+        out = out.withColumnRenamed(p, a)
+    # pivot yields NULL for empty cells; count semantics want 0
+    return out.select(
+        "o_orderstatus",
+        *[F.coalesce(F.col(a), F.lit(0)).alias(a) for a in _PIV_COLS.values()],
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT p_partkey, metric, val FROM (
+      SELECT p_partkey,
+             CAST(p_size AS DOUBLE) AS size_val,
+             p_retailprice AS price_val
+      FROM part
+    ) UNPIVOT (val FOR metric IN (size_val, price_val))
+    """,
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide metric columns → (key, metric, value) rows
+    (Spark's unpivot generator — one pass, no shuffle)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size_val"),
+        F.col("p_retailprice").alias("price_val"),
+    ).unpivot("p_partkey", ["size_val", "price_val"], "metric", "val")
+
+
+@query(
+    "q_join_asof",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event_id, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_event_id
+      FROM events WHERE event_type = 'click'
+    )
+    SELECT p.user_id, p.p_event_id, p.p_ts, p.p_value,
+           c.c_event_id AS last_click_id, c.c_ts AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+    """,
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's most recent click
+    at-or-before it — an operator Spark lacks natively (DuckDB has ASOF
+    JOIN; the oracle uses it, so OUR composition is checked against a
+    native implementation).
+
+    Implementation: union the two sides tagged, one window pass per user
+    ordered by (ts, side, event_id) carrying the last click forward
+    (last_value ignoring nulls).  One shuffle on user_id total —
+    unlike the naive join+filter+rank (which shuffles the full pair
+    blow-up), this scales linearly and is the standard streaming-friendly
+    as-of shape.  Tie rule: a click at exactly p_ts counts (<=), so
+    clicks sort before purchases at equal ts.
+    """
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.col("value").alias("p_value"),
+        F.lit(0).alias("side"),  # purchases after clicks at equal ts
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(None).cast("double").alias("p_value"),
+        F.lit(-1).alias("side"),
+    )
+    unioned = purchases.unionByName(clicks)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("side") == -1, F.col("eid"))
+    click_ts = F.when(F.col("side") == -1, F.col("ets"))
+    return (
+        unioned.withColumn("last_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("last_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            "user_id",
+            F.col("eid").alias("p_event_id"),
+            F.col("ets").alias("p_ts"),
+            "p_value",
+            "last_click_id",
+            "last_click_ts",
+        )
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT e.event_id, e.user_id, e.ts, s.session_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') e
+    JOIN (
+      SELECT user_id,
+             CAST(user_id * 100 AS BIGINT) AS session_id,
+             min(ts) AS s_start,
+             min(ts) + INTERVAL 12 HOUR AS s_end
+      FROM events GROUP BY user_id
+    ) s
+      ON e.user_id = s.user_id AND e.ts >= s.s_start AND e.ts < s.s_end
+    """,
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: events against per-user time
+    intervals.  With an equi-key (user_id) present, Spark executes this as
+    a hash join with the range predicate as a post-join filter — the
+    scalable form.  (A pure interval join with no equi-key needs interval
+    binning: join on overlapping time buckets, then filter — same
+    composition, bucket id as the manufactured equi-key.)"""
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    s = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.col("user_id").alias("s_user"))
+        .agg(F.min("ts").alias("s_start"))
+        .select(
+            "s_user",
+            (F.col("s_user") * 100).cast("long").alias("session_id"),
+            "s_start",
+            (F.col("s_start") + F.expr("INTERVAL 12 HOURS")).alias("s_end"),
+        )
+    )
+    return (
+        e.join(
+            s,
+            (e.user_id == s.s_user) & (e.ts >= s.s_start) & (e.ts < s.s_end),
+        )
+        .select("event_id", "user_id", "ts", "session_id")
+    )
+
+
+@query(
+    "q_latest_per_key",
+    oracle="""
+    SELECT user_id, event_id, ts, event_type, value
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest record per key — THE workhorse of CDC/dedup pipelines.
+    Window rank + rn=1 filter; Spark's WindowGroupLimit keeps one row per
+    key per partition pre-shuffle, so the shuffle carries |keys| rows."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+
+
+@query(
+    "q_join_salted",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           {o_dsum('l.l_extendedprice', 'revenue')},
+           COUNT(*) AS n
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-aware salted join: the build side replicates each row S ways
+    (salt 0..S-1), the probe side salts randomly-but-deterministically by
+    a hash of a disambiguating column, so one hot join key spreads over S
+    reducers instead of melting one.
+
+    Result is identical to the plain join (the oracle checks that); at
+    100 TB this is the manual fallback when AQE's skew splitting can't
+    help (e.g. skewed *build* side of a shuffled hash join).  S=8 here.
+    """
+    SALT = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_linenumber", "l_partkey"), F.lit(SALT)).cast("int")
+    )
+    o = t(spark, sf_dir, "orders").withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1)))
+    )
+    return (
+        li.join(o, (li.l_orderkey == o.o_orderkey) & (li.salt == o.salt))
+        .groupBy("o_orderpriority")
+        .agg(dsum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n"))
+    )
