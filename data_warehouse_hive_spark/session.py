@@ -23,8 +23,19 @@ def get_spark(
     app_name: str = "data-warehouse-hive-spark",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    enable_hive: bool = False,
+    warehouse_dir: str | None = None,
 ) -> SparkSession:
-    """Build (or fetch) a SparkSession with the engine's standard config."""
+    """Build (or fetch) a SparkSession with the engine's standard config.
+
+    `enable_hive=True` backs the catalog with a Hive metastore (the
+    reference's architecture — HiveServer2 + metastore at reference
+    docker/docker-compose.yml:24-105 — collapses to
+    `spark.sql.catalogImplementation=hive`; point
+    `spark.hadoop.javax.jdo.option.ConnectionURL` at Postgres in
+    production, embedded Derby locally).  All query semantics here are
+    catalog-independent; Hive mode adds metastore-persistent tables.
+    """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -45,6 +56,12 @@ def get_spark(
         # ns-precision parquet timestamps (events.ts) are otherwise illegal
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    if enable_hive:
+        builder = builder.config(
+            "spark.sql.catalogImplementation", "hive"
+        ).enableHiveSupport()
     return builder.getOrCreate()
 
 
