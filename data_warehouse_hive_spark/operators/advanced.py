@@ -77,7 +77,7 @@ def q_subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal average survives the oracle check."""
     o = t(spark, sf_dir, "orders")
     avg_ = o.groupBy("o_custkey").agg(
-        F.sum(F.col("o_totalprice").cast(DEC)).cast("double").alias("cust_sum"),
+        dsum("o_totalprice", "cust_sum"),
         F.count(F.lit(1)).alias("cust_n"),
     ).withColumnRenamed("o_custkey", "k")
     return (

@@ -188,7 +188,7 @@ def q_agg_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_items
     FROM lineitem
     GROUP BY l_suppkey
-    HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 500
+    HAVING CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 > 500
     """,
 )
 def q_having(spark: SparkSession, sf_dir: str) -> DataFrame:

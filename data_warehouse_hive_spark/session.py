@@ -52,7 +52,13 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # local default 16m: sf0.1 files are a few tens of MB, so 128m (the
+        # right value for a real cluster against 100 TB) would scan in 2-3
+        # tasks and idle 29 of 32 cores; env-overridable for deployment
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(16 * 1024 * 1024)),
+        )
         # ns-precision parquet timestamps (events.ts) are otherwise illegal
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )

@@ -76,6 +76,7 @@ def test_hive_catalog_mode_works():
     subprocess (catalog implementation is fixed per JVM)."""
     import subprocess
     import sys
+    import tempfile
 
     code = """
 import tempfile, sys
@@ -97,6 +98,8 @@ print("HIVE_MODE_OK")
         capture_output=True,
         text=True,
         timeout=300,
-        cwd="/tmp",
+        # fresh cwd: the embedded Derby metastore_db lands in cwd and, if
+        # reused, pins the default database to a stale warehouse location
+        cwd=tempfile.mkdtemp(prefix="hive_cwd_"),
     )
     assert "HIVE_MODE_OK" in out.stdout, out.stdout + out.stderr
