@@ -62,9 +62,12 @@ def main() -> None:
     registry = load_all()
 
     # JVM/codegen warmup on the smallest SF so measured times reflect
-    # steady-state execution, not first-query classloading.
-    warm = registry["q_groupby_agg"].fn(spark, "/root/testdata/sf0.001")
-    _force(warm)
+    # steady-state execution, not first-query classloading: every
+    # headline plan shape is compiled once at sf0.001 (whole-stage
+    # codegen caches on generated source, which depends on the plan, not
+    # the data volume), so the timed sf run measures execution.
+    for name in HEADLINE:
+        _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

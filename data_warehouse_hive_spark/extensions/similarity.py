@@ -31,7 +31,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
 from data_warehouse_hive_spark.registry import query
-from data_warehouse_hive_spark.tables import t
+from data_warehouse_hive_spark.tables import spread, t
 
 N_QUERY_VECS = 5  # vec_id < 5 are the query set in the fixtures
 TOP_K = 10
@@ -115,11 +115,22 @@ def ivf_topk(
 
 
 def _fixture_corpus(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    v = t(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double_vec("embedding").alias("e")
+    # corpus side is spread (the interpreted zip_with/aggregate dot
+    # products run in the scan stage otherwise — see tables.spread); the
+    # query side re-scans with the vec_id predicate pushed down, so the
+    # tiny broadcast build never waits on the corpus shuffle
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
     )
-    q = v.filter(F.col("vec_id") < N_QUERY_VECS).select(
-        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    q = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"), as_double_vec("embedding").alias("qe")
+        )
     )
     return v, q
 

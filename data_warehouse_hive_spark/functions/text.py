@@ -17,7 +17,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import davg, o_davg, query
-from data_warehouse_hive_spark.tables import t
+from data_warehouse_hive_spark.tables import spread, t
 
 # Tiny per-language stopword marker lists for the n-gram/stopword language
 # heuristic.  Chosen from the fixture corpus vocabulary; the heuristic is
@@ -67,7 +67,9 @@ _O_WS_TOKENS = r"len(string_split_regex(trim(text), '\s+'))"
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus statistics per language: doc counts, token totals/averages,
     char-length extremes — the profiling pass a data pipeline runs first."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(
+        t(spark, sf_dir, "documents").select("lang", "n_chars", "text"), spark
+    )
     n_tok = F.size(tokens("text")).cast("long")
     return (
         d.withColumn("n_tok", n_tok)
@@ -97,7 +99,7 @@ def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace tokens + BPE-ish subword token count (the
     pretraining-cost estimator)."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     return d.select(
         "doc_id",
         F.size(tokens("text")).cast("long").alias("ws_tokens"),
@@ -129,7 +131,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: chars-per-token, punctuation ratio, stopword ratio,
     minimum-length gate — the standard cheap pre-filters before expensive
     model-based quality scoring."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
+    )
     ws = tokens("text")
     n_tok = F.size(ws).cast("double")
     n_chars = F.length("text").cast("double")
@@ -173,7 +177,9 @@ def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     an argmax-style prediction ('und' = undetermined, ISO 639-3 style).
     The fixture corpus is synthetic English-ish text with random lang
     labels, so the *mechanism* (marker scoring) is what's exercised."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
+    )
     ws = tokens(F.lower(F.col("text")))
 
     def hits(markers: tuple[str, ...]) -> Column:
@@ -206,7 +212,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     after whitespace/case normalization), (2) sorted-unique-word-bag md5
     (order-insensitive near-dup key).  md5 is bit-identical across
     engines, making fingerprints portable join keys."""
-    d = t(spark, sf_dir, "documents")
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     bag = F.array_join(
         F.array_sort(F.array_distinct(tokens(F.lower(F.col("text"))))), " "

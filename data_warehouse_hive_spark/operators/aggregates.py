@@ -89,9 +89,14 @@ def q_groupby_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
            MIN(l_extendedprice) AS price_min,
            MAX(l_extendedprice) AS price_max,
            {o_davg('l_extendedprice', 'price_mean')},
-           SQRT((CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(28,6))) AS DOUBLE)
-                 - CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-                   * CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           SQRT((((CAST(SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                            * CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                            // 2147483648) AS DOUBLE) * 2147483648.0
+                   + CAST(SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                              * CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)
+                              % 2147483648) AS DOUBLE)) / 1e4)
+                 - (CAST(SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
+                   * (CAST(SUM(CAST(floor(l_extendedprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2)
                    / CAST(COUNT(l_extendedprice) AS DOUBLE))
                 / (CAST(COUNT(l_extendedprice) AS DOUBLE) - 1.0)) AS price_std
     FROM lineitem
@@ -106,16 +111,35 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stddev is derived from exact decimal sums (sum, sum-of-squares) so the
     value is bit-identical across engines; Spark's own stddev_samp would
     differ from DuckDB's in the last ulps due to aggregation order.
+
+    The exact distinct count runs as its own aggregation, cross-joined
+    back onto the one-row stats result: mixing count(distinct) into the
+    main agg makes Catalyst key EVERY aggregate buffer by l_quantity in
+    the partial stage (hash table per value × 11 buffers) — splitting it
+    keeps the main agg a flat single-buffer pass, and both scans prune to
+    the two referenced columns.
+
+    The sum of squares avoids a DECIMAL buffer (BigDecimal per row,
+    outside codegen) via a hi/lo split accumulator: y = floor(x·100+0.5)
+    as long, then Σ(y² >> 31) and Σ(y² mod 2³¹) as two long sums,
+    recombined in double at the end.  Every op is integer or a shared
+    IEEE formula, so the value is bit-identical in DuckDB; the long sums
+    overflow only past ~2e14 rows per aggregation.
     """
     li = t(spark, sf_dir, "lineitem")
     price = F.col("l_extendedprice")
-    sum_price = F.sum(price.cast(DEC)).cast("double")
-    sumsq_price = F.sum((price * price).cast("decimal(28,6)")).cast("double")
+    y = F.floor(price * 1e2 + 0.5).cast("long")
+    yy = y * y
+    two31 = F.lit(2147483648)
+    sumsq_price = (
+        F.sum(F.shiftright(yy, 31)).cast("double") * 2147483648.0
+        + F.sum(yy % two31).cast("double")
+    ) / 1e4
+    sum_price = F.sum(y).cast("double") / 1e2
     n_price = F.count(price).cast("double")
-    return li.agg(
+    stats = li.agg(
         F.count(F.lit(1)).alias("n_rows"),
         (F.count(F.lit(1)) - F.count("l_quantity")).alias("qty_nulls"),
-        F.countDistinct("l_quantity").alias("qty_distinct"),
         F.min("l_quantity").alias("qty_min"),
         F.max("l_quantity").alias("qty_max"),
         davg("l_quantity", "qty_mean"),
@@ -125,6 +149,19 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(
             (sumsq_price - sum_price * sum_price / n_price) / (n_price - F.lit(1.0))
         ).alias("price_std"),
+    )
+    nd = li.agg(F.countDistinct("l_quantity").alias("qty_distinct"))
+    return stats.crossJoin(nd).select(
+        "n_rows",
+        "qty_nulls",
+        "qty_distinct",
+        "qty_min",
+        "qty_max",
+        "qty_mean",
+        "price_min",
+        "price_max",
+        "price_mean",
+        "price_std",
     )
 
 

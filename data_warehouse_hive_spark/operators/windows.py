@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_hive_spark.registry import DEC, query
+from data_warehouse_hive_spark.registry import query, to_carrier
 from data_warehouse_hive_spark.tables import t
 
 
@@ -91,13 +91,14 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame_rows",
     oracle=f"""
     SELECT o_orderkey, o_custkey, o_orderdate,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS running_total,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+             / 1e6 AS running_total,
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1e6
              / LEAST(CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey) AS DOUBLE), 3.0)
              AS moving_avg3
@@ -107,22 +108,24 @@ def q_win_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ROWS-frame aggregates: running total + 3-row moving average.
 
-    Frame sums go through the exact-decimal carrier (registry.py) so every
-    prefix sum is bit-identical across engines; the moving average divides
-    two identical doubles.
+    Frame sums go through the exact scaled-long carrier (registry.py) so
+    every prefix sum is bit-identical across engines regardless of how
+    each engine folds the frame (DuckDB's segment tree vs Spark's linear
+    accumulation); long addition also beats a BigDecimal buffer inside
+    the non-codegen WindowExec.
     """
     o = t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     last3 = w.rowsBetween(-2, Window.currentRow)
-    price_dec = F.col("o_totalprice").cast(DEC)
+    price_c = to_carrier(F.col("o_totalprice"))
     return o.select(
         "o_orderkey",
         "o_custkey",
         "o_orderdate",
-        F.sum(price_dec).over(run).cast("double").alias("running_total"),
+        (F.sum(price_c).over(run).cast("double") / 1e6).alias("running_total"),
         (
-            F.sum(price_dec).over(last3).cast("double")
+            F.sum(price_c).over(last3).cast("double") / 1e6
             / F.least(F.row_number().over(w).cast("double"), F.lit(3.0))
         ).alias("moving_avg3"),
     )
@@ -135,10 +138,10 @@ def q_win_frame_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS BIGINT)
              AS n_within_50k,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
                 OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                       RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS DOUBLE)
-             AS sum_within_50k
+             / 1e6 AS sum_within_50k
     FROM orders
     """,
 )
@@ -157,9 +160,9 @@ def q_win_frame_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_totalprice",
         F.count(F.lit(1)).over(w).alias("n_within_50k"),
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias(
-            "sum_within_50k"
-        ),
+        (
+            F.sum(to_carrier(F.col("o_totalprice"))).over(w).cast("double") / 1e6
+        ).alias("sum_within_50k"),
     )
 
 

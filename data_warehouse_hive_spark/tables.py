@@ -62,3 +62,26 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view for spark.sql queries."""
     for name in TABLES:
         t(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def spread(df: DataFrame, spark: SparkSession) -> DataFrame:
+    """Repartition a narrow scan across the cluster IF its source
+    parallelism is below the core count — else pass through untouched.
+
+    Parquet splits cannot cut inside a row group, so a table written as
+    one row group scans on ONE core no matter how many are free; any
+    per-row compute layered on that scan (md5, regex, shingling)
+    serializes with it.  When that's detected (source file count well
+    below the core count — file count, not partition count, because
+    `df.rdd.getNumPartitions()` costs ~0.1-0.8 s of driver-side plan
+    conversion while `inputFiles()` is a cached listing), a round-robin
+    repartition of the *pruned* columns costs one small shuffle and
+    unlocks full-width execution.  On a real many-file layout (any
+    at-scale writer produces ≥ one file per task) the condition is false
+    and no shuffle is ever added.  Call AFTER selecting the needed
+    columns so only those bytes shuffle.
+    """
+    want = spark.sparkContext.defaultParallelism
+    if len(df.inputFiles()) * 4 <= want:
+        return df.repartition(want)
+    return df
