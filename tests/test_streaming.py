@@ -64,3 +64,71 @@ def test_session_windows_stream(spark, sf_dir):
         assert total_events == t(spark, sf_dir, "events").count()
     finally:
         q.stop()
+
+
+def test_stateful_timeout_sessions(spark, tmp_path):
+    """applyInPandasWithState: per-user state machine with event-time
+    timeout.  Two micro-batches (maxFilesPerTrigger=1): batch B's
+    watermark advance must flush user 1 (quiet past the 30-min gap) with
+    exact totals, while user 2's still-open state is never emitted."""
+    import os
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from data_warehouse_hive_spark.streaming.stateful import (
+        GAP_MS,
+        user_activity_sessions,
+    )
+    from data_warehouse_hive_spark.streaming.stream import run_available_now
+
+    src = str(tmp_path / "events_src")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")  # tz-aware → TIMESTAMP (not NTZ)
+    # batch A: user 1 twice within 10 min
+    pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [t0, t0 + pd.Timedelta(minutes=10)],
+            "value": [2.5, 4.0],
+        }
+    ).to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    _time.sleep(1.1)  # file source orders micro-batches by mtime
+    # batch B: user 2, three hours later → watermark (2h delay) lands at
+    # t0+1h, past user 1's timeout (t0+10min + 30min gap)
+    pd.DataFrame(
+        {
+            "user_id": [2],
+            "ts": [t0 + pd.Timedelta(hours=3)],
+            "value": [1.0],
+        }
+    ).to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    sink = f"stateful_{uuid.uuid4().hex[:8]}"
+    q = (
+        user_activity_sessions(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        out = spark.table(sink).toPandas()
+        assert len(out) == 1, out
+        row = out.iloc[0]
+        assert row["user_id"] == 1
+        assert row["n_events"] == 2
+        assert row["sum_value"] == 6.5
+        expected_last = int((t0 + pd.Timedelta(minutes=10)).value // 1_000_000)
+        assert row["last_seen_ms"] == expected_last
+    finally:
+        q.stop()
