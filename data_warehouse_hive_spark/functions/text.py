@@ -8,7 +8,7 @@ with zero shuffle until the final (tiny) aggregation.
 
 Determinism: fingerprints use md5 (identical across engines); ratios are
 per-row IEEE double ops on identical operands; corpus-level aggregates use
-the exact-decimal idiom from registry.py.
+the exact scaled-long carrier idiom from registry.py.
 """
 
 from __future__ import annotations

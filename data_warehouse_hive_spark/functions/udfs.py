@@ -72,9 +72,9 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped UDAF via applyInPandas: quantity-weighted average price per
-    return flag.  The pandas code mirrors the exact-decimal discipline by
+    return flag.  The pandas code mirrors the exact-carrier discipline by
     summing with Python Decimal (exact, order-independent) before the final
-    double division, so it hash-matches the decimal-anchored oracle."""
+    double division, so it hash-matches the exact-carrier oracle."""
     import decimal
 
     li = t(spark, sf_dir, "lineitem").select(

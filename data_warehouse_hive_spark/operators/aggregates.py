@@ -10,9 +10,9 @@ cluster needs: per-partition partial state, one shuffle on the group keys,
 final merge.  Group-key cardinality is low for all queries below, so the
 shuffled data volume is O(groups × partitions), independent of row count.
 
-Floating-point aggregates use the registry's exact-decimal idiom (see
-registry.py docstring) so results are bit-identical across engines
-regardless of aggregation order.
+Floating-point aggregates use the registry's exact scaled-long carrier
+idiom (see registry.py docstring) so results are bit-identical across
+engines regardless of aggregation order.
 """
 
 from __future__ import annotations
@@ -108,9 +108,9 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     (reference backend/csv_processor.py:147-170, served by
     backend/app.py:149-180).
 
-    stddev is derived from exact decimal sums (sum, sum-of-squares) so the
-    value is bit-identical across engines; Spark's own stddev_samp would
-    differ from DuckDB's in the last ulps due to aggregation order.
+    stddev is derived from exact integer-carrier sums (sum, sum-of-squares)
+    so the value is bit-identical across engines; Spark's own stddev_samp
+    would differ from DuckDB's in the last ulps due to aggregation order.
 
     The exact distinct count runs as its own aggregation, cross-joined
     back onto the one-row stats result: mixing count(distinct) into the
@@ -176,7 +176,7 @@ def q_stats_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """COUNT(DISTINCT) / SUM(DISTINCT).  The distinct-sum goes through the
-    exact-decimal carrier so its value is order-independent."""
+    exact carrier idiom so its value is order-independent."""
     li = t(spark, sf_dir, "lineitem")
     return li.agg(
         F.countDistinct("l_partkey").alias("nd_parts"),
