@@ -67,10 +67,10 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(month(o_orderdate) AS INT) AS mo,
            CAST(day(o_orderdate) AS INT) AS dom,
            CAST(quarter(o_orderdate) AS INT) AS qtr,
-           CAST(o_orderdate AS DATE) + 30 AS plus_30d,
-           CAST(o_orderdate AS DATE) - 7 AS minus_7d,
+           strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+           strftime(CAST(o_orderdate AS DATE) - 7, '%Y-%m-%d') AS minus_7d,
            date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS days_to_y2k,
-           date_trunc('month', CAST(o_orderdate AS DATE)) AS month_start,
+           strftime(date_trunc('month', CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_start,
            strftime(o_orderdate, '%Y-%m-%d') AS iso_day,
            CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
     FROM orders
@@ -79,7 +79,10 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Date/time family: extract fields, date_add/sub, datediff, trunc,
     date_format, unix_timestamp.  Session timezone is pinned to UTC so
-    epoch conversions agree with DuckDB's naive timestamps."""
+    epoch conversions agree with DuckDB's naive timestamps.  DATE-typed
+    outputs are projected to ISO strings on BOTH sides: the two engines'
+    pandas bridges represent DATE differently (datetime.date vs
+    datetime64), which a value-hash comparator may not normalize."""
     o = t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
     return o.select(
@@ -88,12 +91,12 @@ def q_fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.month(d).alias("mo"),
         F.dayofmonth(d).alias("dom"),
         F.quarter(d).alias("qtr"),
-        F.date_add(d.cast("date"), 30).alias("plus_30d"),
-        F.date_sub(d.cast("date"), 7).alias("minus_7d"),
+        F.date_format(F.date_add(d.cast("date"), 30), "yyyy-MM-dd").alias("plus_30d"),
+        F.date_format(F.date_sub(d.cast("date"), 7), "yyyy-MM-dd").alias("minus_7d"),
         F.datediff(F.lit("2000-01-01").cast("date"), d.cast("date")).cast("long").alias(
             "days_to_y2k"
         ),
-        F.trunc(d.cast("date"), "month").alias("month_start"),
+        F.date_format(F.trunc(d.cast("date"), "month"), "yyyy-MM-dd").alias("month_start"),
         F.date_format(d, "yyyy-MM-dd").alias("iso_day"),
         F.unix_timestamp(d).alias("epoch_s"),
     )
@@ -144,8 +147,8 @@ def q_fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(CAST(l_quantity AS DECIMAL(10,2)) AS DOUBLE) AS qty_dec,
            CAST(l_orderkey AS VARCHAR) AS key_str,
            CAST(CAST(l_orderkey AS VARCHAR) AS BIGINT) AS key_roundtrip,
-           CAST(l_shipdate AS DATE) AS ship_day,
-           CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE) AS ship_day_via_str
+           strftime(CAST(l_shipdate AS DATE), '%Y-%m-%d') AS ship_day,
+           strftime(CAST(strftime(l_shipdate, '%Y-%m-%d') AS DATE), '%Y-%m-%d') AS ship_day_via_str
     FROM lineitem
     """,
 )
@@ -160,8 +163,10 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_quantity").cast("decimal(10,2)").cast("double").alias("qty_dec"),
         F.col("l_orderkey").cast("string").alias("key_str"),
         F.col("l_orderkey").cast("string").cast("long").alias("key_roundtrip"),
-        F.col("l_shipdate").cast("date").alias("ship_day"),
-        F.to_date(F.date_format("l_shipdate", "yyyy-MM-dd")).alias("ship_day_via_str"),
+        F.date_format(F.col("l_shipdate").cast("date"), "yyyy-MM-dd").alias("ship_day"),
+        F.date_format(
+            F.to_date(F.date_format("l_shipdate", "yyyy-MM-dd")), "yyyy-MM-dd"
+        ).alias("ship_day_via_str"),
     )
 
 
