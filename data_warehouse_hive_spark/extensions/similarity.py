@@ -1,8 +1,8 @@
 """Similarity search over `embeddings` — SURVEY.md §2.12 north-star.
 
-Two tiers, mirroring production vector-search architecture, exposed as
-reusable DataFrame→DataFrame functions (`brute_force_topk`, `ivf_topk`)
-plus registry-checked queries over the fixture table:
+Three tiers, mirroring production vector-search architecture, exposed as
+reusable DataFrame→DataFrame functions (`brute_force_topk`, `ivf_topk`,
+`lsh_topk`) plus registry-checked queries over the fixture table:
 
   brute force  — exact top-k cosine for a bounded query set: broadcast
                  the Q query vectors against the corpus (corpus never
@@ -17,6 +17,10 @@ plus registry-checked queries over the fixture table:
                  planted-cluster test fixture recall ≈ 1.0; with the
                  driver fixture's *random* labels it degrades to
                  ~|cell|/N by construction (documented, tested).
+  LSH buckets  — random-hyperplane signature buckets (tier 3, below):
+                 bucket id is the shuffle key; a query probes ~N/2^bits
+                 of the corpus.  Signature bits are carrier-quantized so
+                 bucketing itself is oracle-checkable.
 
 Dot products use `F.zip_with` + left-fold `F.aggregate` (JVM-side, no
 Python); cosines are rounded to 6 dp before ranking/thresholding so both
@@ -230,3 +234,119 @@ def q_sim_search_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     uses k-means cells).  The oracle checks the *algebra* end-to-end."""
     v, q = _fixture_corpus(spark, sf_dir)
     return ivf_topk(v, q, TOP_K, n_probe=1)
+
+
+# ---------------------------------------------------------------------------
+# Tier 3: LSH-bucketed ANN (random-hyperplane signatures)
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+LSH_BITS = 4  # 2^4 buckets; production: more bits + banded multi-probe
+EMB_DIM = 64
+
+
+def _hyperplane(j: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1), derived
+    driver-side from md5 so BOTH engines receive the identical literal
+    array — no engine hash function is involved at all."""
+    return [
+        int(hashlib.md5(f"lsh_{j}_{i}".encode()).hexdigest()[:8], 16) / 2**31 - 1.0
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket_col(e: Column) -> Column:
+    """4-bit random-hyperplane signature of a vector column.
+
+    Each bit is sign(Σ_i e_i·w_ji) — but the raw double fold's sign could
+    flip between engines on near-orthogonal vectors (fold order differs in
+    the last ulp), so each TERM is quantized through the scaled-long
+    carrier first: floor(e_i·w_ji·1e6+0.5) summed as integers.  The sign
+    test is then on an exact integer — identical buckets by construction.
+    (64 terms × |term| ≤ 1e6 ≈ 6.4e7 ≪ 2^63: no overflow at any dim that
+    fits a bucket key.)
+    """
+    bits = []
+    for j in range(LSH_BITS):
+        w = F.array(*[F.lit(x) for x in _hyperplane(j)])
+        term_sum = F.aggregate(
+            F.zip_with(e, w, lambda a, b: F.floor(a * b * 1e6 + 0.5).cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(term_sum >= 0, F.lit(2**j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _o_lsh_bucket(e_expr: str) -> str:
+    """DuckDB twin of lsh_bucket_col — identical weight literals,
+    identical carrier algebra."""
+    parts = []
+    for j in range(LSH_BITS):
+        w = "[" + ", ".join(repr(x) for x in _hyperplane(j)) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+            f" i -> CAST(floor(({e_expr})[i] * ({w})[i] * 1e6 + 0.5) AS BIGINT)"
+            f")) >= 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+def lsh_topk(v: DataFrame, q: DataFrame, k: int = TOP_K) -> DataFrame:
+    """LSH-bucketed ANN: candidates = corpus vectors sharing the query's
+    signature bucket; exact top-k cosine within the bucket.  At 100 TB
+    the bucket id is the partition key — each query touches ~N/2^bits of
+    the corpus, and the bucket equi-join shuffles on a uniform key."""
+    vb = v.withColumn("bucket", lsh_bucket_col(F.col("e")))
+    qb = q.withColumn("qbucket", lsh_bucket_col(F.col("qe")))
+    scored = vb.join(
+        broadcast(qb),
+        (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id", "vec_id", "label", cosine(F.col("qe"), F.col("e")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )
+
+
+@query(
+    "q_sim_search_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket
+          FROM vb WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, vb.vec_id, vb.label,
+             round(list_dot_product(q.qe, vb.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+      FROM q JOIN vb ON vb.bucket = q.bucket AND vb.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, label, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (tier 3, next to brute force and IVF): 4-bit
+    random-hyperplane signature → bucket equi-join → exact top-k cosine
+    inside the bucket.  Hyperplanes are md5-derived driver-side literals
+    and every sign test runs on carrier-quantized integer sums, so the
+    whole pipeline — bucketing included — is value-checked against the
+    DuckDB oracle.  Recall-vs-cost on planted clusters is covered in
+    tests/test_extensions.py for IVF; LSH recall rises with bits/probes
+    (production: banded multi-probe, same shape as q_dedup_minhash)."""
+    v, q = _fixture_corpus(spark, sf_dir)
+    return lsh_topk(v, q, TOP_K)
