@@ -173,10 +173,10 @@ def _mh_exprs_oracle() -> str:
     )
 
 
-@query(
-    "q_dedup_minhash",
-    oracle=f"""
-    WITH sh_t AS (
+def _o_minhash_pairs_cte() -> str:
+    """The shared shingle-signature-bands-pairs chain of CTEs (reused by
+    the candidate-pair query and connected-components grouping)."""
+    return f"""sh_t AS (
       SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
     ),
     hashed AS (
@@ -206,22 +206,11 @@ def _mh_exprs_oracle() -> str:
       FROM bands a JOIN bands b
         ON a.band_id = b.band_id AND a.band_key = b.band_key
        AND a.doc_id < b.doc_id
-    )
-    SELECT doc_a, doc_b FROM pairs
-    """,
-)
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup candidate pairs: shingle → md5-seeded universal
-    hashes (K=12) → 4 bands × 3 rows → band-bucket equi-join → distinct
-    candidate pairs.
+    )"""
 
-    The join is on (band_id, band_key) — uniformly distributed keys, so
-    the shuffle is balanced; no O(n²) comparison ever happens.  md5 runs
-    once per shingle; the K permutations are integer (A·h+B) mod P ops.
-    The DuckDB oracle reimplements the identical algebra, making the LSH
-    pipeline fully value-checked.
-    """
-    docs = t(spark, sf_dir, "documents")
+
+def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
+    """documents → distinct (doc_a < doc_b) LSH candidate pairs."""
     sig = signature(docs)
     band_cols = [
         F.concat_ws(
@@ -260,6 +249,102 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+
+
+@query(
+    "q_dedup_minhash",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()}
+    SELECT doc_a, doc_b FROM pairs
+    """,
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs: shingle → md5-seeded universal
+    hashes (K=12) → 4 bands × 3 rows → band-bucket equi-join → distinct
+    candidate pairs.
+
+    The join is on (band_id, band_key) — uniformly distributed keys, so
+    the shuffle is balanced; no O(n²) comparison ever happens.  md5 runs
+    once per shingle; the K permutations are integer (A·h+B) mod P ops.
+    The DuckDB oracle reimplements the identical algebra, making the LSH
+    pipeline fully value-checked.
+    """
+    return minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_dedup_groups",
+    oracle=f"""
+    WITH RECURSIVE {_o_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+    )
+    SELECT CAST(doc AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+    FROM reach GROUP BY doc
+    """,
+)
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the LSH
+    candidate graph via iterative min-label propagation (each doc adopts
+    the smallest doc_id reachable; fixpoint = component id).
+
+    This is the genuinely iterative operator in the dedup pipeline — a
+    driver loop over DataFrame joins, the standard Spark shape for
+    Pregel-style algorithms (GraphX/GraphFrames do the same under the
+    hood).  Per iteration: one join edges⋈labels + grouped min + one
+    bounded-driver count for convergence; `localCheckpoint` truncates
+    the growing lineage so plan size stays O(1) across iterations.
+    Iteration count is the component diameter — near-dup clusters are
+    tiny, so 2-4 rounds in practice; O(log n) with path-doubling if ever
+    needed.  The DuckDB oracle computes the same fixpoint with a
+    recursive CTE, so even the iterative operator is value-checked.
+    """
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .localCheckpoint()
+    )
+    labels = (
+        edges.select(F.col("src").alias("doc"))
+        .distinct()
+        .select("doc", F.col("doc").alias("group_id"))
+        .localCheckpoint()
+    )
+    while True:
+        neigh = (
+            edges.join(labels, edges.dst == labels.doc)
+            .groupBy("src")
+            .agg(F.min("group_id").alias("ng"))
+        )
+        new_labels = (
+            labels.join(neigh, labels.doc == neigh.src, "left")
+            .select(
+                labels.doc,
+                F.least(
+                    F.col("group_id"), F.coalesce(F.col("ng"), F.col("group_id"))
+                ).alias("group_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc")
+            .filter(F.col("n.group_id") != F.col("o.group_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("doc").alias("doc_id"), "group_id")
 
 
 @query(
