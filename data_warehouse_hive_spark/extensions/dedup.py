@@ -1,16 +1,20 @@
 """Deduplication operators over `documents` — SURVEY.md §2.12 north-star.
 
-Five dedup families, each the Spark-idiomatic scalable shape:
+Seven dedup operators, each the Spark-idiomatic scalable shape:
 
   exact          — hash-groupBy on a normalized fingerprint (one shuffle
                    on the fingerprint; survivor = min doc_id).
   MinHash + LSH  — shingle → K independent minhashes → B bands → bucket
-                   join.  Candidate generation is an equi-join on
-                   (band_id, band_hash): at 100 TB this is the standard
-                   near-dup pipeline (no pairwise cross join ever
-                   materializes; cost is O(docs × K) + bucket-join).
+                   grouping.  Candidate generation shuffles once on the
+                   uniform (band_id, band_key): at 100 TB this is the
+                   standard near-dup pipeline (no pairwise cross join
+                   ever materializes; cost is O(docs × K) + bucket pass).
   SimHash        — 16-bit sign-sum sketch; near-dups share the sketch.
-  n-gram Jaccard — exact Jaccard verification on LSH candidates only.
+  n-gram Jaccard — exact Jaccard verification on a bounded block.
+  LSH → verify   — the composed production pipeline: exact Jaccard on
+                   LSH candidates only, thresholded (q_dedup_verify).
+  components     — duplicate-cluster ids via iterative min-label
+                   propagation over the candidate graph (q_dedup_groups).
   embedding cosine — near-dup by cosine over the embeddings table,
                    blocked by label (the IVF-style pre-partition).
 
@@ -506,4 +510,51 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
         .select("vec_a", "vec_b", "label", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.99)
+    )
+
+
+@query(
+    "q_dedup_verify",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    shv AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    ),
+    verified AS (
+      SELECT p.doc_a, p.doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard
+      FROM pairs p
+      JOIN shv a ON a.doc_id = p.doc_a
+      JOIN shv b ON b.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard
+    FROM verified
+    WHERE jaccard >= 0.8
+    """,
+)
+def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full near-dup pipeline end-to-end: LSH candidate generation →
+    exact n-gram Jaccard verification on candidates only → confirmed
+    duplicates at ≥ 0.8 similarity.
+
+    This is the production dedup shape at 100 TB: the quadratic exact
+    check runs on O(candidates) — a vanishing fraction of all pairs —
+    and the shingle arrays are joined back per side (shuffle on doc_id)
+    rather than carried through the LSH stage, keeping the wide arrays
+    out of the band shuffle.  Jaccard is rounded to 6 dp before the
+    threshold so the engines' division cannot flip a boundary case.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    sh = docs.select("doc_id", shingles(normalized_text("text"), 3).alias("sh"))
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter / uni, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.8)
     )

@@ -350,3 +350,53 @@ def q_sim_search_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (production: banded multi-probe, same shape as q_dedup_minhash)."""
     v, q = _fixture_corpus(spark, sf_dir)
     return lsh_topk(v, q, TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# Arrow-vectorized brute force (the Python-side scale path)
+# ---------------------------------------------------------------------------
+
+
+def brute_force_topk_arrow(v: DataFrame, q: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Same semantics as `brute_force_topk`, computed as numpy matrix
+    products inside `mapInPandas` (Arrow batches in, BLAS dot out).
+
+    The JVM fold (`zip_with` + `aggregate`) is interpreted per element;
+    when the per-row arithmetic dominates (high dim × many queries), a
+    batched `corpus_block @ query_matrix.T` is the faster shape and the
+    canonical pattern for embedding workloads Spark builtins can't
+    vectorize.  The bounded query set (Q rows) rides into the closure —
+    the corpus still never shuffles; per-partition top-k then one final
+    window, exactly like the JVM version."""
+    import numpy as np
+    import pandas as pd
+
+    qrows = q.collect()  # bounded: the query set is Q rows by contract
+    q_ids = np.array([r.query_id for r in qrows], dtype=np.int64)
+    q_mat = np.array([r.qe for r in qrows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            emb = np.stack(pdf["e"].to_numpy())
+            emb_n = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            cos = emb_n @ q_norm.T  # (batch, Q)
+            n, nq = cos.shape
+            yield pd.DataFrame(
+                {
+                    "query_id": np.tile(q_ids, n),
+                    "vec_id": np.repeat(pdf["vec_id"].to_numpy(), nq),
+                    "label": np.repeat(pdf["label"].to_numpy(), nq),
+                    "cosine": np.round(cos.reshape(-1), 6),
+                }
+            )
+
+    scored = v.mapInPandas(
+        score, schema="query_id long, vec_id long, label int, cosine double"
+    ).filter(F.col("vec_id") != F.col("query_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= k
+    )

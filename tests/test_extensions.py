@@ -165,3 +165,24 @@ def test_exact_dedup_survivor_is_min_doc_id(spark, sf_dir):
     n_docs = t(spark, sf_dir, "documents").count()
     assert out.agg(F.sum("n_copies")).collect()[0][0] == n_docs
     assert dupes.filter(F.col("keep_doc_id").isNull()).count() == 0
+
+
+def test_arrow_brute_force_matches_jvm(spark, sf_dir):
+    """The numpy/mapInPandas brute-force path returns the same top-k sets
+    and (6-dp) cosines as the JVM zip_with/aggregate fold."""
+    from data_warehouse_hive_spark.extensions.similarity import (
+        TOP_K,
+        _fixture_corpus,
+        brute_force_topk,
+        brute_force_topk_arrow,
+    )
+
+    v, q = _fixture_corpus(spark, sf_dir)
+    jvm = brute_force_topk(v, q, TOP_K).toPandas()
+    arrow = brute_force_topk_arrow(v, q, TOP_K).toPandas()
+    key = ["query_id", "rk"]
+    jvm = jvm.sort_values(key).reset_index(drop=True)
+    arrow = arrow.sort_values(key).reset_index(drop=True)
+    assert len(jvm) == len(arrow) > 0
+    assert (jvm["vec_id"].values == arrow["vec_id"].values).all()
+    assert (abs(jvm["cosine"].values - arrow["cosine"].values) <= 1e-6).all()
