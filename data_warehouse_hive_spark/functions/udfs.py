@@ -120,3 +120,40 @@ def q_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return p.select(
         "p_partkey", F.explode(F.split("p_type", " ")).alias("type_word")
     )
+
+
+@query(
+    "q_udtf_python",
+    oracle="""
+    SELECT p_partkey,
+           unnest(string_split(p_type, ' ')) AS type_word,
+           CAST(len(string_split(p_type, ' ')) AS INT) AS n_words
+    FROM part
+    WHERE p_size >= 45
+    """,
+)
+def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL Python UDTF (Spark 3.5+/4 `@udtf` class: eval yields N rows
+    per input row), registered and invoked through SQL LATERAL — the
+    full custom-table-function surface, vs q_udtf's codegen-friendly
+    generator-expression form.  Row-at-a-time Python: demo of the
+    mechanism, not a hot-path shape (that's q_udtf / mapInPandas).
+    The oracle verifies the UDTF machinery end-to-end."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="type_word string, n_words int")
+    class SplitTypeWords:
+        def eval(self, p_type: str):
+            words = p_type.split(" ")
+            for w in words:
+                yield (w, len(words))
+
+    spark.udtf.register("split_type_words", SplitTypeWords)
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_udtf_src")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, s.type_word, s.n_words
+        FROM part_udtf_src p, LATERAL split_type_words(p.p_type) s
+        WHERE p.p_size >= 45
+        """
+    )
