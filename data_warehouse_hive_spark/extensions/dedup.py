@@ -45,7 +45,13 @@ def normalized_text(col: str | Column = "text") -> Column:
 
 
 def shingles(col: Column, n: int = 3) -> Column:
-    """Word n-gram shingles as an array of strings (distinct)."""
+    """Word n-gram shingles as an array of strings (distinct).
+
+    NOTE: inline form — the words expression re-evaluates per lambda
+    element (higher-order fns are interpreted).  Fine for bounded blocks;
+    for corpus-wide shingling use `shingle_arrays`, which materializes
+    the words column first and builds each shingle from element lookups
+    instead of slice() copies (~8× faster)."""
     words = F.split(col, " ")
     k = F.size(words) - (n - 1)
     return F.array_distinct(
@@ -54,6 +60,24 @@ def shingles(col: Column, n: int = 3) -> Column:
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
         )
     )
+
+
+def shingle_arrays(docs: DataFrame, n: int = 3, distinct: bool = True) -> DataFrame:
+    """documents → (doc_id, sh) with the fast shingle construction
+    (materialized words column + try_element_at — see signature())."""
+    wdf = spread(
+        docs.select("doc_id", F.split(normalized_text("text"), " ").alias("w")),
+        docs.sparkSession,
+    )
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.try_element_at(F.col("w"), i + j) for j in range(1, n + 1)]
+    )
+    sh = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))), shingle
+    )
+    if distinct:
+        sh = F.array_distinct(sh)
+    return wdf.select("doc_id", sh.alias("sh"))
 
 
 # Universal-hash family over a single md5-derived 32-bit base hash:
@@ -99,6 +123,13 @@ def signature(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
     oracle computes.  try_element_at → null past the end, and concat_ws
     skips nulls, which reproduces slice()'s shorter-tail-shingle
     semantics for docs with < n words."""
+    # NOTE: the explode stays INLINE over the transform expression — if the
+    # shingle array is materialized as a named column first (shingle_arrays)
+    # and then exploded, InferFiltersFromGenerate infers `size(sh) > 0` and
+    # pushes that filter below the repartition, where it re-evaluates the
+    # entire shingle transform against the inline split per row on the
+    # single-core scan (~17× slower).  Inline generator input infers no
+    # filter.
     wdf = spread(
         docs.select("doc_id", F.split(normalized_text("text"), " ").alias("w")),
         docs.sparkSession,
@@ -110,9 +141,7 @@ def signature(docs: DataFrame, n: int = 3, k: int = MINHASH_K) -> DataFrame:
         "doc_id",
         F.explode(
             F.transform(
-                F.sequence(
-                    F.lit(0), F.greatest(F.size("w") - n, F.lit(0))
-                ),
+                F.sequence(F.lit(0), F.greatest(F.size("w") - n, F.lit(0))),
                 shingle,
             )
         ).alias("s"),
@@ -440,7 +469,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     set from q_dedup_minhash — exact verification is only ever run on
     candidates, never all pairs)."""
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 40)
-    sh = d.select("doc_id", shingles(normalized_text("text"), 3).alias("sh"))
+    sh = shingle_arrays(d, 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
@@ -478,12 +507,6 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     block key is a coarse quantizer cell, here the given label).  Cosine is
     rounded to 6 dp before the threshold so the float-fold order inside
     the two engines cannot flip a comparison."""
-    emb = t(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform("embedding", lambda x: x.cast("double")).alias("e"),
-    )
-
     def dot(x: Column, y: Column) -> Column:
         return F.aggregate(
             F.zip_with(x, y, lambda a, b: a * b),
@@ -491,20 +514,32 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         )
 
+    # self-norms computed ONCE per vector, not per pair: the interpreted
+    # dot runs O(blocks·|block|²) times in the pairwise stage, so hoisting
+    # the two per-pair self-dots cuts 2/3 of the lambda work
+    emb = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            F.transform("embedding", lambda x: x.cast("double")).alias("e"),
+        ),
+        spark,
+    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+
     a = emb.select(
         F.col("vec_id").alias("vec_a"),
         "label",
         F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = emb.select(
         F.col("vec_id").alias("vec_b"),
         F.col("label").alias("label_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     cosine = F.round(
-        dot(F.col("ea"), F.col("eb"))
-        / (F.sqrt(dot(F.col("ea"), F.col("ea"))) * F.sqrt(dot(F.col("eb"), F.col("eb")))),
-        6,
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
     )
     return (
         a.join(b, (F.col("label") == F.col("label_b")) & (F.col("vec_a") < F.col("vec_b")))
@@ -547,7 +582,7 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs)
-    sh = docs.select("doc_id", shingles(normalized_text("text"), 3).alias("sh"))
+    sh = shingle_arrays(docs, 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
