@@ -61,47 +61,47 @@ def q_udf_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_udaf_grouped",
     oracle="""
-    SELECT l_returnflag,
-           CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(18,6))) AS DOUBLE)
-             / CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+    SELECT l_suppkey,
+           (CAST(SUM(CAST(floor(l_extendedprice * l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
+             / (CAST(SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6)
              AS weighted_avg_price,
            COUNT(*) AS n
     FROM lineitem
-    GROUP BY l_returnflag
+    GROUP BY l_suppkey
     """,
 )
 def q_udaf_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped UDAF via applyInPandas: quantity-weighted average price per
-    return flag.  The pandas code mirrors the exact-carrier discipline by
-    summing with Python Decimal (exact, order-independent) before the final
-    double division, so it hash-matches the exact-carrier oracle."""
-    import decimal
+    supplier.  The group key is HIGH-cardinality on purpose — grouping a
+    fact table by a 3-value key would funnel the whole table through 3
+    tasks at scale; per-suppkey groups shuffle once and fan out across
+    every core.  The numpy code inside the UDF mirrors the exact
+    scaled-long carrier (floor(x·1e6+0.5) summed as int64 — identical
+    IEEE ops to the JVM/DuckDB formula), so the Python path hash-matches
+    the oracle exactly with vectorized arithmetic, no per-row Decimal."""
+    import numpy as np
 
     li = t(spark, sf_dir, "lineitem").select(
-        "l_returnflag", "l_extendedprice", "l_quantity"
+        "l_suppkey", "l_extendedprice", "l_quantity"
     )
 
     def weighted(pdf: pd.DataFrame) -> pd.DataFrame:
-        q6 = decimal.Decimal("0.000001")
-
-        def dec6(x: float) -> decimal.Decimal:
-            return decimal.Decimal(x).quantize(q6, rounding=decimal.ROUND_HALF_UP)
-
-        num = sum(
-            (dec6(p * q) for p, q in zip(pdf["l_extendedprice"], pdf["l_quantity"])),
-            decimal.Decimal(0),
-        )
-        den = sum((dec6(q) for q in pdf["l_quantity"]), decimal.Decimal(0))
+        p = pdf["l_extendedprice"].to_numpy()
+        q = pdf["l_quantity"].to_numpy()
+        # products ≤ ~5e6 → ·1e6 ≤ 5e12 < 2^53: the floor result is exact
+        # in float64 and converts to int64 losslessly
+        num = int(np.floor(p * q * 1e6 + 0.5).astype(np.int64).sum())
+        den = int(np.floor(q * 1e6 + 0.5).astype(np.int64).sum())
         return pd.DataFrame(
             {
-                "l_returnflag": [pdf["l_returnflag"].iloc[0]],
-                "weighted_avg_price": [float(num) / float(den)],
+                "l_suppkey": [int(pdf["l_suppkey"].iloc[0])],
+                "weighted_avg_price": [(float(num) / 1e6) / (float(den) / 1e6)],
                 "n": [len(pdf)],
             }
         )
 
-    return li.groupBy("l_returnflag").applyInPandas(
-        weighted, schema="l_returnflag string, weighted_avg_price double, n long"
+    return li.groupBy("l_suppkey").applyInPandas(
+        weighted, schema="l_suppkey long, weighted_avg_price double, n long"
     )
 
 
