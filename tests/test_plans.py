@@ -79,3 +79,46 @@ def test_semi_anti_join_strategies(spark, sf_dir):
     for name in ("q_join_semi", "q_join_anti"):
         plan = _plan(spark, sf_dir, name)
         assert join_strategies(plan), plan  # a real join op, not a filter scan
+
+
+def test_lsh_sim_search_broadcasts_query_side(spark, sf_dir):
+    """The LSH bucket join must broadcast the (tiny) query side — the
+    corpus never shuffles for the join itself."""
+    plan = _plan(spark, sf_dir, "q_sim_search_lsh")
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+
+
+def test_dedup_verify_no_cartesian(spark, sf_dir):
+    """LSH→verify must never plan a cartesian/nested-loop product — the
+    exact Jaccard runs only on equi-joined candidates."""
+    plan = _plan(spark, sf_dir, "q_dedup_verify")
+    strategies = join_strategies(plan)
+    assert strategies, plan
+    assert all(
+        "Cartesian" not in s and "NestedLoop" not in s for s in strategies
+    ), strategies
+
+
+def test_udaf_shuffles_on_group_key_once(spark, sf_dir):
+    """applyInPandas groups by the high-cardinality suppkey: exactly one
+    exchange, keyed on the group column."""
+    plan = _plan(spark, sf_dir, "q_udaf_grouped")
+    assert count_exchanges(plan) == 1, plan
+    assert "l_suppkey" in plan, plan
+
+
+def test_stats_profile_partial_aggs_are_flat(spark, sf_dir):
+    """The distinct count must NOT ride along in the main aggregation:
+    no Expand node, and the first (partial) HashAggregate carries no
+    group keys from l_quantity."""
+    plan = _plan(spark, sf_dir, "q_stats_profile")
+    assert "Expand" not in plan, plan
+
+
+def test_minhash_single_band_shuffle(spark, sf_dir):
+    """Candidate generation is ONE shuffle on the band bucket plus the
+    signature's doc_id aggregation and the final distinct — no self-join
+    doubling (which would add exchanges for each side)."""
+    plan = _plan(spark, sf_dir, "q_dedup_minhash")
+    # spread() + groupBy(doc_id) + groupBy(band) + distinct = 4 exchanges
+    assert count_exchanges(plan) <= 4, plan
