@@ -220,3 +220,28 @@ def q_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SELECT DISTINCT — partial hash-aggregate map-side, then one exchange
     on the distinct keys (the minimal shuffle for the semantic)."""
     return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+@query(
+    "q_sample_bucket",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % 16 = 0
+    """,
+)
+def q_sample_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TABLESAMPLE(BUCKET 1 OUT OF 16 ON key) semantics: a
+    deterministic 1/16 sample by hashing the bucketing column — the
+    repeatable-sampling idiom (same rows every run, every engine),
+    unlike rand()-based TABLESAMPLE PERCENT.  At scale this composes
+    with bucketed storage: sampling a bucketed table by its bucket
+    column prunes whole files instead of scanning.  md5 stands in for
+    Hive's bucket hash so the oracle checks the exact row set."""
+    o = t(spark, sf_dir, "orders")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 16
+    )
+    return o.filter(bucket == 0).select("o_orderkey", "o_custkey", "o_totalprice")
