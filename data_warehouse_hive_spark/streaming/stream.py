@@ -103,3 +103,35 @@ def run_available_now(stream_df: DataFrame, sink_table: str) -> StreamingQuery:
     )
     q.awaitTermination(120)
     return q
+
+
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked stream-stream inner join: pair each left event with the
+    same user's right events that follow within `within` (click→purchase
+    attribution shape).
+
+    Both sides carry a watermark and the join condition bounds event time
+    on both ends — that pair of constraints is what lets the engine
+    expire buffered rows from the join state instead of holding every
+    event forever.  At scale the state store is partitioned by the equi
+    key (user_id); per-key state is bounded by rate × window.
+    """
+    l = left.withWatermark("ts", watermark).alias("l")
+    r = right.withWatermark("ts", watermark).alias("r")
+    return l.join(
+        r,
+        (F.col("l.user_id") == F.col("r.user_id"))
+        & (F.col("r.ts") > F.col("l.ts"))
+        & (F.col("r.ts") <= F.col("l.ts") + F.expr(f"INTERVAL {within}")),
+    ).select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("event_a"),
+        F.col("r.event_id").alias("event_b"),
+        F.col("l.ts").alias("ts_a"),
+        F.col("r.ts").alias("ts_b"),
+    )

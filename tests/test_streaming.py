@@ -132,3 +132,52 @@ def test_stateful_timeout_sessions(spark, tmp_path):
         assert row["last_seen_ms"] == expected_last
     finally:
         q.stop()
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream join equals its batch twin on bounded
+    input (AvailableNow drives the real join-state machinery)."""
+    import uuid
+
+    from data_warehouse_hive_spark.streaming.stream import stream_stream_join
+
+    la = read_events_stream(spark, table_path(sf_dir, "events"))
+    rb = read_events_stream(spark, table_path(sf_dir, "events"))
+    sink = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_stream_join(la, rb)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        streamed = spark.table(sink).toPandas()
+        ev = t(spark, sf_dir, "events")
+        l = ev.select(
+            F.col("user_id"), F.col("event_id").alias("event_a"), F.col("ts").alias("ts_a")
+        )
+        r = ev.select(
+            F.col("user_id").alias("user_b"),
+            F.col("event_id").alias("event_b"),
+            F.col("ts").alias("ts_b"),
+        )
+        batch = (
+            l.join(
+                r,
+                (F.col("user_id") == F.col("user_b"))
+                & (F.col("ts_b") > F.col("ts_a"))
+                & (F.col("ts_b") <= F.col("ts_a") + F.expr("INTERVAL 1 HOUR")),
+            )
+            .select("user_id", "event_a", "event_b")
+            .toPandas()
+        )
+        key = ["user_id", "event_a", "event_b"]
+        s = streamed[key].sort_values(key).reset_index(drop=True)
+        b = batch[key].sort_values(key).reset_index(drop=True)
+        assert len(s) == len(b) > 0
+        assert (s.values == b.values).all()
+    finally:
+        q.stop()
