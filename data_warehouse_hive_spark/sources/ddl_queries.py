@@ -346,3 +346,46 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [Row(n_features=n_feat, n_frame_samples=n_frames)]
     )
+
+
+@query("ddl_analyze_stats")
+def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYZE TABLE … COMPUTE STATISTICS [FOR COLUMNS] — Hive's
+    compute_stats surface (the reference's deployed engine maintains
+    table/column stats the same way; SURVEY.md §2.4 q_agg_approx note).
+
+    At 100 TB these statistics are what turn on cost-based join
+    reordering (`spark.sql.cbo.enabled`) and accurate broadcast
+    decisions: rowCount/sizeInBytes feed join-side selection, per-column
+    NDV/min/max feed selectivity estimates.  Returns the recorded stats
+    so the behavioral check asserts they actually landed in the catalog.
+    """
+    name = f"stats_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "supplier").write.saveAsTable(name)
+    try:
+        spark.sql(f"ANALYZE TABLE {name} COMPUTE STATISTICS")
+        spark.sql(
+            f"ANALYZE TABLE {name} COMPUTE STATISTICS FOR COLUMNS s_suppkey, s_acctbal"
+        )
+        described = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql(f"DESCRIBE TABLE EXTENDED {name}").collect()
+        }
+        stats_line = described.get("Statistics", "")
+        col_stats = spark.sql(
+            f"DESCRIBE EXTENDED {name} s_suppkey"
+        ).collect()
+        col_info = {r["info_name"]: r["info_value"] for r in col_stats}
+        n_rows = t(spark, sf_dir, "supplier").count()
+        return spark.createDataFrame(
+            [
+                Row(
+                    has_table_stats="bytes" in stats_line,
+                    row_count_recorded=str(n_rows) in stats_line,
+                    ndv_recorded=col_info.get("distinct_count") not in (None, "NULL"),
+                    minmax_recorded=col_info.get("min") not in (None, "NULL"),
+                )
+            ]
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
