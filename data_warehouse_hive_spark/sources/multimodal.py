@@ -123,3 +123,56 @@ def read_binary_dir(spark, path: str) -> DataFrame:
     via Spark's binaryFile source — the pointers-in-table, bytes-in-store
     layout the reference uses for CSVs, generalized to media."""
     return spark.read.format("binaryFile").load(path)
+
+
+AUDIO_RMS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("window_idx", T.LongType(), True),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def audio_rms_windows(
+    media: DataFrame, samples_per_window: int = 256
+) -> DataFrame:
+    """Audio feature extraction: windowed RMS over the decoded waveform —
+    the 1-payload → N-feature-rows generator shape for audio.
+
+    Decode is the stubbed step (no audio codec in this container): the
+    payload BYTES are interpreted directly as unsigned 8-bit samples,
+    which keeps the whole pipeline deterministic and exactly testable
+    while the numpy windowing/RMS math and the Arrow batch plumbing are
+    real.  Swapping in an actual decoder (soundfile/ffmpeg) changes one
+    line.  Partition-parallel, no shuffle — linear at 100 TB."""
+    import numpy as np
+
+    def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id, out_w, out_n, out_rms = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                wave = np.frombuffer(
+                    bytes(payload) if payload is not None else b"", dtype=np.uint8
+                ).astype(np.float64)
+                for w in range(0, max(len(wave), 1), samples_per_window):
+                    chunk = wave[w : w + samples_per_window]
+                    out_id.append(int(mid))
+                    out_w.append(w // samples_per_window)
+                    out_n.append(len(chunk))
+                    out_rms.append(
+                        float(np.sqrt(np.mean(chunk**2))) if len(chunk) else 0.0
+                    )
+            yield pd.DataFrame(
+                {
+                    "media_id": out_id,
+                    "window_idx": out_w,
+                    "n_samples": out_n,
+                    "rms": out_rms,
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        rms, schema=AUDIO_RMS_SCHEMA
+    )

@@ -186,3 +186,23 @@ def test_arrow_brute_force_matches_jvm(spark, sf_dir):
     assert len(jvm) == len(arrow) > 0
     assert (jvm["vec_id"].values == arrow["vec_id"].values).all()
     assert (abs(jvm["cosine"].values - arrow["cosine"].values) <= 1e-6).all()
+
+
+def test_audio_rms_windows_exact(spark):
+    """Windowed RMS over byte-derived samples: distributed result equals
+    plain-Python computation for a known payload."""
+    import math
+
+    from data_warehouse_hive_spark.sources.multimodal import audio_rms_windows
+
+    payload = bytes(range(256)) * 2  # 512 samples -> 2 windows of 256
+    media = spark.createDataFrame(
+        [(1, "audio", bytearray(payload)), (2, "image", bytearray(b"xx"))],
+        "media_id long, kind string, payload binary",
+    )
+    out = audio_rms_windows(media, samples_per_window=256).toPandas()
+    # image row filtered out; audio row yields exactly 2 windows
+    assert sorted(out["window_idx"]) == [0, 1]
+    expected = math.sqrt(sum(b * b for b in range(256)) / 256)
+    assert all(abs(r - expected) < 1e-9 for r in out["rms"])
+    assert list(out["n_samples"]) == [256, 256]
