@@ -307,3 +307,38 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
         """
     )
+
+
+@query(
+    "q_agg_percentile",
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.25) AS p25_price,
+           quantile_disc(l_extendedprice, 0.5)  AS median_price,
+           quantile_disc(l_extendedprice, 0.75) AS p75_price,
+           quantile_disc(l_extendedprice, 0.95) AS p95_price,
+           quantile_disc(l_quantity, 0.5)       AS median_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile / median aggregates (grouped), DISCRETE variant:
+    percentile_disc picks an actual data value at the target rank, so the
+    result is exact and engine-portable — no interpolation arithmetic
+    whose op order could differ in the last ulp (percentile_cont's
+    (1-f)·a+f·b vs a+f·(b-a)).  At scale Spark computes exact percentiles
+    with a single shuffle of per-partition partial digests per group."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY l_extendedprice) AS p25_price,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_extendedprice) AS median_price,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY l_extendedprice) AS p75_price,
+               percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS p95_price,
+               percentile_disc(0.5)  WITHIN GROUP (ORDER BY l_quantity)      AS median_qty
+        FROM lineitem
+        GROUP BY l_returnflag
+        """
+    )
