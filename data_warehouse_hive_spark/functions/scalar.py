@@ -249,3 +249,51 @@ def q_fn_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         k.cast("long").alias("k_num"),
         (k.cast("long") > 50).alias("k_high"),
     )
+
+
+@query(
+    "q_fn_explode_outer",
+    oracle=r"""
+    SELECT p.p_partkey, u.w AS brass_word
+    FROM part p,
+         LATERAL (SELECT unnest(
+             CASE WHEN len(list_filter(string_split(p.p_type, ' '), x -> x = 'BRASS')) = 0
+                  THEN [NULL]
+                  ELSE list_filter(string_split(p.p_type, ' '), x -> x = 'BRASS') END
+         ) AS w) u
+    """,
+)
+def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL VIEW OUTER explode: rows whose array is empty survive with
+    a NULL element instead of disappearing — the semantic difference that
+    silently drops data when plain explode is used on sparse arrays.
+    (DuckDB has no OUTER unnest; the oracle pads empty lists with [NULL],
+    which is exactly explode_outer's contract.)"""
+    p = t(spark, sf_dir, "part")
+    brass = F.filter(F.split("p_type", " "), lambda x: x == "BRASS")
+    return p.select(
+        "p_partkey", F.explode_outer(brass).alias("brass_word")
+    )
+
+
+@query(
+    "q_agg_collect",
+    oracle="""
+    SELECT l_returnflag,
+           list_sort(list(DISTINCT l_linestatus)) AS statuses,
+           list_sort(list(l_linenumber))          AS linenumbers_all
+    FROM (SELECT * FROM lineitem WHERE l_orderkey < 50) s
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set / collect_list (HiveQL array aggregation).  Collection
+    order is partition-dependent, so both engines sort the arrays before
+    returning — the only deterministic contract for an array agg.  At
+    scale an unbounded collect_list is a memory hazard; bound the group
+    (as here) or prefer grouped aggregates."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return li.groupBy("l_returnflag").agg(
+        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
+        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers_all"),
+    )
