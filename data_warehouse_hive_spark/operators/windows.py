@@ -197,3 +197,31 @@ def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
     )
+
+
+@query(
+    "q_win_dist",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice,
+           round(percent_rank() OVER w, 9) AS pct_rank,
+           round(cume_dist()    OVER w, 9) AS cume,
+    FROM orders
+    WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: percent_rank ((rank-1)/(n-1)) and
+    cume_dist (rank/n).  Both are ratios of identical integers in the two
+    engines, rounded to 9 dp only to normalize the division's last-ulp
+    formatting.  Unique ORDER BY tiebreak (o_orderkey) makes ranks — and
+    therefore both ratios — fully deterministic."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_totalprice",
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+    )
