@@ -297,3 +297,95 @@ def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
         F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers_all"),
     )
+
+
+@query(
+    "q_fn_string2",
+    oracle="""
+    SELECT p_partkey,
+           reverse(p_brand) AS brand_rev,
+           repeat(p_brand, 2) AS brand_x2,
+           CAST(instr(p_name, 'red') AS BIGINT) AS red_pos,
+           replace(p_type, ' ', '-') AS type_dashed,
+           left(p_name, 5) AS name_l5,
+           right(p_name, 5) AS name_r5,
+           CAST(levenshtein(p_brand, p_type) AS BIGINT) AS brand_type_dist
+    FROM part
+    WHERE p_partkey < 500
+    """,
+)
+def q_fn_string2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended string family: reverse, repeat, instr/locate, replace,
+    left/right, and levenshtein — the edit-distance primitive that powers
+    bounded fuzzy matching (e.g. verifying near-dup candidates whose
+    Jaccard is ambiguous)."""
+    p = t(spark, sf_dir, "part").filter(F.col("p_partkey") < 500)
+    return p.select(
+        "p_partkey",
+        F.reverse("p_brand").alias("brand_rev"),
+        F.repeat("p_brand", 2).alias("brand_x2"),
+        F.instr("p_name", "red").cast("long").alias("red_pos"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("-")).alias("type_dashed"),
+        F.substring("p_name", 1, 5).alias("name_l5"),
+        F.col("p_name").substr(F.length("p_name") - 4, F.lit(5)).alias("name_r5"),
+        F.levenshtein("p_brand", "p_type").cast("long").alias("brand_type_dist"),
+    )
+
+
+@query(
+    "q_fn_bitwise",
+    oracle="""
+    SELECT l_orderkey,
+           l_orderkey & 255 AS low_byte,
+           l_orderkey | 4096 AS with_flag,
+           xor(l_orderkey, l_partkey) AS key_xor,
+           l_orderkey << 2 AS shl2,
+           l_orderkey >> 3 AS shr3,
+           CAST(bit_count(l_orderkey) AS INT) AS popcount
+    FROM lineitem
+    WHERE l_orderkey < 200
+    """,
+)
+def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise family: and/or/xor, shifts, popcount — exact integer ops,
+    identical in every engine (used internally by the SimHash/LSH
+    sketches; exposed here as user-facing surface)."""
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 200)
+    k = F.col("l_orderkey")
+    return li.select(
+        "l_orderkey",
+        k.bitwiseAND(F.lit(255)).alias("low_byte"),
+        k.bitwiseOR(F.lit(4096)).alias("with_flag"),
+        k.bitwiseXOR(F.col("l_partkey")).alias("key_xor"),
+        F.shiftleft(k, 2).alias("shl2"),
+        F.shiftright(k, 3).alias("shr3"),
+        F.bit_count(k).alias("popcount"),
+    )
+
+
+@query(
+    "q_fn_hash_struct",
+    oracle="""
+    SELECT s_suppkey,
+           md5(s_name) AS name_md5,
+           sha256(s_name) AS name_sha256,
+           {'k': s_suppkey, 'bal': s_acctbal} AS info,
+           ({'k': s_suppkey, 'bal': s_acctbal}).bal AS bal_via_struct
+    FROM supplier
+    """,
+)
+def q_fn_hash_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash functions (md5, sha256 — portable content addressing /
+    fingerprint keys) + STRUCT construction and field access (named
+    nested records, the HiveQL complex-type surface)."""
+    s = t(spark, sf_dir, "supplier")
+    info = F.struct(
+        F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("bal")
+    )
+    return s.select(
+        "s_suppkey",
+        F.md5("s_name").alias("name_md5"),
+        F.sha2("s_name", 256).alias("name_sha256"),
+        info.alias("info"),
+        info.getField("bal").alias("bal_via_struct"),
+    )
