@@ -8,6 +8,8 @@ counts, whole-stage codegen.  A change that silently degrades a plan
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from data_warehouse_hive_spark.plans.explain import (
     count_exchanges,
     formatted_plan,
@@ -122,3 +124,50 @@ def test_minhash_single_band_shuffle(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_dedup_minhash")
     # spread() + groupBy(doc_id) + groupBy(band) + distinct = 4 exchanges
     assert count_exchanges(plan) <= 4, plan
+
+
+def test_partition_pruning_static(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune partitions at plan
+    time: the scan's PartitionFilters carries the predicate and only the
+    matching directory is read."""
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    d = str(tmp_path / "orders_part")
+    (
+        tbl(spark, sf_dir, "orders")
+        .withColumn("region_code", (F.col("o_orderkey") % 4).cast("int"))
+        .write.partitionBy("region_code")
+        .parquet(d)
+    )
+    df = spark.read.parquet(d).filter(F.col("region_code") == 2)
+    plan = formatted_plan(df)
+    assert "PartitionFilters" in plan and "region_code" in plan, plan
+    # only one of the four partition directories is scanned
+    n = df.select(F.countDistinct("region_code")).collect()[0][0]
+    assert n == 1
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """Joining a partitioned fact to a filtered dim on the partition
+    column must plan a dynamic-pruning subquery: at runtime only the
+    partitions matching the dim filter are scanned."""
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    d = str(tmp_path / "li_part")
+    (
+        tbl(spark, sf_dir, "lineitem")
+        .withColumn("sk_mod", (F.col("l_suppkey") % 8).cast("int"))
+        .write.partitionBy("sk_mod")
+        .parquet(d)
+    )
+    fact = spark.read.parquet(d)
+    dim = (
+        tbl(spark, sf_dir, "supplier")
+        .withColumn("sk_mod", (F.col("s_suppkey") % 8).cast("int"))
+        .filter(F.col("s_acctbal") > 9000)
+        .select("sk_mod", "s_suppkey")
+        .distinct()
+    )
+    joined = fact.join(dim, "sk_mod")
+    plan = formatted_plan(joined)
+    assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan
