@@ -389,3 +389,61 @@ def q_fn_hash_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         info.alias("info"),
         info.getField("bal").alias("bal_via_struct"),
     )
+
+
+@query(
+    "q_fn_interval",
+    oracle="""
+    SELECT event_id,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           ts - INTERVAL 1 DAY AS ts_minus_1d,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day_start,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           CAST(hour(ts) AS INT) AS hr,
+           CAST(minute(ts) AS INT) AS minu,
+           CAST(dayofyear(ts) AS INT) AS doy,
+           CAST(weekofyear(ts) AS INT) AS woy
+    FROM events
+    """,
+)
+def q_fn_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERVAL arithmetic + sub-day truncation + field extraction over
+    event timestamps (the time surface q_fn_date leaves to dates).
+    DuckDB's date_trunc('day') returns DATE, Spark returns TIMESTAMP —
+    the oracle casts so both engines emit identical midnight instants."""
+    e = t(spark, sf_dir, "events")
+    return e.select(
+        "event_id",
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTE")).alias("ts_plus_90m"),
+        (F.col("ts") - F.expr("INTERVAL 1 DAY")).alias("ts_minus_1d"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.hour("ts").alias("hr"),
+        F.minute("ts").alias("minu"),
+        F.dayofyear("ts").alias("doy"),
+        F.weekofyear("ts").alias("woy"),
+    )
+
+
+@query(
+    "q_fn_json_typed",
+    oracle="""
+    SELECT event_id,
+           CAST(props->>'$.k' AS BIGINT) AS k,
+           (props IS NOT NULL AND json_valid(props)) AS parsed_ok
+    FROM events
+    """,
+)
+def q_fn_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed JSON parse — `from_json` with an explicit schema: ONE parse
+    per row into a struct (the scalable path when several fields are
+    consumed; get_json_object re-parses per extraction).  Malformed rows
+    become NULL structs instead of errors — the parsed_ok flag is the
+    schema-on-read quality gate a pipeline filters on."""
+    e = t(spark, sf_dir, "events")
+    parsed = F.from_json("props", "k LONG")
+    return e.select(
+        "event_id",
+        parsed.getField("k").alias("k"),
+        (F.col("props").isNotNull() & parsed.isNotNull()).alias("parsed_ok"),
+    )
