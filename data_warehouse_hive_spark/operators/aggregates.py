@@ -342,3 +342,38 @@ def q_agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_approx_percentile",
+    oracle="""
+    SELECT quantile_disc(l_extendedprice, 0.5) AS exact_median,
+           TRUE AS approx_within_tol
+    FROM lineitem
+    """,
+)
+def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile (t-digest style sketch).  Like q_agg_approx,
+    sketch outputs differ across engines by design, so the checkable
+    contract is the exact discrete median plus a boolean asserting the
+    approx estimate (accuracy=10000) landed within 1% of it.  At scale
+    approx_percentile is one pass + tiny mergeable sketches per
+    partition — the shape to prefer over exact percentiles when the
+    tolerance is acceptable."""
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem")
+    exact = spark.sql(
+        "SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+        " AS exact_median FROM lineitem"
+    )
+    approx = li.agg(
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("approx_median")
+    )
+    return exact.crossJoin(approx).select(
+        "exact_median",
+        (
+            F.abs(F.col("approx_median") - F.col("exact_median"))
+            / F.col("exact_median")
+            <= 0.01
+        ).alias("approx_within_tol"),
+    )

