@@ -141,3 +141,31 @@ def test_dirty_csv_fallback_string(spark, tmp_path):
         assert any(r["num"] is None for r in rows)  # empty cell → NULL
     finally:
         cat.drop_table(spark, res.table_name)
+
+
+def test_python_datasource_synthetic_events(spark):
+    """Custom Python DataSource: registers as a format, fans partitions
+    across executors, and regenerates identical data on re-read (the
+    determinism contract Spark requires of a source)."""
+    from data_warehouse_hive_spark.sources.synthetic import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    reader = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 4)
+        .option("rows_per_partition", 250)
+    )
+    df = reader.load()
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4
+    assert df.select("event_id").distinct().count() == 1000
+    first = sorted(df.limit(0).columns)
+    assert first == sorted(
+        ["event_id", "user_id", "ts", "event_type", "value"]
+    )
+    # deterministic: two independent reads agree row-for-row
+    a = sorted(map(tuple, df.collect()))
+    b = sorted(map(tuple, reader.load().collect()))
+    assert a == b
