@@ -206,3 +206,45 @@ def test_audio_rms_windows_exact(spark):
     expected = math.sqrt(sum(b * b for b in range(256)) / 256)
     assert all(abs(r - expected) < 1e-9 for r in out["rms"])
     assert list(out["n_samples"]) == [256, 256]
+
+
+def test_lsh_recall_on_planted_clusters(spark):
+    """LSH-bucket recall on planted clusters: tight clusters land in the
+    same hyperplane bucket with high probability, so bucket-restricted
+    top-k recovers most of the exact neighbors; and every LSH result must
+    be a subset-correct cosine (scores match brute force exactly)."""
+    import random
+
+    from data_warehouse_hive_spark.extensions.similarity import (
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    rng = random.Random(11)
+    dim, n_clusters, per_cluster = 64, 8, 40
+    centers = [
+        [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_clusters)
+    ]
+    rows = []
+    vid = 0
+    for c_idx, center in enumerate(centers):
+        for _ in range(per_cluster):
+            vec = [x + rng.gauss(0, 0.03) for x in center]
+            rows.append(Row(vec_id=vid, label=c_idx, e=vec))
+            vid += 1
+    v = spark.createDataFrame(rows)
+    q = v.filter(F.col("vec_id") % per_cluster == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("e").alias("qe")
+    )
+    exact = brute_force_topk(v, q, 5).collect()
+    lsh = lsh_topk(v, q, 5).collect()
+    exact_pairs = {(r["query_id"], r["vec_id"]) for r in exact}
+    lsh_pairs = {(r["query_id"], r["vec_id"]) for r in lsh}
+    recall = len(exact_pairs & lsh_pairs) / len(exact_pairs)
+    assert recall >= 0.7, f"LSH recall {recall:.2f}"
+    # scores are EXACT wherever both returned the same pair
+    exact_scores = {(r["query_id"], r["vec_id"]): r["cosine"] for r in exact}
+    for r in lsh:
+        key = (r["query_id"], r["vec_id"])
+        if key in exact_scores:
+            assert r["cosine"] == exact_scores[key]
