@@ -19,7 +19,12 @@ from __future__ import annotations
 import math
 from datetime import datetime, timedelta, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EPOCH = datetime(2024, 1, 1, tzinfo=timezone.utc)
 _EVENT_TYPES = ("click", "view", "purchase", "scroll")
@@ -42,6 +47,11 @@ class SyntheticEventsDataSource(DataSource):
         return SyntheticEventsReader(
             n_partitions=int(self.options.get("partitions", 4)),
             rows_per_partition=int(self.options.get("rows_per_partition", 1000)),
+        )
+
+    def simpleStreamReader(self, schema) -> "SyntheticEventsStreamReader":
+        return SyntheticEventsStreamReader(
+            rows_per_batch=int(self.options.get("rows_per_batch", 500))
         )
 
 
@@ -71,3 +81,40 @@ class SyntheticEventsReader(DataSourceReader):
                 _EVENT_TYPES[z % len(_EVENT_TYPES)],
                 round(math.sin(event_id) * 50 + 50, 6),
             )
+
+
+class SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming twin of the batch reader: the offset is just the next
+    event_id, each micro-batch emits `rows_per_batch` consecutive ids,
+    and `readBetweenOffsets` regenerates any range on replay — the
+    exactly-once contract (offsets + deterministic regeneration) that a
+    Kafka-like source provides, in ~20 lines of Python."""
+
+    def __init__(self, rows_per_batch: int) -> None:
+        self.rows_per_batch = rows_per_batch
+
+    def initialOffset(self) -> dict:
+        return {"next_id": 0}
+
+    def _gen(self, start_id: int, end_id: int):
+        for event_id in range(start_id, end_id):
+            z = (event_id + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+            z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+            z ^= z >> 31
+            yield (
+                event_id,
+                z % 1000,
+                _EPOCH + timedelta(seconds=event_id * 7 + z % 7),
+                _EVENT_TYPES[z % len(_EVENT_TYPES)],
+                round(math.sin(event_id) * 50 + 50, 6),
+            )
+
+    def read(self, start: dict):
+        # concrete list, not a generator: the returned rows are pickled
+        # into the micro-batch plan (a generator cannot be serialized)
+        end = {"next_id": start["next_id"] + self.rows_per_batch}
+        return list(self._gen(start["next_id"], end["next_id"])), end
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return list(self._gen(start["next_id"], end["next_id"]))

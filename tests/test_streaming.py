@@ -199,3 +199,51 @@ def test_foreachbatch_ingest_sink(spark, sf_dir, tmp_path):
     assert landed.count() == n_src
     assert landed.select("event_id").distinct().count() == n_src
     assert "ingest_epoch" in landed.columns
+
+
+def test_python_datasource_streaming(spark):
+    """The custom Python source streams: micro-batches advance the
+    offset, ids never repeat, and values equal the batch reader's for
+    the same ids (deterministic regeneration = replay safety)."""
+    import time as _time
+    import uuid
+
+    from data_warehouse_hive_spark.sources.synthetic import (
+        SyntheticEventsDataSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsDataSource)
+    sink = f"synth_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("synthetic_events")
+        .option("rows_per_batch", 200)
+        .load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(processingTime="1 seconds")
+        .start()
+    )
+    try:
+        deadline = _time.time() + 60
+        while _time.time() < deadline:
+            if spark.table(sink).count() >= 400:
+                break
+            _time.sleep(0.5)
+    finally:
+        q.stop()
+    streamed = spark.table(sink).toPandas()
+    assert len(streamed) >= 400
+    assert streamed["event_id"].is_unique
+    batch = (
+        spark.read.format("synthetic_events")
+        .option("partitions", 1)
+        .option("rows_per_partition", int(streamed["event_id"].max()) + 1)
+        .load()
+        .toPandas()
+        .set_index("event_id")
+    )
+    got = streamed.set_index("event_id").sort_index()
+    want = batch.loc[got.index]
+    assert (got["user_id"].values == want["user_id"].values).all()
+    assert (got["value"].values == want["value"].values).all()
