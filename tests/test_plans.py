@@ -171,3 +171,54 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     joined = fact.join(dim, "sk_mod")
     plan = formatted_plan(joined)
     assert "dynamicpruning" in plan.lower() or "DynamicPruning" in plan, plan
+
+
+def test_aqe_splits_skewed_join(spark):
+    """AQE skew-join safety net: a planted hot key (83% of rows on one
+    value) must execute as SortMergeJoin(skew=true) with a skewed
+    AQEShuffleRead — the runtime re-plan SCALING.md relies on for keys
+    salting doesn't cover."""
+    import contextlib
+    import io
+
+    old = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "256KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+        left = (
+            spark.range(500_000)
+            .select(F.lit(7).cast("long").alias("k"), F.col("id").alias("v"))
+            .unionAll(
+                spark.range(100_000).select(
+                    (F.col("id") % 1000).cast("long").alias("k"),
+                    F.col("id").alias("v"),
+                )
+            )
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+        )
+        j = left.join(right, "k").select(F.sum(F.col("v") + F.col("w")).alias("s"))
+        j.collect()  # execute THIS plan so its AQE finalizes
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            j.explain(mode="formatted")
+        plan = buf.getvalue()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
