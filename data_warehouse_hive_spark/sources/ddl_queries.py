@@ -425,3 +425,76 @@ def ddl_multi_insert(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         li.unpersist()
+
+
+@query("ddl_csv_badrows")
+def ddl_csv_badrows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-row isolation on CSV ingest — the Spark-idiomatic form of the
+    reference's per-row INSERT fallback (reference
+    backend/hive_manager.py:317-325, which retried failed 10k-row batches
+    row by row to quarantine bad records):
+
+      * PERMISSIVE + columnNameOfCorruptRecord: every failure class
+        (type-cast failure, too few tokens, too many tokens) lands with
+        the raw line in a quarantine column while salvageable fields
+        still parse — the at-scale shape (one pass, no retry storm,
+        auditable quarantine).
+      * DROPMALFORMED: all three classes silently dropped.
+      * FAILFAST: ingestion aborts on the first bad row.
+
+    Gotcha encoded in the check: malformed-ness is only detected for
+    columns that are actually PARSED — a bare count() prunes every
+    column, parses nothing, and counts dropped rows as present.  The
+    DROPMALFORMED count below materializes the full rows first.
+    """
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="dwh_badrows_")
+    path = os.path.join(d, "bad.csv")
+    with open(path, "w") as f:
+        f.write(
+            "id,price,name\n"
+            "1,19.99,widget\n"
+            "2,not_a_number,gadget\n"   # type-cast failure
+            "3,7.25,sprocket\n"
+            "4,1.0\n"                    # too few tokens
+            "5,1.0,ok\n"
+            "6,2.0,extra,EXTRA\n"        # too many tokens
+        )
+    schema = "id INT, price DOUBLE, name STRING, _bad STRING"
+    # cached: Spark disallows filtering on ONLY the corrupt-record column
+    # straight off the scan (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    permissive = spark.read.csv(
+        path,
+        header=True,
+        schema=schema,
+        mode="PERMISSIVE",
+        columnNameOfCorruptRecord="_bad",
+    ).cache()
+    try:
+        quarantined = permissive.filter(F.col("_bad").isNotNull()).count()
+        parsed_ok = permissive.filter(F.col("_bad").isNull()).count()
+    finally:
+        permissive.unpersist()
+    dropped_rows = spark.read.csv(
+        path, header=True, schema="id INT, price DOUBLE, name STRING",
+        mode="DROPMALFORMED",
+    ).collect()  # full materialization — see gotcha above
+    try:
+        spark.read.csv(
+            path, header=True, schema="id INT, price DOUBLE, name STRING",
+            mode="FAILFAST",
+        ).collect()
+        failfast_raised = False
+    except Exception:
+        failfast_raised = True
+    return spark.createDataFrame(
+        [
+            Row(
+                parsed_ok=parsed_ok,
+                quarantined=quarantined,
+                after_drop=len(dropped_rows),
+                failfast_raised=failfast_raised,
+            )
+        ]
+    )
