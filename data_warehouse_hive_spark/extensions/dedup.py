@@ -593,3 +593,44 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", F.round(inter / uni, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= 0.8)
     )
+
+
+@query(
+    "q_dedup_group_stats",
+    oracle=f"""
+    WITH RECURSIVE {_o_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+    ),
+    comp AS (
+      SELECT doc, MIN(r) AS group_id FROM reach GROUP BY doc
+    ),
+    sizes AS (
+      SELECT group_id, COUNT(*) AS group_size FROM comp GROUP BY group_id
+    )
+    SELECT CAST(group_size AS BIGINT) AS group_size,
+           COUNT(*) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs
+    FROM sizes
+    GROUP BY group_size
+    """,
+)
+def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster size histogram — the dedup summary a pipeline
+    reports (how many pairs/triples/bigger clusters, how many docs are
+    removable).  Rides on q_dedup_groups' label propagation; at scale
+    this is the cheap audit query run after every dedup pass."""
+    groups = q_dedup_groups(spark, sf_dir)
+    sizes = groups.groupBy("group_id").agg(F.count(F.lit(1)).alias("group_size"))
+    return sizes.groupBy("group_size").agg(
+        F.count(F.lit(1)).alias("n_groups"),
+        F.sum("group_size").alias("n_docs"),
+    )
