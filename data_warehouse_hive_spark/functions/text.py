@@ -222,3 +222,93 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         F.md5(bag).alias("fp_bag"),
     )
+
+
+# Winnowing parameters: k-gram length, winnow window, polynomial base/modulus.
+WINNOW_K = 8
+WINNOW_W = 4
+WINNOW_B = 31
+WINNOW_M = 2_147_483_647
+_WINNOW_PREFIX = 200  # fingerprint the first N normalized chars (bounded cost)
+
+
+@query(
+    "q_text_winnow",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id,
+             substr(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), 1, {_WINNOW_PREFIX}) AS s
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               range(1, len(s) - {WINNOW_K} + 2),
+               i -> ({" + ".join(f"CAST(ord(substr(s, i + {j}, 1)) AS BIGINT) * {WINNOW_B**j}" for j in range(WINNOW_K))}) % {WINNOW_M}
+             ) AS hs
+      FROM norm
+      WHERE len(s) >= {WINNOW_K}
+    )
+    SELECT doc_id,
+           list_sort(list_distinct(list_transform(
+             range(1, len(hs) - {WINNOW_W} + 2),
+             i -> list_min(hs[i : i + {WINNOW_W} - 1])
+           ))) AS fingerprint,
+           CAST(len(list_sort(list_distinct(list_transform(
+             range(1, len(hs) - {WINNOW_W} + 2),
+             i -> list_min(hs[i : i + {WINNOW_W} - 1])
+           )))) AS BIGINT) AS fp_size
+    FROM hashes
+    """,
+)
+def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting by rolling hash + winnowing (the MOSS
+    algorithm): polynomial hash of every character k-gram, then the
+    minimum hash of each sliding window of W consecutive k-grams — the
+    selected minima are the document's fingerprint set.  Guarantees any
+    shared substring of length ≥ k+W-1 contributes a shared fingerprint,
+    which is what makes winnowed fingerprints a JOIN KEY for plagiarism /
+    near-dup detection at corpus scale.
+
+    The polynomial hash Σ ord(c_{{i+j}})·B^j mod M is evaluated per
+    position (the algebraic value a rolling computation produces,
+    expressed associatively so both engines compute identical integers);
+    max term 255·31⁷ ≈ 7e12 ≪ 2⁶³.  Bounded to the first 200 normalized
+    chars per doc — fingerprinting cost is O(prefix), not O(doc).
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    norm = F.substring(
+        F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+        1,
+        _WINNOW_PREFIX,
+    )
+    nd = d.select("doc_id", norm.alias("s")).filter(F.length("s") >= WINNOW_K)
+    s = F.col("s")
+
+    def kgram_hash(i):
+        # Σ_j ord(c_{i+j})·B^j — Column.substr takes Column positions
+        total = F.lit(0).cast("long")
+        for j in range(WINNOW_K):
+            total = total + F.ascii(s.substr(i + j, F.lit(1))).cast("long") * (
+                WINNOW_B ** j
+            )
+        return total % WINNOW_M
+
+    hs_col = F.transform(
+        F.sequence(F.lit(1), F.length(s) - WINNOW_K + 1), kgram_hash
+    )
+    hd = nd.select("doc_id", hs_col.alias("hs"))
+    hs = F.col("hs")
+    winnow = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(hs) - WINNOW_W + 1),
+                lambda i: F.array_min(F.slice(hs, i, WINNOW_W)),
+            )
+        )
+    )
+    return hd.select(
+        "doc_id",
+        winnow.alias("fingerprint"),
+        F.size(winnow).cast("long").alias("fp_size"),
+    )
