@@ -84,3 +84,32 @@ def q_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     suppliers.  `subtract` is Spark's EXCEPT DISTINCT; `exceptAll` would be
     the bag variant (EXCEPT ALL), a different semantic."""
     return _cust_nations(spark, sf_dir).subtract(_supp_nations(spark, sf_dir))
+
+
+@query(
+    "q_union_byname",
+    oracle="""
+    SELECT * FROM (
+      SELECT r_regionkey AS key, r_name AS name, 'region' AS src FROM region
+      UNION ALL BY NAME
+      SELECT n_name AS name, n_nationkey AS key FROM nation
+    )
+    """,
+)
+def q_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union by column NAME (not position) with missing-column tolerance:
+    the schema-drift-safe union — mismatched column order unions
+    correctly and columns absent on one side arrive as NULL.  Positional
+    UNION ALL silently mis-aligns columns the moment two extracts
+    disagree on order; by-name is the only safe default for evolving
+    pipelines."""
+    r = t(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("key"),
+        F.col("r_name").alias("name"),
+        F.lit("region").alias("src"),
+    )
+    n = t(spark, sf_dir, "nation").select(
+        F.col("n_name").alias("name"),        # different column order,
+        F.col("n_nationkey").alias("key"),    # and no src column
+    )
+    return r.unionByName(n, allowMissingColumns=True)
