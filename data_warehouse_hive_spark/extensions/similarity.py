@@ -416,3 +416,71 @@ def brute_force_topk_arrow(v: DataFrame, q: DataFrame, k: int = TOP_K) -> DataFr
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= k
     )
+
+
+@query(
+    "q_dedup_embedding_lsh",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM vb a JOIN vb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT vec_a, vec_b, cosine
+    FROM pairs
+    WHERE cosine >= 0.2
+    """,
+)
+def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with UNSUPERVISED blocking: random-hyperplane
+    LSH buckets replace the label column as the block key, so the
+    pairwise cosine runs only within buckets — the no-labels scale path
+    (q_dedup_embedding's label blocking assumes a partition key exists;
+    this derives one from the vectors themselves).  Same carrier-exact
+    bucket bits as q_sim_search_lsh, so blocking is oracle-checked;
+    near-identical vectors agree on every hyperplane sign and always
+    share a bucket, which is what makes LSH blocking recall-safe for
+    near-dup thresholds close to 1."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    ).withColumn("bucket", lsh_bucket_col(F.col("e"))).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+        "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    cosine = F.round(
+        dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6
+    )
+    return (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .select("vec_a", "vec_b", cosine.alias("cosine"))
+        # production threshold would be ~0.95+; the fixture's random
+        # vectors have no true near-dups, so the checkable surface is the
+        # blocking + cosine algebra at a threshold that yields rows
+        .filter(F.col("cosine") >= 0.2)
+    )
