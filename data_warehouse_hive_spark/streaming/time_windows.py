@@ -133,3 +133,50 @@ def q_time_session_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value", "sum_value"),
         )
     )
+
+
+@query(
+    "q_events_funnel",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             min(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS clicked_after_view,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS converted
+    FROM per_user
+    """,
+)
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (view → click → purchase, in order): per-user first
+    occurrence of each stage via conditional min, then ordered-stage
+    counts.  One grouped aggregation + a one-row summary — the funnel
+    never materializes per-event state, so it scales as a plain two-phase
+    agg on user_id (compare: the naive self-join-per-stage formulation is
+    quadratic in stages × events)."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    viewed = F.col("first_view").isNotNull()
+    clicked = viewed & (F.col("first_click") > F.col("first_view"))
+    converted = clicked & (F.col("first_purchase") > F.col("first_click"))
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.when(viewed, 1).otherwise(0)).alias("viewed"),
+        F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
+        F.sum(F.when(converted, 1).otherwise(0)).alias("converted"),
+    )
