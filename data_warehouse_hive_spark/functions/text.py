@@ -312,3 +312,57 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
         winnow.alias("fingerprint"),
         F.size(winnow).cast("long").alias("fp_size"),
     )
+
+
+@query(
+    "q_text_ngram_freq",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ') AS w
+      FROM documents
+    ),
+    bigrams AS (
+      SELECT u.bg
+      FROM words,
+           LATERAL (SELECT unnest(list_transform(
+               range(1, greatest(len(w) - 1, 0) + 1),
+               i -> w[i] || ' ' || w[i + 1]
+           )) AS bg) u
+    ),
+    counts AS (
+      SELECT bg, COUNT(*) AS n FROM bigrams GROUP BY bg
+    )
+    SELECT bg, n FROM counts
+    ORDER BY n DESC, bg
+    LIMIT 20
+    """,
+)
+def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus term-frequency: top-20 word bigrams.  Explode is inline over
+    the transform (the InferFiltersFromGenerate trap — see
+    dedup.signature), counts are a partial+final hash agg on the bigram
+    (uniform key), and the top-k is TakeOrderedAndProject with a
+    deterministic (count, bigram) tiebreak."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    w = F.split(F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")), " ")
+    # 1-word docs produce no bigram on either side (oracle range is empty;
+    # the guard keeps the Spark transform from emitting a lone-word row)
+    wdf = d.select(w.alias("w")).filter(F.size("w") >= 2)
+    bigram = lambda i: F.concat_ws(
+        " ", F.try_element_at(F.col("w"), i + 1), F.try_element_at(F.col("w"), i + 2)
+    )
+    bgs = wdf.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - 2, F.lit(0))),
+                bigram,
+            )
+        ).alias("bg")
+    )
+    return (
+        bgs.groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("bg"))
+        .limit(20)
+    )
