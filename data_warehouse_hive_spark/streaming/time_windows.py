@@ -180,3 +180,45 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(clicked, 1).otherwise(0)).alias("clicked_after_view"),
         F.sum(F.when(converted, 1).otherwise(0)).alias("converted"),
     )
+
+
+@query(
+    "q_events_retention",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.cohort_day, CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS day_n
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(day_n AS BIGINT) AS day_n,
+           COUNT(*) AS active_users
+    FROM activity
+    WHERE day_n <= 7
+    GROUP BY day_n
+    """,
+)
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users active on day N after their first-seen day
+    (the DAU-retention curve).  Two grouped aggregations + one join on
+    user_id — at scale the firsts table is small per user and broadcast-
+    joinable; no per-day self-joins."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(day, F.col("cohort_day")).cast("long").alias("day_n"),
+        )
+        .distinct()
+    )
+    return (
+        activity.filter(F.col("day_n") <= 7)
+        .groupBy("day_n")
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
