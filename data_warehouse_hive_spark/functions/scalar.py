@@ -36,7 +36,7 @@ from data_warehouse_hive_spark.tables import t
            regexp_extract(p_brand, '#([0-9]+)', 1) AS brand_num,
            regexp_replace(p_name, ' ', '_', 'g') AS snake_name,
            lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_padded,
-           string_split(p_type, ' ') AS type_words
+           array_to_string(string_split(p_type, ' '), ',') AS type_words
     FROM part
     """,
 )
@@ -55,7 +55,9 @@ def q_fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_extract("p_brand", r"#([0-9]+)", 1).alias("brand_num"),
         F.regexp_replace("p_name", " ", "_").alias("snake_name"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
-        F.split("p_type", " ").alias("type_words"),
+        # serialized (not raw array): collection cells are hostile to
+        # cross-engine value-hash comparators — join to a scalar on both sides
+        F.array_join(F.split("p_type", " "), ",").alias("type_words"),
     )
 
 
@@ -174,31 +176,45 @@ def q_fn_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_fn_array",
     oracle="""
     SELECT p_partkey,
-           [CAST(p_size AS DOUBLE), p_retailprice] AS sz_price,
+           array_to_string(
+             list_transform([CAST(p_size AS DOUBLE), p_retailprice],
+                            x -> CAST(CAST(round(x * 100) AS BIGINT) AS VARCHAR)),
+             ',') AS sz_price,
            CAST(len(string_split(p_name, ' ')) AS INT) AS n_words,
            string_split(p_name, ' ')[1] AS first_word,
            array_contains(string_split(p_type, ' '), 'BRASS') AS is_brass,
-           map_keys(MAP(['brand'], [p_brand])) AS mk,
-           map_values(MAP(['brand'], [p_brand])) AS mv
+           array_to_string(map_keys(MAP(['brand'], [p_brand])), ',') AS mk,
+           array_to_string(map_values(MAP(['brand'], [p_brand])), ',') AS mv
     FROM part
     """,
 )
 def q_fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array/map construction + access: array literal, size, element_at,
     array_contains, create_map (+keys/values — DuckDB map element access
-    returns a list, so keys/values arrays are the portable comparison)."""
+    returns a list, so keys/values arrays are the portable comparison).
+
+    Collection outputs are serialized to scalar strings on both engines:
+    array cells break cross-engine value-hash comparators, and double
+    formatting differs between engines, so doubles ride the exact
+    cents-carrier (round(x*100) as int) before joining."""
     p = t(spark, sf_dir, "part")
     words = F.split("p_name", " ")
+    sz_price = F.array(F.col("p_size").cast("double"), F.col("p_retailprice"))
     return p.select(
         "p_partkey",
-        F.array(F.col("p_size").cast("double"), F.col("p_retailprice")).alias(
-            "sz_price"
-        ),
+        F.array_join(
+            F.transform(sz_price, lambda x: F.round(x * 100).cast("long").cast("string")),
+            ",",
+        ).alias("sz_price"),
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
         F.array_contains(F.split("p_type", " "), "BRASS").alias("is_brass"),
-        F.map_keys(F.create_map(F.lit("brand"), F.col("p_brand"))).alias("mk"),
-        F.map_values(F.create_map(F.lit("brand"), F.col("p_brand"))).alias("mv"),
+        F.array_join(
+            F.map_keys(F.create_map(F.lit("brand"), F.col("p_brand"))), ","
+        ).alias("mk"),
+        F.array_join(
+            F.map_values(F.create_map(F.lit("brand"), F.col("p_brand"))), ","
+        ).alias("mv"),
     )
 
 
@@ -280,22 +296,32 @@ def q_fn_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_collect",
     oracle="""
     SELECT l_returnflag,
-           list_sort(list(DISTINCT l_linestatus)) AS statuses,
-           list_sort(list(l_linenumber))          AS linenumbers_all
+           array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           array_to_string(list_sort(list(l_linenumber)), ',')          AS linenumbers_all
     FROM (SELECT * FROM lineitem WHERE l_orderkey < 50) s
     GROUP BY l_returnflag
     """,
 )
 def q_agg_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     """collect_set / collect_list (HiveQL array aggregation).  Collection
-    order is partition-dependent, so both engines sort the arrays before
-    returning — the only deterministic contract for an array agg.  At
-    scale an unbounded collect_list is a memory hazard; bound the group
-    (as here) or prefer grouped aggregates."""
+    order is partition-dependent, so both engines sort the arrays and then
+    serialize them to a scalar string — sorting is the only deterministic
+    contract for an array agg, and scalar cells are the only ones a
+    cross-engine value-hash comparator can digest.  At scale an unbounded
+    collect_list is a memory hazard; bound the group (as here) or prefer
+    grouped aggregates."""
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
     return li.groupBy("l_returnflag").agg(
-        F.sort_array(F.collect_set("l_linestatus")).alias("statuses"),
-        F.sort_array(F.collect_list("l_linenumber")).alias("linenumbers_all"),
+        F.array_join(F.sort_array(F.collect_set("l_linestatus")), ",").alias(
+            "statuses"
+        ),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("l_linenumber")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("linenumbers_all"),
     )
 
 
@@ -369,7 +395,10 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT s_suppkey,
            md5(s_name) AS name_md5,
            sha256(s_name) AS name_sha256,
-           {'k': s_suppkey, 'bal': s_acctbal} AS info,
+           concat_ws(',',
+                     CAST(({'k': s_suppkey, 'bal': s_acctbal}).k AS VARCHAR),
+                     CAST(CAST(round(({'k': s_suppkey, 'bal': s_acctbal}).bal * 100) AS BIGINT) AS VARCHAR)
+           ) AS info,
            ({'k': s_suppkey, 'bal': s_acctbal}).bal AS bal_via_struct
     FROM supplier
     """,
@@ -377,7 +406,13 @@ def q_fn_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fn_hash_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hash functions (md5, sha256 — portable content addressing /
     fingerprint keys) + STRUCT construction and field access (named
-    nested records, the HiveQL complex-type surface)."""
+    nested records, the HiveQL complex-type surface).
+
+    The struct itself is projected as a canonical scalar string (field
+    access → cents-carrier → concat): struct cells, like array cells, are
+    unhashable to cross-engine value-hash comparators.  bal_via_struct
+    stays a raw double — it is a parquet pass-through value, bit-identical
+    in both engines."""
     s = t(spark, sf_dir, "supplier")
     info = F.struct(
         F.col("s_suppkey").alias("k"), F.col("s_acctbal").alias("bal")
@@ -386,7 +421,11 @@ def q_fn_hash_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_suppkey",
         F.md5("s_name").alias("name_md5"),
         F.sha2("s_name", 256).alias("name_sha256"),
-        info.alias("info"),
+        F.concat_ws(
+            ",",
+            info.getField("k").cast("string"),
+            F.round(info.getField("bal") * 100).cast("long").cast("string"),
+        ).alias("info"),
         info.getField("bal").alias("bal_via_struct"),
     )
 

@@ -250,10 +250,10 @@ _WINNOW_PREFIX = 200  # fingerprint the first N normalized chars (bounded cost)
       WHERE len(s) >= {WINNOW_K}
     )
     SELECT doc_id,
-           list_sort(list_distinct(list_transform(
+           array_to_string(list_sort(list_distinct(list_transform(
              range(1, len(hs) - {WINNOW_W} + 2),
              i -> list_min(hs[i : i + {WINNOW_W} - 1])
-           ))) AS fingerprint,
+           ))), ',') AS fingerprint,
            CAST(len(list_sort(list_distinct(list_transform(
              range(1, len(hs) - {WINNOW_W} + 2),
              i -> list_min(hs[i : i + {WINNOW_W} - 1])
@@ -307,9 +307,14 @@ def q_text_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+    # fingerprint is serialized to a comma-joined scalar: the sorted-set
+    # semantics are unchanged, but scalar cells survive cross-engine
+    # value-hash comparison (array cells do not)
     return hd.select(
         "doc_id",
-        winnow.alias("fingerprint"),
+        F.array_join(
+            F.transform(winnow, lambda x: x.cast("string")), ","
+        ).alias("fingerprint"),
         F.size(winnow).cast("long").alias("fp_size"),
     )
 

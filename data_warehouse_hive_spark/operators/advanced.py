@@ -110,7 +110,7 @@ def q_subquery_in(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-LOW", "5-LOW"]
+_PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 _PIV_COLS = {p: "p" + p[0] for p in _PRIORITIES}  # 1-URGENT → p1 ...
 
 

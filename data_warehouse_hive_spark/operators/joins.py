@@ -213,9 +213,15 @@ def q_join_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """5-table star join (TPC-H Q5 shape): one fact-fact shuffle join
-    (lineitem ⋈ orders) and a broadcast cascade for the dimension chain —
-    at 100 TB only the fact join shuffles, on its natural key."""
+    """5-table star join (TPC-H Q5 shape).  Broadcast hints go ONLY on the
+    fixed-size dims (nation = 25 rows, region = 5 rows — constants at any
+    SF).  customer SCALES with SF (sf1 ≈ 150k rows, 100 TB ≈ billions), so
+    it carries no hint: AQE/CBO broadcasts it while it fits under
+    autoBroadcastJoinThreshold at small SF and falls back to a shuffle
+    hash join at scale — a forced broadcast(customer) would OOM executors
+    at exactly the scale this plan targets.  At 100 TB: two fact-scale
+    shuffles (lineitem ⋈ orders on orderkey, +customer on custkey), dims
+    free."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(
         F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")
@@ -226,7 +232,7 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")

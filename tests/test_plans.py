@@ -59,12 +59,29 @@ def test_broadcast_join_is_broadcast(spark, sf_dir):
 
 
 def test_multiway_star_join_broadcasts_dims(spark, sf_dir):
+    """Fixed-size dims (nation/region) broadcast via explicit hint; the
+    SF-scaling tables (lineitem, orders, customer) carry NO hint — the
+    optimizer broadcasts customer while it fits under the threshold at
+    small SF and shuffles it at scale.  A forced broadcast(customer)
+    would OOM at the 100 TB target, so the hint's absence is the contract
+    under test."""
+    import inspect
+
+    from data_warehouse_hive_spark.operators import joins as joins_mod
+
     plan = _plan(spark, sf_dir, "q_join_multiway")
     strategies = join_strategies(plan)
-    # dimension chain (customer/nation/region) broadcast; at most the
-    # fact-fact join shuffles
-    assert strategies.count("BroadcastHashJoin") >= 3, strategies
-    assert strategies.count("SortMergeJoin") + strategies.count("ShuffledHashJoin") <= 1, strategies
+    # nation + region always broadcast (customer may too, by CBO choice)
+    assert strategies.count("BroadcastHashJoin") >= 2, strategies
+    # at most the two fact-scale joins (li⋈o, +customer) ever shuffle
+    assert (
+        strategies.count("SortMergeJoin") + strategies.count("ShuffledHashJoin") <= 2
+    ), strategies
+    # the customer join must be optimizer-chosen, never hint-forced
+    src = inspect.getsource(joins_mod.q_join_multiway.__wrapped__) if hasattr(
+        joins_mod.q_join_multiway, "__wrapped__"
+    ) else inspect.getsource(joins_mod.q_join_multiway)
+    assert "broadcast(c)" not in src, "customer must not be hint-broadcast"
 
 
 def test_topk_uses_take_ordered(spark, sf_dir):
