@@ -341,9 +341,34 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE, so even the iterative operator is value-checked.
     """
     pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = min_label_propagation(edges)
+    return labels.select(F.col("doc").alias("doc_id"), "group_id")
+
+
+def min_label_propagation(
+    directed_edges: DataFrame, *, max_iterations: int = 50
+) -> tuple[DataFrame, int]:
+    """Connected components by iterative min-label propagation over an
+    edge list (src, dst); edges are symmetrized internally.  Returns
+    (labels DataFrame (doc, group_id), iterations run).
+
+    The driver loop is BOUNDED: iteration count equals the largest
+    component's diameter, so `max_iterations` is a circuit breaker for
+    pathological graphs (a 10k-node chain would otherwise spin the driver
+    for 10k rounds); hitting it raises instead of silently returning
+    unconverged labels.  Near-dup clusters have tiny diameters (2-4
+    rounds in practice); raise the cap or switch to path-doubling
+    (O(log n) rounds) if a use case legitimately needs deep graphs.
+    `localCheckpoint` per round truncates lineage so plan size stays O(1)
+    across iterations."""
     edges = (
-        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-        .unionAll(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        directed_edges.select("src", "dst")
+        .unionAll(
+            directed_edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst")
+            )
+        )
         .localCheckpoint()
     )
     labels = (
@@ -352,7 +377,7 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc", F.col("doc").alias("group_id"))
         .localCheckpoint()
     )
-    while True:
+    for iteration in range(1, max_iterations + 1):
         neigh = (
             edges.join(labels, edges.dst == labels.doc)
             .groupBy("src")
@@ -376,8 +401,12 @@ def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels.select(F.col("doc").alias("doc_id"), "group_id")
+            return labels, iteration
+    raise RuntimeError(
+        f"min_label_propagation did not converge in {max_iterations} "
+        "iterations — component diameter exceeds the cap; raise "
+        "max_iterations or use path-doubling for deep graphs"
+    )
 
 
 @query(

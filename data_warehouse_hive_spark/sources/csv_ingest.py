@@ -99,25 +99,32 @@ def infer_csv_schema(
     header: bool = True,
     sample_rows: int = MAX_SAMPLE_ROWS,
 ) -> tuple[T.StructType, str]:
-    """Bounded schema inference: read at most `sample_rows` rows with
-    inferSchema + date/timestamp parsing (the Spark equivalent of the
-    reference's 1000-row Polars inference window).  Returns (schema,
-    delimiter)."""
+    """Bounded schema inference: infer from at most `sample_rows` rows
+    (the Spark equivalent of the reference's 1000-row Polars inference
+    window).  Returns (schema, delimiter).
+
+    The bound is enforced on the INPUT, not the output: `inferSchema`
+    runs its own pass over everything the reader can see, so a `.limit()`
+    after `.csv(path)` would not bound the inference scan (it would scan
+    the whole file and merely truncate the rows).  Instead the first
+    N(+header) physical lines are read as text — a scan that stops early
+    — and CSV inference runs on that in-memory sample only.  Assumes
+    records are single-line (no embedded newlines in quoted fields),
+    matching the reference's line-oriented sample.  At 100 TB this is
+    what keeps ingest registration O(sample), not O(data)."""
     delim = delimiter or sniff_delimiter(path)
-    sample = (
-        spark.read.options(
-            header=str(header).lower(),
-            sep=delim,
-            inferSchema="true",
-            # Polars try_parse_dates=True equivalents:
-            dateFormat="yyyy-MM-dd",
-            timestampFormat="yyyy-MM-dd HH:mm:ss",
-            nullValue="",
-            samplingRatio="1.0",
-        )
-        .csv(path)
-        .limit(sample_rows)
-    )
+    n_lines = sample_rows + (1 if header else 0)
+    lines = [r[0] for r in spark.read.text(path).limit(n_lines).collect()]
+    sample = spark.read.options(
+        header=str(header).lower(),
+        sep=delim,
+        inferSchema="true",
+        # Polars try_parse_dates=True equivalents:
+        dateFormat="yyyy-MM-dd",
+        timestampFormat="yyyy-MM-dd HH:mm:ss",
+        nullValue="",
+        samplingRatio="1.0",
+    ).csv(spark.sparkContext.parallelize(lines, 1))
     return sample.schema, delim
 
 

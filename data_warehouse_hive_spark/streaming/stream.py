@@ -143,22 +143,39 @@ def stream_ingest_parquet(
     """Streaming ingestion sink via foreachBatch: each micro-batch lands
     as parquet after per-batch transformation — the hook for logic native
     sinks can't express (dedup-before-write, MERGE into a table format,
-    per-batch stats).  Exactly-once comes from the checkpoint (offsets +
-    batch id): a replayed batch overwrites the same work, never appends
-    twice.  At scale this is the standard stream → warehouse landing
-    pattern."""
+    per-batch stats).
 
-    def land(batch_df: DataFrame, epoch_id: int) -> None:
-        (
-            batch_df.dropDuplicates(["event_id"])
-            .withColumn("ingest_epoch", F.lit(epoch_id))
-            .write.mode("append")
-            .parquet(out_dir)
-        )
+    Exactly-once = checkpoint (offsets + batch id) x an IDEMPOTENT write
+    keyed on epoch_id.  The checkpoint alone only gives at-least-once for
+    foreachBatch: a crash between the parquet write and the checkpoint
+    commit replays the batch, and a blind append would land it twice.
+    Landing each batch as its own `ingest_epoch=N` partition with dynamic
+    partition overwrite makes the replay overwrite that partition in
+    place — same bytes, no duplicates.  At scale this is the standard
+    stream → warehouse landing pattern (per-epoch partitions also give
+    cheap epoch-level retention/compaction)."""
 
     return (
-        stream_df.writeStream.foreachBatch(land)
+        stream_df.writeStream.foreachBatch(
+            lambda batch_df, epoch_id: land_batch(batch_df, epoch_id, out_dir)
+        )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
+    )
+
+
+def land_batch(batch_df: DataFrame, epoch_id: int, out_dir: str) -> None:
+    """Idempotent per-epoch landing (the foreachBatch body, exposed so the
+    replay path is directly testable): landing the same epoch twice
+    yields the same files, not duplicates."""
+    (
+        batch_df.dropDuplicates(["event_id"])
+        .withColumn("ingest_epoch", F.lit(epoch_id))
+        .write.mode("overwrite")
+        # dynamic: only the partitions present in THIS batch (its own
+        # epoch dir) are replaced; earlier epochs are untouched
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("ingest_epoch")
+        .parquet(out_dir)
     )

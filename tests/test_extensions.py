@@ -248,3 +248,22 @@ def test_lsh_recall_on_planted_clusters(spark):
         key = (r["query_id"], r["vec_id"])
         if key in exact_scores:
             assert r["cosine"] == exact_scores[key]
+
+
+def test_label_propagation_chain_and_iteration_guard(spark):
+    """A long-chain component (worst-case diameter) must converge with a
+    correct single group and a reported iteration count; a cap below the
+    diameter must raise instead of returning unconverged labels."""
+    from data_warehouse_hive_spark.extensions.dedup import min_label_propagation
+
+    n = 9
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src long, dst long"
+    )
+    labels, iters = min_label_propagation(chain)
+    rows = {r["doc"]: r["group_id"] for r in labels.collect()}
+    assert rows == {i: 0 for i in range(n)}  # one component, min label 0
+    assert 1 <= iters <= n  # diameter-bounded
+
+    with pytest.raises(RuntimeError, match="did not converge"):
+        min_label_propagation(chain, max_iterations=2)

@@ -99,6 +99,22 @@ def test_typed_inference(spark, tmp_path):
     assert by_name["name"] == T.StringType
 
 
+def test_inference_sample_window_is_enforced(spark, tmp_path):
+    """The N-row inference bound must bound the SCAN, not just the result:
+    a type change after the sample window must not influence the inferred
+    schema (if it did, inference read the whole file — O(data) instead of
+    O(sample) at ingest time)."""
+    rows = ["id,v"] + [f"{i},{i}" for i in range(1000)] + ["1000,not_a_number"]
+    path = _write(tmp_path, "tail_surprise.csv", rows)
+    schema, _ = infer_csv_schema(spark, path, sample_rows=1000)
+    by_name = {f.name: type(f.dataType) for f in schema.fields}
+    # v is int within the 1000-row window; the row-1001 string is unseen
+    assert by_name["v"] in (T.IntegerType, T.LongType)
+    # and a small window over the same file sees only what it asked for
+    schema_small, _ = infer_csv_schema(spark, path, sample_rows=10)
+    assert type(schema_small["v"].dataType) in (T.IntegerType, T.LongType)
+
+
 @pytest.mark.parametrize("delim", [",", ";", "\t", "|"])
 def test_external_roundtrip_every_delimiter(spark, tmp_path, delim):
     path = _write(

@@ -201,6 +201,26 @@ def test_foreachbatch_ingest_sink(spark, sf_dir, tmp_path):
     assert "ingest_epoch" in landed.columns
 
 
+def test_foreachbatch_replay_is_idempotent(spark, sf_dir, tmp_path):
+    """Exactly-once under replay: a micro-batch re-landed after a crash
+    between write and checkpoint commit must overwrite its own epoch
+    partition, not append a second copy (the failure mode of a blind
+    append in foreachBatch)."""
+    from data_warehouse_hive_spark.streaming.stream import land_batch
+
+    out = str(tmp_path / "landed")
+    batch = t(spark, sf_dir, "events").limit(100)
+    land_batch(batch, 0, out)
+    n_first = spark.read.parquet(out).count()
+    land_batch(batch, 0, out)  # simulated replay of the same epoch
+    landed = spark.read.parquet(out)
+    assert landed.count() == n_first  # no duplicates
+    # a LATER epoch must append alongside, not clobber epoch 0
+    land_batch(batch, 1, out)
+    assert spark.read.parquet(out).count() == 2 * n_first
+    assert spark.read.parquet(out).select("ingest_epoch").distinct().count() == 2
+
+
 def test_python_datasource_streaming(spark):
     """The custom Python source streams: micro-batches advance the
     offset, ids never repeat, and values equal the batch reader's for
