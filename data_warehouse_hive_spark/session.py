@@ -25,6 +25,7 @@ def get_spark(
     shuffle_partitions: int | None = None,
     enable_hive: bool = False,
     warehouse_dir: str | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
     """Build (or fetch) a SparkSession with the engine's standard config.
 
@@ -68,6 +69,8 @@ def get_spark(
         builder = builder.config(
             "spark.sql.catalogImplementation", "hive"
         ).enableHiveSupport()
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     return builder.getOrCreate()
 
 

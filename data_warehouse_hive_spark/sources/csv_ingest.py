@@ -111,10 +111,17 @@ def infer_csv_schema(
     — and CSV inference runs on that in-memory sample only.  Assumes
     records are single-line (no embedded newlines in quoted fields),
     matching the reference's line-oriented sample.  At 100 TB this is
-    what keeps ingest registration O(sample), not O(data)."""
-    delim = delimiter or sniff_delimiter(path)
+    what keeps ingest registration O(sample), not O(data).
+
+    Scheme-agnostic: both the sample read and the delimiter sniff go
+    through Spark's Hadoop filesystem layer, so `path` may be a local
+    path, `file://`, `s3a://`, `hdfs://`, … — the reference's S3 GET
+    prefix-sniff (backend/csv_processor.py:36-103) becomes a bounded
+    `spark.read.text` against the same object store (see SCALING.md
+    "Object-store ingest" for the s3a conf surface)."""
     n_lines = sample_rows + (1 if header else 0)
     lines = [r[0] for r in spark.read.text(path).limit(n_lines).collect()]
+    delim = delimiter or sniff_delimiter("\n".join(lines[:50]))
     sample = spark.read.options(
         header=str(header).lower(),
         sep=delim,

@@ -99,6 +99,37 @@ def test_typed_inference(spark, tmp_path):
     assert by_name["name"] == T.StringType
 
 
+def test_ddl_describe_matches_fixture_schema(spark, sf_dir):
+    """ddl_describe is self-verifying, not rows-only: the DESCRIBE output
+    must equal the known nation fixture schema exactly (the reference's
+    /schema contract, backend/app.py:149-180)."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    rows = load_all()["ddl_describe"].fn(spark, sf_dir).collect()
+    got = {r["col_name"]: r["data_type"] for r in rows}
+    assert got == {
+        "n_nationkey": "int",
+        "n_name": "string",
+        "n_regionkey": "int",
+    }
+
+
+def test_ddl_schema_preview_matches_known_csv(spark, sf_dir):
+    """ddl_schema_preview's inferred per-column types and stats must match
+    the scratch CSV it previews (3 rows, fully typed, no nulls)."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    rows = load_all()["ddl_schema_preview"].fn(spark, sf_dir).collect()
+    got = {r["col"]: (r["dtype"], r["nulls"], r["distinct"]) for r in rows}
+    assert got == {
+        "id": ("int", 0, 3),
+        "price": ("double", 0, 3),
+        "is_active": ("boolean", 0, 2),
+        "created_date": ("date", 0, 3),
+        "name": ("string", 0, 3),
+    }
+
+
 def test_inference_sample_window_is_enforced(spark, tmp_path):
     """The N-row inference bound must bound the SCAN, not just the result:
     a type change after the sample window must not influence the inferred
@@ -113,6 +144,27 @@ def test_inference_sample_window_is_enforced(spark, tmp_path):
     # and a small window over the same file sees only what it asked for
     schema_small, _ = infer_csv_schema(spark, path, sample_rows=10)
     assert type(schema_small["v"].dataType) in (T.IntegerType, T.LongType)
+
+
+def test_ingest_is_path_scheme_agnostic(spark, tmp_path):
+    """The whole ingest pipeline (sniff → inference → registration) must
+    work through Spark's Hadoop FS layer, not local-only file IO: a
+    file:// URI (a non-local-path scheme resolved by the same mechanism
+    as s3a://) must sniff the real delimiter and round-trip rows.  A
+    local-IO sniff would silently fall back to ',' here and mis-split
+    every row."""
+    from data_warehouse_hive_spark.sources import catalog as cat
+
+    path = _write(tmp_path, "schemed.csv", ["k;v", "1;a", "2;b"])
+    uri = "file://" + os.path.abspath(path)
+    res = ingest_csv(spark, uri, "schemed_case")
+    try:
+        assert res.delimiter == ";"  # sniffed through the FS layer
+        df = spark.table(res.table_name)
+        assert [f.name for f in df.schema.fields] == ["k", "v"]
+        assert df.count() == 2
+    finally:
+        cat.drop_table(spark, res.table_name)
 
 
 @pytest.mark.parametrize("delim", [",", ";", "\t", "|"])
