@@ -43,6 +43,15 @@ HEADLINE = [
     "q_time_session_gap",  # sessionization
 ]
 
+# Timed and reported separately — NOT summed into the headline total, so the
+# headline metric stays round-over-round comparable.  These are the two plans
+# most likely to regress under changes: iterative label propagation
+# (driver-loop + localCheckpoint) and hyperplane-LSH bucketed vector search.
+SECONDARY = [
+    "q_dedup_groups",
+    "q_sim_search_lsh",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -66,7 +75,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE:
+    for name in HEADLINE + SECONDARY:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -83,6 +92,13 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+
+    secondary: dict[str, float] = {}
+    for name in SECONDARY:
+        t0 = time.perf_counter()
+        _force(registry[name].fn(spark, sf_dir))
+        secondary[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -90,6 +106,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "secondary": secondary,
                 "sf": sf,
                 "n_queries": len(timings),
             }

@@ -1,0 +1,366 @@
+"""Corpus curation operators — the filter/sample/shard stages a
+large-scale training-data pipeline runs between raw ingest and
+tokenization (SURVEY.md §2.12 extension family, alongside dedup and
+similarity).
+
+Design rules shared with functions/text.py: every per-document measure is
+a JVM-side builtin expression (split/regexp/filter lambdas — no Python in
+the hot path), so each operator is a narrow map over the corpus that
+parallelizes linearly at 100 TB; the only shuffles are the final small
+aggregations (per-language, per-bucket, per-shard — all low-cardinality
+uniform keys).  Sampling and sharding use an explicit integer hash rather
+than either engine's built-in `hash()`/`random()` so assignment is
+deterministic, engine-portable, and stable across reruns — the property a
+reproducible training-data pipeline actually needs.
+
+The rule *thresholds* follow the published heuristic filter families
+(Gopher / C4-style repetition, symbol and length rules); the fixture
+corpus is synthetic, so the mechanism — not the thresholds — is what the
+oracle locks in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.functions.text import tokens
+from data_warehouse_hive_spark.tables import spread, t
+
+# ---------------------------------------------------------------------------
+# Deterministic engine-portable hash (Knuth multiplicative, bounded to 2^31
+# so the product stays far inside signed-64 range in both engines).
+# ---------------------------------------------------------------------------
+
+_HASH_MOD = 2_147_483_648  # 2^31
+_HASH_MULT = 2_654_435_761  # Knuth's multiplicative constant
+
+
+def portable_hash(c: Column) -> Column:
+    """((x % 2^31) * 2654435761) % 2^31 — pure BIGINT ops, identical in
+    Spark and DuckDB, stable across sessions (unlike F.hash, whose seed
+    and algorithm are engine-private)."""
+    return ((c % _HASH_MOD) * _HASH_MULT) % _HASH_MOD
+
+
+def _o_portable_hash(expr: str) -> str:
+    return f"((({expr}) % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD}"
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style heuristic quality filter
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "and", "of", "a", "is", "to")
+_GOPHER_MIN_WORDS = 50
+_GOPHER_MAX_WORDS = 100_000
+_GOPHER_MIN_MEAN_LEN = 3.0
+_GOPHER_MAX_MEAN_LEN = 10.0
+_GOPHER_MAX_SYMBOL_RATIO = 0.1
+_GOPHER_MAX_BULLET_RATIO = 0.9
+_GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append Gopher-style heuristic quality measures + a `keep` verdict.
+
+    Rules (per doc, all builtin expressions): word count in
+    [50, 100000]; mean word length in [3, 10]; symbol-to-word ratio
+    ('#' and '...' occurrences) <= 0.1; fraction of bullet-point lines
+    <= 0.9; at least 2 stopword hits.  `keep` is the conjunction.
+
+    Works on any DataFrame with a text column — the registry wrapper
+    applies it to `documents`, tests drive it with planted pathological
+    rows.
+    """
+    text = F.col(text_col)
+    ws = tokens(text)
+    lines = F.split(text, "\n")
+    n_tok = F.size(ws).cast("long")
+    n_tok_d = n_tok.cast("double")
+    mean_word_len = (
+        F.length(F.regexp_replace(F.trim(text), r"\s+", "")).cast("double") / n_tok_d
+    )
+    symbol_ratio = (
+        F.size(F.regexp_extract_all(text, F.lit(r"#|\.\.\."), 0)).cast("double")
+        / n_tok_d
+    )
+    bullet_ratio = (
+        F.size(F.filter(lines, lambda x: x.like("- %") | x.like("* %"))).cast("double")
+        / F.size(lines).cast("double")
+    )
+    stop_hits = F.size(
+        F.filter(ws, lambda x: F.lower(x).isin(*_STOPWORDS))
+    ).cast("long")
+    out = (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("mean_word_len", mean_word_len)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_ratio", bullet_ratio)
+        .withColumn("stopword_hits", stop_hits)
+    )
+    keep = (
+        F.col("n_tok").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS)
+        & F.col("mean_word_len").between(_GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN)
+        & (F.col("symbol_ratio") <= _GOPHER_MAX_SYMBOL_RATIO)
+        & (F.col("bullet_ratio") <= _GOPHER_MAX_BULLET_RATIO)
+        & (F.col("stopword_hits") >= _GOPHER_MIN_STOPWORDS)
+    )
+    return out.withColumn("keep", keep)
+
+
+@query(
+    "q_quality_gopher",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tok,
+             CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %')) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+             CAST(len(list_filter(ws, x -> lower(x) IN {_STOPWORDS!r})) AS BIGINT)
+               AS stopword_hits
+      FROM tok
+    )
+    SELECT doc_id, n_tok, mean_word_len, symbol_ratio, bullet_ratio, stopword_hits,
+           (n_tok BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+            AND mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+            AND symbol_ratio <= {_GOPHER_MAX_SYMBOL_RATIO}
+            AND bullet_ratio <= {_GOPHER_MAX_BULLET_RATIO}
+            AND stopword_hits >= {_GOPHER_MIN_STOPWORDS}) AS keep
+    FROM m
+    """,
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality filter (Gopher-rule family) over the corpus:
+    per-doc word count, mean word length, symbol ratio, bullet-line ratio,
+    stopword hits, and the conjunctive keep verdict.  Pure narrow map —
+    zero shuffles; ratios are per-row IEEE ops on identical operands so
+    values are bit-identical across engines."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return gopher_quality(d).select(
+        "doc_id",
+        "n_tok",
+        "mean_word_len",
+        "symbol_ratio",
+        "bullet_ratio",
+        "stopword_hits",
+        "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction
+# ---------------------------------------------------------------------------
+
+# Patterns kept to syntax shared by Java regex and RE2 (no lookarounds).
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\+?[0-9]{3}[-. ]?[0-9]{3}[-. ]?[0-9]{4}"
+_PII_LONGNUM = r"[0-9]{9,}"
+
+
+def pii_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append PII match counts and a fully-redacted text column.
+
+    Email -> <EMAIL>, then bare digit runs >= 9 -> <NUM>, then
+    phone-shaped -> <PHONE>.  Most-structured-first ordering: emails are
+    unambiguous; an unbroken >=9-digit run is an account/id number, and
+    redacting it before the phone pass stops the phone pattern from
+    claiming its first ten digits (separator-delimited phones survive the
+    digit-run pass untouched).  Counts come from the pre-redaction text.
+    Redaction is regexp_replace (replace-all in both engines), a narrow
+    map — no shuffle, no Python.
+    """
+    text = F.col(text_col)
+
+    def n_matches(pattern: str) -> Column:
+        return F.size(F.regexp_extract_all(text, F.lit(pattern), 0)).cast("long")
+
+    redacted = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, _PII_EMAIL, "<EMAIL>"),
+            _PII_LONGNUM,
+            "<NUM>",
+        ),
+        _PII_PHONE,
+        "<PHONE>",
+    )
+    return (
+        df.withColumn("n_emails", n_matches(_PII_EMAIL))
+        .withColumn("n_phones", n_matches(_PII_PHONE))
+        .withColumn("n_longnums", n_matches(_PII_LONGNUM))
+        .withColumn("redacted", redacted)
+    )
+
+
+@query(
+    "q_text_pii",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS BIGINT) AS n_longnums,
+           CAST(length(regexp_replace(regexp_replace(regexp_replace(text,
+                 '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                 '{_PII_LONGNUM}', '<NUM>', 'g'),
+                 '{_PII_PHONE}', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+    FROM documents
+    """,
+)
+def q_text_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-doc email/phone/long-number match counts and
+    the redacted text length.  The redaction chain is ordered (emails,
+    bare >=9-digit runs, then phone-shaped) — see pii_stats for why."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    return pii_stats(d).select(
+        "doc_id",
+        "n_emails",
+        "n_phones",
+        "n_longnums",
+        F.length("redacted").cast("long").alias("redacted_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-count histogram
+# ---------------------------------------------------------------------------
+
+_HIST_BUCKET = 32  # tokens per bucket
+
+
+@query(
+    "q_tokens_histogram",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT (n_tok // {_HIST_BUCKET}) * {_HIST_BUCKET} AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+    FROM tok
+    GROUP BY 1
+    ORDER BY bucket_lo
+    """,
+)
+def q_tokens_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-count distribution: docs and token mass per fixed-width
+    bucket — the one-pass histogram that sizes a tokenization run and
+    exposes truncation-length tradeoffs.  Integer bucketing (floor-div),
+    tiny group-by key domain, so the aggregation is a near-free partial+
+    final hash agg at any scale."""
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    n_tok = F.size(tokens("text")).cast("long")
+    return (
+        d.select((n_tok - n_tok % _HIST_BUCKET).alias("bucket_lo"),
+                 n_tok.alias("n_tok"))
+        .groupBy("bucket_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+        )
+        .orderBy("bucket_lo")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+_SAMPLE_PCT = 5  # keep h % 100 < 5  -> 5% sample
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT lang,
+           COUNT(*) AS n_total,
+           CAST(SUM(CASE WHEN {_o_portable_hash('doc_id')} % 100 < {_SAMPLE_PCT}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN {_o_portable_hash('doc_id')} % 100 < {_SAMPLE_PCT}
+                         THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS kept_ratio
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling audit: a multiplicative-hash
+    keep rule (h(doc_id) % 100 < 5) counted per language.  Unlike
+    rand()/TABLESAMPLE, the same doc survives the sample in every engine
+    and every rerun — the reproducibility a training-data pipeline needs
+    when a downstream bug forces re-materialization.  One small shuffle on
+    the language key."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "lang"), spark)
+    kept = F.when(
+        portable_hash(F.col("doc_id")) % 100 < _SAMPLE_PCT, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.withColumn("kept", kept)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").cast("long").alias("n_kept"),
+            (
+                F.sum("kept").cast("double") / F.count(F.lit(1)).cast("double")
+            ).alias("kept_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hash-sharding for training-shard layout
+# ---------------------------------------------------------------------------
+
+_N_SHARDS = 64
+
+
+@query(
+    "q_shard_assign",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT {_o_portable_hash('doc_id')} % {_N_SHARDS} AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok,
+             doc_id
+      FROM documents
+    )
+    SELECT shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard assignment audit: deterministic hash-sharding of the
+    corpus into N shards with per-shard doc/token mass — the balance check
+    run before writing tokenized shards.  At scale this is the plan that
+    guides `repartition(N, shard)` + per-shard parquet writes; the audit
+    itself is one partial+final agg on a 64-value key."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    shard = (portable_hash(F.col("doc_id")) % _N_SHARDS).alias("shard")
+    n_tok = F.size(tokens("text")).cast("long").alias("n_tok")
+    return (
+        d.select(shard, n_tok, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("shard")
+    )

@@ -101,6 +101,20 @@ def compare_to_oracle(
     if len(s_rows) != len(o_rows):
         problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
     if not problems:
+        # Driver-hasher replica: its pandas sort_values canonicalization
+        # must neither crash (unhashable cells) nor disagree.  Skipped when
+        # a float tolerance is in play — bit-differing floats legitimately
+        # hash apart there.
+        if float_rtol == 0.0:
+            try:
+                s_hash = _driver_canon(spark_pdf)
+                o_hash = _driver_canon(oracle_pdf)
+            except TypeError as exc:
+                problems.append(f"driver-canon crash: {exc!r}")
+            else:
+                if s_hash != o_hash:
+                    problems.append("driver-canon hash mismatch")
+    if not problems:
         n_bad = 0
         for i, (sr, orow) in enumerate(zip(s_rows, o_rows)):
             if sr == orow:
@@ -119,6 +133,20 @@ def compare_to_oracle(
         oracle_rows=len(o_rows),
         problems=problems,
     )
+
+
+def _driver_canon(df: pd.DataFrame) -> int:
+    """Replica of the external driver's canonicalization: sort the frame by
+    every column with pandas ``sort_values`` (which factorizes object
+    columns — any unhashable cell raises, exactly as observed in the
+    driver), then hash the canonical cell sequence.  Run on both sides so
+    hazards surface locally before the driver hits them."""
+    cols = sorted(df.columns)
+    canon = df[cols].sort_values(by=cols, kind="mergesort").reset_index(drop=True)
+    acc = []
+    for row in canon.itertuples(index=False, name=None):
+        acc.append(tuple(_norm_cell(v) for v in row))
+    return hash(tuple(acc))
 
 
 def _rows_close(a: tuple, b: tuple, rtol: float) -> bool:

@@ -267,3 +267,65 @@ def test_label_propagation_chain_and_iteration_guard(spark):
 
     with pytest.raises(RuntimeError, match="did not converge"):
         min_label_propagation(chain, max_iterations=2)
+
+
+def test_gopher_quality_rules_on_planted_docs(spark):
+    """Each Gopher rule must independently reject its pathological doc and
+    keep the one good doc (the fixture corpus never trips the rules, so
+    the rejection paths need planted rows)."""
+    from data_warehouse_hive_spark.extensions.curation import gopher_quality
+
+    good = "the quick brown fox and the lazy dog " * 10  # ~90 words, stopwords
+    rows = [
+        ("good", good),
+        ("too_short", "the and tiny"),
+        ("symbols", "### " + "# ".join(["the and of a is to"] * 10)),
+        ("bullets", "\n".join("- the item and of a is to here now" for _ in range(20))),
+        ("no_stop", " ".join(f"zzz{i}" for i in range(80))),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in gopher_quality(df).collect()}
+    assert out["good"]["keep"] is True
+    assert out["too_short"]["keep"] is False and out["too_short"]["n_tok"] < 50
+    assert out["symbols"]["keep"] is False and out["symbols"]["symbol_ratio"] > 0.1
+    assert out["bullets"]["keep"] is False and out["bullets"]["bullet_ratio"] > 0.9
+    assert out["no_stop"]["keep"] is False and out["no_stop"]["stopword_hits"] == 0
+
+
+def test_pii_redaction_on_planted_docs(spark):
+    """Counts and redaction for each PII class, and the ordering guarantee
+    (emails/phones labeled before the bare digit-run catch-all)."""
+    from data_warehouse_hive_spark.extensions.curation import pii_stats
+
+    rows = [
+        ("e", "mail me at jane.doe+x@example.co.uk today"),
+        ("p", "call +1 555-123-4567 or 555.987.6543"),
+        ("n", "account 9876543210123 ok"),
+        ("clean", "nothing sensitive here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {r["doc_id"]: r for r in pii_stats(df).collect()}
+    assert out["e"]["n_emails"] == 1 and "<EMAIL>" in out["e"]["redacted"]
+    assert "jane" not in out["e"]["redacted"]
+    assert out["p"]["n_phones"] == 2 and out["p"]["redacted"].count("<PHONE>") == 2
+    assert out["n"]["n_longnums"] == 1 and "<NUM>" in out["n"]["redacted"]
+    assert out["clean"]["redacted"] == out["clean"]["text"]
+
+
+def test_portable_hash_sampling_is_deterministic(spark):
+    """The sampling hash must be stable across sessions (it IS the
+    reproducibility contract) — pin exact values."""
+    from data_warehouse_hive_spark.extensions.curation import portable_hash
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 1000).select(portable_hash(F.col("id")).alias("h"))
+    got = [r["h"] for r in df.collect()]
+    assert got[:4] == [
+        0,
+        2654435761 % 2147483648,
+        (2 * 2654435761) % 2147483648,
+        (3 * 2654435761) % 2147483648,
+    ]
+    # keep-rule selects ~5%
+    kept = sum(1 for h in got if h % 100 < 5)
+    assert 20 <= kept <= 80
