@@ -498,3 +498,99 @@ def ddl_csv_badrows(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_orc_external")
+def ddl_orc_external(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC external-table round-trip — the Hive ecosystem's native
+    columnar format next to parquet (the reference's warehouse is Hive,
+    whose STORED AS ORC is the canonical managed layout; reference DDL
+    surface backend/hive_manager.py:169-181).  Write ORC → external table
+    USING ORC → predicate-pushdown read → drop keeps data.
+
+    At scale ORC and parquet behave alike in Spark: columnar scan with
+    column pruning + min/max stripe/row-group skipping; the format choice
+    is an interop decision (existing Hive warehouses), not a plan one.
+    """
+    import tempfile as _tf
+
+    d = os.path.join(_tf.mkdtemp(prefix="dwh_orc_"), "region_orc")
+    name = f"orc_{uuid.uuid4().hex[:8]}"
+    src = t(spark, sf_dir, "region")
+    src.write.mode("overwrite").orc(d)
+    spark.sql(f"CREATE TABLE {name} USING ORC LOCATION '{d}'")
+    tbl = spark.table(name)
+    n_total = tbl.count()
+    n_filtered = tbl.filter(F.col("r_regionkey") >= 2).count()
+    schema_matches = [f.name for f in tbl.schema.fields] == [
+        f.name for f in src.schema.fields
+    ]
+    cat.drop_table(spark, name)
+    data_survives = os.path.exists(d)
+    return spark.createDataFrame(
+        [
+            Row(
+                rows_read=n_total,
+                rows_filtered=n_filtered,
+                schema_matches=schema_matches,
+                dropped_data_survives=data_survives,
+            )
+        ]
+    )
+
+
+@query("ddl_json_ingest")
+def ddl_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingestion with quarantine — the semi-structured twin of
+    ddl_csv_badrows: explicit schema, PERMISSIVE corrupt-record capture,
+    nested-field extraction, parquet landing.
+
+    Schema is declared, not inferred: at 100 TB an inference pass is a
+    full extra scan, and drifting inferred types break downstream
+    consumers — production JSON feeds pin a schema and quarantine
+    non-conforming lines instead.
+    """
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="dwh_json_")
+    path = os.path.join(d, "feed.jsonl")
+    with open(path, "w") as f:
+        f.write(
+            '{"id": 1, "meta": {"source": "web", "score": 0.9}, "tags": ["a", "b"]}\n'
+            '{"id": 2, "meta": {"source": "api", "score": 0.5}, "tags": []}\n'
+            "{not json at all}\n"
+            '{"id": 4, "meta": {"source": "web", "score": 0.7}, "tags": ["c"]}\n'
+        )
+    schema = (
+        "id BIGINT, meta STRUCT<source: STRING, score: DOUBLE>, "
+        "tags ARRAY<STRING>, _bad STRING"
+    )
+    parsed = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", "_bad"
+    ).json(path).cache()
+    try:
+        ok = parsed.filter(F.col("_bad").isNull())
+        n_ok = ok.count()
+        n_bad = parsed.filter(F.col("_bad").isNotNull()).count()
+        flat = ok.select(
+            "id",
+            F.col("meta.source").alias("source"),
+            F.col("meta.score").alias("score"),
+            F.size("tags").alias("n_tags"),
+        )
+        out_dir = os.path.join(d, "landed")
+        flat.write.mode("overwrite").parquet(out_dir)
+        n_landed = spark.read.parquet(out_dir).count()
+        n_web = flat.filter(F.col("source") == "web").count()
+    finally:
+        parsed.unpersist()
+    return spark.createDataFrame(
+        [
+            Row(
+                parsed_ok=n_ok,
+                quarantined=n_bad,
+                landed=n_landed,
+                web_rows=n_web,
+            )
+        ]
+    )

@@ -137,6 +137,28 @@ def stream_stream_join(
     )
 
 
+def stream_dedup(
+    events: DataFrame,
+    key_cols: tuple[str, ...] = ("event_id",),
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeats of the same key arriving within
+    the watermark horizon — the ingest-side twin of the batch
+    q_dedup_exact, and the standard guard against at-least-once upstream
+    delivery (Kafka producer retries, replayed file drops).
+
+    `dropDuplicatesWithinWatermark` keeps one state-store entry per key
+    and expires it once the watermark passes the key's first-seen event
+    time, so state is bounded by (arrival rate x watermark delay) instead
+    of growing with the full stream history — plain dropDuplicates on a
+    stream would hold every key forever.  At scale the state store is
+    hash-partitioned by key; a uniform event-id key means no skew.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def stream_ingest_parquet(
     stream_df: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> StreamingQuery:

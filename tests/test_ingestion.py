@@ -237,3 +237,27 @@ def test_python_datasource_synthetic_events(spark):
     a = sorted(map(tuple, df.collect()))
     b = sorted(map(tuple, reader.load().collect()))
     assert a == b
+
+
+def test_orc_external_roundtrip_values(spark, sf_dir):
+    """ORC round-trip must read back exactly the written region table
+    (5 rows, 3 with r_regionkey >= 2) and keep data after DROP."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_orc_external"].fn(spark, sf_dir).collect()[0]
+    assert row["rows_read"] == 5
+    assert row["rows_filtered"] == 3
+    assert row["schema_matches"] is True
+    assert row["dropped_data_survives"] is True
+
+
+def test_json_ingest_quarantine_values(spark, sf_dir):
+    """JSON ingest: 3 conforming lines parse (2 web + 1 api), the corrupt
+    line lands in quarantine, and all parsed rows reach the parquet sink."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_json_ingest"].fn(spark, sf_dir).collect()[0]
+    assert row["parsed_ok"] == 3
+    assert row["quarantined"] == 1
+    assert row["landed"] == 3
+    assert row["web_rows"] == 2

@@ -267,3 +267,53 @@ def test_python_datasource_streaming(spark):
     want = batch.loc[got.index]
     assert (got["user_id"].values == want["user_id"].values).all()
     assert (got["value"].values == want["value"].values).all()
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """Duplicates arriving across micro-batches within the watermark must
+    be dropped; the surviving stream equals the batch distinct-by-key."""
+    import os
+    import pandas as pd
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        stream_dedup,
+    )
+
+    src = str(tmp_path / "dup_src")
+    os.makedirs(src)
+    base = pd.DataFrame(
+        {
+            "event_id": [1, 2, 3, 4],
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 10:05",
+                 "2024-01-01 10:10", "2024-01-01 10:15"]
+            ),
+            "user_id": [7, 7, 8, 8],
+        }
+    )
+    # batch A: events 1-3; batch B: replay of 2,3 (at-least-once upstream)
+    # plus the new event 4.  Flat single-file parquet per micro-batch (the
+    # file stream source lists the top level only).
+    base.iloc[:3].to_parquet(src + "/a.parquet", index=False)
+    base.iloc[1:4].to_parquet(src + "/b.parquet", index=False)
+
+    stream = read_events_stream(
+        spark, src, schema=spark.read.parquet(src + "/a.parquet").schema,
+        max_files_per_trigger=1,
+    )
+    sink = f"dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_dedup(stream)
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        out = spark.table(sink).toPandas()
+        assert sorted(out["event_id"].tolist()) == [1, 2, 3, 4]
+    finally:
+        q.stop()
