@@ -239,3 +239,33 @@ def test_aqe_splits_skewed_join(spark):
         for k, v in old.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_curation_filters_are_narrow_maps(spark, sf_dir):
+    """q_quality_gopher / q_text_pii are pure per-row maps: no
+    aggregation, no join, at most the one spread() repartition — and the
+    scan reads only the referenced columns (a quality pass that drags the
+    full row width through 100 TB is wrong)."""
+    for name in ("q_quality_gopher", "q_text_pii"):
+        plan = _plan(spark, sf_dir, name)
+        assert count_exchanges(plan) <= 1, (name, plan)
+        assert "HashAggregate" not in plan, (name, plan)
+        assert not join_strategies(plan), (name, plan)
+        schemas = read_schemas(plan)
+        assert schemas and all(
+            "doc_id" in s and "lang" not in s and "source" not in s for s in schemas
+        ), (name, schemas)
+
+
+def test_curation_aggregates_bounded_shuffles(spark, sf_dir):
+    """Histogram / sampling / sharding: one partial+final agg exchange on
+    a tiny key domain (plus spread and the final order-by range
+    exchange).  Sampling must not read the text column at all — the
+    keep-rule needs only (doc_id, lang)."""
+    for name in ("q_tokens_histogram", "q_sample_stratified", "q_shard_assign"):
+        plan = _plan(spark, sf_dir, name)
+        assert count_exchanges(plan) <= 3, (name, plan)
+    sample_schemas = read_schemas(_plan(spark, sf_dir, "q_sample_stratified"))
+    assert sample_schemas and all("text" not in s for s in sample_schemas), (
+        sample_schemas
+    )
