@@ -25,6 +25,12 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.extensions.dedup import (
+    _O_NORM,
+    _o_base_hash,
+    base_hash,
+    normalized_text,
+)
 from data_warehouse_hive_spark.functions.text import tokens
 from data_warehouse_hive_spark.tables import spread, t
 
@@ -363,4 +369,165 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
         .orderBy("shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination (eval-set n-gram overlap)
+# ---------------------------------------------------------------------------
+
+_DECON_N = 3          # word n-gram length (real suites use 8-13; the
+                      # synthetic fixture vocabulary needs 3 to exercise hits)
+_DECON_EVAL_MOD = 97  # eval set = doc_id % 97 == 13  (~1% held-out slice)
+_DECON_EVAL_REM = 13
+
+
+@query(
+    "q_decontaminate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, string_split({_O_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(greatest(len(w) - {_DECON_N - 1}, 1)),
+               i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
+             )) AS s
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id, {_o_base_hash('s')} AS h FROM grams
+    ),
+    eval_h AS (
+      SELECT DISTINCT h FROM hashed
+      WHERE doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM}
+    )
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.h) AS BIGINT) AS n_shared_grams
+    FROM hashed t
+    JOIN eval_h USING (h)
+    WHERE t.doc_id % {_DECON_EVAL_MOD} <> {_DECON_EVAL_REM}
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any word
+    n-gram with a held-out eval slice — the GPT-3/Dolma-style overlap
+    check run before a corpus is declared clean for pretraining.
+
+    Eval membership is the deterministic doc_id slice (in production: the
+    actual benchmark suites).  Each side's n-grams reduce to the same
+    engine-portable 32-bit md5 hash used by the MinHash pipeline
+    (dedup.base_hash), so the overlap join is an integer equi-join.
+
+    Scale shape: eval suites are tiny and fixed (MMLU+HellaSwag+... is
+    ~100k grams) while the corpus is 100 TB — so the eval gram set is
+    DISTINCT'd and broadcast, and the corpus side never shuffles for the
+    join; the per-doc overlap count is one partial+final agg on doc_id.
+    The corpus gram explode is inline over the transform (the
+    InferFiltersFromGenerate trap — see dedup.signature).
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    w = F.split(normalized_text("text"), " ")
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.try_element_at(F.col("w"), i + j) for j in range(1, _DECON_N + 1)]
+    )
+    grams = d.select("doc_id", w.alias("w")).select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.greatest(F.size("w") - _DECON_N, F.lit(0))),
+                shingle,
+            )
+        ).alias("s"),
+    )
+    hashed = grams.select("doc_id", base_hash(F.col("s")).alias("h"))
+    is_eval = F.col("doc_id") % _DECON_EVAL_MOD == _DECON_EVAL_REM
+    eval_h = hashed.filter(is_eval).select("h").distinct()
+    train = hashed.filter(~is_eval)
+    return (
+        train.join(F.broadcast(eval_h), "h")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("h").alias("n_shared_grams"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (training-sequence layout audit)
+# ---------------------------------------------------------------------------
+
+_SEQ_LEN = 2048
+
+
+@query(
+    "q_pack_sequences",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id,
+             {_o_portable_hash('doc_id')} % {_N_SHARDS} AS shard,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    placed AS (
+      SELECT shard, doc_id, n_tok,
+             COALESCE(CAST(SUM(n_tok) OVER (
+               PARTITION BY shard ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS BIGINT), 0) AS tok_offset
+      FROM tok
+    )
+    SELECT shard,
+           CAST(tok_offset // {_SEQ_LEN} AS BIGINT) AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc,
+           MAX(doc_id) AS last_doc
+    FROM placed
+    GROUP BY shard, seq_id
+    ORDER BY shard, seq_id
+    """,
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing audit: concatenate each shard's documents
+    in deterministic doc_id order and split the token stream at fixed
+    _SEQ_LEN boundaries — each doc's sequence index is its running token
+    tok_offset // _SEQ_LEN (document-boundary-agnostic packing, the layout a
+    pretraining loader consumes).
+
+    Scale shape: the window is partitioned by the 64-way shard hash and
+    ordered within the shard — there is NO global cumsum (a global
+    ORDER BY window would serialize the corpus through one task).  One
+    shuffle on shard for the window, one partial+final agg on
+    (shard, seq_id).  The floor-div is exact: per-shard token offsets
+    stay far below 2^53.
+    """
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    tok = d.select(
+        "doc_id",
+        (portable_hash(F.col("doc_id")) % _N_SHARDS).alias("shard"),
+        F.size(tokens("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    placed = tok.withColumn("tok_offset", F.coalesce(F.sum("n_tok").over(w), F.lit(0)))
+    return (
+        placed.select(
+            "shard",
+            F.floor(F.col("tok_offset") / _SEQ_LEN).cast("long").alias("seq_id"),
+            "doc_id",
+            "n_tok",
+        )
+        .groupBy("shard", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("shard", "seq_id")
     )

@@ -98,6 +98,19 @@ def compare_to_oracle(
 
     if s_cols != o_cols:
         problems.append(f"columns differ: spark={s_cols} oracle={o_cols}")
+    else:
+        # int-vs-float dtype drift (e.g. DuckDB widening SUM to HUGEINT,
+        # which its pandas bridge lands as float64) passes a value-equal
+        # compare (448 == 448.0) but can fail a strict schema check —
+        # surface it here.  Only the i/f kind pair is flagged: other kind
+        # differences (object vs datetime64 bridges) are legitimate.
+        for c in s_cols:
+            ks, ko = spark_pdf[c].dtype.kind, oracle_pdf[c].dtype.kind
+            if {ks, ko} == {"i", "f"}:
+                problems.append(
+                    f"dtype drift on {c!r}: spark={spark_pdf[c].dtype} "
+                    f"oracle={oracle_pdf[c].dtype} — cast the wider side"
+                )
     if len(s_rows) != len(o_rows):
         problems.append(f"row count differs: spark={len(s_rows)} oracle={len(o_rows)}")
     if not problems:

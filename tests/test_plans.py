@@ -269,3 +269,22 @@ def test_curation_aggregates_bounded_shuffles(spark, sf_dir):
     assert sample_schemas and all("text" not in s for s in sample_schemas), (
         sample_schemas
     )
+
+
+def test_decontaminate_broadcasts_eval_grams(spark, sf_dir):
+    """The eval gram set must broadcast — the corpus side never shuffles
+    for the overlap join (eval suites are tiny; the corpus is 100 TB)."""
+    plan = _plan(spark, sf_dir, "q_decontaminate")
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+    assert "SortMergeJoin" not in join_strategies(plan), plan
+
+
+def test_pack_sequences_no_global_sort(spark, sf_dir):
+    """Packing must window per shard, never globally: the plan sorts
+    within hash-partitioned exchanges (no range-partitioned global sort
+    of the corpus)."""
+    plan = _plan(spark, sf_dir, "q_pack_sequences")
+    assert "hashpartitioning(shard" in plan, plan
+    # the only rangepartitioning allowed is the final 64-row ORDER BY of
+    # the audit output, never of the corpus-scale placed rows
+    assert plan.count("rangepartitioning") <= 1, plan
