@@ -594,3 +594,110 @@ def ddl_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_merge_upsert")
+def ddl_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) semantics over a plain parquet table — Hive
+    ACID's MERGE (WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT) expressed
+    as the classic warehouse rewrite, since neither vanilla parquet nor
+    the reference's CSV-on-Hive layout has row-level transactions:
+
+      result = source (updates + inserts)
+             ∪ target ⟕ anti-join source on key (untouched rows)
+
+    One shuffle-or-broadcast anti-join + a full rewrite of the touched
+    table.  At scale the rewrite is confined by partitioning: MERGE
+    touches only the partitions holding matched keys (pair with dynamic
+    partition overwrite, see ddl_insert_overwrite_partition); a table
+    format with transaction logs (Iceberg/Delta/Hudi) turns the rewrite
+    into a metadata swap but the join shape is identical.
+    """
+    name = f"merge_{uuid.uuid4().hex[:8]}"
+    spark.sql(
+        f"CREATE TABLE {name} (k BIGINT, v STRING, amount DOUBLE) USING PARQUET"
+    )
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k BIGINT, v STRING, amount DOUBLE",
+    ).write.insertInto(name)
+    source = spark.createDataFrame(
+        [(2, "b2", 25.0), (4, "d", 40.0)],  # k=2 update, k=4 insert
+        "k BIGINT, v STRING, amount DOUBLE",
+    )
+    target = spark.table(name)
+    untouched = target.join(source.select("k"), "k", "left_anti")
+    merged = untouched.unionByName(source)
+    # the rewrite must cut its lineage to the table it overwrites
+    # (UNSUPPORTED_OVERWRITE otherwise); localCheckpoint materializes the
+    # merged partitions executor-side — at scale the same role is played
+    # by the staging write-then-swap
+    staged = merged.localCheckpoint()
+    n_after = staged.count()
+    staged.write.mode("overwrite").saveAsTable(name)
+    after = spark.table(name)
+    updated_v = after.filter(F.col("k") == 2).select("v").collect()[0][0]
+    inserted = after.filter(F.col("k") == 4).count()
+    unchanged = after.filter(F.col("k") == 1).count()
+    cat.drop_table(spark, name)
+    return spark.createDataFrame(
+        [
+            Row(
+                rows_after=n_after,
+                updated_value=updated_v,
+                inserted_rows=inserted,
+                unchanged_rows=unchanged,
+            )
+        ]
+    )
+
+
+@query("ddl_insert_overwrite_partition")
+def ddl_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive INSERT OVERWRITE ... PARTITION with dynamic partition
+    overwrite: replacing one partition's data must leave every other
+    partition byte-identical — the at-scale repair/backfill primitive
+    (a bad day's data is rewritten without touching the other 10,000
+    partition directories).
+
+    `spark.sql.sources.partitionOverwriteMode=dynamic` scopes
+    mode('overwrite') to the partitions present in the WRITE (static mode
+    would truncate the whole table) — same mechanism the streaming
+    ingest's idempotent landing uses (streaming/stream.py land_batch).
+    """
+    import tempfile as _tf
+
+    d = os.path.join(_tf.mkdtemp(prefix="dwh_dynpart_"), "tbl")
+    src = t(spark, sf_dir, "orders").withColumn(
+        "pt", (F.col("o_orderkey") % 3).cast("int")
+    )
+    src.write.partitionBy("pt").parquet(d)
+    before_other = spark.read.parquet(d).filter(F.col("pt") != 1).count()
+    # backfill partition pt=1 with corrected rows, marked via an existing
+    # column (the overwrite schema must equal the table schema)
+    fixed = src.filter(F.col("pt") == 1).withColumn(
+        "o_orderstatus", F.lit("B")
+    )
+    old_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fixed.write.mode("overwrite").partitionBy("pt").parquet(d)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", old_mode)
+    after = spark.read.parquet(d)
+    after_other = after.filter(F.col("pt") != 1).count()
+    backfilled = (
+        after.filter(F.col("pt") == 1)
+        .filter(F.col("o_orderstatus") == "B")
+        .count()
+    )
+    pt1_total = after.filter(F.col("pt") == 1).count()
+    return spark.createDataFrame(
+        [
+            Row(
+                other_partitions_untouched=bool(before_other == after_other),
+                backfilled_rows=backfilled,
+                pt1_rows=pt1_total,
+            )
+        ]
+    )

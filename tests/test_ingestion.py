@@ -261,3 +261,26 @@ def test_json_ingest_quarantine_values(spark, sf_dir):
     assert row["quarantined"] == 1
     assert row["landed"] == 3
     assert row["web_rows"] == 2
+
+
+def test_merge_upsert_values(spark, sf_dir):
+    """MERGE semantics: k=2 updated in place, k=4 inserted, k=1/3
+    untouched — 4 rows total after the rewrite."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_merge_upsert"].fn(spark, sf_dir).collect()[0]
+    assert row["rows_after"] == 4
+    assert row["updated_value"] == "b2"
+    assert row["inserted_rows"] == 1
+    assert row["unchanged_rows"] == 1
+
+
+def test_insert_overwrite_partition_isolates(spark, sf_dir):
+    """Dynamic partition overwrite: pt=1 fully replaced with marked rows,
+    every other partition byte-count-identical."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_insert_overwrite_partition"].fn(spark, sf_dir).collect()[0]
+    assert row["other_partitions_untouched"] is True
+    assert row["pt1_rows"] > 0
+    assert row["backfilled_rows"] == row["pt1_rows"]
