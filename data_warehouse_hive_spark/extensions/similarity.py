@@ -484,3 +484,48 @@ def q_dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         # blocking + cosine algebra at a threshold that yields rows
         .filter(F.col("cosine") >= 0.2)
     )
+
+
+@query(
+    "q_embed_centroids",
+    oracle="""
+    WITH pairs AS (
+      SELECT label,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                    i -> {'dim': i - 1, 'v': embedding[i]})) AS u
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT label, u.dim AS dim, CAST(u.v AS DOUBLE) AS v FROM pairs
+    )
+    SELECT label, dim,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CAST(floor(v * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+             / CAST(COUNT(v) AS DOUBLE) AS centroid
+    FROM elems
+    GROUP BY label, dim
+    """,
+)
+def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors, one row per (label, dimension) — the
+    k-means E-step / class-prototype computation over a tensor column.
+
+    posexplode flattens (vector → dim rows) map-side; the only shuffle is
+    the partial+final agg on the tiny (label, dim) key domain, so shuffled
+    volume is O(labels × dims × partitions) — independent of corpus size.
+    Element means ride the exact scaled-long carrier (float32 → float64
+    widening is exact in both engines), so centroids are bit-identical
+    cross-engine.  The flat (label, dim, centroid) layout IS the
+    broadcast-ready form the IVF router consumes."""
+    e = t(spark, sf_dir, "embeddings").select("label", "embedding")
+    elems = e.select(
+        "label", F.posexplode(F.col("embedding")).alias("dim", "v")
+    ).select("label", "dim", F.col("v").cast("double").alias("v"))
+    return elems.groupBy("label", "dim").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.floor(F.col("v") * 1e6 + 0.5).cast("long")).cast("double")
+            / 1e6
+            / F.count("v").cast("double")
+        ).alias("centroid"),
+    )

@@ -176,3 +176,91 @@ def audio_rms_windows(
     return media.filter(F.col("kind") == "audio").mapInPandas(
         rms, schema=AUDIO_RMS_SCHEMA
     )
+
+
+IMAGE_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("px_width", T.IntegerType(), True),
+        T.StructField("px_height", T.IntegerType(), True),
+    ]
+)
+
+_SOF_MARKERS = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def sniff_image_meta(payload: bytes) -> tuple[str | None, int | None, int | None]:
+    """REAL header decode — format sniff + pixel dimensions straight from
+    the container bytes (PNG IHDR, GIF logical screen, BMP info header,
+    JPEG SOF scan).  No codec library involved: dimensions live in fixed
+    header fields, so this is pure byte arithmetic and runs at full Arrow
+    batch speed.  Pixel DATA decode remains the stubbed step
+    (decode_image); header metadata does not need it.
+    Returns (format, width, height), Nones when unrecognized/truncated.
+    """
+    p = payload
+    if len(p) >= 24 and p[:8] == b"\x89PNG\r\n\x1a\n":
+        return (
+            "png",
+            int.from_bytes(p[16:20], "big"),
+            int.from_bytes(p[20:24], "big"),
+        )
+    if len(p) >= 10 and p[:6] in (b"GIF87a", b"GIF89a"):
+        return (
+            "gif",
+            int.from_bytes(p[6:8], "little"),
+            int.from_bytes(p[8:10], "little"),
+        )
+    if len(p) >= 26 and p[:2] == b"BM":
+        return (
+            "bmp",
+            int.from_bytes(p[18:22], "little", signed=True),
+            abs(int.from_bytes(p[22:26], "little", signed=True)),
+        )
+    if len(p) >= 4 and p[:2] == b"\xff\xd8":
+        # JPEG: walk segments to the first start-of-frame marker
+        i = 2
+        while i + 9 < len(p):
+            if p[i] != 0xFF:
+                break
+            marker = p[i + 1]
+            if marker in _SOF_MARKERS:
+                return (
+                    "jpeg",
+                    int.from_bytes(p[i + 7 : i + 9], "big"),
+                    int.from_bytes(p[i + 5 : i + 7], "big"),
+                )
+            seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+            i += 2 + seg_len
+        return ("jpeg", None, None)
+    return (None, None, None)
+
+
+def image_dims(media: DataFrame) -> DataFrame:
+    """Per-image format + pixel dimensions via mapInPandas over the binary
+    payload column — the real (non-stub) metadata-extraction pass.
+    Partition-parallel, no shuffle, Arrow-batched: linear at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            fmts, ws, hs = [], [], []
+            for payload in pdf["payload"]:
+                fmt, w, h = sniff_image_meta(
+                    bytes(payload) if payload is not None else b""
+                )
+                fmts.append(fmt)
+                ws.append(w)
+                hs.append(h)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": fmts,
+                    "px_width": pd.array(ws, dtype="Int32"),
+                    "px_height": pd.array(hs, dtype="Int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "image").mapInPandas(
+        run, schema=IMAGE_META_SCHEMA
+    )

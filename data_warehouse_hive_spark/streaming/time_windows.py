@@ -222,3 +222,38 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day_n")
         .agg(F.count(F.lit(1)).alias("active_users"))
     )
+
+
+@query(
+    "q_events_transitions",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type
+      FROM events
+    )
+    SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, next_type
+    """,
+)
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-flow transition matrix: counts of (previous event type →
+    next event type) per user timeline — the first-order Markov view of
+    user journeys that funnels/sessionization build on.
+
+    One shuffle on user_id for the LAG window (per-user timelines are
+    short, so no skew), then a partial+final agg on the tiny
+    (prev, next) key domain.  Ordering ties on ts break by event_id so
+    the matrix is deterministic on both engines."""
+    e = t(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
