@@ -383,23 +383,22 @@ def min_label_propagation(
             .groupBy("src")
             .agg(F.min("group_id").alias("ng"))
         )
-        new_labels = (
+        # carry old + new label side by side so the convergence check is a
+        # filter-count over the SAME checkpointed rows — not a third join
+        # per round against the previous labels
+        upd = (
             labels.join(neigh, labels.doc == neigh.src, "left")
             .select(
                 labels.doc,
+                F.col("group_id").alias("old_gid"),
                 F.least(
                     F.col("group_id"), F.coalesce(F.col("ng"), F.col("group_id"))
                 ).alias("group_id"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc")
-            .filter(F.col("n.group_id") != F.col("o.group_id"))
-            .count()
-        )
-        labels = new_labels
+        changed = upd.filter(F.col("group_id") != F.col("old_gid")).count()
+        labels = upd.select("doc", "group_id")
         if changed == 0:
             return labels, iteration
     raise RuntimeError(
