@@ -371,3 +371,55 @@ def q_text_ngram_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("bg"))
         .limit(20)
     )
+
+
+@query(
+    "q_text_repetition",
+    oracle=r"""
+    WITH parts AS (
+      SELECT doc_id,
+             string_split(text, chr(10)) AS lines,
+             string_split_regex(trim(lower(text)), '\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           1.0 - CAST(len(list_distinct(lines)) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) AS dup_line_frac,
+           CAST(len(ws) AS BIGINT) AS n_words,
+           1.0 - CAST(len(list_distinct(ws)) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS dup_word_frac,
+           CAST(list_max(list_transform(lines, x -> length(x))) AS BIGINT)
+             AS max_line_len
+    FROM parts
+    """,
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition metrics — the other half of the heuristic quality family
+    next to q_quality_gopher's length/symbol rules: duplicate-line
+    fraction, duplicate-word fraction, longest line.  Machine-generated
+    and boilerplate text shows up as high dup fractions long before a
+    model-based classifier runs.  Pure array builtins per row — zero
+    shuffle, linear at any scale; the fractions are IEEE ops on identical
+    operands (bit-identical cross-engine)."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    lines = F.split(F.col("text"), "\n")
+    ws = tokens(F.lower(F.col("text")))
+    n_lines = F.size(lines).cast("long")
+    n_words = F.size(ws).cast("long")
+    return d.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(lines)).cast("double")
+            / n_lines.cast("double")
+        ).alias("dup_line_frac"),
+        n_words.alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(ws)).cast("double")
+            / n_words.cast("double")
+        ).alias("dup_word_frac"),
+        F.array_max(F.transform(lines, F.length)).cast("long").alias("max_line_len"),
+    )
