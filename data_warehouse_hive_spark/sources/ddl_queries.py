@@ -701,3 +701,48 @@ def ddl_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFram
             )
         ]
     )
+
+
+@query("ddl_ctas_view")
+def ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CTAS + logical views — the remaining HiveQL DDL staples:
+    CREATE TABLE AS SELECT materializes a query once (partitioned write,
+    no driver funnel), CREATE [TEMP] VIEW stores only the plan — queries
+    through the view re-optimize against current data with pushdown
+    intact (a filter through the view prunes like a filter on the base).
+    """
+    base = f"ctas_{uuid.uuid4().hex[:8]}"
+    view = f"v_{base}"
+    t(spark, sf_dir, "orders").createOrReplaceTempView(f"src_{base}")
+    spark.sql(
+        f"CREATE TABLE {base} USING PARQUET AS "
+        f"SELECT o_custkey, COUNT(*) AS n_orders, "
+        f"       CAST(SUM(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) AS DOUBLE) / 1e2 AS total_spend "
+        f"FROM src_{base} GROUP BY o_custkey"
+    )
+    ctas_rows = spark.table(base).count()
+    spark.sql(
+        f"CREATE OR REPLACE TEMPORARY VIEW {view} AS "
+        f"SELECT * FROM {base} WHERE n_orders >= 2"
+    )
+    view_rows = spark.sql(f"SELECT * FROM {view}").count()
+    # pushdown survives the view: the filter reaches the parquet scan
+    plan = (
+        spark.sql(f"SELECT o_custkey FROM {view} WHERE o_custkey < 100")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    pushed = "o_custkey" in plan and ("PushedFilters: [" in plan or "Filter" in plan)
+    spark.catalog.dropTempView(view)
+    spark.catalog.dropTempView(f"src_{base}")
+    cat.drop_table(spark, base)
+    return spark.createDataFrame(
+        [
+            Row(
+                ctas_rows=ctas_rows,
+                view_rows=view_rows,
+                filter_reaches_scan=pushed,
+            )
+        ]
+    )

@@ -284,3 +284,16 @@ def test_insert_overwrite_partition_isolates(spark, sf_dir):
     assert row["other_partitions_untouched"] is True
     assert row["pt1_rows"] > 0
     assert row["backfilled_rows"] == row["pt1_rows"]
+
+
+def test_ctas_view_values(spark, sf_dir):
+    """CTAS row count equals distinct custkeys; the view filters; pushdown
+    survives the view boundary."""
+    from data_warehouse_hive_spark.registry import load_all
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    row = load_all()["ddl_ctas_view"].fn(spark, sf_dir).collect()[0]
+    n_cust = tbl(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert row["ctas_rows"] == n_cust
+    assert 0 < row["view_rows"] <= row["ctas_rows"]
+    assert row["filter_reaches_scan"] is True
