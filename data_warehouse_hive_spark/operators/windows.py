@@ -225,3 +225,30 @@ def q_win_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 9).alias("cume"),
     )
+
+
+@query(
+    "q_win_ntile",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS spend_quartile,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey % 32 = 0
+    """,
+)
+def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE quantile bucketing: assign each order to a spend quartile.
+    Deterministic (o_totalprice, o_orderkey) tiebreak so both engines
+    produce identical tiles.  The unpartitioned window is bounded by the
+    pushed o_orderkey filter (1/32 sample) — an UNPARTITIONED ntile over
+    raw 100 TB would serialize through one task; at scale either
+    pre-filter (as here) or use percent_rank over partitioned keys."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 32 == 0)
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )

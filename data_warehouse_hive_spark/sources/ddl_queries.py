@@ -746,3 +746,51 @@ def ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_bucketed_join")
+def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive CLUSTERED BY ... INTO n BUCKETS parity: two tables bucketed on
+    the join key with the same bucket count join with ZERO shuffle
+    Exchange — the write-once pre-shuffle that pays for every future join
+    of a repeated fact-fact pair (sources/bucketing.py; plan also locked
+    in tests/test_bucketing.py).  The check counts Exchange operators in
+    the executed join plan and returns it alongside the join row count.
+    """
+    from data_warehouse_hive_spark.sources.bucketing import (
+        bucketed_join,
+        create_bucketed_table,
+    )
+
+    a = f"bk_orders_{uuid.uuid4().hex[:8]}"
+    b = f"bk_cust_{uuid.uuid4().hex[:8]}"
+    create_bucketed_table(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        a, "o_custkey", n_buckets=8,
+    )
+    create_bucketed_table(
+        t(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("o_custkey"), "c_name"
+        ),
+        b, "o_custkey", n_buckets=8,
+    )
+    # pin the sort-merge path (a small side would otherwise broadcast and
+    # mask the property under test: bucket layout replacing the shuffle)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = bucketed_join(spark, a, b, "o_custkey")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # only shuffle exchanges count — BroadcastExchange moves the small
+        # side, not the bucketed data
+        n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        n_rows = joined.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    cat.drop_table(spark, a)
+    cat.drop_table(spark, b)
+    return spark.createDataFrame(
+        [Row(join_rows=n_rows, shuffle_exchanges=n_shuffles, zero_shuffle=n_shuffles == 0)]
+    )

@@ -297,3 +297,16 @@ def test_ctas_view_values(spark, sf_dir):
     assert row["ctas_rows"] == n_cust
     assert 0 < row["view_rows"] <= row["ctas_rows"]
     assert row["filter_reaches_scan"] is True
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Same-key same-count bucketed tables must join with zero shuffle
+    exchanges (broadcast of a small side would mask the property — the
+    check pins sort-merge)."""
+    from data_warehouse_hive_spark.registry import load_all
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    row = load_all()["ddl_bucketed_join"].fn(spark, sf_dir).collect()[0]
+    assert row["zero_shuffle"] is True
+    assert row["shuffle_exchanges"] == 0
+    assert row["join_rows"] == tbl(spark, sf_dir, "orders").count()
