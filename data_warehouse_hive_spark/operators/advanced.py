@@ -341,3 +341,136 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(dsum("l_extendedprice", "revenue"), F.count(F.lit(1)).alias("n"))
     )
+
+@query(
+    "q_cte_recursive",
+    oracle="""
+    WITH RECURSIVE walk(nationkey, root_key, depth, path) AS (
+      SELECT n_nationkey, n_nationkey, 0, n_name
+      FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n.n_nationkey, w.root_key, w.depth + 1,
+             concat(w.path, '>', n.n_name)
+      FROM nation n JOIN walk w ON n.n_nationkey - 5 = w.nationkey
+    )
+    SELECT nationkey, root_key, depth, path FROM walk
+    """,
+)
+def q_cte_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE hierarchy flattening (Spark 4 recursive CTE): walk a
+    5-chain forest over nation (parent(n) = n - 5, roots 0..4), emitting
+    each node's root, depth, and materialized name path — the category-tree
+    / org-chart flattening every warehouse eventually needs, without an
+    iterative driver loop.
+
+    Scale: each recursion step is one self-join of the frontier against
+    the (dimension-sized, broadcastable) edge table; total steps = tree
+    DEPTH, not node count, and Spark's recursion-level guard
+    (spark.sql.cteRecursionLevelLimit) bounds runaway graphs.  For
+    million-node flat hierarchies the frontier join shuffles on the
+    parent key exactly like q_dedup_groups' label propagation.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE walk(nationkey, root_key, depth, path) AS (
+          SELECT n_nationkey, n_nationkey, 0, n_name
+          FROM nation_rec WHERE n_nationkey < 5
+          UNION ALL
+          SELECT n.n_nationkey, w.root_key, w.depth + 1,
+                 concat(w.path, '>', n.n_name)
+          FROM nation_rec n JOIN walk w ON n.n_nationkey - 5 = w.nationkey
+        )
+        SELECT nationkey, root_key, depth, path FROM walk
+        """
+    )
+
+
+@query(
+    "q_lateral_topk",
+    oracle="""
+    SELECT grp.n_name, topc.c_custkey, topc.c_acctbal
+    FROM nation grp,
+      LATERAL (
+        SELECT c_custkey, c_acctbal FROM customer c
+        WHERE c.c_nationkey = grp.n_nationkey
+        ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+      ) topc
+    """,
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery join (Spark 3.2+ SQL surface): per
+    nation, the top-2 customers by account balance, expressed as the ANSI
+    LATERAL form rather than the window idiom.
+
+    Catalyst decorrelates the lateral subquery into a join + per-key
+    limit; ties broken by (c_acctbal DESC, c_custkey) so both engines
+    return the identical pair.  At 100 TB the window top-k
+    (q_topk_per_group) is the plan to prefer — this id covers the SQL
+    surface and the decorrelation path itself.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_lat")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    return spark.sql(
+        """
+        SELECT grp.n_name, topc.c_custkey, topc.c_acctbal
+        FROM nation_lat grp,
+          LATERAL (
+            SELECT c_custkey, c_acctbal FROM customer_lat c
+            WHERE c.c_nationkey = grp.n_nationkey
+            ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+          ) topc
+        """
+    )
+
+
+@query(
+    "q_join_nullsafe",
+    oracle="""
+    WITH cust AS (
+      SELECT CASE WHEN c_acctbal < 0 THEN NULL ELSE c_nationkey END AS nk,
+             COUNT(*) AS n_cust
+      FROM customer GROUP BY 1
+    ),
+    supp AS (
+      SELECT CASE WHEN s_acctbal < 0 THEN NULL ELSE s_nationkey END AS nk,
+             COUNT(*) AS n_supp
+      FROM supplier GROUP BY 1
+    )
+    SELECT cust.nk AS nationkey, cust.n_cust, supp.n_supp
+    FROM cust JOIN supp ON cust.nk IS NOT DISTINCT FROM supp.nk
+    """,
+)
+def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): negative-balance
+    rows get a NULL key on both sides, and the null-safe comparator makes
+    the NULL groups join each other instead of vanishing (ANSI `=` drops
+    them).
+
+    Spark plans eqNullSafe as a regular hash join with NULL as an
+    ordinary key value — which means every null-keyed row lands in ONE
+    reducer.  Fine here (one aggregated row per side); on raw fact tables
+    a large NULL population is a skew bomb — pre-aggregate or salt the
+    NULL class first, exactly like any hot key.
+    """
+    c = (
+        t(spark, sf_dir, "customer")
+        .groupBy(
+            F.when(F.col("c_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("c_nationkey"))
+            .alias("nk")
+        )
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        t(spark, sf_dir, "supplier")
+        .groupBy(
+            F.when(F.col("s_acctbal") < 0, F.lit(None))
+            .otherwise(F.col("s_nationkey"))
+            .alias("nk")
+        )
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return c.join(s, c["nk"].eqNullSafe(s["nk"])).select(
+        c["nk"].alias("nationkey"), "n_cust", "n_supp"
+    )

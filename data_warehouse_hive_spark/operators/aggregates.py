@@ -377,3 +377,127 @@ def q_agg_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.01
         ).alias("approx_within_tol"),
     )
+
+
+@query(
+    "q_agg_listagg",
+    oracle="""
+    SELECT l_returnflag,
+           string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus)
+             AS statuses,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_listagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation — LISTAGG(DISTINCT …) WITHIN GROUP
+    (Spark 4.0 builtin; DuckDB string_agg).  The explicit WITHIN GROUP
+    ordering is what makes the concatenation deterministic across
+    engines and across partition orders — an unordered listagg over a
+    shuffled table is run-to-run nondeterministic by construction.
+
+    Scale: distinct + sort happen per group after a partial-aggregated
+    shuffle on l_returnflag (3-value domain → tiny result; the DISTINCT
+    set per group, not the row count, bounds memory).
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.expr(
+                "listagg(DISTINCT l_linestatus, '|')"
+                " WITHIN GROUP (ORDER BY l_linestatus)"
+            ).alias("statuses"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "q_agg_mode",
+    oracle="""
+    WITH counted AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+             ROW_NUMBER() OVER (
+               PARTITION BY o_orderstatus
+               ORDER BY COUNT(*) DESC, o_orderpriority
+             ) AS rk
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+    )
+    SELECT o_orderstatus, o_orderpriority AS mode_priority, n AS n_mode
+    FROM counted WHERE rk = 1
+    """,
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group mode: most frequent o_orderpriority per
+    order status, ties broken by the lexicographically smallest value.
+
+    Both engines ship a mode() builtin (Spark 3.4+, DuckDB), but neither
+    defines which of several tied modes it returns — a cross-engine
+    determinism trap.  The count + row_number idiom pins the tie-break
+    and costs the same two shuffles mode() needs internally (group count,
+    then per-key argmax on the already-tiny counted domain).
+    """
+    from pyspark.sql import Window
+
+    counted = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("n").desc(), F.col("o_orderpriority")
+    )
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "o_orderstatus",
+            F.col("o_orderpriority").alias("mode_priority"),
+            F.col("n").alias("n_mode"),
+        )
+    )
+
+
+@query(
+    "q_agg_hll",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT c_custkey) AS BIGINT) AS n_exact,
+           true AS est_within_5pct
+    FROM customer
+    """,
+)
+def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketches (Apache DataSketches builtins, Spark 3.5+):
+    one binary sketch per nation via hll_sketch_agg, merged with
+    hll_union_agg, estimated with hll_sketch_estimate — the partial/
+    rollup shape that makes distinct-count cubes feasible at 100 TB
+    (store per-partition sketches once, union them for any slice, never
+    re-scan raw data).
+
+    Checkable contract (same pattern as q_agg_approx): the exact global
+    distinct count, plus a flag that the merged-sketch estimate lands
+    within 5% of it.  The sketch bytes themselves are engine-private and
+    never leave the plan.
+    """
+    per_nation = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+    )
+    merged = per_nation.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = t(spark, sf_dir, "customer").agg(
+        F.countDistinct("c_custkey").alias("n_exact")
+    )
+    return exact.crossJoin(merged).select(
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            / F.col("n_exact").cast("double")
+            <= 0.05
+        ).alias("est_within_5pct"),
+    )
