@@ -531,3 +531,173 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard", "seq_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel
+# ---------------------------------------------------------------------------
+
+_O_TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+@query(
+    "q_curate_e2e",
+    oracle=rf"""
+    WITH base AS (
+      SELECT doc_id, text,
+             CAST(len({_O_TOK}) AS BIGINT) AS n_tok,
+             md5({_O_NORM}) AS fp,
+             (doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM}) AS is_eval
+      FROM documents
+    ),
+    meas AS (
+      SELECT *,
+        CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+          / CAST(n_tok AS DOUBLE) AS mwl,
+        CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+          / CAST(n_tok AS DOUBLE) AS symr,
+        CAST(len(list_filter(string_split(text, chr(10)),
+                             x -> x LIKE '- %' OR x LIKE '* %')) AS DOUBLE)
+          / CAST(len(string_split(text, chr(10))) AS DOUBLE) AS bulr,
+        len(list_filter({_O_TOK}, x -> lower(x) IN {_STOPWORDS!r})) AS stop_hits,
+        len(regexp_extract_all(text, '{_PII_LONGNUM}')) AS n_longnums
+      FROM base
+    ),
+    flags0 AS (
+      SELECT doc_id, n_tok, fp, is_eval,
+        (n_tok BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS}
+         AND mwl BETWEEN {_GOPHER_MIN_MEAN_LEN} AND {_GOPHER_MAX_MEAN_LEN}
+         AND symr <= {_GOPHER_MAX_SYMBOL_RATIO}
+         AND bulr <= {_GOPHER_MAX_BULLET_RATIO}
+         AND stop_hits >= {_GOPHER_MIN_STOPWORDS}) AS q_ok,
+        (len(regexp_extract_all(text, '{_PII_LONGNUM}')) = 0) AS pii_ok
+      FROM meas
+    ),
+    flags AS (
+      SELECT *,
+        MIN(CASE WHEN q_ok AND pii_ok THEN doc_id END)
+          OVER (PARTITION BY fp) AS keep_id
+      FROM flags0
+    ),
+    words AS (
+      SELECT doc_id, string_split({_O_NORM}, ' ') AS w FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(greatest(len(w) - {_DECON_N - 1}, 1)),
+               i -> array_to_string(w[i + 1 : i + {_DECON_N}], ' ')
+             )) AS s
+      FROM words
+    ),
+    hashed AS (
+      SELECT doc_id, {_o_base_hash('s')} AS h FROM grams
+    ),
+    eval_h AS (
+      SELECT DISTINCT h FROM hashed
+      WHERE doc_id % {_DECON_EVAL_MOD} = {_DECON_EVAL_REM}
+    ),
+    contam AS (
+      SELECT DISTINCT t.doc_id
+      FROM hashed t JOIN eval_h USING (h)
+      WHERE t.doc_id % {_DECON_EVAL_MOD} <> {_DECON_EVAL_REM}
+    ),
+    lab AS (
+      SELECT f.n_tok, f.q_ok,
+             (f.q_ok AND f.pii_ok) AS s2,
+             (f.q_ok AND f.pii_ok AND f.doc_id = f.keep_id) AS s3,
+             (f.q_ok AND f.pii_ok AND f.doc_id = f.keep_id
+              AND NOT f.is_eval AND c.doc_id IS NULL) AS s4
+      FROM flags f LEFT JOIN contam c USING (doc_id)
+    )
+    SELECT 0 AS stage_id, 'raw' AS stage, COUNT(*) AS n_docs,
+           CAST(COALESCE(SUM(n_tok), 0) AS BIGINT) AS n_tokens FROM lab
+    UNION ALL
+    SELECT 1, 'quality', COUNT(*) FILTER (q_ok),
+           CAST(COALESCE(SUM(n_tok) FILTER (q_ok), 0) AS BIGINT) FROM lab
+    UNION ALL
+    SELECT 2, 'pii_gate', COUNT(*) FILTER (s2),
+           CAST(COALESCE(SUM(n_tok) FILTER (s2), 0) AS BIGINT) FROM lab
+    UNION ALL
+    SELECT 3, 'dedup', COUNT(*) FILTER (s3),
+           CAST(COALESCE(SUM(n_tok) FILTER (s3), 0) AS BIGINT) FROM lab
+    UNION ALL
+    SELECT 4, 'decontaminated', COUNT(*) FILTER (s4),
+           CAST(COALESCE(SUM(n_tok) FILTER (s4), 0) AS BIGINT) FROM lab
+    """,
+)
+def q_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE composed plan: raw corpus →
+    Gopher quality gate → PII gate (no >=9-digit runs) → exact dedup
+    (deterministic min-doc_id survivor within the gated population) →
+    benchmark decontamination (drop the eval slice and every doc sharing
+    an n-gram with it).  Output is the stage funnel — docs and token mass
+    surviving each stage — the headline table of every curation run.
+
+    Composition, not orchestration: the stage flags are computed
+    columnwise in one pass over the corpus (narrow maps), the dedup
+    survivor is a window-min over the fingerprint partition, and the
+    contamination flag is the same broadcast gram-join as
+    q_decontaminate — so the funnel costs two shuffles (fingerprint
+    window, gram agg) regardless of stage count, instead of five
+    filtered re-scans of a 100 TB corpus.  Conditional aggregation
+    (sum(when(stage))) folds all five stage totals into one partial+
+    final agg.
+    """
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    gq = gopher_quality(d).withColumnRenamed("keep", "q_ok")
+    base = gq.select(
+        "doc_id",
+        "n_tok",
+        "q_ok",
+        F.md5(normalized_text("text")).alias("fp"),
+        (F.col("doc_id") % _DECON_EVAL_MOD == _DECON_EVAL_REM).alias("is_eval"),
+        (
+            F.size(F.regexp_extract_all("text", F.lit(_PII_LONGNUM), 0)) == 0
+        ).alias("pii_ok"),
+    )
+    s2 = F.col("q_ok") & F.col("pii_ok")
+    keep_id = F.min(F.when(s2, F.col("doc_id"))).over(Window.partitionBy("fp"))
+    contam = q_decontaminate(spark, sf_dir).select("doc_id", F.lit(True).alias("is_contam"))
+    lab = (
+        base.withColumn("keep_id", keep_id)
+        .join(contam, "doc_id", "left")
+        .select(
+            "n_tok",
+            "q_ok",
+            s2.alias("s2"),
+            (s2 & (F.col("doc_id") == F.col("keep_id"))).alias("s3"),
+            (
+                s2
+                & (F.col("doc_id") == F.col("keep_id"))
+                & ~F.col("is_eval")
+                & F.col("is_contam").isNull()
+            ).alias("s4"),
+        )
+    )
+
+    def stage(flag: Column | None, docs: str, toks: str) -> list[Column]:
+        cond = F.lit(True) if flag is None else flag
+        return [
+            F.count(F.when(cond, F.lit(1))).alias(docs),
+            F.coalesce(F.sum(F.when(cond, F.col("n_tok"))), F.lit(0)).alias(toks),
+        ]
+
+    one = lab.agg(
+        *stage(None, "d0", "t0"),
+        *stage(F.col("q_ok"), "d1", "t1"),
+        *stage(F.col("s2"), "d2", "t2"),
+        *stage(F.col("s3"), "d3", "t3"),
+        *stage(F.col("s4"), "d4", "t4"),
+    )
+    return one.selectExpr(
+        "stack(5,"
+        " 0, 'raw', d0, t0,"
+        " 1, 'quality', d1, t1,"
+        " 2, 'pii_gate', d2, t2,"
+        " 3, 'dedup', d3, t3,"
+        " 4, 'decontaminated', d4, t4"
+        ") AS (stage_id, stage, n_docs, n_tokens)"
+    )

@@ -529,3 +529,77 @@ def q_embed_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("v").cast("double")
         ).alias("centroid"),
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction (SemDeDup / clustering substrate)
+# ---------------------------------------------------------------------------
+
+KNN_K = 3
+
+
+@query(
+    "q_embed_knn",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    scored AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT vec_id, neighbor_id, cosine, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rk
+      FROM scored
+    ) WHERE rk <= {KNN_K}
+    """,
+)
+def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH over the whole embedding corpus (every
+    vector's top-{KNN_K} neighbors within its LSH bucket) — the substrate
+    for SemDeDup-style semantic dedup, graph clustering, and label
+    propagation, where the query set IS the corpus.
+
+    Unlike the query-broadcast searches (q_sim_search*), this is a bucket
+    SELF-join: both sides shuffle on the uniform bucket key and pairs
+    expand inside each bucket only — all-pairs never materializes.  At
+    100 TB the knobs are bits (bucket count) and banding, exactly as in
+    q_dedup_minhash; the top-k rank filter plans as WindowGroupLimit so
+    each task keeps k rows per vector before the final shuffle.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    vb = v.withColumn("bucket", lsh_bucket_col(F.col("e"))).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    other = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("bucket").alias("nbucket"),
+        F.col("nrm").alias("nnrm"),
+    )
+    scored = vb.join(
+        other,
+        (F.col("bucket") == F.col("nbucket"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("e"), F.col("ne")) / (F.col("nrm") * F.col("nnrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= KNN_K
+    )

@@ -486,3 +486,59 @@ def q_fn_json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
         parsed.getField("k").alias("k"),
         (F.col("props").isNotNull() & parsed.isNotNull()).alias("parsed_ok"),
     )
+
+
+@query(
+    "q_fn_url",
+    oracle="""
+    WITH u AS (
+      SELECT doc_id,
+             concat('https://', source, '.example.com/', lang, '/doc/',
+                    CAST(doc_id AS VARCHAR), '?ref=', lang, '&page=',
+                    CAST(doc_id % 7 AS VARCHAR)) AS url
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+           regexp_extract(url, '^[a-z]+://[^/?#]+(/[^?#]*)', 1) AS path,
+           regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+           regexp_extract(url, '^([a-z]+):', 1) AS protocol,
+           concat(
+             string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')[-2],
+             '.',
+             string_split(regexp_extract(url, '^[a-z]+://([^/?#]+)', 1), '.')[-1]
+           ) AS reg_domain
+    FROM u
+    """,
+)
+def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL function family — Hive/Spark `parse_url` (HOST, PATH, QUERY
+    param, PROTOCOL) plus naive registrable-domain extraction (last two
+    host labels), the per-domain grouping key every web-corpus pipeline
+    aggregates on.
+
+    URLs are synthesized deterministically from fixture columns (the
+    fixtures carry no URL column); parse_url is a JVM builtin, and DuckDB
+    has no counterpart so the oracle re-derives each part with anchored
+    regexes — both sides see the identical strings.  Narrow map, zero
+    shuffle at any scale.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/"),
+        F.col("lang"), F.lit("/doc/"), F.col("doc_id").cast("string"),
+        F.lit("?ref="), F.col("lang"),
+        F.lit("&page="), (F.col("doc_id") % 7).cast("string"),
+    )
+    host = F.parse_url(url, F.lit("HOST"))
+    labels = F.split(host, r"\.")
+    return d.select(
+        "doc_id",
+        host.alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("ref")).alias("ref"),
+        F.parse_url(url, F.lit("PROTOCOL")).alias("protocol"),
+        F.concat_ws(
+            ".", F.element_at(labels, -2), F.element_at(labels, -1)
+        ).alias("reg_domain"),
+    )

@@ -264,3 +264,85 @@ def image_dims(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "image").mapInPandas(
         run, schema=IMAGE_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio (WAV/RIFF) header decode — the audio twin of sniff_image_meta
+# ---------------------------------------------------------------------------
+
+AUDIO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("bits_per_sample", T.IntegerType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+    ]
+)
+
+
+def sniff_wav_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
+    """REAL WAV header decode: walk the RIFF chunk list to the fmt and
+    data chunks and read sample rate, channel count, bit depth, frame
+    count, and duration — fixed-offset little-endian fields, no codec
+    library (the same byte-arithmetic discipline as sniff_image_meta;
+    PCM sample decode stays stubbed).  Chunk walking matters: tools
+    commonly insert LIST/INFO chunks before data, so fixed offsets past
+    the fmt chunk are wrong on real files.
+    Returns (format, sample_rate, channels, bits, n_frames, duration_ms).
+    """
+    p = payload
+    none6 = (None, None, None, None, None, None)
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return none6
+    rate = chans = bits = None
+    data_len = None
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(p):
+            chans = int.from_bytes(p[i + 10 : i + 12], "little")
+            rate = int.from_bytes(p[i + 12 : i + 16], "little")
+            bits = int.from_bytes(p[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            data_len = clen
+        # chunks are word-aligned: odd lengths carry a pad byte
+        i += 8 + clen + (clen & 1)
+    if rate is None:
+        return ("wav", None, None, None, None, None)
+    frame_bytes = (chans or 1) * ((bits or 8) // 8)
+    n_frames = data_len // frame_bytes if data_len is not None and frame_bytes else None
+    duration_ms = (n_frames * 1000) // rate if n_frames is not None and rate else None
+    return ("wav", rate, chans, bits, n_frames, duration_ms)
+
+
+def audio_meta(media: DataFrame) -> DataFrame:
+    """Per-clip WAV metadata via mapInPandas over the binary payload —
+    partition-parallel, no shuffle, Arrow-batched; linear at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                sniff_wav_meta(bytes(x) if x is not None else b"")
+                for x in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [r[0] for r in rows],
+                    "sample_rate": pd.array([r[1] for r in rows], dtype="Int32"),
+                    "channels": pd.array([r[2] for r in rows], dtype="Int32"),
+                    "bits_per_sample": pd.array([r[3] for r in rows], dtype="Int32"),
+                    "n_frames": pd.array([r[4] for r in rows], dtype="Int64"),
+                    "duration_ms": pd.array([r[5] for r in rows], dtype="Int64"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "audio").mapInPandas(
+        run, schema=AUDIO_META_SCHEMA
+    )

@@ -91,3 +91,77 @@ def user_activity_sessions(events: DataFrame, watermark: str = "2 hours") -> Dat
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — the Spark 4 arbitrary-state API
+# ---------------------------------------------------------------------------
+
+TWS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+    ]
+)
+
+
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+
+def tws_runtime_available() -> bool:
+    """transformWithStateInPandas ships its state protocol over protobuf;
+    the PySpark API is always importable but the streaming worker dies at
+    init without the `protobuf` package.  Gate runtime use (and the
+    end-to-end test) on this instead of crashing mid-query."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+class _RunningTotals(StatefulProcessor):
+    """Per-key running (count, sum) via the transformWithStateInPandas
+    StatefulProcessor contract: typed ValueState survives micro-batches
+    in the RocksDB state store; every batch emits the key's refreshed
+    totals (update-mode change feed)."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", "n BIGINT, s DOUBLE")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import pandas as pd
+
+        n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+        for pdf in rows:
+            n += len(pdf)
+            s += float(pdf["value"].sum())
+        self._totals.update((n, s))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [s]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_running_totals(events: DataFrame) -> DataFrame:
+    """events stream → per-user cumulative (n_events, sum_value) emitted
+    each micro-batch the user appears in — the transformWithStateInPandas
+    twin of user_activity_sessions, on the newer API: explicit typed
+    state handles (Value/List/Map), timers, and RocksDB-backed state
+    instead of one opaque state tuple.
+
+    At scale the state store shards by the grouping key exactly as with
+    applyInPandasWithState; RocksDB keeps per-executor state on local
+    disk with changelog checkpointing to the checkpoint location, so
+    state size is bounded by disk, not heap.
+    """
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=TWS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )

@@ -392,3 +392,55 @@ def test_image_header_decode_real_formats(spark):
     assert (got[3]["px_width"], got[3]["px_height"]) == (800, 600)
     assert (got[4]["px_width"], got[4]["px_height"]) == (1920, 1080)
     assert got[5]["format"] is None and got[5]["px_width"] is None
+
+
+def test_wav_header_decode_real_format(spark):
+    """sniff_wav_meta walks real RIFF chunk lists: construct valid WAV
+    containers byte-by-byte — including one with a LIST chunk *before*
+    data, where fixed offsets would misread — and extract true sample
+    rate / channels / bit depth / duration through mapInPandas."""
+    import struct
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        audio_meta,
+        sniff_wav_meta,
+    )
+
+    def wav(rate, chans, bits, n_frames, pre_chunks=b""):
+        data = b"\x00" * (n_frames * chans * (bits // 8))
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH",
+            16, 1, chans, rate, rate * chans * bits // 8, chans * bits // 8, bits,
+        )
+        body = b"WAVE" + fmt + pre_chunks + b"data" + struct.pack("<I", len(data)) + data
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    lst = b"LIST" + struct.pack("<I", 11) + b"INFOhello-x"[:11] + b"\x00"  # odd+pad
+
+    assert sniff_wav_meta(wav(16000, 1, 16, 16000)) == (
+        "wav", 16000, 1, 16, 16000, 1000,
+    )
+    assert sniff_wav_meta(wav(44100, 2, 16, 22050, pre_chunks=lst)) == (
+        "wav", 44100, 2, 16, 22050, 500,
+    )
+    assert sniff_wav_meta(b"RIFFxxxxJUNK") == (None, None, None, None, None, None)
+    assert sniff_wav_meta(b"") == (None, None, None, None, None, None)
+
+    rows = [
+        (1, "audio", wav(16000, 1, 16, 8000)),
+        (2, "audio", wav(48000, 2, 24, 48000, pre_chunks=lst)),
+        (3, "audio", b"not audio"),
+        (4, "image", b"\x89PNG"),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r["media_id"]: r for r in audio_meta(media).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["sample_rate"], got[1]["channels"], got[1]["duration_ms"]) == (
+        16000, 1, 500,
+    )
+    assert (got[2]["sample_rate"], got[2]["bits_per_sample"], got[2]["n_frames"]) == (
+        48000, 24, 48000,
+    )
+    assert got[3]["format"] is None and got[3]["sample_rate"] is None

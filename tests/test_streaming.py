@@ -6,6 +6,7 @@ from __future__ import annotations
 
 import uuid
 
+import pytest
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.streaming.stream import (
@@ -317,3 +318,106 @@ def test_stream_dedup_within_watermark(spark, tmp_path):
         assert sorted(out["event_id"].tolist()) == [1, 2, 3, 4]
     finally:
         q.stop()
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): per-user
+    ValueState accumulates across micro-batches in the RocksDB state
+    store; update-mode output re-emits a key's refreshed totals each
+    batch it appears in, so the LAST emission per key equals the batch
+    aggregate."""
+    from data_warehouse_hive_spark.streaming.stateful import tws_runtime_available
+
+    if not tws_runtime_available():
+        pytest.skip("protobuf not installed: transformWithState worker protocol unavailable")
+
+    import os
+    import time as _time
+    import uuid
+
+    import pandas as pd
+
+    from data_warehouse_hive_spark.streaming.stateful import user_running_totals
+
+    src = str(tmp_path / "tws_src")
+    os.makedirs(src)
+    t0 = pd.Timestamp("2026-01-01 00:00:00", tz="UTC")
+    pd.DataFrame(
+        {"user_id": [1, 1, 2], "ts": [t0] * 3, "value": [2.5, 4.0, 1.0]}
+    ).to_parquet(os.path.join(src, "a.parquet"), coerce_timestamps="us")
+    _time.sleep(1.1)
+    pd.DataFrame(
+        {"user_id": [1, 2], "ts": [t0] * 2, "value": [3.0, 10.0]}
+    ).to_parquet(os.path.join(src, "b.parquet"), coerce_timestamps="us")
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(src).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        sink = f"tws_{uuid.uuid4().hex[:8]}"
+        q = (
+            user_running_totals(stream)
+            .writeStream.format("memory")
+            .queryName(sink)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "tws_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        try:
+            out = spark.table(sink).toPandas()
+        finally:
+            q.stop()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    # update mode: user 1 emitted twice (batch A then A+B); final totals win
+    last = out.groupby("user_id").last()
+    assert last.loc[1, "n_events"] == 3 and last.loc[1, "sum_value"] == 9.5
+    assert last.loc[2, "n_events"] == 2 and last.loc[2, "sum_value"] == 11.0
+    # and the intermediate emission really was cumulative, not per-batch
+    u1 = out[out["user_id"] == 1].sort_values("n_events")
+    assert list(u1["n_events"]) == [2, 3]
+
+
+def test_running_totals_processor_logic():
+    """The StatefulProcessor's fold logic, driven directly with a fake
+    ValueState — covers the accumulate/emit contract even where the
+    protobuf worker protocol (previous test) is unavailable."""
+    import pandas as pd
+
+    from data_warehouse_hive_spark.streaming.stateful import _RunningTotals
+
+    class FakeState:
+        def __init__(self):
+            self.v = None
+
+        def exists(self):
+            return self.v is not None
+
+        def get(self):
+            return self.v
+
+        def update(self, t):
+            self.v = t
+
+    p = _RunningTotals.__new__(_RunningTotals)
+    p._totals = FakeState()
+    (out1,) = p.handleInputRows(
+        (1,), iter([pd.DataFrame({"value": [2.5, 4.0]})]), None
+    )
+    assert out1.iloc[0]["n_events"] == 2 and out1.iloc[0]["sum_value"] == 6.5
+    (out2,) = p.handleInputRows((1,), iter([pd.DataFrame({"value": [3.0]})]), None)
+    assert out2.iloc[0]["n_events"] == 3 and out2.iloc[0]["sum_value"] == 9.5
