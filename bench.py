@@ -50,6 +50,10 @@ HEADLINE = [
 SECONDARY = [
     "q_dedup_groups",
     "q_sim_search_lsh",
+    # round 3: the composed curation funnel (multi-stage single-plan) and
+    # the LSH-bucket self-join k-NN graph — the two new heaviest plans
+    "q_curate_e2e",
+    "q_embed_knn",
 ]
 
 

@@ -288,3 +288,46 @@ def test_pack_sequences_no_global_sort(spark, sf_dir):
     # the only rangepartitioning allowed is the final 64-row ORDER BY of
     # the audit output, never of the corpus-scale placed rows
     assert plan.count("rangepartitioning") <= 1, plan
+
+
+def test_knn_graph_bucket_join_not_cartesian(spark, sf_dir):
+    """The k-NN graph must pair vectors through the LSH bucket equi-join
+    — a nested-loop/cartesian self-join is the all-pairs explosion the
+    bucketing exists to prevent.  The top-k rank filter must plan as
+    WindowGroupLimit (k rows kept per vector before the final shuffle)."""
+    plan = _plan(spark, sf_dir, "q_embed_knn")
+    strategies = join_strategies(plan)
+    assert not any("NestedLoop" in s or "Cartesian" in s for s in strategies), plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_curate_funnel_two_corpus_shuffles(spark, sf_dir):
+    """The five-stage funnel must stay composed: one fingerprint window
+    over the corpus (dedup survivor), contamination via the broadcast
+    gram join (never a corpus-side SortMergeJoin on the gram hash), and
+    conditional aggregation folding all stages into one pass — NOT five
+    filtered re-scans."""
+    plan = _plan(spark, sf_dir, "q_curate_e2e")
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+    # windows: fingerprint min (dedup survivor) only
+    assert plan.count("Window") >= 1, plan
+    # documents parquet is scanned at most 3 times in the whole composed
+    # plan (flag pass, gram explode, eval grams) — never once per stage
+    assert plan.count("documents.parquet") <= 3, plan
+
+
+def test_lateral_topk_decorrelates(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL subquery into a join-based
+    plan (no per-row re-execution artifact in the physical plan)."""
+    plan = _plan(spark, sf_dir, "q_lateral_topk")
+    assert join_strategies(plan), plan
+
+
+def test_nullsafe_join_is_hash_join(spark, sf_dir):
+    """eqNullSafe must still plan as a HASH join (NULL is an ordinary key
+    value) — falling back to nested-loop would mean the null-safe
+    comparator broke the equi-join detection."""
+    plan = _plan(spark, sf_dir, "q_join_nullsafe")
+    strategies = join_strategies(plan)
+    assert any("HashJoin" in s or "SortMergeJoin" in s for s in strategies), plan
+    assert not any("NestedLoop" in s for s in strategies), plan
