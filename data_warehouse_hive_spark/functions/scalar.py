@@ -542,3 +542,35 @@ def q_fn_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             ".", F.element_at(labels, -2), F.element_at(labels, -1)
         ).alias("reg_domain"),
     )
+
+
+@query(
+    "q_fn_variant",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_long,
+           json_extract_string(props, '$.k') AS k_str,
+           (json_extract(props, '$.missing') IS NULL) AS missing_is_null
+    FROM events
+    """,
+)
+def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT semi-structured type (Spark 4): parse the JSON once into
+    the binary VARIANT encoding, then do typed path extraction with
+    `variant_get` — the shredded-JSON answer to get_json_object's
+    parse-per-call (q_fn_json) and from_json's rigid upfront schema
+    (q_fn_json_typed).  At 100 TB, VARIANT columns persist the parsed
+    encoding in Parquet, so repeated extraction never re-tokenizes text;
+    missing paths surface as NULL, not errors.
+
+    DuckDB has no VARIANT — the oracle checks the same typed extractions
+    through its JSON functions.
+    """
+    e = t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_long"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "bigint").isNull().alias("missing_is_null"),
+    )

@@ -501,3 +501,161 @@ def q_agg_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.05
         ).alias("est_within_5pct"),
     )
+
+
+@query(
+    "q_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT l_returnflag, quantile_disc(l_extendedprice, 0.5) AS med_price
+      FROM lineitem GROUP BY l_returnflag
+    ),
+    dev AS (
+      SELECT l.l_returnflag, m.med_price,
+             abs(l.l_extendedprice - m.med_price) AS adev
+      FROM lineitem l JOIN med m USING (l_returnflag)
+    ),
+    mad AS (
+      SELECT l_returnflag, quantile_disc(adev, 0.5) AS mad_price
+      FROM dev GROUP BY l_returnflag
+    )
+    SELECT d.l_returnflag,
+           MIN(d.med_price) AS med_price,
+           MIN(a.mad_price) AS mad_price,
+           CAST(SUM(CASE WHEN d.adev > 5 * a.mad_price THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           COUNT(*) AS n_rows
+    FROM dev d JOIN mad a USING (l_returnflag)
+    GROUP BY d.l_returnflag
+    """,
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: per-group median + MAD (median absolute
+    deviation) and the count of rows beyond 5 MADs — the
+    skew/heavy-tail-safe alternative to mean±k·stddev for data-quality
+    monitoring (a handful of corrupt prices cannot drag the threshold
+    the way they drag a stddev).
+
+    Everything is engine-exact: percentile_disc returns actual data
+    values, deviations are IEEE subtractions on identical operands, and
+    the 5·MAD comparison is deterministic — no carrier needed.  Scale:
+    two grouped exact percentiles (each one shuffle on the 3-value group
+    key, per-group sort) + broadcast-joinable 3-row med/mad tables back
+    against the fact; with a tolerance budget, swap percentile_disc for
+    the mergeable approx_percentile sketch and lose the second scan.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_mad")
+    return spark.sql(
+        """
+        WITH med AS (
+          SELECT l_returnflag,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)
+                   AS med_price
+          FROM lineitem_mad GROUP BY l_returnflag
+        ),
+        dev AS (
+          SELECT l.l_returnflag, m.med_price,
+                 abs(l.l_extendedprice - m.med_price) AS adev
+          FROM lineitem_mad l JOIN med m USING (l_returnflag)
+        ),
+        mad AS (
+          SELECT l_returnflag,
+                 percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad_price
+          FROM dev GROUP BY l_returnflag
+        )
+        SELECT d.l_returnflag,
+               MIN(d.med_price) AS med_price,
+               MIN(a.mad_price) AS mad_price,
+               CAST(SUM(CASE WHEN d.adev > 5 * a.mad_price THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_outliers,
+               COUNT(*) AS n_rows
+        FROM dev d JOIN mad a USING (l_returnflag)
+        GROUP BY d.l_returnflag
+        """
+    )
+
+
+@query(
+    "q_agg_corr",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_quantity * 100 + 0.5) AS BIGINT)
+                 AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+                 AS DECIMAL(38,0))) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS corr_qty_price,
+           round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 9)
+             AS slope_price_per_qty
+    FROM s
+    """,
+)
+def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation + regression slope per group (Hive corr/covar/regr_*
+    surface), computed ENGINE-EXACTLY: both engines' corr() builtins
+    stream IEEE partial sums in partition order, so their last ulps
+    differ run to run — instead the five raw moments are accumulated as
+    exact integers (2-decimal quantization, DECIMAL(38) sums so 100 TB
+    cannot overflow), and the closed-form corr/slope is evaluated in
+    double on identical operands.  Correlation and slope are invariant
+    under the equal per-axis scaling, so the quantized answer IS the
+    answer for 2-decimal currency/quantity data.
+
+    One partial+final agg, one shuffle on the 3-value group key; the
+    moment-vector is the mergeable form (same shape corr() uses
+    internally, minus the float nondeterminism).
+    """
+    x = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    y = F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+    D = "decimal(38,0)"
+    s = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x.cast(D)).alias("sx"),
+            F.sum(y.cast(D)).alias("sy"),
+            F.sum((x * y).cast(D)).alias("sxy"),
+            F.sum((x * x).cast(D)).alias("sxx"),
+            F.sum((y * y).cast(D)).alias("syy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    cov_n = nd * sxy - sx * sy
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            cov_n / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)), 9
+        ).alias("corr_qty_price"),
+        F.round(cov_n / (nd * sxx - sx * sx), 9).alias("slope_price_per_qty"),
+    )

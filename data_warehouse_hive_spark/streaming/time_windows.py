@@ -257,3 +257,77 @@ def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", F.col("event_type").alias("next_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "q_ts_gapfill",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, event_type,
+             COUNT(*) AS n_raw,
+             {o_dsum('value', 'sum_value')}
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (
+      SELECT CAST(date_trunc('hour', MIN(ts)) AS TIMESTAMP) AS lo,
+             CAST(date_trunc('hour', MAX(ts)) AS TIMESTAMP) AS hi
+      FROM events
+    ),
+    spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hr FROM bounds
+    ),
+    grid AS (
+      SELECT s.hr, t.event_type
+      FROM spine s CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+    )
+    SELECT g.event_type, g.hr,
+           CAST(COALESCE(h.n_raw, 0) AS BIGINT) AS n_events,
+           last_value(h.sum_value IGNORE NULLS) OVER (
+             PARTITION BY g.event_type ORDER BY g.hr
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_sum
+    FROM grid g LEFT JOIN hourly h
+      ON h.hr = g.hr AND h.event_type = g.event_type
+    """,
+)
+def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: a dense hourly spine per event type
+    (every hour between the corpus min and max exists as a row), zero
+    counts for silent hours, and forward-filled hourly sums
+    (last-observation-carried-forward) — the resample/ffill operator
+    dashboards and feature pipelines need, without which downstream
+    window math silently skips missing buckets.
+
+    Scale: the fact table aggregates FIRST (one shuffle to hourly
+    granularity); the spine is generated from the 1-row bounds aggregate
+    (sequence + explode — rows = hours × types, independent of event
+    count) and the spine join runs at bucket granularity, never against
+    raw events.  The forward-fill window is partitioned per event type —
+    a per-key bounded-domain sort, never a global one.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("hr"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("n_raw"), dsum("value", "sum_value"))
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hr")
+    )
+    grid = spine.crossJoin(e.select("event_type").distinct())
+    joined = grid.join(hourly, ["hr", "event_type"], "left")
+    return joined.select(
+        "event_type",
+        "hr",
+        F.coalesce(F.col("n_raw"), F.lit(0)).cast("long").alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(
+            Window.partitionBy("event_type")
+            .orderBy("hr")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("filled_sum"),
+    )
