@@ -662,3 +662,64 @@ def q_dedup_group_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_groups"),
         F.sum("group_size").alias("n_docs"),
     )
+
+
+@query(
+    "q_dedup_url",
+    oracle="""
+    WITH raw AS (
+      SELECT doc_id,
+             concat(CASE WHEN doc_id % 2 = 0 THEN 'https' ELSE 'HTTPS' END,
+                    '://',
+                    CASE WHEN doc_id % 3 = 0 THEN upper(source) ELSE source END,
+                    '.Example.COM/p/', CAST(doc_id % 50 AS VARCHAR),
+                    '?utm_source=feed&session=', CAST(doc_id AS VARCHAR)) AS url
+      FROM documents
+    ),
+    canon AS (
+      SELECT doc_id,
+             concat(
+               lower(regexp_extract(url, '^[a-zA-Z]+://([^/?#]+)', 1)),
+               regexp_extract(url, '^[a-zA-Z]+://[^/?#]+(/[^?#]*)', 1)
+             ) AS canonical_url
+      FROM raw
+    )
+    SELECT canonical_url,
+           CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id,
+           COUNT(*) AS n_copies
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-canonicalization dedup — the cheap FIRST pass of every web
+    crawl pipeline, run before any content hashing: lowercase the
+    scheme-less host, keep the path, strip query/fragment (tracking
+    params make raw-URL dedup useless), then exact-group on the
+    canonical form with a deterministic min-doc survivor.
+
+    URLs are synthesized with the real noise sources (mixed-case scheme
+    and host, per-visit tracking params) so the canonicalizer provably
+    collapses them: 500 raw URLs → 50 canonical groups.  Same scale shape
+    as q_dedup_exact — one shuffle on a uniform string key.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "source")
+    url = F.concat(
+        F.when(F.col("doc_id") % 2 == 0, F.lit("https")).otherwise(F.lit("HTTPS")),
+        F.lit("://"),
+        F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit("?utm_source=feed&session="),
+        F.col("doc_id").cast("string"),
+    )
+    canonical = F.concat(
+        F.lower(F.parse_url(url, F.lit("HOST"))), F.parse_url(url, F.lit("PATH"))
+    )
+    return (
+        d.select("doc_id", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )

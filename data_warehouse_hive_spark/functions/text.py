@@ -423,3 +423,57 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dup_word_frac"),
         F.array_max(F.transform(lines, F.length)).cast("long").alias("max_line_len"),
     )
+
+
+@query(
+    "q_text_entropy",
+    oracle=r"""
+    WITH w AS (
+      SELECT doc_id,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT doc_id, word, COUNT(*) AS c FROM w GROUP BY doc_id, word
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           COUNT(*) AS n_distinct,
+           CAST(MAX(c) AS BIGINT) AS max_freq,
+           round(log2(CAST(SUM(c) AS DOUBLE))
+                 - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                   / CAST(SUM(c) AS DOUBLE), 4) AS word_entropy
+    FROM cnt GROUP BY doc_id
+    """,
+)
+def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-distribution Shannon entropy per document (plus exact
+    token/distinct/max-frequency counts) — the diversity signal that
+    separates natural prose (high entropy) from templated/spammy
+    repetition (low) where q_text_repetition's duplicate fractions only
+    see exact repeats.
+
+    H = log2(n) − (Σ c·log2 c)/n over exact integer word counts; the two
+    float sums are order-sensitive in the last ulps, so the entropy is
+    reported at 4 dp — far coarser than the ~1e-11 worst-case partial-agg
+    drift — while the count columns stay exact.  Two shuffles (word
+    counts, per-doc rollup), both on uniform keys.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    cnt = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("double")
+    return cnt.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tok"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("max_freq"),
+        F.round(
+            F.log2(n) - F.sum(F.col("c").cast("double") * F.log2("c")) / n, 4
+        ).alias("word_entropy"),
+    )

@@ -62,6 +62,14 @@ def get_spark(
         )
         # ns-precision parquet timestamps (events.ts) are otherwise illegal
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # runtime bloom-filter semi-join reduction: when a selective dim
+        # filter survives a non-broadcast join, inject might_contain() on
+        # the fact scan.  Default size thresholds are kept (creation side
+        # ≤10MB, application side ≥10GB) so this only fires in the
+        # shuffle-join regime it is built for — i.e. at scale, not on
+        # local fixtures; tests/test_plans.py pins the injection with
+        # thresholds overridden.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     )
     if warehouse_dir:
         builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
@@ -88,6 +96,7 @@ def ensure_engine_conf(spark: SparkSession) -> SparkSession:
         ("spark.sql.adaptive.skewJoin.enabled", "true"),
         ("spark.sql.execution.arrow.pyspark.enabled", "true"),
         ("spark.sql.legacy.parquet.nanosAsLong", "true"),
+        ("spark.sql.optimizer.runtime.bloomFilter.enabled", "true"),
     ):
         try:
             spark.conf.set(key, value)

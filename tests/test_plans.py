@@ -331,3 +331,49 @@ def test_nullsafe_join_is_hash_join(spark, sf_dir):
     strategies = join_strategies(plan)
     assert any("HashJoin" in s or "SortMergeJoin" in s for s in strategies), plan
     assert not any("NestedLoop" in s for s in strategies), plan
+
+
+def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
+    """Runtime bloom-filter injection (enabled in the engine conf): when a
+    selective dim predicate survives a NON-broadcast join — the 100 TB
+    regime where the dim exceeds the broadcast threshold — the optimizer
+    builds a bloom_filter_agg on the dim side and injects might_contain()
+    into the fact scan, cutting shuffled fact rows before the join.
+    Size thresholds are production-scaled, so this test lowers them to
+    make the tiny fixture eligible and pins the plan shape."""
+    import io
+    from contextlib import redirect_stdout
+
+    big_p, dim_p = str(tmp_path / "fact"), str(tmp_path / "dim")
+    spark.range(0, 200_000).withColumn(
+        "k", (F.col("id") % 1000).cast("long")
+    ).write.mode("overwrite").parquet(big_p)
+    spark.range(0, 1000).select(F.col("id").alias("k")).write.mode(
+        "overwrite"
+    ).parquet(dim_p)
+
+    overrides = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        fact = spark.read.parquet(big_p)
+        dim = spark.read.parquet(dim_p).filter(F.col("k") < 10)
+        joined = fact.join(dim, "k")
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "might_contain" in plan, plan
+        assert "bloom_filter_agg" in plan, plan
+        # semantics unchanged by the filter
+        assert joined.count() == 200_000 // 1000 * 10
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
