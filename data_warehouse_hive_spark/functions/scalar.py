@@ -574,3 +574,55 @@ def q_fn_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "string").alias("k_str"),
         F.variant_get(v, "$.missing", "bigint").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "q_fn_collate",
+    oracle="""
+    WITH noisy AS (
+      SELECT p_partkey,
+             CASE WHEN p_partkey % 2 = 0 THEN upper(p_brand)
+                  WHEN p_partkey % 3 = 0 THEN lower(p_brand)
+                  ELSE p_brand END AS brand_noisy
+      FROM part
+    )
+    SELECT min(brand_noisy) AS brand_repr,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT brand_noisy) AS n_case_variants
+    FROM noisy
+    GROUP BY lower(brand_noisy)
+    """,
+)
+def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collation-aware grouping (Spark 4 collation support): group
+    case-noisy brand strings under the UTF8_LCASE collation, so 'BRAND#1',
+    'brand#1' and 'Brand#1' land in one group WITHOUT rewriting every
+    comparison through lower() — the engine treats case-insensitivity as
+    a property of the type, and every comparison, join, and group on the
+    collated column inherits it.
+
+    The oracle expresses the identical semantics via lower() grouping
+    (DuckDB collations are connection-level, not per-expression).  Output
+    keys are the deterministic min() representative; the raw
+    case-variant count shows the collation actually collapsed anything.
+    Same shuffle shape as any group-by — collation changes the
+    comparator, not the plan.
+    """
+    noisy = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.when(F.col("p_partkey") % 2 == 0, F.upper("p_brand"))
+        .when(F.col("p_partkey") % 3 == 0, F.lower("p_brand"))
+        .otherwise(F.col("p_brand"))
+        .alias("brand_noisy"),
+    )
+    return (
+        noisy.groupBy(F.collate("brand_noisy", "UTF8_LCASE").alias("gk"))
+        .agg(
+            F.min(F.col("brand_noisy").cast("string")).alias("brand_repr"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct(F.col("brand_noisy").cast("string")).alias(
+                "n_case_variants"
+            ),
+        )
+        .drop("gk")
+    )

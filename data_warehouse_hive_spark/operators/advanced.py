@@ -474,3 +474,34 @@ def q_join_nullsafe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.join(s, c["nk"].eqNullSafe(s["nk"])).select(
         c["nk"].alias("nationkey"), "n_cust", "n_supp"
     )
+
+
+@query(
+    "q_pipe_syntax",
+    oracle=f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice', 'total')}
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+)
+def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4 `|>` operators): the filter→aggregate
+    flow written as a left-to-right pipeline instead of inside-out
+    SELECT nesting — same Catalyst plan, different grammar.  Covered as
+    surface parity (the GoogleSQL-style syntax users increasingly write);
+    the oracle is the equivalent classic SQL.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_pipe")
+    return spark.sql(
+        """
+        FROM orders_pipe
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE COUNT(*) AS n_orders,
+                     CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                          AS DOUBLE) / 1e6 AS total
+           GROUP BY o_orderpriority
+        """
+    )

@@ -794,3 +794,57 @@ def ddl_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [Row(join_rows=n_rows, shuffle_exchanges=n_shuffles, zero_shuffle=n_shuffles == 0)]
     )
+
+
+@query("ddl_xml_ingest")
+def ddl_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion (Spark 4 built-in XML source — no external package):
+    rowTag-scoped record extraction with a declared schema, attribute +
+    nested-element access, malformed-record quarantine via PERMISSIVE
+    corrupt-record capture, parquet landing.  Completes the
+    semi-structured ingest family next to CSV (ddl_csv_badrows) and
+    JSON-lines (ddl_json_ingest).
+
+    Scale: the XML source splits on rowTag boundaries, so a directory of
+    feed files parallelizes per file like any text source; schema is
+    declared (inference would be an extra full scan at 100 TB).
+    """
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="dwh_xml_")
+    path = os.path.join(d, "feed.xml")
+    with open(path, "w") as f:
+        f.write(
+            "<catalog>\n"
+            '  <item sku="A1"><name>widget</name><price>9.99</price></item>\n'
+            '  <item sku="B2"><name>gadget</name><price>19.50</price></item>\n'
+            '  <item sku="C3"><name>doohickey</name><price>not-a-price</price></item>\n'
+            "</catalog>\n"
+        )
+    schema = "_sku STRING, name STRING, price DOUBLE, _bad STRING"
+    parsed = (
+        spark.read.format("xml")
+        .option("rowTag", "item")
+        .option("attributePrefix", "_")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_bad")
+        .schema(schema)
+        .load(path)
+        .cache()
+    )
+    try:
+        ok = parsed.filter(F.col("_bad").isNull())
+        n_ok = ok.count()
+        n_bad = parsed.filter(F.col("_bad").isNotNull()).count()
+        out_dir = os.path.join(d, "landed")
+        ok.select("_sku", "name", "price").write.mode("overwrite").parquet(out_dir)
+        landed = spark.read.parquet(out_dir)
+        n_landed = landed.count()
+        total_price = landed.agg(
+            F.sum(F.floor(F.col("price") * 100 + 0.5).cast("long")).alias("cents")
+        ).collect()[0]["cents"]
+    finally:
+        parsed.unpersist()
+    return spark.createDataFrame(
+        [Row(parsed_ok=n_ok, quarantined=n_bad, landed=n_landed, total_cents=total_price)]
+    )

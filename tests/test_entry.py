@@ -25,3 +25,22 @@ def test_queries_accept_sf_dir(spark, sf_dir):
     qs = entry_mod.queries()
     df = qs["q_count_star"](spark, sf_dir)
     assert df.collect()[0]["n_rows"] > 0
+
+
+def test_parameterized_sql(spark, sf_dir):
+    """Parameterized spark.sql (named placeholders) — the injection-safe
+    templating surface for programmatic query construction; equals the
+    literal-inlined query."""
+    from data_warehouse_hive_spark.tables import t
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_param")
+    got = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_param "
+        "WHERE o_orderstatus = :status AND o_totalprice > :floor",
+        args={"status": "F", "floor": 1000.0},
+    ).collect()[0]["n"]
+    want = spark.sql(
+        "SELECT COUNT(*) AS n FROM orders_param "
+        "WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0"
+    ).collect()[0]["n"]
+    assert got == want and got > 0
