@@ -701,3 +701,106 @@ def q_curate_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 4, 'decontaminated', d4, t4"
         ") AS (stage_id, stage, n_docs, n_tokens)"
     )
+
+
+# ---------------------------------------------------------------------------
+# Training-mixture reweighting
+# ---------------------------------------------------------------------------
+
+# target token-mass shares per language (production: the mixture spec)
+_MIX_TARGET = {"en": 0.4, "es": 0.3, "de": 0.1, "fr": 0.1, "zh": 0.1}
+
+
+def _mix_case_sql() -> str:
+    whens = " ".join(
+        f"WHEN '{k}' THEN {v!r}" for k, v in sorted(_MIX_TARGET.items())
+    )
+    return f"CASE lang {whens} ELSE 0.0 END"
+
+
+@query(
+    "q_mix_weights",
+    oracle=rf"""
+    WITH mass AS (
+      SELECT lang,
+             COUNT(*) AS n_docs,
+             CAST(SUM(len({_O_TOK})) AS BIGINT) AS n_tokens,
+             {_mix_case_sql()} AS target_share
+      FROM documents GROUP BY lang
+    ),
+    scale AS (
+      SELECT MIN(CAST(n_tokens AS DOUBLE) / target_share) AS c FROM mass
+      WHERE target_share > 0
+    )
+    SELECT m.lang, m.n_docs, m.n_tokens,
+           round(CAST(m.n_tokens AS DOUBLE)
+                 / CAST(SUM(m.n_tokens) OVER () AS DOUBLE), 9) AS cur_share,
+           m.target_share,
+           round(m.target_share * s.c / CAST(m.n_tokens AS DOUBLE), 9)
+             AS sample_rate,
+           CAST(floor(m.target_share * s.c) AS BIGINT) AS kept_tokens
+    FROM mass m CROSS JOIN scale s
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture reweighting: given a target token-mass share per
+    language, compute the max-volume downsampling rate per domain —
+    r_l = w_l · min_j(m_j / w_j) / m_l — so the sampled corpus hits the
+    target mixture exactly while the binding domain keeps rate 1.0 (no
+    upsampling; every other domain sheds mass proportionally).  This is
+    the arithmetic behind every "30% code, 40% web, …" pretraining spec.
+
+    The rates then feed the deterministic hash sampler
+    (q_sample_stratified's keep rule) so the realized sample is
+    reproducible.  Cost: one partial+final agg on the language key; the
+    min-scale constant is a 1-row broadcast.  All rate math is double ops
+    on identical integer operands in both engines, rounded at 9 dp.
+    """
+    m = (
+        spread(t(spark, sf_dir, "documents").select("lang", "text"), spark)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"),
+        )
+        .withColumn(
+            "target_share",
+            F.coalesce(
+                *[
+                    F.when(F.col("lang") == k, F.lit(v))
+                    for k, v in sorted(_MIX_TARGET.items())
+                ],
+                F.lit(0.0),
+            ),
+        )
+    )
+    scale = m.filter(F.col("target_share") > 0).agg(
+        F.min(F.col("n_tokens").cast("double") / F.col("target_share")).alias("c")
+    )
+    from pyspark.sql import Window as _W
+
+    return (
+        m.crossJoin(F.broadcast(scale))
+        .withColumn(
+            "cur_share",
+            F.round(
+                F.col("n_tokens").cast("double")
+                / F.sum("n_tokens").over(_W.partitionBy()).cast("double"),
+                9,
+            ),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_tokens",
+            "cur_share",
+            "target_share",
+            F.round(
+                F.col("target_share") * F.col("c") / F.col("n_tokens").cast("double"),
+                9,
+            ).alias("sample_rate"),
+            F.floor(F.col("target_share") * F.col("c")).cast("long").alias(
+                "kept_tokens"
+            ),
+        )
+    )

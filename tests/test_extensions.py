@@ -444,3 +444,46 @@ def test_wav_header_decode_real_format(spark):
         48000, 24, 48000,
     )
     assert got[3]["format"] is None and got[3]["sample_rate"] is None
+
+
+def test_wav_header_roundtrip_property():
+    """Property: any (rate, channels, bits, frames) combination written
+    through a well-formed RIFF container — with arbitrary benign chunks
+    before data — parses back exactly."""
+    import struct
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from data_warehouse_hive_spark.sources.multimodal import sniff_wav_meta
+
+    def wav(rate, chans, bits, n_frames, junk):
+        data = b"\x00" * (n_frames * chans * (bits // 8))
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH",
+            16, 1, chans, rate, rate * chans * bits // 8, chans * bits // 8, bits,
+        )
+        pre = b"LIST" + struct.pack("<I", len(junk)) + junk + (
+            b"\x00" if len(junk) % 2 else b""
+        )
+        body = (
+            b"WAVE" + fmt + pre + b"data" + struct.pack("<I", len(data)) + data
+        )
+        return b"RIFF" + struct.pack("<I", len(body)) + body
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        rate=st.sampled_from([8000, 16000, 22050, 44100, 48000]),
+        chans=st.integers(1, 8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+        n_frames=st.integers(0, 4096),
+        junk=st.binary(min_size=0, max_size=64).filter(
+            lambda b: b[:4] not in (b"fmt ", b"data")
+        ),
+    )
+    def check(rate, chans, bits, n_frames, junk):
+        fmt, r, c, b, n, dur = sniff_wav_meta(wav(rate, chans, bits, n_frames, junk))
+        assert (fmt, r, c, b, n) == ("wav", rate, chans, bits, n_frames)
+        assert dur == (n_frames * 1000) // rate
+
+    check()
