@@ -1,0 +1,147 @@
+"""Endpoint-parity facade — the reference's REST API as library calls.
+
+The reference exposes four HTTP routes on a Sanic service
+(reference backend/app.py): POST /process-csv (:32-118),
+GET /health (:120-147), GET /schema/<key> (:149-180), and
+GET /table/<name>/info (:204-216).  SURVEY §7 collapses that 3-process
+HTTP/Thrift topology into in-process library calls; this module closes
+the last parity gap by exposing each route under its own name with the
+reference's exact RESPONSE SHAPE (same top-level keys, same nesting), so
+a client of the reference can port by swapping the HTTP call for a
+function call and keep its response handling unchanged.
+
+No HTTP server is started — transport was never the product; the
+payloads were.  Each function delegates to the library twin that the
+registry/tests already exercise (sources/csv_ingest.py, sources/stats.py,
+sources/catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from data_warehouse_hive_spark.sources import catalog as _catalog
+from data_warehouse_hive_spark.sources.csv_ingest import (
+    infer_csv_schema,
+    ingest_csv,
+)
+from data_warehouse_hive_spark.sources.stats import column_stats
+
+# Spark → Hive DDL type names (SURVEY §1.2 map, reference
+# backend/hive_manager.py:42-67; Spark simpleString values on the left).
+_SPARK_TO_HIVE = {
+    "tinyint": "TINYINT",
+    "smallint": "SMALLINT",
+    "int": "INT",
+    "bigint": "BIGINT",
+    "float": "FLOAT",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "date": "DATE",
+    "timestamp": "TIMESTAMP",
+    "string": "STRING",
+}
+
+
+def _hive_type(spark_type: str) -> str:
+    return _SPARK_TO_HIVE.get(spark_type, "STRING")
+
+
+def process_csv(
+    spark: SparkSession,
+    path: str,
+    table_name: str | None = None,
+    *,
+    has_header: bool = True,
+) -> dict[str, Any]:
+    """POST /process-csv twin (reference backend/app.py:32-118, success
+    payload :100-111): ingest a CSV into an external table and return the
+    reference-shaped response."""
+    result = ingest_csv(spark, path, table_name, header=has_header)
+    size_mb = None
+    try:
+        size_mb = round(os.path.getsize(path) / (1024 * 1024), 2)
+    except OSError:
+        pass
+    return {
+        "status": "success",
+        "message": f"Successfully created external table for {path}",
+        "table_name": result.table_name,
+        "table_type": "external",
+        "location": result.location,
+        "schema_columns": len(result.columns),
+        "columns": [
+            {"name": c["name"], "type": c["spark_type"]} for c in result.columns
+        ],
+        "sample_file_size_mb": size_mb,
+        "has_header": has_header,
+    }
+
+
+def health(spark: SparkSession) -> dict[str, Any]:
+    """GET /health twin (reference backend/app.py:120-147): per-backend
+    connection statuses under a `connections` map.  The reference probes
+    S3 + Hive; here the two backends are the execution engine (SELECT 1)
+    and the catalog."""
+    checks = _catalog.health_check(spark)
+    return {
+        "status": "healthy" if all(checks.values()) else "degraded",
+        "service": "data-warehouse-hive-spark",
+        "connections": {
+            k: "connected" if ok else "error" for k, ok in checks.items()
+        },
+    }
+
+
+def schema_preview(
+    spark: SparkSession,
+    path: str,
+    *,
+    has_header: bool = True,
+    sample_rows: int = 1000,
+) -> dict[str, Any]:
+    """GET /schema/<key> twin (reference backend/app.py:149-180):
+    bounded-sample schema inference + per-column type map + statistics.
+    The sample cap mirrors MAX_SAMPLE_SIZE (reference backend/config.py:26)."""
+    schema, delim = infer_csv_schema(spark, path, header=has_header)
+    sample = (
+        spark.read.csv(path, header=has_header, sep=delim, schema=schema)
+        .limit(sample_rows)
+    )
+    n_sample = sample.count()
+    stats = column_stats(sample)
+    return {
+        "key": path,
+        "sample_rows": n_sample,
+        "columns": len(schema.fields),
+        "schema": {
+            f.name: {
+                "spark_type": f.dataType.simpleString(),
+                "hive_type": _hive_type(f.dataType.simpleString()),
+            }
+            for f in schema.fields
+        },
+        "statistics": stats,
+    }
+
+
+def table_info(spark: SparkSession, table_name: str) -> dict[str, Any]:
+    """GET /table/<name>/info twin (reference backend/app.py:204-216 →
+    backend/hive_manager.py:386-418): DESCRIBE + COUNT(*) + external
+    flag, keyed exactly like the reference's payload."""
+    info = _catalog.table_info(spark, table_name)
+    return {
+        "table_name": table_name,
+        "sanitized_name": info.name,
+        # reference emits [{"name", "type"}] pairs (hive_manager.py:410)
+        "columns": [
+            {"name": c.get("col_name", c.get("name")),
+             "type": c.get("data_type", c.get("type"))}
+            for c in info.columns
+        ],
+        "row_count": info.row_count,
+        "is_external": info.is_external,
+    }

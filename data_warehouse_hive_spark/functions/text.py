@@ -477,3 +477,85 @@ def q_text_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.log2(n) - F.sum(F.col("c").cast("double") * F.log2("c")) / n, 4
         ).alias("word_entropy"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Overlapping chunking (embedding / RAG pre-pass)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64   # tokens per chunk
+CHUNK_STRIDE = 48   # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 16
+
+# oracle-side whitespace tokenizer (DuckDB twin of tokens())
+_O_TOK = r"string_split_regex(trim(text), '\s+')"
+
+
+@query(
+    "q_text_chunks",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_O_TOK} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(list_transform(
+               range(0, (greatest(len(toks), 1) - 1) // {CHUNK_STRIDE} + 1),
+               i -> i * {CHUNK_STRIDE}
+             )) AS chunk_start
+      FROM w
+    )
+    SELECT doc_id,
+           CAST(chunk_start // {CHUNK_STRIDE} AS BIGINT) AS chunk_id,
+           CAST(chunk_start AS BIGINT) AS chunk_start,
+           CAST(least({CHUNK_TOKENS}, len(toks) - chunk_start) AS BIGINT)
+             AS n_tok_chunk,
+           md5(array_to_string(
+             toks[chunk_start + 1 : chunk_start + {CHUNK_TOKENS}], ' '
+           )) AS chunk_hash
+    FROM starts
+    """,
+)
+def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking — the pre-pass that turns
+    documents into embedding/RAG units: {CHUNK_TOKENS}-token chunks every
+    {CHUNK_STRIDE} tokens (16-token overlap so no sentence is split
+    across a hard boundary without context), each with a stable content
+    hash for downstream dedup/caching and an addressable (doc_id,
+    chunk_id).
+
+    Pure row-local explode — zero shuffle; output row count is
+    ~n_tokens/stride regardless of document skew, so chunking
+    parallelizes with the scan at 100 TB.  The token array is
+    materialized once per doc before the start-offset transform (the
+    regex-split-per-element trap — see SCALING.md on shingling); the
+    modest slice copy (~4/3 of tokens) is the cost of overlap itself.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    wtok = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    starts = wtok.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.greatest(n, F.lit(1)) - 1) / CHUNK_STRIDE).cast("int"),
+                ),
+                lambda i: i * CHUNK_STRIDE,
+            )
+        ).alias("chunk_start"),
+    )
+    return starts.select(
+        "doc_id",
+        F.floor(F.col("chunk_start") / CHUNK_STRIDE).cast("long").alias("chunk_id"),
+        F.col("chunk_start").cast("long").alias("chunk_start"),
+        F.least(F.lit(CHUNK_TOKENS), F.size("toks") - F.col("chunk_start"))
+        .cast("long")
+        .alias("n_tok_chunk"),
+        F.md5(
+            F.array_join(
+                F.slice("toks", F.col("chunk_start") + 1, CHUNK_TOKENS), " "
+            )
+        ).alias("chunk_hash"),
+    )
