@@ -310,3 +310,30 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     assert row["zero_shuffle"] is True
     assert row["shuffle_exchanges"] == 0
     assert row["join_rows"] == tbl(spark, sf_dir, "orders").count()
+
+
+def test_mv_refresh_flags_all_true(spark, sf_dir):
+    """ddl_mv_refresh is self-verifying: every invariant flag (untouched
+    old partition, folded late data, new partition, equality with a full
+    rebuild) must actually hold, not just produce a row."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_mv_refresh"].fn(spark, sf_dir).collect()[0]
+    assert row["equals_full_rebuild"]
+    assert row["day1_untouched"]
+    assert row["late_data_folded"]
+    assert row["new_day_present"]
+    assert row["refreshed_partitions"] == 2 and row["partitions"] == 3
+
+
+def test_sort_layout_prunes(spark, sf_dir):
+    """ddl_sort_layout must demonstrate real pruning headroom: sorted
+    files have disjoint tight spans (a point predicate touches ~1 file)
+    while unsorted files all span the domain."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_sort_layout"].fn(spark, sf_dir).collect()[0]
+    assert row["pruning_effective"]
+    assert row["point_files_sorted"] <= 2
+    assert row["point_files_unsorted"] >= row["files"] - 1
+    assert row["mean_span_sorted"] < 0.5 < row["mean_span_unsorted"]
