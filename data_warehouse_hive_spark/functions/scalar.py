@@ -626,3 +626,95 @@ def q_fn_collate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("gk")
     )
+
+
+@query(
+    "q_fn_transform",
+    oracle="""
+    SELECT CAST(n_nationkey AS VARCHAR) AS key_str,
+           n_name,
+           CAST(n_nationkey AS INT) AS key_back
+    FROM nation
+    """,
+)
+def q_fn_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive TRANSFORM — the streaming-script escape hatch (`SELECT
+    TRANSFORM (...) USING '<cmd>'`): rows are piped tab-separated through
+    an external process per task and parsed back.  Exercised with the
+    identity script (`cat`) over the 25-row nation dim so the surface is
+    covered and value-checked.
+
+    This is legacy parity, not a recommendation: one forked process per
+    task, untyped text at the boundary, no vectorization.  The modern
+    twin is the Arrow-batched pandas UDF surface (functions/udfs.py) —
+    same custom-code capability at columnar speed.  Never put TRANSFORM
+    on a 100 TB hot path.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_xform")
+    return spark.sql(
+        """
+        SELECT key_str, n_name,
+               CAST(key_str AS INT) AS key_back
+        FROM (
+          SELECT TRANSFORM (n_nationkey, n_name)
+          USING 'cat' AS (key_str STRING, n_name STRING)
+          FROM nation_xform
+        )
+        """
+    )
+
+
+@query(
+    "q_fn_lambda",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+           round(list_aggregate(
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1e6 + 0.5)
+                                      AS BIGINT)),
+             'sum') / 1e6, 6) AS elem_sum,
+           round(CAST(list_aggregate(
+             list_transform(embedding, x -> greatest(CAST(x AS DOUBLE), 0.0)),
+             'max') AS DOUBLE), 6) AS max_relu,
+           (len(list_filter(embedding, x -> x < -0.9)) > 0) AS any_strong_neg
+    FROM embeddings
+    """,
+)
+def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions as user surface — transform / filter /
+    aggregate / exists lambdas over the embedding vectors: positive-count,
+    carrier-exact element sum, ReLU max, strong-negative flag.  (The
+    engine uses these internally for the similarity operators; this row
+    makes the HOF family itself a checked capability.)
+
+    HOF lambdas run interpreted (not codegen) — fine for metadata-sized
+    arrays; for per-element math over long vectors at scale, the Arrow
+    pandas-UDF twin wins (see brute_force_topk_arrow).  Element sums
+    cross engines go through the scaled-long carrier exactly like column
+    sums (float fold order is engine-private).
+    """
+    e = t(spark, sf_dir, "embeddings")
+    emb = F.transform("embedding", lambda x: x.cast("double"))
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("long").alias("n_pos"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: F.floor(x * 1e6 + 0.5).cast("long")),
+                F.lit(0).cast("long"),
+                lambda acc, v: acc + v,
+            )
+            / 1e6,
+            6,
+        ).alias("elem_sum"),
+        F.round(
+            F.aggregate(
+                F.transform(emb, lambda x: F.greatest(x, F.lit(0.0))),
+                F.lit(0.0),
+                lambda acc, v: F.greatest(acc, v),
+            ),
+            6,
+        ).alias("max_relu"),
+        F.exists(emb, lambda x: x < -0.9).alias("any_strong_neg"),
+    )
