@@ -603,3 +603,95 @@ def q_embed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= KNN_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): embedding near-dup graph → components
+# ---------------------------------------------------------------------------
+
+SEMANTIC_COS = 0.2  # production ~0.95+; fixture vectors are random (see
+                    # q_dedup_embedding_lsh) so the checkable surface is
+                    # the composed pipeline at a threshold that yields rows
+
+
+@query(
+    "q_dedup_semantic",
+    oracle=f"""
+    WITH RECURSIVE v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    pairs AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+      FROM vb a JOIN vb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6) >= {SEMANTIC_COS}
+    ),
+    edges AS (
+      SELECT vec_a AS src, vec_b AS dst FROM pairs
+      UNION ALL
+      SELECT vec_b, vec_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS v FROM edges),
+    reach(v, r) AS (
+      SELECT v, v FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.v
+    )
+    SELECT CAST(v AS BIGINT) AS vec_id,
+           CAST(MIN(r) AS BIGINT) AS group_id,
+           (CAST(v AS BIGINT) = CAST(MIN(r) AS BIGINT)) AS is_survivor
+    FROM reach GROUP BY v
+    """,
+)
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup, end to end: unsupervised LSH
+    blocking → within-bucket cosine threshold (the near-dup edge set of
+    q_dedup_embedding_lsh) → connected components (the iterative
+    min-label machinery of q_dedup_groups) → one survivor per semantic
+    cluster (the component's min vec_id).
+
+    This is the embedding-space twin of the MinHash text pipeline
+    (candidates → verify → groups → survivors) — the two compose into
+    the standard two-pass dedup: lexical first (cheap, high precision),
+    then semantic over the survivors (catches paraphrases MinHash cannot
+    see).  Scale: bucket self-join + diameter-bounded label propagation;
+    no all-pairs stage anywhere.
+    """
+    from data_warehouse_hive_spark.extensions.dedup import min_label_propagation
+
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    ).withColumn("bucket", lsh_bucket_col(F.col("e"))).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("vec_a"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vec_b"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    cosine = F.round(dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")), 6)
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("vec_a") < F.col("vec_b")),
+        )
+        .filter(cosine >= SEMANTIC_COS)
+        .select(F.col("vec_a").alias("src"), F.col("vec_b").alias("dst"))
+    )
+    labels, _ = min_label_propagation(pairs)
+    return labels.select(
+        F.col("doc").alias("vec_id"),
+        "group_id",
+        (F.col("doc") == F.col("group_id")).alias("is_survivor"),
+    )

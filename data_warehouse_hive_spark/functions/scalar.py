@@ -718,3 +718,45 @@ def q_fn_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("max_relu"),
         F.exists(emb, lambda x: x < -0.9).alias("any_strong_neg"),
     )
+
+
+@query(
+    "q_fn_try",
+    oracle="""
+    SELECT p_partkey,
+           TRY_CAST(p_name AS INT) AS name_as_int,
+           TRY_CAST(CASE WHEN p_size < 10 THEN CAST(p_size AS VARCHAR)
+                         ELSE p_name END AS INT) AS mixed_to_int,
+           CASE WHEN (p_partkey % 5) = 0 THEN NULL
+                ELSE CAST(p_retailprice AS DOUBLE) / (p_partkey % 5) END
+             AS safe_div,
+           CASE WHEN p_size >= 0 THEN CAST(p_size AS SMALLINT) END
+             AS size_small
+    FROM part
+    """,
+)
+def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe `try_*` family: Spark 4 runs ANSI mode by default, so a
+    malformed cast or a divide-by-zero THROWS mid-job — at 100 TB that
+    means one dirty row kills an hours-long pipeline at task 79,000.
+    try_cast / try_divide turn those rows into NULLs to quarantine
+    downstream (the row-level twin of PERMISSIVE ingest): non-numeric
+    strings → NULL, mixed column best-effort cast, zero-denominator
+    division → NULL, in-range narrowing cast.
+
+    DuckDB has TRY_CAST but no try_divide — the oracle guards the
+    denominator with CASE, same semantics.
+    """
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").try_cast("int").alias("name_as_int"),
+        F.when(F.col("p_size") < 10, F.col("p_size").cast("string"))
+        .otherwise(F.col("p_name"))
+        .try_cast("int")
+        .alias("mixed_to_int"),
+        F.try_divide(
+            F.col("p_retailprice"), (F.col("p_partkey") % 5).cast("double")
+        ).alias("safe_div"),
+        F.col("p_size").try_cast("smallint").alias("size_small"),
+    )

@@ -659,3 +659,46 @@ def q_agg_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("corr_qty_price"),
         F.round(cov_n / (nd * sxx - sx * sx), 9).alias("slope_price_per_qty"),
     )
+
+
+@query(
+    "q_agg_salted",
+    oracle=f"""
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           {o_dsum('l_extendedprice', 'revenue')},
+           CAST(MAX(l_quantity) AS DOUBLE) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED aggregation — the skewed-groupBy mitigation,
+    spelled out: stage 1 aggregates on (key, salt) so one hot key's rows
+    spread over S reducers; stage 2 merges the S partials per key.  The
+    oracle is the plain single-stage group-by — results are identical
+    because every aggregate here is mergeable (count=Σcount,
+    carrier-sum=Σsum, max=max of maxes).
+
+    Spark's partial/final HashAggregate already does this map-side, so
+    salting only pays when the FINAL stage itself skews (billions of rows
+    under one key after map-side combine — e.g. high-cardinality
+    accumulators where partial buffers stay per-row).  S=8; the salt is
+    the same deterministic xxhash64 used by q_join_salted.
+    """
+    SALT = 8
+    li = t(spark, sf_dir, "lineitem").withColumn(
+        "salt", F.pmod(F.xxhash64("l_orderkey", "l_linenumber"), F.lit(SALT))
+    )
+    partial = li.groupBy("l_returnflag", "salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.floor(F.col("l_extendedprice") * 1e6 + 0.5).cast("long")).alias(
+            "psum"
+        ),
+        F.max("l_quantity").alias("pmax"),
+    )
+    return partial.groupBy("l_returnflag").agg(
+        F.sum("pn").alias("n"),
+        (F.sum("psum").cast("double") / 1e6).alias("revenue"),
+        F.max("pmax").cast("double").alias("max_qty"),
+    )
