@@ -559,3 +559,90 @@ def q_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_hash"),
     )
+
+
+@query(
+    "q_text_fertility",
+    oracle=rf"""
+    WITH per_doc AS (
+      SELECT lang,
+             CAST(len(regexp_extract_all(text,
+               '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_bpe,
+             CAST(len({_O_TOK}) AS BIGINT) AS n_ws
+      FROM documents
+    )
+    SELECT lang,
+           CAST(SUM(n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(SUM(n_ws) AS BIGINT) AS ws_tokens,
+           round(CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_ws) AS DOUBLE), 9)
+             AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def q_text_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: sub-word (BPE-ish) tokens per
+    whitespace word — the number that converts a word-count corpus
+    estimate into a real token budget, and the per-language skew signal
+    (scripts with high fertility consume disproportionate context).
+    Integer token counts summed exactly; one ratio per language in
+    double on identical operands.  One shuffle on the language key.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("lang", "text"), spark)
+    per = d.select(
+        "lang",
+        F.size(bpe_ish_tokens("text")).cast("long").alias("n_bpe"),
+        F.size(tokens("text")).cast("long").alias("n_ws"),
+    )
+    return per.groupBy("lang").agg(
+        F.sum("n_bpe").alias("bpe_tokens"),
+        F.sum("n_ws").alias("ws_tokens"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_ws").cast("double"), 9
+        ).alias("fertility"),
+    )
+
+
+@query(
+    "q_text_lang_confusion",
+    oracle=r"""
+    WITH scored AS (
+      SELECT lang AS labeled_lang,
+             CASE WHEN len(list_filter(
+                    string_split_regex(trim(lower(text)), '\s+'),
+                    x -> x IN ('the','a','of'))) > 0
+                  THEN 'en' ELSE 'und' END AS predicted_lang,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+      FROM documents
+    )
+    SELECT labeled_lang, predicted_lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM scored GROUP BY labeled_lang, predicted_lang
+    """,
+)
+def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID evaluation: the (labeled × predicted) confusion matrix
+    with doc and token mass per cell — the quality report that decides
+    whether a language filter is safe to apply to a corpus slice.  Uses
+    q_text_langid's marker heuristic as the predictor and the fixture's
+    lang column as labels; the matrix is the evaluation SHAPE (cells ×
+    masses), which is what transfers to a real classifier.  One
+    partial+final agg on a tiny (langs × langs) key domain.
+    """
+    d = spread(
+        t(spark, sf_dir, "documents").select("lang", "text"), spark
+    )
+    ws = tokens(F.lower(F.col("text")))
+    en_hits = F.size(F.filter(ws, lambda x: x.isin(*_LANG_MARKERS["en"])))
+    return (
+        d.select(
+            F.col("lang").alias("labeled_lang"),
+            F.when(en_hits > 0, "en").otherwise("und").alias("predicted_lang"),
+            F.size(tokens("text")).cast("long").alias("n_tok"),
+        )
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+        )
+    )

@@ -331,3 +331,72 @@ def q_ts_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ).alias("filled_sum"),
     )
+
+
+@query(
+    "q_events_wau",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id
+      FROM events
+    ),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (
+      SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+      FROM bounds
+    ),
+    dau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS dau FROM daily GROUP BY day
+    ),
+    contrib AS (
+      SELECT daily.day + CAST(o.off AS INTEGER) AS day, daily.user_id
+      FROM daily CROSS JOIN (SELECT unnest(range(0, 7)) AS off) o
+    ),
+    wau AS (
+      SELECT day, COUNT(DISTINCT user_id) AS wau FROM contrib GROUP BY day
+    )
+    SELECT strftime(s.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.dau, 0) AS BIGINT) AS dau,
+           CAST(COALESCE(w.wau, 0) AS BIGINT) AS wau
+    FROM spine s
+    LEFT JOIN dau d ON d.day = s.day
+    LEFT JOIN wau w ON w.day = s.day
+    """,
+)
+def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling engagement metrics: DAU and trailing-7-day WAU per
+    calendar day (dense day spine, silent days = 0) — the product-
+    analytics headline series.
+
+    The trailing-distinct is NOT a window function (count distinct over
+    a sliding frame isn't supported, and a per-day 7-way self-join of
+    raw events would be quadratic-ish): each (day, user) pair explodes
+    into the 7 future days it keeps the user "weekly-active" for —
+    map-side, ×7 amplification of the ALREADY-DISTINCT daily pairs, not
+    raw events — then one distinct-count per day.  Cost at scale:
+    O(active-user-days × 7) through one shuffle; day outputs are
+    projected as ISO strings (DATE bridges differ across engines).
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.select(
+        F.to_date(F.date_trunc("day", "ts")).alias("day"), "user_id"
+    ).distinct()
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day")
+    )
+    dau = daily.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    contrib = daily.select(
+        F.explode(F.expr("sequence(0, 6)")).alias("off"), "day", "user_id"
+    ).select(F.expr("date_add(day, off)").alias("day"), "user_id")
+    wau = contrib.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    return (
+        spine.join(dau, "day", "left")
+        .join(wau, "day", "left")
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.coalesce("dau", F.lit(0)).cast("long").alias("dau"),
+            F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
+        )
+    )
