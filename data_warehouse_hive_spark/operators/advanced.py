@@ -505,3 +505,216 @@ def q_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
            GROUP BY o_orderpriority
         """
     )
+
+
+# Irregular value brackets (tax-bracket / IP-geo lookup shape); the last
+# bound is an open-ended catch-all clamped to the domain cap for bucketing.
+_BRACKETS = [
+    (0.0, 25_000.0, "micro"),
+    (25_000.0, 80_000.0, "small"),
+    (80_000.0, 180_000.0, "mid"),
+    (180_000.0, 320_000.0, "large"),
+    (320_000.0, 1_000_000.0, "jumbo"),
+]
+_PR_BUCKET_W = 20_000.0  # coarse-bucket width for the equi-join
+
+
+def _o_brackets_values() -> str:
+    return ", ".join(f"({lo!r}, {hi!r}, '{lab}')" for lo, hi, lab in _BRACKETS)
+
+
+@query(
+    "q_join_pointrange",
+    oracle=f"""
+    WITH brackets(lo, hi, label) AS (VALUES {_o_brackets_values()})
+    SELECT b.label,
+           COUNT(*) AS n_orders,
+           {o_dsum('o.o_totalprice', 'revenue')}
+    FROM orders o JOIN brackets b
+      ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi
+    GROUP BY b.label
+    """,
+)
+def q_join_pointrange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-range lookup join — the tax-bracket / IP-to-geo shape:
+    each fact value finds the ONE irregular interval containing it.  The
+    naive form is a theta join (nested-loop against every bracket); the
+    scalable idiom used here coarse-buckets both sides — each bracket
+    EXPLODES into the fixed-width buckets it spans, the fact computes its
+    single bucket, and the lookup becomes an equi-join on the bucket id
+    plus a residual bounds check.
+
+    At 100 TB: the fact side never replicates (one bucket per row); the
+    dim side's explosion is bounded by domain/width per bracket and
+    broadcasts.  The oracle is the direct theta join — identical result,
+    the plan is what changed.  Same composition as q_join_range, but for
+    point-probe (≤1 match) rather than interval-overlap semantics.
+    """
+    brackets = spark.createDataFrame(
+        _BRACKETS, "lo double, hi double, label string"
+    )
+    W = _PR_BUCKET_W
+    dim = brackets.select(
+        "lo",
+        "hi",
+        "label",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("lo") / W).cast("long"),
+                F.floor((F.col("hi") - 0.01) / W).cast("long"),
+            )
+        ).alias("bucket"),
+    )
+    o = t(spark, sf_dir, "orders").withColumn(
+        "bucket", F.floor(F.col("o_totalprice") / W).cast("long")
+    )
+    return (
+        o.join(broadcast(dim), "bucket")
+        .filter(
+            (F.col("o_totalprice") >= F.col("lo"))
+            & (F.col("o_totalprice") < F.col("hi"))
+        )
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice", "revenue"),
+        )
+    )
+
+
+@query(
+    "q_scd2",
+    oracle="""
+    WITH changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           o_orderstatus AS status,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS valid_from,
+           COALESCE(strftime(
+             LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey),
+             '%Y-%m-%d %H:%M:%S'), '9999-12-31 00:00:00') AS valid_to,
+           (LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey) IS NULL)
+             AS is_current
+    FROM changes
+    """,
+)
+def q_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type 2 build: turn a change log (each
+    order = a status observation for its customer) into validity
+    intervals — [valid_from, valid_to) per state with an open-ended
+    current row — the dimension-history table every warehouse keeps for
+    as-of reporting (and the build side of q_join_asof).
+
+    One window per key: LEAD over (event_time, unique_id) closes each
+    interval with the next change's start; the sentinel high date keeps
+    the current row range-queryable without NULL handling.  One shuffle
+    on the dimension key, linear per key — history depth per key is
+    what bounds the window buffer, not table size.  Timestamps project
+    as strings (cross-engine DATE bridges differ).
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.date_format("o_orderdate", fmt).alias("valid_from"),
+        F.coalesce(F.date_format(nxt, fmt), F.lit("9999-12-31 00:00:00")).alias(
+            "valid_to"
+        ),
+        nxt.isNull().alias("is_current"),
+    )
+
+
+@query(
+    "q_snapshot_diff",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey, l_linenumber,
+             md5(concat_ws('|', l_quantity, l_extendedprice, l_returnflag))
+               AS row_hash
+      FROM lineitem
+    ),
+    b AS (
+      SELECT l_orderkey, l_linenumber,
+             md5(concat_ws('|',
+                 CASE WHEN (l_orderkey + l_linenumber) % 13 = 0
+                      THEN l_quantity + 1.0 ELSE l_quantity END,
+                 l_extendedprice, l_returnflag)) AS row_hash
+      FROM lineitem
+      WHERE (l_orderkey + l_linenumber) % 97 <> 0
+    ),
+    joined AS (
+      SELECT a.row_hash AS ha, b.row_hash AS hb
+      FROM a FULL OUTER JOIN b
+        ON a.l_orderkey = b.l_orderkey AND a.l_linenumber = b.l_linenumber
+    )
+    SELECT CAST(SUM(CASE WHEN hb IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS removed,
+           CAST(SUM(CASE WHEN ha IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS added,
+           CAST(SUM(CASE WHEN ha IS NOT NULL AND hb IS NOT NULL
+                          AND ha <> hb THEN 1 ELSE 0 END) AS BIGINT)
+             AS changed,
+           CAST(SUM(CASE WHEN ha = hb THEN 1 ELSE 0 END) AS BIGINT)
+             AS unchanged
+    FROM joined
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: classify every row across two table
+    versions as added / removed / changed / unchanged — the audit that
+    validates a migration, a backfill, or a replica.  Snapshot B is
+    derived deterministically here (drop every 97th key, perturb every
+    13th) so the expected counts are oracle-checkable.
+
+    The idiom, not the fixture, is the point: reduce each row to a
+    canonical md5 over its value columns, FULL OUTER join on the primary
+    key, and compare hashes — one shuffle per side on the key, row-width
+    costs collapse to one hash column, and the verdict is a single
+    conditional aggregation.  At 100 TB both sides also partition-prune
+    to the slice under audit.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    key = (F.col("l_orderkey") + F.col("l_linenumber"))
+
+    def hashed(df, qty):
+        return df.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.md5(
+                F.concat_ws("|", qty, F.col("l_extendedprice"), F.col("l_returnflag"))
+            ).alias("row_hash"),
+        )
+
+    a = hashed(li, F.col("l_quantity"))
+    b = hashed(
+        li.filter(key % 97 != 0),
+        F.when(key % 13 == 0, F.col("l_quantity") + 1.0).otherwise(
+            F.col("l_quantity")
+        ),
+    )
+    joined = a.alias("a").join(
+        b.alias("b"),
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_linenumber") == F.col("b.l_linenumber")),
+        "full_outer",
+    ).select(F.col("a.row_hash").alias("ha"), F.col("b.row_hash").alias("hb"))
+    return joined.agg(
+        F.sum(F.when(F.col("hb").isNull(), 1).otherwise(0)).alias("removed"),
+        F.sum(F.when(F.col("ha").isNull(), 1).otherwise(0)).alias("added"),
+        F.sum(
+            F.when(
+                F.col("ha").isNotNull()
+                & F.col("hb").isNotNull()
+                & (F.col("ha") != F.col("hb")),
+                1,
+            ).otherwise(0)
+        ).alias("changed"),
+        F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)).alias("unchanged"),
+    )
