@@ -157,3 +157,54 @@ def q_udtf_python(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE p.p_size >= 45
         """
     )
+
+
+@query(
+    "q_udtf_analyze",
+    oracle="""
+    SELECT p_partkey,
+           p_brand AS brand,
+           p_type AS type
+    FROM part
+    WHERE p_size >= 45
+    """,
+)
+def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POLYMORPHIC Python UDTF (Spark 4 `analyze`): the output schema is
+    computed at plan time from a constant argument — here a column-name
+    spec string — instead of being declared statically.  This is the
+    dynamic-unpivot / schema-from-config capability (one UDTF serves any
+    field layout), which no static returnType UDTF can express.
+
+    `analyze` runs once on the driver with the foldable args; eval then
+    unpacks each delimited row into the derived columns.  Same
+    row-at-a-time caveat as q_udtf_python — mechanism demo, hot paths
+    use mapInPandas.
+    """
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class UnpackDelimited:
+        @staticmethod
+        def analyze(names: AnalyzeArgument, row: AnalyzeArgument) -> AnalyzeResult:
+            schema = StructType()
+            for col in names.value.split(","):
+                schema = schema.add(col.strip(), StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, names: str, row: str):
+            yield tuple(row.split("|"))
+
+    spark.udtf.register("unpack_delimited", UnpackDelimited)
+    t(spark, sf_dir, "part").createOrReplaceTempView("part_udtf_poly")
+    return spark.sql(
+        """
+        SELECT p.p_partkey, u.brand, u.type
+        FROM part_udtf_poly p,
+             LATERAL unpack_delimited('brand,type',
+                                      concat(p.p_brand, '|', p.p_type)) u
+        WHERE p.p_size >= 45
+        """
+    )

@@ -377,3 +377,30 @@ def test_runtime_bloom_filter_semi_join_reduction(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_pointrange_lookup_is_broadcast_equi_join(spark, sf_dir):
+    """The point-in-range lookup must plan as a broadcast HASH join on
+    the coarse bucket (dim explodes + broadcasts) — a nested-loop theta
+    join against the brackets is exactly what the idiom replaces."""
+    plan = _plan(spark, sf_dir, "q_join_pointrange")
+    strategies = join_strategies(plan)
+    assert "BroadcastHashJoin" in strategies, plan
+    assert not any("NestedLoop" in s for s in strategies), plan
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """The SCD2 build is ONE window pass: a single exchange on the
+    dimension key, no joins, no extra sorts beyond the window's."""
+    plan = _plan(spark, sf_dir, "q_scd2")
+    assert count_exchanges(plan) == 1, plan
+    assert not join_strategies(plan), plan
+
+
+def test_wau_explode_not_cartesian(spark, sf_dir):
+    """The trailing-7-day WAU must come from the map-side x7 explode of
+    distinct (day, user) pairs — never a cartesian/nested-loop of days
+    against activity."""
+    plan = _plan(spark, sf_dir, "q_events_wau")
+    assert "Generate explode" in plan or "Generate" in plan, plan
+    assert "CartesianProduct" not in plan, plan
