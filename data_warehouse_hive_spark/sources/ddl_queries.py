@@ -996,3 +996,57 @@ def ddl_sort_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_compact")
+def ddl_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-files compaction — the table-maintenance pass every
+    streaming/incremental sink eventually needs: a partition written as
+    many tiny files (here 64 files of ~30 rows) is rewritten into
+    size-targeted files, preserving rows exactly.  Metadata pressure and
+    task-per-file scheduling make small files the top operational tax on
+    100 TB tables; compaction trades one bounded rewrite for faster
+    every-subsequent-scan.
+
+    Mechanics: `repartition(target)` sizes output files;
+    `maxRecordsPerFile` caps them (the belt to repartition's suspenders);
+    the rewrite lands in a fresh directory then swaps — readers never
+    see a half-compacted table.  At scale this runs per-partition
+    (compact only partitions whose small-file count crosses a
+    threshold), exactly like ddl_mv_refresh scopes its rewrite.
+    """
+    import tempfile as _tf
+
+    d = _tf.mkdtemp(prefix="dwh_compact_")
+    frag_dir, out_dir = os.path.join(d, "fragmented"), os.path.join(d, "compacted")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    ).limit(2000)
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    frag = spark.read.parquet(frag_dir)
+    n_before = frag.count()
+    files_before = len([f for f in os.listdir(frag_dir) if f.endswith(".parquet")])
+    (
+        frag.repartition(2)
+        .write.option("maxRecordsPerFile", 1500)
+        .mode("overwrite")
+        .parquet(out_dir)
+    )
+    after = spark.read.parquet(out_dir)
+    n_after = after.count()
+    files_after = len([f for f in os.listdir(out_dir) if f.endswith(".parquet")])
+    checksum = lambda df: df.agg(
+        F.sum(F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long"))
+    ).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            Row(
+                files_before=files_before,
+                files_after=files_after,
+                rows_preserved=(n_before == n_after),
+                values_preserved=(checksum(frag) == checksum(after)),
+                compaction_effective=files_after < files_before // 8,
+            )
+        ]
+    )

@@ -337,3 +337,14 @@ def test_sort_layout_prunes(spark, sf_dir):
     assert row["point_files_sorted"] <= 2
     assert row["point_files_unsorted"] >= row["files"] - 1
     assert row["mean_span_sorted"] < 0.5 < row["mean_span_unsorted"]
+
+
+def test_compaction_flags_all_true(spark, sf_dir):
+    """ddl_compact is self-verifying: rows and a value checksum must be
+    preserved exactly and the file count must actually collapse."""
+    from data_warehouse_hive_spark.registry import load_all
+
+    row = load_all()["ddl_compact"].fn(spark, sf_dir).collect()[0]
+    assert row["rows_preserved"] and row["values_preserved"]
+    assert row["compaction_effective"]
+    assert row["files_before"] >= 32 and row["files_after"] <= 4
