@@ -804,3 +804,61 @@ def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_PER_GROUP_N = 20  # eval docs per language
+
+
+@query(
+    "q_sample_per_group",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY {_o_portable_hash('doc_id')}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*) AS n_sampled,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+             AS sample_digest
+    FROM ranked WHERE rk <= {_PER_GROUP_N}
+    GROUP BY lang
+    """,
+)
+def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-COUNT stratified sampling: exactly N documents per language,
+    selected by deterministic hash order — how held-out eval sets are
+    carved so every stratum is represented with a fixed budget
+    (rate-based sampling, q_sample_stratified, cannot promise exact
+    counts on small strata).  The md5 digest over the sorted sampled ids
+    pins the exact membership cross-engine, not just the counts.
+
+    Scale: one window per stratum (rank over the hash order) — the same
+    WindowGroupLimit shape as q_topk_per_group, so each task keeps N
+    rows per stratum before the shuffle; never a global sort.
+    """
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "lang"), spark)
+    w = Window.partitionBy("lang").orderBy(
+        portable_hash(F.col("doc_id")), F.col("doc_id")
+    )
+    sampled = d.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= _PER_GROUP_N
+    )
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+        F.md5(
+            F.array_join(
+                F.sort_array(F.collect_list(F.col("doc_id").cast("string").cast("long"))).cast("array<string>"),
+                ",",
+            )
+        ).alias("sample_digest"),
+    )
