@@ -760,3 +760,36 @@ def q_fn_try(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("safe_div"),
         F.col("p_size").try_cast("smallint").alias("size_small"),
     )
+
+
+@query(
+    "q_fn_regex",
+    oracle=r"""
+    SELECT p_partkey,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS BIGINT)
+             AS vowel_runs,
+           regexp_extract(p_name, '[a-z]{5,}', 0) AS first_long_word,
+           regexp_matches(p_type, 'BRUSHED|POLISHED') AS is_finished,
+           regexp_extract(p_brand, '([0-9]+)$', 1) AS brand_suffix
+    FROM part
+    """,
+)
+def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended regex family — regexp_count, regexp_substr (first match),
+    regexp_like, anchored group extraction — the Spark 3.5+ builtins
+    beyond the regexp_extract/replace pair already covered by
+    q_fn_string.  Patterns stay in the Java-regex ∩ RE2 dialect (no
+    lookarounds) so the oracle runs them verbatim.
+    """
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_count("p_name", F.lit(r"[aeiou]+")).cast("long").alias(
+            "vowel_runs"
+        ),
+        F.coalesce(
+            F.regexp_substr("p_name", F.lit(r"[a-z]{5,}")), F.lit("")
+        ).alias("first_long_word"),
+        F.regexp_like("p_type", F.lit("BRUSHED|POLISHED")).alias("is_finished"),
+        F.regexp_extract("p_brand", r"([0-9]+)$", 1).alias("brand_suffix"),
+    )

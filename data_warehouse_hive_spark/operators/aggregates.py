@@ -702,3 +702,32 @@ def q_agg_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("psum").cast("double") / 1e6).alias("revenue"),
         F.max("pmax").cast("double").alias("max_qty"),
     )
+
+
+@query(
+    "q_groupby_all",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {o_dsum('l_extendedprice', 'revenue')}
+    FROM lineitem
+    GROUP BY ALL
+    """,
+)
+def q_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL (Spark 3.4+ / DuckDB shared shorthand): every
+    non-aggregate select item becomes a group key — the
+    keep-the-projection-and-grouping-in-sync convenience both engines
+    now share; same plan as the explicit key list.
+    """
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gba")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               COUNT(*) AS n,
+               CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS revenue
+        FROM lineitem_gba
+        GROUP BY ALL
+        """
+    )

@@ -421,3 +421,52 @@ def test_running_totals_processor_logic():
     assert out1.iloc[0]["n_events"] == 2 and out1.iloc[0]["sum_value"] == 6.5
     (out2,) = p.handleInputRows((1,), iter([pd.DataFrame({"value": [3.0]})]), None)
     assert out2.iloc[0]["n_events"] == 3 and out2.iloc[0]["sum_value"] == 9.5
+
+
+def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
+    """Stream-static join: a streaming fact joined to a static dimension
+    — the dimension is re-read per micro-batch (no state), so enrichment
+    joins need no watermark.  AvailableNow result equals the batch join."""
+    import uuid
+
+    from data_warehouse_hive_spark.tables import t
+
+    static_dim = (
+        t(spark, sf_dir, "documents")
+        .select("source")
+        .distinct()
+        .withColumn("source_code", F.upper(F.col("source").substr(1, 4)))
+    )
+    schema = t(spark, sf_dir, "documents").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(sf_dir)
+    )
+    enriched = (
+        stream.join(static_dim, "source")
+        .groupBy("source_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = f"ss_{uuid.uuid4().hex[:8]}"
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    try:
+        got = {r["source_code"]: r["n"] for r in spark.table(sink).collect()}
+    finally:
+        q.stop()
+    want = {
+        r["source_code"]: r["n"]
+        for r in t(spark, sf_dir, "documents")
+        .join(static_dim, "source")
+        .groupBy("source_code")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want and len(got) >= 3
