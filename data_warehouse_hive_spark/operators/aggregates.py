@@ -731,3 +731,82 @@ def q_groupby_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY ALL
         """
     )
+
+
+@query(
+    "q_dq_checks",
+    oracle="""
+    WITH pk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS pk_dupes FROM (
+        SELECT l_orderkey, l_linenumber FROM lineitem
+        GROUP BY l_orderkey, l_linenumber HAVING COUNT(*) > 1
+      )
+    ),
+    fk AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS fk_orphans
+      FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+      WHERE c.c_custkey IS NULL
+    ),
+    dm AS (
+      SELECT CAST(SUM(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS null_shipdates,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 1
+                           THEN 1 ELSE 0 END) AS BIGINT) AS discount_oob,
+             COUNT(*) AS rows_checked
+      FROM lineitem
+    )
+    SELECT pk.pk_dupes, fk.fk_orphans, dm.null_shipdates, dm.discount_oob,
+           dm.rows_checked,
+           (pk.pk_dupes = 0 AND fk.fk_orphans = 0
+            AND dm.null_shipdates = 0 AND dm.discount_oob = 0) AS contract_ok
+    FROM pk, fk, dm
+    """,
+)
+def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-contract validation in one pass per table — the dbt-test /
+    quality-gate family: primary-key uniqueness (grouped dupe count),
+    referential integrity (anti-join orphan count), not-null rate, and
+    value-domain bounds, folded into a single `contract_ok` verdict a
+    pipeline gates a publish on.
+
+    Scale shapes: the PK check is one shuffle on the (already uniform)
+    key; the FK check is an anti-join where the dimension side broadcasts
+    under the usual thresholds; the null/domain scans are conditional
+    aggregations fused into one pass.  The three 1-row results cross-join
+    for free.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    pk = (
+        li.groupBy("l_orderkey", "l_linenumber")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(F.count(F.lit(1)).alias("pk_dupes"))
+    )
+    fk = (
+        o.join(c, o.o_custkey == c.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    dm = li.agg(
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0)).alias(
+            "null_shipdates"
+        ),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
+            )
+        ).alias("discount_oob"),
+        F.count(F.lit(1)).alias("rows_checked"),
+    )
+    return (
+        pk.crossJoin(fk)
+        .crossJoin(dm)
+        .withColumn(
+            "contract_ok",
+            (F.col("pk_dupes") == 0)
+            & (F.col("fk_orphans") == 0)
+            & (F.col("null_shipdates") == 0)
+            & (F.col("discount_oob") == 0),
+        )
+    )
