@@ -810,3 +810,43 @@ def q_dq_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("discount_oob") == 0),
         )
     )
+
+
+@query(
+    "q_agg_percentile_cont",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 9) AS p25_c,
+           round(quantile_cont(l_extendedprice, 0.50), 9) AS p50_c,
+           round(quantile_cont(l_extendedprice, 0.90), 9) AS p90_c,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated (continuous) percentiles — PERCENTILE_CONT WITHIN
+    GROUP, the ANSI twin of the discrete variant (q_agg_percentile):
+    between-rank answers come from linear interpolation of the two
+    nearest data values.  Both engines interpolate the same two exact
+    data points; the lerp arithmetic can differ in the last ulp between
+    implementations, so values are pinned at 9 dp (the same discipline
+    as the transcendental functions).
+
+    Scale: exact percentiles need the per-group sorted view — one
+    shuffle + per-group sort; the mergeable-sketch alternative is
+    q_agg_approx_percentile.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_pc")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               round(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 9) AS p25_c,
+               round(percentile_cont(0.50) WITHIN GROUP (ORDER BY l_extendedprice), 9) AS p50_c,
+               round(percentile_cont(0.90) WITHIN GROUP (ORDER BY l_extendedprice), 9) AS p90_c,
+               COUNT(*) AS n
+        FROM lineitem_pc
+        GROUP BY l_returnflag
+        """
+    )
