@@ -862,3 +862,90 @@ def q_sample_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("sample_digest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# C4-style line-level cleaning filter
+# ---------------------------------------------------------------------------
+
+_C4_MIN_LINE_WORDS = 5
+_C4_MIN_KEPT_LINES = 3
+_C4_BAD_LINE = ("javascript", "cookie", "privacy policy", "terms of use")
+_C4_TERMINAL = r'[.!?"]$'
+
+
+@query(
+    "q_clean_c4",
+    oracle=rf"""
+    WITH l AS (
+      SELECT doc_id, text, string_split(text, chr(10)) AS lines FROM documents
+    ),
+    k AS (
+      SELECT doc_id, text, lines,
+             list_filter(lines, x ->
+               regexp_matches(trim(x), '{_C4_TERMINAL}')
+               AND len(string_split_regex(trim(x), '\s+')) >= {_C4_MIN_LINE_WORDS}
+               AND NOT contains(lower(x), '{_C4_BAD_LINE[0]}')
+               AND NOT contains(lower(x), '{_C4_BAD_LINE[1]}')
+               AND NOT contains(lower(x), '{_C4_BAD_LINE[2]}')
+               AND NOT contains(lower(x), '{_C4_BAD_LINE[3]}')) AS kept
+      FROM l
+    )
+    SELECT doc_id,
+           CAST(len(lines) AS BIGINT) AS n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(list_sum(list_transform(kept, x -> CAST(length(x) AS BIGINT))), 0) AS BIGINT)
+             AS kept_chars,
+           contains(lower(text), 'lorem ipsum') AS has_lorem,
+           contains(text, '{{') AS has_brace,
+           (len(kept) >= {_C4_MIN_KEPT_LINES}
+            AND NOT contains(lower(text), 'lorem ipsum')
+            AND NOT contains(text, '{{')) AS keep
+    FROM k
+    """,
+)
+def q_clean_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level cleaning — the second published heuristic
+    filter family alongside Gopher rules (q_quality_gopher): keep only
+    lines that end in terminal punctuation, have >= 5 words, and don't
+    mention javascript/cookie/policy boilerplate; then keep only
+    documents with >= 3 surviving lines, no "lorem ipsum", and no curly
+    brace.
+
+    Every rule is a JVM-side array-lambda expression over the split
+    lines (filter/aggregate/contains — no Python, no explode, no
+    shuffle): the whole operator is a narrow map over the corpus and the
+    output is one row per document, so it composes with the downstream
+    dedup/sample stages at any scale.  kept_chars is an exact integer
+    fold, so the oracle comparison is bit-exact.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    lines = F.split(F.col("text"), "\n")
+
+    def _line_ok(x: Column) -> Column:
+        low = F.lower(x)
+        bad = F.lit(False)
+        for w in _C4_BAD_LINE:
+            bad = bad | low.contains(w)
+        return (
+            F.trim(x).rlike(_C4_TERMINAL)
+            & (F.size(F.split(F.trim(x), r"\s+")) >= _C4_MIN_LINE_WORDS)
+            & ~bad
+        )
+
+    kept = F.filter(lines, _line_ok)
+    has_lorem = F.lower(F.col("text")).contains("lorem ipsum")
+    has_brace = F.col("text").contains("{")
+    return d.select(
+        "doc_id",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        F.aggregate(
+            kept, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x).cast("long")
+        ).alias("kept_chars"),
+        has_lorem.alias("has_lorem"),
+        has_brace.alias("has_brace"),
+        (
+            (F.size(kept) >= _C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
+        ).alias("keep"),
+    )

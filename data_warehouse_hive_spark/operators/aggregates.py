@@ -850,3 +850,114 @@ def q_agg_percentile_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_filtered",
+    oracle=f"""
+    SELECT l_linestatus,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+           COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+           CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 1e6
+             AS sum_price_discounted,
+           MAX(l_quantity) FILTER (WHERE l_returnflag = 'R') AS max_qty_returned,
+           bool_and(l_quantity > 0) AS all_positive_qty,
+           bool_or(l_tax > 0.07) AS any_high_tax
+    FROM lineitem
+    GROUP BY l_linestatus
+    """,
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional aggregation — the ANSI ``FILTER (WHERE ...)`` clause
+    plus the boolean reducers ``bool_and``/``bool_or``: several
+    differently-predicated aggregates over ONE scan instead of N
+    self-joined subqueries.
+
+    The reference delegates this SQL surface to Hive (same family as
+    `CASE WHEN` counting); Spark evaluates each FILTER predicate inside
+    the partial-aggregation operator, so the plan is still a single
+    scan + one shuffle of per-group partial states — the per-predicate
+    work is map-side and the shape is identical at 100 TB.  The filtered
+    double sum rides the exact scaled-long carrier so partial/final
+    aggregation order cannot perturb the result.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_fil")
+    return spark.sql(
+        """
+        SELECT l_linestatus,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+               COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_returned,
+               CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT))
+                    FILTER (WHERE l_discount > 0.05) AS DOUBLE) / 1e6
+                 AS sum_price_discounted,
+               MAX(l_quantity) FILTER (WHERE l_returnflag = 'R') AS max_qty_returned,
+               bool_and(l_quantity > 0) AS all_positive_qty,
+               bool_or(l_tax > 0.07) AS any_high_tax
+        FROM lineitem_fil
+        GROUP BY l_linestatus
+        """
+    )
+
+
+@query(
+    "q_agg_winsorized",
+    oracle=f"""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_disc(l_extendedprice, 0.05) AS lo,
+             quantile_disc(l_extendedprice, 0.95) AS hi
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           COUNT(*) AS n_rows,
+           COUNT(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
+           COUNT(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
+           ANY_VALUE(lo) AS p05_price,
+           ANY_VALUE(hi) AS p95_price,
+           {o_davg('least(greatest(l_extendedprice, lo), hi)', 'winsorized_mean')}
+    FROM lineitem l JOIN b USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+)
+def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized (percentile-clipped) mean per group — the robust-stats
+    aggregate an outlier-heavy corpus pipeline uses where a plain AVG
+    would let a single corrupt row dominate (same family as
+    q_anomaly_mad, but clipping instead of flagging).
+
+    Two passes, both scalable: (1) exact per-group p05/p95 via
+    percentile_disc — discrete picks are actual data values, so the
+    bounds are engine-exact with no lerp arithmetic; (2) re-scan with the
+    3-row bounds table joined in (Spark auto-broadcasts it — no shuffle
+    on the fact side beyond the final 3-group aggregation), clamping via
+    least/greatest and averaging through the exact carrier.  ANY_VALUE
+    on the bounds is deterministic here because each group joins exactly
+    one bounds row.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_win")
+    return spark.sql(
+        """
+        WITH b AS (
+          SELECT l_returnflag,
+                 percentile_disc(0.05) WITHIN GROUP (ORDER BY l_extendedprice) AS lo,
+                 percentile_disc(0.95) WITHIN GROUP (ORDER BY l_extendedprice) AS hi
+          FROM lineitem_win GROUP BY l_returnflag
+        )
+        SELECT l.l_returnflag,
+               COUNT(*) AS n_rows,
+               COUNT(*) FILTER (WHERE l_extendedprice < lo) AS n_clipped_low,
+               COUNT(*) FILTER (WHERE l_extendedprice > hi) AS n_clipped_high,
+               ANY_VALUE(lo) AS p05_price,
+               ANY_VALUE(hi) AS p95_price,
+               CAST(SUM(CAST(floor(least(greatest(l_extendedprice, lo), hi) * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / CAST(COUNT(least(greatest(l_extendedprice, lo), hi)) AS DOUBLE)
+                 AS winsorized_mean
+        FROM lineitem_win l JOIN b USING (l_returnflag)
+        GROUP BY l.l_returnflag
+        """
+    )
