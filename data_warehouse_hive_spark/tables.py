@@ -55,6 +55,14 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # integer division — a double division would lose precision
             # (ns epoch values exceed 2^53)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(ts_type, T.TimestampNTZType):
+            # Spark 4.1 reads the ns column natively as TIMESTAMP_NTZ
+            # (nanosAsLong is ignored).  Normalize to the session-zoned
+            # TIMESTAMP every query was written against — the session tz
+            # is pinned to UTC (ensure_engine_conf), so the NTZ wall time
+            # maps to the identical microsecond instant and NTZ-illegal
+            # ops (cast to double, unix_timestamp) keep working.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
