@@ -56,6 +56,20 @@ SECONDARY = [
     "q_embed_knn",
 ]
 
+# round 4: the TPC-H-derived decision-support suite (operators/tpch.py),
+# timed as its own group so multi-join plan regressions are visible
+# without perturbing the headline total.
+TPCH = [
+    "q_tpch_q03",
+    "q_tpch_q04",
+    "q_tpch_q05",
+    "q_tpch_q06",
+    "q_tpch_q10",
+    "q_tpch_q14",
+    "q_tpch_q18",
+    "q_tpch_q19",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -79,7 +93,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY:
+    for name in HEADLINE + SECONDARY + TPCH:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -103,6 +117,8 @@ def main() -> None:
     timings = {name: timed(name) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
     secondary = {name: timed(name) for name in SECONDARY}
+    tpch = {name: timed(name) for name in TPCH}
+    tpch["total"] = round(sum(tpch.values()), 3)
 
     print(
         json.dumps(
@@ -112,6 +128,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "secondary": secondary,
+                "tpch": tpch,
                 "sf": sf,
                 "n_queries": len(timings),
             }

@@ -1,0 +1,159 @@
+"""Graph analytics over derived graphs — PageRank (SURVEY.md §2.12).
+
+The reference's Hive surface has no iterative algorithms at all; the
+repo already ships one (connected components, extensions/dedup.py
+`q_dedup_groups`) because dedup needs it.  PageRank is the second
+canonical fixed-point computation a data-curation stack runs (page/domain
+importance scores feed crawl prioritization and quality weighting — the
+Common Crawl pipeline shape), and it demonstrates the general pattern:
+a driver-side bounded loop over ONE aggregated edge relation, each step a
+join + groupBy that Catalyst plans like any other.
+
+Determinism: PageRank is a float fixed point, and float sums across
+partitions are order-nondeterministic, so ranks are carried as scaled
+LONGS (1e12 grid) and every update is integer arithmetic only —
+``contrib = pr*w // out_w``, ``pr' = 15*SCALE//(100*N) + 85*Σcontrib//100``
+— bit-identical in any engine and any aggregation order, which lets the
+DuckDB oracle replay the exact iterations as unrolled CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import t
+
+PR_SCALE = 10**12
+PR_ITERS = 3
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an integer ratio
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted event-type transition graph: edge u→v with weight =
+    number of consecutive (u, v) event pairs within a user's timeline.
+    This is the heavy, 100-TB-scalable stage: one window pass partitioned
+    by user + one hash aggregation on a tiny (u, v) key domain."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
+    """Integer-quantized PageRank on a weighted directed edge relation.
+
+    The rank vector and edge list stay DataFrames throughout — on a
+    web-scale graph both are partitioned by node id and each iteration is
+    the standard join-on-src + groupBy-dst; here the aggregated graph is
+    tiny so every join is a broadcast.  Dangling mass (nodes with no
+    out-edges) is dropped, the common simplification; the oracle replays
+    the same rule.  The loop is driver-side and bounded (iters is a
+    constant, like q_dedup_groups' max-round guard).
+    """
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    n = nodes.count()  # bounded: the node-type domain, not the event count
+    base = PR_SCALE * (100 - DAMP_NUM) // (100 * n)
+    out_w = edges.groupBy("src").agg(F.sum("w").alias("out_w"))
+    ew = edges.join(out_w, "src")
+    pr = nodes.withColumn("pr_q", F.lit(PR_SCALE // n).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ew.join(broadcast(pr), F.col("src") == F.col("node"))
+            .select(
+                F.col("dst"),
+                # `div` = exact long division; `/` would route through
+                # double and lose bits above 2^53 (pr*w reaches 1e17)
+                F.expr("(pr_q * w) div out_w").alias("c"),
+            )
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        pr = (
+            nodes.join(broadcast(contrib), F.col("node") == F.col("dst"), "left")
+            .select(
+                "node",
+                F.expr(
+                    f"CAST({base} + ({DAMP_NUM} * coalesce(s, 0))"
+                    f" div {DAMP_DEN} AS BIGINT)"
+                ).alias("pr_q"),
+            )
+        )
+        pr = pr.localCheckpoint(eager=False)  # truncate lineage per round
+    return pr
+
+
+def _o_pagerank() -> str:
+    """DuckDB twin: identical integer algebra, iterations unrolled."""
+    it = """
+    it{k} AS (
+      SELECT n.node,
+             CAST((SELECT base FROM params)
+                   + {dn} * COALESCE((
+                       SELECT SUM((p.pr_q * e.w) // e.out_w)
+                       FROM it{prev} p JOIN ew e ON e.src = p.node
+                       WHERE e.dst = n.node), 0) // {dd} AS BIGINT) AS pr_q
+      FROM nodes n
+    )"""
+    its = ",".join(
+        it.format(k=k, prev=k - 1, dn=DAMP_NUM, dd=DAMP_DEN)
+        for k in range(1, PR_ITERS + 1)
+    )
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS w
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    params AS (
+      SELECT COUNT(*) AS n,
+             {PR_SCALE} * (100 - {DAMP_NUM}) // (100 * COUNT(*)) AS base,
+             {PR_SCALE} // COUNT(*) AS init
+      FROM nodes
+    ),
+    ew AS (
+      SELECT e.src, e.dst, e.w, o.out_w
+      FROM edges e JOIN (SELECT src, SUM(w) AS out_w FROM edges GROUP BY src) o
+        ON o.src = e.src
+    ),
+    it0 AS (
+      SELECT node, CAST((SELECT init FROM params) AS BIGINT) AS pr_q FROM nodes
+    ),
+    {its}
+    SELECT node AS event_type, pr_q,
+           CAST(pr_q AS DOUBLE) / {PR_SCALE} AS pagerank
+    FROM it{PR_ITERS}
+    """
+
+
+@query("q_graph_pagerank", oracle=_o_pagerank())
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the event-type transition graph: 3 damped iterations
+    (d=0.85) on the 1e12 integer grid — see module docstring for why the
+    quantization makes an iterative float fixed point hash-comparable
+    across engines."""
+    pr = pagerank(_edges(spark, sf_dir), PR_ITERS)
+    return pr.select(
+        F.col("node").alias("event_type"),
+        "pr_q",
+        (F.col("pr_q").cast("double") / PR_SCALE).alias("pagerank"),
+    )

@@ -961,3 +961,50 @@ def q_agg_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l.l_returnflag
         """
     )
+
+
+_HIST_WIDTH = 5000.0  # equi-width bin size over l_extendedprice
+
+
+@query(
+    "q_agg_histogram",
+    oracle=f"""
+    SELECT CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) AS bin,
+           CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) * {_HIST_WIDTH}
+             AS bin_lo,
+           (CAST(floor(l_extendedprice / {_HIST_WIDTH}) AS BIGINT) + 1) * {_HIST_WIDTH}
+             AS bin_hi,
+           COUNT(*) AS n_rows,
+           {o_dsum('l_extendedprice', 'sum_price')}
+    FROM lineitem
+    GROUP BY bin
+    """,
+)
+def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram — the profiling aggregate behind distribution
+    plots and coarse skew detection (the reference's stats endpoint stops
+    at min/max/mean; a histogram is the next thing its users compute).
+
+    The bin id is floor(x / width) on identical doubles in both engines —
+    engine-exact with no two-pass min/max scan, so the whole histogram is
+    ONE partial+final hash aggregation over ~30 bins; at 100 TB the
+    shuffle carries bins × partitions rows.  An equi-DEPTH histogram is
+    the percentile family (q_agg_percentile) instead.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    bin_col = F.floor(F.col("l_extendedprice") / F.lit(_HIST_WIDTH)).cast("long")
+    return (
+        li.withColumn("bin", bin_col)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "bin",
+            (F.col("bin") * _HIST_WIDTH).alias("bin_lo"),
+            ((F.col("bin") + 1) * _HIST_WIDTH).alias("bin_hi"),
+            "n_rows",
+            "sum_price",
+        )
+    )

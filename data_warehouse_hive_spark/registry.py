@@ -158,6 +158,8 @@ def load_all() -> dict[str, QuerySpec]:
     import data_warehouse_hive_spark.streaming.time_windows  # noqa: F401
     import data_warehouse_hive_spark.extensions.dedup  # noqa: F401
     import data_warehouse_hive_spark.extensions.similarity  # noqa: F401
+    import data_warehouse_hive_spark.extensions.retrieval  # noqa: F401
+    import data_warehouse_hive_spark.extensions.graph  # noqa: F401
     import data_warehouse_hive_spark.extensions.curation  # noqa: F401
     import data_warehouse_hive_spark.sources.ddl_queries  # noqa: F401
 

@@ -49,6 +49,13 @@ def read_events_stream(
 
     if "ts" in stream.columns and isinstance(stream.schema["ts"].dataType, T.LongType):
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif "ts" in stream.columns and isinstance(
+        stream.schema["ts"].dataType, T.TimestampNTZType
+    ):
+        # Spark 4.1 reads ns parquet timestamps natively as TIMESTAMP_NTZ,
+        # which EventTimeWatermark rejects; normalize to the UTC-session
+        # TIMESTAMP (same rule as tables.t)
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 
