@@ -404,3 +404,44 @@ def test_wau_explode_not_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_events_wau")
     assert "Generate explode" in plan or "Generate" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+# ---------------------------------------------------------------------------
+# TPC-H suite plan shapes (operators/tpch.py)
+# ---------------------------------------------------------------------------
+
+
+def test_tpch_q05_dims_broadcast_supplier_unforced(spark, sf_dir):
+    """nation/region are explicitly broadcast; supplier must NOT appear as a
+    build-side broadcast in the LOGICAL hint set (AQE may still choose a
+    broadcast at runtime — that's the point: the choice stays size-based)."""
+    df = REGISTRY["q_tpch_q05"].fn(spark, sf_dir)
+    lp = df._jdf.queryExecution().optimizedPlan().toString()
+    import re
+
+    hints = re.findall(r"ResolvedHint.*", lp)
+    # the only user-forced hints are the two fixed-size dims
+    assert all("supplier" not in h and "customer" not in h for h in hints), lp
+    plan = formatted_plan(df)
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+
+
+def test_tpch_q06_filters_pushed_no_data_shuffle(spark, sf_dir):
+    df = REGISTRY["q_tpch_q06"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    pushed = " ".join(pushed_filters(plan))
+    assert "l_shipdate" in pushed and "l_discount" in pushed and "l_quantity" in pushed, plan
+    # single-row aggregate: the only exchange is the 1-partition final merge
+    assert count_exchanges(plan) <= 1, plan
+
+
+def test_tpch_q04_and_q18_use_semi_join(spark, sf_dir):
+    for name in ("q_tpch_q04", "q_tpch_q18"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert "LeftSemi" in plan, (name, plan)
+
+
+def test_tpch_topk_queries_take_ordered(spark, sf_dir):
+    for name in ("q_tpch_q03", "q_tpch_q10"):
+        plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
+        assert uses_take_ordered(plan), (name, plan)
