@@ -1008,3 +1008,125 @@ def q_agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_price",
         )
     )
+
+
+@query(
+    "q_agg_skew_audit",
+    oracle="""
+    WITH per_key AS (
+      SELECT l_orderkey, COUNT(*) AS n FROM lineitem GROUP BY l_orderkey
+    ),
+    stats AS (
+      SELECT COUNT(*) AS n_keys,
+             CAST(SUM(n) AS BIGINT) AS n_rows,
+             MAX(n) AS max_group,
+             quantile_disc(n, 0.50) AS p50_group,
+             quantile_disc(n, 0.90) AS p90_group,
+             quantile_disc(n, 0.99) AS p99_group
+      FROM per_key
+    ),
+    top1 AS (
+      SELECT l_orderkey AS hottest_key FROM per_key
+      ORDER BY n DESC, l_orderkey LIMIT 1
+    )
+    SELECT s.*, t.hottest_key,
+           CAST(s.max_group AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+    FROM stats s CROSS JOIN top1 t
+    """,
+)
+def q_agg_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/groupBy-key skew audit — the diagnostic run BEFORE choosing a
+    shuffle strategy (salting, AQE skew-join thresholds): the
+    distribution of per-key group sizes plus the hottest key and a skew
+    ratio (max group ÷ mean group).
+
+    Two-level aggregation, both scalable: the per-key count is one
+    shuffle on the (uniform) key, and the distribution pass aggregates
+    the COUNTS (one row per key, integers — percentile_disc picks exact
+    data values, no float drift).  This is the engine-side version of the
+    reference's client-side column stats, applied to key cardinality
+    rather than values.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n"))
+    per_key.createOrReplaceTempView("skew_per_key")
+    return spark.sql(
+        """
+        WITH stats AS (
+          SELECT COUNT(*) AS n_keys,
+                 SUM(n) AS n_rows,
+                 MAX(n) AS max_group,
+                 CAST(percentile_disc(0.50) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p50_group,
+                 CAST(percentile_disc(0.90) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p90_group,
+                 CAST(percentile_disc(0.99) WITHIN GROUP (ORDER BY n) AS BIGINT) AS p99_group
+          FROM skew_per_key
+        ),
+        top1 AS (
+          SELECT l_orderkey AS hottest_key FROM skew_per_key
+          ORDER BY n DESC, l_orderkey LIMIT 1
+        )
+        SELECT s.*, t.hottest_key,
+               CAST(s.max_group AS DOUBLE) * s.n_keys / s.n_rows AS skew_ratio
+        FROM stats s CROSS JOIN top1 t
+        """
+    )
+
+
+@query(
+    "q_agg_incremental",
+    oracle=f"""
+    WITH partials AS (
+      SELECT strftime(l_shipdate, '%Y-%m') AS mon, l_returnflag,
+             COUNT(*) AS p_count,
+             CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS p_sum_c,
+             MAX(l_extendedprice) AS p_max
+      FROM lineitem GROUP BY mon, l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_partials,
+           CAST(SUM(p_count) AS BIGINT) AS n_rows,
+           CAST(SUM(p_sum_c) AS DOUBLE) / 1e6 AS sum_price,
+           MAX(p_max) AS max_price,
+           CAST(SUM(p_sum_c) AS DOUBLE) / 1e6 / CAST(SUM(p_count) AS DOUBLE)
+             AS avg_price
+    FROM partials
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregation via mergeable partials — the pattern behind
+    every incrementally-maintained 100 TB rollup: per-month partial
+    states (count, carrier sum, max) materialize once per batch, and the
+    final answer RE-AGGREGATES the partials instead of rescanning
+    history.  Correct because each component is a commutative monoid —
+    the same algebra Spark's own partial/final HashAggregate uses, made
+    explicit at the table level (ddl_mv_refresh is the storage half of
+    this pattern).
+
+    The oracle folds the identical partial algebra, so the test proves
+    merge(partials) == direct(all rows) bit-for-bit — including the
+    average derived from merged sums, which a naive avg-of-avgs gets
+    wrong.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    from data_warehouse_hive_spark.registry import to_carrier
+
+    partials = (
+        li.groupBy(
+            F.date_format("l_shipdate", "yyyy-MM").alias("mon"), "l_returnflag"
+        ).agg(
+            F.count(F.lit(1)).alias("p_count"),
+            F.sum(to_carrier(F.col("l_extendedprice"))).alias("p_sum_c"),
+            F.max("l_extendedprice").alias("p_max"),
+        )
+    )
+    return partials.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_partials"),
+        F.sum("p_count").alias("n_rows"),
+        (F.sum("p_sum_c").cast("double") / 1e6).alias("sum_price"),
+        F.max("p_max").alias("max_price"),
+        (
+            F.sum("p_sum_c").cast("double") / 1e6 / F.sum("p_count").cast("double")
+        ).alias("avg_price"),
+    )
