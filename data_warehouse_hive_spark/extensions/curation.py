@@ -21,7 +21,7 @@ oracle locks in.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import query
@@ -948,4 +948,77 @@ def q_clean_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.size(kept) >= _C4_MIN_KEPT_LINES) & ~has_lorem & ~has_brace
         ).alias("keep"),
+    )
+
+
+_VOCAB_TOP = 30
+
+
+@query(
+    "q_tokens_vocab",
+    oracle=f"""
+    WITH words AS (
+      SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    vocab AS (
+      SELECT word, COUNT(*) AS n FROM words WHERE word != '' GROUP BY word
+    ),
+    total AS (SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM vocab),
+    top AS (
+      SELECT word, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY n DESC, word) AS BIGINT) AS rank
+      FROM vocab ORDER BY n DESC, word LIMIT {_VOCAB_TOP}
+    )
+    SELECT t.rank, t.word, t.n,
+           CAST(SUM(t.n) OVER (ORDER BY t.rank) AS BIGINT) AS cum_n,
+           CAST(SUM(t.n) OVER (ORDER BY t.rank) AS DOUBLE)
+             / CAST(total.total_tokens AS DOUBLE) AS coverage
+    FROM top t CROSS JOIN total
+    """,
+)
+def q_tokens_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary + coverage curve — the tokenizer-training
+    prestep: which fraction of total token mass do the top-V word types
+    cover?  (Coverage at the planned vocab size decides V and surfaces
+    OOV risk.)
+
+    Scale shape: explode → one hash aggregation on the word key (uniform
+    shuffle), then TakeOrderedAndProject for the top-V — the full vocab is
+    never globally sorted.  The cumulative sum and coverage run on the
+    V-row result (trivial), and total token mass is a 1-row broadcast.
+    Counts are exact longs; coverage is one double division on identical
+    operands.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    vocab = (
+        d.select(F.explode(tokens("text")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = vocab.agg(F.sum("n").alias("total_tokens"))
+    top = (
+        vocab.orderBy(F.col("n").desc(), F.col("word"))
+        .limit(_VOCAB_TOP)
+        .withColumn(
+            "rank",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("word")))
+            .cast("long"),
+        )
+    )
+    run = Window.orderBy("rank")
+    return (
+        top.crossJoin(F.broadcast(total))
+        .withColumn("cum_n", F.sum("n").over(run).cast("long"))
+        .select(
+            "rank",
+            "word",
+            "n",
+            "cum_n",
+            (F.col("cum_n").cast("double") / F.col("total_tokens").cast("double")).alias(
+                "coverage"
+            ),
+        )
     )

@@ -26,7 +26,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
-from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.registry import o_dsum, query
 from data_warehouse_hive_spark.tables import t
 
 
@@ -206,5 +206,45 @@ def q_udtf_analyze(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL unpack_delimited('brand,type',
                                       concat(p.p_brand, '|', p.p_type)) u
         WHERE p.p_size >= 45
+        """
+    )
+
+
+@query(
+    "q_fn_sql_udf",
+    oracle=f"""
+    SELECT l_returnflag,
+           {o_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (Spark 4 `CREATE FUNCTION ... RETURN
+    expr`) — the Hive `CREATE FUNCTION` parity surface WITHOUT leaving the
+    optimizer: the body is inlined into the plan at analysis, so the
+    charge expression below stays in whole-stage codegen, unlike a Python
+    UDF (this is the recommended replacement for trivial UDFs at scale).
+    The oracle proves inlining by computing the expression directly.
+    """
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION charge(price DOUBLE, disc DOUBLE,
+                                                    tax DOUBLE)
+        RETURNS DOUBLE
+        RETURN price * (1 - disc) * (1 + tax)
+        """
+    )
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sqludf")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(CAST(floor(charge(l_extendedprice, l_discount, l_tax)
+                                   * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+                 AS sum_charge,
+               COUNT(*) AS n_rows
+        FROM lineitem_sqludf
+        GROUP BY l_returnflag
         """
     )

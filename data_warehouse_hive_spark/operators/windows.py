@@ -252,3 +252,63 @@ def q_win_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("spend_quartile"),
         F.col("o_totalprice").cast("double").alias("o_totalprice"),
     )
+
+
+@query(
+    "q_win_ignore_nulls",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+               AS closed_price
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey, closed_price,
+           LAG(closed_price IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+             AS prev_closed,
+           LAST_VALUE(closed_price IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS latest_closed,
+           FIRST_VALUE(closed_price IGNORE NULLS)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS first_closed
+    FROM base
+    """,
+)
+def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS navigation — LAG / FIRST_VALUE / LAST_VALUE skipping
+    null measure values: the gap-carrying idiom behind "last known good
+    value per key" (sensor forward-fill, sparse SCD attributes).  Same
+    single-shuffle window shape as the plain navigation functions; the
+    null-skip is evaluated inside the running frame, not by a self-join.
+    Both engines implement the ANSI IGNORE NULLS semantics directly.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ign")
+    # LAG ... IGNORE NULLS has no DataFrame-API binding; the SQL surface is
+    # the parity target anyway (identical text modulo the view name).
+    return spark.sql(
+        """
+        WITH base AS (
+          SELECT o_custkey, o_orderkey,
+                 CASE WHEN o_orderstatus = 'O' THEN NULL ELSE o_totalprice END
+                   AS closed_price
+          FROM orders_ign
+        )
+        SELECT o_custkey, o_orderkey, closed_price,
+               LAG(closed_price) IGNORE NULLS
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey)
+                 AS prev_closed,
+               LAST_VALUE(closed_price) IGNORE NULLS
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS latest_closed,
+               FIRST_VALUE(closed_price) IGNORE NULLS
+                 OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS first_closed
+        FROM base
+        """
+    )
