@@ -646,3 +646,85 @@ def q_text_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_tokens"),
         )
     )
+
+
+_TFIDF_TOP = 5
+
+
+@query(
+    "q_text_tfidf",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, word, COUNT(*) AS tf
+      FROM words WHERE word != '' GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.doc_id, tf.word, tf.tf, df.df,
+             round(ln(CAST(n.n_docs AS DOUBLE) / CAST(df.df AS DOUBLE)), 9)
+               AS idf
+      FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word, tf, df, idf, tf * idf AS tfidf, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                     ORDER BY tf * idf DESC, word) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {_TFIDF_TOP}
+    """,
+)
+def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF keyword extraction: top-5 most characteristic terms per
+    document — the classic relevance weighting (and the lexical half of
+    hybrid retrieval next to q_sim_search).
+
+    Pipeline shape at scale: explode → (doc, word) hash agg (shuffle on
+    the pair key), document frequency by word (shuffle on word — the df
+    relation is vocab-sized, far smaller than the corpus), join df back
+    on the word key, then a per-doc window top-k (WindowGroupLimit).  The
+    corpus count is a 1-row broadcast.  Determinism: idf = ln(N/df) is
+    transcendental, so it is pinned at 9 dp (house rule for
+    transcendentals); tf·idf then multiplies identical operands, and the
+    rank breaks ties on the word itself.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "idf",
+            F.round(
+                F.log(F.col("n_docs").cast("double") / F.col("df").cast("double")), 9
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(
+        (F.col("tf") * F.col("idf")).desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _TFIDF_TOP)
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            "df",
+            "idf",
+            (F.col("tf") * F.col("idf")).alias("tfidf"),
+            "rk",
+        )
+    )
