@@ -23,7 +23,7 @@ from data_warehouse_hive_spark.extensions.similarity import (
     brute_force_topk,
     lsh_topk,
 )
-from data_warehouse_hive_spark.tables import t
+from data_warehouse_hive_spark.tables import spread, t
 
 RRF_K = 60  # the standard reciprocal-rank-fusion constant
 FUSE_TOP = 20
@@ -183,4 +183,295 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.count(F.lit(1)).cast("double")
             ).alias("recall_at_k"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# BM25 lexical retrieval + hybrid fusion
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+N_QUERY_DOCS = 3  # doc_id < 3 form the query set (mirrors N_QUERY_VECS)
+RETR_TOP = 10
+
+# Shared CTE prefix: postings (tf per doc/term), df, corpus stats, and the
+# carrier-quantized BM25 per-(query, doc) score.  Per-TERM scores are exact
+# doubles on identical operands in both engines, but their SUM across a
+# document's matched terms is order-dependent — so each term's score is
+# quantized to a scaled long first and the sum is exact integer addition
+# (the same carrier rule as every other float aggregation here).
+_O_BM25_BODY = f"""
+    words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM words WHERE term != '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM postings GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n_docs,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM postings GROUP BY term),
+    idf AS (
+      SELECT term, df,
+             round(ln((((SELECT n_docs FROM stats) - df + 0.5) / (df + 0.5)) + 1.0), 9)
+               AS idf
+      FROM df
+    ),
+    qterms AS (
+      SELECT doc_id AS query_id, term FROM postings WHERE doc_id < {N_QUERY_DOCS}
+    ),
+    term_scores AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(floor(
+               i.idf * (p.tf * ({BM25_K1} + 1.0))
+                 / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * d.dl / (SELECT avgdl FROM stats)))
+               * 1e6 + 0.5) AS BIGINT) AS sc
+      FROM qterms q
+      JOIN postings p ON p.term = q.term AND p.doc_id != q.query_id
+      JOIN idf i ON i.term = q.term
+      JOIN dl d ON d.doc_id = p.doc_id
+    ),
+    bm25 AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(sc) AS DOUBLE) / 1e6 AS bm25,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM term_scores GROUP BY query_id, doc_id
+    )
+"""
+
+
+@query(
+    "q_text_bm25",
+    oracle=f"""
+    WITH {_O_BM25_BODY}
+    SELECT query_id, doc_id, bm25, n_terms, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rk
+      FROM bm25
+    ) WHERE rk <= {RETR_TOP}
+    """,
+)
+def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval (k1=1.2, b=0.75): top-10 corpus documents
+    per query document, scored over the inverted-posting join — the
+    standard lexical ranker and the counterpart to q_sim_search's dense
+    ranker.
+
+    Scale shape: the postings list is the classic retrieval layout —
+    (term, doc, tf) partitioned by TERM, so the query-terms ⋈ postings
+    join shuffles on the term key and each query term touches only its
+    posting list; per-(query, doc) accumulation then shuffles on the
+    bounded candidate pairs.  df/avgdl/N are vocab-sized or scalar
+    broadcasts.  idf is pinned at 9 dp (transcendental rule) and per-term
+    scores ride the carrier so the cross-term sum is order-exact.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    postings = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
+        "term",
+        "df",
+        F.round(
+            F.log(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
+            ),
+            9,
+        ).alias("idf"),
+        "avgdl",
+    )
+    qterms = postings.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term_scores = (
+        qterms.join(
+            postings.withColumnRenamed("doc_id", "cand_id"),
+            "term",
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(idf, "term")
+        .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.floor(
+                F.col("idf") * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("sc"),
+        )
+    )
+    bm25 = term_scores.groupBy("query_id", "doc_id").agg(
+        (F.sum("sc").cast("double") / 1e6).alias("bm25"),
+        F.count(F.lit(1)).alias("n_terms"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    return bm25.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= RETR_TOP
+    )
+
+
+HYB_DEPTH = 20  # candidate-list depth fed into the fusion
+
+
+@query(
+    "q_retrieval_hybrid",
+    oracle=f"""
+    WITH {_O_BM25_BODY},
+    lex AS (
+      SELECT query_id, doc_id, rk AS rank_lex FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id) AS rk
+        FROM bm25
+      ) WHERE rk <= {HYB_DEPTH}
+    ),
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_DOCS}),
+    cos_scored AS (
+      SELECT qv.query_id, v.vec_id AS doc_id,
+             round(list_dot_product(qv.qe, v.e)
+                   / (sqrt(list_dot_product(qv.qe, qv.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM qv JOIN v ON v.vec_id != qv.query_id
+    ),
+    vec AS (
+      SELECT query_id, doc_id, rk AS rank_vec FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, doc_id) AS rk
+        FROM cos_scored
+      ) WHERE rk <= {HYB_DEPTH}
+    ),
+    fused AS (
+      SELECT COALESCE(l.query_id, s.query_id) AS query_id,
+             COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.rank_lex, s.rank_vec,
+             COALESCE(1.0 / ({RRF_K} + l.rank_lex), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + s.rank_vec), 0.0) AS rrf
+      FROM lex l FULL OUTER JOIN vec s
+        ON s.query_id = l.query_id AND s.doc_id = l.doc_id
+    )
+    SELECT query_id, doc_id, rank_lex, rank_vec, rrf, fused_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY rrf DESC, doc_id) AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {RETR_TOP}
+    """,
+)
+def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end HYBRID retrieval: BM25 lexical candidates and
+    embedding-cosine candidates for the same query documents, fused with
+    RRF over the UNION of both lists (absent ranks contribute zero) —
+    the production retrieval stack in one plan (lexical index + vector
+    index + calibration-free fusion).
+
+    Every stage reuses an already-verified operator: the BM25 CTE body,
+    the brute-force cosine ranking (q_sim_search's shape with the same
+    6-dp cosine pin), and q_rank_fusion's reciprocal algebra — two
+    COALESCEd reciprocal terms in a fixed order, so fusion is
+    engine-exact.  Both candidate lists are per-query bounded (depth 20),
+    so the FULL OUTER fusion join touches Q×depth rows, never the corpus.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    postings = (
+        d.select("doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)) + 1.0
+            ),
+            9,
+        ).alias("idf"),
+        "avgdl",
+    )
+    qterms = postings.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    bm25 = (
+        qterms.join(postings.withColumnRenamed("doc_id", "cand_id"), "term")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(idf, "term")
+        .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.floor(
+                F.col("idf") * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1e6 + 0.5
+            )
+            .cast("long")
+            .alias("sc"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg((F.sum("sc").cast("double") / 1e6).alias("bm25"))
+    )
+    wl = Window.partitionBy("query_id").orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = (
+        bm25.withColumn("rank_lex", F.row_number().over(wl))
+        .filter(F.col("rank_lex") <= HYB_DEPTH)
+        .select("query_id", "doc_id", "rank_lex")
+    )
+
+    v, q = _fixture_corpus(spark, sf_dir)
+    q = q.filter(F.col("query_id") < N_QUERY_DOCS)
+    vec = (
+        brute_force_topk(v, q, HYB_DEPTH)
+        .select(
+            F.col("query_id").alias("v_query_id"),
+            F.col("vec_id").alias("v_doc_id"),
+            F.col("rk").cast("int").alias("rank_vec"),
+        )
+    )
+    fused = lex.join(
+        vec,
+        (F.col("query_id") == F.col("v_query_id"))
+        & (F.col("doc_id") == F.col("v_doc_id")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("query_id"), F.col("v_query_id")).alias("query_id"),
+        F.coalesce(F.col("doc_id"), F.col("v_doc_id")).alias("doc_id"),
+        "rank_lex",
+        "rank_vec",
+        (
+            F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_lex")), F.lit(0.0))
+            + F.coalesce(F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_vec")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    wf = Window.partitionBy("query_id").orderBy(F.col("rrf").desc(), F.col("doc_id"))
+    return fused.withColumn("fused_rank", F.row_number().over(wf).cast("long")).filter(
+        F.col("fused_rank") <= RETR_TOP
     )
