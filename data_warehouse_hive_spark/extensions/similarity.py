@@ -695,3 +695,143 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         "group_id",
         (F.col("doc") == F.col("group_id")).alias("is_survivor"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Unsupervised clustering: Lloyd's k-means, engine-exact
+# ---------------------------------------------------------------------------
+
+KMEANS_K = 4
+KMEANS_ITERS = 2
+
+
+def _d2q(e: Column, ce: Column) -> Column:
+    """Carrier-quantized squared L2 distance: each per-dim term
+    floor((a-b)²·1e6+0.5) is an exact long, so the cross-dim sum is
+    associative integer addition — identical in any engine and any
+    evaluation order (the lsh_bucket_col sign-test rule, applied to
+    distances)."""
+    return F.aggregate(
+        F.zip_with(e, ce, lambda a, b: F.floor((a - b) * (a - b) * 1e6 + 0.5).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _kmeans_assign(v: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: K is small by contract, so the
+    centroid table broadcasts and the argmin is a per-row window over K
+    candidates (tie → lowest cid)."""
+    w = Window.partitionBy("vec_id").orderBy("d2q", "cid")
+    return (
+        v.crossJoin(broadcast(cents))
+        .withColumn("d2q", _d2q(F.col("e"), F.col("ce")))
+        .withColumn("ark", F.row_number().over(w))
+        .filter(F.col("ark") == 1)
+        .select("vec_id", "e", "cid", "d2q")
+    )
+
+
+def _o_kmeans_assign(name: str, cent: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT vec_id, e, cid, d2q FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2q, cid) AS rk
+        FROM (
+          SELECT v.vec_id, v.e, c.cid,
+                 list_sum(list_transform(range(1, {EMB_DIM} + 1),
+                   i -> CAST(floor((v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                             * 1e6 + 0.5) AS BIGINT))) AS d2q
+          FROM v CROSS JOIN {cent} c
+        )
+      ) WHERE rk = 1
+    )"""
+
+
+def _o_kmeans_update(name: str, assign: str) -> str:
+    return f"""
+    {name} AS (
+      SELECT cid, list(cval ORDER BY pos) AS ce FROM (
+        SELECT a.cid, u.pos,
+               CAST(SUM(CAST(u.val AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS cval
+        FROM {assign} a, LATERAL (SELECT unnest(a.e) AS val,
+                                         unnest(range(len(a.e))) AS pos) u
+        GROUP BY a.cid, u.pos
+      ) GROUP BY cid
+    )"""
+
+
+@query(
+    "q_embed_kmeans",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {KMEANS_K}),
+    {_o_kmeans_assign('a1', 'c0')},
+    {_o_kmeans_update('c1', 'a1')},
+    {_o_kmeans_assign('a2', 'c1')},
+    {_o_kmeans_update('c2', 'a2')},
+    {_o_kmeans_assign('a3', 'c2')}
+    SELECT a.cid,
+           COUNT(*) AS n_members,
+           CAST(SUM(a.d2q) AS DOUBLE) / 1e6 AS sum_d2,
+           ANY_VALUE(md5(array_to_string(list_transform(c.ce,
+             x -> CAST(CAST(floor(x * 1e6 + 0.5) AS BIGINT) AS VARCHAR)), ',')))
+             AS centroid_digest
+    FROM a3 a JOIN c2 c ON c.cid = a.cid
+    GROUP BY a.cid
+    """,
+)
+def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised k-means (Lloyd's algorithm, K=4, 2 update rounds +
+    final assignment) over the embedding corpus — the clustering that
+    LEARNS the IVF cells q_sim_search_ivf probes and the SemDeDup
+    partitioning, rather than assuming a label column.
+
+    Engine-exact end to end, which is rare for k-means: deterministic
+    first-K init, carrier-quantized integer distances (associative sums,
+    tie → lowest cid), and decimal-exact centroid means (the
+    cell_centroids algebra).  Scale: assignment is a broadcast of K
+    centroid rows against the corpus (narrow map + per-row argmin — the
+    window is per vec_id over K rows); the update is one posexplode
+    shuffle on the (cid, dim) key, K×dim groups.  The driver loop is
+    bounded like q_dedup_groups/q_graph_pagerank; localCheckpoint
+    truncates lineage so iteration count doesn't compound planning cost.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    cents = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(KMEANS_ITERS):
+        a = _kmeans_assign(v, cents)
+        cents = (
+            cell_centroids(a.select(F.col("cid"), "e"), "cid")
+            .select(F.col("cell").alias("cid"), "ce")
+            .localCheckpoint(eager=False)
+        )
+    a = _kmeans_assign(v, cents)
+    digest = F.md5(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.col("ce"),
+                lambda x: F.floor(x * 1e6 + 0.5).cast("long").cast("string"),
+            ),
+        )
+    ).alias("centroid_digest")
+    return (
+        a.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            (F.sum("d2q").cast("double") / 1e6).alias("sum_d2"),
+        )
+        .join(broadcast(cents.select("cid", digest)), "cid")
+    )

@@ -1130,3 +1130,43 @@ def q_agg_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("p_sum_c").cast("double") / 1e6 / F.sum("p_count").cast("double")
         ).alias("avg_price"),
     )
+
+
+@query(
+    "q_agg_argmax",
+    oracle="""
+    SELECT o_custkey,
+           arg_max(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                               * 100000000 + o_orderkey) AS best_order,
+           arg_min(o_orderkey, CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                               * 100000000 + o_orderkey) AS worst_order,
+           MAX(o_totalprice) AS best_price,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    """,
+)
+def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAX_BY / MIN_BY (argmax/argmin) — Hive 4's max_by surface: the row
+    attribute AT the extreme, without a self-join or window pass.
+
+    Determinism: max_by with a tied ordering value is engine-private, so
+    the ordering key is a composite long — price on the cent grid
+    (carrier rule) shifted above the key range, plus the unique orderkey
+    as tiebreak: floor(price·100+0.5)·1e8 + orderkey.  Monotone in
+    (price, orderkey), unique by construction (orderkey < 1e8), exact in
+    both engines.  One hash aggregation; at scale this replaces the
+    window row_number=1 idiom (q_latest_per_key) when only ONE attribute
+    is needed.
+    """
+    o = t(spark, sf_dir, "orders")
+    key = (
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long") * F.lit(100000000)
+        + F.col("o_orderkey")
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", key).alias("best_order"),
+        F.min_by("o_orderkey", key).alias("worst_order"),
+        F.max("o_totalprice").alias("best_price"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
