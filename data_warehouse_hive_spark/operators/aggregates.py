@@ -1170,3 +1170,99 @@ def q_agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_totalprice").alias("best_price"),
         F.count(F.lit(1)).alias("n_orders"),
     )
+
+
+@query(
+    "q_dq_kanonymity",
+    oracle="""
+    WITH classes AS (
+      SELECT c_mktsegment, c_nationkey, COUNT(*) AS sz
+      FROM customer GROUP BY c_mktsegment, c_nationkey
+    )
+    SELECT COUNT(*) AS n_classes,
+           CAST(SUM(sz) AS BIGINT) AS n_rows,
+           MIN(sz) AS k_anonymity,
+           CAST(COUNT(*) FILTER (WHERE sz < 5) AS BIGINT) AS classes_below_5,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS BIGINT)
+             AS rows_below_5,
+           CAST(COALESCE(SUM(sz) FILTER (WHERE sz < 5), 0) AS DOUBLE)
+             / CAST(SUM(sz) AS DOUBLE) AS frac_rows_below_5
+    FROM classes
+    """,
+)
+def q_dq_kanonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over quasi-identifiers (segment × nation): the
+    data-governance check run before releasing or joining
+    demographic-adjacent columns — the dataset's k is the SMALLEST
+    equivalence class, and rows in classes below the target k are
+    re-identification risks (the q_text_pii column-level scrub's
+    row-level counterpart).
+
+    Same two-level shape as q_agg_skew_audit: one shuffle on the
+    QI key, then exact integer metrics over the class-size relation.
+    """
+    c = t(spark, sf_dir, "customer")
+    classes = c.groupBy("c_mktsegment", "c_nationkey").agg(
+        F.count(F.lit(1)).alias("sz")
+    )
+    below = F.when(F.col("sz") < 5, F.col("sz"))
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum("sz").alias("n_rows"),
+        F.min("sz").alias("k_anonymity"),
+        F.count(below).alias("classes_below_5"),
+        F.coalesce(F.sum(below), F.lit(0)).alias("rows_below_5"),
+        (
+            F.coalesce(F.sum(below), F.lit(0)).cast("double")
+            / F.sum("sz").cast("double")
+        ).alias("frac_rows_below_5"),
+    )
+
+
+@query(
+    "q_agg_bitmap_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS nd_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS nd_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting through mergeable roaring-style bitmaps
+    (Spark 3.5 bitmap_bit_position / bitmap_construct_agg / bitmap_count)
+    — the ClickHouse/Doris bitmap-index idiom: per-bucket bitmaps OR
+    together associatively, so unlike COUNT(DISTINCT) the partial states
+    are small fixed-size blobs and re-aggregatable across rollup levels
+    (the exact-count sibling of q_agg_hll's sketches).
+
+    The two-level form below (bucket bitmaps → OR-merge → popcount sum)
+    is exactly how a 100 TB distinct-count rollup materializes.  The
+    oracle is plain COUNT(DISTINCT): the bitmap algebra must land on the
+    identical exact answer.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("lineitem_bm")
+    return spark.sql(
+        """
+        WITH p AS (
+          SELECT l_returnflag, SUM(bitmap_count(bm)) AS nd_parts
+          FROM (
+            SELECT l_returnflag, bitmap_bucket_number(l_partkey) AS b,
+                   bitmap_construct_agg(bitmap_bit_position(l_partkey)) AS bm
+            FROM lineitem_bm GROUP BY l_returnflag, b
+          ) GROUP BY l_returnflag
+        ),
+        s AS (
+          SELECT l_returnflag, SUM(bitmap_count(bm)) AS nd_supps
+          FROM (
+            SELECT l_returnflag, bitmap_bucket_number(l_suppkey) AS b,
+                   bitmap_construct_agg(bitmap_bit_position(l_suppkey)) AS bm
+            FROM lineitem_bm GROUP BY l_returnflag, b
+          ) GROUP BY l_returnflag
+        )
+        SELECT p.l_returnflag, p.nd_parts, s.nd_supps
+        FROM p JOIN s USING (l_returnflag)
+        """
+    )
