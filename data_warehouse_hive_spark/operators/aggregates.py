@@ -1266,3 +1266,109 @@ def q_agg_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM p JOIN s USING (l_returnflag)
         """
     )
+
+
+@query(
+    "q_agg_rfm",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             date_diff('day', MAX(o_orderdate),
+                       (SELECT MAX(o_orderdate) FROM orders)) AS recency_days,
+             COUNT(*) AS frequency,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS monetary
+      FROM orders GROUP BY o_custkey
+    ),
+    bounds AS (
+      SELECT quantile_disc(recency_days, 0.25) AS r1,
+             quantile_disc(recency_days, 0.50) AS r2,
+             quantile_disc(recency_days, 0.75) AS r3,
+             quantile_disc(frequency, 0.25) AS f1,
+             quantile_disc(frequency, 0.50) AS f2,
+             quantile_disc(frequency, 0.75) AS f3,
+             quantile_disc(monetary, 0.25) AS m1,
+             quantile_disc(monetary, 0.50) AS m2,
+             quantile_disc(monetary, 0.75) AS m3
+      FROM cust
+    ),
+    scored AS (
+      SELECT
+        (4 - ((recency_days > r1)::INT + (recency_days > r2)::INT
+              + (recency_days > r3)::INT)) AS r_score,
+        (1 + (frequency > f1)::INT + (frequency > f2)::INT
+           + (frequency > f3)::INT) AS f_score,
+        (1 + (monetary > m1)::INT + (monetary > m2)::INT
+           + (monetary > m3)::INT) AS m_score,
+        monetary
+      FROM cust CROSS JOIN bounds
+    )
+    SELECT CAST(r_score AS BIGINT) AS r_score,
+           CAST(f_score AS BIGINT) AS f_score,
+           CAST(m_score AS BIGINT) AS m_score,
+           COUNT(*) AS n_customers,
+           {o_davg('monetary', 'avg_monetary')}
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    """,
+)
+def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartile scores)
+    — the classic warehouse customer-analytics rollup, built the way it
+    scales: quartile BOUNDARIES come from three exact percentiles over
+    the per-customer relation (a 1-row broadcast), and each customer's
+    score is three comparisons against them — there is NO global
+    sort/ntile over the customer table (the q_win_ntile anti-pattern at
+    this cardinality).
+
+    Exactness: recency/frequency are integers, monetary rides the
+    carrier, and percentile_disc picks actual data values, so scores and
+    segment counts are engine-identical.
+    """
+    o = t(spark, sf_dir, "orders")
+    snap = o.agg(F.max("o_orderdate").alias("snap"))
+    cust = (
+        o.crossJoin(F.broadcast(snap))
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(F.first("snap"), F.max("o_orderdate")).alias("recency_days"),
+            F.count(F.lit(1)).alias("frequency"),
+            dsum("o_totalprice", "monetary"),
+        )
+    )
+    cust.createOrReplaceTempView("rfm_cust")
+    return spark.sql(
+        f"""
+        WITH bounds AS (
+          SELECT percentile_disc(0.25) WITHIN GROUP (ORDER BY recency_days) AS r1,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY recency_days) AS r2,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY recency_days) AS r3,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY frequency) AS f1,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY frequency) AS f2,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY frequency) AS f3,
+                 percentile_disc(0.25) WITHIN GROUP (ORDER BY monetary) AS m1,
+                 percentile_disc(0.50) WITHIN GROUP (ORDER BY monetary) AS m2,
+                 percentile_disc(0.75) WITHIN GROUP (ORDER BY monetary) AS m3
+          FROM rfm_cust
+        ),
+        scored AS (
+          SELECT
+            4 - (CAST(recency_days > r1 AS INT) + CAST(recency_days > r2 AS INT)
+                 + CAST(recency_days > r3 AS INT)) AS r_score,
+            1 + CAST(frequency > f1 AS INT) + CAST(frequency > f2 AS INT)
+              + CAST(frequency > f3 AS INT) AS f_score,
+            1 + CAST(monetary > m1 AS INT) + CAST(monetary > m2 AS INT)
+              + CAST(monetary > m3 AS INT) AS m_score,
+            monetary
+          FROM rfm_cust CROSS JOIN bounds
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(floor(monetary * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / CAST(COUNT(monetary) AS DOUBLE) AS avg_monetary
+        FROM scored
+        GROUP BY r_score, f_score, m_score
+        """
+    )
