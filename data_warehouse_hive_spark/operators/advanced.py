@@ -718,3 +718,58 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("changed"),
         F.sum(F.when(F.col("ha") == F.col("hb"), 1).otherwise(0)).alias("unchanged"),
     )
+
+
+_BASKET_TOP = 20
+
+
+@query(
+    "q_basket_pairs",
+    oracle=f"""
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY part_a, part_b
+    )
+    SELECT part_a, part_b, support,
+           CAST(ROW_NUMBER() OVER (ORDER BY support DESC, part_a, part_b)
+                AS BIGINT) AS rk
+    FROM pairs
+    ORDER BY support DESC, part_a, part_b
+    LIMIT {_BASKET_TOP}
+    """,
+)
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair mining: co-purchased part pairs with support
+    counts (the candidate-generation step of association-rule mining).
+
+    The pair expansion is a SELF-JOIN ON THE ORDER KEY, which is safe at
+    any corpus size because baskets are small (≤13 lines in the fixture;
+    bounded in any real order system) — the same
+    bounded-in-group-expansion argument as the LSH bucket joins, with
+    `part_a < part_b` halving the pairs and making each unordered pair
+    unique.  One shuffle on the order key, one hash agg on the pair key,
+    then TakeOrderedAndProject for the top-k with full-key determinism.
+    """
+    items = (
+        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    )
+    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
+    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pairs = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("support"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("support").desc(), F.col("part_a"), F.col("part_b"))
+    return (
+        pairs.orderBy(F.col("support").desc(), F.col("part_a"), F.col("part_b"))
+        .limit(_BASKET_TOP)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+    )

@@ -445,3 +445,22 @@ def test_tpch_topk_queries_take_ordered(spark, sf_dir):
     for name in ("q_tpch_q03", "q_tpch_q10"):
         plan = formatted_plan(REGISTRY[name].fn(spark, sf_dir))
         assert uses_take_ordered(plan), (name, plan)
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """The K-row centroid table must broadcast into the assignment join —
+    a shuffle there would re-partition the corpus every iteration."""
+    plan = _plan(spark, sf_dir, "q_embed_kmeans")
+    assert "Broadcast" in " ".join(join_strategies(plan)) or "Broadcast" in plan, plan
+
+
+def test_bm25_no_cartesian(spark, sf_dir):
+    """The lexical retrieval join must run on the term key, never as a
+    cartesian product of queries × corpus."""
+    plan = _plan(spark, sf_dir, "q_text_bm25")
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_basket_pairs_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_basket_pairs")
+    assert uses_take_ordered(plan), plan
