@@ -793,3 +793,91 @@ def q_fn_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_like("p_type", F.lit("BRUSHED|POLISHED")).alias("is_finished"),
         F.regexp_extract("p_brand", r"([0-9]+)$", 1).alias("brand_suffix"),
     )
+
+
+@query(
+    "q_fn_mask",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(regexp_replace(regexp_replace(c_name,
+             '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+             AS name_masked,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS name_digits_starred,
+           CASE WHEN length(c_name) > 9
+                THEN substr(c_name, 1, 9)
+                     || regexp_replace(regexp_replace(regexp_replace(
+                          substr(c_name, 10),
+                          '[A-Z]', 'X', 'g'), '[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')
+                ELSE c_name END AS name_show_first_9
+    FROM customer
+    """,
+)
+def q_fn_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-masking functions — Hive's mask() / mask_first_n() family,
+    which Spark ships as the `mask` builtin (3.4+): uppercase→X,
+    lowercase→x, digit→n, applied per character inside codegen — the
+    column-level de-identification used when q_dq_kanonymity says a
+    column can't ship raw (q_text_pii is the free-text counterpart).
+
+    The oracle replicates the same per-class substitution with regexp
+    chains, proving the builtin's semantics rather than assuming them.
+    mask_first_n is composed from substr + mask, exactly how Hive
+    defines it.
+    """
+    c = t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.mask("c_name").alias("name_masked"),
+        F.mask(
+            "c_name",
+            upperChar=F.lit(None),
+            lowerChar=F.lit(None),
+            digitChar=F.lit("*"),
+            otherChar=F.lit(None),
+        ).alias("name_digits_starred"),
+        F.when(
+            F.length("c_name") > 9,
+            F.concat(F.substring("c_name", 1, 9), F.mask(F.expr("substr(c_name, 10)"))),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("name_show_first_9"),
+    )
+
+
+_FUZZY_PROBES = ("Customer#000000001", "Custmer#000000419", "customer#000001000")
+
+
+@query(
+    "q_fuzzy_match",
+    oracle=f"""
+    WITH probes AS (
+      SELECT * FROM (VALUES {", ".join(f"('{p}')" for p in _FUZZY_PROBES)}) AS t(probe)
+    )
+    SELECT p.probe, c.c_custkey, c.c_name,
+           CAST(levenshtein(p.probe, c.c_name) AS BIGINT) AS dist
+    FROM probes p JOIN customer c
+      ON levenshtein(p.probe, c.c_name) <= 3
+    """,
+)
+def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity matching by edit distance: resolve a bounded probe
+    list (misspelled / case-damaged names) against the customer table
+    with levenshtein ≤ 3 — the approximate-match primitive behind entity
+    resolution and typo-tolerant lookup (both engines implement the
+    classic Wagner–Fischer distance; the threshold and integer distance
+    are exact).
+
+    Scale shape: the probe side is small by contract, so this is a
+    broadcast nested-loop with the distance predicate — the only correct
+    general form for a non-equi similarity join.  (At corpus×corpus
+    scale you'd block first — q_dedup_minhash — and verify candidates
+    with this distance; Spark's levenshtein also takes a threshold
+    argument that early-exits the DP loop.)
+    """
+    c = t(spark, sf_dir, "customer")
+    probes = spark.createDataFrame([(p,) for p in _FUZZY_PROBES], ["probe"])
+    dist = F.levenshtein(F.col("probe"), F.col("c_name"))
+    return (
+        c.join(F.broadcast(probes), dist <= 3)
+        .select("probe", "c_custkey", "c_name", dist.cast("long").alias("dist"))
+    )

@@ -400,3 +400,67 @@ def q_events_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("wau", F.lit(0)).cast("long").alias("wau"),
         )
     )
+
+
+@query(
+    "q_events_spikes",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hr,
+             COUNT(*) AS n_events
+      FROM events GROUP BY event_type, hr
+    ),
+    trailed AS (
+      SELECT event_type, hr, n_events,
+             CAST(COALESCE(SUM(n_events) OVER w, 0) AS BIGINT) AS trailing_sum,
+             CAST(COUNT(n_events) OVER w AS BIGINT) AS trailing_n
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY hr
+                   ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, hr, n_events, trailing_sum, trailing_n,
+           (trailing_n >= 3 AND n_events * trailing_n > 2 * trailing_sum)
+             AS is_spike
+    FROM trailed
+    """,
+)
+def q_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rate-spike detection on event streams: flag hours where a type's
+    count exceeds 2× its trailing-7-hour mean (with a 3-hour warmup) —
+    the alerting query behind ops dashboards, and the batch twin of a
+    streaming anomaly monitor.
+
+    The comparison is cross-multiplied into pure integers
+    (count·n > 2·sum ⟺ count > 2·mean) so no float division exists
+    anywhere — exact in both engines.  Shape: one (type, hour) hash agg,
+    then a window over the tiny hourly relation partitioned by type;
+    nothing rescans the raw events.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            "event_type",
+            F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias(
+                "hr"
+            ),
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-7, -1)
+    )
+    trailed = hourly.select(
+        "event_type",
+        "hr",
+        "n_events",
+        F.coalesce(F.sum("n_events").over(w), F.lit(0)).cast("long").alias(
+            "trailing_sum"
+        ),
+        F.count("n_events").over(w).cast("long").alias("trailing_n"),
+    )
+    return trailed.withColumn(
+        "is_spike",
+        (F.col("trailing_n") >= 3)
+        & (F.col("n_events") * F.col("trailing_n") > 2 * F.col("trailing_sum")),
+    )
