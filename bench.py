@@ -70,6 +70,17 @@ TPCH = [
     "q_tpch_q19",
 ]
 
+# round 4: retrieval / clustering / graph extensions — the new heaviest
+# plans (posting joins, iterative loops), timed as their own group.
+EXT_R4 = [
+    "q_text_bm25",
+    "q_retrieval_hybrid",
+    "q_text_tfidf",
+    "q_embed_kmeans",
+    "q_graph_pagerank",
+    "q_basket_pairs",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -93,7 +104,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY + TPCH:
+    for name in HEADLINE + SECONDARY + TPCH + EXT_R4:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -119,6 +130,8 @@ def main() -> None:
     secondary = {name: timed(name) for name in SECONDARY}
     tpch = {name: timed(name) for name in TPCH}
     tpch["total"] = round(sum(tpch.values()), 3)
+    ext_r4 = {name: timed(name) for name in EXT_R4}
+    ext_r4["total"] = round(sum(ext_r4.values()), 3)
 
     print(
         json.dumps(
@@ -129,6 +142,7 @@ def main() -> None:
                 "queries": timings,
                 "secondary": secondary,
                 "tpch": tpch,
+                "ext_r4": ext_r4,
                 "sf": sf,
                 "n_queries": len(timings),
             }

@@ -881,3 +881,41 @@ def q_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.join(F.broadcast(probes), dist <= 3)
         .select("probe", "c_custkey", "c_name", dist.cast("long").alias("dist"))
     )
+
+
+@query(
+    "q_fn_crypto",
+    oracle="""
+    SELECT COUNT(*) AS n_rows,
+           COUNT(*) AS n_roundtrip_ok,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd_ciphertexts,
+           CAST(COUNT(DISTINCT c_name) AS BIGINT) AS nd_names
+    FROM customer
+    """,
+)
+def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column encryption surface — aes_encrypt/aes_decrypt (the Spark
+    builtins behind envelope-encrypted PII columns at rest).  DuckDB has
+    no AES builtins, so the check is SELF-VERIFYING against a trivial
+    oracle: every row must decrypt back to its plaintext
+    (n_roundtrip_ok == n_rows), and in deterministic ECB mode distinct
+    ciphertexts must equal distinct plaintexts (nd_ciphertexts ==
+    nd_names — the property that makes ECB usable as a join-preserving
+    pseudonym, and exactly why it is NOT semantically secure for free
+    text; production uses GCM + random IV and gives up joinability).
+
+    All four outputs are computable by the oracle WITHOUT AES, so the
+    driver hash-check still pins the crypto behavior.
+    """
+    c = t(spark, sf_dir, "customer")
+    key = F.lit("0123456789abcdef")  # 16-byte demo key
+    mode = F.lit("ECB")
+    ct = F.aes_encrypt(F.col("c_name").cast("binary"), key.cast("binary"), mode)
+    pt = F.aes_decrypt(ct, key.cast("binary"), mode).cast("string")
+    enc = c.select("c_name", ct.alias("ct"), pt.alias("pt"))
+    return enc.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("pt") == F.col("c_name"), 1)).alias("n_roundtrip_ok"),
+        F.countDistinct(F.base64("ct")).alias("nd_ciphertexts"),
+        F.countDistinct("c_name").alias("nd_names"),
+    )
