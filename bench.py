@@ -60,14 +60,28 @@ SECONDARY = [
 # timed as its own group so multi-join plan regressions are visible
 # without perturbing the headline total.
 TPCH = [
+    "q_tpch_q01",
+    "q_tpch_q02",
     "q_tpch_q03",
     "q_tpch_q04",
     "q_tpch_q05",
     "q_tpch_q06",
+    "q_tpch_q07",
+    "q_tpch_q08",
+    "q_tpch_q09",
     "q_tpch_q10",
+    "q_tpch_q11",
+    "q_tpch_q12",
+    "q_tpch_q13",
     "q_tpch_q14",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q17",
     "q_tpch_q18",
     "q_tpch_q19",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
 ]
 
 # round 4: retrieval / clustering / graph extensions — the new heaviest

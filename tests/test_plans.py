@@ -464,3 +464,47 @@ def test_bm25_no_cartesian(spark, sf_dir):
 def test_basket_pairs_take_ordered(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_basket_pairs")
     assert uses_take_ordered(plan), plan
+
+
+def test_tpch_q01_single_shuffle_full_pushdown(spark, sf_dir):
+    """The pricing-summary rollup is one scan + one partial/final agg
+    exchange; the shipdate cutoff reaches the parquet reader."""
+    df = REGISTRY["q_tpch_q01"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "l_shipdate" in " ".join(pushed_filters(plan)), plan
+    # one exchange for the 4-group agg + the final ≤4-row sort
+    assert count_exchanges(plan) <= 2, plan
+    assert has_whole_stage_codegen(df)
+
+
+def test_tpch_q09_part_name_prefix_pushed(spark, sf_dir):
+    """The 'red%%' prefix LIKE must push to the part scan as StartsWith."""
+    plan = _plan(spark, sf_dir, "q_tpch_q09")
+    assert "p_name" in " ".join(pushed_filters(plan)), plan
+
+
+def test_tpch_q15_single_fact_scan(spark, sf_dir):
+    """The scalar MAX must derive from the revenue view itself (window),
+    not a second aggregation branch — one lineitem scan total."""
+    plan = _plan(spark, sf_dir, "q_tpch_q15")
+    assert plan.count("lineitem.parquet") == 1, plan
+
+
+def test_tpch_q21_semi_and_anti_joins(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS pair must compile to semi + anti joins —
+    never a materialized row blowup."""
+    plan = _plan(spark, sf_dir, "q_tpch_q21")
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q22")
+    assert "LeftAnti" in plan, plan
+    assert "Broadcast" in plan, plan
+
+
+def test_tpch_q17_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q17")
+    assert "CartesianProduct" not in plan, plan
