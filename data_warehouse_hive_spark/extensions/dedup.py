@@ -723,3 +723,79 @@ def q_dedup_url(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
         )
     )
+
+
+@query(
+    "q_dedup_survivor",
+    oracle=f"""
+    WITH RECURSIVE {_o_minhash_pairs_cte()},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+    ),
+    groups AS (
+      SELECT CAST(doc AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS group_id
+      FROM reach GROUP BY doc
+    ),
+    ranked AS (
+      SELECT g.group_id, g.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY g.group_id
+                                ORDER BY d.n_chars DESC, g.doc_id) AS rk
+      FROM groups g JOIN documents d ON d.doc_id = g.doc_id
+    )
+    SELECT group_id,
+           MAX(CASE WHEN rk = 1 THEN doc_id END) AS survivor_doc_id,
+           MAX(CASE WHEN rk = 1 THEN n_chars END) AS survivor_n_chars,
+           COUNT(*) AS n_members
+    FROM ranked
+    GROUP BY group_id
+    ORDER BY group_id
+    """,
+)
+def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivor selection over near-dup clusters: within
+    each LSH connected component, KEEP the longest document (n_chars,
+    doc_id tiebreak) instead of the arbitrary min-id — the policy real
+    curation pipelines use ("keep the most complete copy").
+
+    Pipeline composition: candidate pairs → connected components (the
+    iterative min-label propagation of q_dedup_groups) → one window
+    argmax per component joined against the documents quality column.
+    Components are tiny (near-dup clusters), so the per-group window
+    state is bounded; the join back to documents is on the doc_id key.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels, _ = min_label_propagation(edges)
+    groups = labels.select(F.col("doc").alias("doc_id"), "group_id")
+    from pyspark.sql import Window
+
+    joined = groups.join(
+        docs.select(F.col("doc_id").alias("d_id"), "n_chars"),
+        F.col("d_id") == F.col("doc_id"),
+    )
+    w = Window.partitionBy("group_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        joined.withColumn("rk", F.row_number().over(w))
+        .groupBy("group_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("doc_id"))).alias(
+                "survivor_doc_id"
+            ),
+            F.max(F.when(F.col("rk") == 1, F.col("n_chars"))).alias(
+                "survivor_n_chars"
+            ),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .orderBy("group_id")
+    )

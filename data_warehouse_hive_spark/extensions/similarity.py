@@ -835,3 +835,173 @@ def q_embed_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(broadcast(cents.select("cid", digest)), "cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Int8 quantization — the memory-scale path for vector search
+# ---------------------------------------------------------------------------
+
+def quantized_corpus(v: DataFrame, vec_col: str = "e") -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x|/127,
+    q_i = floor(x_i/scale + 0.5).  The explicit floor(+0.5) is the
+    engine-portable round — no dependence on either engine's round()
+    tie-breaking.  Adds columns `scale` (double) and `qv` (array<long>,
+    values in [-127, 127])."""
+    e = F.col(vec_col)
+    scaled = v.withColumn(
+        "scale", F.array_max(F.transform(e, lambda x: F.abs(x))) / 127.0
+    )
+    return scaled.withColumn(
+        "qv",
+        F.transform(e, lambda x: F.floor(x / F.col("scale") + 0.5).cast("long")),
+    )
+
+
+_O_QUANT = """
+    v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    scaled AS (
+      SELECT vec_id, label, e,
+             list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale
+      FROM v
+    ),
+    quant AS (
+      SELECT vec_id, label, e, scale,
+             list_transform(e, x -> CAST(floor(x / scale + 0.5) AS BIGINT)) AS qv
+      FROM scaled
+    )"""
+
+
+@query(
+    "q_embed_quantize",
+    oracle=f"""
+    WITH {_O_QUANT}
+    SELECT vec_id,
+           round(scale, 6) AS scale,
+           round(sqrt(CAST(list_sum(list_transform(
+                 list_zip(e, qv),
+                 p -> CAST(floor(pow(p[1] - CAST(p[2] AS DOUBLE) * scale, 2)
+                                 * 1e12 + 0.5) AS BIGINT)
+               )) AS DOUBLE) / 1e12
+               / CAST(len(e) AS DOUBLE)), 6) AS rmse
+    FROM quant
+    """,
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization with reconstruction RMSE —
+    the standard 4× memory reduction that makes a 100 TB float corpus a
+    25 TB int8 corpus (plus one fp32 scale per vector).
+
+    Pure map over the embeddings scan — no shuffle at all; the per-element
+    squared error is carried as an exact scaled long (1e12: errors are
+    O(scale²) ≈ 1e-5, well inside the carrier's resolution and far from
+    overflow at 64 dims) so the RMSE is bit-identical cross-engine.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    qd = quantized_corpus(v)
+    err2_carrier = F.aggregate(
+        F.zip_with(
+            F.col("e"),
+            F.col("qv"),
+            lambda x, q: F.floor(
+                F.pow(x - q.cast("double") * F.col("scale"), 2) * 1e12 + 0.5
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    # NOTE: rmse is computed in a separate projection BEFORE the output
+    # rounding of `scale` — putting round(scale).alias("scale") in the
+    # same select list makes the err² lambda resolve `scale` to the
+    # ROUNDED column (select-list self-reference), silently changing the
+    # dequantization error.
+    return qd.select(
+        "vec_id",
+        "scale",
+        F.round(
+            F.sqrt(
+                err2_carrier.cast("double") / 1e12 / F.size("e").cast("double")
+            ),
+            6,
+        ).alias("rmse"),
+    ).select("vec_id", F.round(F.col("scale"), 6).alias("scale"), "rmse")
+
+
+@query(
+    "q_sim_search_int8",
+    oracle=f"""
+    WITH {_O_QUANT},
+    qs AS (
+      SELECT vec_id AS query_id, qv AS qqv FROM quant WHERE vec_id < {N_QUERY_VECS}
+    ),
+    scored AS (
+      SELECT qs.query_id, c.vec_id, c.label,
+             round(list_dot_product(qs.qqv, c.qv)
+                   / (sqrt(list_dot_product(qs.qqv, qs.qqv))
+                      * sqrt(list_dot_product(c.qv, c.qv))), 6) AS cosine_q
+      FROM qs JOIN quant c ON c.vec_id != qs.query_id
+    )
+    SELECT query_id, vec_id, label, cosine_q, rk FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine_q DESC, vec_id) AS rk
+      FROM scored
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-k cosine over int8-QUANTIZED vectors — the search
+    that runs on the 4×-smaller corpus q_embed_quantize produces.
+
+    The per-vector scales cancel out of the cosine, so scoring is pure
+    integer arithmetic: dot products of [-127,127] int arrays (exact in
+    int64 AND in double — every intermediate is an integer < 2^53, so
+    even DuckDB's double list_dot_product is exact), one sqrt+divide at
+    the end.  Integer dots are also what SIMD int8 kernels compute in
+    production ANN engines — this is the semantics, Spark-side.
+    Plan shape matches q_sim_search: corpus never shuffles, queries
+    broadcast, WindowGroupLimit keeps k rows per query per partition.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    qd = quantized_corpus(v).select("vec_id", "label", "qv")
+    q = (
+        qd.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv"))
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corpus = qd.withColumn("nrm", F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double")))
+    queries = q.withColumn(
+        "qnrm", F.sqrt(idot(F.col("qqv"), F.col("qqv")).cast("double"))
+    )
+    scored = corpus.join(
+        broadcast(queries), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.round(
+            idot(F.col("qqv"), F.col("qv")).cast("double")
+            / (F.col("qnrm") * F.col("nrm")),
+            6,
+        ).alias("cosine_q"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine_q").desc(), F.col("vec_id"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= TOP_K
+    )

@@ -312,3 +312,59 @@ def q_win_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM base
         """
     )
+
+
+@query(
+    "q_win_running_distinct",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, event_type, ts, user_id,
+             CASE WHEN ROW_NUMBER() OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) = 1
+                  THEN 1 ELSE 0 END AS first_seen
+      FROM events
+    )
+    SELECT event_id, event_type,
+           CAST(SUM(first_seen) OVER (PARTITION BY event_type
+                ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS distinct_users_so_far
+    FROM marked
+    """,
+)
+def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running COUNT(DISTINCT user) per event_type over event time —
+    the cumulative-unique-users curve, a window SQL cannot express
+    directly (COUNT(DISTINCT) OVER is unsupported in both engines).
+
+    Standard two-window decomposition: mark each (type, user)'s first
+    occurrence with ROW_NUMBER()=1, then running-SUM the markers.  Both
+    windows shuffle on keys that include event_type — Catalyst plans them
+    as two sorts over ONE exchange when the partition keys nest (the
+    second window's key is a prefix of the first's), and per-partition
+    state is O(1) — this scales where a collect_set-based window (O(n)
+    state per row) would not.
+    """
+    e = t(spark, sf_dir, "events")
+    w_first = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    w_run = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    marked = e.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "user_id",
+        F.when(F.row_number().over(w_first) == 1, 1).otherwise(0).alias(
+            "first_seen"
+        ),
+    )
+    return marked.select(
+        "event_id",
+        "event_type",
+        F.sum("first_seen").over(w_run).alias("distinct_users_so_far"),
+    )
