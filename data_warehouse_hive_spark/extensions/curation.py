@@ -1022,3 +1022,50 @@ def q_tokens_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle="""
+    WITH stats AS (SELECT MAX(n_chars) AS max_chars FROM documents),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.n_chars,
+             CAST(d.n_chars AS DOUBLE) / CAST(s.max_chars AS DOUBLE) AS p_keep,
+             CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                  AS DOUBLE) / 4294967296.0 AS u
+      FROM documents d, stats s
+    )
+    SELECT doc_id, lang, n_chars, round(p_keep, 6) AS p_keep
+    FROM scored
+    WHERE u < p_keep
+    ORDER BY doc_id
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance (weighted Bernoulli) sampling: each document is kept
+    with probability proportional to its quality weight (here length /
+    max length — swap in any score), decided by a DETERMINISTIC md5
+    uniform draw on doc_id instead of rand().
+
+    The hash-draw is the production idiom for reproducible sampling at
+    scale: no RNG state, no seed-per-partition coupling, resampling with
+    a different rate keeps a nested subset (u < p is monotone in p).
+    Pure map over the scan + one broadcast scalar (max weight); the
+    survivor set is bit-identical cross-engine because u and p derive
+    from the same md5/IEEE expressions.
+    """
+    d = t(spark, sf_dir, "documents")
+    mx = d.agg(F.max("n_chars").alias("max_chars"))
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        / 4294967296.0
+    )
+    p = F.col("n_chars").cast("double") / F.col("max_chars").cast("double")
+    return (
+        d.join(F.broadcast(mx))
+        .select("doc_id", "lang", "n_chars", p.alias("p_keep"), u.alias("u"))
+        .filter(F.col("u") < F.col("p_keep"))
+        .select("doc_id", "lang", "n_chars", F.round("p_keep", 6).alias("p_keep"))
+        .orderBy("doc_id")
+    )

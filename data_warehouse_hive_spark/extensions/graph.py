@@ -157,3 +157,116 @@ def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pr_q",
         (F.col("pr_q").cast("double") / PR_SCALE).alias("pagerank"),
     )
+
+
+def _o_candidate_edges() -> str:
+    """DuckDB CTE chain for the LSH candidate graph (doc_a < doc_b)."""
+    from data_warehouse_hive_spark.extensions.dedup import _o_minhash_pairs_cte
+
+    return _o_minhash_pairs_cte()
+
+
+@query(
+    "q_graph_degree",
+    oracle=f"""
+    WITH {{pairs}},
+    deg AS (
+      SELECT doc, COUNT(*) AS degree FROM (
+        SELECT doc_a AS doc FROM pairs
+        UNION ALL
+        SELECT doc_b FROM pairs
+      ) GROUP BY doc
+    )
+    SELECT degree, COUNT(*) AS n_docs
+    FROM deg GROUP BY degree ORDER BY degree
+    """,
+)
+def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the near-dup candidate graph — the shape
+    check a dedup run does before pair verification (a heavy-tailed
+    degree histogram means a hot shingle is flooding the bucket join).
+
+    Two small aggregations over the pair list; the expensive part (the
+    LSH pipeline) is exactly the shared q_dedup_minhash plan.
+    """
+    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    nodes = pairs.select(F.col("doc_a").alias("doc")).unionAll(
+        pairs.select(F.col("doc_b").alias("doc"))
+    )
+    return (
+        nodes.groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("degree")
+    )
+
+
+@query(
+    "q_graph_triangles",
+    oracle=f"""
+    WITH {{pairs}},
+    tri AS (
+      SELECT e1.doc_a AS a, e1.doc_b AS b, e2.doc_b AS c
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    )
+    SELECT doc_id, COUNT(*) AS n_triangles FROM (
+      SELECT a AS doc_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri
+    )
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document triangle counts over the candidate graph — triangles
+    are the transitivity evidence that separates a genuine duplicate
+    CLUSTER from chains of coincidental LSH collisions.
+
+    Canonical a<b<c enumeration: every edge is stored once (doc_a <
+    doc_b), so the two-path join (a,b)⋈(b,c) produces each candidate
+    triangle once, and the closing-edge join keeps it only if (a,c) is
+    an edge.  The pair list is localCheckpointed first — the three-way
+    self-join would otherwise replay the whole shingle→signature lineage
+    three times.  At scale this is the standard distributed triangle
+    count (node-order directed edges bound the join fan-out by max
+    degree, which LSH banding keeps small).
+    """
+    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")), "left_semi")
+        .select("a", "b", "c")
+    )
+    corners = (
+        tri.select(F.col("a").alias("doc_id"))
+        .unionAll(tri.select(F.col("b").alias("doc_id")))
+        .unionAll(tri.select(F.col("c").alias("doc_id")))
+    )
+    return (
+        corners.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy("doc_id")
+    )
+
+
+# Substitute the shared pair-CTE chain into the two oracles at import
+# time (the decorator captured a {pairs} placeholder).
+from data_warehouse_hive_spark.registry import REGISTRY as _REG  # noqa: E402
+
+for _gq in ("q_graph_degree", "q_graph_triangles"):
+    _spec = _REG[_gq]
+    object.__setattr__(_spec, "oracle", _spec.oracle.format(pairs=_o_candidate_edges()))
+del _REG, _spec, _gq

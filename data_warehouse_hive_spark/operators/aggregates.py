@@ -1372,3 +1372,110 @@ def q_agg_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY r_score, f_score, m_score
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — sublinear frequency estimation
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 64
+CMS_PROBES = ("table", "scan", "query", "value", "spark", "window", "join", "agg")
+
+
+@query(
+    "q_agg_countmin",
+    oracle=f"""
+    WITH words AS (
+      SELECT u.word
+      FROM documents, LATERAL (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      ) u
+    ),
+    cells AS (
+      SELECT j.j,
+             (('0x' || substr(md5(j.j || '|' || w.word), 1, 8))::UBIGINT
+               % {CMS_WIDTH}) AS bucket,
+             COUNT(*) AS cnt
+      FROM words w, LATERAL (SELECT unnest(range({CMS_DEPTH})) AS j) j
+      GROUP BY j.j, bucket
+    ),
+    probes AS (SELECT unnest({list(CMS_PROBES)!r}) AS word),
+    est AS (
+      SELECT p.word, MIN(c.cnt) AS est_count
+      FROM probes p,
+           LATERAL (SELECT unnest(range({CMS_DEPTH})) AS j) j
+      JOIN cells c
+        ON c.j = j.j
+       AND c.bucket = (('0x' || substr(md5(j.j || '|' || p.word), 1, 8))::UBIGINT
+                        % {CMS_WIDTH})
+      GROUP BY p.word
+    ),
+    truth AS (
+      SELECT word, COUNT(*) AS true_count FROM words
+      WHERE word IN {CMS_PROBES!r} GROUP BY word
+    )
+    SELECT e.word, e.est_count, t.true_count
+    FROM est e JOIN truth t ON t.word = e.word
+    ORDER BY e.word
+    """,
+)
+def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over the corpus word stream: a {CMS_DEPTH}×{CMS_WIDTH}
+    counter grid (md5-salted row hashes), probed for 8 vocabulary words
+    with the true counts alongside — est ≥ truth, the one-sided CMS
+    guarantee, is directly visible in the output.
+
+    The sketch build is the scalable path: one narrow map (word → d
+    cells) and a groupBy on a FIXED 256-cell key domain, so the shuffle
+    carries only partial counters no matter the corpus size — this is
+    how you count frequencies over 100 TB without a word-cardinality
+    shuffle.  Probing joins the 8×d probe cells against the tiny sketch.
+    The md5-derived row hashes make the grid bit-identical cross-engine
+    (same idiom as the MinHash family).
+    """
+    from data_warehouse_hive_spark.tables import spread
+
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    words = d.select(
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word")
+    )
+    js = F.explode(F.sequence(F.lit(0), F.lit(CMS_DEPTH - 1))).alias("j")
+    salted = words.select("word", js).select(
+        "j",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("j"), F.col("word"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    cells = salted.groupBy("j", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    probes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in CMS_PROBES])).alias("word")
+    )
+    probe_cells = probes.select("word", js).select(
+        "word",
+        "j",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat_ws("|", F.col("j"), F.col("word"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % CMS_WIDTH
+        ).alias("bucket"),
+    )
+    est = (
+        probe_cells.join(F.broadcast(cells), ["j", "bucket"])
+        .groupBy("word")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = (
+        words.filter(F.col("word").isin(*CMS_PROBES))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+    )
+    return est.join(truth, "word").orderBy("word")
