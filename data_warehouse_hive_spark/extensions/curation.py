@@ -1069,3 +1069,64 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "lang", "n_chars", F.round("p_keep", 6).alias("p_keep"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_mix_temperature",
+    oracle="""
+    WITH counts AS (
+      SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang
+    ),
+    weighted AS (
+      SELECT lang, n_docs,
+             CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)
+               AS w_c
+      FROM counts
+    ),
+    tot AS (
+      SELECT CAST(SUM(w_c) AS BIGINT) AS tw, CAST(SUM(n_docs) AS BIGINT) AS tn
+      FROM weighted
+    )
+    SELECT w.lang, w.n_docs,
+           round(CAST(w.w_c AS DOUBLE) / CAST(t.tw AS DOUBLE), 6) AS target_share,
+           round(CAST(w.n_docs AS DOUBLE) / CAST(t.tn AS DOUBLE), 6)
+             AS empirical_share,
+           round((CAST(w.w_c AS DOUBLE) / CAST(t.tw AS DOUBLE))
+                 / (CAST(w.n_docs AS DOUBLE) / CAST(t.tn AS DOUBLE)), 6)
+             AS upsample_factor
+    FROM weighted w, tot t
+    ORDER BY w.lang
+    """,
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixture (T=2, i.e. share ∝ n^(1/2)) —
+    the multilingual-sampling rule that upweights low-resource languages
+    without flattening the distribution entirely.
+
+    The n^0.5 weights ride the scaled-long carrier BEFORE the normalizing
+    sum (a 5-double sum would be order-nondeterministic); each share is
+    then one double division on identical operands.  Group counts are one
+    shuffle on lang; everything after runs on ≤|langs| rows.
+    """
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    weighted = counts.withColumn(
+        "w_c",
+        F.floor(F.sqrt(F.col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"),
+    )
+    tot = weighted.agg(
+        F.sum("w_c").alias("tw"), F.sum("n_docs").alias("tn")
+    )
+    target = F.col("w_c").cast("double") / F.col("tw").cast("double")
+    emp = F.col("n_docs").cast("double") / F.col("tn").cast("double")
+    return (
+        weighted.join(F.broadcast(tot))
+        .select(
+            "lang",
+            "n_docs",
+            F.round(target, 6).alias("target_share"),
+            F.round(emp, 6).alias("empirical_share"),
+            F.round(target / emp, 6).alias("upsample_factor"),
+        )
+        .orderBy("lang")
+    )

@@ -799,3 +799,55 @@ def q_dedup_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("group_id")
     )
+
+
+@query(
+    "q_dedup_containment",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    shv AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6) AS jaccard,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(a.sh) AS DOUBLE), 6) AS containment_a,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(b.sh) AS DOUBLE), 6) AS containment_b
+    FROM pairs p
+    JOIN shv a ON a.doc_id = p.doc_a
+    JOIN shv b ON b.doc_id = p.doc_b
+    ORDER BY p.doc_a, p.doc_b
+    """,
+)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment scoring on LSH candidates: C(A,B) =
+    |A∩B|/|A| alongside Jaccard.  Jaccard under-scores subset
+    relationships (a doc embedded whole inside a longer one scores
+    |A|/|B|), so real dedup policies check containment to catch
+    quote-expansion and boilerplate-wrapping duplicates that Jaccard's
+    0.8 threshold misses.
+
+    Same scale shape as q_dedup_verify: exact set ops run on O(candidate
+    pairs) only, shingle arrays joined per side on the doc_id key.
+    """
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs)
+    sh = shingle_arrays(docs, 3)
+    a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter / uni, 6).alias("jaccard"),
+            F.round(inter / F.size("sh_a").cast("double"), 6).alias("containment_a"),
+            F.round(inter / F.size("sh_b").cast("double"), 6).alias("containment_b"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )

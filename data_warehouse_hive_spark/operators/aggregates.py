@@ -17,7 +17,7 @@ engines regardless of aggregation order.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import DEC, davg, dsum, o_davg, o_dsum, query
@@ -1479,3 +1479,132 @@ def q_agg_countmin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("true_count"))
     )
     return est.join(truth, "word").orderBy("word")
+
+
+@query(
+    "q_stats_ks",
+    oracle="""
+    WITH ab AS (
+      SELECT value, CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS ia
+      FROM events WHERE event_type IN ('click', 'error')
+    ),
+    tot AS (
+      SELECT CAST(SUM(ia) AS BIGINT) AS na,
+             CAST(SUM(1 - ia) AS BIGINT) AS nb
+      FROM ab
+    ),
+    byv AS (
+      SELECT value,
+             CAST(SUM(ia) AS BIGINT) AS ca,
+             CAST(SUM(1 - ia) AS BIGINT) AS cb
+      FROM ab GROUP BY value
+    ),
+    cum AS (
+      SELECT value,
+             CAST(SUM(ca) OVER (ORDER BY value
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY value
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM byv
+    )
+    SELECT t.na, t.nb,
+           CAST(MAX(ABS(cuma * t.nb - cumb * t.na)) AS BIGINT) AS d_num,
+           round(CAST(MAX(ABS(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6) AS ks_stat
+    FROM cum, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov statistic between the `value`
+    distributions of two event types — the standard drift detector a
+    pipeline runs between yesterday's and today's feature distributions.
+
+    Integer-exact formulation: D = max|F_A − F_B| is computed as
+    max|cumA·n_B − cumB·n_A| over DISTINCT values (cross-multiplied
+    cumulative counts — all integer arithmetic, no float CDFs), divided
+    once at the end.  The cumulative window runs over distinct values
+    only, so its single-partition sort holds the value domain, not the
+    event count; at 100 TB pre-bucket values into quantile bins first
+    (same algebra per bin + offset).
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    ab = e.select(
+        "value",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("ia"),
+    )
+    byv = ab.groupBy("value").agg(
+        F.sum("ia").alias("ca"), F.sum(1 - F.col("ia")).alias("cb")
+    )
+    tot = ab.agg(
+        F.sum("ia").alias("na"), F.sum(1 - F.col("ia")).alias("nb")
+    )
+    w = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = byv.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    d = F.max(F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")))
+    return (
+        cum.join(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            d.alias("d_num"),
+            F.round(
+                d.cast("double") / (F.col("na").cast("double") * F.col("nb").cast("double")),
+                6,
+            ).alias("ks_stat"),
+        )
+    )
+
+
+@query(
+    "q_dq_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                  1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice >= 1.0
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM digits)
+    SELECT digit, COUNT(*) AS n_orders,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share,
+           round(ln(1.0 + 1.0 / digit) / ln(10.0), 6) AS benford_expected
+    FROM digits, tot t
+    GROUP BY digit, t.n
+    ORDER BY digit
+    """,
+)
+def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit on order totals — the classic
+    fraud / synthetic-data smell test: natural multiplicative quantities
+    follow P(d) = log10(1+1/d); a uniform generator (like this fixture's)
+    visibly does not, and the query surfaces exactly that deviation.
+
+    The first digit is extracted via BIGINT→string (identical formatting
+    in both engines — never via log10+floor, whose ulp error flips digits
+    at power-of-10 boundaries).  One narrow map + a 9-bucket aggregate.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    digits = o.select(digit.alias("digit"))
+    tot = digits.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        digits.join(F.broadcast(tot))
+        .groupBy("digit", "n")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(F.col("n_orders").cast("double") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                F.log(F.lit(1.0) + 1.0 / F.col("digit")) / F.log(F.lit(10.0)), 6
+            ).alias("benford_expected"),
+        )
+        .orderBy("digit")
+    )

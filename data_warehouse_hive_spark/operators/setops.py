@@ -113,3 +113,39 @@ def q_union_byname(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("key"),    # and no src column
     )
     return r.unionByName(n, allowMissingColumns=True)
+
+
+@query(
+    "q_intersect_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL — bag intersection: each nationkey appears
+    min(count_left, count_right) times.  Spark plans this as a single
+    hash aggregation carrying both counts (no row-by-row matching), so
+    the cost is one shuffle on the row value, the same as DISTINCT."""
+    c = _cust_nations(spark, sf_dir)
+    s = _supp_nations(spark, sf_dir)
+    return c.intersectAll(s).orderBy("nationkey")
+
+
+@query(
+    "q_except_all",
+    oracle="""
+    SELECT c_nationkey AS nationkey FROM customer
+    EXCEPT ALL
+    SELECT s_nationkey FROM supplier
+    ORDER BY nationkey
+    """,
+)
+def q_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — bag difference: each nationkey keeps
+    max(count_left − count_right, 0) occurrences; one value shuffle."""
+    c = _cust_nations(spark, sf_dir)
+    s = _supp_nations(spark, sf_dir)
+    return c.exceptAll(s).orderBy("nationkey")

@@ -464,3 +464,63 @@ def q_events_spikes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("trailing_n") >= 3)
         & (F.col("n_events") * F.col("trailing_n") > 2 * F.col("trailing_sum")),
     )
+
+
+@query(
+    "q_events_attribution",
+    oracle="""
+    WITH marked AS (
+      SELECT event_id, user_id, ts, event_type,
+             LAST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                        IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS last_touch_id,
+             FIRST_VALUE(CASE WHEN event_type = 'click' THEN event_id END
+                         IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS first_touch_id
+      FROM events
+    )
+    SELECT event_id AS purchase_id, user_id, first_touch_id, last_touch_id
+    FROM marked
+    WHERE event_type = 'purchase'
+    ORDER BY purchase_id
+    """,
+)
+def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch / last-touch attribution: every purchase is linked to
+    the user's first and most recent preceding click — the join-free
+    formulation of the conversion-attribution query.
+
+    One window pass per user timeline (shuffle on user_id only);
+    FIRST/LAST_VALUE ... IGNORE NULLS over the up-to-previous-row frame
+    picks the touch events without ever materializing a purchases×clicks
+    join — the naive formulation is quadratic per user, this is linear.
+    NULL first/last_touch = purchase with no preceding click (organic).
+    """
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    marked = e.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(click_id, ignorenulls=True).over(w).alias("last_touch_id"),
+        F.first(click_id, ignorenulls=True).over(w).alias("first_touch_id"),
+    )
+    return (
+        marked.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "first_touch_id",
+            "last_touch_id",
+        )
+        .orderBy("purchase_id")
+    )
