@@ -93,6 +93,12 @@ EXT_R4 = [
     "q_embed_kmeans",
     "q_graph_pagerank",
     "q_basket_pairs",
+    # round-4 continuation: candidate-graph analytics, sketching, and
+    # quantized vector search — the newest nontrivial plans
+    "q_graph_triangles",
+    "q_dedup_survivor",
+    "q_agg_countmin",
+    "q_sim_search_int8",
 ]
 
 

@@ -278,6 +278,11 @@ def q_text_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # dl / df / qterms / the candidate join all read this relation —
+        # without a checkpoint the tokenize+aggregate lineage replays once
+        # per consumer (5 document scans at sf0.1).  At cluster scale this
+        # is "build the inverted index once", the production shape.
+        .localCheckpoint(eager=False)
     )
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(
@@ -399,6 +404,11 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("term") != "")
         .groupBy("doc_id", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # dl / df / qterms / the candidate join all read this relation —
+        # without a checkpoint the tokenize+aggregate lineage replays once
+        # per consumer (5 document scans at sf0.1).  At cluster scale this
+        # is "build the inverted index once", the production shape.
+        .localCheckpoint(eager=False)
     )
     dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
     stats = dl.agg(

@@ -697,6 +697,10 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("doc_id", "word")
         .agg(F.count(F.lit(1)).alias("tf"))
+        # df, the corpus count, and the scored join all consume this
+        # relation — checkpoint so the tokenize+aggregate lineage runs
+        # once instead of once per consumer (3 document scans otherwise).
+        .localCheckpoint(eager=False)
     )
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n = tf.agg(F.countDistinct("doc_id").alias("n_docs"))

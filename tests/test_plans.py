@@ -508,3 +508,46 @@ def test_tpch_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
 def test_tpch_q17_no_cartesian(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_tpch_q17")
     assert "CartesianProduct" not in plan, plan
+
+
+def test_countmin_sketch_fixed_key_domain(spark, sf_dir):
+    """The sketch build must aggregate on the fixed (j, bucket) domain —
+    no shuffle keyed by word cardinality on the sketch path."""
+    plan = _plan(spark, sf_dir, "q_agg_countmin")
+    assert "CartesianProduct" not in plan, plan
+    # probe join against the 256-cell sketch must be broadcast
+    assert "BroadcastHashJoin" in join_strategies(plan), plan
+
+
+def test_int8_search_queries_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_sim_search_int8")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_attribution_single_user_shuffle(spark, sf_dir):
+    """Both windows partition by user_id → one exchange, no join."""
+    plan = _plan(spark, sf_dir, "q_events_attribution")
+    assert "Join" not in plan, plan
+    # user_id window + final orderBy range exchange
+    assert count_exchanges(plan) <= 2, plan
+
+
+def test_bm25_single_postings_build(spark, sf_dir):
+    """The inverted index is checkpointed — documents must be scanned
+    exactly once however many consumers read the postings."""
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    df = _R["q_text_bm25"].fn(spark, sf_dir)
+    df.count()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("documents.parquet") <= 1, ex
+
+
+def test_tfidf_single_corpus_scan(spark, sf_dir):
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    df = _R["q_text_tfidf"].fn(spark, sf_dir)
+    df.count()
+    ex = df._jdf.queryExecution().executedPlan().toString()
+    assert ex.count("documents.parquet") <= 1, ex
