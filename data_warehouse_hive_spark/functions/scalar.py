@@ -919,3 +919,41 @@ def q_fn_crypto(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.base64("ct")).alias("nd_ciphertexts"),
         F.countDistinct("c_name").alias("nd_names"),
     )
+
+
+@query(
+    "q_fn_trig",
+    oracle="""
+    SELECT n_nationkey,
+           round(sin(n_nationkey), 9) AS sin_v,
+           round(cos(n_nationkey), 9) AS cos_v,
+           round(tan(n_nationkey), 9) AS tan_v,
+           round(atan2(n_nationkey, 3.0), 9) AS atan2_v,
+           round(exp(CAST(n_nationkey AS DOUBLE) / 10.0), 9) AS exp_v,
+           round(ln(n_nationkey + 1.0), 9) AS ln_v,
+           round(degrees(atan(n_nationkey)), 9) AS deg_atan,
+           round(radians(CAST(n_nationkey AS DOUBLE)), 9) AS rad_v
+    FROM nation
+    ORDER BY n_nationkey
+    """,
+)
+def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigonometric / scientific scalar family (HiveQL surface:
+    sin/cos/tan/atan2/exp/ln/degrees/radians), each pinned at 9 dp — the
+    transcendental house rule: libm implementations may differ in the
+    last ulp between engines, and 9 dp is far coarser than any libm
+    disagreement yet far finer than any analytical use."""
+    n = t(spark, sf_dir, "nation")
+    x = F.col("n_nationkey")
+    xd = x.cast("double")
+    return n.select(
+        "n_nationkey",
+        F.round(F.sin(x), 9).alias("sin_v"),
+        F.round(F.cos(x), 9).alias("cos_v"),
+        F.round(F.tan(x), 9).alias("tan_v"),
+        F.round(F.atan2(xd, F.lit(3.0)), 9).alias("atan2_v"),
+        F.round(F.exp(xd / 10.0), 9).alias("exp_v"),
+        F.round(F.log(x + 1.0), 9).alias("ln_v"),
+        F.round(F.degrees(F.atan(x)), 9).alias("deg_atan"),
+        F.round(F.radians(xd), 9).alias("rad_v"),
+    ).orderBy("n_nationkey")

@@ -732,3 +732,96 @@ def q_text_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rk",
         )
     )
+
+
+_PMI_MIN_PAIRS = 50
+_PMI_TOP = 20
+
+
+@query(
+    "q_text_pmi",
+    oracle=f"""
+    WITH wd AS (
+      SELECT doc_id, u.word
+      FROM documents, LATERAL (
+        SELECT unnest(list_distinct(
+          string_split_regex(trim(lower(text)), '\\s+'))) AS word
+      ) u
+    ),
+    pairs AS (
+      SELECT a.word AS w1, b.word AS w2
+      FROM wd a JOIN wd b ON a.doc_id = b.doc_id AND a.word < b.word
+    ),
+    cab AS (SELECT w1, w2, COUNT(*) AS c_ab FROM pairs GROUP BY w1, w2),
+    ca AS (SELECT word, COUNT(*) AS c FROM wd GROUP BY word),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM wd)
+    SELECT w1, w2, c_ab, pmi, rk FROM (
+      SELECT w1, w2, c_ab,
+             round(ln((CAST(c_ab AS DOUBLE) * n.n_docs)
+                      / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 9) AS pmi,
+             CAST(ROW_NUMBER() OVER (
+               ORDER BY round(ln((CAST(c_ab AS DOUBLE) * n.n_docs)
+                    / (CAST(a.c AS DOUBLE) * CAST(b.c AS DOUBLE))), 9) DESC,
+               w1, w2) AS BIGINT) AS rk
+      FROM cab
+      JOIN ca a ON a.word = cab.w1
+      JOIN ca b ON b.word = cab.w2
+      CROSS JOIN n
+      WHERE c_ab >= {_PMI_MIN_PAIRS}
+    )
+    WHERE rk <= {_PMI_TOP}
+    """,
+)
+def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information over document-level word
+    co-occurrence: PMI(a,b) = ln(P(a,b)/(P(a)P(b))) at document
+    granularity — the collocation detector behind phrase mining and
+    word-association analysis.
+
+    The pair space is generated by a per-document self-join on doc_id
+    (per-doc quadratic in DISTINCT words — bounded by document length,
+    the standard co-occurrence shape); unigram and document counts are
+    vocab-sized side relations joined back by word.  PMI is pinned at
+    9 dp (transcendental rule) before the deterministic top-k rank.
+    """
+    from pyspark.sql import Window
+
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    wd = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.trim(F.lower(F.col("text"))), r"\s+"))
+        ).alias("word"),
+    ).localCheckpoint(eager=False)
+    a = wd.select("doc_id", F.col("word").alias("w1"))
+    b = wd.select(F.col("doc_id").alias("doc_id_b"), F.col("word").alias("w2"))
+    pairs = a.join(
+        b, (F.col("doc_id_b") == F.col("doc_id")) & (F.col("w1") < F.col("w2"))
+    )
+    cab = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_ab"))
+    ca = wd.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    n = wd.agg(F.countDistinct("doc_id").alias("n_docs"))
+    pmi = F.round(
+        F.log(
+            (F.col("c_ab").cast("double") * F.col("n_docs"))
+            / (F.col("c_a").cast("double") * F.col("c_b").cast("double"))
+        ),
+        9,
+    )
+    scored = (
+        cab.join(
+            F.broadcast(ca.select(F.col("word").alias("w1"), F.col("c").alias("c_a"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(ca.select(F.col("word").alias("w2"), F.col("c").alias("c_b"))),
+            "w2",
+        )
+        .join(F.broadcast(n))
+        .filter(F.col("c_ab") >= _PMI_MIN_PAIRS)
+        .select("w1", "w2", "c_ab", pmi.alias("pmi"))
+    )
+    w = Window.orderBy(F.col("pmi").desc(), F.col("w1"), F.col("w2"))
+    return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
+        F.col("rk") <= _PMI_TOP
+    )

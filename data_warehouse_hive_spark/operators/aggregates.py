@@ -1608,3 +1608,89 @@ def q_dq_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+PSI_BINS = 10
+PSI_VMAX = 500.0  # fixture `value` domain upper bound; fixed-edge bins
+
+
+@query(
+    "q_stats_psi",
+    oracle=f"""
+    WITH halves AS (
+      SELECT value,
+             CASE WHEN ts < TIMESTAMP '1995-07-02' THEN 0 ELSE 1 END AS half,
+             LEAST(CAST(floor(value / ({PSI_VMAX} / {PSI_BINS})) AS INT),
+                   {PSI_BINS - 1}) AS bin
+      FROM events
+    ),
+    binned AS (
+      SELECT bin,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+      FROM halves GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS BIGINT) AS t_ref,
+             CAST(SUM(n_cur) AS BIGINT) AS t_cur
+      FROM binned
+    ),
+    terms AS (
+      SELECT b.bin, b.n_ref, b.n_cur,
+             CAST(floor(
+               ((CAST(b.n_cur AS DOUBLE) / t.t_cur)
+                 - (CAST(b.n_ref AS DOUBLE) / t.t_ref))
+               * ln((CAST(b.n_cur AS DOUBLE) / t.t_cur)
+                    / (CAST(b.n_ref AS DOUBLE) / t.t_ref))
+               * 1e9 + 0.5) AS BIGINT) AS term_c
+      FROM binned b, tot t
+      WHERE b.n_ref > 0 AND b.n_cur > 0
+    )
+    SELECT COUNT(*) AS n_bins,
+           CAST(SUM(term_c) AS DOUBLE) / 1e9 AS psi
+    FROM terms
+    """,
+)
+def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between the first and second half of
+    the event stream's `value` distribution — the drift score model
+    monitoring dashboards alarm on (PSI > 0.2 = action), companion to the
+    rank-based q_stats_ks.
+
+    Fixed-edge bins (not quantiles) keep binning a pure per-row map, so
+    the whole metric is one scan + one 10-bin aggregate + scalar algebra.
+    Each bin's (p−q)·ln(p/q) term is quantized on a 1e9 carrier before
+    the cross-bin sum — the division and ln see identical operands in
+    both engines, and the sum is exact integer addition.
+    """
+    e = t(spark, sf_dir, "events")
+    width = PSI_VMAX / PSI_BINS
+    halves = e.select(
+        F.when(F.col("ts") < F.lit("1995-07-02").cast("timestamp"), 0)
+        .otherwise(1)
+        .alias("half"),
+        F.least(
+            F.floor(F.col("value") / width).cast("int"), F.lit(PSI_BINS - 1)
+        ).alias("bin"),
+    )
+    binned = halves.groupBy("bin").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = binned.agg(
+        F.sum("n_ref").alias("t_ref"), F.sum("n_cur").alias("t_cur")
+    )
+    p_cur = F.col("n_cur").cast("double") / F.col("t_cur")
+    p_ref = F.col("n_ref").cast("double") / F.col("t_ref")
+    term_c = F.floor((p_cur - p_ref) * F.log(p_cur / p_ref) * 1e9 + 0.5).cast(
+        "long"
+    )
+    return (
+        binned.join(F.broadcast(tot))
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(term_c.alias("term_c"))
+        .agg(
+            F.count(F.lit(1)).alias("n_bins"),
+            (F.sum("term_c").cast("double") / 1e9).alias("psi"),
+        )
+    )

@@ -524,3 +524,60 @@ def q_events_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id")
     )
+
+
+@query(
+    "q_events_markov",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS src, event_type AS dst, COUNT(*) AS n
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n FROM trans GROUP BY src)
+    SELECT t.src, t.dst, t.n, o.out_n,
+           round(CAST(t.n AS DOUBLE) / CAST(o.out_n AS DOUBLE), 6) AS p
+    FROM trans t JOIN outdeg o ON o.src = t.src
+    ORDER BY t.src, t.dst
+    """,
+)
+def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-normalized event-type transition matrix — the first-order
+    Markov model of user behavior (the input PageRank's edge weights and
+    next-action prediction both start from).
+
+    One lag-window pass per user timeline, a count aggregation on the
+    tiny (src, dst) domain, and an exact-division normalization against
+    the out-degree — the same heavy/light split as the PageRank edge
+    build: the only corpus-sized work is the user_id window shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(F.col("prev_type").alias("src"), F.col("event_type").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    outdeg = trans.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("n").alias("out_n")
+    )
+    return (
+        trans.join(F.broadcast(outdeg), F.col("o_src") == F.col("src"))
+        .select(
+            "src",
+            "dst",
+            "n",
+            "out_n",
+            F.round(F.col("n").cast("double") / F.col("out_n").cast("double"), 6).alias(
+                "p"
+            ),
+        )
+        .orderBy("src", "dst")
+    )
