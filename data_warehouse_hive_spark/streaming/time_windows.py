@@ -581,3 +581,85 @@ def q_events_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src", "dst")
     )
+
+
+@query(
+    "q_events_zscore",
+    oracle="""
+    WITH q AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             ts
+      FROM events
+    ),
+    framed AS (
+      SELECT event_id, event_type, value, xq,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(xq) OVER w AS BIGINT) AS sx,
+             CAST(SUM(xq * xq) OVER w AS BIGINT) AS sxx
+      FROM q
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 100 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, event_type, value, n,
+           round(CAST(n * xq - sx AS DOUBLE)
+                 / sqrt(CAST(n AS DOUBLE)
+                        * CAST(n * sxx - sx * sx AS DOUBLE)
+                        / (CAST(n AS DOUBLE) - 1.0)), 6) AS z
+    FROM framed
+    WHERE n >= 30
+      AND n * sxx - sx * sx > 0
+      AND (n * xq - sx) * (n * xq - sx) * (n - 1) > 9 * n * (n * sxx - sx * sx)
+    ORDER BY event_id
+    """,
+)
+def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection: each event's value against the
+    mean/std of its type's trailing 100 events — the streaming-shaped
+    outlier monitor next to the global MAD (q_anomaly_mad) and the rate
+    spike detector (q_events_spikes).
+
+    The trailing moments (n, Σx, Σx²) are EXACT INTEGERS on the 2-decimal
+    quantization, and the |z| > 3 trigger is evaluated as the
+    cross-multiplied integer inequality (n·x − Σx)²·(n−1) > 9·n·(n·Σx² −
+    Σx²) — no float accumulates anywhere, so the flagged set is
+    bit-identical cross-engine (the reported z is one double expression
+    on identical integer operands).  One window shuffle on event_type.
+    """
+    e = t(spark, sf_dir, "events")
+    q = e.select(
+        "event_id",
+        "event_type",
+        "value",
+        "ts",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-100, -1)
+    )
+    framed = q.select(
+        "event_id",
+        "event_type",
+        "value",
+        "xq",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("xq").over(w).alias("sx"),
+        F.sum(F.col("xq") * F.col("xq")).over(w).alias("sxx"),
+    )
+    n, sx, sxx, xq = F.col("n"), F.col("sx"), F.col("sxx"), F.col("xq")
+    var_num = n * sxx - sx * sx
+    dev = n * xq - sx
+    z = F.round(
+        dev.cast("double")
+        / F.sqrt(n.cast("double") * var_num.cast("double") / (n.cast("double") - 1.0)),
+        6,
+    )
+    return (
+        framed.filter(
+            (n >= 30) & (var_num > 0) & (dev * dev * (n - 1) > 9 * n * var_num)
+        )
+        .select("event_id", "event_type", "value", "n", z.alias("z"))
+        .orderBy("event_id")
+    )
