@@ -540,6 +540,9 @@ def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("pk", "sk", "unit_cost", "s_acctbal", "s_name", "n_name")
+        # consumed by both the candidate join and the per-part minimum —
+        # checkpoint so the lineitem aggregation doesn't replay per branch
+        .localCheckpoint(eager=False)
     )
     best = eur.groupBy(F.col("pk").alias("bpk")).agg(
         F.min("unit_cost").alias("best_cost")
@@ -1077,7 +1080,13 @@ def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
     )
-    shipped = l.groupBy("l_partkey", "l_suppkey").agg(F.sum("l_quantity").alias("qty"))
+    shipped = (
+        l.groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        # consumed by the per-part total AND the dominance filter —
+        # checkpoint so the one-year fact aggregation runs once
+        .localCheckpoint(eager=False)
+    )
     tot = shipped.groupBy(F.col("l_partkey").alias("tpk")).agg(
         F.sum("qty").alias("total_qty")
     )
@@ -1150,6 +1159,9 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
         )
         .select("l_orderkey", "l_suppkey")
+        # probe side (l1) and the NOT-EXISTS side (l3) both read this —
+        # checkpoint so the fact⋈orders lateness join runs once
+        .localCheckpoint(eager=False)
     )
     l2 = l.select(
         F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")

@@ -551,3 +551,14 @@ def test_tfidf_single_corpus_scan(spark, sf_dir):
     df.count()
     ex = df._jdf.queryExecution().executedPlan().toString()
     assert ex.count("documents.parquet") <= 1, ex
+
+
+def test_tpch_shared_relations_single_fact_scan(spark, sf_dir):
+    """Q2/Q20/Q21 derive a relation consumed by two branches (unit-cost
+    catalog / shipped quantities / late lines) — the checkpoint contract
+    is that the lineitem aggregation behind it executes once."""
+    for name, max_scans in (("q_tpch_q02", 1), ("q_tpch_q20", 1), ("q_tpch_q21", 2)):
+        df = REGISTRY[name].fn(spark, sf_dir)
+        df.count()
+        ex = df._jdf.queryExecution().executedPlan().toString()
+        assert ex.count("lineitem.parquet") <= max_scans, (name, ex)
