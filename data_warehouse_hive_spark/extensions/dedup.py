@@ -851,3 +851,66 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+_SIMHASH_HAM_MAX = 2
+
+
+@query(
+    "q_dedup_simhash_pairs",
+    oracle=f"""
+    WITH sk AS (
+      {{simhash}}
+    ),
+    blocked AS (SELECT doc_id, simhash16, simhash16 // 256 AS blk FROM sk)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash16, b.simhash16)) AS INT) AS hamming
+    FROM blocked a
+    JOIN blocked b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash16, b.simhash16)) <= {_SIMHASH_HAM_MAX}
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup candidate pairs: block on the sketch's high byte,
+    compare Hamming distance (bit_count of XOR) within blocks only — the
+    Manku/Google-style simhash dedup pipeline, complementing the
+    MinHash family with an O(1)-per-doc sketch.
+
+    The sketch relation is checkpointed and self-joined on the 256-value
+    block key (high-byte blocking = the 1-table special case of the
+    permuted-table scheme; pairs differing inside the top byte are
+    missed by design — add rotated block keys for higher recall).  The
+    Hamming filter is pure integer bit math, identical in both engines.
+    """
+    sk = q_dedup_simhash(spark, sf_dir).localCheckpoint(eager=False)
+    blocked = sk.select(
+        "doc_id", "simhash16", (F.col("simhash16") / 256).cast("long").alias("blk")
+    )
+    a = blocked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("simhash16").alias("sh_a"),
+        F.col("blk").alias("blk_a"),
+    )
+    b = blocked.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash16").alias("sh_b"),
+        F.col("blk").alias("blk_b"),
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, (F.col("blk_a") == F.col("blk_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .filter(ham <= _SIMHASH_HAM_MAX)
+        .select("doc_a", "doc_b", ham.cast("int").alias("hamming"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# splice the simhash sketch SQL (registered above) into the pair oracle
+from data_warehouse_hive_spark.registry import REGISTRY as _REG2  # noqa: E402
+
+_sp = _REG2["q_dedup_simhash_pairs"]
+object.__setattr__(
+    _sp, "oracle", _sp.oracle.format(simhash=_REG2["q_dedup_simhash"].oracle)
+)
+del _REG2, _sp

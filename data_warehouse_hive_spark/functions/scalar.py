@@ -957,3 +957,44 @@ def q_fn_trig(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.degrees(F.atan(x)), 9).alias("deg_atan"),
         F.round(F.radians(xd), 9).alias("rad_v"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_fn_null",
+    oracle="""
+    SELECT s_suppkey,
+           nullif(s_acctbal, 0.0) AS acct_nullif,
+           coalesce(nullif(s_name, ''), 'unknown') AS name_coalesce,
+           ifnull(nullif(s_nationkey, 0), -1) AS nation_ifnull,
+           CASE WHEN nullif(s_acctbal, 0.0) IS NOT NULL
+                THEN 'has_bal' ELSE 'no_bal' END AS nvl2_equiv,
+           greatest(s_acctbal, 0.0) AS bal_floor0,
+           least(s_acctbal, 1000.0) AS bal_cap1000,
+           (s_acctbal IS NOT DISTINCT FROM 0.0) AS is_exactly_zero
+    FROM supplier
+    ORDER BY s_suppkey
+    """,
+)
+def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-handling scalar family (HiveQL surface: nullif / coalesce /
+    ifnull-nvl / nvl2 / greatest / least / null-safe equality).  nvl2 is
+    expressed as the CASE it desugars to so the oracle text stays ANSI
+    (DuckDB has no nvl2); greatest/least propagate per ANSI rules."""
+    s = t(spark, sf_dir, "supplier")
+    bal = F.col("s_acctbal")
+    return s.select(
+        "s_suppkey",
+        F.nullif(bal, F.lit(0.0)).alias("acct_nullif"),
+        F.coalesce(F.nullif(F.col("s_name"), F.lit("")), F.lit("unknown")).alias(
+            "name_coalesce"
+        ),
+        F.ifnull(F.nullif(F.col("s_nationkey"), F.lit(0)), F.lit(-1)).alias(
+            "nation_ifnull"
+        ),
+        F.nvl2(
+            F.nullif(bal, F.lit(0.0)), F.lit("has_bal"), F.lit("no_bal")
+        ).alias("nvl2_equiv"),
+        F.greatest(bal, F.lit(0.0)).alias("bal_floor0"),
+        F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
+        bal.eqNullSafe(F.lit(0.0)).alias("is_exactly_zero"),
+    ).orderBy("s_suppkey")
