@@ -1005,3 +1005,122 @@ def q_sim_search_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= TOP_K
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature-hashing (hashing-trick) embeddings — text → vector without a model
+# ---------------------------------------------------------------------------
+
+HASH_EMB_DIM = 16
+
+
+@query(
+    "q_embed_hashing",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, u.word
+      FROM documents, LATERAL (
+        SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS word
+      ) u
+      WHERE u.word != ''
+    ),
+    dims AS (
+      SELECT doc_id,
+             (('0x' || substr(md5(word), 1, 8))::UBIGINT % {HASH_EMB_DIM}) AS dim,
+             COUNT(*) AS cnt
+      FROM words GROUP BY doc_id, dim
+    ),
+    vecs AS (
+      SELECT a.doc_id, a.dim, a.cnt, n.nrm2
+      FROM dims a
+      JOIN (SELECT doc_id, CAST(SUM(cnt * cnt) AS BIGINT) AS nrm2
+            FROM dims GROUP BY doc_id) n ON n.doc_id = a.doc_id
+    ),
+    pairs AS (
+      SELECT q.doc_id AS query_id, c.doc_id,
+             CAST(SUM(q.cnt * c.cnt) AS BIGINT) AS dot_i,
+             ANY_VALUE(q.nrm2) AS qn, ANY_VALUE(c.nrm2) AS cn
+      FROM vecs q
+      JOIN vecs c ON c.dim = q.dim AND c.doc_id != q.doc_id
+      WHERE q.doc_id < 3
+      GROUP BY q.doc_id, c.doc_id
+    )
+    SELECT query_id, doc_id,
+           round(CAST(dot_i AS DOUBLE)
+                 / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6)
+             AS cosine,
+           rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+               round(CAST(dot_i AS DOUBLE)
+                     / (sqrt(CAST(qn AS DOUBLE)) * sqrt(CAST(cn AS DOUBLE))), 6)
+               DESC, doc_id) AS BIGINT) AS rk
+      FROM pairs
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick document embeddings + top-k retrieval with NO model:
+    each word hashes (md5) into one of {HASH_EMB_DIM} dimensions, the
+    vector is the integer count profile, and similarity is cosine over
+    the SPARSE (doc, dim, cnt) layout — an inverted-index-shaped join on
+    the dimension key, never a dense all-pairs product.
+
+    This is the classic feature-hashing vectorizer (Weinberger et al.):
+    the embed step is one narrow map + a (doc, dim) aggregation, the
+    search is a dim-key join — both pure integer arithmetic until the
+    final cosine, hence bit-identical cross-engine.  The same sparse-join
+    shape serves real learned sparse embeddings (SPLADE-style) at scale.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    words = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim(F.lower(F.col("text"))), r"\s+")).alias("word"),
+    ).filter(F.col("word") != "")
+    dims = (
+        words.select(
+            "doc_id",
+            (
+                F.conv(F.substring(F.md5("word"), 1, 8), 16, 10).cast("long")
+                % HASH_EMB_DIM
+            ).alias("dim"),
+        )
+        .groupBy("doc_id", "dim")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    norms = dims.groupBy(F.col("doc_id").alias("n_id")).agg(
+        F.sum(F.col("cnt") * F.col("cnt")).alias("nrm2")
+    )
+    vecs = dims.join(norms, F.col("n_id") == F.col("doc_id")).select(
+        "doc_id", "dim", "cnt", "nrm2"
+    )
+    q = vecs.filter(F.col("doc_id") < 3).select(
+        F.col("doc_id").alias("query_id"),
+        F.col("dim").alias("q_dim"),
+        F.col("cnt").alias("q_cnt"),
+        F.col("nrm2").alias("qn"),
+    )
+    pairs = (
+        q.join(
+            vecs,
+            (F.col("dim") == F.col("q_dim")) & (F.col("doc_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum(F.col("q_cnt") * F.col("cnt")).alias("dot_i"),
+            F.first("qn").alias("qn"),
+            F.first("nrm2").alias("cn"),
+        )
+    )
+    cosine = F.round(
+        F.col("dot_i").cast("double")
+        / (F.sqrt(F.col("qn").cast("double")) * F.sqrt(F.col("cn").cast("double"))),
+        6,
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("doc_id"))
+    return (
+        pairs.select("query_id", "doc_id", cosine.alias("cosine"))
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+    )

@@ -1694,3 +1694,41 @@ def q_stats_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.sum("term_c").cast("double") / 1e9).alias("psi"),
         )
     )
+
+
+@query(
+    "q_agg_multi_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple COUNT(DISTINCT) columns in one aggregation — the query
+    shape Catalyst plans with an Expand node (one row replica per
+    distinct column, tagged by gid) so ALL distincts resolve in a single
+    aggregation tree instead of one job per column.
+
+    The Expand multiplies the shuffled rows by the number of distinct
+    columns — that's the documented cost; when any single distinct
+    column dominates, run it separately and cross-join (the
+    q_stats_profile pattern).  Counts are exact integers — trivially
+    engine-portable.
+    """
+    return (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_suppliers"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .orderBy("l_returnflag")
+    )

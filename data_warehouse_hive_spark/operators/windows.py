@@ -368,3 +368,60 @@ def q_win_running_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.sum("first_seen").over(w_run).alias("distinct_users_so_far"),
     )
+
+
+@query(
+    "q_win_ratio_total",
+    oracle=f"""
+    WITH rev AS (
+      SELECT n.n_name,
+             CAST(SUM(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      GROUP BY n.n_name
+    )
+    SELECT n_name,
+           CAST(rev_c AS DOUBLE) / 1e6 AS revenue,
+           round(CAST(rev_c AS DOUBLE)
+                 / CAST(SUM(rev_c) OVER () AS DOUBLE), 6) AS share_of_total,
+           round(CAST(rev_c AS DOUBLE)
+                 / CAST(MAX(rev_c) OVER () AS DOUBLE), 6) AS pct_of_max
+    FROM rev
+    ORDER BY n_name
+    """,
+)
+def q_win_ratio_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's share of total and percent-of-max
+    revenue — the unpartitioned-window reporting idiom (SUM() OVER ()).
+
+    The window runs over the PRE-AGGREGATED ≤25-row relation, never the
+    fact table — the only legitimate use of an unpartitioned window (the
+    q_win_ntile rule).  The grand total is a sum of per-nation carrier
+    longs, so the shares divide identical operands in both engines.
+    """
+    from data_warehouse_hive_spark.registry import to_carrier
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    from pyspark.sql.functions import broadcast
+
+    rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(to_carrier(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    w = Window.partitionBy()
+    return rev.select(
+        "n_name",
+        (F.col("rev_c").cast("double") / 1e6).alias("revenue"),
+        F.round(
+            F.col("rev_c").cast("double") / F.sum("rev_c").over(w).cast("double"), 6
+        ).alias("share_of_total"),
+        F.round(
+            F.col("rev_c").cast("double") / F.max("rev_c").over(w).cast("double"), 6
+        ).alias("pct_of_max"),
+    ).orderBy("n_name")
