@@ -425,3 +425,63 @@ def q_win_ratio_total(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rev_c").cast("double") / F.max("rev_c").over(w).cast("double"), 6
         ).alias("pct_of_max"),
     ).orderBy("n_name")
+
+
+@query(
+    "q_win_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS day_n
+      FROM events
+    ),
+    grouped AS (
+      SELECT user_id, day_n,
+             day_n - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY day_n)
+               AS island
+      FROM days
+    ),
+    islands AS (
+      SELECT user_id, island, COUNT(*) AS streak_len
+      FROM grouped GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(SUM(streak_len) AS BIGINT) AS n_active_days,
+           COUNT(*) AS n_streaks,
+           CAST(MAX(streak_len) AS BIGINT) AS longest_streak
+    FROM islands
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: per-user consecutive-active-day streaks — the
+    classic sequence-detection shape (login streaks, sensor uptime,
+    subscription continuity).
+
+    The island key is `day_number − row_number` (consecutive days share
+    it; a gap shifts it) — pure integer arithmetic after projecting the
+    date to a day count, so no date-type bridging is needed anywhere.
+    One window shuffle on user_id, then two tiny aggregations.
+    """
+    e = t(spark, sf_dir, "events")
+    days = e.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "day_n"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day_n")
+    grouped = days.withColumn("island", F.col("day_n") - F.row_number().over(w))
+    islands = grouped.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).alias("streak_len")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.sum("streak_len").alias("n_active_days"),
+            F.count(F.lit(1)).alias("n_streaks"),
+            F.max("streak_len").alias("longest_streak"),
+        )
+        .orderBy("user_id")
+    )

@@ -663,3 +663,83 @@ def q_events_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", "n", z.alias("z"))
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_events_forecast_sma",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    framed AS (
+      SELECT event_type, h, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s24,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k24
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, n, s24, k24,
+             CAST(floor(abs(CAST(n AS DOUBLE)
+                            - CAST(s24 AS DOUBLE) / CAST(k24 AS DOUBLE))
+                        * 1e6 + 0.5) AS BIGINT) AS abs_err_c
+      FROM framed WHERE k24 >= 12
+    )
+    SELECT event_type,
+           COUNT(*) AS n_hours,
+           CAST(SUM(abs_err_c) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE) AS mae
+    FROM scored
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving-average forecast backtest: predict each hour's event count
+    from the trailing 24 OBSERVED hours (sparse SMA — missing hours skip
+    the frame) and report per-type MAE — the baseline every fancier
+    forecaster must beat, evaluated walk-forward with no leakage (frame
+    ends at 1 PRECEDING).
+
+    The hourly rollup shrinks the stream to a (type, hour) relation
+    first, so the backtest windows run over ~10^4 rows regardless of
+    event volume; each |error| term is carrier-quantized before the MAE
+    sum (forecast is a division of exact integers → identical in both
+    engines).
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "n",
+        F.sum("n").over(w).alias("s24"),
+        F.count(F.lit(1)).over(w).alias("k24"),
+    )
+    abs_err_c = F.floor(
+        F.abs(
+            F.col("n").cast("double")
+            - F.col("s24").cast("double") / F.col("k24").cast("double")
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    return (
+        framed.filter(F.col("k24") >= 12)
+        .select("event_type", abs_err_c.alias("abs_err_c"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_hours"),
+            (F.sum("abs_err_c").cast("double") / 1e6 / F.count(F.lit(1)).cast("double")).alias(
+                "mae"
+            ),
+        )
+        .orderBy("event_type")
+    )
