@@ -346,3 +346,109 @@ def audio_meta(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "audio").mapInPandas(
         run, schema=AUDIO_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Video (ISO-BMFF / MP4) container metadata — REAL box walking
+# ---------------------------------------------------------------------------
+
+VIDEO_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("format", T.StringType(), True),
+        T.StructField("major_brand", T.StringType(), True),
+        T.StructField("timescale", T.LongType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("n_tracks", T.IntegerType(), True),
+    ]
+)
+
+
+def _walk_boxes(p: bytes, start: int, end: int):
+    """Yield (box_type, payload_start, payload_end) for ISO-BMFF boxes in
+    p[start:end].  Handles 64-bit largesize (size==1) and
+    box-extends-to-eof (size==0); stops on malformed sizes."""
+    i = start
+    while i + 8 <= end:
+        size = int.from_bytes(p[i : i + 4], "big")
+        btype = p[i + 4 : i + 8]
+        hdr = 8
+        if size == 1:
+            if i + 16 > end:
+                return
+            size = int.from_bytes(p[i + 8 : i + 16], "big")
+            hdr = 16
+        elif size == 0:
+            size = end - i
+        if size < hdr or i + size > end:
+            return
+        yield btype, i + hdr, i + size
+        i += size
+
+
+def sniff_mp4_meta(
+    payload: bytes,
+) -> tuple[str | None, str | None, int | None, int | None, int | None]:
+    """REAL MP4/ISO-BMFF container metadata: walk the top-level box list
+    to ftyp (major brand) and moov, then moov's children for mvhd
+    (movie timescale + duration, version 0/1 layouts) and the trak
+    count — pure byte arithmetic, no codec library, same discipline as
+    sniff_image_meta/sniff_wav_meta (sample decode stays stubbed).
+    Box walking matters for the same reason WAV chunk walking does:
+    real files put free/udta boxes anywhere, so fixed offsets are wrong.
+    Returns (format, major_brand, timescale, duration_ms, n_tracks).
+    """
+    p = payload
+    none5 = (None, None, None, None, None)
+    if len(p) < 12:
+        return none5
+    boxes = list(_walk_boxes(p, 0, len(p)))
+    if not boxes or boxes[0][0] != b"ftyp":
+        return none5
+    brand = p[boxes[0][1] : boxes[0][1] + 4].decode("ascii", "replace").strip()
+    timescale = duration = None
+    n_tracks = 0
+    for btype, s, e in boxes:
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _walk_boxes(p, s, e):
+            if ctype == b"trak":
+                n_tracks += 1
+            elif ctype == b"mvhd" and ce - cs >= 4:
+                version = p[cs]
+                if version == 1 and ce - cs >= 4 + 8 + 8 + 4 + 8:
+                    timescale = int.from_bytes(p[cs + 20 : cs + 24], "big")
+                    duration = int.from_bytes(p[cs + 24 : cs + 32], "big")
+                elif version == 0 and ce - cs >= 4 + 4 + 4 + 4 + 4:
+                    timescale = int.from_bytes(p[cs + 12 : cs + 16], "big")
+                    duration = int.from_bytes(p[cs + 16 : cs + 20], "big")
+    duration_ms = (
+        (duration * 1000) // timescale if duration is not None and timescale else None
+    )
+    return ("mp4", brand, timescale, duration_ms, n_tracks)
+
+
+def video_meta(media: DataFrame) -> DataFrame:
+    """Per-clip MP4 metadata via mapInPandas over the binary payload —
+    partition-parallel, no shuffle, Arrow-batched; linear at 100 TB."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                sniff_mp4_meta(bytes(x) if x is not None else b"")
+                for x in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "format": [r[0] for r in rows],
+                    "major_brand": [r[1] for r in rows],
+                    "timescale": pd.array([r[2] for r in rows], dtype="Int64"),
+                    "duration_ms": pd.array([r[3] for r in rows], dtype="Int64"),
+                    "n_tracks": pd.array([r[4] for r in rows], dtype="Int32"),
+                }
+            )
+
+    return media.filter(F.col("kind") == "video").mapInPandas(
+        run, schema=VIDEO_META_SCHEMA
+    )

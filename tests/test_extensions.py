@@ -487,3 +487,62 @@ def test_wav_header_roundtrip_property():
         assert dur == (n_frames * 1000) // rate
 
     check()
+
+
+def test_mp4_header_decode_real_format(spark):
+    """sniff_mp4_meta walks real ISO-BMFF box lists: construct valid MP4
+    containers byte-by-byte (including a free box before moov and a
+    version-1 mvhd) and confirm the walker reads brand, timescale,
+    duration, and track count from structure, not fixed offsets."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        sniff_mp4_meta,
+        video_meta,
+    )
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return (8 + len(payload)).to_bytes(4, "big") + btype + payload
+
+    def mvhd_v0(timescale: int, duration: int) -> bytes:
+        body = (
+            b"\x00" + b"\x00\x00\x00"          # version 0, flags
+            + (0).to_bytes(4, "big") * 2        # creation, modification
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(4, "big")
+        )
+        return box(b"mvhd", body)
+
+    def mvhd_v1(timescale: int, duration: int) -> bytes:
+        body = (
+            b"\x01" + b"\x00\x00\x00"
+            + (0).to_bytes(8, "big") * 2
+            + timescale.to_bytes(4, "big")
+            + duration.to_bytes(8, "big")
+        )
+        return box(b"mvhd", body)
+
+    ftyp = box(b"ftyp", b"isom" + (512).to_bytes(4, "big") + b"isomiso2")
+    trak = box(b"trak", b"")
+    moov0 = box(b"moov", mvhd_v0(1000, 5500) + trak + trak)
+    mp4_v0 = ftyp + box(b"free", b"\x00" * 7) + moov0
+    assert sniff_mp4_meta(mp4_v0) == ("mp4", "isom", 1000, 5500, 2)
+
+    moov1 = box(b"moov", mvhd_v1(90000, 90000 * 3) + trak)
+    mp4_v1 = ftyp + moov1
+    assert sniff_mp4_meta(mp4_v1) == ("mp4", "isom", 90000, 3000, 1)
+
+    assert sniff_mp4_meta(b"not a video") == (None, None, None, None, None)
+
+    from data_warehouse_hive_spark.sources.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(
+        [
+            (1, "video", bytearray(mp4_v0), None, None, None),
+            (2, "video", bytearray(mp4_v1), None, None, None),
+            (3, "audio", bytearray(b"RIFF"), None, None, None),
+        ],
+        schema=MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in video_meta(media).collect()}
+    assert set(out) == {1, 2}
+    assert out[1]["duration_ms"] == 5500 and out[1]["n_tracks"] == 2
+    assert out[2]["timescale"] == 90000 and out[2]["major_brand"] == "isom"
