@@ -270,3 +270,84 @@ for _gq in ("q_graph_degree", "q_graph_triangles"):
     _spec = _REG[_gq]
     object.__setattr__(_spec, "oracle", _spec.oracle.format(pairs=_o_candidate_edges()))
 del _REG, _spec, _gq
+
+
+@query(
+    "q_graph_jaccard",
+    oracle=f"""
+    WITH {{pairs}},
+    edges AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (SELECT u AS node, COUNT(*) AS d FROM edges GROUP BY u),
+    common AS (
+      SELECT e1.u AS a, e2.u AS b, COUNT(*) AS n_common
+      FROM edges e1 JOIN edges e2
+        ON e1.v = e2.v AND e1.u < e2.u
+      GROUP BY e1.u, e2.u
+    )
+    SELECT c.a, c.b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(da.d + db.d - c.n_common AS DOUBLE), 6)
+             AS jaccard
+    FROM common c
+    JOIN deg da ON da.node = c.a
+    JOIN deg db ON db.node = c.b
+    ORDER BY c.a, c.b
+    """,
+)
+def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighbor-overlap (Jaccard) node similarity over the candidate
+    graph: J(u,v) = |N(u)∩N(v)| / |N(u)∪N(v)| — the link-prediction /
+    entity-resolution primitive (two docs that collide with the same
+    THIRD docs are likely the same cluster even if they never collided
+    directly).
+
+    The common-neighbor count is the standard two-hop self-join keyed on
+    the shared neighbor — fan-out is bounded by max degree (which LSH
+    banding keeps small), never all-pairs; degrees join back per node.
+    Union size comes from inclusion-exclusion, so only ONE pair
+    aggregation runs.  The edge list is checkpointed once.
+    """
+    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = edges.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    e1 = edges.select(F.col("u").alias("a"), F.col("v").alias("n1"))
+    e2 = edges.select(F.col("u").alias("b"), F.col("v").alias("n2"))
+    common = (
+        e1.join(e2, (F.col("n1") == F.col("n2")) & (F.col("a") < F.col("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("node").alias("b"), F.col("d").alias("db"))
+    return (
+        common.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("da") + F.col("db") - F.col("n_common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("a", "b")
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG3  # noqa: E402
+
+_spec3 = _REG3["q_graph_jaccard"]
+object.__setattr__(_spec3, "oracle", _spec3.oracle.format(pairs=_o_candidate_edges()))
+del _REG3, _spec3

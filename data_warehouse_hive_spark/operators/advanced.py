@@ -773,3 +773,60 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_BASKET_TOP)
         .withColumn("rk", F.row_number().over(w).cast("long"))
     )
+
+
+@query(
+    "q_time_calendar",
+    oracle="""
+    SELECT strftime(d, '%Y-%m-%d') AS date_key,
+           CAST(year(d) AS INT) AS yr,
+           CAST(quarter(d) AS INT) AS qtr,
+           CAST(month(d) AS INT) AS mo,
+           CAST(day(d) AS INT) AS dom,
+           CAST(isodow(d) AS INT) AS iso_dow,
+           CAST(weekofyear(d) AS INT) AS iso_week,
+           CAST(dayofyear(d) AS INT) AS doy,
+           (d = last_day(d)) AS is_month_end,
+           CAST(day(last_day(d)) AS INT) AS days_in_month
+    FROM (SELECT unnest(generate_series(DATE '1995-01-01', DATE '1995-12-31',
+                                        INTERVAL 1 DAY))::DATE AS d)
+    ORDER BY date_key
+    """,
+)
+def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-dimension generation: one year of dates with the standard
+    warehouse attributes (ISO weekday/week, quarter, month-end flags) —
+    the date dimension every star schema joins against, built from a
+    sequence expression with no source table at all.
+
+    Date semantics are the cross-engine trap here: day-of-week numbering
+    differs (Spark dayofweek is Sunday=1, DuckDB dow is Sunday=0), so the
+    ISO forms are used on both sides (Spark weekday()+1 = DuckDB isodow).
+    The date itself is projected as yyyy-MM-dd per the house rule.
+    """
+    d = F.col("d")
+    return (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit("1995-01-01").cast("date"),
+                    F.lit("1995-12-31").cast("date"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("d")
+        )
+        .select(
+            F.date_format(d, "yyyy-MM-dd").alias("date_key"),
+            F.year(d).alias("yr"),
+            F.quarter(d).alias("qtr"),
+            F.month(d).alias("mo"),
+            F.dayofmonth(d).alias("dom"),
+            (F.weekday(d) + 1).alias("iso_dow"),
+            F.weekofyear(d).alias("iso_week"),
+            F.dayofyear(d).alias("doy"),
+            (d == F.last_day(d)).alias("is_month_end"),
+            F.dayofmonth(F.last_day(d)).alias("days_in_month"),
+        )
+        .orderBy("date_key")
+    )
