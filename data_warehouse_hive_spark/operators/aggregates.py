@@ -1732,3 +1732,190 @@ def q_agg_multi_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+QSK_BINS = 100
+
+
+@query(
+    "q_agg_quantile_sketch",
+    oracle=f"""
+    WITH mm AS (
+      SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders
+    ),
+    binned AS (
+      SELECT LEAST(CAST(floor((o_totalprice - mm.mn)
+                               / ((mm.mx - mm.mn) / {QSK_BINS})) AS INT),
+                   {QSK_BINS - 1}) AS bin,
+             COUNT(*) AS c
+      FROM orders, mm
+      GROUP BY bin
+    ),
+    cum AS (
+      SELECT bin, CAST(SUM(c) OVER (ORDER BY bin
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM binned
+    ),
+    probes AS (SELECT unnest([0.5, 0.9, 0.99]) AS p),
+    est AS (
+      SELECT p.p, MIN(cum.bin) AS qbin
+      FROM probes p JOIN cum
+        ON CAST(cum.cum AS DOUBLE) >= p.p * (SELECT n FROM mm)
+      GROUP BY p.p
+    ),
+    exact AS (
+      SELECT p.p, MIN(r.o_totalprice) AS exact_q
+      FROM probes p
+      JOIN (SELECT o_totalprice,
+                   ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rn
+            FROM orders) r
+        ON CAST(r.rn AS DOUBLE) >= p.p * (SELECT n FROM mm)
+      GROUP BY p.p
+    )
+    SELECT e.p,
+           round(mm.mn + (e.qbin + 1) * ((mm.mx - mm.mn) / {QSK_BINS}), 6)
+             AS sketch_q,
+           x.exact_q,
+           round(mm.mn + (e.qbin + 1) * ((mm.mx - mm.mn) / {QSK_BINS})
+                 - x.exact_q, 6) AS err
+    FROM est e JOIN exact x ON x.p = e.p CROSS JOIN mm
+    ORDER BY e.p
+    """,
+)
+def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Histogram-sketch quantile estimation (P50/P90/P99) with the exact
+    order statistic alongside — the mergeable-state quantile pattern: a
+    fixed {QSK_BINS}-bin histogram is a commutative monoid (bins add), so
+    at 100 TB each partition emits 100 counters and the quantile comes
+    from the merged histogram; the exact path (global sort) exists here
+    only as the error baseline.
+
+    Both the sketch and the "exact" answer use explicit engine-portable
+    formulas: bins from identical IEEE arithmetic on the shared min/max,
+    the exact quantile as the ceil(p·n)-th order statistic via
+    row_number — never an engine's own quantile/percentile builtin,
+    whose interpolation conventions differ.
+    """
+    o = t(spark, sf_dir, "orders")
+    mm = o.agg(
+        F.min("o_totalprice").alias("mn"),
+        F.max("o_totalprice").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    width = (F.col("mx") - F.col("mn")) / QSK_BINS
+    binned = (
+        o.join(F.broadcast(mm))
+        .select(
+            F.least(
+                F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
+                F.lit(QSK_BINS - 1),
+            ).alias("bin")
+        )
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = binned.select("bin", F.sum("c").over(wcum).alias("cum"))
+    probes = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("p")
+    )
+    est = (
+        probes.join(
+            F.broadcast(cum.join(F.broadcast(mm.select("n")))),
+            F.col("cum").cast("double") >= F.col("p") * F.col("n"),
+        )
+        .groupBy("p")
+        .agg(F.min("bin").alias("qbin"))
+    )
+    wrn = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = o.select(
+        "o_totalprice", F.row_number().over(wrn).alias("rn")
+    )
+    exact = (
+        probes.join(F.broadcast(mm.select("n")))
+        .join(ranked, F.col("rn").cast("double") >= F.col("p") * F.col("n"))
+        .groupBy("p")
+        .agg(F.min("o_totalprice").alias("exact_q"))
+    )
+    sketch_q = F.round(F.col("mn") + (F.col("qbin") + 1) * width, 6)
+    return (
+        est.join(exact, "p")
+        .join(F.broadcast(mm))
+        .select(
+            "p",
+            sketch_q.alias("sketch_q"),
+            "exact_q",
+            F.round(F.col("mn") + (F.col("qbin") + 1) * width - F.col("exact_q"), 6).alias(
+                "err"
+            ),
+        )
+        .orderBy("p")
+    )
+
+
+@query(
+    "q_dq_null_profile",
+    oracle="""
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_custkey,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd_custkey,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_status,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd_status,
+             CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_price,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd_price,
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn_prio,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd_prio
+      FROM orders
+    )
+    SELECT col_name, n_rows, n_null, n_distinct FROM (
+      SELECT 'o_custkey' AS col_name, n_rows, nn_custkey AS n_null, nd_custkey AS n_distinct FROM m
+      UNION ALL
+      SELECT 'o_orderstatus', n_rows, nn_status, nd_status FROM m
+      UNION ALL
+      SELECT 'o_totalprice', n_rows, nn_price, nd_price FROM m
+      UNION ALL
+      SELECT 'o_orderpriority', n_rows, nn_prio, nd_prio FROM m
+    )
+    ORDER BY col_name
+    """,
+)
+def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column completeness profile (row count, null count, exact
+    distinct cardinality) in ONE aggregation pass, stacked to one row
+    per column — the table-health report a warehouse runs after every
+    load (the reference's health endpoint reports only connectivity;
+    this is the data-level counterpart).
+
+    All four columns' measures ride a single partial+final aggregate
+    (the multi-distinct Expand documented in q_agg_multi_distinct);
+    stack() reshapes the 1-row result driver-free.  For 1000-column
+    tables generate the aggregate list programmatically — the plan
+    stays one pass.
+    """
+    o = t(spark, sf_dir, "orders")
+
+    def nn(c: str) -> Column:
+        return F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+
+    m = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        nn("o_custkey").alias("nn_custkey"),
+        F.countDistinct("o_custkey").alias("nd_custkey"),
+        nn("o_orderstatus").alias("nn_status"),
+        F.countDistinct("o_orderstatus").alias("nd_status"),
+        nn("o_totalprice").alias("nn_price"),
+        F.countDistinct("o_totalprice").alias("nd_price"),
+        nn("o_orderpriority").alias("nn_prio"),
+        F.countDistinct("o_orderpriority").alias("nd_prio"),
+    )
+    return m.selectExpr(
+        "stack(4,"
+        " 'o_custkey', n_rows, nn_custkey, nd_custkey,"
+        " 'o_orderstatus', n_rows, nn_status, nd_status,"
+        " 'o_totalprice', n_rows, nn_price, nd_price,"
+        " 'o_orderpriority', n_rows, nn_prio, nd_prio"
+        ") AS (col_name, n_rows, n_null, n_distinct)"
+    ).orderBy("col_name")
