@@ -830,3 +830,102 @@ def q_time_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("date_key")
     )
+
+
+@query(
+    "q_sql_star_except",
+    oracle="""
+    SELECT * EXCLUDE (n_regionkey) FROM nation ORDER BY n_nationkey
+    """,
+)
+def q_sql_star_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT * EXCEPT(cols) — the wide-table projection idiom (drop two
+    bookkeeping columns from a 500-column table without naming 498).
+    Spark 4 spells it EXCEPT, DuckDB spells it EXCLUDE; same semantics.
+    Column pruning still reaches the scan: the planner resolves the
+    except-list at analysis time, so ReadSchema shrinks identically to
+    an explicit projection."""
+    n = t(spark, sf_dir, "nation")
+    n.createOrReplaceTempView("nation_star_except")
+    return spark.sql(
+        "SELECT * EXCEPT (n_regionkey) FROM nation_star_except ORDER BY n_nationkey"
+    )
+
+
+@query(
+    "q_abc_analysis",
+    oracle="""
+    WITH rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                  AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+      SELECT l_partkey, rev_c,
+             CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC, l_partkey
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_c,
+             CAST(SUM(rev_c) OVER () AS BIGINT) AS tot_c
+      FROM rev
+    ),
+    classed AS (
+      SELECT l_partkey,
+             CASE WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.8 THEN 'A'
+                  WHEN CAST(cum_c AS DOUBLE) / CAST(tot_c AS DOUBLE) <= 0.95 THEN 'B'
+                  ELSE 'C' END AS abc_class,
+             rev_c
+      FROM ranked
+    )
+    SELECT abc_class,
+           COUNT(*) AS n_parts,
+           CAST(SUM(rev_c) AS DOUBLE) / 1e6 AS class_revenue
+    FROM classed
+    GROUP BY abc_class
+    ORDER BY abc_class
+    """,
+)
+def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification: parts contributing the first 80%% of
+    cumulative revenue are class A, the next 15%% B, the tail C — the
+    inventory-prioritization report every warehouse ships.
+
+    The fact table reduces to one carrier-long per part FIRST; the
+    cumulative share then runs over the part-level relation (window over
+    aggregated rows, not raw fact), and the class boundaries compare
+    identical integer-derived doubles in both engines.  The ordered
+    cumulative window sorts the part domain in one partition — at 100 TB
+    pre-split by revenue range the way q_stats_ks's scale note describes.
+    """
+    from data_warehouse_hive_spark.registry import to_carrier
+
+    l = t(spark, sf_dir, "lineitem")
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(to_carrier(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias(
+            "rev_c"
+        )
+    )
+    wcum = Window.orderBy(F.col("rev_c").desc(), F.col("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    share = F.col("cum_c").cast("double") / F.col("tot_c").cast("double")
+    classed = rev.select(
+        "l_partkey",
+        "rev_c",
+        F.sum("rev_c").over(wcum).alias("cum_c"),
+        F.sum("rev_c").over(wall).alias("tot_c"),
+    ).select(
+        "l_partkey",
+        "rev_c",
+        F.when(share <= 0.8, "A").when(share <= 0.95, "B").otherwise("C").alias(
+            "abc_class"
+        ),
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            (F.sum("rev_c").cast("double") / 1e6).alias("class_revenue"),
+        )
+        .orderBy("abc_class")
+    )
