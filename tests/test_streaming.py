@@ -470,3 +470,49 @@ def test_stream_static_join_matches_batch(spark, sf_dir, tmp_path):
         .collect()
     }
     assert got == want and len(got) >= 3
+
+
+def test_stream_e2e_dedup_window_pipeline(spark, sf_dir, tmp_path):
+    """The composed streaming pipeline — duplicate events dropped within
+    the watermark, then event-time tumbling counts, landed via
+    foreachBatch — must equal the batch twin (dedup → window) on the
+    same bounded input.  This is the production ingest topology in one
+    test: at-least-once source → idempotence layer → stateful agg →
+    exactly-once-per-key sink."""
+    import pandas as pd
+
+    from data_warehouse_hive_spark.streaming.stream import stream_dedup
+
+    src_dir = str(tmp_path / "dup_events")
+    base = t(spark, sf_dir, "events").limit(2000)
+    # plant duplicates: replay every event twice (same event_id)
+    base.unionAll(base).write.parquet(src_dir)
+
+    stream = read_events_stream(spark, src_dir)
+    deduped = stream_dedup(stream, key_cols=("event_id",), watermark="2 hours")
+    counted = (
+        deduped.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    sink = f"e2e_{uuid.uuid4().hex[:8]}"
+    q = run_available_now(counted, sink)
+    try:
+        streamed = spark.table(sink).toPandas()
+        batch = (
+            spark.read.parquet(src_dir)
+            .dropDuplicates(["event_id"])
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+            .toPandas()
+        )
+        key = ["window_start", "event_type"]
+        s = streamed.sort_values(key).reset_index(drop=True)
+        b = batch.sort_values(key).reset_index(drop=True)
+        assert len(s) == len(b) > 0
+        assert (s["n_events"].values == b["n_events"].values).all()
+        # dedup actually removed the planted copies: total events == original
+        assert int(s["n_events"].sum()) == base.count()
+    finally:
+        q.stop()
