@@ -825,3 +825,83 @@ def q_text_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w).cast("long")).filter(
         F.col("rk") <= _PMI_TOP
     )
+
+
+@query(
+    "q_dedup_chunks",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id, {_O_TOK} AS toks FROM documents
+    ),
+    starts AS (
+      SELECT doc_id, toks,
+             unnest(list_transform(
+               range(0, (greatest(len(toks), 1) - 1) // {CHUNK_STRIDE} + 1),
+               i -> i * {CHUNK_STRIDE}
+             )) AS chunk_start
+      FROM w
+    ),
+    hashed AS (
+      SELECT doc_id,
+             md5(array_to_string(
+               toks[chunk_start + 1 : chunk_start + {CHUNK_TOKENS}], ' '
+             )) AS chunk_hash
+      FROM starts
+      WHERE len(toks) - chunk_start >= {CHUNK_TOKENS}
+    )
+    SELECT chunk_hash,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc_id
+    FROM hashed
+    GROUP BY chunk_hash
+    HAVING COUNT(DISTINCT doc_id) > 1
+    ORDER BY chunk_hash
+    """,
+)
+def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level exact dedup: find {CHUNK_TOKENS}-token windows that
+    recur across DIFFERENT documents — the C4 paragraph-dedup policy at
+    chunk granularity (repeated chunks across docs are boilerplate or
+    syndication; the survivor keeps them once, other docs drop them).
+
+    Reuses q_text_chunks' chunking (row-local explode, zero shuffle) and
+    pays exactly one shuffle on the chunk hash — a uniform md5 key, so no
+    skew at 100 TB; truncated tail windows are excluded so only
+    full-width chunks can match.  Output is the repeated-chunk registry
+    (hash, occurrence and doc counts, deterministic first holder).
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    wtok = d.select("doc_id", tokens("text").alias("toks"))
+    n = F.size("toks")
+    starts = wtok.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.greatest(n, F.lit(1)) - 1) / CHUNK_STRIDE).cast("int"),
+                ),
+                lambda i: i * CHUNK_STRIDE,
+            )
+        ).alias("chunk_start"),
+    )
+    hashed = starts.filter(
+        F.size("toks") - F.col("chunk_start") >= CHUNK_TOKENS
+    ).select(
+        "doc_id",
+        F.md5(
+            F.array_join(F.slice("toks", F.col("chunk_start") + 1, CHUNK_TOKENS), " ")
+        ).alias("chunk_hash"),
+    )
+    return (
+        hashed.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc_id"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("chunk_hash")
+    )

@@ -743,3 +743,85 @@ def q_events_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_stats_autocorr",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    lagged AS (
+      SELECT event_type, n,
+             LAG(n) OVER (PARTITION BY event_type ORDER BY h) AS prev_n
+      FROM hourly
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS sx,
+             CAST(SUM(prev_n) AS BIGINT) AS sy,
+             CAST(SUM(n * prev_n) AS BIGINT) AS sxy,
+             CAST(SUM(n * n) AS BIGINT) AS sxx,
+             CAST(SUM(prev_n * prev_n) AS BIGINT) AS syy
+      FROM lagged WHERE prev_n IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, k,
+           round((CAST(k AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(k AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(k AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 9)
+             AS lag1_autocorr
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of hourly event counts per type — the
+    seasonality/burstiness detector (high autocorrelation = smooth
+    diurnal load; near zero = memoryless arrivals), the statistic that
+    decides whether q_events_forecast_sma's moving average is even
+    applicable.
+
+    The moments are EXACT integers (hourly counts and their lagged
+    products), so the Pearson formula evaluates identical operands in
+    both engines — the q_agg_corr discipline applied to a lagged series;
+    one window pass over the tiny (type, hour) rollup.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.select(
+        "event_type", "n", F.lag("n").over(w).alias("prev_n")
+    ).filter(F.col("prev_n").isNotNull())
+    m = lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("sx"),
+        F.sum("prev_n").alias("sy"),
+        F.sum(F.col("n") * F.col("prev_n")).alias("sxy"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+        F.sum(F.col("prev_n") * F.col("prev_n")).alias("syy"),
+    )
+    kd = F.col("k").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"),
+        F.col("sxx").cast("double"),
+        F.col("syy").cast("double"),
+    )
+    return m.select(
+        "event_type",
+        "k",
+        F.round(
+            (kd * sxy - sx * sy)
+            / (F.sqrt(kd * sxx - sx * sx) * F.sqrt(kd * syy - sy * sy)),
+            9,
+        ).alias("lag1_autocorr"),
+    ).orderBy("event_type")
