@@ -825,3 +825,101 @@ def q_stats_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("lag1_autocorr"),
     ).orderBy("event_type")
+
+
+@query(
+    "q_events_lifecycle",
+    oracle="""
+    WITH weeks AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) // 7 AS week_n
+      FROM events
+    ),
+    maxw AS (SELECT MAX(week_n) AS max_week FROM weeks),
+    lagged AS (
+      SELECT user_id, week_n,
+             LAG(week_n)  OVER (PARTITION BY user_id ORDER BY week_n) AS prev_w,
+             LEAD(week_n) OVER (PARTITION BY user_id ORDER BY week_n) AS next_w
+      FROM weeks
+    ),
+    classed AS (
+      SELECT week_n,
+             CASE WHEN prev_w IS NULL THEN 'new'
+                  WHEN prev_w = week_n - 1 THEN 'retained'
+                  ELSE 'resurrected' END AS status,
+             CASE WHEN week_n < m.max_week
+                   AND (next_w IS NULL OR next_w > week_n + 1)
+                  THEN 1 ELSE 0 END AS churned_next
+      FROM lagged, maxw m
+    )
+    SELECT CAST(week_n AS BIGINT) AS week_n,
+           CAST(SUM(CASE WHEN status = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN status = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+           CAST(SUM(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+           CAST(SUM(churned_next) AS BIGINT) AS n_churning_after
+    FROM classed
+    GROUP BY week_n
+    ORDER BY week_n
+    """,
+)
+def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Growth accounting: every active (user, week) is classified as
+    new / retained / resurrected by the gap to the previous active week,
+    plus the count of users who go silent after each week — the
+    new+retained+resurrected−churned ledger every growth dashboard runs.
+
+    One distinct pass to (user, week), one lag/lead window per user
+    timeline, a tiny per-week rollup — integer week arithmetic
+    throughout (no date-type bridging).  The final-week edge is handled
+    explicitly: nobody "churns after" the last observed week, since
+    there is no following week to be absent from.
+    """
+    e = t(spark, sf_dir, "events")
+    weeks = (
+        e.select(
+            "user_id",
+            F.floor(
+                F.datediff(
+                    F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")
+                )
+                / 7
+            )
+            .cast("long")
+            .alias("week_n"),
+        )
+        .distinct()
+    )
+    maxw = weeks.agg(F.max("week_n").alias("max_week"))
+    w = Window.partitionBy("user_id").orderBy("week_n")
+    lagged = weeks.select(
+        "user_id",
+        "week_n",
+        F.lag("week_n").over(w).alias("prev_w"),
+        F.lead("week_n").over(w).alias("next_w"),
+    )
+    status = (
+        F.when(F.col("prev_w").isNull(), "new")
+        .when(F.col("prev_w") == F.col("week_n") - 1, "retained")
+        .otherwise("resurrected")
+    )
+    churned_next = F.when(
+        (F.col("week_n") < F.col("max_week"))
+        & (F.col("next_w").isNull() | (F.col("next_w") > F.col("week_n") + 1)),
+        1,
+    ).otherwise(0)
+    return (
+        lagged.join(F.broadcast(maxw))
+        .select("week_n", status.alias("status"), churned_next.alias("churned_next"))
+        .groupBy("week_n")
+        .agg(
+            F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+                "n_retained"
+            ),
+            F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+                "n_resurrected"
+            ),
+            F.sum("churned_next").alias("n_churning_after"),
+        )
+        .orderBy("week_n")
+    )
