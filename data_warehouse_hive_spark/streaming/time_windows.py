@@ -888,6 +888,9 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("week_n"),
         )
         .distinct()
+        # consumed by both the max-week scalar and the lag/lead pass —
+        # checkpoint so the distinct doesn't replay per consumer
+        .localCheckpoint(eager=False)
     )
     maxw = weeks.agg(F.max("week_n").alias("max_week"))
     w = Window.partitionBy("user_id").orderBy("week_n")
