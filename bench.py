@@ -93,12 +93,20 @@ EXT_R4 = [
     "q_embed_kmeans",
     "q_graph_pagerank",
     "q_basket_pairs",
-    # round-4 continuation: candidate-graph analytics, sketching, and
-    # quantized vector search — the newest nontrivial plans
+]
+
+# round-4 continuation: candidate-graph analytics, sketching, quantized
+# vector search, chunk dedup — its own group so EXT_R4's total stays
+# comparable round-over-round.
+EXT_R4B = [
     "q_graph_triangles",
+    "q_graph_jaccard",
     "q_dedup_survivor",
+    "q_dedup_chunks",
     "q_agg_countmin",
     "q_sim_search_int8",
+    "q_embed_hashing",
+    "q_events_lifecycle",
 ]
 
 
@@ -124,7 +132,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY + TPCH + EXT_R4:
+    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -152,6 +160,8 @@ def main() -> None:
     tpch["total"] = round(sum(tpch.values()), 3)
     ext_r4 = {name: timed(name) for name in EXT_R4}
     ext_r4["total"] = round(sum(ext_r4.values()), 3)
+    ext_r4b = {name: timed(name) for name in EXT_R4B}
+    ext_r4b["total"] = round(sum(ext_r4b.values()), 3)
 
     print(
         json.dumps(
@@ -163,6 +173,7 @@ def main() -> None:
                 "secondary": secondary,
                 "tpch": tpch,
                 "ext_r4": ext_r4,
+                "ext_r4b": ext_r4b,
                 "sf": sf,
                 "n_queries": len(timings),
             }
