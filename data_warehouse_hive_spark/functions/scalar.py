@@ -998,3 +998,32 @@ def q_fn_null(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(bal, F.lit(1000.0)).alias("bal_cap1000"),
         bal.eqNullSafe(F.lit(0.0)).alias("is_exactly_zero"),
     ).orderBy("s_suppkey")
+
+
+@query(
+    "q_fn_bases",
+    oracle="""
+    SELECT n_nationkey,
+           bin(n_nationkey) AS bin_v,
+           hex(n_nationkey) AS hex_v,
+           to_base(n_nationkey, 8) AS oct_v,
+           CAST(('0x' || hex(n_nationkey))::UBIGINT AS BIGINT) AS hex_roundtrip
+    FROM nation
+    WHERE n_nationkey > 0
+    ORDER BY n_nationkey
+    """,
+)
+def q_fn_bases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Number-base conversion family (bin / hex / oct and the hex→int
+    round trip) — HiveQL's conv()/hex()/bin() surface.  Spark's bin/hex
+    emit the same canonical uppercase-hex/minimal-digit forms DuckDB's
+    do for positive integers; the round trip proves parseability."""
+    n = t(spark, sf_dir, "nation").filter(F.col("n_nationkey") > 0)
+    k = F.col("n_nationkey")
+    return n.select(
+        "n_nationkey",
+        F.bin(k).alias("bin_v"),
+        F.hex(k).alias("hex_v"),
+        F.conv(k.cast("string"), 10, 8).alias("oct_v"),
+        F.conv(F.hex(k), 16, 10).cast("long").alias("hex_roundtrip"),
+    ).orderBy("n_nationkey")

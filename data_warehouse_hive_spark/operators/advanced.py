@@ -929,3 +929,65 @@ def q_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class")
     )
+
+
+@query(
+    "q_values_inline",
+    oracle="""
+    WITH targets(r_name, quota) AS (
+      VALUES ('AFRICA', 2.0e8), ('AMERICA', 3.5e8), ('ASIA', 3.0e8),
+             ('EUROPE', 4.0e8), ('MIDDLE EAST', 1.5e8)
+    ),
+    rev AS (
+      SELECT r.r_name,
+             CAST(SUM(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders o
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      GROUP BY r.r_name
+    )
+    SELECT t.r_name, t.quota,
+           CAST(rev_c AS DOUBLE) / 1e6 AS revenue,
+           round((CAST(rev_c AS DOUBLE) / 1e6) / t.quota, 6) AS quota_attainment
+    FROM targets t JOIN rev USING (r_name)
+    ORDER BY t.r_name
+    """,
+)
+def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inline VALUES relation joined against computed aggregates — the
+    quota/target-table idiom (business constants live in the query, not
+    a file).  The literal relation is planned as LocalRelation: zero
+    scan, broadcast into the join; revenue rides the carrier.
+    """
+    from data_warehouse_hive_spark.registry import to_carrier
+    from pyspark.sql.functions import broadcast
+
+    targets = spark.sql(
+        "SELECT * FROM VALUES"
+        " ('AFRICA', 2.0e8), ('AMERICA', 3.5e8), ('ASIA', 3.0e8),"
+        " ('EUROPE', 4.0e8), ('MIDDLE EAST', 1.5e8) AS t(r_name, quota)"
+    )
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    rev = (
+        o.join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(broadcast(r), F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("r_name")
+        .agg(F.sum(to_carrier(F.col("o_totalprice"))).alias("rev_c"))
+    )
+    revenue = F.col("rev_c").cast("double") / 1e6
+    return (
+        targets.join(rev, "r_name")
+        .select(
+            "r_name",
+            "quota",
+            revenue.alias("revenue"),
+            F.round(revenue / F.col("quota"), 6).alias("quota_attainment"),
+        )
+        .orderBy("r_name")
+    )

@@ -1919,3 +1919,49 @@ def q_dq_null_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         " 'o_orderpriority', n_rows, nn_prio, nd_prio"
         ") AS (col_name, n_rows, n_null, n_distinct)"
     ).orderBy("col_name")
+
+
+@query(
+    "q_agg_geomean",
+    oracle="""
+    WITH lns AS (
+      SELECT l_returnflag,
+             CAST(floor(round(ln(l_extendedprice), 9) * 1e9 + 0.5) AS BIGINT)
+               AS ln_c
+      FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT l_returnflag,
+           COUNT(*) AS n,
+           round(exp(CAST(SUM(ln_c) AS DOUBLE) / 1e9
+                     / CAST(COUNT(*) AS DOUBLE)), 6) AS geo_mean_price
+    FROM lns
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geometric mean (the right average for multiplicative quantities —
+    growth rates, price ratios): exp(mean(ln x)), with each ln pinned at
+    9 dp (transcendental rule) and carried as a scaled long so the
+    cross-partition sum is exact integer addition — the standard carrier
+    discipline applied to a log-domain aggregate neither engine offers
+    natively.
+    """
+    l = t(spark, sf_dir, "lineitem").filter(F.col("l_extendedprice") > 0)
+    ln_c = F.floor(
+        F.round(F.log(F.col("l_extendedprice")), 9) * 1e9 + 0.5
+    ).cast("long")
+    return (
+        l.select("l_returnflag", ln_c.alias("ln_c"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.exp(
+                    F.sum("ln_c").cast("double") / 1e9 / F.count(F.lit(1)).cast("double")
+                ),
+                6,
+            ).alias("geo_mean_price"),
+        )
+        .orderBy("l_returnflag")
+    )
