@@ -73,3 +73,65 @@ def has_whole_stage_codegen(df: DataFrame, force: bool = True) -> bool:
 
 def uses_take_ordered(plan: str) -> bool:
     return "TakeOrderedAndProject" in plan
+
+
+def executed_plan(df: DataFrame, force: bool = True) -> str:
+    """The FINAL adaptive plan (after AQE re-planning), as a string.
+    Static `explain` shows the initial plan; under AQE the executed shape
+    — broadcast conversions, coalesced partitions, skew splits — only
+    exists after an action on this exact Dataset."""
+    if force:
+        df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def node_metrics(df: DataFrame, force: bool = True) -> list[dict]:
+    """Post-execution observability: walk the executed plan tree and
+    return each node's runtime SQL metrics (rows output, spill sizes,
+    shuffle bytes, ...) as `[{node, metrics: {name: value}}, ...]`.
+    Keys are Spark's internal metric names (numOutputRows,
+    shuffleRecordsWritten, spillSize, peakMemory, ...).
+
+    This is the programmatic form of the Spark UI's SQL tab — the tool
+    that answers "which operator produced 4 billion rows" or "did the
+    sort spill" WITHOUT a UI, so perf regressions can be asserted in
+    tests and logged from batch jobs at the cluster.
+    """
+    if force:
+        df.collect()
+    out: list[dict] = []
+
+    def walk(node) -> None:
+        metrics = {}
+        it = node.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            metrics[str(kv._1())] = int(kv._2().value())
+        out.append({"node": node.nodeName(), "metrics": metrics})
+        children = node.children()
+        cit = children.iterator()
+        while cit.hasNext():
+            walk(cit.next())
+        # adaptive wrapper nodes hide their executed subtree in
+        # (final/current)PlanForMetrics-style accessors; handle the two
+        # common wrappers explicitly
+        name = node.nodeName()
+        if name == "AdaptiveSparkPlan":
+            walk(node.executedPlan())
+        elif name in ("ShuffleQueryStage", "BroadcastQueryStage", "ResultQueryStage"):
+            walk(node.plan())
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
+def metric_total(metrics: list[dict], node_like: str, metric: str) -> int:
+    """Sum a named metric across all nodes whose name contains
+    `node_like` — e.g. metric_total(m, 'Exchange', 'shuffle bytes
+    written') or metric_total(m, 'HashAggregate', 'number of output
+    rows')."""
+    total = 0
+    for entry in metrics:
+        if node_like in entry["node"]:
+            total += max(0, entry["metrics"].get(metric, 0))
+    return total

@@ -562,3 +562,19 @@ def test_tpch_shared_relations_single_fact_scan(spark, sf_dir):
         df.count()
         ex = df._jdf.queryExecution().executedPlan().toString()
         assert ex.count("lineitem.parquet") <= max_scans, (name, ex)
+
+
+def test_node_metrics_expose_runtime_rows_and_shuffle(spark, sf_dir):
+    """node_metrics must surface the executed plan's runtime counters —
+    the no-UI observability path: output rows on aggregates and bytes on
+    the shuffle exchange, for a plan we know produces 4 groups."""
+    from data_warehouse_hive_spark.plans.explain import metric_total, node_metrics
+
+    df = REGISTRY["q_groupby_agg"].fn(spark, sf_dir)
+    m = node_metrics(df)
+    names = [e["node"] for e in m]
+    assert any("HashAggregate" in n for n in names), names
+    agg_rows = metric_total(m, "HashAggregate", "numOutputRows")
+    assert agg_rows > 0, m
+    shuffle_records = metric_total(m, "Exchange", "shuffleRecordsWritten")
+    assert shuffle_records > 0, m
