@@ -926,3 +926,51 @@ def q_events_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_n")
     )
+
+
+@query(
+    "q_events_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type)    OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+      SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path
+      FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    )
+    SELECT path, n, rk FROM (
+      SELECT path, COUNT(*) AS n,
+             CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path) AS BIGINT) AS rk
+      FROM paths GROUP BY path
+    ) WHERE rk <= 15
+    """,
+)
+def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k 3-step behavior paths (sequence mining): every consecutive
+    event triple per user timeline, counted corpus-wide — the
+    "what do users do next" sankey feeding funnel design.
+
+    One lead-window pass per user (shuffle on user_id), then a hash
+    aggregation on the tiny path-string domain (≤|types|³) and a
+    deterministic top-15 — no self-joins, no explosion beyond one row
+    per event.  Longer paths are the same plan with more LEAD columns.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+    )
+    counted = paths.groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return counted.withColumn("rk", F.row_number().over(wr).cast("long")).filter(
+        F.col("rk") <= 15
+    )
