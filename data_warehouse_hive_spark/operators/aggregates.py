@@ -1965,3 +1965,58 @@ def q_agg_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_orders_latency",
+    oracle="""
+    WITH lat AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS days_to_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM lat)
+    SELECT CAST(LEAST(GREATEST(floor(days_to_ship / 7.0), -14), 14) AS INT)
+             AS week_bucket,
+           COUNT(*) AS n_lines,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(t.n AS DOUBLE), 6) AS share
+    FROM lat, tot t
+    GROUP BY week_bucket, t.n
+    ORDER BY week_bucket
+    """,
+)
+def q_orders_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship cycle-time distribution: line-level shipping latency
+    bucketed by week, clamped to ±14 weeks (this fixture's ship dates are
+    not correlated with order dates, so latencies span years — the clamp
+    keeps the histogram the fixed-width report it would be on real data).
+
+    Bucketing is an EXPLICIT floor division on double in both engines —
+    DuckDB's integer `//` truncates toward zero while floor() floors, and
+    the two disagree on every negative latency.  The histogram aggregates
+    on a ≤29-value key (map-side partials); shares divide identical
+    integers.
+    """
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    lat = o.join(l, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        ).alias("days_to_ship")
+    )
+    tot = lat.agg(F.count(F.lit(1)).alias("n"))
+    bucket = F.least(
+        F.greatest(F.floor(F.col("days_to_ship") / 7.0), F.lit(-14)), F.lit(14)
+    ).cast("int")
+    return (
+        lat.join(F.broadcast(tot))
+        .groupBy(bucket.alias("week_bucket"), "n")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .select(
+            "week_bucket",
+            "n_lines",
+            F.round(F.col("n_lines").cast("double") / F.col("n").cast("double"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("week_bucket")
+    )
