@@ -1027,3 +1027,46 @@ def q_fn_bases(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.conv(k.cast("string"), 10, 8).alias("oct_v"),
         F.conv(F.hex(k), 16, 10).cast("long").alias("hex_roundtrip"),
     ).orderBy("n_nationkey")
+
+
+@query(
+    "q_fn_format",
+    oracle="""
+    WITH c AS (
+      SELECT p_partkey, p_brand, p_type, p_size,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT p_partkey,
+           printf('%s#%05d', p_brand, p_partkey) AS part_tag,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size4,
+           rpad(p_brand, 12, '.') AS brand_pad,
+           trim('##' || p_type || '##', '#') AS type_trim,
+           printf('%,d', cents // 100) || '.' || printf('%02d', cents % 100)
+             AS price_fmt
+    FROM c
+    """,
+)
+def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Output-formatting family — HiveQL's printf()/format_number()/
+    lpad/rpad plus character-set trim: the report-rendering surface that
+    otherwise drives users to per-row Python.
+
+    `format_string` is Java printf (same %-dialect DuckDB's printf
+    implements); `format_number` adds locale thousands grouping with
+    HALF_EVEN — the oracle reconstructs it from exact integer cents
+    because DuckDB's printf refuses grouped floats, which also proves the
+    fixture's 2-decimal money domain survives the double round trip.
+    All six expressions are codegen'd JVM string ops — zero UDFs.
+    """
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.format_string("%s#%05d", "p_brand", "p_partkey").alias("part_tag"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.rpad(F.col("p_brand"), 12, ".").alias("brand_pad"),
+        F.expr("trim(BOTH '#' FROM concat('##', p_type, '##'))").alias(
+            "type_trim"
+        ),
+        F.format_number(F.col("p_retailprice"), 2).alias("price_fmt"),
+    )

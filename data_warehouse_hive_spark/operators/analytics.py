@@ -1,0 +1,553 @@
+"""Statistical / temporal analytics operators (SURVEY.md §2.13 cont.).
+
+The reference delegates ad-hoc analytical SQL wholesale to Hive
+(`backend/hive_manager.py:393-401` runs arbitrary HiveQL over the external
+tables it registers); this module covers the statistics-flavoured end of
+that surface: regression, distribution moments, interval algebra, event
+backlogs, sequence pattern matching and geo distance — each as a
+declarative DataFrame plan Catalyst can push down and re-order.
+
+Cross-engine exactness: every double aggregation rides the scaled-long
+carrier idiom from registry.py.  Higher-order sums (x·y, x², x³, x⁴) use
+SMALLER carrier scales (1e2 / 1e4 / 1) chosen so the summed magnitude
+stays far below 2^63 at sf1 and beyond — the scale is part of the formula
+and is applied identically on both engines, so any scale choice is exact
+by construction.  Derived statistics (slope, skewness, …) are then pure
+IEEE double expressions with textually mirrored operand order, rounded to
+6 decimals as a belt-and-braces guard.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.registry import query, to_carrier
+from data_warehouse_hive_spark.tables import t
+
+
+def _psum(c: Column, scale: float) -> Column:
+    """Exact power-sum carrier: floor(expr*scale + 0.5) as long.
+
+    Same shape as registry.to_carrier but with a caller-chosen scale so
+    higher powers of large columns cannot overflow the long accumulator.
+    """
+    return F.floor(c * F.lit(scale) + F.lit(0.5)).cast("long")
+
+
+@query(
+    "q_stats_regression",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(floor(l_quantity * l_extendedprice * 100.0 + 0.5)
+                      AS BIGINT)) AS sxy,
+             SUM(CAST(floor(l_quantity * l_quantity * 100.0 + 0.5)
+                      AS BIGINT)) AS sxx,
+             SUM(CAST(floor(l_extendedprice * l_extendedprice * 1.0 + 0.5)
+                      AS BIGINT)) AS syy
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n,
+             CAST(sx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mx,
+             CAST(sy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS my,
+             CAST(sxy AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS qxy,
+             CAST(sxx AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS qxx,
+             CAST(syy AS DOUBLE) / 1.0 / CAST(n AS DOUBLE) AS qyy
+      FROM s
+    ), c AS (
+      SELECT l_returnflag, n, mx, my,
+             qxy - mx * my AS cov,
+             qxx - mx * mx AS varx,
+             qyy - my * my AS vary
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           round(cov / varx, 6) AS slope,
+           round(my - cov / varx * mx, 6) AS intercept,
+           round(cov * cov / (varx * vary), 6) AS r2
+    FROM c
+    ORDER BY l_returnflag
+    """,
+)
+def q_stats_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS linear regression (extendedprice ~ quantity) from
+    exact power sums: slope, intercept and R² per return flag.
+
+    One map-side-combinable aggregation computes the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy²) as exact longs — the regression
+    itself is O(groups) driver-free arithmetic on the aggregate row, so
+    the plan is a single shuffle regardless of fact size: this is how
+    regr_slope/regr_r2 would execute at 100 TB, but with cross-engine
+    bit-reproducible results (Spark's regr_* stream doubles whose
+    accumulation order varies by partitioning).  Product sums use carrier
+    scale 1e2/1 so |Σ| stays < 2^63 far beyond sf1.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(to_carrier(x)).alias("sx"),
+        F.sum(to_carrier(y)).alias("sy"),
+        F.sum(_psum(x * y, 100.0)).alias("sxy"),
+        F.sum(_psum(x * x, 100.0)).alias("sxx"),
+        F.sum(_psum(y * y, 1.0)).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("sx").cast("double") / F.lit(1e6) / nd).alias("mx"),
+        (F.col("sy").cast("double") / F.lit(1e6) / nd).alias("my"),
+        (F.col("sxy").cast("double") / F.lit(100.0) / nd).alias("qxy"),
+        (F.col("sxx").cast("double") / F.lit(100.0) / nd).alias("qxx"),
+        (F.col("syy").cast("double") / F.lit(1.0) / nd).alias("qyy"),
+    )
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "mx",
+        "my",
+        (F.col("qxy") - F.col("mx") * F.col("my")).alias("cov"),
+        (F.col("qxx") - F.col("mx") * F.col("mx")).alias("varx"),
+        (F.col("qyy") - F.col("my") * F.col("my")).alias("vary"),
+    )
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("cov") / F.col("varx"), 6).alias("slope"),
+        F.round(
+            F.col("my") - F.col("cov") / F.col("varx") * F.col("mx"), 6
+        ).alias("intercept"),
+        F.round(
+            F.col("cov") * F.col("cov") / (F.col("varx") * F.col("vary")), 6
+        ).alias("r2"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_agg_moments",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             SUM(CAST(floor(l_quantity * 1e6 + 0.5) AS BIGINT)) AS s1,
+             SUM(CAST(floor(l_quantity * l_quantity * 1e4 + 0.5)
+                      AS BIGINT)) AS s2,
+             SUM(CAST(floor(l_quantity * l_quantity * l_quantity * 1e2 + 0.5)
+                      AS BIGINT)) AS s3,
+             SUM(CAST(floor(l_quantity * l_quantity * l_quantity * l_quantity
+                            * 1.0 + 0.5) AS BIGINT)) AS s4
+      FROM lineitem
+      GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / 1e6 / CAST(n AS DOUBLE) AS mean,
+             CAST(s2 AS DOUBLE) / 1e4 / CAST(n AS DOUBLE) AS q2,
+             CAST(s3 AS DOUBLE) / 1e2 / CAST(n AS DOUBLE) AS q3,
+             CAST(s4 AS DOUBLE) / 1.0 / CAST(n AS DOUBLE) AS q4
+      FROM s
+    ), c AS (
+      SELECT l_returnflag, n, mean, q2,
+             q2 - mean * mean AS varp,
+             q3 - 3.0 * mean * q2 + 2.0 * mean * mean * mean AS m3,
+             q4 - 4.0 * mean * q3 + 6.0 * mean * mean * q2
+                - 3.0 * mean * mean * mean * mean AS m4
+      FROM m
+    )
+    SELECT l_returnflag, n,
+           round(mean, 6) AS mean_qty,
+           round(sqrt(varp * CAST(n AS DOUBLE)
+                      / (CAST(n AS DOUBLE) - 1.0)), 6) AS stddev_samp,
+           round(m3 / (sqrt(varp) * varp), 6) AS skewness,
+           round(m4 / (varp * varp) - 3.0, 6) AS kurtosis_excess
+    FROM c
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution moments per group — mean, sample stddev, population
+    skewness and excess kurtosis — from exact central-moment algebra.
+
+    Spark's skewness()/kurtosis() builtins stream doubles (result bits
+    depend on partition count); here the four raw power sums Σx..Σx⁴
+    accumulate as exact longs (scales 1e6/1e4/1e2/1 keep l_quantity⁴ sums
+    < 2^63 past sf10), then the central moments are derived with the
+    textbook identities in mirrored IEEE arithmetic.  Single shuffle,
+    map-side partials, whole-stage codegen throughout.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    s = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(_psum(x, 1e6)).alias("s1"),
+        F.sum(_psum(x * x, 1e4)).alias("s2"),
+        F.sum(_psum(x * x * x, 1e2)).alias("s3"),
+        F.sum(_psum(x * x * x * x, 1.0)).alias("s4"),
+    )
+    nd = F.col("n").cast("double")
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / F.lit(1e6) / nd).alias("mean"),
+        (F.col("s2").cast("double") / F.lit(1e4) / nd).alias("q2"),
+        (F.col("s3").cast("double") / F.lit(1e2) / nd).alias("q3"),
+        (F.col("s4").cast("double") / F.lit(1.0) / nd).alias("q4"),
+    )
+    mean = F.col("mean")
+    c = m.select(
+        "l_returnflag",
+        "n",
+        "mean",
+        "q2",
+        (F.col("q2") - mean * mean).alias("varp"),
+        (
+            F.col("q3") - F.lit(3.0) * mean * F.col("q2")
+            + F.lit(2.0) * mean * mean * mean
+        ).alias("m3"),
+        (
+            F.col("q4")
+            - F.lit(4.0) * mean * F.col("q3")
+            + F.lit(6.0) * mean * mean * F.col("q2")
+            - F.lit(3.0) * mean * mean * mean * mean
+        ).alias("m4"),
+    )
+    nd2 = F.col("n").cast("double")
+    return c.select(
+        "l_returnflag",
+        "n",
+        F.round(F.col("mean"), 6).alias("mean_qty"),
+        F.round(
+            F.sqrt(F.col("varp") * nd2 / (nd2 - F.lit(1.0))), 6
+        ).alias("stddev_samp"),
+        F.round(
+            F.col("m3") / (F.sqrt(F.col("varp")) * F.col("varp")), 6
+        ).alias("skewness"),
+        F.round(
+            F.col("m4") / (F.col("varp") * F.col("varp")) - F.lit(3.0), 6
+        ).alias("kurtosis_excess"),
+    ).orderBy("l_returnflag")
+
+
+@query(
+    "q_time_overlap_merge",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id, ts AS s,
+             ts + to_minutes(CAST(floor(value) AS BIGINT) % 120 + 10) AS e
+      FROM events
+    ), mk AS (
+      SELECT user_id, event_id, s, e,
+             MAX(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), fl AS (
+      SELECT user_id, event_id, s, e,
+             CASE WHEN prev_max IS NULL OR s > prev_max
+                  THEN 1 ELSE 0 END AS new_island
+      FROM mk
+    ), isl AS (
+      SELECT user_id, s, e,
+             SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) AS island
+      FROM fl
+    ), grp AS (
+      SELECT user_id, island, MIN(s) AS ms, MAX(e) AS me,
+             COUNT(*) AS n_ev
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_merged,
+           CAST(SUM(n_ev) AS BIGINT) AS n_intervals,
+           CAST(SUM(epoch_us(me) - epoch_us(ms)) AS BIGINT)
+             AS covered_us
+    FROM grp
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q_time_overlap_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval overlap-merge (interval union) per key: each event opens a
+    variable-length interval [ts, ts + 10..129 min]; overlapping intervals
+    coalesce into maximal covered spans — the classic gaps-and-islands
+    generalization to ranges (machine-uptime merging, ad-exposure windows,
+    CDC validity coalescing).
+
+    The merge is one window pass: running MAX(end) over (start, id) order
+    marks island starts where start > max-end-so-far, a running SUM labels
+    islands, one groupBy collapses them.  Everything partitions by
+    user_id — per-key state is the sort buffer only, so the plan is two
+    shuffles (window + final agg share the user_id partitioning; AQE
+    reuses the exchange) at any scale.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, CAST(CAST(floor(value) AS BIGINT)"
+            " % 120 + 10 AS INT), 0)"
+        ).alias("e"),
+    )
+    w_order = [F.col("s"), F.col("event_id")]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy(*w_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fl = ev.withColumn("prev_max", F.max("e").over(w_prev)).withColumn(
+        "new_island",
+        F.when(
+            F.col("prev_max").isNull() | (F.col("s") > F.col("prev_max")), 1
+        ).otherwise(0),
+    )
+    isl = fl.withColumn("island", F.sum("new_island").over(w_run))
+    grp = isl.groupBy("user_id", "island").agg(
+        F.min("s").alias("ms"),
+        F.max("e").alias("me"),
+        F.count(F.lit(1)).alias("n_ev"),
+    )
+    return (
+        grp.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_merged"),
+            F.sum("n_ev").alias("n_intervals"),
+            F.sum(
+                F.unix_micros("me") - F.unix_micros("ms")
+            ).alias("covered_us"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "q_orders_backlog",
+    oracle="""
+    WITH closed AS (
+      SELECT o.o_orderkey,
+             date_trunc('month', o.o_orderdate) AS om,
+             date_trunc('month', MAX(l.l_shipdate)) AS cm
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, date_trunc('month', o.o_orderdate)
+    ), deltas AS (
+      SELECT om AS m, 1 AS d FROM closed
+      UNION ALL
+      SELECT cm AS m, -1 AS d FROM closed
+    ), net AS (
+      SELECT m, CAST(SUM(d) AS BIGINT) AS net_change
+      FROM deltas GROUP BY m
+    )
+    SELECT strftime(m, '%Y-%m') AS month,
+           net_change,
+           CAST(SUM(net_change) OVER (ORDER BY m
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS BIGINT) AS open_orders
+    FROM net
+    ORDER BY month
+    """,
+)
+def q_orders_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order backlog time series via event-delta accumulation: every
+    order contributes +1 at its placement month and −1 at the month its
+    last line ships; the running sum of monthly net change IS the number
+    of in-flight orders at each month end — the standard inventory /
+    queue-depth pattern that avoids the quadratic "count intervals
+    covering each day" join.
+
+    Scale shape: the order→last-ship reduction is one key-partitioned
+    aggregation over the fact join; the delta stream then collapses to
+    O(months) rows BEFORE the global running-sum window, so the
+    single-partition window sees dozens of rows, never data-scale — the
+    correct way to make a global cumulative metric scale-proof.
+    """
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    closed = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            "o_orderkey",
+            F.date_trunc("month", "o_orderdate").alias("om"),
+        )
+        .agg(F.date_trunc("month", F.max("l_shipdate")).alias("cm"))
+    )
+    deltas = closed.select(
+        F.col("om").alias("m"), F.lit(1).alias("d")
+    ).unionAll(closed.select(F.col("cm").alias("m"), F.lit(-1).alias("d")))
+    net = deltas.groupBy("m").agg(F.sum("d").alias("net_change"))
+    w = Window.orderBy("m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        net.withColumn("open_orders", F.sum("net_change").over(w))
+        .select(
+            F.date_format("m", "yyyy-MM").alias("month"),
+            "net_change",
+            "open_orders",
+        )
+        .orderBy("month")
+    )
+
+
+@query(
+    "q_events_seqmatch",
+    oracle="""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+               AS seq
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_funnel,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'p.*p.*p')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_triple_buyer,
+           CAST(SUM(CASE WHEN regexp_matches(seq, 'e$')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_end_on_error,
+           CAST(SUM(length(seq)) AS BIGINT) AS total_events,
+           CAST(MAX(length(seq)) AS BIGINT) AS longest_seq
+    FROM seqs
+    """,
+)
+def q_events_seqmatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence pattern matching over per-user event strings — the
+    lightweight MATCH_RECOGNIZE: each user's ordered event history is
+    compressed to one character per event (the five fixture event types
+    have distinct initials), then regex predicates classify whole
+    journeys (view→cart→purchase funnel with arbitrary noise between
+    steps, 3+ purchases, error-terminated sessions).
+
+    The per-user string is built by ONE aggregation (sort_array over
+    (ts, id, char) structs → concat), so ordering is total and
+    deterministic; regexes then run per user-row, not per event.  At
+    100 TB the per-user sequence is bounded by user activity, not corpus
+    size, and the single shuffle partitions on the user key.  Regex
+    evaluation is JVM codegen; patterns are in the Java∩RE2 common
+    dialect so the DuckDB oracle runs them verbatim.
+    """
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.substring("event_type", 1, 1).alias("ch"),
+    )
+    seqs = ev.groupBy("user_id").agg(
+        F.concat_ws(
+            "",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ts", "event_id", "ch"))),
+                lambda x: x["ch"],
+            ),
+        ).alias("seq")
+    )
+    flag = lambda pat: F.sum(  # noqa: E731
+        F.when(F.col("seq").rlike(pat), 1).otherwise(0)
+    )
+    return seqs.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        flag("v.*c.*p").alias("n_funnel"),
+        flag("p.*p.*p").alias("n_triple_buyer"),
+        flag("e$").alias("n_end_on_error"),
+        F.sum(F.length("seq")).alias("total_events"),
+        F.max(F.length("seq")).alias("longest_seq"),
+    )
+
+
+@query(
+    "q_geo_haversine",
+    oracle="""
+    WITH geo AS (
+      SELECT n_nationkey AS k, n_name,
+             CAST((n_nationkey * 7) % 140 AS DOUBLE) - 70.0 + 0.5 AS lat,
+             CAST((n_nationkey * 13) % 360 AS DOUBLE) - 180.0 + 0.25 AS lon
+      FROM nation
+    ), pairs AS (
+      SELECT a.n_name AS name_a, b.n_name AS name_b,
+             sin((radians(b.lat) - radians(a.lat)) / 2.0) AS sa,
+             sin((radians(b.lon) - radians(a.lon)) / 2.0) AS sb,
+             cos(radians(a.lat)) * cos(radians(b.lat)) AS cc
+      FROM geo a JOIN geo b ON a.k < b.k
+    )
+    SELECT name_a, name_b,
+           round(2.0 * 6371.0088
+                 * asin(sqrt(sa * sa + cc * sb * sb)), 4) AS dist_km
+    FROM pairs
+    ORDER BY dist_km, name_a, name_b
+    LIMIT 20
+    """,
+)
+def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-circle (haversine) distance over a generated geo dimension:
+    deterministic lat/lon per nation, all 300 unordered nation pairs,
+    top-20 closest.  The geolocation join pattern for enrichment at
+    scale: the coordinate dimension is tiny and broadcast, the trig is
+    whole-stage-codegen JVM math, and a top-k TakeOrderedAndProject
+    replaces a global sort.
+
+    Cross-engine note: libm sin/cos/asin may differ by an ulp between
+    JVM and DuckDB; distances are rounded to 1e-4 km (10 cm) which
+    absorbs ~1e5 of that margin while staying a meaningful measure.
+    """
+    n = t(spark, sf_dir, "nation")
+    geo = n.select(
+        F.col("n_nationkey").alias("k"),
+        "n_name",
+        (
+            ((F.col("n_nationkey") * 7) % 140).cast("double")
+            - F.lit(70.0)
+            + F.lit(0.5)
+        ).alias("lat"),
+        (
+            ((F.col("n_nationkey") * 13) % 360).cast("double")
+            - F.lit(180.0)
+            + F.lit(0.25)
+        ).alias("lon"),
+    )
+    a = geo.alias("a")
+    b = geo.alias("b")
+    pairs = a.join(b, F.col("a.k") < F.col("b.k")).select(
+        F.col("a.n_name").alias("name_a"),
+        F.col("b.n_name").alias("name_b"),
+        F.sin(
+            (F.radians(F.col("b.lat")) - F.radians(F.col("a.lat")))
+            / F.lit(2.0)
+        ).alias("sa"),
+        F.sin(
+            (F.radians(F.col("b.lon")) - F.radians(F.col("a.lon")))
+            / F.lit(2.0)
+        ).alias("sb"),
+        (F.cos(F.radians(F.col("a.lat"))) * F.cos(F.radians(F.col("b.lat")))).alias(
+            "cc"
+        ),
+    )
+    return (
+        pairs.select(
+            "name_a",
+            "name_b",
+            F.round(
+                F.lit(2.0)
+                * F.lit(6371.0088)
+                * F.asin(
+                    F.sqrt(
+                        F.col("sa") * F.col("sa")
+                        + F.col("cc") * F.col("sb") * F.col("sb")
+                    )
+                ),
+                4,
+            ).alias("dist_km"),
+        )
+        .orderBy("dist_km", "name_a", "name_b")
+        .limit(20)
+    )

@@ -154,22 +154,33 @@ def q_tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 (local supplier volume): six-table join measuring revenue
     where customer and supplier share a nation, per Asian nation.
 
-    The join tree keeps the two fact shuffles (lineitem⋈orders,
-    +customer) and folds the SF-scaled supplier in WITHOUT a hint — AQE
-    broadcasts it at test scale, shuffles at 100 TB.  nation/region are
-    fixed-size (25/5 rows) and explicitly broadcast, and the region filter
-    prunes nations BEFORE the fact join via the broadcast side.  Revenue
-    ties are impossible to mis-order: output is a ≤25-row sort.
+    The region predicate is pushed down BOTH dimension paths before any
+    fact shuffle: the 5-row ASIA nation list (nation⋈region, both
+    fixed-size and broadcast) filters customer AND supplier first, so the
+    customer⋈orders shuffle carries 1/5 of the customers and the supplier
+    join probes 1/5 of the suppliers — at 100 TB that is the difference
+    between shuffling 20 TB and 4 TB.  The SF-scaled supplier still joins
+    WITHOUT a hint (AQE broadcasts at test scale, shuffles at 100 TB).
+    Revenue ties are impossible to mis-order: output is a ≤25-row sort.
     """
-    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    asian = n.join(r, n.n_regionkey == r.r_regionkey).select(
+        "n_nationkey", "n_name"
+    )
+    c = t(spark, sf_dir, "customer").join(
+        broadcast(asian), F.col("c_nationkey") == F.col("n_nationkey")
+    )
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
     )
     l = t(spark, sf_dir, "lineitem")
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
-    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    s = t(spark, sf_dir, "supplier").join(
+        broadcast(asian.select("n_nationkey")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+        "left_semi",
+    )
     return (
         c.join(o, c.c_custkey == o.o_custkey)
         .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
@@ -178,8 +189,6 @@ def q_tpch_q05(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .groupBy("n_name")
         .agg(dsum(_revenue(), "revenue"))
         .orderBy(F.col("revenue").desc())

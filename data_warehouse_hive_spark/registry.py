@@ -152,6 +152,7 @@ def load_all() -> dict[str, QuerySpec]:
     import data_warehouse_hive_spark.operators.setops  # noqa: F401
     import data_warehouse_hive_spark.operators.advanced  # noqa: F401
     import data_warehouse_hive_spark.operators.tpch  # noqa: F401
+    import data_warehouse_hive_spark.operators.analytics  # noqa: F401
     import data_warehouse_hive_spark.functions.scalar  # noqa: F401
     import data_warehouse_hive_spark.functions.text  # noqa: F401
     import data_warehouse_hive_spark.functions.udfs  # noqa: F401
