@@ -914,3 +914,78 @@ object.__setattr__(
     _sp, "oracle", _sp.oracle.format(simhash=_REG2["q_dedup_simhash"].oracle)
 )
 del _REG2, _sp
+
+
+@query(
+    "q_dedup_incremental",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    fp AS (
+      SELECT doc_id, md5({_O_NORM}) AS fp FROM documents
+    ),
+    corpus_fp AS (
+      SELECT DISTINCT fp FROM fp WHERE doc_id % 7 <> 0
+    ),
+    near AS (
+      SELECT DISTINCT CASE WHEN doc_a % 7 = 0 THEN doc_a ELSE doc_b END
+               AS doc_id
+      FROM pairs
+      WHERE (doc_a % 7 = 0) <> (doc_b % 7 = 0)
+    )
+    SELECT f.doc_id,
+           CASE WHEN f.fp IN (SELECT fp FROM corpus_fp) THEN 'dup_exact'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                ELSE 'new' END AS status
+    FROM fp f LEFT JOIN near n ON n.doc_id = f.doc_id
+    WHERE f.doc_id % 7 = 0
+    ORDER BY f.doc_id
+    """,
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) dedup — the admission gate of a
+    continuously-fed training corpus: an incoming batch (doc_id % 7 = 0
+    here) is classified against the EXISTING corpus only, never against
+    itself: `dup_exact` if its normalized-text fingerprint already exists
+    in the corpus, else `near_dup` if LSH banding yields a cross-side
+    candidate, else `new` (admit).
+
+    Exact tier: fingerprint left-semi against the corpus fingerprint set
+    — one shuffle on the uniform md5 key.  Near tier: the SAME banded
+    signature pipeline as q_dedup_minhash, keeping only pairs that cross
+    the batch/corpus boundary.  At 100 TB the corpus side of both tiers
+    is a *persisted index* (fingerprints + band keys, written once,
+    bucketed by key) so each nightly batch joins against the index
+    without rescanning corpus text — the band-bucket join shape shown
+    here is exactly the plan that index join produces.
+    """
+    docs = t(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 7 == 0
+    fp = docs.select("doc_id", F.md5(normalized_text("text")).alias("fp"))
+    batch_fp = fp.filter(is_batch)
+    corpus_fp = fp.filter(~is_batch).select("fp").distinct()
+    exact_dup = (
+        batch_fp.join(corpus_fp, "fp", "left_semi").select("doc_id")
+    )
+    pairs = minhash_candidate_pairs(docs)
+    cross = pairs.filter(
+        (F.col("doc_a") % 7 == 0) != (F.col("doc_b") % 7 == 0)
+    )
+    near = cross.select(
+        F.when(F.col("doc_a") % 7 == 0, F.col("doc_a"))
+        .otherwise(F.col("doc_b"))
+        .alias("doc_id")
+    ).distinct()
+    return (
+        docs.filter(is_batch)
+        .select("doc_id")
+        .join(exact_dup.withColumn("is_exact", F.lit(1)), "doc_id", "left")
+        .join(near.withColumn("is_near", F.lit(1)), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact") == 1, "dup_exact")
+            .when(F.col("is_near") == 1, "near_dup")
+            .otherwise("new")
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )

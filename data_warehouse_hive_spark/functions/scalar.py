@@ -1070,3 +1070,73 @@ def q_fn_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.format_number(F.col("p_retailprice"), 2).alias("price_fmt"),
     )
+
+
+@query(
+    "q_fn_date2",
+    oracle="""
+    SELECT o_orderkey,
+           quarter(o_orderdate) AS qtr,
+           weekofyear(o_orderdate) AS week_iso,
+           isodow(o_orderdate) AS dow_iso,
+           dayofyear(o_orderdate) AS doy,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 2 MONTH, '%Y-%m-%d') AS plus_2m
+    FROM orders
+    """,
+)
+def q_fn_date2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extended calendar functions: quarter, ISO week-of-year, ISO
+    day-of-week, day-of-year, month-end (last_day), and month arithmetic
+    with end-of-month clamping (add_months: Jan 31 + 1 → Feb 28, matching
+    DuckDB's INTERVAL MONTH addition).  Spark's dayofweek() is
+    1=Sunday — the ISO form is weekday()+1, which equals DuckDB's
+    isodow.  Date outputs are projected as yyyy-MM-dd strings on both
+    sides (the pandas bridge maps date vs datetime64 differently)."""
+    o = t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.quarter(d).alias("qtr"),
+        F.weekofyear(d).alias("week_iso"),
+        (F.weekday(d) + F.lit(1)).alias("dow_iso"),
+        F.dayofyear(d).alias("doy"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 2), "yyyy-MM-dd").alias("plus_2m"),
+    )
+
+
+@query(
+    "q_fn_unicode",
+    oracle="""
+    SELECT c_custkey,
+           'Ü' || lower(c_name) || 'é' AS s,
+           length('Ü' || lower(c_name) || 'é') AS char_len,
+           strlen('Ü' || lower(c_name) || 'é') AS byte_len,
+           upper('Ü' || lower(c_name) || 'é') AS upper_s,
+           unicode('Ü' || lower(c_name) || 'é') AS cp_first,
+           substr('Ü' || lower(c_name) || 'é', 1, 3) AS first3,
+           hex(encode('Üé')) AS utf8_hex
+    FROM customer
+    """,
+)
+def q_fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode string semantics — the multilingual-corpus invariants:
+    length() counts CODE POINTS while octet_length counts UTF-8 bytes
+    (Ü and é are 2 bytes each), upper/lower and substr operate on code
+    points not bytes, ascii()/unicode() expose the first code point, and
+    encode(...,'utf-8')+hex round-trips the byte form.  All JVM codegen
+    string ops; a byte-oriented engine (or a naive C locale) fails every
+    one of these on non-ASCII text."""
+    c = t(spark, sf_dir, "customer")
+    s = F.concat(F.lit("Ü"), F.lower("c_name"), F.lit("é"))
+    return c.select(
+        "c_custkey",
+        s.alias("s"),
+        F.length(s).alias("char_len"),
+        F.octet_length(s).alias("byte_len"),
+        F.upper(s).alias("upper_s"),
+        F.ascii(s).alias("cp_first"),
+        F.substring(s, 1, 3).alias("first3"),
+        F.hex(F.encode(F.lit("Üé"), "utf-8")).alias("utf8_hex"),
+    )

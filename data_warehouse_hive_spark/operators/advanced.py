@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
 
-from data_warehouse_hive_spark.registry import DEC, dsum, o_dsum, query
+from data_warehouse_hive_spark.registry import DEC, dsum, o_dsum, query, to_carrier
 from data_warehouse_hive_spark.tables import t
 
 
@@ -990,4 +990,83 @@ def q_values_inline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(revenue / F.col("quota"), 6).alias("quota_attainment"),
         )
         .orderBy("r_name")
+    )
+
+
+_PIV2 = {p: "p" + p[0] for p in _PRIORITIES}
+
+
+@query(
+    "q_pivot_multiagg",
+    oracle=f"""
+    SELECT o_orderstatus,
+           {", ".join(
+             f"COUNT(*) FILTER (WHERE o_orderpriority = '{p}') AS {a}_cnt, "
+             f"coalesce(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))"
+             f" FILTER (WHERE o_orderpriority = '{p}') AS DOUBLE) / 1e6, 0.0)"
+             f" AS {a}_rev"
+             for p, a in _PIV2.items()
+           )}
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def q_pivot_multiagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with multiple aggregates per cell (count + revenue sum):
+    Spark emits `{value}_{alias}` columns from one hash aggregate over
+    the Expand plan — one pass, one shuffle, however many measures.  The
+    carrier sum keeps every cell cross-engine exact; empty cells coalesce
+    to 0 on both sides."""
+    o = t(spark, sf_dir, "orders")
+    piv = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", _PRIORITIES)
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(to_carrier(F.col("o_totalprice"))).alias("revc"),
+        )
+    )
+    cols = [F.col("o_orderstatus")]
+    for p, a in _PIV2.items():
+        cols.append(F.coalesce(F.col(f"{p}_cnt"), F.lit(0)).alias(f"{a}_cnt"))
+        cols.append(
+            F.coalesce(
+                F.col(f"{p}_revc").cast("double") / F.lit(1e6), F.lit(0.0)
+            ).alias(f"{a}_rev")
+        )
+    return piv.select(*cols)
+
+
+@query(
+    "q_unpivot_multi",
+    oracle="""
+    SELECT p_partkey, 'catalog' AS grp,
+           CAST(p_size AS DOUBLE) AS m1, p_retailprice AS m2
+    FROM part
+    UNION ALL
+    SELECT p_partkey, 'text' AS grp,
+           CAST(length(p_name) AS DOUBLE), CAST(length(p_type) AS DOUBLE)
+    FROM part
+    """,
+)
+def q_unpivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-measure UNPIVOT: column GROUPS melt together — each output
+    row carries (m1, m2) for one named group, the ANSI
+    `UNPIVOT ((m1, m2) FOR grp IN ((a, b) AS x, ...))` form.  Still a
+    generator (row expansion in-place, no shuffle); the oracle states the
+    same relation as the UNION ALL it desugars to."""
+    p = t(spark, sf_dir, "part")
+    p.select(
+        "p_partkey",
+        F.col("p_size").cast("double").alias("size_v"),
+        F.col("p_retailprice").alias("price_v"),
+        F.length("p_name").cast("double").alias("namelen_v"),
+        F.length("p_type").cast("double").alias("typelen_v"),
+    ).createOrReplaceTempView("part_wide")
+    return spark.sql(
+        """
+        SELECT p_partkey, grp, m1, m2 FROM part_wide
+        UNPIVOT ((m1, m2) FOR grp IN ((size_v, price_v) AS catalog,
+                                      (namelen_v, typelen_v) AS text))
+        """
     )

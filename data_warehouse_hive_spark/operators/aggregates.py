@@ -2020,3 +2020,37 @@ def q_orders_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("week_bucket")
     )
+
+
+@query(
+    "q_agg_bitops",
+    oracle="""
+    SELECT l_returnflag,
+           bit_and(l_linenumber) AS and_ln,
+           bit_or(l_linenumber) AS or_ln,
+           bit_xor(l_linenumber) AS xor_ln,
+           bool_and(l_quantity > 0) AS all_pos_qty,
+           bool_or(l_discount > 0.09) AS any_deep_discount
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise and boolean aggregates (BIT_AND/OR/XOR, BOOL_AND/BOOL_OR
+    a.k.a. EVERY/ANY) — flag-mask folding and invariant checking as a
+    grouped aggregate.  All are commutative/associative reductions, so
+    partial aggregation applies and partition order cannot matter —
+    exact by construction, no carrier needed."""
+    l = t(spark, sf_dir, "lineitem")
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.bit_and("l_linenumber").alias("and_ln"),
+            F.bit_or("l_linenumber").alias("or_ln"),
+            F.bit_xor("l_linenumber").alias("xor_ln"),
+            F.bool_and(F.col("l_quantity") > 0).alias("all_pos_qty"),
+            F.bool_or(F.col("l_discount") > 0.09).alias("any_deep_discount"),
+        )
+        .orderBy("l_returnflag")
+    )

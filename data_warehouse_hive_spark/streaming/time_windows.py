@@ -974,3 +974,77 @@ def q_events_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counted.withColumn("rk", F.row_number().over(wr).cast("long")).filter(
         F.col("rk") <= 15
     )
+
+
+@query(
+    "q_events_cohort_ltv",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cw
+      FROM events GROUP BY user_id
+    ),
+    wk AS (
+      SELECT f.cw,
+             CAST(CAST(date_diff('day', f.cw, date_trunc('week', e.ts))
+                       / 7 AS BIGINT) AS INT) AS age_weeks,
+             CAST(floor(e.value * 1e6 + 0.5) AS BIGINT) AS vc
+      FROM events e JOIN firsts f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'
+    ),
+    g AS (
+      SELECT cw, age_weeks,
+             CAST(SUM(vc) AS BIGINT) AS sc,
+             COUNT(*) AS n_purchases
+      FROM wk GROUP BY cw, age_weeks
+    )
+    SELECT strftime(cw, '%Y-%m-%d') AS cohort_week, age_weeks, n_purchases,
+           CAST(sc AS DOUBLE) / 1e6 AS weekly_rev,
+           CAST(CAST(SUM(sc) OVER (PARTITION BY cw ORDER BY age_weeks
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS DOUBLE) / 1e6 AS cum_rev
+    FROM g
+    ORDER BY cohort_week, age_weeks
+    """,
+)
+def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves: purchase revenue per signup-week
+    cohort by cohort age, with the cumulative LTV running sum — the
+    metric behind "does week-N revenue pay back acquisition".
+
+    The cumulative sum runs over the CARRIER LONGS and divides once at
+    the end: a running sum of doubles would re-introduce the
+    order-dependence the carrier exists to kill.  Scale shape mirrors
+    q_events_retention — per-user firsts then a key join; the window
+    partitions by cohort over O(weeks) rows per cohort, never raw
+    events."""
+    e = t(spark, sf_dir, "events")
+    week = F.date_trunc("week", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(week).alias("cw"))
+    wk = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .select(
+            "cw",
+            (F.datediff(week, F.col("cw")) / 7).cast("bigint").cast("int").alias(
+                "age_weeks"
+            ),
+            F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("vc"),
+        )
+    )
+    g = wk.groupBy("cw", "age_weeks").agg(
+        F.sum("vc").alias("sc"), F.count(F.lit(1)).alias("n_purchases")
+    )
+    w = (
+        Window.partitionBy("cw")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return g.select(
+        F.date_format("cw", "yyyy-MM-dd").alias("cohort_week"),
+        "age_weeks",
+        "n_purchases",
+        (F.col("sc").cast("double") / F.lit(1e6)).alias("weekly_rev"),
+        (F.sum("sc").over(w).cast("double") / F.lit(1e6)).alias("cum_rev"),
+    ).orderBy("cohort_week", "age_weeks")
