@@ -109,6 +109,19 @@ EXT_R4B = [
     "q_events_lifecycle",
 ]
 
+# round-4 continuation (second wave): statistical analytics, interval
+# algebra, sequence matching, incremental dedup — its own group so the
+# earlier totals stay comparable round-over-round.
+EXT_R4C = [
+    "q_stats_regression",
+    "q_agg_moments",
+    "q_time_overlap_merge",
+    "q_events_seqmatch",
+    "q_dedup_incremental",
+    "q_events_cohort_ltv",
+    "q_win_frame_time",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -132,7 +145,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B:
+    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -162,6 +175,8 @@ def main() -> None:
     ext_r4["total"] = round(sum(ext_r4.values()), 3)
     ext_r4b = {name: timed(name) for name in EXT_R4B}
     ext_r4b["total"] = round(sum(ext_r4b.values()), 3)
+    ext_r4c = {name: timed(name) for name in EXT_R4C}
+    ext_r4c["total"] = round(sum(ext_r4c.values()), 3)
 
     print(
         json.dumps(
@@ -174,6 +189,7 @@ def main() -> None:
                 "tpch": tpch,
                 "ext_r4": ext_r4,
                 "ext_r4b": ext_r4b,
+                "ext_r4c": ext_r4c,
                 "sf": sf,
                 "n_queries": len(timings),
             }

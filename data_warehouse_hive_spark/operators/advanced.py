@@ -1070,3 +1070,51 @@ def q_unpivot_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       (namelen_v, typelen_v) AS text))
         """
     )
+
+
+@query(
+    "q_subquery_exists",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_acctbal
+    FROM customer c
+    WHERE EXISTS (
+      SELECT 1 FROM orders o
+      WHERE o.o_custkey = c.c_custkey
+        AND o.o_orderpriority = '1-URGENT'
+        AND o.o_totalprice > 200000
+    )
+    AND NOT EXISTS (
+      SELECT 1 FROM orders o2
+      WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+    )
+    ORDER BY c.c_custkey
+    """,
+)
+def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS / NOT EXISTS: customers with at least one large
+    urgent order and no finished orders.  Catalyst decorrelates both
+    predicates into a left-semi and a left-anti join on the correlation
+    key — no per-row subquery execution ever happens, which is the whole
+    reason this shape survives 100 TB (a nested-loop rewrite would be
+    O(customers × orders)).  Written in SQL to exercise the decorrelator
+    itself rather than hand-building the joins."""
+    from data_warehouse_hive_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c.c_custkey, c.c_name, c.c_acctbal
+        FROM customer c
+        WHERE EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey
+            AND o.o_orderpriority = '1-URGENT'
+            AND o.o_totalprice > 200000
+        )
+        AND NOT EXISTS (
+          SELECT 1 FROM orders o2
+          WHERE o2.o_custkey = c.c_custkey AND o2.o_orderstatus = 'F'
+        )
+        ORDER BY c.c_custkey
+        """
+    )

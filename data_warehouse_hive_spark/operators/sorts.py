@@ -104,3 +104,68 @@ def q_sort_within(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("l_suppkey")
         .sortWithinPartitions("l_suppkey", "l_orderkey", "l_linenumber")
     )
+
+
+@query(
+    "q_orderby_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                ELSE o_totalprice END AS price_n,
+           row_number() OVER (ORDER BY
+             (CASE WHEN o_orderkey % 5 = 0 THEN NULL ELSE o_totalprice END)
+               DESC NULLS LAST,
+             o_orderkey) AS rk
+    FROM orders
+    ORDER BY rk
+    LIMIT 500
+    """,
+)
+def q_orderby_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL placement in ordering (NULLS FIRST/LAST): Spark's
+    default for DESC is NULLS LAST while Hive's is NULLS FIRST — pipelines
+    ported between them silently reorder unless the placement is spelled
+    out.  The rank is materialized so the contract (nulls sort after every
+    non-null under DESC NULLS LAST) is value-checked, with o_orderkey as
+    total tiebreak."""
+    o = t(spark, sf_dir, "orders")
+    price_n = F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+        F.col("o_totalprice")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(price_n.desc_nulls_last(), F.col("o_orderkey"))
+    return (
+        o.select(
+            "o_orderkey",
+            price_n.alias("price_n"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .orderBy("rk")
+        .limit(500)
+    )
+
+
+@query(
+    "q_limit_offset",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 50 OFFSET 100
+    """,
+)
+def q_limit_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LIMIT/OFFSET pagination over a total order.  Spark executes this
+    as a single TakeOrderedAndProject of offset+limit rows (each
+    partition returns its local top-150, the driver merges and drops the
+    first 100) — pagination never sorts the full relation.  Page
+    stability REQUIRES the unique tiebreak: OFFSET over a non-total
+    order returns overlapping pages run-to-run."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .offset(100)
+        .limit(50)
+    )

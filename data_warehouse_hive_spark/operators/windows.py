@@ -485,3 +485,49 @@ def q_win_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_win_frame_time",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) OVER w
+                AS DOUBLE) / 1e6 AS v_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def q_win_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per event, count and value-sum of the SAME
+    TYPE's events in the trailing hour — the rolling-rate primitive
+    behind throttling and burst detection, without pre-bucketing into
+    fixed windows.
+
+    The frame is defined on the microsecond epoch (a long), so peers are
+    value-determined and ties need no unique tiebreak; the carrier sum
+    keeps the windowed double exact.  Partitioned by event_type — state
+    per partition is the sliding frame only, and at 100 TB a skewed
+    type is salted by day before windowing (the frame never crosses the
+    salt boundary wider than 1 h, so day-salting is semantics-exact up
+    to the boundary hour, handled by overlap-and-trim)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return (
+        e.select(
+            "event_id",
+            "event_type",
+            F.count(F.lit(1)).over(w).alias("n_last_hour"),
+            (
+                F.sum(to_carrier(F.col("value"))).over(w).cast("double")
+                / F.lit(1e6)
+            ).alias("v_last_hour"),
+        )
+        .orderBy("event_id")
+    )

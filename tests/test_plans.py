@@ -578,3 +578,67 @@ def test_node_metrics_expose_runtime_rows_and_shuffle(spark, sf_dir):
     assert agg_rows > 0, m
     shuffle_records = metric_total(m, "Exchange", "shuffleRecordsWritten")
     assert shuffle_records > 0, m
+
+
+def test_regression_single_agg_shuffle(spark, sf_dir):
+    """OLS from power sums: one partial/final hash-agg exchange; the
+    tiny ≤3-row sort may add a range exchange but the fact data shuffles
+    exactly once."""
+    df = REGISTRY["q_stats_regression"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(plan) <= 2, plan
+    assert has_whole_stage_codegen(df)
+
+
+def test_moments_single_agg_shuffle(spark, sf_dir):
+    df = REGISTRY["q_agg_moments"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(plan) <= 2, plan
+
+
+def test_overlap_merge_reuses_user_partitioning(spark, sf_dir):
+    """The island window partitions by user_id; the two downstream
+    aggregations cluster on supersets/subsets of it, so the fact rows
+    shuffle ONCE (plus the final tiny sort)."""
+    df = REGISTRY["q_time_overlap_merge"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(plan) <= 2, plan
+
+
+def test_incremental_dedup_semi_join_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_dedup_incremental")
+    strategies = join_strategies(plan)
+    assert not any("Cartesian" in s for s in strategies), plan
+    assert any("LeftSemi" in s or "ExistenceJoin" in s for s in strategies) or (
+        "LeftSemi" in plan
+    ), plan
+
+
+def test_subquery_exists_decorrelates_to_semi_anti(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_subquery_exists")
+    assert "LeftSemi" in plan and "LeftAnti" in plan, plan
+    assert not any("Cartesian" in s for s in join_strategies(plan)), plan
+
+
+def test_limit_offset_is_take_ordered(spark, sf_dir):
+    df = REGISTRY["q_limit_offset"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert uses_take_ordered(plan), plan
+
+
+def test_time_range_frame_single_shuffle(spark, sf_dir):
+    """Trailing-hour RANGE frame: one exchange on event_type (the final
+    orderBy adds the range exchange for presentation only)."""
+    df = REGISTRY["q_win_frame_time"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert count_exchanges(plan) <= 2, plan
+
+
+def test_q05_prefilters_both_dimension_paths(spark, sf_dir):
+    """The ASIA region predicate must reach BOTH fact-side inputs before
+    the big joins: customer joins the broadcast 5-nation list and
+    supplier is left-semi-filtered by it."""
+    df = REGISTRY["q_tpch_q05"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "LeftSemi" in plan, plan
+    assert "r_name" in " ".join(pushed_filters(plan)), plan
