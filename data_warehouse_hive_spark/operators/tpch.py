@@ -531,14 +531,27 @@ def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
     — the correlated-minimum join shape of the official query is kept
     intact (cheapest European supplier per part in a size/type slice).
 
-    Scale: the derived ps catalog is ONE shuffle of lineitem on
-    (partkey, suppkey) with map-side partial MIN; the region filter cuts
-    suppliers before the per-part minimum (broadcast nation/region); the
-    best-cost re-join is per-part tiny.  MIN of identical doubles is
+    Scale: the part slice (p_size/p_type, ~1/250 selectivity) semi-filters
+    lineitem BEFORE the (partkey, suppkey) aggregation — the one plan
+    decision that matters here, cutting the big shuffle by the slice
+    factor (this is what filtering partsupp by part first does in the
+    official Q2).  The per-part minimum only has to exist for selected
+    parts, so the prefilter is semantics-exact.  Then one small shuffle
+    with map-side partial MIN, the region filter cuts suppliers before
+    the per-part minimum (broadcast nation/region), and the best-cost
+    re-join is per-part tiny.  MIN of identical doubles is
     order-independent — no carrier needed anywhere.
     """
     l = t(spark, sf_dir, "lineitem")
-    ps = l.groupBy(
+    p = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
+    )
+    lsel = l.join(
+        p.select(F.col("p_partkey").alias("selk")),
+        F.col("l_partkey") == F.col("selk"),
+        "left_semi",
+    )
+    ps = lsel.groupBy(
         F.col("l_partkey").alias("pk"), F.col("l_suppkey").alias("sk")
     ).agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
     s = t(spark, sf_dir, "supplier")
@@ -550,14 +563,11 @@ def q_tpch_q02(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
         .select("pk", "sk", "unit_cost", "s_acctbal", "s_name", "n_name")
         # consumed by both the candidate join and the per-part minimum —
-        # checkpoint so the lineitem aggregation doesn't replay per branch
+        # checkpoint so the filtered aggregation doesn't replay per branch
         .localCheckpoint(eager=False)
     )
     best = eur.groupBy(F.col("pk").alias("bpk")).agg(
         F.min("unit_cost").alias("best_cost")
-    )
-    p = t(spark, sf_dir, "part").filter(
-        (F.col("p_size") == 15) & (F.col("p_type") == "LARGE")
     )
     return (
         p.join(eur, F.col("pk") == F.col("p_partkey"))
@@ -964,18 +974,27 @@ def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     balance exclusion (no s_comment) — the distinct-count-by-part-class
     with a NOT-IN anti-join is the preserved shape.
 
-    The pair-distinct is one shuffle with partial distinct map-side; the
-    excluded-supplier set is tiny and anti-joined via broadcast, and the
-    part filter prunes before the count-distinct shuffle on the
-    (brand, type, size) key.
+    The part filter (7 sizes, brand/type exclusions) semi-filters
+    lineitem BEFORE the pair-distinct, so the big shuffle carries only
+    qualifying parts' lines — the later inner join selects exactly these
+    anyway, making the prefilter semantics-exact.  The pair-distinct is
+    then one shuffle with partial distinct map-side; the excluded-
+    supplier set is tiny and anti-joined via broadcast.
     """
-    pairs = (
-        t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
-    )
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#5")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    )
+    pairs = (
+        t(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .join(
+            p.select(F.col("p_partkey").alias("selk")),
+            F.col("l_partkey") == F.col("selk"),
+            "left_semi",
+        )
+        .distinct()
     )
     bad = t(spark, sf_dir, "supplier").filter(F.col("s_acctbal") < 0).select(
         "s_suppkey"
