@@ -1130,3 +1130,74 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@query(
+    "q_split_holdout",
+    oracle="""
+    WITH assigned AS (
+      SELECT lang, n_chars,
+             CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END AS split
+      FROM documents
+    ),
+    per AS (
+      SELECT split, lang, COUNT(*) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      FROM assigned GROUP BY split, lang
+    )
+    SELECT split, lang, n_docs, total_chars,
+           round(CAST(n_docs AS DOUBLE)
+                 / CAST(SUM(n_docs) OVER (PARTITION BY lang) AS DOUBLE), 6)
+             AS frac_of_lang
+    FROM per
+    ORDER BY split, lang
+    """,
+)
+def q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test holdout split (80/10/10) with the
+    stratification report: assignment is a pure function of doc_id
+    (md5-bucket mod 100), so the split is reproducible run-to-run, shard
+    -independent, and stable under corpus appends — the properties random
+    split() lacks (Spark's randomSplit reassigns rows when partitioning
+    changes).  The report shows each language's fraction landing in each
+    split — the drift check before trusting a held-out eval.
+
+    One narrow map for assignment + one grouped agg; the per-lang window
+    runs over O(splits × langs) rows.  doc_id hashing (not text) keeps
+    the split decision free of the dedup/cleaning steps upstream."""
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = d.select(
+        "lang",
+        "n_chars",
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    per = assigned.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    w = Window.partitionBy("lang")
+    return per.select(
+        "split",
+        "lang",
+        "n_docs",
+        "total_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            / F.sum("n_docs").over(w).cast("double"),
+            6,
+        ).alias("frac_of_lang"),
+    ).orderBy("split", "lang")

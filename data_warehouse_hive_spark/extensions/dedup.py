@@ -242,9 +242,15 @@ def _o_minhash_pairs_cte() -> str:
     )"""
 
 
-def minhash_candidate_pairs(docs: DataFrame) -> DataFrame:
-    """documents → distinct (doc_a < doc_b) LSH candidate pairs."""
-    sig = signature(docs)
+def minhash_candidate_pairs(docs: DataFrame, sig: DataFrame | None = None) -> DataFrame:
+    """documents → distinct (doc_a < doc_b) LSH candidate pairs.
+
+    Pass a precomputed (possibly checkpointed) ``sig`` when the caller
+    also consumes the signature — otherwise the shingle→hash lineage
+    replays once per consumer.
+    """
+    if sig is None:
+        sig = signature(docs)
     band_cols = [
         F.concat_ws(
             "_", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
@@ -988,4 +994,92 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("status"),
         )
         .orderBy("doc_id")
+    )
+
+
+@query(
+    "q_dedup_minhash_est",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    shv AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    )
+    SELECT p.doc_a, p.doc_b,
+           round(CAST({" + ".join(
+               f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+               for j in range(MINHASH_K)
+           )} AS DOUBLE) / {MINHASH_K}.0, 6) AS est_jaccard,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE), 6)
+             AS jaccard,
+           round(abs(CAST({" + ".join(
+               f"(CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END)"
+               for j in range(MINHASH_K)
+           )} AS DOUBLE) / {MINHASH_K}.0
+               - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE)), 6)
+             AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.doc_a
+    JOIN sig sb ON sb.doc_id = p.doc_b
+    JOIN shv a ON a.doc_id = p.doc_a
+    JOIN shv b ON b.doc_id = p.doc_b
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit: per LSH candidate pair, the SIGNATURE-based
+    Jaccard estimate (fraction of equal minhash components — the number
+    production pipelines actually threshold on, because it needs no
+    shingle rescan) next to the exact shingle Jaccard and the absolute
+    error.  This is the calibration query run before trusting a K: with
+    K=12 the estimator's std error is √(J(1−J)/12) ≈ 0.14 worst-case,
+    visible in abs_err.
+
+    Plan: the signature is computed ONCE and checkpointed (three
+    consumers: banding and both pair sides); the estimate join touches
+    only K integers per doc — at 100 TB this runs off the stored
+    signature index without touching text, while the exact column (the
+    audit part) joins the shingle sets for candidates only.
+    """
+    docs = t(spark, sf_dir, "documents")
+    sig = signature(docs).localCheckpoint(eager=False)
+    pairs = minhash_candidate_pairs(docs, sig=sig)
+    eq = sum(
+        (
+            F.when(F.col(f"a_mh_{j}") == F.col(f"b_mh_{j}"), 1).otherwise(0)
+            for j in range(MINHASH_K)
+        ),
+        F.lit(0),
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("sa_id"),
+        *[F.col(f"mh_{j}").alias(f"a_mh_{j}") for j in range(MINHASH_K)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("sb_id"),
+        *[F.col(f"mh_{j}").alias(f"b_mh_{j}") for j in range(MINHASH_K)],
+    )
+    shv = shingle_arrays(docs).select(
+        "doc_id", F.col("sh").alias("shs")
+    )
+    a = shv.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sh_a"))
+    b = shv.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("sh_b"))
+    est_raw = eq.cast("double") / F.lit(float(MINHASH_K))
+    exact_raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    ).cast("double")
+    return (
+        pairs.join(sa, F.col("sa_id") == F.col("doc_a"))
+        .join(sb, F.col("sb_id") == F.col("doc_b"))
+        .join(a, F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(est_raw, 6).alias("est_jaccard"),
+            F.round(exact_raw, 6).alias("jaccard"),
+            F.round(F.abs(est_raw - exact_raw), 6).alias("abs_err"),
+        )
+        .orderBy("doc_a", "doc_b")
     )

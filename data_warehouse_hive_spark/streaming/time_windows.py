@@ -1048,3 +1048,148 @@ def q_events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sc").cast("double") / F.lit(1e6)).alias("weekly_rev"),
         (F.sum("sc").over(w).cast("double") / F.lit(1e6)).alias("cum_rev"),
     ).orderBy("cohort_week", "age_weeks")
+
+
+@query(
+    "q_ts_interpolate",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS BIGINT)
+               AS vc
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS hmin,
+             date_trunc('hour', MAX(ts)) AS hmax
+      FROM events
+    ),
+    spine AS (
+      SELECT t.event_type, g.h
+      FROM (SELECT DISTINCT event_type FROM events) t
+      CROSS JOIN (
+        SELECT unnest(generate_series(hmin, hmax, INTERVAL 1 HOUR)) AS h
+        FROM bounds
+      ) g
+    ),
+    j AS (
+      SELECT s.event_type, s.h,
+             epoch_us(s.h) / 3600000000 AS hi,
+             hourly.vc
+      FROM spine s LEFT JOIN hourly
+        ON hourly.event_type = s.event_type AND hourly.h = s.h
+    ),
+    nav AS (
+      SELECT event_type, h, hi, vc,
+             LAST_VALUE(vc IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN vc IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER wp AS ph,
+             FIRST_VALUE(vc IGNORE NULLS) OVER wn AS nv,
+             FIRST_VALUE(CASE WHEN vc IS NOT NULL THEN hi END IGNORE NULLS)
+               OVER wn AS nh
+      FROM j
+      WINDOW wp AS (PARTITION BY event_type ORDER BY hi
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY event_type ORDER BY hi
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H') AS hour,
+           CASE WHEN vc IS NOT NULL THEN 1 ELSE 0 END AS is_observed,
+           round(CASE
+             WHEN pv IS NULL THEN CAST(nv AS DOUBLE)
+             WHEN nv IS NULL THEN CAST(pv AS DOUBLE)
+             WHEN nh = ph THEN CAST(pv AS DOUBLE)
+             ELSE CAST(pv AS DOUBLE)
+                  + (CAST(nv AS DOUBLE) - CAST(pv AS DOUBLE))
+                    * (CAST(hi - ph AS DOUBLE) / CAST(nh - ph AS DOUBLE))
+           END / 1e6, 6) AS value_interp
+    FROM nav
+    ORDER BY event_type, hour
+    """,
+)
+def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill: dense hourly spine per event type,
+    silent hours filled by interpolating between the surrounding
+    observations (the resample().interpolate() operator; the LOCF sibling
+    is q_ts_gapfill).  Edge hours before the first / after the last
+    observation clamp to the nearest one.
+
+    The interpolation arithmetic runs on carrier LONGS (observed hourly
+    sums) and integer hour indices; the single divide-by-1e6 happens at
+    the end, so the lerp is mirrored IEEE math on identical operands.
+    Scale shape: aggregate to hourly FIRST (one fact shuffle), spine =
+    hours × types rows generated from a 1-row bounds aggregate, and two
+    navigation windows per type over the tiny hourly relation."""
+    e = t(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts"))
+    hourly = e.groupBy("event_type", hour.alias("h")).agg(
+        F.sum(F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+        .alias("vc")
+    )
+    bounds = e.agg(
+        F.date_trunc("hour", F.min("ts")).alias("hmin"),
+        F.date_trunc("hour", F.max("ts")).alias("hmax"),
+    )
+    types = e.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("hmin", "hmax", F.expr("interval 1 hour"))
+            ).alias("h"),
+        )
+    )
+    j = spine.join(
+        hourly.withColumnRenamed("event_type", "ht").withColumnRenamed("h", "hh"),
+        (F.col("ht") == F.col("event_type")) & (F.col("hh") == F.col("h")),
+        "left",
+    ).select(
+        "event_type",
+        "h",
+        (F.unix_micros("h") / F.lit(3_600_000_000)).cast("long").alias("hi"),
+        "vc",
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("hi")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    nav = j.select(
+        "event_type",
+        "h",
+        "hi",
+        "vc",
+        F.last("vc", ignorenulls=True).over(wp).alias("pv"),
+        F.last(
+            F.when(F.col("vc").isNotNull(), F.col("hi")), ignorenulls=True
+        ).over(wp).alias("ph"),
+        F.first("vc", ignorenulls=True).over(wn).alias("nv"),
+        F.first(
+            F.when(F.col("vc").isNotNull(), F.col("hi")), ignorenulls=True
+        ).over(wn).alias("nh"),
+    )
+    interp = (
+        F.when(F.col("pv").isNull(), F.col("nv").cast("double"))
+        .when(F.col("nv").isNull(), F.col("pv").cast("double"))
+        .when(F.col("nh") == F.col("ph"), F.col("pv").cast("double"))
+        .otherwise(
+            F.col("pv").cast("double")
+            + (F.col("nv").cast("double") - F.col("pv").cast("double"))
+            * (
+                (F.col("hi") - F.col("ph")).cast("double")
+                / (F.col("nh") - F.col("ph")).cast("double")
+            )
+        )
+    )
+    return nav.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+        F.when(F.col("vc").isNotNull(), 1).otherwise(0).alias("is_observed"),
+        F.round(interp / F.lit(1e6), 6).alias("value_interp"),
+    ).orderBy("event_type", "hour")
