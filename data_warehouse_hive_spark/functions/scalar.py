@@ -1140,3 +1140,50 @@ def q_fn_unicode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(s, 1, 3).alias("first3"),
         F.hex(F.encode(F.lit("Üé"), "utf-8")).alias("utf8_hex"),
     )
+
+
+@query(
+    "q_fn_array2",
+    oracle="""
+    WITH arr AS (
+      SELECT p_partkey,
+             generate_series(1, p_size % 10 + 3) AS a,
+             generate_series(p_size % 5 + 2, p_size % 5 + 8) AS b
+      FROM part
+    )
+    SELECT p_partkey,
+           array_to_string(list_sort(list_intersect(a, b)), ',') AS inter,
+           array_to_string(list_sort(list_distinct(a || b)), ',') AS uni,
+           array_to_string(list_sort(list_filter(a, x -> NOT list_contains(b, x))), ',')
+             AS minus_ab,
+           coalesce(list_position(a, 3), 0) AS pos3,
+           list_contains(a, 5) AS has5,
+           array_to_string(a[2:4], ',') AS sl
+    FROM arr
+    """,
+)
+def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array set algebra — intersect / union-distinct / except /
+    position / contains / slice over integer arrays: the HiveQL
+    collection-function surface beyond construction+explode (q_fn_array).
+    Set-op OUTPUT ORDER differs between engines by contract, so every
+    set-valued result is sorted then serialized; position semantics
+    differ too (Spark returns 0 for missing, DuckDB NULL) — the oracle
+    coalesces to the Spark convention.  All codegen'd; no UDFs."""
+    p = t(spark, sf_dir, "part")
+    a = F.sequence(F.lit(1), F.col("p_size") % 10 + 3)
+    b = F.sequence(F.col("p_size") % 5 + 2, F.col("p_size") % 5 + 8)
+    ser = lambda arr: F.concat_ws(
+        ",", F.transform(F.sort_array(arr), lambda x: x.cast("string"))
+    )
+    return p.select(
+        "p_partkey",
+        ser(F.array_intersect(a, b)).alias("inter"),
+        ser(F.array_distinct(F.concat(a, b))).alias("uni"),
+        ser(F.array_except(a, b)).alias("minus_ab"),
+        F.array_position(a, 3).alias("pos3"),
+        F.array_contains(a, 5).alias("has5"),
+        F.concat_ws(
+            ",", F.transform(F.slice(a, 2, 3), lambda x: x.cast("string"))
+        ).alias("sl"),
+    )

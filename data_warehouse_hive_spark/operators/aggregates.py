@@ -2054,3 +2054,52 @@ def q_agg_bitops(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_dq_freshness",
+    oracle="""
+    WITH per AS (
+      SELECT event_type, MAX(ts) AS last_ts, COUNT(*) AS n_events
+      FROM events GROUP BY event_type
+    ),
+    g AS (SELECT MAX(ts) AS global_max FROM events)
+    SELECT per.event_type,
+           strftime(per.last_ts, '%Y-%m-%d %H:%M:%S') AS last_seen,
+           per.n_events,
+           CAST(epoch_us(g.global_max) - epoch_us(per.last_ts) AS BIGINT)
+             AS staleness_us,
+           CASE WHEN epoch_us(g.global_max) - epoch_us(per.last_ts)
+                     > 3600000000 THEN 1 ELSE 0 END AS is_stale
+    FROM per CROSS JOIN g
+    ORDER BY event_type
+    """,
+)
+def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-freshness audit: per stream (event_type), the last-seen
+    timestamp, its lag behind the freshest stream, and an SLA flag
+    (stale if > 1 h behind) — the monitor that catches a dead upstream
+    producer before its absence silently skews every downstream join.
+
+    One grouped MAX (map-side combinable, O(types) output) plus a
+    broadcast 1-row global max; staleness compared in exact integer
+    microseconds.  The mirror of the reference's /health endpoint at
+    table-content level (backend/app.py:120-147 checks only service
+    liveness)."""
+    e = t(spark, sf_dir, "events")
+    per = e.groupBy("event_type").agg(
+        F.max("ts").alias("last_ts"), F.count(F.lit(1)).alias("n_events")
+    )
+    g = e.agg(F.max("ts").alias("global_max"))
+    stale_us = F.unix_micros("global_max") - F.unix_micros("last_ts")
+    return (
+        per.crossJoin(F.broadcast(g))
+        .select(
+            "event_type",
+            F.date_format("last_ts", "yyyy-MM-dd HH:mm:ss").alias("last_seen"),
+            "n_events",
+            stale_us.alias("staleness_us"),
+            F.when(stale_us > 3_600_000_000, 1).otherwise(0).alias("is_stale"),
+        )
+        .orderBy("event_type")
+    )

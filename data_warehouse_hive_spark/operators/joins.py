@@ -238,3 +238,98 @@ def q_join_multiway(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_name", "n_name")
         .agg(dsum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
     )
+
+
+@query(
+    "q_join_spatial_grid",
+    oracle="""
+    WITH cgeo AS (
+      SELECT c_custkey AS ck,
+             CAST((c_custkey * 37) % 1000 AS DOUBLE) / 10.0 AS lat,
+             CAST((c_custkey * 91) % 1000 AS DOUBLE) / 10.0 AS lon
+      FROM customer
+    ),
+    sgeo AS (
+      SELECT s_suppkey AS sk,
+             CAST((s_suppkey * 53) % 1000 AS DOUBLE) / 10.0 AS lat,
+             CAST((s_suppkey * 17) % 1000 AS DOUBLE) / 10.0 AS lon
+      FROM supplier
+    )
+    SELECT c.ck, s.sk,
+           round((c.lat - s.lat) * (c.lat - s.lat)
+                 + (c.lon - s.lon) * (c.lon - s.lon), 6) AS dist2
+    FROM cgeo c JOIN sgeo s
+      ON (c.lat - s.lat) * (c.lat - s.lat)
+         + (c.lon - s.lon) * (c.lon - s.lon) < 4.0
+    ORDER BY ck, sk
+    """,
+)
+def q_join_spatial_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distance join via grid bucketing: customers matched to suppliers
+    within planar distance 2.0 (synthetic coordinates derived from keys).
+    The oracle states the O(n·m) theta join; the Spark plan NEVER runs
+    it — each point maps to a ⌊coord/r⌋ grid cell, each probe side
+    expands to its 3×3 neighbor cells, and the join is an EQUI-join on
+    the cell key followed by the exact distance check.  False candidates
+    are bounded by cell geometry, so work is O(n · density) — the
+    standard scalable form for spatial / embedding-radius joins where a
+    cross join would be quadratic.  Cell size = radius keeps the
+    neighbor expansion at 9 cells; all arithmetic is exact on
+    integer-derived doubles."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("ck"),
+        (((F.col("c_custkey") * 37) % 1000).cast("double") / F.lit(10.0)).alias(
+            "clat"
+        ),
+        (((F.col("c_custkey") * 91) % 1000).cast("double") / F.lit(10.0)).alias(
+            "clon"
+        ),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("sk"),
+        (((F.col("s_suppkey") * 53) % 1000).cast("double") / F.lit(10.0)).alias(
+            "slat"
+        ),
+        (((F.col("s_suppkey") * 17) % 1000).cast("double") / F.lit(10.0)).alias(
+            "slon"
+        ),
+    )
+    r = 2.0
+    # build side: exact cell per supplier
+    s_cells = s.select(
+        "sk",
+        "slat",
+        "slon",
+        F.floor(F.col("slat") / F.lit(r)).cast("long").alias("cx"),
+        F.floor(F.col("slon") / F.lit(r)).cast("long").alias("cy"),
+    )
+    # probe side: customer expands to its 3x3 neighborhood
+    offsets = F.expr(
+        "explode(array("
+        + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1)
+            for dy in (-1, 0, 1)
+        )
+        + "))"
+    )
+    c_cells = c.select("ck", "clat", "clon", offsets.alias("o")).select(
+        "ck",
+        "clat",
+        "clon",
+        (F.floor(F.col("clat") / F.lit(r)).cast("long") + F.col("o.dx")).alias(
+            "cx"
+        ),
+        (F.floor(F.col("clon") / F.lit(r)).cast("long") + F.col("o.dy")).alias(
+            "cy"
+        ),
+    )
+    d2 = (F.col("clat") - F.col("slat")) * (F.col("clat") - F.col("slat")) + (
+        F.col("clon") - F.col("slon")
+    ) * (F.col("clon") - F.col("slon"))
+    return (
+        c_cells.join(s_cells, ["cx", "cy"])
+        .filter(d2 < F.lit(4.0))
+        .select("ck", "sk", F.round(d2, 6).alias("dist2"))
+        .orderBy("ck", "sk")
+    )

@@ -56,3 +56,4 @@ def column_stats(df: DataFrame, sample_rows: int | None = None) -> dict[str, dic
             )
         out[f.name] = stats
     return out
+

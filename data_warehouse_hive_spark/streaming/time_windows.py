@@ -1193,3 +1193,128 @@ def q_ts_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vc").isNotNull(), 1).otherwise(0).alias("is_observed"),
         F.round(interp / F.lit(1e6), 6).alias("value_interp"),
     ).orderBy("event_type", "hour")
+
+
+@query(
+    "q_events_seasonal",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, date_trunc('hour', ts)
+    ),
+    profile AS (
+      SELECT event_type,
+             isodow(h) AS dow, CAST(hour(h) AS INT) AS hod,
+             CAST(SUM(n) AS BIGINT) AS tot, COUNT(*) AS n_slots
+      FROM hourly GROUP BY event_type, isodow(h), CAST(hour(h) AS INT)
+    )
+    SELECT hy.event_type, strftime(hy.h, '%Y-%m-%d %H') AS hour,
+           CAST(hy.n AS BIGINT) AS n,
+           p.tot AS season_total, p.n_slots,
+           CASE WHEN hy.n * p.n_slots > 3 * p.tot THEN 1 ELSE 0 END
+             AS is_spike
+    FROM hourly hy
+    JOIN profile p
+      ON p.event_type = hy.event_type
+     AND p.dow = isodow(hy.h) AND p.hod = CAST(hour(hy.h) AS INT)
+    WHERE hy.n * p.n_slots > 3 * p.tot
+    ORDER BY hy.event_type, hour
+    """,
+)
+def q_events_seasonal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly detection: each (type, hour) bucket is
+    compared against ITS OWN weekly seasonal slot (day-of-week ×
+    hour-of-day mean) instead of a trailing window — the q_events_spikes
+    sibling that doesn't false-positive on every Monday morning.  The
+    spike predicate is the integer cross-multiplication
+    n · slots > 3 · total (no float mean anywhere).
+
+    Two aggregations of the same hourly rollup (one fact shuffle, the
+    168-slot profile is broadcast back); at 100 TB the profile is a tiny
+    persisted table refreshed daily."""
+    e = t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    hourly = hourly.localCheckpoint(eager=False)
+    dow = F.weekday(F.col("h")) + F.lit(1)
+    hod = F.hour(F.col("h"))
+    profile = hourly.groupBy(
+        F.col("event_type").alias("pt"),
+        dow.alias("dow"),
+        hod.alias("hod"),
+    ).agg(F.sum("n").alias("tot"), F.count(F.lit(1)).alias("n_slots"))
+    joined = hourly.join(
+        F.broadcast(profile),
+        (F.col("pt") == F.col("event_type"))
+        & (F.col("dow") == F.weekday(F.col("h")) + F.lit(1))
+        & (F.col("hod") == F.hour(F.col("h"))),
+    )
+    return (
+        joined.filter(
+            F.col("n") * F.col("n_slots") > F.lit(3) * F.col("tot")
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH").alias("hour"),
+            "n",
+            F.col("tot").alias("season_total"),
+            "n_slots",
+            F.lit(1).alias("is_spike"),
+        )
+        .orderBy("event_type", "hour")
+    )
+
+
+@query(
+    "q_orders_yoy",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS revc,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY date_trunc('month', o_orderdate)
+    )
+    SELECT month,
+           CAST(revc AS DOUBLE) / 1e6 AS revenue,
+           n_orders,
+           round(CASE WHEN lag(revc, 12) OVER (ORDER BY month) IS NULL
+                      THEN NULL
+                      ELSE CAST(revc AS DOUBLE)
+                           / CAST(lag(revc, 12) OVER (ORDER BY month)
+                                  AS DOUBLE) - 1.0 END, 6) AS yoy_growth
+    FROM monthly
+    ORDER BY month
+    """,
+)
+def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth per month: monthly carrier-exact revenue with
+    a lag-12 window ratio — the core reporting comparison.  The lag runs
+    over the O(months) aggregated series (single-partition window over
+    dozens of rows, scale-independent); the ratio divides the two carrier
+    longs as doubles, mirrored."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "month"
+        )
+    ).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("revc"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revc", 12).over(w)
+    return monthly.select(
+        "month",
+        (F.col("revc").cast("double") / F.lit(1e6)).alias("revenue"),
+        "n_orders",
+        F.round(
+            F.when(prev.isNull(), F.lit(None)).otherwise(
+                F.col("revc").cast("double") / prev.cast("double") - F.lit(1.0)
+            ),
+            6,
+        ).alias("yoy_growth"),
+    ).orderBy("month")
