@@ -1124,3 +1124,67 @@ def q_embed_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .filter(F.col("rk") <= TOP_K)
     )
+
+
+@query(
+    "q_embed_norms",
+    oracle="""
+    WITH norms AS (
+      SELECT label,
+             round(sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS nrm
+      FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           round(MIN(nrm), 6) AS min_norm,
+           round(MAX(nrm), 6) AS max_norm,
+           round(CAST(SUM(CAST(floor(nrm * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6 / CAST(COUNT(*) AS DOUBLE), 6) AS avg_norm,
+           CAST(SUM(CASE WHEN nrm < 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero
+    FROM norms
+    GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-batch health check: per-label L2-norm distribution
+    (min/max/mean) and zero-vector count — the guardrail that catches a
+    broken encoder run (all-zero rows, exploding norms, un-normalized
+    batches mixed into a normalized index) BEFORE those vectors poison
+    ANN results downstream.
+
+    Per-row norm is a codegen'd JVM fold over the 64-dim float array
+    (cast to double per element — identical operands both engines),
+    rounded to 1e-6 before aggregating so the fold-order ulp cannot leak
+    into the exact carrier mean.  One narrow map + one grouped agg."""
+    em = t(spark, sf_dir, "embeddings")
+    nrm = F.round(
+        F.sqrt(
+            F.aggregate(
+                "embedding",
+                F.lit(0.0),
+                lambda acc, x: acc + x.cast("double") * x.cast("double"),
+            )
+        ),
+        6,
+    )
+    norms = em.select("label", nrm.alias("nrm"))
+    return (
+        norms.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.min("nrm"), 6).alias("min_norm"),
+            F.round(F.max("nrm"), 6).alias("max_norm"),
+            F.round(
+                F.sum(F.floor(F.col("nrm") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+                .cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_norm"),
+            F.sum(F.when(F.col("nrm") < 1e-9, 1).otherwise(0)).alias("n_zero"),
+        )
+        .orderBy("label")
+    )

@@ -2103,3 +2103,60 @@ def q_dq_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_agg_weighted",
+    oracle="""
+    SELECT l_returnflag,
+           round(CAST(SUM(CAST(floor(l_extendedprice * l_discount * 1e4 + 0.5)
+                               AS BIGINT)) AS DOUBLE) / 1e4
+                 / (CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5)
+                                  AS BIGINT)) AS DOUBLE) / 1e6), 9)
+             AS w_avg_discount,
+           round(CAST(SUM(CAST(floor(l_discount * 1e6 + 0.5) AS BIGINT))
+                      AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 9)
+             AS avg_discount,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted average — Σ(w·x)/Σw with revenue as the weight — next to
+    the unweighted mean it corrects: the aggregation every reporting
+    layer needs and no engine ships as a builtin.  Both sums ride exact
+    carriers (the product term at scale 1e4: |Σ w·x| < 2^63/1e4 holds
+    past sf100), so the weighted mean is one division of two
+    order-independent exact numbers; two map-combinable sums in ONE
+    shuffle, no join."""
+    l = t(spark, sf_dir, "lineitem")
+    wx = F.sum(
+        F.floor(
+            F.col("l_extendedprice") * F.col("l_discount") * F.lit(1e4)
+            + F.lit(0.5)
+        ).cast("long")
+    )
+    w = F.sum(
+        F.floor(F.col("l_extendedprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    )
+    x = F.sum(F.floor(F.col("l_discount") * F.lit(1e6) + F.lit(0.5)).cast("long"))
+    return (
+        l.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                (wx.cast("double") / F.lit(1e4))
+                / (w.cast("double") / F.lit(1e6)),
+                9,
+            ).alias("w_avg_discount"),
+            F.round(
+                x.cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double"),
+                9,
+            ).alias("avg_discount"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )

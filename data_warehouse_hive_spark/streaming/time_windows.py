@@ -1318,3 +1318,67 @@ def q_orders_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yoy_growth"),
     ).orderBy("month")
+
+
+@query(
+    "q_events_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+               AS first_purchase
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT user_id,
+             CAST(least((epoch_us(first_purchase) - epoch_us(first_view))
+                        // 3600000000, 48) AS BIGINT) AS hours_bucket
+      FROM firsts
+      WHERE first_view IS NOT NULL AND first_purchase IS NOT NULL
+        AND first_purchase > first_view
+    )
+    SELECT hours_bucket, COUNT(*) AS n_users
+    FROM conv GROUP BY hours_bucket
+    ORDER BY hours_bucket
+    """,
+)
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours between a user's first view
+    and first purchase (purchase strictly after view), histogrammed with
+    a 48 h overflow bucket — the latency curve behind attribution-window
+    and retargeting decisions.  One conditional-MIN aggregation per user
+    (no self-join of the events table against itself), then integer
+    µs floor-division bucketing; O(users) intermediate, two shuffles."""
+    e = t(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias(
+            "first_view"
+        ),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_purchase"
+        ),
+    )
+    conv = firsts.filter(
+        F.col("first_view").isNotNull()
+        & F.col("first_purchase").isNotNull()
+        & (F.col("first_purchase") > F.col("first_view"))
+    ).select(
+        F.least(
+            F.floor(
+                (
+                    F.unix_micros("first_purchase")
+                    - F.unix_micros("first_view")
+                )
+                / F.lit(3_600_000_000)
+            ),
+            F.lit(48),
+        )
+        .cast("long")
+        .alias("hours_bucket")
+    )
+    return (
+        conv.groupBy("hours_bucket")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("hours_bucket")
+    )
