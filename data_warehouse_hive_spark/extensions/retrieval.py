@@ -485,3 +485,109 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("fused_rank", F.row_number().over(wf).cast("long")).filter(
         F.col("fused_rank") <= RETR_TOP
     )
+
+
+@query(
+    "q_recs_similar_items",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    item_cnt AS (
+      SELECT pk, COUNT(*) AS cnt FROM baskets GROUP BY pk
+    ),
+    cooc AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS co
+      FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+    ),
+    scored AS (
+      SELECT c.pa, c.pb, c.co,
+             round(CAST(c.co AS DOUBLE)
+                   / sqrt(CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)),
+                   6) AS cosine
+      FROM cooc c
+      JOIN item_cnt ca ON ca.pk = c.pa
+      JOIN item_cnt cb ON cb.pk = c.pb
+    ),
+    sym AS (
+      SELECT pa AS item, pb AS other, co, cosine FROM scored
+      UNION ALL
+      SELECT pb, pa, co, cosine FROM scored
+    ),
+    ranked AS (
+      SELECT item, other, co, cosine,
+             ROW_NUMBER() OVER (PARTITION BY item
+                                ORDER BY cosine DESC, co DESC, other) AS rk
+      FROM sym
+    )
+    SELECT item, other, co, cosine, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY item, rk
+    """,
+)
+def q_recs_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering ("customers who bought X also
+    bought"): basket co-occurrence normalized to cosine
+    co/√(cnt_a·cnt_b), top-5 neighbors per item — the memory-based CF
+    recommender that runs entirely as joins + windows.
+
+    Scale shape: baskets distinct once (one shuffle), the pair expansion
+    joins basket-to-basket ON the order key (never item×item), counts
+    collapse before the tiny item_cnt joins, and the symmetric top-k
+    window partitions per item.  Hot orders (huge baskets) are the skew
+    risk at 100 TB — cap basket size upstream (a 10k-line order
+    contributes 5·10⁷ pairs and zero signal).  Cosine divides two exact
+    integers — deterministic to the 1e-6 pin."""
+    l = t(spark, sf_dir, "lineitem")
+    baskets = (
+        l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    item_cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("ok", F.col("pk").alias("pa"))
+    b = baskets.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    cooc = (
+        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+    )
+    scored = (
+        cooc.join(
+            item_cnt.select(F.col("pk").alias("ka"), F.col("cnt").alias("ca")),
+            F.col("ka") == F.col("pa"),
+        )
+        .join(
+            item_cnt.select(F.col("pk").alias("kb"), F.col("cnt").alias("cb")),
+            F.col("kb") == F.col("pb"),
+        )
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(
+                F.col("co").cast("double")
+                / F.sqrt(F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    sym = scored.select(
+        F.col("pa").alias("item"), F.col("pb").alias("other"), "co", "cosine"
+    ).unionAll(
+        scored.select(
+            F.col("pb").alias("item"), F.col("pa").alias("other"), "co", "cosine"
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("item").orderBy(
+        F.col("cosine").desc(), F.col("co").desc(), F.col("other")
+    )
+    return (
+        sym.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("item", "other", "co", "cosine", "rk")
+        .orderBy("item", "rk")
+    )

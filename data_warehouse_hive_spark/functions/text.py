@@ -905,3 +905,58 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") > 1)
         .orderBy("chunk_hash")
     )
+
+
+@query(
+    "q_text_phrase_search",
+    oracle="""
+    SELECT doc_id, source,
+           (length(' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+                   || ' ')
+            - length(replace(' ' || lower(regexp_replace(trim(text), '\\s+',
+                                          ' ', 'g')) || ' ',
+                             ' table value ', ' '))) // 12 AS n_hits
+    FROM documents
+    WHERE ' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) || ' '
+          LIKE '% table value %'
+    ORDER BY doc_id
+    """,
+)
+def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search ("table value" as ADJACENT words) via positional
+    postings: posexplode the token stream, self-join term-1 and term-2
+    postings on (doc, pos+1) — the inverted-index-with-positions plan
+    every search engine runs, where a LIKE scan would re-read full text
+    per query.  The oracle states the same relation with the scan form
+    (padded-LIKE containment + occurrence count by length difference —
+    12 = len(' table value ') − len(' ')); the postings join must agree
+    exactly, hit count included.
+
+    At 100 TB the postings table is built once (doc_id, term, pos),
+    bucketed by term; a phrase query touches only its terms' postings —
+    per-query cost is O(df), independent of corpus size."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"), spark)
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            )
+        ).alias("pos", "term"),
+    )
+    t1 = toks.filter(F.col("term") == "table").select(
+        "doc_id", "source", F.col("pos").alias("p1")
+    )
+    t2 = toks.filter(F.col("term") == "value").select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2")
+    )
+    return (
+        t1.join(
+            t2,
+            (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("p1") + 1),
+        )
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )

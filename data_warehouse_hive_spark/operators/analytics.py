@@ -551,3 +551,99 @@ def q_geo_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("dist_km", "name_a", "name_b")
         .limit(20)
     )
+
+
+# extra business days in the (0..6)-day tail after a start day of ISO dow
+# 1..7: flat 7x7 lookup indexed (dow1-1)*7 + rem, generated by enumeration
+# (sum of weekday hits walking rem days forward from dow1) — identical
+# literal on both engines, so the calendar arithmetic cannot drift.
+_BIZ_TAIL = [0, 1, 2, 3, 4, 4, 4, 0, 1, 2, 3, 3, 3, 4, 0, 1, 2, 2, 2, 3, 4,
+             0, 1, 1, 1, 2, 3, 4, 0, 0, 0, 1, 2, 3, 4, 0, 0, 1, 2, 3, 4, 5,
+             0, 1, 2, 3, 4, 5, 5]
+
+
+@query(
+    "q_time_business_days",
+    oracle=f"""
+    WITH j AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS d,
+             isodow(o.o_orderdate) AS dw
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    )
+    SELECT CAST((d // 7) * 5
+           + ([{", ".join(str(x) for x in _BIZ_TAIL)}])[(dw - 1) * 7 + (d % 7) + 1]
+           AS BIGINT) AS biz_days,
+           COUNT(*) AS n_lines
+    FROM j
+    GROUP BY 1
+    ORDER BY biz_days
+    """,
+)
+def q_time_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Business-day (Mon–Fri) latency between order placement and line
+    shipment — the SLA arithmetic plain calendar diffs get wrong: full
+    weeks contribute 5 days, the remainder tail is resolved through a
+    49-entry enumerated lookup keyed by (start ISO dow, tail length), so
+    there is no per-row iteration and no engine-specific week
+    convention.  Output is the latency histogram (O(distinct latencies)
+    rows after one fact join + hash agg)."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    j = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.datediff("l_shipdate", "o_orderdate").alias("d"),
+            (F.weekday("o_orderdate") + F.lit(1)).alias("dw"),
+        )
+    )
+    tail = F.element_at(
+        F.array(*[F.lit(x) for x in _BIZ_TAIL]),
+        ((F.col("dw") - 1) * 7 + (F.col("d") % 7) + 1).cast("int"),
+    )
+    return (
+        j.select(
+            (F.floor(F.col("d") / 7) * 5 + tail).cast("long").alias("biz_days")
+        )
+        .groupBy("biz_days")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .orderBy("biz_days")
+    )
+
+
+@query(
+    "q_fn_uuid",
+    oracle="""
+    WITH h AS (
+      SELECT c_custkey, md5('cust:' || CAST(c_custkey AS VARCHAR)) AS hx
+      FROM customer
+    )
+    SELECT c_custkey,
+           substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-5'
+             || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-'
+             || substr(hx, 21, 12) AS stable_uuid
+    FROM h
+    """,
+)
+def q_fn_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic (name-based, UUIDv5-style) surrogate-key minting:
+    md5 of a namespaced natural key formatted as 8-4-4-4-12 with the
+    version nibble pinned to 5 and the variant to 8.  Spark's uuid() is
+    random — useless for idempotent re-runs; a content-derived UUID
+    gives every pipeline restart the same key for the same row, which is
+    what makes MERGE-based re-ingestion idempotent.  Pure codegen string
+    ops, no shuffle."""
+    c = t(spark, sf_dir, "customer")
+    hx = F.md5(F.concat(F.lit("cust:"), F.col("c_custkey").cast("string")))
+    h = c.select("c_custkey", hx.alias("hx"))
+    return h.select(
+        "c_custkey",
+        F.concat(
+            F.substring("hx", 1, 8), F.lit("-"),
+            F.substring("hx", 9, 4), F.lit("-5"),
+            F.substring("hx", 14, 3), F.lit("-8"),
+            F.substring("hx", 18, 3), F.lit("-"),
+            F.substring("hx", 21, 12),
+        ).alias("stable_uuid"),
+    )
