@@ -1201,3 +1201,108 @@ def q_split_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("frac_of_lang"),
     ).orderBy("split", "lang")
+
+
+@query(
+    "q_curate_rejects",
+    oracle=rf"""
+    WITH tok AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CAST(len(ws) AS BIGINT) AS n_tok,
+             CAST(length(regexp_replace(trim(text), '\s+', '', 'g')) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS mean_word_len,
+             CAST(len(regexp_extract_all(text, '#|\.\.\.')) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS symbol_ratio,
+             CAST(len(list_filter(lines, x -> x LIKE '- %' OR x LIKE '* %')) AS DOUBLE)
+               / CAST(len(lines) AS DOUBLE) AS bullet_ratio,
+             CAST(len(list_filter(ws, x -> lower(x) IN {_STOPWORDS!r})) AS BIGINT)
+               AS stopword_hits
+      FROM tok
+    ),
+    fails AS (
+      SELECT 'word_count' AS rule, doc_id FROM m
+      WHERE NOT (n_tok BETWEEN {_GOPHER_MIN_WORDS} AND {_GOPHER_MAX_WORDS})
+      UNION ALL
+      SELECT 'mean_word_len', doc_id FROM m
+      WHERE NOT (mean_word_len BETWEEN {_GOPHER_MIN_MEAN_LEN}
+                 AND {_GOPHER_MAX_MEAN_LEN})
+      UNION ALL
+      SELECT 'symbol_ratio', doc_id FROM m
+      WHERE symbol_ratio > {_GOPHER_MAX_SYMBOL_RATIO}
+      UNION ALL
+      SELECT 'bullet_ratio', doc_id FROM m
+      WHERE bullet_ratio > {_GOPHER_MAX_BULLET_RATIO}
+      UNION ALL
+      SELECT 'stopwords', doc_id FROM m
+      WHERE stopword_hits < {_GOPHER_MIN_STOPWORDS}
+    ),
+    ranked AS (
+      SELECT rule, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY rule ORDER BY doc_id) AS rk
+      FROM fails
+    )
+    SELECT rule, COUNT(*) AS n_rejected,
+           string_agg(CASE WHEN rk <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY doc_id) AS example_docs
+    FROM ranked
+    GROUP BY rule
+    ORDER BY rule
+    """,
+)
+def q_curate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reject-reason inspector: per Gopher rule, how many docs failed it
+    and the three lowest doc_ids as inspectable examples — the debugging
+    view a curation run ships next to its funnel (q_curate_e2e): when a
+    rule's reject count jumps between corpus versions, these examples
+    are what a human looks at first.
+
+    The per-rule flags unpivot into (rule, doc_id) rows; examples come
+    from a per-rule row_number so only ≤3 ids per rule are ever
+    collected — the collect is bounded no matter the corpus size."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    gq = gopher_quality(d)
+    arms = [
+        (
+            "word_count",
+            ~F.col("n_tok").between(_GOPHER_MIN_WORDS, _GOPHER_MAX_WORDS),
+        ),
+        (
+            "mean_word_len",
+            ~F.col("mean_word_len").between(
+                _GOPHER_MIN_MEAN_LEN, _GOPHER_MAX_MEAN_LEN
+            ),
+        ),
+        ("symbol_ratio", F.col("symbol_ratio") > _GOPHER_MAX_SYMBOL_RATIO),
+        ("bullet_ratio", F.col("bullet_ratio") > _GOPHER_MAX_BULLET_RATIO),
+        ("stopwords", F.col("stopword_hits") < _GOPHER_MIN_STOPWORDS),
+    ]
+    fails = None
+    for rule, cond in arms:
+        arm = gq.filter(cond).select(F.lit(rule).alias("rule"), "doc_id")
+        fails = arm if fails is None else fails.unionAll(arm)
+    w = Window.partitionBy("rule").orderBy("doc_id")
+    ranked = fails.withColumn("rk", F.row_number().over(w))
+    return (
+        ranked.groupBy("rule")
+        .agg(
+            F.count(F.lit(1)).alias("n_rejected"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(
+                            F.when(F.col("rk") <= 3, F.col("doc_id"))
+                        )
+                    ),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias("example_docs"),
+        )
+        .orderBy("rule")
+    )

@@ -531,3 +531,42 @@ def q_win_frame_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@query(
+    "q_win_nth",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           FIRST_VALUE(o_orderkey) OVER w AS first_order,
+           LAST_VALUE(o_orderkey) OVER w AS last_order,
+           NTH_VALUE(o_orderkey, 2) OVER w AS second_order,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window navigation: FIRST_VALUE / LAST_VALUE /
+    NTH_VALUE(2) over the customer's full order history — "first order,
+    latest order, second-ever order" in one pass.  The frame is pinned
+    to the FULL partition explicitly: with the default frame (unbounded
+    preceding → current row) LAST_VALUE degenerates to the current row,
+    the classic silent-wrong-answer; the (date, key) order is total so
+    every position is deterministic."""
+    o = t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.first("o_orderkey").over(w).alias("first_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+    ).orderBy("o_custkey", "o_orderkey")
