@@ -1187,3 +1187,45 @@ def q_fn_array2(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",", F.transform(F.slice(a, 2, 3), lambda x: x.cast("string"))
         ).alias("sl"),
     )
+
+
+@query(
+    "q_fn_timezone",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS utc_ts,
+           strftime(timezone('America/New_York',
+                    (ts::VARCHAR || '+00')::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS ny_ts,
+           strftime(timezone('Asia/Tokyo',
+                    (ts::VARCHAR || '+00')::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS tokyo_ts,
+           strftime(timezone('Europe/Berlin',
+                    (ts::VARCHAR || '+00')::TIMESTAMPTZ),
+                    '%Y-%m-%d %H:%M:%S') AS berlin_ts
+    FROM events
+    """,
+)
+def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IANA-zone conversion (from_utc_timestamp): the same UTC instant
+    rendered in three zones, DST-correct on both engines (summer NY is
+    UTC−4, winter UTC−5 — an offset-arithmetic implementation gets one
+    of them wrong).  The oracle pins the instant with an explicit +00
+    TIMESTAMPTZ literal so the comparison is independent of either
+    engine's session timezone.  Rendered as strings: a zoned timestamp
+    type does not round-trip the pandas bridge."""
+    e = t(spark, sf_dir, "events")
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return e.select(
+        "event_id",
+        F.date_format("ts", fmt).alias("utc_ts"),
+        F.date_format(
+            F.from_utc_timestamp("ts", "America/New_York"), fmt
+        ).alias("ny_ts"),
+        F.date_format(F.from_utc_timestamp("ts", "Asia/Tokyo"), fmt).alias(
+            "tokyo_ts"
+        ),
+        F.date_format(
+            F.from_utc_timestamp("ts", "Europe/Berlin"), fmt
+        ).alias("berlin_ts"),
+    )

@@ -1118,3 +1118,74 @@ def q_subquery_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c.c_custkey
         """
     )
+
+
+@query(
+    "q_sql_params",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    WHERE o_totalprice > 300000.0 AND o_orderpriority = '1-URGENT'
+    ORDER BY o_orderkey
+    """,
+)
+def q_sql_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-marker binding, Spark 3.4+): predicates
+    arrive as typed args, not string-spliced literals — the
+    injection-safe surface a service should expose instead of f-string
+    HiveQL (the reference interpolates user input into SQL at
+    backend/hive_manager.py:393-401; this is the fix).  IDENTIFIER()
+    binds the TABLE name through a parameter too, closing the
+    dynamic-table-name hole.  The oracle states the same query with the
+    literals inlined — binding must be semantically invisible."""
+    from data_warehouse_hive_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM IDENTIFIER(:tbl)
+        WHERE o_totalprice > :minprice AND o_orderpriority = :prio
+        ORDER BY o_orderkey
+        """,
+        args={"tbl": "orders", "minprice": 300000.0, "prio": "1-URGENT"},
+    )
+
+
+@query(
+    "q_sql_variables",
+    oracle="""
+    SELECT c_mktsegment,
+           COUNT(*) AS n_rich,
+           CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS rich_balance
+    FROM customer
+    WHERE c_acctbal > 7500.0
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL session variables (Spark 4 DECLARE / SET VARIABLE): a typed,
+    session-scoped threshold consumed by name inside the query — the
+    scripting surface (multi-statement workflows parameterized without
+    re-planning the client) HiveQL users emulate with hivevar
+    substitution.  Variables resolve at analysis time, so the constant
+    folds into the pushed filter exactly like a literal."""
+    from data_warehouse_hive_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql("DECLARE OR REPLACE VARIABLE rich_threshold DOUBLE DEFAULT 0.0")
+    spark.sql("SET VARIABLE rich_threshold = 7500.0")
+    return spark.sql(
+        """
+        SELECT c_mktsegment,
+               COUNT(*) AS n_rich,
+               CAST(SUM(CAST(floor(c_acctbal * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e6 AS rich_balance
+        FROM customer
+        WHERE c_acctbal > rich_threshold
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment
+        """
+    )
