@@ -1188,3 +1188,162 @@ def q_embed_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+_MMR_COS = (
+    "round(list_dot_product({a}, {b})"
+    " / (sqrt(list_dot_product({a}, {a}))"
+    "    * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _mmr_oracle() -> str:
+    """Greedy MMR as four chained argmax CTE stages (k=4, λ=0.7 over an
+    8-candidate pool) — the closed-form unrolling of the iterative
+    selection, with (score DESC, vec_id) as the universal tiebreak."""
+    steps = []
+    prev_picks = "p1"
+    for i in (2, 3, 4):
+        steps.append(f"""
+    sc{i} AS (
+      SELECT c.vec_id, c.rel,
+             round(0.7 * c.rel - 0.3 * MAX(s.sim), 6) AS score
+      FROM cand0 c
+      JOIN sims s ON s.ca = c.vec_id
+                 AND s.cb IN (SELECT vec_id FROM {prev_picks})
+      WHERE c.vec_id NOT IN (SELECT vec_id FROM {prev_picks})
+      GROUP BY c.vec_id, c.rel
+    ),
+    p{i}x AS (
+      SELECT vec_id, rel, score, {i} AS sel_rank FROM sc{i}
+      ORDER BY score DESC, vec_id LIMIT 1
+    ),
+    p{i + 10} AS (
+      SELECT vec_id FROM {prev_picks} UNION ALL SELECT vec_id FROM p{i}x
+    )""")
+        prev_picks = f"p{i + 10}"
+    return f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    qv AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cand0 AS (
+      SELECT v.vec_id, {_MMR_COS.format(a="qv.qe", b="v.e")} AS rel, v.e
+      FROM v CROSS JOIN qv WHERE v.vec_id <> 0
+      ORDER BY rel DESC, vec_id LIMIT 8
+    ),
+    sims AS (
+      SELECT x.vec_id AS ca, y.vec_id AS cb,
+             {_MMR_COS.format(a="x.e", b="y.e")} AS sim
+      FROM cand0 x JOIN cand0 y ON x.vec_id <> y.vec_id
+    ),
+    p1 AS (
+      SELECT vec_id, rel, rel AS score, 1 AS sel_rank FROM cand0
+      ORDER BY rel DESC, vec_id LIMIT 1
+    ),{",".join(steps)}
+    """
+
+
+@query(
+    "q_sim_mmr",
+    oracle=f"""
+    WITH {_mmr_oracle()}
+    SELECT sel_rank, vec_id, rel, score FROM p1
+    UNION ALL SELECT sel_rank, vec_id, rel, score FROM p2x
+    UNION ALL SELECT sel_rank, vec_id, rel, score FROM p3x
+    UNION ALL SELECT sel_rank, vec_id, rel, score FROM p4x
+    ORDER BY sel_rank
+    """,
+)
+def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance diversified retrieval: from the top-8
+    cosine candidates of query vec 0, greedily select k=4 maximizing
+    λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s) with λ=0.7 — the
+    re-ranking that stops "top-k = five near-copies of the same doc"
+    in RAG retrieval.
+
+    The greedy loop is unrolled into four chained argmax stages — NO
+    driver-side iteration: each stage is an anti-join against the picks
+    so far, a bounded (≤8-row) aggregate over the pairwise-sim relation,
+    and a deterministic (score, vec_id) limit 1.  The candidate pool and
+    its 8×8 sim matrix compute once (checkpointed); at corpus scale only
+    the FIRST stage (candidate generation) touches the index — the
+    re-rank is O(k·pool²) regardless of corpus size.  All cosines pinned
+    to 1e-6 before any comparison so argmax ties cannot flip between
+    engines."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    qv = v.filter(F.col("vec_id") == 0).select(F.col("e").alias("qe"))
+    rel = F.round(
+        dot(F.col("qe"), F.col("e"))
+        / (
+            F.sqrt(dot(F.col("qe"), F.col("qe")))
+            * F.sqrt(dot(F.col("e"), F.col("e")))
+        ),
+        6,
+    )
+    cand = (
+        v.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select("vec_id", rel.alias("rel"), "e")
+        .orderBy(F.col("rel").desc(), "vec_id")
+        .limit(8)
+        .localCheckpoint(eager=False)
+    )
+    x = cand.select(F.col("vec_id").alias("ca"), F.col("e").alias("ea"))
+    y = cand.select(F.col("vec_id").alias("cb"), F.col("e").alias("eb"))
+    sim = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (
+            F.sqrt(dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(dot(F.col("eb"), F.col("eb")))
+        ),
+        6,
+    )
+    sims = (
+        x.join(y, F.col("ca") != F.col("cb"))
+        .select("ca", "cb", sim.alias("sim"))
+        .localCheckpoint(eager=False)
+    )
+    cand_slim = cand.select("vec_id", "rel")
+    p1 = (
+        cand_slim.orderBy(F.col("rel").desc(), "vec_id")
+        .limit(1)
+        .select(
+            "vec_id", "rel", F.col("rel").alias("score"), F.lit(1).alias("sel_rank")
+        )
+    )
+    picks = p1
+    out = p1
+    for i in (2, 3, 4):
+        picked_ids = picks.select(F.col("vec_id").alias("pid"))
+        scored = (
+            cand_slim.join(
+                picked_ids, F.col("vec_id") == F.col("pid"), "left_anti"
+            )
+            .join(sims, F.col("ca") == F.col("vec_id"))
+            .join(
+                picks.select(F.col("vec_id").alias("pb")),
+                F.col("cb") == F.col("pb"),
+                "left_semi",
+            )
+            .groupBy("vec_id", "rel")
+            .agg(
+                F.round(
+                    F.lit(0.7) * F.col("rel") - F.lit(0.3) * F.max("sim"), 6
+                ).alias("score")
+            )
+        )
+        pi = (
+            scored.orderBy(F.col("score").desc(), "vec_id")
+            .limit(1)
+            .select("vec_id", "rel", "score", F.lit(i).alias("sel_rank"))
+        )
+        picks = picks.select("vec_id", "rel", "score", "sel_rank").unionAll(pi)
+        out = out.unionAll(pi)
+    return out.orderBy("sel_rank")
