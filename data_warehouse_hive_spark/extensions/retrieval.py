@@ -591,3 +591,89 @@ def q_recs_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("item", "other", "co", "cosine", "rk")
         .orderBy("item", "rk")
     )
+
+
+@query(
+    "q_basket_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    nb AS (SELECT COUNT(DISTINCT ok) AS n_baskets FROM baskets),
+    item_cnt AS (SELECT pk, COUNT(*) AS cnt FROM baskets GROUP BY pk),
+    cooc AS (
+      SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS co
+      FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk
+      HAVING COUNT(*) >= 2
+    )
+    SELECT c.pa, c.pb, c.co,
+           round(CAST(c.co AS DOUBLE) / CAST(nb.n_baskets AS DOUBLE), 6)
+             AS support,
+           round(CAST(c.co AS DOUBLE) / CAST(ca.cnt AS DOUBLE), 6)
+             AS confidence,
+           round(CAST(c.co AS DOUBLE) * CAST(nb.n_baskets AS DOUBLE)
+                 / (CAST(ca.cnt AS DOUBLE) * CAST(cb.cnt AS DOUBLE)), 6)
+             AS lift
+    FROM cooc c
+    JOIN item_cnt ca ON ca.pk = c.pa
+    JOIN item_cnt cb ON cb.pk = c.pb
+    CROSS JOIN nb
+    ORDER BY lift DESC, pa, pb
+    LIMIT 50
+    """,
+)
+def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule metrics over co-purchase pairs: support,
+    confidence(A→B) and lift, top-50 by lift — the Apriori step after
+    q_basket_pairs' raw counts: lift > 1 separates genuinely-associated
+    items from merely-popular ones (confidence alone promotes anything
+    co-occurring with bestsellers).
+
+    All three metrics divide exact integers (pair count, item counts,
+    basket total) — deterministic to the 1e-6 pin; the ≥2-support
+    HAVING prunes the pair tail before the metric joins, and the 1-row
+    basket total broadcasts."""
+    l = t(spark, sf_dir, "lineitem")
+    baskets = (
+        l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nb = baskets.agg(F.countDistinct("ok").alias("n_baskets"))
+    item_cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select("ok", F.col("pk").alias("pa"))
+    b = baskets.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    cooc = (
+        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("pa") < F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("co"))
+        .filter(F.col("co") >= 2)
+    )
+    cod = F.col("co").cast("double")
+    return (
+        cooc.join(
+            item_cnt.select(F.col("pk").alias("ka"), F.col("cnt").alias("ca")),
+            F.col("ka") == F.col("pa"),
+        )
+        .join(
+            item_cnt.select(F.col("pk").alias("kb"), F.col("cnt").alias("cb")),
+            F.col("kb") == F.col("pb"),
+        )
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "pa",
+            "pb",
+            "co",
+            F.round(cod / F.col("n_baskets").cast("double"), 6).alias("support"),
+            F.round(cod / F.col("ca").cast("double"), 6).alias("confidence"),
+            F.round(
+                cod
+                * F.col("n_baskets").cast("double")
+                / (F.col("ca").cast("double") * F.col("cb").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pa", "pb")
+        .limit(50)
+    )

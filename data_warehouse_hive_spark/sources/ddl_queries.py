@@ -1050,3 +1050,86 @@ def ddl_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_clone")
+def ddl_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CREATE TABLE LIKE (schema clone) + CTAS data clone — Hive's table
+    templating surface: the LIKE form copies schema/layout with ZERO
+    data scan (instant, any source size); the CTAS form materializes a
+    snapshot copy.  Returns a verification row per clone: the LIKE clone
+    must be empty with an identical schema, the CTAS clone must match
+    the source's row count.
+    """
+    spark.sql("DROP TABLE IF EXISTS clone_src")
+    spark.sql("DROP TABLE IF EXISTS clone_schema_only")
+    spark.sql("DROP TABLE IF EXISTS clone_snapshot")
+    t(spark, sf_dir, "nation").write.saveAsTable("clone_src")
+    spark.sql("CREATE TABLE clone_schema_only LIKE clone_src")
+    spark.sql("CREATE TABLE clone_snapshot AS SELECT * FROM clone_src")
+    src_schema = spark.table("clone_src").schema
+    like_schema = spark.table("clone_schema_only").schema
+    rows = [
+        (
+            "schema_only",
+            int(spark.table("clone_schema_only").count()),
+            like_schema == src_schema,
+        ),
+        (
+            "snapshot",
+            int(spark.table("clone_snapshot").count()),
+            spark.table("clone_snapshot").schema == src_schema,
+        ),
+    ]
+    src_n = spark.table("clone_src").count()
+    out = spark.createDataFrame(
+        rows, "clone_kind string, n_rows long, schema_matches boolean"
+    )
+    assert rows[0][1] == 0 and rows[0][2], rows
+    assert rows[1][1] == src_n and rows[1][2], rows
+    for tbl in ("clone_schema_only", "clone_snapshot", "clone_src"):
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    return out
+
+
+@query("ddl_schema_evolution")
+def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-level schema evolution: day-1 files are written with 3
+    columns, day-2 files gain a 4th (a new nullable metric) — the
+    add-a-column migration every long-lived table undergoes.
+    `mergeSchema` reconciles the footers at read time: old partitions
+    surface NULL for the new column, no rewrite of historical data.
+    Returns per-day null/total counts proving old rows are intact and
+    un-rewritten (the 100 TB property: evolution costs zero data
+    movement).
+    """
+    import tempfile as _tf
+
+    d = os.path.join(_tf.mkdtemp(prefix="dwh_evo_"), "tbl")
+    v1 = spark.createDataFrame(
+        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0)],
+        "day string, k int, v double",
+    )
+    v1.write.partitionBy("day").mode("overwrite").parquet(d)
+    v2 = spark.createDataFrame(
+        [("2024-01-02", 3, 30.0, "mobile"), ("2024-01-02", 4, 40.0, "web")],
+        "day string, k int, v double, channel string",
+    )
+    v2.write.partitionBy("day").mode("append").parquet(d)
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    assert "channel" in merged.columns, merged.columns
+    out = (
+        # partition-column type inference reads day= dirs back as DATE;
+        # pin to string so the verification keys are stable
+        merged.groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.count(F.when(F.col("channel").isNull(), 1)).alias(
+                "n_null_channel"
+            ),
+        )
+        .orderBy("day")
+    )
+    rows = {r["day"]: (r["n_rows"], r["n_null_channel"]) for r in out.collect()}
+    assert rows["2024-01-01"] == (2, 2) and rows["2024-01-02"] == (2, 0), rows
+    return out

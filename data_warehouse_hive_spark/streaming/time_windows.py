@@ -1382,3 +1382,54 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("hours_bucket")
     )
+
+
+@query(
+    "q_events_bots",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             COUNT(*) AS n_events,
+             COUNT(DISTINCT date_trunc('minute', ts)) AS active_minutes,
+             COUNT(DISTINCT event_type) AS n_types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           CAST(active_minutes AS BIGINT) AS active_minutes,
+           CAST(n_types AS BIGINT) AS n_types,
+           CASE WHEN n_events > 3 * active_minutes THEN 1 ELSE 0 END
+             AS is_bot
+    FROM per_user
+    WHERE n_events > 3 * active_minutes
+    ORDER BY user_id
+    """,
+)
+def q_events_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/automation detection by sustained superhuman rate: users whose
+    event count exceeds 3× their distinct active minutes (i.e. >3
+    events/minute averaged over every minute they were active) — the
+    traffic-cleaning gate run before any engagement metric or
+    training-data extraction, since one scraper can outweigh a thousand
+    humans.
+
+    The rate test is an integer cross-multiplication (no float), and
+    distinct-minute counting happens inside one grouped aggregation on
+    user_id.  At 100 TB this is one fact shuffle; the flagged-user set
+    then broadcast-anti-joins the corpus to drop bot traffic."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct(F.date_trunc("minute", "ts")).alias("active_minutes"),
+        F.countDistinct("event_type").alias("n_types"),
+    )
+    return (
+        per_user.filter(F.col("n_events") > 3 * F.col("active_minutes"))
+        .select(
+            "user_id",
+            "n_events",
+            "active_minutes",
+            "n_types",
+            F.lit(1).alias("is_bot"),
+        )
+        .orderBy("user_id")
+    )
