@@ -145,3 +145,78 @@ def table_info(spark: SparkSession, table_name: str) -> dict[str, Any]:
         "row_count": info.row_count,
         "is_external": info.is_external,
     }
+
+
+# ---------------------------------------------------------------------------
+# Upload-status polling twin
+# (reference frontend/apps/web/src/app/api/upload-status/[id]/route.ts:1-60:
+# the tus S3 store's upload metadata carries processing_status /
+# processing_error / processing_completed_at; the route maps them to
+# success / error / unknown payloads).  Here the store is in-process —
+# the transport was never the product — with the same states and the
+# same response shapes.
+# ---------------------------------------------------------------------------
+
+_UPLOADS: dict[str, dict[str, Any]] = {}
+
+
+def process_csv_tracked(
+    spark: SparkSession,
+    path: str,
+    table_name: str | None = None,
+    *,
+    upload_id: str | None = None,
+    has_header: bool = True,
+) -> str:
+    """POST /process-csv with status tracking: registers the upload,
+    runs the ingest, and records success (with completion timestamp) or
+    the failure message — poll with `upload_status(upload_id)`.
+    Returns the upload id."""
+    import time as _time
+    import uuid as _uuid
+
+    uid = upload_id or _uuid.uuid4().hex
+    _UPLOADS[uid] = {"processing_status": "processing"}
+    try:
+        result = process_csv(
+            spark, path, table_name, has_header=has_header
+        )
+        _UPLOADS[uid] = {
+            "processing_status": "success",
+            "processing_completed_at": _time.strftime(
+                "%Y-%m-%dT%H:%M:%SZ", _time.gmtime()
+            ),
+            "result": result,
+        }
+    except Exception as ex:  # noqa: BLE001 — the error IS the payload
+        _UPLOADS[uid] = {
+            "processing_status": "error",
+            "processing_error": str(ex),
+        }
+    return uid
+
+
+def upload_status(upload_id: str) -> dict[str, Any]:
+    """GET /api/upload-status/<id> twin — same branch order as the
+    reference route: not-found error, processing_error, success with
+    completedAt, else unknown."""
+    meta = _UPLOADS.get(upload_id)
+    if meta is None:
+        return {"error": "Upload not found"}
+    if meta.get("processing_error"):
+        return {
+            "status": "error",
+            "error": meta["processing_error"],
+            "uploadId": upload_id,
+        }
+    if meta.get("processing_status") == "success":
+        return {
+            "status": "success",
+            "uploadId": upload_id,
+            "completedAt": meta.get("processing_completed_at"),
+        }
+    return {
+        "status": "unknown",
+        "uploadId": upload_id,
+        "message": "Processing status unknown",
+    }

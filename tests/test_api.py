@@ -63,3 +63,24 @@ def test_table_info_shape(spark, tmp_path):
         assert out["sanitized_name"] == "api_info_t"
     finally:
         spark.sql("DROP TABLE IF EXISTS api_info_t")
+
+
+def test_upload_status_lifecycle(spark, tmp_path):
+    """Reference upload-status contract: success path carries
+    completedAt, failure path carries the error, unknown id 404-shapes
+    (frontend .../upload-status/[id]/route.ts:1-60)."""
+    from data_warehouse_hive_spark import api
+
+    csv = tmp_path / "ok.csv"
+    csv.write_text("a,b\n1,x\n2,y\n")
+    uid = api.process_csv_tracked(spark, str(csv), "upload_ok_t")
+    st = api.upload_status(uid)
+    assert st["status"] == "success" and st["uploadId"] == uid
+    assert st["completedAt"]
+
+    bad_uid = api.process_csv_tracked(spark, str(tmp_path / "missing.csv"))
+    st_bad = api.upload_status(bad_uid)
+    assert st_bad["status"] == "error" and st_bad["error"]
+
+    assert api.upload_status("nope") == {"error": "Upload not found"}
+    spark.sql("DROP TABLE IF EXISTS upload_ok_t")
