@@ -936,14 +936,21 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketed by term; a phrase query touches only its terms' postings —
     per-query cost is O(df), independent of corpus size."""
     d = spread(t(spark, sf_dir, "documents").select("doc_id", "source", "text"), spark)
-    toks = d.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.split(
-                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
-            )
-        ).alias("pos", "term"),
+    toks = (
+        d.select(
+            "doc_id",
+            "source",
+            F.posexplode(
+                F.split(
+                    F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+                )
+            ).alias("pos", "term"),
+        )
+        # keep only the query's terms, then checkpoint: the phrase join
+        # consumes the postings twice — without this the corpus is
+        # scanned+exploded once per side
+        .filter(F.col("term").isin("table", "value"))
+        .localCheckpoint(eager=False)
     )
     t1 = toks.filter(F.col("term") == "table").select(
         "doc_id", "source", F.col("pos").alias("p1")

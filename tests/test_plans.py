@@ -642,3 +642,37 @@ def test_q05_prefilters_both_dimension_paths(spark, sf_dir):
     plan = formatted_plan(df)
     assert "LeftSemi" in plan, plan
     assert "r_name" in " ".join(pushed_filters(plan)), plan
+
+
+def test_spatial_grid_is_equi_join(spark, sf_dir):
+    """The distance join must execute as a cell-key HASH join — never the
+    O(n·m) cartesian/BNL the oracle states."""
+    plan = _plan(spark, sf_dir, "q_join_spatial_grid")
+    strategies = join_strategies(plan)
+    assert not any(
+        "Cartesian" in s or "NestedLoop" in s for s in strategies
+    ), plan
+
+
+def test_phrase_search_single_corpus_scan(spark, sf_dir):
+    """Both phrase sides read the checkpointed filtered postings — the
+    documents parquet is scanned once, not once per term."""
+    df = REGISTRY["q_text_phrase_search"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_basket_rules_no_cartesian(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_basket_rules")
+    strategies = join_strategies(plan)
+    # the single 1-row basket-total crossjoin is broadcast; no real
+    # cartesian over data-sized relations
+    assert not any("CartesianProduct" in s for s in strategies), plan
+    assert uses_take_ordered(plan), plan
+
+
+def test_similar_items_joins_on_order_key(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_recs_similar_items")
+    assert not any(
+        "CartesianProduct" in s for s in join_strategies(plan)
+    ), plan
