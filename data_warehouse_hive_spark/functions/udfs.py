@@ -27,7 +27,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import DoubleType
 
 from data_warehouse_hive_spark.registry import o_dsum, query
-from data_warehouse_hive_spark.tables import t
+from data_warehouse_hive_spark.tables import spread, t
 
 
 @pandas_udf(DoubleType())
@@ -248,3 +248,79 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_agg_heavy_hitters",
+    oracle="""
+    WITH toks AS (
+      SELECT u.t AS token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t) u
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM toks),
+    cnt AS (SELECT token, COUNT(*) AS freq FROM toks GROUP BY token)
+    SELECT c.token, c.freq
+    FROM cnt c CROSS JOIN tot
+    WHERE c.freq * 25 > tot.n
+    ORDER BY c.freq DESC, c.token
+    """,
+)
+def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters (tokens with frequency > n/25) via the
+    two-pass Misra-Gries pattern — THE way to find hot keys when the key
+    cardinality is too large to shuffle a full groupBy (the oracle's
+    form): pass 1 runs the Misra-Gries streaming summary per partition
+    (bounded 25-counter state in an Arrow-batched mapInPandas — MG
+    guarantees every item above the threshold survives SOME partition's
+    summary), pass 2 exactly counts ONLY the ≤ partitions×25 candidate
+    keys via a broadcast semi-join — so the one shuffle carries
+    candidate tokens instead of the full vocabulary.  False candidates
+    are killed by the exact threshold filter, so the result equals the
+    oracle's full groupBy exactly.
+
+    This is the (b)-tier custom-operator strategy: per-partition
+    imperative state that DataFrame ops can't express, Arrow-batched,
+    with output bounded by construction.
+    """
+    import pandas as _pd
+
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            )
+        ).alias("token")
+    )
+
+    k = 25
+
+    def mg_partition(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for tok in pdf["token"]:
+                if tok in counters:
+                    counters[tok] += 1
+                elif len(counters) < k:
+                    counters[tok] = 1
+                else:
+                    dead = [c for c in counters if counters[c] == 1]
+                    for c in counters:
+                        counters[c] -= 1
+                    for c in dead:
+                        del counters[c]
+        yield _pd.DataFrame({"token": list(counters.keys())})
+
+    candidates = (
+        toks.mapInPandas(mg_partition, "token string").distinct()
+    )
+    total = toks.count()
+    exact = (
+        toks.join(F.broadcast(candidates), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") * k > F.lit(total))
+    )
+    return exact.orderBy(F.col("freq").desc(), "token")
