@@ -1083,3 +1083,107 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+@query(
+    "q_dedup_lsh_tuning",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    shv AS (
+      SELECT doc_id, source, {_o_shingles(3)} AS sh FROM documents
+    ),
+    blocked AS (
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / CAST(len(list_distinct(a.sh || b.sh)) AS DOUBLE) AS j
+      FROM shv a JOIN shv b
+        ON a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    tagged AS (
+      SELECT CAST(floor(bl.j * 10.0) AS BIGINT) AS bucket,
+             CASE WHEN p.doc_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+      FROM blocked bl
+      LEFT JOIN pairs p ON p.doc_a = bl.da AND p.doc_b = bl.db
+    ),
+    agg AS (
+      SELECT bucket, COUNT(*) AS n_pairs,
+             CAST(SUM(is_cand) AS BIGINT) AS n_candidates
+      FROM tagged GROUP BY bucket
+    )
+    SELECT bucket, n_pairs, n_candidates,
+           round(CAST(n_candidates AS DOUBLE) / CAST(n_pairs AS DOUBLE), 6)
+             AS empirical_rate,
+           round(1.0 - (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0))
+                     * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0))
+                     * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0))
+                     * (1.0 - ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)
+                              * ((CAST(bucket AS DOUBLE) + 0.5) / 10.0)), 6)
+             AS theoretical_rate
+    FROM agg
+    ORDER BY bucket
+    """,
+)
+def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration: per exact-Jaccard bucket (width 0.1,
+    pairs blocked by source so ground truth stays sub-quadratic), the
+    EMPIRICAL candidate rate of the 4-band × 3-row scheme next to the
+    THEORETICAL 1−(1−s³)⁴ at the bucket midpoint — the table consulted
+    before trusting a (B, R) choice: if the empirical curve sags below
+    theory near the 0.8 threshold, the hash family (not the banding
+    math) is the problem.
+
+    Ground-truth pairs come from the same label-blocked pattern as
+    q_dedup_embedding (never all-pairs); candidacy is a LEFT JOIN
+    against the banded pair list; the S-curve polynomial is written as
+    explicit multiplications (no pow()) so both engines compute
+    identical bits."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = minhash_candidate_pairs(docs).withColumn("is_c", F.lit(1))
+    shv = shingle_arrays(docs).join(
+        docs.select("doc_id", "source"), "doc_id"
+    ).localCheckpoint(eager=False)
+    a = shv.select(
+        F.col("doc_id").alias("da"), F.col("source").alias("sa"), F.col("sh").alias("sh_a")
+    )
+    b = shv.select(
+        F.col("doc_id").alias("db"), F.col("source").alias("sb"), F.col("sh").alias("sh_b")
+    )
+    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_distinct(F.concat("sh_a", "sh_b"))
+    ).cast("double")
+    blocked = a.join(
+        b, (F.col("sa") == F.col("sb")) & (F.col("da") < F.col("db"))
+    ).select("da", "db", j.alias("j"))
+    tagged = blocked.join(
+        pairs,
+        (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
+        "left",
+    ).select(
+        F.floor(F.col("j") * F.lit(10.0)).cast("long").alias("bucket"),
+        F.coalesce(F.col("is_c"), F.lit(0)).alias("is_cand"),
+    )
+    agg = tagged.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("is_cand").alias("n_candidates"),
+    )
+    s = (F.col("bucket").cast("double") + F.lit(0.5)) / F.lit(10.0)
+    s3 = s * s * s
+    miss = F.lit(1.0) - s3
+    theo = F.lit(1.0) - miss * miss * miss * miss
+    return agg.select(
+        "bucket",
+        "n_pairs",
+        "n_candidates",
+        F.round(
+            F.col("n_candidates").cast("double") / F.col("n_pairs").cast("double"),
+            6,
+        ).alias("empirical_rate"),
+        F.round(theo, 6).alias("theoretical_rate"),
+    ).orderBy("bucket")
