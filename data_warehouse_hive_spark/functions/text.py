@@ -967,3 +967,98 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hits"))
         .orderBy("doc_id")
     )
+
+
+@query(
+    "q_text_js_drift",
+    oracle="""
+    WITH toks AS (
+      SELECT source, u.t AS token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t) u
+      WHERE source IN ('src0', 'src1')
+    ),
+    cnt AS (
+      SELECT token,
+             COUNT(*) FILTER (WHERE source = 'src0') AS ca,
+             COUNT(*) FILTER (WHERE source = 'src1') AS cb
+      FROM toks GROUP BY token
+    ),
+    tot AS (
+      SELECT CAST(SUM(ca) AS BIGINT) AS na, CAST(SUM(cb) AS BIGINT) AS nb
+      FROM cnt
+    ),
+    probs AS (
+      SELECT CAST(c.ca AS DOUBLE) / CAST(t.na AS DOUBLE) AS p,
+             CAST(c.cb AS DOUBLE) / CAST(t.nb AS DOUBLE) AS q
+      FROM cnt c CROSS JOIN tot t
+    ),
+    terms AS (
+      SELECT CAST(floor(round(
+               CASE WHEN p > 0.0
+                    THEN 0.5 * p * ln(p / ((p + q) / 2.0)) ELSE 0.0 END
+               + CASE WHEN q > 0.0
+                      THEN 0.5 * q * ln(q / ((p + q) / 2.0)) ELSE 0.0 END,
+               9) * 1e9 + 0.5) AS BIGINT) AS term_c
+      FROM probs
+    )
+    SELECT 'src0_vs_src1' AS pair,
+           round(CAST(SUM(term_c) AS DOUBLE) / 1e9, 6) AS js_divergence
+    FROM terms
+    """,
+)
+def q_text_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence between two sources' token
+    distributions — the TEXT drift metric (the numeric twin is
+    q_stats_psi): symmetric, bounded by ln 2, and zero-safe where raw KL
+    blows up on vocabulary the other side lacks.  This is the
+    corpus-version comparison run before/after a pipeline change: a JS
+    jump means the change shifted WHAT the corpus says, not just how
+    much of it there is.
+
+    One token-count aggregation produces both distributions (conditional
+    counts, single shuffle); each per-token JS term is ln-pinned to 9 dp
+    and carrier-summed — the q_agg_geomean idiom — so the transcendental
+    never leaks engine ulps into the exact sum."""
+    d = spread(
+        t(spark, sf_dir, "documents")
+        .filter(F.col("source").isin("src0", "src1"))
+        .select("source", "text"),
+        spark,
+    )
+    toks = d.select(
+        "source",
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            )
+        ).alias("token"),
+    )
+    cnt = toks.groupBy("token").agg(
+        F.count(F.when(F.col("source") == "src0", 1)).alias("ca"),
+        F.count(F.when(F.col("source") == "src1", 1)).alias("cb"),
+    )
+    tot = cnt.agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    probs = cnt.crossJoin(F.broadcast(tot)).select(
+        (F.col("ca").cast("double") / F.col("na").cast("double")).alias("p"),
+        (F.col("cb").cast("double") / F.col("nb").cast("double")).alias("q"),
+    )
+    m = (F.col("p") + F.col("q")) / F.lit(2.0)
+    term = (
+        F.when(
+            F.col("p") > 0.0, F.lit(0.5) * F.col("p") * F.log(F.col("p") / m)
+        ).otherwise(F.lit(0.0))
+        + F.when(
+            F.col("q") > 0.0, F.lit(0.5) * F.col("q") * F.log(F.col("q") / m)
+        ).otherwise(F.lit(0.0))
+    )
+    term_c = F.floor(F.round(term, 9) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return probs.select(term_c.alias("term_c")).agg(
+        F.lit("src0_vs_src1").alias("pair"),
+        F.round(F.sum("term_c").cast("double") / F.lit(1e9), 6).alias(
+            "js_divergence"
+        ),
+    )
