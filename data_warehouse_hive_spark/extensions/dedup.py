@@ -1146,21 +1146,40 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical bits."""
     docs = t(spark, sf_dir, "documents")
     pairs = minhash_candidate_pairs(docs).withColumn("is_c", F.lit(1))
-    shv = shingle_arrays(docs).join(
-        docs.select("doc_id", "source"), "doc_id"
-    ).localCheckpoint(eager=False)
-    a = shv.select(
-        F.col("doc_id").alias("da"), F.col("source").alias("sa"), F.col("sh").alias("sh_a")
+    # slim pair-key generation first: the source block key has only ~20
+    # distinct values, so joining the HEAVY shingle arrays on it would
+    # both skew (3 busy partitions) and shuffle every array per pair.
+    # Instead the block join runs on (doc_id, source) alone, then each
+    # side's shingles attach via uniform doc_id hash joins — the
+    # q_dedup_verify shape (measured 4.6× faster at sf0.1).
+    ids = docs.select("doc_id", "source")
+    blocked_keys = (
+        ids.select(F.col("doc_id").alias("da"), F.col("source").alias("sa"))
+        .join(
+            ids.select(F.col("doc_id").alias("db"), F.col("source").alias("sb")),
+            (F.col("sa") == F.col("sb")) & (F.col("da") < F.col("db")),
+        )
+        .select("da", "db")
+        # the block join's output is hash-partitioned on ~20 source
+        # values (a handful of busy partitions); re-spread the SLIM key
+        # pairs so the expensive per-pair set arithmetic downstream runs
+        # at full width.  The partition count is EXPLICIT: AQE would
+        # coalesce this byte-tiny shuffle to a few partitions, which is
+        # right for IO but wrong for the compute-bound intersect map
+        # that follows (AQE sizes by bytes, not CPU).
+        .repartition(docs.sparkSession.sparkContext.defaultParallelism, "da", "db")
     )
-    b = shv.select(
-        F.col("doc_id").alias("db"), F.col("source").alias("sb"), F.col("sh").alias("sh_b")
-    )
+    shv = shingle_arrays(docs).localCheckpoint(eager=False)
+    a = shv.select(F.col("doc_id").alias("ka"), F.col("sh").alias("sh_a"))
+    b = shv.select(F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"))
     j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_distinct(F.concat("sh_a", "sh_b"))
     ).cast("double")
-    blocked = a.join(
-        b, (F.col("sa") == F.col("sb")) & (F.col("da") < F.col("db"))
-    ).select("da", "db", j.alias("j"))
+    blocked = (
+        blocked_keys.join(a, F.col("ka") == F.col("da"))
+        .join(b, F.col("kb") == F.col("db"))
+        .select("da", "db", j.alias("j"))
+    )
     tagged = blocked.join(
         pairs,
         (F.col("doc_a") == F.col("da")) & (F.col("doc_b") == F.col("db")),
