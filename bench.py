@@ -122,6 +122,18 @@ EXT_R4C = [
     "q_win_frame_time",
 ]
 
+# round-4 continuation (fourth wave): the heaviest of the new retrieval /
+# dedup-calibration / custom-operator plans.
+EXT_R4D = [
+    "q_dedup_lsh_tuning",
+    "q_agg_heavy_hitters",
+    "q_sim_mmr",
+    "q_text_js_drift",
+    "q_recs_similar_items",
+    "q_text_phrase_search",
+    "q_join_spatial_grid",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -145,7 +157,7 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C:
+    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D:
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -177,6 +189,8 @@ def main() -> None:
     ext_r4b["total"] = round(sum(ext_r4b.values()), 3)
     ext_r4c = {name: timed(name) for name in EXT_R4C}
     ext_r4c["total"] = round(sum(ext_r4c.values()), 3)
+    ext_r4d = {name: timed(name) for name in EXT_R4D}
+    ext_r4d["total"] = round(sum(ext_r4d.values()), 3)
 
     print(
         json.dumps(
@@ -190,6 +204,7 @@ def main() -> None:
                 "ext_r4": ext_r4,
                 "ext_r4b": ext_r4b,
                 "ext_r4c": ext_r4c,
+                "ext_r4d": ext_r4d,
                 "sf": sf,
                 "n_queries": len(timings),
             }
