@@ -1306,3 +1306,58 @@ def q_curate_rejects(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+@query(
+    "q_sample_weighted_topk",
+    oracle="""
+    WITH drawn AS (
+      SELECT doc_id, source, n_chars,
+             round(ln(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                           ::UBIGINT::BIGINT + 1 AS DOUBLE) / 4294967297.0)
+                   / CAST(n_chars AS DOUBLE), 9) AS priority
+      FROM documents
+    ),
+    ranked AS (
+      SELECT source, doc_id, n_chars, priority,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY priority DESC, doc_id) AS rk
+      FROM drawn
+    )
+    SELECT source, doc_id, n_chars, priority, rk
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rk
+    """,
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, k=5 per source, via the
+    Efraimidis-Spirakis priority trick: draw u ~ U(0,1) per row
+    (deterministic md5 uniform, not rand()) and keep the top-k by
+    u^(1/w) — equivalently by ln(u)/w, which avoids the pow() ulp trap.
+    This yields an EXACT weighted without-replacement sample in one
+    pass + one per-group window, the distributed form of the
+    sequential reservoir (the Bernoulli sibling is q_sample_weighted;
+    this one guarantees exactly k survivors per group).
+
+    The priority is ln-pinned to 9 dp before ranking, and doc_id breaks
+    ties, so the selected set is bit-identical across engines and
+    partitionings.  Weight = n_chars (swap in any quality score)."""
+    d = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        + F.lit(1)
+    ).cast("double") / F.lit(4294967297.0)
+    priority = F.round(F.log(u) / F.col("n_chars").cast("double"), 9)
+    drawn = d.select(
+        "doc_id", "source", "n_chars", priority.alias("priority")
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("priority").desc(), "doc_id"
+    )
+    return (
+        drawn.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("source", "doc_id", "n_chars", "priority", "rk")
+        .orderBy("source", "rk")
+    )
