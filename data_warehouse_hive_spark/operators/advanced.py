@@ -1189,3 +1189,93 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_mktsegment
         """
     )
+
+
+@query(
+    "q_join_asof_tolerance",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+      SELECT p.user_id, p.p_event_id, p.p_ts,
+             c.c_event_id, c.c_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+    )
+    SELECT user_id, p_event_id,
+           strftime(p_ts, '%Y-%m-%d %H:%M:%S') AS p_ts,
+           CASE WHEN c_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(c_ts) <= 1800000000
+                THEN c_event_id END AS attrib_click_id,
+           CASE WHEN c_ts IS NOT NULL
+                 AND epoch_us(p_ts) - epoch_us(c_ts) <= 1800000000
+                THEN CAST(epoch_us(p_ts) - epoch_us(c_ts) AS BIGINT)
+           END AS gap_us
+    FROM matched
+    ORDER BY user_id, p_event_id
+    """,
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join WITH a match tolerance (pandas merge_asof's
+    `tolerance=` / attribution's lookback window): each purchase takes
+    the user's most recent click, but only if it happened within 30
+    minutes — older clicks attribute nothing.  The tolerance is a
+    post-predicate on the as-of match (NULL-out, keep the row), NOT a
+    join-condition change: the nearest-match semantics must bind first,
+    or a just-outside-window click would wrongly let an older
+    in-window one match.
+
+    Same single user_id-shuffle union-window plan as q_join_asof (the
+    tagged-union forward-fill); the window check is one integer µs
+    comparison per match."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+    )
+    tagged = purchases.withColumn("side", F.lit(1)).unionByName(
+        clicks.withColumn("side", F.lit(0))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ets", "side", "eid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = tagged.select(
+        "user_id",
+        "ets",
+        "eid",
+        "side",
+        F.last(
+            F.when(F.col("side") == 0, F.col("eid")), ignorenulls=True
+        ).over(w).alias("last_click_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ets")), ignorenulls=True
+        ).over(w).alias("last_click_ts"),
+    )
+    gap = F.unix_micros("ets") - F.unix_micros("last_click_ts")
+    in_win = F.col("last_click_ts").isNotNull() & (gap <= 1_800_000_000)
+    return (
+        carried.filter(F.col("side") == 1)
+        .select(
+            "user_id",
+            F.col("eid").alias("p_event_id"),
+            F.date_format("ets", "yyyy-MM-dd HH:mm:ss").alias("p_ts"),
+            F.when(in_win, F.col("last_click_id")).alias("attrib_click_id"),
+            F.when(in_win, gap).alias("gap_us"),
+        )
+        .orderBy("user_id", "p_event_id")
+    )

@@ -647,3 +647,137 @@ def q_fn_uuid(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.substring("hx", 21, 12),
         ).alias("stable_uuid"),
     )
+
+
+# Poisson(1) cumulative thresholds for the hash-uniform → replicate-weight
+# map (P0=.367879, +P1=.735759, +P2=.919699, +P3=.981012, +P4=.996340).
+_POIS = (0.367879, 0.735759, 0.919699, 0.981012, 0.996340)
+
+
+@query(
+    "q_stats_bootstrap",
+    oracle=f"""
+    WITH rep AS (
+      SELECT o_orderkey, o_totalprice, r.r AS r
+      FROM orders, LATERAL (SELECT unnest(generate_series(1, 20)) AS r) r
+    ),
+    drawn AS (
+      SELECT r, o_totalprice,
+             CAST(('0x' || substr(md5(CAST(o_orderkey AS VARCHAR) || ':'
+                                      || CAST(r AS VARCHAR)), 1, 8))
+                  ::UBIGINT::BIGINT AS DOUBLE) / 4294967296.0 AS u
+      FROM rep
+    ),
+    weighted AS (
+      SELECT r, o_totalprice,
+             CASE WHEN u < {_POIS[0]} THEN 0
+                  WHEN u < {_POIS[1]} THEN 1
+                  WHEN u < {_POIS[2]} THEN 2
+                  WHEN u < {_POIS[3]} THEN 3
+                  WHEN u < {_POIS[4]} THEN 4
+                  ELSE 5 END AS w
+      FROM drawn
+    ),
+    means AS (
+      SELECT r,
+             round(CAST(SUM(CAST(w AS BIGINT)
+                            * CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6
+                   / CAST(SUM(CAST(w AS BIGINT)) AS DOUBLE), 6) AS m
+      FROM weighted GROUP BY r
+    ),
+    ranked AS (
+      SELECT m, ROW_NUMBER() OVER (ORDER BY m, r) AS rk FROM means
+    ),
+    point AS (
+      SELECT round(CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 6)
+               AS point_mean
+      FROM orders
+    )
+    SELECT p.point_mean,
+           (SELECT m FROM ranked WHERE rk = 2) AS boot_lo,
+           (SELECT m FROM ranked WHERE rk = 19) AS boot_hi,
+           CAST(20 AS BIGINT) AS n_replicates
+    FROM point p
+    """,
+)
+def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap confidence interval for the mean order value:
+    20 pseudo-replicates where each row's per-replicate multiplicity is
+    Poisson(1), drawn from a DETERMINISTIC md5 uniform mapped through
+    fixed cumulative thresholds — the bootstrap that runs at 100 TB
+    (one pass over data×B, no resampled copies, no RNG state; the
+    idiom behind production error bars on streaming metrics).  The CI
+    is the 2nd/19th of the 20 sorted replicate means (≈ 90% band).
+
+    Each replicate mean is Σ(w·carrier)/Σw — exact integer arithmetic;
+    the replicate explosion is a generator (no shuffle until the 20-key
+    aggregation).  Deterministic end-to-end: same data → same CI, any
+    partitioning, either engine."""
+    o = t(spark, sf_dir, "orders")
+    rep = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        F.explode(F.sequence(F.lit(1), F.lit(20))).alias("r"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"),
+                        F.lit(":"),
+                        F.col("r").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+    ).cast("double") / F.lit(4294967296.0)
+    w = (
+        F.when(u < _POIS[0], 0)
+        .when(u < _POIS[1], 1)
+        .when(u < _POIS[2], 2)
+        .when(u < _POIS[3], 3)
+        .when(u < _POIS[4], 4)
+        .otherwise(5)
+    )
+    pc = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    means = (
+        rep.select("r", (w.cast("long")).alias("w"), pc.alias("pc"))
+        .groupBy("r")
+        .agg(
+            F.round(
+                F.sum(F.col("w") * F.col("pc")).cast("double")
+                / F.lit(1e6)
+                / F.sum("w").cast("double"),
+                6,
+            ).alias("m")
+        )
+    )
+    ranked = means.select(
+        "m",
+        F.row_number().over(Window.orderBy("m", "r")).alias("rk"),
+    )
+    point = o.agg(
+        F.round(
+            F.sum(pc).cast("double") / F.lit(1e6) / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("point_mean")
+    )
+    lo = ranked.filter(F.col("rk") == 2).select(F.col("m").alias("boot_lo"))
+    hi = ranked.filter(F.col("rk") == 19).select(F.col("m").alias("boot_hi"))
+    return (
+        point.crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+        .select(
+            "point_mean",
+            "boot_lo",
+            "boot_hi",
+            F.lit(20).cast("long").alias("n_replicates"),
+        )
+    )
