@@ -324,3 +324,48 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("freq") * k > F.lit(total))
     )
     return exact.orderBy(F.col("freq").desc(), "token")
+
+
+@query(
+    "q_udf_arrow_native",
+    oracle="""
+    SELECT vec_id, label,
+           round(sqrt(list_sum(list_transform(embedding,
+                  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def q_udf_arrow_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mapInArrow — the zero-copy tier below mapInPandas: batches arrive
+    as raw Arrow RecordBatches and the 64-dim embedding column is viewed
+    as a flat numpy array (one reshape, no per-row Python objects, no
+    pandas conversion), so the vectorized norm runs at numpy speed on
+    memory Spark already laid out columnar.  This is the right tier for
+    numeric kernels over array columns (quantization, normalization,
+    distance batches); mapInPandas pays a pandas Series materialization
+    per column on top of this.
+
+    Values match the JVM-fold twin (q_embed_norms' expression) to the
+    1e-6 pin — numpy's pairwise summation and the sequential fold differ
+    at ~1e-15 relative, absorbed by the rounding."""
+    import numpy as np
+    import pyarrow as pa
+
+    em = t(spark, sf_dir, "embeddings")
+
+    def arrow_norms(batches):
+        for batch in batches:
+            vec_id = batch.column("vec_id")
+            label = batch.column("label")
+            emb = batch.column("embedding")
+            flat = emb.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            mat = flat.reshape(len(batch), -1)
+            norms = np.round(np.sqrt(np.sum(np.square(mat), axis=1)), 6)
+            yield pa.RecordBatch.from_arrays(
+                [vec_id, label, pa.array(norms, type=pa.float64())],
+                names=["vec_id", "label", "l2_norm"],
+            )
+
+    return em.select("vec_id", "label", "embedding").mapInArrow(
+        arrow_norms, "vec_id long, label int, l2_norm double"
+    )

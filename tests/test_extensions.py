@@ -546,3 +546,45 @@ def test_mp4_header_decode_real_format(spark):
     assert set(out) == {1, 2}
     assert out[1]["duration_ms"] == 5500 and out[1]["n_tracks"] == 2
     assert out[2]["timescale"] == 90000 and out[2]["major_brand"] == "isom"
+
+
+def test_observe_metrics_match_aggregates(spark, sf_dir):
+    """df.observe(): pipeline metrics collected DURING execution (one
+    pass, no second scan) must equal the separately-computed aggregates.
+    The carrier sum inside the observation keeps the metric exact."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    obs = Observation("ingest_metrics")
+    df = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("price_carrier"),
+        )
+    )
+    n_out = df.count()  # triggers execution; observation fills in
+    got = obs.get
+    expected = (
+        tbl(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 100000.0)
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(
+                F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast(
+                    "long"
+                )
+            ).alias("price_carrier"),
+        )
+        .collect()[0]
+    )
+    assert got["n_rows"] == n_out == expected["n_rows"]
+    assert got["price_carrier"] == expected["price_carrier"]
