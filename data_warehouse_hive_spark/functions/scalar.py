@@ -1229,3 +1229,53 @@ def q_fn_timezone(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_utc_timestamp("ts", "Europe/Berlin"), fmt
         ).alias("berlin_ts"),
     )
+
+
+@query(
+    "q_fn_json_table",
+    oracle="""
+    WITH payload AS (
+      SELECT l_orderkey AS ok,
+             json_group_array(json_object('ln', l_linenumber,
+                                          'qty', l_quantity)) AS j
+      FROM lineitem
+      GROUP BY l_orderkey
+    )
+    SELECT p.ok AS o_orderkey,
+           CAST(u.x->'$.ln' AS INT) AS ln,
+           CAST(u.x->'$.qty' AS DOUBLE) AS qty
+    FROM payload p,
+         LATERAL (SELECT unnest(json_extract(p.j, '$[*]')) AS x) u
+    """,
+)
+def q_fn_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON_TABLE-style shredding: an array-of-objects payload (the shape
+    nested API/event feeds arrive in; materialized here from the fixture
+    since it ships no raw nested JSON) is parsed ONCE with a typed array
+    schema and exploded to relational rows — `inline(from_json(...))`,
+    the one-parse answer to per-field get_json_object chains (which
+    re-parse the document per column).
+
+    The whole shred is JVM codegen: schema-directed parse, generator
+    explode, typed columns out.  Both engines rebuild and re-shred the
+    same payload, so the relational output must round-trip identically.
+    """
+    l = t(spark, sf_dir, "lineitem")
+    payload = l.groupBy(F.col("l_orderkey").alias("ok")).agg(
+        F.to_json(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("l_linenumber").alias("ln"),
+                        F.col("l_quantity").alias("qty"),
+                    )
+                )
+            )
+        ).alias("j")
+    )
+    return payload.select(
+        F.col("ok").alias("o_orderkey"),
+        F.inline(
+            F.from_json(F.col("j"), "array<struct<ln:int,qty:double>>")
+        ),
+    )
