@@ -1279,3 +1279,49 @@ def q_fn_json_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.from_json(F.col("j"), "array<struct<ln:int,qty:double>>")
         ),
     )
+
+
+@query(
+    "q_fn_xpath",
+    oracle="""
+    WITH xml AS (
+      SELECT n_nationkey,
+             '<nation><name>' || n_name || '</name><region>'
+               || CAST(n_regionkey AS VARCHAR) || '</region></nation>' AS x
+      FROM nation
+    )
+    SELECT n_nationkey,
+           regexp_extract(x, '<name>([^<]*)</name>', 1) AS nm,
+           CAST(regexp_extract(x, '<region>([^<]*)</region>', 1) AS INT)
+             AS region_key,
+           CASE WHEN x LIKE '%<name>%' THEN true ELSE false END AS has_name
+    FROM xml
+    """,
+)
+def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HiveQL xpath_* builtin family (xpath_string / xpath_int /
+    xpath_boolean) over XML payloads — the legacy semi-structured
+    surface Hive shops still carry (the JSON twins are q_fn_json*).
+    Spark ships the same-named builtins with a real XPath engine; DuckDB
+    has no XPath, so the oracle states the equivalent extraction with
+    anchored regexes — fine for the demo's regular fragment, and exactly
+    the fragile equivalence that motivates migrating feeds to JSON.
+    The XML is materialized from fixture columns since the fixtures ship
+    none; extraction is the surface under test."""
+    n = t(spark, sf_dir, "nation")
+    x = F.concat(
+        F.lit("<nation><name>"),
+        F.col("n_name"),
+        F.lit("</name><region>"),
+        F.col("n_regionkey").cast("string"),
+        F.lit("</region></nation>"),
+    )
+    xml = n.select("n_nationkey", x.alias("x"))
+    return xml.select(
+        "n_nationkey",
+        F.xpath_string("x", F.lit("/nation/name")).alias("nm"),
+        F.xpath_int("x", F.lit("/nation/region")).alias("region_key"),
+        F.xpath_boolean("x", F.lit("count(/nation/name) > 0")).alias(
+            "has_name"
+        ),
+    )

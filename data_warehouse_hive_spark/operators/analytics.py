@@ -781,3 +781,101 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(20).cast("long").alias("n_replicates"),
         )
     )
+
+
+@query(
+    "q_orders_seasonal_decompose",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rc
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    windowed AS (
+      SELECT d, rc,
+             SUM(rc) OVER w AS w7,
+             COUNT(*) OVER w AS n7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT d, rc,
+             CAST(w7 AS DOUBLE) / 7.0 / 1e6 AS trend,
+             CAST(floor((CAST(rc AS DOUBLE) / 1e6
+                         - CAST(w7 AS DOUBLE) / 7.0 / 1e6) * 1e6 + 0.5)
+                  AS BIGINT) AS dc
+      FROM windowed WHERE n7 = 7
+    ),
+    seas AS (
+      SELECT isodow(d) AS dow,
+             CAST(SUM(dc) AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE)
+               AS seasonal
+      FROM detr GROUP BY isodow(d)
+    )
+    SELECT strftime(t.d, '%Y-%m-%d') AS day,
+           round(CAST(t.rc AS DOUBLE) / 1e6, 6) AS revenue,
+           round(t.trend, 6) AS trend,
+           round(s.seasonal, 6) AS seasonal,
+           round(CAST(t.dc AS DOUBLE) / 1e6 - s.seasonal, 6) AS residual
+    FROM detr t JOIN seas s ON s.dow = isodow(t.d)
+    ORDER BY day
+    """,
+)
+def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite time-series decomposition of daily revenue:
+    trend = centered 7-day moving average, seasonal = day-of-week mean
+    of the detrended series, residual = what's left — the
+    anomaly-vs-seasonality separation behind every "is this dip real"
+    question, as three window/group passes over the O(days) rollup
+    (raw facts aggregate once, everything after is tiny).
+
+    Carrier discipline end-to-end: the trend is an exact 7-long sum
+    divided once; the detrended value is re-pinned to a 1e-6 carrier
+    BEFORE the seasonal average so the group mean is order-exact;
+    edge days without a full window are excluded (n7 = 7)."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("rc")
+    )
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    windowed = daily.select(
+        "d",
+        "rc",
+        F.sum("rc").over(w).alias("w7"),
+        F.count(F.lit(1)).over(w).alias("n7"),
+    )
+    trend = F.col("w7").cast("double") / F.lit(7.0) / F.lit(1e6)
+    detr = windowed.filter(F.col("n7") == 7).select(
+        "d",
+        "rc",
+        trend.alias("trend"),
+        F.floor(
+            (F.col("rc").cast("double") / F.lit(1e6) - trend) * F.lit(1e6)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dc"),
+    )
+    dow = F.weekday(F.col("d")) + F.lit(1)
+    seas = detr.groupBy(dow.alias("dow")).agg(
+        (
+            F.sum("dc").cast("double") / F.lit(1e6)
+            / F.count(F.lit(1)).cast("double")
+        ).alias("seasonal")
+    )
+    return (
+        detr.join(seas, dow == F.col("dow"))
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(F.col("rc").cast("double") / F.lit(1e6), 6).alias("revenue"),
+            F.round(F.col("trend"), 6).alias("trend"),
+            F.round(F.col("seasonal"), 6).alias("seasonal"),
+            F.round(
+                F.col("dc").cast("double") / F.lit(1e6) - F.col("seasonal"), 6
+            ).alias("residual"),
+        )
+        .orderBy("day")
+    )
