@@ -1062,3 +1062,104 @@ def q_text_js_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "js_divergence"
         ),
     )
+
+
+@query(
+    "q_text_zipf",
+    oracle="""
+    WITH toks AS (
+      SELECT u.t AS token
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t) u
+    ),
+    freqs AS (
+      SELECT token, COUNT(*) AS freq FROM toks GROUP BY token
+    ),
+    ranked AS (
+      SELECT freq,
+             ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+      FROM freqs
+    ),
+    lg AS (
+      SELECT CAST(floor(round(ln(CAST(rank AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS lx,
+             CAST(floor(round(ln(CAST(freq AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS ly
+      FROM ranked WHERE rank <= 100
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(lx) AS BIGINT) AS sx, CAST(SUM(ly) AS BIGINT) AS sy,
+             CAST(SUM(CAST(floor(CAST(lx AS DOUBLE) / 1e9
+                                 * (CAST(ly AS DOUBLE) / 1e9) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(floor(CAST(lx AS DOUBLE) / 1e9
+                                 * (CAST(lx AS DOUBLE) / 1e9) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS sxx
+      FROM lg
+    )
+    SELECT n,
+           round((CAST(sxy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / 1e9 / CAST(n AS DOUBLE)))
+                 / (CAST(sxx AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)
+                    - (CAST(sx AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))
+                      * (CAST(sx AS DOUBLE) / 1e9 / CAST(n AS DOUBLE))), 6)
+             AS zipf_slope
+    FROM s
+    """,
+)
+def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit: OLS slope of ln(freq) over ln(rank) for the top
+    100 tokens — natural corpora fit ≈ −1; strong deviation flags
+    synthetic, templated, or spam-heavy text, making this a one-number
+    corpus-health gate alongside the Gopher rules.
+
+    Composition of established idioms: frequency ranking (window over
+    the grouped vocabulary), 9 dp ln pins, and the q_stats_regression
+    power-sum slope — every sum an exact long, the slope one mirrored
+    double expression."""
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    toks = d.select(
+        F.explode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            )
+        ).alias("token")
+    )
+    freqs = toks.groupBy("token").agg(F.count(F.lit(1)).alias("freq"))
+    from pyspark.sql import Window
+
+    ranked = freqs.select(
+        "freq",
+        F.row_number()
+        .over(Window.orderBy(F.col("freq").desc(), "token"))
+        .alias("rank"),
+    ).filter(F.col("rank") <= 100)
+    pin = lambda c: F.floor(  # noqa: E731
+        F.round(F.log(c.cast("double")), 9) * F.lit(1e9) + F.lit(0.5)
+    ).cast("long")
+    lg = ranked.select(pin(F.col("rank")).alias("lx"), pin(F.col("freq")).alias("ly"))
+    lxd = F.col("lx").cast("double") / F.lit(1e9)
+    lyd = F.col("ly").cast("double") / F.lit(1e9)
+    s = lg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(
+            F.floor(lxd * lyd * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("sxy"),
+        F.sum(
+            F.floor(lxd * lxd * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("sxx"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / F.lit(1e9) / nd
+    my = F.col("sy").cast("double") / F.lit(1e9) / nd
+    qxy = F.col("sxy").cast("double") / F.lit(1e6) / nd
+    qxx = F.col("sxx").cast("double") / F.lit(1e6) / nd
+    return s.select(
+        "n",
+        F.round((qxy - mx * my) / (qxx - mx * mx), 6).alias("zipf_slope"),
+    )

@@ -879,3 +879,67 @@ def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@query(
+    "q_agg_hhi",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+             CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 1e6
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rc
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY s.s_nationkey, l.l_suppkey
+    ),
+    tot AS (
+      SELECT nk, CAST(SUM(rc) AS BIGINT) AS tc, COUNT(*) AS n_suppliers
+      FROM rev GROUP BY nk
+    )
+    SELECT n.n_name AS nation, t.n_suppliers,
+           round(SUM((CAST(r.rc AS DOUBLE) / CAST(t.tc AS DOUBLE))
+                     * (CAST(r.rc AS DOUBLE) / CAST(t.tc AS DOUBLE))), 6)
+             AS hhi
+    FROM rev r
+    JOIN tot t ON t.nk = r.nk
+    JOIN nation n ON n.n_nationkey = r.nk
+    GROUP BY n.n_name, t.n_suppliers
+    ORDER BY nation
+    """,
+)
+def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation: Σ shareᵢ² — 1/n for perfect competition, 1.0 for monopoly;
+    the dependency-concentration metric procurement and market analyses
+    both run.  Two keyed aggregations (supplier revenue, nation totals)
+    + one share-squared rollup; every share divides two exact carrier
+    longs, and the squared-share sum is small enough (≤1) that the final
+    1e-6 pin absorbs addition-order ulps across ≤ thousands of suppliers
+    per group."""
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        l.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .groupBy(F.col("s_nationkey").alias("nk"), F.col("l_suppkey").alias("sk"))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("rc")
+        )
+    )
+    tot = rev.groupBy(F.col("nk").alias("tnk")).agg(
+        F.sum("rc").alias("tc"), F.count(F.lit(1)).alias("n_suppliers")
+    )
+    share = F.col("rc").cast("double") / F.col("tc").cast("double")
+    return (
+        rev.join(tot, F.col("tnk") == F.col("nk"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("nk"))
+        .groupBy(F.col("n_name").alias("nation"), F.col("n_suppliers"))
+        .agg(F.round(F.sum(share * share), 6).alias("hhi"))
+        .orderBy("nation")
+    )
