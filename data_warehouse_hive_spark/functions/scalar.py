@@ -1325,3 +1325,51 @@ def q_fn_xpath(spark: SparkSession, sf_dir: str) -> DataFrame:
             "has_name"
         ),
     )
+
+
+@query(
+    "q_fn_bitpack",
+    oracle="""
+    WITH packed AS (
+      SELECT p_partkey,
+             (CAST(p_size AS BIGINT) << 40)
+               | (CAST(length(p_brand) AS BIGINT) << 32)
+               | (p_partkey & 4294967295) AS key64
+      FROM part
+    )
+    SELECT p_partkey, key64,
+           key64 >> 40 AS up_size,
+           (key64 >> 32) & 255 AS up_brandlen,
+           key64 & 4294967295 AS up_partkey,
+           ((key64 >> 40) = (SELECT CAST(p_size AS BIGINT) FROM part x
+                             WHERE x.p_partkey = packed.p_partkey)) AS size_ok
+    FROM packed
+    """,
+)
+def q_fn_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bit-packing composite keys: three small fields packed into one
+    BIGINT with shifts/masks and unpacked losslessly — the
+    storage/shuffle-width optimization behind packed dimension keys,
+    bitmap coordinates, and sort keys that encode (partition, position).
+    One long instead of three ints narrows every exchange and sort that
+    carries the key.  Shifts and masks are exact integer ops — no
+    carrier needed; the unpack-equals-source flag is value-checked."""
+    p = t(spark, sf_dir, "part")
+    key64 = (
+        F.shiftleft(F.col("p_size").cast("long"), 40)
+        .bitwiseOR(F.shiftleft(F.length("p_brand").cast("long"), 32))
+        .bitwiseOR(F.col("p_partkey").bitwiseAND(F.lit(4294967295)))
+    )
+    packed = p.select("p_partkey", F.col("p_size"), key64.alias("key64"))
+    return packed.select(
+        "p_partkey",
+        "key64",
+        F.shiftright(F.col("key64"), 40).alias("up_size"),
+        F.shiftright(F.col("key64"), 32).bitwiseAND(F.lit(255)).alias(
+            "up_brandlen"
+        ),
+        F.col("key64").bitwiseAND(F.lit(4294967295)).alias("up_partkey"),
+        (
+            F.shiftright(F.col("key64"), 40) == F.col("p_size").cast("long")
+        ).alias("size_ok"),
+    )

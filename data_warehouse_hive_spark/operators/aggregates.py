@@ -2160,3 +2160,59 @@ def q_agg_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "q_dq_checksum",
+    oracle="""
+    WITH rowhash AS (
+      SELECT ('0x' || substr(md5(concat_ws('|',
+               CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+               o_orderstatus,
+               CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR),
+               strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority)), 1, 11))
+             ::UBIGINT::BIGINT AS h
+      FROM orders
+    )
+    SELECT COUNT(*) AS n_rows,
+           CAST(CAST(SUM(h) AS DECIMAL(38,0)) AS DOUBLE) AS checksum_sum,
+           bit_xor(h) AS checksum_xor,
+           CAST(MIN(h) AS BIGINT) AS checksum_min,
+           CAST(MAX(h) AS BIGINT) AS checksum_max
+    FROM rowhash
+    """,
+)
+def q_dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-insensitive table content checksum: each row canonicalizes
+    (money quantized to exact cents, dates to ISO strings, '|' joined)
+    into a 44-bit md5-derived integer; SUM (DECIMAL(38) accumulator —
+    a long would overflow past ~400k rows — surfaced as double; the XOR
+    is the bit-exact fingerprint), XOR, MIN and MAX of those are
+    commutative fingerprints of the full content — the
+    did-the-migration-preserve-every-row check that catches a lost,
+    duplicated, or silently-mutated row between environments without
+    moving data to one place (each side computes 4 numbers; compare).
+
+    All map-side combinable, one 1-row result; at 100 TB this is a scan
+    at IO speed.  The same canonicalization on any engine yields the
+    same checksums — which is precisely what the DuckDB oracle proves."""
+    o = t(spark, sf_dir, "orders")
+    canon = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h = F.conv(F.substring(F.md5(canon), 1, 11), 16, 10).cast("long")
+    return o.select(h.alias("h")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("h").cast("decimal(38,0)")).cast("double").alias("checksum_sum"),
+        F.bit_xor("h").alias("checksum_xor"),
+        F.min("h").alias("checksum_min"),
+        F.max("h").alias("checksum_max"),
+    )
