@@ -943,3 +943,93 @@ def q_agg_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(share * share), 6).alias("hhi"))
         .orderBy("nation")
     )
+
+
+_SEG = """CASE WHEN {m} < 150000.0 THEN 'low'
+                   WHEN {m} < 400000.0 THEN 'mid'
+                   ELSE 'high' END"""
+
+
+@query(
+    "q_orders_segment_migration",
+    oracle=f"""
+    WITH halves AS (
+      SELECT o_custkey,
+             CASE WHEN o_orderdate < TIMESTAMP '1995-01-01' THEN 1 ELSE 2 END
+               AS half,
+             CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS pc
+      FROM orders
+    ),
+    per AS (
+      SELECT o_custkey, half,
+             CAST(SUM(pc) AS DOUBLE) / 1e6 AS monetary
+      FROM halves GROUP BY o_custkey, half
+    ),
+    seg AS (
+      SELECT o_custkey, half,
+             {_SEG.format(m="monetary")} AS segment
+      FROM per
+    ),
+    mat AS (
+      SELECT coalesce(a.segment, 'absent') AS seg_h1,
+             coalesce(b.segment, 'absent') AS seg_h2,
+             coalesce(a.o_custkey, b.o_custkey) AS ck
+      FROM (SELECT * FROM seg WHERE half = 1) a
+      FULL OUTER JOIN (SELECT * FROM seg WHERE half = 2) b
+        ON a.o_custkey = b.o_custkey
+    )
+    SELECT seg_h1, seg_h2, COUNT(*) AS n_customers
+    FROM mat
+    GROUP BY seg_h1, seg_h2
+    ORDER BY seg_h1, seg_h2
+    """,
+)
+def q_orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer segment-migration matrix: spend tier (low/mid/high by
+    fixed revenue thresholds) in period 1 crossed against period 2,
+    including churn-in/churn-out as the 'absent' segment — the
+    movement-between-cohorts view behind "are mid-tier customers
+    upgrading or leaving" (the longitudinal sibling of the static RFM
+    cube, q_agg_rfm).
+
+    Per-period spend is one (customer, half) carrier aggregation; the
+    matrix is a FULL OUTER self-join on the customer key (both sides
+    already partitioned by it) collapsed to at most 4×4 cells.  Fixed
+    thresholds — not per-period quantiles — so a tier means the same
+    thing in both periods."""
+    o = t(spark, sf_dir, "orders")
+    halves = o.select(
+        "o_custkey",
+        F.when(
+            F.col("o_orderdate") < F.lit("1995-01-01").cast("timestamp"), 1
+        ).otherwise(2).alias("half"),
+        F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("pc"),
+    )
+    per = halves.groupBy("o_custkey", "half").agg(
+        (F.sum("pc").cast("double") / F.lit(1e6)).alias("monetary")
+    )
+    seg = per.select(
+        "o_custkey",
+        "half",
+        F.when(F.col("monetary") < 150000.0, "low")
+        .when(F.col("monetary") < 400000.0, "mid")
+        .otherwise("high")
+        .alias("segment"),
+    )
+    a = seg.filter(F.col("half") == 1).select(
+        F.col("o_custkey").alias("ck1"), F.col("segment").alias("s1")
+    )
+    b = seg.filter(F.col("half") == 2).select(
+        F.col("o_custkey").alias("ck2"), F.col("segment").alias("s2")
+    )
+    mat = a.join(b, F.col("ck1") == F.col("ck2"), "full_outer").select(
+        F.coalesce(F.col("s1"), F.lit("absent")).alias("seg_h1"),
+        F.coalesce(F.col("s2"), F.lit("absent")).alias("seg_h2"),
+    )
+    return (
+        mat.groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("seg_h1", "seg_h2")
+    )
