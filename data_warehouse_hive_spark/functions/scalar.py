@@ -1373,3 +1373,45 @@ def q_fn_bitpack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.shiftright(F.col("key64"), 40) == F.col("p_size").cast("long")
         ).alias("size_ok"),
     )
+
+
+@query(
+    "q_fn_binary",
+    oracle="""
+    WITH b AS (
+      SELECT p_partkey, p_name, md5(p_name) AS hx
+      FROM part
+    )
+    SELECT p_partkey,
+           octet_length(from_hex(hx)) AS payload_bytes,
+           upper(substr(hx, 1, 8)) AS first4_hex,
+           upper(substr(hx, 25, 8)) AS last4_hex,
+           octet_length(from_hex(hx) || from_hex('00FF')) AS concat_bytes,
+           octet_length(encode(p_name)) AS name_utf8_bytes
+    FROM b
+    """,
+)
+def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BinaryType column manipulation — construct (unhex), byte length,
+    byte-range slicing, binary concat, and string→UTF-8 encoding: the
+    operations multimodal tables (sources/multimodal.py) run on real
+    payload columns, here over deterministic md5-derived bytes so a SQL
+    oracle can check them.  Spark slices true binary and hexes back;
+    DuckDB (no blob substring) slices the hex text at doubled offsets —
+    same bytes, proven equivalent."""
+    p = t(spark, sf_dir, "part")
+    payload = F.unhex(F.md5("p_name"))
+    return p.select(
+        "p_partkey",
+        F.octet_length(payload).alias("payload_bytes"),
+        F.hex(F.expr("substring(unhex(md5(p_name)), 1, 4)")).alias(
+            "first4_hex"
+        ),
+        F.hex(F.expr("substring(unhex(md5(p_name)), 13, 4)")).alias(
+            "last4_hex"
+        ),
+        F.octet_length(F.concat(payload, F.unhex(F.lit("00FF")))).alias(
+            "concat_bytes"
+        ),
+        F.octet_length(F.encode("p_name", "utf-8")).alias("name_utf8_bytes"),
+    )
