@@ -351,3 +351,78 @@ from data_warehouse_hive_spark.registry import REGISTRY as _REG3  # noqa: E402
 _spec3 = _REG3["q_graph_jaccard"]
 object.__setattr__(_spec3, "oracle", _spec3.oracle.format(pairs=_o_candidate_edges()))
 del _REG3, _spec3
+
+
+@query(
+    "q_graph_bfs",
+    oracle="""
+    WITH RECURSIVE trans AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+      ) WHERE dst IS NOT NULL AND dst <> src
+    ),
+    r(node, d) AS (
+      SELECT 'signup', 0
+      UNION ALL
+      SELECT t.dst, r.d + 1
+      FROM r JOIN trans t ON t.src = r.node
+      WHERE r.d < 5
+    )
+    SELECT node, CAST(MIN(d) AS BIGINT) AS hops
+    FROM r GROUP BY node
+    ORDER BY hops, node
+    """,
+)
+def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BFS shortest-hop distances from the 'signup' node over the
+    OBSERVED event-type transition graph — reachability analysis ("how
+    many steps from signup can users get anywhere") on the same graph
+    PageRank ranks.  The oracle walks it with a recursive CTE; the
+    Spark side runs bounded min-distance label propagation (the
+    q_dedup_groups iteration pattern): 5 rounds of
+    dist(dst) = min(dist(src)+1), localCheckpoint per round to truncate
+    lineage.
+
+    The only fact-scale work is the one window pass extracting distinct
+    transitions; the iteration operates on the ≤|event types| node
+    set."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = (
+        trans.select(F.col("src").alias("node"))
+        .unionAll(trans.select(F.col("dst").alias("node")))
+        .distinct()
+        .select(
+            "node",
+            F.when(F.col("node") == "signup", 0).alias("d"),
+        )
+    )
+    for _ in range(5):
+        step = (
+            dist.join(trans, F.col("node") == F.col("src"))
+            .filter(F.col("d").isNotNull())
+            .select(F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.filter(F.col("d").isNotNull())
+        .select("node", F.col("d").cast("long").alias("hops"))
+        .orderBy("hops", "node")
+    )

@@ -1433,3 +1433,106 @@ def q_events_bots(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@query(
+    "q_events_ab_test",
+    oracle="""
+    WITH assigned AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CASE WHEN MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                       IS NOT NULL
+                   AND epoch_us(MIN(CASE WHEN event_type = 'purchase'
+                                         THEN ts END))
+                       - epoch_us(MIN(ts)) <= 86400000000
+                  THEN 1 ELSE 0 END AS converted
+      FROM events GROUP BY user_id
+    ),
+    per AS (
+      SELECT variant, COUNT(*) AS n,
+             CAST(SUM(converted) AS BIGINT) AS conv
+      FROM assigned GROUP BY variant
+    ),
+    wide AS (
+      SELECT
+        MAX(CASE WHEN variant = 0 THEN n END) AS n0,
+        MAX(CASE WHEN variant = 0 THEN conv END) AS c0,
+        MAX(CASE WHEN variant = 1 THEN n END) AS n1,
+        MAX(CASE WHEN variant = 1 THEN conv END) AS c1
+      FROM per
+    )
+    SELECT n0, c0, n1, c1,
+           round(CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE), 6) AS rate0,
+           round(CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS rate1,
+           round((CAST(c0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                  - CAST(c1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                 / nullif(sqrt((CAST(c0 + c1 AS DOUBLE)
+                                / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 - CAST(c0 + c1 AS DOUBLE)
+                                 / CAST(n0 + n1 AS DOUBLE))
+                        * (1.0 / CAST(n0 AS DOUBLE)
+                           + 1.0 / CAST(n1 AS DOUBLE))), 0.0), 6) AS z_stat
+    FROM wide
+    """,
+)
+def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-proportion z-test for an A/B experiment: users hash-split
+    into variants (user_id parity — the deterministic assignment a real
+    experiment platform uses), per-variant conversion (first purchase
+    within 24 h of first activity — an activation metric that doesn't
+    saturate on heavy fixtures the way "ever purchased" does),
+    and the pooled z statistic — the significance readout behind every
+    ship/no-ship decision.
+
+    Counts are exact integers from one per-user aggregation + one
+    4-number rollup; the z formula is mirrored IEEE arithmetic over
+    those integers, pinned at 1e-6.  At 100 TB the per-user conversion
+    flag is the only fact-scale aggregation; everything after is a
+    1-row computation."""
+    e = t(spark, sf_dir, "events")
+    first_p = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    assigned = e.groupBy("user_id").agg(
+        F.when(
+            first_p.isNotNull()
+            & (
+                F.unix_micros(first_p) - F.unix_micros(F.min("ts"))
+                <= 86_400_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("converted")
+    ).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"), "converted"
+    )
+    per = assigned.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("converted").alias("conv")
+    )
+    wide = per.agg(
+        F.max(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("variant") == 0, F.col("conv"))).alias("c0"),
+        F.max(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("variant") == 1, F.col("conv"))).alias("c1"),
+    )
+    n0d, c0d = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1d, c1d = F.col("n1").cast("double"), F.col("c1").cast("double")
+    pooled = (F.col("c0") + F.col("c1")).cast("double") / (
+        F.col("n0") + F.col("n1")
+    ).cast("double")
+    z = (c0d / n0d - c1d / n1d) / F.nullif(
+        F.sqrt(
+            pooled
+            * (F.lit(1.0) - pooled)
+            * (F.lit(1.0) / n0d + F.lit(1.0) / n1d)
+        ),
+        F.lit(0.0),
+    )
+    return wide.select(
+        "n0",
+        "c0",
+        "n1",
+        "c1",
+        F.round(c0d / n0d, 6).alias("rate0"),
+        F.round(c1d / n1d, 6).alias("rate1"),
+        F.round(z, 6).alias("z_stat"),
+    )
