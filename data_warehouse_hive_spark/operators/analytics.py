@@ -1033,3 +1033,163 @@ def q_orders_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_customers"))
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+@query(
+    "q_win_rolling_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', o_orderdate) AS d,
+             COUNT(*) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rc
+      FROM orders GROUP BY date_trunc('day', o_orderdate)
+    ),
+    win AS (
+      SELECT d,
+             COUNT(*) OVER w AS n,
+             CAST(SUM(n_orders) OVER w AS BIGINT) AS sx,
+             CAST(SUM(rc) OVER w AS BIGINT) AS sy,
+             CAST(SUM(n_orders * n_orders) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(CAST(floor(CAST(n_orders AS DOUBLE)
+                                 * (CAST(rc AS DOUBLE) / 1e6) + 0.5)
+                           AS BIGINT)) OVER w AS BIGINT) AS sxy,
+             CAST(SUM(CAST(floor((CAST(rc AS DOUBLE) / 1e6)
+                                 * (CAST(rc AS DOUBLE) / 1e6) / 1e6 + 0.5)
+                           AS BIGINT)) OVER w AS BIGINT) AS syy
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(d, '%Y-%m-%d') AS day,
+           round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                  - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                    * (CAST(sy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE)))
+                 / nullif(sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                         - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                           * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                        * (CAST(syy AS DOUBLE) * 1e6 / CAST(n AS DOUBLE)
+                           - (CAST(sy AS DOUBLE) / 1e6 / CAST(n AS DOUBLE))
+                             * (CAST(sy AS DOUBLE) / 1e6
+                                / CAST(n AS DOUBLE)))), 0.0), 6)
+             AS rolling_corr
+    FROM win
+    WHERE n = 14
+    ORDER BY day
+    """,
+)
+def q_win_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 14-day Pearson correlation between daily order COUNT and
+    daily REVENUE — the co-movement monitor ("are we growing on volume
+    or on basket size") computed entirely from windowed exact power
+    sums: five carrier-long window sums per day, then one mirrored
+    closed-form correlation.  Days without a full 14-day window are
+    excluded; a zero-variance window yields NULL via the guarded
+    denominator.  The window runs over the O(days) rollup, never raw
+    facts.  (The xy and y² product sums pre-scale revenue to units /
+    1e6-truncated units so their windowed totals stay well inside a
+    long at any SF.)"""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.date_trunc("day", "o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(
+            F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).alias("rc"),
+    )
+    rd = F.col("rc").cast("double") / F.lit(1e6)
+    w = Window.orderBy("d").rowsBetween(-13, Window.currentRow)
+    win = daily.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("n_orders").over(w).alias("sx"),
+        F.sum("rc").over(w).alias("sy"),
+        F.sum(F.col("n_orders") * F.col("n_orders")).over(w).alias("sxx"),
+        F.sum(
+            F.floor(F.col("n_orders").cast("double") * rd + F.lit(0.5)).cast(
+                "long"
+            )
+        ).over(w).alias("sxy"),
+        F.sum(
+            F.floor(rd * rd / F.lit(1e6) + F.lit(0.5)).cast("long")
+        ).over(w).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / nd
+    my = F.col("sy").cast("double") / F.lit(1e6) / nd
+    qxy = F.col("sxy").cast("double") / nd
+    qxx = F.col("sxx").cast("double") / nd
+    qyy = F.col("syy").cast("double") * F.lit(1e6) / nd
+    corr = (qxy - mx * my) / F.nullif(
+        F.sqrt((qxx - mx * mx) * (qyy - my * my)), F.lit(0.0)
+    )
+    return (
+        win.filter(F.col("n") == 14)
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day"),
+            F.round(corr, 6).alias("rolling_corr"),
+        )
+        .orderBy("day")
+    )
+
+
+@query(
+    "q_agg_gini",
+    oracle="""
+    WITH vals AS (
+      SELECT CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vc,
+             o_orderkey
+      FROM orders
+    ),
+    ranked AS (
+      SELECT vc,
+             ROW_NUMBER() OVER (ORDER BY vc, o_orderkey) AS i
+      FROM vals
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(vc) AS DECIMAL(38,0)) AS sv,
+             CAST(SUM(CAST(i AS DECIMAL(38,0)) * vc) AS DECIMAL(38,0)) AS siv
+      FROM ranked
+    )
+    SELECT n,
+           round(2.0 * (CAST(siv AS DOUBLE) / (CAST(n AS DOUBLE)
+                        * CAST(sv AS DOUBLE)))
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM s
+    """,
+)
+def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of order-value inequality — 0 when every order
+    is identical, →1 when revenue concentrates in a few orders; the
+    distribution-level sibling of q_agg_hhi's per-entity concentration.
+    Computed with the rank formula G = 2·Σ(i·xᵢ)/(n·Σx) − (n+1)/n over
+    values sorted ascending (unique (value, key) rank → deterministic).
+
+    Σ(i·xᵢ) can reach n²·x̄ ≈ 10²¹ at sf1, so both rank-weighted sums
+    accumulate in DECIMAL(38) and surface once as doubles.  At 100 TB
+    the global sort for ranks is the cost — run it per partition-sized
+    stratum or on a quantile-bucketed approximation when exactness can
+    be traded."""
+    o = t(spark, sf_dir, "orders")
+    vals = o.select(
+        F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("vc"),
+        "o_orderkey",
+    )
+    ranked = vals.select(
+        "vc",
+        F.row_number().over(Window.orderBy("vc", "o_orderkey")).alias("i"),
+    )
+    s = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("vc").cast("decimal(38,0)")).alias("sv"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("vc")).alias("siv"),
+    )
+    nd = F.col("n").cast("double")
+    gini = (
+        F.lit(2.0)
+        * (F.col("siv").cast("double") / (nd * F.col("sv").cast("double")))
+        - (nd + F.lit(1.0)) / nd
+    )
+    return s.select("n", F.round(gini, 6).alias("gini"))
