@@ -1163,3 +1163,110 @@ def q_text_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round((qxy - mx * my) / (qxx - mx * mx), 6).alias("zipf_slope"),
     )
+
+
+@query(
+    "q_text_lm_score",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, u.t AS w, u.i AS pos
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(
+                      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                      ' ')) AS t,
+                    generate_subscripts(string_split(
+                      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                      ' '), 1) AS i) u
+    ),
+    bigrams AS (
+      SELECT a.doc_id, a.w AS w1, b.w AS w2
+      FROM toks a JOIN toks b
+        ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    ),
+    bg_cnt AS (
+      SELECT w1, w2, COUNT(*) AS c2 FROM bigrams GROUP BY w1, w2
+    ),
+    ug_cnt AS (
+      SELECT w AS w1, COUNT(*) AS c1 FROM toks GROUP BY w
+    ),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor(round(ln(CAST(c.c2 AS DOUBLE)
+                                 / CAST(u.c1 AS DOUBLE)), 9) * 1e9 + 0.5)
+                  AS BIGINT) AS lp
+      FROM bigrams bg
+      JOIN bg_cnt c ON c.w1 = bg.w1 AND c.w2 = bg.w2
+      JOIN ug_cnt u ON u.w1 = bg.w1
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           round(CAST(SUM(lp) AS DOUBLE) / 1e9 / CAST(COUNT(*) AS DOUBLE), 6)
+             AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: each document's mean bigram
+    log-probability ln P(w₂|w₁) under the corpus's OWN bigram counts —
+    the KenLM-style filter rank (low score = improbable word sequences =
+    boilerplate/garbled/machine text) without shipping a model: the LM
+    is two count tables the corpus induces on itself.
+
+    One posexplode builds positions; bigram and unigram counts are two
+    hash aggregations; scoring joins each doc bigram to its corpus
+    counts (bounded-vocabulary keys).  Per-bigram log-probs are
+    ln-pinned 9 dp and carrier-summed, so the per-doc mean is
+    order-exact.  At 100 TB the count tables persist as the "model" and
+    new batches score against them by join — no rescan of the corpus."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toks = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(
+                F.lower(F.regexp_replace(F.trim("text"), r"\s+", " ")), " "
+            )
+        ).alias("pos", "w"),
+    ).localCheckpoint(eager=False)
+    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
+    b = toks.select(
+        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("w").alias("w2")
+    )
+    bigrams = a.join(
+        b, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1)
+    ).select("doc_id", "w1", "w2")
+    bg_cnt = bigrams.groupBy(
+        F.col("w1").alias("cw1"), F.col("w2").alias("cw2")
+    ).agg(F.count(F.lit(1)).alias("c2"))
+    ug_cnt = toks.groupBy(F.col("w").alias("uw1")).agg(
+        F.count(F.lit(1)).alias("c1")
+    )
+    lp = F.floor(
+        F.round(
+            F.log(F.col("c2").cast("double") / F.col("c1").cast("double")), 9
+        )
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    scored = (
+        bigrams.join(
+            bg_cnt,
+            (F.col("cw1") == F.col("w1")) & (F.col("cw2") == F.col("w2")),
+        )
+        .join(ug_cnt, F.col("uw1") == F.col("w1"))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.sum("lp").cast("double")
+                / F.lit(1e9)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )
