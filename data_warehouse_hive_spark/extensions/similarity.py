@@ -1347,3 +1347,94 @@ def q_sim_mmr(spark: SparkSession, sf_dir: str) -> DataFrame:
         picks = picks.select("vec_id", "rel", "score", "sel_rank").unionAll(pi)
         out = out.unionAll(pi)
     return out.orderBy("sel_rank")
+
+
+@query(
+    "q_embed_cluster_purity",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {KMEANS_K}),
+    {_o_kmeans_assign('a1', 'c0')},
+    {_o_kmeans_update('c1', 'a1')},
+    {_o_kmeans_assign('a2', 'c1')},
+    {_o_kmeans_update('c2', 'a2')},
+    {_o_kmeans_assign('a3', 'c2')},
+    lab AS (
+      SELECT a.cid, e2.label, COUNT(*) AS n
+      FROM a3 a JOIN embeddings e2 ON e2.vec_id = a.vec_id
+      GROUP BY a.cid, e2.label
+    ),
+    best AS (
+      SELECT cid, label AS majority_label, n AS n_majority, n_members
+      FROM (
+        SELECT cid, label, n,
+               ROW_NUMBER() OVER (PARTITION BY cid
+                                  ORDER BY n DESC, label) AS rk,
+               CAST(SUM(n) OVER (PARTITION BY cid) AS BIGINT) AS n_members
+        FROM lab
+      ) WHERE rk = 1
+    )
+    SELECT cid, CAST(majority_label AS INT) AS majority_label,
+           CAST(n_majority AS BIGINT) AS n_majority, n_members,
+           round(CAST(n_majority AS DOUBLE) / CAST(n_members AS DOUBLE), 6)
+             AS purity
+    FROM best
+    ORDER BY cid
+    """,
+)
+def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering evaluation — per-cluster purity of the k-means result
+    against the held-out label column: majority label, its share of the
+    cluster, the external-validation number that says whether the
+    learned cells agree with ground truth (and therefore whether
+    IVF-by-kmeans will route queries sensibly).
+
+    Composes the engine-exact Lloyd's pipeline (same deterministic init,
+    carrier distances, decimal centroids as q_embed_kmeans) with one
+    (cid, label) count and a per-cluster argmax window; at scale the
+    evaluation is O(K × labels) after the assignment pass it shares
+    with clustering itself."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    cents = v.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("e").alias("ce")
+    )
+    for _ in range(KMEANS_ITERS):
+        a = _kmeans_assign(v, cents)
+        cents = (
+            cell_centroids(a.select(F.col("cid"), "e"), "cid")
+            .select(F.col("cell").alias("cid"), "ce")
+            .localCheckpoint(eager=False)
+        )
+    a = _kmeans_assign(v, cents)
+    labels = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("lv"), "label"
+    )
+    lab = (
+        a.join(labels, F.col("lv") == F.col("vec_id"))
+        .groupBy("cid", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wrk = Window.partitionBy("cid").orderBy(F.col("n").desc(), "label")
+    wtot = Window.partitionBy("cid")
+    best = (
+        lab.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("n_members", F.sum("n").over(wtot))
+        .filter(F.col("rk") == 1)
+    )
+    return best.select(
+        "cid",
+        F.col("label").cast("int").alias("majority_label"),
+        F.col("n").alias("n_majority"),
+        "n_members",
+        F.round(
+            F.col("n").cast("double") / F.col("n_members").cast("double"), 6
+        ).alias("purity"),
+    ).orderBy("cid")
