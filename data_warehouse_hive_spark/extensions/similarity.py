@@ -1438,3 +1438,90 @@ def q_embed_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("double") / F.col("n_members").cast("double"), 6
         ).alias("purity"),
     ).orderBy("cid")
+
+
+@query(
+    "q_dedup_semantic_sweep",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine
+      FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+    ),
+    bucketed AS (
+      SELECT CAST(least(greatest(floor(cosine * 20.0), 0), 19) AS BIGINT)
+               AS bucket,
+             COUNT(*) AS n
+      FROM pairs WHERE cosine >= 0.0
+      GROUP BY 1
+    )
+    SELECT CAST(bucket AS DOUBLE) / 20.0 AS threshold,
+           CAST(SUM(n) OVER (ORDER BY bucket DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS pairs_at_or_above,
+           n AS pairs_in_bucket
+    FROM bucketed
+    ORDER BY threshold
+    """,
+)
+def q_dedup_semantic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup threshold-selection sweep: for every cosine threshold on
+    a 0.05 grid, how many (label-blocked) pairs would count as
+    near-duplicates — computed in ONE pass by bucketing each pair's
+    cosine and running a descending cumulative sum, instead of
+    re-scanning pairs per candidate threshold.  This is the table you
+    read before committing to "0.95": the knee in pairs_at_or_above IS
+    the threshold.
+
+    The pair generation is the label-blocked pattern of
+    q_dedup_embedding (never all-pairs); everything after operates on
+    the 20-bucket rollup."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("label").alias("la"), F.col("e").alias("ea")
+    )
+    b = v.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), F.col("e").alias("eb")
+    )
+    cos = F.round(
+        dot(F.col("ea"), F.col("eb"))
+        / (
+            F.sqrt(dot(F.col("ea"), F.col("ea")))
+            * F.sqrt(dot(F.col("eb"), F.col("eb")))
+        ),
+        6,
+    )
+    pairs = a.join(
+        b, (F.col("la") == F.col("lb")) & (F.col("va") < F.col("vb"))
+    ).select(cos.alias("cosine"))
+    bucketed = (
+        pairs.filter(F.col("cosine") >= 0.0)
+        .groupBy(
+            F.least(
+                F.greatest(F.floor(F.col("cosine") * F.lit(20.0)), F.lit(0)),
+                F.lit(19),
+            )
+            .cast("long")
+            .alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return bucketed.select(
+        (F.col("bucket").cast("double") / F.lit(20.0)).alias("threshold"),
+        F.sum("n").over(w).alias("pairs_at_or_above"),
+        F.col("n").alias("pairs_in_bucket"),
+    ).orderBy("threshold")
