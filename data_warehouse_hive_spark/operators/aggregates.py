@@ -2216,3 +2216,80 @@ def q_dq_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("h").alias("checksum_min"),
         F.max("h").alias("checksum_max"),
     )
+
+
+@query(
+    "q_dq_reconcile",
+    oracle="""
+    WITH lines AS (
+      SELECT l_orderkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount)
+                                 * (1 + l_tax) * 1e2 + 0.5) AS BIGINT))
+                  AS BIGINT) AS line_cents
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+      SELECT o.o_orderkey,
+             CAST(floor(o.o_totalprice * 1e2 + 0.5) AS BIGINT) AS hdr_cents,
+             l.line_cents
+      FROM orders o JOIN lines l ON l.l_orderkey = o.o_orderkey
+    ),
+    diffs AS (
+      SELECT CASE
+               WHEN hdr_cents = line_cents THEN 'exact'
+               WHEN abs(hdr_cents - line_cents) * 100 <= hdr_cents
+                 THEN 'within_1pct'
+               WHEN abs(hdr_cents - line_cents) * 10 <= hdr_cents
+                 THEN 'within_10pct'
+               ELSE 'mismatch'
+             END AS band
+      FROM j
+    )
+    SELECT band, COUNT(*) AS n_orders
+    FROM diffs GROUP BY band
+    ORDER BY band
+    """,
+)
+def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header-vs-lines reconciliation: each order's stored total against
+    the recomputed Σ extendedprice·(1−disc)·(1+tax) of its lines,
+    banded (exact / ≤1% / ≤10% / mismatch) — the cross-table consistency
+    audit (invoice vs line items, ledger vs journal) that catches
+    partial loads and drifted denormalizations.
+
+    Both sides quantize to exact integer CENTS before comparing, and
+    the band test is integer cross-multiplication — no float tolerance
+    constants.  One fact aggregation + one key join; output is O(bands).
+    """
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    lines = l.groupBy("l_orderkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+                * F.lit(1e2)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("line_cents")
+    )
+    j = o.join(lines, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        F.floor(F.col("o_totalprice") * F.lit(1e2) + F.lit(0.5))
+        .cast("long")
+        .alias("hdr_cents"),
+        "line_cents",
+    )
+    diff = F.abs(F.col("hdr_cents") - F.col("line_cents"))
+    band = (
+        F.when(F.col("hdr_cents") == F.col("line_cents"), "exact")
+        .when(diff * 100 <= F.col("hdr_cents"), "within_1pct")
+        .when(diff * 10 <= F.col("hdr_cents"), "within_10pct")
+        .otherwise("mismatch")
+    )
+    return (
+        j.select(band.alias("band"))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("band")
+    )

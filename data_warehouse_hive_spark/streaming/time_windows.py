@@ -1536,3 +1536,63 @@ def q_events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(c1d / n1d, 6).alias("rate1"),
         F.round(z, 6).alias("z_stat"),
     )
+
+
+@query(
+    "q_events_replays",
+    oracle="""
+    SELECT a.user_id, a.event_id AS first_id, b.event_id AS replay_id,
+           a.event_type,
+           CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS gap_us
+    FROM events a JOIN events b
+      ON b.user_id = a.user_id
+     AND b.event_type = a.event_type
+     AND b.value = a.value
+     AND b.event_id > a.event_id
+     AND epoch_us(b.ts) - epoch_us(a.ts) BETWEEN 0 AND 600000000
+    ORDER BY a.user_id, first_id, replay_id
+    """,
+)
+def q_events_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once replay detection: pairs of events with the same
+    (user, type, value) within 10 minutes but different ids — the
+    delivery-duplicate signature every event pipeline checks for before
+    metrics double-count (the streaming twin is
+    dropDuplicatesWithinWatermark; this is the batch audit of what it
+    would have dropped).
+
+    The self-join keys on (user, type, value) — high-cardinality
+    composite, so the shuffle is balanced and candidate pairs per key
+    are tiny; the time predicate is a residual integer comparison.
+    Never a time-only join (every same-window pair) nor an id cross
+    product."""
+    e = t(spark, sf_dir, "events")
+    a = e.select(
+        "user_id",
+        F.col("event_id").alias("first_id"),
+        "event_type",
+        "value",
+        F.col("ts").alias("ts_a"),
+    )
+    b = e.select(
+        F.col("user_id").alias("u2"),
+        F.col("event_id").alias("replay_id"),
+        F.col("event_type").alias("t2"),
+        F.col("value").alias("v2"),
+        F.col("ts").alias("ts_b"),
+    )
+    gap = F.unix_micros("ts_b") - F.unix_micros("ts_a")
+    return (
+        a.join(
+            b,
+            (F.col("u2") == F.col("user_id"))
+            & (F.col("t2") == F.col("event_type"))
+            & (F.col("v2") == F.col("value"))
+            & (F.col("replay_id") > F.col("first_id")),
+        )
+        .filter((gap >= 0) & (gap <= 600_000_000))
+        .select(
+            "user_id", "first_id", "replay_id", "event_type", gap.alias("gap_us")
+        )
+        .orderBy("user_id", "first_id", "replay_id")
+    )
