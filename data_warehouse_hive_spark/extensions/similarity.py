@@ -1525,3 +1525,77 @@ def q_dedup_semantic_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n").over(w).alias("pairs_at_or_above"),
         F.col("n").alias("pairs_in_bucket"),
     ).orderBy("threshold")
+
+
+@query(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cents AS (
+      SELECT label AS cell, list(cval ORDER BY pos) AS ce FROM (
+        SELECT v.label, u.pos,
+               CAST(SUM(CAST(u.val AS DECIMAL(18,6))) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) AS cval
+        FROM v, LATERAL (SELECT unnest(v.e) AS val,
+                                unnest(range(len(v.e))) AS pos) u
+        GROUP BY v.label, u.pos
+      ) GROUP BY label
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label,
+             list_sum(list_transform(range(1, {EMB_DIM} + 1),
+               i -> CAST(floor((v.e[i] - c.ce[i]) * (v.e[i] - c.ce[i])
+                         * 1e6 + 0.5) AS BIGINT))) AS d2q
+      FROM v JOIN cents c ON c.cell = v.label
+    ),
+    ranked AS (
+      SELECT vec_id, label, d2q,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY d2q DESC, vec_id) AS rk
+      FROM dists
+    )
+    SELECT label, vec_id, rk,
+           round(CAST(d2q AS DOUBLE) / 1e6, 6) AS d2_centroid
+    FROM ranked WHERE rk <= 3
+    ORDER BY label, rk
+    """,
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding outlier detection: the 3 vectors farthest from their own
+    label centroid, per label — the vector-space QA pass (after the norm
+    check, q_embed_norms) that surfaces mislabeled rows, encoder
+    glitches, and adversarial points before they enter an index or a
+    semantic-dedup threshold is trusted.
+
+    Reuses the decimal-exact centroid algebra (cell_centroids) and the
+    carrier-quantized distances of the k-means pipeline; the per-label
+    argmax is a bounded window.  One centroid shuffle + one broadcast
+    join — no pairwise anything."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    cents = cell_centroids(v, "label")
+    dists = v.join(
+        broadcast(cents), F.col("cell") == F.col("label")
+    ).select("vec_id", "label", _d2q(F.col("e"), F.col("ce")).alias("d2q"))
+    w = Window.partitionBy("label").orderBy(F.col("d2q").desc(), "vec_id")
+    return (
+        dists.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select(
+            "label",
+            "vec_id",
+            "rk",
+            F.round(F.col("d2q").cast("double") / F.lit(1e6), 6).alias(
+                "d2_centroid"
+            ),
+        )
+        .orderBy("label", "rk")
+    )
