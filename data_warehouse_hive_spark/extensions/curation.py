@@ -1361,3 +1361,61 @@ def q_sample_weighted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "doc_id", "n_chars", "priority", "rk")
         .orderBy("source", "rk")
     )
+
+
+@query(
+    "q_sample_balanced",
+    oracle="""
+    WITH sized AS (
+      SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang
+    ),
+    target AS (SELECT MIN(n) AS k FROM sized),
+    ranked AS (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                          ::UBIGINT::BIGINT,
+                        doc_id) AS rk
+      FROM documents
+    )
+    SELECT r.lang,
+           COUNT(*) AS n_kept,
+           CAST(MIN(r.doc_id) AS BIGINT) AS min_kept_doc,
+           CAST(MAX(r.doc_id) AS BIGINT) AS max_kept_doc
+    FROM ranked r CROSS JOIN target t
+    WHERE r.rk <= t.k
+    GROUP BY r.lang
+    ORDER BY r.lang
+    """,
+)
+def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-rebalancing downsample: every language reduced to the
+    MINORITY class's size by deterministic hash-rank — the
+    equal-representation sampling run before training a classifier or
+    evaluating per-language quality, where a 10:1 skew would drown the
+    tail classes.  Each kept set is reproducible (md5 order, doc_id
+    tiebreak), append-stable, and exactly k per class — randomSplit/
+    sampleBy guarantee none of those.
+
+    One count aggregate (broadcast 1-row target) + one per-class rank
+    window; selection never materializes the majority classes."""
+    d = t(spark, sf_dir, "documents")
+    sized = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n"))
+    target = sized.agg(F.min("n").alias("k"))
+    u = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = Window.partitionBy("lang").orderBy(u, "doc_id")
+    ranked = d.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
+    return (
+        ranked.crossJoin(F.broadcast(target))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("doc_id").alias("min_kept_doc"),
+            F.max("doc_id").alias("max_kept_doc"),
+        )
+        .orderBy("lang")
+    )

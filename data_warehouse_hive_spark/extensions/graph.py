@@ -426,3 +426,95 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("node", F.col("d").cast("long").alias("hops"))
         .orderBy("hops", "node")
     )
+
+
+@query(
+    "q_graph_clustering",
+    oracle=f"""
+    WITH {{pairs}},
+    tri AS (
+      SELECT COUNT(*) AS n_tri
+      FROM pairs e1
+      JOIN pairs e2 ON e2.doc_a = e1.doc_b
+      JOIN pairs e3 ON e3.doc_a = e1.doc_a AND e3.doc_b = e2.doc_b
+    ),
+    deg AS (
+      SELECT doc, COUNT(*) AS d FROM (
+        SELECT doc_a AS doc FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc
+    ),
+    wedges AS (
+      SELECT CAST(SUM(d * (d - 1) / 2) AS BIGINT) AS n_wedges,
+             COUNT(*) AS n_nodes
+      FROM deg
+    )
+    SELECT w.n_nodes,
+           CAST(t.n_tri AS BIGINT) AS n_triangles,
+           w.n_wedges,
+           round(CASE WHEN w.n_wedges = 0 THEN 0.0
+                      ELSE 3.0 * CAST(t.n_tri AS DOUBLE)
+                           / CAST(w.n_wedges AS DOUBLE) END, 6)
+             AS global_clustering
+    FROM tri t CROSS JOIN wedges w
+    """,
+)
+def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient of the near-dup candidate graph:
+    3·triangles / wedges — the transitivity number that distinguishes a
+    clique-y duplicate structure (template families, mirror sites, high
+    coefficient) from chain-like accidental collisions (low), which
+    changes whether connected components will explode when you union
+    candidates.
+
+    Triangles reuse the ordered-pair join shape of q_graph_triangles;
+    wedges are Σ d(d−1)/2 over the degree table — two integer
+    aggregates, one 1-row result.  Exact integers everywhere except the
+    final pinned ratio."""
+    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
+        eager=False
+    )
+    e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
+    e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
+    tri = (
+        e1.join(e2, F.col("b2") == F.col("b"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c3") == F.col("c")))
+        .agg(F.count(F.lit(1)).alias("n_tri"))
+    )
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        F.sum(
+            (F.col("d") * (F.col("d") - 1) / 2).cast("long")
+        ).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_nodes"),
+    )
+    return tri.crossJoin(F.broadcast(wedges)).select(
+        "n_nodes",
+        F.col("n_tri").alias("n_triangles"),
+        "n_wedges",
+        F.round(
+            F.when(F.col("n_wedges") == 0, 0.0).otherwise(
+                F.lit(3.0)
+                * F.col("n_tri").cast("double")
+                / F.col("n_wedges").cast("double")
+            ),
+            6,
+        ).alias("global_clustering"),
+    )
+
+
+_spec_gc = __import__(
+    "data_warehouse_hive_spark.registry", fromlist=["REGISTRY"]
+).REGISTRY["q_graph_clustering"]
+object.__setattr__(
+    _spec_gc, "oracle", _spec_gc.oracle.format(pairs=_o_candidate_edges())
+)
+del _spec_gc
