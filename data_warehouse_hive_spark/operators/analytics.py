@@ -1193,3 +1193,66 @@ def q_agg_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         - (nd + F.lit(1.0)) / nd
     )
     return s.select("n", F.round(gini, 6).alias("gini"))
+
+
+@query(
+    "q_orders_aging",
+    oracle="""
+    WITH ship AS (
+      SELECT o.o_orderkey, o.o_orderdate,
+             MAX(l.l_shipdate) AS last_ship
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderdate
+    ),
+    ref_ts AS (SELECT MAX(o_orderdate) AS now FROM orders),
+    open_orders AS (
+      SELECT s.o_orderkey,
+             date_diff('day', s.o_orderdate, a.now) AS age_days
+      FROM ship s CROSS JOIN ref_ts a
+      WHERE s.last_ship > a.now
+    )
+    SELECT CASE WHEN age_days <= 30 THEN '0-30'
+                WHEN age_days <= 90 THEN '31-90'
+                WHEN age_days <= 180 THEN '91-180'
+                ELSE '180+' END AS age_bucket,
+           COUNT(*) AS n_open
+    FROM open_orders
+    GROUP BY 1
+    ORDER BY age_bucket
+    """,
+)
+def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Open-order aging report: orders still unshipped AS OF the corpus's
+    latest order date, bucketed by how long they've been open — the
+    operations-review cousin of q_orders_backlog (that one charts the
+    count over time; this one says how STALE today's open work is, which
+    is what gets escalated).
+
+    Point-in-time "open" is derived from the same order→last-ship
+    reduction; the as-of date is a broadcast 1-row aggregate; bucketing
+    is pure integer CASE.  One fact join + two tiny aggregates."""
+    o = t(spark, sf_dir, "orders")
+    l = t(spark, sf_dir, "lineitem")
+    ship = (
+        o.join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("last_ship"))
+    )
+    asof = o.agg(F.max("o_orderdate").alias("now"))
+    open_orders = (
+        ship.crossJoin(F.broadcast(asof))
+        .filter(F.col("last_ship") > F.col("now"))
+        .select(F.datediff("now", "o_orderdate").alias("age_days"))
+    )
+    bucket = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 180, "91-180")
+        .otherwise("180+")
+    )
+    return (
+        open_orders.select(bucket.alias("age_bucket"))
+        .groupBy("age_bucket")
+        .agg(F.count(F.lit(1)).alias("n_open"))
+        .orderBy("age_bucket")
+    )
