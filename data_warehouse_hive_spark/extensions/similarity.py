@@ -1599,3 +1599,233 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "rk")
     )
+
+
+def _o_matvec(out: str, mat: str, vec: str) -> str:
+    """One power-method step in SQL: y = C·v with carrier-exact term
+    sums, then L2-normalized and 9 dp-pinned.  Mirrors _pca_matvec."""
+    return f"""
+    {out}_raw AS (
+      SELECT m.i AS pos,
+             CAST(SUM(CAST(floor(m.c * v.val * 1e12 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS yv
+      FROM {mat} m JOIN {vec} v ON v.pos = m.j
+      GROUP BY m.i
+    ),
+    {out}_norm AS (
+      SELECT sqrt(CAST(SUM(CAST(floor(yv * yv * 1e12 + 0.5) AS BIGINT))
+                       AS DOUBLE) / 1e12) AS nrm
+      FROM {out}_raw
+    ),
+    {out} AS (
+      SELECT r.pos, round(r.yv / n.nrm, 9) AS val
+      FROM {out}_raw r CROSS JOIN {out}_norm n
+    )"""
+
+
+@query(
+    "q_embed_pca",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT v.vec_id, u.pos, u.val
+      FROM v, LATERAL (SELECT unnest(v.e) AS val,
+                              unnest(range(len(v.e))) AS pos) u
+    ),
+    n_t AS (SELECT COUNT(*) AS n FROM v),
+    mean_t AS (
+      SELECT pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,9))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS m
+      FROM elems GROUP BY pos
+    ),
+    centered AS (
+      SELECT e.vec_id, e.pos, e.val - m.m AS cv
+      FROM elems e JOIN mean_t m ON m.pos = e.pos
+    ),
+    cov AS (
+      SELECT a.pos AS i, b.pos AS j,
+             round(CAST(SUM(CAST(floor(a.cv * b.cv * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6 / CAST(t.n AS DOUBLE), 9) AS c
+      FROM centered a
+      JOIN centered b ON b.vec_id = a.vec_id
+      CROSS JOIN n_t t
+      GROUP BY a.pos, b.pos, t.n
+    ),
+    v0 AS (SELECT pos, 0.125 AS val FROM (SELECT unnest(range(64)) AS pos)),
+    {_o_matvec('v1', 'cov', 'v0')},
+    {_o_matvec('v2', 'cov', 'v1')},
+    {_o_matvec('v3', 'cov', 'v2')},
+    y4 AS (
+      SELECT m.i AS pos,
+             CAST(SUM(CAST(floor(m.c * v.val * 1e12 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e12 AS yv
+      FROM cov m JOIN v3 v ON v.pos = m.j
+      GROUP BY m.i
+    ),
+    lambda_t AS (
+      SELECT round(sqrt(CAST(SUM(CAST(floor(yv * yv * 1e12 + 0.5) AS BIGINT))
+                             AS DOUBLE) / 1e12), 6) AS eigenvalue
+      FROM y4
+    ),
+    top AS (
+      SELECT pos, round(val, 6) AS loading,
+             ROW_NUMBER() OVER (ORDER BY abs(val) DESC, pos) AS rk
+      FROM v3
+    )
+    SELECT l.eigenvalue, t.rk, CAST(t.pos AS BIGINT) AS dim, t.loading
+    FROM lambda_t l CROSS JOIN top t
+    WHERE t.rk <= 5
+    ORDER BY t.rk
+    """,
+)
+def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding corpus by an UNROLLED
+    3-step power method — mean-centered covariance (decimal-exact means,
+    carrier product sums), three matvec+normalize stages expressed as
+    joins over the 64×64 covariance relation, dominant eigenvalue from
+    the final un-normalized length, top-5 loading dims.  PCA is the
+    eigengap diagnostic run before trusting cosine similarity (a single
+    dominant direction — an un-centered corpus, a "rogue dimension" —
+    makes every cosine look alike).
+
+    Every matvec term and norm square rides a 1e12 carrier so the
+    64-term sums are order-exact; each stage re-pins to 9 dp — the same
+    unrolled-iteration discipline as q_sim_mmr, applied to numerical
+    linear algebra.  The n×64² product explosion is exact-oracle
+    scaffolding: at 100 TB the covariance accumulates as per-partition
+    outer-product partials in mapInArrow and the three matvecs run on
+    the driver's 64×64 copy."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    elems = v.select(
+        "vec_id", F.posexplode("e").alias("pos", "val")
+    ).localCheckpoint(eager=False)
+    n_rows = v.count()
+    mean_t = elems.groupBy("pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,9)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("m")
+    )
+    centered = (
+        elems.join(
+            mean_t.withColumnRenamed("pos", "mp"), F.col("mp") == F.col("pos")
+        )
+        .select("vec_id", "pos", (F.col("val") - F.col("m")).alias("cv"))
+        .localCheckpoint(eager=False)
+    )
+    a = centered.select(
+        F.col("vec_id").alias("va"), F.col("pos").alias("i"), F.col("cv").alias("ca")
+    )
+    b = centered.select(
+        F.col("vec_id").alias("vb"), F.col("pos").alias("j"), F.col("cv").alias("cb")
+    )
+    cov = (
+        a.join(b, F.col("vb") == F.col("va"))
+        .groupBy("i", "j")
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("ca") * F.col("cb") * F.lit(1e6) + F.lit(0.5))
+                    .cast("long")
+                ).cast("double")
+                / F.lit(1e6)
+                / F.lit(float(n_rows)),
+                9,
+            ).alias("c")
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    spark_sess = v.sparkSession
+    vec = spark_sess.range(64).select(
+        F.col("id").cast("int").alias("pos"), F.lit(0.125).alias("val")
+    )
+
+    def matvec(vec_df):
+        raw = (
+            cov.join(
+                vec_df.withColumnRenamed("pos", "jp"), F.col("jp") == F.col("j")
+            )
+            .groupBy("i")
+            .agg(
+                (
+                    F.sum(
+                        F.floor(
+                            F.col("c") * F.col("val") * F.lit(1e12) + F.lit(0.5)
+                        ).cast("long")
+                    ).cast("double")
+                    / F.lit(1e12)
+                ).alias("yv")
+            )
+        )
+        nrm = raw.agg(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        F.col("yv") * F.col("yv") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("nrm")
+        )
+        return raw.crossJoin(F.broadcast(nrm)).select(
+            F.col("i").alias("pos"),
+            F.round(F.col("yv") / F.col("nrm"), 9).alias("val"),
+        )
+
+    v3 = vec
+    for _ in range(3):
+        v3 = matvec(v3).localCheckpoint(eager=False)
+    y4 = (
+        cov.join(v3.withColumnRenamed("pos", "jp"), F.col("jp") == F.col("j"))
+        .groupBy("i")
+        .agg(
+            (
+                F.sum(
+                    F.floor(
+                        F.col("c") * F.col("val") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e12)
+            ).alias("yv")
+        )
+    )
+    lam = y4.agg(
+        F.round(
+            F.sqrt(
+                F.sum(
+                    F.floor(
+                        F.col("yv") * F.col("yv") * F.lit(1e12) + F.lit(0.5)
+                    ).cast("long")
+                ).cast("double")
+                / F.lit(1e12)
+            ),
+            6,
+        ).alias("eigenvalue")
+    )
+    top = v3.select(
+        "pos",
+        F.round(F.col("val"), 6).alias("loading"),
+        F.row_number()
+        .over(Window.orderBy(F.abs(F.col("val")).desc(), "pos"))
+        .alias("rk"),
+    ).filter(F.col("rk") <= 5)
+    return (
+        lam.crossJoin(F.broadcast(top))
+        .select(
+            "eigenvalue",
+            "rk",
+            F.col("pos").cast("long").alias("dim"),
+            "loading",
+        )
+        .orderBy("rk")
+    )
