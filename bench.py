@@ -134,6 +134,18 @@ EXT_R4D = [
     "q_join_spatial_grid",
 ]
 
+# round-4 continuation (fifth wave): LM scoring, declarative PCA,
+# clustering eval, bootstrap CI — the final batch's heaviest plans.
+EXT_R4E = [
+    "q_text_lm_score",
+    "q_embed_pca",
+    "q_embed_cluster_purity",
+    "q_stats_bootstrap",
+    "q_dedup_semantic_sweep",
+    "q_events_replays",
+    "q_sample_balanced",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -157,7 +169,10 @@ def main() -> None:
     # headline plan shape is compiled once at sf0.001 (whole-stage
     # codegen caches on generated source, which depends on the plan, not
     # the data volume), so the timed sf run measures execution.
-    for name in HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D:
+    for name in (
+        HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
+        + EXT_R4E
+    ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
     # cached per path (a deployment's catalog holds these); touching them
@@ -191,6 +206,8 @@ def main() -> None:
     ext_r4c["total"] = round(sum(ext_r4c.values()), 3)
     ext_r4d = {name: timed(name) for name in EXT_R4D}
     ext_r4d["total"] = round(sum(ext_r4d.values()), 3)
+    ext_r4e = {name: timed(name) for name in EXT_R4E}
+    ext_r4e["total"] = round(sum(ext_r4e.values()), 3)
 
     print(
         json.dumps(
@@ -205,6 +222,7 @@ def main() -> None:
                 "ext_r4b": ext_r4b,
                 "ext_r4c": ext_r4c,
                 "ext_r4d": ext_r4d,
+                "ext_r4e": ext_r4e,
                 "sf": sf,
                 "n_queries": len(timings),
             }

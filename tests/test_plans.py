@@ -676,3 +676,36 @@ def test_similar_items_joins_on_order_key(spark, sf_dir):
     assert not any(
         "CartesianProduct" in s for s in join_strategies(plan)
     ), plan
+
+
+def test_lm_score_single_corpus_scan(spark, sf_dir):
+    """Both bigram sides and the unigram counts read the checkpointed
+    postings — documents parquet scans once."""
+    df = REGISTRY["q_text_lm_score"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert plan.count("Scan parquet") <= 1, plan
+
+
+def test_replay_detection_equi_join(spark, sf_dir):
+    """The replay self-join must key on the composite (user, type,
+    value) — never a time-only or nested-loop pairing."""
+    plan = _plan(spark, sf_dir, "q_events_replays")
+    strategies = join_strategies(plan)
+    assert not any(
+        "Cartesian" in s or "NestedLoop" in s for s in strategies
+    ), plan
+
+
+def test_pca_no_cartesian(spark, sf_dir):
+    """The covariance self-join keys on vec_id; matvecs key on the dim
+    index — nothing may plan a cartesian."""
+    plan = _plan(spark, sf_dir, "q_embed_pca")
+    strategies = join_strategies(plan)
+    assert not any("CartesianProduct" in s for s in strategies), plan
+
+
+def test_heavy_hitters_candidate_broadcast(spark, sf_dir):
+    """Pass 2 must semi-join the bounded candidate set via broadcast —
+    the full vocabulary never shuffles."""
+    plan = _plan(spark, sf_dir, "q_agg_heavy_hitters")
+    assert "LeftSemi" in plan, plan
