@@ -24,6 +24,9 @@ QUERIES = [
     "q_agg_weighted",       # ratio of two carrier sums
     "q_events_cohort_ltv",  # carrier running sum over a window
     "q_tpch_q01",           # the canonical decision-support aggregate
+    "q_stats_bootstrap",    # hash-derived replicate weights
+    "q_embed_pca",          # unrolled linear algebra (matvec carriers)
+    "q_text_lm_score",      # ln-pinned carrier means over joins
 ]
 
 
