@@ -1419,3 +1419,119 @@ def q_sample_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+def _component_oracle(qid: str) -> str:
+    """Reuse a registered component's oracle verbatim as a subquery —
+    the composition IS the already-verified operators."""
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    return _R[qid].oracle
+
+
+@query(
+    "q_corpus_health",
+    oracle=None,  # assembled at import time below (component reuse)
+)
+def q_corpus_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus-health dashboard row: five KPIs every training-corpus
+    team checks per snapshot, computed by COMPOSING the registered
+    operators (not re-implementing them) — exact-dup rate
+    (q_dedup_exact's groups), Zipf slope (q_text_zipf), cross-source JS
+    drift (q_text_js_drift), mean per-doc LM score (q_text_lm_score),
+    and Gopher pass rate (q_quality_gopher).  One row out; each
+    component keeps its own verified plan and they run as independent
+    subtrees crossed at the end.
+
+    The oracle is assembled the same way — each component's DuckDB SQL
+    embedded verbatim as a subquery — so the composition can't drift
+    from the parts."""
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    dup = (
+        _R["q_dedup_exact"].fn(spark, sf_dir)
+        .agg(
+            F.count(F.lit(1)).alias("n_groups"),
+            F.sum("n_copies").alias("n_docs"),
+        )
+        .select(
+            "n_docs",
+            F.round(
+                F.lit(1.0)
+                - F.col("n_groups").cast("double") / F.col("n_docs").cast("double"),
+                6,
+            ).alias("dup_rate"),
+        )
+    )
+    zipf = _R["q_text_zipf"].fn(spark, sf_dir).select("zipf_slope")
+    js = _R["q_text_js_drift"].fn(spark, sf_dir).select("js_divergence")
+    lm = (
+        _R["q_text_lm_score"].fn(spark, sf_dir)
+        .agg(
+            F.round(
+                F.sum(
+                    F.floor(F.col("avg_logprob") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / F.lit(1e6)
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_lm_score")
+        )
+    )
+    gq = (
+        _R["q_quality_gopher"].fn(spark, sf_dir)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("gopher_pass_rate")
+        )
+    )
+    return (
+        dup.crossJoin(F.broadcast(zipf))
+        .crossJoin(F.broadcast(js))
+        .crossJoin(F.broadcast(lm))
+        .crossJoin(F.broadcast(gq))
+    )
+
+
+def _assemble_corpus_health_oracle() -> None:
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    oracle = f"""
+    WITH dup AS (
+      SELECT CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+             round(1.0 - CAST(COUNT(*) AS DOUBLE)
+                   / CAST(SUM(n_copies) AS DOUBLE), 6) AS dup_rate
+      FROM ({_component_oracle("q_dedup_exact")})
+    ),
+    zipf AS (
+      SELECT zipf_slope FROM ({_component_oracle("q_text_zipf")})
+    ),
+    js AS (
+      SELECT js_divergence FROM ({_component_oracle("q_text_js_drift")})
+    ),
+    lm AS (
+      SELECT round(CAST(SUM(CAST(floor(avg_logprob * 1e6 + 0.5) AS BIGINT))
+                        AS DOUBLE) / 1e6 / CAST(COUNT(*) AS DOUBLE), 6)
+               AS mean_lm_score
+      FROM ({_component_oracle("q_text_lm_score")})
+    ),
+    gq AS (
+      SELECT round(CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS gopher_pass_rate
+      FROM ({_component_oracle("q_quality_gopher")})
+    )
+    SELECT d.n_docs, d.dup_rate, z.zipf_slope, j.js_divergence,
+           l.mean_lm_score, g.gopher_pass_rate
+    FROM dup d CROSS JOIN zipf z CROSS JOIN js j
+    CROSS JOIN lm l CROSS JOIN gq g
+    """
+    spec = _R["q_corpus_health"]
+    object.__setattr__(spec, "oracle", oracle)
+
+
+_assemble_corpus_health_oracle()
