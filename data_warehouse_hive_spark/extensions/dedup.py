@@ -1206,3 +1206,114 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("empirical_rate"),
         F.round(theo, 6).alias("theoretical_rate"),
     ).orderBy("bucket")
+
+
+@query(
+    "q_dedup_prefix_join",
+    oracle=f"""
+    WITH shv AS (
+      SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
+    ),
+    tok AS (
+      SELECT s.doc_id, u.t AS s
+      FROM shv s, LATERAL (SELECT unnest(s.sh) AS t) u
+    ),
+    freq AS (SELECT s, COUNT(*) AS df FROM tok GROUP BY s),
+    ranked AS (
+      SELECT t.doc_id, t.s,
+             ROW_NUMBER() OVER (PARTITION BY t.doc_id
+                                ORDER BY f.df, t.s) AS rk,
+             COUNT(*) OVER (PARTITION BY t.doc_id) AS len
+      FROM tok t JOIN freq f ON f.s = t.s
+    ),
+    prefix AS (
+      SELECT doc_id, s FROM ranked
+      WHERE rk <= len - CAST(floor((4 * len + 4) / 5) AS BIGINT) + 1
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM prefix a JOIN prefix b
+        ON b.s = a.s AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+                 / CAST(len(list_distinct(x.sh || y.sh)) AS DOUBLE), 6)
+             AS jaccard
+    FROM cand c
+    JOIN shv x ON x.doc_id = c.doc_a
+    JOIN shv y ON y.doc_id = c.doc_b
+    WHERE len(list_intersect(x.sh, y.sh)) * 5
+          >= len(list_distinct(x.sh || y.sh)) * 4
+    ORDER BY doc_a, doc_b
+    """,
+)
+def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin/AllPairs):
+    for Jaccard ≥ 0.8, two shingle sets MUST share at least one token in
+    their rarest-first prefixes of length |s| − ⌈0.8·|s|⌉ + 1 — so the
+    candidate join runs only on prefix tokens (the rarest slivers of
+    each set) and the exact verification runs only on those candidates.
+    Unlike MinHash LSH this has PERFECT recall at the threshold: the
+    prefix condition is a theorem, not a probability — the
+    exact-guarantee alternative when a legal/eval dedup cannot tolerate
+    LSH misses.
+
+    Rarest-first ordering (global document frequency, token tiebreak)
+    is what makes prefixes selective: frequent shingles never appear in
+    short prefixes, so the hot-token blowup of a naive token join
+    disappears.  The threshold test is the integer cross-multiplication
+    5·|∩| ≥ 4·|∪| — no float threshold anywhere.  The df table is one
+    aggregation of the postings both sides reuse."""
+    docs = t(spark, sf_dir, "documents")
+    shv = shingle_arrays(docs).localCheckpoint(eager=False)
+    tok = shv.select("doc_id", F.explode("sh").alias("s")).localCheckpoint(
+        eager=False
+    )
+    freq = tok.groupBy(F.col("s").alias("fs")).agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    from pyspark.sql import Window
+
+    wr = Window.partitionBy("doc_id").orderBy("df", "s")
+    wl = Window.partitionBy("doc_id")
+    ranked = (
+        tok.join(freq, F.col("fs") == F.col("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(wr).alias("rk"),
+            F.count(F.lit(1)).over(wl).alias("len"),
+        )
+    )
+    klim = (
+        F.col("len")
+        - F.floor((4 * F.col("len") + 4) / 5).cast("long")
+        + 1
+    )
+    prefix = ranked.filter(F.col("rk") <= klim).select("doc_id", "s")
+    cand = (
+        prefix.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+        .join(
+            prefix.select(F.col("doc_id").alias("doc_b"), F.col("s").alias("sb")),
+            (F.col("sb") == F.col("sa")) & (F.col("doc_a") < F.col("doc_b")),
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    x = shv.select(F.col("doc_id").alias("xa"), F.col("sh").alias("sh_a"))
+    y = shv.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    return (
+        cand.join(x, F.col("xa") == F.col("doc_a"))
+        .join(y, F.col("yb") == F.col("doc_b"))
+        .filter(inter * 5 >= uni * 4)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(inter.cast("double") / uni.cast("double"), 6).alias(
+                "jaccard"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
