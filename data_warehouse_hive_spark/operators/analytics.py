@@ -1256,3 +1256,69 @@ def q_orders_aging(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_open"))
         .orderBy("age_bucket")
     )
+
+
+@query(
+    "q_orders_lorenz",
+    oracle="""
+    WITH ranked AS (
+      SELECT CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT) AS vc,
+             NTILE(10) OVER (ORDER BY CAST(floor(o_totalprice * 1e6 + 0.5)
+                                           AS BIGINT), o_orderkey) AS decile
+      FROM orders
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_orders,
+             CAST(SUM(vc) AS BIGINT) AS rev_c
+      FROM ranked GROUP BY decile
+    ),
+    tot AS (SELECT CAST(SUM(rev_c) AS BIGINT) AS t FROM per)
+    SELECT CAST(decile AS INT) AS decile, n_orders,
+           round(CAST(rev_c AS DOUBLE) / 1e6, 6) AS decile_revenue,
+           round(CAST(SUM(rev_c) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / CAST(t.t AS DOUBLE), 6) AS cum_share
+    FROM per CROSS JOIN tot t
+    ORDER BY decile
+    """,
+)
+def q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz curve of revenue concentration: orders NTILE'd into value
+    deciles (ascending, unique (value, key) order so tile edges are
+    deterministic), cumulative revenue share per decile — the curve
+    whose area complement q_agg_gini summarizes, and the table behind
+    "the top decile is X% of revenue".
+
+    Carrier-exact decile sums; the cumulative window runs over 10 rows.
+    Same global-sort caveat as Gini at 100 TB — NTILE over a total
+    order — with the same stratified mitigation."""
+    o = t(spark, sf_dir, "orders")
+    vc = F.floor(F.col("o_totalprice") * F.lit(1e6) + F.lit(0.5)).cast("long")
+    ranked = o.select(
+        vc.alias("vc"),
+        F.ntile(10).over(Window.orderBy(vc, F.col("o_orderkey"))).alias(
+            "decile"
+        ),
+    )
+    per = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"), F.sum("vc").alias("rev_c")
+    )
+    tot = per.agg(F.sum("rev_c").alias("t"))
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("decile").cast("int").alias("decile"),
+            "n_orders",
+            F.round(F.col("rev_c").cast("double") / F.lit(1e6), 6).alias(
+                "decile_revenue"
+            ),
+            F.round(
+                F.sum("rev_c").over(w).cast("double") / F.col("t").cast("double"),
+                6,
+            ).alias("cum_share"),
+        )
+        .orderBy("decile")
+    )
