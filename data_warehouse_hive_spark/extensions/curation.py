@@ -1535,3 +1535,73 @@ def _assemble_corpus_health_oracle() -> None:
 
 
 _assemble_corpus_health_oracle()
+
+
+@query(
+    "q_quality_qnorm",
+    oracle="""
+    WITH scored AS (
+      SELECT doc_id, source, n_chars,
+             CAST(least(floor(percent_rank() OVER (
+                    PARTITION BY source ORDER BY n_chars, doc_id) * 20),
+                  19) AS BIGINT) AS bucket
+      FROM documents
+    ),
+    global_ref AS (
+      SELECT CAST(least(floor(percent_rank() OVER (
+                    ORDER BY n_chars, doc_id) * 20), 19) AS BIGINT) AS bucket,
+             n_chars
+      FROM documents
+    ),
+    ref AS (
+      SELECT bucket,
+             round(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
+                   / CAST(COUNT(*) AS DOUBLE), 6) AS norm_score
+      FROM global_ref GROUP BY bucket
+    )
+    SELECT s.doc_id, s.source, s.n_chars, s.bucket, r.norm_score
+    FROM scored s JOIN ref r ON r.bucket = s.bucket
+    ORDER BY s.doc_id
+    """,
+)
+def q_quality_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of a quality score across sources: each
+    document's within-source rank maps to the GLOBAL distribution's
+    value at the same quantile (vigintile buckets) — the standard fix
+    when heterogeneous sources score on incomparable scales and a raw
+    threshold would purge one source wholesale.  After qnorm, "top 20%
+    of each source" means the same number everywhere.
+
+    percent_rank is (rank−1)/(n−1) on exact integers — identical
+    doubles both engines; bucket edges are integer floors with a unique
+    (score, id) order, and the 20-bucket reference table broadcasts.
+    Per-source windows partition cleanly; nothing global but the tiny
+    reference build."""
+    d = t(spark, sf_dir, "documents")
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wg = Window.orderBy("n_chars", "doc_id")
+    bucket = lambda w: F.least(  # noqa: E731
+        F.floor(F.percent_rank().over(w) * 20), F.lit(19)
+    ).cast("long")
+    scored = d.select(
+        "doc_id", "source", "n_chars", bucket(ws).alias("bucket")
+    )
+    ref = (
+        d.select("n_chars", bucket(wg).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.round(
+                F.sum(F.col("n_chars").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("norm_score")
+        )
+    )
+    return (
+        scored.join(
+            F.broadcast(ref.withColumnRenamed("bucket", "rb")),
+            F.col("rb") == F.col("bucket"),
+        )
+        .select("doc_id", "source", "n_chars", "bucket", "norm_score")
+        .orderBy("doc_id")
+    )
