@@ -1133,3 +1133,54 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = {r["day"]: (r["n_rows"], r["n_null_channel"]) for r in out.collect()}
     assert rows["2024-01-01"] == (2, 2) and rows["2024-01-02"] == (2, 0), rows
     return out
+
+
+@query("ddl_view_masked")
+def ddl_view_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-masked secure view — the Hive/governance pattern for
+    serving PII tables to analysts: the base table stays intact, the
+    VIEW exposes masked name (mask() builtin) and bucketed balance, and
+    consumers query the view name.  Self-asserted: the view's masked
+    column contains no lowercase base characters, the bucketed column
+    has ≤ 5 distinct values, and row counts match the base exactly
+    (masking must never filter).
+    """
+    tag = uuid.uuid4().hex[:8]
+    base, view = f"cust_base_{tag}", f"cust_masked_{tag}"
+    t(spark, sf_dir, "customer").write.saveAsTable(base)
+    spark.sql(
+        f"""
+        CREATE VIEW {view} AS
+        SELECT c_custkey,
+               mask(c_name) AS name_masked,
+               CASE WHEN c_acctbal < 0 THEN 'negative'
+                    WHEN c_acctbal < 3000 THEN 'low'
+                    WHEN c_acctbal < 7000 THEN 'mid'
+                    ELSE 'high' END AS balance_band,
+               c_mktsegment
+        FROM {base}
+        """
+    )
+    out = spark.sql(
+        f"""
+        SELECT COUNT(*) AS n_rows,
+               COUNT(DISTINCT balance_band) AS n_bands,
+               SUM(CASE WHEN name_masked RLIKE '[a-z]' THEN 1 ELSE 0 END)
+                 AS n_leaked_lower
+        FROM {view}
+        """
+    )
+    row = out.collect()[0]
+    base_n = spark.table(base).count()
+    assert row["n_rows"] == base_n, (row, base_n)
+    assert row["n_bands"] <= 4, row
+    # mask() outputs 'x' for lowercase and 'n' for digits — any OTHER
+    # lowercase char in the masked column means the mask missed
+    leaked = spark.sql(
+        f"SELECT COUNT(*) AS c FROM {view}"
+        " WHERE name_masked RLIKE '[a-mo-wyz]'"
+    ).collect()[0]["c"]
+    assert leaked == 0, leaked
+    spark.sql(f"DROP VIEW IF EXISTS {view}")
+    cat.drop_table(spark, base)
+    return out
