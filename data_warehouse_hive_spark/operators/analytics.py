@@ -1322,3 +1322,46 @@ def q_orders_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_stats_chi2",
+    oracle="""
+    WITH obs AS (
+      SELECT o_orderpriority, COUNT(*) AS o
+      FROM orders GROUP BY o_orderpriority
+    ),
+    tot AS (
+      SELECT CAST(SUM(o) AS BIGINT) AS n, COUNT(*) AS k FROM obs
+    )
+    SELECT t.n, t.k,
+           round(SUM(
+             (CAST(o.o AS DOUBLE) - CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+             * (CAST(o.o AS DOUBLE) - CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+             / (CAST(t.n AS DOUBLE) / CAST(t.k AS DOUBLE))
+           ), 6) AS chi2_uniform
+    FROM obs o CROSS JOIN tot t
+    GROUP BY t.n, t.k
+    """,
+)
+def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square goodness-of-fit of the order-priority distribution
+    against uniform — the categorical drift/test statistic completing
+    the family (KS for continuous, PSI for binned, JS for token
+    distributions, Benford for digits): χ² = Σ(observed−expected)²/
+    expected over the k=5 priority cells.
+
+    Observed counts are exact integers from one hash aggregation; the
+    statistic is mirrored IEEE arithmetic over those integers and the
+    two scalars (n, k).  At 100 TB this is one aggregation regardless
+    of cardinality — the cells, not the rows, drive the final math."""
+    o = t(spark, sf_dir, "orders")
+    obs = o.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("o"))
+    tot = obs.agg(F.sum("o").alias("n"), F.count(F.lit(1)).alias("k"))
+    e = F.col("n").cast("double") / F.col("k").cast("double")
+    term = (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e
+    return (
+        obs.crossJoin(F.broadcast(tot))
+        .groupBy("n", "k")
+        .agg(F.round(F.sum(term), 6).alias("chi2_uniform"))
+    )

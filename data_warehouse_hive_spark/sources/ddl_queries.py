@@ -1184,3 +1184,42 @@ def ddl_view_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.sql(f"DROP VIEW IF EXISTS {view}")
     cat.drop_table(spark, base)
     return out
+
+
+@query("ddl_tblproperties")
+def ddl_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table metadata surface: TBLPROPERTIES round-trip + table COMMENT +
+    ALTER ... SET — the catalog annotations (owner, SLA tier, PII flag)
+    governance tooling reads instead of parsing wikis.  Self-asserted:
+    every property set comes back verbatim via SHOW TBLPROPERTIES, and
+    an ALTER overwrite is visible.
+    """
+    name = f"props_{uuid.uuid4().hex[:8]}"
+    t(spark, sf_dir, "region").write.saveAsTable(name)
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES ("
+        "'data_owner' = 'data-platform', 'sla_tier' = 'gold',"
+        " 'contains_pii' = 'false')"
+    )
+    spark.sql(
+        f"ALTER TABLE {name} SET TBLPROPERTIES ('sla_tier' = 'silver')"
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {name}").collect()
+    }
+    out = spark.createDataFrame(
+        [
+            Row(
+                data_owner=props.get("data_owner"),
+                sla_tier=props.get("sla_tier"),
+                contains_pii=props.get("contains_pii"),
+            )
+        ]
+    )
+    row = out.collect()[0]
+    assert row["data_owner"] == "data-platform", props
+    assert row["sla_tier"] == "silver", props  # ALTER overwrote gold
+    assert row["contains_pii"] == "false", props
+    cat.drop_table(spark, name)
+    return out
