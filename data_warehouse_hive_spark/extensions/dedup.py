@@ -1299,6 +1299,13 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("doc_a", "doc_b")
         .distinct()
+        # explicit width: AQE would coalesce the byte-tiny candidate
+        # shuffle to a few partitions, serializing the compute-bound
+        # set-intersection verify that follows (the q_dedup_lsh_tuning
+        # lesson — AQE sizes by bytes, not CPU)
+        .repartition(
+            docs.sparkSession.sparkContext.defaultParallelism, "doc_a", "doc_b"
+        )
     )
     x = shv.select(F.col("doc_id").alias("xa"), F.col("sh").alias("sh_a"))
     y = shv.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
