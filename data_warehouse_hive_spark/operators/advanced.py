@@ -1279,3 +1279,38 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "p_event_id")
     )
+
+
+@query(
+    "q_sql_exec_immediate",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS revenue
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXECUTE IMMEDIATE (Spark 4 dynamic SQL): the statement text lives
+    in a session variable and parameters bind with USING — the scripted
+    workflows (statement built from config, executed with bound args)
+    that Hive shops run through beeline variable substitution, now with
+    real typed binding instead of string splicing.  Same result as the
+    static statement by construction — the oracle states the inlined
+    form."""
+    from data_warehouse_hive_spark.tables import register_temp_views
+
+    register_temp_views(spark, sf_dir)
+    spark.sql(
+        "DECLARE OR REPLACE VARIABLE dyn_stmt STRING DEFAULT "
+        "'SELECT o_orderpriority, COUNT(*) AS n_orders, "
+        "CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)"
+        " / 1e6 AS revenue "
+        "FROM orders WHERE o_orderstatus = :status "
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority'"
+    )
+    return spark.sql("EXECUTE IMMEDIATE dyn_stmt USING 'F' AS status")
