@@ -187,8 +187,15 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup on normalized text: group by fingerprint, keep the
     lowest doc_id.  One shuffle on the (high-cardinality, uniform) md5 key
     — the scalable exact-dedup shape; `dropDuplicates` would not let us
-    pick a deterministic survivor."""
-    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    pick a deterministic survivor.
+
+    No `spread()` here, deliberately: the groupBy's own hash exchange
+    already redistributes, and the per-row work (one regex + one md5) is
+    too light to pay for a second round-robin shuffle first — measured
+    2.4× slower WITH the pre-repartition at sf0.1 (r4 bench regression,
+    0.529 s → 0.683 s).  spread() stays on the shingling queries, whose
+    per-row explode/hash compute dwarfs one shuffle of the text bytes."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
     return (
         d.select(F.md5(normalized_text("text")).alias("fp"), "doc_id")
         .groupBy("fp")

@@ -487,11 +487,20 @@ def q_retrieval_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAX_BASKET = 64  # baskets above this contribute O(n²) pairs and ~0 signal
+
+
 @query(
     "q_recs_similar_items",
-    oracle="""
-    WITH baskets AS (
+    oracle=f"""
+    WITH baskets_raw AS (
       SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+    ),
+    baskets AS (
+      SELECT ok, pk FROM (
+        SELECT ok, pk, COUNT(*) OVER (PARTITION BY ok) AS bsz
+        FROM baskets_raw
+      ) WHERE bsz <= {MAX_BASKET}
     ),
     item_cnt AS (
       SELECT pk, COUNT(*) AS cnt FROM baskets GROUP BY pk
@@ -536,13 +545,20 @@ def q_recs_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins basket-to-basket ON the order key (never item×item), counts
     collapse before the tiny item_cnt joins, and the symmetric top-k
     window partitions per item.  Hot orders (huge baskets) are the skew
-    risk at 100 TB — cap basket size upstream (a 10k-line order
-    contributes 5·10⁷ pairs and zero signal).  Cosine divides two exact
-    integers — deterministic to the 1e-6 pin."""
+    risk at 100 TB, so the MAX_BASKET cap is ENFORCED before the pair
+    join (a 10k-line order contributes 5·10⁷ pairs and zero signal) —
+    the window count shuffles on the same order key the pair join needs,
+    so the cap reuses that partitioning rather than adding an exchange.
+    Cosine divides two exact integers — deterministic to the 1e-6 pin."""
+    from pyspark.sql import Window as W
+
     l = t(spark, sf_dir, "lineitem")
     baskets = (
         l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+        .withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("ok")))
+        .filter(F.col("bsz") <= MAX_BASKET)
+        .drop("bsz")
         .localCheckpoint(eager=False)
     )
     item_cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))

@@ -721,13 +721,21 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _BASKET_TOP = 20
+_MAX_BASKET = 64  # skew guard: drop degenerate mega-baskets pre-expansion
 
 
 @query(
     "q_basket_pairs",
     oracle=f"""
-    WITH items AS (
+    WITH items_raw AS (
       SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    items AS (
+      SELECT l_orderkey, l_partkey FROM (
+        SELECT l_orderkey, l_partkey,
+               COUNT(*) OVER (PARTITION BY l_orderkey) AS bsz
+        FROM items_raw
+      ) WHERE bsz <= {_MAX_BASKET}
     ),
     pairs AS (
       SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS support
@@ -752,11 +760,23 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded in any real order system) — the same
     bounded-in-group-expansion argument as the LSH bucket joins, with
     `part_a < part_b` halving the pairs and making each unordered pair
-    unique.  One shuffle on the order key, one hash agg on the pair key,
-    then TakeOrderedAndProject for the top-k with full-key determinism.
+    unique.  The _MAX_BASKET cap is ENFORCED (window count over the
+    order key, reusing the exact partitioning the pair join needs) so a
+    degenerate mega-basket can never quadratically amplify the join.
+    One shuffle on the order key, one hash agg on the pair key, then
+    TakeOrderedAndProject for the top-k with full-key determinism.
     """
+    from pyspark.sql import Window as W
+
     items = (
-        t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .withColumn(
+            "bsz", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
+        )
+        .filter(F.col("bsz") <= _MAX_BASKET)
+        .drop("bsz")
     )
     a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
     b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))

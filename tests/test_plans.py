@@ -678,6 +678,27 @@ def test_similar_items_joins_on_order_key(spark, sf_dir):
     ), plan
 
 
+def test_basket_cap_enforced_before_pair_join(spark, sf_dir):
+    """Both basket miners must filter mega-baskets (bsz <= cap) BEFORE
+    the order-key self-join — the documented skew guard has to be in the
+    plan, not just the docstring.  q_recs_similar_items localCheckpoints
+    the capped relation (lineage truncated in explain), so its cap is
+    asserted at the source level instead."""
+    plan = _plan(spark, sf_dir, "q_basket_pairs")
+    assert "bsz" in plan and "<= 64" in plan, plan
+
+    import inspect
+
+    from data_warehouse_hive_spark.extensions import retrieval
+
+    # the registry wraps fns; read the module source for the real body
+    whole = inspect.getsource(retrieval)
+    src = whole[whole.index("def q_recs_similar_items") :]
+    cap_pos = src.index("MAX_BASKET")
+    join_pos = src.index(".join(")
+    assert cap_pos < join_pos, "cap must be applied before the pair join"
+
+
 def test_lm_score_single_corpus_scan(spark, sf_dir):
     """Both bigram sides and the unigram counts read the checkpointed
     postings — documents parquet scans once."""
@@ -696,12 +717,14 @@ def test_replay_detection_equi_join(spark, sf_dir):
     ), plan
 
 
-def test_pca_no_cartesian(spark, sf_dir):
-    """The covariance self-join keys on vec_id; matvecs key on the dim
-    index — nothing may plan a cartesian."""
+def test_pca_no_element_self_join(spark, sf_dir):
+    """The covariance must accumulate as mapInArrow outer-product
+    partials — the returned relation is the driver's d×d result (a local
+    scan), with NO join anywhere: the n×d² element self-join the oracle
+    describes must never appear in a Spark plan."""
     plan = _plan(spark, sf_dir, "q_embed_pca")
-    strategies = join_strategies(plan)
-    assert not any("CartesianProduct" in s for s in strategies), plan
+    assert not join_strategies(plan), plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_heavy_hitters_candidate_broadcast(spark, sf_dir):
