@@ -1,9 +1,10 @@
 """Endpoint-parity facade — the reference's REST API as library calls.
 
-The reference exposes four HTTP routes on a Sanic service
+The reference exposes six HTTP routes on a Sanic service
 (reference backend/app.py): POST /process-csv (:32-118),
-GET /health (:120-147), GET /schema/<key> (:149-180), and
-GET /table/<name>/info (:204-216).  SURVEY §7 collapses that 3-process
+GET /health (:120-147), GET /schema/<key> (:149-180),
+GET /tables (:182-202), GET /table/<name>/info (:204-216), and
+DELETE /table/<name> (:218-234).  SURVEY §7 collapses that 3-process
 HTTP/Thrift topology into in-process library calls; this module closes
 the last parity gap by exposing each route under its own name with the
 reference's exact RESPONSE SHAPE (same top-level keys, same nesting), so
@@ -56,11 +57,23 @@ def process_csv(
     table_name: str | None = None,
     *,
     has_header: bool = True,
+    validate: bool = True,
+    strict: bool = False,
 ) -> dict[str, Any]:
     """POST /process-csv twin (reference backend/app.py:32-118, success
     payload :100-111): ingest a CSV into an external table and return the
-    reference-shaped response."""
-    result = ingest_csv(spark, path, table_name, header=has_header)
+    reference-shaped response.
+
+    Like the reference's pipeline (which runs Pandera validation between
+    inference and table creation, backend/app.py:61-98 step comments),
+    the payload carries a `validation` block — per-column nullability +
+    type-domain conformance over the declared schema.  `strict=True`
+    aborts on violations the way a pandera SchemaError aborts the
+    reference's processing."""
+    result = ingest_csv(
+        spark, path, table_name, header=has_header,
+        validate=validate, strict=strict,
+    )
     size_mb = None
     try:
         size_mb = round(os.path.getsize(path) / (1024 * 1024), 2)
@@ -78,6 +91,7 @@ def process_csv(
         ],
         "sample_file_size_mb": size_mb,
         "has_header": has_header,
+        "validation": result.validation,
     }
 
 
@@ -145,6 +159,40 @@ def table_info(spark: SparkSession, table_name: str) -> dict[str, Any]:
         "row_count": info.row_count,
         "is_external": info.is_external,
     }
+
+
+def list_tables(spark: SparkSession) -> dict[str, Any]:
+    """GET /tables twin (reference backend/app.py:182-202): the table
+    names in the current database under the reference's exact keys —
+    `database` (reference config.HIVE_DATABASE, backend/config.py:22;
+    here the session's current catalog database), `tables`, `count`.
+    Error branch mirrors :197-202 ({"error": "Failed to list tables:
+    ..."})."""
+    try:
+        names = _catalog.show_tables(spark)
+        return {
+            "database": spark.catalog.currentDatabase(),
+            "tables": names,
+            "count": len(names),
+        }
+    except Exception as ex:  # noqa: BLE001 — the error IS the payload
+        return {"error": f"Failed to list tables: {ex}"}
+
+
+def drop_table(spark: SparkSession, table_name: str) -> dict[str, Any]:
+    """DELETE /table/<name> twin (reference backend/app.py:218-234 →
+    backend/hive_manager.py:120-139): drop and return the reference's
+    success payload verbatim; failures map to the :229-234 error shape.
+    Like the reference's `DROP TABLE IF EXISTS`, dropping a missing
+    table is a success."""
+    try:
+        _catalog.drop_table(spark, table_name, if_exists=True)
+        return {
+            "status": "success",
+            "message": f"Table {table_name} dropped successfully",
+        }
+    except Exception as ex:  # noqa: BLE001 — the error IS the payload
+        return {"error": f"Failed to drop table: {ex}"}
 
 
 # ---------------------------------------------------------------------------

@@ -82,6 +82,64 @@ def get_spark(
     return builder.getOrCreate()
 
 
+def s3a_conf(
+    endpoint: str | None = None,
+    access_key: str | None = None,
+    secret_key: str | None = None,
+    *,
+    path_style_access: bool | None = None,
+    max_connections: int = 200,
+) -> dict[str, str]:
+    """Object-store (s3a://) session conf — the topology the reference
+    actually deploys (MinIO service + boto3 client, reference
+    docker/docker-compose.yml:125, backend/csv_processor.py:36-71),
+    expressed as the Hadoop-S3A keys a Spark build consumes.
+
+    * `endpoint` set → MinIO/on-prem mode: endpoint override +
+      path-style addressing (virtual-host style needs wildcard DNS,
+      which MinIO deployments rarely have).  Omitted → AWS mode.
+    * Static credentials only when BOTH keys are given; otherwise the
+      provider chain (instance profile / env / web identity) applies.
+    * Committer: the zero-rename S3A "magic" committer — task output
+      goes up as uncommitted multipart uploads completed at job commit.
+      The default rename-based FileOutputCommitter on S3 is an O(data)
+      server-side copy AND non-atomic; at 100 TB that is the difference
+      between a commit taking seconds and taking hours (SCALING.md
+      "Object-store ingest").
+    * Listing/read tuning: connection pool sized for many concurrent
+      tasks per host; sequential fadvise for full-scan CSV/Parquet.
+
+    Pass the result as `get_spark(extra_conf=s3a_conf(...))`; every
+    `path`-taking API in this package is scheme-agnostic, so `s3a://`
+    URIs then flow through ingest/scan/write unchanged.
+    """
+    conf: dict[str, str] = {
+        # zero-rename commit path
+        "spark.hadoop.fs.s3a.committer.name": "magic",
+        "spark.hadoop.fs.s3a.committer.magic.enabled": "true",
+        "spark.sql.sources.commitProtocolClass":
+            "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+        "spark.sql.parquet.output.committer.class":
+            "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter",
+        # listing + read tuning
+        "spark.hadoop.fs.s3a.connection.maximum": str(max_connections),
+        "spark.hadoop.fs.s3a.experimental.input.fadvise": "sequential",
+    }
+    if endpoint:
+        conf["spark.hadoop.fs.s3a.endpoint"] = endpoint
+        if path_style_access is None:
+            path_style_access = True
+    if path_style_access:
+        conf["spark.hadoop.fs.s3a.path.style.access"] = "true"
+    if access_key and secret_key:
+        conf["spark.hadoop.fs.s3a.access.key"] = access_key
+        conf["spark.hadoop.fs.s3a.secret.key"] = secret_key
+        conf["spark.hadoop.fs.s3a.aws.credentials.provider"] = (
+            "org.apache.hadoop.fs.s3a.SimpleAWSCredentialsProvider"
+        )
+    return conf
+
+
 def ensure_engine_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-settable engine conf to an externally-provided session.
 

@@ -135,6 +135,84 @@ def infer_csv_schema(
     return sample.schema, delim
 
 
+class SchemaValidationError(ValueError):
+    """Raised in strict mode when ingest-time validation fails — the twin
+    of pandera's SchemaError surfacing through the reference pipeline
+    (backend/csv_processor.py:136-145 raises; backend/app.py returns the
+    error payload)."""
+
+
+def validate_against_schema(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    *,
+    delimiter: str = ",",
+    header: bool = True,
+) -> dict:
+    """Declarative per-column validation of a CSV against its declared
+    schema — the reference's Pandera step (backend/csv_processor.py:
+    112-145: one inferred Column(type, nullable=True) per column,
+    then `schema.validate(df)` over the loaded frame) re-expressed as
+    ONE distributed aggregation pass.
+
+    Semantics mirror the reference's inferred contract: every column is
+    nullable (so empty cells are *counted*, never violations), and a
+    type violation is a NON-EMPTY cell whose text does not parse as the
+    declared type (`try_cast` → NULL).  Reading the file as all-strings
+    and try_casting inside conditional aggregates keeps it a single
+    narrow scan — no second typed read, no row materialization, O(cols)
+    state per task — the shape that still works when the CSV is a 100 TB
+    directory.
+
+    Returns {"status": "passed"|"failed", "rows": n, "columns":
+    {name: {"type", "nullable", "null_count", "type_violations"}}}.
+    """
+    from pyspark.sql import functions as F
+
+    raw_schema = T.StructType(
+        [T.StructField(f.name, T.StringType(), True) for f in schema.fields]
+    )
+    raw = spark.read.options(
+        header=str(header).lower(), sep=delimiter, nullValue=""
+    ).schema(raw_schema).csv(path)
+
+    aggs = [F.count(F.lit(1)).alias("__rows")]
+    for f in schema.fields:
+        c = F.col(f.name)
+        present = c.isNotNull()
+        aggs.append(
+            F.sum(F.when(~present, 1).otherwise(0))
+            .cast("long")
+            .alias(f"{f.name}__nulls")
+        )
+        if isinstance(f.dataType, T.StringType):
+            viol = F.lit(0)
+        else:
+            viol = F.when(
+                present & c.try_cast(f.dataType).isNull(), 1
+            ).otherwise(0)
+        aggs.append(
+            F.sum(viol).cast("long").alias(f"{f.name}__viol")
+        )
+    row = raw.agg(*aggs).collect()[0]
+    cols = {
+        f.name: {
+            "type": f.dataType.simpleString(),
+            "nullable": True,
+            "null_count": row[f"{f.name}__nulls"],
+            "type_violations": row[f"{f.name}__viol"],
+        }
+        for f in schema.fields
+    }
+    failed = any(c["type_violations"] > 0 for c in cols.values())
+    return {
+        "status": "failed" if failed else "passed",
+        "rows": row["__rows"],
+        "columns": cols,
+    }
+
+
 @dataclass
 class IngestResult:
     """What the reference's POST /process-csv returns (backend/app.py:100-111),
@@ -145,6 +223,7 @@ class IngestResult:
     delimiter: str
     schema: T.StructType
     columns: list[dict[str, str]] = field(default_factory=list)
+    validation: dict | None = None
 
 
 def create_external_csv_table(
@@ -191,16 +270,41 @@ def ingest_csv(
     *,
     header: bool = True,
     delimiter: str | None = None,
+    validate: bool = False,
+    strict: bool = False,
 ) -> IngestResult:
     """The end-to-end pipeline (reference backend/app.py:32-118, steps
-    numbered :61-98): sniff → bounded inference → external-table
-    registration → refresh.  One in-process call; no data is moved."""
+    numbered :61-98): sniff → bounded inference → [validation] →
+    external-table registration → refresh.  One in-process call; no data
+    is moved.
+
+    `validate=True` runs the declarative per-column check
+    (`validate_against_schema`) the reference's pipeline performs via
+    Pandera between inference and table creation (backend/app.py:61-98
+    step comments; backend/csv_processor.py:112-145) and attaches the
+    result to `IngestResult.validation`.  `strict=True` additionally
+    raises SchemaValidationError on failure — the reference's behavior,
+    where a pandera SchemaError aborts processing."""
     name = sanitize_table_name(
         table_name or os.path.splitext(os.path.basename(path))[0]
     )
     schema, delim = infer_csv_schema(
         spark, path, delimiter=delimiter, header=header
     )
+    validation = None
+    if validate:
+        validation = validate_against_schema(
+            spark, path, schema, delimiter=delim, header=header
+        )
+        if strict and validation["status"] == "failed":
+            bad = {
+                k: v["type_violations"]
+                for k, v in validation["columns"].items()
+                if v["type_violations"]
+            }
+            raise SchemaValidationError(
+                f"schema validation failed for {path}: type violations {bad}"
+            )
     create_external_csv_table(
         spark, name, path, schema, delimiter=delim, header=header
     )
@@ -215,4 +319,5 @@ def ingest_csv(
             {"name": f.name, "spark_type": f.dataType.simpleString()}
             for f in schema.fields
         ],
+        validation=validation,
     )

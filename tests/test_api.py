@@ -84,3 +84,36 @@ def test_upload_status_lifecycle(spark, tmp_path):
 
     assert api.upload_status("nope") == {"error": "Upload not found"}
     spark.sql("DROP TABLE IF EXISTS upload_ok_t")
+
+
+def test_list_tables_shape(spark, tmp_path):
+    """GET /tables twin (reference backend/app.py:182-202): payload is
+    {database, tables, count} with count == len(tables) and a created
+    table visible in the list."""
+    p = _write_csv(tmp_path)
+    api.process_csv(spark, p, "api_list_t")
+    try:
+        out = api.list_tables(spark)
+        assert set(out) == {"database", "tables", "count"}
+        assert out["count"] == len(out["tables"])
+        assert "api_list_t" in out["tables"]
+        assert isinstance(out["database"], str) and out["database"]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS api_list_t")
+
+
+def test_drop_table_shape(spark, tmp_path):
+    """DELETE /table/<name> twin (reference backend/app.py:218-234):
+    success payload is {status, message}; the table is really gone; a
+    second drop of the now-missing table still succeeds (DROP TABLE IF
+    EXISTS semantics, reference hive_manager.py:120-139)."""
+    p = _write_csv(tmp_path)
+    api.process_csv(spark, p, "api_drop_t")
+    out = api.drop_table(spark, "api_drop_t")
+    assert out == {
+        "status": "success",
+        "message": "Table api_drop_t dropped successfully",
+    }
+    assert "api_drop_t" not in api.list_tables(spark)["tables"]
+    again = api.drop_table(spark, "api_drop_t")
+    assert again["status"] == "success"

@@ -348,3 +348,122 @@ def test_compaction_flags_all_true(spark, sf_dir):
     assert row["rows_preserved"] and row["values_preserved"]
     assert row["compaction_effective"]
     assert row["files_before"] >= 32 and row["files_after"] <= 4
+
+
+# ---------------------------------------------------------------------------
+# Ingest-time declarative validation (reference backend/csv_processor.py:
+# 112-145 Pandera step: per-column Column(type, nullable=True) contract
+# validated over the loaded frame).
+# ---------------------------------------------------------------------------
+
+
+def test_validate_passes_on_clean_csv(spark, tmp_path):
+    from data_warehouse_hive_spark.sources.csv_ingest import ingest_csv
+
+    p = tmp_path / "clean.csv"
+    p.write_text("id,score\n1,2.5\n2,3.5\n,\n")  # empty row: nulls OK
+    res = ingest_csv(spark, str(p), "val_clean_t", validate=True)
+    try:
+        v = res.validation
+        assert v["status"] == "passed" and v["rows"] == 3
+        # nullable=True contract: empty cells counted, never violations
+        assert v["columns"]["id"]["null_count"] == 1
+        assert v["columns"]["id"]["type_violations"] == 0
+        assert v["columns"]["id"]["nullable"] is True
+    finally:
+        spark.sql("DROP TABLE IF EXISTS val_clean_t")
+
+
+def test_validate_flags_type_violation_beyond_sample(spark, tmp_path):
+    """The realistic failure: inference's 1000-row window sees ints, a
+    later row carries text — the declarative check (full scan) catches
+    what bounded inference cannot."""
+    from data_warehouse_hive_spark.sources.csv_ingest import (
+        SchemaValidationError,
+        ingest_csv,
+    )
+
+    p = tmp_path / "dirty.csv"
+    rows = ["id,qty"] + [f"{i},{i * 2}" for i in range(1200)]
+    rows.append("1200,notanumber")
+    p.write_text("\n".join(rows) + "\n")
+
+    res = ingest_csv(spark, str(p), "val_dirty_t", validate=True)
+    try:
+        v = res.validation
+        assert v["status"] == "failed" and v["rows"] == 1201
+        assert v["columns"]["qty"]["type_violations"] == 1
+        assert v["columns"]["id"]["type_violations"] == 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS val_dirty_t")
+
+    # strict mode: the reference's behavior — a SchemaError aborts
+    import pytest as _pytest
+
+    with _pytest.raises(SchemaValidationError, match="qty"):
+        ingest_csv(spark, str(p), "val_dirty_strict_t",
+                   validate=True, strict=True)
+    # aborted BEFORE table creation
+    assert not spark.catalog.tableExists("val_dirty_strict_t")
+
+
+def test_process_csv_payload_carries_validation_block(spark, tmp_path):
+    from data_warehouse_hive_spark import api
+
+    p = tmp_path / "v.csv"
+    p.write_text("a,b\n1,x\n2,y\n")
+    out = api.process_csv(spark, str(p), "val_api_t")
+    try:
+        assert out["validation"]["status"] == "passed"
+        assert set(out["validation"]["columns"]) == {"a", "b"}
+        blk = out["validation"]["columns"]["a"]
+        assert set(blk) == {"type", "nullable", "null_count",
+                            "type_violations"}
+    finally:
+        spark.sql("DROP TABLE IF EXISTS val_api_t")
+
+
+# ---------------------------------------------------------------------------
+# Object-store conf builder (reference MinIO topology,
+# docker/docker-compose.yml:125; SCALING.md "Object-store ingest")
+# ---------------------------------------------------------------------------
+
+
+def test_s3a_conf_minio_mode():
+    from data_warehouse_hive_spark.session import s3a_conf
+
+    conf = s3a_conf("http://minio:9000", "ak", "sk")
+    assert conf["spark.hadoop.fs.s3a.endpoint"] == "http://minio:9000"
+    # MinIO needs path-style addressing (no wildcard DNS)
+    assert conf["spark.hadoop.fs.s3a.path.style.access"] == "true"
+    assert conf["spark.hadoop.fs.s3a.access.key"] == "ak"
+    assert conf["spark.hadoop.fs.s3a.secret.key"] == "sk"
+    assert conf["spark.hadoop.fs.s3a.aws.credentials.provider"].endswith(
+        "SimpleAWSCredentialsProvider"
+    )
+    # zero-rename committer is non-negotiable on object stores
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.committer.magic.enabled"] == "true"
+    assert conf["spark.sql.sources.commitProtocolClass"].endswith(
+        "PathOutputCommitProtocol"
+    )
+    assert conf["spark.sql.parquet.output.committer.class"].endswith(
+        "BindingParquetOutputCommitter"
+    )
+
+
+def test_s3a_conf_aws_mode_uses_provider_chain():
+    from data_warehouse_hive_spark.session import s3a_conf
+
+    conf = s3a_conf()
+    # no endpoint override, no static keys, no forced path-style
+    assert "spark.hadoop.fs.s3a.endpoint" not in conf
+    assert "spark.hadoop.fs.s3a.access.key" not in conf
+    assert "spark.hadoop.fs.s3a.aws.credentials.provider" not in conf
+    assert "spark.hadoop.fs.s3a.path.style.access" not in conf
+    # committer + tuning always present
+    assert conf["spark.hadoop.fs.s3a.committer.name"] == "magic"
+    assert conf["spark.hadoop.fs.s3a.connection.maximum"] == "200"
+    assert (
+        conf["spark.hadoop.fs.s3a.experimental.input.fadvise"] == "sequential"
+    )
