@@ -400,9 +400,15 @@ def q_graph_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=False)
     )
+    # Explicit literal seed, mirroring the recursive CTE's anchor row:
+    # the oracle unconditionally emits ('signup', 0) even when 'signup'
+    # has no observed transitions, so the node set must not be derived
+    # solely from edges.
+    seed = spark.createDataFrame([("signup",)], "node string")
     dist = (
         trans.select(F.col("src").alias("node"))
         .unionAll(trans.select(F.col("dst").alias("node")))
+        .unionAll(seed)
         .distinct()
         .select(
             "node",

@@ -910,16 +910,24 @@ def q_dedup_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_text_phrase_search",
     oracle="""
-    SELECT doc_id, source,
-           (length(' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
-                   || ' ')
-            - length(replace(' ' || lower(regexp_replace(trim(text), '\\s+',
-                                          ' ', 'g')) || ' ',
-                             ' table value ', ' '))) // 12 AS n_hits
-    FROM documents
-    WHERE ' ' || lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) || ' '
-          LIKE '% table value %'
-    ORDER BY doc_id
+    WITH norm AS (
+      SELECT doc_id, source,
+             string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, source, u.pos, u.term
+      FROM norm, LATERAL (SELECT unnest(toks) AS term,
+                                 unnest(range(len(toks))) AS pos) u
+      WHERE u.term IN ('table', 'value')
+    )
+    SELECT a.doc_id, ANY_VALUE(a.source) AS source, COUNT(*) AS n_hits
+    FROM postings a JOIN postings b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+     AND a.term = 'table' AND b.term = 'value'
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
     """,
 )
 def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -927,10 +935,13 @@ def q_text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings: posexplode the token stream, self-join term-1 and term-2
     postings on (doc, pos+1) — the inverted-index-with-positions plan
     every search engine runs, where a LIKE scan would re-read full text
-    per query.  The oracle states the same relation with the scan form
-    (padded-LIKE containment + occurrence count by length difference —
-    12 = len(' table value ') − len(' ')); the postings join must agree
-    exactly, hit count included.
+    per query.  The oracle states the SAME postings relation (unnest
+    with positions, self-join on pos+1) rather than a padded-LIKE scan:
+    the scan form counts non-overlapping occurrences (replace() consumes
+    the shared boundary space), so on text like 'table value table
+    value table value' the two formulations genuinely differ — the
+    positional form, which counts every adjacent pair, is the semantics
+    a search engine implements, and now both engines state it.
 
     At 100 TB the postings table is built once (doc_id, term, pos),
     bucketed by term; a phrase query touches only its terms' postings —

@@ -298,8 +298,13 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = 25
 
     def mg_partition(batches):
+        # yields the MG candidate summary PLUS this partition's token
+        # count — the global total then comes from the same (tiny)
+        # summary relation instead of a third full tokenization scan
         counters: dict[str, int] = {}
+        seen = 0
         for pdf in batches:
+            seen += len(pdf)
             for tok in pdf["token"]:
                 if tok in counters:
                     counters[tok] += 1
@@ -311,12 +316,20 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
                         counters[c] -= 1
                     for c in dead:
                         del counters[c]
-        yield _pd.DataFrame({"token": list(counters.keys())})
+        yield _pd.DataFrame(
+            {
+                "token": list(counters.keys()) + [None],
+                "pcnt": [0] * len(counters) + [seen],
+            }
+        )
 
+    mg_out = toks.mapInPandas(
+        mg_partition, "token string, pcnt long"
+    ).localCheckpoint(eager=False)
     candidates = (
-        toks.mapInPandas(mg_partition, "token string").distinct()
+        mg_out.filter(F.col("token").isNotNull()).select("token").distinct()
     )
-    total = toks.count()
+    total = mg_out.agg(F.sum("pcnt")).collect()[0][0] or 0
     exact = (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

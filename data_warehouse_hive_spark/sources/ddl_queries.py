@@ -1060,35 +1060,44 @@ def ddl_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     snapshot copy.  Returns a verification row per clone: the LIKE clone
     must be empty with an identical schema, the CTAS clone must match
     the source's row count.
+
+    Table names carry a uuid suffix (like the sibling ddl_view_masked /
+    ddl_tblproperties operators) so concurrent sessions sharing a
+    warehouse/metastore cannot collide and drop each other's tables.
     """
-    spark.sql("DROP TABLE IF EXISTS clone_src")
-    spark.sql("DROP TABLE IF EXISTS clone_schema_only")
-    spark.sql("DROP TABLE IF EXISTS clone_snapshot")
-    t(spark, sf_dir, "nation").write.saveAsTable("clone_src")
-    spark.sql("CREATE TABLE clone_schema_only LIKE clone_src")
-    spark.sql("CREATE TABLE clone_snapshot AS SELECT * FROM clone_src")
-    src_schema = spark.table("clone_src").schema
-    like_schema = spark.table("clone_schema_only").schema
-    rows = [
-        (
-            "schema_only",
-            int(spark.table("clone_schema_only").count()),
-            like_schema == src_schema,
-        ),
-        (
-            "snapshot",
-            int(spark.table("clone_snapshot").count()),
-            spark.table("clone_snapshot").schema == src_schema,
-        ),
-    ]
-    src_n = spark.table("clone_src").count()
-    out = spark.createDataFrame(
-        rows, "clone_kind string, n_rows long, schema_matches boolean"
-    )
-    assert rows[0][1] == 0 and rows[0][2], rows
-    assert rows[1][1] == src_n and rows[1][2], rows
-    for tbl in ("clone_schema_only", "clone_snapshot", "clone_src"):
-        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    import uuid as _uuid
+
+    tag = _uuid.uuid4().hex[:8]
+    src = f"clone_src_{tag}"
+    schema_only = f"clone_schema_only_{tag}"
+    snapshot = f"clone_snapshot_{tag}"
+    try:
+        t(spark, sf_dir, "nation").write.saveAsTable(src)
+        spark.sql(f"CREATE TABLE {schema_only} LIKE {src}")
+        spark.sql(f"CREATE TABLE {snapshot} AS SELECT * FROM {src}")
+        src_schema = spark.table(src).schema
+        like_schema = spark.table(schema_only).schema
+        rows = [
+            (
+                "schema_only",
+                int(spark.table(schema_only).count()),
+                like_schema == src_schema,
+            ),
+            (
+                "snapshot",
+                int(spark.table(snapshot).count()),
+                spark.table(snapshot).schema == src_schema,
+            ),
+        ]
+        src_n = spark.table(src).count()
+        out = spark.createDataFrame(
+            rows, "clone_kind string, n_rows long, schema_matches boolean"
+        )
+        assert rows[0][1] == 0 and rows[0][2], rows
+        assert rows[1][1] == src_n and rows[1][2], rows
+    finally:
+        for tbl in (schema_only, snapshot, src):
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
     return out
 
 
@@ -1103,36 +1112,44 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     un-rewritten (the 100 TB property: evolution costs zero data
     movement).
     """
+    import shutil as _sh
     import tempfile as _tf
 
-    d = os.path.join(_tf.mkdtemp(prefix="dwh_evo_"), "tbl")
-    v1 = spark.createDataFrame(
-        [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0)],
-        "day string, k int, v double",
-    )
-    v1.write.partitionBy("day").mode("overwrite").parquet(d)
-    v2 = spark.createDataFrame(
-        [("2024-01-02", 3, 30.0, "mobile"), ("2024-01-02", 4, 40.0, "web")],
-        "day string, k int, v double, channel string",
-    )
-    v2.write.partitionBy("day").mode("append").parquet(d)
-    merged = spark.read.option("mergeSchema", "true").parquet(d)
-    assert "channel" in merged.columns, merged.columns
-    out = (
-        # partition-column type inference reads day= dirs back as DATE;
-        # pin to string so the verification keys are stable
-        merged.groupBy(F.col("day").cast("string").alias("day"))
-        .agg(
-            F.count(F.lit(1)).alias("n_rows"),
-            F.count(F.when(F.col("channel").isNull(), 1)).alias(
-                "n_null_channel"
-            ),
+    base = _tf.mkdtemp(prefix="dwh_evo_")
+    try:
+        d = os.path.join(base, "tbl")
+        v1 = spark.createDataFrame(
+            [("2024-01-01", 1, 10.0), ("2024-01-01", 2, 20.0)],
+            "day string, k int, v double",
         )
-        .orderBy("day")
-    )
-    rows = {r["day"]: (r["n_rows"], r["n_null_channel"]) for r in out.collect()}
-    assert rows["2024-01-01"] == (2, 2) and rows["2024-01-02"] == (2, 0), rows
-    return out
+        v1.write.partitionBy("day").mode("overwrite").parquet(d)
+        v2 = spark.createDataFrame(
+            [("2024-01-02", 3, 30.0, "mobile"), ("2024-01-02", 4, 40.0, "web")],
+            "day string, k int, v double, channel string",
+        )
+        v2.write.partitionBy("day").mode("append").parquet(d)
+        merged = spark.read.option("mergeSchema", "true").parquet(d)
+        assert "channel" in merged.columns, merged.columns
+        out = (
+            # partition-column type inference reads day= dirs back as DATE;
+            # pin to string so the verification keys are stable
+            merged.groupBy(F.col("day").cast("string").alias("day"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.count(F.when(F.col("channel").isNull(), 1)).alias(
+                    "n_null_channel"
+                ),
+            )
+            .orderBy("day")
+        )
+        collected = out.collect()
+        rows = {r["day"]: (r["n_rows"], r["n_null_channel"]) for r in collected}
+        assert rows["2024-01-01"] == (2, 2) and rows["2024-01-02"] == (2, 0), rows
+        # localize before the finally deletes the files the lazy plan
+        # would otherwise re-read
+        return spark.createDataFrame(collected, out.schema)
+    finally:
+        _sh.rmtree(base, ignore_errors=True)
 
 
 @query("ddl_view_masked")
