@@ -146,6 +146,19 @@ EXT_R4E = [
     "q_sample_balanced",
 ]
 
+# round 5: nonparametric stats, centrality, diversity, Bloom audit,
+# range search — the new batch's heaviest plans, own group so earlier
+# totals stay comparable.
+EXT_R5 = [
+    "q_stats_mannwhitney",
+    "q_stats_mutual_info",
+    "q_text_simpson",
+    "q_dedup_bloom",
+    "q_graph_closeness",
+    "q_sim_threshold_search",
+    "q_win_cumsum_reset",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -171,7 +184,7 @@ def main() -> None:
     # the data volume), so the timed sf run measures execution.
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E
+        + EXT_R4E + EXT_R5
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -208,6 +221,8 @@ def main() -> None:
     ext_r4d["total"] = round(sum(ext_r4d.values()), 3)
     ext_r4e = {name: timed(name) for name in EXT_R4E}
     ext_r4e["total"] = round(sum(ext_r4e.values()), 3)
+    ext_r5 = {name: timed(name) for name in EXT_R5}
+    ext_r5["total"] = round(sum(ext_r5.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -221,6 +236,7 @@ def main() -> None:
         "ext_r4c": ext_r4c,
         "ext_r4d": ext_r4d,
         "ext_r4e": ext_r4e,
+        "ext_r5": ext_r5,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -251,6 +267,7 @@ def main() -> None:
                     "ext_r4c": ext_r4c["total"],
                     "ext_r4d": ext_r4d["total"],
                     "ext_r4e": ext_r4e["total"],
+                    "ext_r5": ext_r5["total"],
                 },
                 "detail_file": detail_path,
             }

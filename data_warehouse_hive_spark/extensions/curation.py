@@ -1605,3 +1605,72 @@ def q_quality_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_chars", "bucket", "norm_score")
         .orderBy("doc_id")
     )
+
+
+_EPOCH_BUDGET = 5_000_000  # target training tokens for the epoch schedule
+
+
+@query(
+    "q_mix_epochs",
+    oracle=rf"""
+    WITH mass AS (
+      SELECT lang,
+             CAST(SUM(len({_O_TOK})) AS BIGINT) AS n_tokens,
+             {_mix_case_sql()} AS target_share
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, n_tokens, target_share,
+           CAST(floor(target_share * {_EPOCH_BUDGET}) AS BIGINT)
+             AS needed_tokens,
+           round(CAST(floor(target_share * {_EPOCH_BUDGET}) AS BIGINT)
+                 / CAST(n_tokens AS DOUBLE), 6) AS epochs,
+           (CAST(floor(target_share * {_EPOCH_BUDGET}) AS BIGINT)
+            > n_tokens) AS needs_repetition
+    FROM mass
+    WHERE target_share > 0
+    ORDER BY lang
+    """,
+)
+def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition schedule for a token-budgeted training mix: for
+    each language with a target share of the _EPOCH_BUDGET-token run,
+    how many passes over its available mass are needed (epochs > 1 ⇒
+    the domain must repeat — the data-constrained regime every scaling
+    plan has to call out explicitly, since repeated epochs devalue
+    tokens).  The complement of q_mix_weights: that query downsamples
+    abundant domains to hit the mix; this one quantifies the upsampling
+    debt of the scarce ones.
+
+    One partial+final aggregation on the language key; all schedule
+    arithmetic is mirrored double ops on exact integers.
+    """
+    m = (
+        spread(t(spark, sf_dir, "documents").select("lang", "text"), spark)
+        .groupBy("lang")
+        .agg(F.sum(F.size(tokens("text"))).cast("long").alias("n_tokens"))
+        .withColumn(
+            "target_share",
+            F.coalesce(
+                *[
+                    F.when(F.col("lang") == k, F.lit(v))
+                    for k, v in sorted(_MIX_TARGET.items())
+                ],
+                F.lit(0.0),
+            ),
+        )
+        .filter(F.col("target_share") > 0)
+    )
+    needed = F.floor(F.col("target_share") * F.lit(_EPOCH_BUDGET)).cast("long")
+    return (
+        m.select(
+            "lang",
+            "n_tokens",
+            "target_share",
+            needed.alias("needed_tokens"),
+            F.round(
+                needed.cast("double") / F.col("n_tokens").cast("double"), 6
+            ).alias("epochs"),
+            (needed > F.col("n_tokens")).alias("needs_repetition"),
+        )
+        .orderBy("lang")
+    )

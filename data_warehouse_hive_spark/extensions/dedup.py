@@ -1331,3 +1331,105 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_a", "doc_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: Bloom-filter admission audit
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 65536  # m = 2^16
+BLOOM_K = 4         # hash functions (4 disjoint md5 nibble-quads)
+
+
+@query(
+    "q_dedup_bloom",
+    oracle=f"""
+    WITH fp AS (SELECT DISTINCT md5({_O_NORM}) AS f FROM documents),
+    pos AS (
+      SELECT DISTINCT f,
+             ('0x' || substr(f, 1 + 4 * i.i, 4))::UBIGINT::BIGINT
+               % {BLOOM_BITS} AS p
+      FROM fp, LATERAL (SELECT unnest(range({BLOOM_K})) AS i) i
+    ),
+    pc AS (SELECT p, COUNT(*) AS nf FROM pos GROUP BY p),
+    keyshare AS (
+      SELECT pos.f,
+             MIN(CASE WHEN pc.nf >= 2 THEN 1 ELSE 0 END) AS all_shared
+      FROM pos JOIN pc ON pc.p = pos.p GROUP BY pos.f
+    ),
+    summ AS (
+      SELECT (SELECT COUNT(*) FROM fp) AS n_keys,
+             (SELECT COUNT(*) FROM pc) AS bits_set,
+             (SELECT CAST(SUM(all_shared) AS BIGINT) FROM keyshare)
+               AS n_shadowed
+    )
+    SELECT CAST(n_keys AS BIGINT) AS n_keys,
+           CAST(bits_set AS BIGINT) AS bits_set,
+           round(CAST(bits_set AS DOUBLE) / {BLOOM_BITS}, 9) AS fill_ratio,
+           n_shadowed,
+           round((CAST(bits_set AS DOUBLE) / {BLOOM_BITS})
+                 * (CAST(bits_set AS DOUBLE) / {BLOOM_BITS})
+                 * (CAST(bits_set AS DOUBLE) / {BLOOM_BITS})
+                 * (CAST(bits_set AS DOUBLE) / {BLOOM_BITS}), 9) AS fpr_est
+    FROM summ
+    """,
+)
+def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter sizing audit for the dedup admission gate: simulate
+    an m=2^16 / k=4 filter over the distinct normalized-text
+    fingerprints and measure (a) realized fill ratio, (b) how many
+    PRESENT keys are fully shadowed by other keys' bits (every one of
+    their k positions also set by someone else — the keys that could
+    never be distinguished from a false positive), and (c) the
+    fill^k false-positive estimate.  This is the capacity check run
+    before deploying q_dedup_incremental's admission filter at a new
+    corpus scale: fill > ~50% means m must grow.
+
+    Positions are k disjoint 16-bit nibble-quads of the md5 the dedup
+    family already computes (engine-portable hex→int, the base_hash
+    idiom).  Plan: one distinct on the fingerprint, one explode to k
+    positions, one groupBy per position (bounded ≤ m groups), one
+    per-key min — every relation after the first dedup is bounded by m
+    or by the key count; fpr_est is explicit repeated multiplication
+    (no pow()), mirrored textually.
+    """
+    fp = (
+        t(spark, sf_dir, "documents")
+        .select(F.md5(normalized_text("text")).alias("f"))
+        .distinct()
+    )
+    idx = F.explode(F.sequence(F.lit(0), F.lit(BLOOM_K - 1))).alias("i")
+    pos = (
+        fp.select("f", idx)
+        .select(
+            "f",
+            (
+                F.conv(
+                    F.substring(F.col("f"), F.col("i") * 4 + 1, 4), 16, 10
+                ).cast("long")
+                % BLOOM_BITS
+            ).alias("p"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    pc = pos.groupBy("p").agg(F.count(F.lit(1)).alias("nf"))
+    keyshare = (
+        pos.join(pc, "p")
+        .groupBy("f")
+        .agg(
+            F.min(F.when(F.col("nf") >= 2, 1).otherwise(0)).alias("all_shared")
+        )
+    )
+    summ = keyshare.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("all_shared").alias("n_shadowed"),
+    ).crossJoin(F.broadcast(pc.agg(F.count(F.lit(1)).alias("bits_set"))))
+    fill = F.col("bits_set").cast("double") / F.lit(BLOOM_BITS)
+    return summ.select(
+        F.col("n_keys").cast("long").alias("n_keys"),
+        F.col("bits_set").cast("long").alias("bits_set"),
+        F.round(fill, 9).alias("fill_ratio"),
+        F.col("n_shadowed").cast("long").alias("n_shadowed"),
+        F.round(fill * fill * fill * fill, 9).alias("fpr_est"),
+    )

@@ -524,3 +524,104 @@ object.__setattr__(
     _spec_gc, "oracle", _spec_gc.oracle.format(pairs=_o_candidate_edges())
 )
 del _spec_gc
+
+
+@query(
+    "q_graph_closeness",
+    oracle="""
+    WITH RECURSIVE trans AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+      ) WHERE dst IS NOT NULL AND dst <> src
+    ),
+    nodes AS (
+      SELECT src AS node FROM trans UNION SELECT dst FROM trans
+    ),
+    r(origin, node, d) AS (
+      SELECT node, node, 0 FROM nodes
+      UNION ALL
+      SELECT r.origin, t.dst, r.d + 1
+      FROM r JOIN trans t ON t.src = r.node
+      WHERE r.d < 5
+    ),
+    sp AS (
+      SELECT origin, node, MIN(d) AS d FROM r GROUP BY origin, node
+    )
+    SELECT origin AS node,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reachable,
+           round(CAST(SUM(CASE WHEN d > 0
+                     THEN CAST(floor(1e9 / d + 0.5) AS BIGINT)
+                     ELSE 0 END) AS DOUBLE) / 1e9, 6) AS harmonic
+    FROM sp GROUP BY origin
+    ORDER BY node
+    """,
+)
+def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Harmonic closeness centrality of every node in the event-type
+    transition graph — Σ 1/d(x,y) over reachable y≠x, the
+    centrality that (unlike classic closeness) stays well-defined on
+    disconnected graphs.  Ranks "hubs you can get anywhere from fast"
+    where PageRank ranks "nodes everything flows into".
+
+    Multi-source BFS as ONE propagation: the frontier relation is keyed
+    (origin, node) so all |V| single-source problems advance together in
+    the same bounded driver loop (5 rounds, localCheckpoint per round) —
+    |V| is the event-type domain, so the iterated relation is ≤ |V|²
+    rows regardless of corpus size; the only fact-scale work is the one
+    window pass extracting distinct transitions.  Each 1/d term is
+    floored onto a 1e9 carrier (mirrored formula) so the per-origin sums
+    are order-exact.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    nodes = (
+        trans.select(F.col("src").alias("node"))
+        .unionAll(trans.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.select(
+        F.col("node").alias("origin"), "node", F.lit(0).alias("d")
+    )
+    for _ in range(5):
+        step = (
+            dist.join(trans, F.col("node") == F.col("src"))
+            .select("origin", F.col("dst").alias("node"), (F.col("d") + 1).alias("d"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("origin", "node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.groupBy("origin")
+        .agg(
+            (F.count(F.lit(1)) - 1).alias("n_reachable"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("d") > 0,
+                        F.floor(F.lit(1e9) / F.col("d") + F.lit(0.5)).cast(
+                            "long"
+                        ),
+                    ).otherwise(F.lit(0).cast("long"))
+                ).cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("harmonic"),
+        )
+        .select(F.col("origin").alias("node"), "n_reachable", "harmonic")
+        .orderBy("node")
+    )

@@ -1817,3 +1817,88 @@ def q_embed_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eigenvalue double, rk int, dim long, loading double"
     )
     return spark.createDataFrame(out, schema).orderBy("rk")
+
+
+SIM_THRESH = 0.3  # cosine radius for the range search
+
+
+@query(
+    "q_sim_threshold_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {{bucket}} AS bucket FROM v),
+    q AS (SELECT vec_id AS query_id, e AS qe, bucket
+          FROM vb WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, vb.vec_id,
+             round(list_dot_product(q.qe, vb.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+      FROM q JOIN vb ON vb.bucket = q.bucket AND vb.vec_id != q.query_id
+    )
+    SELECT q.query_id,
+           CAST(COUNT(s.vec_id) AS BIGINT) AS n_bucket_mates,
+           CAST(SUM(CASE WHEN s.cosine >= {SIM_THRESH} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_in_radius,
+           COALESCE(MAX(s.cosine), -2.0) AS best_cosine
+    FROM q LEFT JOIN scored s ON s.query_id = q.query_id
+    GROUP BY q.query_id
+    ORDER BY q.query_id
+    """,
+)
+def q_sim_threshold_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (threshold) similarity search — "everything within cosine
+    ≥ τ of each query", the dedup/recall-oriented twin of top-k search
+    (SemDeDup asks exactly this question; top-k asks "the k nearest no
+    matter how far").  Per query: bucket-candidate count, in-radius
+    count, and the best cosine seen — the triple that calibrates
+    whether the LSH bucketing is tight enough for the chosen τ.
+
+    Same scale shape as q_sim_search_lsh: the bucket id is the shuffle
+    key, each query probes ~N/2^bits of the corpus, queries broadcast;
+    the left join keeps every query in the output even with an empty
+    bucket (sentinel best_cosine = -2, outside cosine range).
+    """
+    v, q = _fixture_corpus(spark, sf_dir)
+    v, q = _with_norms(v, q)
+    vb = v.withColumn("bucket", lsh_bucket_col(F.col("e")))
+    qb = q.withColumn("qbucket", lsh_bucket_col(F.col("qe"))).localCheckpoint(
+        eager=False
+    )
+    scored = vb.join(
+        broadcast(qb),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", _pair_cosine().alias("cosine"))
+    per_q = scored.groupBy("query_id").agg(
+        F.count(F.lit(1)).alias("nm"),
+        F.sum(F.when(F.col("cosine") >= SIM_THRESH, 1).otherwise(0)).alias(
+            "nr"
+        ),
+        F.max("cosine").alias("bc"),
+    )
+    return (
+        qb.select("query_id")
+        .join(F.broadcast(per_q), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("nm"), F.lit(0)).cast("long").alias(
+                "n_bucket_mates"
+            ),
+            F.coalesce(F.col("nr"), F.lit(0)).cast("long").alias("n_in_radius"),
+            F.coalesce(F.col("bc"), F.lit(-2.0)).alias("best_cosine"),
+        )
+        .orderBy("query_id")
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG5  # noqa: E402
+
+_spec5 = _REG5["q_sim_threshold_search"]
+object.__setattr__(
+    _spec5, "oracle", _spec5.oracle.format(bucket=_o_lsh_bucket("e"))
+)
+del _REG5, _spec5

@@ -1281,3 +1281,124 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: lexical diversity + readability
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_simpson",
+    oracle=r"""
+    WITH w AS (
+      SELECT source,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    cnt AS (
+      SELECT source, word, COUNT(*) AS c FROM w GROUP BY source, word
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_tok,
+           COUNT(*) AS n_distinct,
+           round(1.0 - CAST(SUM(c * (c - 1)) AS DOUBLE)
+                       / (CAST(SUM(c) AS DOUBLE)
+                          * CAST(SUM(c) - 1 AS DOUBLE)), 9) AS simpson
+    FROM cnt GROUP BY source ORDER BY source
+    """,
+)
+def q_text_simpson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson diversity index 1 − Σc(c−1)/(N(N−1)) of the word
+    distribution per source — the probability two tokens drawn without
+    replacement differ.  Complements q_text_entropy (bits, sensitive to
+    the tail) with a collision-probability view that is dominated by the
+    head: a template farm's source scores near its repeated boilerplate
+    even when long-tail noise inflates entropy.
+
+    Both sums are EXACT integers (c(c−1) stays well inside long at any
+    corpus scale because c ≤ N and the sum telescopes to collision
+    pairs), so the only float op is the final mirrored division — no
+    carrier needed, any aggregation order.  Two shuffles on uniform
+    keys: (source, word) counts, then the per-source rollup.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+    cnt = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+        )
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c")
+    return (
+        cnt.groupBy("source")
+        .agg(
+            n.alias("n_tok"),
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(
+                F.lit(1.0)
+                - F.sum(F.col("c") * (F.col("c") - 1)).cast("double")
+                / (n.cast("double") * (n - 1).cast("double")),
+                9,
+            ).alias("simpson"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "q_text_readability",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+             AS n_words,
+           CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                AS BIGINT) AS n_sentences,
+           CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                AS BIGINT) AS n_syllables,
+           round(206.835
+                 - 1.015 * (CAST(len(string_split_regex(trim(text), '\s+'))
+                                 AS DOUBLE)
+                            / CAST(greatest(len(regexp_extract_all(text,
+                                            '[.!?]+')), 1) AS DOUBLE))
+                 - 84.6 * (CAST(len(regexp_extract_all(lower(text),
+                                    '[aeiouy]+')) AS DOUBLE)
+                           / CAST(len(string_split_regex(trim(text), '\s+'))
+                                  AS DOUBLE)), 4) AS flesch
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document with a vowel-group syllable
+    proxy — the classic readability gate (very low scores flag legal
+    boilerplate / machine gibberish; implausibly high ones flag word
+    salad) used alongside q_text_quality's ratio heuristics.
+
+    Pure narrow map over the documents scan — no shuffle, no UDF: word
+    count, sentence count (runs of .!? — floor 1 so headlines don't
+    divide by zero), and syllable proxy (runs of aeiouy) are all
+    regexp+length expressions inside whole-stage codegen; the Flesch
+    linear form is mirrored double arithmetic on exact integers, pinned
+    at 4 dp.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    n_words = F.size(F.split(F.trim("text"), r"\s+"))
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all("text", F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    n_syll = F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0))
+    return d.select(
+        "doc_id",
+        n_words.cast("long").alias("n_words"),
+        n_sent.cast("long").alias("n_sentences"),
+        n_syll.cast("long").alias("n_syllables"),
+        F.round(
+            F.lit(206.835)
+            - F.lit(1.015) * (n_words.cast("double") / n_sent.cast("double"))
+            - F.lit(84.6) * (n_syll.cast("double") / n_words.cast("double")),
+            4,
+        ).alias("flesch"),
+    ).orderBy("doc_id")

@@ -1334,3 +1334,63 @@ def q_sql_exec_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "GROUP BY o_orderpriority ORDER BY o_orderpriority'"
     )
     return spark.sql("EXECUTE IMMEDIATE dyn_stmt USING 'F' AS status")
+
+
+@query(
+    "q_pivot_dynamic",
+    oracle="""
+    SELECT CAST(year(o_orderdate) AS INT) AS yr,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p1,
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p2,
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p3,
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p4,
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS p5
+    FROM orders GROUP BY yr ORDER BY yr
+    """,
+)
+def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic pivot — the value list is DISCOVERED at runtime (distinct
+    scan, sorted, collected) instead of hardcoded, the pattern every BI
+    layer uses when the pivot dimension's domain isn't known at query-
+    authoring time.  q_pivot's companion with the discovery phase made
+    explicit: phase 1 is a tiny distinct aggregation (collected —
+    bounded by the dimension's domain, the only safe collect shape);
+    phase 2 is the regular explicit-values pivot, which Spark plans as
+    ONE aggregation pass (no per-value scan).
+
+    The discovered values drive deterministic column names (p1..pN by
+    sorted rank) so the output schema is stable for any domain; the
+    oracle states the same relation with the domain inlined — exactly
+    what the runtime discovery produces on this corpus, verified by the
+    hash match.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").alias("yr"), "o_orderpriority"
+    )
+    # phase 1: runtime domain discovery (bounded: the priority domain)
+    values = [
+        r[0]
+        for r in o.select("o_orderpriority").distinct().orderBy(
+            "o_orderpriority"
+        ).collect()
+    ]
+    piv = (
+        o.groupBy("yr")
+        .pivot("o_orderpriority", values)
+        .agg(F.count(F.lit(1)))
+    )
+    out = piv.select(
+        "yr",
+        *[
+            F.coalesce(F.col(f"`{v}`"), F.lit(0)).cast("long").alias(
+                f"p{i + 1}"
+            )
+            for i, v in enumerate(values)
+        ],
+    )
+    return out.orderBy("yr")

@@ -1365,3 +1365,287 @@ def q_stats_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n", "k")
         .agg(F.round(F.sum(term), 6).alias("chi2_uniform"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: nonparametric tests + categorical-association measures
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_mannwhitney",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    vc AS (
+      SELECT cents,
+             SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS nc,
+             SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS nv,
+             COUNT(*) AS cnt
+      FROM e GROUP BY cents
+    ),
+    ranked AS (
+      SELECT nc, nv, cnt,
+             SUM(cnt) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(SUM(nc) AS BIGINT) AS n_click,
+             CAST(SUM(nv) AS BIGINT) AS n_view,
+             SUM(CAST(nc AS DOUBLE)
+                 * (CAST(cum - cnt AS DOUBLE)
+                    + CAST(cnt + 1 AS DOUBLE) / 2)) AS r1
+      FROM ranked
+    )
+    SELECT n_click, n_view,
+           round(r1 - CAST(n_click AS DOUBLE)
+                      * CAST(n_click + 1 AS DOUBLE) / 2, 6) AS u_stat,
+           round((r1 - CAST(n_click AS DOUBLE)
+                       * CAST(n_click + 1 AS DOUBLE) / 2
+                  - CAST(n_click AS DOUBLE) * CAST(n_view AS DOUBLE) / 2)
+                 / sqrt(CAST(n_click AS DOUBLE) * CAST(n_view AS DOUBLE)
+                        * CAST(n_click + n_view + 1 AS DOUBLE) / 12),
+                 6) AS z_score
+    FROM agg
+    """,
+)
+def q_stats_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U rank-sum test ('click' vs 'view' event values) —
+    the nonparametric two-sample comparison run when the value
+    distribution is skewed/heavy-tailed and a t-test's normality
+    assumption fails (the usual case for revenue-like columns).
+
+    Scalable rank computation WITHOUT a global row sort: values are
+    quantized to exact integer cents (the tie grid both engines agree
+    on), counted per distinct value (one shuffle, map-side combined),
+    and average ranks come from the running count over the MUCH smaller
+    distinct-value relation — the histogram trick that turns O(n log n)
+    global ranking into O(distinct) post-aggregation work.  Tie handling
+    is the standard midrank.  Every rank is a multiple of 0.5 and every
+    rank-sum term is (integer × exact-half), so the double sums are
+    exact at any aggregation order — no carrier needed; z uses the
+    normal approximation without tie correction (documented).
+    """
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    vc = e.groupBy("cents").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("nv"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.withColumn("cum", F.sum("cnt").over(w))
+    agg = ranked.agg(
+        F.sum("nc").alias("n_click"),
+        F.sum("nv").alias("n_view"),
+        F.sum(
+            F.col("nc").cast("double")
+            * (
+                (F.col("cum") - F.col("cnt")).cast("double")
+                + (F.col("cnt") + 1).cast("double") / 2
+            )
+        ).alias("r1"),
+    )
+    n1 = F.col("n_click").cast("double")
+    n2 = F.col("n_view").cast("double")
+    u1 = F.col("r1") - n1 * (F.col("n_click") + 1).cast("double") / 2
+    return agg.select(
+        "n_click",
+        "n_view",
+        F.round(u1, 6).alias("u_stat"),
+        F.round(
+            (u1 - n1 * n2 / 2)
+            / F.sqrt(
+                n1 * n2 * (F.col("n_click") + F.col("n_view") + 1).cast("double") / 12
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+@query(
+    "q_stats_mutual_info",
+    oracle="""
+    WITH cells AS (
+      SELECT lang, source, COUNT(*) AS nxy
+      FROM documents GROUP BY lang, source
+    ),
+    mx AS (SELECT lang, COUNT(*) AS nx FROM documents GROUP BY lang),
+    my AS (SELECT source, COUNT(*) AS ny FROM documents GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n FROM documents)
+    SELECT t.n AS n_rows,
+           COUNT(*) AS n_cells,
+           round(CAST(SUM(CAST(floor(
+             (CAST(c.nxy AS DOUBLE) / CAST(t.n AS DOUBLE))
+             * ln(CAST(c.nxy AS DOUBLE) * CAST(t.n AS DOUBLE)
+                  / (CAST(x.nx AS DOUBLE) * CAST(y.ny AS DOUBLE)))
+             * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9, 6) AS mi_nats
+    FROM cells c
+    JOIN mx x ON x.lang = c.lang
+    JOIN my y ON y.source = c.source
+    CROSS JOIN tot t
+    GROUP BY t.n
+    """,
+)
+def q_stats_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(lang; source) over the document corpus — the
+    dependence measure a curation pipeline checks before stratifying by
+    one dimension and assuming the other stays balanced (MI ≈ 0 ⇒
+    stratify freely; high MI ⇒ a source cut skews the language mix).
+
+    Σ p(x,y)·ln(p(x,y)/(p(x)p(y))) over EXACT contingency counts: one
+    shuffle for the (lang, source) cells, margins are tiny grouped
+    relations broadcast back onto the cells, and each cell's ln-term is
+    floored onto a 1e9 carrier before summation so the cross-partition
+    sum is associative-exact (both engines compute ln on bit-identical
+    integer-ratio doubles).  Zero cells contribute nothing by
+    definition (lim p→0 of p·ln p = 0), so only observed cells join.
+    """
+    d = t(spark, sf_dir, "documents").select("lang", "source")
+    cells = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nx"))
+    my = d.groupBy("source").agg(F.count(F.lit(1)).alias("ny"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    nd = F.col("n").cast("double")
+    term = (
+        F.col("nxy").cast("double") / nd
+    ) * F.log(
+        F.col("nxy").cast("double")
+        * nd
+        / (F.col("nx").cast("double") * F.col("ny").cast("double"))
+    )
+    return (
+        cells.join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n")
+        .agg(
+            F.count(F.lit(1)).alias("n_cells"),
+            F.round(
+                F.sum(
+                    F.floor(term * F.lit(1e9) + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.lit(1e9),
+                6,
+            ).alias("mi_nats"),
+        )
+        .select(F.col("n").alias("n_rows"), "n_cells", "mi_nats")
+    )
+
+
+@query(
+    "q_stats_cramers_v",
+    oracle="""
+    WITH langs AS (SELECT DISTINCT lang FROM documents),
+    srcs AS (SELECT DISTINCT source FROM documents),
+    obs AS (
+      SELECT lang, source, COUNT(*) AS nxy
+      FROM documents GROUP BY lang, source
+    ),
+    mx AS (SELECT lang, COUNT(*) AS nx FROM documents GROUP BY lang),
+    my AS (SELECT source, COUNT(*) AS ny FROM documents GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n FROM documents),
+    grid AS (
+      SELECT l.lang, s.source, COALESCE(o.nxy, 0) AS nxy, x.nx, y.ny, t.n
+      FROM langs l CROSS JOIN srcs s
+      LEFT JOIN obs o ON o.lang = l.lang AND o.source = s.source
+      JOIN mx x ON x.lang = l.lang
+      JOIN my y ON y.source = s.source
+      CROSS JOIN tot t
+    ),
+    chi AS (
+      SELECT ANY_VALUE(n) AS n,
+             COUNT(DISTINCT lang) AS r,
+             COUNT(DISTINCT source) AS c,
+             CAST(SUM(CAST(floor(
+               (CAST(nxy AS DOUBLE)
+                - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(nxy AS DOUBLE)
+                - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE) / CAST(n AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT)) AS DOUBLE) / 1e9 AS chi2
+      FROM grid
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, r AS n_langs, c AS n_sources,
+           round(chi2, 6) AS chi2,
+           round(sqrt(chi2 / (CAST(n AS DOUBLE)
+                 * CAST(least(r - 1, c - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM chi
+    """,
+)
+def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V — the effect-size companion to the chi-square test of
+    independence over the lang × source contingency table (chi2 says
+    "dependence exists at this n"; V says "and it is this strong, on a
+    0-1 scale comparable across table sizes").
+
+    The full r×c grid (including zero cells, which DO contribute
+    (0−e)²/e to chi2) is a cross join of the two tiny distinct-value
+    relations — a bounded domain grid, not a data-scale cartesian; the
+    observed counts left-join onto it and each cell term rides the 1e9
+    carrier so the sum is order-exact.
+    """
+    d = t(spark, sf_dir, "documents").select("lang", "source")
+    langs = d.select("lang").distinct()
+    srcs = d.select("source").distinct()
+    obs = d.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("nxy"))
+    mx = d.groupBy("lang").agg(F.count(F.lit(1)).alias("nx"))
+    my = d.groupBy("source").agg(F.count(F.lit(1)).alias("ny"))
+    tot = d.agg(F.count(F.lit(1)).alias("n"))
+    grid = (
+        langs.crossJoin(F.broadcast(srcs))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .join(F.broadcast(mx), "lang")
+        .join(F.broadcast(my), "source")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "lang",
+            "source",
+            F.coalesce(F.col("nxy"), F.lit(0)).alias("nxy"),
+            "nx",
+            "ny",
+            "n",
+        )
+    )
+    nd = F.col("n").cast("double")
+    e = F.col("nx").cast("double") * F.col("ny").cast("double") / nd
+    dev = F.col("nxy").cast("double") - e
+    chi = grid.agg(
+        F.any_value(F.col("n")).alias("n"),
+        F.countDistinct("lang").alias("r"),
+        F.countDistinct("source").alias("c"),
+        (
+            F.sum(
+                F.floor(dev * dev / e * F.lit(1e9) + F.lit(0.5)).cast("long")
+            ).cast("double")
+            / F.lit(1e9)
+        ).alias("chi2"),
+    )
+    return chi.select(
+        F.col("n").alias("n_rows"),
+        F.col("r").alias("n_langs"),
+        F.col("c").alias("n_sources"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.round(
+            F.sqrt(
+                F.col("chi2")
+                / (
+                    F.col("n").cast("double")
+                    * F.least(F.col("r") - 1, F.col("c") - 1).cast("double")
+                )
+            ),
+            6,
+        ).alias("cramers_v"),
+    )

@@ -570,3 +570,87 @@ def q_win_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
         F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
     ).orderBy("o_custkey", "o_orderkey")
+
+
+@query(
+    "q_win_cumsum_reset",
+    oracle="""
+    WITH flagged AS (
+      SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+             CASE WHEN LAG(epoch_us(o_orderdate))
+                         OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) IS NULL
+                  THEN 0
+                  WHEN epoch_us(o_orderdate)
+                       - LAG(epoch_us(o_orderdate))
+                           OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey)
+                       > 30 * 86400000000 THEN 1
+                  ELSE 0 END AS new_episode
+      FROM orders
+    ),
+    episodes AS (
+      SELECT *,
+             SUM(new_episode) OVER (PARTITION BY o_custkey
+                                    ORDER BY o_orderdate, o_orderkey
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS episode
+      FROM flagged
+    )
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(episode AS BIGINT) AS episode,
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                OVER (PARTITION BY o_custkey, episode
+                      ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1e6 AS episode_revenue
+    FROM episodes
+    """,
+)
+def q_win_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum with CONDITIONAL RESET: per-customer revenue that
+    restarts whenever a >30-day purchase gap opens a new "episode" —
+    the sessionized-cumsum shape (burn-down counters, streak totals,
+    campaign-window spend) that plain frames can't express without the
+    two-level gaps-and-islands composition stated here: lag → gap flag
+    → running flag-sum AS the episode id → cumsum re-partitioned by
+    (customer, episode).
+
+    Both windows order identically, so Catalyst plans ONE shuffle on
+    o_custkey and the episode window runs over the same sort (the
+    (custkey, episode) partition is a prefix-refinement of it).  Gaps
+    are exact microsecond integers; the revenue prefix sums ride the
+    1e6 carrier so every prefix is engine-identical.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    # parquet TIMESTAMP_NTZ -> session-zoned (UTC session: same instant)
+    us = F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+    prev = F.lag(us).over(w)
+    flagged = o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.when(prev.isNull(), 0)
+        .when(us - prev > 30 * 86_400_000_000, 1)
+        .otherwise(0)
+        .alias("new_episode"),
+    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    episodes = flagged.withColumn("episode", F.sum("new_episode").over(run))
+    we = (
+        Window.partitionBy("o_custkey", "episode")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return episodes.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.col("episode").cast("long").alias("episode"),
+        (
+            F.sum(to_carrier(F.col("o_totalprice"))).over(we).cast("double")
+            / 1e6
+        ).alias("episode_revenue"),
+    )

@@ -1596,3 +1596,126 @@ def q_events_replays(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "first_id", "replay_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: inter-arrival cadence + DAU/MAU stickiness
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_interarrival",
+    oracle="""
+    WITH gaps AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n_gaps,
+           round(CAST(SUM(CAST(gap_us AS BIGINT)) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1e6, 6) AS avg_gap_sec,
+           round(CAST(MIN(gap_us) AS DOUBLE) / 1e6, 6) AS min_gap_sec,
+           round(CAST(MAX(gap_us) AS DOUBLE) / 1e6, 6) AS max_gap_sec
+    FROM gaps
+    WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q_events_interarrival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-arrival cadence, grouped by the type of the event
+    that ENDS each gap — the behavioral-rhythm profile (bots arrive on
+    a metronome, humans in bursts) that complements q_events_bots'
+    explicit detector with distribution-level statistics.
+
+    One window shuffle on user_id for the lag, one tiny grouped rollup.
+    Gaps are EXACT microsecond integers (epoch_us difference), so sum /
+    min / max are associative-exact and the only double ops are the
+    final mirrored divisions."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gaps = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    return (
+        gaps.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.round(
+                F.sum("gap_us").cast("double")
+                / F.count(F.lit(1)).cast("double")
+                / F.lit(1e6),
+                6,
+            ).alias("avg_gap_sec"),
+            F.round(F.min("gap_us").cast("double") / F.lit(1e6), 6).alias(
+                "min_gap_sec"
+            ),
+            F.round(F.max("gap_us").cast("double") / F.lit(1e6), 6).alias(
+                "max_gap_sec"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_events_stickiness",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             strftime(date_trunc('month', CAST(ts AS DATE)), '%Y-%m') AS mon
+      FROM events
+    ),
+    dau AS (SELECT day, ANY_VALUE(mon) AS mon, COUNT(*) AS dau
+            FROM ud GROUP BY day),
+    um AS (SELECT DISTINCT user_id, mon FROM ud),
+    mau AS (SELECT mon, COUNT(*) AS mau FROM um GROUP BY mon)
+    SELECT d.day, d.dau, m.mau,
+           round(CAST(d.dau AS DOUBLE) / CAST(m.mau AS DOUBLE), 6)
+             AS stickiness
+    FROM dau d JOIN mau m ON m.mon = d.mon
+    ORDER BY d.day
+    """,
+)
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/MAU stickiness per day (calendar-month MAU) — the engagement
+    ratio product teams track beside q_events_wau's rolling actives:
+    what share of the month's user base shows up on a given day.
+
+    Shape: one (user, day) dedup shuffle does ALL the distinct work —
+    DAU is a count over it, the (user, month) relation is a projection
+    of it (second tiny dedup), and the day↔month join broadcasts the
+    dozen-row MAU side.  Days cross engines as yyyy-MM-dd STRINGS (the
+    DATE-bridge gotcha)."""
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.date_format("ts", "yyyy-MM").alias("mon"),
+    ).distinct()
+    dau = ud.groupBy("day").agg(
+        F.any_value(F.col("mon")).alias("mon"), F.count(F.lit(1)).alias("dau")
+    )
+    mau = (
+        ud.select("user_id", "mon")
+        .distinct()
+        .groupBy("mon")
+        .agg(F.count(F.lit(1)).alias("mau"))
+    )
+    return (
+        dau.join(F.broadcast(mau), "mon")
+        .select(
+            "day",
+            "dau",
+            "mau",
+            F.round(
+                F.col("dau").cast("double") / F.col("mau").cast("double"), 6
+            ).alias("stickiness"),
+        )
+        .orderBy("day")
+    )
