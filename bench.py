@@ -159,6 +159,17 @@ EXT_R5 = [
     "q_win_cumsum_reset",
 ]
 
+# round 5 (second wave): rank statistics, contamination matrix, artifact
+# detection, datacard rollups.
+EXT_R5B = [
+    "q_stats_spearman",
+    "q_stats_cohens_d",
+    "q_text_artifacts",
+    "q_corpus_datacard",
+    "q_dedup_quality_profile",
+    "q_text_crossdoc_overlap",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -184,7 +195,7 @@ def main() -> None:
     # the data volume), so the timed sf run measures execution.
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E + EXT_R5
+        + EXT_R4E + EXT_R5 + EXT_R5B
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -223,6 +234,8 @@ def main() -> None:
     ext_r4e["total"] = round(sum(ext_r4e.values()), 3)
     ext_r5 = {name: timed(name) for name in EXT_R5}
     ext_r5["total"] = round(sum(ext_r5.values()), 3)
+    ext_r5b = {name: timed(name) for name in EXT_R5B}
+    ext_r5b["total"] = round(sum(ext_r5b.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -237,6 +250,7 @@ def main() -> None:
         "ext_r4d": ext_r4d,
         "ext_r4e": ext_r4e,
         "ext_r5": ext_r5,
+        "ext_r5b": ext_r5b,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -268,6 +282,7 @@ def main() -> None:
                     "ext_r4d": ext_r4d["total"],
                     "ext_r4e": ext_r4e["total"],
                     "ext_r5": ext_r5["total"],
+                    "ext_r5b": ext_r5b["total"],
                 },
                 "detail_file": detail_path,
             }

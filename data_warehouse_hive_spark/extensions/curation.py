@@ -1674,3 +1674,173 @@ def q_mix_epochs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+_O_SPLIT = """CASE
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT::BIGINT % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                      ::UBIGINT::BIGINT % 100 < 90 THEN 'val'
+               ELSE 'test'
+             END"""
+
+
+@query(
+    "q_corpus_datacard",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT {_O_SPLIT} AS split, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             md5({_O_NORM}) AS fp
+      FROM documents
+    ),
+    base AS (
+      SELECT split, COUNT(*) AS n_docs,
+             CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+      FROM assigned GROUP BY split
+    ),
+    langs AS (
+      SELECT split, COUNT(*) AS n_langs
+      FROM (SELECT DISTINCT split, lang FROM assigned) GROUP BY split
+    ),
+    fps AS (
+      SELECT split, COUNT(*) AS n_unique
+      FROM (SELECT DISTINCT split, fp FROM assigned) GROUP BY split
+    )
+    SELECT b.split, b.n_docs, b.n_tokens, l.n_langs,
+           CAST(b.n_docs - f.n_unique AS BIGINT) AS n_dup_docs,
+           round(CAST(b.n_docs - f.n_unique AS DOUBLE)
+                 / CAST(b.n_docs AS DOUBLE), 6) AS dup_rate
+    FROM base b JOIN langs l ON l.split = b.split
+    JOIN fps f ON f.split = b.split
+    ORDER BY b.split
+    """,
+)
+def q_corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per holdout split — the release-notes table
+    every curated corpus ships with: docs, whitespace tokens, language
+    count, and the exact-duplicate rate, computed per train/val/test
+    using the SAME deterministic md5-bucket assignment as
+    q_split_holdout (so the card describes exactly what the split
+    produces).
+
+    Distinct-count discipline: the two COUNT(DISTINCT)s (languages,
+    fingerprints) are each their own dedup-then-count aggregation
+    joined back on the 3-row split key — never mixed into the base
+    aggregate, which would re-key every partial buffer by the distinct
+    column (the q_stats_profile rule).
+    """
+    d = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    assigned = d.select(
+        F.when(bucket < 80, "train")
+        .when(bucket < 90, "val")
+        .otherwise("test")
+        .alias("split"),
+        "lang",
+        F.size(tokens("text")).alias("n_tok"),
+        F.md5(normalized_text("text")).alias("fp"),
+    ).localCheckpoint(eager=False)
+    base = assigned.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+    )
+    langs = (
+        assigned.select("split", "lang")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_langs"))
+    )
+    fps = (
+        assigned.select("split", "fp")
+        .distinct()
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
+    dup = F.col("n_docs") - F.col("n_unique")
+    return (
+        base.join(F.broadcast(langs), "split")
+        .join(F.broadcast(fps), "split")
+        .select(
+            "split",
+            "n_docs",
+            "n_tokens",
+            "n_langs",
+            dup.cast("long").alias("n_dup_docs"),
+            F.round(
+                dup.cast("double") / F.col("n_docs").cast("double"), 6
+            ).alias("dup_rate"),
+        )
+        .orderBy("split")
+    )
+
+
+@query(
+    "q_dedup_quality_profile",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, md5({_O_NORM}) AS fp,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    clusters AS (
+      SELECT fp, COUNT(*) AS sz, CAST(SUM(n_tok) AS BIGINT) AS toks
+      FROM docs GROUP BY fp
+    ),
+    bucketed AS (
+      SELECT CASE WHEN sz = 1 THEN '1_unique'
+                  WHEN sz = 2 THEN '2_pair'
+                  WHEN sz <= 5 THEN '3_small'
+                  ELSE '4_large' END AS size_bucket,
+             sz, toks
+      FROM clusters
+    )
+    SELECT size_bucket,
+           COUNT(*) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs,
+           round(CAST(SUM(toks) AS DOUBLE) / CAST(SUM(sz) AS DOUBLE), 6)
+             AS avg_doc_tokens
+    FROM bucketed GROUP BY size_bucket ORDER BY size_bucket
+    """,
+)
+def q_dedup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplication × quality interaction: document-token averages by
+    exact-dup cluster size — the audit that answers "are our duplicates
+    junk?" (web boilerplate clusters skew short; legitimately syndicated
+    long-form skews long), which decides whether dedup should keep one
+    survivor or drop whole clusters.
+
+    Everything aggregates at the fingerprint level FIRST (one md5-key
+    shuffle — the q_dedup_exact plan — carrying the token sums along),
+    so the bucket rollup runs over clusters, not documents, and no
+    count-distinct appears anywhere.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        F.md5(normalized_text("text")).alias("fp"),
+        F.size(tokens("text")).alias("n_tok"),
+    )
+    clusters = docs.groupBy("fp").agg(
+        F.count(F.lit(1)).alias("sz"), F.sum("n_tok").cast("long").alias("toks")
+    )
+    bucket = (
+        F.when(F.col("sz") == 1, "1_unique")
+        .when(F.col("sz") == 2, "2_pair")
+        .when(F.col("sz") <= 5, "3_small")
+        .otherwise("4_large")
+    )
+    return (
+        clusters.select(bucket.alias("size_bucket"), "sz", "toks")
+        .groupBy("size_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_docs"),
+            F.round(
+                F.sum("toks").cast("double") / F.sum("sz").cast("double"), 6
+            ).alias("avg_doc_tokens"),
+        )
+        .orderBy("size_bucket")
+    )

@@ -1433,3 +1433,97 @@ def q_dedup_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_shadowed").cast("long").alias("n_shadowed"),
         F.round(fill * fill * fill * fill, 9).alias("fpr_est"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 5: cross-source n-gram contamination matrix
+# ---------------------------------------------------------------------------
+
+XDOC_N = 8        # gram width (words) — the decontamination standard
+XDOC_DF_MIN = 2   # a gram in one source only is not contamination
+XDOC_DF_MAX = 5   # boilerplate guard: grams in >5 sources carry no signal
+
+
+@query(
+    "q_text_crossdoc_overlap",
+    oracle=f"""
+    WITH sh_t AS (
+      SELECT source, {_o_shingles(XDOC_N)} AS sh FROM documents
+    ),
+    g AS (
+      SELECT DISTINCT source, {_o_base_hash('u.s')} AS h
+      FROM sh_t, LATERAL (SELECT unnest(sh) AS s) u
+    ),
+    keep AS (
+      SELECT h FROM (SELECT h, COUNT(*) AS nf FROM g GROUP BY h)
+      WHERE nf BETWEEN {XDOC_DF_MIN} AND {XDOC_DF_MAX}
+    ),
+    pairs AS (
+      SELECT a.source AS src_a, b.source AS src_b
+      FROM g a
+      JOIN keep k ON k.h = a.h
+      JOIN g b ON b.h = a.h AND a.source < b.source
+    )
+    SELECT src_a, src_b, COUNT(*) AS shared_grams
+    FROM pairs GROUP BY src_a, src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def q_text_crossdoc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: how many distinct {XDOC_N}-word
+    grams each PAIR of sources shares — the source-level view of
+    q_decontaminate (that query asks "is the eval set leaked into the
+    corpus"; this one asks "which ingestion feeds are copying from each
+    other", the triage map before deciding which source to drop).
+
+    The pair expansion is bounded BY CONSTRUCTION: grams are first
+    deduped to (source, gram) and document-frequency-filtered to
+    [{XDOC_DF_MIN}, {XDOC_DF_MAX}] sources — below, no pair; above,
+    boilerplate with no attribution signal — so each surviving gram
+    contributes at most C({XDOC_DF_MAX},2)=10 pairs no matter how hot it
+    is (the same hot-key cap argument as the basket miners, enforced as
+    a semi-join before the self-join).  One shingling scan, then every
+    relation is keyed by the uniform gram hash.
+    """
+    docs = t(spark, sf_dir, "documents")
+    wdf = spread(
+        docs.select("source", F.split(normalized_text("text"), " ").alias("w")),
+        docs.sparkSession,
+    )
+    n = XDOC_N
+    shingle = lambda i: F.concat_ws(
+        " ", *[F.try_element_at(F.col("w"), i + j) for j in range(1, n + 1)]
+    )
+    g = (
+        wdf.select(
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(
+                        F.lit(0), F.greatest(F.size("w") - n, F.lit(0))
+                    ),
+                    shingle,
+                )
+            ).alias("s"),
+        )
+        .select("source", base_hash(F.col("s")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    keep = (
+        g.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nf"))
+        .filter(
+            (F.col("nf") >= XDOC_DF_MIN) & (F.col("nf") <= XDOC_DF_MAX)
+        )
+        .select("h")
+    )
+    a = g.join(keep, "h", "left_semi")
+    b = a.select(F.col("h").alias("h2"), F.col("source").alias("src_b"))
+    return (
+        a.select("h", F.col("source").alias("src_a"))
+        .join(b, (F.col("h2") == F.col("h")) & (F.col("src_a") < F.col("src_b")))
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("shared_grams"))
+        .orderBy("src_a", "src_b")
+    )

@@ -1402,3 +1402,68 @@ def q_text_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     ).orderBy("doc_id")
+
+
+@query(
+    "q_text_artifacts",
+    oracle=r"""
+    WITH base AS (
+      SELECT doc_id, text,
+             string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(length(text) - length(regexp_replace(text, '[ -~]', '', 'g'))
+                AS BIGINT) AS n_nonascii,
+           CAST((length(text) - length(replace(text, '- ', ''))) // 2
+                AS BIGINT) AS n_hyphen_breaks,
+           CAST(len(list_filter(ws,
+                x -> regexp_matches(x, '[a-z][A-Z]'))) AS BIGINT)
+             AS n_mixedcase_tokens,
+           round(CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                 AS DOUBLE) / CAST(length(text) AS DOUBLE), 6) AS digit_ratio,
+           ((length(text) - length(regexp_replace(text, '[ -~]', '', 'g')))
+              * 20 > length(text)
+            OR len(list_filter(ws, x -> regexp_matches(x, '[a-z][A-Z]'))) > 2
+            OR (length(text) - length(replace(text, '- ', ''))) // 2 > 3)
+             AS artifact_flag
+    FROM base
+    ORDER BY doc_id
+    """,
+)
+def q_text_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCR/scrape-artifact heuristics per document — the cheap detector
+    for the damage modes that precede quality scoring: non-ASCII debris
+    (mojibake), line-break hyphenation ("exam- ple"), mid-token case
+    flips ("wordNext" — column-merge artifacts), and digit floods.  The
+    flag ORs calibrated thresholds; the non-ASCII test is the integer
+    cross-multiplication `n·20 > len` (ratio > 5%) so no float compare
+    is involved.
+
+    Pure narrow map in whole-stage codegen (regexp length deltas + one
+    token-filter lambda); zero shuffles.  Counts are exact integers; the
+    only float is the 6 dp digit ratio."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = tokens("text")
+    n_nonascii = F.length("text") - F.length(
+        F.regexp_replace("text", r"[ -~]", "")
+    )
+    n_hyphen = (
+        F.length("text") - F.length(F.regexp_replace("text", r"- ", ""))
+    ) / F.lit(2)
+    n_mixed = F.size(F.filter(ws, lambda x: x.rlike("[a-z][A-Z]")))
+    n_digits = F.length(F.regexp_replace("text", r"[^0-9]", ""))
+    return d.select(
+        "doc_id",
+        n_nonascii.cast("long").alias("n_nonascii"),
+        n_hyphen.cast("long").alias("n_hyphen_breaks"),
+        n_mixed.cast("long").alias("n_mixedcase_tokens"),
+        F.round(
+            n_digits.cast("double") / F.length("text").cast("double"), 6
+        ).alias("digit_ratio"),
+        (
+            (n_nonascii * 20 > F.length("text"))
+            | (n_mixed > 2)
+            | (n_hyphen.cast("long") > 3)
+        ).alias("artifact_flag"),
+    ).orderBy("doc_id")

@@ -1649,3 +1649,202 @@ def q_stats_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("cramers_v"),
     )
+
+
+@query(
+    "q_stats_spearman",
+    oracle="""
+    WITH base AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    xr AS (
+      SELECT x, 2 * (cum - cnt) + cnt + 1 AS rx2 FROM (
+        SELECT x, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (ORDER BY x
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM base GROUP BY x
+      )
+    ),
+    yr AS (
+      SELECT y, 2 * (cum - cnt) + cnt + 1 AS ry2 FROM (
+        SELECT y, COUNT(*) AS cnt,
+               SUM(COUNT(*)) OVER (ORDER BY y
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS cum
+        FROM base GROUP BY y
+      )
+    ),
+    j AS (
+      SELECT CAST(xr.rx2 AS BIGINT) AS rx2, CAST(yr.ry2 AS BIGINT) AS ry2
+      FROM base b JOIN xr ON xr.x = b.x JOIN yr ON yr.y = b.y
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx,
+             CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * rx2) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(ry2 AS HUGEINT) * ry2) AS DOUBLE) AS syy,
+             CAST(SUM(CAST(rx2 AS HUGEINT) * ry2) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT n,
+           round((CAST(n AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / sqrt((CAST(n AS DOUBLE) * sxx
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                        * (CAST(n AS DOUBLE) * syy
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS spearman_rho
+    FROM s
+    """,
+)
+def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation (l_quantity vs l_extendedprice) — the
+    monotone-association measure that survives outliers and nonlinear
+    scaling where Pearson (q_agg_corr) does not.
+
+    Ranks WITHOUT a global sort, twice: each variable's midranks come
+    from the q_stats_mannwhitney histogram trick (per-distinct-value
+    counts + running count), DOUBLED so ties' half-ranks become exact
+    integers (2·avgrank = 2(cum−cnt)+cnt+1 — scale-invariant for rho).
+    Rows join their rank by value (quantity's ~50-value map broadcasts;
+    the price map shuffles on the uniform cents key), then one pass of
+    exact integer power sums — products ride a 128-bit-wide carrier
+    (Spark DECIMAL(38,0) / DuckDB HUGEINT) so n·(2n)² stays exact at any
+    SF — and the closed-form rho is mirrored double arithmetic.
+    """
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank2(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+        return vc.withColumn("cum", F.sum("cnt").over(w)).select(
+            col,
+            (
+                2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
+            ).cast("long").alias(out),
+        )
+
+    xr = rank2(li.select("x"), "x", "rx2")
+    yr = rank2(li.select("y"), "y", "ry2")
+    j = li.join(F.broadcast(xr), "x").join(yr, "y").select("rx2", "ry2")
+    d38 = "decimal(38,0)"
+    s = j.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("rx2").cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("ry2").cast(d38) * F.col("ry2").cast(d38))
+        .cast("double")
+        .alias("syy"),
+        F.sum(F.col("rx2").cast(d38) * F.col("ry2").cast(d38))
+        .cast("double")
+        .alias("sxy"),
+    )
+    nd = F.col("n").cast("double")
+    sxd = F.col("sx").cast("double")
+    syd = F.col("sy").cast("double")
+    return s.select(
+        "n",
+        F.round(
+            (nd * F.col("sxy") - sxd * syd)
+            / F.sqrt(
+                (nd * F.col("sxx") - sxd * sxd)
+                * (nd * F.col("syy") - syd * syd)
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+@query(
+    "q_stats_cohens_d",
+    oracle="""
+    WITH s AS (
+      SELECT
+        CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n1,
+        CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             AS BIGINT) AS n2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 1e6 AS sx1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                 ELSE 0 END) AS DOUBLE) / 1e6 AS sx2,
+        CAST(SUM(CASE WHEN event_type = 'click'
+                 THEN CAST(floor(value * value * 1e6 + 0.5) AS HUGEINT)
+                 ELSE 0 END) AS DOUBLE) / 1e6 AS sxx1,
+        CAST(SUM(CASE WHEN event_type = 'view'
+                 THEN CAST(floor(value * value * 1e6 + 0.5) AS HUGEINT)
+                 ELSE 0 END) AS DOUBLE) / 1e6 AS sxx2
+      FROM events WHERE event_type IN ('click', 'view')
+    )
+    SELECT n1, n2,
+           round(sx1 / CAST(n1 AS DOUBLE), 6) AS mean_click,
+           round(sx2 / CAST(n2 AS DOUBLE), 6) AS mean_view,
+           round((sx1 / CAST(n1 AS DOUBLE) - sx2 / CAST(n2 AS DOUBLE))
+                 / sqrt(((sxx1 - sx1 * sx1 / CAST(n1 AS DOUBLE))
+                         + (sxx2 - sx2 * sx2 / CAST(n2 AS DOUBLE)))
+                        / CAST(n1 + n2 - 2 AS DOUBLE)), 6) AS cohens_d
+    FROM s
+    """,
+)
+def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d standardized effect size ('click' vs 'view' values) —
+    the magnitude companion to q_stats_mannwhitney's significance: U
+    says the distributions differ; d says by how many pooled standard
+    deviations, comparable across experiments.
+
+    ONE conditional-aggregation pass (no per-group scan): both groups'
+    counts, carrier sums, and carrier sums-of-squares come out of the
+    same partial-aggregated scan; x² terms ride the 1e6 carrier into a
+    128-bit accumulator (DECIMAL(38,0) / HUGEINT) so the sum is exact
+    at any corpus scale.  The pooled-variance formula is mirrored
+    double arithmetic on those exact sums.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "view")
+    )
+    v = F.col("value")
+    is1 = F.col("event_type") == "click"
+    car = F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long")
+    car2 = F.floor(v * v * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+    zero38 = F.lit(0).cast("decimal(38,0)")
+    s = e.agg(
+        F.sum(F.when(is1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(~is1, 1).otherwise(0)).alias("n2"),
+        (F.sum(F.when(is1, car).otherwise(0)).cast("double") / 1e6).alias("sx1"),
+        (F.sum(F.when(~is1, car).otherwise(0)).cast("double") / 1e6).alias("sx2"),
+        (F.sum(F.when(is1, car2).otherwise(zero38)).cast("double") / 1e6).alias(
+            "sxx1"
+        ),
+        (F.sum(F.when(~is1, car2).otherwise(zero38)).cast("double") / 1e6).alias(
+            "sxx2"
+        ),
+    )
+    n1d = F.col("n1").cast("double")
+    n2d = F.col("n2").cast("double")
+    m1 = F.col("sx1") / n1d
+    m2 = F.col("sx2") / n2d
+    pooled = (
+        (F.col("sxx1") - F.col("sx1") * F.col("sx1") / n1d)
+        + (F.col("sxx2") - F.col("sx2") * F.col("sx2") / n2d)
+    ) / (F.col("n1") + F.col("n2") - 2).cast("double")
+    return s.select(
+        "n1",
+        "n2",
+        F.round(m1, 6).alias("mean_click"),
+        F.round(m2, 6).alias("mean_view"),
+        F.round((m1 - m2) / F.sqrt(pooled), 6).alias("cohens_d"),
+    )
