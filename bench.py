@@ -170,6 +170,15 @@ EXT_R5B = [
     "q_text_crossdoc_overlap",
 ]
 
+# round 5 (third wave): PQ/ADC search, Matryoshka eval, EWMA, IQR gate.
+EXT_R5C = [
+    "q_sim_search_pq",
+    "q_embed_matryoshka",
+    "q_events_ewma",
+    "q_dq_outlier_iqr",
+    "q_sql_grouping_id",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -195,7 +204,7 @@ def main() -> None:
     # the data volume), so the timed sf run measures execution.
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E + EXT_R5 + EXT_R5B
+        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -236,6 +245,8 @@ def main() -> None:
     ext_r5["total"] = round(sum(ext_r5.values()), 3)
     ext_r5b = {name: timed(name) for name in EXT_R5B}
     ext_r5b["total"] = round(sum(ext_r5b.values()), 3)
+    ext_r5c = {name: timed(name) for name in EXT_R5C}
+    ext_r5c["total"] = round(sum(ext_r5c.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -251,6 +262,7 @@ def main() -> None:
         "ext_r4e": ext_r4e,
         "ext_r5": ext_r5,
         "ext_r5b": ext_r5b,
+        "ext_r5c": ext_r5c,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -283,6 +295,7 @@ def main() -> None:
                     "ext_r4e": ext_r4e["total"],
                     "ext_r5": ext_r5["total"],
                     "ext_r5b": ext_r5b["total"],
+                    "ext_r5c": ext_r5c["total"],
                 },
                 "detail_file": detail_path,
             }

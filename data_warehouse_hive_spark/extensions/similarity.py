@@ -1902,3 +1902,272 @@ object.__setattr__(
     _spec5, "oracle", _spec5.oracle.format(bucket=_o_lsh_bucket("e"))
 )
 del _REG5, _spec5
+
+
+MATRYOSHKA_DIM = 16  # truncation prefix evaluated against full-dim search
+
+
+@query(
+    "q_embed_matryoshka",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cos_full,
+             round(list_dot_product(q.qe[1:{MATRYOSHKA_DIM}],
+                                    v.e[1:{MATRYOSHKA_DIM}])
+                   / (sqrt(list_dot_product(q.qe[1:{MATRYOSHKA_DIM}],
+                                            q.qe[1:{MATRYOSHKA_DIM}]))
+                      * sqrt(list_dot_product(v.e[1:{MATRYOSHKA_DIM}],
+                                              v.e[1:{MATRYOSHKA_DIM}]))),
+                   6) AS cos_trunc
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ),
+    tf AS (
+      SELECT query_id, vec_id AS top1_full, cos_full FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_full DESC, vec_id) AS rk FROM scored
+      ) WHERE rk = 1
+    ),
+    tt AS (
+      SELECT query_id, vec_id AS top1_trunc, cos_trunc FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cos_trunc DESC, vec_id) AS rk FROM scored
+      ) WHERE rk = 1
+    )
+    SELECT f.query_id, f.top1_full, f.cos_full, t.top1_trunc, t.cos_trunc,
+           (f.top1_full = t.top1_trunc) AS agree
+    FROM tf f JOIN tt t ON t.query_id = f.query_id
+    ORDER BY f.query_id
+    """,
+)
+def q_embed_matryoshka(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka truncation eval: does top-1 retrieval under the first
+    {MATRYOSHKA_DIM} dimensions agree with full-dim top-1?  The go/no-go
+    check before shipping truncated embeddings (4× memory/bandwidth cut
+    for vector search) — run per query, with both cosines reported so
+    disagreements show HOW far apart the two rankings were.
+
+    ONE pass computes both cosines (the truncated dot is a slice of the
+    same row — no second corpus scan), both argmaxes are per-query
+    windows over the same scored relation, queries broadcast, and the
+    rank filters plan as WindowGroupLimit.  Cosines pin at 6 dp before
+    ranking so both engines rank identical values.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    q = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            as_double_vec("embedding").alias("qe"),
+        )
+    )
+    et = F.slice(F.col("e"), 1, MATRYOSHKA_DIM)
+    qt = F.slice(F.col("qe"), 1, MATRYOSHKA_DIM)
+    scored = (
+        v.join(broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            cosine(F.col("qe"), F.col("e")).alias("cos_full"),
+            F.round(
+                dot(qt, et) / (F.sqrt(dot(qt, qt)) * F.sqrt(dot(et, et))), 6
+            ).alias("cos_trunc"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.col("cos_full").desc(), "vec_id"
+    )
+    wt = Window.partitionBy("query_id").orderBy(
+        F.col("cos_trunc").desc(), "vec_id"
+    )
+    tf = (
+        scored.withColumn("rk", F.row_number().over(wf))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id", F.col("vec_id").alias("top1_full"), "cos_full"
+        )
+    )
+    tt = (
+        scored.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("query_id").alias("qid2"),
+            F.col("vec_id").alias("top1_trunc"),
+            "cos_trunc",
+        )
+    )
+    return (
+        tf.join(F.broadcast(tt), F.col("qid2") == F.col("query_id"))
+        .select(
+            "query_id",
+            "top1_full",
+            "cos_full",
+            "top1_trunc",
+            "cos_trunc",
+            (F.col("top1_full") == F.col("top1_trunc")).alias("agree"),
+        )
+        .orderBy("query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ/ADC) — the memory-bound tier below int8
+# ---------------------------------------------------------------------------
+
+PQ_SUBSPACES = 8   # S: 64 dims → 8 subspaces × 8 dims
+PQ_SUBDIM = 8
+PQ_CODES = 16      # K: static codebook = first-K corpus vectors' sub-vectors
+
+_O_PQ_D2 = (
+    "list_sum(list_transform(range(1, {d} + 1), i -> "
+    "CAST(floor(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e6 + 0.5) "
+    "AS BIGINT)))"
+)
+
+
+@query(
+    "q_sim_search_pq",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, sx.s AS s, v.e[sx.s * {PQ_SUBDIM} + 1 : sx.s * {PQ_SUBDIM} + {PQ_SUBDIM}] AS sv
+      FROM v, LATERAL (SELECT unnest(range({PQ_SUBSPACES})) AS s) sx
+    ),
+    cb AS (
+      SELECT vec_id AS code, s, sv AS cv FROM sub WHERE vec_id < {PQ_CODES}
+    ),
+    encd AS (
+      SELECT vec_id, s, code, d2,
+             ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                ORDER BY d2, code) AS rk
+      FROM (
+        SELECT sub.vec_id, sub.s, cb.code,
+               {_O_PQ_D2.format(d=PQ_SUBDIM, a='sub.sv', b='cb.cv')} AS d2
+        FROM sub JOIN cb ON cb.s = sub.s
+      )
+    ),
+    enc AS (SELECT vec_id, s, code FROM encd WHERE rk = 1),
+    qd AS (
+      SELECT q.vec_id AS query_id, cb.s, cb.code,
+             {_O_PQ_D2.format(d=PQ_SUBDIM, a='q.sv', b='cb.cv')} AS d2
+      FROM sub q JOIN cb ON cb.s = q.s
+      WHERE q.vec_id < {N_QUERY_VECS}
+    ),
+    adc AS (
+      SELECT qd.query_id, enc.vec_id, CAST(SUM(qd.d2) AS BIGINT) AS d2s
+      FROM enc JOIN qd ON qd.s = enc.s AND qd.code = enc.code
+      WHERE enc.vec_id != qd.query_id
+      GROUP BY qd.query_id, enc.vec_id
+    )
+    SELECT query_id, vec_id,
+           round(CAST(d2s AS DOUBLE) / 1e6, 6) AS approx_d2,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY d2s, vec_id) AS rk
+      FROM adc
+    )
+    WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the memory-bound search tier below int8: each 64-dim float
+    vector compresses to {PQ_SUBSPACES} one-byte codes (codebook =
+    first-{PQ_CODES} vectors' sub-vectors, the same deterministic-init
+    convention as k-means; production trains per-subspace k-means
+    codebooks with the q_embed_kmeans machinery).  A query precomputes
+    its {PQ_SUBSPACES}×{PQ_CODES} distance table once, and every corpus
+    distance is then {PQ_SUBSPACES} table lookups + adds — no float math
+    against corpus data at all, which is why PQ serves billion-vector
+    search from RAM.
+
+    Plan shape: the encode pass is a map-side join against the broadcast
+    128-row codebook with partial-aggregated argmin (min of the
+    lexicographic (d2, code) struct — tie → lowest code) — the shuffle
+    carries n×{PQ_SUBSPACES} code rows, never the float vectors.  The
+    ADC pass joins codes to the broadcast query distance table on
+    (subspace, code) and sums EXACT carrier integers, so ranking is
+    engine-identical; per-query top-{TOP_K} plans as WindowGroupLimit.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    s_idx = F.explode(
+        F.sequence(F.lit(0), F.lit(PQ_SUBSPACES - 1))
+    ).alias("s")
+    sub = v.select("vec_id", "e", s_idx).select(
+        "vec_id",
+        "s",
+        F.slice(F.col("e"), F.col("s") * PQ_SUBDIM + 1, PQ_SUBDIM).alias("sv"),
+    )
+    cb = (
+        sub.filter(F.col("vec_id") < PQ_CODES)
+        .select(
+            F.col("vec_id").alias("code"),
+            F.col("s").alias("cs"),
+            F.col("sv").alias("cv"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    d2 = _d2q(F.col("sv"), F.col("cv"))
+    enc = (
+        sub.join(broadcast(cb), F.col("cs") == F.col("s"))
+        .select("vec_id", "s", "code", d2.alias("d2"))
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).getField("code").alias("code"))
+    )
+    qd = (
+        sub.filter(F.col("vec_id") < N_QUERY_VECS)
+        .join(broadcast(cb), F.col("cs") == F.col("s"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("s").alias("qs"),
+            F.col("code").alias("qcode"),
+            d2.alias("qd2"),
+        )
+    )
+    adc = (
+        enc.join(
+            broadcast(qd),
+            (F.col("qs") == F.col("s"))
+            & (F.col("qcode") == F.col("code"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("qd2").alias("d2s"))
+    )
+    w = Window.partitionBy("query_id").orderBy("d2s", "vec_id")
+    return (
+        adc.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(F.col("d2s").cast("double") / 1e6, 6).alias("approx_d2"),
+            "rk",
+        )
+        .orderBy("query_id", "rk")
+    )

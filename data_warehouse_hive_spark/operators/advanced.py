@@ -1394,3 +1394,47 @@ def q_pivot_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return out.orderBy("yr")
+
+
+@query(
+    "q_sql_grouping_id",
+    oracle=f"""
+    SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+           COALESCE(o_orderpriority, 'ALL') AS priority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           COUNT(*) AS n_orders,
+           {o_dsum('o_totalprice', 'revenue')}
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY g_status, g_priority, status, priority
+    """,
+)
+def q_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING() indicator columns over GROUPING SETS — the metadata
+    that makes multi-level rollup rows machine-distinguishable: a NULL
+    status could be a real null OR the all-statuses superaggregate, and
+    grouping() is the only reliable discriminator (the HiveQL
+    GROUPING__ID surface, per-column form).  Indicators are projected to
+    explicit ints and the dimension values COALESCEd to 'ALL' so the
+    output is self-describing.
+
+    Single aggregation pass — Spark expands grouping sets into one
+    Expand + hash aggregate, not one scan per set; revenue rides the
+    exact carrier.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_gid_v")
+    return spark.sql(
+        """
+        SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+               COALESCE(o_orderpriority, 'ALL') AS priority,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                    AS DOUBLE) / 1e6 AS revenue
+        FROM orders_gid_v
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        ORDER BY g_status, g_priority, status, priority
+        """
+    )

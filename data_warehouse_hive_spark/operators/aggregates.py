@@ -2293,3 +2293,78 @@ def q_dq_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("band")
     )
+
+
+@query(
+    "q_dq_outlier_iqr",
+    oracle="""
+    WITH fences AS (
+      SELECT o_orderpriority,
+             quantile_disc(o_totalprice, 0.25) AS q1,
+             quantile_disc(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           ANY_VALUE(f.q1) AS q1, ANY_VALUE(f.q3) AS q3,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR o.o_totalprice
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN o.o_totalprice
+                              < f.q1 - 1.5 * (f.q3 - f.q1)
+                          OR o.o_totalprice
+                              > f.q3 + 1.5 * (f.q3 - f.q1)
+                     THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS outlier_rate
+    FROM orders o JOIN fences f
+      ON f.o_orderpriority = o.o_orderpriority
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence (IQR) outlier audit per order priority — the
+    distribution-shaped data-quality gate that complements q_anomaly_mad
+    (median absolute deviation) and q_events_zscore (rolling z): Q1/Q3
+    fences at 1.5·IQR, per-group outlier counts and rates.
+
+    Two-phase: exact DISCRETE quartiles per group (percentile_disc picks
+    real data values — no interpolation arithmetic to mismatch), the
+    tiny fence relation broadcasts back onto the fact scan, and the
+    verdict is one conditional aggregation.  Fence comparisons are pure
+    double ops on identical operands in both engines.
+    """
+    o = t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_iqr_v")
+    fences = spark.sql(
+        """
+        SELECT o_orderpriority AS pr,
+               percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice) AS q1,
+               percentile_disc(0.75) WITHIN GROUP (ORDER BY o_totalprice) AS q3
+        FROM orders_iqr_v GROUP BY o_orderpriority
+        """
+    )
+    iqr = F.col("q3") - F.col("q1")
+    is_out = (F.col("o_totalprice") < F.col("q1") - 1.5 * iqr) | (
+        F.col("o_totalprice") > F.col("q3") + 1.5 * iqr
+    )
+    return (
+        o.join(F.broadcast(fences), F.col("pr") == F.col("o_orderpriority"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.any_value(F.col("q1")).alias("q1"),
+            F.any_value(F.col("q3")).alias("q3"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(is_out, 1).otherwise(0)).cast("long").alias(
+                "n_outliers"
+            ),
+            F.round(
+                F.sum(F.when(is_out, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("outlier_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )

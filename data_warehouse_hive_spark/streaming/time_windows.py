@@ -1719,3 +1719,84 @@ def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+# Exact-binary EWMA weight table (alpha = 0.5): W[j] = 0.5^j is exactly
+# representable, and prefix sums are exact halves — so every weighted
+# term and normalizer is bit-identical in both engines.
+_EWMA_W = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125]
+_EWMA_WSUM = [1.0, 1.5, 1.75, 1.875, 1.9375, 1.96875, 1.984375, 1.9921875]
+
+
+@query(
+    "q_events_ewma",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    framed AS (
+      SELECT event_type, h, n,
+             list(n) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS win
+      FROM hourly
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H') AS hr, CAST(n AS BIGINT) AS n,
+           round(CAST(list_sum(list_transform(range(len(win)), i ->
+                   CAST(floor(win[i + 1]
+                              * ({_EWMA_W!r})[len(win) - i]
+                              * 1e6 + 0.5) AS BIGINT))) AS DOUBLE)
+                 / 1e6 / ({_EWMA_WSUM!r})[len(win)], 6) AS ewma
+    FROM framed
+    ORDER BY event_type, hr
+    """,
+)
+def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average (α=0.5, trailing 8 observed
+    hours) of hourly event counts — the recency-weighted smoother used
+    beside q_events_forecast_sma's flat window when the series drifts
+    (EWMA halves each older hour's influence instead of cliff-dropping
+    at the frame edge).
+
+    Spark has no EWMA aggregate; the custom-operator composition is
+    collect_list over the ordered frame + a single indexed-lambda
+    transform against a LITERAL weight table (α=0.5 ⇒ every weight and
+    every normalizer prefix-sum is an exact binary double, so weighted
+    terms floor onto the 1e6 carrier identically in both engines).
+    One shuffle for the hourly rollup; the frame list is ≤ 8 longs.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(F.col("event_type"), F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-7, Window.currentRow)
+    )
+    warr = F.array(*[F.lit(x) for x in _EWMA_W])
+    wsum = F.array(*[F.lit(x) for x in _EWMA_WSUM])
+    framed = hourly.withColumn("win", F.collect_list("n").over(w))
+    num = F.aggregate(
+        F.transform(
+            F.col("win"),
+            lambda x, i: F.floor(
+                x * F.element_at(warr, F.size("win") - i) * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return framed.select(
+        "event_type",
+        F.date_format("h", "yyyy-MM-dd HH").alias("hr"),
+        F.col("n").cast("long").alias("n"),
+        F.round(
+            num.cast("double") / F.lit(1e6)
+            / F.element_at(wsum, F.size("win")),
+            6,
+        ).alias("ewma"),
+    ).orderBy("event_type", "hr")

@@ -732,3 +732,16 @@ def test_heavy_hitters_candidate_broadcast(spark, sf_dir):
     the full vocabulary never shuffles."""
     plan = _plan(spark, sf_dir, "q_agg_heavy_hitters")
     assert "LeftSemi" in plan, plan
+
+
+def test_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
+    """PQ encode and ADC must join against BROADCAST relations (the
+    128-row codebook / the query distance table) — the corpus never
+    shuffles its float vectors, and nothing may plan a cartesian."""
+    plan = _plan(spark, sf_dir, "q_sim_search_pq")
+    strategies = join_strategies(plan)
+    assert any("Broadcast" in s for s in strategies), plan
+    assert not any(
+        "Cartesian" in s or "NestedLoop" in s for s in strategies
+    ), plan
+    assert "WindowGroupLimit" in plan, plan
