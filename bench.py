@@ -179,6 +179,15 @@ EXT_R5C = [
     "q_sql_grouping_id",
 ]
 
+# round 5 (fourth wave): coreset sampling, drift monitoring, survival,
+# boilerplate census.
+EXT_R5D = [
+    "q_sample_kcenters",
+    "q_embed_centroid_drift",
+    "q_stats_kaplan_meier",
+    "q_text_boilerplate",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -204,7 +213,7 @@ def main() -> None:
     # the data volume), so the timed sf run measures execution.
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C
+        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -247,6 +256,8 @@ def main() -> None:
     ext_r5b["total"] = round(sum(ext_r5b.values()), 3)
     ext_r5c = {name: timed(name) for name in EXT_R5C}
     ext_r5c["total"] = round(sum(ext_r5c.values()), 3)
+    ext_r5d = {name: timed(name) for name in EXT_R5D}
+    ext_r5d["total"] = round(sum(ext_r5d.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -263,6 +274,7 @@ def main() -> None:
         "ext_r5": ext_r5,
         "ext_r5b": ext_r5b,
         "ext_r5c": ext_r5c,
+        "ext_r5d": ext_r5d,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -296,6 +308,7 @@ def main() -> None:
                     "ext_r5": ext_r5["total"],
                     "ext_r5b": ext_r5b["total"],
                     "ext_r5c": ext_r5c["total"],
+                    "ext_r5d": ext_r5d["total"],
                 },
                 "detail_file": detail_path,
             }

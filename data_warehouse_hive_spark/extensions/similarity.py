@@ -2171,3 +2171,232 @@ def q_sim_search_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "q_embed_centroid_drift",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e,
+             CASE WHEN ('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+                         ::UBIGINT::BIGINT % 100 < 80
+                  THEN 'train' ELSE 'eval' END AS split
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT split, label, u.pos, u.val
+      FROM v, LATERAL (SELECT unnest(e) AS val,
+                              unnest(range(len(e))) AS pos) u
+    ),
+    cent AS (
+      SELECT split, label, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cval
+      FROM elems GROUP BY split, label, pos
+    ),
+    cnt AS (
+      SELECT label,
+             SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+             SUM(CASE WHEN split = 'eval' THEN 1 ELSE 0 END) AS n_eval
+      FROM v GROUP BY label
+    ),
+    drift AS (
+      SELECT a.label,
+             CAST(SUM(CAST(floor((a.cval - b.cval) * (a.cval - b.cval)
+                                 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS d2c
+      FROM cent a JOIN cent b
+        ON b.label = a.label AND b.pos = a.pos
+       AND a.split = 'train' AND b.split = 'eval'
+      GROUP BY a.label
+    )
+    SELECT c.label, CAST(c.n_train AS BIGINT) AS n_train,
+           CAST(c.n_eval AS BIGINT) AS n_eval,
+           round(CAST(d.d2c AS DOUBLE) / 1e6, 6) AS centroid_d2
+    FROM cnt c JOIN drift d ON d.label = c.label
+    ORDER BY c.label
+    """,
+)
+def q_embed_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval embedding drift per label: squared distance between
+    the two splits' per-label centroids (deterministic md5 holdout
+    assignment, the q_split_holdout rule applied to vec_id) — the
+    monitoring statistic that says whether the held-out slice actually
+    looks like training data in embedding space, per cluster, before
+    trusting eval numbers.
+
+    Centroids use the engine-exact decimal-mean idiom (cell_centroids
+    algebra) grouped by (split, label, dim) — K×2×64 groups, map-side
+    combined — and the drift distance is the 1e6-carrier sum over the
+    64 paired dims.  No corpus-side join anywhere: vectors are touched
+    once, in the centroid aggregation.
+    """
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % 100
+    )
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            "label",
+            as_double_vec("embedding").alias("e"),
+            F.when(bucket < 80, "train").otherwise("eval").alias("split"),
+        ),
+        spark,
+    )
+    elems = v.select("split", "label", F.posexplode("e").alias("pos", "val"))
+    cent = elems.groupBy("split", "label", "pos").agg(
+        (
+            F.sum(F.col("val").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("cval")
+    )
+    cnt = v.groupBy("label").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+            "n_train"
+        ),
+        F.sum(F.when(F.col("split") == "eval", 1).otherwise(0)).alias(
+            "n_eval"
+        ),
+    )
+    a = cent.filter(F.col("split") == "train").select(
+        "label", "pos", F.col("cval").alias("ca")
+    )
+    b = cent.filter(F.col("split") == "eval").select(
+        F.col("label").alias("lb"), F.col("pos").alias("pb"),
+        F.col("cval").alias("cb"),
+    )
+    drift = (
+        a.join(b, (F.col("lb") == F.col("label")) & (F.col("pb") == F.col("pos")))
+        .groupBy("label")
+        .agg(
+            F.sum(
+                F.floor(
+                    (F.col("ca") - F.col("cb"))
+                    * (F.col("ca") - F.col("cb"))
+                    * F.lit(1e6)
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("d2c")
+        )
+    )
+    return (
+        cnt.join(F.broadcast(drift), "label")
+        .select(
+            "label",
+            F.col("n_train").cast("long").alias("n_train"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.round(F.col("d2c").cast("double") / 1e6, 6).alias("centroid_d2"),
+        )
+        .orderBy("label")
+    )
+
+
+KCENTERS_K = 5  # seed + 4 greedy farthest-point picks
+
+_O_D2_64 = (
+    "list_sum(list_transform(range(1, {dim} + 1), i -> "
+    "CAST(floor(({a}[i] - {b}[i]) * ({a}[i] - {b}[i]) * 1e6 + 0.5) "
+    "AS BIGINT)))"
+)
+
+
+def _o_kcenters() -> str:
+    d2 = _O_D2_64.format(dim=EMB_DIM, a="x.e", b="c.e")
+    parts = [
+        """
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    cent0 AS (SELECT vec_id, e FROM v WHERE vec_id = 0)"""
+    ]
+    for k in range(1, KCENTERS_K):
+        parts.append(f"""
+    m{k} AS (
+      SELECT x.vec_id, MIN({d2}) AS md
+      FROM v x CROSS JOIN cent{k - 1} c
+      WHERE x.vec_id NOT IN (SELECT vec_id FROM cent{k - 1})
+      GROUP BY x.vec_id
+    ),
+    p{k} AS (SELECT vec_id, md FROM m{k} ORDER BY md DESC, vec_id LIMIT 1),
+    cent{k} AS (
+      SELECT * FROM cent{k - 1}
+      UNION ALL
+      SELECT v.vec_id, v.e FROM v JOIN p{k} ON p{k}.vec_id = v.vec_id
+    )""")
+    selects = [
+        "SELECT 0 AS sel_rank, CAST(0 AS BIGINT) AS vec_id, 0.0 AS min_d2"
+    ] + [
+        f"SELECT {k}, vec_id, round(CAST(md AS DOUBLE) / 1e6, 6) FROM p{k}"
+        for k in range(1, KCENTERS_K)
+    ]
+    return (
+        "WITH " + ",".join(parts) + "\n    "
+        + "\n    UNION ALL ".join(selects)
+        + "\n    ORDER BY sel_rank"
+    )
+
+
+@query("q_sample_kcenters", oracle=_o_kcenters())
+def q_sample_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-centers (farthest-point) coreset selection over the
+    embedding corpus: seed with vec_id 0, then repeatedly pick the point
+    FARTHEST from everything chosen so far — the diversity sampler used
+    to build maximally-covering eval/annotation subsets (where
+    q_sample_stratified balances fields and q_sim_mmr balances
+    relevance, k-centers maximizes metric coverage; it is the 2-approx
+    of the k-center objective).
+
+    Each of the K−1 rounds is one corpus pass: cross join against the
+    ≤K-row broadcast center set, per-vector MIN of the exact carrier
+    distances (map-side combined), anti-join of already-chosen ids, and
+    a global top-1 (TakeOrderedAndProject).  The driver loop is bounded
+    by the constant K, localCheckpoint truncates the compounding plan —
+    the q_embed_kmeans/MMR iteration discipline.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    ).localCheckpoint(eager=False)
+    cents = v.filter(F.col("vec_id") == 0)
+    out = v.filter(F.col("vec_id") == 0).select(
+        F.lit(0).alias("sel_rank"),
+        "vec_id",
+        F.lit(0.0).alias("min_d2"),
+    )
+    for k in range(1, KCENTERS_K):
+        md = (
+            v.crossJoin(broadcast(cents.select(F.col("e").alias("ce"))))
+            .select("vec_id", _d2q(F.col("e"), F.col("ce")).alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("md"))
+            .join(
+                cents.select(F.col("vec_id").alias("cid")),
+                F.col("vec_id") == F.col("cid"),
+                "left_anti",
+            )
+        )
+        pick = (
+            md.orderBy(F.col("md").desc(), "vec_id")
+            .limit(1)
+            .localCheckpoint(eager=False)
+        )
+        out = out.unionAll(
+            pick.select(
+                F.lit(k).alias("sel_rank"),
+                "vec_id",
+                F.round(F.col("md").cast("double") / 1e6, 6).alias("min_d2"),
+            )
+        )
+        cents = cents.unionAll(
+            v.join(
+                pick.select(F.col("vec_id").alias("pid")),
+                F.col("vec_id") == F.col("pid"),
+                "left_semi",
+            )
+        ).localCheckpoint(eager=False)
+    return out.orderBy("sel_rank")

@@ -1467,3 +1467,70 @@ def q_text_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (n_hyphen.cast("long") > 3)
         ).alias("artifact_flag"),
     ).orderBy("doc_id")
+
+
+BOILER_DF = 5  # a sentence in >= this many docs of one source is template
+
+
+@query(
+    "q_text_boilerplate",
+    oracle=f"""
+    WITH sent AS (
+      SELECT DISTINCT source, doc_id,
+             md5(trim(lower(u.s))) AS h
+      FROM documents,
+           LATERAL (SELECT unnest(string_split(text, '. ')) AS s) u
+      WHERE length(trim(u.s)) >= 10
+    ),
+    df AS (
+      SELECT source, h, COUNT(*) AS n_docs
+      FROM sent GROUP BY source, h
+    )
+    SELECT source,
+           COUNT(*) AS n_distinct_sentences,
+           CAST(SUM(CASE WHEN n_docs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           round(CAST(SUM(CASE WHEN n_docs >= {BOILER_DF} THEN 1 ELSE 0 END)
+                      AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+             AS boilerplate_rate
+    FROM df GROUP BY source ORDER BY source
+    """,
+)
+def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template/boilerplate sentence detection per source — the
+    sentence-level document-frequency profile behind nav-bar / footer /
+    terms-of-service removal: a sentence recurring in ≥ {BOILER_DF}
+    documents of the SAME source is template text, not content (the
+    C4-style line dedup q_clean_c4 applies within documents; this is
+    the cross-document source-level census that says WHICH feeds are
+    template-heavy before cleaning them).
+
+    Sentences split on '. ', length-floored at 10 chars (fragment
+    guard), normalized, and md5'd so the document-frequency shuffle
+    carries 32-byte keys instead of sentence text; one (source, doc, h)
+    dedup then two grouped rollups, all on uniform hash keys.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("source", "doc_id", "text"), spark)
+    sent = (
+        d.select(
+            "source",
+            "doc_id",
+            F.explode(F.split("text", r"\. ")).alias("s"),
+        )
+        .filter(F.length(F.trim("s")) >= 10)
+        .select("source", "doc_id", F.md5(F.trim(F.lower("s"))).alias("h"))
+        .distinct()
+    )
+    df = sent.groupBy("source", "h").agg(F.count(F.lit(1)).alias("n_docs"))
+    boiler = F.sum(F.when(F.col("n_docs") >= BOILER_DF, 1).otherwise(0))
+    return (
+        df.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_sentences"),
+            boiler.cast("long").alias("n_boilerplate"),
+            F.round(
+                boiler.cast("double") / F.count(F.lit(1)).cast("double"), 6
+            ).alias("boilerplate_rate"),
+        )
+        .orderBy("source")
+    )

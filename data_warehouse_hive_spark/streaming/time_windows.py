@@ -1800,3 +1800,104 @@ def q_events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ewma"),
     ).orderBy("event_type", "hr")
+
+
+@query(
+    "q_stats_kaplan_meier",
+    oracle="""
+    WITH ue AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS f, MAX(epoch_us(ts)) AS l
+      FROM events GROUP BY user_id
+    ),
+    obs AS (SELECT MAX(l) AS maxl FROM ue),
+    durs AS (
+      SELECT (l - f) // 86400000000 AS dur,
+             CASE WHEN l < o.maxl - 7 * 86400000000 THEN 1 ELSE 0 END AS dead
+      FROM ue CROSS JOIN obs o
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM durs),
+    g AS (SELECT dur, COUNT(*) AS c, SUM(dead) AS d FROM durs GROUP BY dur),
+    r AS (
+      SELECT dur, c, d,
+             t.n - SUM(c) OVER (ORDER BY dur
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) + c AS n_risk
+      FROM g CROSS JOIN tot t
+    ),
+    k AS (
+      SELECT dur, n_risk, d,
+             CAST(floor(ln(1.0 - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE))
+                        * 1e9 + 0.5) AS BIGINT) AS lc
+      FROM r WHERE d > 0 AND d < n_risk
+    )
+    SELECT CAST(dur AS BIGINT) AS dur_days,
+           CAST(n_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_deaths,
+           round(CAST(SUM(lc) OVER (ORDER BY dur
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) AS DOUBLE) / 1e9, 6)
+             AS log_survival
+    FROM k ORDER BY dur_days
+    """,
+)
+def q_stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival of user activity lifetimes with right
+    censoring — the retention curve done correctly: a user whose last
+    event is within 7 days of the observation end hasn't churned, they
+    are CENSORED, and ignoring that biases every naive retention metric
+    downward.  Duration = whole days between a user's first and last
+    event; death = churn (quiet for >7 days at cutoff).
+
+    KM runs entirely on the per-duration life table (one user rollup,
+    one duration rollup — both map-side combined; the table is O(max
+    days), not O(users)): at-risk counts from a running sum, and the
+    survival PRODUCT as a running SUM of per-step ln factors on a 1e9
+    carrier, reported as log-survival (exp is the one op whose last-ulp
+    behavior differs across libms, so the log form is the exact
+    contract; callers exp() it for display).  Terminal rows where
+    deaths = at-risk (factor 0) are excluded by definition.
+    """
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    ue = e.groupBy("user_id").agg(
+        F.min(us).alias("f"), F.max(us).alias("l")
+    )
+    obs = ue.agg(F.max("l").alias("maxl"))
+    day = 86_400_000_000
+    durs = ue.crossJoin(F.broadcast(obs)).select(
+        F.expr(f"(l - f) div {day}").alias("dur"),
+        F.when(F.col("l") < F.col("maxl") - 7 * day, 1).otherwise(0).alias(
+            "dead"
+        ),
+    )
+    tot = durs.agg(F.count(F.lit(1)).alias("n"))
+    g = durs.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("c"), F.sum("dead").alias("d")
+    )
+    w = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    r = g.crossJoin(F.broadcast(tot)).withColumn(
+        "n_risk", F.col("n") - F.sum("c").over(w) + F.col("c")
+    )
+    k = r.filter((F.col("d") > 0) & (F.col("d") < F.col("n_risk"))).select(
+        "dur",
+        "n_risk",
+        "d",
+        F.floor(
+            F.log(
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            )
+            * F.lit(1e9)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lc"),
+    )
+    return k.select(
+        F.col("dur").cast("long").alias("dur_days"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_deaths"),
+        F.round(
+            F.sum("lc").over(w).cast("double") / F.lit(1e9), 6
+        ).alias("log_survival"),
+    ).orderBy("dur_days")
