@@ -188,6 +188,13 @@ EXT_R5D = [
     "q_text_boilerplate",
 ]
 
+# round 5 (fifth wave): OHLC rollup, CUSUM, blocked record linkage.
+EXT_R5E = [
+    "q_events_ohlc",
+    "q_events_cusum",
+    "q_er_blocked_linkage",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -213,7 +220,7 @@ def main() -> None:
     # the data volume), so the timed sf run measures execution.
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D
+        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -258,6 +265,8 @@ def main() -> None:
     ext_r5c["total"] = round(sum(ext_r5c.values()), 3)
     ext_r5d = {name: timed(name) for name in EXT_R5D}
     ext_r5d["total"] = round(sum(ext_r5d.values()), 3)
+    ext_r5e = {name: timed(name) for name in EXT_R5E}
+    ext_r5e["total"] = round(sum(ext_r5e.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -275,6 +284,7 @@ def main() -> None:
         "ext_r5b": ext_r5b,
         "ext_r5c": ext_r5c,
         "ext_r5d": ext_r5d,
+        "ext_r5e": ext_r5e,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -309,6 +319,7 @@ def main() -> None:
                     "ext_r5b": ext_r5b["total"],
                     "ext_r5c": ext_r5c["total"],
                     "ext_r5d": ext_r5d["total"],
+                    "ext_r5e": ext_r5e["total"],
                 },
                 "detail_file": detail_path,
             }

@@ -1901,3 +1901,172 @@ def q_stats_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("lc").over(w).cast("double") / F.lit(1e9), 6
         ).alias("log_survival"),
     ).orderBy("dur_days")
+
+
+@query(
+    "q_events_ohlc",
+    oracle="""
+    WITH based AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) AS rn1,
+             ROW_NUMBER() OVER (PARTITION BY event_type, date_trunc('hour', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn2
+      FROM events
+    )
+    SELECT event_type, strftime(h, '%Y-%m-%d %H') AS hr,
+           COUNT(*) AS n_events,
+           MAX(CASE WHEN rn1 = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn2 = 1 THEN value END) AS close,
+           CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1e6 AS volume
+    FROM based
+    GROUP BY event_type, h
+    ORDER BY event_type, hr
+    """,
+)
+def q_events_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC time-series downsampling: per (event_type, hour) open /
+    high / low / close of the value stream plus the carrier-exact
+    volume — the canonical lossy-but-shaped compaction that turns a raw
+    event firehose into a chartable/retainable series (the
+    hypertable-rollup pattern).
+
+    Open and close are deterministic FIRST/LAST picks via dual
+    row_numbers on the full (ts, event_id) order — not first_value(),
+    whose frame-default semantics differ subtly across engines — folded
+    into the same grouped aggregation, so the whole operator is one
+    window pass + one hash aggregate on the (type, hour) key.
+    """
+    e = t(spark, sf_dir, "events")
+    h = F.date_trunc("hour", "ts")
+    w1 = Window.partitionBy("event_type", h).orderBy("ts", "event_id")
+    w2 = Window.partitionBy("event_type", h).orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    based = e.select(
+        "event_type",
+        h.alias("h"),
+        "value",
+        F.row_number().over(w1).alias("rn1"),
+        F.row_number().over(w2).alias("rn2"),
+    )
+    return (
+        based.groupBy("event_type", "h")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max(F.when(F.col("rn1") == 1, F.col("value"))).alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max(F.when(F.col("rn2") == 1, F.col("value"))).alias("close"),
+            (
+                F.sum(
+                    F.floor(F.col("value") * F.lit(1e6) + F.lit(0.5)).cast(
+                        "long"
+                    )
+                ).cast("double")
+                / 1e6
+            ).alias("volume"),
+        )
+        .select(
+            "event_type",
+            F.date_format("h", "yyyy-MM-dd HH").alias("hr"),
+            "n_events",
+            "open",
+            "high",
+            "low",
+            "close",
+            "volume",
+        )
+        .orderBy("event_type", "hr")
+    )
+
+
+@query(
+    "q_events_cusum",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(SUM(n) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS mu,
+             COUNT(*) AS n_hours
+      FROM hourly GROUP BY event_type
+    ),
+    dev AS (
+      SELECT hourly.event_type, h, m.n_hours,
+             CAST(floor((CAST(n AS DOUBLE) - m.mu) * 1e6 + 0.5) AS BIGINT)
+               AS dc
+      FROM hourly JOIN m ON m.event_type = hourly.event_type
+    ),
+    cus AS (
+      SELECT event_type, n_hours,
+             SUM(dc) OVER (PARTITION BY event_type ORDER BY h
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS s
+      FROM dev
+    )
+    SELECT event_type, CAST(ANY_VALUE(n_hours) AS BIGINT) AS n_hours,
+           round(CAST(MAX(s) AS DOUBLE) / 1e6, 6) AS max_drift,
+           round(CAST(MIN(s) AS DOUBLE) / 1e6, 6) AS min_drift
+    FROM cus GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type: the running sum of
+    deviations from the series mean, whose maximum excursion localizes
+    sustained level shifts that q_events_zscore's pointwise |z|>3 test
+    cannot see (a 10% rate change never trips a 3σ threshold on any
+    single hour, but its CUSUM grows linearly).  Reported as the
+    max/min excursions — the change-point evidence pair.
+
+    Deviations floor onto the 1e6 carrier BEFORE the running sum, so
+    every prefix is an exact integer in both engines (the mean is one
+    exact division; its product with the carrier is mirrored).  One
+    hourly rollup, one tiny per-type mean join, one ordered window over
+    the O(hours) series.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .groupBy("event_type", "h")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    m = hourly.groupBy("event_type").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mu"
+        ),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+    dev = hourly.join(
+        F.broadcast(m.withColumnRenamed("event_type", "et")),
+        F.col("et") == F.col("event_type"),
+    ).select(
+        "event_type",
+        "h",
+        "n_hours",
+        F.floor(
+            (F.col("n").cast("double") - F.col("mu")) * F.lit(1e6) + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("dc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cus = dev.withColumn("s", F.sum("dc").over(w))
+    return (
+        cus.groupBy("event_type")
+        .agg(
+            F.any_value(F.col("n_hours")).cast("long").alias("n_hours"),
+            F.round(F.max("s").cast("double") / 1e6, 6).alias("max_drift"),
+            F.round(F.min("s").cast("double") / 1e6, 6).alias("min_drift"),
+        )
+        .orderBy("event_type")
+    )
