@@ -195,6 +195,13 @@ EXT_R5E = [
     "q_er_blocked_linkage",
 ]
 
+# round 5 (sixth wave): DQ audits + profiling maps.
+EXT_R5F = [
+    "q_dq_uniqueness",
+    "q_events_heatmap",
+    "q_text_link_density",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -221,6 +228,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
+        + EXT_R5F
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -267,6 +275,8 @@ def main() -> None:
     ext_r5d["total"] = round(sum(ext_r5d.values()), 3)
     ext_r5e = {name: timed(name) for name in EXT_R5E}
     ext_r5e["total"] = round(sum(ext_r5e.values()), 3)
+    ext_r5f = {name: timed(name) for name in EXT_R5F}
+    ext_r5f["total"] = round(sum(ext_r5f.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -285,6 +295,7 @@ def main() -> None:
         "ext_r5c": ext_r5c,
         "ext_r5d": ext_r5d,
         "ext_r5e": ext_r5e,
+        "ext_r5f": ext_r5f,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -320,6 +331,7 @@ def main() -> None:
                     "ext_r5c": ext_r5c["total"],
                     "ext_r5d": ext_r5d["total"],
                     "ext_r5e": ext_r5e["total"],
+                    "ext_r5f": ext_r5f["total"],
                 },
                 "detail_file": detail_path,
             }

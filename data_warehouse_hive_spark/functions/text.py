@@ -1534,3 +1534,71 @@ def q_text_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_text_link_density",
+    oracle=r"""
+    WITH tok AS (
+      SELECT source,
+             string_split_regex(trim(text), '\s+') AS ws
+      FROM documents
+    ),
+    per AS (
+      SELECT source,
+             len(ws) AS n_tok,
+             len(list_filter(ws, x -> x LIKE 'http://%'
+                                   OR x LIKE 'https://%'
+                                   OR x LIKE 'www.%')) AS n_links
+      FROM tok
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_links > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_with_links,
+           CAST(SUM(n_links) AS BIGINT) AS n_link_tokens,
+           round(CAST(SUM(n_links) AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE),
+                 9) AS link_token_ratio
+    FROM per GROUP BY source ORDER BY source
+    """,
+)
+def q_text_link_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-token density per source — the web-curation signal that
+    separates prose from link farms / navigation dumps (C4 drops
+    high-link-density pages outright; here it is reported per feed so
+    the threshold can be source-calibrated).  Counts http(s)/www tokens
+    against total whitespace tokens, plus how many docs carry any link.
+
+    Pure narrow map (token filter lambda — JVM-side, no UDF) + one
+    grouped rollup on the source key; exact integer counts, one final
+    mirrored division at 9 dp.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+    ws = tokens("text")
+    links = F.size(
+        F.filter(
+            ws,
+            lambda x: x.startswith("http://")
+            | x.startswith("https://")
+            | x.startswith("www."),
+        )
+    )
+    per = d.select(
+        "source", F.size(ws).alias("n_tok"), links.alias("n_links")
+    )
+    return (
+        per.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.when(F.col("n_links") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("n_docs_with_links"),
+            F.sum("n_links").cast("long").alias("n_link_tokens"),
+            F.round(
+                F.sum("n_links").cast("double")
+                / F.sum("n_tok").cast("double"),
+                9,
+            ).alias("link_token_ratio"),
+        )
+        .orderBy("source")
+    )

@@ -2368,3 +2368,77 @@ def q_dq_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "q_dq_uniqueness",
+    oracle="""
+    WITH t AS (SELECT COUNT(*) AS n FROM lineitem),
+    cand AS (
+      SELECT 'l_orderkey,l_linenumber' AS candidate_key, t.n AS n_rows,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_linenumber
+                                    FROM lineitem)) AS n_distinct
+      FROM t
+      UNION ALL
+      SELECT 'l_orderkey,l_partkey', t.n,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT l_orderkey, l_partkey
+                                    FROM lineitem))
+      FROM t
+      UNION ALL
+      SELECT 'l_partkey,l_suppkey', t.n,
+             (SELECT COUNT(*) FROM (SELECT DISTINCT l_partkey, l_suppkey
+                                    FROM lineitem))
+      FROM t
+    )
+    SELECT candidate_key, CAST(n_rows AS BIGINT) AS n_rows,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           (n_rows = n_distinct) AS is_unique,
+           round(CAST(n_rows - n_distinct AS DOUBLE)
+                 / CAST(n_rows AS DOUBLE), 6) AS dup_ratio
+    FROM cand
+    ORDER BY candidate_key
+    """,
+)
+def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key uniqueness audit: for each proposed key of
+    `lineitem`, does it actually identify rows?  The constraint-mining
+    check run before declaring primary keys, building MERGE conditions
+    (ddl_merge_upsert), or bucketing a join on a 'key' that silently
+    collides.  (l_orderkey, l_linenumber) is the true PK; the other two
+    candidates quantify HOW non-unique they are via the dup ratio.
+
+    Each candidate is its own dedup-then-count aggregation (the
+    never-mix-COUNT(DISTINCT) rule), unioned into the 3-row report —
+    three shuffles on uniform composite keys, all map-side combined.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    total = li.agg(F.count(F.lit(1)).alias("n_rows"))
+    keys = [
+        ("l_orderkey,l_linenumber", ["l_orderkey", "l_linenumber"]),
+        ("l_orderkey,l_partkey", ["l_orderkey", "l_partkey"]),
+        ("l_partkey,l_suppkey", ["l_partkey", "l_suppkey"]),
+    ]
+    parts = []
+    for name, cols in keys:
+        nd = (
+            li.select(*cols)
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_distinct"))
+        )
+        parts.append(
+            total.crossJoin(F.broadcast(nd)).select(
+                F.lit(name).alias("candidate_key"), "n_rows", "n_distinct"
+            )
+        )
+    out = parts[0].unionAll(parts[1]).unionAll(parts[2])
+    return out.select(
+        "candidate_key",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_rows") == F.col("n_distinct")).alias("is_unique"),
+        F.round(
+            (F.col("n_rows") - F.col("n_distinct")).cast("double")
+            / F.col("n_rows").cast("double"),
+            6,
+        ).alias("dup_ratio"),
+    ).orderBy("candidate_key")

@@ -2070,3 +2070,55 @@ def q_events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "q_events_heatmap",
+    oracle="""
+    WITH g AS (
+      SELECT CAST(isodow(ts) AS INT) AS iso_dow,
+             CAST(hour(ts) AS INT) AS hr,
+             COUNT(*) AS n
+      FROM events GROUP BY iso_dow, hr
+    ),
+    tot AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.iso_dow, g.hr, CAST(g.n AS BIGINT) AS n,
+           round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN tot t
+    ORDER BY g.iso_dow, g.hr
+    """,
+)
+def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week × hour-of-day activity heatmap — the 168-cell weekly
+    rhythm profile (traffic shaping, maintenance-window picking, bot
+    cadence spotting: humans have weekends, cron jobs don't).
+
+    ISO day numbering is the cross-engine trap: Spark's dayofweek() is
+    Sunday=1 while DuckDB's isodow() is Monday=1, so the Spark side
+    derives iso_dow as weekday()+1 (Monday=0 base).  One hash aggregate
+    over the bounded 7×24 key domain (map-side combined — the shuffle
+    carries ≤168 rows per task regardless of corpus size), plus a 1-row
+    total broadcast for shares.
+    """
+    e = t(spark, sf_dir, "events")
+    g = (
+        e.select(
+            (F.weekday("ts") + 1).cast("int").alias("iso_dow"),
+            F.hour("ts").cast("int").alias("hr"),
+        )
+        .groupBy("iso_dow", "hr")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = g.agg(F.sum("n").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "iso_dow",
+            "hr",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("iso_dow", "hr")
+    )
