@@ -202,6 +202,16 @@ EXT_R5F = [
     "q_text_link_density",
 ]
 
+# round 5 (seventh wave): SCD2 consumption, experiment guards, decile
+# concentration, reciprocity.
+EXT_R5G = [
+    "q_scd2_lookup",
+    "q_events_value_bands",
+    "q_events_ab_srm",
+    "q_graph_reciprocity",
+    "q_orders_ltv_deciles",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -228,7 +238,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F
+        + EXT_R5F + EXT_R5G
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -277,6 +287,8 @@ def main() -> None:
     ext_r5e["total"] = round(sum(ext_r5e.values()), 3)
     ext_r5f = {name: timed(name) for name in EXT_R5F}
     ext_r5f["total"] = round(sum(ext_r5f.values()), 3)
+    ext_r5g = {name: timed(name) for name in EXT_R5G}
+    ext_r5g["total"] = round(sum(ext_r5g.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -296,6 +308,7 @@ def main() -> None:
         "ext_r5d": ext_r5d,
         "ext_r5e": ext_r5e,
         "ext_r5f": ext_r5f,
+        "ext_r5g": ext_r5g,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -332,6 +345,7 @@ def main() -> None:
                     "ext_r5d": ext_r5d["total"],
                     "ext_r5e": ext_r5e["total"],
                     "ext_r5f": ext_r5f["total"],
+                    "ext_r5g": ext_r5g["total"],
                 },
                 "detail_file": detail_path,
             }

@@ -625,3 +625,71 @@ def q_graph_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("origin").alias("node"), "n_reachable", "harmonic")
         .orderBy("node")
     )
+
+
+@query(
+    "q_graph_reciprocity",
+    oracle="""
+    WITH trans AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT event_type AS src,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS dst
+        FROM events
+      ) WHERE dst IS NOT NULL AND dst <> src
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+           CAST(SUM(CASE WHEN EXISTS (
+                 SELECT 1 FROM trans r
+                 WHERE r.src = t.dst AND r.dst = t.src)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_reciprocal,
+           round(CAST(SUM(CASE WHEN EXISTS (
+                   SELECT 1 FROM trans r
+                   WHERE r.src = t.dst AND r.dst = t.src)
+                 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS reciprocity
+    FROM trans t
+    """,
+)
+def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge reciprocity of the event-type transition graph: the fraction
+    of directed edges whose reverse also occurs — the flow-vs-funnel
+    diagnostic (a checkout funnel is nearly acyclic, low reciprocity; a
+    browse loop is highly reciprocal), read beside q_graph_pagerank and
+    q_graph_clustering on the same derived graph.
+
+    The reverse-edge test is a LEFT SEMI self-join on the swapped key
+    pair — on the aggregated edge relation (≤ |event types|² rows), so
+    everything after the one fact-scale window pass is a broadcast-size
+    computation.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            F.col("event_type").alias("src"),
+            F.lead("event_type").over(w).alias("dst"),
+        )
+        .filter(F.col("dst").isNotNull() & (F.col("dst") != F.col("src")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    rev = trans.select(
+        F.col("dst").alias("rsrc"), F.col("src").alias("rdst")
+    )
+    flagged = trans.join(
+        rev,
+        (F.col("rsrc") == F.col("src")) & (F.col("rdst") == F.col("dst")),
+        "left_semi",
+    )
+    n_rec = flagged.agg(F.count(F.lit(1)).alias("n_reciprocal"))
+    n_all = trans.agg(F.count(F.lit(1)).alias("n_edges"))
+    return n_all.crossJoin(F.broadcast(n_rec)).select(
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_reciprocal").cast("long").alias("n_reciprocal"),
+        F.round(
+            F.col("n_reciprocal").cast("double")
+            / F.col("n_edges").cast("double"),
+            6,
+        ).alias("reciprocity"),
+    )

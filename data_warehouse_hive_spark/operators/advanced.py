@@ -1438,3 +1438,74 @@ def q_sql_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY g_status, g_priority, status, priority
         """
     )
+
+
+@query(
+    "q_scd2_lookup",
+    oracle="""
+    WITH scd AS (
+      SELECT o_custkey AS custkey, o_orderstatus AS status,
+             o_orderdate AS valid_from,
+             COALESCE(LEAD(o_orderdate) OVER (PARTITION BY o_custkey
+                                              ORDER BY o_orderdate, o_orderkey),
+                      TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+      FROM orders
+    ),
+    li AS (
+      SELECT o.o_custkey AS custkey, l.l_shipdate AS ship
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT COALESCE(s.status, 'none') AS status_asof,
+           COUNT(*) AS n_lineitems
+    FROM li LEFT JOIN scd s
+      ON s.custkey = li.custkey
+     AND li.ship >= s.valid_from AND li.ship < s.valid_to
+    GROUP BY status_asof
+    ORDER BY status_asof
+    """,
+)
+def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time dimension lookup against an SCD2 history — the
+    consumption side of q_scd2 (which only BUILDS the intervals): every
+    lineitem is joined to the status its customer held AT SHIP TIME via
+    the half-open [valid_from, valid_to) interval, with shipments
+    predating any history falling into the 'none' bucket (the LEFT join
+    semantics an as-of report needs).
+
+    Intervals are disjoint per key by construction (LEAD closes each),
+    so the interval predicate on top of the custkey equi-join matches
+    at most one history row per lineitem — the join stays an equi-join
+    on the dimension key with a residual range filter, never an
+    interval cross product.  Two shuffles: lineitem→orders on the order
+    key, then the custkey join.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    scd = o.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.coalesce(
+            F.lead("o_orderdate").over(w),
+            F.lit("9999-12-31 00:00:00").cast("timestamp"),
+        ).alias("valid_to"),
+    )
+    lic = li.join(
+        o.select("o_orderkey", "o_custkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    ).select(F.col("o_custkey").alias("lk"), F.col("l_shipdate").alias("ship"))
+    joined = lic.join(
+        scd,
+        (F.col("custkey") == F.col("lk"))
+        & (F.col("ship") >= F.col("valid_from"))
+        & (F.col("ship") < F.col("valid_to")),
+        "left",
+    )
+    return (
+        joined.groupBy(
+            F.coalesce(F.col("status"), F.lit("none")).alias("status_asof")
+        )
+        .agg(F.count(F.lit(1)).alias("n_lineitems"))
+        .orderBy("status_asof")
+    )

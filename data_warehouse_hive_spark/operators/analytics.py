@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from data_warehouse_hive_spark.registry import query, to_carrier
+from data_warehouse_hive_spark.registry import DEC, dsum, query, to_carrier
 from data_warehouse_hive_spark.tables import t
 
 
@@ -1847,4 +1847,73 @@ def q_stats_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(m1, 6).alias("mean_click"),
         F.round(m2, 6).alias("mean_view"),
         F.round((m1 - m2) / F.sqrt(pooled), 6).alias("cohens_d"),
+    )
+
+
+@query(
+    "q_orders_ltv_deciles",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    deciled AS (
+      SELECT o_custkey, rev,
+             CAST(NTILE(10) OVER (ORDER BY rev DESC, o_custkey) AS INT)
+               AS decile
+      FROM rev
+    ),
+    per AS (
+      SELECT decile, COUNT(*) AS n_customers,
+             CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS decile_rev
+      FROM deciled GROUP BY decile
+    ),
+    tot AS (
+      SELECT CAST(SUM(CAST(rev AS DECIMAL(18,6))) AS DOUBLE) AS total
+      FROM rev
+    )
+    SELECT p.decile, p.n_customers, round(p.decile_rev, 6) AS decile_rev,
+           round(p.decile_rev / t.total, 6) AS revenue_share
+    FROM per p CROSS JOIN tot t
+    ORDER BY p.decile
+    """,
+)
+def q_orders_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value decile analysis: rank every customer by
+    exact total revenue, cut into NTILE(10) deciles, report each
+    decile's size and revenue share — the concentration table behind
+    "our top decile is X% of revenue" (the discrete form of
+    q_orders_lorenz's continuous curve, and the segmentation grid
+    q_agg_rfm refines).
+
+    Revenue rides the carrier; the decile assignment is deterministic
+    (NTILE over the fully-tied-broken (rev DESC, custkey) order — both
+    engines use the same equal-buckets-remainder-first rule, proven by
+    q_win_ntile); decile sums go through the decimal carrier so shares
+    are exact.  The window runs over the customer-level rollup, not the
+    fact table."""
+    o = t(spark, sf_dir, "orders")
+    rev = o.groupBy("o_custkey").agg(dsum("o_totalprice", "rev"))
+    w = Window.orderBy(F.col("rev").desc(), "o_custkey")
+    deciled = rev.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    per = deciled.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("decile_rev"),
+    )
+    tot = rev.agg(
+        F.sum(F.col("rev").cast(DEC)).cast("double").alias("total")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            F.round(F.col("decile_rev"), 6).alias("decile_rev"),
+            F.round(F.col("decile_rev") / F.col("total"), 6).alias(
+                "revenue_share"
+            ),
+        )
+        .orderBy("decile")
     )

@@ -2122,3 +2122,103 @@ def q_events_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("iso_dow", "hr")
     )
+
+
+@query(
+    "q_events_value_bands",
+    oracle="""
+    SELECT event_type,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           COUNT(*) AS n,
+           quantile_disc(value, 0.10) AS p10,
+           quantile_disc(value, 0.50) AS p50,
+           quantile_disc(value, 0.90) AS p90
+    FROM events
+    GROUP BY event_type, day
+    ORDER BY event_type, day
+    """,
+)
+def q_events_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10/P50/P90 value bands per (event type, day) — the percentile
+    ribbon a monitoring dashboard draws around a metric (means hide
+    tail drift; the band shows WHERE the distribution moved).  Discrete
+    percentiles pick real data values, so the bands are exact and
+    engine-portable; days cross engines as strings.
+
+    One grouped sort-based aggregation on the (type, day) key — Spark
+    computes exact grouped percentiles from per-partition partial
+    digests, one shuffle.
+    """
+    e = t(spark, sf_dir, "events")
+    e.createOrReplaceTempView("events_bands_v")
+    return spark.sql(
+        """
+        SELECT event_type,
+               date_format(ts, 'yyyy-MM-dd') AS day,
+               COUNT(*) AS n,
+               percentile_disc(0.10) WITHIN GROUP (ORDER BY value) AS p10,
+               percentile_disc(0.50) WITHIN GROUP (ORDER BY value) AS p50,
+               percentile_disc(0.90) WITHIN GROUP (ORDER BY value) AS p90
+        FROM events_bands_v
+        GROUP BY event_type, day
+        ORDER BY event_type, day
+        """
+    )
+
+
+@query(
+    "q_events_ab_srm",
+    oracle="""
+    WITH assigned AS (
+      SELECT DISTINCT user_id, CAST(user_id % 2 AS INT) AS variant
+      FROM events
+    ),
+    counts AS (
+      SELECT CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n0,
+             CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n1
+      FROM assigned
+    )
+    SELECT n0, n1,
+           round(CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+                 / CAST(n0 + n1 AS DOUBLE), 6) AS chi2,
+           (CAST((n0 - n1) * (n0 - n1) AS DOUBLE)
+            / CAST(n0 + n1 AS DOUBLE) > 3.841) AS srm_detected
+    FROM counts
+    """,
+)
+def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the A/B assignment q_events_ab_test
+    analyzes: chi-square (1 df) of the realized variant split against the
+    designed 50/50.  SRM is the first thing to check before reading ANY
+    experiment result — a biased assignment (bot filtering, logging loss,
+    redirect asymmetry) invalidates the comparison no matter how
+    significant the metric delta looks.  For equal expected counts the
+    statistic collapses to (n0−n1)²/(n0+n1) — exact integers until one
+    mirrored division; flag at the 0.05 critical value 3.841.
+
+    One (user, variant) dedup, one conditional count — both map-side
+    combined."""
+    e = t(spark, sf_dir, "events")
+    assigned = e.select(
+        "user_id", (F.col("user_id") % 2).cast("int").alias("variant")
+    ).distinct()
+    counts = assigned.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n1"),
+    )
+    diff2 = ((F.col("n0") - F.col("n1")) * (F.col("n0") - F.col("n1"))).cast(
+        "double"
+    )
+    chi2 = diff2 / (F.col("n0") + F.col("n1")).cast("double")
+    return counts.select(
+        "n0",
+        "n1",
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 > 3.841).alias("srm_detected"),
+    )
