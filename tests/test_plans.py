@@ -745,3 +745,39 @@ def test_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
         "Cartesian" in s or "NestedLoop" in s for s in strategies
     ), plan
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_er_linkage_block_equi_join(spark, sf_dir):
+    """Record linkage must pair rows through the (nation, segment)
+    block equi-join — an unblocked name comparison would plan a
+    cartesian/nested-loop product."""
+    plan = _plan(spark, sf_dir, "q_er_blocked_linkage")
+    strategies = join_strategies(plan)
+    assert strategies, plan
+    assert not any(
+        "Cartesian" in s or "NestedLoop" in s for s in strategies
+    ), strategies
+
+
+def test_crossdoc_overlap_df_capped_before_pairs(spark, sf_dir):
+    """The contamination matrix must filter grams to the DF band BEFORE
+    the pair self-join (semi-join against `keep`), and never plan a
+    cartesian."""
+    plan = _plan(spark, sf_dir, "q_text_crossdoc_overlap")
+    strategies = join_strategies(plan)
+    assert not any(
+        "Cartesian" in s or "NestedLoop" in s for s in strategies
+    ), strategies
+    assert "LeftSemi" in plan, plan
+
+
+def test_mannwhitney_no_global_row_sort(spark, sf_dir):
+    """Rank statistics must NOT globally sort the fact rows: the only
+    window runs over the per-distinct-value histogram (after a hash
+    aggregate), so no rangepartitioning exchange of the event rows may
+    appear before an aggregation."""
+    plan = _plan(spark, sf_dir, "q_stats_mannwhitney")
+    # the fact scan flows into a hash aggregate first; the only sort in
+    # the plan feeds the running-count window over that grouped relation
+    assert "HashAggregate" in plan, plan
+    assert plan.count("RunningWindowFunction") <= 1, plan
