@@ -210,6 +210,7 @@ EXT_R5G = [
     "q_events_ab_srm",
     "q_graph_reciprocity",
     "q_orders_ltv_deciles",
+    "q_events_gap_histogram",
 ]
 
 

@@ -27,7 +27,7 @@ from data_warehouse_hive_spark.tables import t
 
 def _scratch_csv(delimiter: str = ",") -> str:
     """Write a small typed CSV to a scratch dir; returns its path."""
-    d = tempfile.mkdtemp(prefix="dwh_spark_ddl_")
+    d = _tmpdir("dwh_spark_ddl_")
     path = os.path.join(d, "sample.csv")
     rows = [
         ["id", "price", "is_active", "created_date", "name"],
@@ -38,6 +38,21 @@ def _scratch_csv(delimiter: str = ",") -> str:
     with open(path, "w") as f:
         f.write("\n".join(delimiter.join(r) for r in rows) + "\n")
     return path
+
+
+def _tmpdir(prefix: str) -> str:
+    """Session-lifetime temp dir for DDL demos: returned DataFrames may
+    lazily re-read these paths after the operator returns, so immediate
+    deletion would break them — instead every dir is registered for
+    removal at interpreter exit (closes the per-invocation leak the
+    round-4 advisor flagged on schema_evolution, for ALL the DDL ops)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    return d
 
 
 @query("ddl_csv_infer")
@@ -230,7 +245,7 @@ def ddl_msck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MSCK REPAIR TABLE: partition re-sync after files appear under an
     external partitioned location (reference backend/hive_manager.py:334-349).
     New partition directories become visible only after recoverPartitions."""
-    d = tempfile.mkdtemp(prefix="dwh_spark_msck_")
+    d = _tmpdir("dwh_spark_msck_")
     name = f"msck_{uuid.uuid4().hex[:8]}"
     src = t(spark, sf_dir, "region")
     src.withColumn("pt", F.lit("a")).write.partitionBy("pt").parquet(d, mode="overwrite")
@@ -449,7 +464,7 @@ def ddl_csv_badrows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="dwh_badrows_")
+    d = _tmpdir("dwh_badrows_")
     path = os.path.join(d, "bad.csv")
     with open(path, "w") as f:
         f.write(
@@ -514,7 +529,7 @@ def ddl_orc_external(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = os.path.join(_tf.mkdtemp(prefix="dwh_orc_"), "region_orc")
+    d = os.path.join(_tmpdir("dwh_orc_"), "region_orc")
     name = f"orc_{uuid.uuid4().hex[:8]}"
     src = t(spark, sf_dir, "region")
     src.write.mode("overwrite").orc(d)
@@ -552,7 +567,7 @@ def ddl_json_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="dwh_json_")
+    d = _tmpdir("dwh_json_")
     path = os.path.join(d, "feed.jsonl")
     with open(path, "w") as f:
         f.write(
@@ -667,7 +682,7 @@ def ddl_insert_overwrite_partition(spark: SparkSession, sf_dir: str) -> DataFram
     """
     import tempfile as _tf
 
-    d = os.path.join(_tf.mkdtemp(prefix="dwh_dynpart_"), "tbl")
+    d = os.path.join(_tmpdir("dwh_dynpart_"), "tbl")
     src = t(spark, sf_dir, "orders").withColumn(
         "pt", (F.col("o_orderkey") % 3).cast("int")
     )
@@ -811,7 +826,7 @@ def ddl_xml_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="dwh_xml_")
+    d = _tmpdir("dwh_xml_")
     path = os.path.join(d, "feed.xml")
     with open(path, "w") as f:
         f.write(
@@ -866,7 +881,7 @@ def ddl_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="dwh_mv_")
+    d = _tmpdir("dwh_mv_")
     src_dir, mv_dir = os.path.join(d, "src"), os.path.join(d, "mv")
 
     def rows_df(rows):
@@ -948,7 +963,7 @@ def ddl_sort_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import pyarrow.parquet as pq
 
-    d = _tf.mkdtemp(prefix="dwh_layout_")
+    d = _tmpdir("dwh_layout_")
     un_dir, so_dir = os.path.join(d, "unsorted"), os.path.join(d, "sorted")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     li.repartition(8).write.mode("overwrite").parquet(un_dir)
@@ -1017,7 +1032,7 @@ def ddl_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile as _tf
 
-    d = _tf.mkdtemp(prefix="dwh_compact_")
+    d = _tmpdir("dwh_compact_")
     frag_dir, out_dir = os.path.join(d, "fragmented"), os.path.join(d, "compacted")
     li = t(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
@@ -1115,7 +1130,7 @@ def ddl_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil as _sh
     import tempfile as _tf
 
-    base = _tf.mkdtemp(prefix="dwh_evo_")
+    base = _tmpdir("dwh_evo_")
     try:
         d = os.path.join(base, "tbl")
         v1 = spark.createDataFrame(
@@ -1240,3 +1255,57 @@ def ddl_tblproperties(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert row["contains_pii"] == "false", props
     cat.drop_table(spark, name)
     return out
+
+
+@query("ddl_sketch_rollup")
+def ddl_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized sketch rollup — the 100 TB distinct-count cube
+    pattern: per-partition HLL sketch BYTES are written once to a
+    parquet table, and any later distinct-count slice is answered by
+    unioning stored sketches, never re-scanning raw data.  This is what
+    makes "daily uniques, any region grouping, any date range" a
+    metadata-scale query instead of a corpus scan.
+
+    Behavioral check: build per-(nation) customer sketches → persist →
+    reload → (a) global estimate from unioned stored sketches within 5%
+    of the exact distinct count, (b) a 5-nation slice estimate also
+    within 5% of its exact count — proving the stored bytes are
+    mergeable state, not just numbers."""
+    import uuid as _uuid
+
+    c = t(spark, sf_dir, "customer")
+    d = os.path.join(_tmpdir("dwh_sketch_"), "sk")
+    (
+        c.groupBy("c_nationkey")
+        .agg(F.hll_sketch_agg("c_custkey").alias("sk"))
+        .write.mode("overwrite")
+        .parquet(d)
+    )
+    stored = spark.read.parquet(d)
+    est_all = stored.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e")
+    ).collect()[0]["e"]
+    exact_all = c.select("c_custkey").distinct().count()
+    slice_nations = [0, 1, 2, 3, 4]
+    est_slice = (
+        stored.filter(F.col("c_nationkey").isin(slice_nations))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("e"))
+        .collect()[0]["e"]
+    )
+    exact_slice = (
+        c.filter(F.col("c_nationkey").isin(slice_nations))
+        .select("c_custkey")
+        .distinct()
+        .count()
+    )
+    ok_all = abs(est_all - exact_all) / max(exact_all, 1) <= 0.05
+    ok_slice = abs(est_slice - exact_slice) / max(exact_slice, 1) <= 0.05
+    assert ok_all and ok_slice, (est_all, exact_all, est_slice, exact_slice)
+    return spark.createDataFrame(
+        [
+            (int(exact_all), int(est_all), bool(ok_all),
+             int(exact_slice), int(est_slice), bool(ok_slice)),
+        ],
+        "exact_all long, est_all long, ok_all boolean, "
+        "exact_slice long, est_slice long, ok_slice boolean",
+    )

@@ -2222,3 +2222,70 @@ def q_events_ab_srm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(chi2, 6).alias("chi2"),
         (chi2 > 3.841).alias("srm_detected"),
     )
+
+
+@query(
+    "q_events_gap_histogram",
+    oracle="""
+    WITH gaps AS (
+      SELECT epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                                    ORDER BY ts, event_id)
+               AS gap_us
+      FROM events
+    ),
+    b AS (
+      SELECT CASE WHEN gap_us < 1000000 THEN '0_lt_1s'
+                  WHEN gap_us < 60000000 THEN '1_lt_1m'
+                  WHEN gap_us < 3600000000 THEN '2_lt_1h'
+                  WHEN gap_us < 86400000000 THEN '3_lt_1d'
+                  ELSE '4_ge_1d' END AS bucket
+      FROM gaps WHERE gap_us IS NOT NULL
+    ),
+    g AS (SELECT bucket, COUNT(*) AS n FROM b GROUP BY bucket),
+    tot AS (SELECT SUM(n) AS total FROM g)
+    SELECT g.bucket, CAST(g.n AS BIGINT) AS n,
+           round(CAST(g.n AS DOUBLE) / CAST(t.total AS DOUBLE), 6) AS share
+    FROM g CROSS JOIN tot t
+    ORDER BY g.bucket
+    """,
+)
+def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-scale inter-arrival gap histogram (sub-second / minute / hour
+    / day / dormant buckets) — the distribution view behind
+    q_events_interarrival's moments: bot bursts pile into the sub-second
+    bucket, human sessions into minutes, and the session-gap threshold
+    q_time_session_gap assumes is validated by WHERE the histogram's
+    valley sits.
+
+    One user-key window for the lag, then a bounded 5-bucket CASE
+    aggregation (map-side combined — the shuffle carries ≤ 5 rows per
+    task) plus a 1-row total broadcast."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = (us - F.lag(us).over(w)).alias("gap_us")
+    b = (
+        e.select(gap)
+        .filter(F.col("gap_us").isNotNull())
+        .select(
+            F.when(F.col("gap_us") < 1_000_000, "0_lt_1s")
+            .when(F.col("gap_us") < 60_000_000, "1_lt_1m")
+            .when(F.col("gap_us") < 3_600_000_000, "2_lt_1h")
+            .when(F.col("gap_us") < 86_400_000_000, "3_lt_1d")
+            .otherwise("4_ge_1d")
+            .alias("bucket")
+        )
+    )
+    g = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = g.agg(F.sum("n").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            F.col("n").cast("long").alias("n"),
+            F.round(
+                F.col("n").cast("double") / F.col("total").cast("double"), 6
+            ).alias("share"),
+        )
+        .orderBy("bucket")
+    )
