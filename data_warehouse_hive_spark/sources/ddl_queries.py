@@ -1309,3 +1309,43 @@ def ddl_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_all long, est_all long, ok_all boolean, "
         "exact_slice long, est_slice long, ok_slice boolean",
     )
+
+
+@query("ddl_stream_rollup")
+def ddl_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for the OHLC-style hourly rollup: run the
+    tumbling-window aggregation through the REAL structured-streaming
+    engine (AvailableNow over the events parquet, watermarked event
+    time, memory sink) and assert it matches the identical batch
+    aggregation row-for-row — the Kappa-architecture guarantee that the
+    streaming path can REPLACE the batch path, not merely approximate
+    it (cite: streaming/stream.py windowed_counts; batch twin
+    q_time_tumbling).
+
+    Behavioral (rows-only) by nature: the DuckDB oracle cannot run a
+    Spark streaming engine; equality against the batch plan IS the
+    check."""
+    import uuid as _uuid
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        windowed_counts,
+    )
+    from data_warehouse_hive_spark.tables import table_path
+
+    sink = f"stream_rollup_{_uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, table_path(sf_dir, "events"))
+    q = run_available_now(windowed_counts(ev), sink)
+    q.stop()
+    streamed = spark.table(sink)
+    batch = windowed_counts(t(spark, sf_dir, "events"))
+    # exceptAll both ways == empty → exact multiset equality
+    extra = streamed.exceptAll(batch).count()
+    missing = batch.exceptAll(streamed).count()
+    n = streamed.count()
+    assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
+    return spark.createDataFrame(
+        [(n, extra == 0 and missing == 0)],
+        "n_windows long, stream_equals_batch boolean",
+    )
