@@ -2442,3 +2442,181 @@ def q_dq_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("dup_ratio"),
     ).orderBy("candidate_key")
+
+
+@query(
+    "q_dq_sequence_gaps",
+    oracle="""
+    WITH ks AS (SELECT DISTINCT o_orderkey AS k FROM orders),
+    gaps AS (
+      SELECT k,
+             LEAD(k) OVER (ORDER BY k) AS nxt
+      FROM ks
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(nxt - k - 1) AS BIGINT) AS n_missing_keys,
+           CAST(MIN(k + 1) AS BIGINT) AS first_missing,
+           CAST(MAX(nxt - 1) AS BIGINT) AS last_missing
+    FROM gaps
+    WHERE nxt IS NOT NULL AND nxt - k > 1
+    """,
+)
+def q_dq_sequence_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit on the order-key space: how many holes, how
+    many missing keys, and the hole boundaries — the completeness check
+    for any allegedly-contiguous surrogate key (dropped ingest batches
+    show up as large runs; TPC-H's orderkey is famously sparse by
+    design, which makes it the perfect fixture for this probe).
+
+    One distinct + one LEAD window over the sorted key relation — the
+    window input is the distinct key set, not fact rows; gap arithmetic
+    is exact integers.
+    """
+    o = t(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("k")).distinct()
+    w = Window.orderBy("k")
+    gaps = o.withColumn("nxt", F.lead("k").over(w)).filter(
+        F.col("nxt").isNotNull() & (F.col("nxt") - F.col("k") > 1)
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.sum(F.col("nxt") - F.col("k") - 1).cast("long").alias(
+            "n_missing_keys"
+        ),
+        F.min(F.col("k") + 1).cast("long").alias("first_missing"),
+        F.max(F.col("nxt") - 1).cast("long").alias("last_missing"),
+    )
+
+
+@query(
+    "q_dq_referential",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'lineitem.l_orderkey -> orders' AS fk,
+             (SELECT COUNT(*) FROM lineitem) AS n_child,
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+               AS n_orphans
+      UNION ALL
+      SELECT 'orders.o_custkey -> customer',
+             (SELECT COUNT(*) FROM orders),
+             (SELECT COUNT(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+      UNION ALL
+      SELECT 'lineitem.l_partkey -> part',
+             (SELECT COUNT(*) FROM lineitem),
+             (SELECT COUNT(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM part p
+                                WHERE p.p_partkey = l.l_partkey))
+    )
+    ORDER BY fk
+    """,
+)
+def q_dq_referential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the star schema's three core
+    foreign keys: orphan counts per relationship (child rows whose
+    parent key does not exist) — the constraint check a lakehouse runs
+    explicitly because parquet tables enforce nothing.
+
+    Each relationship is a LEFT ANTI join (the decorrelated NOT EXISTS)
+    counted — parents that fit the broadcast threshold broadcast, the
+    fact-to-fact check shuffles once on the uniform key; the three
+    1-row results union into the report.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    p = t(spark, sf_dir, "part")
+
+    def audit(name, child, key, parent, pkey):
+        total = child.agg(F.count(F.lit(1)).alias("n_child"))
+        orphans = child.join(
+            parent.select(pkey), F.col(key) == F.col(pkey), "left_anti"
+        ).agg(F.count(F.lit(1)).alias("n_orphans"))
+        return total.crossJoin(F.broadcast(orphans)).select(
+            F.lit(name).alias("fk"), "n_child", "n_orphans"
+        )
+
+    out = (
+        audit("lineitem.l_orderkey -> orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(
+            audit("orders.o_custkey -> customer", o, "o_custkey", c, "c_custkey")
+        )
+        .unionAll(
+            audit("lineitem.l_partkey -> part", li, "l_partkey", p, "p_partkey")
+        )
+    )
+    return out.orderBy("fk")
+
+
+@query(
+    "q_dq_double_charge",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+      FROM orders
+    ),
+    pairs AS (
+      SELECT a.o_custkey,
+             abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+               // 86400000000 AS day_gap
+      FROM o a JOIN o b
+        ON b.o_custkey = a.o_custkey
+       AND b.o_totalprice = a.o_totalprice
+       AND a.o_orderkey < b.o_orderkey
+      WHERE abs(epoch_us(a.o_orderdate) - epoch_us(b.o_orderdate))
+            <= 86400000000
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_suspect_pairs,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN day_gap = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_same_day
+    FROM pairs
+    """,
+)
+def q_dq_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-payment (double charge) detection: pairs of orders by
+    the SAME customer for the EXACT same amount within 24 hours — the
+    accounts-payable / billing audit every finance warehouse schedules.
+
+    Scale shape: the self-join keys on (custkey, exact amount) — both
+    equality predicates, so groups are tiny by construction (how many
+    same-cent orders does one customer place?) and the 24-hour window is
+    a residual filter, NOT a join condition — no time-range join, no
+    cartesian anywhere.  `a < b` on the order key makes each unordered
+    pair unique.
+    """
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    a = o.select(
+        F.col("o_orderkey").alias("ka"),
+        F.col("o_custkey").alias("cust"),
+        F.col("o_totalprice").alias("amt"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ta"),
+    )
+    b = o.select(
+        F.col("o_orderkey").alias("kb"),
+        F.col("o_custkey").alias("cust2"),
+        F.col("o_totalprice").alias("amt2"),
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("tb"),
+    )
+    day = 86_400_000_000
+    pairs = a.join(
+        b,
+        (F.col("cust2") == F.col("cust"))
+        & (F.col("amt2") == F.col("amt"))
+        & (F.col("ka") < F.col("kb")),
+    ).filter(F.abs(F.col("ta") - F.col("tb")) <= day)
+    pairs = pairs.select(
+        "cust",
+        F.expr(f"abs(ta - tb) div {day}").alias("day_gap"),
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_suspect_pairs"),
+        F.countDistinct("cust").cast("long").alias("n_customers"),
+        F.sum(F.when(F.col("day_gap") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_same_day"),
+    )
