@@ -208,6 +208,8 @@ EXT_R5F = [
 # concentration, reciprocity.
 EXT_R5G = [
     "q_scd2_lookup",
+    "q_sim_ndcg",
+    "q_dedup_savings",
     "q_events_value_bands",
     "q_events_ab_srm",
     "q_graph_reciprocity",

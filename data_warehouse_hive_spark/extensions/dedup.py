@@ -1527,3 +1527,72 @@ def q_text_crossdoc_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_grams"))
         .orderBy("src_a", "src_b")
     )
+
+
+@query(
+    "q_dedup_savings",
+    oracle=rf"""
+    WITH docs AS (
+      SELECT doc_id, source, md5({_O_NORM}) AS fp,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ),
+    flagged AS (
+      SELECT source, n_tok,
+             (doc_id = MIN(doc_id) OVER (PARTITION BY fp)) AS surv
+      FROM docs
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN surv THEN n_tok ELSE 0 END) AS BIGINT)
+             AS kept_tokens,
+           CAST(SUM(CASE WHEN surv THEN 0 ELSE n_tok END) AS BIGINT)
+             AS saved_tokens,
+           round(CAST(SUM(CASE WHEN surv THEN 0 ELSE n_tok END) AS DOUBLE)
+                 / CAST(SUM(n_tok) AS DOUBLE), 6) AS savings_rate
+    FROM flagged GROUP BY source ORDER BY source
+    """,
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI report: token mass removed by exact dedup, attributed
+    per source — the number that justifies (or kills) a dedup stage in
+    a training-data budget ("source X is 40% copies; dedup buys us N
+    tokens of compute back").  Survivorship matches q_dedup_exact's
+    rule (min doc_id per global fingerprint), so the report describes
+    exactly what that operator would keep.
+
+    One window over the fingerprint key (the same uniform md5 shuffle
+    as exact dedup, carrying token counts along), then a source-keyed
+    rollup of exact integers; the only float is the 6 dp savings rate.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.md5(normalized_text("text")).alias("fp"),
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_tok"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("fp")
+    flagged = docs.select(
+        "source",
+        "n_tok",
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("surv"),
+    )
+    saved = F.sum(F.when(F.col("surv"), 0).otherwise(F.col("n_tok")))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("surv"), F.col("n_tok")).otherwise(0))
+            .cast("long")
+            .alias("kept_tokens"),
+            saved.cast("long").alias("saved_tokens"),
+            F.round(
+                saved.cast("double") / F.sum("n_tok").cast("double"), 6
+            ).alias("savings_rate"),
+        )
+        .orderBy("source")
+    )

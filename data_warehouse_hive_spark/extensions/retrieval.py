@@ -693,3 +693,155 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "pa", "pb")
         .limit(50)
     )
+
+
+@query(
+    "q_sim_ndcg",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM exact_scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    vb AS (SELECT *, {{bucket}} AS bucket FROM v),
+    qb AS (SELECT vec_id AS query_id, e AS qe, bucket
+           FROM vb WHERE vec_id < {N_QUERY_VECS}),
+    lsh_scored AS (
+      SELECT qb.query_id, vb.vec_id,
+             round(list_dot_product(qb.qe, vb.e)
+                   / (sqrt(list_dot_product(qb.qe, qb.qe))
+                      * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+      FROM qb JOIN vb ON vb.bucket = qb.bucket AND vb.vec_id != qb.query_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, vec_id, rk AS pos FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM lsh_scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    graded AS (
+      SELECT l.query_id, l.pos,
+             COALESCE({TOP_K} + 1 - e.rk, 0) AS rel
+      FROM lsh_topk l LEFT JOIN exact_topk e
+        ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    ),
+    dcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(floor(CAST(rel AS DOUBLE)
+                   / log2(CAST(pos + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS dcg_c,
+             CAST(SUM(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_graded
+      FROM graded GROUP BY query_id
+    ),
+    ideal AS (
+      SELECT query_id, rel,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY rel DESC, pos) AS ipos
+      FROM graded
+    ),
+    idcg AS (
+      SELECT query_id,
+             CAST(SUM(CAST(floor(CAST(rel AS DOUBLE)
+                   / log2(CAST(ipos + 1 AS DOUBLE)) * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS idcg_c
+      FROM ideal GROUP BY query_id
+    )
+    SELECT d.query_id, d.n_graded,
+           CASE WHEN i.idcg_c > 0
+                THEN round(CAST(d.dcg_c AS DOUBLE)
+                           / CAST(i.idcg_c AS DOUBLE), 6)
+                ELSE 0.0 END AS ndcg_at_k
+    FROM dcg d JOIN idcg i ON i.query_id = d.query_id
+    ORDER BY d.query_id
+    """,
+)
+def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k of the LSH-bucketed search against exact brute force —
+    the GRADED companion to q_sim_recall's binary hit rate: recall says
+    how many true neighbors the index found; NDCG says whether it put
+    the BEST ones first (rel = k+1−exact_rank, log2-position discount,
+    normalized by the ideal reordering of what was retrieved).
+
+    Same two-search composition as the recall query; the grading join
+    is Q×k rows.  Every DCG term rides a 1e9 carrier (rel and position
+    are small exact ints, log2 of identical doubles), so per-query sums
+    are order-exact, and the final ratio is one mirrored division.
+    """
+    v, q = _fixture_corpus(spark, sf_dir)
+    exact = brute_force_topk(v, q, TOP_K).select(
+        F.col("query_id").alias("eq"), F.col("vec_id").alias("ev"),
+        F.col("rk").alias("erk"),
+    )
+    pred = lsh_topk(v, q, TOP_K).select(
+        "query_id", "vec_id", F.col("rk").alias("pos")
+    )
+    graded = pred.join(
+        F.broadcast(exact),
+        (F.col("eq") == F.col("query_id")) & (F.col("ev") == F.col("vec_id")),
+        "left",
+    ).select(
+        "query_id",
+        "pos",
+        F.coalesce(F.lit(TOP_K + 1) - F.col("erk"), F.lit(0)).alias("rel"),
+    ).localCheckpoint(eager=False)
+    term = lambda pos_col: F.floor(
+        F.col("rel").cast("double")
+        / F.log2((pos_col + 1).cast("double"))
+        * F.lit(1e9)
+        + F.lit(0.5)
+    ).cast("long")
+    dcg = graded.groupBy("query_id").agg(
+        F.sum(term(F.col("pos"))).alias("dcg_c"),
+        F.sum(F.when(F.col("rel") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_graded"),
+    )
+    wi = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "pos")
+    ideal = graded.withColumn("ipos", F.row_number().over(wi))
+    idcg = ideal.groupBy(F.col("query_id").alias("qi")).agg(
+        F.sum(term(F.col("ipos"))).alias("idcg_c")
+    )
+    return (
+        dcg.join(F.broadcast(idcg), F.col("qi") == F.col("query_id"))
+        .select(
+            "query_id",
+            "n_graded",
+            F.when(
+                F.col("idcg_c") > 0,
+                F.round(
+                    F.col("dcg_c").cast("double")
+                    / F.col("idcg_c").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG6  # noqa: E402
+from data_warehouse_hive_spark.extensions.similarity import (  # noqa: E402
+    _o_lsh_bucket as _olb6,
+)
+
+_spec6 = _REG6["q_sim_ndcg"]
+object.__setattr__(_spec6, "oracle", _spec6.oracle.format(bucket=_olb6("e")))
+del _REG6, _spec6
