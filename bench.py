@@ -198,6 +198,8 @@ EXT_R5E = [
 # round 5 (sixth wave): DQ audits + profiling maps.
 EXT_R5F = [
     "q_dq_uniqueness",
+    "q_dq_enum_domain",
+    "q_stats_anova",
     "q_dq_referential",
     "q_dq_double_charge",
     "q_events_heatmap",

@@ -2620,3 +2620,81 @@ def q_dq_double_charge(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_same_day"),
     )
+
+
+_ENUM_DOMAINS = {
+    "orders.o_orderstatus": ("O", "F", "P"),
+    "orders.o_orderpriority": (
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+    ),
+    "lineitem.l_returnflag": ("A", "N", "R"),
+}
+
+
+@query(
+    "q_dq_enum_domain",
+    oracle=f"""
+    SELECT * FROM (
+      SELECT 'orders.o_orderstatus' AS col, COUNT(*) AS n_rows,
+             CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_null,
+             CAST(SUM(CASE WHEN o_orderstatus IS NOT NULL
+                            AND o_orderstatus NOT IN ('O', 'F', 'P')
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_unexpected
+      FROM orders
+      UNION ALL
+      SELECT 'orders.o_orderpriority', COUNT(*),
+             CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN o_orderpriority IS NOT NULL
+                            AND o_orderpriority NOT IN
+                                ('1-URGENT', '2-HIGH', '3-MEDIUM',
+                                 '4-NOT SPECIFIED', '5-LOW')
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem.l_returnflag', COUNT(*),
+             CAST(SUM(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT),
+             CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+                            AND l_returnflag NOT IN ('A', 'N', 'R')
+                      THEN 1 ELSE 0 END) AS BIGINT)
+      FROM lineitem
+    )
+    ORDER BY col
+    """,
+)
+def q_dq_enum_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Enum-domain conformance audit: do the low-cardinality status /
+    priority / flag columns contain ONLY their declared value sets?  The
+    categorical twin of q_dq_checks' numeric contracts — upstream schema
+    drift (a new status code, a renamed priority) lands here first, and
+    at 100 TB a full-scan conditional count is the cheapest possible
+    probe (no shuffle at all until the 1-row partial merge).
+
+    Each audited column is one conditional aggregation over its table;
+    the declared domains are module literals (`_ENUM_DOMAINS`) so the
+    contract is versioned with the code.
+    """
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+
+    def audit(df, col_name, full_name):
+        dom = _ENUM_DOMAINS[full_name]
+        c = F.col(col_name)
+        return df.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.sum(F.when(c.isNotNull() & ~c.isin(*dom), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unexpected"),
+        ).select(F.lit(full_name).alias("col"), "n_rows", "n_null", "n_unexpected")
+
+    out = (
+        audit(o, "o_orderstatus", "orders.o_orderstatus")
+        .unionAll(audit(o, "o_orderpriority", "orders.o_orderpriority"))
+        .unionAll(audit(li, "l_returnflag", "lineitem.l_returnflag"))
+    )
+    return out.orderBy("col")

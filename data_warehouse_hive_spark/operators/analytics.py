@@ -1917,3 +1917,113 @@ def q_orders_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+@query(
+    "q_stats_anova",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(floor(value * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 AS sx,
+             CAST(SUM(CAST(floor(value * value * 1e6 + 0.5) AS HUGEINT))
+                  AS DOUBLE) / 1e6 AS sxx
+      FROM events GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CAST(sx AS DECIMAL(18,6))) AS DOUBLE) AS sxt,
+             COUNT(*) AS k
+      FROM g
+    ),
+    comps AS (
+      SELECT t.k, t.nt,
+             CAST(SUM(CAST(floor((g.sx * g.sx / CAST(g.n AS DOUBLE)) * 1e6
+                                 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               - (t.sxt * t.sxt / CAST(t.nt AS DOUBLE)) AS ssb,
+             CAST(SUM(CAST(g.sxx AS DECIMAL(18,6))) AS DOUBLE)
+               - CAST(SUM(CAST(floor((g.sx * g.sx / CAST(g.n AS DOUBLE))
+                                     * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6
+               AS ssw
+      FROM g CROSS JOIN tot t
+      GROUP BY t.k, t.nt, t.sxt
+    )
+    SELECT CAST(k AS INT) AS n_groups, nt AS n_rows,
+           round(ssb, 6) AS ss_between,
+           round(ssw, 6) AS ss_within,
+           round((ssb / CAST(k - 1 AS DOUBLE))
+                 / (ssw / CAST(nt - k AS DOUBLE)), 6) AS f_stat,
+           round(ssb / (ssb + ssw), 6) AS eta_squared
+    FROM comps
+    """,
+)
+def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA of event values across the five event types — the
+    k-group generalization that completes the repo's test family
+    (t-analog Cohen's d for 2 groups, U for ranks, chi² for categories,
+    KS for distributions): F = between-group / within-group mean square,
+    plus η² (the variance-explained effect size, the ICC-style number
+    that says whether event_type is worth conditioning on at all).
+
+    One conditional-aggregation pass builds every per-group sufficient
+    statistic (count, carrier sum, 128-bit carrier sum of squares); the
+    ANOVA decomposition then runs on the K-row group relation — each
+    per-group term re-floored onto the carrier before the cross-group
+    sum so SSB/SSW are order-exact, with mirrored double arithmetic for
+    the final ratios.
+    """
+    e = t(spark, sf_dir, "events")
+    v = F.col("value")
+    g = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        (
+            F.sum(F.floor(v * F.lit(1e6) + F.lit(0.5)).cast("long")).cast(
+                "double"
+            )
+            / 1e6
+        ).alias("sx"),
+        (
+            F.sum(
+                F.floor(v * v * F.lit(1e6) + F.lit(0.5)).cast("decimal(38,0)")
+            ).cast("double")
+            / 1e6
+        ).alias("sxx"),
+    )
+    tot = g.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(F.col("sx").cast(DEC)).cast("double").alias("sxt"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    gsq_c = F.floor(
+        (F.col("sx") * F.col("sx") / F.col("n").cast("double")) * F.lit(1e6)
+        + F.lit(0.5)
+    ).cast("long")
+    comps = (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nt", "sxt")
+        .agg(
+            (
+                F.sum(gsq_c).cast("double") / 1e6
+                - (F.col("sxt") * F.col("sxt") / F.col("nt").cast("double"))
+            ).alias("ssb"),
+            (
+                F.sum(F.col("sxx").cast(DEC)).cast("double")
+                - F.sum(gsq_c).cast("double") / 1e6
+            ).alias("ssw"),
+        )
+    )
+    kd = F.col("k").cast("double")
+    ntd = F.col("nt").cast("double")
+    return comps.select(
+        F.col("k").cast("int").alias("n_groups"),
+        F.col("nt").alias("n_rows"),
+        F.round(F.col("ssb"), 6).alias("ss_between"),
+        F.round(F.col("ssw"), 6).alias("ss_within"),
+        F.round(
+            (F.col("ssb") / (kd - 1)) / (F.col("ssw") / (ntd - kd)), 6
+        ).alias("f_stat"),
+        F.round(F.col("ssb") / (F.col("ssb") + F.col("ssw")), 6).alias(
+            "eta_squared"
+        ),
+    )
