@@ -1844,3 +1844,104 @@ def q_dedup_quality_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_bucket")
     )
+
+
+SAMPLE_VALID_RATE = 20  # keep 1-in-20 by doc_id hash for the audit
+
+
+@query(
+    "q_sample_validation",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT n_chars,
+             CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         ::UBIGINT::BIGINT % {SAMPLE_VALID_RATE} = 0
+                  THEN 1 ELSE 0 END AS ins
+      FROM documents
+    ),
+    tot AS (
+      SELECT CAST(SUM(ins) AS BIGINT) AS na,
+             CAST(SUM(1 - ins) AS BIGINT) AS nb
+      FROM tagged
+    ),
+    byv AS (
+      SELECT n_chars,
+             CAST(SUM(ins) AS BIGINT) AS ca,
+             CAST(SUM(1 - ins) AS BIGINT) AS cb
+      FROM tagged GROUP BY n_chars
+    ),
+    cum AS (
+      SELECT n_chars,
+             CAST(SUM(ca) OVER (ORDER BY n_chars
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cuma,
+             CAST(SUM(cb) OVER (ORDER BY n_chars
+                  ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumb
+      FROM byv
+    )
+    SELECT t.na AS n_sample, t.nb AS n_rest,
+           round(CAST(MAX(ABS(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+                 / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE)), 6)
+             AS ks_stat,
+           (CAST(MAX(ABS(cuma * t.nb - cumb * t.na)) AS DOUBLE)
+            / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))
+            < 1.628 * sqrt(CAST(t.na + t.nb AS DOUBLE)
+                           / (CAST(t.na AS DOUBLE) * CAST(t.nb AS DOUBLE))))
+             AS representative
+    FROM cum, tot t
+    GROUP BY t.na, t.nb
+    """,
+)
+def q_sample_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sampler-validity audit: is the deterministic 1-in-{SAMPLE_VALID_RATE}
+    md5 sample REPRESENTATIVE of the corpus?  KS-tests the sample's
+    n_chars distribution against the remainder (the same integer-exact
+    cross-multiplied KS as q_stats_ks) and flags against the α=0.01
+    two-sample critical value 1.628·√((n_a+n_b)/(n_a·n_b)) — the check
+    that catches a biased sampler (hashing a field correlated with the
+    audited metric) BEFORE sampled statistics are trusted.
+
+    One conditional tag + value-grouped counts + the O(distinct) running
+    window; all exact integers until the final mirrored divisions.
+    """
+    d = t(spark, sf_dir, "documents")
+    ins = F.when(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        % SAMPLE_VALID_RATE
+        == 0,
+        1,
+    ).otherwise(0)
+    tagged = d.select("n_chars", ins.alias("ins"))
+    tot = tagged.agg(
+        F.sum("ins").cast("long").alias("na"),
+        F.sum(1 - F.col("ins")).cast("long").alias("nb"),
+    )
+    byv = tagged.groupBy("n_chars").agg(
+        F.sum("ins").cast("long").alias("ca"),
+        F.sum(1 - F.col("ins")).cast("long").alias("cb"),
+    )
+    w = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = byv.select(
+        F.sum("ca").over(w).alias("cuma"), F.sum("cb").over(w).alias("cumb")
+    )
+    nad = F.col("na").cast("double")
+    nbd = F.col("nb").cast("double")
+    dnum = F.max(
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na"))
+    )
+    ks = dnum.cast("double") / (nad * nbd)
+    crit = F.lit(1.628) * F.sqrt((F.col("na") + F.col("nb")).cast("double") / (nad * nbd))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("na", "nb")
+        .agg(
+            F.round(ks, 6).alias("ks_stat"),
+            (ks < crit).alias("representative"),
+        )
+        .select(
+            F.col("na").alias("n_sample"),
+            F.col("nb").alias("n_rest"),
+            "ks_stat",
+            "representative",
+        )
+    )

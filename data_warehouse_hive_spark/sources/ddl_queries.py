@@ -1349,3 +1349,60 @@ def ddl_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, extra == 0 and missing == 0)],
         "n_windows long, stream_equals_batch boolean",
     )
+
+
+@query("ddl_federated_join")
+def ddl_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-format federation in ONE query: the same star join executed
+    across three physical formats — nation landed as CSV, supplier as
+    JSON-lines, region read from its native parquet — proving format is
+    a leaf-scan property, not a query property (Catalyst plans the same
+    join tree; each scan node just gets a different reader).  The
+    warehouse reality this models: reference data arrives as CSV drops,
+    app events as JSON, curated facts as parquet — and nobody gets to
+    re-land everything first.
+
+    Verified by exact equality with the all-parquet twin (row count and
+    per-region supplier counts)."""
+    base = _tmpdir("dwh_fed_")
+    csv_dir = os.path.join(base, "nation_csv")
+    json_dir = os.path.join(base, "supplier_json")
+    t(spark, sf_dir, "nation").write.option("header", "true").csv(csv_dir)
+    t(spark, sf_dir, "supplier").write.json(json_dir)
+
+    nation_csv = spark.read.option("header", "true").option(
+        "inferSchema", "true"
+    ).csv(csv_dir)
+    supplier_json = spark.read.json(json_dir)
+    region_pq = t(spark, sf_dir, "region")
+
+    def star(nation, supplier, region):
+        return (
+            supplier.join(
+                nation.select(
+                    F.col("n_nationkey").alias("nk"),
+                    F.col("n_regionkey").alias("rk"),
+                ),
+                F.col("s_nationkey") == F.col("nk"),
+            )
+            .join(
+                region.select(
+                    F.col("r_regionkey").alias("rrk"),
+                    F.col("r_name").alias("region"),
+                ),
+                F.col("rk") == F.col("rrk"),
+            )
+            .groupBy("region")
+            .agg(F.count(F.lit(1)).alias("n_suppliers"))
+        )
+
+    fed = star(nation_csv, supplier_json, region_pq)
+    ref = star(
+        t(spark, sf_dir, "nation"), t(spark, sf_dir, "supplier"), region_pq
+    )
+    mismatch = fed.exceptAll(ref).count() + ref.exceptAll(fed).count()
+    n = fed.count()
+    assert mismatch == 0 and n > 0, (mismatch, n)
+    return spark.createDataFrame(
+        [(n, True)], "n_regions long, federated_equals_native boolean"
+    )
