@@ -210,6 +210,8 @@ EXT_R5F = [
 # concentration, reciprocity.
 EXT_R5G = [
     "q_scd2_lookup",
+    "q_sim_multiprobe",
+    "q_graph_kcore",
     "q_sim_ndcg",
     "q_dedup_savings",
     "q_events_value_bands",

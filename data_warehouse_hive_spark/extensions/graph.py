@@ -693,3 +693,120 @@ def q_graph_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("reciprocity"),
     )
+
+
+KCORE_K = 2
+KCORE_ROUNDS = 4
+
+
+def _o_kcore() -> str:
+    parts = []
+    prev = "0"
+    rounds = []
+    for i in range(1, KCORE_ROUNDS + 1):
+        # AS MATERIALIZED: each round references the previous round
+        # multiple times; without materialization DuckDB re-inlines the
+        # whole upstream LSH pipeline per reference (exponential blowup)
+        rounds.append(f"""
+    e{i} AS MATERIALIZED (
+      SELECT doc_a, doc_b FROM e{int(prev) if prev.isdigit() else prev}
+      WHERE doc_a IN (SELECT doc FROM n{prev})
+        AND doc_b IN (SELECT doc FROM n{prev})
+    ),
+    d{i} AS MATERIALIZED (
+      SELECT doc, COUNT(*) AS c FROM (
+        SELECT doc_a AS doc FROM e{i}
+        UNION ALL SELECT doc_b FROM e{i}
+      ) GROUP BY doc
+    ),
+    n{i} AS MATERIALIZED (SELECT doc FROM d{i} WHERE c >= {KCORE_K})""")
+        prev = str(i)
+    return (
+        """{pairs},
+    e0 AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+    n0 AS MATERIALIZED (
+      SELECT doc_a AS doc FROM e0 UNION SELECT doc_b FROM e0)"""
+        + "," + ",".join(rounds)
+        + f"""
+    SELECT (SELECT COUNT(*) FROM n0) AS n_nodes,
+           (SELECT COUNT(*) FROM n{KCORE_ROUNDS}) AS n_in_core,
+           ((SELECT COUNT(*) FROM n{KCORE_ROUNDS - 1})
+            = (SELECT COUNT(*) FROM n{KCORE_ROUNDS})) AS converged"""
+    )
+
+
+@query("q_graph_kcore", oracle=f"WITH {_o_kcore()}")
+def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{KCORE_K}-core decomposition of the near-dup candidate graph by
+    iterative peeling: repeatedly drop nodes with degree < {KCORE_K}
+    until stable — the dense-cluster extractor that separates true
+    duplicate FAMILIES (every member ≥2 connections) from incidental
+    pairwise collisions, which is exactly the triage q_dedup_groups'
+    connected components cannot do (a chain of accidental pairs is one
+    component but has no core).
+
+    {KCORE_ROUNDS} bounded peel rounds (convergence flag reported), each
+    one semi-join of the edge list against the surviving node set + one
+    degree count — all on the aggregated candidate-pair relation, so
+    after the shared LSH pipeline the iteration cost is edge-list-sized.
+    The oracle unrolls the same rounds as CTEs.
+    """
+    from data_warehouse_hive_spark.extensions.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    edges = pairs.select("doc_a", "doc_b")
+    nodes = (
+        edges.select(F.col("doc_a").alias("doc"))
+        .unionAll(edges.select(F.col("doc_b").alias("doc")))
+        .distinct()
+    )
+    n_initial = nodes
+    prev_count_df = None
+    for _ in range(KCORE_ROUNDS):
+        prev_count_df = nodes
+        e = (
+            edges.join(
+                nodes.select(F.col("doc").alias("da")),
+                F.col("da") == F.col("doc_a"),
+                "left_semi",
+            ).join(
+                nodes.select(F.col("doc").alias("db")),
+                F.col("db") == F.col("doc_b"),
+                "left_semi",
+            )
+        )
+        deg = (
+            e.select(F.col("doc_a").alias("doc"))
+            .unionAll(e.select(F.col("doc_b").alias("doc")))
+            .groupBy("doc")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        nodes = deg.filter(F.col("c") >= KCORE_K).select("doc").localCheckpoint(
+            eager=False
+        )
+        edges = e.localCheckpoint(eager=False)
+    a = n_initial.agg(F.count(F.lit(1)).alias("n_nodes"))
+    b = nodes.agg(F.count(F.lit(1)).alias("n_in_core"))
+    c = prev_count_df.agg(F.count(F.lit(1)).alias("n_prev"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "n_nodes",
+            "n_in_core",
+            (F.col("n_prev") == F.col("n_in_core")).alias("converged"),
+        )
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG8  # noqa: E402
+
+_spec8 = _REG8["q_graph_kcore"]
+object.__setattr__(
+    _spec8, "oracle", _spec8.oracle.format(pairs=_o_candidate_edges())
+)
+del _REG8, _spec8

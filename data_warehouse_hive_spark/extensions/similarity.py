@@ -2400,3 +2400,101 @@ def q_sample_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).localCheckpoint(eager=False)
     return out.orderBy("sel_rank")
+
+
+@query(
+    "q_sim_multiprobe",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {{bucket}} AS bucket FROM v),
+    qb AS (SELECT vec_id AS query_id, e AS qe, bucket
+           FROM vb WHERE vec_id < {N_QUERY_VECS}),
+    probes AS (
+      SELECT query_id, qe,
+             CASE p.j WHEN -1 THEN bucket
+                      ELSE CAST(xor(bucket, CAST(1 << p.j AS BIGINT))
+                                AS BIGINT) END AS pbucket
+      FROM qb, LATERAL (SELECT unnest([-1, 0, 1, 2, 3]) AS j) p
+    ),
+    cand AS (
+      SELECT DISTINCT pr.query_id, vb.vec_id, pr.qe, vb.e
+      FROM probes pr JOIN vb ON vb.bucket = pr.pbucket
+       AND vb.vec_id != pr.query_id
+    ),
+    scored AS (
+      SELECT query_id, vec_id,
+             round(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(e, e))), 6) AS cosine
+      FROM cand
+    )
+    SELECT query_id, vec_id, cosine, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_sim_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH search: each query probes its own signature
+    bucket PLUS the {LSH_BITS} single-bit-flip neighbors — the standard
+    recall upgrade that trades {LSH_BITS}+1 bucket reads for the recall
+    a single-probe search loses on boundary vectors (a vector whose
+    hyperplane margin is small lands one bit away), WITHOUT growing the
+    index or re-hashing the corpus.
+
+    The probe expansion happens on the QUERY side only (Q×5 rows,
+    broadcast) — the corpus keeps exactly one bucket id per vector and
+    never duplicates; candidates dedup before scoring so a vector found
+    via two probes scores once.  Same bucket equi-join shape as
+    q_sim_search_lsh, ~5×N/2^bits of the corpus touched per query.
+    """
+    v, q = _fixture_corpus(spark, sf_dir)
+    vb = v.withColumn("bucket", lsh_bucket_col(F.col("e")))
+    qb = q.withColumn("qbucket", lsh_bucket_col(F.col("qe")))
+    probe_j = F.explode(F.array(*[F.lit(j) for j in range(-1, LSH_BITS)]))
+    probes = qb.select(
+        "query_id", "qe", "qbucket", probe_j.alias("j")
+    ).select(
+        "query_id",
+        "qe",
+        F.when(F.col("j") == -1, F.col("qbucket"))
+        .otherwise(F.expr("qbucket ^ shiftleft(1, j)"))
+        .cast("long")
+        .alias("pbucket"),
+    )
+    cand = (
+        vb.join(
+            broadcast(probes),
+            (F.col("bucket") == F.col("pbucket"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select("query_id", "vec_id", "qe", "e")
+        .distinct()
+    )
+    scored = cand.select(
+        "query_id", "vec_id", cosine(F.col("qe"), F.col("e")).alias("cosine")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG7  # noqa: E402
+
+_spec7 = _REG7["q_sim_multiprobe"]
+object.__setattr__(
+    _spec7, "oracle", _spec7.oracle.format(bucket=_o_lsh_bucket("e"))
+)
+del _REG7, _spec7
