@@ -2698,3 +2698,93 @@ def q_dq_enum_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(audit(li, "l_returnflag", "lineitem.l_returnflag"))
     )
     return out.orderBy("col")
+
+
+@query(
+    "q_dq_cross_field",
+    oracle="""
+    SELECT * FROM (
+      SELECT 'discount_out_of_range' AS rule,
+             CAST(SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+             COUNT(*) AS n_rows
+      FROM lineitem
+      UNION ALL
+      SELECT 'tax_out_of_range',
+             CAST(SUM(CASE WHEN l_tax < 0 OR l_tax > 0.08
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'nonpositive_price_or_qty',
+             CAST(SUM(CASE WHEN l_extendedprice <= 0 OR l_quantity <= 0
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM lineitem
+      UNION ALL
+      SELECT 'ship_before_order',
+             CAST(SUM(CASE WHEN l.l_shipdate < o.o_orderdate
+                      THEN 1 ELSE 0 END) AS BIGINT),
+             COUNT(*)
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    ORDER BY rule
+    """,
+)
+def q_dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-field consistency rules: single-row domain interactions
+    (discount/tax ranges, positive price x quantity) plus the
+    cross-TABLE physics rule "a line cannot ship before its order was
+    placed" — the row-level rule engine q_dq_checks' per-column
+    contracts cannot express because each rule spans multiple fields
+    (and, for the last one, a join).
+
+    Single-table rules are shuffle-free conditional aggregates over one
+    scan; the join rule shuffles once on the uniform order key.  No
+    rule ever materializes violating rows — at 100 TB the audit costs
+    one read per table regardless of how many rules are registered.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+
+    def rule(df, name, cond):
+        return df.agg(
+            F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(
+                "n_violations"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        ).select(F.lit(name).alias("rule"), "n_violations", "n_rows")
+
+    joined = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+    )
+    out = (
+        rule(
+            li,
+            "discount_out_of_range",
+            (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1),
+        )
+        .unionAll(
+            rule(
+                li,
+                "tax_out_of_range",
+                (F.col("l_tax") < 0) | (F.col("l_tax") > 0.08),
+            )
+        )
+        .unionAll(
+            rule(
+                li,
+                "nonpositive_price_or_qty",
+                (F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0),
+            )
+        )
+        .unionAll(
+            rule(
+                joined,
+                "ship_before_order",
+                F.col("l_shipdate") < F.col("o_orderdate"),
+            )
+        )
+    )
+    return out.orderBy("rule")
