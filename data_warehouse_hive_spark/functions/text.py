@@ -1602,3 +1602,85 @@ def q_text_link_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+HEAPS_BUCKET = 50  # docs per growth-curve step
+
+
+@query(
+    "q_text_heaps",
+    oracle=rf"""
+    WITH w AS (
+      SELECT doc_id // {HEAPS_BUCKET} AS bucket,
+             unnest(string_split_regex(trim(lower(text)), '\s+')) AS word
+      FROM documents
+    ),
+    first_seen AS (
+      SELECT word, CAST(MIN(bucket) AS BIGINT) AS fb FROM w GROUP BY word
+    ),
+    new_per AS (
+      SELECT fb AS bucket, COUNT(*) AS new_words FROM first_seen GROUP BY fb
+    ),
+    tok_per AS (
+      SELECT bucket, COUNT(*) AS toks FROM w GROUP BY bucket
+    )
+    SELECT t.bucket,
+           CAST(SUM(t2.toks) AS BIGINT) AS cum_tokens,
+           CAST(COALESCE(SUM(n2.new_words), 0) AS BIGINT) AS cum_vocab,
+           round(ln(CAST(COALESCE(SUM(n2.new_words), 0) AS DOUBLE))
+                 / ln(CAST(SUM(t2.toks) AS DOUBLE)), 6) AS heaps_beta
+    FROM tok_per t
+    JOIN tok_per t2 ON t2.bucket <= t.bucket
+    LEFT JOIN new_per n2 ON n2.bucket = t2.bucket
+    GROUP BY t.bucket
+    ORDER BY t.bucket
+    """,
+)
+def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary growth curve: cumulative distinct vocabulary
+    vs cumulative tokens in doc-id order, with the pointwise Heaps
+    exponent β = ln V / ln N — the corpus-health curve that says whether
+    new data still brings new language (β plateauing toward 0 ⇒ the
+    source is exhausted / template-bound; natural corpora hold β≈0.5).
+
+    The cumulative-distinct trap is dodged the scalable way: each word
+    maps to its FIRST-SEEN bucket (one shuffle on the word key), so
+    cumulative vocabulary is a prefix sum of per-bucket first-occurrence
+    counts — never a distinct-per-prefix rescan.  The prefix join runs
+    over the O(buckets²) tiny rollup.  ln/ln on identical exact-integer
+    doubles, 6 dp.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    w = d.select(
+        (F.col("doc_id") / HEAPS_BUCKET).cast("long").alias("bucket"),
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("word"),
+    )
+    first_seen = w.groupBy("word").agg(F.min("bucket").alias("fb"))
+    new_per = first_seen.groupBy(F.col("fb").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    tok_per = w.groupBy("bucket").agg(F.count(F.lit(1)).alias("toks"))
+    t2 = tok_per.select(
+        F.col("bucket").alias("b2"), F.col("toks").alias("toks2")
+    ).join(
+        F.broadcast(new_per.select(F.col("bucket").alias("b3"), "new_words")),
+        F.col("b3") == F.col("b2"),
+        "left",
+    )
+    joined = tok_per.select("bucket").join(
+        F.broadcast(t2), F.col("b2") <= F.col("bucket")
+    )
+    cumv = F.coalesce(F.sum("new_words"), F.lit(0))
+    return (
+        joined.groupBy("bucket")
+        .agg(
+            F.sum("toks2").cast("long").alias("cum_tokens"),
+            cumv.cast("long").alias("cum_vocab"),
+            F.round(
+                F.log(cumv.cast("double"))
+                / F.log(F.sum("toks2").cast("double")),
+                6,
+            ).alias("heaps_beta"),
+        )
+        .orderBy("bucket")
+    )

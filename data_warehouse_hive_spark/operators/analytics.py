@@ -2027,3 +2027,59 @@ def q_stats_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_squared"
         ),
     )
+
+
+@query(
+    "q_parts_sourcing",
+    oracle="""
+    WITH ps AS (
+      SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ),
+    per_part AS (
+      SELECT l_partkey, COUNT(*) AS n_suppliers FROM ps GROUP BY l_partkey
+    ),
+    tot AS (SELECT COUNT(*) AS n_parts FROM per_part)
+    SELECT p.n_suppliers,
+           COUNT(*) AS n_parts,
+           round(CAST(COUNT(*) AS DOUBLE) / CAST(t.n_parts AS DOUBLE), 6)
+             AS share,
+           (p.n_suppliers = 1) AS single_sourced
+    FROM per_part p CROSS JOIN tot t
+    GROUP BY p.n_suppliers, t.n_parts
+    ORDER BY p.n_suppliers
+    """,
+)
+def q_parts_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supply-chain redundancy histogram: how many distinct suppliers
+    has each part actually shipped from, bucketed — the single-source
+    risk report (share of parts with exactly one observed supplier is
+    the fragility number procurement tracks).  Derived from observed
+    lineitem flows since the fixture carries no partsupp catalog —
+    i.e. REALIZED sourcing, which is the stronger signal anyway.
+
+    One (part, supplier) dedup shuffle does all the distinct work; the
+    per-part counts and the histogram are successive map-side-combined
+    rollups of it.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    per_part = ps.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers")
+    )
+    tot = per_part.agg(F.count(F.lit(1)).alias("n_parts_total"))
+    return (
+        per_part.crossJoin(F.broadcast(tot))
+        .groupBy("n_suppliers", "n_parts_total")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .select(
+            "n_suppliers",
+            "n_parts",
+            F.round(
+                F.col("n_parts").cast("double")
+                / F.col("n_parts_total").cast("double"),
+                6,
+            ).alias("share"),
+            (F.col("n_suppliers") == 1).alias("single_sourced"),
+        )
+        .orderBy("n_suppliers")
+    )

@@ -2289,3 +2289,84 @@ def q_events_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_events_concurrency",
+    oracle="""
+    WITH sess AS (
+      SELECT user_id, MIN(epoch_us(ts)) AS s, MAX(epoch_us(ts)) AS e
+      FROM events GROUP BY user_id
+    ),
+    deltas AS (
+      SELECT s AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT e + 1, -1 FROM sess
+    ),
+    agg AS (
+      SELECT t, CAST(SUM(d) AS BIGINT) AS dsum FROM deltas GROUP BY t
+    ),
+    run AS (
+      SELECT t, SUM(dsum) OVER (ORDER BY t
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS live
+      FROM agg
+    )
+    SELECT CAST((SELECT COUNT(*) FROM sess) AS BIGINT) AS n_users,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           strftime(MIN(CASE WHEN live = (SELECT MAX(live) FROM run)
+                             THEN to_timestamp(t / 1000000) END),
+                    '%Y-%m-%d %H:%M:%S') AS peak_at
+    FROM run
+    """,
+)
+def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrency by sweep line: each user's active interval
+    (first→last event) contributes +1/−1 boundary deltas; the running
+    sum over sorted boundaries is the live-user count, and its maximum
+    is the capacity-planning number ("how many sessions must the system
+    hold at once") that no per-window count can produce exactly
+    (overlaps cross every window boundary).
+
+    The sweep is over the O(users) boundary relation, not events: one
+    user rollup, one delta aggregation (map-side combined), one ordered
+    running window.  End boundaries fire at e+1 µs so a user active at
+    instant e still counts — the closed-interval convention, identical
+    in both engines because boundaries are exact integers.
+    """
+    e = t(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    sess = e.groupBy("user_id").agg(
+        F.min(us).alias("s"), F.max(us).alias("e")
+    ).localCheckpoint(eager=False)
+    deltas = sess.select(F.col("s").alias("t"), F.lit(1).alias("d")).unionAll(
+        sess.select((F.col("e") + 1).alias("t"), F.lit(-1).alias("d"))
+    )
+    agg = deltas.groupBy("t").agg(F.sum("d").alias("dsum"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    run = agg.withColumn("live", F.sum("dsum").over(w)).localCheckpoint(
+        eager=False
+    )
+    peak = run.agg(F.max("live").alias("mx"))
+    n_users = sess.agg(F.count(F.lit(1)).alias("n_users"))
+    return (
+        run.crossJoin(F.broadcast(peak))
+        .crossJoin(F.broadcast(n_users))
+        .groupBy("n_users", "mx")
+        .agg(
+            F.date_format(
+                F.min(
+                    F.when(
+                        F.col("live") == F.col("mx"),
+                        F.timestamp_micros(F.col("t")),
+                    )
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("peak_at")
+        )
+        .select(
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("mx").cast("long").alias("peak_concurrency"),
+            "peak_at",
+        )
+    )
