@@ -2498,3 +2498,85 @@ object.__setattr__(
     _spec7, "oracle", _spec7.oracle.format(bucket=_o_lsh_bucket("e"))
 )
 del _REG7, _spec7
+
+
+HARD_NEG_K = 5
+
+
+@query(
+    "q_embed_hard_negatives",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe
+          FROM v WHERE vec_id < {N_QUERY_VECS}),
+    scored AS (
+      SELECT q.query_id, v.vec_id, v.label,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q JOIN v
+        ON v.vec_id != q.query_id AND v.label != q.qlabel
+    )
+    SELECT query_id, vec_id, label AS neg_label, cosine,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= {HARD_NEG_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    {HARD_NEG_K} most-similar vectors with a DIFFERENT label — the
+    negatives that actually teach an embedding model (random negatives
+    are trivially separable; near-boundary impostors carry the
+    gradient).  This is the data-prep query behind every dual-encoder /
+    reranker fine-tune.
+
+    The label-mismatch predicate rides the same broadcast-query
+    brute-force shape as q_sim_search (corpus never shuffles; rank
+    filter plans WindowGroupLimit); at scale the anchor set is the
+    bounded training batch and the corpus side is the LSH/IVF-routed
+    candidate pool rather than the full scan.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    q = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            as_double_vec("embedding").alias("qe"),
+        )
+    )
+    v, q = _with_norms(v, q)
+    scored = v.join(
+        broadcast(q),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("label") != F.col("qlabel")),
+    ).select(
+        "query_id",
+        "vec_id",
+        F.col("label").alias("neg_label"),
+        _pair_cosine().alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), "vec_id"
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= HARD_NEG_K)
+        .orderBy("query_id", "rk")
+    )

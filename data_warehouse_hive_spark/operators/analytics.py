@@ -2083,3 +2083,88 @@ def q_parts_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_suppliers")
     )
+
+
+@query(
+    "q_orders_revenue_bridge",
+    oracle="""
+    WITH cm AS (
+      SELECT o_custkey,
+             strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c
+      FROM orders GROUP BY o_custkey, mon
+    ),
+    lagged AS (
+      SELECT mon, o_custkey, rev_c,
+             LAG(mon) OVER (PARTITION BY o_custkey ORDER BY mon) AS prev_mon,
+             LAG(rev_c) OVER (PARTITION BY o_custkey ORDER BY mon)
+               AS prev_rev_c
+      FROM cm
+    ),
+    classed AS (
+      SELECT mon,
+             CASE WHEN prev_mon IS NULL THEN 'new'
+                  WHEN prev_mon = strftime(date_trunc('month',
+                       CAST(mon || '-01' AS DATE)) - INTERVAL 1 MONTH,
+                       '%Y-%m') THEN 'retained'
+                  ELSE 'resurrected' END AS klass,
+             rev_c
+      FROM lagged
+    )
+    SELECT mon, klass,
+           COUNT(*) AS n_customers,
+           round(CAST(SUM(rev_c) AS DOUBLE) / 1e6, 6) AS revenue
+    FROM classed
+    GROUP BY mon, klass
+    ORDER BY mon, klass
+    """,
+)
+def q_orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue bridge: each customer-month's revenue
+    attributed to NEW (first month ever), RETAINED (also bought last
+    month), or RESURRECTED (returned after a gap) — the growth-
+    accounting decomposition (q_events_lifecycle's user-count logic,
+    upgraded to carry revenue mass) that turns "GMV grew 8%" into WHY.
+
+    One (customer, month) rollup with carrier revenue, one LAG window
+    per customer over their month sequence (history-depth bounded), a
+    tiny classed aggregation.  Month arithmetic stays in string-keyed
+    calendar months on both engines.
+    """
+    o = t(spark, sf_dir, "orders")
+    cm = (
+        o.select(
+            "o_custkey",
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+            to_carrier(F.col("o_totalprice")).alias("pc"),
+        )
+        .groupBy("o_custkey", "mon")
+        .agg(F.sum("pc").alias("rev_c"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy("mon")
+    lagged = cm.select(
+        "mon",
+        "rev_c",
+        F.lag("mon").over(w).alias("prev_mon"),
+    )
+    prev_cal = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("mon"), F.lit("-01"))), -1),
+        "yyyy-MM",
+    )
+    classed = lagged.select(
+        "mon",
+        F.when(F.col("prev_mon").isNull(), "new")
+        .when(F.col("prev_mon") == prev_cal, "retained")
+        .otherwise("resurrected")
+        .alias("klass"),
+        "rev_c",
+    )
+    return (
+        classed.groupBy("mon", "klass")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("rev_c").cast("double") / 1e6, 6).alias("revenue"),
+        )
+        .orderBy("mon", "klass")
+    )

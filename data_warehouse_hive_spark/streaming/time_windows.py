@@ -2370,3 +2370,67 @@ def q_events_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
             "peak_at",
         )
     )
+
+
+SLO_TARGET_NUM, SLO_TARGET_DEN = 1, 100  # error budget: 1% of requests
+SLO_FAST_BURN = 14  # fast-burn alert multiple (integer form of ~14.4)
+
+
+@query(
+    "q_events_slo_burn",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY h
+    )
+    SELECT strftime(h, '%Y-%m-%d %H') AS hr, CAST(n AS BIGINT) AS n_requests,
+           errs AS n_errors,
+           round(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE), 6) AS error_rate,
+           round(CAST(errs AS DOUBLE) / CAST(n AS DOUBLE)
+                 / ({SLO_TARGET_NUM}.0 / {SLO_TARGET_DEN}), 6) AS burn_rate,
+           (errs * {SLO_TARGET_DEN} > {SLO_FAST_BURN} * {SLO_TARGET_NUM} * n)
+             AS fast_burn_alert
+    FROM hourly
+    ORDER BY hr
+    """,
+)
+def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO error-budget burn rate per hour: error share over the 1%
+    budget, with the fast-burn alert (burn > {SLO_FAST_BURN}×) that
+    pages before a sustained incident exhausts the monthly budget — the
+    SRE multi-window alerting primitive, stated on the hourly rollup.
+
+    The alert predicate is the integer cross-multiplication
+    `errs·{SLO_TARGET_DEN} > {SLO_FAST_BURN}·{SLO_TARGET_NUM}·n`, so
+    flag decisions never touch a float; rates are reported at 6 dp for
+    humans.  One bounded-key hash aggregate over the scan.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_err").cast("long").alias("errs"),
+        )
+    )
+    rate = F.col("errs").cast("double") / F.col("n").cast("double")
+    return hourly.select(
+        F.date_format("h", "yyyy-MM-dd HH").alias("hr"),
+        F.col("n").cast("long").alias("n_requests"),
+        F.col("errs").alias("n_errors"),
+        F.round(rate, 6).alias("error_rate"),
+        F.round(rate / F.lit(SLO_TARGET_NUM / SLO_TARGET_DEN), 6).alias(
+            "burn_rate"
+        ),
+        (
+            F.col("errs") * SLO_TARGET_DEN
+            > F.lit(SLO_FAST_BURN * SLO_TARGET_NUM) * F.col("n")
+        ).alias("fast_burn_alert"),
+    ).orderBy("hr")
