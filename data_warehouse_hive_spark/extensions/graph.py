@@ -810,3 +810,112 @@ object.__setattr__(
     _spec8, "oracle", _spec8.oracle.format(pairs=_o_candidate_edges())
 )
 del _REG8, _spec8
+
+
+@query(
+    "q_graph_assortativity",
+    oracle="""
+    WITH {pairs},
+    deg AS MATERIALIZED (
+      SELECT doc, CAST(COUNT(*) AS BIGINT) AS d FROM (
+        SELECT doc_a AS doc FROM pairs
+        UNION ALL SELECT doc_b FROM pairs
+      ) GROUP BY doc
+    ),
+    ed AS (
+      SELECT da.d AS x, db.d AS y
+      FROM pairs p
+      JOIN deg da ON da.doc = p.doc_a
+      JOIN deg db ON db.doc = p.doc_b
+    ),
+    sym AS (
+      SELECT x, y FROM ed UNION ALL SELECT y, x FROM ed
+    ),
+    s AS (
+      SELECT COUNT(*) AS m,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(CAST(x AS HUGEINT) * x) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+      FROM sym
+    )
+    SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+           round((CAST(m AS DOUBLE) * sxy
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                 / (CAST(m AS DOUBLE) * sxx
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS assortativity
+    FROM s
+    """,
+)
+def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the near-dup candidate graph: the Pearson
+    correlation of endpoint degrees over (symmetrized) edges — positive
+    ⇒ hubs link to hubs (one mega-cluster of templates), negative ⇒
+    hub-and-spoke (one canonical doc with many near-copies).  The
+    structural fingerprint that, with q_graph_degree's histogram and
+    q_graph_kcore's cores, characterizes WHAT KIND of duplication a
+    corpus has before choosing a survivorship policy.
+
+    Degrees come from one grouped count over the aggregated edge list;
+    the edge-endpoint join is on the uniform doc key; correlation uses
+    exact integer power sums in 128-bit accumulators (symmetrized so
+    x- and y-marginals coincide — the undirected-graph convention) and
+    one mirrored closed form.
+    """
+    from pyspark.sql import functions as _F
+
+    from data_warehouse_hive_spark.extensions.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    deg = (
+        pairs.select(F.col("doc_a").alias("doc"))
+        .unionAll(pairs.select(F.col("doc_b").alias("doc")))
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    ed = (
+        pairs.join(
+            deg.select(F.col("doc").alias("pa"), F.col("d").alias("x")),
+            F.col("pa") == F.col("doc_a"),
+        )
+        .join(
+            deg.select(F.col("doc").alias("pb"), F.col("d").alias("y")),
+            F.col("pb") == F.col("doc_b"),
+        )
+        .select("x", "y")
+    )
+    sym = ed.unionAll(ed.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    d38 = "decimal(38,0)"
+    s = sym.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x").cast(d38) * F.col("x").cast(d38))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("x").cast(d38) * F.col("y").cast(d38))
+        .cast("double")
+        .alias("sxy"),
+    )
+    md = F.col("m").cast("double")
+    sxd = F.col("sx").cast("double")
+    return s.select(
+        (F.col("m") / 2).cast("long").alias("n_edges"),
+        F.round(
+            (md * F.col("sxy") - sxd * sxd)
+            / (md * F.col("sxx") - sxd * sxd),
+            6,
+        ).alias("assortativity"),
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG9  # noqa: E402
+
+_spec9 = _REG9["q_graph_assortativity"]
+object.__setattr__(
+    _spec9, "oracle", _spec9.oracle.format(pairs=_o_candidate_edges())
+)
+del _REG9, _spec9

@@ -1684,3 +1684,61 @@ def q_text_heaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@query(
+    "q_text_code_detect",
+    oracle=r"""
+    WITH feats AS (
+      SELECT doc_id,
+             length(text) AS n_chars,
+             length(text) - length(regexp_replace(text, '[{{}}();=\[\]<>]',
+                                                  '', 'g')) AS n_codechars,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '^[a-z]+[A-Z]'))) AS n_camel,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 x -> regexp_matches(x, '_'))) AS n_snake
+      FROM documents
+    )
+    SELECT doc_id, n_codechars, CAST(n_camel AS BIGINT) AS n_camel,
+           CAST(n_snake AS BIGINT) AS n_snake,
+           round(CAST(n_codechars AS DOUBLE) / CAST(n_chars AS DOUBLE), 6)
+             AS code_char_ratio,
+           (n_codechars * 20 > n_chars OR n_camel + n_snake > 5)
+             AS looks_like_code
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-vs-prose detection heuristics per document: code-punctuation
+    density (braces, brackets, semicolons, assignment), camelCase and
+    snake_case identifier counts, with a flag at >5% code chars or >5
+    identifier-style tokens — the router that decides which pipeline a
+    document enters (code corpora get different dedup, different
+    quality rules, different tokenizers than prose; misrouting is one
+    of the quietest ways to poison a mix).
+
+    Pure narrow map (regexp length deltas + two token-filter lambdas,
+    all codegen); the flag threshold is integer cross-multiplied.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = tokens("text")
+    n_chars = F.length("text")
+    n_code = n_chars - F.length(
+        F.regexp_replace("text", r"[{}();=\[\]<>]", "")
+    )
+    n_camel = F.size(F.filter(ws, lambda x: x.rlike("^[a-z]+[A-Z]")))
+    n_snake = F.size(F.filter(ws, lambda x: x.rlike("_")))
+    return d.select(
+        "doc_id",
+        n_code.cast("long").alias("n_codechars"),
+        n_camel.cast("long").alias("n_camel"),
+        n_snake.cast("long").alias("n_snake"),
+        F.round(n_code.cast("double") / n_chars.cast("double"), 6).alias(
+            "code_char_ratio"
+        ),
+        ((n_code * 20 > n_chars) | (n_camel + n_snake > 5)).alias(
+            "looks_like_code"
+        ),
+    ).orderBy("doc_id")

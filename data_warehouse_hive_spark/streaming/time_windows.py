@@ -2434,3 +2434,70 @@ def q_events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
             > F.lit(SLO_FAST_BURN * SLO_TARGET_NUM) * F.col("n")
         ).alias("fast_burn_alert"),
     ).orderBy("hr")
+
+
+@query(
+    "q_events_streaks",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             date_diff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS dn
+      FROM events
+    ),
+    grp AS (
+      SELECT user_id, dn,
+             dn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY dn)
+               AS island
+      FROM ud
+    ),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS streak_days,
+             CAST(MIN(dn) AS BIGINT) AS start_dn
+      FROM grp GROUP BY user_id, island
+    )
+    SELECT user_id, streak_days, start_dn,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY streak_days DESC, user_id,
+                                   start_dn) AS rk
+      FROM streaks
+    )
+    WHERE rk <= 10
+    ORDER BY rk
+    """,
+)
+def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streaks (top-10 across users) —
+    the engagement/gamification metric built on the gaps-and-islands
+    identity dn − row_number = constant within a consecutive run, here
+    applied per user over distinct active days.
+
+    One (user, day) dedup, one per-user window (history-bounded), one
+    grouped count per island, then a global top-10
+    (TakeOrderedAndProject).  Day numbers are exact integers anchored
+    at a fixed epoch so both engines agree on arithmetic and ordering.
+    """
+    e = t(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date")).alias(
+            "dn"
+        ),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dn")
+    grp = ud.withColumn(
+        "island", F.col("dn") - F.row_number().over(w)
+    )
+    streaks = grp.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("dn").cast("long").alias("start_dn"),
+    )
+    wr = Window.orderBy(
+        F.col("streak_days").desc(), "user_id", "start_dn"
+    )
+    return (
+        streaks.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .select("user_id", "streak_days", "start_dn", "rk")
+        .orderBy("rk")
+    )
