@@ -2580,3 +2580,131 @@ def q_embed_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= HARD_NEG_K)
         .orderBy("query_id", "rk")
     )
+
+
+@query(
+    "q_embed_davies_bouldin",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT v.label AS cell, u.pos, u.val
+      FROM v, LATERAL (SELECT unnest(v.e) AS val,
+                              unnest(range(len(v.e))) AS pos) u
+    ),
+    centroids AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cval
+      FROM elems GROUP BY cell, pos
+    ),
+    cent_vecs AS (
+      SELECT cell, list(cval ORDER BY pos) AS ce FROM centroids GROUP BY cell
+    ),
+    member_d AS (
+      SELECT v.label AS cell,
+             sqrt(CAST({_O_D2_64.format(dim=EMB_DIM, a='v.e', b='c.ce')}
+                       AS DOUBLE) / 1e6) AS dist
+      FROM v JOIN cent_vecs c ON c.cell = v.label
+    ),
+    spread AS (
+      SELECT cell,
+             CAST(SUM(CAST(floor(dist * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+               / 1e6 / CAST(COUNT(*) AS DOUBLE) AS s
+      FROM member_d GROUP BY cell
+    ),
+    pair_r AS (
+      SELECT a.cell AS ci,
+             (sa.s + sb.s)
+             / sqrt(CAST({_O_D2_64.format(dim=EMB_DIM, a='a.ce', b='b.ce')}
+                         AS DOUBLE) / 1e6) AS r
+      FROM cent_vecs a
+      JOIN cent_vecs b ON b.cell != a.cell
+      JOIN spread sa ON sa.cell = a.cell
+      JOIN spread sb ON sb.cell = b.cell
+    ),
+    worst AS (
+      SELECT ci, MAX(r) AS ri FROM pair_r GROUP BY ci
+    )
+    SELECT CAST(COUNT(*) AS INT) AS n_clusters,
+           round(CAST(SUM(CAST(floor(ri * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1e9 / CAST(COUNT(*) AS DOUBLE), 6) AS davies_bouldin
+    FROM worst
+    """,
+)
+def q_embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Davies-Bouldin index of the label clustering — the internal
+    cluster-validity score (lower = tighter, better-separated): for
+    each cluster, the worst-case (sᵢ+sⱼ)/Dᵢⱼ ratio against every other
+    cluster, averaged.  The third leg of the clustering-eval family
+    (purity = external validity, centroid drift = stability, DB =
+    geometry), and the one that needs NO labels beyond the clustering
+    itself — usable on q_embed_kmeans's output in production.
+
+    Per-member distances are one broadcast-centroid join over the
+    corpus (the IVF assignment shape); everything after is K-sized:
+    K×K centroid distances, K spreads, K worst-ratios.  Distances are
+    sqrt of exact carrier integers (identical doubles both engines),
+    means re-floor onto the carrier before cross-row sums.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    cents = cell_centroids(v, "label")
+    member = v.join(
+        broadcast(cents), F.col("cell") == F.col("label")
+    ).select(
+        "label",
+        F.sqrt(_d2q(F.col("e"), F.col("ce")).cast("double") / F.lit(1e6)).alias(
+            "dist"
+        ),
+    )
+    spread_df = member.groupBy("label").agg(
+        (
+            F.sum(F.floor(F.col("dist") * 1e6 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 1e6
+            / F.count(F.lit(1)).cast("double")
+        ).alias("s")
+    )
+    a = cents.select(F.col("cell").alias("ci"), F.col("ce").alias("cea"))
+    b = cents.select(F.col("cell").alias("cj"), F.col("ce").alias("ceb"))
+    pair_r = (
+        a.join(broadcast(b), F.col("cj") != F.col("ci"))
+        .join(
+            F.broadcast(spread_df.select(F.col("label").alias("li"), F.col("s").alias("sa"))),
+            F.col("li") == F.col("ci"),
+        )
+        .join(
+            F.broadcast(spread_df.select(F.col("label").alias("lj"), F.col("s").alias("sb"))),
+            F.col("lj") == F.col("cj"),
+        )
+        .select(
+            "ci",
+            (
+                (F.col("sa") + F.col("sb"))
+                / F.sqrt(
+                    _d2q(F.col("cea"), F.col("ceb")).cast("double")
+                    / F.lit(1e6)
+                )
+            ).alias("r"),
+        )
+    )
+    worst = pair_r.groupBy("ci").agg(F.max("r").alias("ri"))
+    return worst.agg(
+        F.count(F.lit(1)).cast("int").alias("n_clusters"),
+        F.round(
+            F.sum(F.floor(F.col("ri") * 1e9 + 0.5).cast("long")).cast(
+                "double"
+            )
+            / 1e9
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("davies_bouldin"),
+    )

@@ -2501,3 +2501,152 @@ def q_events_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "streak_days", "start_dn", "rk")
         .orderBy("rk")
     )
+
+
+@query(
+    "q_events_user_entropy",
+    oracle="""
+    WITH cnt AS (
+      SELECT user_id, event_type, COUNT(*) AS c
+      FROM events GROUP BY user_id, event_type
+    ),
+    ue AS (
+      SELECT user_id,
+             CAST(SUM(c) AS BIGINT) AS n,
+             round(log2(CAST(SUM(c) AS DOUBLE))
+                   - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+                     / CAST(SUM(c) AS DOUBLE), 4) AS ent
+      FROM cnt GROUP BY user_id
+    )
+    SELECT CASE WHEN ent < 0.5 THEN '0_lt_0.5'
+                WHEN ent < 1.0 THEN '1_lt_1.0'
+                WHEN ent < 1.5 THEN '2_lt_1.5'
+                WHEN ent < 2.0 THEN '3_lt_2.0'
+                ELSE '4_ge_2.0' END AS entropy_bucket,
+           COUNT(*) AS n_users,
+           CAST(SUM(n) AS BIGINT) AS n_events
+    FROM ue GROUP BY entropy_bucket ORDER BY entropy_bucket
+    """,
+)
+def q_events_user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral-entropy histogram: Shannon entropy of each user's
+    event-type distribution, bucketed — the population view behind bot
+    triage (scripts repeat one action: entropy ≈ 0; engaged humans mix
+    the full vocabulary: entropy → log₂ 5) that q_events_bots' explicit
+    rules can be calibrated against.
+
+    Entropy per user uses the q_text_entropy identity
+    H = log₂n − (Σ c·log₂c)/n over exact per-(user, type) counts,
+    pinned at 4 dp before bucketing so both engines bucket identically;
+    two map-side-combined rollups, bounded 5-bucket output.
+    """
+    e = t(spark, sf_dir, "events")
+    cnt = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    n = F.sum("c").cast("double")
+    ue = cnt.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n"),
+        F.round(
+            F.log2(n)
+            - F.sum(F.col("c").cast("double") * F.log2("c")) / n,
+            4,
+        ).alias("ent"),
+    )
+    bucket = (
+        F.when(F.col("ent") < 0.5, "0_lt_0.5")
+        .when(F.col("ent") < 1.0, "1_lt_1.0")
+        .when(F.col("ent") < 1.5, "2_lt_1.5")
+        .when(F.col("ent") < 2.0, "3_lt_2.0")
+        .otherwise("4_ge_2.0")
+    )
+    return (
+        ue.groupBy(bucket.alias("entropy_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("n").cast("long").alias("n_events"),
+        )
+        .orderBy("entropy_bucket")
+    )
+
+
+# Recency-decay weight table: 0.5^(age_weeks), ages capped at 8 weeks —
+# every weight is an exact binary double, so per-user decayed scores sum
+# bit-identically in both engines (the q_events_ewma discipline applied
+# to a per-entity score instead of a series smoother).
+_RECENCY_W = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.0078125,
+              0.00390625]
+
+
+@query(
+    "q_events_recency_score",
+    oracle=f"""
+    WITH anchor AS (SELECT MAX(CAST(ts AS DATE)) AS mx FROM events),
+    aged AS (
+      SELECT user_id,
+             least(date_diff('day', CAST(ts AS DATE), a.mx) // 7, 8) AS wk
+      FROM events CROSS JOIN anchor a
+    ),
+    scored AS (
+      SELECT user_id,
+             CAST(SUM(CAST(floor(({_RECENCY_W!r})[wk + 1] * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS score_c,
+             COUNT(*) AS n_events
+      FROM aged GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           round(CAST(score_c AS DOUBLE) / 1e6, 6) AS recency_score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (ORDER BY score_c DESC, user_id) AS rk
+      FROM scored
+    )
+    WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def q_events_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted engagement score (top-20 users): each event
+    contributes 0.5^(age in weeks, capped at 8) — the decayed-activity
+    ranking behind "most engaged right now" surfaces, where a raw event
+    count crowns long-gone power users.
+
+    The decay table is LITERAL exact-binary halves indexed by capped
+    integer age, each weight floored onto the 1e6 carrier per event, so
+    per-user sums are exact integers at any aggregation order; one
+    grouped rollup + TakeOrderedAndProject.
+    """
+    e = t(spark, sf_dir, "events")
+    anchor = e.agg(F.max(F.to_date("ts")).alias("mx"))
+    warr = F.array(*[F.lit(x) for x in _RECENCY_W])
+    aged = e.crossJoin(F.broadcast(anchor)).select(
+        "user_id",
+        F.least(
+            (F.datediff(F.col("mx"), F.to_date("ts")) / 7).cast("long"),
+            F.lit(8),
+        ).alias("wk"),
+    )
+    scored = aged.groupBy("user_id").agg(
+        F.sum(
+            F.floor(
+                F.element_at(warr, (F.col("wk") + 1).cast("int"))
+                * F.lit(1e6)
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("score_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    w = Window.orderBy(F.col("score_c").desc(), "user_id")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("score_c").cast("double") / 1e6, 6).alias(
+                "recency_score"
+            ),
+            "rk",
+        )
+        .orderBy("rk")
+    )
