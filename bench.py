@@ -221,6 +221,17 @@ EXT_R5G = [
     "q_events_gap_histogram",
 ]
 
+# round 5 (final wave): vocabulary growth, sweep-line concurrency,
+# cluster geometry, graph structure, contrastive mining.
+EXT_R5H = [
+    "q_text_heaps",
+    "q_events_concurrency",
+    "q_embed_davies_bouldin",
+    "q_graph_assortativity",
+    "q_embed_hard_negatives",
+    "q_orders_revenue_bridge",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -247,7 +258,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G
+        + EXT_R5F + EXT_R5G + EXT_R5H
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -298,6 +309,8 @@ def main() -> None:
     ext_r5f["total"] = round(sum(ext_r5f.values()), 3)
     ext_r5g = {name: timed(name) for name in EXT_R5G}
     ext_r5g["total"] = round(sum(ext_r5g.values()), 3)
+    ext_r5h = {name: timed(name) for name in EXT_R5H}
+    ext_r5h["total"] = round(sum(ext_r5h.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -318,6 +331,7 @@ def main() -> None:
         "ext_r5e": ext_r5e,
         "ext_r5f": ext_r5f,
         "ext_r5g": ext_r5g,
+        "ext_r5h": ext_r5h,
         "sf": sf,
         "n_queries": len(timings),
     }
@@ -355,6 +369,7 @@ def main() -> None:
                     "ext_r5e": ext_r5e["total"],
                     "ext_r5f": ext_r5f["total"],
                     "ext_r5g": ext_r5g["total"],
+                    "ext_r5h": ext_r5h["total"],
                 },
                 "detail_file": detail_path,
             }
