@@ -1596,3 +1596,66 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@query(
+    "q_dedup_template_fp",
+    oracle=rf"""
+    WITH fp AS (
+      SELECT doc_id, source,
+             md5(regexp_replace({_O_NORM}, '[0-9]+', '#', 'g')) AS tfp,
+             md5({_O_NORM}) AS xfp
+      FROM documents
+    ),
+    grouped AS (
+      SELECT tfp,
+             COUNT(*) AS n_docs,
+             COUNT(DISTINCT xfp) AS n_exact_variants,
+             CAST(MIN(doc_id) AS BIGINT) AS keep_doc_id
+      FROM fp GROUP BY tfp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_template_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_exact_variants > 1 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_groups_only_template_catches,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs
+    FROM grouped
+    """,
+)
+def q_dedup_template_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Template-invariant dedup: fingerprints computed AFTER masking
+    every digit run to '#', so "Order 123 shipped" and "Order 456
+    shipped" collapse into one template group — the dedup upgrade that
+    catches mail-merge / log-line / receipt duplication exact
+    fingerprints are blind to.  The report quantifies exactly that gap:
+    groups whose members differ in their EXACT fingerprints but share
+    the masked one are catches only template dedup makes.
+
+    Same one-shuffle shape as q_dedup_exact (uniform md5 key, masked);
+    the per-group exact-variant count is a COUNT(DISTINCT) inside an
+    already-keyed aggregation — no extra shuffle (the group key IS the
+    aggregation key).
+    """
+    fp = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.regexp_replace(normalized_text("text"), r"[0-9]+", "#")
+        ).alias("tfp"),
+        F.md5(normalized_text("text")).alias("xfp"),
+    )
+    grouped = fp.groupBy("tfp").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("xfp").alias("n_exact_variants"),
+        F.min("doc_id").alias("keep_doc_id"),
+    )
+    return grouped.agg(
+        F.count(F.lit(1)).cast("long").alias("n_template_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_exact_variants") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_groups_only_template_catches"),
+        F.sum("n_docs").cast("long").alias("n_docs"),
+    )

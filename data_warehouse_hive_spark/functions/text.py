@@ -1742,3 +1742,54 @@ def q_text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
             "looks_like_code"
         ),
     ).orderBy("doc_id")
+
+
+_WH_WORDS = ("what", "how", "why", "when", "where", "who", "which")
+_IMPERATIVES = ("write", "explain", "describe", "list", "create", "make",
+                "give", "show")
+
+
+@query(
+    "q_text_instruct_detect",
+    oracle=rf"""
+    WITH feats AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\s+') AS ws,
+             length(text) - length(replace(text, '?', '')) AS n_q
+      FROM documents
+    )
+    SELECT doc_id,
+           (ws[1] IN {str(tuple(_WH_WORDS))}) AS starts_wh,
+           (ws[1] IN {str(tuple(_IMPERATIVES))}) AS starts_imperative,
+           CAST(n_q AS BIGINT) AS n_question_marks,
+           (ws[1] IN {str(tuple(_WH_WORDS))}
+            OR ws[1] IN {str(tuple(_IMPERATIVES))}
+            OR n_q > 0) AS instruction_like
+    FROM feats
+    ORDER BY doc_id
+    """,
+)
+def q_text_instruct_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Instruction/question mining heuristics: leading wh-word, leading
+    imperative verb, question-mark count — the cheap first-pass filter
+    for surfacing SFT-style prompts inside a web corpus (the
+    instruction-data mining step behind every "we extracted N million
+    naturally-occurring instructions" dataset card).
+
+    First-token tests index the token array directly (both engines
+    1-based here: element 1); marker lists are module literals shared
+    into the oracle text.  Pure narrow map, no shuffle.
+    """
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = tokens(F.lower(F.col("text")))
+    first = F.element_at(ws, 1)
+    n_q = F.length("text") - F.length(F.regexp_replace("text", r"\?", ""))
+    starts_wh = first.isin(*_WH_WORDS)
+    starts_imp = first.isin(*_IMPERATIVES)
+    return d.select(
+        "doc_id",
+        starts_wh.alias("starts_wh"),
+        starts_imp.alias("starts_imperative"),
+        n_q.cast("long").alias("n_question_marks"),
+        (starts_wh | starts_imp | (n_q > 0)).alias("instruction_like"),
+    ).orderBy("doc_id")

@@ -1509,3 +1509,48 @@ def q_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_lineitems"))
         .orderBy("status_asof")
     )
+
+
+@query(
+    "q_sql_window_clause",
+    oracle=f"""
+    SELECT o_custkey, o_orderkey,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+           CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                OVER wr AS DOUBLE) / 1e6 AS running_total
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+           wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY o_custkey, seq
+    """,
+)
+def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Named WINDOW clause — the SQL surface that defines a window spec
+    ONCE and reuses it across expressions (`OVER w`, `OVER (w ROWS
+    …)`), the HiveQL/ANSI feature analysts rely on for any report with
+    several aggregates over the same partitioning.  Both engines parse
+    the same text; the plan is identical to inline specs (one shuffle,
+    one sort), so this is parity of the authoring surface, proven by
+    the hash match.
+
+    Both specs live in ONE WINDOW clause (Spark's grammar does not
+    allow frame-extending a named spec at the use site the way
+    DuckDB/Postgres do, so the frame variant is its own named window —
+    a parity nuance worth pinning); the running total rides the
+    carrier.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_wc_v")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey,
+               CAST(ROW_NUMBER() OVER w AS BIGINT) AS seq,
+               CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                    OVER wr AS DOUBLE) / 1e6 AS running_total
+        FROM orders_wc_v
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+               wr AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ORDER BY o_custkey, seq
+        """
+    )
