@@ -2650,3 +2650,89 @@ def q_events_recency_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "q_events_incidents",
+    oracle=f"""
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS h,
+             COUNT(*) AS n,
+             CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS errs
+      FROM events GROUP BY h
+    ),
+    alerts AS (
+      SELECT h, epoch_us(h) // 3600000000 AS hn
+      FROM hourly
+      WHERE errs * {SLO_TARGET_DEN} > {SLO_FAST_BURN} * {SLO_TARGET_NUM} * n
+    ),
+    grp AS (
+      SELECT h, hn,
+             hn - ROW_NUMBER() OVER (ORDER BY hn) AS island
+      FROM alerts
+    ),
+    incidents AS (
+      SELECT island, CAST(COUNT(*) AS BIGINT) AS dur_hours,
+             strftime(MIN(h), '%Y-%m-%d %H') AS started_at
+      FROM grp GROUP BY island
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_incidents,
+           CAST(COALESCE(MAX(dur_hours), 0) AS BIGINT) AS longest_hours,
+           CAST(COALESCE(SUM(dur_hours), 0) AS BIGINT) AS total_alert_hours,
+           MIN(started_at) AS first_incident_at
+    FROM incidents
+    """,
+)
+def q_events_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert debouncing: consecutive fast-burn hours (q_events_slo_burn's
+    predicate) merge into INCIDENTS — the count/duration report an
+    on-call review actually reads, where the raw alert stream
+    over-counts one sustained outage as N pages.  Gaps-and-islands on
+    the integer hour number over ONLY the alerting hours, so the
+    incident relation is bounded by alert volume, not corpus size.
+
+    Same integer cross-multiplied alert predicate as the burn-rate
+    query (no float in the grouping decision); identical hourly rollup
+    feeds both, and both engines agree on hour numbers because they are
+    exact epoch-microsecond divisions.
+    """
+    e = t(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            F.date_trunc("hour", "ts").alias("h"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias(
+                "is_err"
+            ),
+        )
+        .groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("is_err").cast("long").alias("errs"),
+        )
+    )
+    alerts = hourly.filter(
+        F.col("errs") * SLO_TARGET_DEN
+        > F.lit(SLO_FAST_BURN * SLO_TARGET_NUM) * F.col("n")
+    ).select(
+        "h",
+        F.expr("unix_micros(h) div 3600000000").alias("hn"),
+    )
+    w = Window.orderBy("hn")
+    grp = alerts.withColumn(
+        "island", F.col("hn") - F.row_number().over(w)
+    )
+    incidents = grp.groupBy("island").agg(
+        F.count(F.lit(1)).cast("long").alias("dur_hours"),
+        F.date_format(F.min("h"), "yyyy-MM-dd HH").alias("started_at"),
+    )
+    return incidents.agg(
+        F.count(F.lit(1)).cast("long").alias("n_incidents"),
+        F.coalesce(F.max("dur_hours"), F.lit(0)).cast("long").alias(
+            "longest_hours"
+        ),
+        F.coalesce(F.sum("dur_hours"), F.lit(0)).cast("long").alias(
+            "total_alert_hours"
+        ),
+        F.min("started_at").alias("first_incident_at"),
+    )
