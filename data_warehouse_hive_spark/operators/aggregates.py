@@ -2788,3 +2788,87 @@ def q_dq_cross_field(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("rule")
+
+
+@query(
+    "q_agg_weighted_median",
+    oracle="""
+    WITH vw AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+             CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS wt
+      FROM lineitem GROUP BY l_returnflag, cents
+    ),
+    cum AS (
+      SELECT l_returnflag, cents, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY cents
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM vw
+    )
+    SELECT l_returnflag,
+           CAST(tw AS BIGINT) AS total_weight,
+           round(CAST(MIN(CASE WHEN 2 * cw >= tw THEN cents END)
+                      AS DOUBLE) / 100, 6) AS weighted_median_price
+    FROM cum
+    GROUP BY l_returnflag, tw
+    ORDER BY l_returnflag
+    """,
+)
+def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median price per return flag — the aggregate
+    the unweighted percentile family (q_agg_percentile) cannot express:
+    a 40-unit line should pull the "typical traded price" 40× harder
+    than a single-unit one.  Defined discretely (first value whose
+    cumulative weight reaches half the total — the `2·cw ≥ tw` integer
+    cross-multiplication, so no float compare picks the pivot).
+
+    The q_stats_mannwhitney histogram discipline: weights aggregate
+    per distinct cent value first (one shuffle, map-side combined), the
+    running window walks the per-group distinct-value relation, and the
+    pivot MIN collapses it — values, weights, and cumulative sums are
+    exact integers end to end.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    vw = (
+        li.select(
+            "l_returnflag",
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+            F.col("l_quantity").cast("long").alias("q"),
+        )
+        .groupBy("l_returnflag", "cents")
+        .agg(F.sum("q").alias("wt"))
+    )
+    wrun = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = vw.select(
+        "l_returnflag",
+        "cents",
+        F.sum("wt").over(wrun).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    return (
+        cum.groupBy("l_returnflag", "tw")
+        .agg(
+            F.round(
+                F.min(
+                    F.when(2 * F.col("cw") >= F.col("tw"), F.col("cents"))
+                ).cast("double")
+                / 100,
+                6,
+            ).alias("weighted_median_price")
+        )
+        .select(
+            "l_returnflag",
+            F.col("tw").cast("long").alias("total_weight"),
+            "weighted_median_price",
+        )
+        .orderBy("l_returnflag")
+    )

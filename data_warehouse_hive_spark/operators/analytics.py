@@ -2168,3 +2168,102 @@ def q_orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mon", "klass")
     )
+
+
+@query(
+    "q_orders_forecast_holt",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1e6 AS y
+      FROM orders GROUP BY mon
+    ),
+    idx AS (
+      SELECT mon, y,
+             CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS i
+      FROM monthly
+    ),
+    n_t AS (SELECT COUNT(*) AS n FROM idx),
+    r AS (
+      WITH RECURSIVE rec(i, level, trend) AS (
+        SELECT CAST(1 AS BIGINT),
+               (SELECT y FROM idx WHERE i = 1),
+               (SELECT y FROM idx WHERE i = 2)
+                 - (SELECT y FROM idx WHERE i = 1)
+        UNION ALL
+        SELECT rec.i + 1,
+               0.5 * nxt.y + 0.5 * (rec.level + rec.trend),
+               0.5 * ((0.5 * nxt.y + 0.5 * (rec.level + rec.trend))
+                      - rec.level)
+                 + 0.5 * rec.trend
+        FROM rec JOIN idx nxt ON nxt.i = rec.i + 1
+        WHERE rec.i < (SELECT n FROM n_t)
+      )
+      SELECT * FROM rec
+    )
+    SELECT x.mon, round(x.y, 6) AS actual,
+           round(r.level, 6) AS level,
+           round(r.trend, 6) AS trend,
+           round(r.level + r.trend, 6) AS forecast_next
+    FROM r JOIN idx x ON x.i = r.i
+    ORDER BY x.mon
+    """,
+)
+def q_orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt's linear-trend (double exponential) smoothing over monthly
+    revenue, α=β=0.5 — the level+trend forecaster that beats the flat
+    SMA baseline (q_events_forecast_sma) on drifting series, with its
+    one-step-ahead forecast per month.
+
+    A smoothing recursion is inherently sequential, so both engines run
+    it SEQUENTIALLY over the tiny monthly series (bounded: months, not
+    rows): DuckDB as a recursive CTE, Spark by collecting the O(months)
+    carrier-exact aggregate to the driver and replaying the identical
+    float recurrence (α=0.5 makes every multiply exact-by-half; the
+    op sequence is textually mirrored, so results are bit-identical) —
+    the q_embed_pca driver-finish discipline applied to time series.
+    The heavy part, the monthly rollup, is one map-side-combined
+    aggregation over the fact scan.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = (
+        o.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("mon"))
+        .agg(
+            (
+                F.sum(to_carrier(F.col("o_totalprice"))).cast("double") / 1e6
+            ).alias("y")
+        )
+        .orderBy("mon")
+    )
+    rows = monthly.collect()
+    mons = [r["mon"] for r in rows]
+    ys = [r["y"] for r in rows]
+    out = []
+    level = ys[0]
+    trend = ys[1] - ys[0] if len(ys) > 1 else 0.0
+    out.append((mons[0], ys[0], level, trend))
+    for i in range(1, len(ys)):
+        new_level = 0.5 * ys[i] + 0.5 * (level + trend)
+        trend = 0.5 * (new_level - level) + 0.5 * trend
+        level = new_level
+        out.append((mons[i], ys[i], level, trend))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r6(x: float) -> float:
+        # HALF_UP on the shortest decimal repr — the same tie behavior
+        # as F.round / DuckDB round (Python's round() is banker's)
+        return float(
+            Decimal(repr(float(x))).quantize(
+                Decimal("1e-6"), rounding=ROUND_HALF_UP
+            )
+        )
+
+    res = [
+        (m, _r6(y), _r6(lv), _r6(tr), _r6(lv + tr)) for (m, y, lv, tr) in out
+    ]
+    return spark.createDataFrame(
+        res,
+        "mon string, actual double, level double, trend double, "
+        "forecast_next double",
+    ).orderBy("mon")
