@@ -2267,3 +2267,56 @@ def q_orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon string, actual double, level double, trend double, "
         "forecast_next double",
     ).orderBy("mon")
+
+
+@query(
+    "q_orders_mat",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_c,
+             COUNT(*) AS n_orders
+      FROM orders GROUP BY mon
+    )
+    SELECT mon,
+           round(CAST(rev_c AS DOUBLE) / 1e6, 6) AS month_revenue,
+           round(CAST(SUM(rev_c) OVER (ORDER BY mon
+                      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                      AS DOUBLE) / 1e6, 6) AS mat_revenue,
+           CAST(COUNT(*) OVER (ORDER BY mon
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS INT)
+             AS months_in_window
+    FROM monthly
+    ORDER BY mon
+    """,
+)
+def q_orders_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving annual total (MAT): trailing-12-month revenue per month —
+    the deseasonalized growth line every commercial review opens with
+    (month-on-month wiggles cancel; only trend remains), with the
+    window-fill count so partial early windows are self-describing.
+
+    The 12-month frame runs over the O(months) rollup relation, never
+    fact rows; revenue stays an exact carrier integer through the frame
+    sum.  One map-side-combined monthly aggregation is the only
+    fact-scale work.
+    """
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("mon")
+    ).agg(
+        F.sum(to_carrier(F.col("o_totalprice"))).alias("rev_c"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    w = Window.orderBy("mon").rowsBetween(-11, Window.currentRow)
+    return monthly.select(
+        "mon",
+        F.round(F.col("rev_c").cast("double") / 1e6, 6).alias(
+            "month_revenue"
+        ),
+        F.round(F.sum("rev_c").over(w).cast("double") / 1e6, 6).alias(
+            "mat_revenue"
+        ),
+        F.count(F.lit(1)).over(w).cast("int").alias("months_in_window"),
+    ).orderBy("mon")
