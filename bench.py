@@ -269,16 +269,25 @@ def main() -> None:
     for name in TABLES:
         spark.read.parquet(table_path(sf_dir, name)).schema
 
+    # first-run times, kept alongside best-of-2: for queries that share
+    # session-scoped memoized state (q_embed_kmeans's converged-centroid
+    # memo, consumed by q_embed_cluster_purity), best-of-2 reports the
+    # memoized steady state while the first run carries the cold
+    # iterative cost — both are recorded so group totals are never
+    # silently flattered by the memo.
+    first_run: dict[str, float] = {}
+
     def timed(name: str) -> float:
         """Best-of-2 at the target SF: steady-state execution time, not
         whichever run a GC pause / page-cache miss happened to land on.
         Same plans, same data — only the noise floor drops."""
-        best = float("inf")
+        runs = []
         for _ in range(2):
             t0 = time.perf_counter()
             _force(registry[name].fn(spark, sf_dir))
-            best = min(best, time.perf_counter() - t0)
-        return round(best, 3)
+            runs.append(time.perf_counter() - t0)
+        first_run[name] = round(runs[0], 3)
+        return round(min(runs), 3)
 
     timings = {name: timed(name) for name in HEADLINE}
     total = round(sum(timings.values()), 3)
@@ -334,6 +343,7 @@ def main() -> None:
         "ext_r5h": ext_r5h,
         "sf": sf,
         "n_queries": len(timings),
+        "first_run": first_run,
     }
     # Full detail → disk (round-over-round comparison must never depend
     # on how much stdout tail a log capture keeps — BENCH_r04.json came
@@ -370,6 +380,14 @@ def main() -> None:
                     "ext_r5f": ext_r5f["total"],
                     "ext_r5g": ext_r5g["total"],
                     "ext_r5h": ext_r5h["total"],
+                },
+                "memoized_cold": {
+                    name: first_run[name]
+                    for name in (
+                        "q_embed_kmeans",
+                        "q_embed_cluster_purity",
+                    )
+                    if name in first_run
                 },
                 "detail_file": detail_path,
             }

@@ -1547,17 +1547,40 @@ _assemble_corpus_health_oracle()
                   19) AS BIGINT) AS bucket
       FROM documents
     ),
-    global_ref AS (
-      SELECT CAST(least(floor(percent_rank() OVER (
-                    ORDER BY n_chars, doc_id) * 20), 19) AS BIGINT) AS bucket,
-             n_chars
-      FROM documents
+    hist AS (
+      SELECT n_chars, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM documents GROUP BY n_chars
+    ),
+    runs AS (
+      SELECT n_chars, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY n_chars
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cum
+      FROM hist
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   greatest(CAST(COUNT(*) AS BIGINT) - 1, 1) AS den
+            FROM documents),
+    expl AS (
+      SELECT r.n_chars, r.cum - r.cnt + 1 AS s, r.cum AS e, t.n, t.den,
+             u.v AS bucket
+      FROM runs r CROSS JOIN tot t,
+           LATERAL (SELECT unnest(range(
+             least((r.cum - r.cnt) * 20 // t.den, 19),
+             least((r.cum - 1) * 20 // t.den, 19) + 1)) AS v) u
+    ),
+    counted AS (
+      SELECT bucket, n_chars,
+             least(e, CASE WHEN bucket >= 19 THEN n
+                      ELSE (den * (bucket + 1) + 19) // 20 END)
+             - greatest(s, (den * bucket + 19) // 20 + 1) + 1 AS k
+      FROM expl
     ),
     ref AS (
       SELECT bucket,
-             round(CAST(SUM(CAST(n_chars AS BIGINT)) AS DOUBLE)
-                   / CAST(COUNT(*) AS DOUBLE), 6) AS norm_score
-      FROM global_ref GROUP BY bucket
+             round(CAST(SUM(CAST(n_chars AS BIGINT) * k) AS DOUBLE)
+                   / CAST(SUM(k) AS DOUBLE), 6) AS norm_score
+      FROM counted WHERE k > 0 GROUP BY bucket
     )
     SELECT s.doc_id, s.source, s.n_chars, s.bucket, r.norm_score
     FROM scored s JOIN ref r ON r.bucket = s.bucket
@@ -1572,30 +1595,85 @@ def q_quality_qnorm(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold would purge one source wholesale.  After qnorm, "top 20%
     of each source" means the same number everywhere.
 
-    percent_rank is (rank−1)/(n−1) on exact integers — identical
-    doubles both engines; bucket edges are integer floors with a unique
-    (score, id) order, and the 20-bucket reference table broadcasts.
-    Per-source windows partition cleanly; nothing global but the tiny
-    reference build."""
+    The per-source percent_rank windows partition cleanly.  The GLOBAL
+    reference distribution is the scale hazard — a raw-row
+    `Window.orderBy` would funnel the whole corpus through one
+    partition — so it is built with the histogram-midrank pattern
+    proven in q_stats_mannwhitney/q_stats_spearman: count rows per
+    DISTINCT n_chars (one map-side-combined shuffle), take a running
+    count over that O(distinct-lengths) relation (bounded by the
+    length domain, ~500 values at any corpus size), and assign each
+    distinct-value run [s, e] of global ranks to its vigintile buckets
+    with exact integer arithmetic (first rank of bucket v is
+    ⌊(den·v+19)/20⌋+1, den = n−1) — at most 20 exploded rows per
+    distinct value.  The oracle states the identical integer-edge
+    construction, so the 20-bucket reference matches exactly and
+    broadcasts to the per-row join."""
     d = t(spark, sf_dir, "documents")
     ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wg = Window.orderBy("n_chars", "doc_id")
     bucket = lambda w: F.least(  # noqa: E731
         F.floor(F.percent_rank().over(w) * 20), F.lit(19)
     ).cast("long")
     scored = d.select(
         "doc_id", "source", "n_chars", bucket(ws).alias("bucket")
     )
-    ref = (
-        d.select("n_chars", bucket(wg).alias("bucket"))
-        .groupBy("bucket")
-        .agg(
-            F.round(
-                F.sum(F.col("n_chars").cast("long")).cast("double")
-                / F.count(F.lit(1)).cast("double"),
-                6,
-            ).alias("norm_score")
+    hist = d.groupBy("n_chars").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wcum = Window.orderBy("n_chars").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = (
+        hist.withColumn("cum", F.sum("cnt").over(wcum))
+        .crossJoin(
+            F.broadcast(
+                hist.agg(
+                    F.sum("cnt").cast("long").alias("n"),
+                    F.greatest(
+                        F.sum("cnt").cast("long") - 1, F.lit(1).cast("long")
+                    ).alias("den"),
+                )
+            )
         )
+        .select(
+            "n_chars",
+            "n",
+            "den",
+            (F.col("cum") - F.col("cnt") + 1).alias("s"),
+            F.col("cum").alias("e"),
+            F.least(F.expr("(cum - cnt) * 20 DIV den"), F.lit(19)).alias(
+                "b_lo"
+            ),
+            F.least(F.expr("(cum - 1) * 20 DIV den"), F.lit(19)).alias(
+                "b_hi"
+            ),
+        )
+    )
+    expl = runs.select(
+        "n_chars",
+        "s",
+        "e",
+        "n",
+        "den",
+        F.explode(F.sequence(F.col("b_lo"), F.col("b_hi"))).alias("bucket"),
+    )
+    hi_r = F.when(F.col("bucket") >= 19, F.col("n")).otherwise(
+        F.expr("(den * (bucket + 1) + 19) DIV 20")
+    )
+    lo_r = F.expr("(den * bucket + 19) DIV 20 + 1")
+    counted = expl.select(
+        "bucket",
+        "n_chars",
+        (F.least(F.col("e"), hi_r) - F.greatest(F.col("s"), lo_r) + 1).alias(
+            "k"
+        ),
+    ).filter(F.col("k") > 0)
+    ref = counted.groupBy("bucket").agg(
+        F.round(
+            F.sum(F.col("n_chars").cast("long") * F.col("k")).cast("double")
+            / F.sum("k").cast("double"),
+            6,
+        ).alias("norm_score")
     )
     return (
         scored.join(

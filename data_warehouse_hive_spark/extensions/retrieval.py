@@ -186,6 +186,118 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q_rank_fusion_per_query",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rk
+        FROM exact_scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    qb AS (SELECT vec_id AS query_id, e AS qe, bucket
+           FROM vb WHERE vec_id < {N_QUERY_VECS}),
+    lsh_scored AS (
+      SELECT qb.query_id, vb.vec_id,
+             round(list_dot_product(qb.qe, vb.e)
+                   / (sqrt(list_dot_product(qb.qe, qb.qe))
+                      * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+      FROM qb JOIN vb ON vb.bucket = qb.bucket AND vb.vec_id != qb.query_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                          ORDER BY cosine DESC, vec_id)
+                       AS BIGINT) AS rk
+        FROM lsh_scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    fused AS (
+      SELECT COALESCE(e.query_id, l.query_id) AS query_id,
+             COALESCE(e.vec_id, l.vec_id) AS vec_id,
+             e.rk AS rk_exact, l.rk AS rk_lsh,
+             coalesce(1.0 / ({RRF_K} + e.rk), 0.0)
+               + coalesce(1.0 / ({RRF_K} + l.rk), 0.0) AS rrf
+      FROM exact_topk e FULL JOIN lsh_topk l
+        ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+    )
+    SELECT query_id, vec_id, rk_exact, rk_lsh, rrf, fused_rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY rrf DESC, vec_id)
+                     AS BIGINT) AS fused_rank
+      FROM fused
+    ) WHERE fused_rank <= {TOP_K}
+    ORDER BY query_id, fused_rank
+    """,
+)
+def q_rank_fusion_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion in its PRODUCTION shape: each ranker
+    contributes a BOUNDED per-query candidate list (exact cosine top-k
+    and LSH-bucketed top-k from the similarity tier), the lists full-join
+    on (query_id, vec_id), and every window — including the final fused
+    rank — partitions by query_id over ≤2k candidate rows.  This is the
+    per-query discipline q_rank_fusion's docstring promises (that id
+    keeps the corpus-wide demonstration algebra); nothing here ever
+    ranks the corpus globally, so the plan scales with Q×k, not N.
+
+    A doc missing from one list contributes only its present ranks
+    (coalesce to 0 — standard RRF over union of candidates).  The RRF
+    score is two reciprocals of small integers added in a fixed order —
+    identical IEEE doubles both engines, so fused ranks hash-match."""
+    v, q = _fixture_corpus(spark, sf_dir)
+    a = brute_force_topk(v, q, TOP_K).select(
+        "query_id", "vec_id", F.col("rk").alias("rk_exact")
+    )
+    b = lsh_topk(v, q, TOP_K).select(
+        F.col("query_id").alias("lq"),
+        F.col("vec_id").alias("lv"),
+        F.col("rk").alias("rk_lsh"),
+    )
+    fused = a.join(
+        b,
+        (F.col("lq") == F.col("query_id")) & (F.col("lv") == F.col("vec_id")),
+        "full",
+    ).select(
+        F.coalesce("query_id", "lq").alias("query_id"),
+        F.coalesce("vec_id", "lv").alias("vec_id"),
+        "rk_exact",
+        "rk_lsh",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_exact")), F.lit(0.0)
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("rk_lsh")), F.lit(0.0)
+            )
+        ).alias("rrf"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("rrf").desc(), F.col("vec_id")
+    )
+    return (
+        fused.withColumn(
+            "fused_rank", F.row_number().over(wq).cast("long")
+        )
+        .filter(F.col("fused_rank") <= TOP_K)
+        .orderBy("query_id", "fused_rank")
+    )
+
+
 # ---------------------------------------------------------------------------
 # BM25 lexical retrieval + hybrid fusion
 # ---------------------------------------------------------------------------

@@ -323,13 +323,18 @@ def q_agg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             }
         )
 
-    mg_out = toks.mapInPandas(
+    # The MG summary is bounded at partitions x (k+1) rows by
+    # construction, so ONE job collects it whole (candidates + total
+    # together) — no checkpoint materialization and no second summary
+    # job; the exact pass is then the only other scan of `toks`.
+    mg_rows = toks.mapInPandas(
         mg_partition, "token string, pcnt long"
-    ).localCheckpoint(eager=False)
-    candidates = (
-        mg_out.filter(F.col("token").isNotNull()).select("token").distinct()
+    ).collect()
+    total = sum(r.pcnt for r in mg_rows if r.token is None)
+    cand = sorted({r.token for r in mg_rows if r.token is not None})
+    candidates = spark.createDataFrame(
+        [(c,) for c in cand] or [(None,)], "token string"
     )
-    total = mg_out.agg(F.sum("pcnt")).collect()[0][0] or 0
     exact = (
         toks.join(F.broadcast(candidates), "token", "left_semi")
         .groupBy("token")

@@ -1794,27 +1794,46 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Both the sketch and the "exact" answer use explicit engine-portable
     formulas: bins from identical IEEE arithmetic on the shared min/max,
-    the exact quantile as the ceil(p·n)-th order statistic via
-    row_number — never an engine's own quantile/percentile builtin,
-    whose interpolation conventions differ.
+    the exact quantile as the smallest value whose cumulative count
+    reaches p·n (≡ the ceil(p·n)-th order statistic) — never an
+    engine's own quantile/percentile builtin, whose interpolation
+    conventions differ.
+
+    ONE scan of orders: everything — min/max/n, the bin histogram, and
+    the exact baseline — derives from the per-distinct-value count
+    relation (the q_stats_mannwhitney histogram trick), whose shuffle
+    exchange Spark reuses across all four consumers.  The exact
+    baseline's running count runs over the distinct-value relation, not
+    a raw-row row_number sort (worst case it matches the old cost when
+    all values are unique; with any duplication it shrinks).
     """
     o = t(spark, sf_dir, "orders")
-    mm = o.agg(
+    # materialize the value-count relation once: four consumers (mm,
+    # binned, est's n, the exact baseline) would otherwise each replay
+    # the scan+shuffle — exchange reuse only catches exprId-identical
+    # subtrees
+    vc = (
+        o.groupBy("o_totalprice")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    mm = vc.agg(
         F.min("o_totalprice").alias("mn"),
         F.max("o_totalprice").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("n"),
     )
     width = (F.col("mx") - F.col("mn")) / QSK_BINS
     binned = (
-        o.join(F.broadcast(mm))
+        vc.join(F.broadcast(mm))
         .select(
             F.least(
                 F.floor((F.col("o_totalprice") - F.col("mn")) / width).cast("int"),
                 F.lit(QSK_BINS - 1),
-            ).alias("bin")
+            ).alias("bin"),
+            "c",
         )
         .groupBy("bin")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum("c").alias("c"))
     )
     wcum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = binned.select("bin", F.sum("c").over(wcum).alias("cum"))
@@ -1829,13 +1848,15 @@ def q_agg_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p")
         .agg(F.min("bin").alias("qbin"))
     )
-    wrn = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice", F.row_number().over(wrn).alias("rn")
+    wv = Window.orderBy("o_totalprice").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    vcum = vc.select(
+        "o_totalprice", F.sum("c").over(wv).cast("long").alias("vcum")
     )
     exact = (
         probes.join(F.broadcast(mm.select("n")))
-        .join(ranked, F.col("rn").cast("double") >= F.col("p") * F.col("n"))
+        .join(vcum, F.col("vcum").cast("double") >= F.col("p") * F.col("n"))
         .groupBy("p")
         .agg(F.min("o_totalprice").alias("exact_q"))
     )

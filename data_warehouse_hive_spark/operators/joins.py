@@ -342,7 +342,9 @@ _ER_LEV_MAX = 2  # accept pairs within this edit distance
     "q_er_blocked_linkage",
     oracle=f"""
     WITH c AS (
-      SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+      SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+             substr(c_name, 1, greatest(length(c_name) - 3, 1)) AS name_pfx
+      FROM customer
     ),
     pairs AS (
       SELECT a.c_nationkey, a.c_mktsegment,
@@ -350,6 +352,7 @@ _ER_LEV_MAX = 2  # accept pairs within this edit distance
       FROM c a JOIN c b
         ON b.c_nationkey = a.c_nationkey
        AND b.c_mktsegment = a.c_mktsegment
+       AND b.name_pfx = a.name_pfx
        AND a.c_custkey < b.c_custkey
     )
     SELECT c_nationkey, c_mktsegment,
@@ -363,13 +366,19 @@ _ER_LEV_MAX = 2  # accept pairs within this edit distance
 )
 def q_er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Entity resolution with blocking: candidate customer pairs within
-    a (nation, segment) block, scored by name edit distance — the
-    record-linkage shape every MDM/dedup-people pipeline runs.  The
-    blocking key is the whole design: an unblocked n² name comparison is
-    infeasible at any scale, while block-local comparison is
-    O(Σ block²) with bounded blocks — the same
-    bounded-in-group-expansion argument as the LSH bucket joins and the
-    basket miners, here with a BUSINESS key instead of a hash.
+    a (nation, segment, name-prefix) block, scored by name edit
+    distance — the record-linkage shape every MDM/dedup-people pipeline
+    runs.  The blocking key is the whole design: an unblocked n² name
+    comparison is infeasible at any scale, and a business key alone
+    ((nation, segment) is a fixed ~125-value domain) lets block
+    population grow linearly with the corpus — O(Σ block²) goes
+    quadratic at 100×.  Composing in a NAME-DERIVED component — the
+    name minus its last 3 characters, standard prefix blocking — caps
+    every block at the suffix domain (≤10³ names can share a prefix)
+    INDEPENDENT of corpus size, so total pair count stays linear in the
+    corpus.  The recall tradeoff (pairs differing outside the suffix
+    are never compared) is the documented, deliberate blocking
+    contract; the oracle applies the identical blocking.
 
     One shuffle on the composite block key; levenshtein (identical DP
     algorithm both engines, exact integer) runs only inside blocks;
@@ -378,24 +387,33 @@ def q_er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-quality report read before accepting a linkage run.
     """
     c = t(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_nationkey", "c_mktsegment"
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.expr(
+            "substring(c_name, 1, greatest(length(c_name) - 3, 1))"
+        ).alias("name_pfx"),
     )
     a = c.select(
         F.col("c_custkey").alias("ka"),
         F.col("c_name").alias("na"),
         "c_nationkey",
         "c_mktsegment",
+        "name_pfx",
     )
     b = c.select(
         F.col("c_custkey").alias("kb"),
         F.col("c_name").alias("nb"),
         F.col("c_nationkey").alias("nk2"),
         F.col("c_mktsegment").alias("ms2"),
+        F.col("name_pfx").alias("pfx2"),
     )
     pairs = a.join(
         b,
         (F.col("nk2") == F.col("c_nationkey"))
         & (F.col("ms2") == F.col("c_mktsegment"))
+        & (F.col("pfx2") == F.col("name_pfx"))
         & (F.col("ka") < F.col("kb")),
     ).select(
         "c_nationkey",

@@ -99,6 +99,33 @@ def query(
     return deco
 
 
+def capabilities() -> dict[str, bool]:
+    """Environment-dependent capability flags, probed lazily.  Optional
+    surfaces degrade gracefully where a dependency is absent and light
+    up with ZERO code change where it is installed:
+
+    - ``transform_with_state``: the transformWithStateInPandas streaming
+      path ships its worker state protocol over protobuf; without the
+      ``protobuf`` package the PySpark API imports but the streaming
+      worker dies at init, so streaming/stateful.py gates on this flag
+      (and tests/test_streaming.py skips the e2e when it is False).
+    - ``real_media_decode``: sources/multimodal.py decodes image
+      payloads with Pillow when importable, else the deterministic
+      fake — same mapInPandas plumbing either way.
+    """
+    from data_warehouse_hive_spark.sources.multimodal import (
+        real_decoder_available,
+    )
+    from data_warehouse_hive_spark.streaming.stateful import (
+        tws_runtime_available,
+    )
+
+    return {
+        "transform_with_state": tws_runtime_available(),
+        "real_media_decode": real_decoder_available(),
+    }
+
+
 # --------------------------------------------------------------------------
 # Cross-engine-exact aggregation helpers (Spark side)
 # --------------------------------------------------------------------------

@@ -50,13 +50,38 @@ FEATURE_SCHEMA = T.StructType(
 FEATURE_DIM = 8
 
 
-def decode_image(payload: bytes) -> "object":
-    """Real decode path — requires an image codec library (Pillow/opencv),
-    which is intentionally not vendored here."""
-    raise NotImplementedError(
-        "image decoding requires a codec library (e.g. Pillow); "
-        "use fake_decode_image for plumbing tests"
+def real_decoder_available() -> bool:
+    """True when an image codec library (Pillow) is importable.  Checked
+    lazily PER PYTHON WORKER, so a deployment that ships Pillow on its
+    executors lights up the real decode path with zero code change."""
+    try:
+        import PIL.Image  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+def decode_image(payload: bytes) -> list[float]:
+    """Real decode path: Pillow-decode the payload, downsample to a
+    FEATURE_DIM-pixel grayscale strip, return normalized intensities —
+    the same (list[float], FEATURE_DIM) contract as fake_decode_image,
+    so the mapInPandas plumbing is byte-identical either way.  Raises
+    NotImplementedError when no codec library is installed (this
+    container); fake_decode_image is the deterministic stand-in."""
+    try:
+        import PIL.Image
+    except ImportError as exc:  # pragma: no cover - env without Pillow
+        raise NotImplementedError(
+            "image decoding requires a codec library (e.g. Pillow); "
+            "use fake_decode_image for plumbing tests"
+        ) from exc
+    import io
+
+    img = PIL.Image.open(io.BytesIO(payload)).convert("L").resize(
+        (FEATURE_DIM, 1)
     )
+    return [px / 255.0 for px in list(img.getdata())[:FEATURE_DIM]]
 
 
 def fake_decode_image(payload: bytes) -> list[float]:
@@ -67,20 +92,33 @@ def fake_decode_image(payload: bytes) -> list[float]:
     return [digest[i] / 255.0 for i in range(FEATURE_DIM)]
 
 
-def extract_features(media: DataFrame, *, use_real_decoder: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, *, use_real_decoder: bool | None = None
+) -> DataFrame:
     """media table → per-item features via mapInPandas (Arrow batches in,
     Arrow batches out; no per-row Python overhead).  Partition-parallel:
     no shuffle — feature extraction is embarrassingly parallel at 100 TB
-    as long as payloads are stored splittable (one file per shard)."""
+    as long as payloads are stored splittable (one file per shard).
+
+    use_real_decoder=None (the default) auto-detects per worker: real
+    Pillow decode where the codec is installed, the deterministic fake
+    elsewhere — so the same pipeline code runs in this codec-less
+    container AND on a production image with Pillow baked in.  Pass
+    True/False to force a branch (tests pin both)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        real = (
+            real_decoder_available()
+            if use_real_decoder is None
+            else use_real_decoder
+        )
         for pdf in batches:
             payloads = pdf["payload"]
             feats = []
             for p in payloads:
                 raw = bytes(p) if p is not None else b""
-                if use_real_decoder:
-                    feats.append(decode_image(raw))  # raises: no codec here
+                if real:
+                    feats.append(decode_image(raw))
                 else:
                     feats.append(fake_decode_image(raw))
             yield pd.DataFrame(

@@ -141,8 +141,10 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         decode_image,
         extract_features,
         fake_decode_image,
+        real_decoder_available,
     )
 
+    assert not real_decoder_available()  # this container ships no codec
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG...")
     # deterministic fake: same payload → same feature, cross-process
@@ -150,10 +152,47 @@ def test_multimodal_real_decoder_is_stubbed(spark):
     media = spark.createDataFrame(
         [Row(media_id=1, kind="image", payload=b"abc", width=1, height=1, duration_ms=0)]
     )
+    # default (auto-detect) degrades to the fake here
     feats = extract_features(media).collect()
     assert len(feats) == 1 and len(feats[0]["feature"]) == 8
     with pytest.raises(Exception):
         extract_features(media, use_real_decoder=True).collect()
+
+
+def test_multimodal_real_decoder_branch_plumbing(monkeypatch):
+    """Exercise the REAL-decoder branch by monkeypatching a fake Pillow:
+    decode_image must honor the (list[float], FEATURE_DIM) contract the
+    mapInPandas schema expects, so a deployment with the codec installed
+    changes zero Spark code."""
+    import sys
+    import types
+
+    from data_warehouse_hive_spark.sources import multimodal as mm
+
+    class _FakeImg:
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            assert wh == (mm.FEATURE_DIM, 1)
+            return self
+
+        def getdata(self):
+            return list(range(mm.FEATURE_DIM))
+
+    fake_image_mod = types.ModuleType("PIL.Image")
+    fake_image_mod.open = lambda fp: _FakeImg()
+    fake_pil = types.ModuleType("PIL")
+    fake_pil.Image = fake_image_mod
+    monkeypatch.setitem(sys.modules, "PIL", fake_pil)
+    monkeypatch.setitem(sys.modules, "PIL.Image", fake_image_mod)
+
+    assert mm.real_decoder_available()
+    feat = mm.decode_image(b"\x89PNG fake payload")
+    assert len(feat) == mm.FEATURE_DIM
+    assert all(isinstance(x, float) for x in feat)
+    assert feat == [i / 255.0 for i in range(mm.FEATURE_DIM)]
 
 
 def test_exact_dedup_survivor_is_min_doc_id(spark, sf_dir):

@@ -748,15 +748,20 @@ def test_pq_codebook_broadcast_no_cartesian(spark, sf_dir):
 
 
 def test_er_linkage_block_equi_join(spark, sf_dir):
-    """Record linkage must pair rows through the (nation, segment)
-    block equi-join — an unblocked name comparison would plan a
-    cartesian/nested-loop product."""
+    """Record linkage must pair rows through the (nation, segment,
+    name-prefix) block equi-join — an unblocked name comparison would
+    plan a cartesian/nested-loop product, and without the name-derived
+    component block population grows linearly with the corpus (the
+    O(block²) scale killer).  The join must carry all THREE equi-keys,
+    including the prefix."""
     plan = _plan(spark, sf_dir, "q_er_blocked_linkage")
     strategies = join_strategies(plan)
     assert strategies, plan
     assert not any(
         "Cartesian" in s or "NestedLoop" in s for s in strategies
     ), strategies
+    assert "name_pfx" in plan, plan
+    assert "Left keys [3]" in plan, plan
 
 
 def test_crossdoc_overlap_df_capped_before_pairs(spark, sf_dir):
@@ -781,3 +786,47 @@ def test_mannwhitney_no_global_row_sort(spark, sf_dir):
     # the plan feeds the running-count window over that grouped relation
     assert "HashAggregate" in plan, plan
     assert plan.count("RunningWindowFunction") <= 1, plan
+
+
+def test_qnorm_global_ref_from_histogram_not_raw_rows(spark, sf_dir):
+    """The qnorm global reference distribution must come from the
+    per-distinct-length histogram (HashAggregate first), never a
+    percent_rank window over the raw documents scan with an empty
+    partition spec — that would funnel the whole corpus through one
+    partition.  Every percent_rank window must be partitioned (by
+    source); the only unpartitioned window allowed is the running
+    count over the aggregated hist relation."""
+    import re
+
+    plan = _plan(spark, sf_dir, "q_quality_qnorm")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert win_args, plan
+    for ln in win_args:
+        if "percent_rank" in ln:
+            # partitioned: a partition column precedes the first ORDER col
+            assert re.search(r"windowspecdefinition\(source#\d+,", ln), ln
+        else:
+            # the running count over the grouped hist relation only
+            assert "sum(cnt" in ln, ln
+    assert "HashAggregate" in plan, plan
+
+
+def test_rank_fusion_per_query_all_windows_partitioned(spark, sf_dir):
+    """Production-shape RRF: every window (ranker top-k AND the fused
+    rank) must partition by query_id — no empty-partition WindowExec
+    anywhere in the plan, and the rank filters plan as WindowGroupLimit
+    so each partition prunes to k rows before the shuffle."""
+    plan = _plan(spark, sf_dir, "q_rank_fusion_per_query")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert win_args, plan
+    for ln in win_args:
+        assert "windowspecdefinition(query_id#" in ln, ln
+    assert "WindowGroupLimit" in plan, plan

@@ -326,10 +326,15 @@ def test_transform_with_state_running_totals(spark, tmp_path):
     store; update-mode output re-emits a key's refreshed totals each
     batch it appears in, so the LAST emission per key equals the batch
     aggregate."""
-    from data_warehouse_hive_spark.streaming.stateful import tws_runtime_available
+    from data_warehouse_hive_spark.registry import capabilities
 
-    if not tws_runtime_available():
-        pytest.skip("protobuf not installed: transformWithState worker protocol unavailable")
+    if not capabilities()["transform_with_state"]:
+        pytest.skip(
+            "registry.capabilities()['transform_with_state'] is False: "
+            "protobuf not installed, transformWithState worker protocol "
+            "unavailable; a deployment with protobuf lights this up with "
+            "zero code change"
+        )
 
     import os
     import time as _time
