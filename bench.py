@@ -233,6 +233,32 @@ EXT_R5H = [
 ]
 
 
+# round 6: diagnostics extensions — changepoint, heavy-tail, robust trend,
+# novelty, bloom prefilter, share shift, embedding-dimension health.
+EXT_R6 = [
+    "q_events_changepoint",
+    "q_events_powerlaw",
+    "q_stats_theil_sen",
+    "q_text_ngram_novelty",
+    "q_join_bloom",
+    "q_orders_share_shift",
+    "q_embed_dim_profile",
+    "q_graph_labelprop",
+    "q_sim_recall_pq",
+    "q_join_asof_nearest",
+    "q_graph_modularity",
+    "q_text_lm_kn",
+    "q_events_lateness",
+    "q_stats_wilson",
+    "q_graph_hits",
+    "q_events_peaks",
+    "q_stats_welch_t",
+    "q_win_rolling_median",
+    "q_fn_map_ops",
+    "q_stats_ratio_ci",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -258,7 +284,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -320,6 +346,8 @@ def main() -> None:
     ext_r5g["total"] = round(sum(ext_r5g.values()), 3)
     ext_r5h = {name: timed(name) for name in EXT_R5H}
     ext_r5h["total"] = round(sum(ext_r5h.values()), 3)
+    ext_r6 = {name: timed(name) for name in EXT_R6}
+    ext_r6["total"] = round(sum(ext_r6.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -341,6 +369,7 @@ def main() -> None:
         "ext_r5f": ext_r5f,
         "ext_r5g": ext_r5g,
         "ext_r5h": ext_r5h,
+        "ext_r6": ext_r6,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -380,6 +409,7 @@ def main() -> None:
                     "ext_r5f": ext_r5f["total"],
                     "ext_r5g": ext_r5g["total"],
                     "ext_r5h": ext_r5h["total"],
+                    "ext_r6": ext_r6["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

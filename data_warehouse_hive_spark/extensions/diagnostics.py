@@ -1,0 +1,1181 @@
+"""Diagnostics extensions (round 6): changepoint localization, heavy-tail
+estimation, peak detection, robust trend, Welch's t, n-gram novelty,
+bloom-prefiltered joins, market-share shift, embedding-dimension health.
+
+The reference (rendiriz/data-warehouse-hive) delegates all query
+execution to deployed Hive (backend/hive_manager.py:118-170) and ships no
+analytics of its own; these operators extend the engine's
+training-data-pipeline and monitoring surface the same way the earlier
+extensions/ modules do — every plan derives its statistics from a bounded
+rollup (days, months, dims, sampled top-k) so no raw-row global window or
+unbounded pair join appears anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import spread, t
+
+
+# ---------------------------------------------------------------------------
+# Changepoint localization on the daily event-rate series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(n) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(n) AS BIGINT) AS s FROM daily),
+    scored AS (
+      SELECT i AS split_after, strftime(day, '%Y-%m-%d') AS day,
+             round(CAST(cum AS DOUBLE) / i, 6) AS mean_left,
+             round(CAST(t.s - cum AS DOUBLE) / (t.nd - i), 6) AS mean_right,
+             round(sqrt(CAST(i AS DOUBLE) * (t.nd - i) / t.nd)
+                   * abs(CAST(cum AS DOUBLE) / i
+                         - CAST(t.s - cum AS DOUBLE) / (t.nd - i)), 6)
+               AS cusum_stat
+      FROM idx CROSS JOIN tot t
+      WHERE i < t.nd
+    )
+    SELECT split_after, day, mean_left, mean_right, cusum_stat
+    FROM scored
+    ORDER BY cusum_stat DESC, day
+    LIMIT 1
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization (binary-segmentation step 1) on
+    the daily event-count series: the split maximizing the scaled
+    mean-difference statistic sqrt(k(n−k)/n)·|mean_left − mean_right| —
+    the query a rate-monitoring pipeline runs when an alert fires and
+    you need WHEN the level shifted, not just that it did (the
+    companion to q_events_cusum's sequential detector).
+
+    All O(days²)-free: one day-grain hash aggregate off the raw scan,
+    then index + running sum over the bounded daily relation and a
+    per-split score — O(days) arithmetic, top-1 via TakeOrdered.  Means
+    are exact-integer cumsums divided once; the statistic is identical
+    IEEE arithmetic both engines, rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wi = Window.orderBy("day")
+    wc = wi.rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "n",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.sum("n").over(wc).cast("long").alias("cum"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    j = idx.crossJoin(broadcast(tot)).filter(F.col("i") < F.col("nd"))
+    ml = F.col("cum").cast("double") / F.col("i")
+    mr = (F.col("s") - F.col("cum")).cast("double") / (
+        F.col("nd") - F.col("i")
+    )
+    stat = F.round(
+        F.sqrt(
+            F.col("i").cast("double")
+            * (F.col("nd") - F.col("i"))
+            / F.col("nd")
+        )
+        * F.abs(ml - mr),
+        6,
+    )
+    return (
+        j.select(
+            F.col("i").alias("split_after"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(ml, 6).alias("mean_left"),
+            F.round(mr, 6).alias("mean_right"),
+            stat.alias("cusum_stat"),
+        )
+        .orderBy(F.col("cusum_stat").desc(), "day")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-tail exponent (Hill estimator) of the user-activity distribution
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # order statistics used by the Hill estimator
+
+
+@query(
+    "q_events_powerlaw",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    topk AS (
+      SELECT c FROM per_user
+      ORDER BY c DESC, user_id
+      LIMIT {HILL_K + 1}
+    ),
+    ref AS (SELECT MIN(c) AS c_ref, COUNT(*) AS m FROM topk),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(t.c AS DOUBLE) / r.c_ref) * 1e9 + 0.5)
+                  AS BIGINT) AS q
+      FROM topk t CROSS JOIN ref r
+      WHERE t.c > r.c_ref
+    )
+    SELECT r.m - 1 AS k, CAST(r.c_ref AS BIGINT) AS c_kplus1,
+           round(1.0 + (r.m - 1)
+                 / (CAST(SUM(t.q) AS DOUBLE) / 1e9), 6) AS hill_alpha
+    FROM terms t CROSS JOIN ref r
+    GROUP BY r.m, r.c_ref
+    """,
+)
+def q_events_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity distribution's tail exponent:
+    α = 1 + k / Σ ln(c_(i)/c_(k+1)) over the k most active users — the
+    standard check that per-user volume is power-law-tailed (it decides
+    whether per-key state needs skew handling: α ≤ 2 means the hottest
+    keys dominate and salting is mandatory).
+
+    One shuffle for the per-user counts; the k+1 largest counts come
+    via orderBy+limit — Spark plans TakeOrderedAndProject, a per-
+    partition heap + driver merge, never a global sort.  Each log term
+    is quantized onto the 1e9 carrier before the sum (order-independent
+    exact integers); k is fixed, so the estimator relation is ≤101 rows
+    at any corpus size.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    topk = (
+        per_user.orderBy(F.col("c").desc(), "user_id")
+        .limit(HILL_K + 1)
+        .select("c")
+    )
+    ref = topk.agg(
+        F.min("c").alias("c_ref"), F.count(F.lit(1)).alias("m")
+    )
+    terms = (
+        topk.crossJoin(broadcast(ref))
+        .filter(F.col("c") > F.col("c_ref"))
+        .select(
+            "m",
+            "c_ref",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("c_ref")) * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.groupBy("m", "c_ref").agg(
+        F.sum("q").alias("qs")
+    ).select(
+        (F.col("m") - 1).alias("k"),
+        F.col("c_ref").cast("long").alias("c_kplus1"),
+        F.round(
+            1.0
+            + (F.col("m") - 1)
+            / (F.col("qs").cast("double") / 1e9),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-maximum (peak) detection on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    nb AS (
+      SELECT day, n,
+             lag(n)  OVER (ORDER BY day) AS prev_n,
+             lead(n) OVER (ORDER BY day) AS next_n
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, prev_n, next_n,
+           CAST(n - greatest(prev_n, next_n) AS BIGINT) AS prominence
+    FROM nb
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    ORDER BY day
+    """,
+)
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily event-count series: days
+    strictly above both neighbors, with the (integer) prominence over
+    the taller neighbor — the load-peak census capacity planning reads
+    (which days spiked, and by how much) next to q_events_spikes'
+    trailing-mean alerts.
+
+    One day-grain hash aggregate, then lag/lead over the bounded daily
+    relation; every comparison is exact integer arithmetic."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day")
+    nb = daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "prev_n",
+            "next_n",
+            (F.col("n") - F.greatest("prev_n", "next_n"))
+            .cast("long")
+            .alias("prominence"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_theil_sen",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders GROUP BY mon
+    ),
+    idx AS (
+      SELECT mon, rev6,
+             CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS i
+      FROM monthly
+    ),
+    slopes AS (
+      SELECT a.i AS ia, b.i AS ib,
+             round((CAST(b.rev6 - a.rev6 AS DOUBLE) / 1e6)
+                   / (b.i - a.i), 6) AS slope
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope,
+             CAST(ROW_NUMBER() OVER (ORDER BY slope, ia, ib) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+           m AS n_pairs, slope AS theil_sen_slope
+    FROM ranked
+    WHERE rn = (m + 1) // 2
+    """,
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the median of all
+    pairwise slopes — the slope estimator that shrugs off the outlier
+    months OLS (q_stats_regression) gets dragged by; the robust
+    companion every revenue-trend report should quote.
+
+    The pair join runs over the BOUNDED month rollup (O(months²) pairs
+    — dozens, not data-scale), never raw orders; monthly revenue is the
+    exact 1e6-carrier sum, each slope a single double division on exact
+    integers, and the median is the deterministic ⌈m/2⌉-th order
+    statistic with (ia, ib) tiebreak — no averaging convention to
+    disagree on."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "mon"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev6")
+    )
+    wi = Window.orderBy("mon")
+    idx = monthly.select(
+        "mon", "rev6", F.row_number().over(wi).cast("long").alias("i")
+    )
+    a = idx.select(
+        F.col("i").alias("ia"), F.col("rev6").alias("ra")
+    )
+    b = idx.select(
+        F.col("i").alias("ib"), F.col("rev6").alias("rb")
+    )
+    slopes = (
+        a.join(broadcast(b), F.col("ib") > F.col("ia"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                ((F.col("rb") - F.col("ra")).cast("double") / 1e6)
+                / (F.col("ib") - F.col("ia")),
+                6,
+            ).alias("slope"),
+        )
+    )
+    wr = Window.orderBy("slope", "ia", "ib")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    ).crossJoin(
+        broadcast(slopes.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    )
+    nm = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) DIV 2"))
+        .crossJoin(broadcast(nm))
+        .select(
+            "n_months",
+            F.col("m").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) between two event segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_welch_t",
+    oracle="""
+    WITH seg AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v6) AS BIGINT) AS s1,
+             CAST(SUM(v6 * v6) AS HUGEINT) AS s2
+      FROM seg GROUP BY g
+    ),
+    stats AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / 1e6 / n AS mean,
+             (CAST(s2 AS DOUBLE) / 1e12
+              - (CAST(s1 AS DOUBLE) / 1e6)
+                * (CAST(s1 AS DOUBLE) / 1e6) / n) / (n - 1) AS var
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           round(((a.var / a.n + b.var / b.n)
+                  * (a.var / a.n + b.var / b.n))
+                 / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                    + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6)
+             AS welch_df
+    FROM (SELECT * FROM stats WHERE g = 'a') a
+    CROSS JOIN (SELECT * FROM stats WHERE g = 'b') b
+    """,
+)
+def q_stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test ('click' vs 'purchase' event
+    values): t statistic plus the Welch–Satterthwaite effective degrees
+    of freedom — the parametric two-sample comparison that does NOT
+    assume equal variances (its rank-based sibling is
+    q_stats_mannwhitney).  t and df are reported; the p-value lookup is
+    a client-side table read (no normal/t CDF exists portably in both
+    engines, and approximating one with exp() imports libm last-ulp
+    variance — the same reason q_stats_kaplan_meier reports
+    log-survival).
+
+    One conditional aggregation pass: per-segment n, Σx, Σx² on the
+    exact 1e6 carrier (Σx² of 60-bit squares rides DECIMAL(38) — the
+    overflow rule from SCALING.md), then pure scalar IEEE arithmetic on
+    the two-row relation."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "a")
+            .otherwise("b")
+            .alias("g"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+        )
+    )
+    m = e.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("s1"),
+        F.sum(
+            (F.col("v6") * F.col("v6")).cast("decimal(38,0)")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / 1e6 / F.col("n")
+    var = (
+        F.col("s2").cast("double") / 1e12
+        - (F.col("s1").cast("double") / 1e6)
+        * (F.col("s1").cast("double") / 1e6)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = m.select("g", "n", mean.alias("mean"), var.alias("var"))
+    a = stats.filter(F.col("g") == "a").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.filter(F.col("g") == "b").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    return a.crossJoin(broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb), 6
+        ).alias("t_stat"),
+        F.round(
+            ((sa + sb) * (sa + sb))
+            / (
+                sa * sa / (F.col("n_a") - 1)
+                + sb * sb / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split n-gram novelty (train/val leakage & memorization signal)
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::UBIGINT::BIGINT % 10"
+)
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_SPLIT_HASH} < 8 THEN 'train' ELSE 'val' END AS split,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT split, u.g
+      FROM assigned,
+           LATERAL (SELECT unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g) u
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    val_g AS (SELECT DISTINCT g FROM grams WHERE split = 'val'),
+    novel AS (
+      SELECT v.g FROM val_g v ANTI JOIN train_g t ON t.g = v.g
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM val_g) AS n_val_grams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM novel) AS n_novel,
+           round((SELECT CAST(COUNT(*) AS DOUBLE) FROM novel)
+                 / (SELECT COUNT(*) FROM val_g), 6) AS novelty_rate
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split trigram novelty: the fraction of the val split's
+    distinct trigrams never seen in train — the memorization /
+    leakage signal an eval-set audit reads before trusting a held-out
+    number (low novelty ⇒ the val set is paraphrases of train and the
+    eval is contaminated; the n-gram-level companion to
+    q_decontaminate's document-level check).
+
+    The split is the same md5(doc_id) hash as q_corpus_datacard, so
+    splits are deterministic and engine-identical.  Shape: explode
+    trigrams once, distinct per split (map-side combined), then ONE
+    left-anti join keyed on the gram — the shuffle carries distinct
+    grams, never raw positions, and the anti join is the scalable
+    set-difference (no collect, no broadcast of an unbounded side).
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    assigned = d.select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    grams = assigned.filter(F.size("toks") >= 3).select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("g"),
+    )
+    train_g = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+    )
+    val_g = grams.filter(F.col("split") == "val").select("g").distinct()
+    novel = val_g.join(train_g, "g", "left_anti")
+    nv = val_g.agg(F.count(F.lit(1)).cast("long").alias("n_val_grams"))
+    nn = novel.agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    return nv.crossJoin(nn).select(
+        "n_val_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_val_grams"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join (the runtime-filter pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(key, j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"bloom{j}"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5('bloom{j}' || '|' ||"
+        f" CAST({key} AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % {BLOOM_BITS}"
+    )
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_bloom_pos_sql('c_custkey', j)} AS p FROM dim"
+            for j in range(BLOOM_K)
+        )}
+      )
+    ),
+    passed AS (
+      SELECT o.o_orderkey, o.o_custkey FROM orders o
+      WHERE {' AND '.join(
+          f"EXISTS (SELECT 1 FROM bits b"
+          f" WHERE b.p = {_bloom_pos_sql('o.o_custkey', j)})"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    matched AS (
+      SELECT p.o_orderkey FROM passed p
+      SEMI JOIN dim d ON d.c_custkey = p.o_custkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_passed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM matched)
+             AS n_false_positives,
+           round(((SELECT CAST(COUNT(*) AS DOUBLE) FROM passed)
+                  - (SELECT COUNT(*) FROM matched))
+                 / greatest((SELECT COUNT(*) FROM passed), 1), 6)
+             AS fp_rate
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter, the runtime-filter pattern made
+    explicit: hash the selective dim's keys into a {BLOOM_BITS}-bit /
+    {BLOOM_K}-hash bloom set, prefilter the fact side against it, then
+    run the exact join only on survivors — with the false-positive
+    audit (passed − matched) that tells you whether the filter earned
+    its keep.  This is what Spark's own InjectRuntimeFilter does below
+    the surface (and what a 100 TB fact⋈selective-dim join lives on:
+    the fact shuffle carries only bloom survivors).
+
+    Declarative all the way: the bit set is a ≤{BLOOM_BITS}-row
+    relation; membership per hash is a BROADCAST left-semi join, so the
+    fact never shuffles for the prefilter, and only survivors reach the
+    exact semi join.  md5-derived positions are engine-identical
+    (the MinHash idiom); all outputs exact integers.
+    """
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        pj = dim.select(_bloom_pos_spark(F.col("c_custkey"), j).alias("p"))
+        bits = pj if bits is None else bits.unionAll(pj)
+    bits = bits.distinct()
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    passed = o
+    for j in range(BLOOM_K):
+        passed = passed.withColumn(
+            "_p", _bloom_pos_spark(F.col("o_custkey"), j)
+        ).join(
+            broadcast(bits.withColumnRenamed("p", "_p")), "_p", "left_semi"
+        )
+    passed = passed.select("o_orderkey", "o_custkey")
+    matched = passed.join(
+        dim, passed.o_custkey == dim.c_custkey, "left_semi"
+    )
+    no = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    np_ = passed.agg(F.count(F.lit(1)).cast("long").alias("n_passed"))
+    nm = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    return (
+        no.crossJoin(np_)
+        .crossJoin(nm)
+        .select(
+            "n_orders",
+            "n_passed",
+            "n_matched",
+            (F.col("n_passed") - F.col("n_matched")).alias(
+                "n_false_positives"
+            ),
+            F.round(
+                (F.col("n_passed") - F.col("n_matched")).cast("double")
+                / F.greatest(F.col("n_passed"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-share shift (first vs last month, per nation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_share_shift",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, mon
+    ),
+    shared AS (
+      SELECT n_name, mon, rev6,
+             round(CAST(rev6 AS DOUBLE)
+                   / SUM(rev6) OVER (PARTITION BY mon), 6) AS share,
+             CAST(RANK() OVER (PARTITION BY mon
+                               ORDER BY rev6 DESC, n_name) AS BIGINT) AS rnk
+      FROM monthly
+    ),
+    bounds AS (SELECT MIN(mon) AS lo, MAX(mon) AS hi FROM monthly)
+    SELECT s.n_name,
+           MAX(CASE WHEN s.mon = b.lo THEN s.share END) AS share_first,
+           MAX(CASE WHEN s.mon = b.hi THEN s.share END) AS share_last,
+           round(coalesce(MAX(CASE WHEN s.mon = b.hi THEN s.share END), 0)
+                 - coalesce(MAX(CASE WHEN s.mon = b.lo THEN s.share END), 0),
+                 6) AS share_delta,
+           MAX(CASE WHEN s.mon = b.lo THEN s.rnk END) AS rank_first,
+           MAX(CASE WHEN s.mon = b.hi THEN s.rnk END) AS rank_last
+    FROM shared s CROSS JOIN bounds b
+    WHERE s.mon = b.lo OR s.mon = b.hi
+    GROUP BY s.n_name
+    ORDER BY s.n_name
+    """,
+)
+def q_orders_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shift per nation: revenue share and rank in the
+    FIRST month of the data versus the LAST, with the share delta —
+    the who-gained-who-lost table every periodic business review opens
+    with.
+
+    One fact aggregation (orders ⋈ broadcast customer-nation path →
+    month×nation rollup); shares and ranks are windows PARTITIONED BY
+    month over the bounded rollup; the first/last comparison is a
+    conditional aggregation over two months only.  Revenue rides the
+    exact 1e6 carrier; shares divide exact integers."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("rev6")
+        )
+    )
+    wm = Window.partitionBy("mon")
+    wr = Window.partitionBy("mon").orderBy(
+        F.col("rev6").desc(), "n_name"
+    )
+    shared = monthly.select(
+        "n_name",
+        "mon",
+        F.round(
+            F.col("rev6").cast("double") / F.sum("rev6").over(wm), 6
+        ).alias("share"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+    )
+    bounds = monthly.agg(
+        F.min("mon").alias("lo"), F.max("mon").alias("hi")
+    )
+    s = shared.crossJoin(broadcast(bounds)).filter(
+        (F.col("mon") == F.col("lo")) | (F.col("mon") == F.col("hi"))
+    )
+    first_share = F.max(
+        F.when(F.col("mon") == F.col("lo"), F.col("share"))
+    )
+    last_share = F.max(
+        F.when(F.col("mon") == F.col("hi"), F.col("share"))
+    )
+    return (
+        s.groupBy("n_name")
+        .agg(
+            first_share.alias("share_first"),
+            last_share.alias("share_last"),
+            F.round(
+                F.coalesce(last_share, F.lit(0.0))
+                - F.coalesce(first_share, F.lit(0.0)),
+                6,
+            ).alias("share_delta"),
+            F.max(
+                F.when(F.col("mon") == F.col("lo"), F.col("rnk"))
+            ).alias("rank_first"),
+            F.max(
+                F.when(F.col("mon") == F.col("hi"), F.col("rnk"))
+            ).alias("rank_last"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension health profile (collapsed/dead-dimension census)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_dim_profile",
+    oracle="""
+    WITH elems AS (
+      SELECT u.pos, CAST(floor(CAST(u.val AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS v6
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+                           unnest(embedding) AS val) u
+    )
+    SELECT CAST(pos - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(v6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean,
+           round((CAST(SUM(v6 * v6) AS DOUBLE) / 1e12
+                  - (CAST(SUM(v6) AS DOUBLE) / 1e6)
+                    * (CAST(SUM(v6) AS DOUBLE) / 1e6) / COUNT(*))
+                 / COUNT(*), 6) AS variance,
+           round(CAST(SUM(CASE WHEN abs(v6) < 10000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_near_zero
+    FROM elems
+    GROUP BY pos
+    ORDER BY dim
+    """,
+)
+def q_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile: mean, (population)
+    variance, and the fraction of values within ±0.01 of zero for each
+    of the 64 dimensions — the collapsed-dimension census an embedding
+    pipeline runs after every model update (a dimension whose variance
+    drops to ~0 carries no information, wastes index space, and skews
+    cosine geometry).
+
+    One posexplode + one hash aggregation on the fixed 64-value
+    dimension key (map-side combine does nearly all the work; 64 keys
+    never skew).  Moments ride the exact 1e6 carrier with Σv² in
+    decimal — order-independent exact integers, then identical IEEE
+    division both engines."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select("embedding"), spark
+    )
+    elems = v.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "pos",
+        F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("v6"),
+    )
+    return (
+        elems.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v6").cast("long").alias("s1"),
+            F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias(
+                "s2"
+            ),
+            F.sum(F.when(F.abs("v6") < 10000, 1).otherwise(0))
+            .cast("long")
+            .alias("s_nz"),
+        )
+        .select(
+            F.col("pos").cast("long").alias("dim"),
+            "n",
+            F.round(
+                F.col("s1").cast("double") / 1e6 / F.col("n"), 6
+            ).alias("mean"),
+            F.round(
+                (
+                    F.col("s2").cast("double") / 1e12
+                    - (F.col("s1").cast("double") / 1e6)
+                    * (F.col("s1").cast("double") / 1e6)
+                    / F.col("n")
+                )
+                / F.col("n"),
+                6,
+            ).alias("variance"),
+            F.round(
+                F.col("s_nz").cast("double") / F.col("n"), 6
+            ).alias("frac_near_zero"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-lateness audit (the watermark-choosing table)
+# ---------------------------------------------------------------------------
+
+LATE_CAP_MIN = 30  # histogram cap: bucket 30 aggregates everything later
+
+
+@query(
+    "q_events_lateness",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM events
+    ),
+    lat AS (
+      SELECT least((epoch_us(runmax) - epoch_us(ts)) // 60000000,
+                   {LATE_CAP_MIN}) AS late_min
+      FROM arr
+    ),
+    hist AS (
+      SELECT CAST(late_min AS BIGINT) AS late_min,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM lat GROUP BY late_min
+    )
+    SELECT late_min, n_events,
+           round(CAST(SUM(n_events) OVER (ORDER BY late_min
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(n_events) OVER (), 6) AS cum_frac
+    FROM hist
+    ORDER BY late_min
+    """,
+)
+def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness audit: how far behind the per-user running-max
+    event time each event arrives (arrival order ≈ event_id), bucketed
+    into minutes and capped at {LATE_CAP_MIN} — THE table read before
+    choosing a streaming watermark (`withWatermark` threshold = the
+    bucket where cum_frac crosses your completeness SLO; everything
+    later is dropped state-free).
+
+    One window pass partitioned by user_id (single shuffle over raw
+    events — the same key the stream would carry), then an O(cap)-row
+    histogram; lateness is exact integer microseconds floored to
+    minutes, and the cumulative fraction divides exact integers over
+    the bounded histogram."""
+    e = t(spark, sf_dir, "events")
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = e.select(
+        "ts", F.max("ts").over(wa).alias("runmax")
+    )
+    lat = arr.select(
+        F.least(
+            F.floor(
+                (F.unix_micros("runmax") - F.unix_micros("ts")) / 60000000
+            ),
+            F.lit(LATE_CAP_MIN),
+        )
+        .cast("long")
+        .alias("late_min")
+    )
+    hist = lat.groupBy("late_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    wcum = Window.orderBy("late_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("late_min").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "late_min",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(wcum).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("cum_frac"),
+    ).orderBy("late_min")
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_ratio_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x6,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS u,
+             CAST(SUM(x6) AS BIGINT) AS sx,
+             CAST(SUM(k) AS BIGINT) AS sk,
+             CAST(SUM(x6 * x6) AS HUGEINT) AS sxx,
+             CAST(SUM(k * k) AS BIGINT) AS skk,
+             CAST(SUM(x6 * k) AS HUGEINT) AS sxk
+      FROM per_user
+    )
+    SELECT u AS n_users,
+           round(CAST(sx AS DOUBLE) / 1e6 / sk, 6) AS ratio,
+           round(sqrt(greatest(
+               (CAST(sxx AS DOUBLE) / 1e12 / u
+                - (CAST(sx AS DOUBLE) / 1e6 / u)
+                  * (CAST(sx AS DOUBLE) / 1e6 / u))
+               - 2 * (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(sxk AS DOUBLE) / 1e6 / u
+                    - (CAST(sx AS DOUBLE) / 1e6 / u)
+                      * (CAST(sk AS DOUBLE) / u))
+               + (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(skk AS DOUBLE) / u
+                    - (CAST(sk AS DOUBLE) / u) * (CAST(sk AS DOUBLE) / u)),
+               0) / u) / (CAST(sk AS DOUBLE) / u), 6) AS std_err
+    FROM mom
+    """,
+)
+def q_stats_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    event, user-randomized): se(R) = sqrt(Var(x − R·k)/U) / mean(k) —
+    the correction every A/B platform applies because ratio metrics'
+    numerator and denominator are correlated per user and the naive
+    event-level variance is wrong (the deng-knight ratio-metric rule).
+
+    One per-user rollup (single shuffle), then one moment aggregation:
+    Σx, Σk, Σx², Σk², Σxk all on exact carriers (x on 1e6, products in
+    HUGEINT/decimal), so the only doubles are the final fixed-order
+    scalar expression — identical IEEE both engines."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x6"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum((F.col("x6") * F.col("x6")).cast("decimal(38,0)")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+        F.sum((F.col("x6") * F.col("k")).cast("decimal(38,0)")).alias(
+            "sxk"
+        ),
+    )
+    mx = F.col("sx").cast("double") / 1e6 / F.col("u")
+    mk = F.col("sk").cast("double") / F.col("u")
+    r = F.col("sx").cast("double") / 1e6 / F.col("sk")
+    var_x = F.col("sxx").cast("double") / 1e12 / F.col("u") - mx * mx
+    cov_xk = F.col("sxk").cast("double") / 1e6 / F.col("u") - mx * mk
+    var_k = F.col("skk").cast("double") / F.col("u") - mk * mk
+    return mom.select(
+        F.col("u").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    var_x - 2 * r * cov_xk + r * r * var_k, F.lit(0.0)
+                )
+                / F.col("u")
+            )
+            / mk,
+            6,
+        ).alias("std_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-interval proportion estimates (return rate per brand)
+# ---------------------------------------------------------------------------
+
+_Z95 = 1.96
+
+
+@query(
+    "q_stats_wilson",
+    oracle=f"""
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, r,
+           round(CAST(r AS DOUBLE) / n, 6) AS rate,
+           round(((CAST(r AS DOUBLE) / n
+                   + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                     / (2 * n))
+                  - CAST({_Z95} AS DOUBLE)
+                    * sqrt((CAST(r AS DOUBLE) / n)
+                           * (1 - CAST(r AS DOUBLE) / n) / n
+                           + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                             / (4.0 * n * n)))
+                 / (1 + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE) / n),
+                 6) AS wilson_lo,
+           round(((CAST(r AS DOUBLE) / n
+                   + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                     / (2 * n))
+                  + CAST({_Z95} AS DOUBLE)
+                    * sqrt((CAST(r AS DOUBLE) / n)
+                           * (1 - CAST(r AS DOUBLE) / n) / n
+                           + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                             / (4.0 * n * n)))
+                 / (1 + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE) / n),
+                 6) AS wilson_hi
+    FROM base
+    ORDER BY p_brand
+    """,
+)
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for the per-brand return rate — the
+    proportion CI that stays inside [0,1] and behaves at small n, which
+    is why ranking dashboards sort by wilson_lo instead of the raw rate
+    (a brand with 2/2 returns must not outrank one with 90/100).
+
+    One fact⋈part equi-join (optimizer-chosen strategy — part scales
+    with SF, so no broadcast hint) + one hash aggregation; the interval
+    is fixed-order scalar IEEE arithmetic on two exact integers per
+    group, stated identically in both engines."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    z = F.lit(_Z95)
+    phat = F.col("r").cast("double") / F.col("n")
+    center = phat + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return base.select(
+        "p_brand",
+        "n",
+        "r",
+        F.round(phat, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("p_brand")

@@ -919,3 +919,355 @@ object.__setattr__(
     _spec9, "oracle", _spec9.oracle.format(pairs=_o_candidate_edges())
 )
 del _REG9, _spec9
+
+
+LPA_ROUNDS = 3
+
+
+def _o_labelprop_round(prev: str, out: str) -> str:
+    return f"""{out} AS MATERIALIZED (
+      SELECT node, lbl FROM (
+        SELECT u.node, l.lbl,
+               ROW_NUMBER() OVER (PARTITION BY u.node
+                                  ORDER BY COUNT(*) DESC, l.lbl) AS rk
+        FROM und u JOIN {prev} l ON l.node = u.nb
+        GROUP BY u.node, l.lbl
+      ) WHERE rk = 1
+    )"""
+
+
+def _o_labelprop() -> str:
+    from data_warehouse_hive_spark.extensions.dedup import (
+        _o_minhash_pairs_cte,
+    )
+
+    rounds = ",\n    ".join(
+        _o_labelprop_round(f"r{k}" if k else "l0", f"r{k + 1}")
+        for k in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_o_minhash_pairs_cte()},
+    und AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nb FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+    {rounds}
+    SELECT CAST(lbl AS BIGINT) AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM r{LPA_ROUNDS}
+    GROUP BY lbl
+    ORDER BY n_members DESC, community
+    """
+
+
+def _lpa_labels(spark: SparkSession, sf_dir: str):
+    """Run the bounded synchronous LPA loop; returns (symmetrized edge
+    relation, final (node, lbl) labels) — shared by q_graph_labelprop
+    and q_graph_modularity."""
+    from data_warehouse_hive_spark.extensions.dedup import (
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    und = (
+        pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nb"))
+        .unionAll(
+            pairs.select(
+                F.col("doc_b").alias("node"), F.col("doc_a").alias("nb")
+            )
+        )
+        .localCheckpoint(eager=False)
+    )
+    labels = und.select("node").distinct().withColumn("lbl", F.col("node"))
+    w = Window.partitionBy("node").orderBy(F.col("cnt").desc(), "lbl")
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            und.join(
+                labels.select(F.col("node").alias("nb"), "lbl"), "nb"
+            )
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=False)
+        )
+    return und, labels
+
+
+@query("q_graph_labelprop", oracle=_o_labelprop())
+def q_graph_labelprop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label propagation (synchronous majority-vote LPA, {LPA_ROUNDS}
+    fixed rounds) over the LSH candidate graph: each node adopts the
+    most common label among its neighbors, ties to the smallest label —
+    the classic near-linear community detector, and a genuinely
+    DIFFERENT fixpoint from q_dedup_groups' min-label connected
+    components (LPA splits a weakly-bridged component into communities;
+    CC cannot).
+
+    Same scale shape as the other bounded Pregel loops: per round ONE
+    join of the symmetrized edge list against the label relation + a
+    grouped vote + a per-node argmax (count desc, label asc — plans as
+    WindowGroupLimit), with localCheckpoint truncating lineage.  Fixed
+    round count and the deterministic tiebreak make the synchronous
+    fixpoint hash-comparable; the oracle unrolls the identical rounds
+    (AS MATERIALIZED — without it DuckDB re-inlines the LSH pipeline
+    exponentially, the q_graph_kcore lesson)."""
+    _, labels = _lpa_labels(spark, sf_dir)
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .select(F.col("lbl").cast("long").alias("community"), "n_members")
+        .orderBy(F.col("n_members").desc(), "community")
+    )
+
+
+def _o_modularity() -> str:
+    from data_warehouse_hive_spark.extensions.dedup import (
+        _o_minhash_pairs_cte,
+    )
+
+    rounds = ",\n    ".join(
+        _o_labelprop_round(f"r{k}" if k else "l0", f"r{k + 1}")
+        for k in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_o_minhash_pairs_cte()},
+    und AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nb FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+    {rounds},
+    lab AS MATERIALIZED (SELECT node, lbl FROM r{LPA_ROUNDS}),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m2 FROM und),
+    within AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS e2_c
+      FROM und u
+      JOIN lab la ON la.node = u.node
+      JOIN lab lb ON lb.node = u.nb
+      WHERE la.lbl = lb.lbl
+      GROUP BY la.lbl
+    ),
+    deg AS (
+      SELECT la.lbl, CAST(COUNT(*) AS BIGINT) AS d_c
+      FROM und u JOIN lab la ON la.node = u.node
+      GROUP BY la.lbl
+    ),
+    terms AS (
+      SELECT d.lbl,
+             CAST(floor((CAST(COALESCE(w.e2_c, 0) AS DOUBLE) / m.m2
+                         - (CAST(d.d_c AS DOUBLE) / m.m2)
+                           * (CAST(d.d_c AS DOUBLE) / m.m2)) * 1e9 + 0.5)
+                  AS BIGINT) AS q9
+      FROM deg d LEFT JOIN within w ON w.lbl = d.lbl
+      CROSS JOIN m
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_communities,
+           (SELECT m2 // 2 FROM m) AS n_edges,
+           round(CAST(SUM(q9) AS DOUBLE) / 1e9, 6) AS modularity
+    FROM terms
+    """
+
+
+@query("q_graph_modularity", oracle=_o_modularity())
+def q_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity Q of the LPA community partition over the LSH
+    candidate graph: Q = Σ_c (e_c/m − (d_c/2m)²) — the score that says
+    whether the communities LPA found are real structure or noise
+    (Q≈0), the standard acceptance gate for a community detection run.
+
+    Reuses the exact labels q_graph_labelprop computes (shared bounded
+    loop), then three aggregations over the edge and label relations:
+    within-community edge count (edge⋈label⋈label on the node keys),
+    community degree sums, and the per-community Q terms — each term
+    quantized onto the 1e9 carrier before the final sum, so the
+    community-order-dependent float addition is exact integers (the
+    q_stats_mutual_info rule)."""
+    und, labels = _lpa_labels(spark, sf_dir)
+    lab = labels.localCheckpoint(eager=False)
+    m2 = und.agg(F.count(F.lit(1)).cast("long").alias("m2"))
+    la = lab.select(F.col("node").alias("node"), F.col("lbl").alias("la"))
+    lb = lab.select(F.col("node").alias("nb"), F.col("lbl").alias("lb"))
+    within = (
+        und.join(la, "node")
+        .join(lb, "nb")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("e2_c"))
+    )
+    deg = (
+        und.join(la, "node")
+        .groupBy(F.col("la").alias("lbl"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_c"))
+    )
+    terms = (
+        deg.join(within, "lbl", "left")
+        .crossJoin(F.broadcast(m2))
+        .select(
+            F.floor(
+                (
+                    F.coalesce(F.col("e2_c"), F.lit(0)).cast("double")
+                    / F.col("m2")
+                    - (F.col("d_c").cast("double") / F.col("m2"))
+                    * (F.col("d_c").cast("double") / F.col("m2"))
+                )
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("q9")
+        )
+    )
+    nc = deg.agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+    ne = m2.select((F.col("m2") / 2).cast("long").alias("n_edges"))
+    return (
+        terms.agg(
+            F.round(F.sum("q9").cast("double") / 1e9, 6).alias(
+                "modularity"
+            )
+        )
+        .crossJoin(F.broadcast(nc))
+        .crossJoin(F.broadcast(ne))
+        .select("n_communities", "n_edges", "modularity")
+    )
+
+
+HITS_SCALE = 10**6
+HITS_ITERS = 2
+
+
+def _o_hits() -> str:
+    """Unrolled quantized HITS rounds.  Each round: authority = Σ_in
+    hub·w then max-normalize onto the grid; hub = Σ_out auth·w then
+    max-normalize.  HUGEINT keeps the products exact."""
+    edges = """
+    e AS MATERIALIZED (
+      SELECT prev AS src, event_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+      FROM (
+        SELECT event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events
+      ) WHERE prev IS NOT NULL
+      GROUP BY prev, event_type
+    ),
+    nodes AS MATERIALIZED (
+      SELECT DISTINCT src AS node FROM e
+      UNION
+      SELECT DISTINCT dst FROM e
+    ),
+    h0 AS (SELECT node, CAST({S} AS BIGINT) AS hq FROM nodes)
+    """.replace("{S}", str(HITS_SCALE))
+    body = []
+    prev_h = "h0"
+    for k in range(1, HITS_ITERS + 1):
+        body.append(f"""
+    ar{k} AS (
+      SELECT n.node,
+             CAST(COALESCE(SUM(CAST(h.hq AS HUGEINT) * e.w), 0) AS HUGEINT)
+               AS raw
+      FROM nodes n
+      LEFT JOIN e ON e.dst = n.node
+      LEFT JOIN {prev_h} h ON h.node = e.src
+      GROUP BY n.node
+    ),
+    am{k} AS (SELECT MAX(raw) AS mx FROM ar{k}),
+    a{k} AS (
+      SELECT r.node,
+             CAST(CASE WHEN m.mx > 0
+                  THEN (r.raw * {HITS_SCALE}) // m.mx ELSE 0 END AS BIGINT)
+               AS aq
+      FROM ar{k} r CROSS JOIN am{k} m
+    ),
+    hr{k} AS (
+      SELECT n.node,
+             CAST(COALESCE(SUM(CAST(a.aq AS HUGEINT) * e.w), 0) AS HUGEINT)
+               AS raw
+      FROM nodes n
+      LEFT JOIN e ON e.src = n.node
+      LEFT JOIN a{k} a ON a.node = e.dst
+      GROUP BY n.node
+    ),
+    hm{k} AS (SELECT MAX(raw) AS mx FROM hr{k}),
+    h{k} AS (
+      SELECT r.node,
+             CAST(CASE WHEN m.mx > 0
+                  THEN (r.raw * {HITS_SCALE}) // m.mx ELSE 0 END AS BIGINT)
+               AS hq
+      FROM hr{k} r CROSS JOIN hm{k} m
+    )""")
+        prev_h = f"h{k}"
+    K = HITS_ITERS
+    return f"""
+    WITH {edges},{','.join(body)}
+    SELECT h.node AS event_type, h.hq AS hub_q, a.aq AS auth_q,
+           round(CAST(h.hq AS DOUBLE) / {HITS_SCALE}, 6) AS hub,
+           round(CAST(a.aq AS DOUBLE) / {HITS_SCALE}, 6) AS authority
+    FROM h{K} h JOIN a{K} a ON a.node = h.node
+    ORDER BY event_type
+    """
+
+
+@query("q_graph_hits", oracle=_o_hits())
+def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hub/authority scores ({HITS_ITERS} quantized rounds,
+    max-normalized) on the event-type transition graph — PageRank's
+    bipartite sibling: a type is a strong HUB when it routes into
+    strong authorities (the 'gateway' events) and an AUTHORITY when
+    strong hubs route into it (the 'destination' events).
+
+    The DISTRIBUTED stage is the expensive one: one user-partitioned
+    window pass over the raw events builds the aggregated (src, dst, w)
+    transition matrix — bounded by the event-type domain (≤d² rows)
+    REGARDLESS of corpus size.  The fixpoint itself then runs
+    driver-side on that bounded relation (the q_embed_pca 64×64
+    precedent: driver finishing is the honest shape for fixed-size
+    state — a 6-node DataFrame loop would pay ~16 job-scheduling
+    round-trips to shuffle nothing).  All mass updates are exact
+    integer products with integer floor-division max-normalization,
+    bit-identical to the oracle's unrolled HUGEINT replay."""
+    rows = _edges(spark, sf_dir).collect()  # bounded: type-domain² rows
+    nodes = sorted({r.src for r in rows} | {r.dst for r in rows})
+    w = {(r.src, r.dst): r.w for r in rows}
+    hq = {n: HITS_SCALE for n in nodes}
+    aq = {n: 0 for n in nodes}
+    for _ in range(HITS_ITERS):
+        raw_a = {
+            n: sum(hq[u] * w[(u, n)] for u in nodes if (u, n) in w)
+            for n in nodes
+        }
+        mx = max(raw_a.values(), default=0)
+        aq = {
+            n: (raw_a[n] * HITS_SCALE) // mx if mx > 0 else 0
+            for n in nodes
+        }
+        raw_h = {
+            n: sum(aq[v] * w[(n, v)] for v in nodes if (n, v) in w)
+            for n in nodes
+        }
+        mx = max(raw_h.values(), default=0)
+        hq = {
+            n: (raw_h[n] * HITS_SCALE) // mx if mx > 0 else 0
+            for n in nodes
+        }
+    out = [
+        (
+            n,
+            hq[n],
+            aq[n],
+            round(hq[n] / HITS_SCALE, 6),
+            round(aq[n] / HITS_SCALE, 6),
+        )
+        for n in nodes
+    ]
+    return spark.createDataFrame(
+        out,
+        "event_type string, hub_q long, auth_q long,"
+        " hub double, authority double",
+    ).orderBy("event_type")

@@ -957,3 +957,120 @@ from data_warehouse_hive_spark.extensions.similarity import (  # noqa: E402
 _spec6 = _REG6["q_sim_ndcg"]
 object.__setattr__(_spec6, "oracle", _spec6.oracle.format(bucket=_olb6("e")))
 del _REG6, _spec6
+
+
+def _pq_topk_oracle() -> str:
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    return _R["q_sim_search_pq"].oracle
+
+
+@query(
+    "q_sim_recall_pq",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v
+          WHERE vec_id < {N_QUERY_VECS}),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             list_sum(list_transform(range(1, 65), i ->
+               CAST(floor((q.qe[i] - v.e[i]) * (q.qe[i] - v.e[i]) * 1e6
+                          + 0.5) AS BIGINT))) AS d2s
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY d2s, vec_id) AS rk
+        FROM exact_scored
+      ) WHERE rk <= {TOP_K}
+    ),
+    pq_topk AS (
+      SELECT query_id, vec_id FROM ({{pq}})
+    )
+    SELECT e.query_id,
+           COUNT(*) AS n_exact,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(p.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS recall_at_k
+    FROM exact_topk e
+    LEFT JOIN pq_topk p
+      ON p.query_id = e.query_id AND p.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_sim_recall_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the PQ/ADC quantized index against exact L2 search —
+    the eval that closes the PQ loop (q_sim_recall covers the LSH
+    index; an index you can't measure you can't ship).  Exact ground
+    truth uses the same carrier-quantized squared-distance algebra as
+    the PQ oracle, so both sides are engine-identical.
+
+    Shape: ground truth is the broadcast-query brute-force top-k
+    (Q×k rows); the approximate side is exactly the registered
+    q_sim_search_pq plan; the recall join runs over two Q×k-row lists
+    — negligible next to the searches, and at 100 TB ground truth is
+    computed once per index build on the bounded query set."""
+    from data_warehouse_hive_spark.extensions.similarity import (
+        q_sim_search_pq,
+    )
+
+    v, q = _fixture_corpus(spark, sf_dir)
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("qe"),
+            F.col("e"),
+            lambda a, b: F.floor((a - b) * (a - b) * 1e6 + 0.5).cast(
+                "long"
+            ),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = v.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select("query_id", "vec_id", d2.alias("d2s"))
+    w = Window.partitionBy("query_id").orderBy("d2s", "vec_id")
+    exact = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id")
+    )
+    approx = q_sim_search_pq(spark, sf_dir).select(
+        F.col("query_id").alias("a_query_id"),
+        F.col("vec_id").alias("a_vec_id"),
+    )
+    return (
+        exact.join(
+            approx,
+            (F.col("query_id") == F.col("a_query_id"))
+            & (F.col("vec_id") == F.col("a_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_exact"),
+            F.count("a_vec_id").cast("long").alias("n_hit"),
+            (
+                F.count("a_vec_id").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("recall_at_k"),
+        )
+        .orderBy("query_id")
+    )
+
+
+def _assemble_recall_pq_oracle() -> None:
+    from data_warehouse_hive_spark.registry import REGISTRY as _R
+
+    spec = _R["q_sim_recall_pq"]
+    object.__setattr__(
+        spec, "oracle", spec.oracle.format(pq=_pq_topk_oracle())
+    )
+
+
+_assemble_recall_pq_oracle()

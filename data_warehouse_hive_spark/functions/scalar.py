@@ -1415,3 +1415,51 @@ def q_fn_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.octet_length(F.encode("p_name", "utf-8")).alias("name_utf8_bytes"),
     )
+
+
+@query(
+    "q_fn_map_ops",
+    oracle="""
+    WITH metrics AS (
+      SELECT p_partkey, 'name_len' AS key,
+             CAST(length(p_name) AS BIGINT) AS val FROM part
+      UNION ALL
+      SELECT p_partkey, 'retail_cents',
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) FROM part
+      UNION ALL
+      SELECT p_partkey, 'size', CAST(p_size AS BIGINT) FROM part
+    )
+    SELECT p_partkey, key, CAST(val * 2 AS BIGINT) AS val2
+    FROM metrics
+    WHERE val > 10
+    ORDER BY p_partkey, key
+    """,
+)
+def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP-typed column algebra — the HiveQL map surface
+    (map construction, map_filter, transform_values, entry explosion)
+    re-expressed with Spark's higher-order map functions: build a
+    per-row metric map, filter entries by value, transform the
+    surviving values, explode back to rows.  All four operations run
+    inside whole-stage codegen on the JVM — no shuffle, no UDF.
+
+    DuckDB's map surface differs, so the oracle states the SEMANTICS
+    (the flattened entry relation the pipeline must produce) as plain
+    relational SQL — the map ops are checked by their observable
+    output, the same way q_unpivot_multi's oracle states the UNION ALL
+    desugaring."""
+    p = t(spark, sf_dir, "part")
+    m = F.create_map(
+        F.lit("name_len"),
+        F.length("p_name").cast("long"),
+        F.lit("retail_cents"),
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long"),
+        F.lit("size"),
+        F.col("p_size").cast("long"),
+    )
+    filtered = F.map_filter(m, lambda k, v: v > 10)
+    doubled = F.transform_values(filtered, lambda k, v: v * 2)
+    return (
+        p.select("p_partkey", F.explode(doubled).alias("key", "val2"))
+        .orderBy("p_partkey", "key")
+    )

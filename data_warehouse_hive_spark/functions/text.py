@@ -1793,3 +1793,126 @@ def q_text_instruct_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_q.cast("long").alias("n_question_marks"),
         (starts_wh | starts_imp | (n_q > 0)).alias("instruction_like"),
     ).orderBy("doc_id")
+
+
+KN_D = 0.75  # absolute discount (the standard Kneser-Ney default)
+
+
+@query(
+    "q_text_lm_kn",
+    oracle=r"""
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[u.i] AS w1, toks[u.i + 1] AS w2
+      FROM d, LATERAL (SELECT unnest(range(1, len(toks))) AS i) u
+      WHERE len(toks) >= 2
+    ),
+    c12 AS (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM bg GROUP BY w1, w2
+    ),
+    c1 AS (
+      SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+             CAST(COUNT(*) AS BIGINT) AS n1p
+      FROM c12 GROUP BY w1
+    ),
+    cont AS (
+      SELECT w2, CAST(COUNT(*) AS BIGINT) AS nc FROM c12 GROUP BY w2
+    ),
+    nbb AS (SELECT CAST(COUNT(*) AS BIGINT) AS nbb FROM c12),
+    scored AS (
+      SELECT b.doc_id,
+             CAST(floor(ln(
+               greatest(CAST(c.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), 0)
+                 / x.c1
+               + (CAST(0.75 AS DOUBLE) * x.n1p / x.c1)
+                 * (CAST(k.nc AS DOUBLE) / n.nbb)
+             ) * 1e9 + 0.5) AS BIGINT) AS q
+      FROM bg b
+      JOIN c12 c ON c.w1 = b.w1 AND c.w2 = b.w2
+      JOIN c1 x ON x.w1 = b.w1
+      JOIN cont k ON k.w2 = b.w2
+      CROSS JOIN nbb n
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           round(CAST(SUM(q) AS DOUBLE) / 1e9 / COUNT(*), 6)
+             AS kn_logprob
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def q_text_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM scoring (absolute discount
+    d={KN_D}): per-document mean log P_KN(w2|w1) where
+    P_KN = max(c(w1w2)−d, 0)/c(w1) + d·N1+(w1·)/c(w1) · N1+(·w2)/N1+(··)
+    — the smoothing that made n-gram LMs work (continuation probability
+    instead of raw unigram backoff), and a sharper quality scorer than
+    q_text_lm_score's add-k model: KN punishes documents whose bigrams
+    are frequent only inside boilerplate contexts.
+
+    Scale shape: the model is three count relations (bigram, context,
+    continuation), all map-side-combined shuffles keyed on words; the
+    scoring pass re-joins the bigram stream against them on the same
+    keys — no collect, no broadcast of unbounded vocabulary.  Each log
+    is quantized onto the 1e9 carrier before the per-doc sum (exact
+    integers); the probability expression is stated in identical
+    operation order in both engines."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    toked = d.select("doc_id", tokens("text").alias("toks")).filter(
+        F.size("toks") >= 2
+    )
+    bg = toked.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 2),"
+                " i -> struct(toks[i] AS w1, toks[i+1] AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    # materialize the bigram-count relation once: four consumers (context
+    # totals, continuation counts, the type total, and the scoring join)
+    # would otherwise each replay the tokenize+explode+count pipeline
+    c12 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c12").cast("long").alias("c1"),
+        F.count(F.lit(1)).cast("long").alias("n1p"),
+    )
+    cont = c12.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("long").alias("nc")
+    )
+    nbb = c12.agg(F.count(F.lit(1)).cast("long").alias("nbb"))
+    p_kn = F.log(
+        F.greatest(
+            F.col("c12").cast("double") - F.lit(KN_D), F.lit(0.0)
+        )
+        / F.col("c1")
+        + (F.lit(KN_D) * F.col("n1p") / F.col("c1"))
+        * (F.col("nc").cast("double") / F.col("nbb"))
+    )
+    scored = (
+        bg.join(c12, ["w1", "w2"])
+        .join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nbb))
+        .select(
+            "doc_id",
+            F.floor(p_kn * 1e9 + 0.5).cast("long").alias("q"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.sum("q").cast("double") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("kn_logprob"),
+        )
+        .orderBy("doc_id")
+    )

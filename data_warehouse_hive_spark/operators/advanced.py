@@ -1554,3 +1554,128 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_custkey, seq
         """
     )
+
+
+@query(
+    "q_join_asof_nearest",
+    oracle="""
+    WITH purchases AS (
+      SELECT user_id, ts AS p_ts, event_id AS p_event_id
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts AS c_ts, event_id AS c_event_id
+      FROM events WHERE event_type = 'click'
+    ),
+    back AS (
+      SELECT p.user_id, p.p_event_id, p.p_ts,
+             c.c_event_id AS b_id, c.c_ts AS b_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts <= p.p_ts
+    ),
+    fwd AS (
+      SELECT p.p_event_id, c.c_event_id AS f_id, c.c_ts AS f_ts
+      FROM purchases p
+      ASOF LEFT JOIN clicks c
+        ON p.user_id = c.user_id AND c.c_ts >= p.p_ts
+    )
+    SELECT b.user_id, b.p_event_id, b.p_ts,
+           CASE
+             WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+             WHEN f.f_id IS NULL THEN b.b_id
+             WHEN b.b_id IS NULL THEN f.f_id
+             WHEN epoch_us(b.p_ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.p_ts) THEN b.b_id
+             ELSE f.f_id
+           END AS nearest_click_id,
+           CASE
+             WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+             WHEN f.f_id IS NULL THEN 'back'
+             WHEN b.b_id IS NULL THEN 'fwd'
+             WHEN epoch_us(b.p_ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.p_ts) THEN 'back'
+             ELSE 'fwd'
+           END AS direction
+    FROM back b JOIN fwd f ON f.p_event_id = b.p_event_id
+    """,
+)
+def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-match as-of join (pandas merge_asof direction='nearest'):
+    each purchase matched to the user's closest click in EITHER time
+    direction, ties resolved backward — the attribution variant used
+    when the touchpoint may be logged slightly after the conversion
+    (clock skew between systems).
+
+    Same linear shape as q_join_asof: ONE union + ONE window pass per
+    user carries the last preceding click forward AND the first
+    following click backward; the nearest pick is a scalar comparison
+    of microsecond gaps.  The oracle cross-checks against DuckDB's
+    native ASOF in both directions — our composition must agree with a
+    real asof implementation, not just with itself.  A click at the
+    exact purchase timestamp belongs to the backward side (diff 0
+    always wins backward), which is why the forward window excluding
+    equal-ts clicks is still exact."""
+    e = t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(0).alias("side"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ets"),
+        F.col("event_id").alias("eid"),
+        F.lit(-1).alias("side"),
+    )
+    unioned = purchases.unionByName(clicks)
+    order = [F.col("ets"), F.col("side"), F.col("eid")]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    click_id = F.when(F.col("side") == -1, F.col("eid"))
+    click_ts = F.when(F.col("side") == -1, F.col("ets"))
+    lastb = unioned.select(
+        "user_id",
+        "ets",
+        "eid",
+        "side",
+        F.last(click_id, ignorenulls=True).over(wb).alias("b_id"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("b_ts"),
+        F.first(click_id, ignorenulls=True).over(wf).alias("f_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("f_ts"),
+    ).filter(F.col("side") == 0)
+    bdiff = F.unix_micros("ets") - F.unix_micros("b_ts")
+    fdiff = F.unix_micros("f_ts") - F.unix_micros("ets")
+    nearest_id = (
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None))
+        .when(F.col("f_id").isNull(), F.col("b_id"))
+        .when(F.col("b_id").isNull(), F.col("f_id"))
+        .when(bdiff <= fdiff, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+    )
+    direction = (
+        F.when(
+            F.col("b_id").isNull() & F.col("f_id").isNull(),
+            F.lit(None).cast("string"),
+        )
+        .when(F.col("f_id").isNull(), F.lit("back"))
+        .when(F.col("b_id").isNull(), F.lit("fwd"))
+        .when(bdiff <= fdiff, F.lit("back"))
+        .otherwise(F.lit("fwd"))
+    )
+    return lastb.select(
+        "user_id",
+        F.col("eid").alias("p_event_id"),
+        F.col("ets").alias("p_ts"),
+        nearest_id.alias("nearest_click_id"),
+        direction.alias("direction"),
+    )

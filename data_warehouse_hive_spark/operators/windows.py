@@ -654,3 +654,66 @@ def q_win_cumsum_reset(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 1e6
         ).alias("episode_revenue"),
     )
+
+
+@query(
+    "q_win_rolling_median",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    framed AS (
+      SELECT event_type, day, n,
+             list_sort(list(n) OVER (PARTITION BY event_type ORDER BY day
+                                     ROWS BETWEEN 6 PRECEDING
+                                     AND CURRENT ROW)) AS win
+      FROM daily
+    )
+    SELECT event_type, day, n,
+           CAST(win[(len(win) + 1) // 2] AS BIGINT) AS roll_median
+    FROM framed
+    ORDER BY event_type, day
+    """,
+)
+def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day median of the daily event-rate per type — the
+    robust smoother dashboards use where a rolling MEAN would chase
+    single-day spikes.  Spark's median()/percentile_disc() refuse
+    window frames (SCALING.md), so the frame median is composed
+    explicitly: collect_list over the 7-row frame, sort, take the
+    deterministic lower median — identical convention stated on both
+    engines (no interpolation to disagree on).
+
+    The frame holds ≤7 small integers, so the per-row list is O(1);
+    windows run over the bounded (type × day) rollup, partitioned by
+    type — never over raw events."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-6, 0)
+    )
+    return (
+        daily.withColumn(
+            "win", F.sort_array(F.collect_list("n").over(w))
+        )
+        .select(
+            "event_type",
+            "day",
+            "n",
+            F.element_at(
+                F.col("win"), F.expr("CAST((size(win) + 1) DIV 2 AS INT)")
+            )
+            .cast("long")
+            .alias("roll_median"),
+        )
+        .orderBy("event_type", "day")
+    )

@@ -189,6 +189,7 @@ def load_all() -> dict[str, QuerySpec]:
     import data_warehouse_hive_spark.extensions.retrieval  # noqa: F401
     import data_warehouse_hive_spark.extensions.graph  # noqa: F401
     import data_warehouse_hive_spark.extensions.curation  # noqa: F401
+    import data_warehouse_hive_spark.extensions.diagnostics  # noqa: F401
     import data_warehouse_hive_spark.sources.ddl_queries  # noqa: F401
 
     return REGISTRY

@@ -8,6 +8,8 @@ counts, whole-stage codegen.  A change that silently degrades a plan
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.plans.explain import (
@@ -830,3 +832,72 @@ def test_rank_fusion_per_query_all_windows_partitioned(spark, sf_dir):
     for ln in win_args:
         assert "windowspecdefinition(query_id#" in ln, ln
     assert "WindowGroupLimit" in plan, plan
+
+
+def test_bloom_prefilter_is_broadcast_semi(spark, sf_dir):
+    """The bloom prefilter must apply as BROADCAST left-semi joins
+    against the <=1024-row bit relation — the fact side never shuffles
+    for the prefilter, and the only nested-loop joins are the final
+    1-row audit cross-joins."""
+    plan = _plan(spark, sf_dir, "q_join_bloom")
+    assert "LeftSemi" in plan, plan
+    strategies = join_strategies(plan)
+    assert strategies.count("BroadcastHashJoin") >= 4, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_powerlaw_topk_is_take_ordered(spark, sf_dir):
+    """The Hill estimator's k+1 largest counts must plan as
+    TakeOrderedAndProject (per-partition heap + driver merge), never a
+    global sort of the per-user relation."""
+    plan = _plan(spark, sf_dir, "q_events_powerlaw")
+    assert uses_take_ordered(plan), plan
+
+
+def test_ngram_novelty_is_anti_join(spark, sf_dir):
+    """The novelty set-difference must plan as a gram-keyed LEFT ANTI
+    join (no collect, no driver-side set); whether the train side
+    broadcasts is the optimizer's size-based call — hinted by neither
+    side, so at corpus scale it degrades to a shuffle anti join."""
+    plan = _plan(spark, sf_dir, "q_text_ngram_novelty")
+    assert "LeftAnti" in plan, plan
+
+
+def test_lm_kn_word_keyed_equi_joins(spark, sf_dir):
+    """The KN scoring pass must re-join the bigram stream against the
+    count relations on word equi-keys — never a cartesian/nested-loop
+    (the 1-row type-total crossjoin broadcasts)."""
+    plan = _plan(spark, sf_dir, "q_text_lm_kn")
+    strategies = join_strategies(plan)
+    assert strategies, plan
+    assert not any("Cartesian" in s for s in strategies), strategies
+    # count formatted node headers only — join_strategies also matches the
+    # tree-summary section, doubling every node
+    nl = re.findall(r"^\(\d+\) BroadcastNestedLoopJoin", plan, re.M)
+    # only the 1-row nbb broadcast may nested-loop
+    assert len(nl) <= 1, strategies
+
+
+def test_asof_nearest_single_user_shuffle(spark, sf_dir):
+    """Both directions of the nearest as-of must ride ONE window pass
+    partitioned by user_id — a join-based nearest would blow up pairs.
+    No join may appear at all."""
+    plan = _plan(spark, sf_dir, "q_join_asof_nearest")
+    assert not join_strategies(plan), plan
+    assert "user_id" in plan, plan
+
+
+def test_rolling_median_windows_partitioned(spark, sf_dir):
+    """The frame median must run over the (type x day) rollup with
+    windows PARTITIONED BY event_type — no empty-partition WindowExec,
+    and a HashAggregate must precede the window."""
+    plan = _plan(spark, sf_dir, "q_win_rolling_median")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert win_args, plan
+    for ln in win_args:
+        assert "windowspecdefinition(event_type#" in ln, ln
+    assert "HashAggregate" in plan, plan
