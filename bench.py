@@ -259,6 +259,27 @@ EXT_R6 = [
 ]
 
 
+# round 6b: eval metrics, sketch set-ops, inference-in-scan, SQL sugar.
+EXT_R6B = [
+    "q_events_periodogram",
+    "q_events_markov_entropy",
+    "q_dq_schema_drift",
+    "q_time_downsample_m4",
+    "q_sim_mrr",
+    "q_sim_map",
+    "q_embed_silhouette",
+    "q_agg_kmv",
+    "q_stats_permutation",
+    "q_orders_repeat_rate",
+    "q_sql_qualify",
+    "q_sql_distinct_on",
+    "q_fn_struct_ops",
+    "q_quality_classifier",
+    "q_curate_dsir",
+    "q_graph_sssp",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -284,7 +305,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -348,6 +369,8 @@ def main() -> None:
     ext_r5h["total"] = round(sum(ext_r5h.values()), 3)
     ext_r6 = {name: timed(name) for name in EXT_R6}
     ext_r6["total"] = round(sum(ext_r6.values()), 3)
+    ext_r6b = {name: timed(name) for name in EXT_R6B}
+    ext_r6b["total"] = round(sum(ext_r6b.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -370,6 +393,7 @@ def main() -> None:
         "ext_r5g": ext_r5g,
         "ext_r5h": ext_r5h,
         "ext_r6": ext_r6,
+        "ext_r6b": ext_r6b,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -410,12 +434,15 @@ def main() -> None:
                     "ext_r5g": ext_r5g["total"],
                     "ext_r5h": ext_r5h["total"],
                     "ext_r6": ext_r6["total"],
+                    "ext_r6b": ext_r6b["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
                     for name in (
                         "q_embed_kmeans",
                         "q_embed_cluster_purity",
+                        "q_graph_labelprop",
+                        "q_graph_modularity",
                     )
                     if name in first_run
                 },

@@ -2023,3 +2023,213 @@ def q_sample_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "representative",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering: linear classifier inference in the scan
+# ---------------------------------------------------------------------------
+
+# Fixed classifier weights (intercept, ln(1+tokens), stopword_ratio,
+# punct_ratio, chars_per_token) — stand-in for trained fastText-style
+# quality-classifier coefficients shipped with the pipeline.
+QC_W0, QC_W1, QC_W2, QC_W3, QC_W4 = -2.0, 0.8, 6.0, -8.0, -0.5
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id, lang,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tokens,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                  x -> x IN ('the','a','of','and','is'))) AS BIGINT)
+               AS n_stop,
+             CAST(length(text)
+                  - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                  AS BIGINT) AS n_punct,
+             CAST(length(text) AS BIGINT) AS n_chars
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id, lang, n_tokens,
+             round({QC_W0}
+                   + {QC_W1} * ln(1.0 + n_tokens)
+                   + {QC_W2} * (CAST(n_stop AS DOUBLE) / n_tokens)
+                   + {QC_W3} * (CAST(n_punct AS DOUBLE) / n_chars)
+                   + {QC_W4} * (CAST(n_chars AS DOUBLE) / n_tokens), 6) AS z
+      FROM feats
+    )
+    SELECT doc_id, lang, n_tokens, z,
+           round(1.0 / (1.0 + exp(-z)), 6) AS p_keep,
+           round(1.0 / (1.0 + exp(-z)), 6) >= 0.5 AS keep
+    FROM scored
+    ORDER BY doc_id
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: logistic-classifier inference
+    INSIDE the scan — each document's cheap features (log length,
+    stopword ratio, punctuation ratio, chars/token) dot a fixed weight
+    vector, sigmoid, threshold.  This is the shape of the fastText /
+    logistic quality gate every pretraining pipeline runs after the
+    rule-based filters (q_quality_gopher's successor stage); the
+    weights here are shipped constants, so inference is pure column
+    arithmetic — no UDF, no model server, one corpus scan at full
+    whole-stage-codegen speed, embarrassingly parallel at any scale.
+
+    Determinism: every feature is a single IEEE division of exact
+    longs; the logit accumulates in one fixed-order expression rounded
+    at 6, and the sigmoid is evaluated on that ROUNDED logit (identical
+    double both engines), rounded again at 6; the keep decision
+    compares on the rounded grid.
+    """
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
+    )
+    ws = tokens("text")
+    n_tokens = F.size(ws).cast("long")
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "a", "of", "and", "is"))
+    ).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    ).cast("long")
+    z = F.round(
+        F.lit(QC_W0)
+        + F.lit(QC_W1) * F.log(F.lit(1.0) + n_tokens)
+        + F.lit(QC_W2) * (n_stop.cast("double") / n_tokens)
+        + F.lit(QC_W3) * (n_punct.cast("double") / n_chars)
+        + F.lit(QC_W4) * (n_chars.cast("double") / n_tokens),
+        6,
+    )
+    scored = d.select("doc_id", "lang", n_tokens.alias("n_tokens"), z.alias("z"))
+    p = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("z"))), 6)
+    return scored.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "z",
+        p.alias("p_keep"),
+        (p >= 0.5).alias("keep"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# DSIR: hashed-n-gram importance resampling toward a target distribution
+# ---------------------------------------------------------------------------
+
+DSIR_BUCKETS = 1024  # hashed unigram feature space
+DSIR_TOP = 50  # documents selected
+
+
+@query(
+    "q_curate_dsir",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_tgt,
+             ('0x' || substr(md5(w), 1, 15))::UBIGINT::BIGINT
+               % {DSIR_BUCKETS} AS bucket
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+    ),
+    bcounts AS (
+      SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_src,
+             CAST(SUM(is_tgt) AS BIGINT) AS n_tgt
+      FROM words GROUP BY bucket
+    ),
+    tots AS (SELECT CAST(SUM(n_src) AS BIGINT) AS s,
+                    CAST(SUM(n_tgt) AS BIGINT) AS tt FROM bcounts),
+    lr AS (
+      SELECT bucket,
+             CAST(floor((ln(CAST(n_tgt + 1 AS DOUBLE) / (tt + {DSIR_BUCKETS}))
+                         - ln(CAST(n_src + 1 AS DOUBLE) / (s + {DSIR_BUCKETS})))
+                        * 1e9 + 0.5) AS BIGINT) AS lrq
+      FROM bcounts CROSS JOIN tots
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           round(CAST(SUM(l.lrq) AS DOUBLE) / 1e9 / COUNT(*), 6)
+             AS avg_log_ratio
+    FROM words w JOIN lr l ON l.bucket = w.bucket
+    GROUP BY w.doc_id
+    ORDER BY avg_log_ratio DESC, w.doc_id
+    LIMIT {DSIR_TOP}
+    """,
+)
+def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al., 'Data Selection for
+    Language Models via Importance Resampling'): score every document
+    by its average hashed-unigram log importance ratio
+    ln p_target(w)/p_source(w) — target = the English slice, features =
+    md5-hashed unigrams in {DSIR_BUCKETS} buckets, add-one smoothing —
+    and keep the top-scoring docs.  This is the principled upgrade over
+    hard lang/quality gates: it RANKS the whole corpus by similarity to
+    the target distribution instead of thresholding features.
+
+    Two corpus-scan passes (bucket histogram, then per-doc scoring) —
+    at 100 TB the histogram is a {DSIR_BUCKETS}-row broadcast built once
+    per target definition and reused across batches; per-doc scoring is
+    a map-side broadcast join on the exploded words (no shuffle except
+    the doc_id re-aggregation).  Log ratios quantize to 1e9 longs on
+    exactly-representable operands (one division each), so per-doc sums
+    are associative integer adds; selection is TakeOrdered top-{DSIR_TOP}.
+    """
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "lang", "text"), spark
+    )
+    words = d.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("is_tgt"),
+        F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+    ).select(
+        "doc_id",
+        "is_tgt",
+        F.pmod(
+            F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("long"),
+            F.lit(DSIR_BUCKETS),
+        ).alias("bucket"),
+    )
+    bcounts = words.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src"),
+        F.sum("is_tgt").cast("long").alias("n_tgt"),
+    )
+    tots = bcounts.agg(
+        F.sum("n_src").cast("long").alias("s"),
+        F.sum("n_tgt").cast("long").alias("tt"),
+    )
+    lr = bcounts.crossJoin(F.broadcast(tots)).select(
+        F.col("bucket").alias("lr_bucket"),
+        F.floor(
+            (
+                F.log(
+                    (F.col("n_tgt") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS)
+                )
+                - F.log(
+                    (F.col("n_src") + 1).cast("double")
+                    / (F.col("s") + DSIR_BUCKETS)
+                )
+            )
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("lrq"),
+    )
+    return (
+        words.join(F.broadcast(lr), F.col("lr_bucket") == F.col("bucket"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.round(
+                F.sum("lrq").cast("double") / 1e9 / F.count(F.lit(1)), 6
+            ).alias("avg_log_ratio"),
+        )
+        .orderBy(F.col("avg_log_ratio").desc(), "doc_id")
+        .limit(DSIR_TOP)
+    )

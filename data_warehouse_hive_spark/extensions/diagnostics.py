@@ -13,6 +13,8 @@ unbounded pair join appears anywhere.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -1179,3 +1181,403 @@ def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((center - half) / denom, 6).alias("wilson_lo"),
         F.round((center + half) / denom, 6).alias("wilson_hi"),
     ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Periodogram: DFT power at the first K frequencies of the daily series
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_K = 8  # frequencies evaluated (k = 1..K cycles over the range)
+
+
+@query(
+    "q_events_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS i,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS nd
+      FROM daily
+    ),
+    terms AS (
+      SELECT k.k,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * cos(2.0 * pi() * k.k * i / nd) * 1e6 + 0.5)
+                  AS BIGINT) AS cq,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * sin(2.0 * pi() * k.k * i / nd) * 1e6 + 0.5)
+                  AS BIGINT) AS sq,
+             nd
+      FROM idx CROSS JOIN
+           (SELECT CAST(unnest(range(1, {PERIODOGRAM_K} + 1)) AS DOUBLE) AS k) k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           round(ANY_VALUE(nd) / k, 6) AS period_days,
+           round((CAST(SUM(cq) AS DOUBLE) / 1e6) * (CAST(SUM(cq) AS DOUBLE) / 1e6)
+                 + (CAST(SUM(sq) AS DOUBLE) / 1e6) * (CAST(SUM(sq) AS DOUBLE) / 1e6),
+                 4) AS power
+    FROM terms
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the daily event-count series: DFT power at the
+    first K integer frequencies — the seasonality detector that tells a
+    pipeline WHICH period to hand q_events_seasonal / Holt-Winters
+    (k with the dominant power ⇒ period ≈ n_days/k).
+
+    Cost model: one day-grain hash aggregate off the raw scan, then the
+    bounded O(days) rollup cross-joins the K frequency constants —
+    O(days·K) arithmetic on driver-sized data; nothing else touches the
+    corpus.  Determinism: cos/sin are evaluated on bit-identical double
+    arguments (exact integer i, k, nd promoted once), each term is
+    quantized to a 1e6-grid long BEFORE summation (associative integer
+    adds, any partitioning), and the final power is two fixed-order
+    double ops rounded at 4.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        "n",
+        F.row_number().over(wi).cast("double").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()  # bounded daily rollup: O(days) rows
+        ).cast("double").alias("nd"),
+    )
+    ks = spark.range(1, PERIODOGRAM_K + 1).select(
+        F.col("id").cast("double").alias("k")
+    )
+    ang = F.lit(2.0) * F.lit(math.pi) * F.col("k") * F.col("i") / F.col("nd")
+    terms = idx.crossJoin(broadcast(ks)).select(
+        "k",
+        "nd",
+        F.floor(F.col("n").cast("double") * F.cos(ang) * 1e6 + 0.5)
+        .cast("long")
+        .alias("cq"),
+        F.floor(F.col("n").cast("double") * F.sin(ang) * 1e6 + 0.5)
+        .cast("long")
+        .alias("sq"),
+    )
+    c = F.sum("cq").cast("double") / 1e6
+    s = F.sum("sq").cast("double") / 1e6
+    return (
+        terms.groupBy("k")
+        .agg(
+            F.round(F.any_value("nd") / F.col("k"), 6).alias("period_days"),
+            F.round(c * c + s * s, 4).alias("power"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "period_days", "power")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the behavior transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n
+               FROM trans GROUP BY src),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM trans),
+    terms AS (
+      SELECT t.src, o.out_n,
+             CAST(floor((CAST(t.n AS DOUBLE) / o.out_n)
+                        * (ln(CAST(t.n AS DOUBLE) / o.out_n) / ln(2.0))
+                        * 1e9 + 0.5) AS BIGINT) AS hq
+      FROM trans t JOIN outdeg o ON o.src = t.src
+    )
+    SELECT s.src, s.out_n,
+           round(CAST(s.out_n AS DOUBLE) / x.t, 6) AS pi,
+           round(-(CAST(SUM(s.hq) AS DOUBLE) / 1e9), 6) AS h_bits,
+           round(-(CAST(SUM(s.hq) AS DOUBLE) / 1e9)
+                 * (CAST(s.out_n AS DOUBLE) / x.t), 6) AS contribution
+    FROM terms s CROSS JOIN tot x
+    GROUP BY s.src, s.out_n, x.t
+    ORDER BY s.src
+    """,
+)
+def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavior Markov chain: per source
+    state, the conditional next-step entropy H(dst|src) in bits and its
+    occupancy-weighted contribution — Σ contribution is the chain's
+    entropy rate under the empirical state distribution.  Low-entropy
+    states have predictable next actions (prefetchable / cacheable);
+    the diagnostic that decides whether a next-event model is worth
+    training at all.
+
+    Same heavy/light split as q_events_markov: the only corpus-sized
+    work is the per-user lag window; everything downstream lives on the
+    O(|types|²) transition relation.  Each −p·log₂p term is quantized to
+    a 1e9-grid long on an exactly-representable ratio (n/out_n is one
+    IEEE division of two longs), so the per-source sums are associative
+    integer adds; pi and the contribution are fixed-order double ops
+    rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = trans.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("n").cast("long").alias("out_n")
+    )
+    tot = trans.agg(F.sum("n").cast("long").alias("t"))
+    p = F.col("n").cast("double") / F.col("out_n")
+    terms = (
+        trans.join(broadcast(outdeg), F.col("o_src") == F.col("src"))
+        .select(
+            "src",
+            "out_n",
+            F.floor(p * (F.log(p) / F.log(F.lit(2.0))) * 1e9 + 0.5)
+            .cast("long")
+            .alias("hq"),
+        )
+    )
+    h = -(F.sum("hq").cast("double") / 1e9)
+    return (
+        terms.crossJoin(broadcast(tot))
+        .groupBy("src", "out_n", "t")
+        .agg(
+            F.round(F.col("out_n").cast("double") / F.col("t"), 6).alias("pi"),
+            F.round(h, 6).alias("h_bits"),
+            F.round(
+                h * (F.col("out_n").cast("double") / F.col("t")), 6
+            ).alias("contribution"),
+        )
+        .select("src", "out_n", "pi", "h_bits", "contribution")
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema/profile drift between two time slices of a table
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT_DATE = "1998-01-01"  # early vs late slice boundary
+PRICE_BIN = 20000.0  # fixed-width bin for the numeric column's category map
+
+
+@query(
+    "q_dq_schema_drift",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN o_orderdate < DATE '{DRIFT_SPLIT_DATE}'
+                  THEN 0 ELSE 1 END AS late,
+             col, key
+      FROM orders,
+           LATERAL (VALUES
+             ('o_orderstatus',   o_orderstatus),
+             ('o_orderpriority', o_orderpriority),
+             ('o_totalprice',    CAST(CAST(floor(o_totalprice / {PRICE_BIN})
+                                            AS BIGINT) AS VARCHAR))
+           ) u(col, key)
+    ),
+    counts AS (
+      SELECT col, key,
+             CAST(SUM(1 - late) AS BIGINT) AS n_early,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM keyed GROUP BY col, key
+    ),
+    tots AS (
+      SELECT col, CAST(SUM(n_early) AS BIGINT) AS t_early,
+                  CAST(SUM(n_late) AS BIGINT) AS t_late
+      FROM counts GROUP BY col
+    )
+    SELECT c.col,
+           CAST(COUNT(*) AS BIGINT) AS n_cats,
+           ANY_VALUE(t.t_early) AS t_early,
+           ANY_VALUE(t.t_late) AS t_late,
+           round(CAST(SUM(CAST(floor(abs(CAST(c.n_early AS DOUBLE) / t.t_early
+                                      - CAST(c.n_late AS DOUBLE) / t.t_late)
+                                 * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 2e9, 6) AS tvd
+    FROM counts c JOIN tots t ON t.col = c.col
+    GROUP BY c.col
+    ORDER BY c.col
+    """,
+)
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two time slices of a table, one total
+    variation distance (TVD) per monitored column — the scheduled data-
+    quality job that catches upstream schema/population changes (a new
+    enum value, a price-mix shift) before they poison training data.
+    Categorical columns compare share vectors directly; the numeric
+    column is mapped through fixed-width bins so the same TVD works.
+
+    One corpus scan: the per-row stack explodes to 3 rows/row (bounded
+    fan-out, no joins), then a hash aggregate on the small
+    (col, key) domain; shares and |Δ| live on the O(cats) rollup.  Each
+    |share_early − share_late| is quantized to a 1e9 long (shares are
+    single IEEE divisions of exact longs), so the per-column sum is
+    associative integer addition; TVD = Σ/2 rounded at 6.
+    """
+    o = t(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_SPLIT_DATE).cast("date"), 0
+    ).otherwise(1)
+    keyed = o.select(
+        late.alias("late"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("key"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("key"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.floor(F.col("o_totalprice") / PRICE_BIN)
+                    .cast("long")
+                    .cast("string")
+                    .alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("late", F.col("ck.col").alias("col"), F.col("ck.key").alias("key"))
+    counts = keyed.groupBy("col", "key").agg(
+        F.sum(F.lit(1) - F.col("late")).cast("long").alias("n_early"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    tots = counts.groupBy(F.col("col").alias("t_col")).agg(
+        F.sum("n_early").cast("long").alias("t_early"),
+        F.sum("n_late").cast("long").alias("t_late"),
+    )
+    dq = F.floor(
+        F.abs(
+            F.col("n_early").cast("double") / F.col("t_early")
+            - F.col("n_late").cast("double") / F.col("t_late")
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        counts.join(broadcast(tots), F.col("t_col") == F.col("col"))
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.any_value("t_early").alias("t_early"),
+            F.any_value("t_late").alias("t_late"),
+            F.round(F.sum(dq).cast("double") / 2e9, 6).alias("tvd"),
+        )
+        .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+
+M4_BUCKET_DAYS = 2  # bucket width of the downsampled series
+
+
+@query(
+    "q_time_downsample_m4",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                        / ({M4_BUCKET_DAYS} * 86400e6)) AS BIGINT) AS bucket,
+             ts, event_id, value
+      FROM events
+    ),
+    rnk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM pts
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(value), 6) AS v_min,
+           round(MAX(value), 6) AS v_max,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS v_last
+    FROM rnk
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling of the per-type value stream: min / max / first /
+    last per fixed-width time bucket — the error-free line-chart
+    downsampler (every pixel column's extremes and endpoints survive),
+    and the rollup a monitoring store keeps when raw points age out.
+
+    One window shuffle on (event_type, bucket) — the same partitioning
+    the final aggregate reuses, so Spark plans a single exchange; bucket
+    width is fixed, so partition count grows with the time range, never
+    with per-bucket density skew beyond what AQE splits.  min/max/first/
+    last copy raw doubles without arithmetic (rounded only for display),
+    so there is no carrier to manage; first/last ties break on
+    (ts, event_id), identical both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+            / (M4_BUCKET_DAYS * 86400e6)
+        )
+        .cast("long")
+        .alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rnk = pts.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        rnk.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6
+            ).alias("v_first"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6
+            ).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )

@@ -962,13 +962,27 @@ def _o_labelprop() -> str:
     """
 
 
+# Converged-LPA memo, keyed by (application, sf_dir) — the same sanctioned
+# shared-state pattern as similarity._KMEANS_CACHE: the loop is
+# deterministic end to end (fixed rounds, count-desc/label-asc tiebreak),
+# so q_graph_labelprop and q_graph_modularity reusing ONE run per session
+# cannot change either result; the relations are localCheckpointed, so a
+# reuse scans materialized blocks instead of re-running the LSH pipeline.
+_LPA_CACHE: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
 def _lpa_labels(spark: SparkSession, sf_dir: str):
     """Run the bounded synchronous LPA loop; returns (symmetrized edge
     relation, final (node, lbl) labels) — shared by q_graph_labelprop
-    and q_graph_modularity."""
+    and q_graph_modularity (memoized per session, see _LPA_CACHE)."""
     from data_warehouse_hive_spark.extensions.dedup import (
         minhash_candidate_pairs,
     )
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _LPA_CACHE.get(key)
+    if hit is not None:
+        return hit
 
     pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
     und = (
@@ -996,6 +1010,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
             .select("node", "lbl")
             .localCheckpoint(eager=False)
         )
+    _LPA_CACHE[key] = (und, labels)
     return und, labels
 
 
@@ -1270,4 +1285,128 @@ def q_graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "event_type string, hub_q long, auth_q long,"
         " hub double, authority double",
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Single-source shortest path (Bellman-Ford) on -log-probability weights
+# ---------------------------------------------------------------------------
+
+SSSP_SRC = "signup"  # natural start state of the behavior graph
+SSSP_ITERS = 4  # >= diameter of the event-type graph
+
+
+def _o_sssp() -> str:
+    it = """
+    it{k} AS MATERIALIZED (
+      SELECT n.node,
+             LEAST(
+               (SELECT p.dq FROM it{prev} p WHERE p.node = n.node),
+               (SELECT MIN(p2.dq + e.cq)
+                FROM it{prev} p2 JOIN ew e ON e.src = p2.node
+                WHERE e.dst = n.node)
+             ) AS dq
+      FROM nodes n
+    )"""
+    its = ",".join(it.format(k=k, prev=k - 1) for k in range(1, SSSP_ITERS + 1))
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ),
+    ew AS MATERIALIZED (
+      SELECT e.src, e.dst,
+             CAST(floor(-ln(CAST(e.w AS DOUBLE) / o.out_w) * 1e9 + 0.5)
+                  AS BIGINT) AS cq
+      FROM edges e
+      JOIN (SELECT src, CAST(SUM(w) AS BIGINT) AS out_w
+            FROM edges GROUP BY src) o ON o.src = e.src
+    ),
+    it0 AS MATERIALIZED (
+      SELECT node,
+             CASE WHEN node = '{SSSP_SRC}'
+                  THEN CAST(0 AS BIGINT) END AS dq
+      FROM nodes
+    ),
+    {its}
+    SELECT node AS event_type, dq AS dist_q,
+           round(CAST(dq AS DOUBLE) / 1e9, 6) AS cost_nats,
+           dq IS NOT NULL AS reachable
+    FROM it{SSSP_ITERS}
+    ORDER BY node
+    """
+
+
+@query("q_graph_sssp", oracle=_o_sssp())
+def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path (Bellman-Ford, {SSSP_ITERS} rounds ≥
+    graph diameter) from the '{SSSP_SRC}' state, with edge cost
+    −ln P(dst|src) — so the shortest path is the MOST PROBABLE behavior
+    path from signup to every other state, and its cost is that path's
+    negative log-likelihood.  The relaxation pattern is the third
+    fixed-point family next to PageRank (value diffusion) and k-core
+    (pruning): per round, every node keeps the min of its own distance
+    and the best incoming (distance + cost).
+
+    The corpus-sized stage is the same per-user lag window every graph
+    query here shares; the loop relaxes the O(|types|²) aggregated edge
+    relation with a broadcast of the current distance vector —
+    join + groupBy-min per round, localCheckpoint truncating lineage.
+    Costs are 1e9-grid longs (−ln of an exactly-representable ratio),
+    so min() and + are integer-exact in any engine/order; unreachable
+    nodes stay NULL (both engines' `least` ignores NULLs).
+    """
+    edges = _edges(spark, sf_dir)
+    out_w = edges.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("w").cast("long").alias("out_w")
+    )
+    ew = edges.join(broadcast(out_w), F.col("o_src") == F.col("src")).select(
+        "src",
+        "dst",
+        F.floor(
+            -F.log(F.col("w").cast("double") / F.col("out_w")) * 1e9 + 0.5
+        )
+        .cast("long")
+        .alias("cq"),
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    dist = nodes.withColumn(
+        "dq",
+        F.when(F.col("node") == SSSP_SRC, F.lit(0).cast("long")),
+    )
+    for _ in range(SSSP_ITERS):
+        relax = (
+            ew.join(
+                broadcast(dist.filter(F.col("dq").isNotNull())),
+                F.col("src") == F.col("node"),
+            )
+            .select(F.col("dst"), (F.col("dq") + F.col("cq")).alias("cand"))
+            .groupBy("dst")
+            .agg(F.min("cand").alias("best"))
+        )
+        dist = (
+            dist.join(broadcast(relax), F.col("node") == F.col("dst"), "left")
+            .select("node", F.least("dq", "best").alias("dq"))
+            .localCheckpoint(eager=False)
+        )
+    return dist.select(
+        F.col("node").alias("event_type"),
+        F.col("dq").alias("dist_q"),
+        F.round(F.col("dq").cast("double") / 1e9, 6).alias("cost_nats"),
+        F.col("dq").isNotNull().alias("reachable"),
     ).orderBy("event_type")

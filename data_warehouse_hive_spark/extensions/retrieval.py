@@ -1074,3 +1074,195 @@ def _assemble_recall_pq_oracle() -> None:
 
 
 _assemble_recall_pq_oracle()
+
+
+# ---------------------------------------------------------------------------
+# MRR / MAP: the other two standard ranking-quality metrics
+# ---------------------------------------------------------------------------
+
+_O_EVAL_LISTS = f"""
+    v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {{nq}}),
+    exact_scored AS (
+      SELECT q.query_id, v.vec_id,
+             round(list_dot_product(q.qe, v.e)
+                   / (sqrt(list_dot_product(q.qe, q.qe))
+                      * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine
+      FROM q JOIN v ON v.vec_id != q.query_id
+    ),
+    exact_topk AS (
+      SELECT query_id, vec_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM exact_scored
+      ) WHERE rk <= {{k}}
+    ),
+    vb AS (SELECT *, {{bucket}} AS bucket FROM v),
+    qb AS (SELECT vec_id AS query_id, e AS qe, bucket
+           FROM vb WHERE vec_id < {{nq}}),
+    lsh_scored AS (
+      SELECT qb.query_id, vb.vec_id,
+             round(list_dot_product(qb.qe, vb.e)
+                   / (sqrt(list_dot_product(qb.qe, qb.qe))
+                      * sqrt(list_dot_product(vb.e, vb.e))), 6) AS cosine
+      FROM qb JOIN vb ON vb.bucket = qb.bucket AND vb.vec_id != qb.query_id
+    ),
+    lsh_topk AS (
+      SELECT query_id, vec_id, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS rk
+        FROM lsh_scored
+      ) WHERE rk <= {{k}}
+    )
+"""
+
+
+def _eval_lists(spark: SparkSession, sf_dir: str):
+    """Shared eval fixture: (exact ground-truth top-k, LSH ranked top-k)."""
+    v, q = _fixture_corpus(spark, sf_dir)
+    exact = brute_force_topk(v, q, TOP_K).select("query_id", "vec_id")
+    ranked = lsh_topk(v, q, TOP_K).select(
+        F.col("query_id").alias("l_query_id"),
+        F.col("vec_id").alias("l_vec_id"),
+        F.col("rk").cast("long").alias("rk"),
+    )
+    return exact, ranked
+
+
+@query(
+    "q_sim_mrr",
+    oracle=f"""
+    WITH {_O_EVAL_LISTS.format(nq=N_QUERY_VECS, k=TOP_K,
+                               bucket=_o_lsh_bucket('e'))}
+    SELECT e.query_id,
+           MIN(l.rk) AS first_hit_rank,
+           round(coalesce(1.0 / MIN(l.rk), 0.0), 6) AS rr
+    FROM exact_topk e LEFT JOIN lsh_topk l
+      ON l.query_id = e.query_id AND l.vec_id = e.vec_id
+    GROUP BY e.query_id
+    ORDER BY e.query_id
+    """,
+)
+def q_sim_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal rank of the approximate index per query: 1/rank of the
+    FIRST relevant result in the LSH ranking (relevant = exact top-k) —
+    the metric that matters when the consumer only reads the top of the
+    list (retrieval-augmented sampling, link suggestions).  The fleet
+    mean of `rr` is MRR@k; per-query rows keep the distribution visible
+    (a great mean can hide dead queries, which show up here as rr=0).
+
+    Same Q×k-bounded composition as q_sim_recall: both sides end in
+    per-query candidate lists, the join key is (query_id, vec_id), and
+    the aggregate is per query — nothing global, nothing corpus-wide
+    beyond the two searches themselves.  rr is one reciprocal of a small
+    integer, identical IEEE both engines.
+    """
+    exact, ranked = _eval_lists(spark, sf_dir)
+    return (
+        exact.join(
+            ranked,
+            (F.col("query_id") == F.col("l_query_id"))
+            & (F.col("vec_id") == F.col("l_vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.min("rk").alias("first_hit_rank"),
+            F.round(
+                F.coalesce(F.lit(1.0) / F.min("rk"), F.lit(0.0)), 6
+            ).alias("rr"),
+        )
+        .orderBy("query_id")
+    )
+
+
+@query(
+    "q_sim_map",
+    oracle=f"""
+    WITH {_O_EVAL_LISTS.format(nq=N_QUERY_VECS, k=TOP_K,
+                               bucket=_o_lsh_bucket('e'))},
+    flagged AS (
+      SELECT l.query_id, l.rk,
+             CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+      FROM lsh_topk l LEFT JOIN exact_topk e
+        ON e.query_id = l.query_id AND e.vec_id = l.vec_id
+    ),
+    prec AS (
+      SELECT query_id, hit,
+             CAST(floor((CAST(SUM(hit) OVER (PARTITION BY query_id
+                                             ORDER BY rk) AS DOUBLE) / rk)
+                        * 1e9 + 0.5) AS BIGINT) AS pq
+      FROM flagged
+    ),
+    nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel
+             FROM exact_topk GROUP BY query_id)
+    SELECT n.query_id,
+           CAST(coalesce(SUM(p.hit), 0) AS BIGINT) AS n_hits,
+           round(coalesce(CAST(SUM(CASE WHEN p.hit = 1 THEN p.pq END)
+                               AS DOUBLE), 0.0)
+                 / 1e9 / LEAST(n.n_rel, {TOP_K}), 6) AS ap
+    FROM nrel n LEFT JOIN prec p ON p.query_id = n.query_id
+    GROUP BY n.query_id, n.n_rel
+    ORDER BY n.query_id
+    """,
+)
+def q_sim_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average precision of the approximate index per query: mean of
+    precision@i over the ranks i where the LSH list hits a relevant doc
+    (relevant = exact top-k), normalized by min(k, |relevant|).  The
+    fleet mean is MAP@k — the order-sensitive complement to recall@k
+    (recall counts hits; AP penalizes burying them low in the list).
+
+    Plan: LSH list LEFT JOINs the ground-truth set on (query_id,
+    vec_id), a per-query running-hit window over ≤k rows computes
+    precision@i, and each precision is quantized to a 1e9 long before
+    the per-query sum (integer adds, partition-proof).  All windows
+    partition by query_id; everything after the two searches is Q×k.
+    """
+    exact, ranked = _eval_lists(spark, sf_dir)
+    flagged = ranked.join(
+        exact,
+        (F.col("query_id") == F.col("l_query_id"))
+        & (F.col("vec_id") == F.col("l_vec_id")),
+        "left",
+    ).select(
+        F.col("l_query_id").alias("fq"),
+        "rk",
+        F.when(F.col("vec_id").isNotNull(), 1).otherwise(0).alias("hit"),
+    )
+    wq = Window.partitionBy("fq").orderBy("rk")
+    prec = flagged.select(
+        "fq",
+        "hit",
+        F.floor(
+            (F.sum("hit").over(wq).cast("double") / F.col("rk")) * 1e9 + 0.5
+        )
+        .cast("long")
+        .alias("pq"),
+    )
+    nrel = exact.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rel")
+    )
+    return (
+        nrel.join(prec, F.col("fq") == F.col("query_id"), "left")
+        .groupBy("query_id", "n_rel")
+        .agg(
+            F.coalesce(F.sum("hit"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(
+                    F.sum(F.when(F.col("hit") == 1, F.col("pq"))).cast(
+                        "double"
+                    ),
+                    F.lit(0.0),
+                )
+                / 1e9
+                / F.least(F.col("n_rel"), F.lit(TOP_K)),
+                6,
+            ).alias("ap"),
+        )
+        .select("query_id", "n_hits", "ap")
+        .orderBy("query_id")
+    )

@@ -2708,3 +2708,120 @@ def q_embed_davies_bouldin(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("davies_bouldin"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Simplified silhouette of the label clustering
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_silhouette",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT v.label AS cell, u.pos, u.val
+      FROM v, LATERAL (SELECT unnest(v.e) AS val,
+                              unnest(range(len(v.e))) AS pos) u
+    ),
+    centroids AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cval
+      FROM elems GROUP BY cell, pos
+    ),
+    cent_vecs AS (
+      SELECT cell, list(cval ORDER BY pos) AS ce FROM centroids GROUP BY cell
+    ),
+    dists AS (
+      SELECT v.vec_id, v.label, c.cell,
+             {_O_D2_64.format(dim=EMB_DIM, a='v.e', b='c.ce')} AS d2q
+      FROM v CROSS JOIN cent_vecs c
+    ),
+    ab AS (
+      SELECT vec_id, label,
+             sqrt(CAST(MIN(CASE WHEN cell = label THEN d2q END) AS DOUBLE)
+                  / 1e6) AS a,
+             sqrt(CAST(MIN(CASE WHEN cell != label THEN d2q END) AS DOUBLE)
+                  / 1e6) AS b
+      FROM dists GROUP BY vec_id, label
+    ),
+    sil AS (
+      SELECT label,
+             CAST(floor(CASE WHEN greatest(a, b) = 0.0 THEN 0.0
+                             ELSE (b - a) / greatest(a, b) END
+                        * 1e9 + 0.5) AS BIGINT) AS sq
+      FROM ab
+    )
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members,
+           round(CAST(SUM(sq) AS DOUBLE) / 1e9
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS mean_silhouette
+    FROM sil GROUP BY label
+    ORDER BY label
+    """,
+)
+def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simplified (centroid-based) silhouette per cluster of the label
+    partition: s(i) = (b−a)/max(a,b) with a = distance to the OWN
+    cluster centroid and b = distance to the NEAREST other centroid —
+    the O(n·K) silhouette every large-scale clustering eval uses in
+    place of the O(n²) pairwise original (Rousseeuw's definition needs
+    all-pairs distances; the centroid form preserves the ranking).
+    Completes the internal-validity family next to q_embed_davies_bouldin
+    (per-cluster resolution vs one global index).
+
+    One broadcast cross-join of the corpus against K centroid rows, a
+    per-vector conditional MIN (no window, no shuffle beyond the
+    centroid build's 64·K hash agg), and a per-label mean of 1e9-grid
+    quantized scores — associative integer adds, partition-proof.
+    Distances are sqrt of exact carrier integers, identical both
+    engines; ties at a=b=0 guard to 0.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    cents = cell_centroids(v, "label")
+    dists = v.crossJoin(broadcast(cents)).select(
+        "vec_id",
+        "label",
+        "cell",
+        _d2q(F.col("e"), F.col("ce")).alias("d2q"),
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.sqrt(
+            F.min(F.when(F.col("cell") == F.col("label"), F.col("d2q")))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("a"),
+        F.sqrt(
+            F.min(F.when(F.col("cell") != F.col("label"), F.col("d2q")))
+            .cast("double")
+            / F.lit(1e6)
+        ).alias("b"),
+    )
+    sq = F.floor(
+        F.when(F.greatest("a", "b") == 0.0, F.lit(0.0))
+        .otherwise((F.col("b") - F.col("a")) / F.greatest("a", "b"))
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        ab.select("label", sq.alias("sq"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(
+                F.sum("sq").cast("double")
+                / 1e9
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("mean_silhouette"),
+        )
+        .orderBy("label")
+    )

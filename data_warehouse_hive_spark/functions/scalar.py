@@ -1463,3 +1463,79 @@ def q_fn_map_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select("p_partkey", F.explode(doubled).alias("key", "val2"))
         .orderBy("p_partkey", "key")
     )
+
+
+# ---------------------------------------------------------------------------
+# STRUCT column algebra: pack -> withField -> dropFields -> unpack
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_fn_struct_ops",
+    oracle="""
+    WITH packed AS (
+      SELECT struct_insert(
+               struct_pack(
+                 orderkey := o_orderkey,
+                 price_cents := CAST(floor(o_totalprice * 100 + 0.5)
+                                     AS BIGINT),
+                 status := o_orderstatus
+               ),
+               tax_cents := CAST(floor(floor(o_totalprice * 100 + 0.5)
+                                       * 7 / 100) AS BIGINT),
+               priority_code := upper(substr(o_orderpriority, 1, 1))
+             ) AS s
+      FROM orders
+      WHERE o_orderstatus = 'F'
+    )
+    SELECT s.orderkey AS orderkey,
+           s.price_cents AS price_cents,
+           s.tax_cents AS tax_cents,
+           s.priority_code AS priority_code,
+           CAST(s.price_cents + s.tax_cents AS BIGINT) AS total_cents
+    FROM packed
+    ORDER BY orderkey
+    """,
+)
+def q_fn_struct_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRUCT column algebra — pack columns into a struct, add computed
+    fields with withField, drop a field, then read fields back out —
+    the nested-record manipulation an ELT pipeline does when it
+    assembles typed payloads (Hive named_struct + item access; the
+    Spark forms are Column.withField/dropFields, 3.1+).  The struct is
+    genuinely built and rewritten in the plan (not sugar the optimizer
+    removes before execution: the field adds happen on the packed
+    value), then unpacked for the cross-engine comparison, since struct
+    literals don't bridge hash-identically.
+
+    Pure projection — zero shuffles, whole-stage codegen end to end;
+    tax is integer cents math (floor of an exact-long product), so no
+    carrier is needed.
+    """
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    packed = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("orderkey"),
+            cents.alias("price_cents"),
+            F.col("o_orderstatus").alias("status"),
+        )
+        .withField(
+            "tax_cents",
+            F.floor(cents * 7 / 100).cast("long"),
+        )
+        .withField(
+            "priority_code", F.upper(F.substring("o_orderpriority", 1, 1))
+        )
+        .dropFields("status")
+        .alias("s")
+    )
+    return packed.select(
+        F.col("s.orderkey").alias("orderkey"),
+        F.col("s.price_cents").alias("price_cents"),
+        F.col("s.tax_cents").alias("tax_cents"),
+        F.col("s.priority_code").alias("priority_code"),
+        (F.col("s.price_cents") + F.col("s.tax_cents"))
+        .cast("long")
+        .alias("total_cents"),
+    ).orderBy("orderkey")

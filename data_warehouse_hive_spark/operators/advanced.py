@@ -1679,3 +1679,99 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         nearest_id.alias("nearest_click_id"),
         direction.alias("direction"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QUALIFY: filter on a window function without a subquery
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_qualify",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+           CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                   ORDER BY o_totalprice DESC, o_orderkey)
+                AS BIGINT) AS rk
+    FROM orders
+    QUALIFY rk <= 3
+    ORDER BY o_custkey, rk
+    """,
+)
+def q_sql_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY semantics — filtering on a window function's result in
+    the same query block (Hive 4 / DuckDB / BigQuery dialect sugar;
+    reference delegates the dialect to Hive, backend/hive_manager.py) —
+    expressed the way Spark's optimizer wants it: window then filter,
+    which Spark 3.5+ rewrites into WindowGroupLimit so each partition
+    stops after the top 3 rows instead of ranking everything.  The
+    oracle exercises DuckDB's native QUALIFY clause against it.
+
+    One shuffle on o_custkey; the group-limit pushdown keeps per-key
+    state at 3 rows regardless of customer size, so the plan is
+    skew-tolerant.  No arithmetic beyond the cents projection.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+            F.row_number().over(w).cast("long").alias("rk"),
+        )
+        .filter(F.col("rk") <= 3)
+        .orderBy("o_custkey", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# DISTINCT ON: first row per key in a declared order
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_distinct_on",
+    oracle="""
+    SELECT DISTINCT ON (o_custkey)
+           o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS latest_date,
+           CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents
+    FROM orders
+    ORDER BY o_custkey, o_orderdate DESC, o_orderkey
+    """,
+)
+def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT ON — Postgres/DuckDB's 'first row per key in this
+    order' shorthand (the latest order per customer here), expressed in
+    Spark as the row_number()=1 idiom the optimizer turns into a
+    WindowGroupLimit (per-key state = 1 row).  Same result relation as
+    a max_by over every projected column, but the declared-order form
+    survives adding columns without re-stating aggregates.
+
+    One o_custkey shuffle, group-limit pruned; tie on the same day
+    breaks by o_orderkey in both engines.  Dates project as strings per
+    the cross-engine bridge rule.
+    """
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("latest_date"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("price_cents"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )

@@ -2893,3 +2893,182 @@ def q_agg_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch with set-operation estimates
+# ---------------------------------------------------------------------------
+
+KMV_K = 128  # sketch size
+KMV_DOMAIN = 1 << 60  # md5-prefix hash domain (15 hex chars)
+KMV_SALTS = 32  # first-stage salt fan-out for the distributed k-min
+
+
+@query(
+    "q_agg_kmv",
+    oracle=f"""
+    WITH keys AS (
+      SELECT DISTINCT event_type,
+             ('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' ||
+                             strftime(date_trunc('day', ts), '%Y-%m-%d')),
+                      1, 15))::UBIGINT::BIGINT AS h
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rk,
+             CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS m
+      FROM keys
+    ),
+    per_type AS (
+      SELECT event_type, ANY_VALUE(m) AS m,
+             MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+      FROM ranked WHERE rk <= {KMV_K}
+      GROUP BY event_type
+    ),
+    ukeys AS (SELECT DISTINCT h FROM keys),
+    uranked AS (
+      SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rk,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM ukeys
+    ),
+    uni AS (
+      SELECT ANY_VALUE(m) AS m,
+             MAX(CASE WHEN rk = {KMV_K} THEN h END) AS kth
+      FROM uranked WHERE rk <= {KMV_K}
+    ),
+    ests AS (
+      SELECT
+        MAX(CASE WHEN event_type = 'click' THEN m END) AS exact_click,
+        round(MAX(CASE WHEN event_type = 'click' THEN
+          CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+               ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({KMV_DOMAIN} AS DOUBLE)
+                    / CAST(kth AS DOUBLE) END END), 4) AS est_click,
+        MAX(CASE WHEN event_type = 'purchase' THEN m END) AS exact_purchase,
+        round(MAX(CASE WHEN event_type = 'purchase' THEN
+          CASE WHEN m < {KMV_K} THEN CAST(m AS DOUBLE)
+               ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({KMV_DOMAIN} AS DOUBLE)
+                    / CAST(kth AS DOUBLE) END END), 4) AS est_purchase
+      FROM per_type
+    )
+    SELECT e.exact_click, e.est_click, e.exact_purchase, e.est_purchase,
+           u.m AS exact_union,
+           round(CASE WHEN u.m < {KMV_K} THEN CAST(u.m AS DOUBLE)
+                 ELSE CAST({KMV_K - 1} AS DOUBLE) * CAST({KMV_DOMAIN} AS DOUBLE)
+                      / CAST(u.kth AS DOUBLE) END, 4) AS est_union,
+           round(e.est_click + e.est_purchase
+                 - CASE WHEN u.m < {KMV_K} THEN CAST(u.m AS DOUBLE)
+                   ELSE CAST({KMV_K - 1} AS DOUBLE)
+                        * CAST({KMV_DOMAIN} AS DOUBLE)
+                        / CAST(u.kth AS DOUBLE) END, 4) AS est_intersect
+    FROM ests e CROSS JOIN uni u
+    """,
+)
+def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct sketch over active user-days per
+    event type, WITH the set algebra HLL cannot do exactly: merging two
+    KMV sketches (k smallest of the union of hash sets) estimates the
+    union cardinality, and inclusion-exclusion gives the intersection —
+    'how many user-days both clicked AND purchased' from two
+    128-value sketches instead of a corpus-wide distinct join.  The
+    exact counts ride along as the sf-scale acceptance check (dropped
+    in production, where only the 2×K sketch values move).
+
+    Scale shape: hash once per row (60-bit md5 prefix — uniform), ONE
+    hash-distinct shuffle on (type, h), then a two-stage k-min: rank
+    within (type, salt = h mod {KMV_SALTS}) keeps every first-stage
+    window partition ~1/{KMV_SALTS} of a type's distinct set, and the
+    second rank runs over ≤ salts×k survivor rows per type — no
+    global-ordering window ever sees the full distinct relation (the
+    same trick a TakeOrderedAndProject would hide, spelled out so the
+    union sketch can reuse the survivors).  Estimates are (k−1)·D/h(k)
+    — three exact-long operands in one fixed-order double expression.
+    Fallback m < k degrades to the exact count, per the KMV contract.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":",
+                    F.col("user_id").cast("string"),
+                    F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    keys = e.select("event_type", h.alias("h")).distinct()
+
+    def kmin(df: DataFrame, part_cols: list[str]):
+        """Two-stage distributed k-min + cardinality over `df.h`."""
+        w1 = Window.partitionBy(*(part_cols + ["salt"])).orderBy("h")
+        stage1 = (
+            df.withColumn("salt", F.pmod(F.col("h"), F.lit(KMV_SALTS)))
+            .withColumn("rk1", F.row_number().over(w1))
+            .withColumn(
+                "cnt1",
+                F.count(F.lit(1)).over(
+                    Window.partitionBy(*(part_cols + ["salt"]))
+                ),
+            )
+        )
+        survivors = stage1.filter(F.col("rk1") <= KMV_K)
+        w2 = Window.partitionBy(*part_cols).orderBy("h")
+        m = survivors.groupBy(*part_cols).agg(
+            F.sum(
+                F.when(F.col("rk1") == 1, F.col("cnt1")).otherwise(0)
+            ).cast("long").alias("m")
+        )
+        kth = (
+            survivors.withColumn("rk", F.row_number().over(w2))
+            .filter(F.col("rk") == KMV_K)
+            .select(*part_cols, F.col("h").alias("kth"))
+        )
+        joined = m.join(kth, part_cols, "left") if part_cols else m.crossJoin(kth)
+        return joined
+
+    est = lambda: F.round(  # noqa: E731 — shared fixed-order estimate expr
+        F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(KMV_DOMAIN))
+            / F.col("kth").cast("double")
+        ),
+        4,
+    )
+    per_type = kmin(keys, ["event_type"]).select(
+        "event_type", "m", est().alias("est")
+    )
+    uni = kmin(keys.select("h").distinct(), []).select(
+        F.col("m").alias("exact_union"), est().alias("est_union")
+    )
+    ests = per_type.groupBy().agg(
+        F.max(F.when(F.col("event_type") == "click", F.col("m"))).alias(
+            "exact_click"
+        ),
+        F.max(F.when(F.col("event_type") == "click", F.col("est"))).alias(
+            "est_click"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("m"))).alias(
+            "exact_purchase"
+        ),
+        F.max(F.when(F.col("event_type") == "purchase", F.col("est"))).alias(
+            "est_purchase"
+        ),
+    )
+    return ests.crossJoin(F.broadcast(uni)).select(
+        "exact_click",
+        "est_click",
+        "exact_purchase",
+        "est_purchase",
+        "exact_union",
+        "est_union",
+        F.round(
+            F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
+        ).alias("est_intersect"),
+    )

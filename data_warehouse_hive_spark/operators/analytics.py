@@ -2320,3 +2320,205 @@ def q_orders_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.count(F.lit(1)).over(w).cast("int").alias("months_in_window"),
     ).orderBy("mon")
+
+
+# ---------------------------------------------------------------------------
+# Permutation test via hashed relabeling (one-pass, B replicates)
+# ---------------------------------------------------------------------------
+
+PERM_B = 32  # replicates (one per sha256 byte of the row key)
+
+
+def _o_perm_byte(b: int) -> str:
+    return f"('0x' || substr(hx, {2 * b + 1}, 2))::INT"
+
+
+@query(
+    "q_stats_permutation",
+    oracle=f"""
+    WITH pool AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+             sha256(CAST(event_id AS VARCHAR)) AS hx
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    tot AS (
+      SELECT CAST(SUM(is_a) AS BIGINT) AS na_obs,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s,
+             CAST(SUM(CASE WHEN is_a = 1 THEN xq END) AS BIGINT) AS sa_obs
+      FROM pool
+    ),
+    thr AS (SELECT CAST(floor(CAST(na_obs * 256 AS DOUBLE) / n)
+                        AS BIGINT) AS thr FROM tot),
+    reps AS (
+      SELECT
+        {', '.join(
+            f"CAST(SUM(CASE WHEN {_o_perm_byte(b)} < t.thr THEN xq END) "
+            f"AS BIGINT) AS sa{b}, "
+            f"CAST(SUM(CASE WHEN {_o_perm_byte(b)} < t.thr THEN 1 END) "
+            f"AS BIGINT) AS na{b}"
+            for b in range(PERM_B)
+        )}
+      FROM pool CROSS JOIN thr t
+    ),
+    diffs AS (
+      SELECT [
+        {', '.join(
+            f"round(CAST(sa{b} AS DOUBLE) / 100.0 / na{b} "
+            f"- CAST(t.s - sa{b} AS DOUBLE) / 100.0 / (t.n - na{b}), 6)"
+            for b in range(PERM_B)
+        )}
+      ] AS dl
+      FROM reps CROSS JOIN tot t
+    )
+    SELECT t.n, t.na_obs AS n_a,
+           round(CAST(t.sa_obs AS DOUBLE) / 100.0 / t.na_obs
+                 - CAST(t.s - t.sa_obs AS DOUBLE) / 100.0
+                   / (t.n - t.na_obs), 6) AS obs_diff,
+           CAST(len(list_filter(d.dl, x ->
+             abs(x) >= abs(round(CAST(t.sa_obs AS DOUBLE) / 100.0 / t.na_obs
+                   - CAST(t.s - t.sa_obs AS DOUBLE) / 100.0
+                     / (t.n - t.na_obs), 6)))) AS BIGINT) AS n_ge,
+           round(CAST(1 + len(list_filter(d.dl, x ->
+             abs(x) >= abs(round(CAST(t.sa_obs AS DOUBLE) / 100.0 / t.na_obs
+                   - CAST(t.s - t.sa_obs AS DOUBLE) / 100.0
+                     / (t.n - t.na_obs), 6)))) AS DOUBLE)
+                 / {PERM_B + 1}, 6) AS p_value
+    FROM tot t CROSS JOIN diffs d
+    """,
+)
+def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation test for the click-vs-purchase mean-value gap: B
+    hashed relabelings of the pooled rows (group sizes preserved up to
+    the 8-bit threshold quantization) rebuild the null distribution of
+    the difference-in-means, and the p-value is the fraction of
+    replicate |diffs| ≥ |observed| — the distribution-free alternative
+    to q_stats_welch_t (no normality assumption, no CDF), and the same
+    one-pass conditional-aggregation shape as q_stats_bootstrap.
+
+    Each replicate's label is one BYTE of the row's sha256 (32
+    replicates from one hash call per row — not B hash calls), so the
+    whole test is a single corpus scan producing 2·B+4 exact-long
+    aggregates; no data movement depends on B.  Values ride the cents
+    carrier; each diff is fixed-order double math rounded at 6, and the
+    comparison happens on the rounded grid, so the count is engine-exact.
+    """
+    pool = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+            F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
+                "is_a"
+            ),
+            F.sha2(F.col("event_id").cast("string"), 256).alias("hx"),
+        )
+    )
+    tot = pool.agg(
+        F.sum("is_a").cast("long").alias("na_obs"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("xq"))).cast("long").alias(
+            "sa_obs"
+        ),
+    ).withColumn(
+        "thr",
+        F.floor((F.col("na_obs") * 256).cast("double") / F.col("n")).cast(
+            "long"
+        ),
+    )
+    byte = lambda b: F.conv(  # noqa: E731
+        F.substring("hx", 2 * b + 1, 2), 16, 10
+    ).cast("int")
+    reps_aggs = []
+    for b in range(PERM_B):
+        cond = byte(b) < F.col("thr")
+        reps_aggs.append(
+            F.sum(F.when(cond, F.col("xq"))).cast("long").alias(f"sa{b}")
+        )
+        reps_aggs.append(
+            F.sum(F.when(cond, 1)).cast("long").alias(f"na{b}")
+        )
+    reps = pool.crossJoin(F.broadcast(tot.select("thr"))).agg(*reps_aggs)
+    j = reps.crossJoin(F.broadcast(tot))
+    diff = lambda sa, na: F.round(  # noqa: E731
+        sa.cast("double") / 100.0 / na
+        - (F.col("s") - sa).cast("double") / 100.0 / (F.col("n") - na),
+        6,
+    )
+    dl = F.array(
+        *[diff(F.col(f"sa{b}"), F.col(f"na{b}")) for b in range(PERM_B)]
+    )
+    obs = diff(F.col("sa_obs"), F.col("na_obs"))
+    n_ge = F.size(F.filter(dl, lambda x: F.abs(x) >= F.abs(obs))).cast("long")
+    return j.select(
+        "n",
+        F.col("na_obs").alias("n_a"),
+        obs.alias("obs_diff"),
+        n_ge.alias("n_ge"),
+        F.round((n_ge + 1).cast("double") / (PERM_B + 1), 6).alias("p_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Repeat-purchase rate by acquisition cohort
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_repeat_rate",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             strftime(date_trunc('month', MIN(o_orderdate)), '%Y-%m')
+               AS cohort,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT cohort,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_repeat,
+           round(CAST(SUM(CASE WHEN n_orders >= 2 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS repeat_rate,
+           round(CAST(SUM(n_orders) AS DOUBLE) / COUNT(*), 6)
+             AS avg_orders
+    FROM per_cust
+    GROUP BY cohort
+    ORDER BY cohort
+    """,
+)
+def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase rate by acquisition cohort: customers grouped by
+    their FIRST order's month; the share who ever ordered again is the
+    retention number a marketplace actually steers by (the orders-side
+    sibling of q_events_retention, which tracks event-level cohorts).
+
+    One hash aggregate per customer (min date + count in the same
+    pass — no window, no self-join), then a month-grain rollup;
+    the only corpus shuffle is the o_custkey aggregation.  Rates are
+    single divisions of exact longs, rounded at 6.
+    """
+    o = t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.date_format(
+            F.date_trunc("month", F.min("o_orderdate")), "yyyy-MM"
+        ).alias("cohort"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+    )
+    rep = F.sum(F.when(F.col("n_orders") >= 2, 1).otherwise(0)).cast("long")
+    return (
+        per_cust.groupBy("cohort")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            rep.alias("n_repeat"),
+            F.round(
+                rep.cast("double") / F.count(F.lit(1)), 6
+            ).alias("repeat_rate"),
+            F.round(
+                F.sum("n_orders").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_orders"),
+        )
+        .orderBy("cohort")
+    )

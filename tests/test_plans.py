@@ -901,3 +901,55 @@ def test_rolling_median_windows_partitioned(spark, sf_dir):
     for ln in win_args:
         assert "windowspecdefinition(event_type#" in ln, ln
     assert "HashAggregate" in plan, plan
+
+
+def test_dsir_scoring_join_is_broadcast(spark, sf_dir):
+    """DSIR's per-doc scoring must join the exploded words against the
+    <=1024-row bucket histogram as a BROADCAST hash join (map-side, no
+    word-side shuffle), and selection must be TakeOrderedAndProject."""
+    plan = _plan(spark, sf_dir, "q_curate_dsir")
+    strategies = join_strategies(plan)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
+    assert uses_take_ordered(plan), plan
+
+
+def test_qualify_and_distinct_on_group_limit(spark, sf_dir):
+    """The QUALIFY / DISTINCT ON idioms must plan as WindowGroupLimit
+    (per-key top-k pruning before the window), never a full rank of
+    every partition's rows."""
+    for name in ("q_sql_qualify", "q_sql_distinct_on"):
+        plan = _plan(spark, sf_dir, name)
+        assert "WindowGroupLimit" in plan, (name, plan)
+
+
+def test_kmv_first_stage_salted(spark, sf_dir):
+    """The KMV k-min must run its first-stage rank inside (key, salt)
+    partitions — the distinct hash relation never feeds a window with
+    an un-salted global ordering (the second stage sees only
+    salts*k survivors)."""
+    plan = _plan(spark, sf_dir, "q_agg_kmv")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert any("salt#" in ln for ln in win_args), win_args
+
+
+def test_silhouette_no_window_broadcast_centroids(spark, sf_dir):
+    """Silhouette's per-vector a/b must come from a conditional MIN over
+    the broadcast K-row centroid cross-join — no window, no sort-merge
+    join anywhere."""
+    plan = _plan(spark, sf_dir, "q_embed_silhouette")
+    assert "windowspecdefinition" not in plan, plan
+    assert "SortMergeJoin" not in join_strategies(plan), plan
+
+
+def test_permutation_is_single_pass(spark, sf_dir):
+    """The permutation test must be ONE conditional-aggregation pass:
+    no window at all, and the only joins are broadcasts of the 1-row
+    totals/threshold relations."""
+    plan = _plan(spark, sf_dir, "q_stats_permutation")
+    assert "windowspecdefinition" not in plan, plan
+    assert "SortMergeJoin" not in join_strategies(plan), plan
