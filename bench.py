@@ -280,6 +280,21 @@ EXT_R6B = [
 ]
 
 
+# round 6c: band join, joint outliers, drawdown, dialect surface, funnel.
+EXT_R6C = [
+    "q_join_band",
+    "q_join_natural",
+    "q_dq_multivariate_outlier",
+    "q_orders_drawdown",
+    "q_sql_script_transform",
+    "q_sql_groupby_ordinal",
+    "q_stats_pacf",
+    "q_events_burstiness",
+    "q_text_hapax",
+    "q_events_funnel_deadline",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -305,7 +320,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -371,6 +386,8 @@ def main() -> None:
     ext_r6["total"] = round(sum(ext_r6.values()), 3)
     ext_r6b = {name: timed(name) for name in EXT_R6B}
     ext_r6b["total"] = round(sum(ext_r6b.values()), 3)
+    ext_r6c = {name: timed(name) for name in EXT_R6C}
+    ext_r6c["total"] = round(sum(ext_r6c.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -394,6 +411,7 @@ def main() -> None:
         "ext_r5h": ext_r5h,
         "ext_r6": ext_r6,
         "ext_r6b": ext_r6b,
+        "ext_r6c": ext_r6c,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -435,6 +453,7 @@ def main() -> None:
                     "ext_r5h": ext_r5h["total"],
                     "ext_r6": ext_r6["total"],
                     "ext_r6b": ext_r6b["total"],
+                    "ext_r6c": ext_r6c["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

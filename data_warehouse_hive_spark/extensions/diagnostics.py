@@ -1581,3 +1581,233 @@ def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson on lagged-pair correlations)
+# ---------------------------------------------------------------------------
+
+_O_ACF_LAG = """
+    acf{k} AS (
+      SELECT round((kd * sxy - sx * sy)
+                   / (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy)),
+                   9) AS r
+      FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS kd,
+               CAST(SUM(n) AS DOUBLE) AS sx,
+               CAST(SUM(prev_n) AS DOUBLE) AS sy,
+               CAST(SUM(n * prev_n) AS DOUBLE) AS sxy,
+               CAST(SUM(n * n) AS DOUBLE) AS sxx,
+               CAST(SUM(prev_n * prev_n) AS DOUBLE) AS syy
+        FROM (
+          SELECT n, LAG(n, {k}) OVER (ORDER BY day) AS prev_n FROM daily
+        ) WHERE prev_n IS NOT NULL
+      )
+    )"""
+
+
+@query(
+    "q_stats_pacf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    {_O_ACF_LAG.format(k=1)},
+    {_O_ACF_LAG.format(k=2)},
+    {_O_ACF_LAG.format(k=3)},
+    dl AS (
+      SELECT a1.r AS r1, a2.r AS r2, a3.r AS r3,
+             a1.r AS p1,
+             (a2.r - a1.r * a1.r) / (1.0 - a1.r * a1.r) AS p2
+      FROM acf1 a1 CROSS JOIN acf2 a2 CROSS JOIN acf3 a3
+    ),
+    dl2 AS (
+      SELECT *, r1 - p2 * r1 AS a21,
+             (1.0 - r1 * r1) * (1.0 - p2 * p2) AS v2
+      FROM dl
+    ),
+    final AS (
+      SELECT r1, r2, r3, p1, p2,
+             (r3 - a21 * r2 - p2 * r1) / v2 AS p3
+      FROM dl2
+    )
+    SELECT u.lag, round(u.acf, 6) AS acf, round(u.pacf, 6) AS pacf
+    FROM final, LATERAL (VALUES (1, r1, p1), (2, r2, p2), (3, r3, p3))
+                  u(lag, acf, pacf)
+    ORDER BY u.lag
+    """,
+)
+def q_stats_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1–3 via the Durbin-Levinson recursion — the AR-order chooser (ACF
+    says 'correlated with 2 days ago'; PACF says whether that is a real
+    lag-2 effect or just lag-1 applied twice), the companion diagnostic
+    to q_stats_autocorr and the input an AR-model forecast would need.
+    Sample ACF here is the lagged-pair Pearson correlation (the
+    q_stats_autocorr variant), so every r_k comes from exact integer
+    sums over the bounded daily rollup.
+
+    All corpus work is the one day-grain hash aggregate; the three
+    lag windows and the DL algebra run on O(days) rows and a 1-row
+    relation.  Every r_k is rounded at 9 before the recursion (pinning
+    the engines to identical inputs), the recursion is fixed-order
+    scalar IEEE arithmetic, and outputs round at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day")
+
+    def acf(k: int):
+        lagged = daily.select(
+            "n", F.lag("n", k).over(w).alias("prev_n")
+        ).filter(F.col("prev_n").isNotNull())
+        m = lagged.agg(
+            F.count(F.lit(1)).cast("double").alias("kd"),
+            F.sum("n").cast("double").alias("sx"),
+            F.sum("prev_n").cast("double").alias("sy"),
+            F.sum(F.col("n") * F.col("prev_n")).cast("double").alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+            F.sum(F.col("prev_n") * F.col("prev_n"))
+            .cast("double")
+            .alias("syy"),
+        )
+        return m.select(
+            F.round(
+                (F.col("kd") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("kd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(
+                        F.col("kd") * F.col("syy") - F.col("sy") * F.col("sy")
+                    )
+                ),
+                9,
+            ).alias(f"r{k}")
+        )
+
+    dl = (
+        acf(1)
+        .crossJoin(broadcast(acf(2)))
+        .crossJoin(broadcast(acf(3)))
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    dl2 = dl.select(
+        r1,
+        r2,
+        r3,
+        p2.alias("p2"),
+        (r1 - p2 * r1).alias("a21"),
+        ((F.lit(1.0) - r1 * r1) * (F.lit(1.0) - p2 * p2)).alias("v2"),
+    )
+    final = dl2.select(
+        "r1",
+        "r2",
+        "r3",
+        "p2",
+        ((r3 - F.col("a21") * r2 - F.col("p2") * r1) / F.col("v2")).alias(
+            "p3"
+        ),
+    )
+    return final.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lag"),
+                    F.col("r1").alias("acf"),
+                    F.col("r1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).alias("lag"),
+                    F.col("r2").alias("acf"),
+                    F.col("p2").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).alias("lag"),
+                    F.col("r3").alias("acf"),
+                    F.col("p3").alias("pacf"),
+                ),
+            )
+        ).alias("u")
+    ).select(
+        F.col("u.lag").alias("lag"),
+        F.round("u.acf", 6).alias("acf"),
+        F.round("u.pacf", 6).alias("pacf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Burstiness / Fano factor of inter-arrival times per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_burstiness",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS DOUBLE) AS s,
+             CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS ss
+      FROM seq WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s / n / 1e6, 6) AS mean_gap_s,
+           round(sqrt((ss - s / n * s) / (n - 1)) / 1e6, 6) AS std_gap_s,
+           round((sqrt((ss - s / n * s) / (n - 1)) - s / n)
+                 / (sqrt((ss - s / n * s) / (n - 1)) + s / n), 6)
+             AS burstiness,
+           round((ss - s / n * s) / (n - 1) / (s / n) / 1e6, 6)
+             AS fano_s
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient B = (σ−μ)/(σ+μ) and Fano factor of
+    inter-arrival gaps per event type — the single-number
+    characterization of an arrival process (B≈−1 periodic, 0 Poisson,
+    →1 heavy bursts) that sizes streaming buffers and picks watermark
+    slack; the distribution-summary complement to
+    q_events_interarrival's histogram.
+
+    One window pass partitioned by event_type (the established per-type
+    stream shuffle), then exact moments: gaps are exact µs longs, the
+    squared sum rides int128/DECIMAL(38) since µs² overflows a long,
+    and every output is fixed-order double math on those exact sums,
+    rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_us").cast("double").alias("s"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - mean * F.col("s")) / (F.col("n") - 1)
+    std = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(std / 1e6, 6).alias("std_gap_s"),
+        F.round((std - mean) / (std + mean), 6).alias("burstiness"),
+        F.round(var / mean / 1e6, 6).alias("fano_s"),
+    ).orderBy("event_type")

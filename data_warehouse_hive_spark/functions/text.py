@@ -1916,3 +1916,74 @@ def q_text_lm_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hapax legomena: corpus-frequency-1 words and per-document lexical novelty
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_text_hapax",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+      GROUP BY doc_id, w
+    ),
+    freq AS (
+      SELECT w, CAST(SUM(c) AS BIGINT) AS corpus_f FROM dw GROUP BY w
+    )
+    SELECT dw.doc_id,
+           CAST(SUM(dw.c) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN f.corpus_f = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           round(CAST(SUM(CASE WHEN f.corpus_f = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / SUM(dw.c), 6) AS hapax_ratio,
+           round(CAST(COUNT(*) AS DOUBLE) / SUM(dw.c), 6) AS type_token_ratio
+    FROM dw JOIN freq f ON f.w = dw.w
+    GROUP BY dw.doc_id
+    ORDER BY dw.doc_id
+    """,
+)
+def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena census: per document, how many of its words occur
+    exactly ONCE in the whole corpus, plus the type-token ratio — the
+    lexical-novelty signals curation uses both ways (a high hapax share
+    flags OCR garbage and random-string spam; a near-zero share flags
+    template/boilerplate text), and the direct input to Good-Turing
+    smoothing (N₁) next to q_text_heaps' vocabulary-growth curve.
+
+    Two word-keyed shuffles: (doc, word) term counts, then the corpus
+    frequency aggregation whose result joins BACK to the per-doc terms
+    on the word key (equi-join, never broadcast-dependent — at corpus
+    scale the frequency relation is vocabulary-sized).  Ratios are
+    single divisions of exact longs, rounded at 6.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    dw = (
+        d.select("doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    freq = dw.groupBy(F.col("w").alias("fw")).agg(
+        F.sum("c").cast("long").alias("corpus_f")
+    )
+    hap = F.sum(F.when(F.col("corpus_f") == 1, 1).otherwise(0)).cast("long")
+    return (
+        dw.join(freq, F.col("fw") == F.col("w"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).cast("long").alias("n_types"),
+            hap.alias("n_hapax"),
+            F.round(hap.cast("double") / F.sum("c"), 6).alias("hapax_ratio"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.sum("c"), 6
+            ).alias("type_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )

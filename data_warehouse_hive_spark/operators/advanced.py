@@ -1775,3 +1775,91 @@ def q_sql_distinct_on(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") == 1)
         .drop("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive TRANSFORM: stream rows through an external script
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_script_transform",
+    oracle="""
+    SELECT upper(n_name) AS name_uc,
+           CAST(n_nationkey AS VARCHAR) AS key_str
+    FROM nation
+    ORDER BY name_uc
+    """,
+)
+def q_sql_script_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive's TRANSFORM ... USING 'script' — rows stream tab-separated
+    through an external process's stdin/stdout (here `tr a-z A-Z`) and
+    the output parses back into columns.  This is THE legacy HiveQL
+    escape hatch the reference's delegated engine supports natively
+    (Hive streaming scripts); Spark runs it in no-serde mode without a
+    Hive metastore.  Kept for dialect parity and migration: a pipeline
+    moving off Hive can run its existing scripts unchanged while it
+    ports them — but this is a row-at-a-time fork/exec per task, so the
+    engine's own guidance (SCALING.md, UDF section) is to rewrite hot
+    paths as built-in expressions or Arrow-batched pandas_udf; the
+    oracle states the pure-SQL equivalent this one reduces to.
+
+    Scale shape: embarrassingly parallel (one process per task, rows
+    stream through pipes — no shuffle introduced), but ~100× slower
+    per row than codegen'd upper(); fine for the cold migration path
+    it exists to serve.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_xform")
+    return spark.sql(
+        """
+        SELECT name_uc, key_str FROM (
+          SELECT TRANSFORM (n_name, n_nationkey)
+            USING 'tr a-z A-Z'
+            AS (name_uc STRING, key_str STRING)
+          FROM nation_xform
+        )
+        ORDER BY name_uc
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY / ORDER BY ordinals
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_sql_groupby_ordinal",
+    oracle="""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+    FROM orders
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def q_sql_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY / ORDER BY ordinals — positional references into the
+    select list (GROUP BY 1, 2), the HiveQL/ANSI convenience every
+    hand-written rollup uses; resolution happens in the parser, so the
+    executed plan is byte-identical to the named-column form (this id
+    pins the dialect feature, not a new physical operator).  Both
+    engines resolve the ordinals natively in spark.sql/DuckDB.
+
+    One hash aggregate on the tiny (priority, status) domain; revenue
+    sums as exact cents.
+    """
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_ord")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                    AS BIGINT) AS rev_cents
+        FROM orders_ord
+        GROUP BY 1, 2
+        ORDER BY 1, 2
+        """
+    )

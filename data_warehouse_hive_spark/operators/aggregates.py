@@ -3072,3 +3072,110 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("est_click") + F.col("est_purchase") - F.col("est_union"), 4
         ).alias("est_intersect"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multivariate outlier flags: diagonal Mahalanobis over the numeric columns
+# ---------------------------------------------------------------------------
+
+MAHAL_THRESHOLD = 16.0  # ~ chi2(4) far tail: sum of 4 squared z-scores
+
+
+@query(
+    "q_dq_multivariate_outlier",
+    oracle=f"""
+    WITH q AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS x1,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS x2,
+             CAST(floor(l_discount * 10000 + 0.5) AS BIGINT) AS x3,
+             CAST(floor(l_tax * 10000 + 0.5) AS BIGINT) AS x4
+      FROM lineitem
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1, CAST(SUM(x1 * x1) AS DOUBLE) AS ss1,
+             CAST(SUM(x2) AS DOUBLE) AS s2, CAST(SUM(x2 * x2) AS DOUBLE) AS ss2,
+             CAST(SUM(x3) AS DOUBLE) AS s3, CAST(SUM(x3 * x3) AS DOUBLE) AS ss3,
+             CAST(SUM(x4) AS DOUBLE) AS s4, CAST(SUM(x4 * x4) AS DOUBLE) AS ss4
+      FROM q
+    ),
+    scored AS (
+      SELECT q.l_returnflag,
+             (x1 - s1 / n) * (x1 - s1 / n) / ((ss1 - s1 / n * s1) / (n - 1))
+             + (x2 - s2 / n) * (x2 - s2 / n) / ((ss2 - s2 / n * s2) / (n - 1))
+             + (x3 - s3 / n) * (x3 - s3 / n) / ((ss3 - s3 / n * s3) / (n - 1))
+             + (x4 - s4 / n) * (x4 - s4 / n) / ((ss4 - s4 / n * s4) / (n - 1))
+               AS score
+      FROM q CROSS JOIN m
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN score > {MAHAL_THRESHOLD} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           round(CAST(SUM(CASE WHEN score > {MAHAL_THRESHOLD} THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 6) AS outlier_rate
+    FROM scored
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def q_dq_multivariate_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multivariate outlier detection: diagonal-covariance Mahalanobis
+    distance over lineitem's four numeric columns (quantity, price,
+    discount, tax) — a row is anomalous when its SUM of squared
+    z-scores clears the χ² tail, which catches jointly-weird rows
+    (high quantity AND high discount AND nonzero tax) that every
+    per-column gate (q_dq_outlier_iqr) individually passes.  This is
+    the cheap version of the isolation-forest / full-Mahalanobis DQ
+    stage — no matrix inverse, no model, two scans.
+
+    Pass 1 computes the 4 columns' exact moments (scaled-long carriers;
+    squared sums in DECIMAL(38) / int128, since cents² overflows a
+    long at corpus scale); pass 2 broadcasts those 9 numbers and scores
+    every row in the scan — at 100 TB the moment pass is the stats-
+    profile job's byproduct, so the incremental cost is one map-only
+    pass.  All per-row arithmetic is fixed-order double math on exact
+    operands → the > threshold decision is engine-exact.
+    """
+    li = t(spark, sf_dir, "lineitem")
+    q = li.select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("x1"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("x2"),
+        F.floor(F.col("l_discount") * 10000 + 0.5).cast("long").alias("x3"),
+        F.floor(F.col("l_tax") * 10000 + 0.5).cast("long").alias("x4"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in (1, 2, 3, 4):
+        aggs.append(F.sum(f"x{i}").cast("double").alias(f"s{i}"))
+        aggs.append(
+            F.sum((F.col(f"x{i}") * F.col(f"x{i}")).cast("decimal(38,0)"))
+            .cast("double")
+            .alias(f"ss{i}")
+        )
+    m = q.agg(*aggs)
+
+    def zsq(i: int):
+        x = F.col(f"x{i}").cast("double")
+        mean = F.col(f"s{i}") / F.col("n")
+        var = (F.col(f"ss{i}") - mean * F.col(f"s{i}")) / (F.col("n") - 1)
+        return (x - mean) * (x - mean) / var
+
+    score = zsq(1) + zsq(2) + zsq(3) + zsq(4)
+    flagged = F.sum(
+        F.when(F.col("score") > MAHAL_THRESHOLD, 1).otherwise(0)
+    ).cast("long")
+    return (
+        q.crossJoin(F.broadcast(m))
+        .select("l_returnflag", score.alias("score"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            flagged.alias("n_outliers"),
+            F.round(flagged.cast("double") / F.count(F.lit(1)), 6).alias(
+                "outlier_rate"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -2522,3 +2522,75 @@ def q_orders_repeat_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort")
     )
+
+
+# ---------------------------------------------------------------------------
+# Run-rate drawdown: worst decline from the peak daily revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY day
+    ),
+    tracked AS (
+      SELECT day, rev_cents,
+             CAST(MAX(rev_cents) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS peak_cents
+      FROM daily
+    )
+    SELECT day, rev_cents, peak_cents,
+           round(1.0 - CAST(rev_cents AS DOUBLE) / peak_cents, 6)
+             AS drawdown
+    FROM tracked
+    ORDER BY drawdown DESC, day
+    LIMIT 5
+    """,
+)
+def q_orders_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-rate drawdown: for every day, how far daily revenue sits
+    below the best day seen SO FAR (running peak), reporting the 5
+    worst declines — the finance-style health metric ('we are 38% off
+    peak run-rate, and here is when it happened') that a flat
+    day-over-day delta misses because it has no memory of the peak.
+
+    One day-grain hash aggregate off the scan (revenue summed as exact
+    cents), then a running MAX over the bounded O(days) rollup —
+    driver-sized window per SCALING.md's rollup rule — and a top-5 via
+    TakeOrdered.  The drawdown ratio is one double division of exact
+    longs, rounded at 6.
+    """
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev_cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    tracked = daily.select(
+        "day",
+        "rev_cents",
+        F.max("rev_cents").over(w).cast("long").alias("peak_cents"),
+    )
+    return (
+        tracked.select(
+            "day",
+            "rev_cents",
+            "peak_cents",
+            F.round(
+                F.lit(1.0)
+                - F.col("rev_cents").cast("double") / F.col("peak_cents"),
+                6,
+            ).alias("drawdown"),
+        )
+        .orderBy(F.col("drawdown").desc(), "day")
+        .limit(5)
+    )

@@ -430,3 +430,143 @@ def q_er_blocked_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# Band join: |a - b| <= delta via neighbor-bucket equi-join
+# ---------------------------------------------------------------------------
+
+BAND_CENTS = 25  # band half-width in price cents
+
+
+@query(
+    "q_join_band",
+    oracle=f"""
+    WITH p AS (
+      SELECT p_partkey, p_brand,
+             CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM part
+    )
+    SELECT a.p_brand,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           round(CAST(SUM(abs(a.cents - b.cents)) AS DOUBLE) / 100.0
+                 / COUNT(*), 6) AS avg_gap
+    FROM p a JOIN p b
+      ON b.p_partkey != a.p_partkey
+     AND abs(a.cents - b.cents) <= {BAND_CENTS}
+    GROUP BY a.p_brand
+    ORDER BY a.p_brand
+    """,
+)
+def q_join_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Band join — pair every part with every other part whose retail
+    price lies within ±{BAND_CENTS} cents — executed as a neighbor-
+    bucket EQUI-join: prices bucket at the band width, the probe side
+    fans out to its own bucket ±1 (3 rows), and the exact |Δ| ≤ δ
+    predicate filters the equi-matched candidates.  This is the
+    standard rewrite that turns an inequality ("theta") join Spark
+    would otherwise plan as a broadcast nested loop into a hash join
+    whose cost scales with MATCHES, not with |A|×|B| — the same family
+    as q_join_range/q_join_pointrange but for symmetric distance bands
+    (price matching, sensor-reading reconciliation, tolerance dedup).
+
+    Every qualifying pair matches in exactly one probe bucket (the
+    build row's own), so no dedup pass is needed.  Prices ride the
+    cents carrier (exact longs: bucketing, |Δ|, and the gap sum are all
+    integer ops); the only double math is the final avg division,
+    rounded at 6.  The oracle states the raw theta join — DuckDB's
+    IEJoin handles it at test scale — proving the bucket rewrite
+    changes the plan, not the relation.
+    """
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    build = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("cents").alias("b_cents"),
+        F.expr(f"cents div {BAND_CENTS}").alias("bucket"),
+    )
+    probe = p.select(
+        "p_partkey",
+        "p_brand",
+        "cents",
+        F.explode(
+            F.array(
+                F.expr(f"cents div {BAND_CENTS} - 1"),
+                F.expr(f"cents div {BAND_CENTS}"),
+                F.expr(f"cents div {BAND_CENTS} + 1"),
+            )
+        ).alias("bucket"),
+    )
+    pairs = probe.join(build, "bucket").filter(
+        (F.col("b_key") != F.col("p_partkey"))
+        & (F.abs(F.col("cents") - F.col("b_cents")) <= BAND_CENTS)
+    )
+    gap = F.abs(F.col("cents") - F.col("b_cents"))
+    return (
+        pairs.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(
+                F.sum(gap).cast("double") / 100.0 / F.count(F.lit(1)), 6
+            ).alias("avg_gap"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+# ---------------------------------------------------------------------------
+# NATURAL JOIN: implicit equi-join on every shared column name
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_join_natural",
+    oracle="""
+    WITH n AS (
+      SELECT n_nationkey AS nationkey, n_name AS nation_name,
+             n_regionkey AS regionkey
+      FROM nation
+    ),
+    r AS (
+      SELECT r_regionkey AS regionkey, r_name AS region_name FROM region
+    )
+    SELECT nationkey, nation_name, regionkey, region_name
+    FROM n NATURAL JOIN r
+    ORDER BY nationkey
+    """,
+)
+def q_join_natural(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATURAL JOIN — the implicit equi-join on every same-named column
+    (HiveQL/ANSI dialect surface; reference delegates the dialect to
+    Hive, backend/hive_manager.py:118-170).  Run through spark.sql so
+    the parser's own NATURAL resolution is what executes, against
+    projections that share exactly one column name; the shared key
+    appears ONCE in the output, per the spec.  Dialect sugar over
+    q_join_inner — the plan is the identical broadcast hash join; the
+    operational caveat (schema evolution silently widening the join
+    key set) is why the docstring, not the engine, discourages it.
+
+    Both engines parse NATURAL natively, so the oracle exercises the
+    same resolution rule rather than restating an explicit ON.
+    """
+    t(spark, sf_dir, "nation").createOrReplaceTempView("nation_nat")
+    t(spark, sf_dir, "region").createOrReplaceTempView("region_nat")
+    return spark.sql(
+        """
+        WITH n AS (
+          SELECT n_nationkey AS nationkey, n_name AS nation_name,
+                 n_regionkey AS regionkey
+          FROM nation_nat
+        ),
+        r AS (
+          SELECT r_regionkey AS regionkey, r_name AS region_name
+          FROM region_nat
+        )
+        SELECT nationkey, nation_name, regionkey, region_name
+        FROM n NATURAL JOIN r
+        ORDER BY nationkey
+        """
+    )

@@ -2736,3 +2736,94 @@ def q_events_incidents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.min("started_at").alias("first_incident_at"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deadline funnel: ordered steps with a conversion window from step 1
+# ---------------------------------------------------------------------------
+
+FUNNEL_DEADLINE_DAYS = 7
+
+
+@query(
+    "q_events_funnel_deadline",
+    oracle=f"""
+    WITH u1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    u2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN u1 ON u1.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > u1.t1
+        AND e.ts <= u1.t1 + INTERVAL {FUNNEL_DEADLINE_DAYS} DAY
+      GROUP BY e.user_id
+    ),
+    u3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN u2 ON u2.user_id = e.user_id
+      JOIN u1 ON u1.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > u2.t2
+        AND e.ts <= u1.t1 + INTERVAL {FUNNEL_DEADLINE_DAYS} DAY
+      GROUP BY e.user_id
+    )
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS step1_view,
+      CAST(COUNT(u2.t2) AS BIGINT) AS step2_click,
+      CAST(COUNT(u3.t3) AS BIGINT) AS step3_purchase,
+      round(CAST(COUNT(u2.t2) AS DOUBLE) / COUNT(*), 6) AS rate_step2,
+      round(CAST(COUNT(u3.t3) AS DOUBLE) / COUNT(*), 6) AS rate_step3
+    FROM u1
+    LEFT JOIN u2 ON u2.user_id = u1.user_id
+    LEFT JOIN u3 ON u3.user_id = u1.user_id
+    """,
+)
+def q_events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deadline funnel (the windowFunnel semantics): view → click →
+    purchase must happen IN ORDER, and the later steps must land within
+    {FUNNEL_DEADLINE_DAYS} days of the user's FIRST view — the funnel
+    marketing actually buys ('converted within the attribution
+    window'), which q_events_funnel's unbounded ordered variant
+    overstates.  Each step anchors on the previous step's first
+    qualifying timestamp, so a purchase before the click never counts.
+
+    Three user-keyed aggregations, each one conditional-MIN join
+    against the previous step's O(users) relation — the partitioning
+    on user_id is REUSED across all three shuffles (no window, no
+    per-user collect).  Timestamps compare as exact instants; rates
+    are single divisions of exact longs rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    u1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    deadline = F.col("t1") + F.expr(f"INTERVAL {FUNNEL_DEADLINE_DAYS} DAYS")
+    u2 = (
+        e.filter(F.col("event_type") == "click")
+        .join(u1, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    u3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(u2, "user_id")
+        .join(u1, "user_id")
+        .filter((F.col("ts") > F.col("t2")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    joined = u1.join(u2, "user_id", "left").join(u3, "user_id", "left")
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("step1_view"),
+        F.count("t2").cast("long").alias("step2_click"),
+        F.count("t3").cast("long").alias("step3_purchase"),
+        F.round(F.count("t2").cast("double") / F.count(F.lit(1)), 6).alias(
+            "rate_step2"
+        ),
+        F.round(F.count("t3").cast("double") / F.count(F.lit(1)), 6).alias(
+            "rate_step3"
+        ),
+    )

@@ -953,3 +953,33 @@ def test_permutation_is_single_pass(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_stats_permutation")
     assert "windowspecdefinition" not in plan, plan
     assert "SortMergeJoin" not in join_strategies(plan), plan
+
+
+def test_band_join_is_equi_never_nested_loop(spark, sf_dir):
+    """The band join must execute as a bucket EQUI-join (hash-joinable)
+    — a naive |a-b| <= d theta join would plan as
+    BroadcastNestedLoopJoin, which is exactly what the rewrite exists
+    to avoid."""
+    plan = _plan(spark, sf_dir, "q_join_band")
+    strategies = join_strategies(plan)
+    assert strategies, plan
+    assert not any("NestedLoop" in s or "Cartesian" in s for s in strategies), (
+        strategies
+    )
+
+
+def test_multivariate_outlier_broadcast_moments(spark, sf_dir):
+    """The Mahalanobis scoring pass must consume the 1-row moment
+    relation via broadcast — no window, no sort-merge join; scoring is
+    map-only over the scan."""
+    plan = _plan(spark, sf_dir, "q_dq_multivariate_outlier")
+    assert "windowspecdefinition" not in plan, plan
+    assert "SortMergeJoin" not in join_strategies(plan), plan
+
+
+def test_funnel_deadline_no_window_no_collect(spark, sf_dir):
+    """The deadline funnel must be conditional-MIN aggregations joined
+    on user_id — no window pass and no per-user list collection."""
+    plan = _plan(spark, sf_dir, "q_events_funnel_deadline")
+    assert "windowspecdefinition" not in plan, plan
+    assert "collect_list" not in plan, plan
