@@ -295,6 +295,16 @@ EXT_R6C = [
 ]
 
 
+# round 6d: binary-signature ANN, IVF tuning curve, coverage + variance tests.
+EXT_R6D = [
+    "q_sim_search_hamming",
+    "q_sim_ivf_sweep",
+    "q_text_oov_rate",
+    "q_stats_levene",
+    "q_stats_seasonal_strength",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -320,7 +330,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -388,6 +398,8 @@ def main() -> None:
     ext_r6b["total"] = round(sum(ext_r6b.values()), 3)
     ext_r6c = {name: timed(name) for name in EXT_R6C}
     ext_r6c["total"] = round(sum(ext_r6c.values()), 3)
+    ext_r6d = {name: timed(name) for name in EXT_R6D}
+    ext_r6d["total"] = round(sum(ext_r6d.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -412,6 +424,7 @@ def main() -> None:
         "ext_r6": ext_r6,
         "ext_r6b": ext_r6b,
         "ext_r6c": ext_r6c,
+        "ext_r6d": ext_r6d,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -454,6 +467,7 @@ def main() -> None:
                     "ext_r6": ext_r6["total"],
                     "ext_r6b": ext_r6b["total"],
                     "ext_r6c": ext_r6c["total"],
+                    "ext_r6d": ext_r6d["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

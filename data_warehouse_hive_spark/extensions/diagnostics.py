@@ -1811,3 +1811,279 @@ def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((std - mean) / (std + mean), 6).alias("burstiness"),
         F.round(var / mean / 1e6, 6).alias("fano_s"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Levene's test (mean-based): variance homogeneity across groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_levene",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    gm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx
+      FROM q GROUP BY event_type
+    ),
+    z AS (
+      SELECT q.event_type,
+             CAST(floor(abs(CAST(q.xq AS DOUBLE)
+                            - CAST(g.sx AS DOUBLE) / g.n) + 0.5)
+                  AS BIGINT) AS zq
+      FROM q JOIN gm g ON g.event_type = q.event_type
+    ),
+    zg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zq) AS BIGINT) AS sz,
+             CAST(SUM(zq * zq) AS BIGINT) AS szz
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(sz) AS BIGINT) AS szt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM zg
+    ),
+    terms AS (
+      SELECT
+        CAST(floor(g.n * (CAST(g.sz AS DOUBLE) / g.n
+                          - CAST(t.szt AS DOUBLE) / t.nt)
+                       * (CAST(g.sz AS DOUBLE) / g.n
+                          - CAST(t.szt AS DOUBLE) / t.nt) + 0.5)
+             AS BIGINT) AS ssb_q,
+        CAST(floor(CAST(g.szz AS DOUBLE)
+                   - CAST(g.sz AS DOUBLE) * (CAST(g.sz AS DOUBLE) / g.n)
+                   + 0.5) AS BIGINT) AS ssw_q,
+        t.nt, t.k
+      FROM zg g CROSS JOIN tot t
+    )
+    SELECT k, nt AS n,
+           round((CAST(nt - k AS DOUBLE) / (k - 1))
+                 * (CAST(SUM(ssb_q) AS DOUBLE) / CAST(SUM(ssw_q) AS DOUBLE)),
+                 6) AS levene_w
+    FROM terms
+    GROUP BY k, nt
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-based variant) for variance homogeneity of
+    `value` across event types: one-way ANOVA's F statistic applied to
+    the absolute deviations z = |x − x̄_group| — large W means the
+    groups' SPREADS differ, which is the assumption check both ANOVA
+    and the pooled t-test quietly require (q_stats_anova tests means;
+    this tests the variances it assumed equal).
+
+    Two corpus passes sharing the event_type partitioning: group
+    moments, then deviations re-aggregated per group.  Every between/
+    within term is quantized onto the integer grid BEFORE the cross-
+    group sums (n·(z̄_g−z̄)² and SSW_g fit longs comfortably at any
+    tested SF), so the final W is fixed-order double math on exact
+    integer sums, rounded at 6 — no cross-row double accumulation
+    anywhere.
+    """
+    e = t(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    gm = q.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("xq").cast("long").alias("gsx"),
+    )
+    z = q.join(broadcast(gm), F.col("g_type") == F.col("event_type")).select(
+        "event_type",
+        F.floor(
+            F.abs(
+                F.col("xq").cast("double")
+                - F.col("gsx").cast("double") / F.col("gn")
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("zq"),
+    )
+    zg = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zq").cast("long").alias("sz"),
+        F.sum(F.col("zq") * F.col("zq")).cast("long").alias("szz"),
+    )
+    tot = zg.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sz").cast("long").alias("szt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mean_g = F.col("sz").cast("double") / F.col("n")
+    mean_t = F.col("szt").cast("double") / F.col("nt")
+    terms = zg.crossJoin(broadcast(tot)).select(
+        "nt",
+        "k",
+        F.floor(F.col("n") * (mean_g - mean_t) * (mean_g - mean_t) + 0.5)
+        .cast("long")
+        .alias("ssb_q"),
+        F.floor(
+            F.col("szz").cast("double") - F.col("sz").cast("double") * mean_g
+            + 0.5
+        )
+        .cast("long")
+        .alias("ssw_q"),
+    )
+    return (
+        terms.groupBy("k", "nt")
+        .agg(
+            F.round(
+                ((F.col("nt") - F.col("k")).cast("double") / (F.col("k") - 1))
+                * (
+                    F.sum("ssb_q").cast("double")
+                    / F.sum("ssw_q").cast("double")
+                ),
+                6,
+            ).alias("levene_w")
+        )
+        .select("k", F.col("nt").alias("n"), "levene_w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend / seasonal strength of the daily series (decomposition quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    ma AS (
+      SELECT day, n,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+             CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+             CAST(SUM(n) OVER w AS BIGINT) AS win_s
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT day, dow, n * 1000000 AS nq,
+             n * 1000000
+               - CAST(floor(CAST(win_s AS DOUBLE) / win_n * 1e6 + 0.5)
+                      AS BIGINT) AS dq
+      FROM ma WHERE win_n = 7
+    ),
+    seas AS (
+      SELECT dow, CAST(floor(CAST(SUM(dq) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS sq
+      FROM detr GROUP BY dow
+    ),
+    comp AS (
+      SELECT d.dq - s.sq AS rq, d.dq AS dq, d.nq - s.sq AS trq
+      FROM detr d JOIN seas s ON s.dow = d.dow
+    ),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(rq) AS BIGINT) AS s_r,
+             CAST(SUM(CAST(rq AS HUGEINT) * rq) AS DOUBLE) AS ss_r,
+             CAST(SUM(dq) AS BIGINT) AS s_d,
+             CAST(SUM(CAST(dq AS HUGEINT) * dq) AS DOUBLE) AS ss_d,
+             CAST(SUM(trq) AS BIGINT) AS s_t,
+             CAST(SUM(CAST(trq AS HUGEINT) * trq) AS DOUBLE) AS ss_t
+      FROM comp
+    )
+    SELECT m AS n_days,
+           round(greatest(0.0, 1.0 -
+             (ss_r - CAST(s_r AS DOUBLE) / m * s_r)
+             / (ss_t - CAST(s_t AS DOUBLE) / m * s_t)), 6)
+             AS trend_strength,
+           round(greatest(0.0, 1.0 -
+             (ss_r - CAST(s_r AS DOUBLE) / m * s_r)
+             / (ss_d - CAST(s_d AS DOUBLE) / m * s_d)), 6)
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def q_stats_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (the Hyndman FPP measures,
+    F = max(0, 1 − Var(remainder)/Var(component + remainder))) of the
+    daily event-count series under a 7-day MA × day-of-week additive
+    decomposition — the single-number answer to 'is this series
+    actually seasonal enough to justify a seasonal model', grading the
+    decomposition q_orders_seasonal_decompose performs and gating which
+    forecaster (SMA vs Holt vs seasonal) the pipeline picks.
+
+    All corpus work is the one day-grain hash aggregate; the MA window,
+    day-of-week means, and the three variances live on the bounded
+    O(days) rollup.  Every component rides a 1e6-scaled long grid
+    (trend/seasonal means re-floored onto it), squared sums go through
+    int128/DECIMAL(38), and both strengths are fixed-order double math
+    on exact sums, rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "n",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("n").over(w).cast("long").alias("win_s"),
+    )
+    detr = ma.filter(F.col("win_n") == 7).select(
+        "dow",
+        (F.col("n") * 1000000).alias("nq"),
+        (
+            F.col("n") * 1000000
+            - F.floor(
+                F.col("win_s").cast("double") / F.col("win_n") * 1e6 + 0.5
+            ).cast("long")
+        ).alias("dq"),
+    )
+    seas = detr.groupBy(F.col("dow").alias("s_dow")).agg(
+        F.floor(F.sum("dq").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("sq")
+    )
+    comp = detr.join(broadcast(seas), F.col("s_dow") == F.col("dow")).select(
+        (F.col("dq") - F.col("sq")).alias("rq"),
+        "dq",
+        (F.col("nq") - F.col("sq")).alias("trq"),
+    )
+
+    def moments(c: str):
+        return [
+            F.sum(c).cast("long").alias(f"s_{c}"),
+            F.sum(F.col(c).cast("decimal(38,0)") * F.col(c))
+            .cast("double")
+            .alias(f"ss_{c}"),
+        ]
+
+    v = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        *moments("rq"),
+        *moments("dq"),
+        *moments("trq"),
+    )
+
+    def css(c: str):
+        return F.col(f"ss_{c}") - F.col(f"s_{c}").cast("double") / F.col(
+            "m"
+        ) * F.col(f"s_{c}")
+
+    return v.select(
+        F.col("m").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - css("rq") / css("trq")), 6
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - css("rq") / css("dq")), 6
+        ).alias("seasonal_strength"),
+    )

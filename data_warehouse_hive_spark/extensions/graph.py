@@ -1371,14 +1371,21 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
     out_w = edges.groupBy(F.col("src").alias("o_src")).agg(
         F.sum("w").cast("long").alias("out_w")
     )
-    ew = edges.join(broadcast(out_w), F.col("o_src") == F.col("src")).select(
-        "src",
-        "dst",
-        F.floor(
-            -F.log(F.col("w").cast("double") / F.col("out_w")) * 1e9 + 0.5
+    ew = (
+        edges.join(broadcast(out_w), F.col("o_src") == F.col("src"))
+        .select(
+            "src",
+            "dst",
+            F.floor(
+                -F.log(F.col("w").cast("double") / F.col("out_w")) * 1e9 + 0.5
+            )
+            .cast("long")
+            .alias("cq"),
         )
-        .cast("long")
-        .alias("cq"),
+        # materialize the O(|types|^2) weighted edge relation once: the
+        # relaxation rounds below would otherwise re-run the corpus
+        # lag-window scan per round through the lazy lineage
+        .localCheckpoint(eager=False)
     )
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -2825,3 +2825,272 @@ def q_embed_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+# ---------------------------------------------------------------------------
+# Binary-signature ANN: sign bits + Hamming pre-rank, exact cosine re-rank
+# ---------------------------------------------------------------------------
+
+HAMMING_BITS = 62  # sign bits used (bits 0..61 keep the long positive
+#                    in both engines; dims 63-64 still count in the re-rank)
+HAMMING_POOL = 50  # Hamming candidates re-ranked exactly per query
+
+
+@query(
+    "q_sim_search_hamming",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sigs AS (
+      SELECT vec_id, label, e,
+             list_sum(list_transform(range(1, {HAMMING_BITS} + 1),
+               i -> CASE WHEN e[i] >= 0
+                         THEN (CAST(1 AS BIGINT) << (i - 1))
+                         ELSE CAST(0 AS BIGINT) END)) AS sig
+      FROM v
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qe, sig AS qsig
+          FROM sigs WHERE vec_id < {N_QUERY_VECS}),
+    ham AS (
+      SELECT q.query_id, s.vec_id, s.label, q.qe, s.e,
+             CAST(bit_count(xor(s.sig, q.qsig)) AS BIGINT) AS hamming
+      FROM q JOIN sigs s ON s.vec_id != q.query_id
+    ),
+    pool AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY hamming, vec_id) AS hrk
+        FROM ham
+      ) WHERE hrk <= {HAMMING_POOL}
+    ),
+    rer AS (
+      SELECT query_id, vec_id, label, hamming,
+             round(list_dot_product(qe, e)
+                   / (sqrt(list_dot_product(qe, qe))
+                      * sqrt(list_dot_product(e, e))), 6) AS cosine
+      FROM pool
+    )
+    SELECT query_id, vec_id, label, hamming, cosine, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, vec_id)
+                     AS BIGINT) AS rk
+      FROM rer
+    ) WHERE rk <= {TOP_K}
+    ORDER BY query_id, rk
+    """,
+)
+def q_sim_search_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-signature ANN (tier 4): each vector compresses to a
+    {HAMMING_BITS}-bit SIGN signature (bit i = sign of dimension i), the
+    query pre-ranks the corpus by popcount Hamming distance — 8 bytes
+    per vector, XOR+popcount per comparison, ~50× cheaper than a float
+    dot product — and only the top-{HAMMING_POOL} Hamming candidates
+    get the exact cosine re-rank.  This is the binary-embedding retrieval
+    trick production vector stores ship (sign bits preserve cosine
+    neighborhoods for zero storage); it completes the index family:
+    LSH (bucketed), IVF (routed), PQ (quantized), Hamming (binarized).
+
+    The signature build is one JVM-side fold (integer adds of distinct
+    powers of two — no overflow, bits 0..61 keep the long positive in
+    both engines); the Hamming scan is Q×N cheap integer ops with the
+    Q-row query side broadcast (the brute_force_topk shape, minus the
+    float math); every window partitions by query_id.  Ties break
+    (hamming, vec_id) then (cosine desc, vec_id) — fully deterministic.
+    """
+    v, q = _fixture_corpus(spark, sf_dir)
+    sig_expr = (
+        f"aggregate(transform(slice({{col}}, 1, {HAMMING_BITS}),"
+        f" (x, i) -> IF(x >= 0D, shiftleft(CAST(1 AS BIGINT), i),"
+        f" CAST(0 AS BIGINT))), CAST(0 AS BIGINT), (a, b) -> a + b)"
+    )
+    sigs = v.withColumn("sig", F.expr(sig_expr.format(col="e")))
+    qs = q.withColumn("qsig", F.expr(sig_expr.format(col="qe")))
+    ham = sigs.join(
+        broadcast(qs), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        "vec_id",
+        "label",
+        "qe",
+        "e",
+        F.expr("CAST(bit_count(sig ^ qsig) AS BIGINT)").alias("hamming"),
+    )
+    wh = Window.partitionBy("query_id").orderBy("hamming", "vec_id")
+    pool = ham.withColumn("hrk", F.row_number().over(wh)).filter(
+        F.col("hrk") <= HAMMING_POOL
+    )
+    rer = pool.select(
+        "query_id",
+        "vec_id",
+        "label",
+        "hamming",
+        F.round(
+            dot(F.col("qe"), F.col("e"))
+            / (
+                F.sqrt(dot(F.col("qe"), F.col("qe")))
+                * F.sqrt(dot(F.col("e"), F.col("e")))
+            ),
+            6,
+        ).alias("cosine"),
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    return (
+        rer.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .orderBy("query_id", "rk")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF nprobe sweep: the recall/cost tuning curve
+# ---------------------------------------------------------------------------
+
+IVF_SWEEP_PROBES = (1, 2, 4)
+
+
+def _o_ivf_sweep_one(np_: int) -> str:
+    return f"""
+      SELECT {np_} AS n_probe,
+             CAST(COUNT(*) AS BIGINT) AS n_candidates,
+             CAST(SUM(CASE WHEN x.rk IS NOT NULL AND x.rk <= {TOP_K}
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+      FROM (
+        SELECT q.query_id, v.vec_id
+        FROM q
+        JOIN (
+          SELECT query_id, cell AS probe_cell FROM (
+            SELECT q.query_id, c.cell,
+                   ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                     round(list_dot_product(q.qe, c.ce)
+                           / (sqrt(list_dot_product(q.qe, q.qe))
+                              * sqrt(list_dot_product(c.ce, c.ce))), 6) DESC,
+                     c.cell) AS crk
+            FROM q CROSS JOIN cent_vecs c
+          ) WHERE crk <= {np_}
+        ) p ON p.query_id = q.query_id
+        JOIN v ON v.label = p.probe_cell AND v.vec_id != q.query_id
+      ) cand
+      LEFT JOIN exact_rk x
+        ON x.query_id = cand.query_id AND x.vec_id = cand.vec_id
+    """
+
+
+@query(
+    "q_sim_ivf_sweep",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    elems AS (
+      SELECT v.label AS cell, u.pos, u.val
+      FROM v, LATERAL (SELECT unnest(v.e) AS val,
+                              unnest(range(len(v.e))) AS pos) u
+    ),
+    centroids AS (
+      SELECT cell, pos,
+             CAST(SUM(CAST(val AS DECIMAL(18,6))) AS DOUBLE)
+               / CAST(COUNT(*) AS DOUBLE) AS cval
+      FROM elems GROUP BY cell, pos
+    ),
+    cent_vecs AS MATERIALIZED (
+      SELECT cell, list(cval ORDER BY pos) AS ce FROM centroids GROUP BY cell
+    ),
+    q AS MATERIALIZED (
+      SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id < {N_QUERY_VECS}
+    ),
+    exact_rk AS MATERIALIZED (
+      SELECT query_id, vec_id, rk FROM (
+        SELECT q.query_id, v.vec_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qe, v.e)
+                       / (sqrt(list_dot_product(q.qe, q.qe))
+                          * sqrt(list_dot_product(v.e, v.e))), 6) DESC,
+                 v.vec_id) AS rk
+        FROM q JOIN v ON v.vec_id != q.query_id
+      ) WHERE rk <= {TOP_K}
+    ),
+    sweep AS (
+      {" UNION ALL ".join(_o_ivf_sweep_one(np_) for np_ in IVF_SWEEP_PROBES)}
+    )
+    SELECT n_probe, n_candidates, n_hits,
+           round(CAST(n_hits AS DOUBLE) / ({N_QUERY_VECS} * {TOP_K}), 6)
+             AS mean_recall
+    FROM sweep
+    ORDER BY n_probe
+    """,
+)
+def q_sim_ivf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF tuning sweep: recall@k AND candidate-scan cost for n_probe ∈
+    {IVF_SWEEP_PROBES} in one result — the curve an index operator
+    actually reads when choosing the probe budget (recall climbs with
+    n_probe, scan cost climbs linearly; pick the knee).  The tuning-
+    harness sibling of q_dedup_lsh_tuning, applied to the IVF family.
+
+    Each sweep point reuses the SAME centroid relation and the SAME
+    exact ground-truth top-k (computed once — the expensive parts do
+    not multiply with sweep size); candidates per point are the probed
+    cells' members joined against the Q-row query set, and recall is
+    hits/(Q·k) on exact integers.  At 100 TB this is the index-build
+    acceptance job: ground truth on a bounded sampled query set, sweep
+    points as cheap conditional re-probes of the cell index.
+    """
+    v, q = _fixture_corpus(spark, sf_dir)
+    exact = brute_force_topk(v, q, TOP_K).select(
+        F.col("query_id").alias("x_query_id"),
+        F.col("vec_id").alias("x_vec_id"),
+    ).localCheckpoint(eager=False)
+    cents = cell_centroids(v, "label").localCheckpoint(eager=False)
+    out = None
+    for np_ in IVF_SWEEP_PROBES:
+        wq = Window.partitionBy("query_id").orderBy(
+            F.col("ccos").desc(), F.col("cell")
+        )
+        probes = (
+            q.crossJoin(broadcast(cents))
+            .select(
+                "query_id",
+                "cell",
+                F.round(
+                    dot(F.col("qe"), F.col("ce"))
+                    / (
+                        F.sqrt(dot(F.col("qe"), F.col("qe")))
+                        * F.sqrt(dot(F.col("ce"), F.col("ce")))
+                    ),
+                    6,
+                ).alias("ccos"),
+            )
+            .withColumn("crk", F.row_number().over(wq))
+            .filter(F.col("crk") <= np_)
+            .select("query_id", F.col("cell").alias("probe_cell"))
+        )
+        cand = (
+            q.join(broadcast(probes), "query_id")
+            .join(
+                v,
+                (F.col("label") == F.col("probe_cell"))
+                & (F.col("vec_id") != F.col("query_id")),
+            )
+            .select("query_id", "vec_id")
+        )
+        point = cand.join(
+            exact,
+            (F.col("x_query_id") == F.col("query_id"))
+            & (F.col("x_vec_id") == F.col("vec_id")),
+            "left",
+        ).agg(
+            F.lit(np_).cast("long").alias("n_probe"),
+            F.count(F.lit(1)).cast("long").alias("n_candidates"),
+            F.count("x_vec_id").cast("long").alias("n_hits"),
+        )
+        out = point if out is None else out.unionByName(point)
+    return out.select(
+        "n_probe",
+        "n_candidates",
+        "n_hits",
+        F.round(
+            F.col("n_hits").cast("double") / (N_QUERY_VECS * TOP_K), 6
+        ).alias("mean_recall"),
+    ).orderBy("n_probe")

@@ -1987,3 +1987,78 @@ def q_text_hapax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# OOV rate: tokenizer-vocabulary coverage per document
+# ---------------------------------------------------------------------------
+
+OOV_VOCAB_SIZE = 500  # top-V corpus words form the fixed vocabulary
+
+
+@query(
+    "q_text_oov_rate",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, w
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+    ),
+    vocab AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, w) AS rk
+        FROM words GROUP BY w
+      ) WHERE rk <= {OOV_VOCAB_SIZE}
+    )
+    SELECT words.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_oov,
+           round(CAST(SUM(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS oov_rate
+    FROM words LEFT JOIN vocab v ON v.w = words.w
+    GROUP BY words.doc_id
+    ORDER BY words.doc_id
+    """,
+)
+def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against a fixed top-
+    {OOV_VOCAB_SIZE} corpus vocabulary — the tokenizer-coverage
+    diagnostic: a doc whose tokens mostly miss the vocabulary will
+    shatter into byte-fallback pieces (high fertility, wasted context),
+    so curation gates on it next to q_text_fertility's chars/token
+    proxy; it is also the corpus-side acceptance test when a tokenizer
+    retrains ('what fraction of the new crawl does the old vocab
+    cover').
+
+    The vocabulary is a TakeOrdered top-V over the word-frequency
+    aggregate (ties break by word — deterministic), broadcast into a
+    LEFT join against the exploded token stream; one word-keyed shuffle
+    + one doc-keyed re-aggregation.  At 100 TB the vocab is built once
+    per tokenizer release and persists — exactly this relation.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    words = d.select(
+        "doc_id", F.explode(tokens(F.lower(F.col("text")))).alias("w")
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .orderBy(F.col("f").desc(), "w")
+        .limit(OOV_VOCAB_SIZE)
+        .select(F.col("w").alias("vw"))
+    )
+    oov = F.sum(F.when(F.col("vw").isNull(), 1).otherwise(0)).cast("long")
+    return (
+        words.join(F.broadcast(vocab), F.col("vw") == F.col("w"), "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            oov.alias("n_oov"),
+            F.round(oov.cast("double") / F.count(F.lit(1)), 6).alias(
+                "oov_rate"
+            ),
+        )
+        .orderBy("doc_id")
+    )

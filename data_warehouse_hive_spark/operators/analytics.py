@@ -2428,19 +2428,28 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "long"
         ),
     )
+    # decode the 32 label bytes ONCE per row into an array; each
+    # replicate's two aggregates then read bytes[b] instead of re-running
+    # conv(substring(sha256)) per conditional (64 decodes -> 32)
     byte = lambda b: F.conv(  # noqa: E731
         F.substring("hx", 2 * b + 1, 2), 16, 10
     ).cast("int")
+    decoded = pool.crossJoin(F.broadcast(tot.select("thr"))).select(
+        "xq",
+        F.array(*[(byte(b) < F.col("thr")) for b in range(PERM_B)]).alias(
+            "in_a"
+        ),
+    )
     reps_aggs = []
     for b in range(PERM_B):
-        cond = byte(b) < F.col("thr")
+        cond = F.col("in_a")[b]
         reps_aggs.append(
             F.sum(F.when(cond, F.col("xq"))).cast("long").alias(f"sa{b}")
         )
         reps_aggs.append(
             F.sum(F.when(cond, 1)).cast("long").alias(f"na{b}")
         )
-    reps = pool.crossJoin(F.broadcast(tot.select("thr"))).agg(*reps_aggs)
+    reps = decoded.agg(*reps_aggs)
     j = reps.crossJoin(F.broadcast(tot))
     diff = lambda sa, na: F.round(  # noqa: E731
         sa.cast("double") / 100.0 / na

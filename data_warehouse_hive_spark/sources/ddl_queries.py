@@ -1406,3 +1406,99 @@ def ddl_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, True)], "n_regions long, federated_equals_native boolean"
     )
+
+
+@query("ddl_stream_join")
+def ddl_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for the watermarked STREAM-STREAM interval
+    join: pair each user's view with their purchases that follow within
+    1 hour, through the real structured-streaming engine (AvailableNow,
+    watermarks on BOTH sides bounding the join state, memory sink), and
+    assert multiset equality with the identical batch join — the
+    guarantee that the attribution join can run on the live stream with
+    bounded state (rate × interval per key) instead of as a nightly
+    batch (cite: streaming/stream.py stream_stream_join; the watermark
+    pair is what lets the engine expire buffered rows).
+
+    Behavioral (rows-only) by nature: the oracle cannot run a Spark
+    streaming engine; batch equality IS the check."""
+    import uuid as _uuid
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        stream_stream_join,
+    )
+    from data_warehouse_hive_spark.tables import table_path
+
+    path = table_path(sf_dir, "events")
+    sink = f"stream_join_{_uuid.uuid4().hex[:8]}"
+    left_s = read_events_stream(spark, path).filter(
+        F.col("event_type") == "view"
+    )
+    right_s = read_events_stream(spark, path).filter(
+        F.col("event_type") == "purchase"
+    )
+    q = run_available_now(
+        stream_stream_join(left_s, right_s), sink, output_mode="append"
+    )
+    q.stop()
+    streamed = spark.table(sink)
+    ev = t(spark, sf_dir, "events")
+    batch = stream_stream_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    extra = streamed.exceptAll(batch).count()
+    missing = batch.exceptAll(streamed).count()
+    n = streamed.count()
+    assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
+    return spark.createDataFrame(
+        [(n, extra == 0 and missing == 0)],
+        "n_pairs long, stream_equals_batch boolean",
+    )
+
+
+@query("ddl_stream_dedup")
+def ddl_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ingest dedup under at-least-once delivery: land the
+    events table PLUS a replayed 10% slice into a directory, stream it
+    through dropDuplicatesWithinWatermark on event_id, and assert the
+    sink holds exactly the original distinct events — the guard every
+    ingest pipeline needs against producer retries/replayed file drops,
+    with state bounded by (arrival rate × watermark) instead of stream
+    history (cite: streaming/stream.py stream_dedup; batch twin
+    q_dedup_exact).
+
+    Behavioral (rows-only): streaming engine + duplicate injection
+    cannot run in the oracle; the exact-count identity IS the check."""
+    import uuid as _uuid
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        stream_dedup,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    dup_dir = _tmpdir("stream_dedup_src_")
+    ev.write.mode("overwrite").parquet(dup_dir)
+    # replay slice: deterministic 10% re-landed (at-least-once upstream)
+    ev.filter(F.col("event_id") % 10 == 3).write.mode("append").parquet(
+        dup_dir
+    )
+    sink = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = run_available_now(
+        stream_dedup(read_events_stream(spark, dup_dir)),
+        sink,
+        output_mode="append",
+    )
+    q.stop()
+    n_out = spark.table(sink).count()
+    n_orig = ev.count()
+    n_landed = spark.read.parquet(dup_dir).count()
+    assert n_landed > n_orig and n_out == n_orig, (n_landed, n_orig, n_out)
+    return spark.createDataFrame(
+        [(n_landed, n_out, n_out == n_orig)],
+        "n_landed long, n_deduped long, dedup_exact boolean",
+    )

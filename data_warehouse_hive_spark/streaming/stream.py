@@ -98,13 +98,16 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
-def run_available_now(stream_df: DataFrame, sink_table: str) -> StreamingQuery:
+def run_available_now(
+    stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
+) -> StreamingQuery:
     """Execute a bounded pass over all available input through the real
-    streaming engine into an in-memory sink (tests / smoke checks)."""
+    streaming engine into an in-memory sink (tests / smoke checks).
+    `complete` suits aggregations; joins/dedup require `append`."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(sink_table)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )

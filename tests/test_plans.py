@@ -983,3 +983,28 @@ def test_funnel_deadline_no_window_no_collect(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_events_funnel_deadline")
     assert "windowspecdefinition" not in plan, plan
     assert "collect_list" not in plan, plan
+
+
+def test_hamming_windows_per_query(spark, sf_dir):
+    """The Hamming pre-rank and the cosine re-rank must both partition
+    by query_id (bounded Q x k state), and the pre-rank must prune via
+    WindowGroupLimit."""
+    plan = _plan(spark, sf_dir, "q_sim_search_hamming")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert win_args, plan
+    for ln in win_args:
+        assert "windowspecdefinition(query_id#" in ln, ln
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_oov_vocab_is_broadcast(spark, sf_dir):
+    """The OOV join must broadcast the bounded top-V vocabulary against
+    the exploded token stream — the token side never shuffles for it."""
+    plan = _plan(spark, sf_dir, "q_text_oov_rate")
+    strategies = join_strategies(plan)
+    assert "BroadcastHashJoin" in strategies, strategies
+    assert "SortMergeJoin" not in strategies, strategies
