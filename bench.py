@@ -476,6 +476,11 @@ def main() -> None:
                         "q_embed_cluster_purity",
                         "q_graph_labelprop",
                         "q_graph_modularity",
+                        "q_sim_recall",
+                        "q_sim_mrr",
+                        "q_sim_map",
+                        "q_sim_ndcg",
+                        "q_rank_fusion_per_query",
                     )
                     if name in first_run
                 },

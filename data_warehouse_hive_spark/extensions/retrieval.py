@@ -21,6 +21,8 @@ from data_warehouse_hive_spark.extensions.similarity import (
     _fixture_corpus,
     _o_lsh_bucket,
     brute_force_topk,
+    eval_exact_topk,
+    eval_lsh_topk,
     lsh_topk,
 )
 from data_warehouse_hive_spark.tables import spread, t
@@ -162,9 +164,8 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Q is bounded by contract), which is exactly this plan's shape.  The
     recall division is one double op on identical small-integer operands.
     """
-    v, q = _fixture_corpus(spark, sf_dir)
-    exact = brute_force_topk(v, q, TOP_K).select("query_id", "vec_id")
-    approx = lsh_topk(v, q, TOP_K).select(
+    exact = eval_exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    approx = eval_lsh_topk(spark, sf_dir).select(
         F.col("query_id").alias("l_query_id"), F.col("vec_id").alias("l_vec_id")
     )
     return (
@@ -259,11 +260,10 @@ def q_rank_fusion_per_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     (coalesce to 0 — standard RRF over union of candidates).  The RRF
     score is two reciprocals of small integers added in a fixed order —
     identical IEEE doubles both engines, so fused ranks hash-match."""
-    v, q = _fixture_corpus(spark, sf_dir)
-    a = brute_force_topk(v, q, TOP_K).select(
+    a = eval_exact_topk(spark, sf_dir).select(
         "query_id", "vec_id", F.col("rk").alias("rk_exact")
     )
-    b = lsh_topk(v, q, TOP_K).select(
+    b = eval_lsh_topk(spark, sf_dir).select(
         F.col("query_id").alias("lq"),
         F.col("vec_id").alias("lv"),
         F.col("rk").alias("rk_lsh"),
@@ -895,12 +895,11 @@ def q_sim_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     are small exact ints, log2 of identical doubles), so per-query sums
     are order-exact, and the final ratio is one mirrored division.
     """
-    v, q = _fixture_corpus(spark, sf_dir)
-    exact = brute_force_topk(v, q, TOP_K).select(
+    exact = eval_exact_topk(spark, sf_dir).select(
         F.col("query_id").alias("eq"), F.col("vec_id").alias("ev"),
         F.col("rk").alias("erk"),
     )
-    pred = lsh_topk(v, q, TOP_K).select(
+    pred = eval_lsh_topk(spark, sf_dir).select(
         "query_id", "vec_id", F.col("rk").alias("pos")
     )
     graded = pred.join(
@@ -1121,10 +1120,10 @@ _O_EVAL_LISTS = f"""
 
 
 def _eval_lists(spark: SparkSession, sf_dir: str):
-    """Shared eval fixture: (exact ground-truth top-k, LSH ranked top-k)."""
-    v, q = _fixture_corpus(spark, sf_dir)
-    exact = brute_force_topk(v, q, TOP_K).select("query_id", "vec_id")
-    ranked = lsh_topk(v, q, TOP_K).select(
+    """Shared eval fixture: (exact ground-truth top-k, LSH ranked top-k),
+    session-memoized in similarity._EVAL_TOPK_CACHE."""
+    exact = eval_exact_topk(spark, sf_dir).select("query_id", "vec_id")
+    ranked = eval_lsh_topk(spark, sf_dir).select(
         F.col("query_id").alias("l_query_id"),
         F.col("vec_id").alias("l_vec_id"),
         F.col("rk").cast("long").alias("rk"),
