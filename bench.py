@@ -305,6 +305,15 @@ EXT_R6D = [
 ]
 
 
+# round 6e: BPE pair counts, PRF expansion, Neyman sampling, random walks.
+EXT_R6E = [
+    "q_text_bpe_pairs",
+    "q_retrieval_prf",
+    "q_sample_neyman",
+    "q_graph_random_walk",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -330,7 +339,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -400,6 +409,8 @@ def main() -> None:
     ext_r6c["total"] = round(sum(ext_r6c.values()), 3)
     ext_r6d = {name: timed(name) for name in EXT_R6D}
     ext_r6d["total"] = round(sum(ext_r6d.values()), 3)
+    ext_r6e = {name: timed(name) for name in EXT_R6E}
+    ext_r6e["total"] = round(sum(ext_r6e.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -425,6 +436,7 @@ def main() -> None:
         "ext_r6b": ext_r6b,
         "ext_r6c": ext_r6c,
         "ext_r6d": ext_r6d,
+        "ext_r6e": ext_r6e,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -468,6 +480,7 @@ def main() -> None:
                     "ext_r6b": ext_r6b["total"],
                     "ext_r6c": ext_r6c["total"],
                     "ext_r6d": ext_r6d["total"],
+                    "ext_r6e": ext_r6e["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

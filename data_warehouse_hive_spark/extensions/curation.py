@@ -2233,3 +2233,155 @@ def q_curate_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("avg_log_ratio").desc(), "doc_id")
         .limit(DSIR_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+NEYMAN_BUDGET = 1000  # total sample budget across strata
+
+
+@query(
+    "q_sample_neyman",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderpriority AS stratum, o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS xq
+      FROM orders
+    ),
+    m AS (
+      SELECT stratum, CAST(COUNT(*) AS BIGINT) AS nh,
+             CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx
+      FROM q GROUP BY stratum
+    ),
+    sig AS (
+      SELECT stratum, nh,
+             CAST(floor(sqrt((sxx - CAST(sx AS DOUBLE) / nh * sx)
+                             / (nh - 1)) + 0.5) AS BIGINT) AS sigq
+      FROM m
+    ),
+    tot AS (SELECT CAST(SUM(nh * sigq) AS BIGINT) AS denom FROM sig),
+    alloc AS (
+      SELECT s.stratum, s.nh, s.sigq,
+             CAST(floor(CAST({NEYMAN_BUDGET} AS DOUBLE) * s.nh * s.sigq
+                        / t.denom + 0.5) AS BIGINT) AS nh_alloc
+      FROM sig s CROSS JOIN tot t
+    ),
+    drawn AS (
+      SELECT q.stratum,
+             CAST(SUM(CASE WHEN
+               ('0x' || substr(md5(CAST(q.o_orderkey AS VARCHAR)), 1, 15))
+                 ::UBIGINT::BIGINT % 1000000
+               < CAST(floor(CAST(a.nh_alloc AS DOUBLE) / a.nh * 1000000)
+                      AS BIGINT)
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_drawn
+      FROM q JOIN alloc a ON a.stratum = q.stratum
+      GROUP BY q.stratum
+    )
+    SELECT a.stratum, a.nh, round(a.sigq / 100.0, 2) AS sigma,
+           a.nh_alloc, d.n_drawn
+    FROM alloc a JOIN drawn d ON d.stratum = a.stratum
+    ORDER BY a.stratum
+    """,
+)
+def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neyman-allocation stratified sampling: the {NEYMAN_BUDGET}-row
+    budget is split across strata PROPORTIONAL TO N_h·σ_h (size ×
+    spread), not just size — the variance-optimal allocation for
+    estimating a mean from a fixed budget (noisy strata get more rows;
+    a huge but uniform stratum gets few), upgrading
+    q_sample_stratified's proportional allocation.  Rows are then drawn
+    with a deterministic md5-uniform per stratum at rate alloc/N_h, so
+    the same budget reproduces the same sample on every engine.
+
+    Two passes sharing the stratum partitioning (exact moments with
+    int128 squared sums, then the hash-thresholded draw); the
+    allocation table is O(strata) and broadcasts into the draw scan.
+    σ and the threshold are fixed-order doubles re-floored onto integer
+    grids before any comparison, so drawn counts are engine-exact.
+    """
+    o = t(spark, sf_dir, "orders")
+    q = o.select(
+        F.col("o_orderpriority").alias("stratum"),
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    m = q.groupBy("stratum").agg(
+        F.count(F.lit(1)).cast("long").alias("nh"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+        .cast("double")
+        .alias("sxx"),
+    )
+    sig = m.select(
+        "stratum",
+        "nh",
+        F.floor(
+            F.sqrt(
+                (
+                    F.col("sxx")
+                    - F.col("sx").cast("double") / F.col("nh") * F.col("sx")
+                )
+                / (F.col("nh") - 1)
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("sigq"),
+    )
+    tot = sig.agg(
+        F.sum(F.col("nh") * F.col("sigq")).cast("long").alias("denom")
+    )
+    alloc = sig.crossJoin(F.broadcast(tot)).select(
+        "stratum",
+        "nh",
+        "sigq",
+        F.floor(
+            F.lit(float(NEYMAN_BUDGET))
+            * F.col("nh")
+            * F.col("sigq")
+            / F.col("denom")
+            + 0.5
+        )
+        .cast("long")
+        .alias("nh_alloc"),
+    )
+    u = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(1000000),
+    )
+    thr = F.floor(
+        F.col("nh_alloc").cast("double") / F.col("nh") * 1000000
+    ).cast("long")
+    drawn = (
+        q.join(
+            F.broadcast(alloc.withColumnRenamed("stratum", "a_stratum")),
+            F.col("a_stratum") == F.col("stratum"),
+        )
+        .groupBy("stratum")
+        .agg(
+            F.sum(F.when(u < thr, 1).otherwise(0))
+            .cast("long")
+            .alias("n_drawn")
+        )
+    )
+    return (
+        alloc.join(
+            drawn.withColumnRenamed("stratum", "d_stratum"),
+            F.col("d_stratum") == F.col("stratum"),
+        )
+        .select(
+            "stratum",
+            "nh",
+            F.round(F.col("sigq") / 100.0, 2).alias("sigma"),
+            "nh_alloc",
+            "n_drawn",
+        )
+        .orderBy("stratum")
+    )

@@ -1417,3 +1417,149 @@ def q_graph_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("dq").cast("double") / 1e9, 6).alias("cost_nats"),
         F.col("dq").isNotNull().alias("reachable"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted random walks (graph-embedding corpus generation)
+# ---------------------------------------------------------------------------
+
+WALK_LEN = 4
+WALKS_PER_NODE = 3
+
+
+def _o_random_walk() -> str:
+    step = """
+    s{k} AS MATERIALIZED (
+      SELECT c.walk_id, c.start_node,
+             COALESCE(i.dst, c.node) AS node,
+             CASE WHEN i.dst IS NULL THEN c.path
+                  ELSE c.path || '->' || i.dst END AS path
+      FROM s{prev} c
+      LEFT JOIN iv i
+        ON i.src = c.node
+       AND ('0x' || substr(md5(c.walk_id || ':{k}'), 1, 15))
+             ::UBIGINT::BIGINT % i.out_w >= i.lo
+       AND ('0x' || substr(md5(c.walk_id || ':{k}'), 1, 15))
+             ::UBIGINT::BIGINT % i.out_w < i.hi
+    )"""
+    steps = ",".join(step.format(k=k, prev=k - 1) for k in range(1, WALK_LEN + 1))
+    return f"""
+    WITH ordered AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    edges AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM ordered WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, event_type
+    ),
+    iv AS MATERIALIZED (
+      SELECT src, dst, w,
+             CAST(SUM(w) OVER (PARTITION BY src) AS BIGINT) AS out_w,
+             CAST(SUM(w) OVER (PARTITION BY src ORDER BY dst
+                               ROWS UNBOUNDED PRECEDING) - w AS BIGINT) AS lo,
+             CAST(SUM(w) OVER (PARTITION BY src ORDER BY dst
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi
+      FROM edges
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges
+              UNION SELECT DISTINCT dst FROM edges),
+    s0 AS MATERIALIZED (
+      SELECT node || '#' || i AS walk_id, node AS start_node, node,
+             CAST(node AS VARCHAR) AS path
+      FROM nodes, LATERAL unnest(range({WALKS_PER_NODE})) AS u(i)
+    ),
+    {steps}
+    SELECT walk_id, start_node, node AS end_node, path
+    FROM s{WALK_LEN}
+    ORDER BY walk_id
+    """
+
+
+@query("q_graph_random_walk", oracle=_o_random_walk())
+def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted random walks over the behavior transition graph —
+    {WALKS_PER_NODE} walks of length {WALK_LEN} from every node, each
+    hop drawn ∝ edge weight — the DeepWalk/node2vec CORPUS GENERATION
+    step: the walk sequences are the 'sentences' a skip-gram model
+    trains graph embeddings on, so this is the graph-side member of the
+    training-data-pipeline family.  Randomness is md5(walk_id, step)
+    reduced mod out-degree into the cumulative-weight interval — a
+    counter-based RNG, so every engine (and every retry of a failed
+    task) draws the identical walk.
+
+    Scale shape: the corpus pays one lag-window scan for the aggregated
+    edge relation; each of the {WALK_LEN} bounded rounds is a join of
+    the O(nodes×{WALKS_PER_NODE}) walk frontier against the
+    interval-annotated edges (equi-key on the current node + interval
+    containment on the draw) with localCheckpoint lineage truncation.
+    Dead-end nodes keep their position (LEFT join, path unchanged).
+    All arithmetic is integer: weights, cumulative bounds, and the mod
+    reduction.
+    """
+    edges = _edges(spark, sf_dir)
+    wsrc = Window.partitionBy("src")
+    wcum = Window.partitionBy("src").orderBy("dst").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    iv = edges.select(
+        "src",
+        "dst",
+        F.sum("w").over(wsrc).cast("long").alias("out_w"),
+        (F.sum("w").over(wcum) - F.col("w")).cast("long").alias("lo"),
+        F.sum("w").over(wcum).cast("long").alias("hi"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionByName(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    cur = nodes.crossJoin(
+        broadcast(
+            spark.range(WALKS_PER_NODE).select(
+                F.col("id").cast("int").alias("_z")
+            )
+        )
+    ).select(
+        F.concat_ws("#", "node", F.col("_z").cast("string")).alias("walk_id"),
+        F.col("node").alias("start_node"),
+        "node",
+        F.col("node").cast("string").alias("path"),
+    )
+    for k in range(1, WALK_LEN + 1):
+        pick = F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("walk_id"), F.lit(f":{k}"))), 1, 15
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.col("out_w"),
+        )
+        cur = (
+            cur.join(
+                broadcast(iv),
+                (F.col("src") == F.col("node"))
+                & (pick >= F.col("lo"))
+                & (pick < F.col("hi")),
+                "left",
+            )
+            .select(
+                "walk_id",
+                "start_node",
+                F.coalesce("dst", "node").alias("node"),
+                F.when(
+                    F.col("dst").isNull(), F.col("path")
+                ).otherwise(
+                    F.concat_ws("->", "path", "dst")
+                ).alias("path"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select(
+        "walk_id", "start_node", F.col("node").alias("end_node"), "path"
+    ).orderBy("walk_id")

@@ -1265,3 +1265,202 @@ def q_sim_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "n_hits", "ap")
         .orderBy("query_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Pseudo-relevance feedback (RM3-style query expansion over BM25)
+# ---------------------------------------------------------------------------
+
+PRF_FB_DOCS = 3  # feedback depth: top documents assumed relevant
+PRF_FB_TERMS = 5  # expansion terms mined from the feedback docs
+PRF_WEIGHT = 0.5  # expansion-term weight (originals weigh 1.0)
+
+
+@query(
+    "q_retrieval_prf",
+    oracle=f"""
+    WITH {_O_BM25_BODY},
+    fb AS (
+      SELECT query_id, doc_id FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY bm25 DESC, doc_id) AS rk
+        FROM bm25
+      ) WHERE rk <= {PRF_FB_DOCS}
+    ),
+    exp_scores AS (
+      SELECT f.query_id, p.term,
+             CAST(SUM(CAST(floor(p.tf * i.idf * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS eq
+      FROM fb f
+      JOIN postings p ON p.doc_id = f.doc_id
+      JOIN idf i ON i.term = p.term
+      LEFT JOIN qterms o ON o.query_id = f.query_id AND o.term = p.term
+      WHERE o.term IS NULL
+      GROUP BY f.query_id, p.term
+    ),
+    expn AS (
+      SELECT query_id, term FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY eq DESC, term) AS rk
+        FROM exp_scores
+      ) WHERE rk <= {PRF_FB_TERMS}
+    ),
+    wq AS (
+      SELECT query_id, term, 1.0 AS wt FROM qterms
+      UNION ALL
+      SELECT query_id, term, {PRF_WEIGHT} AS wt FROM expn
+    ),
+    prf_term_scores AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(floor(
+               q.wt * i.idf * (p.tf * ({BM25_K1} + 1.0))
+                 / (p.tf + {BM25_K1} * (1.0 - {BM25_B}
+                    + {BM25_B} * d.dl / (SELECT avgdl FROM stats)))
+               * 1e6 + 0.5) AS BIGINT) AS sc
+      FROM wq q
+      JOIN postings p ON p.term = q.term AND p.doc_id != q.query_id
+      JOIN idf i ON i.term = q.term
+      JOIN dl d ON d.doc_id = p.doc_id
+    ),
+    prf AS (
+      SELECT query_id, doc_id,
+             CAST(SUM(sc) AS DOUBLE) / 1e6 AS prf_score,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM prf_term_scores GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, prf_score, n_terms, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY prf_score DESC, doc_id) AS BIGINT) AS rk
+      FROM prf
+    ) WHERE rk <= {RETR_TOP}
+    ORDER BY query_id, rk
+    """,
+)
+def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pseudo-relevance feedback (RM3-style): run BM25, ASSUME the top
+    {PRF_FB_DOCS} documents are relevant, mine their {PRF_FB_TERMS}
+    highest tf·idf terms the query didn't already contain, and rescore
+    with the expanded weighted query (originals 1.0, expansions
+    {PRF_WEIGHT}) — the classic zero-training recall booster (a query
+    about 'engines' pulls in docs saying 'motors') that every Lucene/
+    Terrier stack ships, and the lexical complement to the dense-side
+    q_sim_multiprobe expansion.
+
+    Scale shape: one inverted-index build feeds BOTH rounds (the
+    checkpointed postings relation — the expensive part does not run
+    twice); the feedback mining joins the Q×{PRF_FB_DOCS} doc list back
+    to postings on doc_id, and the second scoring pass is the same
+    term-keyed postings join as the first with a Q×(|q|+{PRF_FB_TERMS})
+    term set.  Weighted per-term scores quantize to the 1e6 carrier
+    before the per-doc sum; idf is pinned at 9 dp.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    postings = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    df_rel = postings.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = df_rel.crossJoin(F.broadcast(stats)).select(
+        "term",
+        F.round(
+            F.log(
+                ((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+                + 1.0
+            ),
+            9,
+        ).alias("idf"),
+        "avgdl",
+    )
+    qterms = postings.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term"
+    )
+
+    def score_pass(weighted_terms: DataFrame) -> DataFrame:
+        """BM25 scoring of (query_id, term, wt) against the postings."""
+        denom = F.col("tf") + BM25_K1 * (
+            1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+        )
+        ts = (
+            weighted_terms.join(
+                postings.withColumnRenamed("doc_id", "cand_id"), "term"
+            )
+            .filter(F.col("cand_id") != F.col("query_id"))
+            .join(idf, "term")
+            .join(dl.withColumnRenamed("doc_id", "cand_id"), "cand_id")
+            .select(
+                "query_id",
+                F.col("cand_id").alias("doc_id"),
+                F.floor(
+                    F.col("wt")
+                    * F.col("idf")
+                    * (F.col("tf") * (BM25_K1 + 1.0))
+                    / denom
+                    * 1e6
+                    + 0.5
+                )
+                .cast("long")
+                .alias("sc"),
+            )
+        )
+        return ts.groupBy("query_id", "doc_id").agg(
+            (F.sum("sc").cast("double") / 1e6).alias("prf_score"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+
+    base = score_pass(qterms.withColumn("wt", F.lit(1.0)))
+    wfb = Window.partitionBy("query_id").orderBy(
+        F.col("prf_score").desc(), "doc_id"
+    )
+    fb = (
+        base.withColumn("rk", F.row_number().over(wfb))
+        .filter(F.col("rk") <= PRF_FB_DOCS)
+        .select("query_id", F.col("doc_id").alias("fb_doc"))
+    )
+    exp_scores = (
+        fb.join(
+            postings.withColumnRenamed("doc_id", "fb_doc"), "fb_doc"
+        )
+        .join(idf.select("term", "idf"), "term")
+        .join(
+            qterms.withColumnRenamed("term", "o_term"),
+            (F.col("o_term") == F.col("term"))
+            & (qterms["query_id"] == fb["query_id"]),
+            "left_anti",
+        )
+        .groupBy("query_id", "term")
+        .agg(
+            F.sum(
+                F.floor(F.col("tf") * F.col("idf") * 1e6 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("eq")
+        )
+    )
+    wex = Window.partitionBy("query_id").orderBy(F.col("eq").desc(), "term")
+    expn = (
+        exp_scores.withColumn("rk", F.row_number().over(wex))
+        .filter(F.col("rk") <= PRF_FB_TERMS)
+        .select("query_id", "term")
+    )
+    expanded = qterms.withColumn("wt", F.lit(1.0)).unionByName(
+        expn.withColumn("wt", F.lit(PRF_WEIGHT))
+    )
+    prf = score_pass(expanded)
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("prf_score").desc(), "doc_id"
+    )
+    return (
+        prf.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= RETR_TOP)
+        .orderBy("query_id", "rk")
+    )

@@ -13,7 +13,7 @@ the exact scaled-long carrier idiom from registry.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import davg, o_davg, query
@@ -2061,4 +2061,91 @@ def q_text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-candidate counting: the distributed job inside tokenizer training
+# ---------------------------------------------------------------------------
+
+BPE_TOP_PAIRS = 10
+
+
+@query(
+    "q_text_bpe_pairs",
+    oracle=f"""
+    WITH wf AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+      WHERE w != '' GROUP BY w
+    ),
+    syms AS (
+      SELECT freq, list_append(string_split(w, ''), '</w>') AS s FROM wf
+    ),
+    pairs AS (
+      SELECT p.a, p.b, CAST(SUM(freq) AS BIGINT) AS n
+      FROM syms,
+           LATERAL (SELECT unnest(list_transform(range(1, len(s)),
+                      i -> {{'a': s[i], 'b': s[i + 1]}})) AS p) x
+      GROUP BY p.a, p.b
+    )
+    SELECT a, b, n, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n DESC, a, b) AS BIGINT)
+               AS rk
+      FROM pairs
+    ) WHERE rk <= {BPE_TOP_PAIRS}
+    ORDER BY rk
+    """,
+)
+def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inner job of BPE tokenizer TRAINING: count every adjacent
+    symbol pair across the corpus (weighted by word frequency, words
+    terminated with the </w> marker) and rank the merge candidates —
+    each training round merges the top pair and re-counts, and THIS
+    count is the part that must run distributed at corpus scale (the
+    merge bookkeeping on the ≤vocab-sized symbol table is driver work
+    in every real trainer, Sennrich et al.'s reference included).
+
+    One shuffle builds the word-frequency table (the classic reduction
+    from corpus positions to unique words — pair counting then touches
+    |vocab| rows, not |corpus| tokens), one fan-out to adjacent pairs
+    via an index transform (no self-join), one hash aggregate on the
+    pair key; top candidates via TakeOrdered.  Counts are exact longs
+    throughout — nothing to quantize.
+    """
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    wf = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = wf.select(
+        "freq",
+        F.concat(
+            F.filter(F.split("w", ""), lambda x: x != ""),
+            F.array(F.lit("</w>")),
+        ).alias("s"),
+    )
+    pairs = (
+        syms.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, size(s) - 2),"
+                    " i -> struct(s[i] AS a, s[i + 1] AS b))"
+                )
+            ).alias("p"),
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.sum("freq").cast("long").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), "a", "b")
+    return (
+        pairs.orderBy(F.col("n").desc(), "a", "b")
+        .limit(BPE_TOP_PAIRS)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .orderBy("rk")
     )
