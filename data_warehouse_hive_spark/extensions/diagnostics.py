@@ -2087,3 +2087,100 @@ def q_stats_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest(F.lit(0.0), F.lit(1.0) - css("rq") / css("dq")), 6
         ).alias("seasonal_strength"),
     )
+
+
+# ---------------------------------------------------------------------------
+# QQ deciles: quantile-quantile comparison of two distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_qq_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT event_type, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY event_type, xq
+    ),
+    cum AS (
+      SELECT event_type, xq,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY xq
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ),
+    picks AS (
+      SELECT c.event_type, d.dec,
+             MIN(c.xq) AS qx
+      FROM cum c CROSS JOIN
+           (SELECT unnest(range(1, 10)) AS dec) d
+      WHERE c.cum * 10 >= d.dec * c.n
+      GROUP BY c.event_type, d.dec
+    )
+    SELECT a.dec AS decile,
+           round(a.qx / 100.0, 2) AS q_click,
+           round(b.qx / 100.0, 2) AS q_purchase,
+           round((b.qx - a.qx) / 100.0, 2) AS gap
+    FROM picks a JOIN picks b ON b.dec = a.dec
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY a.dec
+    """,
+)
+def q_stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ comparison at the deciles: the d/10-quantile of click values
+    against the same quantile of purchase values, plus the gap — the
+    distribution-shape diagnostic that tells you WHERE two populations
+    differ (a gap only in the upper deciles = heavy-tail divergence;
+    uniform gaps = location shift), complementing q_stats_ks's single
+    worst-gap number and q_stats_mannwhitney's rank test.
+
+    Quantiles come from the per-distinct-value histogram + running
+    count — the midrank machinery, NOT a global row sort: the only
+    corpus shuffle is the (type, value) hash aggregate; the cumulative
+    window runs over O(distinct values) rows.  The decile pick is the
+    exact lower quantile via integer comparison (cum·10 ≥ d·n — no
+    float thresholds), so both engines select identical cents values.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    ).groupBy("event_type", "xq").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "xq",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    decs = spark.range(1, 10).select(F.col("id").cast("long").alias("dec"))
+    picks = (
+        cum.crossJoin(broadcast(decs))
+        .filter(F.col("cum") * 10 >= F.col("dec") * F.col("n"))
+        .groupBy("event_type", "dec")
+        .agg(F.min("xq").alias("qx"))
+    )
+    a = picks.filter(F.col("event_type") == "click").select(
+        "dec", F.col("qx").alias("qa")
+    )
+    b = picks.filter(F.col("event_type") == "purchase").select(
+        F.col("dec").alias("b_dec"), F.col("qx").alias("qb")
+    )
+    return (
+        a.join(b, F.col("b_dec") == F.col("dec"))
+        .select(
+            F.col("dec").alias("decile"),
+            F.round(F.col("qa") / 100.0, 2).alias("q_click"),
+            F.round(F.col("qb") / 100.0, 2).alias("q_purchase"),
+            F.round((F.col("qb") - F.col("qa")) / 100.0, 2).alias("gap"),
+        )
+        .orderBy("decile")
+    )

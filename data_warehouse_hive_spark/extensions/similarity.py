@@ -3130,3 +3130,89 @@ def eval_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         hit = lsh_topk(v, q, TOP_K).localCheckpoint(eager=False)
         _EVAL_TOPK_CACHE[key] = hit
     return hit
+
+
+# ---------------------------------------------------------------------------
+# Index health report: bucket/cell balance across the ANN index families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_index_stats",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    lsh AS (
+      SELECT 'lsh_bucket' AS family, CAST({_o_lsh_bucket('e')} AS VARCHAR) AS cell
+      FROM v
+    ),
+    ivf AS (
+      SELECT 'label_cell' AS family, CAST(label AS VARCHAR) AS cell FROM v
+    ),
+    cells AS (
+      SELECT family, cell, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM (SELECT * FROM lsh UNION ALL SELECT * FROM ivf)
+      GROUP BY family, cell
+    )
+    SELECT family,
+           CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST(SUM(sz) AS BIGINT) AS n_vecs,
+           CAST(MAX(sz) AS BIGINT) AS max_cell,
+           CAST(MIN(sz) AS BIGINT) AS min_cell,
+           round(CAST(MAX(sz) AS DOUBLE)
+                 / (CAST(SUM(sz) AS DOUBLE) / COUNT(*)), 6) AS balance
+    FROM cells
+    GROUP BY family
+    ORDER BY family
+    """,
+)
+def q_embed_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index health report across the ANN index families: cell count,
+    population, largest/smallest cell, and the balance ratio
+    max/mean — the operational check an index build runs BEFORE
+    serving, because one overloaded LSH bucket or IVF cell turns every
+    query routed there into a near-linear scan (balance ≈ 1 is ideal;
+    at 100 TB this report decides whether to re-hash with more bits or
+    re-train the coarse quantizer).  Companion to q_sim_ivf_sweep:
+    sweep grades recall/cost, this grades the partitioning itself.
+
+    One scan computes both families' cell keys (the 4-bit hyperplane
+    signature and the label cell), one hash aggregate per (family,
+    cell), and the report rolls up O(cells) rows.  Balance is a single
+    division of exact longs, rounded at 6.
+    """
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    keyed = v.select(
+        F.lit("lsh_bucket").alias("family"),
+        lsh_bucket_col(F.col("e")).cast("string").alias("cell"),
+    ).unionByName(
+        v.select(
+            F.lit("label_cell").alias("family"),
+            F.col("label").cast("string").alias("cell"),
+        )
+    )
+    cells = keyed.groupBy("family", "cell").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        cells.groupBy("family")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            F.sum("sz").cast("long").alias("n_vecs"),
+            F.max("sz").cast("long").alias("max_cell"),
+            F.min("sz").cast("long").alias("min_cell"),
+            F.round(
+                F.max("sz").cast("double")
+                / (F.sum("sz").cast("double") / F.count(F.lit(1))),
+                6,
+            ).alias("balance"),
+        )
+        .orderBy("family")
+    )

@@ -717,3 +717,72 @@ def q_win_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+# ---------------------------------------------------------------------------
+# GROUPS window frames: peer-group frames, emulated on dense_rank
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_win_frame_groups",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             date_part('year', o_orderdate) AS yr,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             DENSE_RANK() OVER (PARTITION BY o_orderpriority,
+                                             date_part('year', o_orderdate)
+                                ORDER BY o_orderdate) AS dr
+      FROM orders
+    )
+    SELECT o_orderkey, o_orderpriority, day,
+           CAST(SUM(cents) OVER w AS BIGINT) AS grp_sum_cents,
+           CAST(COUNT(*) OVER w AS BIGINT) AS grp_n
+    FROM ranked
+    WINDOW w AS (PARTITION BY o_orderpriority, yr ORDER BY dr
+                 RANGE BETWEEN 1 PRECEDING AND CURRENT ROW)
+    ORDER BY o_orderkey
+    """,
+)
+def q_win_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPS window frames — 'this peer group and the previous peer
+    group', where a peer group is all rows TIED on the ordering key
+    (here: all orders of the same date) — the third ANSI frame mode
+    next to ROWS and RANGE.  Neither Spark nor DuckDB implements
+    GROUPS, so this id ships the standard EMULATION both dialects need:
+    dense_rank() numbers the peer groups and a RANGE frame over that
+    integer rank ([rank−1, rank]) reproduces GROUPS semantics exactly
+    (peer totals equal for every member of a tie group — the property
+    a ROWS frame gets wrong).
+
+    Partitions are (priority, year) so per-partition row counts stay
+    bounded as history grows (GROUPS semantics are per-partition
+    either way); two window passes over the same partitioning — Spark
+    plans ONE exchange and two Window operators.  Sums ride exact
+    cents.
+    """
+    o = t(spark, sf_dir, "orders")
+    part = [F.col("o_orderpriority"), F.year("o_orderdate").alias("yr")]
+    wdr = Window.partitionBy(*part).orderBy("o_orderdate")
+    ranked = o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.year("o_orderdate").alias("yr"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+        F.dense_rank().over(wdr).alias("dr"),
+    )
+    wg = (
+        Window.partitionBy("o_orderpriority", "yr")
+        .orderBy("dr")
+        .rangeBetween(-1, 0)
+    )
+    return ranked.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "day",
+        F.sum("cents").over(wg).cast("long").alias("grp_sum_cents"),
+        F.count(F.lit(1)).over(wg).cast("long").alias("grp_n"),
+    ).orderBy("o_orderkey")

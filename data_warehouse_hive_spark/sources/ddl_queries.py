@@ -1502,3 +1502,40 @@ def ddl_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_landed, n_out, n_out == n_orig)],
         "n_landed long, n_deduped long, dedup_exact boolean",
     )
+
+
+@query("ddl_stream_session")
+def ddl_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming/batch parity for SESSION windows: the inactivity-gap
+    sessionization (F.session_window, 30 min gap per user) runs through
+    the real streaming engine — where the engine must MERGE adjacent
+    window state as events arrive, the part a tumbling window never
+    exercises — and must equal the identical batch session aggregation
+    row-for-row (cite: streaming/stream.py sessionized; batch twin
+    q_time_session_gap computes the same sessions via lag+cumsum).
+
+    Behavioral (rows-only): the oracle cannot run a Spark streaming
+    engine; multiset equality with the batch plan IS the check."""
+    import uuid as _uuid
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        run_available_now,
+        sessionized,
+    )
+    from data_warehouse_hive_spark.tables import table_path
+
+    sink = f"stream_session_{_uuid.uuid4().hex[:8]}"
+    ev = read_events_stream(spark, table_path(sf_dir, "events"))
+    q = run_available_now(sessionized(ev), sink)
+    q.stop()
+    streamed = spark.table(sink)
+    batch = sessionized(t(spark, sf_dir, "events"))
+    extra = streamed.exceptAll(batch).count()
+    missing = batch.exceptAll(streamed).count()
+    n = streamed.count()
+    assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
+    return spark.createDataFrame(
+        [(n, extra == 0 and missing == 0)],
+        "n_sessions long, stream_equals_batch boolean",
+    )
