@@ -2385,3 +2385,156 @@ def q_sample_neyman(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("stratum")
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget selection: top-quality prefix under a token budget
+# ---------------------------------------------------------------------------
+
+TOKEN_BUDGET = 30000  # training-token budget to fill
+
+
+@query(
+    "q_curate_token_budget",
+    oracle=f"""
+    WITH feats AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok,
+             round({QC_W0}
+                   + {QC_W1} * ln(1.0 + len(string_split_regex(trim(text), '\\s+')))
+                   + {QC_W2} * (CAST(len(list_filter(
+                        string_split_regex(trim(text), '\\s+'),
+                        x -> x IN ('the','a','of','and','is'))) AS DOUBLE)
+                      / len(string_split_regex(trim(text), '\\s+')))
+                   + {QC_W3} * (CAST(length(text)
+                      - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+                      AS DOUBLE) / length(text))
+                   + {QC_W4} * (CAST(length(text) AS DOUBLE)
+                      / len(string_split_regex(trim(text), '\\s+'))), 6) AS z
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT doc_id, n_tok, z,
+             CAST(floor(z * 10 + 0.5) AS BIGINT) AS bkt
+      FROM feats
+    ),
+    btot AS (
+      SELECT bkt, CAST(SUM(n_tok) AS BIGINT) AS btok FROM bucketed
+      GROUP BY bkt
+    ),
+    bcum AS (
+      SELECT bkt, btok,
+             CAST(COALESCE(SUM(btok) OVER (ORDER BY bkt DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS prior
+      FROM btot
+    ),
+    full_sel AS (
+      SELECT b.doc_id, b.z, b.n_tok, 'full_bucket' AS tier
+      FROM bucketed b JOIN bcum c ON c.bkt = b.bkt
+      WHERE c.prior + c.btok <= {TOKEN_BUDGET}
+    ),
+    boundary AS (
+      SELECT bkt, prior FROM bcum
+      WHERE prior < {TOKEN_BUDGET} AND prior + btok > {TOKEN_BUDGET}
+    ),
+    bdocs AS (
+      SELECT b.doc_id, b.z, b.n_tok, y.prior,
+             CAST(COALESCE(SUM(b.n_tok) OVER (ORDER BY b.z DESC, b.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS BIGINT) AS run
+      FROM bucketed b JOIN boundary y ON y.bkt = b.bkt
+    ),
+    bd_sel AS (
+      SELECT doc_id, z, n_tok, 'boundary' AS tier
+      FROM bdocs WHERE prior + run + n_tok <= {TOKEN_BUDGET}
+    )
+    SELECT doc_id, z, n_tok, tier FROM full_sel
+    UNION ALL SELECT doc_id, z, n_tok, tier FROM bd_sel
+    ORDER BY doc_id
+    """,
+)
+def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget selection: fill a fixed {TOKEN_BUDGET}-token
+    training budget with the highest-quality documents (classifier
+    logit from q_quality_classifier as the quality score) — the
+    knapsack-greedy every dataset-mixing recipe runs once quality
+    scores exist ('take the best N tokens, not the best N docs').
+
+    The scale trick: NO corpus-wide ranked cumulative sum (that window
+    serializes the corpus through one task).  Quality quantizes to 0.1
+    buckets; a bucket-level rollup (O(buckets) rows) decides which
+    buckets fit ENTIRELY under the budget, and only the single
+    BOUNDARY bucket ranks its own members (z desc, doc_id) to cut at
+    the remaining budget — the per-bucket window touches 1/buckets of
+    the corpus.  Selection is exact-integer token arithmetic against
+    the 6-rounded logit both engines share.
+    """
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
+    ws = tokens("text")
+    n_tok = F.size(ws).cast("long")
+    n_chars = F.length("text").cast("long")
+    n_stop = F.size(
+        F.filter(ws, lambda x: x.isin("the", "a", "of", "and", "is"))
+    ).cast("long")
+    n_punct = (
+        F.length("text")
+        - F.length(F.regexp_replace("text", r"[^a-zA-Z0-9 ]", ""))
+    ).cast("long")
+    z = F.round(
+        F.lit(QC_W0)
+        + F.lit(QC_W1) * F.log(F.lit(1.0) + n_tok)
+        + F.lit(QC_W2) * (n_stop.cast("double") / n_tok)
+        + F.lit(QC_W3) * (n_punct.cast("double") / n_chars)
+        + F.lit(QC_W4) * (n_chars.cast("double") / n_tok),
+        6,
+    )
+    bucketed = d.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        z.alias("z"),
+        F.floor(z * 10 + 0.5).cast("long").alias("bkt"),
+    )
+    btot = bucketed.groupBy("bkt").agg(
+        F.sum("n_tok").cast("long").alias("btok")
+    )
+    wprior = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bcum = btot.select(
+        F.col("bkt").alias("c_bkt"),
+        "btok",
+        F.coalesce(F.sum("btok").over(wprior), F.lit(0))
+        .cast("long")
+        .alias("prior"),
+    )
+    full_sel = bucketed.join(
+        F.broadcast(bcum), F.col("c_bkt") == F.col("bkt")
+    ).filter(F.col("prior") + F.col("btok") <= TOKEN_BUDGET).select(
+        "doc_id", "z", "n_tok", F.lit("full_bucket").alias("tier")
+    )
+    boundary = bcum.filter(
+        (F.col("prior") < TOKEN_BUDGET)
+        & (F.col("prior") + F.col("btok") > TOKEN_BUDGET)
+    ).select(F.col("c_bkt").alias("y_bkt"), F.col("prior").alias("y_prior"))
+    wrun = Window.orderBy(F.col("z").desc(), "doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    bdocs = bucketed.join(
+        F.broadcast(boundary), F.col("y_bkt") == F.col("bkt")
+    ).select(
+        "doc_id",
+        "z",
+        "n_tok",
+        "y_prior",
+        F.coalesce(F.sum("n_tok").over(wrun), F.lit(0))
+        .cast("long")
+        .alias("run"),
+    )
+    bd_sel = bdocs.filter(
+        F.col("y_prior") + F.col("run") + F.col("n_tok") <= TOKEN_BUDGET
+    ).select("doc_id", "z", "n_tok", F.lit("boundary").alias("tier"))
+    return full_sel.unionByName(bd_sel).orderBy("doc_id")

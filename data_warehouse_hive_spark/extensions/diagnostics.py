@@ -2184,3 +2184,89 @@ def q_stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: required sample size per arm for a target MDE
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959963985  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212336  # power = 0.80
+_POWER_MDES = (0.01, 0.02, 0.05, 0.10)  # relative minimum detectable effects
+
+
+@query(
+    "q_stats_power",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS sxx
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(u.mde * 100 AS BIGINT) AS mde_pct,
+           round(u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0), 4) AS delta,
+           CAST(ceil(
+             2.0 * ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+             * ((m.sxx - CAST(m.sx AS DOUBLE) / m.n * m.sx) / (m.n - 1)
+                / 10000.0)
+             / (u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0)
+                * (u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0)))
+           ) AS BIGINT) AS n_per_arm
+    FROM m, LATERAL (VALUES {", ".join(f"({x})" for x in _POWER_MDES)})
+              u(mde)
+    ORDER BY mde_pct
+    """,
+)
+def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis on the purchase-value metric: the sample size
+    each arm needs to detect a 1/2/5/10% relative lift at alpha=0.05,
+    power=0.80 — n = 2(z_a+z_b)^2 sigma^2/delta^2 — the pre-experiment
+    planning query q_stats_welch_t's post-experiment test assumes
+    someone ran; using LAST period's variance makes it the standing
+    'how long must this test run' dashboard.
+
+    One conditional scan for the exact carrier moments (cents sums,
+    int128 squares), then four rows of fixed-order scalar arithmetic
+    on the broadcast 1-row relation; the z constants are shipped
+    literals, so no CDF evaluation happens anywhere (the portability
+    rule).  ceil() runs on identical doubles in both engines.
+    """
+    m = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("sx"),
+            F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    mdes = spark.createDataFrame(
+        [(x,) for x in _POWER_MDES], "mde double"
+    )
+    mean = F.col("sx").cast("double") / F.col("n") / 100.0
+    var = (
+        F.col("sxx") - F.col("sx").cast("double") / F.col("n") * F.col("sx")
+    ) / (F.col("n") - 1) / 10000.0
+    delta = F.col("mde") * mean
+    zsum = _Z_ALPHA + _Z_BETA
+    return (
+        m.crossJoin(broadcast(mdes))
+        .select(
+            (F.col("mde") * 100).cast("long").alias("mde_pct"),
+            F.round(delta, 4).alias("delta"),
+            F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("mde_pct")
+    )

@@ -2149,3 +2149,175 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("long"))
         .orderBy("rk")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyphrase extraction (degree/frequency scoring of stopword-split runs)
+# ---------------------------------------------------------------------------
+
+RAKE_TOP = 20
+_RAKE_STOPS = ("the", "a", "of", "and", "is")
+
+
+@query(
+    "q_text_rake",
+    oracle=f"""
+    WITH pos AS (
+      SELECT doc_id, w, pos,
+             CASE WHEN w IN {_RAKE_STOPS} OR w = '' THEN 1 ELSE 0 END
+               AS is_stop
+      FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(lower(text)), '[^a-z0-9]+'))
+                 AS w,
+               unnest(range(len(string_split_regex(trim(lower(text)),
+                                                   '[^a-z0-9]+')))) AS pos
+        FROM documents
+      )
+    ),
+    marked AS (
+      SELECT doc_id, w, pos, is_stop,
+             CAST(SUM(is_stop) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+      FROM pos
+    ),
+    runs AS (
+      SELECT doc_id, w, pos, run_id FROM marked WHERE is_stop = 0
+    ),
+    phrases AS (
+      SELECT doc_id, run_id,
+             list(w ORDER BY pos) AS words,
+             CAST(COUNT(*) AS BIGINT) AS plen
+      FROM runs GROUP BY doc_id, run_id
+    ),
+    word_stats AS (
+      SELECT u.w,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(p.plen) AS BIGINT) AS degree
+      FROM phrases p, LATERAL unnest(p.words) AS u(w)
+      GROUP BY u.w
+    ),
+    wscore AS (
+      SELECT w, CAST(floor(CAST(degree AS DOUBLE) / freq * 1e6 + 0.5)
+                     AS BIGINT) AS wq
+      FROM word_stats
+    ),
+    pscored AS (
+      SELECT array_to_string(p.words, ' ') AS phrase,
+             ANY_VALUE(p.plen) AS n_words,
+             CAST(SUM(s.wq) AS BIGINT) AS pq
+      FROM phrases p, LATERAL unnest(p.words) AS u(w)
+      JOIN wscore s ON s.w = u.w
+      GROUP BY p.doc_id, p.run_id, array_to_string(p.words, ' ')
+    ),
+    agg AS (
+      SELECT phrase, ANY_VALUE(n_words) AS n_words,
+             CAST(COUNT(*) AS BIGINT) AS occurrences,
+             ANY_VALUE(pq) AS pq
+      FROM pscored GROUP BY phrase
+    )
+    SELECT phrase, n_words, occurrences,
+           round(CAST(pq AS DOUBLE) / 1e6, 6) AS score, rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY pq DESC, phrase)
+                     AS BIGINT) AS rk
+      FROM agg
+    ) WHERE rk <= {RAKE_TOP}
+    ORDER BY rk
+    """,
+)
+def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAKE keyphrase extraction (Rose et al.): candidate phrases are
+    maximal runs of content words between stopword/punctuation
+    delimiters; each word scores degree/frequency over the phrase
+    graph (degree = total length of phrases containing it — rewarding
+    words that travel in long phrases), and a phrase scores the sum of
+    its words — the zero-training keyword extractor that fills the
+    gap between q_text_ngram_freq's raw counts and embedding-based
+    keyphrase models.  Corpus-level top-{RAKE_TOP} with occurrence
+    counts (identical phrases collapse; the score uses global word
+    stats, so it is identical for every occurrence).
+
+    Phrase segmentation is one per-doc window over token positions
+    (cumulative stopword count = run id — the gaps-and-islands trick on
+    text); word stats are a word-keyed hash aggregate; phrase scores
+    re-join words to the broadcast-sized score relation and sum EXACT
+    1e6-quantized word scores (degree/freq is one division).  Top
+    candidates via TakeOrdered.
+    """
+    stops = list(_RAKE_STOPS)
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    pos = d.select(
+        "doc_id",
+        F.posexplode(
+            F.split(F.trim(F.lower(F.col("text"))), r"[^a-z0-9]+")
+        ).alias("pos", "w"),
+    ).select(
+        "doc_id",
+        "w",
+        "pos",
+        F.when(F.col("w").isin(*stops) | (F.col("w") == ""), 1)
+        .otherwise(0)
+        .alias("is_stop"),
+    )
+    wrun = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    runs = pos.withColumn(
+        "run_id", F.sum("is_stop").over(wrun).cast("long")
+    ).filter(F.col("is_stop") == 0)
+    phrases = runs.groupBy("doc_id", "run_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "w"))),
+            lambda s: s.w,
+        ).alias("words"),
+        F.count(F.lit(1)).cast("long").alias("plen"),
+    )
+    word_stats = (
+        phrases.select("plen", F.explode("words").alias("w"))
+        .groupBy("w")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum("plen").cast("long").alias("degree"),
+        )
+    )
+    wscore = word_stats.select(
+        F.col("w").alias("sw"),
+        F.floor(F.col("degree").cast("double") / F.col("freq") * 1e6 + 0.5)
+        .cast("long")
+        .alias("wq"),
+    )
+    pscored = (
+        phrases.select(
+            "doc_id",
+            "run_id",
+            F.array_join("words", " ").alias("phrase"),
+            "plen",
+            F.explode("words").alias("w"),
+        )
+        .join(F.broadcast(wscore), F.col("sw") == F.col("w"))
+        .groupBy("doc_id", "run_id", "phrase")
+        .agg(
+            F.any_value("plen").alias("n_words"),
+            F.sum("wq").cast("long").alias("pq"),
+        )
+    )
+    agg = pscored.groupBy("phrase").agg(
+        F.any_value("n_words").alias("n_words"),
+        F.count(F.lit(1)).cast("long").alias("occurrences"),
+        F.any_value("pq").alias("pq"),
+    )
+    w = Window.orderBy(F.col("pq").desc(), "phrase")
+    return (
+        agg.orderBy(F.col("pq").desc(), "phrase")
+        .limit(RAKE_TOP)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            "phrase",
+            "n_words",
+            "occurrences",
+            F.round(F.col("pq").cast("double") / 1e6, 6).alias("score"),
+            "rk",
+        )
+        .orderBy("rk")
+    )
