@@ -330,6 +330,13 @@ EXT_R6G = [
 ]
 
 
+# round 6h: experimentation completeness (CUPED, FDR).
+EXT_R6H = [
+    "q_events_ab_cuped",
+    "q_stats_fdr_bh",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -355,7 +362,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -431,6 +438,8 @@ def main() -> None:
     ext_r6f["total"] = round(sum(ext_r6f.values()), 3)
     ext_r6g = {name: timed(name) for name in EXT_R6G}
     ext_r6g["total"] = round(sum(ext_r6g.values()), 3)
+    ext_r6h = {name: timed(name) for name in EXT_R6H}
+    ext_r6h["total"] = round(sum(ext_r6h.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -459,6 +468,7 @@ def main() -> None:
         "ext_r6e": ext_r6e,
         "ext_r6f": ext_r6f,
         "ext_r6g": ext_r6g,
+        "ext_r6h": ext_r6h,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -505,6 +515,7 @@ def main() -> None:
                     "ext_r6e": ext_r6e["total"],
                     "ext_r6f": ext_r6f["total"],
                     "ext_r6g": ext_r6g["total"],
+                    "ext_r6h": ext_r6h["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

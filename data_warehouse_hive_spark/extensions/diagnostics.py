@@ -2270,3 +2270,205 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mde_pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# Multiple testing: permutation p-values + Benjamini-Hochberg correction
+# ---------------------------------------------------------------------------
+
+FDR_B = 32  # permutation replicates (one per sha256 byte)
+FDR_Q = 0.10  # target false-discovery rate
+
+
+def _o_fdr_byte(b: int) -> str:
+    return f"('0x' || substr(hx, {2 * b + 1}, 2))::INT"
+
+
+@query(
+    "q_stats_fdr_bh",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             sha256(CAST(event_id AS VARCHAR)) AS hx
+      FROM events
+    ),
+    types AS (SELECT DISTINCT event_type AS test FROM pool),
+    ex AS (
+      SELECT t.test, p.xq, p.hx,
+             CASE WHEN p.event_type = t.test THEN 1 ELSE 0 END AS is_a
+      FROM pool p CROSS JOIN types t
+    ),
+    base AS (
+      SELECT test, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s,
+             CAST(SUM(is_a) AS BIGINT) AS na_obs,
+             CAST(SUM(CASE WHEN is_a = 1 THEN xq END) AS BIGINT) AS sa_obs
+      FROM ex GROUP BY test
+    ),
+    thr AS (
+      SELECT test, n, s, na_obs, sa_obs,
+             CAST(floor(CAST(na_obs * 256 AS DOUBLE) / n) AS BIGINT) AS th
+      FROM base
+    ),
+    reps AS (
+      SELECT e.test,
+        {', '.join(
+            f"CAST(SUM(CASE WHEN {_o_fdr_byte(b)} < t.th THEN e.xq END) "
+            f"AS BIGINT) AS sa{b}, "
+            f"CAST(SUM(CASE WHEN {_o_fdr_byte(b)} < t.th THEN 1 END) "
+            f"AS BIGINT) AS na{b}"
+            for b in range(FDR_B)
+        )}
+      FROM ex e JOIN thr t ON t.test = e.test
+      GROUP BY e.test
+    ),
+    pvals AS (
+      SELECT t.test,
+             round(CAST(t.sa_obs AS DOUBLE) / 100.0 / t.na_obs
+                   - CAST(t.s - t.sa_obs AS DOUBLE) / 100.0
+                     / (t.n - t.na_obs), 6) AS obs_diff,
+             round(CAST(1 + len(list_filter([
+               {', '.join(
+                   f"round(CAST(r.sa{b} AS DOUBLE) / 100.0 / r.na{b} "
+                   f"- CAST(t.s - r.sa{b} AS DOUBLE) / 100.0 "
+                   f"/ (t.n - r.na{b}), 6)"
+                   for b in range(FDR_B)
+               )}
+             ], x -> abs(x) >= abs(round(CAST(t.sa_obs AS DOUBLE) / 100.0
+                     / t.na_obs - CAST(t.s - t.sa_obs AS DOUBLE) / 100.0
+                     / (t.n - t.na_obs), 6)))) AS DOUBLE)
+                   / {FDR_B + 1}, 6) AS p
+      FROM thr t JOIN reps r ON r.test = t.test
+    ),
+    ranked AS (
+      SELECT test, obs_diff, p,
+             CAST(ROW_NUMBER() OVER (ORDER BY p, test) AS BIGINT) AS i,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nt
+      FROM pvals
+    )
+    SELECT test, obs_diff, p, i AS p_rank,
+           round(LEAST(1.0, MIN(p * nt / i) OVER (ORDER BY i DESC
+                 ROWS UNBOUNDED PRECEDING)), 6) AS p_adj,
+           round(LEAST(1.0, MIN(p * nt / i) OVER (ORDER BY i DESC
+                 ROWS UNBOUNDED PRECEDING)), 6) <= {FDR_Q} AS significant
+    FROM ranked
+    ORDER BY i
+    """,
+)
+def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple-testing control: permutation p-values for every
+    event-type-vs-rest mean difference, then Benjamini-Hochberg
+    adjustment (p_adj(i) = min_{{j≥i}} p(j)·m/j, reject at FDR
+    q={FDR_Q}) — the correction a metrics platform MUST apply when one
+    experiment readout fans into dozens of per-segment tests, where
+    uncorrected p<0.05 discoveries are mostly noise.  The p-values
+    reuse q_stats_permutation's machinery: one sha256 per row supplies
+    all {FDR_B} relabelings of every test.
+
+    One corpus scan feeds everything: the pool fans out once per test
+    (bounded |types| fan-out — the schema-drift stack shape), each
+    test's observed stats and its {FDR_B} replicate aggregates ride a
+    single grouped conditional-aggregation pass, and the BH step is a
+    running MIN over the O(tests) p-value relation.  All diffs compare
+    on the 6-rounded grid; ranks tie-break by test name.
+    """
+    pool = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+        F.sha2(F.col("event_id").cast("string"), 256).alias("hx"),
+    )
+    types = pool.select(
+        F.col("event_type").alias("test")
+    ).distinct()
+    ex = pool.crossJoin(broadcast(types)).select(
+        "test",
+        "xq",
+        "hx",
+        F.when(F.col("event_type") == F.col("test"), 1).otherwise(0).alias(
+            "is_a"
+        ),
+    )
+    base = ex.groupBy("test").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s"),
+        F.sum("is_a").cast("long").alias("na_obs"),
+        F.sum(F.when(F.col("is_a") == 1, F.col("xq"))).cast("long").alias(
+            "sa_obs"
+        ),
+    ).withColumn(
+        "th",
+        F.floor((F.col("na_obs") * 256).cast("double") / F.col("n")).cast(
+            "long"
+        ),
+    )
+    byte = lambda b: F.conv(  # noqa: E731
+        F.substring("hx", 2 * b + 1, 2), 16, 10
+    ).cast("int")
+    decoded = ex.join(
+        F.broadcast(base.select(F.col("test").alias("b_test"), "th")),
+        F.col("b_test") == F.col("test"),
+    ).select(
+        "test",
+        "xq",
+        F.array(*[(byte(b) < F.col("th")) for b in range(FDR_B)]).alias(
+            "in_a"
+        ),
+    )
+    reps_aggs = []
+    for b in range(FDR_B):
+        cond = F.col("in_a")[b]
+        reps_aggs.append(
+            F.sum(F.when(cond, F.col("xq"))).cast("long").alias(f"sa{b}")
+        )
+        reps_aggs.append(F.sum(F.when(cond, 1)).cast("long").alias(f"na{b}"))
+    reps = decoded.groupBy("test").agg(*reps_aggs)
+    j = reps.join(
+        F.broadcast(
+            base.select(
+                F.col("test").alias("o_test"), "n", "s", "na_obs", "sa_obs"
+            )
+        ),
+        F.col("o_test") == F.col("test"),
+    )
+    diff = lambda sa, na: F.round(  # noqa: E731
+        sa.cast("double") / 100.0 / na
+        - (F.col("s") - sa).cast("double") / 100.0 / (F.col("n") - na),
+        6,
+    )
+    obs = diff(F.col("sa_obs"), F.col("na_obs"))
+    dl = F.array(
+        *[diff(F.col(f"sa{b}"), F.col(f"na{b}")) for b in range(FDR_B)]
+    )
+    n_ge = F.size(F.filter(dl, lambda x: F.abs(x) >= F.abs(obs)))
+    pvals = j.select(
+        "test",
+        obs.alias("obs_diff"),
+        F.round((n_ge + 1).cast("double") / (FDR_B + 1), 6).alias("p"),
+    )
+    wi = Window.orderBy("p", "test")
+    ranked = pvals.select(
+        "test",
+        "obs_diff",
+        "p",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.count(F.lit(1)).over(Window.partitionBy()).cast("long").alias("nt"),
+    )
+    wmin = Window.orderBy(F.col("i").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    p_adj = F.round(
+        F.least(
+            F.lit(1.0),
+            F.min(F.col("p") * F.col("nt") / F.col("i")).over(wmin),
+        ),
+        6,
+    )
+    return ranked.select(
+        "test",
+        "obs_diff",
+        "p",
+        F.col("i").alias("p_rank"),
+        p_adj.alias("p_adj"),
+        (p_adj <= FDR_Q).alias("significant"),
+    ).orderBy("p_rank")

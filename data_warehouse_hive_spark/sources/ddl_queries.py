@@ -1539,3 +1539,49 @@ def ddl_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n, extra == 0 and missing == 0)],
         "n_sessions long, stream_equals_batch boolean",
     )
+
+
+@query("ddl_stream_resume")
+def ddl_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Checkpoint-based streaming RESUME: land half the events table
+    through the streaming ingest (foreachBatch parquet sink +
+    checkpoint), stop, drop the second half into the source directory,
+    restart from the SAME checkpoint — the engine must process ONLY the
+    new files (offset tracking) and the landed output must equal the
+    full table exactly once (no replay of the first half, no gap).
+    This is the crash/redeploy contract every production stream relies
+    on and the one property the single-run parity ddls cannot show
+    (cite: streaming/stream.py stream_ingest_parquet — checkpoint ×
+    idempotent epoch-partition writes).
+
+    Behavioral (rows-only): two engine runs + a filesystem mutation
+    cannot run in the oracle; the exactly-once count identity IS the
+    check."""
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        stream_ingest_parquet,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    src = _tmpdir("stream_resume_src_")
+    out = _tmpdir("stream_resume_out_")
+    ckpt = _tmpdir("stream_resume_ckpt_")
+    ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
+    q1 = stream_ingest_parquet(read_events_stream(spark, src), out, ckpt)
+    q1.awaitTermination(120)
+    q1.stop()
+    n_first = spark.read.parquet(out).count()
+    ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    q2 = stream_ingest_parquet(read_events_stream(spark, src), out, ckpt)
+    q2.awaitTermination(120)
+    q2.stop()
+    landed = spark.read.parquet(out)
+    n_total = landed.count()
+    n_orig = ev.count()
+    n_distinct = landed.select("event_id").distinct().count()
+    assert 0 < n_first < n_orig, (n_first, n_orig)
+    assert n_total == n_orig == n_distinct, (n_total, n_orig, n_distinct)
+    return spark.createDataFrame(
+        [(n_first, n_total, n_total == n_orig and n_distinct == n_orig)],
+        "n_first_run long, n_after_resume long, exactly_once boolean",
+    )

@@ -2827,3 +2827,145 @@ def q_events_funnel_deadline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rate_step3"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUPED variance reduction for the A/B readout
+# ---------------------------------------------------------------------------
+
+CUPED_SPLIT = "2024-01-16"  # pre-period / experiment-period boundary
+
+
+@query(
+    "q_events_ab_cuped",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+             CAST(SUM(CASE WHEN ts < TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS xq,
+             CAST(SUM(CASE WHEN ts >= TIMESTAMP '{CUPED_SPLIT}'
+                           THEN CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS yq
+      FROM events GROUP BY user_id
+    ),
+    pooled AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(yq) AS BIGINT) AS sy,
+             CAST(SUM(CAST(xq AS HUGEINT) * yq) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(yq AS HUGEINT) * yq) AS DOUBLE) AS syy
+      FROM per_user
+    ),
+    th AS (
+      SELECT n, sx, sy, sxx, syy,
+             (sxy - CAST(sx AS DOUBLE) / n * sy)
+               / (sxx - CAST(sx AS DOUBLE) / n * sx) AS theta
+      FROM pooled
+    ),
+    arms AS (
+      SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_arm,
+             CAST(SUM(xq) AS BIGINT) AS sxa,
+             CAST(SUM(yq) AS BIGINT) AS sya
+      FROM per_user GROUP BY variant
+    )
+    SELECT a.variant, a.n_arm,
+           round(CAST(a.sya AS DOUBLE) / a.n_arm / 100.0, 6) AS mean_y,
+           round((CAST(a.sya AS DOUBLE) / a.n_arm
+                  - t.theta * (CAST(a.sxa AS DOUBLE) / a.n_arm
+                               - CAST(t.sx AS DOUBLE) / t.n)) / 100.0, 6)
+             AS mean_y_adj,
+           round(t.theta, 6) AS theta,
+           round(t.theta * t.theta
+                 * (t.sxx - CAST(t.sx AS DOUBLE) / t.n * t.sx)
+                 / (t.syy - CAST(t.sy AS DOUBLE) / t.n * t.sy), 4)
+             AS var_reduction
+    FROM arms a CROSS JOIN th t
+    ORDER BY a.variant
+    """,
+)
+def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al.): adjust each arm's
+    experiment-period revenue by θ·(pre-period revenue − grand mean),
+    with θ = cov(pre, post)/var(pre) pooled — the industry-standard
+    trick that removes the variance explained by pre-experiment
+    behavior, shrinking confidence intervals (and q_stats_power's
+    required sample size) by the reported var_reduction share without
+    touching the treatment effect.  Completes the experimentation
+    family: assignment (q_events_ab_test), health (q_events_ab_srm),
+    planning (q_stats_power), readout adjustment (this).
+
+    Everything reduces to ONE per-user aggregation plus exact pooled
+    moments: the adjusted arm means are algebra over group-level sums
+    (mean_adj = ȳ_a − θ(x̄_a − x̄)), so no per-user adjusted column ever
+    materializes.  Cross-products ride int128/DECIMAL(38); θ and both
+    adjusted means are fixed-order doubles on exact sums, rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    split = F.lit(CUPED_SPLIT).cast("timestamp")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(F.col("ts") < split, cents).otherwise(0))
+        .cast("long")
+        .alias("xq"),
+        F.sum(F.when(F.col("ts") >= split, cents).otherwise(0))
+        .cast("long")
+        .alias("yq"),
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "xq", "yq")
+    pooled = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum("yq").cast("long").alias("sy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("yq"))
+        .cast("double")
+        .alias("sxy"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+        .cast("double")
+        .alias("sxx"),
+        F.sum(F.col("yq").cast("decimal(38,0)") * F.col("yq"))
+        .cast("double")
+        .alias("syy"),
+    )
+    th = pooled.withColumn(
+        "theta",
+        (F.col("sxy") - F.col("sx").cast("double") / F.col("n") * F.col("sy"))
+        / (
+            F.col("sxx")
+            - F.col("sx").cast("double") / F.col("n") * F.col("sx")
+        ),
+    )
+    arms = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_arm"),
+        F.sum("xq").cast("long").alias("sxa"),
+        F.sum("yq").cast("long").alias("sya"),
+    )
+    mean_y = F.col("sya").cast("double") / F.col("n_arm")
+    mean_x = F.col("sxa").cast("double") / F.col("n_arm")
+    grand_x = F.col("sx").cast("double") / F.col("n")
+    return (
+        arms.crossJoin(F.broadcast(th))
+        .select(
+            "variant",
+            "n_arm",
+            F.round(mean_y / 100.0, 6).alias("mean_y"),
+            F.round(
+                (mean_y - F.col("theta") * (mean_x - grand_x)) / 100.0, 6
+            ).alias("mean_y_adj"),
+            F.round("theta", 6).alias("theta"),
+            F.round(
+                F.col("theta")
+                * F.col("theta")
+                * (
+                    F.col("sxx")
+                    - F.col("sx").cast("double") / F.col("n") * F.col("sx")
+                )
+                / (
+                    F.col("syy")
+                    - F.col("sy").cast("double") / F.col("n") * F.col("sy")
+                ),
+                4,
+            ).alias("var_reduction"),
+        )
+        .orderBy("variant")
+    )
