@@ -337,6 +337,15 @@ EXT_R6H = [
 ]
 
 
+# round 6i: mergeable sampling, fulfillment, robust bands, community NMI.
+EXT_R6I = [
+    "q_sample_reservoir",
+    "q_orders_fulfillment",
+    "q_win_rolling_mad",
+    "q_graph_nmi",
+]
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -362,7 +371,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -440,6 +449,8 @@ def main() -> None:
     ext_r6g["total"] = round(sum(ext_r6g.values()), 3)
     ext_r6h = {name: timed(name) for name in EXT_R6H}
     ext_r6h["total"] = round(sum(ext_r6h.values()), 3)
+    ext_r6i = {name: timed(name) for name in EXT_R6I}
+    ext_r6i["total"] = round(sum(ext_r6i.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -469,6 +480,7 @@ def main() -> None:
         "ext_r6f": ext_r6f,
         "ext_r6g": ext_r6g,
         "ext_r6h": ext_r6h,
+        "ext_r6i": ext_r6i,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -516,6 +528,7 @@ def main() -> None:
                     "ext_r6f": ext_r6f["total"],
                     "ext_r6g": ext_r6g["total"],
                     "ext_r6h": ext_r6h["total"],
+                    "ext_r6i": ext_r6i["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
@@ -524,6 +537,7 @@ def main() -> None:
                         "q_embed_cluster_purity",
                         "q_graph_labelprop",
                         "q_graph_modularity",
+                        "q_graph_nmi",
                         "q_sim_recall",
                         "q_sim_mrr",
                         "q_sim_map",

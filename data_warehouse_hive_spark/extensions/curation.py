@@ -2497,7 +2497,10 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_tok.alias("n_tok"),
         z.alias("z"),
         F.floor(z * 10 + 0.5).cast("long").alias("bkt"),
-    )
+        # three consumers (bucket rollup, full-bucket join, boundary
+        # ranking) read this featurized relation — materialize the
+        # tokenize+score scan once instead of replaying it per consumer
+    ).localCheckpoint(eager=False)
     btot = bucketed.groupBy("bkt").agg(
         F.sum("n_tok").cast("long").alias("btok")
     )
@@ -2538,3 +2541,100 @@ def q_curate_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y_prior") + F.col("run") + F.col("n_tok") <= TOKEN_BUDGET
     ).select("doc_id", "z", "n_tok", F.lit("boundary").alias("tier"))
     return full_sel.unionByName(bd_sel).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Mergeable uniform reservoir via hash-rank (k smallest hashes)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 100
+RESERVOIR_SALTS = 32
+
+
+@query(
+    "q_sample_reservoir",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT o_orderkey,
+             ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 15))
+               ::UBIGINT::BIGINT AS h,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    ranked AS (
+      SELECT o_orderkey, h, cents,
+             ROW_NUMBER() OVER (ORDER BY h) AS rk
+      FROM keyed
+    ),
+    sample AS (SELECT * FROM ranked WHERE rk <= {RESERVOIR_K}),
+    pop AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pop,
+             CAST(SUM(cents) AS BIGINT) AS s_pop
+      FROM keyed
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k,
+           ANY_VALUE(p.n_pop) AS n_pop,
+           round(CAST(SUM(s.cents) AS DOUBLE) / COUNT(*) / 100.0, 2)
+             AS sample_mean,
+           round(CAST(ANY_VALUE(p.s_pop) AS DOUBLE)
+                 / ANY_VALUE(p.n_pop) / 100.0, 2) AS pop_mean,
+           CAST(MAX(s.h) AS BIGINT) AS max_hash
+    FROM sample s CROSS JOIN pop p
+    """,
+)
+def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable uniform {RESERVOIR_K}-sample by hash rank: the sample
+    is the k rows with the SMALLEST md5 hashes — statistically a
+    uniform without-replacement sample, and unlike classic reservoir
+    sampling it MERGES: the sample of (A ∪ B) is the k smallest of the
+    two samples' union, so per-partition, per-day, or per-batch samples
+    roll up without re-scanning (the property that matters when the
+    'population' is a year of landed batches).  The sample mean rides
+    along against the population mean as the accuracy check, and
+    max_hash doubles as the KMV cardinality witness (q_agg_kmv shares
+    this machinery).
+
+    Same salted two-stage k-min as q_agg_kmv: stage 1 ranks within
+    {RESERVOIR_SALTS} hash-salt partitions, stage 2 ranks the
+    ≤ salts·k survivors — no global-order window ever sees the corpus.
+    """
+    o = t(spark, sf_dir, "orders")
+    keyed = o.select(
+        "o_orderkey",
+        F.conv(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 15),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+        F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w1 = Window.partitionBy("salt").orderBy("h")
+    stage1 = (
+        keyed.withColumn("salt", F.pmod(F.col("h"), F.lit(RESERVOIR_SALTS)))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= RESERVOIR_K)
+    )
+    w2 = Window.orderBy("h")
+    sample = stage1.withColumn("rk", F.row_number().over(w2)).filter(
+        F.col("rk") <= RESERVOIR_K
+    )
+    pop = keyed.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pop"),
+        F.sum("cents").cast("long").alias("s_pop"),
+    )
+    return sample.crossJoin(F.broadcast(pop)).agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.any_value("n_pop").alias("n_pop"),
+        F.round(
+            F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 2
+        ).alias("sample_mean"),
+        F.round(
+            F.any_value("s_pop").cast("double")
+            / F.any_value("n_pop")
+            / 100.0,
+            2,
+        ).alias("pop_mean"),
+        F.max("h").cast("long").alias("max_hash"),
+    )

@@ -1563,3 +1563,160 @@ def q_graph_random_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.select(
         "walk_id", "start_node", F.col("node").alias("end_node"), "path"
     ).orderBy("walk_id")
+
+
+# ---------------------------------------------------------------------------
+# NMI: do the discovered communities recover the source partition?
+# ---------------------------------------------------------------------------
+
+
+def _o_nmi() -> str:
+    from data_warehouse_hive_spark.extensions.dedup import (
+        _o_minhash_pairs_cte,
+    )
+
+    rounds = ",\n    ".join(
+        _o_labelprop_round(f"r{k}" if k else "l0", f"r{k + 1}")
+        for k in range(LPA_ROUNDS)
+    )
+    return f"""
+    WITH {_o_minhash_pairs_cte()},
+    und AS MATERIALIZED (
+      SELECT doc_a AS node, doc_b AS nb FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT node, node AS lbl FROM und),
+    {rounds},
+    lab AS (
+      SELECT r.node, r.lbl AS community, d.source
+      FROM r{LPA_ROUNDS} r JOIN documents d ON d.doc_id = r.node
+    ),
+    cells AS (
+      SELECT community, source, CAST(COUNT(*) AS BIGINT) AS n_cs
+      FROM lab GROUP BY community, source
+    ),
+    mc AS (SELECT community, CAST(SUM(n_cs) AS BIGINT) AS n_c
+           FROM cells GROUP BY community),
+    ms AS (SELECT source, CAST(SUM(n_cs) AS BIGINT) AS n_s
+           FROM cells GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_cs) AS BIGINT) AS n FROM cells),
+    mi AS (
+      SELECT CAST(SUM(CAST(floor(
+               (CAST(c.n_cs AS DOUBLE) / t.n)
+               * ln(CAST(t.n AS DOUBLE) * c.n_cs
+                    / (CAST(mc.n_c AS DOUBLE) * ms.n_s))
+               * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS miq
+      FROM cells c
+      JOIN mc ON mc.community = c.community
+      JOIN ms ON ms.source = c.source
+      CROSS JOIN tot t
+    ),
+    hc AS (
+      SELECT CAST(SUM(CAST(floor(
+               -(CAST(n_c AS DOUBLE) / t.n)
+               * ln(CAST(n_c AS DOUBLE) / t.n) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS hcq
+      FROM mc CROSS JOIN tot t
+    ),
+    hs AS (
+      SELECT CAST(SUM(CAST(floor(
+               -(CAST(n_s AS DOUBLE) / t.n)
+               * ln(CAST(n_s AS DOUBLE) / t.n) * 1e9 + 0.5) AS BIGINT))
+             AS BIGINT) AS hsq
+      FROM ms CROSS JOIN tot t
+    )
+    SELECT (SELECT COUNT(*) FROM mc) AS n_communities,
+           (SELECT COUNT(*) FROM ms) AS n_sources,
+           (SELECT n FROM tot) AS n_docs,
+           round((SELECT miq FROM mi) / 1e9, 6) AS mutual_info_nats,
+           round((SELECT miq FROM mi) / 1e9
+                 / sqrt(((SELECT hcq FROM hc) / 1e9)
+                        * ((SELECT hsq FROM hs) / 1e9)), 6) AS nmi
+    """
+
+
+@query("q_graph_nmi", oracle=_o_nmi())
+def q_graph_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized mutual information between the LPA communities and
+    the documents' SOURCE partition — the external-validity score for
+    community detection (NMI ≈ 1: the graph structure rediscovered the
+    sources; ≈ 0: communities are orthogonal to provenance), completing
+    the clustering-eval triangle: q_graph_modularity grades internal
+    structure, q_embed_cluster_purity grades the embedding clustering,
+    this grades the GRAPH clustering against metadata.  Scope is the
+    docs that appear in the LSH candidate graph (isolated docs have no
+    community by construction; their count is n_docs vs the corpus).
+
+    Reuses the session-memoized LPA labels (one loop per session —
+    graph._LPA_CACHE); everything downstream is a contingency hash
+    aggregate on the (community, source) domain and entropy terms
+    quantized to 1e9 longs on exactly-representable ratios before the
+    cross-cell sums.  NMI is fixed-order double math, rounded at 6.
+    """
+    _, labels = _lpa_labels(spark, sf_dir)
+    docs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = labels.join(docs, F.col("doc_id") == F.col("node")).select(
+        F.col("lbl").alias("community"), "source"
+    )
+    cells = lab.groupBy("community", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cs")
+    )
+    mc = cells.groupBy(F.col("community").alias("m_comm")).agg(
+        F.sum("n_cs").cast("long").alias("n_c")
+    )
+    ms = cells.groupBy(F.col("source").alias("m_src")).agg(
+        F.sum("n_cs").cast("long").alias("n_s")
+    )
+    tot = cells.agg(F.sum("n_cs").cast("long").alias("n"))
+    mi_term = F.floor(
+        (F.col("n_cs").cast("double") / F.col("n"))
+        * F.log(
+            F.col("n").cast("double")
+            * F.col("n_cs")
+            / (F.col("n_c").cast("double") * F.col("n_s"))
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    mi = (
+        cells.join(broadcast(mc), F.col("m_comm") == F.col("community"))
+        .join(broadcast(ms), F.col("m_src") == F.col("source"))
+        .crossJoin(broadcast(tot))
+        .agg(F.sum(mi_term).cast("long").alias("miq"))
+    )
+    ent = lambda rel, cnt, alias: rel.crossJoin(broadcast(tot)).agg(  # noqa: E731
+        F.sum(
+            F.floor(
+                -(F.col(cnt).cast("double") / F.col("n"))
+                * F.log(F.col(cnt).cast("double") / F.col("n"))
+                * 1e9
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias(alias)
+    )
+    hc = ent(mc, "n_c", "hcq")
+    hs = ent(ms, "n_s", "hsq")
+    counts = cells.agg(
+        F.countDistinct("community").cast("long").alias("n_communities"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+    )
+    return (
+        counts.crossJoin(broadcast(tot))
+        .crossJoin(broadcast(mi))
+        .crossJoin(broadcast(hc))
+        .crossJoin(broadcast(hs))
+        .select(
+            "n_communities",
+            "n_sources",
+            F.col("n").alias("n_docs"),
+            F.round(F.col("miq") / 1e9, 6).alias("mutual_info_nats"),
+            F.round(
+                (F.col("miq") / 1e9)
+                / F.sqrt((F.col("hcq") / 1e9) * (F.col("hsq") / 1e9)),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -2603,3 +2603,78 @@ def q_orders_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("drawdown").desc(), "day")
         .limit(5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Order fulfillment progress by status
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_fulfillment",
+    oracle="""
+    WITH per_order AS (
+      SELECT o.o_orderkey, o.o_orderstatus,
+             CAST(COUNT(*) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN l.l_linestatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_filled
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      GROUP BY o.o_orderkey, o.o_orderstatus
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_lines) AS BIGINT) AS n_lines,
+           round(CAST(SUM(n_filled) AS DOUBLE) / SUM(n_lines), 6)
+             AS line_fill_rate,
+           CAST(SUM(CASE WHEN n_filled = n_lines THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_fully_filled,
+           round(CAST(SUM(CASE WHEN n_filled = n_lines THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS order_fill_rate
+    FROM per_order
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def q_orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfillment progress by order status: line-level fill rate
+    (share of lineitems with linestatus 'F') and order-level fill rate
+    (orders with EVERY line filled) — the two numbers operations
+    dashboards track separately because they diverge exactly when big
+    orders stall (line rate high, order rate low).  Validates the
+    o_orderstatus rollup against its lineitem ground truth (an 'O'
+    order with every line filled is a data-quality smell this surfaces).
+
+    One fact-side join on the order key (the natural co-partitioning),
+    a per-order conditional count, then a tiny status rollup; rates are
+    single divisions of exact longs.
+    """
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linestatus")
+    per_order = (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lines"),
+            F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("n_filled"),
+        )
+    )
+    full = F.sum(
+        F.when(F.col("n_filled") == F.col("n_lines"), 1).otherwise(0)
+    ).cast("long")
+    return (
+        per_order.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_lines").cast("long").alias("n_lines"),
+            F.round(
+                F.sum("n_filled").cast("double") / F.sum("n_lines"), 6
+            ).alias("line_fill_rate"),
+            full.alias("n_fully_filled"),
+            F.round(full.cast("double") / F.count(F.lit(1)), 6).alias(
+                "order_fill_rate"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )

@@ -786,3 +786,99 @@ def q_win_frame_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(wg).cast("long").alias("grp_sum_cents"),
         F.count(F.lit(1)).over(wg).cast("long").alias("grp_n"),
     ).orderBy("o_orderkey")
+
+
+# ---------------------------------------------------------------------------
+# Rolling MAD band: robust anomaly envelope on the daily series
+# ---------------------------------------------------------------------------
+
+MAD_K = 5  # band half-width in MADs (~3.4 sigma if the series were normal)
+
+
+@query(
+    "q_win_rolling_mad",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type,
+             strftime(CAST(date_trunc('day', ts) AS DATE), '%Y-%m-%d')
+               AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, day
+    ),
+    framed AS (
+      SELECT event_type, day, n,
+             list_sort(list(n) OVER w) AS win
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY day
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    ),
+    med AS (
+      SELECT event_type, day, n, len(win) AS wn,
+             CAST(win[(len(win) + 1) // 2] AS BIGINT) AS roll_med,
+             list_sort(list_transform(win,
+               x -> abs(x - win[(len(win) + 1) // 2]))) AS devs
+      FROM framed
+    )
+    SELECT event_type, day, n, roll_med,
+           CAST(devs[(wn + 1) // 2] AS BIGINT) AS roll_mad,
+           (wn >= 7 AND abs(n - roll_med)
+              > {MAD_K} * devs[(wn + 1) // 2]) AS is_anomaly
+    FROM med
+    ORDER BY event_type, day
+    """,
+)
+def q_win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MAD anomaly band: per type and day, the 7-day rolling
+    median, the rolling median-absolute-deviation around it, and an
+    anomaly flag when today sits more than {MAD_K} MADs out — the
+    robust alternative to q_events_zscore's mean/std band (one genuine
+    spike inflates a rolling std enough to hide the next spike; the
+    MAD barely moves).  Completes the robust-smoothing pair started by
+    q_win_rolling_median.
+
+    Same bounded shape as the rolling median: windows over the
+    (type × day) rollup partitioned by type, each frame ≤7 small
+    integers, median and MAD composed explicitly (lower-median
+    convention both engines) because median() refuses frames.  All
+    integer arithmetic — the flag compares exact longs.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0)
+    framed = daily.withColumn(
+        "win", F.sort_array(F.collect_list("n").over(w))
+    )
+    med = framed.select(
+        "event_type",
+        "day",
+        "n",
+        F.size("win").alias("wn"),
+        F.element_at(
+            F.col("win"), F.expr("CAST((size(win) + 1) DIV 2 AS INT)")
+        )
+        .cast("long")
+        .alias("roll_med"),
+        F.sort_array(
+            F.expr(
+                "transform(win, x -> abs(x - win[CAST((size(win) + 1)"
+                " DIV 2 AS INT) - 1]))"
+            )
+        ).alias("devs"),
+    )
+    mad = F.element_at(
+        F.col("devs"), F.expr("CAST((wn + 1) DIV 2 AS INT)")
+    ).cast("long")
+    return med.select(
+        "event_type",
+        "day",
+        "n",
+        "roll_med",
+        mad.alias("roll_mad"),
+        (
+            (F.col("wn") >= 7)
+            & (F.abs(F.col("n") - F.col("roll_med")) > MAD_K * mad)
+        ).alias("is_anomaly"),
+    ).orderBy("event_type", "day")
