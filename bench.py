@@ -343,6 +343,7 @@ EXT_R6I = [
     "q_orders_fulfillment",
     "q_win_rolling_mad",
     "q_graph_nmi",
+    "q_split_leakage_safe",
 ]
 
 

@@ -2638,3 +2638,171 @@ def q_sample_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("pop_mean"),
         F.max("h").cast("long").alias("max_hash"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe holdout: near-dup clusters never straddle the split
+# ---------------------------------------------------------------------------
+
+LEAK_TRAIN_PCT = 80  # group-hash percentage routed to train
+
+
+@query(
+    "q_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE {{pairs_cte}},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION ALL
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS doc FROM edges),
+    reach(doc, r) AS (
+      SELECT doc, doc FROM nodes
+      UNION
+      SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.doc
+    ),
+    comp AS (
+      SELECT CAST(doc AS BIGINT) AS doc_id, CAST(MIN(r) AS BIGINT) AS gid
+      FROM reach GROUP BY doc
+    ),
+    assigned AS (
+      SELECT d.doc_id,
+             COALESCE(c.gid, d.doc_id) AS group_id,
+             CASE WHEN ('0x' || substr(md5(CAST(COALESCE(c.gid, d.doc_id)
+                          AS VARCHAR)), 1, 8))::UBIGINT % 100
+                       < {LEAK_TRAIN_PCT}
+                  THEN 'train' ELSE 'test' END AS split_group,
+             CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)),
+                          1, 8))::UBIGINT % 100 < {LEAK_TRAIN_PCT}
+                  THEN 'train' ELSE 'test' END AS split_naive
+      FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id
+    ),
+    crossings AS (
+      SELECT
+        CAST(SUM(CASE WHEN a.split_group != b.split_group
+                 THEN 1 ELSE 0 END) AS BIGINT) AS group_cross,
+        CAST(SUM(CASE WHEN a.split_naive != b.split_naive
+                 THEN 1 ELSE 0 END) AS BIGINT) AS naive_cross,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN assigned a ON a.doc_id = p.doc_a
+      JOIN assigned b ON b.doc_id = p.doc_b
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT a.group_id) AS BIGINT) AS n_groups,
+           ANY_VALUE(x.n_pairs) AS n_dup_pairs,
+           CAST(SUM(CASE WHEN a.split_group = 'train' THEN 1 ELSE 0 END)
+                AS BIGINT) AS train_docs,
+           CAST(SUM(CASE WHEN a.split_group = 'test' THEN 1 ELSE 0 END)
+                AS BIGINT) AS test_docs,
+           ANY_VALUE(x.group_cross) AS group_cross_pairs,
+           ANY_VALUE(x.naive_cross) AS naive_cross_pairs
+    FROM assigned a CROSS JOIN crossings x
+    """,
+)
+def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: assign each NEAR-DUP CLUSTER —
+    not each document — to a side (md5 of the cluster's component id,
+    {LEAK_TRAIN_PCT}/{100 - LEAK_TRAIN_PCT}), so a test document never
+    has a near-duplicate sitting in train.  The report carries the
+    receipts: group_cross_pairs is 0 BY CONSTRUCTION, while the naive
+    doc-hash split's naive_cross_pairs counts the train/test dup pairs
+    it would have leaked — the eval-inflation bug (memorized near-dups
+    scored as held-out) that q_decontaminate catches against external
+    eval sets and this prevents inside your own corpus.
+
+    Components come from the same bounded min-label propagation as
+    q_dedup_groups over the banded-LSH candidate pairs (never
+    all-pairs); isolated docs are their own group.  The split is one
+    hash per GROUP, the audit joins the pair list to the assignment
+    twice on doc keys.  All counts exact.
+    """
+    from data_warehouse_hive_spark.extensions.dedup import (
+        min_label_propagation,
+        minhash_candidate_pairs,
+    )
+
+    pairs = minhash_candidate_pairs(
+        t(spark, sf_dir, "documents")
+    ).localCheckpoint(eager=False)
+    labels, _ = min_label_propagation(
+        pairs.select(
+            F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+        )
+    )
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    pct = lambda c: F.pmod(  # noqa: E731
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+            "long"
+        ),
+        F.lit(100),
+    )
+    assigned = docs.join(
+        labels.select(F.col("doc").alias("l_doc"), "group_id"),
+        F.col("l_doc") == F.col("doc_id"),
+        "left",
+    ).select(
+        "doc_id",
+        F.coalesce("group_id", "doc_id").alias("gid"),
+    ).select(
+        "doc_id",
+        "gid",
+        F.when(pct(F.col("gid")) < LEAK_TRAIN_PCT, "train")
+        .otherwise("test")
+        .alias("split_group"),
+        F.when(pct(F.col("doc_id")) < LEAK_TRAIN_PCT, "train")
+        .otherwise("test")
+        .alias("split_naive"),
+    )
+    a = assigned.select(
+        F.col("doc_id").alias("a_id"),
+        F.col("split_group").alias("a_g"),
+        F.col("split_naive").alias("a_n"),
+    )
+    b = assigned.select(
+        F.col("doc_id").alias("b_id"),
+        F.col("split_group").alias("b_g"),
+        F.col("split_naive").alias("b_n"),
+    )
+    crossings = (
+        pairs.join(a, F.col("a_id") == F.col("doc_a"))
+        .join(b, F.col("b_id") == F.col("doc_b"))
+        .agg(
+            F.sum(F.when(F.col("a_g") != F.col("b_g"), 1).otherwise(0))
+            .cast("long")
+            .alias("group_cross"),
+            F.sum(F.when(F.col("a_n") != F.col("b_n"), 1).otherwise(0))
+            .cast("long")
+            .alias("naive_cross"),
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        )
+    )
+    return assigned.crossJoin(F.broadcast(crossings)).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("gid").cast("long").alias("n_groups"),
+        F.any_value("n_pairs").alias("n_dup_pairs"),
+        F.sum(F.when(F.col("split_group") == "train", 1).otherwise(0))
+        .cast("long")
+        .alias("train_docs"),
+        F.sum(F.when(F.col("split_group") == "test", 1).otherwise(0))
+        .cast("long")
+        .alias("test_docs"),
+        F.any_value("group_cross").alias("group_cross_pairs"),
+        F.any_value("naive_cross").alias("naive_cross_pairs"),
+    )
+
+
+def _assemble_leakage_oracle() -> None:
+    from data_warehouse_hive_spark.extensions.dedup import (
+        _o_minhash_pairs_cte,
+    )
+    from data_warehouse_hive_spark.registry import REGISTRY
+
+    spec = REGISTRY["q_split_leakage_safe"]
+    object.__setattr__(
+        spec, "oracle", spec.oracle.format(pairs_cte=_o_minhash_pairs_cte())
+    )
+
+
+_assemble_leakage_oracle()

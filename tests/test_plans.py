@@ -1008,3 +1008,26 @@ def test_oov_vocab_is_broadcast(spark, sf_dir):
     strategies = join_strategies(plan)
     assert "BroadcastHashJoin" in strategies, strategies
     assert "SortMergeJoin" not in strategies, strategies
+
+
+def test_prf_no_cartesian(spark, sf_dir):
+    """Both PRF scoring passes must join on term/doc equi-keys; the only
+    nested-loop joins permitted are broadcasts of the 1-row stats
+    relation."""
+    plan = _plan(spark, sf_dir, "q_retrieval_prf")
+    strategies = join_strategies(plan)
+    assert strategies, plan
+    assert not any("Cartesian" in s for s in strategies), strategies
+
+
+def test_reservoir_first_stage_salted(spark, sf_dir):
+    """The hash-rank reservoir must rank stage 1 inside salt partitions
+    (the KMV discipline) — no un-salted window over the full keyed
+    relation."""
+    plan = _plan(spark, sf_dir, "q_sample_reservoir")
+    win_args = [
+        ln
+        for ln in plan.splitlines()
+        if "windowspecdefinition" in ln and "Arguments:" in ln
+    ]
+    assert any("salt#" in ln for ln in win_args), win_args
