@@ -547,6 +547,17 @@ def main() -> None:
                     )
                     if name in first_run
                 },
+                # queries whose build step runs a bounded fixpoint
+                # driver-side (collect of a capped relation + local
+                # iteration, per the q_embed_pca precedent): their
+                # timings include that driver work, and the returned
+                # DataFrame embeds precomputed literals rather than
+                # re-executing a distributed plan (r6 advice note)
+                "driver_side_build": [
+                    n
+                    for n in ("q_graph_hits", "q_embed_pca")
+                    if n in first_run
+                ],
                 "detail_file": detail_path,
             }
         )

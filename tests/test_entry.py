@@ -44,3 +44,24 @@ def test_parameterized_sql(spark, sf_dir):
         "WHERE o_orderstatus = 'F' AND o_totalprice > 1000.0"
     ).collect()[0]["n"]
     assert got == want and got > 0
+
+
+def test_driver_sim_list_lockstep():
+    """r6 verdict item 6: the in-repo driver-sim must derive its driven
+    list FROM the registry (every queries() id), not from a hardcoded
+    tuple, so a future id can never silently miss both the external
+    driver's 50-id alphabetical window and the local sim gate."""
+    import pathlib
+
+    sim = (
+        pathlib.Path(__file__).resolve().parents[1]
+        / ".claude"
+        / "skills"
+        / "verify"
+        / "drive_entry.py"
+    )
+    src = sim.read_text()
+    assert "driven = sorted(n for n in qs if n in os_)" in src
+    assert "rows_only = sorted(n for n in qs if n not in os_)" in src
+    # no stale hardcoded id tuple may drive the loop
+    assert 'for name in ("q_' not in src

@@ -1031,3 +1031,27 @@ def test_reservoir_first_stage_salted(spark, sf_dir):
         if "windowspecdefinition" in ln and "Arguments:" in ln
     ]
     assert any("salt#" in ln for ln in win_args), win_args
+
+
+def test_fdr_bh_decode_collapses_to_histogram(spark, sf_dir):
+    """r6 verdict item 1: the 32 sha256 byte decodes must run ONCE per
+    corpus row in an un-fanned pass that collapses to the
+    (byte_position, byte_value) histogram; every x|types| step then
+    happens on <= 32*256 histogram rows.  Pinned: the histogram
+    hash-aggregate (keys [b, val]) exists, no CartesianProduct, and the
+    only crossJoin in the source is the broadcast 1-row totals relation
+    (the r6 pool.crossJoin(broadcast(types)) corpus fan-out is gone)."""
+    import inspect
+
+    plan = _plan(spark, sf_dir, "q_stats_fdr_bh")
+    assert re.search(r"Keys \[2\]: \[b#\d+, val#\d+\]", plan), plan
+    assert "CartesianProduct" not in join_strategies(plan), plan
+    from data_warehouse_hive_spark.extensions import diagnostics
+
+    whole = inspect.getsource(diagnostics)
+    start = whole.index("def q_stats_fdr_bh")
+    nxt = whole.find("\n@query", start)
+    src = whole[start : nxt if nxt != -1 else len(whole)]
+    assert src.count("crossJoin") == 1, src
+    assert "crossJoin(F.broadcast(totals))" in src, src
+    assert "posexplode" in src, src
