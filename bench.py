@@ -346,6 +346,17 @@ EXT_R6I = [
     "q_split_leakage_safe",
 ]
 
+EXT_R7 = [
+    "q_stats_kruskal",
+    "q_stats_friedman",
+    "q_stats_jarque_bera",
+    "q_stats_runs_test",
+    "q_stats_brier",
+    "q_stats_grubbs",
+    "q_stats_kendall_tau",
+    "q_events_hurst",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -372,7 +383,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -452,6 +463,8 @@ def main() -> None:
     ext_r6h["total"] = round(sum(ext_r6h.values()), 3)
     ext_r6i = {name: timed(name) for name in EXT_R6I}
     ext_r6i["total"] = round(sum(ext_r6i.values()), 3)
+    ext_r7 = {name: timed(name) for name in EXT_R7}
+    ext_r7["total"] = round(sum(ext_r7.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -482,6 +495,7 @@ def main() -> None:
         "ext_r6g": ext_r6g,
         "ext_r6h": ext_r6h,
         "ext_r6i": ext_r6i,
+        "ext_r7": ext_r7,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -530,6 +544,7 @@ def main() -> None:
                     "ext_r6g": ext_r6g["total"],
                     "ext_r6h": ext_r6h["total"],
                     "ext_r6i": ext_r6i["total"],
+                    "ext_r7": ext_r7["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

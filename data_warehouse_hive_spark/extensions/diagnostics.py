@@ -2479,3 +2479,931 @@ def q_stats_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_adj.alias("p_adj"),
         (p_adj <= FDR_Q).alias("significant"),
     ).orderBy("p_rank")
+
+
+# ---------------------------------------------------------------------------
+# Round 7: rank-based k-sample tests, normality, randomness of sequences
+# ---------------------------------------------------------------------------
+
+# The fixture's event-type domain, pinned so k-sample statistics can sum
+# their per-group terms in a FIXED order (a plain SUM over double terms
+# is engine-order-dependent; the welch_t a/b pivot generalized to k).
+EVT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@query(
+    "q_stats_kruskal",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    gv AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS n_gv
+      FROM pool GROUP BY grp, xq
+    ),
+    vals AS (
+      SELECT xq, CAST(SUM(n_gv) AS BIGINT) AS n_v FROM gv GROUP BY xq
+    ),
+    mids AS (
+      SELECT xq, n_v,
+             2 * (CAST(SUM(n_v) OVER (ORDER BY xq) AS BIGINT) - n_v)
+               + n_v + 1 AS mid2
+      FROM vals
+    ),
+    rg AS (
+      SELECT g.grp, CAST(SUM(g.n_gv) AS BIGINT) AS n_g,
+             CAST(SUM(g.n_gv * m.mid2) AS BIGINT) AS r2_g
+      FROM gv g JOIN mids m ON m.xq = g.xq
+      GROUP BY g.grp
+    ),
+    piv AS (
+      SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             {', '.join(
+                 f"CAST(MAX(CASE WHEN grp = '{g}' THEN r2_g END) AS BIGINT)"
+                 f" AS r2_{g}, "
+                 f"CAST(MAX(CASE WHEN grp = '{g}' THEN n_g END) AS BIGINT)"
+                 f" AS n_{g}"
+                 for g in EVT_TYPES
+             )}
+      FROM rg
+    ),
+    ties AS (
+      SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_sum
+      FROM vals
+    )
+    SELECT p.n, p.k,
+           round(12.0 / (p.n * (p.n + 1.0))
+                 * ({' + '.join(
+                     f"CAST(r2_{g} AS DOUBLE) * r2_{g} / 4.0 / n_{g}"
+                     for g in EVT_TYPES
+                 )})
+                 - 3.0 * (p.n + 1.0), 6) AS h,
+           round((12.0 / (p.n * (p.n + 1.0))
+                 * ({' + '.join(
+                     f"CAST(r2_{g} AS DOUBLE) * r2_{g} / 4.0 / n_{g}"
+                     for g in EVT_TYPES
+                 )})
+                 - 3.0 * (p.n + 1.0))
+                 / (1.0 - CAST(t.tie_sum AS DOUBLE)
+                    / (CAST(p.n AS DOUBLE) * p.n * p.n - p.n)), 6)
+             AS h_tie_adj
+    FROM piv p CROSS JOIN ties t
+    """,
+)
+def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across the {len(EVT_TYPES)} event-type samples —
+    the rank-based one-way ANOVA (no normality assumption), reported
+    raw and tie-corrected.  Completes the k-sample family next to
+    q_stats_anova (parametric) and q_stats_mannwhitney (2-sample
+    ranks).
+
+    Ranks never sort raw rows: the histogram-midrank relation (counts
+    per distinct cents value + one running sum over the bounded grid)
+    supplies midranks on the integer 2x carrier, per-group rank sums
+    are exact longs, and the O(n^2)-free tie term rides the same
+    histogram.  The k per-group terms are pivoted into ONE row and
+    summed in fixed type order, so the only doubles are a fixed-order
+    scalar expression — identical IEEE both engines."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    gv = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gv")
+    )
+    vals = gv.groupBy("xq").agg(F.sum("n_gv").cast("long").alias("n_v"))
+    wcum = Window.orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    mids = vals.select(
+        "xq",
+        "n_v",
+        (
+            2 * (F.sum("n_v").over(wcum) - F.col("n_v"))
+            + F.col("n_v")
+            + 1
+        ).alias("mid2"),
+    )
+    rg = (
+        gv.join(mids.select(F.col("xq").alias("m_xq"), "mid2"),
+                F.col("m_xq") == F.col("xq"))
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gv").cast("long").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("mid2")).cast("long").alias("r2_g"),
+        )
+    )
+    piv_aggs = [
+        F.sum("n_g").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    ]
+    for g in EVT_TYPES:
+        piv_aggs.append(
+            F.max(F.when(F.col("grp") == g, F.col("r2_g")))
+            .cast("long")
+            .alias(f"r2_{g}")
+        )
+        piv_aggs.append(
+            F.max(F.when(F.col("grp") == g, F.col("n_g")))
+            .cast("long")
+            .alias(f"n_{g}")
+        )
+    piv = rg.agg(*piv_aggs)
+    ties = vals.agg(
+        F.sum(
+            F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v")
+        ).cast("long").alias("tie_sum")
+    )
+    j = piv.crossJoin(F.broadcast(ties))
+    sterm = None
+    for g in EVT_TYPES:
+        term = (
+            F.col(f"r2_{g}").cast("double")
+            * F.col(f"r2_{g}")
+            / 4.0
+            / F.col(f"n_{g}")
+        )
+        sterm = term if sterm is None else sterm + term
+    h = (
+        12.0 / (F.col("n") * (F.col("n") + 1.0)) * sterm
+        - 3.0 * (F.col("n") + 1.0)
+    )
+    c = 1.0 - F.col("tie_sum").cast("double") / (
+        F.col("n").cast("double") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return j.select(
+        "n",
+        "k",
+        F.round(h, 6).alias("h"),
+        F.round(h / c, 6).alias("h_tie_adj"),
+    )
+
+
+@query(
+    "q_stats_friedman",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS grp,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sq,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) AS k FROM daily),
+    full_days AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM k)
+    ),
+    ranked AS (
+      SELECT d.day, d.grp,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d.day
+               ORDER BY CAST(d.sq AS DOUBLE) / d.c, d.grp
+             ) AS BIGINT) AS rk
+      FROM daily d JOIN full_days f ON f.day = d.day
+    ),
+    rsums AS (
+      SELECT grp, CAST(SUM(rk) AS BIGINT) AS r_j,
+             CAST(COUNT(*) AS BIGINT) AS n_blocks
+      FROM ranked GROUP BY grp
+    ),
+    tot AS (
+      SELECT CAST(MAX(n_blocks) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(r_j * r_j) AS BIGINT) AS ssr
+      FROM rsums
+    )
+    SELECT n AS n_blocks, k AS k_treatments,
+           round(12.0 / (n * k * (k + 1.0)) * ssr - 3.0 * n * (k + 1.0), 6)
+             AS chi2_f,
+           round((12.0 / (n * k * (k + 1.0)) * ssr - 3.0 * n * (k + 1.0))
+                 / (n * (k - 1.0)), 6) AS kendall_w
+    FROM tot
+    """,
+)
+def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman test (+ Kendall's W concordance) of event-type mean
+    value across day blocks: within each complete day (all treatments
+    present) the k types are ranked by mean value, rank sums feed the
+    chi-square statistic — the repeated-measures sibling of
+    q_stats_kruskal, asking "does the type ordering hold up day after
+    day?".
+
+    The corpus collapses to the bounded (day x type) relation in ONE
+    aggregation (days grow with time span, not data volume); ranking,
+    block filtering, and the statistic all run on that tiny relation.
+    Ranks order by the IEEE double mean with a type-name tiebreak —
+    deterministic and identical both engines; rank sums and their
+    squares are exact longs, so the statistic is one fixed-order
+    double expression."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("grp"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    k_rel = daily.agg(
+        F.countDistinct("grp").cast("long").alias("k_all")
+    )
+    full_days = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .crossJoin(F.broadcast(k_rel))
+        .filter(F.col("n_types") == F.col("k_all"))
+        .select("day")
+    )
+    wrk = Window.partitionBy("day").orderBy(
+        F.col("sq").cast("double") / F.col("c"), "grp"
+    )
+    ranked = daily.join(full_days, "day").select(
+        "day", "grp", F.row_number().over(wrk).cast("long").alias("rk")
+    )
+    rsums = ranked.groupBy("grp").agg(
+        F.sum("rk").cast("long").alias("r_j"),
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+    )
+    tot = rsums.agg(
+        F.max("n_blocks").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.col("r_j") * F.col("r_j")).cast("long").alias("ssr"),
+    )
+    chi2 = (
+        12.0 / (F.col("n") * F.col("k") * (F.col("k") + 1.0))
+        * F.col("ssr")
+        - 3.0 * F.col("n") * (F.col("k") + 1.0)
+    )
+    return tot.select(
+        F.col("n").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        F.round(chi2, 6).alias("chi2_f"),
+        F.round(chi2 / (F.col("n") * (F.col("k") - 1.0)), 6).alias(
+            "kendall_w"
+        ),
+    )
+
+
+@query(
+    "q_stats_jarque_bera",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS x2
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x2) AS BIGINT) AS s1,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2 * x2) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(x2 AS HUGEINT) * x2 * x2 * x2) AS HUGEINT) AS s4
+      FROM pool GROUP BY grp
+    )
+    SELECT grp, n,
+           round((CAST(s3 AS DOUBLE) / n
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  + 2.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))
+                    * sqrt(CAST(s2 AS DOUBLE) / n
+                           - (CAST(s1 AS DOUBLE) / n)
+                             * (CAST(s1 AS DOUBLE) / n))), 6) AS skewness,
+           round((CAST(s4 AS DOUBLE) / n
+                  - 4.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s3 AS DOUBLE) / n)
+                  + 6.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s2 AS DOUBLE) / n)
+                  - 3.0 * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n)
+                    * (CAST(s1 AS DOUBLE) / n))
+                 / ((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n)
+                       * (CAST(s1 AS DOUBLE) / n))
+                    * (CAST(s2 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n)
+                         * (CAST(s1 AS DOUBLE) / n))) - 3.0, 6)
+             AS kurtosis_excess
+    FROM sums
+    ORDER BY grp
+    """,
+)
+def q_stats_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group normality moments — skewness and excess kurtosis from
+    exact raw power sums (the two inputs of the Jarque-Bera statistic
+    JB = n/6*(S^2 + K^2/4), left to the client like the p-lookups in
+    q_stats_welch_t) — the distribution-shape screen a metrics platform
+    runs before trusting any z-based rule on a segment.
+
+    One conditional-aggregation pass: Sum x..x^4 on the integer cents
+    carrier, the cube/quartic sums promoted to DECIMAL(38)/HUGEINT
+    BEFORE multiplying (the overflow rule from SCALING.md, operand-cast
+    first).  Skew/kurtosis are scale-invariant, so the carrier's x100
+    factor cancels and the only doubles are the fixed-order central-
+    moment expressions — identical IEEE both engines; m2^1.5 is written
+    m2*sqrt(m2) (no libm pow)."""
+    x2d = F.col("x2").cast("decimal(38,0)")
+    sums = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("x2"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x2").cast("long").alias("s1"),
+            F.sum(x2d * F.col("x2")).alias("s2"),
+            F.sum(x2d * F.col("x2") * F.col("x2")).alias("s3"),
+            F.sum(x2d * F.col("x2") * F.col("x2") * F.col("x2")).alias(
+                "s4"
+            ),
+        )
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    a = F.col("s2").cast("double") / F.col("n")
+    b = F.col("s3").cast("double") / F.col("n")
+    c4 = F.col("s4").cast("double") / F.col("n")
+    m2 = a - m1 * m1
+    m3 = b - 3.0 * m1 * a + 2.0 * m1 * m1 * m1
+    m4 = c4 - 4.0 * m1 * b + 6.0 * m1 * m1 * a - 3.0 * m1 * m1 * m1 * m1
+    return sums.select(
+        "grp",
+        "n",
+        F.round(m3 / (m2 * F.sqrt(m2)), 6).alias("skewness"),
+        F.round(m4 / (m2 * m2) - 3.0, 6).alias("kurtosis_excess"),
+    ).orderBy("grp")
+
+
+@query(
+    "q_stats_runs_test",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp, ts, event_id,
+             strftime(ts, '%Y-%m-%d') AS day,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    med AS (
+      SELECT grp, CAST(MIN(xq) AS BIGINT) AS med FROM (
+        SELECT grp, xq,
+               SUM(c) OVER (PARTITION BY grp ORDER BY xq) AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS n_g
+        FROM hist
+      ) WHERE 2 * cum >= n_g GROUP BY grp
+    ),
+    signs AS (
+      SELECT p.grp, p.day, p.ts, p.event_id,
+             CASE WHEN p.xq > m.med THEN 1 ELSE 0 END AS s
+      FROM pool p JOIN med m ON m.grp = p.grp
+    ),
+    flips AS (
+      SELECT grp, day, s,
+             CASE WHEN s IS DISTINCT FROM
+               LAG(s) OVER (PARTITION BY grp, day ORDER BY ts, event_id)
+             THEN 1 ELSE 0 END AS flip
+      FROM signs
+    ),
+    agg AS (
+      SELECT grp,
+             CAST(SUM(s) AS BIGINT) AS n1,
+             CAST(COUNT(*) - SUM(s) AS BIGINT) AS n2,
+             CAST(SUM(flip) AS BIGINT) AS runs
+      FROM flips GROUP BY grp
+    )
+    SELECT grp, n1, n2, runs,
+           round((runs - (2.0 * n1 * n2 / (n1 + n2) + 1.0))
+                 / sqrt((2.0 * n1 * n2 / (n1 + n2) + 1.0 - 1.0)
+                        * (2.0 * n1 * n2 / (n1 + n2) + 1.0 - 2.0)
+                        / (n1 + n2 - 1.0)), 6) AS z
+    FROM agg
+    ORDER BY grp
+    """,
+)
+def q_stats_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: is the above/below-
+    median sequence of values random over time, or do high values
+    cluster (autocorrelated pricing, batched bots)?  Sequences are
+    DAY-partitioned — each day contributes its first run at the
+    boundary — so at scale no per-type global sort ever happens; the
+    z-score uses the standard runs-test moments on the aggregated
+    counts.
+
+    The median is the exact lower median off the histogram-midrank
+    relation (no raw-row sort), signs come from one broadcast join of
+    the 5-row median relation, and runs are a LAG flip-count inside
+    bounded (type, day) windows summed per type.  Every count is an
+    exact long; z is one fixed-order double expression."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "ts",
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    hist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    med = (
+        hist.select(
+            "grp",
+            "xq",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("n_g"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n_g"))
+        .groupBy("grp")
+        .agg(F.min("xq").cast("long").alias("med"))
+    )
+    signs = pool.join(
+        F.broadcast(med.withColumnRenamed("grp", "m_grp")),
+        F.col("m_grp") == F.col("grp"),
+    ).select(
+        "grp",
+        "day",
+        "ts",
+        "event_id",
+        F.when(F.col("xq") > F.col("med"), 1).otherwise(0).alias("s"),
+    )
+    wseq = Window.partitionBy("grp", "day").orderBy("ts", "event_id")
+    flips = signs.select(
+        "grp",
+        "s",
+        F.when(
+            ~F.lag("s").over(wseq).eqNullSafe(F.col("s")), 1
+        ).otherwise(0).alias("flip"),
+    )
+    agg = flips.groupBy("grp").agg(
+        F.sum("s").cast("long").alias("n1"),
+        (F.count(F.lit(1)) - F.sum("s")).cast("long").alias("n2"),
+        F.sum("flip").cast("long").alias("runs"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / (F.col("n1") + F.col("n2")) + 1.0
+    z = (F.col("runs") - mu) / F.sqrt(
+        (mu - 1.0) * (mu - 2.0) / (F.col("n1") + F.col("n2") - 1.0)
+    )
+    return agg.select(
+        "grp", "n1", "n2", "runs", F.round(z, 6).alias("z")
+    ).orderBy("grp")
+
+
+@query(
+    "q_stats_brier",
+    oracle="""
+    WITH pool AS (
+      SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    scored AS (
+      SELECT y,
+             (2 * 1000000 * xq + (xq + 10000)) // (2 * (xq + 10000)) AS pq
+      FROM pool
+    ),
+    binned AS (
+      SELECT pq // 100000 AS bin, y, pq,
+             (pq - y * 1000000) * (pq - y * 1000000) AS err2
+      FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(pq) AS DOUBLE) / COUNT(*) / 1e6, 6) AS mean_p,
+           round(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS frac_pos,
+           round(CAST(SUM(err2) AS DOUBLE) / COUNT(*) / 1e12, 6) AS brier
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def q_stats_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probability-calibration audit: a deterministic value-derived
+    score p = v/(v+100) is treated as the predicted purchase
+    probability, bucketed into deciles, and graded with per-bin mean
+    prediction vs observed positive rate plus the Brier score — the
+    reliability-diagram query every scored pipeline (quality
+    classifiers, conversion models) runs before trusting its
+    thresholds.
+
+    The probability is quantized to the 1e6 grid by EXACT integer
+    rational rounding ((2*1e6*x + d) div 2d — no double division, so no
+    engine-boundary drift), bins are integer division of the quantized
+    grid, and squared errors are exact longs; the only doubles are the
+    final per-bin mean divisions.  One scan, one bounded hash
+    aggregate."""
+    pool = t(spark, sf_dir, "events").select(
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias(
+            "y"
+        ),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    scored = pool.select(
+        "y",
+        F.expr(
+            "(2 * 1000000 * xq + (xq + 10000)) div (2 * (xq + 10000))"
+        ).alias("pq"),
+    )
+    binned = scored.select(
+        F.expr("pq div 100000").cast("long").alias("bin"),
+        "y",
+        "pq",
+        (
+            (F.col("pq") - F.col("y") * 1000000)
+            * (F.col("pq") - F.col("y") * 1000000)
+        ).alias("err2"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(
+                F.sum("pq").cast("double") / F.count(F.lit(1)) / 1e6, 6
+            ).alias("mean_p"),
+            F.round(
+                F.sum("y").cast("double") / F.count(F.lit(1)), 6
+            ).alias("frac_pos"),
+            F.round(
+                F.sum("err2").cast("double") / F.count(F.lit(1)) / 1e12, 6
+            ).alias("brier"),
+        )
+        .orderBy("bin")
+    )
+
+
+@query(
+    "q_stats_grubbs",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    stats AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS sxx
+      FROM pool GROUP BY grp
+    ),
+    devs AS (
+      SELECT p.grp, s.n, s.sx, s.sxx,
+             CAST(MAX(abs(p.xq * s.n - s.sx) * 100000 + p.xq) AS BIGINT)
+               AS keyed
+      FROM pool p JOIN stats s ON s.grp = p.grp
+      GROUP BY p.grp, s.n, s.sx, s.sxx
+    )
+    SELECT grp, n,
+           round((keyed % 100000) / 100.0, 2) AS outlier_value,
+           round((CAST(keyed // 100000 AS DOUBLE) / n)
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0)), 6)
+             AS g
+    FROM devs ORDER BY grp
+    """,
+)
+def q_stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs' outlier statistic per event type: G = max|x - mean|/sd,
+    with the achieving value reported — the single-most-extreme-point
+    screen that complements the distributional outlier ops
+    (q_dq_outlier_iqr flags many, Grubbs asks whether even ONE point is
+    implausible under normality).
+
+    Two bounded passes: per-group moment sums, then a broadcast join
+    back to max the INTEGER deviation |x*n - sum| (the common-
+    denominator trick — no per-row double subtraction), packed with the
+    cents value into one argmax key (dev*1e5 + cents, cents < 1e5) so
+    max() returns both the deviation and a deterministic
+    largest-value tiebreak in a single aggregate."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    stats = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("sx"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias(
+            "sxx"
+        ),
+    )
+    devs = (
+        pool.join(
+            F.broadcast(stats.withColumnRenamed("grp", "s_grp")),
+            F.col("s_grp") == F.col("grp"),
+        )
+        .groupBy("grp", "n", "sx", "sxx")
+        .agg(
+            F.max(
+                F.abs(F.col("xq") * F.col("n") - F.col("sx")) * 100000
+                + F.col("xq")
+            )
+            .cast("long")
+            .alias("keyed")
+        )
+    )
+    sd = F.sqrt(
+        (
+            F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx") / F.col("n")
+        )
+        / (F.col("n") - 1.0)
+    )
+    return devs.select(
+        "grp",
+        "n",
+        F.round((F.col("keyed") % 100000) / 100.0, 2).alias(
+            "outlier_value"
+        ),
+        F.round(
+            (F.expr("keyed div 100000").cast("double") / F.col("n")) / sd,
+            6,
+        ).alias("g"),
+    ).orderBy("grp")
+
+
+@query(
+    "q_stats_kendall_tau",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS r
+      FROM events GROUP BY 1
+    ),
+    pairs AS (
+      SELECT (a.c - b.c) AS dx, (a.r - b.r) AS dy
+      FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+      SELECT CAST(SUM(CASE WHEN dx * dy > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS conc,
+             CAST(SUM(CASE WHEN dx * dy < 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS disc,
+             CAST(SUM(CASE WHEN dx = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tie_x,
+             CAST(SUM(CASE WHEN dy = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS tie_y,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_days FROM daily)
+    SELECT n_days, conc AS concordant, disc AS discordant,
+           round((conc - disc)
+                 / sqrt(CAST(n0 - tie_x AS DOUBLE) * (n0 - tie_y)), 6)
+             AS tau_b
+    FROM agg CROSS JOIN nd
+    """,
+)
+def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall's tau-b between daily event volume and daily revenue —
+    the concordance-based correlation that asks "do busier days earn
+    more?" without assuming linearity (complement to q_agg_corr's
+    Pearson and q_stats_spearman's rank rho, which cannot see tied-pair
+    structure the way tau-b's tie terms do).
+
+    The corpus collapses to the bounded daily relation first (days grow
+    with time span, never with data volume); the O(days^2) pair
+    expansion — the textbook reason tau is 'expensive' — happens on
+    that tiny relation only, as a self-join producing exact integer
+    concordant/discordant/tie counts.  One double expression at the
+    end."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("c"),
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        (F.col("a.c") - F.col("b.c")).alias("dx"),
+        (F.col("a.r") - F.col("b.r")).alias("dy"),
+    )
+    agg = pairs.agg(
+        F.sum(F.when(F.col("dx") * F.col("dy") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("conc"),
+        F.sum(F.when(F.col("dx") * F.col("dy") < 0, 1).otherwise(0))
+        .cast("long")
+        .alias("disc"),
+        F.sum(F.when(F.col("dx") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tie_x"),
+        F.sum(F.when(F.col("dy") == 0, 1).otherwise(0))
+        .cast("long")
+        .alias("tie_y"),
+        F.count(F.lit(1)).cast("long").alias("n0"),
+    )
+    nd = daily.agg(F.count(F.lit(1)).cast("long").alias("n_days"))
+    tau = (F.col("conc") - F.col("disc")) / F.sqrt(
+        (F.col("n0") - F.col("tie_x")).cast("double")
+        * (F.col("n0") - F.col("tie_y"))
+    )
+    return agg.crossJoin(F.broadcast(nd)).select(
+        "n_days",
+        F.col("conc").alias("concordant"),
+        F.col("disc").alias("discordant"),
+        F.round(tau, 6).alias("tau_b"),
+    )
+
+
+# Rescaled-range block sizes for the Hurst estimate (30 fixture days →
+# 6/3/2 complete blocks), and the shared x-axis constants of the log-log
+# slope, embedded as IDENTICAL literals in both engines so the only
+# in-engine ln() calls are the three ln(R/S) terms.
+HURST_NS = (5, 10, 15)
+_H_XS = tuple(math.log(float(n)) for n in HURST_NS)
+_H_XBAR = sum(_H_XS) / 3.0
+_H_DEN = sum((x - _H_XBAR) ** 2 for x in _H_XS)
+
+
+@query(
+    "q_events_hurst",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idxd AS (
+      SELECT grp, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day) - 1
+                  AS BIGINT) AS idx
+      FROM daily
+    ),
+    expanded AS (
+      SELECT i.grp, i.c, i.idx, n.n, i.idx // n.n AS blk
+      FROM idxd i CROSS JOIN (
+        SELECT unnest([{', '.join(str(n) for n in HURST_NS)}]) AS n) n
+    ),
+    sized AS (
+      SELECT grp, n, blk, c, idx,
+             CAST(SUM(c) OVER (PARTITION BY grp, n, blk) AS BIGINT) AS s,
+             CAST(COUNT(*) OVER (PARTITION BY grp, n, blk) AS BIGINT)
+               AS bn
+      FROM expanded
+    ),
+    cums AS (
+      SELECT grp, n, blk,
+             n * c - s AS dev,
+             CAST(SUM(n * c - s) OVER (
+               PARTITION BY grp, n, blk ORDER BY idx) AS BIGINT) AS cum
+      FROM sized WHERE bn = n
+    ),
+    blocks AS (
+      SELECT grp, n, blk,
+             CAST(MAX(cum) - MIN(cum) AS BIGINT) AS r_scaled,
+             CAST(SUM(dev * dev) AS BIGINT) AS dev2
+      FROM cums GROUP BY grp, n, blk
+    ),
+    rs AS (
+      SELECT grp, n, blk,
+             CAST(r_scaled AS DOUBLE)
+               / sqrt(CAST(dev2 AS DOUBLE) / n) AS rs_b
+      FROM blocks WHERE dev2 > 0
+    ),
+    avg_rs AS (
+      SELECT grp, n,
+             ({' + '.join(
+                 f"COALESCE(MAX(CASE WHEN blk = {i} THEN rs_b END), 0.0)"
+                 for i in range(6)
+             )}) / COUNT(*) AS a_rs
+      FROM rs GROUP BY grp, n
+    ),
+    piv AS (
+      SELECT grp,
+             {', '.join(
+                 f"MAX(CASE WHEN n = {n} THEN a_rs END) AS rs{n}"
+                 for n in HURST_NS
+             )}
+      FROM avg_rs GROUP BY grp
+    )
+    SELECT grp,
+           {', '.join(
+               f"round(rs{n}, 6) AS rs_{n}" for n in HURST_NS
+           )},
+           round(({' + '.join(
+               f"({x!r} - {_H_XBAR!r}) * ln(rs{n})"
+               for n, x in zip(HURST_NS, _H_XS)
+           )}) / {_H_DEN!r}, 6) AS hurst
+    FROM piv ORDER BY grp
+    """,
+)
+def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per event type via rescaled-range (R/S) analysis
+    of the daily-count series: H ≈ 0.5 means memoryless traffic, H > 0.5
+    long-range persistence (bursts beget bursts) — the load-model
+    diagnostic that decides whether capacity planning can assume
+    Poisson arrivals.  Average R/S at block sizes {HURST_NS} feeds the
+    log-log slope.
+
+    The corpus collapses to the bounded (type, day) relation first;
+    blocks, cumulative deviations (integer, scaled by n so no per-row
+    double), and R = max-min of the cumulative walk all ride windows
+    over that tiny relation.  Per-(type, n) block averages sum in FIXED
+    block order (≤6 pivoted terms), the slope's x-axis constants are
+    identical embedded literals both engines, and the only in-engine
+    transcendentals are three ln(R/S) calls rounded at 6."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    widx = Window.partitionBy("grp").orderBy("day")
+    idxd = daily.select(
+        "grp", "c", (F.row_number().over(widx) - 1).cast("long").alias("idx")
+    )
+    ns = spark.range(0, len(HURST_NS)).select(
+        F.element_at(
+            F.array(*[F.lit(n) for n in HURST_NS]), (F.col("id") + 1).cast("int")
+        ).cast("long").alias("n")
+    )
+    expanded = idxd.crossJoin(F.broadcast(ns)).withColumn(
+        "blk", F.expr("idx div n")
+    )
+    wblk = Window.partitionBy("grp", "n", "blk")
+    sized = expanded.select(
+        "grp",
+        "n",
+        "blk",
+        "c",
+        "idx",
+        F.sum("c").over(wblk).cast("long").alias("s"),
+        F.count(F.lit(1)).over(wblk).cast("long").alias("bn"),
+    )
+    wcum = (
+        Window.partitionBy("grp", "n", "blk")
+        .orderBy("idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dev = F.col("n") * F.col("c") - F.col("s")
+    cums = sized.filter(F.col("bn") == F.col("n")).select(
+        "grp",
+        "n",
+        "blk",
+        dev.alias("dev"),
+        F.sum(dev).over(wcum).cast("long").alias("cum"),
+    )
+    blocks = cums.groupBy("grp", "n", "blk").agg(
+        (F.max("cum") - F.min("cum")).cast("long").alias("r_scaled"),
+        F.sum(F.col("dev") * F.col("dev")).cast("long").alias("dev2"),
+    )
+    rs = blocks.filter(F.col("dev2") > 0).select(
+        "grp",
+        "n",
+        "blk",
+        (
+            F.col("r_scaled").cast("double")
+            / F.sqrt(F.col("dev2").cast("double") / F.col("n"))
+        ).alias("rs_b"),
+    )
+    terms = None
+    for i in range(6):
+        term = F.coalesce(
+            F.max(F.when(F.col("blk") == i, F.col("rs_b"))), F.lit(0.0)
+        )
+        terms = term if terms is None else terms + term
+    avg_rs = rs.groupBy("grp", "n").agg(
+        (terms / F.count(F.lit(1))).alias("a_rs")
+    )
+    piv = avg_rs.groupBy("grp").agg(
+        *[
+            F.max(F.when(F.col("n") == n, F.col("a_rs"))).alias(f"rs{n}")
+            for n in HURST_NS
+        ]
+    )
+    slope_num = None
+    for n, x in zip(HURST_NS, _H_XS):
+        term = F.lit(x - _H_XBAR) * F.log(F.col(f"rs{n}"))
+        slope_num = term if slope_num is None else slope_num + term
+    sel = [F.col("grp")]
+    sel += [F.round(F.col(f"rs{n}"), 6).alias(f"rs_{n}") for n in HURST_NS]
+    sel.append(F.round(slope_num / F.lit(_H_DEN), 6).alias("hurst"))
+    return piv.select(*sel).orderBy("grp")

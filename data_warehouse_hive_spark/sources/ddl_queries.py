@@ -1213,9 +1213,13 @@ def ddl_view_masked(spark: SparkSession, sf_dir: str) -> DataFrame:
         " WHERE name_masked RLIKE '[a-mo-wyz]'"
     ).collect()[0]["c"]
     assert leaked == 0, leaked
+    # localize BEFORE cleanup: `out` lazily reads the managed table's
+    # files, which DROP TABLE deletes — a caller re-executing the plan
+    # (driver .count()) would otherwise hit FILE_NOT_EXIST
+    local = spark.createDataFrame([row], out.schema)
     spark.sql(f"DROP VIEW IF EXISTS {view}")
     cat.drop_table(spark, base)
-    return out
+    return local
 
 
 @query("ddl_tblproperties")

@@ -46,6 +46,19 @@ def test_parameterized_sql(spark, sf_dir):
     assert got == want and got > 0
 
 
+def test_ddl_results_survive_reexecution(spark, sf_dir):
+    """Every ddl_* fn tears down its scratch tables/views before
+    returning; the returned DataFrame must therefore be LOCALIZED (not a
+    lazy plan over the dropped objects), because the external driver
+    re-executes it (.count()) after the fn returned.  Regression for
+    ddl_view_masked, which returned a lazy aggregate over a dropped
+    managed table and died with FILE_NOT_EXIST on re-execution."""
+    qs = entry_mod.queries()
+    for name in sorted(n for n in qs if n.startswith("ddl_view")):
+        df = qs[name](spark, sf_dir)
+        assert df.count() == df.count() >= 1, name
+
+
 def test_driver_sim_list_lockstep():
     """r6 verdict item 6: the in-repo driver-sim must derive its driven
     list FROM the registry (every queries() id), not from a hardcoded

@@ -1055,3 +1055,17 @@ def test_fdr_bh_decode_collapses_to_histogram(spark, sf_dir):
     assert src.count("crossJoin") == 1, src
     assert "crossJoin(F.broadcast(totals))" in src, src
     assert "posexplode" in src, src
+
+
+def test_memoized_families_second_consumer_no_rescan(spark, sf_dir):
+    """r6 verdict item 5: once the first consumer builds the session
+    memo (ranking-eval ground truth; converged LPA labels), every later
+    consumer must read the localCheckpointed relations — ZERO parquet
+    re-scans of documents/embeddings."""
+    # first consumers force the memo builds
+    REGISTRY["q_sim_ndcg"].fn(spark, sf_dir).collect()
+    REGISTRY["q_graph_labelprop"].fn(spark, sf_dir).collect()
+    for second in ("q_sim_mrr", "q_sim_recall", "q_graph_modularity"):
+        plan = _plan(spark, sf_dir, second)
+        assert "Scan parquet" not in plan, (second, plan)
+        assert "ExistingRDD" in plan, (second, plan)
