@@ -357,6 +357,15 @@ EXT_R7 = [
     "q_events_hurst",
 ]
 
+EXT_R7B = [
+    "q_stats_ljung_box",
+    "q_stats_durbin_watson",
+    "q_stats_mcnemar",
+    "q_stats_cochran_q",
+    "q_stats_page_trend",
+    "q_events_odds_ratio",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -383,7 +392,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -465,6 +474,8 @@ def main() -> None:
     ext_r6i["total"] = round(sum(ext_r6i.values()), 3)
     ext_r7 = {name: timed(name) for name in EXT_R7}
     ext_r7["total"] = round(sum(ext_r7.values()), 3)
+    ext_r7b = {name: timed(name) for name in EXT_R7B}
+    ext_r7b["total"] = round(sum(ext_r7b.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -496,6 +507,7 @@ def main() -> None:
         "ext_r6h": ext_r6h,
         "ext_r6i": ext_r6i,
         "ext_r7": ext_r7,
+        "ext_r7b": ext_r7b,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -545,6 +557,7 @@ def main() -> None:
                     "ext_r6h": ext_r6h["total"],
                     "ext_r6i": ext_r6i["total"],
                     "ext_r7": ext_r7["total"],
+                    "ext_r7b": ext_r7b["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

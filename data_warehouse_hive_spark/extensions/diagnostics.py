@@ -3407,3 +3407,611 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     sel += [F.round(F.col(f"rs{n}"), 6).alias(f"rs_{n}") for n in HURST_NS]
     sel.append(F.round(slope_num / F.lit(_H_DEN), 6).alias("hurst"))
     return piv.select(*sel).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Round 7 (batch 2): serial-correlation, paired-binary, and ordered-trend
+# tests over the bounded daily relation
+# ---------------------------------------------------------------------------
+
+LB_LAGS = (1, 2, 3, 4, 5)
+
+
+@query(
+    "q_stats_ljung_box",
+    oracle=f"""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS sy
+      FROM daily
+    ),
+    dev AS (
+      SELECT d.y * t.n - t.sy AS dv, t.n,
+             ROW_NUMBER() OVER (ORDER BY d.day) AS idx
+      FROM daily d CROSS JOIN tot t
+    ),
+    lagged AS (
+      SELECT dv, n,
+             {', '.join(
+                 f"LAG(dv, {k}) OVER (ORDER BY idx) AS dv{k}"
+                 for k in LB_LAGS
+             )}
+      FROM dev
+    ),
+    sums AS (
+      SELECT MAX(n) AS n,
+             CAST(SUM(CAST(dv AS HUGEINT) * dv) AS HUGEINT) AS s0,
+             {', '.join(
+                 f"CAST(SUM(CAST(dv AS HUGEINT) * dv{k}) AS HUGEINT) AS s{k}"
+                 for k in LB_LAGS
+             )}
+      FROM lagged
+    )
+    SELECT n AS n_days,
+           {', '.join(
+               f"round(CAST(s{k} AS DOUBLE) / CAST(s0 AS DOUBLE), 6)"
+               f" AS r{k}"
+               for k in LB_LAGS
+           )},
+           round(n * (n + 2.0) * (
+             {' + '.join(
+                 f"CAST(s{k} AS DOUBLE) * CAST(s{k} AS DOUBLE)"
+                 f" / CAST(s0 AS DOUBLE) / CAST(s0 AS DOUBLE) / (n - {k})"
+                 for k in LB_LAGS
+             )}
+           ), 6) AS q_lb,
+           {len(LB_LAGS)} AS df
+    FROM sums
+    """,
+)
+def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test on the daily event-count series: are
+    the first {len(LB_LAGS)} autocorrelations jointly zero?  The
+    white-noise gate every forecasting op (q_orders_forecast_holt,
+    q_events_forecast_sma) should pass its residuals through before the
+    forecast is trusted — complements q_stats_autocorr (single lag) and
+    q_stats_pacf (partial).
+
+    The corpus collapses to the bounded daily relation first; autocorr
+    numerators use the common-denominator integer trick (dv = y*n - Σy,
+    so r_k = Σ dv·dv_lag / Σ dv² with the n² scale cancelling — exact
+    HUGEINT/decimal integers up to the single final division), lags ride
+    ONE window over ~30 rows, and the Q statistic is a fixed-order
+    scalar expression.  Reference: delegated HiveQL stats class
+    (backend/hive_manager.py:400)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    dev = daily.crossJoin(F.broadcast(tot)).select(
+        (F.col("y") * F.col("n") - F.col("sy")).alias("dv"),
+        "n",
+        F.row_number().over(Window.orderBy("day")).alias("idx"),
+    )
+    wl = Window.orderBy("idx")
+    lagged = dev.select(
+        "dv",
+        "n",
+        *[F.lag("dv", k).over(wl).alias(f"dv{k}") for k in LB_LAGS],
+    )
+    dvd = F.col("dv").cast("decimal(38,0)")
+    sums = lagged.agg(
+        F.max("n").alias("n"),
+        F.sum(dvd * F.col("dv")).alias("s0"),
+        *[
+            F.sum(dvd * F.col(f"dv{k}")).alias(f"s{k}")
+            for k in LB_LAGS
+        ],
+    )
+    s0 = F.col("s0").cast("double")
+    q = F.lit(0.0)
+    for k in LB_LAGS:
+        sk = F.col(f"s{k}").cast("double")
+        q = q + sk * sk / s0 / s0 / (F.col("n") - F.lit(k))
+    return sums.select(
+        F.col("n").alias("n_days"),
+        *[
+            F.round(F.col(f"s{k}").cast("double") / s0, 6).alias(f"r{k}")
+            for k in LB_LAGS
+        ],
+        F.round(F.col("n") * (F.col("n") + 2.0) * q, 6).alias("q_lb"),
+        F.lit(len(LB_LAGS)).cast("int").alias("df"),
+    )
+
+
+@query(
+    "q_stats_durbin_watson",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1
+    ),
+    idxd AS (
+      SELECT y, ROW_NUMBER() OVER (ORDER BY day) - 1 AS tt FROM daily
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(tt) AS BIGINT) AS st,
+             CAST(SUM(tt * tt) AS BIGINT) AS stt,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(tt * y) AS BIGINT) AS sty
+      FROM idxd
+    ),
+    coef AS (
+      SELECT n, st, stt, sy, sty,
+             n * stt - st * st AS dd,
+             n * sty - st * sy AS bnum,
+             sy * stt - st * sty AS anum
+      FROM s
+    ),
+    resid AS (
+      SELECT i.tt,
+             CAST(i.y AS HUGEINT) * c.dd - c.anum
+               - CAST(c.bnum AS HUGEINT) * i.tt AS e,
+             c.n, c.bnum, c.dd
+      FROM idxd i CROSS JOIN coef c
+    ),
+    lagd AS (
+      SELECT e, LAG(e) OVER (ORDER BY tt) AS ep, n, bnum, dd FROM resid
+    )
+    SELECT MAX(n) AS n_days,
+           round(CAST(MAX(bnum) AS DOUBLE) / CAST(MAX(dd) AS DOUBLE), 6)
+             AS slope,
+           round(CAST(SUM(CASE WHEN ep IS NULL THEN NULL
+                               ELSE (e - ep) * (e - ep) END) AS DOUBLE)
+                 / CAST(SUM(e * e) AS DOUBLE), 6) AS dw
+    FROM lagd
+    """,
+)
+def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson statistic of the daily-count-vs-time OLS residuals
+    — first-order serial correlation in the detrended series (DW ≈ 2
+    means none; < 1 means the trend line is missing structure).  The
+    companion q_stats_ljung_box tests the raw series; DW tests what the
+    regression q_stats_regression leaves behind.
+
+    Residuals are EXACT integers via the common-denominator trick:
+    e_t·D = y_t·D − (SyStt − StSty) − (nSty − StSy)·t with
+    D = nStt − St², and DW's ratio cancels D², so both engines divide
+    the same two exact integers.  Products are HUGEINT/decimal with
+    operands cast BEFORE multiplying; everything rides the bounded
+    daily relation."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    idxd = daily.select(
+        "y", (F.row_number().over(Window.orderBy("day")) - 1).alias("tt")
+    )
+    s = idxd.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("tt").cast("long").alias("st"),
+        F.sum(F.col("tt") * F.col("tt")).cast("long").alias("stt"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("tt") * F.col("y")).cast("long").alias("sty"),
+    )
+    coef = s.select(
+        "n",
+        "st",
+        "stt",
+        "sy",
+        "sty",
+        (F.col("n") * F.col("stt") - F.col("st") * F.col("st")).alias("dd"),
+        (F.col("n") * F.col("sty") - F.col("st") * F.col("sy")).alias(
+            "bnum"
+        ),
+        (F.col("sy") * F.col("stt") - F.col("st") * F.col("sty")).alias(
+            "anum"
+        ),
+    )
+    resid = idxd.crossJoin(F.broadcast(coef)).select(
+        "tt",
+        (
+            F.col("y").cast("decimal(38,0)") * F.col("dd")
+            - F.col("anum")
+            - F.col("bnum").cast("decimal(38,0)") * F.col("tt")
+        ).alias("e"),
+        "n",
+        "bnum",
+        "dd",
+    )
+    lagd = resid.select(
+        "e",
+        F.lag("e").over(Window.orderBy("tt")).alias("ep"),
+        "n",
+        "bnum",
+        "dd",
+    )
+    diff = F.col("e") - F.col("ep")
+    return lagd.agg(
+        F.max("n").alias("n_days"),
+        F.round(
+            F.max("bnum").cast("double") / F.max("dd").cast("double"), 6
+        ).alias("slope"),
+        F.round(
+            F.sum(
+                F.when(F.col("ep").isNull(), None).otherwise(diff * diff)
+            ).cast("double")
+            / F.sum(F.col("e") * F.col("e")).cast("double"),
+            6,
+        ).alias("dw"),
+    )
+
+
+@query(
+    "q_stats_mcnemar",
+    oracle="""
+    WITH bounds AS (
+      SELECT (CAST(epoch_us(MIN(ts)) AS BIGINT)
+              + CAST(epoch_us(MAX(ts)) AS BIGINT)) // 2 AS mid
+      FROM events
+    ),
+    per_user AS (
+      SELECT e.user_id,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(epoch_us(e.ts) AS BIGINT) < b.mid
+                      THEN 1 ELSE 0 END) AS h1,
+             MAX(CASE WHEN e.event_type = 'purchase'
+                       AND CAST(epoch_us(e.ts) AS BIGINT) >= b.mid
+                      THEN 1 ELSE 0 END) AS h2
+      FROM events e CROSS JOIN bounds b
+      GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(h1 * (1 - h2)) AS BIGINT) AS b_only_first,
+           CAST(SUM((1 - h1) * h2) AS BIGINT) AS c_only_second,
+           round(CASE WHEN SUM(h1 * (1 - h2)) + SUM((1 - h1) * h2) = 0
+                      THEN 0.0
+                      ELSE (abs(CAST(SUM(h1 * (1 - h2)) AS DOUBLE)
+                                - SUM((1 - h1) * h2)) - 1)
+                         * (abs(CAST(SUM(h1 * (1 - h2)) AS DOUBLE)
+                                - SUM((1 - h1) * h2)) - 1)
+                         / (SUM(h1 * (1 - h2)) + SUM((1 - h1) * h2))
+                 END, 6) AS chi2_cc
+    FROM per_user
+    """,
+)
+def q_stats_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired-proportion test: did each user purchase in the
+    FIRST half of the observation window vs the SECOND half?  Only the
+    discordant pairs (b = converted-then-stopped, c = newly-converted)
+    carry information — the before/after test for launches and
+    migrations where q_stats_chi2's independent-samples assumption is
+    wrong because the same users appear on both sides.
+
+    The window midpoint is an exact integer (epoch-microsecond floor
+    average — identical both engines), the per-user half indicators are
+    one bounded-key aggregate, and the continuity-corrected statistic
+    (|b−c|−1)²/(b+c) is computed from exact integer counts."""
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    bounds = ev.agg(
+        F.expr("(min(us) + max(us)) div 2").cast("long").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") < F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("h1"),
+            F.max(
+                F.when(
+                    (F.col("event_type") == "purchase")
+                    & (F.col("us") >= F.col("mid")),
+                    1,
+                ).otherwise(0)
+            ).alias("h2"),
+        )
+    )
+    b = F.sum(F.col("h1") * (1 - F.col("h2"))).cast("long")
+    c = F.sum((1 - F.col("h1")) * F.col("h2")).cast("long")
+    diff = F.abs(b.cast("double") - c) - 1
+    return per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        b.alias("b_only_first"),
+        c.alias("c_only_second"),
+        F.round(
+            F.when(b + c == 0, F.lit(0.0)).otherwise(
+                diff * diff / (b + c)
+            ),
+            6,
+        ).alias("chi2_cc"),
+    )
+
+
+@query(
+    "q_stats_cochran_q",
+    oracle="""
+    WITH cell AS (
+      SELECT DISTINCT user_id, event_type FROM events
+    ),
+    rows_ AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS r_i
+      FROM cell GROUP BY user_id
+    ),
+    cols AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS c_j
+      FROM cell GROUP BY event_type
+    ),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM cols),
+    rsum AS (
+      SELECT CAST(SUM(r_i) AS BIGINT) AS nn,
+             CAST(SUM(r_i * r_i) AS BIGINT) AS sr2,
+             CAST(COUNT(*) AS BIGINT) AS n_users
+      FROM rows_
+    ),
+    csum AS (
+      SELECT CAST(SUM(c_j * c_j) AS BIGINT) AS sc2 FROM cols
+    )
+    SELECT k.k AS k_treatments, r.n_users,
+           round((k.k - 1.0) * (k.k * c.sc2 - CAST(r.nn AS DOUBLE) * r.nn)
+                 / NULLIF(k.k * CAST(r.nn AS DOUBLE) - r.sr2, 0.0), 6)
+             AS q_cochran
+    FROM k CROSS JOIN rsum r CROSS JOIN csum c
+    """,
+)
+def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q: across the k event-type "treatments", do users have
+    the same propensity to exhibit each type at least once?  The
+    k-sample generalization of McNemar over the user × type binary
+    incidence matrix — the engagement-breadth test (if Q is large, some
+    event types reach systematically fewer users).
+
+    The incidence matrix never materializes: one DISTINCT collapse to
+    (user, type) cells, then row sums (types per user) and column sums
+    (users per type) are two bounded aggregates; N, ΣR², ΣC² are exact
+    longs and Q = (k−1)(k·ΣC² − N²)/(k·N − ΣR²) is one final double
+    expression."""
+    cell = (
+        t(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    rows_ = cell.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("r_i")
+    )
+    cols = cell.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("c_j")
+    )
+    k_rel = cols.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    rsum = rows_.agg(
+        F.sum("r_i").cast("long").alias("nn"),
+        F.sum(F.col("r_i") * F.col("r_i")).cast("long").alias("sr2"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )
+    csum = cols.agg(
+        F.sum(F.col("c_j") * F.col("c_j")).cast("long").alias("sc2")
+    )
+    return (
+        k_rel.crossJoin(F.broadcast(rsum))
+        .crossJoin(F.broadcast(csum))
+        .select(
+            F.col("k").alias("k_treatments"),
+            "n_users",
+            F.round(
+                (F.col("k") - 1.0)
+                * (
+                    F.col("k") * F.col("sc2")
+                    - F.col("nn").cast("double") * F.col("nn")
+                )
+                # saturated incidence (every user has every type) has
+                # zero within-user variance: Q undefined -> NULL
+                / F.nullif(
+                    F.col("k") * F.col("nn").cast("double")
+                    - F.col("sr2"),
+                    F.lit(0.0),
+                ),
+                6,
+            ).alias("q_cochran"),
+        )
+    )
+
+
+@query(
+    "q_stats_page_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT strftime(ts, '%Y-%m-%d') AS day, event_type AS grp,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sq,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    k AS (SELECT CAST(COUNT(DISTINCT grp) AS BIGINT) AS k FROM daily),
+    full_days AS (
+      SELECT day FROM daily GROUP BY day
+      HAVING COUNT(*) = (SELECT k FROM k)
+    ),
+    ranked AS (
+      SELECT d.day, d.grp,
+             CAST(ROW_NUMBER() OVER (
+               PARTITION BY d.day
+               ORDER BY CAST(d.sq AS DOUBLE) / d.c, d.grp
+             ) AS BIGINT) AS rk
+      FROM daily d JOIN full_days f ON f.day = d.day
+    ),
+    hyp AS (
+      SELECT grp,
+             CAST(ROW_NUMBER() OVER (ORDER BY grp) AS BIGINT) AS c_j
+      FROM (SELECT DISTINCT grp FROM daily) g
+    ),
+    l AS (
+      SELECT CAST(SUM(r.rk * h.c_j) AS BIGINT) AS l_stat,
+             CAST(COUNT(DISTINCT r.day) AS BIGINT) AS b
+      FROM ranked r JOIN hyp h ON h.grp = r.grp
+    )
+    SELECT l.b AS n_blocks, k.k AS k_treatments, l.l_stat,
+           round((l.l_stat - l.b * k.k * (k.k + 1.0) * (k.k + 1.0) / 4.0)
+                 / sqrt(l.b * CAST(k.k AS DOUBLE) * k.k * (k.k + 1.0)
+                        * (k.k * k.k - 1.0) / 144.0), 6) AS z
+    FROM l CROSS JOIN k
+    """,
+)
+def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page's L trend test over the day-blocked event-type rankings:
+    does the ALPHABETICAL type ordering predict the within-day ranking
+    of mean values, day after day?  The ordered-alternative sibling of
+    q_stats_friedman — Friedman asks "any difference?", Page asks "a
+    monotone trend in a pre-declared order?" (here the fixed
+    lexicographic order stands in for the analyst's hypothesis, keeping
+    both engines deterministic).
+
+    Same bounded machinery as Friedman: one (day × type) collapse,
+    complete-block filter, ROW_NUMBER ranks with a type-name tiebreak;
+    L = Σ c_j·R_j is an exact long and the z-score is one fixed-order
+    double expression."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+            F.col("event_type").alias("grp"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("sq"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    k_rel = daily.agg(F.countDistinct("grp").cast("long").alias("k"))
+    full_days = (
+        daily.groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_types"))
+        .crossJoin(F.broadcast(k_rel))
+        .filter(F.col("n_types") == F.col("k"))
+        .select("day")
+    )
+    wrk = Window.partitionBy("day").orderBy(
+        F.col("sq").cast("double") / F.col("c"), F.col("grp")
+    )
+    ranked = (
+        daily.join(full_days, "day")
+        .select("day", "grp", F.row_number().over(wrk).cast("long").alias("rk"))
+    )
+    hyp = (
+        daily.select("grp")
+        .distinct()
+        .select(
+            "grp",
+            F.row_number()
+            .over(Window.orderBy("grp"))
+            .cast("long")
+            .alias("c_j"),
+        )
+    )
+    l_rel = ranked.join(F.broadcast(hyp), "grp").agg(
+        F.sum(F.col("rk") * F.col("c_j")).cast("long").alias("l_stat"),
+        F.countDistinct("day").cast("long").alias("b"),
+    )
+    kk = F.col("k").cast("double")
+    mean_l = F.col("b") * kk * (kk + 1.0) * (kk + 1.0) / 4.0
+    var_l = (
+        F.col("b") * kk * kk * (kk + 1.0) * (kk * kk - 1.0) / 144.0
+    )
+    return l_rel.crossJoin(F.broadcast(k_rel)).select(
+        F.col("b").alias("n_blocks"),
+        F.col("k").alias("k_treatments"),
+        "l_stat",
+        F.round((F.col("l_stat") - mean_l) / F.sqrt(var_l), 6).alias("z"),
+    )
+
+
+@query(
+    "q_events_odds_ratio",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS exposed,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS outcome
+      FROM events GROUP BY user_id
+    ),
+    cells AS (
+      SELECT CAST(SUM(exposed * outcome) AS BIGINT) AS a,
+             CAST(SUM(exposed * (1 - outcome)) AS BIGINT) AS b,
+             CAST(SUM((1 - exposed) * outcome) AS BIGINT) AS c,
+             CAST(SUM((1 - exposed) * (1 - outcome)) AS BIGINT) AS d
+      FROM per_user
+    )
+    SELECT a, b, c, d,
+           round((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)), 6)
+             AS or_haldane,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     - 1.959964 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                       + 1.0 / (c + 0.5)
+                                       + 1.0 / (d + 0.5))), 6) AS ci_lo,
+           round(exp(ln((a + 0.5) * (d + 0.5) / ((b + 0.5) * (c + 0.5)))
+                     + 1.959964 * sqrt(1.0 / (a + 0.5) + 1.0 / (b + 0.5)
+                                       + 1.0 / (c + 0.5)
+                                       + 1.0 / (d + 0.5))), 6) AS ci_hi
+    FROM cells
+    """,
+)
+def q_events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-to-purchase odds ratio with a Wald 95% CI: per user, does
+    having hit at least one error change the odds of ever purchasing?
+    The epidemiology-style 2×2 effect-size readout that q_stats_chi2 /
+    q_stats_cramers_v (association strength) and q_events_ab_test
+    (proportions) don't give directly — with the Haldane-Anscombe +0.5
+    correction so empty cells can't blow up the estimate.
+
+    One bounded per-user aggregate builds the 2×2 from exact integer
+    cells; +0.5 is IEEE-exact on integer-valued doubles, and the
+    ln/exp/sqrt closure is a fixed-order scalar expression over those
+    exact cells (z* = 1.959964 embedded identically both engines)."""
+    per_user = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.when(F.col("event_type") == "error", 1).otherwise(0)
+            ).alias("exposed"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).alias("outcome"),
+        )
+    )
+    cells = per_user.agg(
+        F.sum(F.col("exposed") * F.col("outcome")).cast("long").alias("a"),
+        F.sum(F.col("exposed") * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("b"),
+        F.sum((1 - F.col("exposed")) * F.col("outcome"))
+        .cast("long")
+        .alias("c"),
+        F.sum((1 - F.col("exposed")) * (1 - F.col("outcome")))
+        .cast("long")
+        .alias("d"),
+    )
+    a, b, c, d = (F.col(x) + 0.5 for x in "abcd")
+    or_h = a * d / (b * c)
+    se = F.sqrt(1.0 / a + 1.0 / b + 1.0 / c + 1.0 / d)
+    return cells.select(
+        "a",
+        "b",
+        "c",
+        "d",
+        F.round(or_h, 6).alias("or_haldane"),
+        F.round(F.exp(F.log(or_h) - 1.959964 * se), 6).alias("ci_lo"),
+        F.round(F.exp(F.log(or_h) + 1.959964 * se), 6).alias("ci_hi"),
+    )
