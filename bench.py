@@ -364,6 +364,10 @@ EXT_R7B = [
     "q_stats_cochran_q",
     "q_stats_page_trend",
     "q_events_odds_ratio",
+    "q_text_distinctive_terms",
+    "q_curate_pareto_frontier",
+    "q_mix_anneal",
+    "q_orders_newsvendor",
 ]
 
 

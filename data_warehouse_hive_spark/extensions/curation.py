@@ -2806,3 +2806,225 @@ def _assemble_leakage_oracle() -> None:
 
 
 _assemble_leakage_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Round 7: budget frontier + annealed mixture sweep
+# ---------------------------------------------------------------------------
+
+PARETO_BUDGETS = (10, 20, 30, 40, 50, 60, 70, 80, 90, 100)
+ANNEAL_TAUS = ("0.25", "0.5", "0.75", "1.0")
+
+
+@query(
+    "q_curate_pareto_frontier",
+    oracle=f"""
+    WITH per_doc AS (
+      SELECT doc_id,
+             CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                  x -> x != '')) AS BIGINT) AS w,
+             CAST(len(list_distinct(
+                    list_filter(string_split_regex(trim(text), '\\s+'),
+                                x -> x != ''))) AS BIGINT) AS u
+      FROM documents
+    ),
+    bucketed AS (
+      SELECT (u * 1000) // w AS qb,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(w) AS BIGINT) AS toks,
+             CAST(SUM(u) AS BIGINT) AS uniq
+      FROM per_doc WHERE w > 0 GROUP BY 1
+    ),
+    cum AS (
+      SELECT qb,
+             CAST(SUM(n_docs) OVER (ORDER BY qb DESC) AS BIGINT) AS cd,
+             CAST(SUM(toks) OVER (ORDER BY qb DESC) AS BIGINT) AS ct,
+             CAST(SUM(uniq) OVER (ORDER BY qb DESC) AS BIGINT) AS cu
+      FROM bucketed
+    ),
+    tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM bucketed),
+    budgets AS (
+      SELECT unnest([{', '.join(str(b) for b in PARETO_BUDGETS)}])
+        AS budget_pct
+    ),
+    hits AS (
+      SELECT b.budget_pct,
+             min_by(c.qb, c.ct) AS qb_cut,
+             min_by(c.cd, c.ct) AS docs_kept,
+             CAST(MIN(c.ct) AS BIGINT) AS tokens_kept,
+             min_by(c.cu, c.ct) AS uniq_kept
+      FROM budgets b
+      CROSS JOIN tot t
+      JOIN cum c ON c.ct * 100 >= t.t * b.budget_pct
+      GROUP BY b.budget_pct
+    )
+    SELECT budget_pct, qb_cut, docs_kept, tokens_kept,
+           round(CAST(uniq_kept AS DOUBLE) / tokens_kept, 6)
+             AS mean_quality
+    FROM hits ORDER BY budget_pct
+    """,
+)
+def q_curate_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-vs-token-budget Pareto frontier: admit documents from the
+    highest lexical-diversity bucket down, and report — for each 10%
+    token-budget level — the quality cutoff, docs/tokens admitted, and
+    the mean quality of the admitted set.  The curve q_curate_token_budget
+    (one knapsack point) sits on; this op draws the WHOLE trade-off so
+    the budget meeting can pick a point.
+
+    No global document sort: per-doc quality (distinct/total word ratio)
+    is quantized to a 1001-value integer grid in one narrow pass, the
+    frontier is computed on the BOUNDED bucket histogram (running sums
+    over ≤1001 rows), and budget levels join that tiny relation with an
+    exact integer crossing test (ct·100 ≥ T·pct — no double thresholds).
+    min_by picks the first crossing (cumulative tokens are strictly
+    increasing, so the argmin is unique)."""
+    toks = F.filter(
+        F.split(F.trim("text"), r"\s+"), lambda x: x != ""
+    )
+    per_doc = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select(
+            F.size(toks).cast("long").alias("w"),
+            F.size(F.array_distinct(toks)).cast("long").alias("u"),
+        )
+        .filter(F.col("w") > 0)
+    )
+    bucketed = (
+        per_doc.groupBy(F.expr("(u * 1000) div w").alias("qb"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("w").cast("long").alias("toks"),
+            F.sum("u").cast("long").alias("uniq"),
+        )
+    )
+    wc = Window.orderBy(F.col("qb").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = bucketed.select(
+        "qb",
+        F.sum("n_docs").over(wc).cast("long").alias("cd"),
+        F.sum("toks").over(wc).cast("long").alias("ct"),
+        F.sum("uniq").over(wc).cast("long").alias("cu"),
+    )
+    tot = bucketed.agg(F.sum("toks").cast("long").alias("t"))
+    budgets = spark.range(1, len(PARETO_BUDGETS) + 1).select(
+        (F.col("id") * 10).cast("int").alias("budget_pct")
+    )
+    hits = (
+        budgets.crossJoin(F.broadcast(tot))
+        .join(
+            cum,
+            F.col("ct") * 100 >= F.col("t") * F.col("budget_pct"),
+        )
+        .groupBy("budget_pct")
+        .agg(
+            F.min_by("qb", "ct").alias("qb_cut"),
+            F.min_by("cd", "ct").alias("docs_kept"),
+            F.min("ct").cast("long").alias("tokens_kept"),
+            F.min_by("cu", "ct").alias("uniq_kept"),
+        )
+    )
+    return hits.select(
+        "budget_pct",
+        "qb_cut",
+        "docs_kept",
+        "tokens_kept",
+        F.round(
+            F.col("uniq_kept").cast("double") / F.col("tokens_kept"), 6
+        ).alias("mean_quality"),
+    ).orderBy("budget_pct")
+
+
+@query(
+    "q_mix_anneal",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source
+    ),
+    taus AS (
+      SELECT unnest([{', '.join(ANNEAL_TAUS)}]) AS tau
+    ),
+    carrier AS (
+      SELECT t.tau, c.source, c.n_docs,
+             CAST(floor(pow(CAST(c.n_docs AS DOUBLE), t.tau) * 1e6 + 0.5)
+                  AS BIGINT) AS z
+      FROM counts c CROSS JOIN taus t
+    ),
+    norm AS (
+      SELECT tau, CAST(SUM(z) AS BIGINT) AS tz,
+             CAST(SUM(CAST(z AS HUGEINT) * z) AS HUGEINT) AS tz2,
+             CAST(SUM(n_docs) AS BIGINT) AS tn
+      FROM carrier GROUP BY tau
+    )
+    SELECT c.tau, c.source, c.n_docs,
+           round(CAST(c.z AS DOUBLE) / n.tz, 6) AS share,
+           round((CAST(c.z AS DOUBLE) / n.tz)
+                 / (CAST(c.n_docs AS DOUBLE) / n.tn), 6)
+             AS upsample_factor,
+           round(CAST(n.tz AS DOUBLE) * n.tz / CAST(n.tz2 AS DOUBLE), 6)
+             AS eff_domains
+    FROM carrier c JOIN norm n USING (tau)
+    ORDER BY c.tau, c.source
+    """,
+)
+def q_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Annealed mixture sweep: source-domain sampling weights
+    share ∝ n^τ at τ ∈ {{{', '.join(ANNEAL_TAUS)}}} in ONE pass, with
+    each temperature's effective domain count (inverse Simpson of the
+    weights) — the tuning table for choosing how hard to flatten the
+    source distribution, generalizing q_mix_temperature's single fixed
+    temperature.
+
+    One |sources|-row count relation cross-joined with the 4-row τ
+    domain; n^τ rides the scaled-long carrier BEFORE any sum (a
+    per-group double sum would be order-nondeterministic), and the
+    effective-domain count derives from exact integer Σz and Σz²
+    ((Σz)²/Σz² — one double division, no double accumulation)."""
+    counts = (
+        t(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    taus = spark.range(0, len(ANNEAL_TAUS)).select(
+        F.element_at(
+            F.array(*[F.lit(float(x)) for x in ANNEAL_TAUS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("tau")
+    )
+    carrier = counts.crossJoin(F.broadcast(taus)).select(
+        "tau",
+        "source",
+        "n_docs",
+        F.floor(
+            F.pow(F.col("n_docs").cast("double"), F.col("tau")) * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("z"),
+    )
+    norm = carrier.groupBy("tau").agg(
+        F.sum("z").cast("long").alias("tz"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("tz2"),
+        F.sum("n_docs").cast("long").alias("tn"),
+    )
+    share = F.col("z").cast("double") / F.col("tz")
+    emp = F.col("n_docs").cast("double") / F.col("tn")
+    return (
+        carrier.join(F.broadcast(norm), "tau")
+        .select(
+            "tau",
+            "source",
+            "n_docs",
+            F.round(share, 6).alias("share"),
+            F.round(share / emp, 6).alias("upsample_factor"),
+            F.round(
+                F.col("tz").cast("double")
+                * F.col("tz")
+                / F.col("tz2").cast("double"),
+                6,
+            ).alias("eff_domains"),
+        )
+        .orderBy("tau", "source")
+    )

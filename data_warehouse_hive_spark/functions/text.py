@@ -2321,3 +2321,109 @@ def q_text_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+_DISTINCT_TOP = 5
+
+
+@query(
+    "q_text_distinctive_terms",
+    oracle=f"""
+    WITH words AS (
+      SELECT source, unnest(string_split_regex(trim(text), '\\s+')) AS word
+      FROM documents
+    ),
+    ysi AS (
+      SELECT source, word, CAST(COUNT(*) AS BIGINT) AS y
+      FROM words WHERE word != '' GROUP BY source, word
+    ),
+    yw AS (
+      SELECT word, CAST(SUM(y) AS BIGINT) AS y_w FROM ysi GROUP BY word
+    ),
+    ns AS (
+      SELECT source, CAST(SUM(y) AS BIGINT) AS n_s FROM ysi GROUP BY source
+    ),
+    nn AS (SELECT CAST(SUM(y) AS BIGINT) AS n FROM ysi),
+    scored AS (
+      SELECT s.source, s.word, s.y,
+             ln((s.y + 0.5) / (x.n_s - s.y + 0.5))
+               - ln((w.y_w - s.y + 0.5)
+                    / (t.n - x.n_s - (w.y_w - s.y) + 0.5)) AS delta,
+             1.0 / (s.y + 0.5) + 1.0 / (x.n_s - s.y + 0.5)
+               + 1.0 / (w.y_w - s.y + 0.5)
+               + 1.0 / (t.n - x.n_s - (w.y_w - s.y) + 0.5) AS var
+      FROM ysi s
+      JOIN yw w USING (word)
+      JOIN ns x USING (source)
+      CROSS JOIN nn t
+    )
+    SELECT source, word, y AS count_in_source,
+           round(delta / sqrt(var), 6) AS z, rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY source
+                     ORDER BY delta / sqrt(var) DESC, word) AS BIGINT)
+                  AS rk
+      FROM scored
+    ) WHERE rk <= {_DISTINCT_TOP}
+    ORDER BY source, rk
+    """,
+)
+def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinctive vocabulary per source: Monroe-style weighted log-odds
+    (flat +0.5 prior) of each word in one source vs the rest of the
+    corpus, z-scored by the delta's asymptotic variance — the
+    "fightin' words" readout that tells a corpus curator WHAT makes a
+    source different, where q_text_js_drift only says HOW MUCH.
+
+    Scale shape: explode → (source, word) hash agg; word totals and
+    source totals are vocab-/|sources|-sized relations joined back on
+    their keys; the corpus total is a 1-row cross join.  All inputs to
+    the ln/sqrt closure are exact integer counts (+0.5 IEEE-exact), so
+    both engines evaluate identical doubles; the per-source top-{_DISTINCT_TOP}
+    window runs over vocab-sized input with a word tiebreak.  Reference:
+    delegated HiveQL text-analytics class (backend/hive_manager.py:400)."""
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+    ysi = (
+        d.select(
+            "source",
+            F.explode(F.split(F.trim("text"), r"\s+")).alias("word"),
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        .localCheckpoint(eager=False)
+    )
+    yw = ysi.groupBy("word").agg(F.sum("y").cast("long").alias("y_w"))
+    ns = ysi.groupBy("source").agg(F.sum("y").cast("long").alias("n_s"))
+    nn = ysi.agg(F.sum("y").cast("long").alias("n"))
+    rest = F.col("y_w") - F.col("y")
+    delta = F.log((F.col("y") + 0.5) / (F.col("n_s") - F.col("y") + 0.5)) - F.log(
+        (rest + 0.5) / (F.col("n") - F.col("n_s") - rest + 0.5)
+    )
+    var = (
+        1.0 / (F.col("y") + 0.5)
+        + 1.0 / (F.col("n_s") - F.col("y") + 0.5)
+        + 1.0 / (rest + 0.5)
+        + 1.0 / (F.col("n") - F.col("n_s") - rest + 0.5)
+    )
+    scored = (
+        ysi.join(yw, "word")
+        .join(F.broadcast(ns), "source")
+        .crossJoin(F.broadcast(nn))
+        .select("source", "word", "y", (delta / F.sqrt(var)).alias("zval"))
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("zval").desc(), F.col("word")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _DISTINCT_TOP)
+        .select(
+            "source",
+            "word",
+            F.col("y").alias("count_in_source"),
+            F.round("zval", 6).alias("z"),
+            "rk",
+        )
+        .orderBy("source", "rk")
+    )

@@ -2678,3 +2678,126 @@ def q_orders_fulfillment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus")
     )
+
+
+NEWSVENDOR_LEVELS = (80, 90, 95)
+
+
+@query(
+    "q_orders_newsvendor",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderpriority AS priority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS dq
+      FROM orders GROUP BY 1, 2
+    ),
+    hist AS (
+      SELECT priority, dq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM daily GROUP BY priority, dq
+    ),
+    cum AS (
+      SELECT priority, dq,
+             CAST(SUM(c) OVER (PARTITION BY priority ORDER BY dq)
+                  AS BIGINT) AS cc
+      FROM hist
+    ),
+    nd AS (
+      SELECT priority, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(dq) AS BIGINT) AS sq
+      FROM daily GROUP BY priority
+    ),
+    levels AS (
+      SELECT unnest([{', '.join(str(v) for v in NEWSVENDOR_LEVELS)}])
+        AS service_pct
+    ),
+    hits AS (
+      SELECT c.priority, l.service_pct,
+             CAST(MIN(c.dq) AS BIGINT) AS stock_cents
+      FROM cum c
+      JOIN nd ON nd.priority = c.priority
+      CROSS JOIN levels l
+      WHERE c.cc * 100 >= nd.n * l.service_pct
+      GROUP BY c.priority, l.service_pct
+    )
+    SELECT h.priority, h.service_pct,
+           round(h.stock_cents / 100.0, 2) AS stock_level,
+           nd.n AS n_days,
+           round(CAST(nd.sq AS DOUBLE) / nd.n / 100.0, 2) AS mean_daily
+    FROM hits h JOIN nd ON nd.priority = h.priority
+    ORDER BY h.priority, h.service_pct
+    """,
+)
+def q_orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newsvendor stocking levels: for each order priority, the daily
+    revenue-demand quantile at 80/90/95% service levels (the critical
+    fractile q = Cu/(Cu+Co) decides WHICH level; this op supplies the
+    demand quantiles those fractiles index into), next to the mean —
+    the inventory-planning readout that q_agg_percentile (global
+    percentiles) and q_orders_forecast_holt (point forecast) don't
+    give: "stock S so that P(demand ≤ S) ≥ q".
+
+    Exact integer percentile machinery end to end: demand is the daily
+    cents sum, the per-priority histogram + running count replaces any
+    raw-row sort, the crossing test cc·100 ≥ n·pct is exact integers,
+    and MIN picks the percentile_disc value.  Everything after the one
+    (priority, day) collapse runs on a bounded relation."""
+    daily = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.date_format(
+                F.col("o_orderdate").cast("timestamp"), "yyyy-MM-dd"
+            ).alias("day"),
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("dq")
+        )
+    )
+    hist = daily.groupBy("priority", "dq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = (
+        Window.partitionBy("priority")
+        .orderBy("dq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.select(
+        "priority", "dq", F.sum("c").over(wcum).cast("long").alias("cc")
+    )
+    nd = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("dq").cast("long").alias("sq"),
+    )
+    levels = spark.range(0, len(NEWSVENDOR_LEVELS)).select(
+        F.element_at(
+            F.array(*[F.lit(v) for v in NEWSVENDOR_LEVELS]),
+            (F.col("id") + 1).cast("int"),
+        ).alias("service_pct")
+    )
+    hits = (
+        cum.join(
+            F.broadcast(nd.select(F.col("priority").alias("n_pri"), "n")),
+            F.col("n_pri") == F.col("priority"),
+        )
+        .crossJoin(F.broadcast(levels))
+        .filter(F.col("cc") * 100 >= F.col("n") * F.col("service_pct"))
+        .groupBy("priority", "service_pct")
+        .agg(F.min("dq").cast("long").alias("stock_cents"))
+    )
+    return (
+        hits.join(F.broadcast(nd), "priority")
+        .select(
+            "priority",
+            "service_pct",
+            F.round(F.col("stock_cents") / 100.0, 2).alias("stock_level"),
+            F.col("n").alias("n_days"),
+            F.round(
+                F.col("sq").cast("double") / F.col("n") / 100.0, 2
+            ).alias("mean_daily"),
+        )
+        .orderBy("priority", "service_pct")
+    )
