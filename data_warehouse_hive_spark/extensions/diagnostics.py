@@ -2571,8 +2571,12 @@ def q_stats_kruskal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("grp"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
     )
-    gv = pool.groupBy("grp", "xq").agg(
-        F.count(F.lit(1)).cast("long").alias("n_gv")
+    gv = (
+        pool.groupBy("grp", "xq")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_gv"))
+        # vals/mids and rg both consume this bounded histogram —
+        # checkpoint so the corpus collapse runs ONCE, not per branch
+        .localCheckpoint(eager=False)
     )
     vals = gv.groupBy("xq").agg(F.sum("n_gv").cast("long").alias("n_v"))
     wcum = Window.orderBy("xq").rowsBetween(
@@ -2711,6 +2715,9 @@ def q_stats_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sq"),
             F.count(F.lit(1)).cast("long").alias("c"),
         )
+        # k_rel / full_days / ranked (and the hypothesis relation) all
+        # re-consume this bounded block relation — one corpus collapse
+        .localCheckpoint(eager=False)
     )
     k_rel = daily.agg(
         F.countDistinct("grp").cast("long").alias("k_all")
@@ -3196,6 +3203,8 @@ def q_stats_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("r"),
         )
+        # the O(days^2) self-join reads this twice and nd a third time
+        .localCheckpoint(eager=False)
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -3487,6 +3496,8 @@ def q_stats_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
         .agg(F.count(F.lit(1)).cast("long").alias("y"))
+        # tot and dev both consume the bounded daily series
+        .localCheckpoint(eager=False)
     )
     tot = daily.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
@@ -3593,7 +3604,8 @@ def q_stats_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     idxd = daily.select(
         "y", (F.row_number().over(Window.orderBy("day")) - 1).alias("tt")
-    )
+        # the moment relation and the residual pass both re-consume this
+    ).localCheckpoint(eager=False)
     s = idxd.agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("tt").cast("long").alias("st"),
@@ -3785,6 +3797,8 @@ def q_stats_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
+        # row sums and column sums both consume the incidence cells
+        .localCheckpoint(eager=False)
     )
     rows_ = cell.groupBy("user_id").agg(
         F.count(F.lit(1)).cast("long").alias("r_i")
@@ -3891,6 +3905,9 @@ def q_stats_page_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sq"),
             F.count(F.lit(1)).cast("long").alias("c"),
         )
+        # k_rel / full_days / ranked (and the hypothesis relation) all
+        # re-consume this bounded block relation — one corpus collapse
+        .localCheckpoint(eager=False)
     )
     k_rel = daily.agg(F.countDistinct("grp").cast("long").alias("k"))
     full_days = (

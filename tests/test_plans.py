@@ -1069,3 +1069,74 @@ def test_memoized_families_second_consumer_no_rescan(spark, sf_dir):
         plan = _plan(spark, sf_dir, second)
         assert "Scan parquet" not in plan, (second, plan)
         assert "ExistingRDD" in plan, (second, plan)
+
+
+def test_pareto_frontier_no_raw_doc_sort(spark, sf_dir):
+    """The budget frontier must NEVER sort raw documents: quality is
+    quantized to the 1001-bucket grid by a hash aggregate and every
+    window/sort runs on that bounded histogram."""
+    import inspect
+
+    plan = _plan(spark, sf_dir, "q_curate_pareto_frontier")
+    schemas = read_schemas(plan)
+    # doc-side column pruning: only text reaches the documents scan
+    assert any("text" in s for s in schemas), schemas
+    assert all("lang" not in s and "n_chars" not in s for s in schemas), schemas
+    from data_warehouse_hive_spark.extensions import curation
+
+    whole = inspect.getsource(curation)
+    s0 = whole.index("def q_curate_pareto_frontier")
+    seg = whole[s0 : whole.find("\n@query", s0)]
+    # the histogram groupBy precedes the only Window use
+    assert seg.index('groupBy(F.expr("(u * 1000) div w")') < seg.index(
+        "Window.orderBy"
+    ), seg
+
+
+def test_distinctive_terms_single_token_build(spark, sf_dir):
+    """yw/ns/nn all consume the checkpointed (source, word) relation —
+    exactly one tokenize+aggregate lineage, and the small relations join
+    back broadcast."""
+    import inspect
+
+    from data_warehouse_hive_spark.functions import text as mod
+
+    whole = inspect.getsource(mod)
+    s0 = whole.index("def q_text_distinctive_terms")
+    seg = whole[s0 : len(whole)]
+    assert "localCheckpoint" in seg, "token relation must be checkpointed"
+    assert seg.count("F.broadcast(ns)") == 1 and seg.count("F.broadcast(nn)") == 1, seg
+
+
+def test_newsvendor_histogram_percentile(spark, sf_dir):
+    """Percentiles come from the bounded (priority, day) histogram —
+    the orders scan reads only the three needed columns and no raw-row
+    global sort appears."""
+    plan = _plan(spark, sf_dir, "q_orders_newsvendor")
+    schemas = read_schemas(plan)
+    assert all(
+        "o_orderkey" not in s and "o_custkey" not in s for s in schemas
+    ), schemas
+
+
+def test_r7_stats_single_corpus_collapse():
+    """Every round-7 statistic whose bounded first collapse feeds more
+    than one consumer must checkpoint it (one corpus scan, not one per
+    branch) — the multi-scan plan defect found by .explain audit."""
+    import inspect
+
+    from data_warehouse_hive_spark.extensions import diagnostics
+
+    whole = inspect.getsource(diagnostics)
+    for fn in (
+        "q_stats_kruskal",
+        "q_stats_friedman",
+        "q_stats_page_trend",
+        "q_stats_kendall_tau",
+        "q_stats_ljung_box",
+        "q_stats_durbin_watson",
+        "q_stats_cochran_q",
+    ):
+        s0 = whole.index(f"def {fn}")
+        seg = whole[s0 : whole.find("\n@query", s0)]
+        assert "localCheckpoint" in seg, fn
