@@ -368,6 +368,10 @@ EXT_R7B = [
     "q_curate_pareto_frontier",
     "q_mix_anneal",
     "q_orders_newsvendor",
+    "q_embed_knn_accuracy",
+    "q_stats_boxplot",
+    "q_stats_tost",
+    "q_orders_price_elasticity",
 ]
 
 

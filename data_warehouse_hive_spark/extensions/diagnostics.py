@@ -4032,3 +4032,266 @@ def q_events_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.exp(F.log(or_h) - 1.959964 * se), 6).alias("ci_lo"),
         F.round(F.exp(F.log(or_h) + 1.959964 * se), 6).alias("ci_hi"),
     )
+
+
+@query(
+    "q_stats_boxplot",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    cum AS (
+      SELECT grp, xq, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY xq) AS BIGINT)
+               AS cc,
+             CAST(SUM(c) OVER (PARTITION BY grp) AS BIGINT) AS n
+      FROM hist
+    ),
+    quart AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(MIN(CASE WHEN cc * 4 >= n THEN xq END) AS BIGINT) AS q1,
+             CAST(MIN(CASE WHEN cc * 2 >= n THEN xq END) AS BIGINT)
+               AS med,
+             CAST(MIN(CASE WHEN cc * 4 >= 3 * n THEN xq END) AS BIGINT)
+               AS q3
+      FROM cum GROUP BY grp
+    ),
+    fences AS (
+      SELECT grp, n, q1, med, q3,
+             2 * q1 - 3 * (q3 - q1) AS lo2,
+             2 * q3 + 3 * (q3 - q1) AS hi2
+      FROM quart
+    )
+    SELECT f.grp, f.n,
+           round(f.q1 / 100.0, 2) AS q1,
+           round(f.med / 100.0, 2) AS median,
+           round(f.q3 / 100.0, 2) AS q3,
+           CAST(SUM(CASE WHEN 2 * h.xq < f.lo2 THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_low_outliers,
+           CAST(SUM(CASE WHEN 2 * h.xq > f.hi2 THEN h.c ELSE 0 END)
+                AS BIGINT) AS n_high_outliers,
+           round(MIN(CASE WHEN 2 * h.xq >= f.lo2 THEN h.xq END) / 100.0, 2)
+             AS whisker_lo,
+           round(MAX(CASE WHEN 2 * h.xq <= f.hi2 THEN h.xq END) / 100.0, 2)
+             AS whisker_hi
+    FROM fences f JOIN hist h ON h.grp = f.grp
+    GROUP BY f.grp, f.n, f.q1, f.med, f.q3, f.lo2, f.hi2
+    ORDER BY f.grp
+    """,
+)
+def q_stats_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey box-plot statistics per event type — quartiles, 1.5·IQR
+    whiskers (the most extreme values INSIDE the fences), and outlier
+    counts beyond each fence — the dashboard five-number summary that
+    q_dq_outlier_iqr (which lists the outlier rows) presupposes.
+
+    All quantiles are percentile_disc off the per-group value histogram
+    (cum·4 ≥ n exact integer crossings — no raw-row sort, no double
+    thresholds), the 1.5·IQR fences ride a 2× integer carrier
+    (lo·2 = 2q1 − 3·IQR, compared against 2·xq), and outlier/whisker
+    aggregation REJOINS THE HISTOGRAM, not the corpus — one corpus
+    collapse total."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    hist = (
+        pool.groupBy("grp", "xq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # quartiles and the fence rejoin both consume the histogram
+        .localCheckpoint(eager=False)
+    )
+    wcum = (
+        Window.partitionBy("grp")
+        .orderBy("xq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("grp")
+    cum = hist.select(
+        "grp",
+        "xq",
+        "c",
+        F.sum("c").over(wcum).cast("long").alias("cc"),
+        F.sum("c").over(wall).cast("long").alias("n"),
+    )
+    quart = cum.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(F.when(F.col("cc") * 4 >= F.col("n"), F.col("xq")))
+        .cast("long")
+        .alias("q1"),
+        F.min(F.when(F.col("cc") * 2 >= F.col("n"), F.col("xq")))
+        .cast("long")
+        .alias("med"),
+        F.min(F.when(F.col("cc") * 4 >= 3 * F.col("n"), F.col("xq")))
+        .cast("long")
+        .alias("q3"),
+    )
+    fences = quart.select(
+        F.col("grp").alias("f_grp"),
+        "n",
+        "q1",
+        "med",
+        "q3",
+        (2 * F.col("q1") - 3 * (F.col("q3") - F.col("q1"))).alias("lo2"),
+        (2 * F.col("q3") + 3 * (F.col("q3") - F.col("q1"))).alias("hi2"),
+    )
+    return (
+        fences.join(hist, F.col("f_grp") == F.col("grp"))
+        .groupBy("f_grp", "n", "q1", "med", "q3", "lo2", "hi2")
+        .agg(
+            F.sum(
+                F.when(2 * F.col("xq") < F.col("lo2"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_low_outliers"),
+            F.sum(
+                F.when(2 * F.col("xq") > F.col("hi2"), F.col("c")).otherwise(
+                    0
+                )
+            )
+            .cast("long")
+            .alias("n_high_outliers"),
+            F.round(
+                F.min(
+                    F.when(2 * F.col("xq") >= F.col("lo2"), F.col("xq"))
+                )
+                / 100.0,
+                2,
+            ).alias("whisker_lo"),
+            F.round(
+                F.max(
+                    F.when(2 * F.col("xq") <= F.col("hi2"), F.col("xq"))
+                )
+                / 100.0,
+                2,
+            ).alias("whisker_hi"),
+        )
+        .select(
+            F.col("f_grp").alias("grp"),
+            "n",
+            F.round(F.col("q1") / 100.0, 2).alias("q1"),
+            F.round(F.col("med") / 100.0, 2).alias("median"),
+            F.round(F.col("q3") / 100.0, 2).alias("q3"),
+            "n_low_outliers",
+            "n_high_outliers",
+            "whisker_lo",
+            "whisker_hi",
+        )
+        .orderBy("grp")
+    )
+
+
+TOST_MARGIN = 0.5  # equivalence margin in value units, embedded both engines
+
+
+@query(
+    "q_stats_tost",
+    oracle=f"""
+    WITH pool AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v6) AS BIGINT) AS s1,
+             CAST(SUM(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS s2
+      FROM pool GROUP BY g
+    ),
+    stats AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / 1e6 / n AS mean,
+             (CAST(s2 AS DOUBLE) / 1e12
+              - (CAST(s1 AS DOUBLE) / 1e6) * (CAST(s1 AS DOUBLE) / 1e6)
+                / n) / (n - 1) AS var
+      FROM m
+    ),
+    wide AS (
+      SELECT MAX(CASE WHEN g = 'a' THEN n END) AS n_a,
+             MAX(CASE WHEN g = 'a' THEN mean END) AS mean_a,
+             MAX(CASE WHEN g = 'a' THEN var END) AS var_a,
+             MAX(CASE WHEN g = 'b' THEN n END) AS n_b,
+             MAX(CASE WHEN g = 'b' THEN mean END) AS mean_b,
+             MAX(CASE WHEN g = 'b' THEN var END) AS var_b
+      FROM stats
+    )
+    SELECT n_a, n_b,
+           round(mean_a - mean_b, 6) AS diff,
+           round(sqrt(var_a / n_a + var_b / n_b), 6) AS se,
+           round((mean_a - mean_b + {TOST_MARGIN!r})
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_lower,
+           round(({TOST_MARGIN!r} - (mean_a - mean_b))
+                 / sqrt(var_a / n_a + var_b / n_b), 6) AS t_upper,
+           ((mean_a - mean_b + {TOST_MARGIN!r})
+              / sqrt(var_a / n_a + var_b / n_b) > 1.644854
+            AND ({TOST_MARGIN!r} - (mean_a - mean_b))
+              / sqrt(var_a / n_a + var_b / n_b) > 1.644854)
+             AS equivalent_90
+    FROM wide
+    """,
+)
+def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOST equivalence test (two one-sided t-tests) between 'click'
+    and 'view' event values with a ±{TOST_MARGIN} margin: unlike
+    q_stats_welch_t, which can only FAIL to find a difference, TOST
+    can positively conclude "these segments are the same to within
+    the margin" — the right tool for no-regression launch checks.
+
+    Same exact-carrier machinery as welch_t (one conditional pass,
+    1e6-scaled longs, DECIMAL/HUGEINT squares with operands cast before
+    multiplying); both one-sided t statistics and the z* = 1.644854
+    (90% TOST) decision are fixed-order doubles on the 1-row pivot."""
+    pool = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "view"))
+        .select(
+            F.when(F.col("event_type") == "click", "a")
+            .otherwise("b")
+            .alias("g"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+        )
+    )
+    m = pool.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("s1"),
+        F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / 1e6 / F.col("n")
+    var = (
+        F.col("s2").cast("double") / 1e12
+        - (F.col("s1").cast("double") / 1e6)
+        * (F.col("s1").cast("double") / 1e6)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = m.select("g", "n", mean.alias("mean"), var.alias("var"))
+    wide = stats.agg(
+        F.max(F.when(F.col("g") == "a", F.col("n"))).alias("n_a"),
+        F.max(F.when(F.col("g") == "a", F.col("mean"))).alias("mean_a"),
+        F.max(F.when(F.col("g") == "a", F.col("var"))).alias("var_a"),
+        F.max(F.when(F.col("g") == "b", F.col("n"))).alias("n_b"),
+        F.max(F.when(F.col("g") == "b", F.col("mean"))).alias("mean_b"),
+        F.max(F.when(F.col("g") == "b", F.col("var"))).alias("var_b"),
+    )
+    d = F.col("mean_a") - F.col("mean_b")
+    se = F.sqrt(
+        F.col("var_a") / F.col("n_a") + F.col("var_b") / F.col("n_b")
+    )
+    t_lo = (d + TOST_MARGIN) / se
+    t_hi = (F.lit(TOST_MARGIN) - d) / se
+    return wide.select(
+        "n_a",
+        "n_b",
+        F.round(d, 6).alias("diff"),
+        F.round(se, 6).alias("se"),
+        F.round(t_lo, 6).alias("t_lower"),
+        F.round(t_hi, 6).alias("t_upper"),
+        ((t_lo > 1.644854) & (t_hi > 1.644854)).alias("equivalent_90"),
+    )

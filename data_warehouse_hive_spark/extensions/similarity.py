@@ -3216,3 +3216,147 @@ def q_embed_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("family")
     )
+
+
+@query(
+    "q_embed_knn_accuracy",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {{bucket}} AS bucket FROM v),
+    scored AS (
+      SELECT a.vec_id, a.label, b.label AS nlabel,
+             round(list_dot_product(a.e, b.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(b.e, b.e))), 6) AS cosine,
+             b.vec_id AS neighbor_id
+      FROM vb a JOIN vb b ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    ),
+    topk AS (
+      SELECT vec_id, label, nlabel FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM scored
+      ) WHERE rk <= {{k}}
+    ),
+    votes AS (
+      SELECT vec_id, label, nlabel, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM topk GROUP BY vec_id, label, nlabel
+    ),
+    pred AS (
+      SELECT vec_id, label, nlabel AS predicted FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                    ORDER BY cnt DESC, nlabel) AS vr
+        FROM votes
+      ) WHERE vr = 1
+    ),
+    totals AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n_total FROM v GROUP BY label
+    )
+    SELECT t.label, t.n_total,
+           CAST(COUNT(p.vec_id) AS BIGINT) AS n_scored,
+           CAST(SUM(CASE WHEN p.predicted = p.label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           round(CAST(SUM(CASE WHEN p.predicted = p.label
+                               THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(p.vec_id), 6) AS accuracy
+    FROM totals t LEFT JOIN pred p ON p.label = t.label
+    GROUP BY t.label, t.n_total
+    ORDER BY t.label
+    """.format(bucket=_o_lsh_bucket("e"), k=KNN_K),
+)
+def q_embed_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN label accuracy per class: predict each
+    vector's label by majority vote of its top-{KNN_K} in-bucket
+    neighbors and grade against the stored label — the standard
+    label-quality / embedding-quality probe (if a class's k-NN accuracy
+    is low, either its labels are noisy or the embedding doesn't
+    separate it), complementing q_embed_cluster_purity (unsupervised
+    k-means view) with a supervised readout.
+
+    Same scale contract as q_embed_knn: the LSH-bucket SELF-join is the
+    only pair expansion, top-k plans as WindowGroupLimit, and the
+    majority vote is a (vec, label) hash agg + one per-vec window with
+    a deterministic (count DESC, label ASC) tiebreak.  Vectors whose
+    bucket holds no neighbor drop out of n_scored — reported next to
+    n_total so the coverage loss is visible."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    vb = (
+        v.withColumn("bucket", lsh_bucket_col(F.col("e")))
+        .withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+        # self-join (twice) + per-label totals all consume this
+        .localCheckpoint(eager=False)
+    )
+    other = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("label").alias("nlabel"),
+        F.col("e").alias("ne"),
+        F.col("bucket").alias("nbucket"),
+        F.col("nrm").alias("nnrm"),
+    )
+    scored = vb.join(
+        other,
+        (F.col("bucket") == F.col("nbucket"))
+        & (F.col("vec_id") != F.col("neighbor_id")),
+    ).select(
+        "vec_id",
+        "label",
+        "nlabel",
+        "neighbor_id",
+        F.round(
+            dot(F.col("e"), F.col("ne")) / (F.col("nrm") * F.col("nnrm")),
+            6,
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    topk = (
+        scored.withColumn("rk", F.row_number().over(wk))
+        .filter(F.col("rk") <= KNN_K)
+        .select("vec_id", "label", "nlabel")
+    )
+    votes = topk.groupBy("vec_id", "label", "nlabel").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wv = Window.partitionBy("vec_id").orderBy(
+        F.col("cnt").desc(), F.col("nlabel")
+    )
+    pred = (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("vec_id", "label", F.col("nlabel").alias("predicted"))
+    )
+    totals = vb.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return (
+        totals.join(pred, "label", "left")
+        .groupBy("label", "n_total")
+        .agg(
+            F.count("vec_id").cast("long").alias("n_scored"),
+            F.sum(
+                F.when(F.col("predicted") == F.col("label"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_correct"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("predicted") == F.col("label"), 1
+                    ).otherwise(0)
+                ).cast("double")
+                / F.count("vec_id"),
+                6,
+            ).alias("accuracy"),
+        )
+        .orderBy("label")
+    )

@@ -2801,3 +2801,117 @@ def q_orders_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "service_pct")
     )
+
+
+@query(
+    "q_orders_price_elasticity",
+    oracle="""
+    WITH per_part AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS pc,
+             CAST(SUM(CAST(floor(l_quantity + 0.5) AS BIGINT)) AS BIGINT)
+               AS q,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    carrier AS (
+      SELECT CAST(floor(ln(CAST(pc AS DOUBLE) / c / 100.0) * 1e9 + 0.5)
+                  AS BIGINT) AS x9,
+             CAST(floor(ln(CAST(q AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS y9
+      FROM per_part WHERE q > 0 AND pc > 0
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x9) AS BIGINT) AS sx,
+             CAST(SUM(y9) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x9 AS HUGEINT) * x9) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(y9 AS HUGEINT) * y9) AS HUGEINT) AS syy,
+             CAST(SUM(CAST(x9 AS HUGEINT) * y9) AS HUGEINT) AS sxy
+      FROM carrier
+    )
+    SELECT n AS n_parts,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE), 6)
+             AS elasticity,
+           round((CAST(sy AS DOUBLE)
+                  - CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                    / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                    * sx) / n / 1e9, 6) AS intercept_ln,
+           round(CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 * CAST(n * sxy - CAST(sx AS HUGEINT) * sy AS DOUBLE)
+                 / CAST(n * sxx - CAST(sx AS HUGEINT) * sx AS DOUBLE)
+                 / CAST(n * syy - CAST(sy AS HUGEINT) * sy AS DOUBLE), 6)
+             AS r2
+    FROM s
+    """,
+)
+def q_orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-log price elasticity of demand across parts: the OLS slope of
+    ln(total quantity) on ln(mean unit price) over the per-part relation
+    — "a 1% higher price sells how many % fewer units?" — with R².  The
+    economics companion to q_stats_regression (linear daily trend) and
+    q_stats_theil_sen (robust slope).
+
+    Per-part price/quantity sums are exact integer cents; the two log
+    features are pinned at 9 dp and lifted onto 1e9-scaled-long carriers
+    (the transcendental rule: identical IEEE inputs → identical ln
+    both engines, then integer sums are order-free), so Σx, Σy, Σx²,
+    Σxy, Σy² are exact HUGEINT/decimal and the slope/R² divide identical
+    integers.  One shuffle on l_partkey; the regression runs on the
+    1-row moment relation."""
+    per_part = (
+        t(spark, sf_dir, "lineitem")
+        .groupBy("l_partkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("pc"),
+            F.sum(F.floor(F.col("l_quantity") + 0.5).cast("long"))
+            .cast("long")
+            .alias("q"),
+            F.count(F.lit(1)).cast("long").alias("c"),
+        )
+    )
+    carrier = per_part.filter(
+        (F.col("q") > 0) & (F.col("pc") > 0)
+    ).select(
+        F.floor(
+            F.log(F.col("pc").cast("double") / F.col("c") / 100.0) * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("x9"),
+        F.floor(F.log(F.col("q").cast("double")) * 1e9 + 0.5)
+        .cast("long")
+        .alias("y9"),
+    )
+    x9d = F.col("x9").cast("decimal(38,0)")
+    y9d = F.col("y9").cast("decimal(38,0)")
+    s = carrier.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x9").cast("long").alias("sx"),
+        F.sum("y9").cast("long").alias("sy"),
+        F.sum(x9d * F.col("x9")).alias("sxx"),
+        F.sum(y9d * F.col("y9")).alias("syy"),
+        F.sum(x9d * F.col("y9")).alias("sxy"),
+    )
+    sxd = F.col("sx").cast("decimal(38,0)")
+    syd = F.col("sy").cast("decimal(38,0)")
+    bn = (F.col("n") * F.col("sxy") - sxd * F.col("sy")).cast("double")
+    bd = (F.col("n") * F.col("sxx") - sxd * F.col("sx")).cast("double")
+    yd = (F.col("n") * F.col("syy") - syd * F.col("sy")).cast("double")
+    return s.select(
+        F.col("n").alias("n_parts"),
+        F.round(bn / bd, 6).alias("elasticity"),
+        F.round(
+            (F.col("sy").cast("double") - bn / bd * F.col("sx"))
+            / F.col("n")
+            / 1e9,
+            6,
+        ).alias("intercept_ln"),
+        F.round(bn * bn / bd / yd, 6).alias("r2"),
+    )
