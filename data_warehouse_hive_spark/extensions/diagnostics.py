@@ -4295,3 +4295,259 @@ def q_stats_tost(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(t_hi, 6).alias("t_upper"),
         ((t_lo > 1.644854) & (t_hi > 1.644854)).alias("equivalent_90"),
     )
+
+
+@query(
+    "q_stats_bartlett",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+      FROM pool GROUP BY grp
+    ),
+    pergrp AS (
+      SELECT grp, n,
+             (CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1) / (n - 1)
+               AS v
+      FROM sums
+    ),
+    terms AS (
+      SELECT grp, n, v,
+             CAST(floor((n - 1) * ln(v) * 1e9 + 0.5) AS BIGINT) AS lv9,
+             CAST(floor(1e12 / (n - 1) + 0.5) AS BIGINT) AS inv12
+      FROM pergrp
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(CAST((n - 1) AS HUGEINT) * CAST(floor(v * 1e4 + 0.5)
+                  AS BIGINT)) AS HUGEINT) AS sv4,
+             CAST(SUM(lv9) AS BIGINT) AS slv9,
+             CAST(SUM(inv12) AS BIGINT) AS sinv12
+      FROM terms
+    )
+    SELECT k, nt AS n_total,
+           round(CAST(sv4 AS DOUBLE) / 1e4 / (nt - k) / 1e4, 6)
+             AS pooled_var,
+           round(((nt - k) * ln(CAST(sv4 AS DOUBLE) / 1e4 / (nt - k))
+                  - CAST(slv9 AS DOUBLE) / 1e9)
+                 / (1.0 + (CAST(sinv12 AS DOUBLE) / 1e12
+                           - 1.0 / (nt - k)) / (3.0 * (k - 1))), 6)
+             AS bartlett_chi2,
+           k - 1 AS df
+    FROM tot
+    """,
+)
+def q_stats_bartlett(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bartlett's test for homogeneity of variances across event types
+    (chi-square with k-1 df) — the parametric sibling of q_stats_levene:
+    more powerful when the per-segment distributions are near-normal,
+    which is exactly what q_stats_jarque_bera / q_stats_anderson_darling
+    establish first.
+
+    One corpus collapse to per-group (n, Sx, Sx2) on the integer-cents
+    carrier (squares operand-cast to DECIMAL(38) first).  The k ln-
+    variance terms and the 1/(n_i-1) correction terms are pinned onto
+    1e9 / 1e12 summand grids before the cross-group integer sum, so the
+    k-row reduction is order-free; Bartlett's statistic is scale-
+    invariant (the cents^2 factor cancels between the pooled and
+    per-group ln terms), and pooled_var is reported back in value^2
+    units.  The final statistic is a fixed-order expression on the
+    1-row total relation."""
+    xqd = F.col("xq").cast("decimal(38,0)")
+    sums = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("s1"),
+            F.sum(xqd * F.col("xq")).alias("s2"),
+        )
+    )
+    v = (
+        F.col("s2").cast("double")
+        - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+    ) / (F.col("n") - 1)
+    terms = sums.select(
+        "grp",
+        "n",
+        v.alias("v"),
+        F.floor((F.col("n") - 1) * F.log(v) * 1e9 + 0.5)
+        .cast("long")
+        .alias("lv9"),
+        F.floor(1e12 / (F.col("n") - 1) + 0.5).cast("long").alias("inv12"),
+    )
+    tot = terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum(
+            (F.col("n") - 1).cast("decimal(38,0)")
+            * F.floor(F.col("v") * 1e4 + 0.5).cast("long")
+        ).alias("sv4"),
+        F.sum("lv9").cast("long").alias("slv9"),
+        F.sum("inv12").cast("long").alias("sinv12"),
+    )
+    pooled = F.col("sv4").cast("double") / 1e4 / (F.col("nt") - F.col("k"))
+    chi2 = (
+        (F.col("nt") - F.col("k")) * F.log(pooled)
+        - F.col("slv9").cast("double") / 1e9
+    ) / (
+        1.0
+        + (
+            F.col("sinv12").cast("double") / 1e12
+            - 1.0 / (F.col("nt") - F.col("k"))
+        )
+        / (3.0 * (F.col("k") - 1))
+    )
+    return tot.select(
+        "k",
+        F.col("nt").alias("n_total"),
+        F.round(pooled / 1e4, 6).alias("pooled_var"),
+        F.round(chi2, 6).alias("bartlett_chi2"),
+        (F.col("k") - 1).alias("df"),
+    )
+
+
+@query(
+    "q_stats_mood_median",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    ghist AS (
+      SELECT xq, CAST(SUM(c) AS BIGINT) AS c FROM hist GROUP BY xq
+    ),
+    med AS (
+      SELECT CAST(MIN(xq) AS BIGINT) AS med FROM (
+        SELECT xq,
+               SUM(c) OVER (ORDER BY xq) AS cum,
+               SUM(c) OVER () AS n
+        FROM ghist
+      ) WHERE 2 * cum >= n
+    ),
+    pergrp AS (
+      SELECT h.grp,
+             CAST(SUM(h.c) AS BIGINT) AS n_i,
+             CAST(SUM(CASE WHEN h.xq > m.med THEN h.c ELSE 0 END)
+                  AS BIGINT) AS a_i
+      FROM hist h CROSS JOIN med m
+      GROUP BY h.grp
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(n_i) AS BIGINT) AS n,
+             CAST(SUM(a_i) AS BIGINT) AS a
+      FROM pergrp
+    ),
+    terms AS (
+      SELECT CAST(floor(
+               CAST(CAST(p.a_i AS HUGEINT) * t.n
+                    - CAST(p.n_i AS HUGEINT) * t.a AS DOUBLE)
+               * CAST(CAST(p.a_i AS HUGEINT) * t.n
+                      - CAST(p.n_i AS HUGEINT) * t.a AS DOUBLE)
+               / p.n_i / t.a / (t.n - t.a) * 1e9 + 0.5) AS BIGINT) AS q9,
+             t.k, t.n, t.a
+      FROM pergrp p CROSS JOIN tot t
+    )
+    SELECT MAX(k) AS k, MAX(n) AS n_total,
+           round(CAST((SELECT med FROM med) AS DOUBLE) / 100.0, 2)
+             AS grand_median,
+           MAX(a) AS n_above,
+           round(CAST(SUM(q9) AS DOUBLE) / 1e9, 6) AS chi2,
+           MAX(k) - 1 AS df
+    FROM terms
+    """,
+)
+def q_stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mood's median test across event types: count each segment's
+    values above vs at-or-below the GRAND median and Pearson-chi-square
+    the 2xk table — the coarse, outlier-immune cousin of
+    q_stats_kruskal (no ranks at all, only sides of one cut point).
+
+    One corpus collapse to the (grp, value-cent) histogram; the grand
+    median re-aggregates that histogram (no second corpus scan) and is
+    an exact cum*2 >= n crossing on the bounded distinct-value relation.
+    Each group's chi-square contribution (a_i*N - n_i*A)^2/(n_i*A*B) is
+    an exact-integer numerator (HUGEINT/decimal cross products) pinned
+    onto a 1e9 summand grid, so the k-row reduction is order-free."""
+    ev = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    hist = (
+        ev.groupBy("grp", "xq")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        # grand-median rollup + per-group sides both consume this
+        .localCheckpoint(eager=False)
+    )
+    ghist = hist.groupBy("xq").agg(F.sum("c").cast("long").alias("c"))
+    wcum = Window.orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    med = (
+        ghist.select(
+            "xq",
+            F.sum("c").over(wcum).alias("cum"),
+            F.sum("c").over(wall).alias("n"),
+        )
+        .filter(2 * F.col("cum") >= F.col("n"))
+        .agg(F.min("xq").cast("long").alias("med"))
+    )
+    pergrp = (
+        hist.crossJoin(F.broadcast(med))
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n_i"),
+            F.sum(F.when(F.col("xq") > F.col("med"), F.col("c")).otherwise(0))
+            .cast("long")
+            .alias("a_i"),
+        )
+    )
+    tot = pergrp.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_i").cast("long").alias("n"),
+        F.sum("a_i").cast("long").alias("a"),
+    )
+    d = (
+        F.col("a_i").cast("decimal(38,0)") * F.col("n")
+        - F.col("n_i").cast("decimal(38,0)") * F.col("a")
+    ).cast("double")
+    terms = pergrp.crossJoin(F.broadcast(tot)).select(
+        F.floor(
+            d * d / F.col("n_i") / F.col("a") / (F.col("n") - F.col("a"))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("q9"),
+        "k",
+        "n",
+        "a",
+    )
+    return terms.crossJoin(F.broadcast(med)).agg(
+        F.max("k").alias("k"),
+        F.max("n").alias("n_total"),
+        F.round(F.max("med").cast("double") / 100.0, 2).alias(
+            "grand_median"
+        ),
+        F.max("a").alias("n_above"),
+        F.round(F.sum("q9").cast("double") / 1e9, 6).alias("chi2"),
+        (F.max("k") - 1).alias("df"),
+    )
