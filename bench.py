@@ -374,6 +374,14 @@ EXT_R7B = [
     "q_orders_price_elasticity",
 ]
 
+# round 8: registry ids the r7 bench lists missed (ADVICE) + the new
+# normality op the bartlett docstring cites.
+EXT_R8 = [
+    "q_stats_bartlett",
+    "q_stats_mood_median",
+    "q_stats_anderson_darling",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -400,7 +408,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -484,6 +492,8 @@ def main() -> None:
     ext_r7["total"] = round(sum(ext_r7.values()), 3)
     ext_r7b = {name: timed(name) for name in EXT_R7B}
     ext_r7b["total"] = round(sum(ext_r7b.values()), 3)
+    ext_r8 = {name: timed(name) for name in EXT_R8}
+    ext_r8["total"] = round(sum(ext_r8.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -516,6 +526,7 @@ def main() -> None:
         "ext_r6i": ext_r6i,
         "ext_r7": ext_r7,
         "ext_r7b": ext_r7b,
+        "ext_r8": ext_r8,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,

@@ -2908,8 +2908,16 @@ def q_curate_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("uniq").over(wc).cast("long").alias("cu"),
     )
     tot = bucketed.agg(F.sum("toks").cast("long").alias("t"))
-    budgets = spark.range(1, len(PARETO_BUDGETS) + 1).select(
-        (F.col("id") * 10).cast("int").alias("budget_pct")
+    # built from PARETO_BUDGETS itself (single source of truth with the
+    # oracle's unnest list — the q_mix_anneal ANNEAL_TAUS pattern), so
+    # editing the tuple can never silently diverge the two sides
+    budgets = spark.range(0, len(PARETO_BUDGETS)).select(
+        F.element_at(
+            F.array(*[F.lit(int(b)) for b in PARETO_BUDGETS]),
+            (F.col("id") + 1).cast("int"),
+        )
+        .cast("int")
+        .alias("budget_pct")
     )
     hits = (
         budgets.crossJoin(F.broadcast(tot))

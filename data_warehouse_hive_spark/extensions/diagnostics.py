@@ -3075,9 +3075,17 @@ def q_stats_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
     devs AS (
       SELECT p.grp, s.n, s.sx, s.sxx,
              CAST(MAX(abs(p.xq * s.n - s.sx) * 100000 + p.xq) AS BIGINT)
-               AS keyed
+               AS keyed,
+             CAST(MIN(p.xq) AS BIGINT) AS mn,
+             CAST(MAX(p.xq) AS BIGINT) AS mx
       FROM pool p JOIN stats s ON s.grp = p.grp
       GROUP BY p.grp, s.n, s.sx, s.sxx
+    ),
+    guarded AS (
+      SELECT * FROM devs
+      WHERE CASE WHEN mn < 0 OR mx >= 100000
+                 THEN error('q_stats_grubbs: cents value outside [0, 1e5) pack domain')
+                 ELSE TRUE END
     )
     SELECT grp, n,
            round((keyed % 100000) / 100.0, 2) AS outlier_value,
@@ -3085,7 +3093,7 @@ def q_stats_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / sqrt((CAST(sxx AS DOUBLE)
                          - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0)), 6)
              AS g
-    FROM devs ORDER BY grp
+    FROM guarded ORDER BY grp
     """,
 )
 def q_stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3100,7 +3108,12 @@ def q_stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator trick — no per-row double subtraction), packed with the
     cents value into one argmax key (dev*1e5 + cents, cents < 1e5) so
     max() returns both the deviation and a deterministic
-    largest-value tiebreak in a single aggregate."""
+    largest-value tiebreak in a single aggregate.
+
+    The pack assumes 0 <= cents < 1e5 (value in [0, $1000)); both
+    engines raise loudly (error()/raise_error) if a fixture change ever
+    violates it, instead of silently corrupting the statistic in a way
+    the parity gate cannot see."""
     pool = t(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
@@ -3124,7 +3137,20 @@ def q_stats_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 + F.col("xq")
             )
             .cast("long")
-            .alias("keyed")
+            .alias("keyed"),
+            F.min("xq").cast("long").alias("mn"),
+            F.max("xq").cast("long").alias("mx"),
+        )
+        .filter(
+            F.when(
+                (F.col("mn") < 0) | (F.col("mx") >= 100000),
+                F.raise_error(
+                    F.lit(
+                        "q_stats_grubbs: cents value outside [0, 1e5)"
+                        " pack domain"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
         )
     )
     sd = F.sqrt(
@@ -3294,6 +3320,9 @@ _H_DEN = sum((x - _H_XBAR) ** 2 for x in _H_XS)
              CAST(r_scaled AS DOUBLE)
                / sqrt(CAST(dev2 AS DOUBLE) / n) AS rs_b
       FROM blocks WHERE dev2 > 0
+        AND CASE WHEN blk > 5
+                 THEN error('q_events_hurst: >6 complete blocks; widen the block pivot')
+                 ELSE TRUE END
     ),
     avg_rs AS (
       SELECT grp, n,
@@ -3336,7 +3365,11 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     over that tiny relation.  Per-(type, n) block averages sum in FIXED
     block order (≤6 pivoted terms), the slope's x-axis constants are
     identical embedded literals both engines, and the only in-engine
-    transcendentals are three ln(R/S) calls rounded at 6."""
+    transcendentals are three ln(R/S) calls rounded at 6.  The 6-term
+    pivot assumes the day span stays within 6 complete blocks of the
+    smallest n (30 days / n=5 today); both engines raise loudly if a
+    fixture change ever produces a 7th complete block instead of
+    silently dropping it from the numerator."""
     daily = (
         t(spark, sf_dir, "events")
         .groupBy(
@@ -3384,7 +3417,18 @@ def q_events_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.max("cum") - F.min("cum")).cast("long").alias("r_scaled"),
         F.sum(F.col("dev") * F.col("dev")).cast("long").alias("dev2"),
     )
-    rs = blocks.filter(F.col("dev2") > 0).select(
+    rs = blocks.filter(
+        (F.col("dev2") > 0)
+        & F.when(
+            F.col("blk") > 5,
+            F.raise_error(
+                F.lit(
+                    "q_events_hurst: >6 complete blocks; widen the"
+                    " block pivot"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    ).select(
         "grp",
         "n",
         "blk",
@@ -4550,4 +4594,239 @@ def q_stats_mood_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("a").alias("n_above"),
         F.round(F.sum("q9").cast("double") / 1e9, 6).alias("chi2"),
         (F.max("k") - 1).alias("df"),
+    )
+
+
+@query(
+    "q_stats_anderson_darling",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+      FROM pool GROUP BY grp
+    ),
+    mom AS (
+      SELECT grp, n, s1,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                  / (n - 1)) AS sd
+      FROM sums
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    ranked AS (
+      SELECT grp, xq, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY xq) - c
+                  AS BIGINT) AS a
+      FROM hist
+    ),
+    zed AS (
+      SELECT r.grp, r.c, r.a, m.n,
+             (CAST(r.xq AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n) / m.sd
+               AS z
+      FROM ranked r JOIN mom m ON m.grp = r.grp
+    ),
+    erfd AS (
+      SELECT grp, c, a, n, z,
+             1.0 - (1.0 / (1.0 + 0.3275911 * (abs(z)
+                    * 0.7071067811865476)))
+                   * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                        * 0.7071067811865476)))
+                   * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                        * 0.7071067811865476)))
+                   * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                        * 0.7071067811865476)))
+                   * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs(z)
+                        * 0.7071067811865476)))
+                   * 1.061405429))))
+                   * exp(-(abs(z) * 0.7071067811865476)
+                         * (abs(z) * 0.7071067811865476)) AS er
+      FROM zed
+    ),
+    phi AS (
+      SELECT grp, c, a, n,
+             GREATEST(LEAST(0.5 * (CASE WHEN z >= 0.0 THEN 1.0 + er
+                                        ELSE 1.0 - er END),
+                            1.0 - 1e-15), 1e-15) AS p
+      FROM erfd
+    ),
+    terms AS (
+      SELECT grp, n,
+             CAST(c * (2 * a + c) AS HUGEINT)
+               * CAST(floor(ln(p) * 1e9 + 0.5) AS BIGINT)
+             + CAST(c * (2 * (n - a) - c) AS HUGEINT)
+               * CAST(floor(ln(1.0 - p) * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM phi
+    ),
+    agg AS (
+      SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+             CAST(SUM(t9) AS HUGEINT) AS s9
+      FROM terms GROUP BY grp
+    )
+    SELECT a.grp, a.n,
+           round(CAST(m.s1 AS DOUBLE) / a.n / 100.0, 4) AS mean_value,
+           round(m.sd / 100.0, 4) AS sd_value,
+           round(-CAST(a.n AS DOUBLE) - CAST(a.s9 AS DOUBLE) / 1e9 / a.n,
+                 6) AS a2,
+           round((-CAST(a.n AS DOUBLE) - CAST(a.s9 AS DOUBLE) / 1e9 / a.n)
+                 * (1.0 + 0.75 / a.n
+                    + 2.25 / (CAST(a.n AS DOUBLE) * a.n)), 6) AS a2_star
+    FROM agg a JOIN mom m ON m.grp = a.grp
+    ORDER BY a.grp
+    """,
+)
+def q_stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anderson-Darling normality statistic A2 (and the small-sample
+    adjusted A2*) per event type — the tail-weighted EDF test that
+    completes the normality family: q_stats_jarque_bera screens via
+    moments, q_stats_ks via max CDF gap, AD weights the tails where
+    revenue-style data actually breaks normality.  q_stats_bartlett's
+    docstring cites this op as the gate for its near-normality
+    assumption.
+
+    No global row sort: the order-statistic weights collapse onto the
+    per-distinct-value histogram — positions a+1..a+c of value v
+    contribute exactly c*(2a+c) to the ln(Phi) side and c*(2(n-a)-c)
+    to the ln(1-Phi) side (closed-form sums of (2i-1) resp. (2n+1-2i)),
+    both exact integers off one running count over the bounded distinct
+    relation.  Phi is the Abramowitz-Stegun 7.1.26 erf closure (identical
+    fixed-order literal arithmetic in both engines; z itself is exact:
+    integer moment carriers + IEEE sqrt/divide), clamped to
+    [1e-15, 1-1e-15]; each ln term is pinned onto a 1e9 summand grid and
+    weighted into HUGEINT/DECIMAL(38) products, so the per-group
+    reduction is order-free at any partition count.  A2 = -n - S/n on
+    the k-row relation; A2* applies the (1 + 0.75/n + 2.25/n^2)
+    finite-sample factor."""
+    xqd = F.col("xq").cast("decimal(38,0)")
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    sums = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(xqd * F.col("xq")).alias("s2"),
+    )
+    mom = sums.select(
+        "grp",
+        "n",
+        "s1",
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    hist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("grp").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "grp",
+        "xq",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).cast("long").alias("a"),
+    )
+    zed = ranked.join(
+        F.broadcast(mom.withColumnRenamed("grp", "m_grp")),
+        F.col("m_grp") == F.col("grp"),
+    ).select(
+        "grp",
+        "c",
+        "a",
+        "n",
+        (
+            (
+                F.col("xq").cast("double")
+                - F.col("s1").cast("double") / F.col("n")
+            )
+            / F.col("sd")
+        ).alias("z"),
+    )
+    xx = F.abs(F.col("z")) * 0.7071067811865476
+    tt = 1.0 / (1.0 + 0.3275911 * xx)
+    er = F.lit(1.0) - tt * (
+        0.254829592
+        + tt
+        * (
+            -0.284496736
+            + tt * (1.421413741 + tt * (-1.453152027 + tt * 1.061405429))
+        )
+    ) * F.exp(-xx * xx)
+    phi = zed.select(
+        "grp",
+        "c",
+        "a",
+        "n",
+        F.greatest(
+            F.least(
+                0.5
+                * F.when(F.col("z") >= 0.0, F.lit(1.0) + er).otherwise(
+                    F.lit(1.0) - er
+                ),
+                F.lit(1.0 - 1e-15),
+            ),
+            F.lit(1e-15),
+        ).alias("p"),
+    )
+    terms = phi.select(
+        "grp",
+        "n",
+        (
+            (F.col("c") * (2 * F.col("a") + F.col("c"))).cast(
+                "decimal(38,0)"
+            )
+            * F.floor(F.log("p") * 1e9 + 0.5).cast("long")
+            + (
+                F.col("c") * (2 * (F.col("n") - F.col("a")) - F.col("c"))
+            ).cast("decimal(38,0)")
+            * F.floor(F.log(F.lit(1.0) - F.col("p")) * 1e9 + 0.5).cast(
+                "long"
+            )
+        ).alias("t9"),
+    )
+    agg = terms.groupBy("grp").agg(
+        F.max("n").cast("long").alias("n"), F.sum("t9").alias("s9")
+    )
+    a2 = (
+        -F.col("n").cast("double")
+        - F.col("s9").cast("double") / 1e9 / F.col("n")
+    )
+    return (
+        agg.join(
+            F.broadcast(
+                mom.select(F.col("grp").alias("m_grp"), "s1", "sd")
+            ),
+            F.col("m_grp") == F.col("grp"),
+        )
+        .select(
+            "grp",
+            "n",
+            F.round(
+                F.col("s1").cast("double") / F.col("n") / 100.0, 4
+            ).alias("mean_value"),
+            F.round(F.col("sd") / 100.0, 4).alias("sd_value"),
+            F.round(a2, 6).alias("a2"),
+            F.round(
+                a2
+                * (
+                    1.0
+                    + 0.75 / F.col("n")
+                    + 2.25 / (F.col("n").cast("double") * F.col("n"))
+                ),
+                6,
+            ).alias("a2_star"),
+        )
+        .orderBy("grp")
     )
