@@ -59,6 +59,7 @@ def process_csv(
     has_header: bool = True,
     validate: bool = True,
     strict: bool = False,
+    drop_if_exists: bool = False,
 ) -> dict[str, Any]:
     """POST /process-csv twin (reference backend/app.py:32-118, success
     payload :100-111): ingest a CSV into an external table and return the
@@ -69,10 +70,20 @@ def process_csv(
     the payload carries a `validation` block — per-column nullability +
     type-domain conformance over the declared schema.  `strict=True`
     aborts on violations the way a pandera SchemaError aborts the
-    reference's processing."""
+    reference's processing.
+
+    `drop_if_exists` mirrors the reference's request field of the same
+    name (backend/app.py:51, applied at :80-84): True drops and
+    re-creates, so a re-uploaded CSV with a corrected schema is served
+    fresh.  False (the default, as in the reference) fails loudly on an
+    existing table.  One deliberate divergence stays documented here: on
+    DDL failure the reference retries under a generated
+    `csv_data_<timestamp>` name (backend/hive_manager.py:194-217); we
+    raise instead — fail-fast beats nondeterministic table names (the
+    bug family SURVEY §1.3 documents)."""
     result = ingest_csv(
         spark, path, table_name, header=has_header,
-        validate=validate, strict=strict,
+        validate=validate, strict=strict, replace=drop_if_exists,
     )
     size_mb = None
     try:

@@ -234,15 +234,26 @@ def create_external_csv_table(
     *,
     delimiter: str = ",",
     header: bool = True,
+    replace: bool = False,
 ) -> None:
     """External (unmanaged) CSV table: metadata-only registration, data
     stays in place, DROP keeps the files — the Spark form of the
     reference's CREATE EXTERNAL TABLE ... ROW FORMAT DELIMITED ...
-    LOCATION DDL (backend/hive_manager.py:169-181)."""
+    LOCATION DDL (backend/hive_manager.py:169-181).
+
+    `replace=True` is the reference's `drop_if_exists` re-ingestion path
+    (backend/app.py:51,80-84 → hive_manager.py:120-133's DROP TABLE IF
+    EXISTS before re-create): the external table's metadata is replaced
+    while the data files stay in place.  Under the default, an existing
+    table is a LOUD TableAlreadyExistsException — never an IF-NOT-EXISTS
+    silence that would keep serving a stale schema after the underlying
+    file changed."""
     cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields)
     delim_sql = delimiter.replace("\\", "\\\\").replace("'", "\\'")
+    if replace:
+        spark.sql(f"DROP TABLE IF EXISTS `{table_name}`")
     spark.sql(
-        f"CREATE TABLE IF NOT EXISTS `{table_name}` ({cols}) "
+        f"CREATE TABLE `{table_name}` ({cols}) "
         f"USING CSV OPTIONS (header '{str(header).lower()}', sep '{delim_sql}') "
         f"LOCATION '{location}'"
     )
@@ -272,6 +283,7 @@ def ingest_csv(
     delimiter: str | None = None,
     validate: bool = False,
     strict: bool = False,
+    replace: bool = False,
 ) -> IngestResult:
     """The end-to-end pipeline (reference backend/app.py:32-118, steps
     numbered :61-98): sniff → bounded inference → [validation] →
@@ -284,7 +296,13 @@ def ingest_csv(
     step comments; backend/csv_processor.py:112-145) and attaches the
     result to `IngestResult.validation`.  `strict=True` additionally
     raises SchemaValidationError on failure — the reference's behavior,
-    where a pandera SchemaError aborts processing."""
+    where a pandera SchemaError aborts processing.
+
+    `replace=True` is the reference's `drop_if_exists` knob
+    (backend/app.py:51, dropped before re-create at :80-84): re-ingesting
+    a path whose file/schema changed serves the NEW schema.  Under the
+    default, hitting an existing table raises loudly instead of silently
+    keeping the stale definition."""
     name = sanitize_table_name(
         table_name or os.path.splitext(os.path.basename(path))[0]
     )
@@ -306,7 +324,8 @@ def ingest_csv(
                 f"schema validation failed for {path}: type violations {bad}"
             )
     create_external_csv_table(
-        spark, name, path, schema, delimiter=delim, header=header
+        spark, name, path, schema, delimiter=delim, header=header,
+        replace=replace,
     )
     # MSCK REPAIR / REFRESH equivalent (reference backend/app.py:98)
     spark.sql(f"REFRESH TABLE `{name}`")

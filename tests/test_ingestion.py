@@ -534,3 +534,60 @@ def test_ingest_pipeline_stats_through_uri(spark, tmp_path):
         assert float(stats["price"]["mean"]) > 0
     finally:
         cat.drop_table(spark, res.table_name)
+
+
+def test_reingest_replace_serves_new_schema(spark, tmp_path):
+    """The reference's drop_if_exists re-ingestion path
+    (backend/app.py:51,80-84 → hive_manager.py:120-133): re-ingesting a
+    path whose file gained a column under replace=True must serve the
+    NEW schema, not the stale definition."""
+    path = _write(tmp_path, "evolve.csv", ["k,v", "1,a", "2,b"])
+    res = ingest_csv(spark, path, "evolve_case")
+    try:
+        assert [f.name for f in res.schema.fields] == ["k", "v"]
+        # the corrected upload: same path, one more column
+        _write(tmp_path, "evolve.csv", ["k,v,extra", "1,a,9", "2,b,8"])
+        res2 = ingest_csv(spark, path, "evolve_case", replace=True)
+        df = spark.table(res2.table_name)
+        assert [f.name for f in df.schema.fields] == ["k", "v", "extra"]
+        assert df.count() == 2
+    finally:
+        cat.drop_table(spark, res.table_name)
+
+
+def test_reingest_default_raises_not_silent(spark, tmp_path):
+    """Without replace, re-ingesting an existing table name must raise
+    loudly (Spark's TableAlreadyExists), never IF-NOT-EXISTS silence
+    that keeps serving a stale schema."""
+    path = _write(tmp_path, "stale.csv", ["k,v", "1,a"])
+    res = ingest_csv(spark, path, "stale_case")
+    try:
+        _write(tmp_path, "stale.csv", ["k,v,extra", "1,a,9"])
+        with pytest.raises(Exception, match="(?i)already exists"):
+            ingest_csv(spark, path, "stale_case")
+        # and the original definition is untouched
+        assert [f.name for f in spark.table(res.table_name).schema.fields] == [
+            "k",
+            "v",
+        ]
+    finally:
+        cat.drop_table(spark, res.table_name)
+
+
+def test_process_csv_drop_if_exists_payload(spark, tmp_path):
+    """api.process_csv mirrors the reference's drop_if_exists request
+    field: the re-ingested payload reports the new column set."""
+    from data_warehouse_hive_spark import api
+
+    p = str(tmp_path / "dif.csv")
+    with open(p, "w") as f:
+        f.write("a,b\n1,2\n")
+    out = api.process_csv(spark, p, "dif_case")
+    try:
+        assert out["status"] == "success"
+        with open(p, "w") as f:
+            f.write("a,b,c\n1,2,3\n")
+        out2 = api.process_csv(spark, p, "dif_case", drop_if_exists=True)
+        assert [c["name"] for c in out2["columns"]] == ["a", "b", "c"]
+    finally:
+        cat.drop_table(spark, "dif_case")
