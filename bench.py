@@ -380,6 +380,9 @@ EXT_R8 = [
     "q_stats_bartlett",
     "q_stats_mood_median",
     "q_stats_anderson_darling",
+    # eval-family representative so the family's cold cost shows up in
+    # first_run at all (r7 verdict item 5)
+    "q_sim_recall",
 ]
 
 
@@ -577,6 +580,7 @@ def main() -> None:
                     "ext_r6i": ext_r6i["total"],
                     "ext_r7": ext_r7["total"],
                     "ext_r7b": ext_r7b["total"],
+                    "ext_r8": ext_r8["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
@@ -585,6 +589,10 @@ def main() -> None:
                         "q_embed_cluster_purity",
                         "q_graph_labelprop",
                         "q_graph_modularity",
+                        "q_dedup_minhash",
+                        "q_dedup_groups",
+                        "q_graph_degree",
+                        "q_split_leakage_safe",
                         "q_graph_nmi",
                         "q_sim_recall",
                         "q_sim_mrr",

@@ -2719,13 +2719,11 @@ def q_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     twice on doc keys.  All counts exact.
     """
     from data_warehouse_hive_spark.extensions.dedup import (
+        candidate_pairs_cached,
         min_label_propagation,
-        minhash_candidate_pairs,
     )
 
-    pairs = minhash_candidate_pairs(
-        t(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs_cached(spark, sf_dir)
     labels, _ = min_label_propagation(
         pairs.select(
             F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")

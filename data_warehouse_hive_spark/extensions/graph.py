@@ -189,9 +189,9 @@ def q_graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     Two small aggregations over the pair list; the expensive part (the
     LSH pipeline) is exactly the shared q_dedup_minhash plan.
     """
-    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+    from data_warehouse_hive_spark.extensions.dedup import candidate_pairs_cached
 
-    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    pairs = candidate_pairs_cached(spark, sf_dir)
     nodes = pairs.select(F.col("doc_a").alias("doc")).unionAll(
         pairs.select(F.col("doc_b").alias("doc"))
     )
@@ -237,11 +237,9 @@ def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     count (node-order directed edges bound the join fan-out by max
     degree, which LSH banding keeps small).
     """
-    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+    from data_warehouse_hive_spark.extensions.dedup import candidate_pairs_cached
 
-    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+    pairs = candidate_pairs_cached(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -311,11 +309,9 @@ def q_graph_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     Union size comes from inclusion-exclusion, so only ONE pair
     aggregation runs.  The edge list is checkpointed once.
     """
-    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+    from data_warehouse_hive_spark.extensions.dedup import candidate_pairs_cached
 
-    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+    pairs = candidate_pairs_cached(spark, sf_dir)
     edges = pairs.select(F.col("doc_a").alias("u"), F.col("doc_b").alias("v")).unionAll(
         pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
     )
@@ -477,11 +473,9 @@ def q_graph_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedges are Σ d(d−1)/2 over the degree table — two integer
     aggregates, one 1-row result.  Exact integers everywhere except the
     final pinned ratio."""
-    from data_warehouse_hive_spark.extensions.dedup import minhash_candidate_pairs
+    from data_warehouse_hive_spark.extensions.dedup import candidate_pairs_cached
 
-    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents")).localCheckpoint(
-        eager=False
-    )
+    pairs = candidate_pairs_cached(spark, sf_dir)
     e1 = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     e2 = pairs.select(F.col("doc_a").alias("b2"), F.col("doc_b").alias("c"))
     e3 = pairs.select(F.col("doc_a").alias("a3"), F.col("doc_b").alias("c3"))
@@ -752,12 +746,10 @@ def q_graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle unrolls the same rounds as CTEs.
     """
     from data_warehouse_hive_spark.extensions.dedup import (
-        minhash_candidate_pairs,
+        candidate_pairs_cached,
     )
 
-    pairs = minhash_candidate_pairs(
-        t(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs_cached(spark, sf_dir)
     edges = pairs.select("doc_a", "doc_b")
     nodes = (
         edges.select(F.col("doc_a").alias("doc"))
@@ -865,12 +857,10 @@ def q_graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as _F
 
     from data_warehouse_hive_spark.extensions.dedup import (
-        minhash_candidate_pairs,
+        candidate_pairs_cached,
     )
 
-    pairs = minhash_candidate_pairs(
-        t(spark, sf_dir, "documents")
-    ).localCheckpoint(eager=False)
+    pairs = candidate_pairs_cached(spark, sf_dir)
     deg = (
         pairs.select(F.col("doc_a").alias("doc"))
         .unionAll(pairs.select(F.col("doc_b").alias("doc")))
@@ -976,7 +966,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     relation, final (node, lbl) labels) — shared by q_graph_labelprop
     and q_graph_modularity (memoized per session, see _LPA_CACHE)."""
     from data_warehouse_hive_spark.extensions.dedup import (
-        minhash_candidate_pairs,
+        candidate_pairs_cached,
     )
 
     key = (spark.sparkContext.applicationId, sf_dir)
@@ -984,7 +974,7 @@ def _lpa_labels(spark: SparkSession, sf_dir: str):
     if hit is not None:
         return hit
 
-    pairs = minhash_candidate_pairs(t(spark, sf_dir, "documents"))
+    pairs = candidate_pairs_cached(spark, sf_dir)
     und = (
         pairs.select(F.col("doc_a").alias("node"), F.col("doc_b").alias("nb"))
         .unionAll(
