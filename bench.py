@@ -383,6 +383,7 @@ EXT_R8 = [
     # eval-family representative so the family's cold cost shows up in
     # first_run at all (r7 verdict item 5)
     "q_sim_recall",
+    "q_text_bpe_merge",
 ]
 
 

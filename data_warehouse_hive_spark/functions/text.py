@@ -2151,6 +2151,139 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_MERGE_ROUNDS = 6
+
+
+def _o_bpe_merge() -> str:
+    """Unrolled-rounds oracle for q_text_bpe_merge (the q_graph_kcore
+    pattern: iterative fixpoint as MATERIALIZED CTE rounds)."""
+    ctes = ["""wf AS MATERIALIZED (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+      WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
+    )""",
+    """syms0 AS MATERIALIZED (
+      SELECT freq,
+             '||' || array_to_string(
+               list_append(string_split(w, ''), '</w>'), '||') || '||'
+               AS s
+      FROM wf
+    )"""]
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        ctes.append(f"""pairs{r} AS MATERIALIZED (
+      SELECT p.a, p.b, CAST(SUM(freq) AS BIGINT) AS n
+      FROM (SELECT freq, string_split(trim(s, '|'), '||') AS l
+            FROM syms{r - 1}) t,
+           LATERAL (SELECT unnest(list_transform(range(1, len(l)),
+                      i -> {{'a': l[i], 'b': l[i + 1]}})) AS p) x
+      GROUP BY p.a, p.b
+    )""")
+        ctes.append(f"""top{r} AS MATERIALIZED (
+      SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1
+    )""")
+        ctes.append(f"""syms{r} AS MATERIALIZED (
+      SELECT freq,
+             replace(s, '|' || t.a || '||' || t.b || '|',
+                     '|' || t.a || t.b || '|') AS s
+      FROM syms{r - 1} CROSS JOIN top{r} t
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym,"
+        f" b AS right_sym, a || b AS merged, n AS pair_count FROM top{r}"
+        for r in range(1, BPE_MERGE_ROUNDS + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({unions}) ORDER BY round"
+    )
+
+
+@query("q_text_bpe_merge", oracle=_o_bpe_merge())
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE tokenizer-training loop ({BPE_MERGE_ROUNDS}
+    merge rounds): count adjacent symbol pairs weighted by word
+    frequency, merge the top pair (count desc, then lexicographic — a
+    total order, so the fixpoint is deterministic) into every word\'s
+    symbol sequence, re-count, repeat — the missing piece on top of
+    q_text_bpe_pairs, which computes ONE round\'s counts.
+
+    Scale shape is Sennrich\'s reference trainer made distributed: the
+    corpus collapses ONCE to the word-frequency relation (pair counting
+    then touches |vocab| rows per round, never |corpus| tokens), the
+    per-round count is a distributed fan-out + hash aggregate, and only
+    the 1-row argmax is driver work per round (the merge bookkeeping
+    that is driver work in every real trainer).  localCheckpoint per
+    round truncates lineage (the q_graph_pagerank pattern).
+
+    The merge itself stays engine-side AND cross-engine exact via a
+    string encoding: each symbol sequence is kept as \'||\'-joined with
+    \'|\' affixes, and replace(\'|a||b|\' -> \'|ab|\') — literal,
+    left-to-right, non-overlapping, never rescanning the replacement in
+    either engine — consumes only the INNER halves of the boundary
+    pipes, leaving one pipe on each side for an adjacent match: exactly
+    greedy BPE (e.g. b|b|b under (b,b) -> bb|b).  Words are restricted
+    to ^[a-z0-9]+$ (standard BPE pre-tokenization), so \'|\' can never
+    occur inside a symbol.  The oracle unrolls the identical rounds as
+    MATERIALIZED CTEs (the q_graph_kcore lesson)."""
+    d = spread(t(spark, sf_dir, "documents").select("text"), spark)
+    wf = (
+        d.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    syms = wf.select(
+        "freq",
+        F.concat(
+            F.lit("||"),
+            F.concat_ws(
+                "||",
+                F.concat(
+                    F.filter(F.split("w", ""), lambda x: x != ""),
+                    F.array(F.lit("</w>")),
+                ),
+            ),
+            F.lit("||"),
+        ).alias("s"),
+    ).localCheckpoint(eager=False)
+    merges = []
+    for r in range(1, BPE_MERGE_ROUNDS + 1):
+        lst = F.split(F.expr("trim(BOTH '|' FROM s)"), r"\|\|")
+        pairs = (
+            syms.select(
+                "freq",
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.size(lst) - 2),
+                        lambda i: F.struct(
+                            F.element_at(lst, i + 1).alias("a"),
+                            F.element_at(lst, i + 2).alias("b"),
+                        ),
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").cast("long").alias("n"))
+        )
+        top = pairs.orderBy(F.col("n").desc(), "a", "b").limit(1).collect()[0]
+        merges.append((r, top["a"], top["b"], top["a"] + top["b"], top["n"]))
+        syms = syms.select(
+            "freq",
+            F.replace(
+                F.col("s"),
+                F.lit("|" + top["a"] + "||" + top["b"] + "|"),
+                F.lit("|" + top["a"] + top["b"] + "|"),
+            ).alias("s"),
+        ).localCheckpoint(eager=False)
+    schema = (
+        "round long, left_sym string, right_sym string,"
+        " merged string, pair_count long"
+    )
+    return spark.createDataFrame(merges, schema).orderBy("round")
+
+
 # ---------------------------------------------------------------------------
 # RAKE keyphrase extraction (degree/frequency scoring of stopword-split runs)
 # ---------------------------------------------------------------------------

@@ -61,5 +61,7 @@ def test_round_batch_ids_are_benched():
         "q_stats_bartlett",
         "q_stats_mood_median",
         "q_stats_anderson_darling",
+        "q_sim_recall",
+        "q_text_bpe_merge",
     ):
         assert qid in bench.EXT_R8, f"{qid} missing from bench.EXT_R8"
