@@ -386,6 +386,17 @@ EXT_R8 = [
     "q_text_bpe_merge",
 ]
 
+# round 8 batch B: EDF/omnibus normality completion, BPE encode,
+# cross-doc span audit, embedding isotropy.
+EXT_R8B = [
+    "q_stats_cvm",
+    "q_stats_lilliefors",
+    "q_stats_dagostino",
+    "q_text_bpe_encode",
+    "q_dedup_crossdoc_spans",
+    "q_embed_isotropy",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -412,7 +423,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -498,6 +509,8 @@ def main() -> None:
     ext_r7b["total"] = round(sum(ext_r7b.values()), 3)
     ext_r8 = {name: timed(name) for name in EXT_R8}
     ext_r8["total"] = round(sum(ext_r8.values()), 3)
+    ext_r8b = {name: timed(name) for name in EXT_R8B}
+    ext_r8b["total"] = round(sum(ext_r8b.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -531,6 +544,7 @@ def main() -> None:
         "ext_r7": ext_r7,
         "ext_r7b": ext_r7b,
         "ext_r8": ext_r8,
+        "ext_r8b": ext_r8b,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -582,6 +596,7 @@ def main() -> None:
                     "ext_r7": ext_r7["total"],
                     "ext_r7b": ext_r7b["total"],
                     "ext_r8": ext_r8["total"],
+                    "ext_r8b": ext_r8b["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
@@ -591,6 +606,8 @@ def main() -> None:
                         "q_graph_labelprop",
                         "q_graph_modularity",
                         "q_dedup_minhash",
+                        "q_text_bpe_merge",
+                        "q_text_bpe_encode",
                         "q_dedup_groups",
                         "q_graph_degree",
                         "q_split_leakage_safe",

@@ -1688,3 +1688,78 @@ def q_dedup_template_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_groups_only_template_catches"),
         F.sum("n_docs").cast("long").alias("n_docs"),
     )
+
+
+SPAN_N = 8
+SPAN_TOP = 15
+
+
+@query(
+    "q_dedup_crossdoc_spans",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, array_to_string(ws[i + 1:i + {SPAN_N}], ' ') AS span
+      FROM toks, LATERAL (SELECT unnest(range(len(ws) - {SPAN_N - 1}))
+                          AS i) x
+      WHERE len(ws) >= {SPAN_N}
+    ),
+    agg AS (
+      SELECT span, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(COUNT(*) AS BIGINT) AS n_occ
+      FROM grams GROUP BY span
+    )
+    SELECT span, n_docs, n_occ FROM agg WHERE n_docs >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span LIMIT {SPAN_TOP}
+    """,
+)
+def q_dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated {SPAN_N}-token spans appearing in 2+ DISTINCT
+    documents — the suffix-array-lite substring-dedup audit
+    (RefinedWeb/C4-style boilerplate & memorization screen): MinHash
+    (q_dedup_minhash) finds near-duplicate WHOLE documents, this finds
+    shared PASSAGES inside otherwise-distinct documents (licenses,
+    navigation chrome, templated intros) that a trained model would
+    memorize verbatim.
+
+    One narrow pass fans each document into its word {SPAN_N}-grams
+    (positions, not characters — token spans are what dedup pipelines
+    drop); ONE hash aggregate on the span key (uniformly distributed —
+    the span string itself hashes the shuffle) computes document
+    frequency and occurrence count; only spans crossing the 2-doc
+    threshold survive to the bounded top-{SPAN_TOP}.  A full
+    suffix-array build would find arbitrary-length repeats; fixed-n
+    spans are the standard linear-cost approximation and compose (run
+    at n=50 for memorization, n=8 for boilerplate)."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    toks = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= SPAN_N)
+    )
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, size(ws) - {SPAN_N}),"
+                f" i -> array_join(slice(ws, i + 1, {SPAN_N}), ' '))"
+            )
+        ).alias("span"),
+    )
+    return (
+        grams.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
+        .limit(SPAN_TOP)
+    )

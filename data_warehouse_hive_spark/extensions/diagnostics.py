@@ -4830,3 +4830,521 @@ def q_stats_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 8: EDF-statistic family completion (CvM, Lilliefors) + D'Agostino K2
+# — all on the q_stats_anderson_darling machinery: histogram order-statistic
+# weights + the mirrored A-S 7.1.26 erf closure, no global row sort anywhere
+# ---------------------------------------------------------------------------
+
+# the A-S 7.1.26 normal-CDF closure as a SQL fragment (DuckDB) — identical
+# literal arithmetic to _phi_col below so both engines compute the same
+# IEEE doubles; {z} is the (already exact) standardized-value expression
+_PHI_SQL = """GREATEST(LEAST(0.5 * (CASE WHEN {z} >= 0.0
+             THEN 1.0 + (1.0 - (1.0 / (1.0 + 0.3275911 * (abs({z})
+                    * 0.7071067811865476)))
+                   * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * 1.061405429))))
+                   * exp(-(abs({z}) * 0.7071067811865476)
+                         * (abs({z}) * 0.7071067811865476)))
+             ELSE 1.0 - (1.0 - (1.0 / (1.0 + 0.3275911 * (abs({z})
+                    * 0.7071067811865476)))
+                   * (0.254829592 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (-0.284496736 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (1.421413741 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * (-1.453152027 + (1.0 / (1.0 + 0.3275911 * (abs({z})
+                        * 0.7071067811865476)))
+                   * 1.061405429))))
+                   * exp(-(abs({z}) * 0.7071067811865476)
+                         * (abs({z}) * 0.7071067811865476)))
+             END), 1.0 - 1e-15), 1e-15)"""
+
+
+def _phi_col(z):
+    """Spark twin of _PHI_SQL: the clamped A-S 7.1.26 Phi(z) Column."""
+    xx = F.abs(z) * 0.7071067811865476
+    tt = 1.0 / (1.0 + 0.3275911 * xx)
+    er = F.lit(1.0) - tt * (
+        0.254829592
+        + tt
+        * (
+            -0.284496736
+            + tt * (1.421413741 + tt * (-1.453152027 + tt * 1.061405429))
+        )
+    ) * F.exp(-xx * xx)
+    return F.greatest(
+        F.least(
+            0.5 * F.when(z >= 0.0, F.lit(1.0) + er).otherwise(F.lit(1.0) - er),
+            F.lit(1.0 - 1e-15),
+        ),
+        F.lit(1e-15),
+    )
+
+
+# shared CTE prefix: per-group moments + distinct-value histogram with the
+# running count a (values strictly below v), exactly q_stats_anderson_darling's
+_EDF_CTE = """pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+      FROM pool GROUP BY grp
+    ),
+    mom AS (
+      SELECT grp, n, s1,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                  / (n - 1)) AS sd
+      FROM sums
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    ranked AS (
+      SELECT grp, xq, c,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY xq) - c
+                  AS BIGINT) AS a
+      FROM hist
+    ),
+    zed AS (
+      SELECT r.grp, r.c, r.a, m.n,
+             (CAST(r.xq AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.n) / m.sd
+               AS z
+      FROM ranked r JOIN mom m ON m.grp = r.grp
+    )"""
+
+
+def _edf_zed(spark: SparkSession, sf_dir: str):
+    """Spark twin of _EDF_CTE: returns (zed DataFrame with
+    grp/c/a/n/z columns)."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    xqd = F.col("xq").cast("decimal(38,0)")
+    sums = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(xqd * F.col("xq")).alias("s2"),
+    )
+    mom = sums.select(
+        "grp",
+        "n",
+        "s1",
+        F.sqrt(
+            (
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+            )
+            / (F.col("n") - 1)
+        ).alias("sd"),
+    )
+    hist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wcum = Window.partitionBy("grp").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "grp",
+        "xq",
+        "c",
+        (F.sum("c").over(wcum) - F.col("c")).cast("long").alias("a"),
+    )
+    return ranked.join(
+        F.broadcast(mom.withColumnRenamed("grp", "m_grp")),
+        F.col("m_grp") == F.col("grp"),
+    ).select(
+        "grp",
+        "c",
+        "a",
+        "n",
+        (
+            (
+                F.col("xq").cast("double")
+                - F.col("s1").cast("double") / F.col("n")
+            )
+            / F.col("sd")
+        ).alias("z"),
+    )
+
+
+@query(
+    "q_stats_cvm",
+    oracle=f"""
+    WITH {_EDF_CTE},
+    terms AS (
+      SELECT grp, n,
+             CAST(c AS HUGEINT)
+               * CAST(floor(({_PHI_SQL.format(z="z")})
+                            * ({_PHI_SQL.format(z="z")}) * 1e12 + 0.5)
+                      AS BIGINT) AS t12,
+             CAST(c * (2 * a + c) AS HUGEINT)
+               * CAST(floor(({_PHI_SQL.format(z="z")}) * 1e12 + 0.5)
+                      AS BIGINT) AS u12
+      FROM zed
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           round(CAST(SUM(t12) AS DOUBLE) / 1e12
+                 - CAST(SUM(u12) AS DOUBLE) / 1e12 / MAX(n)
+                 + MAX(n) / 3.0, 6) AS w2,
+           round((CAST(SUM(t12) AS DOUBLE) / 1e12
+                  - CAST(SUM(u12) AS DOUBLE) / 1e12 / MAX(n)
+                  + MAX(n) / 3.0) * (1.0 + 0.5 / MAX(n)), 6) AS w2_star
+    FROM terms GROUP BY grp ORDER BY grp
+    """,
+)
+def q_stats_cvm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér-von Mises normality statistic W² per event type — the
+    mean-square EDF distance, between q_stats_ks (max distance, blunt)
+    and q_stats_anderson_darling (tail-weighted): the third member of
+    the EDF family, sensitive to body-of-distribution misfit.
+
+    Same no-global-sort machinery as AD, with one extra telescoping
+    identity: W² = Σ(Φ(z_(i)) - (2i-1)/2n)² + 1/12n expands per distinct
+    value into c·Φ² - Φ·c(2a+c)/n + Σ(2i-1)²/4n², and the pure
+    Σ(2i-1)²/4n² term telescopes across the whole group to exactly
+    (4n²-1)/12n — so W² = Σ c·Φ² - (Σ Φ·c(2a+c))/n + n/3 needs only the
+    SAME exact-integer weight c(2a+c) as AD.  Φ and Φ² are pinned onto
+    1e12 summand grids into HUGEINT/DECIMAL(38) products (c ≤ n makes
+    c·Φ²·1e12 overflow BIGINT at sf10 — hence the 128-bit carriers);
+    the k-row finish applies the (1 + 0.5/n) small-sample factor."""
+    zed = _edf_zed(spark, sf_dir)
+    p = _phi_col(F.col("z"))
+    terms = zed.select(
+        "grp",
+        "n",
+        (
+            F.col("c").cast("decimal(38,0)")
+            * F.floor(p * p * 1e12 + 0.5).cast("long")
+        ).alias("t12"),
+        (
+            (F.col("c") * (2 * F.col("a") + F.col("c"))).cast(
+                "decimal(38,0)"
+            )
+            * F.floor(p * 1e12 + 0.5).cast("long")
+        ).alias("u12"),
+    )
+    w2 = (
+        F.sum("t12").cast("double") / 1e12
+        - F.sum("u12").cast("double") / 1e12 / F.max("n")
+        + F.max("n") / 3.0
+    )
+    return (
+        terms.groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(w2, 6).alias("w2"),
+            F.round(w2 * (1.0 + 0.5 / F.max("n")), 6).alias("w2_star"),
+        )
+        .orderBy("grp")
+    )
+
+
+@query(
+    "q_stats_lilliefors",
+    oracle=f"""
+    WITH {_EDF_CTE},
+    gaps AS (
+      SELECT grp, n,
+             CAST(a + c AS DOUBLE) / n - ({_PHI_SQL.format(z="z")})
+               AS d_plus,
+             ({_PHI_SQL.format(z="z")}) - CAST(a AS DOUBLE) / n AS d_minus
+      FROM zed
+    )
+    SELECT grp, CAST(MAX(n) AS BIGINT) AS n,
+           round(GREATEST(MAX(d_plus), MAX(d_minus)), 6) AS d,
+           round(GREATEST(MAX(d_plus), MAX(d_minus))
+                 * sqrt(CAST(MAX(n) AS DOUBLE)), 6) AS d_scaled
+    FROM gaps GROUP BY grp ORDER BY grp
+    """,
+)
+def q_stats_lilliefors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lilliefors test statistic per event type: the Kolmogorov-Smirnov
+    max-gap D against the FITTED normal (mean and sd estimated from the
+    same sample — the composite-hypothesis form q_stats_ks's two-sample
+    drift check does not cover).  d_scaled = D·√n is the size-free
+    comparison value.
+
+    The empirical CDF steps only at distinct values, so both one-sided
+    gaps ride the histogram: D⁺ = max((a+c)/n - Φ(z_v)) (CDF just after
+    the step) and D⁻ = max(Φ(z_v) - a/n) (just before) — exact integer
+    cumulative counts, the mirrored erf closure for Φ, and max() is
+    order-free by construction (no grids needed)."""
+    zed = _edf_zed(spark, sf_dir)
+    p = _phi_col(F.col("z"))
+    gaps = zed.select(
+        "grp",
+        "n",
+        ((F.col("a") + F.col("c")).cast("double") / F.col("n") - p).alias(
+            "d_plus"
+        ),
+        (p - F.col("a").cast("double") / F.col("n")).alias("d_minus"),
+    )
+    d = F.greatest(F.max("d_plus"), F.max("d_minus"))
+    return (
+        gaps.groupBy("grp")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.round(d, 6).alias("d"),
+            F.round(d * F.sqrt(F.max("n").cast("double")), 6).alias(
+                "d_scaled"
+            ),
+        )
+        .orderBy("grp")
+    )
+
+
+# D'Agostino moment-transform building blocks (SQL side): m_k = s_k/n as
+# doubles in the same fixed order as q_stats_jarque_bera
+_DA_M1 = "(CAST(s1 AS DOUBLE) / n)"
+_DA_M2 = f"(CAST(s2 AS DOUBLE) / n - {_DA_M1} * {_DA_M1})"
+_DA_SK = (
+    f"((CAST(s3 AS DOUBLE) / n - 3.0 * {_DA_M1} * (CAST(s2 AS DOUBLE) / n)"
+    f" + 2.0 * {_DA_M1} * {_DA_M1} * {_DA_M1})"
+    f" / ({_DA_M2} * sqrt({_DA_M2})))"
+)
+_DA_B2 = (
+    f"((CAST(s4 AS DOUBLE) / n - 4.0 * {_DA_M1} * (CAST(s3 AS DOUBLE) / n)"
+    f" + 6.0 * {_DA_M1} * {_DA_M1} * (CAST(s2 AS DOUBLE) / n)"
+    f" - 3.0 * {_DA_M1} * {_DA_M1} * {_DA_M1} * {_DA_M1})"
+    f" / ({_DA_M2} * {_DA_M2}))"
+)
+
+
+@query(
+    "q_stats_dagostino",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq * xq) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq * xq * xq) AS HUGEINT) AS s4
+      FROM pool GROUP BY grp
+    ),
+    der AS (
+      SELECT grp, n, CAST(n AS DOUBLE) AS nd,
+             {_DA_SK} AS sk, {_DA_B2} AS b2
+      FROM sums
+    ),
+    skewside AS (
+      SELECT grp, n, nd, sk, b2,
+             sk * sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0))) AS y,
+             3.0 * (nd * nd + 27.0 * nd - 70.0) * (nd + 1.0) * (nd + 3.0)
+               / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+               AS beta2
+      FROM der
+    ),
+    skewz AS (
+      SELECT grp, n, nd, b2, y,
+             -1.0 + sqrt(2.0 * (beta2 - 1.0)) AS w2
+      FROM skewside
+    ),
+    zs_cte AS (
+      SELECT grp, n, nd, b2,
+             (1.0 / sqrt(0.5 * ln(w2)))
+               * ln(y / sqrt(2.0 / (w2 - 1.0))
+                    + sqrt((y / sqrt(2.0 / (w2 - 1.0)))
+                           * (y / sqrt(2.0 / (w2 - 1.0))) + 1.0)) AS zs
+      FROM skewz
+    ),
+    kurtside AS (
+      SELECT grp, n, nd, zs,
+             (b2 - 3.0 * (nd - 1.0) / (nd + 1.0))
+               / sqrt(24.0 * nd * (nd - 2.0) * (nd - 3.0)
+                      / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0)
+                         * (nd + 5.0))) AS x,
+             6.0 * (nd * nd - 5.0 * nd + 2.0) / ((nd + 7.0) * (nd + 9.0))
+               * sqrt(6.0 * (nd + 3.0) * (nd + 5.0)
+                      / (nd * (nd - 2.0) * (nd - 3.0))) AS sb1
+      FROM zs_cte
+    ),
+    kurta AS (
+      SELECT grp, n, zs, x,
+             6.0 + 8.0 / sb1 * (2.0 / sb1
+                                + sqrt(1.0 + 4.0 / (sb1 * sb1))) AS aa
+      FROM kurtside
+    ),
+    zk_cte AS (
+      SELECT grp, n, zs,
+             (1.0 - 2.0 / (9.0 * aa)
+              - cbrt((1.0 - 2.0 / aa)
+                     / (1.0 + x * sqrt(2.0 / (aa - 4.0)))))
+               * sqrt(9.0 * aa / 2.0) AS zk
+      FROM kurta
+    )
+    SELECT grp, n, round(zs, 6) AS skew_z, round(zk, 6) AS kurt_z,
+           round(zs * zs + zk * zk, 6) AS k2
+    FROM zk_cte ORDER BY grp
+    """,
+)
+def q_stats_dagostino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D'Agostino-Pearson K² omnibus normality test per event type: the
+    skewness z (D'Agostino 1970 Johnson-SU transform) and kurtosis z
+    (Anscombe-Glynn 1983 Wilson-Hilferty cube-root transform) combined
+    as K² = z_s² + z_k² — the MOMENT-side omnibus that complements the
+    EDF family (ks/lilliefors/cvm/anderson_darling): q_stats_jarque_bera
+    reports the raw moments, this op finishes them into the properly
+    size-normalized test.
+
+    Everything derives from the one conditional-aggregation pass of
+    exact power sums Σx..x⁴ on the cents carrier (DECIMAL(38)/HUGEINT,
+    operand-cast-first — the jarque_bera machinery verbatim); all the
+    finite-sample constants are fixed-order double arithmetic on the
+    k-row relation with n pre-cast to double ONCE (the (n+1)²(n+3)(n+5)
+    products overflow BIGINT at sf10 if left integer).  cbrt is the
+    only non-ln/exp transcendental — present and sign-correct in both
+    engines."""
+    xqd = F.col("xq").cast("decimal(38,0)")
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    sums = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(xqd * F.col("xq")).alias("s2"),
+        F.sum(xqd * F.col("xq") * F.col("xq")).alias("s3"),
+        F.sum(xqd * F.col("xq") * F.col("xq") * F.col("xq")).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - m1 * m1
+    sk = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * m1 * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * m1 * m1 * m1
+    ) / (m2 * F.sqrt(m2))
+    b2 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4.0 * m1 * (F.col("s3").cast("double") / F.col("n"))
+        + 6.0 * m1 * m1 * (F.col("s2").cast("double") / F.col("n"))
+        - 3.0 * m1 * m1 * m1 * m1
+    ) / (m2 * m2)
+    der = sums.select(
+        "grp",
+        "n",
+        F.col("n").cast("double").alias("nd"),
+        sk.alias("sk"),
+        b2.alias("b2"),
+    )
+    nd = F.col("nd")
+    skewside = der.select(
+        "grp",
+        "n",
+        "nd",
+        "sk",
+        "b2",
+        (
+            F.col("sk")
+            * F.sqrt((nd + 1.0) * (nd + 3.0) / (6.0 * (nd - 2.0)))
+        ).alias("y"),
+        (
+            3.0
+            * (nd * nd + 27.0 * nd - 70.0)
+            * (nd + 1.0)
+            * (nd + 3.0)
+            / ((nd - 2.0) * (nd + 5.0) * (nd + 7.0) * (nd + 9.0))
+        ).alias("beta2"),
+    )
+    skewz = skewside.select(
+        "grp",
+        "n",
+        "nd",
+        "b2",
+        "y",
+        (F.lit(-1.0) + F.sqrt(2.0 * (F.col("beta2") - 1.0))).alias("w2"),
+    )
+    ya = F.col("y") / F.sqrt(2.0 / (F.col("w2") - 1.0))
+    zs_cte = skewz.select(
+        "grp",
+        "n",
+        "nd",
+        "b2",
+        (
+            (1.0 / F.sqrt(0.5 * F.log(F.col("w2"))))
+            * F.log(ya + F.sqrt(ya * ya + 1.0))
+        ).alias("zs"),
+    )
+    kurtside = zs_cte.select(
+        "grp",
+        "n",
+        "nd",
+        "zs",
+        (
+            (F.col("b2") - 3.0 * (nd - 1.0) / (nd + 1.0))
+            / F.sqrt(
+                24.0
+                * nd
+                * (nd - 2.0)
+                * (nd - 3.0)
+                / ((nd + 1.0) * (nd + 1.0) * (nd + 3.0) * (nd + 5.0))
+            )
+        ).alias("x"),
+        (
+            6.0
+            * (nd * nd - 5.0 * nd + 2.0)
+            / ((nd + 7.0) * (nd + 9.0))
+            * F.sqrt(
+                6.0 * (nd + 3.0) * (nd + 5.0)
+                / (nd * (nd - 2.0) * (nd - 3.0))
+            )
+        ).alias("sb1"),
+    )
+    sb1 = F.col("sb1")
+    kurta = kurtside.select(
+        "grp",
+        "n",
+        "zs",
+        "x",
+        (
+            F.lit(6.0)
+            + 8.0 / sb1 * (2.0 / sb1 + F.sqrt(1.0 + 4.0 / (sb1 * sb1)))
+        ).alias("aa"),
+    )
+    aa = F.col("aa")
+    zk_cte = kurta.select(
+        "grp",
+        "n",
+        "zs",
+        (
+            (
+                F.lit(1.0)
+                - 2.0 / (9.0 * aa)
+                - F.cbrt(
+                    (1.0 - 2.0 / aa)
+                    / (1.0 + F.col("x") * F.sqrt(2.0 / (aa - 4.0)))
+                )
+            )
+            * F.sqrt(9.0 * aa / 2.0)
+        ).alias("zk"),
+    )
+    return zk_cte.select(
+        "grp",
+        "n",
+        F.round(F.col("zs"), 6).alias("skew_z"),
+        F.round(F.col("zk"), 6).alias("kurt_z"),
+        F.round(
+            F.col("zs") * F.col("zs") + F.col("zk") * F.col("zk"), 6
+        ).alias("k2"),
+    ).orderBy("grp")

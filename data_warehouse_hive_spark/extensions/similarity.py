@@ -3360,3 +3360,152 @@ def q_embed_knn_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@query(
+    "q_embed_isotropy",
+    oracle="""
+    WITH rows_n AS (
+      SELECT embedding,
+             sqrt(list_sum(list_transform(embedding,
+                    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+      FROM embeddings
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN nrm > 1e-9 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unit
+      FROM rows_n
+    ),
+    comp AS (
+      SELECT p.i,
+             CASE WHEN nrm > 1e-9
+                  THEN CAST(floor(CAST(p.x AS DOUBLE) / nrm * 1e6 + 0.5)
+                            AS BIGINT)
+                  ELSE 0 END AS uq,
+             CAST(floor(CAST(p.x AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS mq,
+             CAST(floor(CAST(p.x AS DOUBLE) * CAST(p.x AS DOUBLE) * 1e9
+                        + 0.5) AS BIGINT) AS sq
+      FROM rows_n,
+           LATERAL (SELECT unnest(list_transform(
+                      range(1, len(embedding) + 1),
+                      i -> {'i': i, 'x': embedding[i]})) AS p) z
+    ),
+    dims AS (
+      SELECT i, CAST(SUM(uq) AS BIGINT) AS su,
+             CAST(SUM(mq) AS BIGINT) AS sm,
+             CAST(SUM(sq) AS BIGINT) AS s2
+      FROM comp GROUP BY i
+    ),
+    dterm AS (
+      SELECT i,
+             CAST(floor((CAST(su AS DOUBLE) / 1e6)
+                        * (CAST(su AS DOUBLE) / 1e6) * 1e6 + 0.5)
+                  AS HUGEINT) AS q2,
+             CAST(floor((CAST(sm AS DOUBLE) / 1e6 / t.n)
+                        * (CAST(sm AS DOUBLE) / 1e6 / t.n) * 1e12 + 0.5)
+                  AS BIGINT) AS mu2,
+             CAST(floor((CAST(s2 AS DOUBLE) / 1e9 / t.n
+                         - (CAST(sm AS DOUBLE) / 1e6 / t.n)
+                           * (CAST(sm AS DOUBLE) / 1e6 / t.n)) * 1e12
+                        + 0.5) AS BIGINT) AS v12,
+             t.n, t.n_unit
+      FROM dims CROSS JOIN tot t
+    )
+    SELECT MAX(n) AS n, CAST(COUNT(*) AS BIGINT) AS dim,
+           round(sqrt(CAST(SUM(mu2) AS DOUBLE) / 1e12), 6)
+             AS mean_vec_norm,
+           round((CAST(SUM(q2) AS DOUBLE) / 1e6 - MAX(n_unit))
+                 / (MAX(n_unit) * (MAX(n_unit) - 1.0)), 6) AS avg_cos,
+           round(CAST(MAX(v12) AS DOUBLE) / SUM(v12), 6)
+             AS axis_max_var_share
+    FROM dterm
+    """,
+)
+def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space isotropy diagnostics — the index-quality screen
+    retrieval papers run before trusting cosine similarity at all: a
+    strongly anisotropic space (all vectors leaning into a common cone)
+    makes cosine scores saturate and ANN recall curves lie.  Reports
+    the mean-vector norm (0 for a centered space), the average pairwise
+    cosine, and the largest single axis' share of total variance.
+
+    The O(n²) pairwise-cosine average collapses via the exact identity
+    Σ_{i≠j} v̂ᵢ·v̂ⱼ = ||Σ v̂||² − Σ||v̂||²: ONE narrow pass pins each
+    normalized component onto a 1e6 grid (per-row norm is the codegen'd
+    fixed-order fold from q_embed_norms), per-dimension sums are then
+    exact integers at any partition count, and the 64-row finish squares
+    them on a 1e6 summand grid into HUGEINT (S_k² · 1e6 passes BIGINT at
+    sf10).  Mean vector and per-axis variance ride the same exploded
+    pass on 1e6/1e9 grids — no second scan, no pair join anywhere."""
+    em = t(spark, sf_dir, "embeddings")
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, x: acc + x.cast("double") * x.cast("double"),
+        )
+    )
+    rows_n = em.select("embedding", nrm.alias("nrm"))
+    tot = rows_n.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("nrm") > 1e-9, 1).otherwise(0))
+        .cast("long")
+        .alias("n_unit"),
+    )
+    xd = F.col("x").cast("double")
+    comp = rows_n.select(
+        "nrm", F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("i"),
+        F.when(
+            F.col("nrm") > 1e-9,
+            F.floor(xd / F.col("nrm") * 1e6 + 0.5).cast("long"),
+        )
+        .otherwise(F.lit(0))
+        .alias("uq"),
+        F.floor(xd * 1e6 + 0.5).cast("long").alias("mq"),
+        F.floor(xd * xd * 1e9 + 0.5).cast("long").alias("sq"),
+    )
+    dims = comp.groupBy("i").agg(
+        F.sum("uq").cast("long").alias("su"),
+        F.sum("mq").cast("long").alias("sm"),
+        F.sum("sq").cast("long").alias("s2"),
+    )
+    mu = F.col("sm").cast("double") / 1e6 / F.col("n")
+    dterm = dims.crossJoin(F.broadcast(tot)).select(
+        "i",
+        F.floor(
+            (F.col("su").cast("double") / 1e6)
+            * (F.col("su").cast("double") / 1e6)
+            * 1e6
+            + 0.5
+        )
+        .cast("decimal(38,0)")
+        .alias("q2"),
+        F.floor(mu * mu * 1e12 + 0.5).cast("long").alias("mu2"),
+        F.floor(
+            (F.col("s2").cast("double") / 1e9 / F.col("n") - mu * mu)
+            * 1e12
+            + 0.5
+        )
+        .cast("long")
+        .alias("v12"),
+        "n",
+        "n_unit",
+    )
+    return dterm.agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("dim"),
+        F.round(F.sqrt(F.sum("mu2").cast("double") / 1e12), 6).alias(
+            "mean_vec_norm"
+        ),
+        F.round(
+            (F.sum("q2").cast("double") / 1e6 - F.max("n_unit"))
+            / (F.max("n_unit") * (F.max("n_unit") - 1.0)),
+            6,
+        ).alias("avg_cos"),
+        F.round(
+            F.max("v12").cast("double") / F.sum("v12"), 6
+        ).alias("axis_max_var_share"),
+    )

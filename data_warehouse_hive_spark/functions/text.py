@@ -2154,9 +2154,12 @@ def q_text_bpe_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_MERGE_ROUNDS = 6
 
 
-def _o_bpe_merge() -> str:
-    """Unrolled-rounds oracle for q_text_bpe_merge (the q_graph_kcore
-    pattern: iterative fixpoint as MATERIALIZED CTE rounds)."""
+def _bpe_ctes(carry_w: bool = False) -> list[str]:
+    """The shared unrolled BPE training chain (q_graph_kcore pattern:
+    iterative fixpoint as MATERIALIZED CTE rounds).  carry_w keeps the
+    word column through the rounds so a consumer can join segmentations
+    back to the corpus (q_text_bpe_encode)."""
+    wcol = "w, " if carry_w else ""
     ctes = ["""wf AS MATERIALIZED (
       SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
       FROM documents,
@@ -2164,8 +2167,8 @@ def _o_bpe_merge() -> str:
              AS u(w)
       WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY w
     )""",
-    """syms0 AS MATERIALIZED (
-      SELECT freq,
+    f"""syms0 AS MATERIALIZED (
+      SELECT {wcol}freq,
              '||' || array_to_string(
                list_append(string_split(w, ''), '</w>'), '||') || '||'
                AS s
@@ -2184,49 +2187,42 @@ def _o_bpe_merge() -> str:
       SELECT a, b, n FROM pairs{r} ORDER BY n DESC, a, b LIMIT 1
     )""")
         ctes.append(f"""syms{r} AS MATERIALIZED (
-      SELECT freq,
+      SELECT {wcol}freq,
              replace(s, '|' || t.a || '||' || t.b || '|',
                      '|' || t.a || t.b || '|') AS s
       FROM syms{r - 1} CROSS JOIN top{r} t
     )""")
+    return ctes
+
+
+def _o_bpe_merge() -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT CAST({r} AS BIGINT) AS round, a AS left_sym,"
         f" b AS right_sym, a || b AS merged, n AS pair_count FROM top{r}"
         for r in range(1, BPE_MERGE_ROUNDS + 1)
     )
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_bpe_ctes())
         + f"\n    SELECT * FROM ({unions}) ORDER BY round"
     )
 
 
-@query("q_text_bpe_merge", oracle=_o_bpe_merge())
-def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full iterative BPE tokenizer-training loop ({BPE_MERGE_ROUNDS}
-    merge rounds): count adjacent symbol pairs weighted by word
-    frequency, merge the top pair (count desc, then lexicographic — a
-    total order, so the fixpoint is deterministic) into every word\'s
-    symbol sequence, re-count, repeat — the missing piece on top of
-    q_text_bpe_pairs, which computes ONE round\'s counts.
+# Learned-merge memo keyed (applicationId, sf_dir) — the sanctioned
+# deterministic-state pattern (kmeans/LPA/pairs memos): the merge table
+# is a pure function of the corpus (exact integer counts, total-order
+# tiebreak), and a production tokenizer trains once then encodes many
+# times, so q_text_bpe_merge (train) and q_text_bpe_encode (apply)
+# sharing one training run models the real pipeline.
+_BPE_CACHE: dict[tuple[str, str], list] = {}
 
-    Scale shape is Sennrich\'s reference trainer made distributed: the
-    corpus collapses ONCE to the word-frequency relation (pair counting
-    then touches |vocab| rows per round, never |corpus| tokens), the
-    per-round count is a distributed fan-out + hash aggregate, and only
-    the 1-row argmax is driver work per round (the merge bookkeeping
-    that is driver work in every real trainer).  localCheckpoint per
-    round truncates lineage (the q_graph_pagerank pattern).
 
-    The merge itself stays engine-side AND cross-engine exact via a
-    string encoding: each symbol sequence is kept as \'||\'-joined with
-    \'|\' affixes, and replace(\'|a||b|\' -> \'|ab|\') — literal,
-    left-to-right, non-overlapping, never rescanning the replacement in
-    either engine — consumes only the INNER halves of the boundary
-    pipes, leaving one pipe on each side for an adjacent match: exactly
-    greedy BPE (e.g. b|b|b under (b,b) -> bb|b).  Words are restricted
-    to ^[a-z0-9]+$ (standard BPE pre-tokenization), so \'|\' can never
-    occur inside a symbol.  The oracle unrolls the identical rounds as
-    MATERIALIZED CTEs (the q_graph_kcore lesson)."""
+def _bpe_merges(spark: SparkSession, sf_dir: str) -> list:
+    """Run the bounded BPE merge loop; returns the R-row merge table as
+    (round, left, right, merged, pair_count) tuples."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _BPE_CACHE.get(key)
+    if hit is not None:
+        return hit
     d = spread(t(spark, sf_dir, "documents").select("text"), spark)
     wf = (
         d.select(F.explode(tokens(F.lower(F.col("text")))).alias("w"))
@@ -2277,11 +2273,143 @@ def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit("|" + top["a"] + top["b"] + "|"),
             ).alias("s"),
         ).localCheckpoint(eager=False)
+    _BPE_CACHE[key] = merges
+    return merges
+
+
+@query("q_text_bpe_merge", oracle=_o_bpe_merge())
+def q_text_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full iterative BPE tokenizer-training loop ({BPE_MERGE_ROUNDS}
+    merge rounds): count adjacent symbol pairs weighted by word
+    frequency, merge the top pair (count desc, then lexicographic — a
+    total order, so the fixpoint is deterministic) into every word\'s
+    symbol sequence, re-count, repeat — the missing piece on top of
+    q_text_bpe_pairs, which computes ONE round\'s counts.
+
+    Scale shape is Sennrich\'s reference trainer made distributed: the
+    corpus collapses ONCE to the word-frequency relation (pair counting
+    then touches |vocab| rows per round, never |corpus| tokens), the
+    per-round count is a distributed fan-out + hash aggregate, and only
+    the 1-row argmax is driver work per round (the merge bookkeeping
+    that is driver work in every real trainer).  localCheckpoint per
+    round truncates lineage (the q_graph_pagerank pattern).
+
+    The merge itself stays engine-side AND cross-engine exact via a
+    string encoding: each symbol sequence is kept as \'||\'-joined with
+    \'|\' affixes, and replace(\'|a||b|\' -> \'|ab|\') — literal,
+    left-to-right, non-overlapping, never rescanning the replacement in
+    either engine — consumes only the INNER halves of the boundary
+    pipes, leaving one pipe on each side for an adjacent match: exactly
+    greedy BPE (e.g. b|b|b under (b,b) -> bb|b).  Words are restricted
+    to ^[a-z0-9]+$ (standard BPE pre-tokenization), so \'|\' can never
+    occur inside a symbol.  The oracle unrolls the identical rounds as
+    MATERIALIZED CTEs (the q_graph_kcore lesson)."""
+    merges = _bpe_merges(spark, sf_dir)
     schema = (
         "round long, left_sym string, right_sym string,"
         " merged string, pair_count long"
     )
     return spark.createDataFrame(merges, schema).orderBy("round")
+
+
+def _o_bpe_encode() -> str:
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(carry_w=True))
+        + f""",
+    wfs AS MATERIALIZED (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+'))
+             AS u(w)
+      WHERE regexp_matches(w, '^[a-z0-9]+$') GROUP BY source, w
+    ),
+    seg AS MATERIALIZED (
+      SELECT w,
+             CAST(len(string_split(trim(s, '|'), '||')) AS BIGINT)
+               AS seg_len
+      FROM syms{BPE_MERGE_ROUNDS}
+    )
+    SELECT f.source,
+           CAST(SUM(f.freq) AS BIGINT) AS n_words,
+           CAST(SUM(f.freq * g.seg_len) AS BIGINT) AS n_bpe_tokens,
+           round(CAST(SUM(f.freq * g.seg_len) AS DOUBLE)
+                 / SUM(f.freq), 6) AS fertility
+    FROM wfs f JOIN seg g ON g.w = f.w
+    GROUP BY f.source ORDER BY f.source"""
+    )
+
+
+@query("q_text_bpe_encode", oracle=_o_bpe_encode())
+def q_text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the BPE pipeline: apply the learned merge
+    table (q_text_bpe_merge, shared via the session memo — train once,
+    encode many) to segment every corpus word, and report per-source
+    token economics: word count, BPE token count, and fertility
+    (tokens per word) — the number a tokenizer-budget meeting actually
+    asks for, and the per-source comparison that exposes which data
+    mixes tokenize expensively.
+
+    Scale shape: the merge table is R driver-side literals; the
+    segmentation applies R chained literal replaces to the DISTINCT
+    word relation only (|vocab| rows — never corpus tokens), and the
+    corpus-side (source, word) frequency relation joins the vocab-sized
+    segmentation on the uniform word key.  The oracle replays the
+    identical unrolled training chain carrying w, so the whole
+    train-then-encode path is value-checked."""
+    merges = _bpe_merges(spark, sf_dir)
+    d = spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+    wfs = (
+        d.select(
+            "source",
+            F.explode(tokens(F.lower(F.col("text")))).alias("w"),
+        )
+        .filter(F.col("w").rlike("^[a-z0-9]+$"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    s = F.concat(
+        F.lit("||"),
+        F.concat_ws(
+            "||",
+            F.concat(
+                F.filter(F.split("w", ""), lambda x: x != ""),
+                F.array(F.lit("</w>")),
+            ),
+        ),
+        F.lit("||"),
+    )
+    for _, a, b, _m, _n in merges:
+        s = F.replace(s, F.lit("|" + a + "||" + b + "|"), F.lit("|" + a + b + "|"))
+    # the s_enc intermediate: name the chained replaces once, then size
+    seg = (
+        wfs.select("w")
+        .distinct()
+        .withColumn("s_enc", s)
+        .select(
+            "w",
+            F.size(
+                F.split(F.expr("trim(BOTH '|' FROM s_enc)"), r"\|\|")
+            )
+            .cast("long")
+            .alias("seg_len"),
+        )
+    )
+    return (
+        wfs.join(F.broadcast(seg), "w")
+        .groupBy("source")
+        .agg(
+            F.sum("freq").cast("long").alias("n_words"),
+            F.sum(F.col("freq") * F.col("seg_len"))
+            .cast("long")
+            .alias("n_bpe_tokens"),
+            F.round(
+                F.sum(F.col("freq") * F.col("seg_len")).cast("double")
+                / F.sum("freq"),
+                6,
+            ).alias("fertility"),
+        )
+        .orderBy("source")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -65,3 +65,12 @@ def test_round_batch_ids_are_benched():
         "q_text_bpe_merge",
     ):
         assert qid in bench.EXT_R8, f"{qid} missing from bench.EXT_R8"
+    for qid in (
+        "q_stats_cvm",
+        "q_stats_lilliefors",
+        "q_stats_dagostino",
+        "q_text_bpe_encode",
+        "q_dedup_crossdoc_spans",
+        "q_embed_isotropy",
+    ):
+        assert qid in bench.EXT_R8B, f"{qid} missing from bench.EXT_R8B"
