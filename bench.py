@@ -397,6 +397,15 @@ EXT_R8B = [
     "q_embed_isotropy",
 ]
 
+# round 8 batch C: rank-score tests (Acklam probit), sequential drift,
+# LM retrieval.
+EXT_R8C = [
+    "q_stats_fligner",
+    "q_stats_vanderwaerden",
+    "q_events_page_hinkley",
+    "q_text_dirichlet_ql",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -423,7 +432,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -511,6 +520,8 @@ def main() -> None:
     ext_r8["total"] = round(sum(ext_r8.values()), 3)
     ext_r8b = {name: timed(name) for name in EXT_R8B}
     ext_r8b["total"] = round(sum(ext_r8b.values()), 3)
+    ext_r8c = {name: timed(name) for name in EXT_R8C}
+    ext_r8c["total"] = round(sum(ext_r8c.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -545,6 +556,7 @@ def main() -> None:
         "ext_r7b": ext_r7b,
         "ext_r8": ext_r8,
         "ext_r8b": ext_r8b,
+        "ext_r8c": ext_r8c,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -597,6 +609,7 @@ def main() -> None:
                     "ext_r7b": ext_r7b["total"],
                     "ext_r8": ext_r8["total"],
                     "ext_r8b": ext_r8b["total"],
+                    "ext_r8c": ext_r8c["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

@@ -5348,3 +5348,538 @@ def q_stats_dagostino(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("zs") * F.col("zs") + F.col("zk") * F.col("zk"), 6
         ).alias("k2"),
     ).orderBy("grp")
+
+
+# ---------------------------------------------------------------------------
+# Acklam inverse normal CDF (probit) — the second mirrored-closure primitive
+# next to the A-S 7.1.26 erf: a 3-region rational polynomial, fixed-order
+# literal arithmetic, identical in both engines.  Unlocks the rank-score
+# test family (Fligner-Killeen, van der Waerden) without any CDF tables.
+# ---------------------------------------------------------------------------
+
+_ACKLAM_A = (-3.969683028665376e+01, 2.209460984245205e+02,
+             -2.759285104469687e+02, 1.383577518672690e+02,
+             -3.066479806614716e+01, 2.506628277459239e+00)
+_ACKLAM_B = (-5.447609879822406e+01, 1.615858368580409e+02,
+             -1.556989798598866e+02, 6.680131188771972e+01,
+             -1.328068155288572e+01)
+_ACKLAM_C = (-7.784894002430293e-03, -3.223964580411365e-01,
+             -2.400758277161838e+00, -2.549732539343734e+00,
+             4.374664141464968e+00, 2.938163982698783e+00)
+_ACKLAM_D = (7.784695709041462e-03, 3.224671290700398e-01,
+             2.445134137142996e+00, 3.754408661907416e+00)
+_ACKLAM_PLOW = 0.02425
+
+
+def _probit_sql(p: str) -> str:
+    """DuckDB fragment computing Acklam's probit of expression {p}."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    cen = (f"((((({a[0]!r} * (({p} - 0.5) * ({p} - 0.5)) + {a[1]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {a[2]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {a[3]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {a[4]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {a[5]!r}) * ({p} - 0.5)"
+           f" / ((((({b[0]!r} * (({p} - 0.5) * ({p} - 0.5)) + {b[1]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {b[2]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {b[3]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + {b[4]!r})"
+           f" * (({p} - 0.5) * ({p} - 0.5)) + 1.0)")
+    qlo = f"sqrt(-2.0 * ln({p}))"
+    lo = (f"((((({c[0]!r} * {qlo} + {c[1]!r}) * {qlo} + {c[2]!r})"
+          f" * {qlo} + {c[3]!r}) * {qlo} + {c[4]!r}) * {qlo} + {c[5]!r})"
+          f" / (((({d[0]!r} * {qlo} + {d[1]!r}) * {qlo} + {d[2]!r})"
+          f" * {qlo} + {d[3]!r}) * {qlo} + 1.0)")
+    qhi = f"sqrt(-2.0 * ln(1.0 - ({p})))"
+    hi = (f"-((((({c[0]!r} * {qhi} + {c[1]!r}) * {qhi} + {c[2]!r})"
+          f" * {qhi} + {c[3]!r}) * {qhi} + {c[4]!r}) * {qhi} + {c[5]!r})"
+          f" / (((({d[0]!r} * {qhi} + {d[1]!r}) * {qhi} + {d[2]!r})"
+          f" * {qhi} + {d[3]!r}) * {qhi} + 1.0)")
+    return (f"(CASE WHEN ({p}) < {_ACKLAM_PLOW!r} THEN ({lo})"
+            f" WHEN ({p}) > {1.0 - _ACKLAM_PLOW!r} THEN ({hi})"
+            f" ELSE ({cen}) END)")
+
+
+def _probit_col(p):
+    """Spark twin of _probit_sql (same fixed-order arithmetic)."""
+    a, b, c, d = _ACKLAM_A, _ACKLAM_B, _ACKLAM_C, _ACKLAM_D
+    q = p - 0.5
+    r = q * q
+    cen = (
+        (((((F.lit(a[0]) * r + a[1]) * r + a[2]) * r + a[3]) * r + a[4])
+         * r + a[5]) * q
+        / (((((F.lit(b[0]) * r + b[1]) * r + b[2]) * r + b[3]) * r + b[4])
+           * r + 1.0)
+    )
+    qlo = F.sqrt(-2.0 * F.log(p))
+    lo = (
+        ((((F.lit(c[0]) * qlo + c[1]) * qlo + c[2]) * qlo + c[3]) * qlo
+         + c[4]) * qlo + c[5]
+    ) / (
+        (((F.lit(d[0]) * qlo + d[1]) * qlo + d[2]) * qlo + d[3]) * qlo
+        + 1.0
+    )
+    qhi = F.sqrt(-2.0 * F.log(F.lit(1.0) - p))
+    hi = -(
+        ((((F.lit(c[0]) * qhi + c[1]) * qhi + c[2]) * qhi + c[3]) * qhi
+         + c[4]) * qhi + c[5]
+    ) / (
+        (((F.lit(d[0]) * qhi + d[1]) * qhi + d[2]) * qhi + d[3]) * qhi
+        + 1.0
+    )
+    return (
+        F.when(p < _ACKLAM_PLOW, lo)
+        .when(p > 1.0 - _ACKLAM_PLOW, hi)
+        .otherwise(cen)
+    )
+
+
+@query(
+    "q_stats_fligner",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    ghist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    gmed AS (
+      SELECT grp, CAST(MIN(xq) AS BIGINT) AS med FROM (
+        SELECT grp, xq,
+               SUM(c) OVER (PARTITION BY grp ORDER BY xq) AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS ng
+        FROM ghist
+      ) WHERE 2 * cum >= ng GROUP BY grp
+    ),
+    devh AS (
+      SELECT h.grp, abs(h.xq - m.med) AS u, CAST(SUM(h.c) AS BIGINT) AS cg
+      FROM ghist h JOIN gmed m ON m.grp = h.grp
+      GROUP BY h.grp, abs(h.xq - m.med)
+    ),
+    uhist AS (
+      SELECT u, CAST(SUM(cg) AS BIGINT) AS cu FROM devh GROUP BY u
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uhist),
+    scores AS (
+      SELECT u, cu,
+             CAST(floor(({_probit_sql(
+                 "0.5 + (2.0 * au + cu + 1.0) / (4.0 * (n + 1.0))"
+             )}) * 1e9 + 0.5) AS BIGINT) AS t9,
+             CAST(floor(({_probit_sql(
+                 "0.5 + (2.0 * au + cu + 1.0) / (4.0 * (n + 1.0))"
+             )}) * ({_probit_sql(
+                 "0.5 + (2.0 * au + cu + 1.0) / (4.0 * (n + 1.0))"
+             )}) * 1e9 + 0.5) AS BIGINT) AS t18
+      FROM (
+        SELECT u, cu,
+               CAST(SUM(cu) OVER (ORDER BY u) - cu AS BIGINT) AS au
+        FROM uhist
+      ) CROSS JOIN tot
+    ),
+    pergrp AS (
+      SELECT d.grp, CAST(SUM(d.cg) AS BIGINT) AS ng,
+             CAST(SUM(d.cg * s.t9) AS BIGINT) AS sg9
+      FROM devh d JOIN scores s ON s.u = d.u
+      GROUP BY d.grp
+    ),
+    gstats AS (
+      SELECT CAST(SUM(cu * t9) AS BIGINT) AS s9,
+             CAST(SUM(cu * t18) AS BIGINT) AS s18
+      FROM scores
+    ),
+    terms AS (
+      SELECT p.grp, p.ng, t.n, g.s9, g.s18,
+             CAST(floor(p.ng
+               * ((CAST(p.sg9 AS DOUBLE) / 1e9 / p.ng)
+                  - (CAST(g.s9 AS DOUBLE) / 1e9 / t.n))
+               * ((CAST(p.sg9 AS DOUBLE) / 1e9 / p.ng)
+                  - (CAST(g.s9 AS DOUBLE) / 1e9 / t.n)) * 1e9 + 0.5)
+               AS BIGINT) AS g9
+      FROM pergrp p CROSS JOIN tot t CROSS JOIN gstats g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+           round((CAST(SUM(g9) AS DOUBLE) / 1e9)
+                 / ((CAST(MAX(s18) AS DOUBLE) / 1e9
+                     - MAX(n) * (CAST(MAX(s9) AS DOUBLE) / 1e9 / MAX(n))
+                       * (CAST(MAX(s9) AS DOUBLE) / 1e9 / MAX(n)))
+                    / (MAX(n) - 1)), 6) AS fligner_chi2,
+           CAST(COUNT(*) AS BIGINT) - 1 AS df
+    FROM terms
+    """,
+)
+def q_stats_fligner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fligner-Killeen test for variance homogeneity across event types
+    — the RANK-based member of the scale-test family (q_stats_levene =
+    mean-based, q_stats_bartlett = parametric): median-centered absolute
+    deviations are midranked over the POOLED sample and transformed
+    through the normal quantile a = Phi^-1(0.5 + r/(2(N+1))); the
+    chi-square compares per-group mean scores.  Most robust of the
+    three to heavy tails — exactly the regime revenue data lives in.
+
+    No global row sort and no CDF tables: per-group medians are exact
+    cum*2 >= n crossings on the per-group histogram; |x - med| collapses
+    back to a (grp, deviation) histogram; POOLED midranks are one
+    running count over the bounded distinct-deviation relation
+    (half-integers kept as the exact 2a+c+1 integer); Phi^-1 is the
+    Acklam 3-region rational closure (_probit_sql/_probit_col — new
+    mirrored primitive, bitwise-identical across engines); each score
+    and its square are pinned onto 1e9 summand grids so every
+    aggregation is order-free.  The k-row finish is fixed-order IEEE."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    ghist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.partitionBy("grp").orderBy("xq")
+    wgall = Window.partitionBy("grp")
+    gmed = (
+        ghist.select(
+            "grp",
+            "xq",
+            F.sum("c").over(wg).alias("cum"),
+            F.sum("c").over(wgall).alias("ng"),
+        )
+        .filter(2 * F.col("cum") >= F.col("ng"))
+        .groupBy("grp")
+        .agg(F.min("xq").cast("long").alias("med"))
+    )
+    devh = (
+        ghist.join(
+            F.broadcast(gmed.withColumnRenamed("grp", "m_grp")),
+            F.col("m_grp") == F.col("grp"),
+        )
+        .groupBy("grp", F.abs(F.col("xq") - F.col("med")).alias("u"))
+        .agg(F.sum("c").cast("long").alias("cg"))
+    )
+    uhist = devh.groupBy("u").agg(F.sum("cg").cast("long").alias("cu"))
+    tot = uhist.agg(F.sum("cu").cast("long").alias("n"))
+    wu = Window.orderBy("u").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    au = uhist.select(
+        "u", "cu", (F.sum("cu").over(wu) - F.col("cu")).cast("long").alias("au")
+    )
+    pexpr = 0.5 + (
+        2.0 * F.col("au") + F.col("cu") + 1.0
+    ) / (4.0 * (F.col("n") + 1.0))
+    aq = _probit_col(pexpr)
+    scores = au.crossJoin(F.broadcast(tot)).select(
+        "u",
+        "cu",
+        F.floor(aq * 1e9 + 0.5).cast("long").alias("t9"),
+        F.floor(aq * aq * 1e9 + 0.5).cast("long").alias("t18"),
+    )
+    pergrp = (
+        devh.join(scores.select("u", "t9"), "u")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("long").alias("ng"),
+            F.sum(F.col("cg") * F.col("t9")).cast("long").alias("sg9"),
+        )
+    )
+    glob = scores.agg(
+        F.sum(F.col("cu") * F.col("t9")).cast("long").alias("s9"),
+        F.sum(F.col("cu") * F.col("t18")).cast("long").alias("s18"),
+    )
+    dev = (
+        F.col("sg9").cast("double") / 1e9 / F.col("ng")
+    ) - (F.col("s9").cast("double") / 1e9 / F.col("n"))
+    terms = (
+        pergrp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "grp",
+            "ng",
+            "n",
+            "s9",
+            "s18",
+            F.floor(F.col("ng") * dev * dev * 1e9 + 0.5)
+            .cast("long")
+            .alias("g9"),
+        )
+    )
+    abar = F.max("s9").cast("double") / 1e9 / F.max("n")
+    v = (
+        F.max("s18").cast("double") / 1e9 - F.max("n") * abar * abar
+    ) / (F.max("n") - 1)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.round((F.sum("g9").cast("double") / 1e9) / v, 6).alias(
+            "fligner_chi2"
+        ),
+        (F.count(F.lit(1)).cast("long") - 1).alias("df"),
+    )
+
+
+@query(
+    "q_stats_vanderwaerden",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    ghist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS cg
+      FROM pool GROUP BY grp, xq
+    ),
+    uhist AS (
+      SELECT xq, CAST(SUM(cg) AS BIGINT) AS cu FROM ghist GROUP BY xq
+    ),
+    tot AS (SELECT CAST(SUM(cu) AS BIGINT) AS n FROM uhist),
+    scores AS (
+      SELECT xq, cu,
+             CAST(floor(({_probit_sql(
+                 "((2.0 * au + cu + 1.0) / 2.0) / (n + 1.0)"
+             )}) * 1e9 + 0.5) AS BIGINT) AS t9,
+             CAST(floor(({_probit_sql(
+                 "((2.0 * au + cu + 1.0) / 2.0) / (n + 1.0)"
+             )}) * ({_probit_sql(
+                 "((2.0 * au + cu + 1.0) / 2.0) / (n + 1.0)"
+             )}) * 1e9 + 0.5) AS BIGINT) AS t18
+      FROM (
+        SELECT xq, cu,
+               CAST(SUM(cu) OVER (ORDER BY xq) - cu AS BIGINT) AS au
+        FROM uhist
+      ) CROSS JOIN tot
+    ),
+    pergrp AS (
+      SELECT g.grp, CAST(SUM(g.cg) AS BIGINT) AS ng,
+             CAST(SUM(g.cg * s.t9) AS BIGINT) AS sg9
+      FROM ghist g JOIN scores s ON s.xq = g.xq
+      GROUP BY g.grp
+    ),
+    gstats AS (
+      SELECT CAST(SUM(cu * t9) AS BIGINT) AS s9,
+             CAST(SUM(cu * t18) AS BIGINT) AS s18
+      FROM scores
+    ),
+    terms AS (
+      SELECT p.grp, p.ng, t.n, g.s9, g.s18,
+             CAST(floor(p.ng
+               * ((CAST(p.sg9 AS DOUBLE) / 1e9 / p.ng)
+                  - (CAST(g.s9 AS DOUBLE) / 1e9 / t.n))
+               * ((CAST(p.sg9 AS DOUBLE) / 1e9 / p.ng)
+                  - (CAST(g.s9 AS DOUBLE) / 1e9 / t.n)) * 1e9 + 0.5)
+               AS BIGINT) AS g9
+      FROM pergrp p CROSS JOIN tot t CROSS JOIN gstats g
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(n) AS n,
+           round((CAST(SUM(g9) AS DOUBLE) / 1e9)
+                 / ((CAST(MAX(s18) AS DOUBLE) / 1e9
+                     - MAX(n) * (CAST(MAX(s9) AS DOUBLE) / 1e9 / MAX(n))
+                       * (CAST(MAX(s9) AS DOUBLE) / 1e9 / MAX(n)))
+                    / (MAX(n) - 1)), 6) AS vdw_chi2,
+           CAST(COUNT(*) AS BIGINT) - 1 AS df
+    FROM terms
+    """,
+)
+def q_stats_vanderwaerden(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Van der Waerden normal-scores test across event types — the
+    LOCATION sibling of q_stats_fligner (which scores deviations for
+    scale): pooled value midranks are transformed through
+    Phi^-1(r/(N+1)) and the chi-square compares per-group mean scores.
+    Asymptotically as powerful as ANOVA under normality while staying
+    rank-robust — the bridge between q_stats_anova and q_stats_kruskal.
+
+    Identical scale shape to fligner minus the median-centering step:
+    one (grp, value) histogram, pooled midranks as one running count
+    over the distinct-value relation (exact 2a+c+1 half-integer
+    algebra), the Acklam probit closure for scores, 1e9-grid pinning
+    before every order-free sum, fixed-order k-row finish (tie-general
+    centered form: scores' pooled mean is subtracted, so heavy ties
+    cannot bias the statistic)."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    ghist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("cg")
+    )
+    uhist = ghist.groupBy("xq").agg(F.sum("cg").cast("long").alias("cu"))
+    tot = uhist.agg(F.sum("cu").cast("long").alias("n"))
+    wu = Window.orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    au = uhist.select(
+        "xq",
+        "cu",
+        (F.sum("cu").over(wu) - F.col("cu")).cast("long").alias("au"),
+    )
+    pexpr = (
+        (2.0 * F.col("au") + F.col("cu") + 1.0) / 2.0
+    ) / (F.col("n") + 1.0)
+    aq = _probit_col(pexpr)
+    scores = au.crossJoin(F.broadcast(tot)).select(
+        "xq",
+        "cu",
+        F.floor(aq * 1e9 + 0.5).cast("long").alias("t9"),
+        F.floor(aq * aq * 1e9 + 0.5).cast("long").alias("t18"),
+    )
+    pergrp = (
+        ghist.join(scores.select("xq", "t9"), "xq")
+        .groupBy("grp")
+        .agg(
+            F.sum("cg").cast("long").alias("ng"),
+            F.sum(F.col("cg") * F.col("t9")).cast("long").alias("sg9"),
+        )
+    )
+    gstats = scores.agg(
+        F.sum(F.col("cu") * F.col("t9")).cast("long").alias("s9"),
+        F.sum(F.col("cu") * F.col("t18")).cast("long").alias("s18"),
+    )
+    dev = (
+        F.col("sg9").cast("double") / 1e9 / F.col("ng")
+    ) - (F.col("s9").cast("double") / 1e9 / F.col("n"))
+    terms = (
+        pergrp.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(gstats))
+        .select(
+            "grp",
+            "ng",
+            "n",
+            "s9",
+            "s18",
+            F.floor(F.col("ng") * dev * dev * 1e9 + 0.5)
+            .cast("long")
+            .alias("g9"),
+        )
+    )
+    abar = F.max("s9").cast("double") / 1e9 / F.max("n")
+    v = (
+        F.max("s18").cast("double") / 1e9 - F.max("n") * abar * abar
+    ) / (F.max("n") - 1)
+    return terms.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("n").alias("n"),
+        F.round((F.sum("g9").cast("double") / 1e9) / v, 6).alias(
+            "vdw_chi2"
+        ),
+        (F.count(F.lit(1)).cast("long") - 1).alias("df"),
+    )
+
+
+PH_DELTA = 0.5
+
+
+@query(
+    "q_events_page_hinkley",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    idxd AS (
+      SELECT grp, day, c,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS i,
+             CAST(SUM(c) OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS cum
+      FROM daily
+    ),
+    walk AS (
+      SELECT grp, day, i,
+             SUM(CAST(c AS DOUBLE) - CAST(cum AS DOUBLE) / i
+                 - {PH_DELTA!r})
+               OVER (PARTITION BY grp ORDER BY i) AS m
+      FROM idxd
+    ),
+    ph AS (
+      SELECT grp, day, i,
+             CAST(floor((m - MIN(m) OVER (PARTITION BY grp ORDER BY i))
+                        * 1e6 + 0.5) AS BIGINT) AS phq
+      FROM walk
+    ),
+    mx AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(MAX(phq) AS BIGINT) AS mxq
+      FROM ph GROUP BY grp
+    )
+    SELECT m.grp, m.n_days,
+           round(CAST(m.mxq AS DOUBLE) / 1e6, 4) AS ph_max,
+           MIN(p.day) AS alarm_day
+    FROM mx m JOIN ph p ON p.grp = m.grp AND p.phq = m.mxq
+    GROUP BY m.grp, m.n_days, m.mxq
+    ORDER BY m.grp
+    """,
+)
+def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift detector on the per-type daily count series:
+    the cumulative deviation-from-running-mean walk m_t (drift
+    allowance δ={PH_DELTA}), its running minimum, and the peak
+    excursion PH = max_t(m_t − min_s≤t m_s) with the day it peaks —
+    the classic sequential changepoint alarm (complements
+    q_events_cusum's known-baseline form: PH needs NO baseline, the
+    running mean is the baseline).
+
+    The corpus collapses to the bounded (type, day) relation first;
+    the walk, its running minimum, and the excursion all ride ordered
+    windows over ≤31 rows per type — sequential cumulative doubles are
+    deterministic here because each group's window is a single ordered
+    partition evaluated in the same order by both engines.  The peak
+    day is an exact pinned-grid argmax (earliest day on ties)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    wo = Window.partitionBy("grp").orderBy("day")
+    wcum = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    idxd = daily.select(
+        "grp",
+        "day",
+        "c",
+        F.row_number().over(wo).cast("long").alias("i"),
+        F.sum("c").over(wcum).cast("long").alias("cum"),
+    )
+    wi = Window.partitionBy("grp").orderBy("i").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    walk = idxd.select(
+        "grp",
+        "day",
+        "i",
+        F.sum(
+            F.col("c").cast("double")
+            - F.col("cum").cast("double") / F.col("i")
+            - PH_DELTA
+        )
+        .over(wi)
+        .alias("m"),
+    )
+    ph = walk.select(
+        "grp",
+        "day",
+        "i",
+        F.floor((F.col("m") - F.min("m").over(wi)) * 1e6 + 0.5)
+        .cast("long")
+        .alias("phq"),
+    )
+    mx = ph.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.max("phq").cast("long").alias("mxq"),
+    )
+    return (
+        mx.join(
+            ph.select(F.col("grp").alias("p_grp"), "phq", "day"),
+            (F.col("p_grp") == F.col("grp")) & (F.col("phq") == F.col("mxq")),
+        )
+        .groupBy("grp", "n_days", "mxq")
+        .agg(F.min("day").alias("alarm_day"))
+        .select(
+            "grp",
+            "n_days",
+            F.round(F.col("mxq").cast("double") / 1e6, 4).alias("ph_max"),
+            "alarm_day",
+        )
+        .orderBy("grp")
+    )

@@ -1464,3 +1464,165 @@ def q_retrieval_prf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= RETR_TOP)
         .orderBy("query_id", "rk")
     )
+
+
+QL_MU = 100.0  # Dirichlet prior mass; ~avg doc length for this corpus
+
+
+@query(
+    "q_text_dirichlet_ql",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents
+    ),
+    postings AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words WHERE term != '' GROUP BY doc_id, term
+    ),
+    dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl
+           FROM postings GROUP BY doc_id),
+    cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf
+           FROM postings GROUP BY term),
+    coll AS (SELECT CAST(SUM(dl) AS BIGINT) AS c FROM dl),
+    qterms AS (
+      SELECT doc_id AS query_id, term, tf AS qtf
+      FROM postings WHERE doc_id < {N_QUERY_DOCS}
+    ),
+    qlen AS (
+      SELECT query_id, CAST(SUM(qtf) AS BIGINT) AS ql
+      FROM qterms GROUP BY query_id
+    ),
+    matched AS (
+      SELECT q.query_id, p.doc_id,
+             CAST(SUM(CAST(floor(
+               q.qtf * ln(1.0 + p.tf
+                 / ({QL_MU!r} * (CAST(f.cf AS DOUBLE)
+                                 / (SELECT c FROM coll))))
+               * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS m6,
+             CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM qterms q
+      JOIN postings p ON p.term = q.term AND p.doc_id != q.query_id
+      JOIN cf f ON f.term = q.term
+      GROUP BY q.query_id, p.doc_id
+    ),
+    scored AS (
+      SELECT m.query_id, m.doc_id, m.n_terms,
+             (CAST(m.m6
+               + CAST(floor(l.ql * ln({QL_MU!r} / (d.dl + {QL_MU!r}))
+                            * 1e6 + 0.5) AS BIGINT) AS DOUBLE)) / 1e6
+               AS ql_score
+      FROM matched m
+      JOIN dl d ON d.doc_id = m.doc_id
+      JOIN qlen l ON l.query_id = m.query_id
+    )
+    SELECT query_id, doc_id, round(ql_score, 6) AS ql_score, n_terms, rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY ql_score DESC, doc_id) AS BIGINT) AS rk
+      FROM scored
+    ) WHERE rk <= {RETR_TOP}
+    """,
+)
+def q_text_dirichlet_ql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    μ={QL_MU:.0f}): the language-modeling ranker next to q_text_bm25's
+    probabilistic one — the two classic lexical baselines every hybrid
+    stack fuses.  Uses the rank-equivalent decomposition
+    score = Σ_t qtf·ln(1 + tf/(μ·p(t|C))) + |q|·ln(μ/(dl+μ)), which
+    touches only MATCHED postings plus a per-document length penalty —
+    never the full vocabulary per document.
+
+    Scale shape is the bm25 plan verbatim: term-partitioned postings,
+    query-terms ⋈ postings on the term key, vocab-sized collection-
+    frequency broadcast, per-(query,doc) accumulation on bounded
+    candidates.  Per-term scores and the length penalty are pinned onto
+    1e6 carrier grids so the cross-term sum is order-exact; candidates
+    are documents matching ≥1 query term (the standard pruning — the
+    length penalty is shared by all survivors)."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    postings = (
+        d.select(
+            "doc_id", F.explode(F.split(F.trim("text"), r"\s+")).alias("term")
+        )
+        .filter(F.col("term") != "")
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+        .localCheckpoint(eager=False)
+    )
+    dl = postings.groupBy("doc_id").agg(F.sum("tf").cast("long").alias("dl"))
+    cf = postings.groupBy("term").agg(F.sum("tf").cast("long").alias("cf"))
+    coll = dl.agg(F.sum("dl").cast("long").alias("c"))
+    qterms = postings.filter(F.col("doc_id") < N_QUERY_DOCS).select(
+        F.col("doc_id").alias("query_id"), "term", F.col("tf").alias("qtf")
+    )
+    qlen = qterms.groupBy("query_id").agg(
+        F.sum("qtf").cast("long").alias("ql")
+    )
+    matched = (
+        qterms.join(
+            postings.withColumnRenamed("doc_id", "cand_id"), "term"
+        )
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .join(cf, "term")
+        .crossJoin(F.broadcast(coll))
+        .select(
+            "query_id",
+            F.col("cand_id").alias("doc_id"),
+            F.floor(
+                F.col("qtf")
+                * F.log(
+                    1.0
+                    + F.col("tf")
+                    / (
+                        QL_MU
+                        * (F.col("cf").cast("double") / F.col("c"))
+                    )
+                )
+                * 1e6
+                + 0.5
+            )
+            .cast("long")
+            .alias("t6"),
+        )
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.sum("t6").cast("long").alias("m6"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    scored = (
+        matched.join(dl, "doc_id")
+        .join(F.broadcast(qlen), "query_id")
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms",
+            (
+                (
+                    F.col("m6")
+                    + F.floor(
+                        F.col("ql")
+                        * F.log(QL_MU / (F.col("dl") + QL_MU))
+                        * 1e6
+                        + 0.5
+                    ).cast("long")
+                ).cast("double")
+                / 1e6
+            ).alias("ql_score"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("ql_score").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= RETR_TOP)
+        .select(
+            "query_id",
+            "doc_id",
+            F.round("ql_score", 6).alias("ql_score"),
+            "n_terms",
+            "rk",
+        )
+    )

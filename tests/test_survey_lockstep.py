@@ -74,3 +74,10 @@ def test_round_batch_ids_are_benched():
         "q_embed_isotropy",
     ):
         assert qid in bench.EXT_R8B, f"{qid} missing from bench.EXT_R8B"
+    for qid in (
+        "q_stats_fligner",
+        "q_stats_vanderwaerden",
+        "q_events_page_hinkley",
+        "q_text_dirichlet_ql",
+    ):
+        assert qid in bench.EXT_R8C, f"{qid} missing from bench.EXT_R8C"
