@@ -406,6 +406,15 @@ EXT_R8C = [
     "q_text_dirichlet_ql",
 ]
 
+# round 8 batch D: two-sample scale, interval union, inventory grid,
+# hub eccentricity.
+EXT_R8D = [
+    "q_stats_ansari_bradley",
+    "q_time_interval_union",
+    "q_orders_xyz_class",
+    "q_graph_eccentricity",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -432,7 +441,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -522,6 +531,8 @@ def main() -> None:
     ext_r8b["total"] = round(sum(ext_r8b.values()), 3)
     ext_r8c = {name: timed(name) for name in EXT_R8C}
     ext_r8c["total"] = round(sum(ext_r8c.values()), 3)
+    ext_r8d = {name: timed(name) for name in EXT_R8D}
+    ext_r8d["total"] = round(sum(ext_r8d.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -557,6 +568,7 @@ def main() -> None:
         "ext_r8": ext_r8,
         "ext_r8b": ext_r8b,
         "ext_r8c": ext_r8c,
+        "ext_r8d": ext_r8d,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -610,6 +622,7 @@ def main() -> None:
                     "ext_r8": ext_r8["total"],
                     "ext_r8b": ext_r8b["total"],
                     "ext_r8c": ext_r8c["total"],
+                    "ext_r8d": ext_r8d["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
@@ -623,6 +636,7 @@ def main() -> None:
                         "q_text_bpe_encode",
                         "q_dedup_groups",
                         "q_graph_degree",
+                        "q_graph_eccentricity",
                         "q_split_leakage_safe",
                         "q_graph_nmi",
                         "q_sim_recall",

@@ -5883,3 +5883,171 @@ def q_events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+AB_G1, AB_G2 = "click", "purchase"
+
+
+@query(
+    "q_stats_ansari_bradley",
+    oracle=f"""
+    WITH pool AS (
+      SELECT CASE WHEN event_type = '{AB_G1}' THEN 1 ELSE 2 END AS s,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE event_type IN ('{AB_G1}', '{AB_G2}')
+    ),
+    hist AS (
+      SELECT xq, CAST(COUNT(*) AS BIGINT) AS c,
+             CAST(SUM(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      FROM pool GROUP BY xq
+    ),
+    tot AS (
+      SELECT CAST(SUM(c) AS BIGINT) AS n, CAST(SUM(c1) AS BIGINT) AS n1
+      FROM hist
+    ),
+    ranked AS (
+      SELECT xq, c, c1,
+             CAST(SUM(c) OVER (ORDER BY xq) - c AS BIGINT) AS a
+      FROM hist
+    ),
+    runs AS (
+      SELECT c, c1, t.n, t.n1,
+             a + 1 AS lo, a + c AS hi, (t.n + 1) // 2 AS m
+      FROM ranked CROSS JOIN tot t
+    ),
+    sv AS (
+      SELECT c, c1, n, n1,
+             (CASE WHEN LEAST(hi, m) >= lo
+                   THEN (lo + LEAST(hi, m))
+                        * (LEAST(hi, m) - lo + 1) // 2
+                   ELSE 0 END
+              + CASE WHEN hi >= GREATEST(lo, m + 1)
+                     THEN (hi - GREATEST(lo, m + 1) + 1) * (n + 1)
+                          - (GREATEST(lo, m + 1) + hi)
+                            * (hi - GREATEST(lo, m + 1) + 1) // 2
+                     ELSE 0 END) AS sc
+      FROM runs
+    ),
+    agg AS (
+      SELECT MAX(n) AS n, MAX(n1) AS n1,
+             CAST(SUM(sc) AS BIGINT) AS s_all,
+             CAST(SUM(CAST(floor(c1 * (CAST(sc AS DOUBLE) / c) * 1e6
+                                 + 0.5) AS HUGEINT)) AS HUGEINT) AS ab6,
+             CAST(SUM(CAST(floor((CAST(sc AS DOUBLE) * sc / c) * 1e6
+                                 + 0.5) AS HUGEINT)) AS HUGEINT) AS sq6
+      FROM sv
+    )
+    SELECT n1, n - n1 AS n2,
+           round(CAST(ab6 AS DOUBLE) / 1e6, 4) AS ab,
+           round(CAST(n1 AS DOUBLE) * s_all / n, 4) AS e_ab,
+           round((CAST(ab6 AS DOUBLE) / 1e6
+                  - CAST(n1 AS DOUBLE) * s_all / n)
+                 / sqrt(CAST(n1 AS DOUBLE) * (n - n1)
+                        * (n * (CAST(sq6 AS DOUBLE) / 1e6)
+                           - CAST(s_all AS DOUBLE) * s_all)
+                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
+    FROM agg
+    """,
+)
+def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ansari-Bradley two-sample scale test ({AB_G1} vs {AB_G2} event
+    values): pooled ranks folded toward the extremes via the score
+    min(r, N+1−r), tie-corrected normal approximation — the TWO-sample
+    member of the dispersion family (bartlett parametric-k, levene
+    mean-k, fligner rank-k; AB asks 'same spread?' for a pair without
+    any normality assumption).
+
+    No global row sort and no per-row score: for a tied run occupying
+    positions a+1..a+c the score SUM is closed-form — Σi over the
+    below-midpoint stretch plus Σ(N+1−i) over the above stretch, both
+    exact integer arithmetic off the histogram's running count.  Tied
+    observations share the run's average score S/c (the standard tie
+    treatment), carried on 1e6 grids into HUGEINT/DECIMAL(38) sums (the
+    Σ S²/c term reaches ~N³/4·1e6 at sf10 — far past BIGINT).  The
+    1-row finish is the tie-corrected moment form
+    Var = n1·n2·(N·Σs² − S²)/(N²(N−1))."""
+    pool = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin(AB_G1, AB_G2))
+        .select(
+            F.when(F.col("event_type") == AB_G1, 1).otherwise(2).alias("s"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+        )
+    )
+    hist = pool.groupBy("xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c"),
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("c1"),
+    )
+    tot = hist.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum("c1").cast("long").alias("n1"),
+    )
+    wcum = Window.orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = hist.select(
+        "xq",
+        "c",
+        "c1",
+        (F.sum("c").over(wcum) - F.col("c")).cast("long").alias("a"),
+    )
+    runs = ranked.crossJoin(F.broadcast(tot)).select(
+        "c",
+        "c1",
+        "n",
+        "n1",
+        (F.col("a") + 1).alias("lo"),
+        (F.col("a") + F.col("c")).alias("hi"),
+        F.expr("(n + 1) div 2").alias("m"),
+    )
+    lo, hi, m, n = F.col("lo"), F.col("hi"), F.col("m"), F.col("n")
+    low_q = F.least(hi, m)
+    hi_p = F.greatest(lo, m + 1)
+    sc = F.when(
+        low_q >= lo, F.expr("(lo + least(hi, m)) * (least(hi, m) - lo + 1) div 2")
+    ).otherwise(0) + F.when(
+        hi >= hi_p,
+        (hi - hi_p + 1) * (n + 1)
+        - F.expr(
+            "(greatest(lo, m + 1) + hi)"
+            " * (hi - greatest(lo, m + 1) + 1) div 2"
+        ),
+    ).otherwise(0)
+    sv = runs.select("c", "c1", "n", "n1", sc.alias("sc"))
+    agg = sv.agg(
+        F.max("n").alias("n"),
+        F.max("n1").alias("n1"),
+        F.sum("sc").cast("long").alias("s_all"),
+        F.sum(
+            F.floor(
+                F.col("c1") * (F.col("sc").cast("double") / F.col("c")) * 1e6
+                + 0.5
+            ).cast("decimal(38,0)")
+        ).alias("ab6"),
+        F.sum(
+            F.floor(
+                (F.col("sc").cast("double") * F.col("sc") / F.col("c")) * 1e6
+                + 0.5
+            ).cast("decimal(38,0)")
+        ).alias("sq6"),
+    )
+    ab = F.col("ab6").cast("double") / 1e6
+    e_ab = F.col("n1").cast("double") * F.col("s_all") / F.col("n")
+    var = (
+        F.col("n1").cast("double")
+        * (F.col("n") - F.col("n1"))
+        * (
+            F.col("n") * (F.col("sq6").cast("double") / 1e6)
+            - F.col("s_all").cast("double") * F.col("s_all")
+        )
+        / (F.col("n").cast("double") * F.col("n") * (F.col("n") - 1))
+    )
+    return agg.select(
+        "n1",
+        (F.col("n") - F.col("n1")).alias("n2"),
+        F.round(ab, 4).alias("ab"),
+        F.round(e_ab, 4).alias("e_ab"),
+        F.round((ab - e_ab) / F.sqrt(var), 6).alias("z"),
+    )

@@ -1710,3 +1710,103 @@ def q_graph_nmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nmi"),
         )
     )
+
+
+ECC_SEEDS = 4
+ECC_MAX_DEPTH = 4
+
+
+@query(
+    "q_graph_eccentricity",
+    oracle="""
+    WITH RECURSIVE {pairs},
+    und AS (
+      SELECT doc_a AS u, doc_b AS v FROM pairs
+      UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d
+      FROM und GROUP BY u
+    ),
+    seeds AS (
+      SELECT node AS seed FROM deg
+      ORDER BY d DESC, node LIMIT """ + str(ECC_SEEDS) + """
+    ),
+    r(seed, node, dist) AS (
+      SELECT seed, seed, 0 FROM seeds
+      UNION
+      SELECT r.seed, e.v, r.dist + 1
+      FROM r JOIN und e ON e.u = r.node
+      WHERE r.dist < """ + str(ECC_MAX_DEPTH) + """
+    ),
+    best AS (
+      SELECT seed, node, CAST(MIN(dist) AS BIGINT) AS dist
+      FROM r GROUP BY seed, node
+    )
+    SELECT CAST(seed AS BIGINT) AS seed,
+           CAST(MAX(dist) AS BIGINT) AS ecc_capped,
+           CAST(COUNT(*) AS BIGINT) AS n_reached
+    FROM best GROUP BY seed ORDER BY seed
+    """.format(pairs="{pairs}"),
+)
+def q_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped eccentricity from the {ECC_SEEDS} highest-degree hubs of
+    the LSH candidate graph (BFS to depth {ECC_MAX_DEPTH}): per seed,
+    the farthest min-hop distance actually reached plus the size of its
+    ≤{ECC_MAX_DEPTH}-hop ball — the sampled-diameter probe (max ecc is
+    a diameter lower bound) and the 'how big is a dup neighborhood
+    really' audit that q_graph_degree's 1-hop counts understate.
+
+    Hub seeds are a deterministic degree-desc/node-asc top-k on the
+    degree relation; the BFS is bounded multi-source min-distance
+    propagation — per round ONE join of the frontier against the
+    checkpointed edge list + grouped min, seeds ride along as a label
+    column so all {ECC_SEEDS} searches share each round's single
+    shuffle (the q_graph_bfs pattern, q_dedup_groups lineage
+    discipline).  The oracle walks the same capped frontier with a
+    recursive CTE."""
+    from data_warehouse_hive_spark.extensions.dedup import (
+        candidate_pairs_cached,
+    )
+
+    pairs = candidate_pairs_cached(spark, sf_dir)
+    und = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionAll(pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("long").alias("d")
+    )
+    seeds = (
+        deg.orderBy(F.col("d").desc(), "node")
+        .limit(ECC_SEEDS)
+        .select(F.col("node").alias("seed"))
+    )
+    dist = seeds.select(
+        "seed", F.col("seed").alias("node"), F.lit(0).alias("dist")
+    ).localCheckpoint(eager=False)
+    for _ in range(ECC_MAX_DEPTH):
+        step = (
+            dist.join(und, F.col("node") == F.col("u"))
+            .select("seed", F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(step)
+            .groupBy("seed", "node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.groupBy(F.col("seed").cast("long").alias("seed"))
+        .agg(
+            F.max("dist").cast("long").alias("ecc_capped"),
+            F.count(F.lit(1)).cast("long").alias("n_reached"),
+        )
+        .orderBy("seed")
+    )
+
+
+from data_warehouse_hive_spark.registry import REGISTRY as _REG8  # noqa: E402
+
+_spec8 = _REG8["q_graph_eccentricity"]
+object.__setattr__(_spec8, "oracle", _spec8.oracle.format(pairs=_o_candidate_edges()))
+del _REG8, _spec8

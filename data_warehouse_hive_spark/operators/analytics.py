@@ -2915,3 +2915,138 @@ def q_orders_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("intercept_ln"),
         F.round(bn * bn / bd / yd, 6).alias("r2"),
     )
+
+
+@query(
+    "q_orders_xyz_class",
+    oracle="""
+    WITH monthly AS (
+      SELECT l_partkey, strftime(l_shipdate, '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS q
+      FROM lineitem GROUP BY 1, 2
+    ),
+    varies AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS nm,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(CAST(q AS HUGEINT) * q) AS HUGEINT) AS s2
+      FROM monthly GROUP BY l_partkey
+    ),
+    xyz AS (
+      SELECT l_partkey,
+             CASE WHEN nm < 2 THEN 'X'
+                  WHEN sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) / nm * s1) / (nm - 1))
+                       / (CAST(s1 AS DOUBLE) / nm) < 0.5 THEN 'X'
+                  WHEN sqrt((CAST(s2 AS DOUBLE)
+                             - CAST(s1 AS DOUBLE) / nm * s1) / (nm - 1))
+                       / (CAST(s1 AS DOUBLE) / nm) < 1.0 THEN 'Y'
+                  ELSE 'Z' END AS xyz_class
+      FROM varies
+    ),
+    rev AS (
+      SELECT l_partkey,
+             CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 1e6
+                                 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+      FROM lineitem GROUP BY l_partkey
+    ),
+    abc AS (
+      SELECT l_partkey, rev_c,
+             CASE WHEN CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC,
+                           l_partkey) AS DOUBLE)
+                       / CAST(SUM(rev_c) OVER () AS DOUBLE) <= 0.8
+                    THEN 'A'
+                  WHEN CAST(SUM(rev_c) OVER (ORDER BY rev_c DESC,
+                           l_partkey) AS DOUBLE)
+                       / CAST(SUM(rev_c) OVER () AS DOUBLE) <= 0.95
+                    THEN 'B'
+                  ELSE 'C' END AS abc_class
+      FROM rev
+    )
+    SELECT a.abc_class, x.xyz_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           round(CAST(SUM(a.rev_c) AS DOUBLE) / 1e6, 2) AS cell_revenue
+    FROM abc a JOIN xyz x ON x.l_partkey = a.l_partkey
+    GROUP BY a.abc_class, x.xyz_class
+    ORDER BY a.abc_class, x.xyz_class
+    """,
+)
+def q_orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC×XYZ inventory grid: parts classed by revenue contribution
+    (A ≤80% cumulative share, B ≤95%, C tail — q_abc_analysis's
+    thresholds) CROSSED with demand-variability class from the
+    coefficient of variation of monthly shipped quantity (X cv<0.5
+    steady, Y cv<1 variable, Z erratic) — the 9-cell planning matrix
+    (AX = automate replenishment, CZ = make-to-order) that an ABC
+    report alone cannot produce.
+
+    Two part-key reductions of lineitem (monthly-demand moments on the
+    centi-quantity carrier; revenue carrier) — both shuffle once on the
+    uniform part key; the CV is a fixed-order expression on exact
+    integer moment sums, the ABC share reuses the documented ordered
+    window over the AGGREGATED part relation (abc_analysis's scale
+    note), and the final grid is a 9-row join+agg."""
+    l = t(spark, sf_dir, "lineitem")
+    monthly = l.groupBy(
+        "l_partkey", F.date_format("l_shipdate", "yyyy-MM").alias("mon")
+    ).agg(
+        F.sum(F.floor(F.col("l_quantity") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("q")
+    )
+    varies = monthly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("long").alias("nm"),
+        F.sum("q").cast("long").alias("s1"),
+        F.sum(F.col("q").cast("decimal(38,0)") * F.col("q")).alias("s2"),
+    )
+    cv = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") / F.col("nm") * F.col("s1")
+        )
+        / (F.col("nm") - 1)
+    ) / (F.col("s1").cast("double") / F.col("nm"))
+    xyz = varies.select(
+        "l_partkey",
+        F.when(F.col("nm") < 2, "X")
+        .when(cv < 0.5, "X")
+        .when(cv < 1.0, "Y")
+        .otherwise("Z")
+        .alias("xyz_class"),
+    )
+    rev = l.groupBy("l_partkey").agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_c")
+    )
+    wcum = Window.orderBy(F.col("rev_c").desc(), "l_partkey").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    share = F.sum("rev_c").over(wcum).cast("double") / F.sum("rev_c").over(
+        wall
+    ).cast("double")
+    abc = rev.select(
+        "l_partkey",
+        "rev_c",
+        F.when(share <= 0.8, "A")
+        .when(share <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    return (
+        abc.join(xyz, "l_partkey")
+        .groupBy("abc_class", "xyz_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.round(F.sum("rev_c").cast("double") / 1e6, 2).alias(
+                "cell_revenue"
+            ),
+        )
+        .orderBy("abc_class", "xyz_class")
+    )

@@ -2969,3 +2969,124 @@ def q_events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+IV_WIDTH_US = 300_000_000  # each event covers [ts, ts + 5 min)
+
+
+@query(
+    "q_time_interval_union",
+    oracle=f"""
+    WITH iv AS (
+      SELECT event_type AS grp, user_id,
+             epoch_us(ts) AS s, epoch_us(ts) + {IV_WIDTH_US} AS e
+      FROM events
+    ),
+    flagged AS (
+      SELECT grp, user_id, s, e,
+             CASE WHEN MAX(e) OVER (PARTITION BY grp, user_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    IS NULL
+                  OR s > MAX(e) OVER (PARTITION BY grp, user_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_isl
+      FROM iv
+    ),
+    islid AS (
+      SELECT grp, user_id, s, e,
+             CAST(SUM(new_isl) OVER (PARTITION BY grp, user_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS isl
+      FROM flagged
+    ),
+    islands AS (
+      SELECT grp, user_id, isl,
+             CAST(MAX(e) - MIN(s) AS BIGINT) AS cover_us
+      FROM islid GROUP BY grp, user_id, isl
+    ),
+    per_user AS (
+      SELECT grp, user_id,
+             CAST(SUM(cover_us) AS BIGINT) AS union_us,
+             CAST(COUNT(*) AS BIGINT) AS n_isl
+      FROM islands GROUP BY grp, user_id
+    )
+    SELECT grp AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(union_us) // 1000000 AS BIGINT) AS union_seconds,
+           CAST(SUM(n_isl) AS BIGINT) AS n_islands,
+           round(CAST(SUM(n_isl) AS DOUBLE) / COUNT(*), 4)
+             AS avg_islands_per_user
+    FROM per_user GROUP BY grp ORDER BY grp
+    """,
+)
+def q_time_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-union coverage (sweep-line): treat each event as a
+    5-minute activity interval and compute, per event type, the TOTAL
+    deduplicated active time across users plus the island count — the
+    'how much wall-clock was actually covered' metric (billing active
+    minutes, SLA coverage, session stitching) that naive SUM(duration)
+    overstates wherever intervals overlap.
+
+    The classic sequential sweep becomes three windows over each
+    (type, user) partition: running max of interval ends (ROWS ...
+    1 PRECEDING) marks island starts, a running flag-sum assigns island
+    ids, and each island's coverage is exactly max(end) − min(start)
+    because membership guarantees contiguity.  All arithmetic is exact
+    epoch-microsecond integers; partitions are per-user (no global
+    windows), so the plan scales with the user key like every
+    sessionization op here."""
+    us = F.unix_micros("ts")
+    iv = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "user_id",
+        us.alias("s"),
+        (us + IV_WIDTH_US).alias("e"),
+    )
+    wprev = (
+        Window.partitionBy("grp", "user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    pme = F.max("e").over(wprev)
+    flagged = iv.select(
+        "grp",
+        "user_id",
+        "s",
+        "e",
+        F.when(pme.isNull() | (F.col("s") > pme), 1).otherwise(0).alias(
+            "new_isl"
+        ),
+    )
+    wcum = (
+        Window.partitionBy("grp", "user_id")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islid = flagged.select(
+        "grp",
+        "user_id",
+        "s",
+        "e",
+        F.sum("new_isl").over(wcum).cast("long").alias("isl"),
+    )
+    islands = islid.groupBy("grp", "user_id", "isl").agg(
+        (F.max("e") - F.min("s")).cast("long").alias("cover_us")
+    )
+    per_user = islands.groupBy("grp", "user_id").agg(
+        F.sum("cover_us").cast("long").alias("union_us"),
+        F.count(F.lit(1)).cast("long").alias("n_isl"),
+    )
+    return (
+        per_user.groupBy(F.col("grp").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            F.expr("sum(union_us) div 1000000")
+            .cast("long")
+            .alias("union_seconds"),
+            F.sum("n_isl").cast("long").alias("n_islands"),
+            F.round(
+                F.sum("n_isl").cast("double") / F.count(F.lit(1)), 4
+            ).alias("avg_islands_per_user"),
+        )
+        .orderBy("event_type")
+    )

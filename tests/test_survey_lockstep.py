@@ -81,3 +81,10 @@ def test_round_batch_ids_are_benched():
         "q_text_dirichlet_ql",
     ):
         assert qid in bench.EXT_R8C, f"{qid} missing from bench.EXT_R8C"
+    for qid in (
+        "q_stats_ansari_bradley",
+        "q_time_interval_union",
+        "q_orders_xyz_class",
+        "q_graph_eccentricity",
+    ):
+        assert qid in bench.EXT_R8D, f"{qid} missing from bench.EXT_R8D"
