@@ -6051,3 +6051,193 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(e_ab, 4).alias("e_ab"),
         F.round((ab - e_ab) / F.sqrt(var), 6).alias("z"),
     )
+
+
+KDE_POINTS = 20
+KDE_STEP = 25.0   # evaluation grid 0, 25, ..., 475 (value domain)
+KDE_BW = 25.0     # Gaussian bandwidth
+_KDE_NORM = 0.3989422804014327  # 1/sqrt(2*pi)
+
+
+@query(
+    "q_events_kde",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    hist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    tot AS (
+      SELECT grp, CAST(SUM(c) AS BIGINT) AS n FROM hist GROUP BY grp
+    ),
+    grid AS (
+      SELECT CAST(unnest(range({KDE_POINTS})) AS BIGINT) * {KDE_STEP!r}
+        AS g
+    ),
+    terms AS (
+      SELECT h.grp, d.g,
+             CAST(floor(h.c * exp(-0.5
+               * ((CAST(h.xq AS DOUBLE) / 100.0 - d.g) / {KDE_BW!r})
+               * ((CAST(h.xq AS DOUBLE) / 100.0 - d.g) / {KDE_BW!r}))
+               * 1e6 + 0.5) AS BIGINT) AS k6
+      FROM hist h CROSS JOIN grid d
+    )
+    SELECT t.grp, t.g AS grid_x,
+           round(CAST(SUM(t.k6) AS DOUBLE) / 1e6 * {_KDE_NORM!r}
+                 / ({KDE_BW!r} * n.n), 8) AS density
+    FROM terms t JOIN tot n ON n.grp = t.grp
+    GROUP BY t.grp, t.g, n.n
+    ORDER BY t.grp, t.g
+    """,
+)
+def q_events_kde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian kernel density estimate of the per-type value
+    distribution on a fixed {KDE_POINTS}-point grid (bandwidth
+    {KDE_BW:.0f}) — the smooth density curve behind every histogram
+    dashboard, and the shape screen that catches bimodality that
+    q_stats_profile's moments and q_stats_boxplot's fences both miss.
+
+    The corpus collapses to the (type, cent-value) histogram FIRST, so
+    the kernel evaluates once per DISTINCT value per grid point (a
+    bounded |distinct|×{KDE_POINTS} relation) with the count as the
+    weight — never per raw row.  Each weighted kernel term is pinned
+    onto a 1e6 summand grid (the exp closure evaluates on identical
+    IEEE operands both engines), making the per-(type, grid) reduction
+    order-free; the normalization constant 1/√2π is an embedded
+    literal."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    hist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    tot = hist.groupBy("grp").agg(F.sum("c").cast("long").alias("n"))
+    grid = spark.range(KDE_POINTS).select(
+        (F.col("id").cast("long") * KDE_STEP).alias("g")
+    )
+    z = (F.col("xq").cast("double") / 100.0 - F.col("g")) / KDE_BW
+    terms = hist.crossJoin(F.broadcast(grid)).select(
+        "grp",
+        "g",
+        F.floor(F.col("c") * F.exp(-0.5 * z * z) * 1e6 + 0.5)
+        .cast("long")
+        .alias("k6"),
+    )
+    return (
+        terms.join(F.broadcast(tot), "grp")
+        .groupBy("grp", F.col("g").alias("grid_x"), "n")
+        .agg(
+            F.round(
+                F.sum("k6").cast("double")
+                / 1e6
+                * _KDE_NORM
+                / (KDE_BW * F.col("n")),
+                8,
+            ).alias("density")
+        )
+        .select("grp", "grid_x", "density")
+        .orderBy("grp", "grid_x")
+    )
+
+
+EV_RETURN_T = (30, 365)
+_EULER_GAMMA = 0.5772156649015329
+_SQRT6_OVER_PI = 0.7796968012336393
+
+
+@query(
+    "q_stats_extreme_value",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(MAX(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS mx
+      FROM events GROUP BY 1, 2
+    ),
+    mom AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(mx) AS BIGINT) AS s1,
+             CAST(SUM(CAST(mx AS HUGEINT) * mx) AS HUGEINT) AS s2
+      FROM daily GROUP BY grp
+    ),
+    fitted AS (
+      SELECT grp, n_days,
+             sqrt((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n_days * s1)
+                  / (n_days - 1)) * {_SQRT6_OVER_PI!r} AS beta,
+             CAST(s1 AS DOUBLE) / n_days
+               - {_EULER_GAMMA!r}
+                 * (sqrt((CAST(s2 AS DOUBLE)
+                          - CAST(s1 AS DOUBLE) / n_days * s1)
+                         / (n_days - 1)) * {_SQRT6_OVER_PI!r}) AS mu
+      FROM mom
+    )
+    SELECT grp, n_days,
+           round(mu / 100.0, 4) AS gumbel_mu,
+           round(beta / 100.0, 4) AS gumbel_beta,
+           round((mu - beta * ln(-ln(1.0 - 1.0 / {EV_RETURN_T[0]})))
+                 / 100.0, 4) AS return_level_30,
+           round((mu - beta * ln(-ln(1.0 - 1.0 / {EV_RETURN_T[1]})))
+                 / 100.0, 4) AS return_level_365
+    FROM fitted ORDER BY grp
+    """,
+)
+def q_stats_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gumbel extreme-value fit of DAILY MAXIMUM event values per type
+    (method of moments: β = sd·√6/π, μ = mean − γ·β) with 30-day and
+    365-day return levels x_T = μ − β·ln(−ln(1−1/T)) — the capacity
+    question ('what's the biggest value we should expect this year?')
+    that quantiles of the raw distribution systematically under-answer,
+    because maxima follow the extreme-value family, not the parent.
+
+    Block maxima are exact integer cents off one (type, day) collapse;
+    the moment fit is fixed-order IEEE on exact HUGEINT carriers over
+    the ≤31-row daily-max relation; γ and √6/π are embedded literals
+    and the only transcendentals are two ln calls on constants per
+    group."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(
+            F.max(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("mx")
+        )
+    )
+    mom = daily.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_days"),
+        F.sum("mx").cast("long").alias("s1"),
+        F.sum(F.col("mx").cast("decimal(38,0)") * F.col("mx")).alias("s2"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") / F.col("n_days") * F.col("s1")
+        )
+        / (F.col("n_days") - 1)
+    )
+    beta = sd * _SQRT6_OVER_PI
+    mu = F.col("s1").cast("double") / F.col("n_days") - _EULER_GAMMA * beta
+    fitted = mom.select("grp", "n_days", beta.alias("beta"), mu.alias("mu"))
+    import math as _math
+
+    rl = {
+        T: F.col("mu")
+        - F.col("beta") * _math.log(-_math.log(1.0 - 1.0 / T))
+        for T in EV_RETURN_T
+    }
+    return fitted.select(
+        "grp",
+        "n_days",
+        F.round(F.col("mu") / 100.0, 4).alias("gumbel_mu"),
+        F.round(F.col("beta") / 100.0, 4).alias("gumbel_beta"),
+        F.round(rl[30] / 100.0, 4).alias("return_level_30"),
+        F.round(rl[365] / 100.0, 4).alias("return_level_365"),
+    ).orderBy("grp")

@@ -2688,3 +2688,179 @@ def q_text_distinctive_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rk")
     )
+
+
+HEAPS_STEPS = 10
+
+
+@query(
+    "q_text_heaps_law",
+    oracle=f"""
+    WITH words AS (
+      SELECT doc_id,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    wstat AS (
+      SELECT w, CAST(MIN(doc_id) AS BIGINT) AS mind,
+             CAST(COUNT(*) AS BIGINT) AS freq
+      FROM words GROUP BY w
+    ),
+    dstat AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS tc
+      FROM words GROUP BY doc_id
+    ),
+    docseq AS (
+      SELECT doc_id,
+             CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS nd
+      FROM dstat
+    ),
+    thr AS (
+      SELECT k, CAST(MAX(doc_id) AS BIGINT) AS t_k FROM (
+        SELECT d.doc_id, g.k, d.rn, d.nd
+        FROM docseq d CROSS JOIN (
+          SELECT unnest(range(1, {HEAPS_STEPS} + 1)) AS k) g
+        WHERE d.rn * {HEAPS_STEPS} <= d.nd * g.k
+      ) GROUP BY k
+    ),
+    pts AS (
+      SELECT t.k,
+             (SELECT CAST(SUM(tc) AS BIGINT) FROM dstat
+              WHERE doc_id <= t.t_k) AS toks,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM wstat
+              WHERE mind <= t.t_k) AS vocab
+      FROM thr t
+    ),
+    lg AS (
+      SELECT k,
+             CAST(floor(ln(CAST(toks AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS x9,
+             CAST(floor(ln(CAST(vocab AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+               AS y9,
+             toks, vocab
+      FROM pts
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(x9) AS BIGINT) AS sx,
+             CAST(SUM(y9) AS BIGINT) AS sy,
+             CAST(SUM(CAST(x9 AS HUGEINT) * x9) AS HUGEINT) AS sxx,
+             CAST(SUM(CAST(x9 AS HUGEINT) * y9) AS HUGEINT) AS sxy,
+             MAX(CASE WHEN k = {HEAPS_STEPS} THEN toks END) AS n_tokens,
+             MAX(CASE WHEN k = {HEAPS_STEPS} THEN vocab END) AS n_vocab
+      FROM lg
+    )
+    SELECT n_tokens, n_vocab,
+           round((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (m * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * sx), 6) AS heaps_beta,
+           round(exp(CAST(sy AS DOUBLE) / 1e9 / m
+                 - ((m * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                    / (m * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * sx))
+                   * (CAST(sx AS DOUBLE) / 1e9 / m)), 4) AS heaps_k
+    FROM fit
+    """,
+)
+def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit V(n) = K·n^β over the corpus:
+    cumulative vocabulary vs cumulative tokens at {HEAPS_STEPS} document
+    deciles, log-log OLS for (K, β) — the curve that predicts tokenizer
+    vocab coverage and dedup payoff at 10×/100× the corpus (β≈0.5 is
+    natural text; β near 1 screams templated duplication).
+
+    No running-distinct scan: a word's first appearance is just
+    MIN(doc_id) — one token pass yields (word → first-doc, freq) and
+    (doc → token count); cumulative vocabulary at a threshold is then a
+    COUNT over first-appearances and cumulative tokens a SUM over the
+    bounded doc relation.  Decile thresholds are exact rn·10 ≤ nd·k
+    crossings; the {HEAPS_STEPS}-point OLS runs on 1e9-pinned ln values
+    with HUGEINT cross moments (order-free), finishing fixed-order."""
+    words = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    wstat = words.groupBy("w").agg(
+        F.min("doc_id").cast("long").alias("mind"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+    )
+    dstat = words.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("tc")
+    )
+    wseq = Window.orderBy("doc_id")
+    wall = Window.partitionBy()
+    docseq = dstat.select(
+        "doc_id",
+        F.row_number().over(wseq).cast("long").alias("rn"),
+        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+    )
+    ks = spark.range(1, HEAPS_STEPS + 1).select(F.col("id").alias("k"))
+    thr = (
+        docseq.crossJoin(F.broadcast(ks))
+        .filter(F.col("rn") * HEAPS_STEPS <= F.col("nd") * F.col("k"))
+        .groupBy("k")
+        .agg(F.max("doc_id").cast("long").alias("t_k"))
+    )
+    toks = (
+        thr.join(dstat, dstat["doc_id"] <= thr["t_k"])
+        .groupBy("k", "t_k")
+        .agg(F.sum("tc").cast("long").alias("toks"))
+    )
+    pts = (
+        toks.join(wstat, wstat["mind"] <= toks["t_k"])
+        .groupBy("k", "toks")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+    lg = pts.select(
+        "k",
+        F.floor(F.log(F.col("toks").cast("double")) * 1e9 + 0.5)
+        .cast("long")
+        .alias("x9"),
+        F.floor(F.log(F.col("vocab").cast("double")) * 1e9 + 0.5)
+        .cast("long")
+        .alias("y9"),
+        "toks",
+        "vocab",
+    )
+    fit = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("x9").cast("long").alias("sx"),
+        F.sum("y9").cast("long").alias("sy"),
+        F.sum(F.col("x9").cast("decimal(38,0)") * F.col("x9")).alias("sxx"),
+        F.sum(F.col("x9").cast("decimal(38,0)") * F.col("y9")).alias("sxy"),
+        F.max(F.when(F.col("k") == HEAPS_STEPS, F.col("toks"))).alias(
+            "n_tokens"
+        ),
+        F.max(F.when(F.col("k") == HEAPS_STEPS, F.col("vocab"))).alias(
+            "n_vocab"
+        ),
+    )
+    beta = (
+        F.col("m") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.col("m") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx")
+    )
+    return fit.select(
+        "n_tokens",
+        "n_vocab",
+        F.round(beta, 6).alias("heaps_beta"),
+        F.round(
+            F.exp(
+                F.col("sy").cast("double") / 1e9 / F.col("m")
+                - beta * (F.col("sx").cast("double") / 1e9 / F.col("m"))
+            ),
+            4,
+        ).alias("heaps_k"),
+    )

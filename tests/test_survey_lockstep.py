@@ -88,3 +88,9 @@ def test_round_batch_ids_are_benched():
         "q_graph_eccentricity",
     ):
         assert qid in bench.EXT_R8D, f"{qid} missing from bench.EXT_R8D"
+    for qid in (
+        "q_text_heaps_law",
+        "q_events_kde",
+        "q_stats_extreme_value",
+    ):
+        assert qid in bench.EXT_R8E, f"{qid} missing from bench.EXT_R8E"
