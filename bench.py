@@ -422,6 +422,13 @@ EXT_R8E = [
     "q_stats_extreme_value",
 ]
 
+# round 8 batch F: cascade ANN, surprisal filter, M4 decimation.
+EXT_R8F = [
+    "q_sim_rerank_cascade",
+    "q_text_unigram_surprisal",
+    "q_time_m4_downsample",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -448,7 +455,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -542,6 +549,8 @@ def main() -> None:
     ext_r8d["total"] = round(sum(ext_r8d.values()), 3)
     ext_r8e = {name: timed(name) for name in EXT_R8E}
     ext_r8e["total"] = round(sum(ext_r8e.values()), 3)
+    ext_r8f = {name: timed(name) for name in EXT_R8F}
+    ext_r8f["total"] = round(sum(ext_r8f.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -579,6 +588,7 @@ def main() -> None:
         "ext_r8c": ext_r8c,
         "ext_r8d": ext_r8d,
         "ext_r8e": ext_r8e,
+        "ext_r8f": ext_r8f,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -634,6 +644,7 @@ def main() -> None:
                     "ext_r8c": ext_r8c["total"],
                     "ext_r8d": ext_r8d["total"],
                     "ext_r8e": ext_r8e["total"],
+                    "ext_r8f": ext_r8f["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

@@ -3034,3 +3034,121 @@ def q_mix_anneal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tau", "source")
     )
+
+
+@query(
+    "q_text_unigram_surprisal",
+    oracle="""
+    WITH words AS (
+      SELECT doc_id, source,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT doc_id, source, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY doc_id, source, w
+    ),
+    cf AS (SELECT w, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY w),
+    coll AS (SELECT CAST(SUM(cf) AS BIGINT) AS c FROM cf),
+    tscore AS (
+      SELECT w,
+             CAST(floor(-ln(CAST(cf AS DOUBLE) / (SELECT c FROM coll))
+                        * 1e9 + 0.5) AS BIGINT) AS t9
+      FROM cf
+    ),
+    per_doc AS (
+      SELECT t.doc_id, t.source,
+             CAST(SUM(t.tf) AS BIGINT) AS len,
+             CAST(SUM(t.tf * s.t9) AS BIGINT) AS h9
+      FROM tf t JOIN tscore s ON s.w = t.w
+      GROUP BY t.doc_id, t.source
+    ),
+    pinned AS (
+      SELECT source,
+             CAST(floor(CAST(h9 AS DOUBLE) / 1e9 / len * 1e6 + 0.5)
+                  AS BIGINT) AS h6
+      FROM per_doc
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           round(CAST(SUM(h6) AS DOUBLE) / 1e6 / COUNT(*), 6)
+             AS mean_surprisal,
+           round(CAST(MIN(h6) AS DOUBLE) / 1e6, 6) AS min_surprisal,
+           round(CAST(MAX(h6) AS DOUBLE) / 1e6, 6) AS max_surprisal
+    FROM pinned GROUP BY source ORDER BY source
+    """,
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source unigram surprisal (corpus-LM cross-entropy per token,
+    in nats): H(d) = −Σ_t tf·ln(p(t|C))/len — the model-free perplexity
+    proxy that quality-filtering pipelines threshold on (templated text
+    scores LOW, lexical soup scores HIGH; both tails get reviewed
+    before training).  Complements q_quality_gopher's rule screens with
+    a distributional signal.
+
+    One tokenize pass → (doc, term) tf; the −ln p score is pinned per
+    TERM on the vocab-sized relation (1e9 grid), so each document's
+    entropy is an exact integer weighted sum (one term-keyed join,
+    uniform shuffle) and per-source stats aggregate pinned per-doc
+    values — no order dependence anywhere."""
+    words = (
+        spread(
+            t(spark, sf_dir, "documents").select("doc_id", "source", "text"),
+            spark,
+        )
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    tf = words.groupBy("doc_id", "source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    cf = tf.groupBy("w").agg(F.sum("tf").cast("long").alias("cf"))
+    coll = cf.agg(F.sum("cf").cast("long").alias("c"))
+    tscore = cf.crossJoin(F.broadcast(coll)).select(
+        "w",
+        F.floor(
+            -F.log(F.col("cf").cast("double") / F.col("c")) * 1e9 + 0.5
+        )
+        .cast("long")
+        .alias("t9"),
+    )
+    per_doc = (
+        tf.join(tscore, "w")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("tf").cast("long").alias("len"),
+            F.sum(F.col("tf") * F.col("t9")).cast("long").alias("h9"),
+        )
+    )
+    pinned = per_doc.select(
+        "source",
+        F.floor(
+            F.col("h9").cast("double") / 1e9 / F.col("len") * 1e6 + 0.5
+        )
+        .cast("long")
+        .alias("h6"),
+    )
+    return (
+        pinned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.round(
+                F.sum("h6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mean_surprisal"),
+            F.round(F.min("h6").cast("double") / 1e6, 6).alias(
+                "min_surprisal"
+            ),
+            F.round(F.max("h6").cast("double") / 1e6, 6).alias(
+                "max_surprisal"
+            ),
+        )
+        .orderBy("source")
+    )

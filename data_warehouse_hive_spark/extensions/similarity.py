@@ -3509,3 +3509,118 @@ def q_embed_isotropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("v12").cast("double") / F.sum("v12"), 6
         ).alias("axis_max_var_share"),
     )
+
+
+CASCADE_DEPTH = 50  # int8 candidates per query fed to the exact reranker
+
+
+@query(
+    "q_sim_rerank_cascade",
+    oracle=f"""
+    WITH {_O_QUANT},
+    qs AS (
+      SELECT vec_id AS query_id, qv AS qqv, e AS qe
+      FROM quant WHERE vec_id < {N_QUERY_VECS}
+    ),
+    coarse AS (
+      SELECT query_id, vec_id, label, e, crk FROM (
+        SELECT qs.query_id, c.vec_id, c.label, c.e,
+               ROW_NUMBER() OVER (PARTITION BY qs.query_id ORDER BY
+                 round(list_dot_product(qs.qqv, c.qv)
+                       / (sqrt(list_dot_product(qs.qqv, qs.qqv))
+                          * sqrt(list_dot_product(c.qv, c.qv))), 6) DESC,
+                 c.vec_id) AS crk
+        FROM qs JOIN quant c ON c.vec_id != qs.query_id
+      ) WHERE crk <= {CASCADE_DEPTH}
+    ),
+    rer AS (
+      SELECT co.query_id, co.vec_id, co.label,
+             CAST(co.crk AS BIGINT) AS coarse_rk,
+             round(list_dot_product(q2.qe, co.e)
+                   / (sqrt(list_dot_product(q2.qe, q2.qe))
+                      * sqrt(list_dot_product(co.e, co.e))), 6) AS cosine
+      FROM coarse co JOIN qs q2 ON q2.query_id = co.query_id
+    )
+    SELECT query_id, vec_id, label, cosine, coarse_rk, rk FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                     ORDER BY cosine DESC, vec_id) AS BIGINT) AS rk
+      FROM rer
+    ) WHERE rk <= {TOP_K}
+    """,
+)
+def q_sim_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN cascade — the production search pipeline in one
+    plan: stage 1 scores every candidate with the 4×-smaller int8
+    corpus (pure integer dot products, SIMD semantics) and keeps the
+    top-{CASCADE_DEPTH} per query; stage 2 reranks ONLY those
+    {CASCADE_DEPTH} with exact float cosine.  The emitted coarse_rk
+    next to the final rk shows exactly how much the cheap stage
+    misordered — the observability a cascade deployment needs.
+
+    Scale shape: stage 1 is q_sim_search_int8's plan (corpus never
+    shuffles, queries broadcast, WindowGroupLimit keeps
+    {CASCADE_DEPTH}/query/partition); stage 2 touches Q×{CASCADE_DEPTH}
+    rows — negligible at any corpus size, which is the entire point of
+    a cascade.  Both stages' cosines round at 6 with vec_id tiebreaks,
+    so the pipeline is deterministic end to end."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", "label", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    )
+    qd = quantized_corpus(v)
+    queries = (
+        qd.filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qv").alias("qqv"),
+            F.col("e").alias("qe"),
+        )
+    )
+    idot = lambda a, b: F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    corpus = qd.select("vec_id", "label", "e", "qv").withColumn(
+        "nrm_q", F.sqrt(idot(F.col("qv"), F.col("qv")).cast("double"))
+    )
+    qn = queries.withColumn(
+        "qnrm_q", F.sqrt(idot(F.col("qqv"), F.col("qqv")).cast("double"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("vec_id")
+    )
+    coarse = (
+        corpus.join(broadcast(qn), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            "e",
+            "qe",
+            F.round(
+                idot(F.col("qqv"), F.col("qv")).cast("double")
+                / (F.col("qnrm_q") * F.col("nrm_q")),
+                6,
+            ).alias("cosine_q"),
+        )
+        .withColumn("crk", F.row_number().over(wq).cast("long"))
+        .filter(F.col("crk") <= CASCADE_DEPTH)
+    )
+    rer = coarse.select(
+        "query_id",
+        "vec_id",
+        "label",
+        F.col("crk").alias("coarse_rk"),
+        cosine(F.col("qe"), F.col("e")).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        rer.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= TOP_K)
+        .select("query_id", "vec_id", "label", "cosine", "coarse_rk", "rk")
+    )

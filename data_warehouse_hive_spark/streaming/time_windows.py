@@ -3090,3 +3090,104 @@ def q_time_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+M4_BUCKETS = 15
+
+
+@query(
+    "q_time_m4_downsample",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp, event_id, epoch_us(ts) AS u,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    span AS (
+      SELECT CAST(MIN(u) AS BIGINT) AS mn, CAST(MAX(u) AS BIGINT) AS mx
+      FROM pool
+    ),
+    bucketed AS (
+      SELECT grp, event_id, u, xq,
+             CAST((u - s.mn) * {M4_BUCKETS} // (s.mx - s.mn + 1)
+                  AS BIGINT) AS b
+      FROM pool CROSS JOIN span s
+    ),
+    ranked AS (
+      SELECT grp, b, xq,
+             ROW_NUMBER() OVER (PARTITION BY grp, b
+                                ORDER BY u, event_id) AS ra,
+             ROW_NUMBER() OVER (PARTITION BY grp, b
+                                ORDER BY u DESC, event_id DESC) AS rd
+      FROM bucketed
+    )
+    SELECT grp, b AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(xq) / 100.0, 2) AS v_min,
+           round(MAX(xq) / 100.0, 2) AS v_max,
+           round(MAX(CASE WHEN ra = 1 THEN xq END) / 100.0, 2) AS v_first,
+           round(MAX(CASE WHEN rd = 1 THEN xq END) / 100.0, 2) AS v_last
+    FROM ranked GROUP BY grp, b ORDER BY grp, b
+    """,
+)
+def q_time_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series decimation: per event type, reduce the raw value
+    stream to {M4_BUCKETS} pixel buckets carrying exactly min / max /
+    first / last — the aggregation proven to render the visually
+    IDENTICAL line chart at any zoom (what Grafana/observability
+    backends run), unlike naive per-bucket averaging which erases
+    spikes.  The op that turns a 100 TB series into a dashboard
+    payload.
+
+    One narrow scan buckets by exact integer epoch-µs arithmetic
+    against the broadcast 1-row global span; first/last are
+    row_number=1 picks under (ts, event_id) order — unique event ids
+    make the selection fully deterministic — and both directions ride
+    the same (type, bucket) partitioning as the min/max aggregate, so
+    the whole decimation is two window passes + one hash aggregate on
+    the uniform bucket key."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        "event_id",
+        F.unix_micros("ts").alias("u"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    span = pool.agg(
+        F.min("u").cast("long").alias("mn"),
+        F.max("u").cast("long").alias("mx"),
+    )
+    bucketed = pool.crossJoin(F.broadcast(span)).select(
+        "grp",
+        "event_id",
+        "u",
+        "xq",
+        F.expr(f"(u - mn) * {M4_BUCKETS} div (mx - mn + 1)")
+        .cast("long")
+        .alias("b"),
+    )
+    wa = Window.partitionBy("grp", "b").orderBy("u", "event_id")
+    wd = Window.partitionBy("grp", "b").orderBy(
+        F.col("u").desc(), F.col("event_id").desc()
+    )
+    ranked = bucketed.select(
+        "grp",
+        "b",
+        "xq",
+        F.row_number().over(wa).alias("ra"),
+        F.row_number().over(wd).alias("rd"),
+    )
+    return (
+        ranked.groupBy("grp", F.col("b").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("xq") / 100.0, 2).alias("v_min"),
+            F.round(F.max("xq") / 100.0, 2).alias("v_max"),
+            F.round(
+                F.max(F.when(F.col("ra") == 1, F.col("xq"))) / 100.0, 2
+            ).alias("v_first"),
+            F.round(
+                F.max(F.when(F.col("rd") == 1, F.col("xq"))) / 100.0, 2
+            ).alias("v_last"),
+        )
+        .orderBy("grp", "bucket")
+    )

@@ -94,3 +94,9 @@ def test_round_batch_ids_are_benched():
         "q_stats_extreme_value",
     ):
         assert qid in bench.EXT_R8E, f"{qid} missing from bench.EXT_R8E"
+    for qid in (
+        "q_sim_rerank_cascade",
+        "q_text_unigram_surprisal",
+        "q_time_m4_downsample",
+    ):
+        assert qid in bench.EXT_R8F, f"{qid} missing from bench.EXT_R8F"
