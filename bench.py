@@ -429,6 +429,13 @@ EXT_R8F = [
     "q_time_m4_downsample",
 ]
 
+# round 8 batch G: audience overlap + row-pattern matching (the
+# watermark-drop id is ddl_* behavioral, driver-checked not benched).
+EXT_R8G = [
+    "q_events_audience_overlap",
+    "q_win_pattern_vshape",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -455,7 +462,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -551,6 +558,8 @@ def main() -> None:
     ext_r8e["total"] = round(sum(ext_r8e.values()), 3)
     ext_r8f = {name: timed(name) for name in EXT_R8F}
     ext_r8f["total"] = round(sum(ext_r8f.values()), 3)
+    ext_r8g = {name: timed(name) for name in EXT_R8G}
+    ext_r8g["total"] = round(sum(ext_r8g.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -589,6 +598,7 @@ def main() -> None:
         "ext_r8d": ext_r8d,
         "ext_r8e": ext_r8e,
         "ext_r8f": ext_r8f,
+        "ext_r8g": ext_r8g,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -645,6 +655,7 @@ def main() -> None:
                     "ext_r8d": ext_r8d["total"],
                     "ext_r8e": ext_r8e["total"],
                     "ext_r8f": ext_r8f["total"],
+                    "ext_r8g": ext_r8g["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

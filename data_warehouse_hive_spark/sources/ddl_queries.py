@@ -1589,3 +1589,88 @@ def ddl_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(n_first, n_total, n_total == n_orig and n_distinct == n_orig)],
         "n_first_run long, n_after_resume long, exactly_once boolean",
     )
+
+
+@query("ddl_stream_late_drop")
+def ddl_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark LATE-DATA DROP semantics — the one stateful behavior the
+    other ddl_stream_* parity ids never exercise because their inputs
+    arrive in order: run 1 streams the full events table through a
+    watermarked daily-window count (advancing the checkpointed watermark
+    to max_ts − 1 hour); run 2 resumes from the SAME checkpoint after a
+    2-days-stale slice is re-landed — every stale row falls in a window
+    whose state the watermark already evicted, so run 2 must emit ZERO
+    updates while a batch twin would count them all.  This drop is the
+    contract that bounds streaming state at (arrival rate × watermark)
+    instead of stream history (cite: streaming/stream.py
+    read_events_stream; checkpoint-resume harness shape from
+    ddl_stream_resume).
+
+    Behavioral (rows-only): two engine runs + a filesystem mutation
+    cannot run in the oracle; the exact emitted-update accounting IS
+    the check."""
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+    )
+
+    ev = t(spark, sf_dir, "events")
+    src = _tmpdir("stream_late_src_")
+    out = _tmpdir("stream_late_out_")
+    ckpt = _tmpdir("stream_late_ckpt_")
+    ev.coalesce(1).write.mode("append").parquet(src)
+    n_on_time = ev.count()
+
+    def _sink(batch_df, _bid):
+        batch_df.select(
+            F.col("w.start").alias("ws"), F.col("c")
+        ).write.mode("append").parquet(out)
+
+    def _run():
+        agg = (
+            read_events_stream(spark, src)
+            .withWatermark("ts", "1 hour")
+            .groupBy(F.window("ts", "1 day").alias("w"))
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        q = (
+            agg.writeStream.foreachBatch(_sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        q.stop()
+
+    _run()
+    n_updates_run1 = spark.read.parquet(out).count()
+    counted_run1 = (
+        spark.read.parquet(out)
+        .groupBy("ws")
+        .agg(F.max("c").alias("c"))
+        .agg(F.sum("c"))
+        .collect()[0][0]
+    )
+    # the stale replay: > 2 days older than the stream's max event time
+    cutoff = ev.agg(
+        F.date_sub(F.max("ts").cast("timestamp"), 2).alias("c")
+    ).collect()[0]["c"]
+    late = ev.filter(
+        (F.col("ts").cast("timestamp") < F.lit(cutoff))
+        & (F.col("event_id") % 7 == 1)
+    )
+    late.coalesce(1).write.mode("append").parquet(src)
+    n_late = late.count()
+    _run()
+    n_updates_run2 = spark.read.parquet(out).count() - n_updates_run1
+    assert n_late > 0 and counted_run1 == n_on_time, (
+        counted_run1,
+        n_on_time,
+        n_late,
+    )
+    assert n_updates_run2 == 0, n_updates_run2
+    return spark.createDataFrame(
+        [(n_on_time + n_late, int(counted_run1), n_late, True)],
+        "n_landed long, n_counted long, n_dropped_late long,"
+        " late_rows_dropped boolean",
+    )

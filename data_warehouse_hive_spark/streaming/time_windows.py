@@ -3191,3 +3191,170 @@ def q_time_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp", "bucket")
     )
+
+
+@query(
+    "q_events_audience_overlap",
+    oracle="""
+    WITH us AS (
+      SELECT DISTINCT event_type AS grp, user_id FROM events
+    ),
+    sizes AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n FROM us GROUP BY grp
+    ),
+    common AS (
+      SELECT a.grp AS type_a, b.grp AS type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_common
+      FROM us a JOIN us b
+        ON b.user_id = a.user_id AND a.grp < b.grp
+      GROUP BY a.grp, b.grp
+    )
+    SELECT c.type_a, c.type_b, sa.n AS n_a, sb.n AS n_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / (sa.n + sb.n - c.n_common), 6) AS jaccard
+    FROM common c
+    JOIN sizes sa ON sa.grp = c.type_a
+    JOIN sizes sb ON sb.grp = c.type_b
+    ORDER BY c.type_a, c.type_b
+    """,
+)
+def q_events_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap matrix: Jaccard similarity of the USER SETS
+    behind every event-type pair — 'do the people who error overlap the
+    people who purchase?' — the segmentation-sanity readout behind
+    funnel design and the exact baseline q_agg_hll's sketches
+    approximate at scale.
+
+    The corpus collapses to the DISTINCT (type, user) relation first
+    (one dedup shuffle on the uniform user key); the pair counts are a
+    self-join keyed on user_id — fan-out bounded by the ≤|types| rows
+    each user contributes, never a cross join — and union sizes come
+    from inclusion-exclusion against the broadcast per-type totals."""
+    us = (
+        t(spark, sf_dir, "events")
+        .select(F.col("event_type").alias("grp"), "user_id")
+        .distinct()
+    )
+    sizes = us.groupBy("grp").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    common = (
+        us.alias("a")
+        .join(
+            us.alias("b"),
+            (F.col("b.user_id") == F.col("a.user_id"))
+            & (F.col("a.grp") < F.col("b.grp")),
+        )
+        .groupBy(
+            F.col("a.grp").alias("type_a"), F.col("b.grp").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(F.col("grp").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("grp").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy("type_a", "type_b")
+    )
+
+
+@query(
+    "q_win_pattern_vshape",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    ctx AS (
+      SELECT grp, day, c,
+             LAG(c, 2) OVER (PARTITION BY grp ORDER BY day) AS p2,
+             LAG(c, 1) OVER (PARTITION BY grp ORDER BY day) AS p1,
+             LEAD(c, 1) OVER (PARTITION BY grp ORDER BY day) AS f1,
+             LEAD(c, 2) OVER (PARTITION BY grp ORDER BY day) AS f2
+      FROM daily
+    ),
+    vb AS (
+      SELECT grp, day, c,
+             CAST(LEAST(p2, f2) - c AS BIGINT) AS depth
+      FROM ctx
+      WHERE p2 > p1 AND p1 > c AND f1 > c AND f2 > f1
+    ),
+    mx AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_vbottoms,
+             CAST(MAX(depth) AS BIGINT) AS max_depth
+      FROM vb GROUP BY grp
+    )
+    SELECT m.grp, m.n_vbottoms, m.max_depth,
+           MIN(v.day) AS deepest_day
+    FROM mx m JOIN vb v ON v.grp = m.grp AND v.depth = m.max_depth
+    GROUP BY m.grp, m.n_vbottoms, m.max_depth
+    ORDER BY m.grp
+    """,
+)
+def q_win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-lite row-pattern detection: strict V shapes
+    (two falling days into a bottom, two rising days out:
+    c₋₂>c₋₁>c<c₊₁<c₊₂) in each type's daily count series, with the
+    count of V bottoms and the deepest dip — the relational form of
+    Flink/Trino's DOWN+ UP+ pattern clause, and the 'was that a real
+    incident-and-recovery?' screen on traffic curves.
+
+    The corpus collapses to the bounded (type, day) relation; the
+    5-point pattern predicate is pure LAG/LEAD over per-type ordered
+    windows (≤31 rows each), depth = least(shoulders) − bottom in exact
+    integers, and the deepest day is an exact argmax join with an
+    earliest-day tiebreak."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    ctx = daily.select(
+        "grp",
+        "day",
+        "c",
+        F.lag("c", 2).over(w).alias("p2"),
+        F.lag("c", 1).over(w).alias("p1"),
+        F.lead("c", 1).over(w).alias("f1"),
+        F.lead("c", 2).over(w).alias("f2"),
+    )
+    vb = ctx.filter(
+        (F.col("p2") > F.col("p1"))
+        & (F.col("p1") > F.col("c"))
+        & (F.col("f1") > F.col("c"))
+        & (F.col("f2") > F.col("f1"))
+    ).select(
+        "grp",
+        "day",
+        (F.least("p2", "f2") - F.col("c")).cast("long").alias("depth"),
+    )
+    mx = vb.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vbottoms"),
+        F.max("depth").cast("long").alias("max_depth"),
+    )
+    return (
+        mx.join(
+            vb.select(F.col("grp").alias("v_grp"), "depth", "day"),
+            (F.col("v_grp") == F.col("grp"))
+            & (F.col("depth") == F.col("max_depth")),
+        )
+        .groupBy("grp", "n_vbottoms", "max_depth")
+        .agg(F.min("day").alias("deepest_day"))
+        .orderBy("grp")
+    )

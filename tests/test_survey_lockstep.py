@@ -100,3 +100,8 @@ def test_round_batch_ids_are_benched():
         "q_time_m4_downsample",
     ):
         assert qid in bench.EXT_R8F, f"{qid} missing from bench.EXT_R8F"
+    for qid in (
+        "q_events_audience_overlap",
+        "q_win_pattern_vshape",
+    ):
+        assert qid in bench.EXT_R8G, f"{qid} missing from bench.EXT_R8G"
