@@ -436,6 +436,12 @@ EXT_R8G = [
     "q_win_pattern_vshape",
 ]
 
+# round 8 batch H: ANOVA post-hoc + lexical burstiness.
+EXT_R8H = [
+    "q_stats_tukey_hsd",
+    "q_text_term_burstiness",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -462,7 +468,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -560,6 +566,8 @@ def main() -> None:
     ext_r8f["total"] = round(sum(ext_r8f.values()), 3)
     ext_r8g = {name: timed(name) for name in EXT_R8G}
     ext_r8g["total"] = round(sum(ext_r8g.values()), 3)
+    ext_r8h = {name: timed(name) for name in EXT_R8H}
+    ext_r8h["total"] = round(sum(ext_r8h.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -599,6 +607,7 @@ def main() -> None:
         "ext_r8e": ext_r8e,
         "ext_r8f": ext_r8f,
         "ext_r8g": ext_r8g,
+        "ext_r8h": ext_r8h,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -656,6 +665,7 @@ def main() -> None:
                     "ext_r8e": ext_r8e["total"],
                     "ext_r8f": ext_r8f["total"],
                     "ext_r8g": ext_r8g["total"],
+                    "ext_r8h": ext_r8h["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

@@ -6241,3 +6241,104 @@ def q_stats_extreme_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(rl[30] / 100.0, 4).alias("return_level_30"),
         F.round(rl[365] / 100.0, 4).alias("return_level_365"),
     ).orderBy("grp")
+
+
+@query(
+    "q_stats_tukey_hsd",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    mom AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+      FROM pool GROUP BY grp
+    ),
+    msw AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(COUNT(*) AS BIGINT) AS k,
+             SUM(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+               / (SUM(n) - COUNT(*)) AS w
+      FROM mom
+    )
+    SELECT a.grp AS type_a, b.grp AS type_b,
+           round((CAST(a.s1 AS DOUBLE) / a.n
+                  - CAST(b.s1 AS DOUBLE) / b.n) / 100.0, 4) AS mean_diff,
+           round(abs(CAST(a.s1 AS DOUBLE) / a.n
+                     - CAST(b.s1 AS DOUBLE) / b.n)
+                 / sqrt(m.w / 2.0 * (1.0 / a.n + 1.0 / b.n)), 6)
+             AS q_stat,
+           m.nt - m.k AS df_within
+    FROM mom a JOIN mom b ON a.grp < b.grp CROSS JOIN msw m
+    ORDER BY a.grp, b.grp
+    """,
+)
+def q_stats_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-Kramer HSD post-hoc: the studentized-range statistic
+    q = |mean_i − mean_j| / √(MSW/2·(1/nᵢ+1/nⱼ)) for every event-type
+    pair — the step AFTER q_stats_anova rejects: WHICH pairs differ,
+    with family-wise error control (compare q to the studentized-range
+    critical value, left to the client like every p-lookup here).
+
+    One corpus collapse to per-group exact moment carriers; MSW pools
+    the within-group sums in the same fixed operand order as
+    q_stats_anova; the pair grid is a k²-row self-join of the 5-row
+    moment relation — zero additional corpus scans.  Unequal group
+    sizes use the Tukey-Kramer form."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    mom = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("s2"),
+    )
+    msw = mom.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+        (
+            F.sum(
+                F.col("s2").cast("double")
+                - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+            )
+            / (F.sum("n") - F.count(F.lit(1)))
+        ).alias("w"),
+    )
+    a = mom.select(
+        F.col("grp").alias("type_a"),
+        F.col("n").alias("na"),
+        F.col("s1").alias("s1a"),
+    )
+    b = mom.select(
+        F.col("grp").alias("type_b"),
+        F.col("n").alias("nb"),
+        F.col("s1").alias("s1b"),
+    )
+    diff = (
+        F.col("s1a").cast("double") / F.col("na")
+        - F.col("s1b").cast("double") / F.col("nb")
+    )
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .crossJoin(F.broadcast(msw))
+        .select(
+            "type_a",
+            "type_b",
+            F.round(diff / 100.0, 4).alias("mean_diff"),
+            F.round(
+                F.abs(diff)
+                / F.sqrt(
+                    F.col("w")
+                    / 2.0
+                    * (1.0 / F.col("na") + 1.0 / F.col("nb"))
+                ),
+                6,
+            ).alias("q_stat"),
+            (F.col("nt") - F.col("k")).alias("df_within"),
+        )
+        .orderBy("type_a", "type_b")
+    )

@@ -2864,3 +2864,89 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("heaps_k"),
     )
+
+
+BURST_TOP = 20
+
+
+@query(
+    "q_text_term_burstiness",
+    oracle=f"""
+    WITH tf AS (
+      SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM documents,
+           LATERAL unnest(list_filter(string_split_regex(
+                    trim(lower(text)), '\\s+'), x -> x != '')) AS u(w)
+      GROUP BY doc_id, w
+    ),
+    nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    stats AS (
+      SELECT w, CAST(SUM(tf) AS BIGINT) AS cf,
+             CAST(COUNT(*) AS BIGINT) AS df,
+             CAST(MAX(tf) AS BIGINT) AS max_tf
+      FROM tf GROUP BY w
+    )
+    SELECT w AS term, cf, df,
+           round(CAST(cf AS DOUBLE) / df, 6) AS burstiness,
+           round(ln(CAST((SELECT n FROM nd) AS DOUBLE) / df), 6) AS idf,
+           max_tf, rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY cf DESC, w) AS BIGINT)
+               AS rk
+      FROM stats
+    ) WHERE rk <= {BURST_TOP}
+    ORDER BY rk
+    """,
+)
+def q_text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Church-Gale term burstiness for the top-{BURST_TOP} terms: cf/df
+    (mean occurrences per CONTAINING document) next to idf and the
+    per-doc max — separates topical terms (bursty: rare docs, many
+    hits each) from function words (cf/df ≈ 1 everywhere), the signal
+    BM25-style rankers implicitly ride and templated corpora distort.
+
+    One tokenize pass → (doc, term) tf hash aggregate → vocab-sized
+    term rollup (cf, df, max tf exact integers); the only window is the
+    bounded top-{BURST_TOP} cut with a lexicographic tiebreak; idf's
+    single ln runs on the k-row output."""
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    tf = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    nd = tf.agg(F.countDistinct("doc_id").cast("long").alias("n"))
+    stats = tf.groupBy("w").agg(
+        F.sum("tf").cast("long").alias("cf"),
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.max("tf").cast("long").alias("max_tf"),
+    )
+    w = Window.orderBy(F.col("cf").desc(), "w")
+    return (
+        stats.orderBy(F.col("cf").desc(), "w")
+        .limit(BURST_TOP)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("w").alias("term"),
+            "cf",
+            "df",
+            F.round(F.col("cf").cast("double") / F.col("df"), 6).alias(
+                "burstiness"
+            ),
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("idf"),
+            "max_tf",
+            "rk",
+        )
+        .orderBy("rk")
+    )

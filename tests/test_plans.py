@@ -1175,3 +1175,46 @@ def test_no_uncached_pair_builds_outside_dedup():
     for mod in (graph, curation):
         src = inspect.getsource(mod)
         assert "minhash_candidate_pairs(" not in src, mod.__name__
+
+
+def test_cascade_stage2_is_bounded(spark, sf_dir):
+    """q_sim_rerank_cascade: stage 1 must broadcast the query side (the
+    corpus never shuffles for scoring) and the plan must contain no
+    cartesian product — the properties that make the cascade's cost
+    corpus-linear."""
+    plan = _plan(spark, sf_dir, "q_sim_rerank_cascade")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_kde_kernel_on_histogram_not_rows(spark, sf_dir):
+    """q_events_kde: the Gaussian kernel must evaluate on the DISTINCT
+    value histogram (one HashAggregate before the grid join), and the
+    20-row grid must arrive by broadcast."""
+    plan = _plan(spark, sf_dir, "q_events_kde")
+    assert "BroadcastExchange" in plan, plan
+    assert "CartesianProduct" not in plan or "BroadcastNestedLoopJoin" in plan, plan
+    import inspect
+
+    from data_warehouse_hive_spark.extensions import diagnostics
+
+    # registry wraps fns (no __wrapped__), so assert at module source
+    # level (the localCheckpoint-era precedent)
+    whole = inspect.getsource(diagnostics)
+    kde = whole[whole.find("def q_events_kde") :]
+    kde = kde[: kde.find("\n@query")]
+    assert 'hist = pool.groupBy("grp", "xq")' in kde  # histogram-first
+
+
+def test_interval_union_windows_partitioned(spark, sf_dir):
+    """q_time_interval_union: every window must be partitioned (per
+    type+user) — a global sweep would single-thread the corpus."""
+    import inspect
+
+    from data_warehouse_hive_spark.streaming import time_windows
+
+    whole = inspect.getsource(time_windows)
+    seg = whole[whole.find("def q_time_interval_union") :]
+    seg = seg[: seg.find("\n@query")]
+    assert 'partitionBy("grp", "user_id")' in seg
+    assert "Window.orderBy" not in seg  # no global windows

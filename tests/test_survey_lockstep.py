@@ -105,3 +105,8 @@ def test_round_batch_ids_are_benched():
         "q_win_pattern_vshape",
     ):
         assert qid in bench.EXT_R8G, f"{qid} missing from bench.EXT_R8G"
+    for qid in (
+        "q_stats_tukey_hsd",
+        "q_text_term_burstiness",
+    ):
+        assert qid in bench.EXT_R8H, f"{qid} missing from bench.EXT_R8H"
