@@ -442,6 +442,13 @@ EXT_R8H = [
     "q_text_term_burstiness",
 ]
 
+# round 8 batch I: rank post-hoc, dup source flows, key discovery.
+EXT_R8I = [
+    "q_stats_dunn",
+    "q_dedup_source_matrix",
+    "q_dq_key_discovery",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -468,7 +475,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -568,6 +575,8 @@ def main() -> None:
     ext_r8g["total"] = round(sum(ext_r8g.values()), 3)
     ext_r8h = {name: timed(name) for name in EXT_R8H}
     ext_r8h["total"] = round(sum(ext_r8h.values()), 3)
+    ext_r8i = {name: timed(name) for name in EXT_R8I}
+    ext_r8i["total"] = round(sum(ext_r8i.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -608,6 +617,7 @@ def main() -> None:
         "ext_r8f": ext_r8f,
         "ext_r8g": ext_r8g,
         "ext_r8h": ext_r8h,
+        "ext_r8i": ext_r8i,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -666,6 +676,7 @@ def main() -> None:
                     "ext_r8f": ext_r8f["total"],
                     "ext_r8g": ext_r8g["total"],
                     "ext_r8h": ext_r8h["total"],
+                    "ext_r8i": ext_r8i["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]
@@ -681,6 +692,7 @@ def main() -> None:
                         "q_graph_degree",
                         "q_graph_eccentricity",
                         "q_split_leakage_safe",
+                        "q_dedup_source_matrix",
                         "q_graph_nmi",
                         "q_sim_recall",
                         "q_sim_mrr",

@@ -27,7 +27,7 @@ verifiable, and swapping the hash is a one-line change.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import query
@@ -1762,4 +1762,77 @@ def q_dedup_crossdoc_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .orderBy(F.col("n_docs").desc(), F.col("n_occ").desc(), "span")
         .limit(SPAN_TOP)
+    )
+
+
+@query(
+    "q_dedup_source_matrix",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    srcs AS (SELECT doc_id, source FROM documents),
+    flows AS (
+      SELECT LEAST(sa.source, sb.source) AS source_a,
+             GREATEST(sa.source, sb.source) AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pairs p
+      JOIN srcs sa ON sa.doc_id = p.doc_a
+      JOIN srcs sb ON sb.doc_id = p.doc_b
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_pairs,
+           CAST(source_a = source_b AS BOOLEAN) AS within_source, rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY n_pairs DESC,
+                     source_a, source_b) AS BIGINT) AS rk
+      FROM flows
+    ) WHERE rk <= 20
+    ORDER BY rk
+    """,
+)
+def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-flow matrix across SOURCES: every LSH candidate pair
+    attributed to its (source, source) cell, top-20 cells — the
+    curation readout that tells you WHICH feeds copy from which (or
+    from themselves), i.e. where dedup budget actually goes; the
+    per-pair view q_dedup_group_stats' cluster view cannot give.
+
+    Reuses the session-cached candidate pair relation (zero rebuild of
+    the LSH pipeline); each side attributes its source via a doc-keyed
+    join against the narrow (doc_id, source) projection; cells are
+    normalized LEAST/GREATEST so A→B and B→A collapse; the top-20 cut
+    has a full lexicographic tiebreak."""
+    pairs = candidate_pairs_cached(spark, sf_dir)
+    srcs = t(spark, sf_dir, "documents").select("doc_id", "source")
+    flows = (
+        pairs.join(
+            srcs.select(
+                F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+            ),
+            "doc_a",
+        )
+        .join(
+            srcs.select(
+                F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+            ),
+            "doc_b",
+        )
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    w = Window.orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+    return (
+        flows.orderBy(F.col("n_pairs").desc(), "source_a", "source_b")
+        .limit(20)
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_pairs",
+            (F.col("source_a") == F.col("source_b")).alias("within_source"),
+            "rk",
+        )
+        .orderBy("rk")
     )

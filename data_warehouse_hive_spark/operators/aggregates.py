@@ -3191,3 +3191,76 @@ def q_dq_multivariate_outlier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+_KEY_COLS = (
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+)
+
+
+@query(
+    "q_dq_key_discovery",
+    oracle="""
+    WITH counts AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+    """
+    + ",\n    ".join(
+        f"CAST(COUNT(DISTINCT {c}) AS BIGINT) AS d_{c}" for c in _KEY_COLS
+    )
+    + """
+      FROM orders
+    )
+    SELECT col, n_distinct, n_rows,
+           round(CAST(n_distinct AS DOUBLE) / n_rows, 6) AS uniqueness,
+           CAST(n_distinct = n_rows AS BOOLEAN) AS is_key
+    FROM (
+    """
+    + "\n      UNION ALL ".join(
+        f"SELECT '{c}' AS col, d_{c} AS n_distinct, n_rows FROM counts"
+        for c in _KEY_COLS
+    )
+    + """
+    ) ORDER BY col
+    """,
+)
+def q_dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-key discovery on the orders table: exact uniqueness
+    ratio (distinct/rows) per column with an is_key verdict — the
+    schema-archaeology profiling every warehouse onboarding runs before
+    trusting a join key or declaring a merge target
+    (q_dq_uniqueness asserts ONE known key; this one FINDS them).
+
+    One scan: all per-column exact distinct counts ride a single
+    multi-COUNT(DISTINCT) aggregation (Spark plans it as one Expand —
+    |cols| passes over the shuffled expansion, not |cols| scans of the
+    table); the verdict relation is |cols| rows unpivoted from the
+    1-row count record."""
+    o = t(spark, sf_dir, "orders")
+    counts = o.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        *[
+            F.countDistinct(c).cast("long").alias(f"d_{c}")
+            for c in _KEY_COLS
+        ],
+    )
+    stack = ", ".join(f"'{c}', d_{c}" for c in _KEY_COLS)
+    return (
+        counts.selectExpr(
+            "n_rows", f"stack({len(_KEY_COLS)}, {stack}) AS (col, n_distinct)"
+        )
+        .select(
+            "col",
+            "n_distinct",
+            "n_rows",
+            F.round(
+                F.col("n_distinct").cast("double") / F.col("n_rows"), 6
+            ).alias("uniqueness"),
+            (F.col("n_distinct") == F.col("n_rows")).alias("is_key"),
+        )
+        .orderBy("col")
+    )

@@ -110,3 +110,9 @@ def test_round_batch_ids_are_benched():
         "q_text_term_burstiness",
     ):
         assert qid in bench.EXT_R8H, f"{qid} missing from bench.EXT_R8H"
+    for qid in (
+        "q_stats_dunn",
+        "q_dedup_source_matrix",
+        "q_dq_key_discovery",
+    ):
+        assert qid in bench.EXT_R8I, f"{qid} missing from bench.EXT_R8I"
