@@ -449,6 +449,12 @@ EXT_R8I = [
     "q_dq_key_discovery",
 ]
 
+# round 8 batch J: ordered-trend + segmented-regression causal readouts.
+EXT_R8J = [
+    "q_stats_cochran_armitage",
+    "q_events_interrupted_ts",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -475,7 +481,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I + EXT_R8J
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -577,6 +583,8 @@ def main() -> None:
     ext_r8h["total"] = round(sum(ext_r8h.values()), 3)
     ext_r8i = {name: timed(name) for name in EXT_R8I}
     ext_r8i["total"] = round(sum(ext_r8i.values()), 3)
+    ext_r8j = {name: timed(name) for name in EXT_R8J}
+    ext_r8j["total"] = round(sum(ext_r8j.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -618,6 +626,7 @@ def main() -> None:
         "ext_r8g": ext_r8g,
         "ext_r8h": ext_r8h,
         "ext_r8i": ext_r8i,
+        "ext_r8j": ext_r8j,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -677,6 +686,7 @@ def main() -> None:
                     "ext_r8g": ext_r8g["total"],
                     "ext_r8h": ext_r8h["total"],
                     "ext_r8i": ext_r8i["total"],
+                    "ext_r8j": ext_r8j["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

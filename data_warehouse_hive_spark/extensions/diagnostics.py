@@ -6480,3 +6480,250 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "q_stats_cochran_armitage",
+    oracle="""
+    WITH cells AS (
+      SELECT CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS w,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt, CAST(SUM(r) AS BIGINT) AS rt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM cells
+    ),
+    sums AS (
+      SELECT MAX(t.nt) AS nt, MAX(t.rt) AS rt, MAX(t.k) AS k,
+             CAST(SUM(c.w * (c.r * t.nt - c.n * t.rt)) AS BIGINT) AS a,
+             CAST(SUM(c.w * c.w * c.n) AS BIGINT) AS sw2n,
+             CAST(SUM(c.w * c.n) AS BIGINT) AS swn
+      FROM cells c CROSS JOIN tot t
+    )
+    SELECT k, nt AS n, rt AS n_success,
+           round(CAST(a AS DOUBLE) / nt, 6) AS trend_t,
+           round(CAST(a AS DOUBLE) * sqrt(CAST(nt AS DOUBLE))
+                 / sqrt(CAST(rt AS DOUBLE) * (nt - rt)
+                        * (CAST(nt AS DOUBLE) * sw2n
+                           - CAST(swn AS DOUBLE) * swn) / nt), 6) AS z
+    FROM sums
+    """,
+)
+def q_stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran-Armitage trend test: is the 'F' (fulfilled) rate
+    MONOTONE in order priority (scores 1..5 from the priority prefix)?
+    — the ordered-categories question a plain chi-square of
+    independence (q_stats_chi2 family) throws away, and the standard
+    dose-response screen re-aimed at operational tiers.
+
+    One conditional-aggregation pass to the ≤5 (priority, n, successes)
+    cells; T = Σw(rN − nR)/N and its variance are EXACT integer
+    cross-products (every carrier bounded by w·N² ≈ 1e15 at sf10,
+    inside BIGINT), combined in one fixed-order z expression —
+    z = A·√N / √(R(N−R)·(N·Σw²n − (Σwn)²)/N)."""
+    cells = (
+        t(spark, sf_dir, "orders")
+        .groupBy(
+            F.substring("o_orderpriority", 1, 1).cast("long").alias("w")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0))
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    tot = cells.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("r").cast("long").alias("rt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    sums = cells.crossJoin(F.broadcast(tot)).agg(
+        F.max("nt").alias("nt"),
+        F.max("rt").alias("rt"),
+        F.max("k").alias("k"),
+        F.sum(
+            F.col("w") * (F.col("r") * F.col("nt") - F.col("n") * F.col("rt"))
+        )
+        .cast("long")
+        .alias("a"),
+        F.sum(F.col("w") * F.col("w") * F.col("n"))
+        .cast("long")
+        .alias("sw2n"),
+        F.sum(F.col("w") * F.col("n")).cast("long").alias("swn"),
+    )
+    return sums.select(
+        "k",
+        F.col("nt").alias("n"),
+        F.col("rt").alias("n_success"),
+        F.round(F.col("a").cast("double") / F.col("nt"), 6).alias(
+            "trend_t"
+        ),
+        F.round(
+            F.col("a").cast("double")
+            * F.sqrt(F.col("nt").cast("double"))
+            / F.sqrt(
+                F.col("rt").cast("double")
+                * (F.col("nt") - F.col("rt"))
+                * (
+                    F.col("nt").cast("double") * F.col("sw2n")
+                    - F.col("swn").cast("double") * F.col("swn")
+                )
+                / F.col("nt")
+            ),
+            6,
+        ).alias("z"),
+    )
+
+
+ITS_T0 = 16  # intervention day index (mid-window of the 30-day fixture)
+
+
+@query(
+    "q_events_interrupted_ts",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type AS grp, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(COUNT(*) AS BIGINT) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    idxd AS (
+      SELECT grp, y,
+             CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day)
+                  AS BIGINT) AS ti
+      FROM daily
+    ),
+    seg AS (
+      SELECT grp,
+             CAST(SUM(CASE WHEN ti < {ITS_T0} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN ti < {ITS_T0} THEN ti ELSE 0 END)
+                  AS BIGINT) AS st1,
+             CAST(SUM(CASE WHEN ti < {ITS_T0} THEN y ELSE 0 END)
+                  AS BIGINT) AS sy1,
+             CAST(SUM(CASE WHEN ti < {ITS_T0} THEN ti * ti ELSE 0 END)
+                  AS BIGINT) AS stt1,
+             CAST(SUM(CASE WHEN ti < {ITS_T0} THEN ti * y ELSE 0 END)
+                  AS BIGINT) AS sty1,
+             CAST(SUM(CASE WHEN ti >= {ITS_T0} THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2,
+             CAST(SUM(CASE WHEN ti >= {ITS_T0} THEN ti ELSE 0 END)
+                  AS BIGINT) AS st2,
+             CAST(SUM(CASE WHEN ti >= {ITS_T0} THEN y ELSE 0 END)
+                  AS BIGINT) AS sy2,
+             CAST(SUM(CASE WHEN ti >= {ITS_T0} THEN ti * ti ELSE 0 END)
+                  AS BIGINT) AS stt2,
+             CAST(SUM(CASE WHEN ti >= {ITS_T0} THEN ti * y ELSE 0 END)
+                  AS BIGINT) AS sty2
+      FROM idxd GROUP BY grp
+    )
+    SELECT grp,
+           round((CAST(n1 AS DOUBLE) * sty1 - CAST(st1 AS DOUBLE) * sy1)
+                 / (CAST(n1 AS DOUBLE) * stt1
+                    - CAST(st1 AS DOUBLE) * st1), 6) AS pre_slope,
+           round((CAST(n2 AS DOUBLE) * sty2 - CAST(st2 AS DOUBLE) * sy2)
+                 / (CAST(n2 AS DOUBLE) * stt2
+                    - CAST(st2 AS DOUBLE) * st2), 6) AS post_slope,
+           round((CAST(n2 AS DOUBLE) * sty2 - CAST(st2 AS DOUBLE) * sy2)
+                 / (CAST(n2 AS DOUBLE) * stt2
+                    - CAST(st2 AS DOUBLE) * st2)
+                 - (CAST(n1 AS DOUBLE) * sty1 - CAST(st1 AS DOUBLE) * sy1)
+                 / (CAST(n1 AS DOUBLE) * stt1
+                    - CAST(st1 AS DOUBLE) * st1), 6) AS slope_change,
+           round(((CAST(sy2 AS DOUBLE)
+                   - ((CAST(n2 AS DOUBLE) * sty2
+                       - CAST(st2 AS DOUBLE) * sy2)
+                      / (CAST(n2 AS DOUBLE) * stt2
+                         - CAST(st2 AS DOUBLE) * st2)) * st2) / n2
+                  + ((CAST(n2 AS DOUBLE) * sty2
+                      - CAST(st2 AS DOUBLE) * sy2)
+                     / (CAST(n2 AS DOUBLE) * stt2
+                        - CAST(st2 AS DOUBLE) * st2)) * {ITS_T0})
+                 - ((CAST(sy1 AS DOUBLE)
+                     - ((CAST(n1 AS DOUBLE) * sty1
+                         - CAST(st1 AS DOUBLE) * sy1)
+                        / (CAST(n1 AS DOUBLE) * stt1
+                           - CAST(st1 AS DOUBLE) * st1)) * st1) / n1
+                    + ((CAST(n1 AS DOUBLE) * sty1
+                        - CAST(st1 AS DOUBLE) * sy1)
+                       / (CAST(n1 AS DOUBLE) * stt1
+                          - CAST(st1 AS DOUBLE) * st1)) * {ITS_T0}), 6)
+             AS level_change
+    FROM seg ORDER BY grp
+    """,
+)
+def q_events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interrupted time-series (segmented regression) on each type's
+    daily counts around the mid-window intervention day t0={ITS_T0}:
+    separate pre/post OLS fits, the SLOPE change, and the LEVEL change
+    (both fits evaluated AT t0) — the causal-inference workhorse for
+    'did the deploy/policy change the trend or just shift the level?',
+    which q_events_changepoint detects but does not quantify.
+
+    One conditional-aggregation pass computes both segments' five exact
+    OLS power sums simultaneously (q_stats_regression's carrier shape,
+    doubled by the pre/post CASE); the fits and their differences are
+    fixed-order IEEE on the k-row relation — the corpus is scanned
+    once, the 30-row daily relation never leaves the engine."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("y"))
+    )
+    w = Window.partitionBy("grp").orderBy("day")
+    idxd = daily.select(
+        "grp", "y", F.row_number().over(w).cast("long").alias("ti")
+    )
+    pre = F.col("ti") < ITS_T0
+    post = F.col("ti") >= ITS_T0
+
+    def seg_sums(cond, sfx):
+        z = F.lit(0)
+        return [
+            F.sum(F.when(cond, 1).otherwise(z)).cast("long").alias(f"n{sfx}"),
+            F.sum(F.when(cond, F.col("ti")).otherwise(z))
+            .cast("long")
+            .alias(f"st{sfx}"),
+            F.sum(F.when(cond, F.col("y")).otherwise(z))
+            .cast("long")
+            .alias(f"sy{sfx}"),
+            F.sum(F.when(cond, F.col("ti") * F.col("ti")).otherwise(z))
+            .cast("long")
+            .alias(f"stt{sfx}"),
+            F.sum(F.when(cond, F.col("ti") * F.col("y")).otherwise(z))
+            .cast("long")
+            .alias(f"sty{sfx}"),
+        ]
+
+    seg = idxd.groupBy("grp").agg(*seg_sums(pre, 1), *seg_sums(post, 2))
+
+    def slope(sfx):
+        return (
+            F.col(f"n{sfx}").cast("double") * F.col(f"sty{sfx}")
+            - F.col(f"st{sfx}").cast("double") * F.col(f"sy{sfx}")
+        ) / (
+            F.col(f"n{sfx}").cast("double") * F.col(f"stt{sfx}")
+            - F.col(f"st{sfx}").cast("double") * F.col(f"st{sfx}")
+        )
+
+    def at_t0(sfx):
+        b1 = slope(sfx)
+        b0 = (
+            F.col(f"sy{sfx}").cast("double") - b1 * F.col(f"st{sfx}")
+        ) / F.col(f"n{sfx}")
+        return b0 + b1 * ITS_T0
+
+    return seg.select(
+        "grp",
+        F.round(slope(1), 6).alias("pre_slope"),
+        F.round(slope(2), 6).alias("post_slope"),
+        F.round(slope(2) - slope(1), 6).alias("slope_change"),
+        F.round(at_t0(2) - at_t0(1), 6).alias("level_change"),
+    ).orderBy("grp")

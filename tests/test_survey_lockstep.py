@@ -116,3 +116,8 @@ def test_round_batch_ids_are_benched():
         "q_dq_key_discovery",
     ):
         assert qid in bench.EXT_R8I, f"{qid} missing from bench.EXT_R8I"
+    for qid in (
+        "q_stats_cochran_armitage",
+        "q_events_interrupted_ts",
+    ):
+        assert qid in bench.EXT_R8J, f"{qid} missing from bench.EXT_R8J"
