@@ -6727,3 +6727,87 @@ def q_events_interrupted_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope(2) - slope(1), 6).alias("slope_change"),
         F.round(at_t0(2) - at_t0(1), 6).alias("level_change"),
     ).orderBy("grp")
+
+
+@query(
+    "q_stats_cohens_kappa",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS truth,
+             CASE WHEN len(list_filter(
+                    string_split_regex(trim(lower(text)), '\\s+'),
+                    x -> x IN ('the','a','of'))) > 0
+                  THEN 1 ELSE 0 END AS pred
+      FROM documents
+    ),
+    cells AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(truth * pred) AS BIGINT) AS tp,
+             CAST(SUM(truth * (1 - pred)) AS BIGINT) AS fn,
+             CAST(SUM((1 - truth) * pred) AS BIGINT) AS fp,
+             CAST(SUM((1 - truth) * (1 - pred)) AS BIGINT) AS tn
+      FROM scored
+    )
+    SELECT n, tp, fp, fn, tn,
+           round(CAST(tp + tn AS DOUBLE) / n, 6) AS po,
+           round((CAST(tp + fn AS DOUBLE) * (tp + fp)
+                  + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                 / (CAST(n AS DOUBLE) * n), 6) AS pe,
+           round((CAST(tp + tn AS DOUBLE) / n
+                  - (CAST(tp + fn AS DOUBLE) * (tp + fp)
+                     + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                    / (CAST(n AS DOUBLE) * n))
+                 / (1.0 - (CAST(tp + fn AS DOUBLE) * (tp + fp)
+                           + CAST(fp + tn AS DOUBLE) * (fn + tn))
+                          / (CAST(n AS DOUBLE) * n)), 6) AS kappa
+    FROM cells
+    """,
+)
+def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa for the language-ID heuristic vs the labeled lang
+    column (en / not-en): chance-corrected agreement — the number that
+    exposes a classifier coasting on class imbalance, where raw
+    accuracy (q_text_lang_confusion's po) looks fine.  The
+    classifier-audit statistic every labeling pipeline reports next to
+    its confusion matrix.
+
+    One conditional-aggregation pass to the exact 2×2 cells (the
+    q_text_langid marker heuristic inlined as the predictor); po, pe,
+    and κ = (po−pe)/(1−pe) are fixed-order IEEE on the 1-row cell
+    relation — integer cross products everywhere before the three
+    divisions."""
+    from data_warehouse_hive_spark.functions.text import _LANG_MARKERS, tokens
+
+    d = spread(t(spark, sf_dir, "documents").select("lang", "text"), spark)
+    ws = tokens(F.lower(F.col("text")))
+    pred = F.when(
+        F.size(F.filter(ws, lambda x: x.isin(*_LANG_MARKERS["en"]))) > 0, 1
+    ).otherwise(0)
+    truth = F.when(F.col("lang") == "en", 1).otherwise(0)
+    scored = d.select(truth.alias("truth"), pred.alias("pred"))
+    cells = scored.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("truth") * F.col("pred")).cast("long").alias("tp"),
+        F.sum(F.col("truth") * (1 - F.col("pred"))).cast("long").alias("fn"),
+        F.sum((1 - F.col("truth")) * F.col("pred")).cast("long").alias("fp"),
+        F.sum((1 - F.col("truth")) * (1 - F.col("pred")))
+        .cast("long")
+        .alias("tn"),
+    )
+    po = (F.col("tp") + F.col("tn")).cast("double") / F.col("n")
+    pe = (
+        (F.col("tp") + F.col("fn")).cast("double")
+        * (F.col("tp") + F.col("fp"))
+        + (F.col("fp") + F.col("tn")).cast("double")
+        * (F.col("fn") + F.col("tn"))
+    ) / (F.col("n").cast("double") * F.col("n"))
+    return cells.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(po, 6).alias("po"),
+        F.round(pe, 6).alias("pe"),
+        F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
+    )

@@ -2950,3 +2950,185 @@ def q_text_term_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+DELTA_TERMS = 30
+DELTA_TOP_PAIRS = 10
+
+
+@query(
+    "q_text_burrows_delta",
+    oracle=f"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    stf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM words GROUP BY source, w
+    ),
+    stot AS (
+      SELECT source, CAST(SUM(tf) AS BIGINT) AS toks FROM stf
+      GROUP BY source
+    ),
+    top_terms AS (
+      SELECT w FROM (
+        SELECT w, ROW_NUMBER() OVER (ORDER BY SUM(tf) DESC, w) AS rk
+        FROM stf GROUP BY w
+      ) WHERE rk <= {DELTA_TERMS}
+    ),
+    rel AS (
+      SELECT s.source, tt.w,
+             CAST(floor(CAST(COALESCE(f.tf, 0) AS DOUBLE) / s.toks * 1e9
+                        + 0.5) AS BIGINT) AS f9
+      FROM stot s CROSS JOIN top_terms tt
+      LEFT JOIN stf f ON f.source = s.source AND f.w = tt.w
+    ),
+    mo AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(f9) AS BIGINT) AS s1,
+             CAST(SUM(CAST(f9 AS HUGEINT) * f9) AS HUGEINT) AS s2
+      FROM rel GROUP BY w
+    ),
+    z AS (
+      SELECT r.source, r.w,
+             (CAST(r.f9 AS DOUBLE) - CAST(m.s1 AS DOUBLE) / m.k)
+               / sqrt((CAST(m.s2 AS DOUBLE)
+                       - CAST(m.s1 AS DOUBLE) / m.k * m.s1)
+                      / (m.k - 1)) AS zv
+      FROM rel r JOIN mo m ON m.w = r.w
+    ),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(SUM(CAST(floor(abs(a.zv - b.zv) * 1e6 + 0.5)
+                           AS BIGINT)) AS BIGINT) AS d6
+      FROM z a JOIN z b ON b.w = a.w AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b,
+           round(CAST(d6 AS DOUBLE) / 1e6 / {DELTA_TERMS}, 6) AS delta,
+           rk
+    FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (ORDER BY d6, source_a, source_b)
+                     AS BIGINT) AS rk
+      FROM pairs
+    ) WHERE rk <= {DELTA_TOP_PAIRS}
+    ORDER BY rk
+    """,
+)
+def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burrows' Delta stylometry: z-score each source's relative
+    frequency of the {DELTA_TERMS} most common terms against the
+    cross-source distribution, then rank source pairs by mean |Δz| —
+    the classic authorship/provenance distance, here answering 'which
+    feeds are stylistically the same upstream?' (a softer signal than
+    q_dedup_source_matrix's literal copying).
+
+    Bounded everywhere: the term panel is a top-{DELTA_TERMS} cut of the
+    vocab rollup, the z matrix is |sources|×{DELTA_TERMS}, and the pair
+    join is over that tiny relation.  Relative frequencies are pinned
+    to a 1e9 grid BEFORE the cross-source moments (exact integer s1/s2,
+    HUGEINT squares), z is fixed-order IEEE, and each pair's mean |Δz|
+    sums 1e6-pinned terms — order-free at every reduction."""
+    words = (
+        spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    stf = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    stot = stf.groupBy("source").agg(F.sum("tf").cast("long").alias("toks"))
+    wtop = Window.orderBy(F.col("cf").desc(), "w")
+    top_terms = (
+        stf.groupBy("w")
+        .agg(F.sum("tf").alias("cf"))
+        .orderBy(F.col("cf").desc(), "w")
+        .limit(DELTA_TERMS)
+        .withColumn("rk", F.row_number().over(wtop))
+        .select("w")
+    )
+    rel = (
+        stot.crossJoin(F.broadcast(top_terms))
+        .join(stf, ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            F.floor(
+                F.coalesce(F.col("tf"), F.lit(0)).cast("double")
+                / F.col("toks")
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("f9"),
+        )
+    )
+    mo = rel.groupBy("w").agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("f9").cast("long").alias("s1"),
+        F.sum(F.col("f9").cast("decimal(38,0)") * F.col("f9")).alias("s2"),
+    )
+    z = rel.join(F.broadcast(mo), "w").select(
+        "source",
+        "w",
+        (
+            (F.col("f9").cast("double") - F.col("s1").cast("double") / F.col("k"))
+            / F.sqrt(
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") / F.col("k") * F.col("s1")
+                )
+                / (F.col("k") - 1)
+            )
+        ).alias("zv"),
+    )
+    a = z.select(
+        F.col("source").alias("source_a"), "w", F.col("zv").alias("za")
+    )
+    b = z.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("zv").alias("zb"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("wb") == F.col("w"))
+            & (F.col("source_a") < F.col("source_b")),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.sum(
+                F.floor(F.abs(F.col("za") - F.col("zb")) * 1e6 + 0.5).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("d6")
+        )
+    )
+    wr = Window.orderBy("d6", "source_a", "source_b")
+    return (
+        pairs.orderBy("d6", "source_a", "source_b")
+        .limit(DELTA_TOP_PAIRS)
+        .withColumn("rk", F.row_number().over(wr).cast("long"))
+        .select(
+            "source_a",
+            "source_b",
+            F.round(F.col("d6").cast("double") / 1e6 / DELTA_TERMS, 6).alias(
+                "delta"
+            ),
+            "rk",
+        )
+        .orderBy("rk")
+    )

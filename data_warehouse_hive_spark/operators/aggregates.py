@@ -3264,3 +3264,68 @@ def q_dq_key_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("col")
     )
+
+
+_FD_CANDIDATES = (
+    ("o_orderkey", "o_custkey"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_custkey", "o_orderpriority"),
+    ("o_orderdate", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+@query(
+    "q_dq_functional_deps",
+    oracle="""
+    """
+    + "\n    UNION ALL ".join(
+        f"""SELECT '{a} -> {b}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_lhs_values,
+           CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(SUM(CASE WHEN nb > 1 THEN 1 ELSE 0 END) = 0 AS BOOLEAN)
+             AS holds
+    FROM (SELECT {a}, COUNT(DISTINCT {b}) AS nb FROM orders GROUP BY {a})"""
+        for a, b in _FD_CANDIDATES
+    )
+    + """
+    ORDER BY fd
+    """,
+)
+def q_dq_functional_deps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency verification: for each candidate A → B on
+    orders, the number of A-values mapping to MORE than one B (exact
+    violation count) and a holds verdict — the schema-archaeology
+    companion to q_dq_key_discovery (keys are the FDs where A → every
+    column); broken 'obvious' FDs are how denormalized upstream feeds
+    reveal themselves.
+
+    Per candidate: one (A, countDistinct B) aggregation on the uniform
+    A key, then a count over the violating groups — each candidate is
+    one shuffle of the narrow two-column projection, unioned into the
+    |candidates|-row verdict relation."""
+    o = t(spark, sf_dir, "orders")
+    parts = []
+    for a, b in _FD_CANDIDATES:
+        g = (
+            o.groupBy(a)
+            .agg(F.countDistinct(b).alias("nb"))
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_lhs_values"),
+                F.sum(F.when(F.col("nb") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+            )
+            .select(
+                F.lit(f"{a} -> {b}").alias("fd"),
+                "n_lhs_values",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+        parts.append(g)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("fd")

@@ -121,3 +121,9 @@ def test_round_batch_ids_are_benched():
         "q_events_interrupted_ts",
     ):
         assert qid in bench.EXT_R8J, f"{qid} missing from bench.EXT_R8J"
+    for qid in (
+        "q_stats_cohens_kappa",
+        "q_text_burrows_delta",
+        "q_dq_functional_deps",
+    ):
+        assert qid in bench.EXT_R8K, f"{qid} missing from bench.EXT_R8K"
