@@ -3358,3 +3358,209 @@ def q_win_pattern_vshape(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("day").alias("deepest_day"))
         .orderBy("grp")
     )
+
+
+@query(
+    "q_events_forecast_eval",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type, date_trunc('hour', ts) AS h, COUNT(*) AS n
+      FROM events GROUP BY event_type, h
+    ),
+    framed AS (
+      SELECT event_type, h, n,
+             CAST(SUM(n) OVER w AS BIGINT) AS s24,
+             CAST(COUNT(*) OVER w AS BIGINT) AS k24
+      FROM hourly
+      WINDOW w AS (PARTITION BY event_type ORDER BY h
+                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    ),
+    scored AS (
+      SELECT event_type, n,
+             CAST(floor(abs(CAST(n AS DOUBLE)
+                            - CAST(s24 AS DOUBLE) / k24) * 1e6 + 0.5)
+                  AS BIGINT) AS ae6,
+             CAST(floor((CAST(n AS DOUBLE)
+                         - CAST(s24 AS DOUBLE) / k24) * 1e6 + 0.5)
+                  AS BIGINT) AS e6,
+             CAST(floor(abs(CAST(n AS DOUBLE)
+                            - CAST(s24 AS DOUBLE) / k24)
+                        / n * 1e6 + 0.5) AS BIGINT) AS ape6
+      FROM framed WHERE k24 >= 12
+    )
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+           round(CAST(SUM(ae6) AS DOUBLE) / 1e6
+                 / SUM(n), 6) AS wape,
+           round(CAST(SUM(ape6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mape,
+           round(CAST(SUM(e6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS bias
+    FROM scored GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-quality scorecard for the rolling-24h SMA predictor
+    (q_events_forecast_sma reports MAE; production review wants the
+    full panel): WAPE (volume-weighted — the planner's number), MAPE
+    (per-hour fairness — punishes misses on quiet hours), and signed
+    BIAS (systematic over/under-forecast, invisible to both).  Three
+    numbers, three different failure modes.
+
+    Same single-pass shape as the forecaster: one hourly rollup, one
+    trailing-frame window per type, every error term pinned onto a 1e6
+    grid at the row where it is born so the three aggregations are
+    order-free integer sums."""
+    hourly = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-24, -1)
+    )
+    framed = hourly.select(
+        "event_type",
+        "n",
+        F.sum("n").over(w).cast("long").alias("s24"),
+        F.count(F.lit(1)).over(w).cast("long").alias("k24"),
+    ).filter(F.col("k24") >= 12)
+    err = F.col("n").cast("double") - F.col("s24").cast("double") / F.col(
+        "k24"
+    )
+    scored = framed.select(
+        "event_type",
+        "n",
+        F.floor(F.abs(err) * 1e6 + 0.5).cast("long").alias("ae6"),
+        F.floor(err * 1e6 + 0.5).cast("long").alias("e6"),
+        F.floor(F.abs(err) / F.col("n") * 1e6 + 0.5)
+        .cast("long")
+        .alias("ape6"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.round(
+                F.sum("ae6").cast("double") / 1e6 / F.sum("n"), 6
+            ).alias("wape"),
+            F.round(
+                F.sum("ape6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("mape"),
+            F.round(
+                F.sum("e6").cast("double") / 1e6 / F.count(F.lit(1)), 6
+            ).alias("bias"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_events_retention_halflife",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id,
+             CAST(min(date_trunc('day', ts)) AS TIMESTAMP) AS cohort_day
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT e.user_id,
+             date_diff('day', f.cohort_day,
+                       CAST(date_trunc('day', e.ts) AS TIMESTAMP)) AS d
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    curve AS (
+      SELECT CAST(d AS BIGINT) AS d, CAST(COUNT(*) AS BIGINT) AS active
+      FROM activity WHERE d BETWEEN 1 AND 7 GROUP BY d
+    ),
+    lg AS (
+      SELECT d,
+             CAST(floor(ln(CAST(active AS DOUBLE)) * 1e9 + 0.5)
+                  AS BIGINT) AS y9,
+             active
+      FROM curve
+    ),
+    fit AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(d) AS BIGINT) AS sx,
+             CAST(SUM(y9) AS BIGINT) AS sy,
+             CAST(SUM(d * d) AS BIGINT) AS sxx,
+             CAST(SUM(d * y9) AS BIGINT) AS sxy,
+             MAX(CASE WHEN d = 1 THEN active END) AS a1
+      FROM lg
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM firsts)
+    SELECT f.m AS n_days, t.n_users,
+           round(CAST(f.a1 AS DOUBLE) / t.n_users, 6) AS day1_retention,
+           round((f.m * CAST(f.sxy AS DOUBLE) / 1e9
+                  - f.sx * (CAST(f.sy AS DOUBLE) / 1e9))
+                 / (f.m * f.sxx - CAST(f.sx AS DOUBLE) * f.sx), 6)
+             AS decay_slope,
+           round(-0.6931471805599453
+                 / ((f.m * CAST(f.sxy AS DOUBLE) / 1e9
+                     - f.sx * (CAST(f.sy AS DOUBLE) / 1e9))
+                    / (f.m * f.sxx - CAST(f.sx AS DOUBLE) * f.sx)), 4)
+             AS half_life_days
+    FROM fit f CROSS JOIN tot t
+    """,
+)
+def q_events_retention_halflife(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention half-life: fit exponential decay to days 1-7 of the
+    cohort-retention curve (ln-linear OLS on active-user counts) and
+    report the decay slope plus the half-life −ln2/slope — the single
+    number product reviews quote where q_events_retention hands them a
+    7-row curve.
+
+    The curve comes from the retention op's exact two-aggregate shape;
+    the 7-point fit pins ln(active) onto a 1e9 grid and runs exact
+    integer OLS moments (d ≤ 7, nothing can overflow); ln 2 is an
+    embedded literal, so the only in-engine transcendentals are the 7
+    ln calls on exact integers."""
+    e = t(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts"))
+    firsts = e.groupBy("user_id").agg(F.min(day).alias("cohort_day"))
+    activity = (
+        e.join(firsts, "user_id")
+        .select(
+            "user_id",
+            F.datediff(day, F.col("cohort_day")).cast("long").alias("d"),
+        )
+        .distinct()
+    )
+    curve = (
+        activity.filter((F.col("d") >= 1) & (F.col("d") <= 7))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).cast("long").alias("active"))
+    )
+    lg = curve.select(
+        "d",
+        F.floor(F.log(F.col("active").cast("double")) * 1e9 + 0.5)
+        .cast("long")
+        .alias("y9"),
+        "active",
+    )
+    fit = lg.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("d").cast("long").alias("sx"),
+        F.sum("y9").cast("long").alias("sy"),
+        F.sum(F.col("d") * F.col("d")).cast("long").alias("sxx"),
+        F.sum(F.col("d") * F.col("y9")).cast("long").alias("sxy"),
+        F.max(F.when(F.col("d") == 1, F.col("active"))).alias("a1"),
+    )
+    tot = firsts.agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+    slope = (
+        F.col("m") * F.col("sxy").cast("double") / 1e9
+        - F.col("sx") * (F.col("sy").cast("double") / 1e9)
+    ) / (
+        F.col("m") * F.col("sxx") - F.col("sx").cast("double") * F.col("sx")
+    )
+    return fit.crossJoin(F.broadcast(tot)).select(
+        F.col("m").alias("n_days"),
+        "n_users",
+        F.round(F.col("a1").cast("double") / F.col("n_users"), 6).alias(
+            "day1_retention"
+        ),
+        F.round(slope, 6).alias("decay_slope"),
+        F.round(F.lit(-0.6931471805599453) / slope, 4).alias(
+            "half_life_days"
+        ),
+    )

@@ -127,3 +127,8 @@ def test_round_batch_ids_are_benched():
         "q_dq_functional_deps",
     ):
         assert qid in bench.EXT_R8K, f"{qid} missing from bench.EXT_R8K"
+    for qid in (
+        "q_events_forecast_eval",
+        "q_events_retention_halflife",
+    ):
+        assert qid in bench.EXT_R8L, f"{qid} missing from bench.EXT_R8L"
