@@ -6811,3 +6811,272 @@ def q_stats_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(pe, 6).alias("pe"),
         F.round((po - pe) / (F.lit(1.0) - pe), 6).alias("kappa"),
     )
+
+
+@query(
+    "q_stats_brown_forsythe",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    ghist AS (
+      SELECT grp, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM pool GROUP BY grp, xq
+    ),
+    gmed AS (
+      SELECT grp, CAST(MIN(xq) AS BIGINT) AS med FROM (
+        SELECT grp, xq,
+               SUM(c) OVER (PARTITION BY grp ORDER BY xq) AS cum,
+               SUM(c) OVER (PARTITION BY grp) AS ng
+        FROM ghist
+      ) WHERE 2 * cum >= ng GROUP BY grp
+    ),
+    zmom AS (
+      SELECT h.grp, CAST(SUM(h.c) AS BIGINT) AS n,
+             CAST(SUM(h.c * abs(h.xq - m.med)) AS BIGINT) AS s1,
+             CAST(SUM(CAST(h.c AS HUGEINT) * abs(h.xq - m.med)
+                      * abs(h.xq - m.med)) AS HUGEINT) AS s2
+      FROM ghist h JOIN gmed m ON m.grp = h.grp
+      GROUP BY h.grp
+    ),
+    tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k, CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(s1) AS BIGINT) AS st1,
+             SUM(CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+               AS ssw,
+             SUM(CAST(floor((CAST(s1 AS DOUBLE) / n)
+                            * (CAST(s1 AS DOUBLE) / n) * n * 1e4 + 0.5)
+                      AS BIGINT)) AS wm4
+      FROM zmom
+    )
+    SELECT k, nt AS n,
+           round(((CAST(wm4 AS DOUBLE) / 1e4
+                   - CAST(st1 AS DOUBLE) * st1 / nt) / (k - 1))
+                 / (ssw / (nt - k)), 6) AS bf_f,
+           k - 1 AS df1, nt - k AS df2
+    FROM tot
+    """,
+)
+def q_stats_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe variance-homogeneity test: Levene's one-way F on
+    MEDIAN-centered absolute deviations — the recommended default of
+    the scale family (q_stats_levene's mean centers break under skew,
+    q_stats_bartlett under non-normality, q_stats_fligner trades power
+    for full rank-robustness; BF is the practical middle).
+
+    Per-group medians are exact cum·2 ≥ n crossings on the per-group
+    histogram (the fligner machinery); |x − med| stays an exact integer
+    so the per-group deviation moments are exact (HUGEINT squares).
+    The between-group sum uses Σnᵢz̄ᵢ² − (Σz)²/N with the nᵢz̄ᵢ² terms
+    pinned onto a 1e4 grid (the only non-integer per-group quantity),
+    making every reduction order-free; the F ratio is one fixed-order
+    expression on the 1-row total."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    ghist = pool.groupBy("grp", "xq").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wg = Window.partitionBy("grp").orderBy("xq")
+    wgall = Window.partitionBy("grp")
+    gmed = (
+        ghist.select(
+            "grp",
+            "xq",
+            F.sum("c").over(wg).alias("cum"),
+            F.sum("c").over(wgall).alias("ng"),
+        )
+        .filter(2 * F.col("cum") >= F.col("ng"))
+        .groupBy("grp")
+        .agg(F.min("xq").cast("long").alias("med"))
+    )
+    u = F.abs(F.col("xq") - F.col("med"))
+    zmom = (
+        ghist.join(
+            F.broadcast(gmed.withColumnRenamed("grp", "m_grp")),
+            F.col("m_grp") == F.col("grp"),
+        )
+        .groupBy("grp")
+        .agg(
+            F.sum("c").cast("long").alias("n"),
+            F.sum(F.col("c") * u).cast("long").alias("s1"),
+            F.sum(F.col("c").cast("decimal(38,0)") * u * u).alias("s2"),
+        )
+    )
+    zbar = F.col("s1").cast("double") / F.col("n")
+    tot = zmom.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("s1").cast("long").alias("st1"),
+        F.sum(
+            F.col("s2").cast("double")
+            - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+        ).alias("ssw"),
+        F.sum(
+            F.floor(zbar * zbar * F.col("n") * 1e4 + 0.5).cast("long")
+        ).alias("wm4"),
+    )
+    bf = (
+        (
+            F.col("wm4").cast("double") / 1e4
+            - F.col("st1").cast("double") * F.col("st1") / F.col("nt")
+        )
+        / (F.col("k") - 1)
+    ) / (F.col("ssw") / (F.col("nt") - F.col("k")))
+    return tot.select(
+        "k",
+        F.col("nt").alias("n"),
+        F.round(bf, 6).alias("bf_f"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("nt") - F.col("k")).alias("df2"),
+    )
+
+
+@query(
+    "q_stats_welch_anova",
+    oracle="""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    mom AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2
+      FROM pool GROUP BY grp
+    ),
+    der AS (
+      SELECT grp, n,
+             CAST(s1 AS DOUBLE) / n AS m,
+             n / ((CAST(s2 AS DOUBLE) - CAST(s1 AS DOUBLE) / n * s1)
+                  / (n - 1)) AS w
+      FROM mom
+    ),
+    wsum AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS k,
+             CAST(SUM(CAST(floor(w * 1e12 + 0.5) AS BIGINT)) AS BIGINT)
+               AS w12,
+             CAST(SUM(CAST(floor(w * m * 1e9 + 0.5) AS BIGINT))
+                  AS BIGINT) AS wm9,
+             CAST(SUM(CAST(floor(w * m * m * 1e6 + 0.5) AS HUGEINT))
+                  AS HUGEINT) AS wm26
+      FROM der
+    ),
+    lam AS (
+      SELECT MAX(s.k) AS k, MAX(s.w12) AS w12, MAX(s.wm9) AS wm9,
+             MAX(s.wm26) AS wm26,
+             CAST(SUM(CAST(floor(
+               (1.0 - d.w / (CAST(s.w12 AS DOUBLE) / 1e12))
+               * (1.0 - d.w / (CAST(s.w12 AS DOUBLE) / 1e12))
+               / (d.n - 1) * 1e12 + 0.5) AS BIGINT)) AS BIGINT) AS l12
+      FROM der d CROSS JOIN wsum s
+    )
+    SELECT k,
+           round(((CAST(wm26 AS DOUBLE) / 1e6
+                   - (CAST(wm9 AS DOUBLE) / 1e9)
+                     * (CAST(wm9 AS DOUBLE) / 1e9)
+                     / (CAST(w12 AS DOUBLE) / 1e12)) / (k - 1))
+                 / (1.0 + (2.0 * (k - 2) / (CAST(k AS DOUBLE) * k - 1.0))
+                          * (3.0 * (CAST(l12 AS DOUBLE) / 1e12)
+                             / (CAST(k AS DOUBLE) * k - 1.0))
+                          * (CAST(k AS DOUBLE) * k - 1.0) / 3.0), 6)
+             AS welch_f,
+           k - 1 AS df1,
+           round((CAST(k AS DOUBLE) * k - 1.0)
+                 / (3.0 * (CAST(l12 AS DOUBLE) / 1e12)), 4) AS df2
+    FROM lam
+    """,
+)
+def q_stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's heteroscedastic one-way ANOVA across event types —
+    q_stats_anova without its equal-variances assumption (the k-sample
+    generalization of q_stats_welch_t): precision weights wᵢ = nᵢ/sᵢ²,
+    F* = Σw(mᵢ−m̄w)²/(k−1) over the Welch correction term, with the
+    Welch-Satterthwaite denominator df.
+
+    One exact moment pass; the three weighted sums (Σw, Σwm, Σwm²) are
+    pinned onto 1e12/1e9/1e6 grids per group so the k-row reductions
+    are order-free (Σw(m−m̄w)² expands to Σwm² − (Σwm)²/Σw — no second
+    pass for the weighted mean); the Λ term re-joins the 1-row weight
+    total and is pinned the same way.  All remaining arithmetic is
+    fixed-order on the final row."""
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    mom = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq")).alias("s2"),
+    )
+    der = mom.select(
+        "grp",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m"),
+        (
+            F.col("n")
+            / (
+                (
+                    F.col("s2").cast("double")
+                    - F.col("s1").cast("double") / F.col("n") * F.col("s1")
+                )
+                / (F.col("n") - 1)
+            )
+        ).alias("w"),
+    )
+    wsum = der.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum(F.floor(F.col("w") * 1e12 + 0.5).cast("long"))
+        .cast("long")
+        .alias("w12"),
+        F.sum(F.floor(F.col("w") * F.col("m") * 1e9 + 0.5).cast("long"))
+        .cast("long")
+        .alias("wm9"),
+        F.sum(
+            F.floor(
+                F.col("w") * F.col("m") * F.col("m") * 1e6 + 0.5
+            ).cast("decimal(38,0)")
+        ).alias("wm26"),
+    )
+    lam = der.crossJoin(F.broadcast(wsum)).agg(
+        F.max("k").alias("k"),
+        F.max("w12").alias("w12"),
+        F.max("wm9").alias("wm9"),
+        F.max("wm26").alias("wm26"),
+        F.sum(
+            F.floor(
+                (1.0 - F.col("w") / (F.col("w12").cast("double") / 1e12))
+                * (1.0 - F.col("w") / (F.col("w12").cast("double") / 1e12))
+                / (F.col("n") - 1)
+                * 1e12
+                + 0.5
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("l12"),
+    )
+    kd = F.col("k").cast("double")
+    lamv = 3.0 * (F.col("l12").cast("double") / 1e12) / (kd * F.col("k") - 1.0)
+    num = (
+        F.col("wm26").cast("double") / 1e6
+        - (F.col("wm9").cast("double") / 1e9)
+        * (F.col("wm9").cast("double") / 1e9)
+        / (F.col("w12").cast("double") / 1e12)
+    ) / (F.col("k") - 1)
+    den = 1.0 + (2.0 * (F.col("k") - 2) / (kd * F.col("k") - 1.0)) * lamv * (
+        kd * F.col("k") - 1.0
+    ) / 3.0
+    return lam.select(
+        "k",
+        F.round(num / den, 6).alias("welch_f"),
+        (F.col("k") - 1).alias("df1"),
+        F.round(
+            (kd * F.col("k") - 1.0)
+            / (3.0 * (F.col("l12").cast("double") / 1e12)),
+            4,
+        ).alias("df2"),
+    )

@@ -132,3 +132,8 @@ def test_round_batch_ids_are_benched():
         "q_events_retention_halflife",
     ):
         assert qid in bench.EXT_R8L, f"{qid} missing from bench.EXT_R8L"
+    for qid in (
+        "q_stats_brown_forsythe",
+        "q_stats_welch_anova",
+    ):
+        assert qid in bench.EXT_R8M, f"{qid} missing from bench.EXT_R8M"
