@@ -1836,3 +1836,72 @@ def q_dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "q_dedup_bucket_stats",
+    oracle=f"""
+    WITH {_o_minhash_pairs_cte()},
+    sizes AS (
+      SELECT band_id, band_key, CAST(COUNT(*) AS BIGINT) AS sz
+      FROM bands GROUP BY band_id, band_key
+    )
+    SELECT CAST(band_id AS BIGINT) AS band_id,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(SUM(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singleton,
+           CAST(MAX(sz) AS BIGINT) AS max_size,
+           CAST(SUM(sz * (sz - 1) // 2) AS BIGINT) AS pair_work,
+           round(CAST(MAX(sz) * (MAX(sz) - 1) // 2 AS DOUBLE)
+                 / GREATEST(SUM(sz * (sz - 1) // 2), 1), 6)
+             AS hot_bucket_share
+    FROM sizes GROUP BY band_id ORDER BY band_id
+    """,
+)
+def q_dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH bucket-skew audit per band: bucket count, singleton share,
+    the LARGEST bucket, the total in-bucket pair workload Σ s(s−1)/2,
+    and the hot bucket's share of it — the monitor for the one failure
+    mode that makes banded LSH quadratic (a degenerate band key
+    herding the corpus into one bucket).  At 100 TB this is the
+    dashboard you alarm on BEFORE q_dedup_minhash's shuffle melts;
+    q_dedup_lsh_tuning calibrates recall, this guards cost.
+
+    One pass to (band, key, size) — the identical uniform shuffle the
+    candidate generator itself pays — then a 4-row per-band rollup;
+    every metric is an exact integer (pair workload uses integer
+    s(s−1)/2)."""
+    sig = signature(t(spark, sf_dir, "documents"))
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        ).alias(f"band_{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+    )
+    sizes = banded.groupBy("band_id", "band_key").agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    pw = F.expr("sz * (sz - 1) div 2")
+    return (
+        sizes.groupBy(F.col("band_id").cast("long").alias("band_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            F.sum(F.when(F.col("sz") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singleton"),
+            F.max("sz").cast("long").alias("max_size"),
+            F.sum(pw).cast("long").alias("pair_work"),
+            F.round(
+                F.expr(
+                    "CAST(max(sz) * (max(sz) - 1) div 2 AS DOUBLE)"
+                )
+                / F.greatest(F.sum(pw), F.lit(1)),
+                6,
+            ).alias("hot_bucket_share"),
+        )
+        .orderBy("band_id")
+    )

@@ -7080,3 +7080,86 @@ def q_stats_welch_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("df2"),
     )
+
+
+@query(
+    "q_stats_bimodality",
+    oracle=f"""
+    WITH pool AS (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    sums AS (
+      SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS s1,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq) AS HUGEINT) AS s2,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq * xq) AS HUGEINT) AS s3,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq * xq * xq) AS HUGEINT) AS s4
+      FROM pool GROUP BY grp
+    )
+    SELECT grp, n,
+           round({_DA_SK}, 6) AS skewness,
+           round({_DA_B2} - 3.0, 6) AS kurtosis_excess,
+           round(({_DA_SK} * {_DA_SK} + 1.0)
+                 / (({_DA_B2} - 3.0)
+                    + 3.0 * (CAST(n AS DOUBLE) - 1.0) * (n - 1.0)
+                      / ((n - 2.0) * (n - 3.0))), 6) AS bimodality,
+           CAST(({_DA_SK} * {_DA_SK} + 1.0)
+                / (({_DA_B2} - 3.0)
+                   + 3.0 * (CAST(n AS DOUBLE) - 1.0) * (n - 1.0)
+                     / ((n - 2.0) * (n - 3.0))) > 0.5555555555555556
+                AS BOOLEAN) AS bimodal_flag
+    FROM sums ORDER BY grp
+    """,
+)
+def q_stats_bimodality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sarle's bimodality coefficient per event type:
+    b = (g1²+1)/(g2 + 3(n−1)²/((n−2)(n−3))), flagged above the uniform
+    threshold 5/9 — the one-number screen for 'is this segment really
+    TWO populations?' that moments alone (q_stats_jarque_bera) and EDF
+    normality tests both report around rather than answer; pairs with
+    q_events_kde, which shows WHERE the modes sit.
+
+    Pure derivation from the same exact Σx..x⁴ power-sum pass as
+    jarque_bera/dagostino (operand-cast-first DECIMAL(38)/HUGEINT
+    carriers); the coefficient and its flag are fixed-order IEEE on the
+    k-row relation with the 5/9 threshold as an embedded literal."""
+    xqd = F.col("xq").cast("decimal(38,0)")
+    pool = t(spark, sf_dir, "events").select(
+        F.col("event_type").alias("grp"),
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    sums = pool.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xq").cast("long").alias("s1"),
+        F.sum(xqd * F.col("xq")).alias("s2"),
+        F.sum(xqd * F.col("xq") * F.col("xq")).alias("s3"),
+        F.sum(xqd * F.col("xq") * F.col("xq") * F.col("xq")).alias("s4"),
+    )
+    m1 = F.col("s1").cast("double") / F.col("n")
+    m2 = F.col("s2").cast("double") / F.col("n") - m1 * m1
+    sk = (
+        F.col("s3").cast("double") / F.col("n")
+        - 3.0 * m1 * (F.col("s2").cast("double") / F.col("n"))
+        + 2.0 * m1 * m1 * m1
+    ) / (m2 * F.sqrt(m2))
+    g2 = (
+        F.col("s4").cast("double") / F.col("n")
+        - 4.0 * m1 * (F.col("s3").cast("double") / F.col("n"))
+        + 6.0 * m1 * m1 * (F.col("s2").cast("double") / F.col("n"))
+        - 3.0 * m1 * m1 * m1 * m1
+    ) / (m2 * m2) - 3.0
+    nd = F.col("n").cast("double")
+    b = (sk * sk + 1.0) / (
+        g2 + 3.0 * (nd - 1.0) * (F.col("n") - 1.0)
+        / ((F.col("n") - 2.0) * (F.col("n") - 3.0))
+    )
+    return sums.select(
+        "grp",
+        "n",
+        F.round(sk, 6).alias("skewness"),
+        F.round(g2, 6).alias("kurtosis_excess"),
+        F.round(b, 6).alias("bimodality"),
+        (b > 0.5555555555555556).alias("bimodal_flag"),
+    ).orderBy("grp")

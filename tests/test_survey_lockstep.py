@@ -137,3 +137,8 @@ def test_round_batch_ids_are_benched():
         "q_stats_welch_anova",
     ):
         assert qid in bench.EXT_R8M, f"{qid} missing from bench.EXT_R8M"
+    for qid in (
+        "q_dedup_bucket_stats",
+        "q_stats_bimodality",
+    ):
+        assert qid in bench.EXT_R8N, f"{qid} missing from bench.EXT_R8N"
