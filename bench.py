@@ -480,6 +480,11 @@ EXT_R8N = [
     "q_stats_bimodality",
 ]
 
+# round 8 batch O: predicate-aware vector search.
+EXT_R8O = [
+    "q_sim_filtered_search",
+]
+
 
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
@@ -506,7 +511,7 @@ def main() -> None:
     for name in (
         HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
         + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I + EXT_R8J + EXT_R8K + EXT_R8L + EXT_R8M + EXT_R8N
+        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I + EXT_R8J + EXT_R8K + EXT_R8L + EXT_R8M + EXT_R8N + EXT_R8O
     ):
         _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     # metadata warmup for the TARGET sf: file listing + parquet schema are
@@ -618,6 +623,8 @@ def main() -> None:
     ext_r8m["total"] = round(sum(ext_r8m.values()), 3)
     ext_r8n = {name: timed(name) for name in EXT_R8N}
     ext_r8n["total"] = round(sum(ext_r8n.values()), 3)
+    ext_r8o = {name: timed(name) for name in EXT_R8O}
+    ext_r8o["total"] = round(sum(ext_r8o.values()), 3)
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -664,6 +671,7 @@ def main() -> None:
         "ext_r8l": ext_r8l,
         "ext_r8m": ext_r8m,
         "ext_r8n": ext_r8n,
+        "ext_r8o": ext_r8o,
         "sf": sf,
         "n_queries": len(timings),
         "first_run": first_run,
@@ -728,6 +736,7 @@ def main() -> None:
                     "ext_r8l": ext_r8l["total"],
                     "ext_r8m": ext_r8m["total"],
                     "ext_r8n": ext_r8n["total"],
+                    "ext_r8o": ext_r8o["total"],
                 },
                 "memoized_cold": {
                     name: first_run[name]

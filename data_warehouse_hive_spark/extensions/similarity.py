@@ -3624,3 +3624,143 @@ def q_sim_rerank_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= TOP_K)
         .select("query_id", "vec_id", "label", "cosine", "coarse_rk", "rk")
     )
+
+
+FILT_K = 5
+FILT_POST_DEPTH = 20
+
+
+@query(
+    "q_sim_filtered_search",
+    oracle=f"""
+    WITH v AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, label AS qlabel, e AS qe
+          FROM v WHERE vec_id < {N_QUERY_VECS}),
+    pre AS (
+      SELECT query_id, vec_id, cosine, rk FROM (
+        SELECT q.query_id, v.vec_id,
+               round(list_dot_product(q.qe, v.e)
+                     / (sqrt(list_dot_product(q.qe, q.qe))
+                        * sqrt(list_dot_product(v.e, v.e))), 6) AS cosine,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                 round(list_dot_product(q.qe, v.e)
+                       / (sqrt(list_dot_product(q.qe, q.qe))
+                          * sqrt(list_dot_product(v.e, v.e))), 6) DESC,
+                 v.vec_id) AS rk
+        FROM q JOIN v ON v.label = q.qlabel AND v.vec_id != q.query_id
+      ) WHERE rk <= {FILT_K}
+    ),
+    post AS (
+      SELECT query_id, vec_id, prk FROM (
+        SELECT query_id, vec_id, qlabel, label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS prk
+        FROM (
+          SELECT q.query_id, v.vec_id, q.qlabel, v.label,
+                 round(list_dot_product(q.qe, v.e)
+                       / (sqrt(list_dot_product(q.qe, q.qe))
+                          * sqrt(list_dot_product(v.e, v.e))), 6)
+                   AS cosine,
+                 ROW_NUMBER() OVER (PARTITION BY q.query_id ORDER BY
+                   round(list_dot_product(q.qe, v.e)
+                         / (sqrt(list_dot_product(q.qe, q.qe))
+                            * sqrt(list_dot_product(v.e, v.e))), 6) DESC,
+                   v.vec_id) AS urk
+          FROM q JOIN v ON v.vec_id != q.query_id
+        ) WHERE urk <= {FILT_POST_DEPTH} AND label = qlabel
+      ) WHERE prk <= {FILT_K}
+    )
+    SELECT p.query_id,
+           CAST(COUNT(*) AS BIGINT) AS k_pre,
+           CAST(SUM(CASE WHEN po.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS k_post_matched,
+           round(CAST(SUM(CASE WHEN po.vec_id IS NOT NULL THEN 1
+                               ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+             AS postfilter_recall
+    FROM pre p
+    LEFT JOIN post po ON po.query_id = p.query_id
+                     AND po.vec_id = p.vec_id
+    GROUP BY p.query_id ORDER BY p.query_id
+    """,
+)
+def q_sim_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered vector search, both ways production systems do it:
+    PRE-filter (exact top-{FILT_K} within the label-matching corpus
+    slice — the ground truth) vs POST-filter (take the unfiltered
+    top-{FILT_POST_DEPTH}, then apply the predicate, keep {FILT_K}) —
+    reporting per-query post-filter recall.  This is THE decision
+    metric for whether an ANN index needs predicate awareness: with a
+    selective filter, post-filtering's candidate list runs dry and
+    recall collapses, which this op quantifies instead of asserting.
+
+    Both arms are the q_sim_search plan (corpus never shuffles for
+    scoring, queries broadcast, WindowGroupLimit top-k); the pre-filter
+    arm pushes the label predicate INTO the join — at scale that is
+    partition pruning on a label-partitioned corpus; the recall join
+    touches Q×{FILT_K} rows."""
+    v, q = _fixture_corpus(spark, sf_dir)
+    qlab = (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") < N_QUERY_VECS)
+        .select(F.col("vec_id").alias("query_id"), F.col("label").alias("qlabel"))
+    )
+    q = q.join(broadcast(qlab), "query_id")
+    vv, qq = _with_norms(v, q)
+    pre_scored = vv.join(
+        broadcast(qq),
+        (F.col("label") == F.col("qlabel"))
+        & (F.col("vec_id") != F.col("query_id")),
+    ).select("query_id", "vec_id", _pair_cosine().alias("cosine"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    pre = (
+        pre_scored.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") <= FILT_K)
+        .select("query_id", "vec_id")
+    )
+    un_scored = vv.join(
+        broadcast(qq), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id", "vec_id", "label", "qlabel", _pair_cosine().alias("cosine")
+    )
+    post = (
+        un_scored.withColumn("urk", F.row_number().over(wq))
+        .filter(
+            (F.col("urk") <= FILT_POST_DEPTH)
+            & (F.col("label") == F.col("qlabel"))
+        )
+        .withColumn("prk", F.row_number().over(wq))
+        .filter(F.col("prk") <= FILT_K)
+        .select("query_id", F.col("vec_id").alias("post_vec"))
+    )
+    post_r = post.select(
+        F.col("query_id").alias("pq"), F.col("post_vec")
+    )
+    return (
+        pre.join(
+            post_r,
+            (F.col("pq") == F.col("query_id"))
+            & (F.col("post_vec") == F.col("vec_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k_pre"),
+            F.sum(F.when(F.col("post_vec").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("k_post_matched"),
+            F.round(
+                F.sum(
+                    F.when(F.col("post_vec").isNotNull(), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("postfilter_recall"),
+        )
+        .orderBy("query_id")
+    )

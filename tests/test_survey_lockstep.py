@@ -142,3 +142,4 @@ def test_round_batch_ids_are_benched():
         "q_stats_bimodality",
     ):
         assert qid in bench.EXT_R8N, f"{qid} missing from bench.EXT_R8N"
+    assert "q_sim_filtered_search" in bench.EXT_R8O
