@@ -6509,7 +6509,7 @@ def q_stats_dunn(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(CAST(a AS DOUBLE) * sqrt(CAST(nt AS DOUBLE))
                  / sqrt(CAST(rt AS DOUBLE) * (nt - rt)
                         * (CAST(nt AS DOUBLE) * sw2n
-                           - CAST(swn AS DOUBLE) * swn) / nt), 6) AS z
+                           - CAST(swn AS DOUBLE) * swn)), 6) AS z
     FROM sums
     """,
 )
@@ -6524,7 +6524,9 @@ def q_stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells; T = Σw(rN − nR)/N and its variance are EXACT integer
     cross-products (every carrier bounded by w·N² ≈ 1e15 at sf10,
     inside BIGINT), combined in one fixed-order z expression —
-    z = A·√N / √(R(N−R)·(N·Σw²n − (Σwn)²)/N)."""
+    z = A·√N / √(R(N−R)·(N·Σw²n − (Σwn)²)), i.e. T/√(p̄(1−p̄)
+    (Σw²n − (Σwn)²/N)) with T = A/N (r8 ADVICE fix: the earlier
+    form kept a stray /N inside the √, inflating z by √N)."""
     cells = (
         t(spark, sf_dir, "orders")
         .groupBy(
@@ -6573,7 +6575,6 @@ def q_stats_cochran_armitage(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("nt").cast("double") * F.col("sw2n")
                     - F.col("swn").cast("double") * F.col("swn")
                 )
-                / F.col("nt")
             ),
             6,
         ).alias("z"),

@@ -2776,8 +2776,11 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     (doc → token count); cumulative vocabulary at a threshold is then a
     COUNT over first-appearances and cumulative tokens a SUM over the
     bounded doc relation.  Decile thresholds are exact rn·10 ≤ nd·k
-    crossings; the {HEAPS_STEPS}-point OLS runs on 1e9-pinned ln values
-    with HUGEINT cross moments (order-free), finishing fixed-order."""
+    crossings, with rn from a two-level PARTITIONED rank (256 range
+    buckets + prefix-sum over the bucket-count carrier — no global
+    window over the document relation); the {HEAPS_STEPS}-point OLS
+    runs on 1e9-pinned ln values with HUGEINT cross moments
+    (order-free), finishing fixed-order."""
     words = (
         spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
         .select(
@@ -2797,12 +2800,49 @@ def q_text_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
     dstat = words.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("tc")
     )
-    wseq = Window.orderBy("doc_id")
-    wall = Window.partitionBy()
-    docseq = dstat.select(
+    # Two-level partitioned rank (r8 ADVICE): no global-sort window over
+    # the per-document relation.  doc_ids are range-bucketed into ≤256
+    # ordered buckets; the prefix-sum window runs over the ≤256-row
+    # bucket-count relation (bounded carrier, house pattern) and the
+    # within-bucket row_number is PARTITIONED by bucket — exact same rn.
+    n_bkt = 256
+    bounds = dstat.agg(
+        F.min("doc_id").cast("long").alias("dmin"),
+        F.max("doc_id").cast("long").alias("dmax"),
+        F.count(F.lit(1)).cast("long").alias("nd"),
+    )
+    bucketed = dstat.crossJoin(F.broadcast(bounds)).select(
         "doc_id",
-        F.row_number().over(wseq).cast("long").alias("rn"),
-        F.count(F.lit(1)).over(wall).cast("long").alias("nd"),
+        "nd",
+        F.least(
+            F.lit(n_bkt - 1),
+            F.floor(
+                (F.col("doc_id") - F.col("dmin")).cast("double")
+                * n_bkt
+                / (F.col("dmax") - F.col("dmin") + 1).cast("double")
+            ),
+        )
+        .cast("long")
+        .alias("bkt"),
+    )
+    bcnt = bucketed.groupBy("bkt").agg(
+        F.count(F.lit(1)).cast("long").alias("bc")
+    )
+    wb = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    boff = bcnt.select(
+        "bkt",
+        F.coalesce(F.sum("bc").over(wb), F.lit(0)).cast("long").alias("off"),
+    )
+    win_bkt = Window.partitionBy("bkt").orderBy("doc_id")
+    docseq = (
+        bucketed.join(F.broadcast(boff), "bkt")
+        .select(
+            "doc_id",
+            (F.col("off") + F.row_number().over(win_bkt))
+            .cast("long")
+            .alias("rn"),
+            "nd",
+        )
     )
     ks = spark.range(1, HEAPS_STEPS + 1).select(F.col("id").alias("k"))
     thr = (

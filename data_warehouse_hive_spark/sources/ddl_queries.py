@@ -55,6 +55,22 @@ def _tmpdir(prefix: str) -> str:
     return d
 
 
+def _await_drained(q, what: str, timeout: int = 120) -> None:
+    """awaitTermination(timeout) returns False on timeout WITHOUT
+    stopping the query — an unconditional q.stop() then truncates the
+    availableNow run mid-batch and the downstream accounting asserts
+    fail with a misleading message (r8 ADVICE).  Raise the real
+    diagnosis instead, then stop."""
+    drained = q.awaitTermination(timeout)
+    if not drained:
+        q.stop()
+        raise RuntimeError(
+            f"{what}: stream did not drain within {timeout}s "
+            "(availableNow trigger still running — slow/contended host?)"
+        )
+    q.stop()
+
+
 @query("ddl_csv_infer")
 def ddl_csv_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CSV load + delimiter sniff + bounded schema inference
@@ -1572,13 +1588,11 @@ def ddl_stream_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
     ckpt = _tmpdir("stream_resume_ckpt_")
     ev.filter(F.col("event_id") % 2 == 0).write.mode("append").parquet(src)
     q1 = stream_ingest_parquet(read_events_stream(spark, src), out, ckpt)
-    q1.awaitTermination(120)
-    q1.stop()
+    _await_drained(q1, "ddl_stream_resume run 1")
     n_first = spark.read.parquet(out).count()
     ev.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
     q2 = stream_ingest_parquet(read_events_stream(spark, src), out, ckpt)
-    q2.awaitTermination(120)
-    q2.stop()
+    _await_drained(q2, "ddl_stream_resume run 2")
     landed = spark.read.parquet(out)
     n_total = landed.count()
     n_orig = ev.count()
@@ -1639,8 +1653,7 @@ def ddl_stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
-        q.stop()
+        _await_drained(q, "ddl_stream_late_drop")
 
     _run()
     n_updates_run1 = spark.read.parquet(out).count()

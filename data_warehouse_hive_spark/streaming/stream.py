@@ -111,7 +111,12 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(120)
+    if not q.awaitTermination(120):
+        q.stop()
+        raise RuntimeError(
+            f"run_available_now({sink_table}): stream did not drain "
+            "within 120s (availableNow trigger still running)"
+        )
     return q
 
 
