@@ -486,6 +486,116 @@ EXT_R8O = [
 ]
 
 
+# round 9: suffix-ordering substring dedup + NN-descent kNN refinement.
+EXT_R9 = [
+    "q_dedup_substring",
+    "q_embed_knn_refine",
+    "q_embed_knn_recall_lift",
+]
+
+
+# ---------------------------------------------------------------------------
+# Process isolation (round 9, r8 VERDICT task 1).
+#
+# Through round 8 the whole bench ran in ONE JVM: a 556-op warmup followed by
+# 41 timed groups.  Heap/codegen-cache/GC pressure accumulated with every
+# round's added ops and landed on whichever groups ran mid-suite — r8's
+# in-bench totals for byte-identical r5-era code doubled (ext_r5 5.60→11.05s)
+# while the judge's fresh-process re-runs showed no regression.  Group totals
+# were no longer cross-round comparable.
+#
+# Now each ROUND-COHORT runs in its own subprocess with the same recipe the
+# judge used for isolation re-runs: fresh JVM → warm ONLY that cohort's ops
+# at sf0.001 → best-of-2 at the target SF.  A cohort's contents freeze when
+# its round ends and new rounds add new cohorts (new children), so a cohort's
+# JVM-age profile is CONSTANT round-over-round — the totals are comparable
+# again.  memoized_cold accounting stays per child: each child pays and
+# records its own cold build in first_run.
+# ---------------------------------------------------------------------------
+
+GROUP_LISTS: list[tuple[str, list[str]]] = [
+    ("queries", HEADLINE),
+    ("secondary", SECONDARY),
+    ("tpch", TPCH),
+    ("ext_r4", EXT_R4),
+    ("ext_r4b", EXT_R4B),
+    ("ext_r4c", EXT_R4C),
+    ("ext_r4d", EXT_R4D),
+    ("ext_r4e", EXT_R4E),
+    ("ext_r5", EXT_R5),
+    ("ext_r5b", EXT_R5B),
+    ("ext_r5c", EXT_R5C),
+    ("ext_r5d", EXT_R5D),
+    ("ext_r5e", EXT_R5E),
+    ("ext_r5f", EXT_R5F),
+    ("ext_r5g", EXT_R5G),
+    ("ext_r5h", EXT_R5H),
+    ("ext_r6", EXT_R6),
+    ("ext_r6b", EXT_R6B),
+    ("ext_r6c", EXT_R6C),
+    ("ext_r6d", EXT_R6D),
+    ("ext_r6e", EXT_R6E),
+    ("ext_r6f", EXT_R6F),
+    ("ext_r6g", EXT_R6G),
+    ("ext_r6h", EXT_R6H),
+    ("ext_r6i", EXT_R6I),
+    ("ext_r7", EXT_R7),
+    ("ext_r7b", EXT_R7B),
+    ("ext_r8", EXT_R8),
+    ("ext_r8b", EXT_R8B),
+    ("ext_r8c", EXT_R8C),
+    ("ext_r8d", EXT_R8D),
+    ("ext_r8e", EXT_R8E),
+    ("ext_r8f", EXT_R8F),
+    ("ext_r8g", EXT_R8G),
+    ("ext_r8h", EXT_R8H),
+    ("ext_r8i", EXT_R8I),
+    ("ext_r8j", EXT_R8J),
+    ("ext_r8k", EXT_R8K),
+    ("ext_r8l", EXT_R8L),
+    ("ext_r8m", EXT_R8M),
+    ("ext_r8n", EXT_R8N),
+    ("ext_r8o", EXT_R8O),
+    ("ext_r9", EXT_R9),
+]
+
+COHORTS: list[tuple[str, list[str]]] = [
+    ("headline", ["queries", "secondary"]),
+    ("tpch", ["tpch"]),
+    ("r4", ["ext_r4", "ext_r4b", "ext_r4c", "ext_r4d", "ext_r4e"]),
+    ("r5", ["ext_r5", "ext_r5b", "ext_r5c", "ext_r5d", "ext_r5e",
+            "ext_r5f", "ext_r5g", "ext_r5h"]),
+    ("r6", ["ext_r6", "ext_r6b", "ext_r6c", "ext_r6d", "ext_r6e",
+            "ext_r6f", "ext_r6g", "ext_r6h", "ext_r6i"]),
+    ("r7", ["ext_r7", "ext_r7b"]),
+    ("r8", ["ext_r8", "ext_r8b", "ext_r8c", "ext_r8d", "ext_r8e",
+            "ext_r8f", "ext_r8g", "ext_r8h", "ext_r8i", "ext_r8j",
+            "ext_r8k", "ext_r8l", "ext_r8m", "ext_r8n", "ext_r8o"]),
+    ("r9", ["ext_r9"]),
+]
+
+MEMOIZED_COLD_IDS = (
+    "q_embed_kmeans",
+    "q_embed_cluster_purity",
+    "q_graph_labelprop",
+    "q_graph_modularity",
+    "q_dedup_minhash",
+    "q_text_bpe_merge",
+    "q_text_bpe_encode",
+    "q_dedup_groups",
+    "q_graph_degree",
+    "q_graph_eccentricity",
+    "q_split_leakage_safe",
+    "q_dedup_source_matrix",
+    "q_graph_nmi",
+    "q_sim_recall",
+    "q_sim_mrr",
+    "q_sim_map",
+    "q_sim_ndcg",
+    "q_rank_fusion_per_query",
+)
+
+
 def _force(df) -> int:
     """Execute the full plan distributed; returns row count via a cheap
     count over the cached-free plan (noop write when available)."""
@@ -496,44 +606,37 @@ def _force(df) -> int:
         return df.count()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+def _sf_of(sf_dir: str) -> float:
     m = re.search(r"sf([0-9.]+)", sf_dir)
-    sf = float(m.group(1)) if m else -1.0
-    spark = get_spark(app_name="dwh-spark-bench")
-    registry = load_all()
+    return float(m.group(1)) if m else -1.0
 
-    # JVM/codegen warmup on the smallest SF so measured times reflect
-    # steady-state execution, not first-query classloading: every
-    # headline plan shape is compiled once at sf0.001 (whole-stage
-    # codegen caches on generated source, which depends on the plan, not
-    # the data volume), so the timed sf run measures execution.
-    for name in (
-        HEADLINE + SECONDARY + TPCH + EXT_R4 + EXT_R4B + EXT_R4C + EXT_R4D
-        + EXT_R4E + EXT_R5 + EXT_R5B + EXT_R5C + EXT_R5D + EXT_R5E
-        + EXT_R5F + EXT_R5G + EXT_R5H + EXT_R6 + EXT_R6B + EXT_R6C + EXT_R6D + EXT_R6E + EXT_R6F + EXT_R6G + EXT_R6H + EXT_R6I + EXT_R7 + EXT_R7B + EXT_R8 + EXT_R8B + EXT_R8C + EXT_R8D + EXT_R8E + EXT_R8F + EXT_R8G + EXT_R8H + EXT_R8I + EXT_R8J + EXT_R8K + EXT_R8L + EXT_R8M + EXT_R8N + EXT_R8O
-    ):
-        _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
-    # metadata warmup for the TARGET sf: file listing + parquet schema are
-    # cached per path (a deployment's catalog holds these); touching them
-    # here keeps the timed loop measuring execution, not listing
+
+def run_cohort(cohort: str, out_path: str) -> None:
+    """Child-process entry: bench ONE round-cohort in a fresh JVM.
+
+    Same recipe the r8 judge used for isolation re-runs — warm only this
+    cohort's plans at sf0.001 (whole-stage codegen caches on generated
+    source, which depends on the plan, not the data volume), touch the
+    target-SF parquet metadata, then best-of-2 each op at the target SF."""
+    from data_warehouse_hive_spark.registry import load_all
+    from data_warehouse_hive_spark.session import get_spark
     from data_warehouse_hive_spark.tables import TABLES, table_path
 
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    groups = dict(GROUP_LISTS)
+    group_keys = dict(COHORTS)[cohort]
+    spark = get_spark(app_name=f"dwh-spark-bench-{cohort}")
+    registry = load_all()
+
+    for gkey in group_keys:
+        for name in groups[gkey]:
+            _force(registry[name].fn(spark, "/root/testdata/sf0.001"))
     for name in TABLES:
         spark.read.parquet(table_path(sf_dir, name)).schema
 
-    # first-run times, kept alongside best-of-2: for queries that share
-    # session-scoped memoized state (q_embed_kmeans's converged-centroid
-    # memo, consumed by q_embed_cluster_purity), best-of-2 reports the
-    # memoized steady state while the first run carries the cold
-    # iterative cost — both are recorded so group totals are never
-    # silently flattered by the memo.
     first_run: dict[str, float] = {}
 
     def timed(name: str) -> float:
-        """Best-of-2 at the target SF: steady-state execution time, not
-        whichever run a GC pause / page-cache miss happened to land on.
-        Same plans, same data — only the noise floor drops."""
         runs = []
         for _ in range(2):
             t0 = time.perf_counter()
@@ -542,89 +645,53 @@ def main() -> None:
         first_run[name] = round(runs[0], 3)
         return round(min(runs), 3)
 
-    timings = {name: timed(name) for name in HEADLINE}
+    out: dict = {"groups": {}, "first_run": first_run}
+    for gkey in group_keys:
+        g = {name: timed(name) for name in groups[gkey]}
+        if gkey not in ("queries", "secondary"):
+            g["total"] = round(sum(g.values()), 3)
+        out["groups"][gkey] = g
+    with open(out_path, "w") as f:
+        json.dump(out, f)
+
+
+def main() -> None:
+    """Parent orchestrator: run each round-cohort in a fresh subprocess
+    and merge the per-child JSON into the same output shape as before
+    (bench_result.json detail + one compact stdout line)."""
+    import subprocess
+    import tempfile
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = _sf_of(sf_dir)
+    here = os.path.abspath(__file__)
+
+    merged_groups: dict[str, dict] = {}
+    first_run: dict[str, float] = {}
+    cohort_sec: dict[str, float] = {}
+    for cohort, _gkeys in COHORTS:
+        out_path = tempfile.mktemp(prefix=f"bench_{cohort}_", suffix=".json")
+        t0 = time.perf_counter()
+        proc = subprocess.run(
+            [sys.executable, here, "--cohort", cohort, "--out", out_path],
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.PIPE,
+        )
+        cohort_sec[cohort] = round(time.perf_counter() - t0, 1)
+        if proc.returncode != 0 or not os.path.exists(out_path):
+            tail = proc.stderr.decode(errors="replace")[-4000:]
+            raise RuntimeError(
+                f"bench cohort {cohort!r} failed (rc={proc.returncode}):\n{tail}"
+            )
+        with open(out_path) as f:
+            child = json.load(f)
+        os.unlink(out_path)
+        merged_groups.update(child["groups"])
+        first_run.update(child["first_run"])
+
+    timings = merged_groups["queries"]
     total = round(sum(timings.values()), 3)
-    secondary = {name: timed(name) for name in SECONDARY}
-    tpch = {name: timed(name) for name in TPCH}
-    tpch["total"] = round(sum(tpch.values()), 3)
-    ext_r4 = {name: timed(name) for name in EXT_R4}
-    ext_r4["total"] = round(sum(ext_r4.values()), 3)
-    ext_r4b = {name: timed(name) for name in EXT_R4B}
-    ext_r4b["total"] = round(sum(ext_r4b.values()), 3)
-    ext_r4c = {name: timed(name) for name in EXT_R4C}
-    ext_r4c["total"] = round(sum(ext_r4c.values()), 3)
-    ext_r4d = {name: timed(name) for name in EXT_R4D}
-    ext_r4d["total"] = round(sum(ext_r4d.values()), 3)
-    ext_r4e = {name: timed(name) for name in EXT_R4E}
-    ext_r4e["total"] = round(sum(ext_r4e.values()), 3)
-    ext_r5 = {name: timed(name) for name in EXT_R5}
-    ext_r5["total"] = round(sum(ext_r5.values()), 3)
-    ext_r5b = {name: timed(name) for name in EXT_R5B}
-    ext_r5b["total"] = round(sum(ext_r5b.values()), 3)
-    ext_r5c = {name: timed(name) for name in EXT_R5C}
-    ext_r5c["total"] = round(sum(ext_r5c.values()), 3)
-    ext_r5d = {name: timed(name) for name in EXT_R5D}
-    ext_r5d["total"] = round(sum(ext_r5d.values()), 3)
-    ext_r5e = {name: timed(name) for name in EXT_R5E}
-    ext_r5e["total"] = round(sum(ext_r5e.values()), 3)
-    ext_r5f = {name: timed(name) for name in EXT_R5F}
-    ext_r5f["total"] = round(sum(ext_r5f.values()), 3)
-    ext_r5g = {name: timed(name) for name in EXT_R5G}
-    ext_r5g["total"] = round(sum(ext_r5g.values()), 3)
-    ext_r5h = {name: timed(name) for name in EXT_R5H}
-    ext_r5h["total"] = round(sum(ext_r5h.values()), 3)
-    ext_r6 = {name: timed(name) for name in EXT_R6}
-    ext_r6["total"] = round(sum(ext_r6.values()), 3)
-    ext_r6b = {name: timed(name) for name in EXT_R6B}
-    ext_r6b["total"] = round(sum(ext_r6b.values()), 3)
-    ext_r6c = {name: timed(name) for name in EXT_R6C}
-    ext_r6c["total"] = round(sum(ext_r6c.values()), 3)
-    ext_r6d = {name: timed(name) for name in EXT_R6D}
-    ext_r6d["total"] = round(sum(ext_r6d.values()), 3)
-    ext_r6e = {name: timed(name) for name in EXT_R6E}
-    ext_r6e["total"] = round(sum(ext_r6e.values()), 3)
-    ext_r6f = {name: timed(name) for name in EXT_R6F}
-    ext_r6f["total"] = round(sum(ext_r6f.values()), 3)
-    ext_r6g = {name: timed(name) for name in EXT_R6G}
-    ext_r6g["total"] = round(sum(ext_r6g.values()), 3)
-    ext_r6h = {name: timed(name) for name in EXT_R6H}
-    ext_r6h["total"] = round(sum(ext_r6h.values()), 3)
-    ext_r6i = {name: timed(name) for name in EXT_R6I}
-    ext_r6i["total"] = round(sum(ext_r6i.values()), 3)
-    ext_r7 = {name: timed(name) for name in EXT_R7}
-    ext_r7["total"] = round(sum(ext_r7.values()), 3)
-    ext_r7b = {name: timed(name) for name in EXT_R7B}
-    ext_r7b["total"] = round(sum(ext_r7b.values()), 3)
-    ext_r8 = {name: timed(name) for name in EXT_R8}
-    ext_r8["total"] = round(sum(ext_r8.values()), 3)
-    ext_r8b = {name: timed(name) for name in EXT_R8B}
-    ext_r8b["total"] = round(sum(ext_r8b.values()), 3)
-    ext_r8c = {name: timed(name) for name in EXT_R8C}
-    ext_r8c["total"] = round(sum(ext_r8c.values()), 3)
-    ext_r8d = {name: timed(name) for name in EXT_R8D}
-    ext_r8d["total"] = round(sum(ext_r8d.values()), 3)
-    ext_r8e = {name: timed(name) for name in EXT_R8E}
-    ext_r8e["total"] = round(sum(ext_r8e.values()), 3)
-    ext_r8f = {name: timed(name) for name in EXT_R8F}
-    ext_r8f["total"] = round(sum(ext_r8f.values()), 3)
-    ext_r8g = {name: timed(name) for name in EXT_R8G}
-    ext_r8g["total"] = round(sum(ext_r8g.values()), 3)
-    ext_r8h = {name: timed(name) for name in EXT_R8H}
-    ext_r8h["total"] = round(sum(ext_r8h.values()), 3)
-    ext_r8i = {name: timed(name) for name in EXT_R8I}
-    ext_r8i["total"] = round(sum(ext_r8i.values()), 3)
-    ext_r8j = {name: timed(name) for name in EXT_R8J}
-    ext_r8j["total"] = round(sum(ext_r8j.values()), 3)
-    ext_r8k = {name: timed(name) for name in EXT_R8K}
-    ext_r8k["total"] = round(sum(ext_r8k.values()), 3)
-    ext_r8l = {name: timed(name) for name in EXT_R8L}
-    ext_r8l["total"] = round(sum(ext_r8l.values()), 3)
-    ext_r8m = {name: timed(name) for name in EXT_R8M}
-    ext_r8m["total"] = round(sum(ext_r8m.values()), 3)
-    ext_r8n = {name: timed(name) for name in EXT_R8N}
-    ext_r8n["total"] = round(sum(ext_r8n.values()), 3)
-    ext_r8o = {name: timed(name) for name in EXT_R8O}
-    ext_r8o["total"] = round(sum(ext_r8o.values()), 3)
+    secondary = merged_groups["secondary"]
 
     full = {
         "metric": "headline_queries_total_runtime",
@@ -632,55 +699,26 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "secondary": secondary,
-        "tpch": tpch,
-        "ext_r4": ext_r4,
-        "ext_r4b": ext_r4b,
-        "ext_r4c": ext_r4c,
-        "ext_r4d": ext_r4d,
-        "ext_r4e": ext_r4e,
-        "ext_r5": ext_r5,
-        "ext_r5b": ext_r5b,
-        "ext_r5c": ext_r5c,
-        "ext_r5d": ext_r5d,
-        "ext_r5e": ext_r5e,
-        "ext_r5f": ext_r5f,
-        "ext_r5g": ext_r5g,
-        "ext_r5h": ext_r5h,
-        "ext_r6": ext_r6,
-        "ext_r6b": ext_r6b,
-        "ext_r6c": ext_r6c,
-        "ext_r6d": ext_r6d,
-        "ext_r6e": ext_r6e,
-        "ext_r6f": ext_r6f,
-        "ext_r6g": ext_r6g,
-        "ext_r6h": ext_r6h,
-        "ext_r6i": ext_r6i,
-        "ext_r7": ext_r7,
-        "ext_r7b": ext_r7b,
-        "ext_r8": ext_r8,
-        "ext_r8b": ext_r8b,
-        "ext_r8c": ext_r8c,
-        "ext_r8d": ext_r8d,
-        "ext_r8e": ext_r8e,
-        "ext_r8f": ext_r8f,
-        "ext_r8g": ext_r8g,
-        "ext_r8h": ext_r8h,
-        "ext_r8i": ext_r8i,
-        "ext_r8j": ext_r8j,
-        "ext_r8k": ext_r8k,
-        "ext_r8l": ext_r8l,
-        "ext_r8m": ext_r8m,
-        "ext_r8n": ext_r8n,
-        "ext_r8o": ext_r8o,
-        "sf": sf,
-        "n_queries": len(timings),
-        "first_run": first_run,
     }
+    for gkey, _ops in GROUP_LISTS:
+        if gkey not in ("queries", "secondary"):
+            full[gkey] = merged_groups[gkey]
+    full.update(
+        {
+            "sf": sf,
+            "n_queries": len(timings),
+            "first_run": first_run,
+            "isolation": "per-cohort subprocess (fresh JVM, cohort-only "
+            "sf0.001 warmup, best-of-2 at target SF) — r8 VERDICT task 1",
+            "cohort_wall_sec": cohort_sec,
+        }
+    )
     # Full detail → disk (round-over-round comparison must never depend
     # on how much stdout tail a log capture keeps — BENCH_r04.json came
     # back parsed:null from exactly that truncation)…
-    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_result.json")
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
     # …and ONE compact line on stdout with the driver-contract keys
@@ -695,71 +733,19 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_queries": len(timings),
+                "isolation": "per-cohort-subprocess",
                 "group_totals": {
-                    "secondary": round(sum(secondary.values()), 3),
-                    "tpch": tpch["total"],
-                    "ext_r4": ext_r4["total"],
-                    "ext_r4b": ext_r4b["total"],
-                    "ext_r4c": ext_r4c["total"],
-                    "ext_r4d": ext_r4d["total"],
-                    "ext_r4e": ext_r4e["total"],
-                    "ext_r5": ext_r5["total"],
-                    "ext_r5b": ext_r5b["total"],
-                    "ext_r5c": ext_r5c["total"],
-                    "ext_r5d": ext_r5d["total"],
-                    "ext_r5e": ext_r5e["total"],
-                    "ext_r5f": ext_r5f["total"],
-                    "ext_r5g": ext_r5g["total"],
-                    "ext_r5h": ext_r5h["total"],
-                    "ext_r6": ext_r6["total"],
-                    "ext_r6b": ext_r6b["total"],
-                    "ext_r6c": ext_r6c["total"],
-                    "ext_r6d": ext_r6d["total"],
-                    "ext_r6e": ext_r6e["total"],
-                    "ext_r6f": ext_r6f["total"],
-                    "ext_r6g": ext_r6g["total"],
-                    "ext_r6h": ext_r6h["total"],
-                    "ext_r6i": ext_r6i["total"],
-                    "ext_r7": ext_r7["total"],
-                    "ext_r7b": ext_r7b["total"],
-                    "ext_r8": ext_r8["total"],
-                    "ext_r8b": ext_r8b["total"],
-                    "ext_r8c": ext_r8c["total"],
-                    "ext_r8d": ext_r8d["total"],
-                    "ext_r8e": ext_r8e["total"],
-                    "ext_r8f": ext_r8f["total"],
-                    "ext_r8g": ext_r8g["total"],
-                    "ext_r8h": ext_r8h["total"],
-                    "ext_r8i": ext_r8i["total"],
-                    "ext_r8j": ext_r8j["total"],
-                    "ext_r8k": ext_r8k["total"],
-                    "ext_r8l": ext_r8l["total"],
-                    "ext_r8m": ext_r8m["total"],
-                    "ext_r8n": ext_r8n["total"],
-                    "ext_r8o": ext_r8o["total"],
+                    gkey: (
+                        round(sum(merged_groups[gkey].values()), 3)
+                        if gkey == "secondary"
+                        else merged_groups[gkey]["total"]
+                    )
+                    for gkey, _ops in GROUP_LISTS
+                    if gkey != "queries"
                 },
                 "memoized_cold": {
                     name: first_run[name]
-                    for name in (
-                        "q_embed_kmeans",
-                        "q_embed_cluster_purity",
-                        "q_graph_labelprop",
-                        "q_graph_modularity",
-                        "q_dedup_minhash",
-                        "q_text_bpe_merge",
-                        "q_text_bpe_encode",
-                        "q_dedup_groups",
-                        "q_graph_degree",
-                        "q_graph_eccentricity",
-                        "q_split_leakage_safe",
-                        "q_dedup_source_matrix",
-                        "q_graph_nmi",
-                        "q_sim_recall",
-                        "q_sim_mrr",
-                        "q_sim_map",
-                        "q_sim_ndcg",
-                        "q_rank_fusion_per_query",
-                    )
+                    for name in MEMOIZED_COLD_IDS
                     if name in first_run
                 },
                 # queries whose build step runs a bounded fixpoint
@@ -780,4 +766,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--cohort":
+        run_cohort(sys.argv[2], sys.argv[4])
+    else:
+        main()

@@ -1905,3 +1905,174 @@ def q_dedup_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band_id")
     )
+
+
+# Suffix-ordering exact-substring dedup (Lee et al. 2022 family):
+# token suffixes truncated at SUB_L, globally ordered once, adjacent-pair
+# longest-common-prefix — finds VARIABLE-length repeats up to SUB_L where
+# q_dedup_crossdoc_spans only catches a fixed n.  SUB_SEP orders joined
+# token keys identically to token-array order (0x1f sorts below every
+# printable char, and whitespace tokenization leaves no control chars).
+SUB_L = 24
+SUB_T = 8
+SUB_SEP = "\x1f"
+
+
+@query(
+    "q_dedup_substring",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+    ),
+    suf AS (
+      SELECT doc_id, i + 1 AS pos, ws[i + 1:i + {SUB_L}] AS arr
+      FROM toks, LATERAL (SELECT unnest(range(len(ws))) AS i) x
+    ),
+    keyed AS (
+      SELECT doc_id, pos, arr,
+             array_to_string(arr, chr(31)) AS key
+      FROM suf
+    ),
+    adj AS (
+      SELECT doc_id, arr,
+             LEAD(key)    OVER w AS nkey,
+             LEAD(arr)    OVER w AS narr,
+             LEAD(doc_id) OVER w AS ndoc
+      FROM keyed
+      WINDOW w AS (ORDER BY key, doc_id, pos)
+    ),
+    lcps AS (
+      SELECT doc_id, ndoc, arr,
+             CAST(CASE WHEN p0 > 0 THEN p0 - 1 ELSE m END AS BIGINT)
+               AS lcp_tokens
+      FROM (
+        SELECT doc_id, ndoc, arr,
+               least(len(arr), len(narr)) AS m,
+               list_position(
+                 list_transform(
+                   range(1, least(len(arr), len(narr)) + 1),
+                   i -> CASE WHEN arr[i] = narr[i] THEN 1 ELSE 0 END),
+                 0) AS p0
+        FROM adj WHERE nkey IS NOT NULL
+      )
+    )
+    SELECT lcp_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(CASE WHEN doc_id <> ndoc THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_cross_doc,
+           MIN(array_to_string(arr[1:lcp_tokens], ' ')) AS sample_span
+    FROM lcps WHERE lcp_tokens >= {SUB_T}
+    GROUP BY lcp_tokens ORDER BY lcp_tokens
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, suffix-ordering form (the public Lee et
+    al. 2022 "Deduplicating Training Data" approach, bounded): every
+    token suffix truncated at {SUB_L} tokens is sorted ONCE; the
+    longest duplicated substring through any corpus position is the
+    LCP of lexicographically ADJACENT suffixes — variable-length
+    repeats (8..{SUB_L} tokens) with one sort and NO pair join, where
+    q_dedup_crossdoc_spans fixes the repeat length in advance.  Output:
+    per LCP length ≥ {SUB_T}, how many adjacent-suffix pairs share a
+    prefix that long, how many of those cross documents (the
+    memorization signal), and the lexicographically first such span.
+
+    Scale shape: suffix fan-out is the method's inherent {SUB_L}x byte
+    cost (the suffix-array literature pays the same); the global
+    adjacency is NOT a single-partition sort — suffixes hash-shuffle
+    once on a 2-char prefix bucket (a monotone function of the key, so
+    bucket order refines key order), lead() runs PARTITIONED per
+    bucket, and the only cross-bucket work is one (first,last) row per
+    bucket through an alphabet²-bounded carrier window — the same
+    two-level rank pattern as q_text_heaps_law.  At 100 TB you'd widen
+    the prefix to 3-4 chars (more, smaller buckets) and salt the top
+    hot prefixes; the adjacency algebra is unchanged.  LCP is exact
+    integer token comparison (zip_with/list_transform — bitwise
+    identical cross-engine).  Reference: delegated HiveQL dedup class
+    (backend/hive_manager.py:400); substring semantics from the public
+    suffix-array dedup literature, re-expressed relationally."""
+    ws = F.filter(
+        F.split(F.trim(F.lower(F.col("text"))), r"\s+"), lambda x: x != ""
+    )
+    toks = (
+        spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+        .select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") >= 1)
+    )
+    keyed = (
+        toks.select(
+            "doc_id",
+            "ws",
+            F.explode(F.sequence(F.lit(1), F.size("ws"))).alias("pos"),
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.expr(f"slice(ws, pos, {SUB_L})").alias("arr"),
+        )
+        .withColumn("key", F.array_join("arr", SUB_SEP))
+        .withColumn("bkt", F.substring("key", 1, 2))
+    )
+    w_in = Window.partitionBy("bkt").orderBy("key", "doc_id", "pos")
+    within = (
+        keyed.select(
+            "doc_id",
+            "arr",
+            F.lead("key").over(w_in).alias("nkey"),
+            F.lead("arr").over(w_in).alias("narr"),
+            F.lead("doc_id").over(w_in).alias("ndoc"),
+        )
+        .filter(F.col("nkey").isNotNull())
+    )
+    # cross-bucket adjacency: one (first, last) row per bucket — an
+    # alphabet²-bounded relation, the documented carrier-window pattern
+    ends = keyed.groupBy("bkt").agg(
+        F.min(F.struct("key", "doc_id", "pos", "arr")).alias("lo"),
+        F.max(F.struct("key", "doc_id", "pos", "arr")).alias("hi"),
+    )
+    w_b = Window.orderBy("bkt")
+    boundary = (
+        ends.select(
+            F.col("hi.doc_id").alias("doc_id"),
+            F.col("hi.arr").alias("arr"),
+            F.lead("lo.key").over(w_b).alias("nkey"),
+            F.lead("lo.arr").over(w_b).alias("narr"),
+            F.lead("lo.doc_id").over(w_b).alias("ndoc"),
+        )
+        .filter(F.col("nkey").isNotNull())
+    )
+    pairs = within.unionByName(boundary.select(within.columns))
+    lcps = (
+        pairs.withColumn("m", F.least(F.size("arr"), F.size("narr")))
+        .withColumn(
+            "eq",
+            F.expr(
+                "zip_with(slice(arr, 1, m), slice(narr, 1, m),"
+                " (x, y) -> IF(x = y, 1, 0))"
+            ),
+        )
+        .withColumn("p0", F.array_position("eq", 0))
+        .withColumn(
+            "lcp_tokens",
+            F.when(F.col("p0") > 0, F.col("p0") - 1)
+            .otherwise(F.col("m"))
+            .cast("long"),
+        )
+        .filter(F.col("lcp_tokens") >= SUB_T)
+    )
+    return (
+        lcps.groupBy("lcp_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.sum(F.when(F.col("doc_id") != F.col("ndoc"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_cross_doc"),
+            F.min(
+                F.array_join(F.expr("slice(arr, 1, lcp_tokens)"), " ")
+            ).alias("sample_span"),
+        )
+        .orderBy("lcp_tokens")
+    )

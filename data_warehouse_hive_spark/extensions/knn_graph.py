@@ -1,0 +1,407 @@
+"""k-NN-graph refinement — NN-descent over a 2-table LSH graph
+(SURVEY §2.12).
+
+q_embed_knn builds the corpus k-NN graph from ONE LSH table, so its
+recall is bounded by the hyperplane S-curve — and, worse for
+refinement, that graph is BUCKET-CLOSED: bucket(u)=bucket(v) and
+bucket(v)=bucket(w) imply bucket(u)=bucket(w), so every
+neighbor-of-neighbor candidate lies in a bucket whose top-k is already
+exact.  NN-descent over a single-table LSH graph provably cannot add an
+edge (measured: 24k fresh candidates at sf0.1, zero survivors).
+
+The fix is the standard one from the ANN literature: initialize from
+TWO independent hash tables (second hyperplane family, different seed),
+whose union graph is not closed under composition — a 2-hop path
+u -(table1)- v -(table2)- w reaches vectors that share no bucket with u.
+One NN-descent round (Dong et al. 2011, public): undirected 2-hop
+candidate join + exact re-scoring + top-k WindowGroupLimit re-rank,
+at O(nodes × (2k)²) candidate cost — no all-pairs, no new index.
+Measured at sf0.1 (full-corpus recall@3 vs exact ground truth):
+1-table 0.154 → 2-table init 0.280 → after one descent round 0.296.
+
+Reference: delegated HiveQL analytics class (backend/hive_manager.py:400);
+NN-descent semantics from the public literature, re-expressed as two
+self-joins + WindowGroupLimit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from data_warehouse_hive_spark.extensions.similarity import (
+    EMB_DIM,
+    KNN_K,
+    LSH_BITS,
+    _o_lsh_bucket,
+    as_double_vec,
+    dot,
+    lsh_bucket_col,
+    q_embed_knn,
+)
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import spread, t
+
+# ---------------------------------------------------------------------------
+# Second independent hyperplane family ("lsh2" seed) — same carrier-exact
+# sign algebra as similarity.lsh_bucket_col, different deterministic
+# weights, so the two tables' bucket assignments are independent.
+# ---------------------------------------------------------------------------
+
+
+def _hyperplane2(j: int, dim: int = EMB_DIM) -> list[float]:
+    return [
+        int(hashlib.md5(f"lsh2_{j}_{i}".encode()).hexdigest()[:8], 16)
+        / 2**31
+        - 1.0
+        for i in range(dim)
+    ]
+
+
+def lsh_bucket2_col(e: Column) -> Column:
+    bits = []
+    for j in range(LSH_BITS):
+        w = F.array(*[F.lit(x) for x in _hyperplane2(j)])
+        term_sum = F.aggregate(
+            F.zip_with(
+                e, w, lambda a, b: F.floor(a * b * 1e6 + 0.5).cast("long")
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(term_sum >= 0, F.lit(2**j)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def _o_lsh_bucket2(e_expr: str) -> str:
+    parts = []
+    for j in range(LSH_BITS):
+        w = "[" + ", ".join(repr(x) for x in _hyperplane2(j)) + "]"
+        parts.append(
+            f"(CASE WHEN list_sum(list_transform(range(1, {EMB_DIM} + 1),"
+            f" i -> CAST(floor(({e_expr})[i] * ({w})[i] * 1e6 + 0.5) AS BIGINT)"
+            f")) >= 0 THEN {2**j} ELSE 0 END)"
+        )
+    return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
+
+
+# Shared oracle fragment: 2-table init graph g2 + one descent round.
+_O_REFINE = f"""
+    v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS MATERIALIZED (
+      SELECT *, {_o_lsh_bucket('e')} AS b1, {_o_lsh_bucket2('e')} AS b2
+      FROM v
+    ),
+    init_pairs AS (
+      SELECT a.vec_id, b.vec_id AS neighbor_id, a.e AS ae, b.e AS be
+      FROM vb a JOIN vb b ON a.b1 = b.b1 AND a.vec_id != b.vec_id
+      UNION
+      SELECT a.vec_id, b.vec_id, a.e, b.e
+      FROM vb a JOIN vb b ON a.b2 = b.b2 AND a.vec_id != b.vec_id
+    ),
+    init_scored AS (
+      SELECT vec_id, neighbor_id,
+             round(list_dot_product(ae, be)
+                   / (sqrt(list_dot_product(ae, ae))
+                      * sqrt(list_dot_product(be, be))), 6) AS cosine
+      FROM init_pairs
+    ),
+    g2 AS MATERIALIZED (
+      SELECT vec_id, neighbor_id, cosine FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM init_scored
+      ) WHERE rk <= {KNN_K}
+    ),
+    und AS MATERIALIZED (
+      SELECT vec_id AS a, neighbor_id AS b FROM g2
+      UNION
+      SELECT neighbor_id, vec_id FROM g2
+    ),
+    cand AS (
+      SELECT u.a AS vec_id, w.b AS neighbor_id
+      FROM und u JOIN und w ON u.b = w.a
+      WHERE u.a != w.b
+      UNION
+      SELECT vec_id, neighbor_id FROM g2
+    ),
+    rescored AS (
+      SELECT c.vec_id, c.neighbor_id,
+             round(list_dot_product(x.e, y.e)
+                   / (sqrt(list_dot_product(x.e, x.e))
+                      * sqrt(list_dot_product(y.e, y.e))), 6) AS cosine
+      FROM cand c
+      JOIN v x ON x.vec_id = c.vec_id
+      JOIN v y ON y.vec_id = c.neighbor_id
+    ),
+    refined AS MATERIALIZED (
+      SELECT vec_id, neighbor_id, cosine,
+             CAST(rk AS BIGINT) AS rk
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM rescored
+      ) WHERE rk <= {KNN_K}
+    )
+"""
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    ).withColumn("nrm", F.sqrt(dot(F.col("e"), F.col("e"))))
+
+
+def _topk(scored: DataFrame) -> DataFrame:
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= KNN_K)
+    )
+
+
+def knn_init_2table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-table LSH init graph: candidates share a bucket in EITHER
+    hyperplane family; exact cosine; top-k per node."""
+    vb = (
+        _vectors(spark, sf_dir)
+        .withColumn("b1", lsh_bucket_col(F.col("e")))
+        .withColumn("b2", lsh_bucket2_col(F.col("e")))
+    )
+    other = vb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("e").alias("ne"),
+        F.col("nrm").alias("nn"),
+        F.col("b1").alias("nb1"),
+        F.col("b2").alias("nb2"),
+    )
+
+    def arm(cond) -> DataFrame:
+        return vb.join(other, cond & (F.col("vec_id") != F.col("neighbor_id"))).select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("e"), F.col("ne")) / (F.col("nrm") * F.col("nn")), 6
+            ).alias("cosine"),
+        )
+
+    # two equi-joins (each shuffles on its own uniform bucket key) beat
+    # one OR-join, which would plan as a nested loop; the distinct
+    # removes pairs blocked by both tables
+    scored = arm(F.col("b1") == F.col("nb1")).unionByName(
+        arm(F.col("b2") == F.col("nb2"))
+    ).distinct()
+    return _topk(scored)
+
+
+def knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round over the 2-table init graph."""
+    base = knn_init_2table(spark, sf_dir).select("vec_id", "neighbor_id")
+    und = base.unionByName(
+        base.select(
+            F.col("neighbor_id").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+        )
+    ).distinct()
+    cand = (
+        und.select(F.col("vec_id").alias("u"), F.col("neighbor_id").alias("mid"))
+        .join(
+            und.select(
+                F.col("vec_id").alias("mid"), F.col("neighbor_id").alias("w")
+            ),
+            "mid",
+        )
+        .filter(F.col("u") != F.col("w"))
+        .select(F.col("u").alias("vec_id"), F.col("w").alias("neighbor_id"))
+        .unionByName(base)
+        .distinct()
+    )
+    v = _vectors(spark, sf_dir)
+    x = v.select(
+        F.col("vec_id").alias("xid"), F.col("e").alias("xe"),
+        F.col("nrm").alias("xn"),
+    )
+    y = v.select(
+        F.col("vec_id").alias("yid"), F.col("e").alias("ye"),
+        F.col("nrm").alias("yn"),
+    )
+    rescored = (
+        cand.join(x, cand["vec_id"] == x["xid"])
+        .join(y, cand["neighbor_id"] == y["yid"])
+        .select(
+            "vec_id",
+            "neighbor_id",
+            F.round(
+                dot(F.col("xe"), F.col("ye")) / (F.col("xn") * F.col("yn")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    return _topk(rescored)
+
+
+@query(
+    "q_embed_knn_refine",
+    oracle=f"""
+    WITH {_O_REFINE}
+    SELECT vec_id, neighbor_id, cosine, rk FROM refined
+    """,
+)
+def q_embed_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent round over a 2-table LSH k-NN graph: init =
+    top-{KNN_K} within EITHER hyperplane family's bucket; candidates =
+    neighbors-of-neighbors through the UNDIRECTED init graph (forward +
+    reverse edges — reverse edges let a poorly-bucketed vector be
+    rescued by vectors that already found IT); exact cosine re-scoring
+    of the ≤(2k)²-per-node candidate set; top-{KNN_K} WindowGroupLimit
+    re-rank.  The 2-table init is load-bearing: a single-table LSH
+    graph is bucket-closed, so its 2-hops never leave the bucket and
+    descent cannot add an edge (measured: 0 survivors at sf0.1) —
+    mixed-table 2-hop paths are what reach cross-bucket neighbors.
+
+    Scale shape: two bucket equi-joins for init (each shuffles once on
+    a uniform key; all-pairs never materializes), then a candidate join
+    whose fan-out is ≤(2k)² = {(2 * KNN_K) ** 2}/node — corpus-linear;
+    re-scoring joins the bounded candidate list back to the vector
+    relation on its key.  Candidates always include the current edges,
+    so each round is monotone in graph quality; rounds compose (apply
+    the operator to its own output).  Measured full-corpus recall@3 at
+    sf0.1: 1-table 0.154 → 2-table 0.280 → +1 descent round 0.296
+    (q_embed_knn_recall_lift recomputes this against ground truth)."""
+    return knn_refined(spark, sf_dir)
+
+
+@query(
+    "q_embed_knn_recall_lift",
+    oracle=f"""
+    WITH {_O_REFINE},
+    g1 AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
+                 b.vec_id) AS rk
+        FROM vb a JOIN vb b ON a.b1 = b.b1 AND a.vec_id != b.vec_id
+      ) WHERE rk <= {KNN_K}
+    ),
+    exact_topk AS MATERIALIZED (
+      SELECT vec_id, neighbor_id FROM (
+        SELECT a.vec_id, b.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY round(list_dot_product(a.e, b.e)
+                     / (sqrt(list_dot_product(a.e, a.e))
+                        * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
+                 b.vec_id) AS rk
+        FROM v a JOIN v b ON a.vec_id != b.vec_id
+      ) WHERE rk <= {KNN_K}
+    )
+    SELECT method, n_exact, n_hit,
+           round(CAST(n_hit AS DOUBLE) / n_exact, 6) AS recall_at_k
+    FROM (
+      SELECT 'a_lsh_1table' AS method,
+             CAST((SELECT COUNT(*) FROM exact_topk) AS BIGINT) AS n_exact,
+             CAST((SELECT COUNT(*) FROM exact_topk e
+                   JOIN g1 USING (vec_id, neighbor_id)) AS BIGINT) AS n_hit
+      UNION ALL
+      SELECT 'b_lsh_2table',
+             CAST((SELECT COUNT(*) FROM exact_topk) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM exact_topk e
+                   JOIN g2 g ON g.vec_id = e.vec_id
+                            AND g.neighbor_id = e.neighbor_id) AS BIGINT)
+      UNION ALL
+      SELECT 'c_nn_descent',
+             CAST((SELECT COUNT(*) FROM exact_topk) AS BIGINT),
+             CAST((SELECT COUNT(*) FROM exact_topk e
+                   JOIN refined r ON r.vec_id = e.vec_id
+                            AND r.neighbor_id = e.neighbor_id) AS BIGINT)
+    ) ORDER BY method
+    """,
+)
+def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph recall@{KNN_K} vs exact ground truth at each refinement
+    stage — 1-table LSH (= q_embed_knn's graph), 2-table init, and
+    after one NN-descent round — the ANN-engineering readout that says
+    what each component buys (method names are a/b/c-prefixed so the
+    sort order IS the pipeline order).  Reuses the q_sim_recall harness
+    shape: exact top-k joined to each graph's edge list on
+    (node, neighbor); hits/total is recall.
+
+    Ground truth here is the full-corpus exact graph (every node is a
+    query) — the standard kNN-graph recall metric; at 100 TB you
+    compute it on a sampled node set per index build, exactly the
+    q_sim_recall contract.  Descent hits are structurally ≥ init hits
+    (candidates contain current edges), so the c−b gap is the descent
+    round's net lift (measured +0.016 absolute recall at sf0.1)."""
+    v = _vectors(spark, sf_dir)
+    a = v.select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = (
+        v.crossJoin(F.broadcast(a))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            F.col("qid").alias("vec_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm")),
+                6,
+            ).alias("cosine"),
+        )
+    )
+    exact = _topk(scored).select("vec_id", "neighbor_id").localCheckpoint(
+        eager=False
+    )
+
+    g1 = q_embed_knn(spark, sf_dir).select("vec_id", "neighbor_id")
+    g2 = knn_init_2table(spark, sf_dir).select("vec_id", "neighbor_id")
+    ref = knn_refined(spark, sf_dir).select("vec_id", "neighbor_id")
+
+    def one(method: str, edges: DataFrame) -> DataFrame:
+        e = edges.select(
+            F.col("vec_id").alias("m_v"), F.col("neighbor_id").alias("m_n")
+        )
+        return (
+            exact.join(
+                e,
+                (F.col("vec_id") == F.col("m_v"))
+                & (F.col("neighbor_id") == F.col("m_n")),
+                "left",
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_exact"),
+                F.count("m_n").cast("long").alias("n_hit"),
+            )
+            .select(
+                F.lit(method).alias("method"),
+                "n_exact",
+                "n_hit",
+                F.round(
+                    F.col("n_hit").cast("double") / F.col("n_exact"), 6
+                ).alias("recall_at_k"),
+            )
+        )
+
+    return (
+        one("a_lsh_1table", g1)
+        .unionByName(one("b_lsh_2table", g2))
+        .unionByName(one("c_nn_descent", ref))
+        .orderBy("method")
+    )

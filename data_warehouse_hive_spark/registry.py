@@ -187,6 +187,7 @@ def load_all() -> dict[str, QuerySpec]:
     import data_warehouse_hive_spark.extensions.dedup  # noqa: F401
     import data_warehouse_hive_spark.extensions.similarity  # noqa: F401
     import data_warehouse_hive_spark.extensions.retrieval  # noqa: F401
+    import data_warehouse_hive_spark.extensions.knn_graph  # noqa: F401
     import data_warehouse_hive_spark.extensions.graph  # noqa: F401
     import data_warehouse_hive_spark.extensions.curation  # noqa: F401
     import data_warehouse_hive_spark.extensions.diagnostics  # noqa: F401

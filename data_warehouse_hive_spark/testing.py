@@ -22,10 +22,18 @@ from data_warehouse_hive_spark.tables import TABLES, table_path
 def duckdb_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     """Connection with the fixture tables registered as views, mirroring
     the driver's pre-registered view names."""
+    import os
+
     con = duckdb.connect()
     for name in TABLES:
+        path = table_path(sf_dir, name)
+        # Spark sinks write `<name>.parquet` as a DIRECTORY of part files
+        # (e.g. the tools/scale_step.py sf1 fixtures); the driver's own
+        # fixtures are single files.  DuckDB needs the glob form for dirs.
+        if os.path.isdir(path):
+            path = os.path.join(path, "*.parquet")
         con.execute(
-            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{table_path(sf_dir, name)}')"
+            f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')"
         )
     return con
 

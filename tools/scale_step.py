@@ -1,0 +1,189 @@
+#!/usr/bin/env python
+"""Scale-step validation above the driver's largest fixture (r8 VERDICT
+task 2): SCALING.md's carrier-overflow table asserts sf10 headroom from
+algebra, but through round 8 nothing had ever RUN above sf0.1.  This
+tool materializes an sf1-equivalent fixture set (10x the driver's sf0.1)
+and re-runs the operators with the TIGHTEST documented carrier bounds
+against their DuckDB oracles at that scale — exact-hash, the same
+compare the driver applies.
+
+Fixture construction: the driver's generator is not shipped
+(TESTDATA.md documents only seed/shape), so sf1 is built by
+DETERMINISTIC 10x replication of sf0.1 with key offsets:
+
+  * lineitem + orders: 10 copies, l_orderkey/o_orderkey offset by
+    copy_i * OFF (OFF = max orderkey + 1) — join keys stay consistent,
+    dim FKs (custkey/partkey/suppkey) unchanged so referential
+    integrity holds against the un-replicated dims.
+  * events: 10 copies, event_id offset; ts/user/type/value unchanged,
+    so per-day and per-type group sizes grow exactly 10x — precisely
+    the growth direction the carrier bounds are written against
+    (power sums Σx², Σx⁴, rank sums 2n², autocovariance products).
+  * dims + documents + embeddings: byte-copied as-is.
+
+For overflow validation this is BETTER than a true sf1 draw: value
+domains (cents < 1e5, 30 days, 5 types) are held fixed while n grows
+10x, which is exactly the axis every bound in SCALING.md varies.
+
+Usage:
+    python tools/scale_step.py            # build (if absent) + validate
+    python tools/scale_step.py --rebuild  # force fixture rebuild
+
+Writes fixtures to /tmp/sf1_scale (ephemeral; never committed) and
+prints one PASS/FAIL line per op plus a JSON summary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
+
+SRC_DIR = "/root/testdata/sf0.1"
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_scale")
+COPIES = 10
+
+# The ops with the tightest documented carrier bounds (SCALING.md
+# round-7/8 tables) — power sums, rank carriers, HUGEINT/DECIMAL(38)
+# cross products — plus the ones the r8 verdict named explicitly.
+TIGHT_BOUND_OPS = [
+    "q_agg_gini",               # Σi·xᵢ DECIMAL(38) rank sums
+    "q_agg_moments",            # Σx⁴ power sums
+    "q_stats_jarque_bera",      # Σx⁴ cents (DECIMAL38/HUGEINT)
+    "q_stats_dagostino",        # Σx⁴ + (n+1)²(n+3)(n+5)
+    "q_stats_anderson_darling", # Σ c(2a+c)·⌊lnΦ·1e9⌋ DECIMAL(38)
+    "q_stats_cvm",              # c·⌊Φ²·1e12⌋ HUGEINT sums
+    "q_stats_lilliefors",       # EDF family sibling
+    "q_stats_ljung_box",        # HUGEINT autocovariance products
+    "q_stats_durbin_watson",    # (e·D)² DECIMAL(38)
+    "q_orders_price_elasticity",# 1e9-scaled ln carriers, HUGEINT
+    "q_stats_kruskal",          # 2n² midrank carrier
+    "q_stats_mannwhitney",      # midrank U carrier
+    "q_stats_spearman",         # midrank d² sums
+    "q_stats_grubbs",           # packed argmax |xq·n−Σx|·1e5+xq
+    "q_events_hurst",           # Σdev² block carriers
+    "q_stats_mood_median",      # (aᵢN−nᵢA)² HUGEINT
+    "q_stats_bartlett",         # Σ(n−1)·⌊v·1e4⌋ DECIMAL(38)
+    "q_stats_tost",             # Σx² 1e6-scaled DECIMAL(38)
+    "q_stats_welch_t",          # same family
+    "q_stats_ansari_bradley",   # Σ S²/c·1e6 HUGEINT (≈N³/4 growth)
+    "q_embed_isotropy",         # Σ(S_k/1e6)²·1e6 HUGEINT
+    "q_stats_brier",            # 1e6-grid rational rounding
+]
+
+
+def build_fixtures(spark) -> None:
+    from pyspark.sql import functions as F
+
+    os.makedirs(SF1_DIR, exist_ok=True)
+    copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+
+    orders = spark.read.parquet(f"{SRC_DIR}/orders.parquet")
+    off = orders.agg(F.max("o_orderkey") + 1).collect()[0][0]
+    (
+        orders.crossJoin(copies)
+        .withColumn(
+            "o_orderkey", F.col("o_orderkey") + F.col("copy_i") * off
+        )
+        .drop("copy_i")
+        .select(orders.columns)
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/orders.parquet")
+    )
+    li = spark.read.parquet(f"{SRC_DIR}/lineitem.parquet")
+    (
+        li.crossJoin(copies)
+        .withColumn(
+            "l_orderkey", F.col("l_orderkey") + F.col("copy_i") * off
+        )
+        .drop("copy_i")
+        .select(li.columns)
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/lineitem.parquet")
+    )
+    ev = spark.read.parquet(f"{SRC_DIR}/events.parquet")
+    eoff = ev.agg(F.max("event_id") + 1).collect()[0][0]
+    (
+        ev.crossJoin(copies)
+        .withColumn(
+            "event_id", F.col("event_id") + F.col("copy_i") * eoff
+        )
+        .drop("copy_i")
+        .select(ev.columns)
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/events.parquet")
+    )
+    for name in (
+        "region",
+        "nation",
+        "customer",
+        "supplier",
+        "part",
+        "documents",
+        "embeddings",
+    ):
+        dst = f"{SF1_DIR}/{name}.parquet"
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.unlink(dst)
+        shutil.copy(f"{SRC_DIR}/{name}.parquet", dst)
+
+
+def main() -> None:
+    from data_warehouse_hive_spark.registry import load_all
+    from data_warehouse_hive_spark.session import get_spark
+    from data_warehouse_hive_spark.testing import (
+        compare_to_oracle,
+        duckdb_connection,
+    )
+
+    rebuild = "--rebuild" in sys.argv
+    spark = get_spark(app_name="dwh-spark-scale-step")
+    if rebuild or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+        print(f"building sf1 fixtures ({COPIES}x sf0.1) -> {SF1_DIR}",
+              flush=True)
+        t0 = time.perf_counter()
+        build_fixtures(spark)
+        print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    registry = load_all()
+    con = duckdb_connection(SF1_DIR)
+    results: dict[str, dict] = {}
+    n_fail = 0
+    for name in TIGHT_BOUND_OPS:
+        spec = registry[name]
+        t0 = time.perf_counter()
+        try:
+            res = compare_to_oracle(
+                name, spec.fn(spark, SF1_DIR), spec.oracle, con
+            )
+            ok, detail = res.ok, "; ".join(res.problems)
+        except Exception as e:  # overflow raises are exactly what we hunt
+            ok, detail = False, f"{type(e).__name__}: {e}"
+        dt = round(time.perf_counter() - t0, 2)
+        results[name] = {"ok": ok, "sec": dt, "detail": detail[:500]}
+        n_fail += 0 if ok else 1
+        print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)"
+              + (f" — {detail[:300]}" if detail else ""), flush=True)
+    summary = {
+        "metric": "sf1_scale_step",
+        "n_ops": len(TIGHT_BOUND_OPS),
+        "n_fail": n_fail,
+        "results": results,
+    }
+    print(json.dumps(summary))
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
