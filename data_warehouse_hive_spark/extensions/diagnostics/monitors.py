@@ -1,0 +1,2277 @@
+"""Diagnostics: drift detectors, DQ monitors, spectral/sequence screens,
+power planning (changepoint, powerlaw, peaks, Theil-Sen, Welch t,
+n-gram novelty, bloom join, share shift, dim profile, lateness,
+ratio/Wilson CIs, periodogram, Markov entropy, schema drift, M4,
+PACF, burstiness, Levene, seasonal strength, QQ deciles, power).
+
+Split out of extensions/diagnostics.py (round 9, r8 VERDICT task 5)
+with ZERO id changes: every operator keeps its registry id, oracle and
+plan byte-for-byte; only the file boundary moved.  See the package
+__init__ for the family map.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import broadcast
+
+from data_warehouse_hive_spark.registry import query
+from data_warehouse_hive_spark.tables import spread, t
+
+
+# ---------------------------------------------------------------------------
+# Changepoint localization on the daily event-rate series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_changepoint",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT day, n,
+             CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) AS i,
+             CAST(SUM(n) OVER (ORDER BY day
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM daily
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd,
+                   CAST(SUM(n) AS BIGINT) AS s FROM daily),
+    scored AS (
+      SELECT i AS split_after, strftime(day, '%Y-%m-%d') AS day,
+             round(CAST(cum AS DOUBLE) / i, 6) AS mean_left,
+             round(CAST(t.s - cum AS DOUBLE) / (t.nd - i), 6) AS mean_right,
+             round(sqrt(CAST(i AS DOUBLE) * (t.nd - i) / t.nd)
+                   * abs(CAST(cum AS DOUBLE) / i
+                         - CAST(t.s - cum AS DOUBLE) / (t.nd - i)), 6)
+               AS cusum_stat
+      FROM idx CROSS JOIN tot t
+      WHERE i < t.nd
+    )
+    SELECT split_after, day, mean_left, mean_right, cusum_stat
+    FROM scored
+    ORDER BY cusum_stat DESC, day
+    LIMIT 1
+    """,
+)
+def q_events_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint localization (binary-segmentation step 1) on
+    the daily event-count series: the split maximizing the scaled
+    mean-difference statistic sqrt(k(n−k)/n)·|mean_left − mean_right| —
+    the query a rate-monitoring pipeline runs when an alert fires and
+    you need WHEN the level shifted, not just that it did (the
+    companion to q_events_cusum's sequential detector).
+
+    All O(days²)-free: one day-grain hash aggregate off the raw scan,
+    then index + running sum over the bounded daily relation and a
+    per-split score — O(days) arithmetic, top-1 via TakeOrdered.  Means
+    are exact-integer cumsums divided once; the statistic is identical
+    IEEE arithmetic both engines, rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wi = Window.orderBy("day")
+    wc = wi.rowsBetween(Window.unboundedPreceding, 0)
+    idx = daily.select(
+        "day",
+        "n",
+        F.row_number().over(wi).cast("long").alias("i"),
+        F.sum("n").over(wc).cast("long").alias("cum"),
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("nd"),
+        F.sum("n").cast("long").alias("s"),
+    )
+    j = idx.crossJoin(broadcast(tot)).filter(F.col("i") < F.col("nd"))
+    ml = F.col("cum").cast("double") / F.col("i")
+    mr = (F.col("s") - F.col("cum")).cast("double") / (
+        F.col("nd") - F.col("i")
+    )
+    stat = F.round(
+        F.sqrt(
+            F.col("i").cast("double")
+            * (F.col("nd") - F.col("i"))
+            / F.col("nd")
+        )
+        * F.abs(ml - mr),
+        6,
+    )
+    return (
+        j.select(
+            F.col("i").alias("split_after"),
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.round(ml, 6).alias("mean_left"),
+            F.round(mr, 6).alias("mean_right"),
+            stat.alias("cusum_stat"),
+        )
+        .orderBy(F.col("cusum_stat").desc(), "day")
+        .limit(1)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Heavy-tail exponent (Hill estimator) of the user-activity distribution
+# ---------------------------------------------------------------------------
+
+HILL_K = 100  # order statistics used by the Hill estimator
+
+
+@query(
+    "q_events_powerlaw",
+    oracle=f"""
+    WITH per_user AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id
+    ),
+    topk AS (
+      SELECT c FROM per_user
+      ORDER BY c DESC, user_id
+      LIMIT {HILL_K + 1}
+    ),
+    ref AS (SELECT MIN(c) AS c_ref, COUNT(*) AS m FROM topk),
+    terms AS (
+      SELECT CAST(floor(ln(CAST(t.c AS DOUBLE) / r.c_ref) * 1e9 + 0.5)
+                  AS BIGINT) AS q
+      FROM topk t CROSS JOIN ref r
+      WHERE t.c > r.c_ref
+    )
+    SELECT r.m - 1 AS k, CAST(r.c_ref AS BIGINT) AS c_kplus1,
+           round(1.0 + (r.m - 1)
+                 / (CAST(SUM(t.q) AS DOUBLE) / 1e9), 6) AS hill_alpha
+    FROM terms t CROSS JOIN ref r
+    GROUP BY r.m, r.c_ref
+    """,
+)
+def q_events_powerlaw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the activity distribution's tail exponent:
+    α = 1 + k / Σ ln(c_(i)/c_(k+1)) over the k most active users — the
+    standard check that per-user volume is power-law-tailed (it decides
+    whether per-key state needs skew handling: α ≤ 2 means the hottest
+    keys dominate and salting is mandatory).
+
+    One shuffle for the per-user counts; the k+1 largest counts come
+    via orderBy+limit — Spark plans TakeOrderedAndProject, a per-
+    partition heap + driver merge, never a global sort.  Each log term
+    is quantized onto the 1e9 carrier before the sum (order-independent
+    exact integers); k is fixed, so the estimator relation is ≤101 rows
+    at any corpus size.
+    """
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    topk = (
+        per_user.orderBy(F.col("c").desc(), "user_id")
+        .limit(HILL_K + 1)
+        .select("c")
+    )
+    ref = topk.agg(
+        F.min("c").alias("c_ref"), F.count(F.lit(1)).alias("m")
+    )
+    terms = (
+        topk.crossJoin(broadcast(ref))
+        .filter(F.col("c") > F.col("c_ref"))
+        .select(
+            "m",
+            "c_ref",
+            F.floor(
+                F.log(F.col("c").cast("double") / F.col("c_ref")) * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("q"),
+        )
+    )
+    return terms.groupBy("m", "c_ref").agg(
+        F.sum("q").alias("qs")
+    ).select(
+        (F.col("m") - 1).alias("k"),
+        F.col("c_ref").cast("long").alias("c_kplus1"),
+        F.round(
+            1.0
+            + (F.col("m") - 1)
+            / (F.col("qs").cast("double") / 1e9),
+            6,
+        ).alias("hill_alpha"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Local-maximum (peak) detection on the daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_peaks",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    nb AS (
+      SELECT day, n,
+             lag(n)  OVER (ORDER BY day) AS prev_n,
+             lead(n) OVER (ORDER BY day) AS next_n
+      FROM daily
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n, prev_n, next_n,
+           CAST(n - greatest(prev_n, next_n) AS BIGINT) AS prominence
+    FROM nb
+    WHERE prev_n IS NOT NULL AND next_n IS NOT NULL
+      AND n > prev_n AND n > next_n
+    ORDER BY day
+    """,
+)
+def q_events_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local-maximum detection on the daily event-count series: days
+    strictly above both neighbors, with the (integer) prominence over
+    the taller neighbor — the load-peak census capacity planning reads
+    (which days spiked, and by how much) next to q_events_spikes'
+    trailing-mean alerts.
+
+    One day-grain hash aggregate, then lag/lead over the bounded daily
+    relation; every comparison is exact integer arithmetic."""
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day")
+    nb = daily.select(
+        "day",
+        "n",
+        F.lag("n").over(w).alias("prev_n"),
+        F.lead("n").over(w).alias("next_n"),
+    )
+    return (
+        nb.filter(
+            F.col("prev_n").isNotNull()
+            & F.col("next_n").isNotNull()
+            & (F.col("n") > F.col("prev_n"))
+            & (F.col("n") > F.col("next_n"))
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n",
+            "prev_n",
+            "next_n",
+            (F.col("n") - F.greatest("prev_n", "next_n"))
+            .cast("long")
+            .alias("prominence"),
+        )
+        .orderBy("day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen robust trend over monthly revenue
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_theil_sen",
+    oracle="""
+    WITH monthly AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders GROUP BY mon
+    ),
+    idx AS (
+      SELECT mon, rev6,
+             CAST(ROW_NUMBER() OVER (ORDER BY mon) AS BIGINT) AS i
+      FROM monthly
+    ),
+    slopes AS (
+      SELECT a.i AS ia, b.i AS ib,
+             round((CAST(b.rev6 - a.rev6 AS DOUBLE) / 1e6)
+                   / (b.i - a.i), 6) AS slope
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope,
+             CAST(ROW_NUMBER() OVER (ORDER BY slope, ia, ib) AS BIGINT)
+               AS rn,
+             CAST(COUNT(*) OVER () AS BIGINT) AS m
+      FROM slopes
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM monthly) AS n_months,
+           m AS n_pairs, slope AS theil_sen_slope
+    FROM ranked
+    WHERE rn = (m + 1) // 2
+    """,
+)
+def q_stats_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of monthly revenue: the median of all
+    pairwise slopes — the slope estimator that shrugs off the outlier
+    months OLS (q_stats_regression) gets dragged by; the robust
+    companion every revenue-trend report should quote.
+
+    The pair join runs over the BOUNDED month rollup (O(months²) pairs
+    — dozens, not data-scale), never raw orders; monthly revenue is the
+    exact 1e6-carrier sum, each slope a single double division on exact
+    integers, and the median is the deterministic ⌈m/2⌉-th order
+    statistic with (ia, ib) tiebreak — no averaging convention to
+    disagree on."""
+    o = t(spark, sf_dir, "orders")
+    monthly = o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias(
+            "mon"
+        )
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long"))
+        .cast("long")
+        .alias("rev6")
+    )
+    wi = Window.orderBy("mon")
+    idx = monthly.select(
+        "mon", "rev6", F.row_number().over(wi).cast("long").alias("i")
+    )
+    a = idx.select(
+        F.col("i").alias("ia"), F.col("rev6").alias("ra")
+    )
+    b = idx.select(
+        F.col("i").alias("ib"), F.col("rev6").alias("rb")
+    )
+    slopes = (
+        a.join(broadcast(b), F.col("ib") > F.col("ia"))
+        .select(
+            "ia",
+            "ib",
+            F.round(
+                ((F.col("rb") - F.col("ra")).cast("double") / 1e6)
+                / (F.col("ib") - F.col("ia")),
+                6,
+            ).alias("slope"),
+        )
+    )
+    wr = Window.orderBy("slope", "ia", "ib")
+    ranked = slopes.select(
+        "slope",
+        F.row_number().over(wr).cast("long").alias("rn"),
+    ).crossJoin(
+        broadcast(slopes.agg(F.count(F.lit(1)).cast("long").alias("m")))
+    )
+    nm = monthly.agg(F.count(F.lit(1)).cast("long").alias("n_months"))
+    return (
+        ranked.filter(F.col("rn") == F.expr("(m + 1) DIV 2"))
+        .crossJoin(broadcast(nm))
+        .select(
+            "n_months",
+            F.col("m").alias("n_pairs"),
+            F.col("slope").alias("theil_sen_slope"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test (unequal variances) between two event segments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_welch_t",
+    oracle="""
+    WITH seg AS (
+      SELECT CASE WHEN event_type = 'click' THEN 'a' ELSE 'b' END AS g,
+             CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS v6
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    m AS (
+      SELECT g, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(v6) AS BIGINT) AS s1,
+             CAST(SUM(CAST(v6 AS HUGEINT) * v6) AS HUGEINT) AS s2
+      FROM seg GROUP BY g
+    ),
+    stats AS (
+      SELECT g, n,
+             CAST(s1 AS DOUBLE) / 1e6 / n AS mean,
+             (CAST(s2 AS DOUBLE) / 1e12
+              - (CAST(s1 AS DOUBLE) / 1e6)
+                * (CAST(s1 AS DOUBLE) / 1e6) / n) / (n - 1) AS var
+      FROM m
+    )
+    SELECT a.n AS n_a, b.n AS n_b,
+           round(a.mean, 6) AS mean_a, round(b.mean, 6) AS mean_b,
+           round((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           round(((a.var / a.n + b.var / b.n)
+                  * (a.var / a.n + b.var / b.n))
+                 / ((a.var / a.n) * (a.var / a.n) / (a.n - 1)
+                    + (b.var / b.n) * (b.var / b.n) / (b.n - 1)), 6)
+             AS welch_df
+    FROM (SELECT * FROM stats WHERE g = 'a') a
+    CROSS JOIN (SELECT * FROM stats WHERE g = 'b') b
+    """,
+)
+def q_stats_welch_t(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test ('click' vs 'purchase' event
+    values): t statistic plus the Welch–Satterthwaite effective degrees
+    of freedom — the parametric two-sample comparison that does NOT
+    assume equal variances (its rank-based sibling is
+    q_stats_mannwhitney).  t and df are reported; the p-value lookup is
+    a client-side table read (no normal/t CDF exists portably in both
+    engines, and approximating one with exp() imports libm last-ulp
+    variance — the same reason q_stats_kaplan_meier reports
+    log-survival).
+
+    One conditional aggregation pass: per-segment n, Σx, Σx² on the
+    exact 1e6 carrier (Σx² of 60-bit squares rides DECIMAL(38) — the
+    overflow rule from SCALING.md), then pure scalar IEEE arithmetic on
+    the two-row relation."""
+    e = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase"))
+        .select(
+            F.when(F.col("event_type") == "click", "a")
+            .otherwise("b")
+            .alias("g"),
+            F.floor(F.col("value") * 1e6 + 0.5).cast("long").alias("v6"),
+        )
+    )
+    m = e.groupBy("g").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v6").cast("long").alias("s1"),
+        F.sum(
+            F.col("v6").cast("decimal(38,0)") * F.col("v6")
+        ).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / 1e6 / F.col("n")
+    var = (
+        F.col("s2").cast("double") / 1e12
+        - (F.col("s1").cast("double") / 1e6)
+        * (F.col("s1").cast("double") / 1e6)
+        / F.col("n")
+    ) / (F.col("n") - 1)
+    stats = m.select("g", "n", mean.alias("mean"), var.alias("var"))
+    a = stats.filter(F.col("g") == "a").select(
+        F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"),
+        F.col("var").alias("var_a"),
+    )
+    b = stats.filter(F.col("g") == "b").select(
+        F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"),
+        F.col("var").alias("var_b"),
+    )
+    sa = F.col("var_a") / F.col("n_a")
+    sb = F.col("var_b") / F.col("n_b")
+    return a.crossJoin(broadcast(b)).select(
+        "n_a",
+        "n_b",
+        F.round("mean_a", 6).alias("mean_a"),
+        F.round("mean_b", 6).alias("mean_b"),
+        F.round(
+            (F.col("mean_a") - F.col("mean_b")) / F.sqrt(sa + sb), 6
+        ).alias("t_stat"),
+        F.round(
+            ((sa + sb) * (sa + sb))
+            / (
+                sa * sa / (F.col("n_a") - 1)
+                + sb * sb / (F.col("n_b") - 1)
+            ),
+            6,
+        ).alias("welch_df"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split n-gram novelty (train/val leakage & memorization signal)
+# ---------------------------------------------------------------------------
+
+_SPLIT_HASH = (
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))"
+    "::UBIGINT::BIGINT % 10"
+)
+
+
+@query(
+    "q_text_ngram_novelty",
+    oracle=rf"""
+    WITH assigned AS (
+      SELECT CASE WHEN {_SPLIT_HASH} < 8 THEN 'train' ELSE 'val' END AS split,
+             string_split_regex(trim(text), '\s+') AS toks
+      FROM documents
+    ),
+    grams AS (
+      SELECT split, u.g
+      FROM assigned,
+           LATERAL (SELECT unnest(list_transform(
+             range(1, greatest(len(toks) - 1, 1)),
+             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS g) u
+    ),
+    train_g AS (SELECT DISTINCT g FROM grams WHERE split = 'train'),
+    val_g AS (SELECT DISTINCT g FROM grams WHERE split = 'val'),
+    novel AS (
+      SELECT v.g FROM val_g v ANTI JOIN train_g t ON t.g = v.g
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM val_g) AS n_val_grams,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM novel) AS n_novel,
+           round((SELECT CAST(COUNT(*) AS DOUBLE) FROM novel)
+                 / (SELECT COUNT(*) FROM val_g), 6) AS novelty_rate
+    """,
+)
+def q_text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split trigram novelty: the fraction of the val split's
+    distinct trigrams never seen in train — the memorization /
+    leakage signal an eval-set audit reads before trusting a held-out
+    number (low novelty ⇒ the val set is paraphrases of train and the
+    eval is contaminated; the n-gram-level companion to
+    q_decontaminate's document-level check).
+
+    The split is the same md5(doc_id) hash as q_corpus_datacard, so
+    splits are deterministic and engine-identical.  Shape: explode
+    trigrams once, distinct per split (map-side combined), then ONE
+    left-anti join keyed on the gram — the shuffle carries distinct
+    grams, never raw positions, and the anti join is the scalable
+    set-difference (no collect, no broadcast of an unbounded side).
+    """
+    d = spread(t(spark, sf_dir, "documents").select("doc_id", "text"), spark)
+    assigned = d.select(
+        F.when(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % 10
+            < 8,
+            "train",
+        )
+        .otherwise("val")
+        .alias("split"),
+        F.split(F.trim("text"), r"\s+").alias("toks"),
+    )
+    grams = assigned.filter(F.size("toks") >= 3).select(
+        "split",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, size(toks) - 3),"
+                " i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"
+            )
+        ).alias("g"),
+    )
+    train_g = (
+        grams.filter(F.col("split") == "train").select("g").distinct()
+    )
+    val_g = grams.filter(F.col("split") == "val").select("g").distinct()
+    novel = val_g.join(train_g, "g", "left_anti")
+    nv = val_g.agg(F.count(F.lit(1)).cast("long").alias("n_val_grams"))
+    nn = novel.agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    return nv.crossJoin(nn).select(
+        "n_val_grams",
+        "n_novel",
+        F.round(
+            F.col("n_novel").cast("double") / F.col("n_val_grams"), 6
+        ).alias("novelty_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered join (the runtime-filter pattern, made explicit)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 1024
+BLOOM_K = 3
+
+
+def _bloom_pos_spark(key, j: int):
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit(f"bloom{j}"), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % BLOOM_BITS
+    )
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    return (
+        f"('0x' || substr(md5('bloom{j}' || '|' ||"
+        f" CAST({key} AS VARCHAR)), 1, 8))::UBIGINT::BIGINT % {BLOOM_BITS}"
+    )
+
+
+@query(
+    "q_join_bloom",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+    ),
+    bits AS (
+      SELECT DISTINCT p FROM (
+        {' UNION ALL '.join(
+            f"SELECT {_bloom_pos_sql('c_custkey', j)} AS p FROM dim"
+            for j in range(BLOOM_K)
+        )}
+      )
+    ),
+    passed AS (
+      SELECT o.o_orderkey, o.o_custkey FROM orders o
+      WHERE {' AND '.join(
+          f"EXISTS (SELECT 1 FROM bits b"
+          f" WHERE b.p = {_bloom_pos_sql('o.o_custkey', j)})"
+          for j in range(BLOOM_K)
+      )}
+    ),
+    matched AS (
+      SELECT p.o_orderkey FROM passed p
+      SEMI JOIN dim d ON d.c_custkey = p.o_custkey
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed) AS n_passed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM matched) AS n_matched,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM passed)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM matched)
+             AS n_false_positives,
+           round(((SELECT CAST(COUNT(*) AS DOUBLE) FROM passed)
+                  - (SELECT COUNT(*) FROM matched))
+                 / greatest((SELECT COUNT(*) FROM passed), 1), 6)
+             AS fp_rate
+    """,
+)
+def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join prefilter, the runtime-filter pattern made
+    explicit: hash the selective dim's keys into a {BLOOM_BITS}-bit /
+    {BLOOM_K}-hash bloom set, prefilter the fact side against it, then
+    run the exact join only on survivors — with the false-positive
+    audit (passed − matched) that tells you whether the filter earned
+    its keep.  This is what Spark's own InjectRuntimeFilter does below
+    the surface (and what a 100 TB fact⋈selective-dim join lives on:
+    the fact shuffle carries only bloom survivors).
+
+    Declarative all the way: the bit set is a ≤{BLOOM_BITS}-row
+    relation; membership per hash is a BROADCAST left-semi join, so the
+    fact never shuffles for the prefilter, and only survivors reach the
+    exact semi join.  md5-derived positions are engine-identical
+    (the MinHash idiom); all outputs exact integers.
+    """
+    dim = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .select("c_custkey")
+    )
+    bits = None
+    for j in range(BLOOM_K):
+        pj = dim.select(_bloom_pos_spark(F.col("c_custkey"), j).alias("p"))
+        bits = pj if bits is None else bits.unionAll(pj)
+    bits = bits.distinct()
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    passed = o
+    for j in range(BLOOM_K):
+        passed = passed.withColumn(
+            "_p", _bloom_pos_spark(F.col("o_custkey"), j)
+        ).join(
+            broadcast(bits.withColumnRenamed("p", "_p")), "_p", "left_semi"
+        )
+    passed = passed.select("o_orderkey", "o_custkey")
+    matched = passed.join(
+        dim, passed.o_custkey == dim.c_custkey, "left_semi"
+    )
+    no = o.agg(F.count(F.lit(1)).cast("long").alias("n_orders"))
+    np_ = passed.agg(F.count(F.lit(1)).cast("long").alias("n_passed"))
+    nm = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    return (
+        no.crossJoin(np_)
+        .crossJoin(nm)
+        .select(
+            "n_orders",
+            "n_passed",
+            "n_matched",
+            (F.col("n_passed") - F.col("n_matched")).alias(
+                "n_false_positives"
+            ),
+            F.round(
+                (F.col("n_passed") - F.col("n_matched")).cast("double")
+                / F.greatest(F.col("n_passed"), F.lit(1)),
+                6,
+            ).alias("fp_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Market-share shift (first vs last month, per nation)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_orders_share_shift",
+    oracle="""
+    WITH monthly AS (
+      SELECT n.n_name,
+             strftime(date_trunc('month', o.o_orderdate), '%Y-%m') AS mon,
+             CAST(SUM(CAST(floor(o.o_totalprice * 1e6 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev6
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name, mon
+    ),
+    shared AS (
+      SELECT n_name, mon, rev6,
+             round(CAST(rev6 AS DOUBLE)
+                   / SUM(rev6) OVER (PARTITION BY mon), 6) AS share,
+             CAST(RANK() OVER (PARTITION BY mon
+                               ORDER BY rev6 DESC, n_name) AS BIGINT) AS rnk
+      FROM monthly
+    ),
+    bounds AS (SELECT MIN(mon) AS lo, MAX(mon) AS hi FROM monthly)
+    SELECT s.n_name,
+           MAX(CASE WHEN s.mon = b.lo THEN s.share END) AS share_first,
+           MAX(CASE WHEN s.mon = b.hi THEN s.share END) AS share_last,
+           round(coalesce(MAX(CASE WHEN s.mon = b.hi THEN s.share END), 0)
+                 - coalesce(MAX(CASE WHEN s.mon = b.lo THEN s.share END), 0),
+                 6) AS share_delta,
+           MAX(CASE WHEN s.mon = b.lo THEN s.rnk END) AS rank_first,
+           MAX(CASE WHEN s.mon = b.hi THEN s.rnk END) AS rank_last
+    FROM shared s CROSS JOIN bounds b
+    WHERE s.mon = b.lo OR s.mon = b.hi
+    GROUP BY s.n_name
+    ORDER BY s.n_name
+    """,
+)
+def q_orders_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share shift per nation: revenue share and rank in the
+    FIRST month of the data versus the LAST, with the share delta —
+    the who-gained-who-lost table every periodic business review opens
+    with.
+
+    One fact aggregation (orders ⋈ broadcast customer-nation path →
+    month×nation rollup); shares and ranks are windows PARTITIONED BY
+    month over the bounded rollup; the first/last comparison is a
+    conditional aggregation over two months only.  Revenue rides the
+    exact 1e6 carrier; shares divide exact integers."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    monthly = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            "n_name",
+            F.date_format(
+                F.date_trunc("month", "o_orderdate"), "yyyy-MM"
+            ).alias("mon"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 1e6 + 0.5).cast("long")
+            )
+            .cast("long")
+            .alias("rev6")
+        )
+    )
+    wm = Window.partitionBy("mon")
+    wr = Window.partitionBy("mon").orderBy(
+        F.col("rev6").desc(), "n_name"
+    )
+    shared = monthly.select(
+        "n_name",
+        "mon",
+        F.round(
+            F.col("rev6").cast("double") / F.sum("rev6").over(wm), 6
+        ).alias("share"),
+        F.rank().over(wr).cast("long").alias("rnk"),
+    )
+    bounds = monthly.agg(
+        F.min("mon").alias("lo"), F.max("mon").alias("hi")
+    )
+    s = shared.crossJoin(broadcast(bounds)).filter(
+        (F.col("mon") == F.col("lo")) | (F.col("mon") == F.col("hi"))
+    )
+    first_share = F.max(
+        F.when(F.col("mon") == F.col("lo"), F.col("share"))
+    )
+    last_share = F.max(
+        F.when(F.col("mon") == F.col("hi"), F.col("share"))
+    )
+    return (
+        s.groupBy("n_name")
+        .agg(
+            first_share.alias("share_first"),
+            last_share.alias("share_last"),
+            F.round(
+                F.coalesce(last_share, F.lit(0.0))
+                - F.coalesce(first_share, F.lit(0.0)),
+                6,
+            ).alias("share_delta"),
+            F.max(
+                F.when(F.col("mon") == F.col("lo"), F.col("rnk"))
+            ).alias("rank_first"),
+            F.max(
+                F.when(F.col("mon") == F.col("hi"), F.col("rnk"))
+            ).alias("rank_last"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-dimension health profile (collapsed/dead-dimension census)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_embed_dim_profile",
+    oracle="""
+    WITH elems AS (
+      SELECT u.pos, CAST(floor(CAST(u.val AS DOUBLE) * 1e6 + 0.5) AS BIGINT)
+               AS v6
+      FROM embeddings,
+           LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS pos,
+                           unnest(embedding) AS val) u
+    )
+    SELECT CAST(pos - 1 AS BIGINT) AS dim,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(CAST(SUM(v6) AS DOUBLE) / 1e6 / COUNT(*), 6) AS mean,
+           round((CAST(SUM(v6 * v6) AS DOUBLE) / 1e12
+                  - (CAST(SUM(v6) AS DOUBLE) / 1e6)
+                    * (CAST(SUM(v6) AS DOUBLE) / 1e6) / COUNT(*))
+                 / COUNT(*), 6) AS variance,
+           round(CAST(SUM(CASE WHEN abs(v6) < 10000 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS frac_near_zero
+    FROM elems
+    GROUP BY pos
+    ORDER BY dim
+    """,
+)
+def q_embed_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension embedding health profile: mean, (population)
+    variance, and the fraction of values within ±0.01 of zero for each
+    of the 64 dimensions — the collapsed-dimension census an embedding
+    pipeline runs after every model update (a dimension whose variance
+    drops to ~0 carries no information, wastes index space, and skews
+    cosine geometry).
+
+    One posexplode + one hash aggregation on the fixed 64-value
+    dimension key (map-side combine does nearly all the work; 64 keys
+    never skew).  Moments ride the exact 1e6 carrier with Σv² in
+    decimal — order-independent exact integers, then identical IEEE
+    division both engines."""
+    v = spread(
+        t(spark, sf_dir, "embeddings").select("embedding"), spark
+    )
+    elems = v.select(
+        F.posexplode("embedding").alias("pos", "val")
+    ).select(
+        "pos",
+        F.floor(F.col("val").cast("double") * 1e6 + 0.5)
+        .cast("long")
+        .alias("v6"),
+    )
+    return (
+        elems.groupBy("pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("v6").cast("long").alias("s1"),
+            F.sum(F.col("v6").cast("decimal(38,0)") * F.col("v6")).alias(
+                "s2"
+            ),
+            F.sum(F.when(F.abs("v6") < 10000, 1).otherwise(0))
+            .cast("long")
+            .alias("s_nz"),
+        )
+        .select(
+            F.col("pos").cast("long").alias("dim"),
+            "n",
+            F.round(
+                F.col("s1").cast("double") / 1e6 / F.col("n"), 6
+            ).alias("mean"),
+            F.round(
+                (
+                    F.col("s2").cast("double") / 1e12
+                    - (F.col("s1").cast("double") / 1e6)
+                    * (F.col("s1").cast("double") / 1e6)
+                    / F.col("n")
+                )
+                / F.col("n"),
+                6,
+            ).alias("variance"),
+            F.round(
+                F.col("s_nz").cast("double") / F.col("n"), 6
+            ).alias("frac_near_zero"),
+        )
+        .orderBy("dim")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Event-lateness audit (the watermark-choosing table)
+# ---------------------------------------------------------------------------
+
+LATE_CAP_MIN = 30  # histogram cap: bucket 30 aggregates everything later
+
+
+@query(
+    "q_events_lateness",
+    oracle=f"""
+    WITH arr AS (
+      SELECT user_id, ts,
+             MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS UNBOUNDED PRECEDING) AS runmax
+      FROM events
+    ),
+    lat AS (
+      SELECT least((epoch_us(runmax) - epoch_us(ts)) // 60000000,
+                   {LATE_CAP_MIN}) AS late_min
+      FROM arr
+    ),
+    hist AS (
+      SELECT CAST(late_min AS BIGINT) AS late_min,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM lat GROUP BY late_min
+    )
+    SELECT late_min, n_events,
+           round(CAST(SUM(n_events) OVER (ORDER BY late_min
+                      ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+                 / SUM(n_events) OVER (), 6) AS cum_frac
+    FROM hist
+    ORDER BY late_min
+    """,
+)
+def q_events_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-lateness audit: how far behind the per-user running-max
+    event time each event arrives (arrival order ≈ event_id), bucketed
+    into minutes and capped at {LATE_CAP_MIN} — THE table read before
+    choosing a streaming watermark (`withWatermark` threshold = the
+    bucket where cum_frac crosses your completeness SLO; everything
+    later is dropped state-free).
+
+    One window pass partitioned by user_id (single shuffle over raw
+    events — the same key the stream would carry), then an O(cap)-row
+    histogram; lateness is exact integer microseconds floored to
+    minutes, and the cumulative fraction divides exact integers over
+    the bounded histogram."""
+    e = t(spark, sf_dir, "events")
+    wa = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    arr = e.select(
+        "ts", F.max("ts").over(wa).alias("runmax")
+    )
+    lat = arr.select(
+        F.least(
+            F.floor(
+                (F.unix_micros("runmax") - F.unix_micros("ts")) / 60000000
+            ),
+            F.lit(LATE_CAP_MIN),
+        )
+        .cast("long")
+        .alias("late_min")
+    )
+    hist = lat.groupBy("late_min").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events")
+    )
+    wcum = Window.orderBy("late_min").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.orderBy("late_min").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return hist.select(
+        "late_min",
+        "n_events",
+        F.round(
+            F.sum("n_events").over(wcum).cast("double")
+            / F.sum("n_events").over(wall),
+            6,
+        ).alias("cum_frac"),
+    ).orderBy("late_min")
+
+
+# ---------------------------------------------------------------------------
+# Delta-method CI for a ratio metric (revenue per event)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_ratio_ci",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'purchase'
+                      THEN CAST(floor(value * 1e6 + 0.5) AS BIGINT)
+                      ELSE 0 END) AS BIGINT) AS x6,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM events GROUP BY user_id
+    ),
+    mom AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS u,
+             CAST(SUM(x6) AS BIGINT) AS sx,
+             CAST(SUM(k) AS BIGINT) AS sk,
+             CAST(SUM(CAST(x6 AS HUGEINT) * x6) AS HUGEINT) AS sxx,
+             CAST(SUM(k * k) AS BIGINT) AS skk,
+             CAST(SUM(CAST(x6 AS HUGEINT) * k) AS HUGEINT) AS sxk
+      FROM per_user
+    )
+    SELECT u AS n_users,
+           round(CAST(sx AS DOUBLE) / 1e6 / sk, 6) AS ratio,
+           round(sqrt(greatest(
+               (CAST(sxx AS DOUBLE) / 1e12 / u
+                - (CAST(sx AS DOUBLE) / 1e6 / u)
+                  * (CAST(sx AS DOUBLE) / 1e6 / u))
+               - 2 * (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(sxk AS DOUBLE) / 1e6 / u
+                    - (CAST(sx AS DOUBLE) / 1e6 / u)
+                      * (CAST(sk AS DOUBLE) / u))
+               + (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(sx AS DOUBLE) / 1e6 / sk)
+                 * (CAST(skk AS DOUBLE) / u
+                    - (CAST(sk AS DOUBLE) / u) * (CAST(sk AS DOUBLE) / u)),
+               0) / u) / (CAST(sk AS DOUBLE) / u), 6) AS std_err
+    FROM mom
+    """,
+)
+def q_stats_ratio_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-method standard error for a RATIO metric (revenue per
+    event, user-randomized): se(R) = sqrt(Var(x − R·k)/U) / mean(k) —
+    the correction every A/B platform applies because ratio metrics'
+    numerator and denominator are correlated per user and the naive
+    event-level variance is wrong (the deng-knight ratio-metric rule).
+
+    One per-user rollup (single shuffle), then one moment aggregation:
+    Σx, Σk, Σx², Σk², Σxk all on exact carriers (x on 1e6, products in
+    HUGEINT/decimal), so the only doubles are the final fixed-order
+    scalar expression — identical IEEE both engines."""
+    e = t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 1e6 + 0.5).cast("long"),
+            ).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("x6"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("long").alias("u"),
+        F.sum("x6").cast("long").alias("sx"),
+        F.sum("k").cast("long").alias("sk"),
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("x6")).alias(
+            "sxx"
+        ),
+        F.sum(F.col("k") * F.col("k")).cast("long").alias("skk"),
+        F.sum(F.col("x6").cast("decimal(38,0)") * F.col("k")).alias(
+            "sxk"
+        ),
+    )
+    mx = F.col("sx").cast("double") / 1e6 / F.col("u")
+    mk = F.col("sk").cast("double") / F.col("u")
+    r = F.col("sx").cast("double") / 1e6 / F.col("sk")
+    var_x = F.col("sxx").cast("double") / 1e12 / F.col("u") - mx * mx
+    cov_xk = F.col("sxk").cast("double") / 1e6 / F.col("u") - mx * mk
+    var_k = F.col("skk").cast("double") / F.col("u") - mk * mk
+    return mom.select(
+        F.col("u").alias("n_users"),
+        F.round(r, 6).alias("ratio"),
+        F.round(
+            F.sqrt(
+                F.greatest(
+                    var_x - 2 * r * cov_xk + r * r * var_k, F.lit(0.0)
+                )
+                / F.col("u")
+            )
+            / mk,
+            6,
+        ).alias("std_err"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wilson-interval proportion estimates (return rate per brand)
+# ---------------------------------------------------------------------------
+
+_Z95 = 1.96
+
+
+@query(
+    "q_stats_wilson",
+    oracle=f"""
+    WITH base AS (
+      SELECT p.p_brand,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS r
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+      GROUP BY p.p_brand
+    )
+    SELECT p_brand, n, r,
+           round(CAST(r AS DOUBLE) / n, 6) AS rate,
+           round(((CAST(r AS DOUBLE) / n
+                   + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                     / (2 * n))
+                  - CAST({_Z95} AS DOUBLE)
+                    * sqrt((CAST(r AS DOUBLE) / n)
+                           * (1 - CAST(r AS DOUBLE) / n) / n
+                           + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                             / (4.0 * n * n)))
+                 / (1 + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE) / n),
+                 6) AS wilson_lo,
+           round(((CAST(r AS DOUBLE) / n
+                   + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                     / (2 * n))
+                  + CAST({_Z95} AS DOUBLE)
+                    * sqrt((CAST(r AS DOUBLE) / n)
+                           * (1 - CAST(r AS DOUBLE) / n) / n
+                           + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE)
+                             / (4.0 * n * n)))
+                 / (1 + CAST({_Z95} AS DOUBLE) * CAST({_Z95} AS DOUBLE) / n),
+                 6) AS wilson_hi
+    FROM base
+    ORDER BY p_brand
+    """,
+)
+def q_stats_wilson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wilson score interval (95%) for the per-brand return rate — the
+    proportion CI that stays inside [0,1] and behaves at small n, which
+    is why ranking dashboards sort by wilson_lo instead of the raw rate
+    (a brand with 2/2 returns must not outrank one with 90/100).
+
+    One fact⋈part equi-join (optimizer-chosen strategy — part scales
+    with SF, so no broadcast hint) + one hash aggregation; the interval
+    is fixed-order scalar IEEE arithmetic on two exact integers per
+    group, stated identically in both engines."""
+    li = t(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("r"),
+        )
+    )
+    z = F.lit(_Z95)
+    phat = F.col("r").cast("double") / F.col("n")
+    center = phat + z * z / (2 * F.col("n"))
+    half = z * F.sqrt(
+        phat * (1 - phat) / F.col("n")
+        + z * z / (4.0 * F.col("n") * F.col("n"))
+    )
+    denom = 1 + z * z / F.col("n")
+    return base.select(
+        "p_brand",
+        "n",
+        "r",
+        F.round(phat, 6).alias("rate"),
+        F.round((center - half) / denom, 6).alias("wilson_lo"),
+        F.round((center + half) / denom, 6).alias("wilson_hi"),
+    ).orderBy("p_brand")
+
+
+# ---------------------------------------------------------------------------
+# Periodogram: DFT power at the first K frequencies of the daily series
+# ---------------------------------------------------------------------------
+
+PERIODOGRAM_K = 8  # frequencies evaluated (k = 1..K cycles over the range)
+
+
+@query(
+    "q_events_periodogram",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    idx AS (
+      SELECT n, CAST(ROW_NUMBER() OVER (ORDER BY day) AS DOUBLE) AS i,
+             CAST(COUNT(*) OVER () AS DOUBLE) AS nd
+      FROM daily
+    ),
+    terms AS (
+      SELECT k.k,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * cos(2.0 * pi() * k.k * i / nd) * 1e6 + 0.5)
+                  AS BIGINT) AS cq,
+             CAST(floor(CAST(n AS DOUBLE)
+                        * sin(2.0 * pi() * k.k * i / nd) * 1e6 + 0.5)
+                  AS BIGINT) AS sq,
+             nd
+      FROM idx CROSS JOIN
+           (SELECT CAST(unnest(range(1, {PERIODOGRAM_K} + 1)) AS DOUBLE) AS k) k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           round(ANY_VALUE(nd) / k, 6) AS period_days,
+           round((CAST(SUM(cq) AS DOUBLE) / 1e6) * (CAST(SUM(cq) AS DOUBLE) / 1e6)
+                 + (CAST(SUM(sq) AS DOUBLE) / 1e6) * (CAST(SUM(sq) AS DOUBLE) / 1e6),
+                 4) AS power
+    FROM terms
+    GROUP BY k
+    ORDER BY k
+    """,
+)
+def q_events_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Periodogram of the daily event-count series: DFT power at the
+    first K integer frequencies — the seasonality detector that tells a
+    pipeline WHICH period to hand q_events_seasonal / Holt-Winters
+    (k with the dominant power ⇒ period ≈ n_days/k).
+
+    Cost model: one day-grain hash aggregate off the raw scan, then the
+    bounded O(days) rollup cross-joins the K frequency constants —
+    O(days·K) arithmetic on driver-sized data; nothing else touches the
+    corpus.  Determinism: cos/sin are evaluated on bit-identical double
+    arguments (exact integer i, k, nd promoted once), each term is
+    quantized to a 1e6-grid long BEFORE summation (associative integer
+    adds, any partitioning), and the final power is two fixed-order
+    double ops rounded at 4.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wi = Window.orderBy("day")
+    idx = daily.select(
+        "n",
+        F.row_number().over(wi).cast("double").alias("i"),
+        F.count(F.lit(1)).over(
+            Window.partitionBy()  # bounded daily rollup: O(days) rows
+        ).cast("double").alias("nd"),
+    )
+    ks = spark.range(1, PERIODOGRAM_K + 1).select(
+        F.col("id").cast("double").alias("k")
+    )
+    ang = F.lit(2.0) * F.lit(math.pi) * F.col("k") * F.col("i") / F.col("nd")
+    terms = idx.crossJoin(broadcast(ks)).select(
+        "k",
+        "nd",
+        F.floor(F.col("n").cast("double") * F.cos(ang) * 1e6 + 0.5)
+        .cast("long")
+        .alias("cq"),
+        F.floor(F.col("n").cast("double") * F.sin(ang) * 1e6 + 0.5)
+        .cast("long")
+        .alias("sq"),
+    )
+    c = F.sum("cq").cast("double") / 1e6
+    s = F.sum("sq").cast("double") / 1e6
+    return (
+        terms.groupBy("k")
+        .agg(
+            F.round(F.any_value("nd") / F.col("k"), 6).alias("period_days"),
+            F.round(c * c + s * s, 4).alias("power"),
+        )
+        .select(F.col("k").cast("long").alias("k"), "period_days", "power")
+        .orderBy("k")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Markov entropy rate of the behavior transition matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_markov_entropy",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    trans AS (
+      SELECT prev_type AS src, event_type AS dst,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM seq WHERE prev_type IS NOT NULL
+      GROUP BY 1, 2
+    ),
+    outdeg AS (SELECT src, CAST(SUM(n) AS BIGINT) AS out_n
+               FROM trans GROUP BY src),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM trans),
+    terms AS (
+      SELECT t.src, o.out_n,
+             CAST(floor((CAST(t.n AS DOUBLE) / o.out_n)
+                        * (ln(CAST(t.n AS DOUBLE) / o.out_n) / ln(2.0))
+                        * 1e9 + 0.5) AS BIGINT) AS hq
+      FROM trans t JOIN outdeg o ON o.src = t.src
+    )
+    SELECT s.src, s.out_n,
+           round(CAST(s.out_n AS DOUBLE) / x.t, 6) AS pi,
+           round(-(CAST(SUM(s.hq) AS DOUBLE) / 1e9), 6) AS h_bits,
+           round(-(CAST(SUM(s.hq) AS DOUBLE) / 1e9)
+                 * (CAST(s.out_n AS DOUBLE) / x.t), 6) AS contribution
+    FROM terms s CROSS JOIN tot x
+    GROUP BY s.src, s.out_n, x.t
+    ORDER BY s.src
+    """,
+)
+def q_events_markov_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the first-order behavior Markov chain: per source
+    state, the conditional next-step entropy H(dst|src) in bits and its
+    occupancy-weighted contribution — Σ contribution is the chain's
+    entropy rate under the empirical state distribution.  Low-entropy
+    states have predictable next actions (prefetchable / cacheable);
+    the diagnostic that decides whether a next-event model is worth
+    training at all.
+
+    Same heavy/light split as q_events_markov: the only corpus-sized
+    work is the per-user lag window; everything downstream lives on the
+    O(|types|²) transition relation.  Each −p·log₂p term is quantized to
+    a 1e9-grid long on an exactly-representable ratio (n/out_n is one
+    IEEE division of two longs), so the per-source sums are associative
+    integer adds; pi and the contribution are fixed-order double ops
+    rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy(
+            F.col("prev_type").alias("src"), F.col("event_type").alias("dst")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    outdeg = trans.groupBy(F.col("src").alias("o_src")).agg(
+        F.sum("n").cast("long").alias("out_n")
+    )
+    tot = trans.agg(F.sum("n").cast("long").alias("t"))
+    p = F.col("n").cast("double") / F.col("out_n")
+    terms = (
+        trans.join(broadcast(outdeg), F.col("o_src") == F.col("src"))
+        .select(
+            "src",
+            "out_n",
+            F.floor(p * (F.log(p) / F.log(F.lit(2.0))) * 1e9 + 0.5)
+            .cast("long")
+            .alias("hq"),
+        )
+    )
+    h = -(F.sum("hq").cast("double") / 1e9)
+    return (
+        terms.crossJoin(broadcast(tot))
+        .groupBy("src", "out_n", "t")
+        .agg(
+            F.round(F.col("out_n").cast("double") / F.col("t"), 6).alias("pi"),
+            F.round(h, 6).alias("h_bits"),
+            F.round(
+                h * (F.col("out_n").cast("double") / F.col("t")), 6
+            ).alias("contribution"),
+        )
+        .select("src", "out_n", "pi", "h_bits", "contribution")
+        .orderBy("src")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Schema/profile drift between two time slices of a table
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT_DATE = "1998-01-01"  # early vs late slice boundary
+PRICE_BIN = 20000.0  # fixed-width bin for the numeric column's category map
+
+
+@query(
+    "q_dq_schema_drift",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT CASE WHEN o_orderdate < DATE '{DRIFT_SPLIT_DATE}'
+                  THEN 0 ELSE 1 END AS late,
+             col, key
+      FROM orders,
+           LATERAL (VALUES
+             ('o_orderstatus',   o_orderstatus),
+             ('o_orderpriority', o_orderpriority),
+             ('o_totalprice',    CAST(CAST(floor(o_totalprice / {PRICE_BIN})
+                                            AS BIGINT) AS VARCHAR))
+           ) u(col, key)
+    ),
+    counts AS (
+      SELECT col, key,
+             CAST(SUM(1 - late) AS BIGINT) AS n_early,
+             CAST(SUM(late) AS BIGINT) AS n_late
+      FROM keyed GROUP BY col, key
+    ),
+    tots AS (
+      SELECT col, CAST(SUM(n_early) AS BIGINT) AS t_early,
+                  CAST(SUM(n_late) AS BIGINT) AS t_late
+      FROM counts GROUP BY col
+    )
+    SELECT c.col,
+           CAST(COUNT(*) AS BIGINT) AS n_cats,
+           ANY_VALUE(t.t_early) AS t_early,
+           ANY_VALUE(t.t_late) AS t_late,
+           round(CAST(SUM(CAST(floor(abs(CAST(c.n_early AS DOUBLE) / t.t_early
+                                      - CAST(c.n_late AS DOUBLE) / t.t_late)
+                                 * 1e9 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 2e9, 6) AS tvd
+    FROM counts c JOIN tots t ON t.col = c.col
+    GROUP BY c.col
+    ORDER BY c.col
+    """,
+)
+def q_dq_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift between two time slices of a table, one total
+    variation distance (TVD) per monitored column — the scheduled data-
+    quality job that catches upstream schema/population changes (a new
+    enum value, a price-mix shift) before they poison training data.
+    Categorical columns compare share vectors directly; the numeric
+    column is mapped through fixed-width bins so the same TVD works.
+
+    One corpus scan: the per-row stack explodes to 3 rows/row (bounded
+    fan-out, no joins), then a hash aggregate on the small
+    (col, key) domain; shares and |Δ| live on the O(cats) rollup.  Each
+    |share_early − share_late| is quantized to a 1e9 long (shares are
+    single IEEE divisions of exact longs), so the per-column sum is
+    associative integer addition; TVD = Σ/2 rounded at 6.
+    """
+    o = t(spark, sf_dir, "orders")
+    late = F.when(
+        F.col("o_orderdate") < F.lit(DRIFT_SPLIT_DATE).cast("date"), 0
+    ).otherwise(1)
+    keyed = o.select(
+        late.alias("late"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("o_orderstatus").alias("col"),
+                    F.col("o_orderstatus").alias("key"),
+                ),
+                F.struct(
+                    F.lit("o_orderpriority").alias("col"),
+                    F.col("o_orderpriority").alias("key"),
+                ),
+                F.struct(
+                    F.lit("o_totalprice").alias("col"),
+                    F.floor(F.col("o_totalprice") / PRICE_BIN)
+                    .cast("long")
+                    .cast("string")
+                    .alias("key"),
+                ),
+            )
+        ).alias("ck"),
+    ).select("late", F.col("ck.col").alias("col"), F.col("ck.key").alias("key"))
+    counts = keyed.groupBy("col", "key").agg(
+        F.sum(F.lit(1) - F.col("late")).cast("long").alias("n_early"),
+        F.sum("late").cast("long").alias("n_late"),
+    )
+    tots = counts.groupBy(F.col("col").alias("t_col")).agg(
+        F.sum("n_early").cast("long").alias("t_early"),
+        F.sum("n_late").cast("long").alias("t_late"),
+    )
+    dq = F.floor(
+        F.abs(
+            F.col("n_early").cast("double") / F.col("t_early")
+            - F.col("n_late").cast("double") / F.col("t_late")
+        )
+        * 1e9
+        + 0.5
+    ).cast("long")
+    return (
+        counts.join(broadcast(tots), F.col("t_col") == F.col("col"))
+        .groupBy("col")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cats"),
+            F.any_value("t_early").alias("t_early"),
+            F.any_value("t_late").alias("t_late"),
+            F.round(F.sum(dq).cast("double") / 2e9, 6).alias("tvd"),
+        )
+        .orderBy("col")
+    )
+
+
+# ---------------------------------------------------------------------------
+# M4 time-series downsampling (min/max/first/last per bucket)
+# ---------------------------------------------------------------------------
+
+M4_BUCKET_DAYS = 2  # bucket width of the downsampled series
+
+
+@query(
+    "q_time_downsample_m4",
+    oracle=f"""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(floor(CAST(epoch_us(ts) AS DOUBLE)
+                        / ({M4_BUCKET_DAYS} * 86400e6)) AS BIGINT) AS bucket,
+             ts, event_id, value
+      FROM events
+    ),
+    rnk AS (
+      SELECT *,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM pts
+    )
+    SELECT event_type, bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           round(MIN(value), 6) AS v_min,
+           round(MAX(value), 6) AS v_max,
+           round(MAX(CASE WHEN rn_a = 1 THEN value END), 6) AS v_first,
+           round(MAX(CASE WHEN rn_d = 1 THEN value END), 6) AS v_last
+    FROM rnk
+    GROUP BY event_type, bucket
+    ORDER BY event_type, bucket
+    """,
+)
+def q_time_downsample_m4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling of the per-type value stream: min / max / first /
+    last per fixed-width time bucket — the error-free line-chart
+    downsampler (every pixel column's extremes and endpoints survive),
+    and the rollup a monitoring store keeps when raw points age out.
+
+    One window shuffle on (event_type, bucket) — the same partitioning
+    the final aggregate reuses, so Spark plans a single exchange; bucket
+    width is fixed, so partition count grows with the time range, never
+    with per-bucket density skew beyond what AQE splits.  min/max/first/
+    last copy raw doubles without arithmetic (rounded only for display),
+    so there is no carrier to manage; first/last ties break on
+    (ts, event_id), identical both engines.
+    """
+    e = t(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.floor(
+            F.unix_micros(F.col("ts").cast("timestamp")).cast("double")
+            / (M4_BUCKET_DAYS * 86400e6)
+        )
+        .cast("long")
+        .alias("bucket"),
+        "ts",
+        "event_id",
+        "value",
+    )
+    wa = Window.partitionBy("event_type", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("event_type", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    rnk = pts.select(
+        "*",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    return (
+        rnk.groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.min("value"), 6).alias("v_min"),
+            F.round(F.max("value"), 6).alias("v_max"),
+            F.round(
+                F.max(F.when(F.col("rn_a") == 1, F.col("value"))), 6
+            ).alias("v_first"),
+            F.round(
+                F.max(F.when(F.col("rn_d") == 1, F.col("value"))), 6
+            ).alias("v_last"),
+        )
+        .orderBy("event_type", "bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partial autocorrelation (Durbin-Levinson on lagged-pair correlations)
+# ---------------------------------------------------------------------------
+
+_O_ACF_LAG = """
+    acf{k} AS (
+      SELECT round((kd * sxy - sx * sy)
+                   / (sqrt(kd * sxx - sx * sx) * sqrt(kd * syy - sy * sy)),
+                   9) AS r
+      FROM (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS kd,
+               CAST(SUM(n) AS DOUBLE) AS sx,
+               CAST(SUM(prev_n) AS DOUBLE) AS sy,
+               CAST(SUM(n * prev_n) AS DOUBLE) AS sxy,
+               CAST(SUM(n * n) AS DOUBLE) AS sxx,
+               CAST(SUM(prev_n * prev_n) AS DOUBLE) AS syy
+        FROM (
+          SELECT n, LAG(n, {k}) OVER (ORDER BY day) AS prev_n FROM daily
+        ) WHERE prev_n IS NOT NULL
+      )
+    )"""
+
+
+@query(
+    "q_stats_pacf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    {_O_ACF_LAG.format(k=1)},
+    {_O_ACF_LAG.format(k=2)},
+    {_O_ACF_LAG.format(k=3)},
+    dl AS (
+      SELECT a1.r AS r1, a2.r AS r2, a3.r AS r3,
+             a1.r AS p1,
+             (a2.r - a1.r * a1.r) / (1.0 - a1.r * a1.r) AS p2
+      FROM acf1 a1 CROSS JOIN acf2 a2 CROSS JOIN acf3 a3
+    ),
+    dl2 AS (
+      SELECT *, r1 - p2 * r1 AS a21,
+             (1.0 - r1 * r1) * (1.0 - p2 * p2) AS v2
+      FROM dl
+    ),
+    final AS (
+      SELECT r1, r2, r3, p1, p2,
+             (r3 - a21 * r2 - p2 * r1) / v2 AS p3
+      FROM dl2
+    )
+    SELECT u.lag, round(u.acf, 6) AS acf, round(u.pacf, 6) AS pacf
+    FROM final, LATERAL (VALUES (1, r1, p1), (2, r2, p2), (3, r3, p3))
+                  u(lag, acf, pacf)
+    ORDER BY u.lag
+    """,
+)
+def q_stats_pacf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partial autocorrelation of the daily event-count series at lags
+    1–3 via the Durbin-Levinson recursion — the AR-order chooser (ACF
+    says 'correlated with 2 days ago'; PACF says whether that is a real
+    lag-2 effect or just lag-1 applied twice), the companion diagnostic
+    to q_stats_autocorr and the input an AR-model forecast would need.
+    Sample ACF here is the lagged-pair Pearson correlation (the
+    q_stats_autocorr variant), so every r_k comes from exact integer
+    sums over the bounded daily rollup.
+
+    All corpus work is the one day-grain hash aggregate; the three
+    lag windows and the DL algebra run on O(days) rows and a 1-row
+    relation.  Every r_k is rounded at 9 before the recursion (pinning
+    the engines to identical inputs), the recursion is fixed-order
+    scalar IEEE arithmetic, and outputs round at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day")
+
+    def acf(k: int):
+        lagged = daily.select(
+            "n", F.lag("n", k).over(w).alias("prev_n")
+        ).filter(F.col("prev_n").isNotNull())
+        m = lagged.agg(
+            F.count(F.lit(1)).cast("double").alias("kd"),
+            F.sum("n").cast("double").alias("sx"),
+            F.sum("prev_n").cast("double").alias("sy"),
+            F.sum(F.col("n") * F.col("prev_n")).cast("double").alias("sxy"),
+            F.sum(F.col("n") * F.col("n")).cast("double").alias("sxx"),
+            F.sum(F.col("prev_n") * F.col("prev_n"))
+            .cast("double")
+            .alias("syy"),
+        )
+        return m.select(
+            F.round(
+                (F.col("kd") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (
+                    F.sqrt(F.col("kd") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    * F.sqrt(
+                        F.col("kd") * F.col("syy") - F.col("sy") * F.col("sy")
+                    )
+                ),
+                9,
+            ).alias(f"r{k}")
+        )
+
+    dl = (
+        acf(1)
+        .crossJoin(broadcast(acf(2)))
+        .crossJoin(broadcast(acf(3)))
+    )
+    r1, r2, r3 = F.col("r1"), F.col("r2"), F.col("r3")
+    p2 = (r2 - r1 * r1) / (F.lit(1.0) - r1 * r1)
+    dl2 = dl.select(
+        r1,
+        r2,
+        r3,
+        p2.alias("p2"),
+        (r1 - p2 * r1).alias("a21"),
+        ((F.lit(1.0) - r1 * r1) * (F.lit(1.0) - p2 * p2)).alias("v2"),
+    )
+    final = dl2.select(
+        "r1",
+        "r2",
+        "r3",
+        "p2",
+        ((r3 - F.col("a21") * r2 - F.col("p2") * r1) / F.col("v2")).alias(
+            "p3"
+        ),
+    )
+    return final.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("lag"),
+                    F.col("r1").alias("acf"),
+                    F.col("r1").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(2).alias("lag"),
+                    F.col("r2").alias("acf"),
+                    F.col("p2").alias("pacf"),
+                ),
+                F.struct(
+                    F.lit(3).alias("lag"),
+                    F.col("r3").alias("acf"),
+                    F.col("p3").alias("pacf"),
+                ),
+            )
+        ).alias("u")
+    ).select(
+        F.col("u.lag").alias("lag"),
+        F.round("u.acf", 6).alias("acf"),
+        F.round("u.pacf", 6).alias("pacf"),
+    ).orderBy("lag")
+
+
+# ---------------------------------------------------------------------------
+# Burstiness / Fano factor of inter-arrival times per event type
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_events_burstiness",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts))
+               OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ),
+    m AS (
+      SELECT event_type,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(gap_us) AS DOUBLE) AS s,
+             CAST(SUM(CAST(gap_us AS HUGEINT) * gap_us) AS DOUBLE) AS ss
+      FROM seq WHERE gap_us IS NOT NULL
+      GROUP BY event_type
+    )
+    SELECT event_type, n,
+           round(s / n / 1e6, 6) AS mean_gap_s,
+           round(sqrt((ss - s / n * s) / (n - 1)) / 1e6, 6) AS std_gap_s,
+           round((sqrt((ss - s / n * s) / (n - 1)) - s / n)
+                 / (sqrt((ss - s / n * s) / (n - 1)) + s / n), 6)
+             AS burstiness,
+           round((ss - s / n * s) / (n - 1) / (s / n) / 1e6, 6)
+             AS fano_s
+    FROM m
+    ORDER BY event_type
+    """,
+)
+def q_events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burstiness coefficient B = (σ−μ)/(σ+μ) and Fano factor of
+    inter-arrival gaps per event type — the single-number
+    characterization of an arrival process (B≈−1 periodic, 0 Poisson,
+    →1 heavy bursts) that sizes streaming buffers and picks watermark
+    slack; the distribution-summary complement to
+    q_events_interarrival's histogram.
+
+    One window pass partitioned by event_type (the established per-type
+    stream shuffle), then exact moments: gaps are exact µs longs, the
+    squared sum rides int128/DECIMAL(38) since µs² overflows a long,
+    and every output is fixed-order double math on those exact sums,
+    rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    seq = e.select(
+        "event_type", (us - F.lag(us).over(w)).alias("gap_us")
+    ).filter(F.col("gap_us").isNotNull())
+    m = seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("gap_us").cast("double").alias("s"),
+        F.sum(F.col("gap_us").cast("decimal(38,0)") * F.col("gap_us"))
+        .cast("double")
+        .alias("ss"),
+    )
+    mean = F.col("s") / F.col("n")
+    var = (F.col("ss") - mean * F.col("s")) / (F.col("n") - 1)
+    std = F.sqrt(var)
+    return m.select(
+        "event_type",
+        "n",
+        F.round(mean / 1e6, 6).alias("mean_gap_s"),
+        F.round(std / 1e6, 6).alias("std_gap_s"),
+        F.round((std - mean) / (std + mean), 6).alias("burstiness"),
+        F.round(var / mean / 1e6, 6).alias("fano_s"),
+    ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Levene's test (mean-based): variance homogeneity across groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_levene",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events
+    ),
+    gm AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xq) AS BIGINT) AS sx
+      FROM q GROUP BY event_type
+    ),
+    z AS (
+      SELECT q.event_type,
+             CAST(floor(abs(CAST(q.xq AS DOUBLE)
+                            - CAST(g.sx AS DOUBLE) / g.n) + 0.5)
+                  AS BIGINT) AS zq
+      FROM q JOIN gm g ON g.event_type = q.event_type
+    ),
+    zg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(zq) AS BIGINT) AS sz,
+             CAST(SUM(zq * zq) AS BIGINT) AS szz
+      FROM z GROUP BY event_type
+    ),
+    tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS nt,
+             CAST(SUM(sz) AS BIGINT) AS szt,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM zg
+    ),
+    terms AS (
+      SELECT
+        CAST(floor(g.n * (CAST(g.sz AS DOUBLE) / g.n
+                          - CAST(t.szt AS DOUBLE) / t.nt)
+                       * (CAST(g.sz AS DOUBLE) / g.n
+                          - CAST(t.szt AS DOUBLE) / t.nt) + 0.5)
+             AS BIGINT) AS ssb_q,
+        CAST(floor(CAST(g.szz AS DOUBLE)
+                   - CAST(g.sz AS DOUBLE) * (CAST(g.sz AS DOUBLE) / g.n)
+                   + 0.5) AS BIGINT) AS ssw_q,
+        t.nt, t.k
+      FROM zg g CROSS JOIN tot t
+    )
+    SELECT k, nt AS n,
+           round((CAST(nt - k AS DOUBLE) / (k - 1))
+                 * (CAST(SUM(ssb_q) AS DOUBLE) / CAST(SUM(ssw_q) AS DOUBLE)),
+                 6) AS levene_w
+    FROM terms
+    GROUP BY k, nt
+    """,
+)
+def q_stats_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levene's test (mean-based variant) for variance homogeneity of
+    `value` across event types: one-way ANOVA's F statistic applied to
+    the absolute deviations z = |x − x̄_group| — large W means the
+    groups' SPREADS differ, which is the assumption check both ANOVA
+    and the pooled t-test quietly require (q_stats_anova tests means;
+    this tests the variances it assumed equal).
+
+    Two corpus passes sharing the event_type partitioning: group
+    moments, then deviations re-aggregated per group.  Every between/
+    within term is quantized onto the integer grid BEFORE the cross-
+    group sums (n·(z̄_g−z̄)² and SSW_g fit longs comfortably at any
+    tested SF), so the final W is fixed-order double math on exact
+    integer sums, rounded at 6 — no cross-row double accumulation
+    anywhere.
+    """
+    e = t(spark, sf_dir, "events")
+    q = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    )
+    gm = q.groupBy(F.col("event_type").alias("g_type")).agg(
+        F.count(F.lit(1)).cast("long").alias("gn"),
+        F.sum("xq").cast("long").alias("gsx"),
+    )
+    z = q.join(broadcast(gm), F.col("g_type") == F.col("event_type")).select(
+        "event_type",
+        F.floor(
+            F.abs(
+                F.col("xq").cast("double")
+                - F.col("gsx").cast("double") / F.col("gn")
+            )
+            + 0.5
+        )
+        .cast("long")
+        .alias("zq"),
+    )
+    zg = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("zq").cast("long").alias("sz"),
+        F.sum(F.col("zq") * F.col("zq")).cast("long").alias("szz"),
+    )
+    tot = zg.agg(
+        F.sum("n").cast("long").alias("nt"),
+        F.sum("sz").cast("long").alias("szt"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mean_g = F.col("sz").cast("double") / F.col("n")
+    mean_t = F.col("szt").cast("double") / F.col("nt")
+    terms = zg.crossJoin(broadcast(tot)).select(
+        "nt",
+        "k",
+        F.floor(F.col("n") * (mean_g - mean_t) * (mean_g - mean_t) + 0.5)
+        .cast("long")
+        .alias("ssb_q"),
+        F.floor(
+            F.col("szz").cast("double") - F.col("sz").cast("double") * mean_g
+            + 0.5
+        )
+        .cast("long")
+        .alias("ssw_q"),
+    )
+    return (
+        terms.groupBy("k", "nt")
+        .agg(
+            F.round(
+                ((F.col("nt") - F.col("k")).cast("double") / (F.col("k") - 1))
+                * (
+                    F.sum("ssb_q").cast("double")
+                    / F.sum("ssw_q").cast("double")
+                ),
+                6,
+            ).alias("levene_w")
+        )
+        .select("k", F.col("nt").alias("n"), "levene_w")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trend / seasonal strength of the daily series (decomposition quality)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_seasonal_strength",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY day
+    ),
+    ma AS (
+      SELECT day, n,
+             date_diff('day', DATE '1970-01-01', day) % 7 AS dow,
+             CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+             CAST(SUM(n) OVER w AS BIGINT) AS win_s
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT day, dow, n * 1000000 AS nq,
+             n * 1000000
+               - CAST(floor(CAST(win_s AS DOUBLE) / win_n * 1e6 + 0.5)
+                      AS BIGINT) AS dq
+      FROM ma WHERE win_n = 7
+    ),
+    seas AS (
+      SELECT dow, CAST(floor(CAST(SUM(dq) AS DOUBLE) / COUNT(*) + 0.5)
+                       AS BIGINT) AS sq
+      FROM detr GROUP BY dow
+    ),
+    comp AS (
+      SELECT d.dq - s.sq AS rq, d.dq AS dq, d.nq - s.sq AS trq
+      FROM detr d JOIN seas s ON s.dow = d.dow
+    ),
+    v AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS m,
+             CAST(SUM(rq) AS BIGINT) AS s_r,
+             CAST(SUM(CAST(rq AS HUGEINT) * rq) AS DOUBLE) AS ss_r,
+             CAST(SUM(dq) AS BIGINT) AS s_d,
+             CAST(SUM(CAST(dq AS HUGEINT) * dq) AS DOUBLE) AS ss_d,
+             CAST(SUM(trq) AS BIGINT) AS s_t,
+             CAST(SUM(CAST(trq AS HUGEINT) * trq) AS DOUBLE) AS ss_t
+      FROM comp
+    )
+    SELECT m AS n_days,
+           round(greatest(0.0, 1.0 -
+             (ss_r - CAST(s_r AS DOUBLE) / m * s_r)
+             / (ss_t - CAST(s_t AS DOUBLE) / m * s_t)), 6)
+             AS trend_strength,
+           round(greatest(0.0, 1.0 -
+             (ss_r - CAST(s_r AS DOUBLE) / m * s_r)
+             / (ss_d - CAST(s_d AS DOUBLE) / m * s_d)), 6)
+             AS seasonal_strength
+    FROM v
+    """,
+)
+def q_stats_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trend and seasonal STRENGTH (the Hyndman FPP measures,
+    F = max(0, 1 − Var(remainder)/Var(component + remainder))) of the
+    daily event-count series under a 7-day MA × day-of-week additive
+    decomposition — the single-number answer to 'is this series
+    actually seasonal enough to justify a seasonal model', grading the
+    decomposition q_orders_seasonal_decompose performs and gating which
+    forecaster (SMA vs Holt vs seasonal) the pipeline picks.
+
+    All corpus work is the one day-grain hash aggregate; the MA window,
+    day-of-week means, and the three variances live on the bounded
+    O(days) rollup.  Every component rides a 1e6-scaled long grid
+    (trend/seasonal means re-floored onto it), squared sums go through
+    int128/DECIMAL(38), and both strengths are fixed-order double math
+    on exact sums, rounded at 6.
+    """
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date(F.date_trunc("day", "ts")).alias("day")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    ma = daily.select(
+        "day",
+        "n",
+        (F.datediff("day", F.lit("1970-01-01").cast("date")) % 7).alias(
+            "dow"
+        ),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        F.sum("n").over(w).cast("long").alias("win_s"),
+    )
+    detr = ma.filter(F.col("win_n") == 7).select(
+        "dow",
+        (F.col("n") * 1000000).alias("nq"),
+        (
+            F.col("n") * 1000000
+            - F.floor(
+                F.col("win_s").cast("double") / F.col("win_n") * 1e6 + 0.5
+            ).cast("long")
+        ).alias("dq"),
+    )
+    seas = detr.groupBy(F.col("dow").alias("s_dow")).agg(
+        F.floor(F.sum("dq").cast("double") / F.count(F.lit(1)) + 0.5)
+        .cast("long")
+        .alias("sq")
+    )
+    comp = detr.join(broadcast(seas), F.col("s_dow") == F.col("dow")).select(
+        (F.col("dq") - F.col("sq")).alias("rq"),
+        "dq",
+        (F.col("nq") - F.col("sq")).alias("trq"),
+    )
+
+    def moments(c: str):
+        return [
+            F.sum(c).cast("long").alias(f"s_{c}"),
+            F.sum(F.col(c).cast("decimal(38,0)") * F.col(c))
+            .cast("double")
+            .alias(f"ss_{c}"),
+        ]
+
+    v = comp.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        *moments("rq"),
+        *moments("dq"),
+        *moments("trq"),
+    )
+
+    def css(c: str):
+        return F.col(f"ss_{c}") - F.col(f"s_{c}").cast("double") / F.col(
+            "m"
+        ) * F.col(f"s_{c}")
+
+    return v.select(
+        F.col("m").alias("n_days"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - css("rq") / css("trq")), 6
+        ).alias("trend_strength"),
+        F.round(
+            F.greatest(F.lit(0.0), F.lit(1.0) - css("rq") / css("dq")), 6
+        ).alias("seasonal_strength"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# QQ deciles: quantile-quantile comparison of two distributions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_qq_deciles",
+    oracle="""
+    WITH q AS (
+      SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    h AS (
+      SELECT event_type, xq, CAST(COUNT(*) AS BIGINT) AS c
+      FROM q GROUP BY event_type, xq
+    ),
+    cum AS (
+      SELECT event_type, xq,
+             CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY xq
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             CAST(SUM(c) OVER (PARTITION BY event_type) AS BIGINT) AS n
+      FROM h
+    ),
+    picks AS (
+      SELECT c.event_type, d.dec,
+             MIN(c.xq) AS qx
+      FROM cum c CROSS JOIN
+           (SELECT unnest(range(1, 10)) AS dec) d
+      WHERE c.cum * 10 >= d.dec * c.n
+      GROUP BY c.event_type, d.dec
+    )
+    SELECT a.dec AS decile,
+           round(a.qx / 100.0, 2) AS q_click,
+           round(b.qx / 100.0, 2) AS q_purchase,
+           round((b.qx - a.qx) / 100.0, 2) AS gap
+    FROM picks a JOIN picks b ON b.dec = a.dec
+    WHERE a.event_type = 'click' AND b.event_type = 'purchase'
+    ORDER BY a.dec
+    """,
+)
+def q_stats_qq_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QQ comparison at the deciles: the d/10-quantile of click values
+    against the same quantile of purchase values, plus the gap — the
+    distribution-shape diagnostic that tells you WHERE two populations
+    differ (a gap only in the upper deciles = heavy-tail divergence;
+    uniform gaps = location shift), complementing q_stats_ks's single
+    worst-gap number and q_stats_mannwhitney's rank test.
+
+    Quantiles come from the per-distinct-value histogram + running
+    count — the midrank machinery, NOT a global row sort: the only
+    corpus shuffle is the (type, value) hash aggregate; the cumulative
+    window runs over O(distinct values) rows.  The decile pick is the
+    exact lower quantile via integer comparison (cum·10 ≥ d·n — no
+    float thresholds), so both engines select identical cents values.
+    """
+    e = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    h = e.select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+    ).groupBy("event_type", "xq").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    wc = Window.partitionBy("event_type").orderBy("xq").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wn = Window.partitionBy("event_type")
+    cum = h.select(
+        "event_type",
+        "xq",
+        F.sum("c").over(wc).cast("long").alias("cum"),
+        F.sum("c").over(wn).cast("long").alias("n"),
+    )
+    decs = spark.range(1, 10).select(F.col("id").cast("long").alias("dec"))
+    picks = (
+        cum.crossJoin(broadcast(decs))
+        .filter(F.col("cum") * 10 >= F.col("dec") * F.col("n"))
+        .groupBy("event_type", "dec")
+        .agg(F.min("xq").alias("qx"))
+    )
+    a = picks.filter(F.col("event_type") == "click").select(
+        "dec", F.col("qx").alias("qa")
+    )
+    b = picks.filter(F.col("event_type") == "purchase").select(
+        F.col("dec").alias("b_dec"), F.col("qx").alias("qb")
+    )
+    return (
+        a.join(b, F.col("b_dec") == F.col("dec"))
+        .select(
+            F.col("dec").alias("decile"),
+            F.round(F.col("qa") / 100.0, 2).alias("q_click"),
+            F.round(F.col("qb") / 100.0, 2).alias("q_purchase"),
+            F.round((F.col("qb") - F.col("qa")) / 100.0, 2).alias("gap"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A/B power analysis: required sample size per arm for a target MDE
+# ---------------------------------------------------------------------------
+
+_Z_ALPHA = 1.959963985  # two-sided alpha = 0.05
+_Z_BETA = 0.8416212336  # power = 0.80
+_POWER_MDES = (0.01, 0.02, 0.05, 0.10)  # relative minimum detectable effects
+
+
+@query(
+    "q_stats_power",
+    oracle=f"""
+    WITH m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS sx,
+             CAST(SUM(CAST(CAST(floor(value * 100 + 0.5) AS BIGINT)
+                           AS HUGEINT)
+                      * CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+               AS sxx
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT CAST(u.mde * 100 AS BIGINT) AS mde_pct,
+           round(u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0), 4) AS delta,
+           CAST(ceil(
+             2.0 * ({_Z_ALPHA} + {_Z_BETA}) * ({_Z_ALPHA} + {_Z_BETA})
+             * ((m.sxx - CAST(m.sx AS DOUBLE) / m.n * m.sx) / (m.n - 1)
+                / 10000.0)
+             / (u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0)
+                * (u.mde * (CAST(m.sx AS DOUBLE) / m.n / 100.0)))
+           ) AS BIGINT) AS n_per_arm
+    FROM m, LATERAL (VALUES {", ".join(f"({x})" for x in _POWER_MDES)})
+              u(mde)
+    ORDER BY mde_pct
+    """,
+)
+def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B power analysis on the purchase-value metric: the sample size
+    each arm needs to detect a 1/2/5/10% relative lift at alpha=0.05,
+    power=0.80 — n = 2(z_a+z_b)^2 sigma^2/delta^2 — the pre-experiment
+    planning query q_stats_welch_t's post-experiment test assumes
+    someone ran; using LAST period's variance makes it the standing
+    'how long must this test run' dashboard.
+
+    One conditional scan for the exact carrier moments (cents sums,
+    int128 squares), then four rows of fixed-order scalar arithmetic
+    on the broadcast 1-row relation; the z constants are shipped
+    literals, so no CDF evaluation happens anywhere (the portability
+    rule).  ceil() runs on identical doubles in both engines.
+    """
+    m = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("xq").cast("long").alias("sx"),
+            F.sum(F.col("xq").cast("decimal(38,0)") * F.col("xq"))
+            .cast("double")
+            .alias("sxx"),
+        )
+    )
+    mdes = spark.createDataFrame(
+        [(x,) for x in _POWER_MDES], "mde double"
+    )
+    mean = F.col("sx").cast("double") / F.col("n") / 100.0
+    var = (
+        F.col("sxx") - F.col("sx").cast("double") / F.col("n") * F.col("sx")
+    ) / (F.col("n") - 1) / 10000.0
+    delta = F.col("mde") * mean
+    zsum = _Z_ALPHA + _Z_BETA
+    return (
+        m.crossJoin(broadcast(mdes))
+        .select(
+            (F.col("mde") * 100).cast("long").alias("mde_pct"),
+            F.round(delta, 4).alias("delta"),
+            F.ceil(F.lit(2.0) * zsum * zsum * var / (delta * delta))
+            .cast("long")
+            .alias("n_per_arm"),
+        )
+        .orderBy("mde_pct")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multiple testing: permutation p-values + Benjamini-Hochberg correction
+# ---------------------------------------------------------------------------
+

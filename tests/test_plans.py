@@ -1048,7 +1048,12 @@ def test_fdr_bh_decode_collapses_to_histogram(spark, sf_dir):
     assert "CartesianProduct" not in join_strategies(plan), plan
     from data_warehouse_hive_spark.extensions import diagnostics
 
-    whole = inspect.getsource(diagnostics)
+    # diagnostics became a package in r9 — concatenate submodule sources
+    whole = "".join(
+        inspect.getsource(m)
+        for m in (diagnostics.monitors, diagnostics.ranks,
+                  diagnostics.normality, diagnostics.anova)
+    )
     start = whole.index("def q_stats_fdr_bh")
     nxt = whole.find("\n@query", start)
     src = whole[start : nxt if nxt != -1 else len(whole)]
@@ -1127,7 +1132,12 @@ def test_r7_stats_single_corpus_collapse():
 
     from data_warehouse_hive_spark.extensions import diagnostics
 
-    whole = inspect.getsource(diagnostics)
+    # diagnostics became a package in r9 — concatenate submodule sources
+    whole = "".join(
+        inspect.getsource(m)
+        for m in (diagnostics.monitors, diagnostics.ranks,
+                  diagnostics.normality, diagnostics.anova)
+    )
     for fn in (
         "q_stats_kruskal",
         "q_stats_friedman",
@@ -1200,7 +1210,12 @@ def test_kde_kernel_on_histogram_not_rows(spark, sf_dir):
 
     # registry wraps fns (no __wrapped__), so assert at module source
     # level (the localCheckpoint-era precedent)
-    whole = inspect.getsource(diagnostics)
+    # diagnostics became a package in r9 — concatenate submodule sources
+    whole = "".join(
+        inspect.getsource(m)
+        for m in (diagnostics.monitors, diagnostics.ranks,
+                  diagnostics.normality, diagnostics.anova)
+    )
     kde = whole[whole.find("def q_events_kde") :]
     kde = kde[: kde.find("\n@query")]
     assert 'hist = pool.groupBy("grp", "xq")' in kde  # histogram-first
