@@ -491,6 +491,10 @@ EXT_R9 = [
     "q_dedup_substring",
     "q_embed_knn_refine",
     "q_embed_knn_recall_lift",
+    "q_events_psi",
+    "q_events_ccf",
+    "q_stats_mann_kendall",
+    "q_orders_rfm",
 ]
 
 

@@ -2275,3 +2275,225 @@ def q_stats_power(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Multiple testing: permutation p-values + Benjamini-Hochberg correction
 # ---------------------------------------------------------------------------
 
+
+
+# ---------------------------------------------------------------------------
+# Population Stability Index (round 9): the scorecard-monitoring drift
+# number — same early/late framing as q_dq_schema_drift, but the industry
+# PSI statistic with Laplace smoothing instead of an L1 distance.
+# ---------------------------------------------------------------------------
+
+PSI_BIN_W = 50.0   # fixed-width value bins 0..500 (domain-bounded grid)
+PSI_BINS = 10
+PSI_SPLIT_DOM = 15  # early = day-of-month 1..15, late = 16..30
+
+
+@query(
+    "q_events_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT event_type,
+             LEAST({PSI_BINS - 1},
+                   CAST(floor(value / {PSI_BIN_W}) AS BIGINT)) AS bin,
+             CASE WHEN CAST(strftime(ts, '%d') AS BIGINT)
+                       <= {PSI_SPLIT_DOM} THEN 1 ELSE 0 END AS early
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, bin,
+             CAST(SUM(early) AS BIGINT) AS na,
+             CAST(SUM(1 - early) AS BIGINT) AS nb
+      FROM binned GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb
+      FROM cells GROUP BY 1
+    ),
+    contrib AS (
+      SELECT c.event_type, t.ta, t.tb,
+             CAST(floor(
+               ((CAST(c.na + 1 AS DOUBLE) / (t.ta + {PSI_BINS}))
+                - (CAST(c.nb + 1 AS DOUBLE) / (t.tb + {PSI_BINS})))
+               * ln(CAST((c.na + 1) * (t.tb + {PSI_BINS}) AS DOUBLE)
+                    / CAST((c.nb + 1) * (t.ta + {PSI_BINS}) AS DOUBLE))
+               * 1e9 + 0.5) AS BIGINT) AS c9
+      FROM cells c JOIN tot t USING (event_type)
+    )
+    SELECT event_type, MAX(ta) AS n_early, MAX(tb) AS n_late,
+           round(CAST(SUM(c9) AS DOUBLE) / 1e9, 6) AS psi,
+           CAST(SUM(c9) >= 100000000 AS BOOLEAN) AS drift_flag
+    FROM contrib GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_events_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution, early half
+    vs late half of the window, per event type — the scorecard-industry
+    drift metric (PSI ≥ 0.1 = investigate, the standard threshold the
+    flag encodes).  Complements q_dq_schema_drift (L1) and
+    q_text_js_drift (JS): PSI's log-odds weighting is what risk teams
+    actually monitor.
+
+    One pass bins values on the FIXED {PSI_BINS}-cell grid (domain-
+    bounded — never a quantile sort) and splits on day-of-month; the
+    (type, bin) cell relation is types×{PSI_BINS} rows.  Laplace +1
+    smoothing makes empty cells well-defined; each cell's
+    (pa−pb)·ln(pa/pb) is evaluated from EXACT integer counts in one
+    fixed-order double expression, then pinned to the 1e9 carrier so
+    the 10-cell sum is order-free — both engines add the same integers
+    (house rule: never sum raw doubles across a group)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.least(
+            F.lit(PSI_BINS - 1),
+            F.floor(F.col("value") / PSI_BIN_W).cast("long"),
+        ).alias("bin"),
+        F.when(F.dayofmonth("ts") <= PSI_SPLIT_DOM, 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    cells = ev.groupBy("event_type", "bin").agg(
+        F.sum("early").cast("long").alias("na"),
+        F.sum(1 - F.col("early")).cast("long").alias("nb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    b = F.lit(PSI_BINS)
+    pa = (F.col("na") + 1).cast("double") / (F.col("ta") + b)
+    pb = (F.col("nb") + 1).cast("double") / (F.col("tb") + b)
+    lr = F.log(
+        ((F.col("na") + 1) * (F.col("tb") + b)).cast("double")
+        / ((F.col("nb") + 1) * (F.col("ta") + b)).cast("double")
+    )
+    contrib = cells.join(broadcast(tot), "event_type").select(
+        "event_type",
+        "ta",
+        "tb",
+        F.floor((pa - pb) * lr * 1e9 + 0.5).cast("long").alias("c9"),
+    )
+    return (
+        contrib.groupBy("event_type")
+        .agg(
+            F.max("ta").alias("n_early"),
+            F.max("tb").alias("n_late"),
+            F.round(F.sum("c9").cast("double") / 1e9, 6).alias("psi"),
+            (F.sum("c9") >= 100000000).alias("drift_flag"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-correlation function (round 9): does one event type LEAD another?
+# The lag-structure readout PACF (same-series) cannot give.
+# ---------------------------------------------------------------------------
+
+CCF_LAGS = 4  # lags 0..3 days
+
+
+@query(
+    "q_events_ccf",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(strftime(ts, '%Y-%m-%d') AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range({CCF_LAGS})) AS lag),
+    joined AS (
+      SELECT x.event_type AS type_x, y.event_type AS type_y, l.lag,
+             x.c AS xc, y.c AS yc
+      FROM daily x
+      CROSS JOIN lags l
+      JOIN daily y ON y.day = x.day + CAST(l.lag AS INTEGER)
+                  AND y.event_type != x.event_type
+    ),
+    mom AS (
+      SELECT type_x, type_y, lag,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+             CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+             CAST(SUM(xc * xc) AS BIGINT) AS sxx,
+             CAST(SUM(yc * yc) AS BIGINT) AS syy
+      FROM joined GROUP BY 1, 2, 3
+    )
+    SELECT type_x, type_y, lag, n AS n_overlap,
+           round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / sqrt((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * sy)), 6) AS ccf
+    FROM mom ORDER BY type_x, type_y, lag
+    """,
+)
+def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-correlation function between every ordered pair of event
+    types at lags 0..{CCF_LAGS - 1} days: Pearson r of (x_t, y_(t+lag))
+    over the overlapping days — the lead/lag screen that says "clicks
+    today predict purchases in two days", which q_stats_pacf (one
+    series vs itself) cannot express.
+
+    The corpus collapses ONCE to the (type, day) relation (bounded by
+    domain, not volume); the lag alignment is a date-shifted self-join
+    on that tiny relation; every moment (Σx, Σy, Σxy, Σx², Σy²) is an
+    exact BIGINT over integer daily counts (n·Σxy ≤ 30·(2e6)² ≈ 1e14 at
+    sf10 — BIGINT headroom to day-counts ≈ 5e8), combined in ONE
+    fixed-order double expression per (pair, lag)."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            "event_type",
+            F.to_date(F.date_format("ts", "yyyy-MM-dd")).alias("day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    lags = spark.range(CCF_LAGS).select(F.col("id").cast("int").alias("lag"))
+    x = daily.select(
+        F.col("event_type").alias("type_x"),
+        F.col("day").alias("xday"),
+        F.col("c").alias("xc"),
+    )
+    y = daily.select(
+        F.col("event_type").alias("type_y"),
+        F.col("day").alias("yday"),
+        F.col("c").alias("yc"),
+    )
+    joined = (
+        x.crossJoin(broadcast(lags))
+        .join(
+            y,
+            (F.col("yday") == F.date_add(F.col("xday"), F.col("lag")))
+            & (F.col("type_y") != F.col("type_x")),
+        )
+    )
+    mom = joined.groupBy("type_x", "type_y", "lag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("xc").cast("long").alias("sx"),
+        F.sum("yc").cast("long").alias("sy"),
+        F.sum(F.col("xc") * F.col("yc")).cast("long").alias("sxy"),
+        F.sum(F.col("xc") * F.col("xc")).cast("long").alias("sxx"),
+        F.sum(F.col("yc") * F.col("yc")).cast("long").alias("syy"),
+    )
+    num = (
+        F.col("n") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy")
+    )
+    den = F.sqrt(
+        (
+            F.col("n") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx")
+        )
+        * (
+            F.col("n") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy")
+        )
+    )
+    return mom.select(
+        "type_x",
+        "type_y",
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n").alias("n_overlap"),
+        F.round(num / den, 6).alias("ccf"),
+    ).orderBy("type_x", "type_y", "lag")

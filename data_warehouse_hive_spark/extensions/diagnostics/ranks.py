@@ -1978,3 +1978,133 @@ def q_stats_boxplot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test (round 9): the nonparametric monotone-trend
+# screen on each type's daily series — where q_stats_kendall_tau asks
+# whether two SERIES move together, this asks whether ONE series moves
+# with TIME, with the tie-corrected variance the tau harness lacks.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_stats_mann_kendall",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS x
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT a.event_type,
+             CAST(SUM(CASE WHEN b.x > a.x THEN 1
+                           WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b
+        ON a.event_type = b.event_type AND a.day < b.day
+      GROUP BY 1
+    ),
+    ties AS (
+      SELECT event_type,
+             CAST(SUM(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+      FROM (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS t
+        FROM daily GROUP BY event_type, x
+      ) GROUP BY 1
+    ),
+    nd AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM daily GROUP BY 1
+    )
+    SELECT s.event_type, nd.n AS n_days, s.s_stat,
+           round((nd.n * (nd.n - 1) * (2 * nd.n + 5) - ties.tie_term)
+                 / 18.0, 6) AS var_s,
+           round(CASE WHEN s.s_stat > 0 THEN (s.s_stat - 1)
+                      WHEN s.s_stat < 0 THEN (s.s_stat + 1)
+                      ELSE 0 END
+                 / sqrt((nd.n * (nd.n - 1) * (2 * nd.n + 5)
+                         - ties.tie_term) / 18.0), 6) AS z
+    FROM s JOIN ties USING (event_type) JOIN nd USING (event_type)
+    ORDER BY event_type
+    """,
+)
+def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall monotone-trend test per event type on the daily
+    revenue series: S = Σ_(t<u) sign(x_u − x_t), tie-corrected variance
+    Var(S) = (n(n−1)(2n+5) − Σt(t−1)(2t+5))/18, z with the ±1
+    continuity correction — the distribution-free "is this KPI
+    drifting?" gate (pairs with Theil-Sen, q_stats_theil_sen, which
+    estimates the slope this test declares significant).
+
+    The corpus collapses once to the (type, day) relation with EXACT
+    integer daily cents; the O(days²) pair sign sum — the textbook cost
+    objection — runs on that domain-bounded relation only (S ≤ n² =
+    900; tie and variance terms ≤ n³ — trivial BIGINT).  One
+    fixed-order double expression per type at the end."""
+    daily = (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    s = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type"))
+            & (F.col("a.day") < F.col("b.day")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("b.x") > F.col("a.x"), 1)
+                .when(F.col("b.x") < F.col("a.x"), -1)
+                .otherwise(0)
+            )
+            .cast("long")
+            .alias("s_stat")
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("long").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            )
+            .cast("long")
+            .alias("tie_term")
+        )
+    )
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    var_s = (
+        F.col("n") * (F.col("n") - 1) * (2 * F.col("n") + 5)
+        - F.col("tie_term")
+    ) / 18.0
+    zn = (
+        F.when(F.col("s_stat") > 0, F.col("s_stat") - 1)
+        .when(F.col("s_stat") < 0, F.col("s_stat") + 1)
+        .otherwise(0)
+    )
+    return (
+        s.join(ties, "event_type")
+        .join(nd, "event_type")
+        .select(
+            "event_type",
+            F.col("n").alias("n_days"),
+            "s_stat",
+            F.round(var_s, 6).alias("var_s"),
+            F.round(zn / F.sqrt(var_s), 6).alias("z"),
+        )
+        .orderBy("event_type")
+    )

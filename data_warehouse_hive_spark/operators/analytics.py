@@ -3050,3 +3050,159 @@ def q_orders_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("abc_class", "xyz_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation (round 9): the classic CRM customer partition.
+# ---------------------------------------------------------------------------
+
+RFM_ASOF = "2001-08-01"  # fixture max order date (recency anchor)
+# Fixed policy bands (calibrated once to the fixture quantiles, then
+# FROZEN — production RFM uses business-defined bands for exactly this
+# reason: band edges must not drift with the data, or segments churn
+# without behavior changing; quantile scoring would also force a global
+# sort/percentile pass the fixed grid avoids at 100 TB).
+RFM_R_BANDS = (30, 90, 180, 365)          # days → scores 5..1
+RFM_F_BANDS = (14, 12, 10, 8)             # orders → scores 5..1
+RFM_M_BANDS = (350_000_00, 290_000_00, 240_000_00, 190_000_00)  # cents
+
+
+@query(
+    "q_orders_rfm",
+    oracle=f"""
+    WITH cust AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                            DATE '{RFM_ASOF}') AS BIGINT) AS recency,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS monetary
+      FROM orders GROUP BY 1
+    ),
+    scored AS (
+      SELECT *,
+        CASE WHEN recency <= {RFM_R_BANDS[0]} THEN 5
+             WHEN recency <= {RFM_R_BANDS[1]} THEN 4
+             WHEN recency <= {RFM_R_BANDS[2]} THEN 3
+             WHEN recency <= {RFM_R_BANDS[3]} THEN 2 ELSE 1 END AS r_score,
+        CASE WHEN freq >= {RFM_F_BANDS[0]} THEN 5
+             WHEN freq >= {RFM_F_BANDS[1]} THEN 4
+             WHEN freq >= {RFM_F_BANDS[2]} THEN 3
+             WHEN freq >= {RFM_F_BANDS[3]} THEN 2 ELSE 1 END AS f_score,
+        CASE WHEN monetary >= {RFM_M_BANDS[0]} THEN 5
+             WHEN monetary >= {RFM_M_BANDS[1]} THEN 4
+             WHEN monetary >= {RFM_M_BANDS[2]} THEN 3
+             WHEN monetary >= {RFM_M_BANDS[3]} THEN 2 ELSE 1 END AS m_score
+      FROM cust
+    ),
+    seg AS (
+      SELECT *,
+        CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+               THEN 'champions'
+             WHEN f_score >= 4 THEN 'loyal'
+             WHEN m_score >= 4 THEN 'big_spenders'
+             WHEN r_score <= 2 AND f_score >= 3 THEN 'at_risk'
+             WHEN r_score <= 2 THEN 'hibernating'
+             ELSE 'regular' END AS segment
+      FROM scored
+    )
+    SELECT segment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           round(CAST(SUM(recency) AS DOUBLE) / COUNT(*), 6)
+             AS avg_recency_days,
+           round(CAST(SUM(freq) AS DOUBLE) / COUNT(*), 6) AS avg_orders,
+           round(CAST(SUM(monetary) AS DOUBLE) / COUNT(*) / 100.0, 6)
+             AS avg_monetary
+    FROM seg GROUP BY segment ORDER BY segment
+    """,
+)
+def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation — the classic CRM partition of the customer
+    base by Recency / Frequency / Monetary scores (5..1 each) rolled
+    into named segments (champions, loyal, big_spenders, at_risk,
+    hibernating, regular; CASE order fixed so both engines label
+    identically).
+
+    One orders pass to the per-customer (recency, freq, cents) relation
+    — the only shuffle, keyed on o_custkey; scoring is a stateless
+    projection against FIXED policy bands (see RFM_*_BANDS note: frozen
+    bands are both the business-correct and the scale-correct choice —
+    no quantile sort, no segment churn when data grows), and the
+    segment rollup aggregates a 6-row domain.  Monetary rides exact
+    integer cents; the averages are single fixed-order divisions.
+    Reference: delegated HiveQL analytics class
+    (backend/hive_manager.py:400)."""
+    asof = F.lit(RFM_ASOF).cast("date")
+    cust = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.datediff(asof, F.max(F.col("o_orderdate").cast("date")))
+            .cast("long")
+            .alias("recency"),
+            F.count(F.lit(1)).cast("long").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("monetary"),
+        )
+    )
+    r_score = (
+        F.when(F.col("recency") <= RFM_R_BANDS[0], 5)
+        .when(F.col("recency") <= RFM_R_BANDS[1], 4)
+        .when(F.col("recency") <= RFM_R_BANDS[2], 3)
+        .when(F.col("recency") <= RFM_R_BANDS[3], 2)
+        .otherwise(1)
+    )
+    f_score = (
+        F.when(F.col("freq") >= RFM_F_BANDS[0], 5)
+        .when(F.col("freq") >= RFM_F_BANDS[1], 4)
+        .when(F.col("freq") >= RFM_F_BANDS[2], 3)
+        .when(F.col("freq") >= RFM_F_BANDS[3], 2)
+        .otherwise(1)
+    )
+    m_score = (
+        F.when(F.col("monetary") >= RFM_M_BANDS[0], 5)
+        .when(F.col("monetary") >= RFM_M_BANDS[1], 4)
+        .when(F.col("monetary") >= RFM_M_BANDS[2], 3)
+        .when(F.col("monetary") >= RFM_M_BANDS[3], 2)
+        .otherwise(1)
+    )
+    scored = cust.select(
+        "recency",
+        "freq",
+        "monetary",
+        r_score.alias("r_score"),
+        f_score.alias("f_score"),
+        m_score.alias("m_score"),
+    )
+    segment = (
+        F.when(
+            (F.col("r_score") >= 4)
+            & (F.col("f_score") >= 4)
+            & (F.col("m_score") >= 4),
+            "champions",
+        )
+        .when(F.col("f_score") >= 4, "loyal")
+        .when(F.col("m_score") >= 4, "big_spenders")
+        .when((F.col("r_score") <= 2) & (F.col("f_score") >= 3), "at_risk")
+        .when(F.col("r_score") <= 2, "hibernating")
+        .otherwise("regular")
+    )
+    return (
+        scored.withColumn("segment", segment)
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(
+                F.sum("recency").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_recency_days"),
+            F.round(
+                F.sum("freq").cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_orders"),
+            F.round(
+                F.sum("monetary").cast("double") / F.count(F.lit(1)) / 100.0,
+                6,
+            ).alias("avg_monetary"),
+        )
+        .orderBy("segment")
+    )
