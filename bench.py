@@ -495,6 +495,11 @@ EXT_R9 = [
     "q_events_ccf",
     "q_stats_mann_kendall",
     "q_orders_rfm",
+    "q_stats_auc",
+    "q_stats_roc_curve",
+    "q_stats_reliability_bins",
+    "q_text_yules_k",
+    "q_sample_bernoulli_hash",
 ]
 
 

@@ -3152,3 +3152,93 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash-Bernoulli sampling (round 9): the reproducible
+# per-stratum downsampling gate every corpus-mixing pipeline runs.
+# ---------------------------------------------------------------------------
+
+# parts-per-million keep rates per stratum (the mixing policy; FIXED so
+# reruns and backfills select byte-identical samples)
+BERN_RATES_PPM = {
+    "view": 20_000,      # 2%
+    "click": 100_000,    # 10%
+    "error": 500_000,    # 50%
+    "signup": 250_000,   # 25%
+    "purchase": 1_000_000,  # keep all
+}
+
+
+@query(
+    "q_sample_bernoulli_hash",
+    oracle=f"""
+    WITH rates(event_type, ppm) AS (
+      VALUES {", ".join(f"('{k}', {v})" for k, v in sorted(BERN_RATES_PPM.items()))}
+    ),
+    hashed AS (
+      SELECT e.event_type, r.ppm,
+             ('0x' || substr(md5(CAST(e.event_id AS VARCHAR)), 1, 8))
+               ::UBIGINT::BIGINT % 1000000 AS h
+      FROM events e JOIN rates r USING (event_type)
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_population,
+           CAST(SUM(CASE WHEN h < ppm THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_sampled,
+           round(CAST(MAX(ppm) AS DOUBLE) / 1e6, 6) AS target_rate,
+           round(CAST(SUM(CASE WHEN h < ppm THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS realized_rate
+    FROM hashed GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified Bernoulli sampling: keep an event iff
+    md5(event_id) mod 1e6 < the stratum's fixed ppm rate — the
+    reproducible downsampling gate corpus mixing runs at ingest (same
+    policy intent as q_mix_anneal's weights, but row-level).  Hash
+    coins beat rand(): reruns, backfills and late-arriving shards
+    select the SAME rows (idempotent), the sample composes across
+    workers with no RNG state, and the keep decision is pushable to
+    the scan.  Reports population/sample counts and realized vs target
+    rate per stratum (the realized−target gap is the hash-uniformity
+    audit; md5's 32-bit prefix is uniform to ~1e-5 at fixture sizes).
+
+    One pass: the rate map is a broadcast |strata|-row join; the md5
+    coin is the same engine-portable 32-bit prefix idiom as
+    dedup.base_hash, so the oracle replays the identical selection."""
+    rates = spark.createDataFrame(
+        sorted(BERN_RATES_PPM.items()), "event_type string, ppm long"
+    )
+    hashed = (
+        t(spark, sf_dir, "events")
+        .select("event_id", "event_type")
+        .join(F.broadcast(rates), "event_type")
+        .select(
+            "event_type",
+            "ppm",
+            (
+                F.conv(
+                    F.substring(F.md5(F.col("event_id").cast("string")), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                % 1000000
+            ).alias("h"),
+        )
+    )
+    keep = F.when(F.col("h") < F.col("ppm"), 1).otherwise(0)
+    return (
+        hashed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_population"),
+            F.sum(keep).cast("long").alias("n_sampled"),
+            F.round(F.max("ppm").cast("double") / 1e6, 6).alias(
+                "target_rate"
+            ),
+            F.round(
+                F.sum(keep).cast("double") / F.count(F.lit(1)), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("event_type")
+    )

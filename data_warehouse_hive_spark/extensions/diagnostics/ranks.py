@@ -2108,3 +2108,274 @@ def q_stats_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier-evaluation family (round 9): AUC, ROC curve, calibration —
+# scoring "value predicts purchase" as the deterministic fixture stand-in
+# for a model score column, exactly as q_stats_brier frames it.
+# ---------------------------------------------------------------------------
+
+ROC_POS = "purchase"
+ROC_THRESHOLDS = tuple(range(50, 451, 50))  # fixed value grid, 9 points
+CAL_SCALE = 50000  # cents per unit predicted probability (value/500)
+CAL_BINS = 10
+
+
+@query(
+    "q_stats_auc",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = '{ROC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    vc AS (
+      SELECT cents, CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM e GROUP BY cents
+    ),
+    ranked AS (
+      SELECT np, cnt,
+             SUM(cnt) OVER (ORDER BY cents
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+      FROM vc
+    ),
+    agg AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt) - SUM(np) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * (cum - cnt) + cnt + 1)) AS BIGINT) AS r2
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           round((CAST(r2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                 / (2.0 * CAST(n_pos AS DOUBLE) * n_neg), 6) AS auc,
+           round((CAST(r2 AS DOUBLE) - CAST(n_pos AS DOUBLE) * (n_pos + 1))
+                 / (CAST(n_pos AS DOUBLE) * n_neg) - 1.0, 6) AS gini
+    FROM agg
+    """,
+)
+def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of "value predicts {ROC_POS}" via the rank (Mann-
+    Whitney) identity AUC = (R_pos − n_pos(n_pos+1)/2)/(n_pos·n_neg)
+    with midrank tie handling — the threshold-free ranking-quality
+    number (plus Gini = 2·AUC − 1, the credit-scoring form), computed
+    WITHOUT a global row sort: the q_stats_mannwhitney histogram-
+    midrank trick (per-distinct-cents counts, running count over the
+    domain-bounded distinct relation).  Doubled midranks keep every
+    rank-sum term an exact BIGINT (R2 = Σ np·(2·midrank) ≤ 2n² ≈ 2e14
+    at sf10), so AUC is two exact integer operands in one division."""
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.when(F.col("event_type") == ROC_POS, 1).otherwise(0).alias("pos"),
+    )
+    vc = e.groupBy("cents").agg(
+        F.sum("pos").cast("long").alias("np"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vc.withColumn("cum", F.sum("cnt").over(w))
+    agg = ranked.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        (F.sum("cnt") - F.sum("np")).cast("long").alias("n_neg"),
+        F.sum(
+            F.col("np")
+            * (2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1)
+        )
+        .cast("long")
+        .alias("r2"),
+    )
+    num = F.col("r2").cast("double") - F.col("n_pos").cast("double") * (
+        F.col("n_pos") + 1
+    )
+    den = F.col("n_pos").cast("double") * F.col("n_neg")
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.round(num / (2.0 * den), 6).alias("auc"),
+        F.round(num / den - 1.0, 6).alias("gini"),
+    )
+
+
+@query(
+    "q_stats_roc_curve",
+    oracle=f"""
+    WITH e AS (
+      SELECT LEAST({CAL_BINS - 1},
+                   CAST(floor(value / 50.0) AS BIGINT)) AS bin,
+             CASE WHEN event_type = '{ROC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    cells AS (
+      SELECT bin, CAST(SUM(pos) AS BIGINT) AS np,
+             CAST(COUNT(*) - SUM(pos) AS BIGINT) AS nn
+      FROM e GROUP BY bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS tp_all,
+             CAST(SUM(nn) AS BIGINT) AS tn_all
+      FROM cells
+    ),
+    thr AS (SELECT unnest({list(ROC_THRESHOLDS)}) AS threshold),
+    pts AS (
+      SELECT t.threshold,
+             CAST(COALESCE(SUM(CASE WHEN c.bin * 50 >= t.threshold
+                                    THEN c.np END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(SUM(CASE WHEN c.bin * 50 >= t.threshold
+                                    THEN c.nn END), 0) AS BIGINT) AS fp
+      FROM thr t CROSS JOIN cells c
+      GROUP BY t.threshold
+    )
+    SELECT CAST(threshold AS BIGINT) AS threshold, tp, fp,
+           round(CAST(tp AS DOUBLE) / x.tp_all, 6) AS tpr,
+           round(CAST(fp AS DOUBLE) / x.tn_all, 6) AS fpr,
+           round(CAST(tp AS DOUBLE) / GREATEST(tp + fp, 1), 6)
+             AS precision_at
+    FROM pts CROSS JOIN tot x ORDER BY threshold
+    """,
+)
+def q_stats_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC operating points of "value ≥ τ predicts {ROC_POS}" on the
+    FIXED threshold grid {ROC_THRESHOLDS} — the per-threshold
+    TP/FP/TPR/FPR/precision table an alerting or review-queue owner
+    actually tunes against, complementing q_stats_auc's single
+    threshold-free number.
+
+    One corpus pass bins scores onto the domain-bounded 50-wide grid
+    (≤{CAL_BINS}×2 cells); the threshold sweep is a {len(ROC_THRESHOLDS)}×{CAL_BINS}
+    crossJoin of two TINY relations — the corpus is never re-scanned
+    per threshold (the anti-pattern this operator exists to replace).
+    All counts exact integers; the three rates are single divisions."""
+    e = t(spark, sf_dir, "events").select(
+        F.least(
+            F.lit(CAL_BINS - 1), F.floor(F.col("value") / 50.0).cast("long")
+        ).alias("bin"),
+        F.when(F.col("event_type") == ROC_POS, 1).otherwise(0).alias("pos"),
+    )
+    cells = e.groupBy("bin").agg(
+        F.sum("pos").cast("long").alias("np"),
+        (F.count(F.lit(1)) - F.sum("pos")).cast("long").alias("nn"),
+    )
+    tot = cells.agg(
+        F.sum("np").cast("long").alias("tp_all"),
+        F.sum("nn").cast("long").alias("tn_all"),
+    )
+    thr = spark.createDataFrame(
+        [(x,) for x in ROC_THRESHOLDS], "threshold long"
+    )
+    hit = F.col("bin") * 50 >= F.col("threshold")
+    pts = (
+        broadcast(thr)
+        .crossJoin(cells)
+        .groupBy("threshold")
+        .agg(
+            F.coalesce(F.sum(F.when(hit, F.col("np"))), F.lit(0))
+            .cast("long")
+            .alias("tp"),
+            F.coalesce(F.sum(F.when(hit, F.col("nn"))), F.lit(0))
+            .cast("long")
+            .alias("fp"),
+        )
+    )
+    return (
+        pts.crossJoin(broadcast(tot))
+        .select(
+            "threshold",
+            "tp",
+            "fp",
+            F.round(F.col("tp").cast("double") / F.col("tp_all"), 6).alias(
+                "tpr"
+            ),
+            F.round(F.col("fp").cast("double") / F.col("tn_all"), 6).alias(
+                "fpr"
+            ),
+            F.round(
+                F.col("tp").cast("double")
+                / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)),
+                6,
+            ).alias("precision_at"),
+        )
+        .orderBy("threshold")
+    )
+
+
+@query(
+    "q_stats_reliability_bins",
+    oracle=f"""
+    WITH e AS (
+      SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+             LEAST({CAL_BINS - 1},
+                   CAST(floor(value / 50.0) AS BIGINT)) AS bin,
+             CASE WHEN event_type = '{ROC_POS}' THEN 1 ELSE 0 END AS pos
+      FROM events
+    ),
+    bins AS (
+      SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(pos) AS BIGINT) AS n_pos,
+             CAST(SUM(cents) AS BIGINT) AS sc
+      FROM e GROUP BY bin
+    ),
+    ece AS (
+      SELECT CAST(SUM(abs({CAL_SCALE} * n_pos - sc)) AS BIGINT) AS enum,
+             CAST(SUM(n) AS BIGINT) AS nt
+      FROM bins
+    )
+    SELECT bin, n,
+           round(CAST(sc AS DOUBLE) / n / {CAL_SCALE}, 6) AS avg_pred,
+           round(CAST(n_pos AS DOUBLE) / n, 6) AS obs_rate,
+           round(CAST(n_pos AS DOUBLE) / n
+                 - CAST(sc AS DOUBLE) / n / {CAL_SCALE}, 6) AS gap,
+           round(CAST(x.enum AS DOUBLE) / ({CAL_SCALE}.0 * x.nt), 6) AS ece
+    FROM bins CROSS JOIN ece x ORDER BY bin
+    """,
+)
+def q_stats_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration reliability table: predicted probability = value/500
+    (the deterministic fixture stand-in for a model score, same framing
+    as q_stats_brier), {CAL_BINS} fixed probability bins, per-bin mean
+    prediction vs observed {ROC_POS} rate, plus ECE (expected
+    calibration error) — the diagram behind every "is the model
+    calibrated?" review.
+
+    ECE is EXACT RATIONAL arithmetic end-to-end: per-bin
+    n·|obs − pred| = |{CAL_SCALE}·n_pos − Σcents| is an absolute
+    difference of exact integers, so ECE = Σ|…| / ({CAL_SCALE}·N) needs
+    no carrier and no float sum — both engines divide the same two
+    BIGINTs.  One corpus pass to {CAL_BINS} cells; the ECE total rides
+    a 1-row broadcast crossJoin (house carrier pattern)."""
+    e = t(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.least(
+            F.lit(CAL_BINS - 1), F.floor(F.col("value") / 50.0).cast("long")
+        ).alias("bin"),
+        F.when(F.col("event_type") == ROC_POS, 1).otherwise(0).alias("pos"),
+    )
+    bins = e.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("pos").cast("long").alias("n_pos"),
+        F.sum("cents").cast("long").alias("sc"),
+    )
+    ece = bins.agg(
+        F.sum(F.abs(CAL_SCALE * F.col("n_pos") - F.col("sc")))
+        .cast("long")
+        .alias("enum"),
+        F.sum("n").cast("long").alias("nt"),
+    )
+    pred = F.col("sc").cast("double") / F.col("n") / CAL_SCALE
+    obs = F.col("n_pos").cast("double") / F.col("n")
+    return (
+        bins.crossJoin(broadcast(ece))
+        .select(
+            "bin",
+            "n",
+            F.round(pred, 6).alias("avg_pred"),
+            F.round(obs, 6).alias("obs_rate"),
+            F.round(obs - pred, 6).alias("gap"),
+            F.round(
+                F.col("enum").cast("double") / (float(CAL_SCALE) * F.col("nt")),
+                6,
+            ).alias("ece"),
+        )
+        .orderBy("bin")
+    )

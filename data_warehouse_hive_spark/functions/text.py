@@ -3172,3 +3172,85 @@ def q_text_burrows_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rk")
     )
+
+
+@query(
+    "q_text_yules_k",
+    oracle="""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS m
+      FROM words GROUP BY 1, 2
+    ),
+    fof AS (
+      SELECT source, m, CAST(COUNT(*) AS BIGINT) AS v
+      FROM tf GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT source,
+             CAST(SUM(m * v) AS BIGINT) AS n_tokens,
+             CAST(SUM(v) AS BIGINT) AS n_types,
+             CAST(SUM(CAST(m AS HUGEINT) * m * v) AS HUGEINT) AS s2
+      FROM fof GROUP BY 1
+    )
+    SELECT source, n_tokens, n_types,
+           round(1e4 * (CAST(s2 AS DOUBLE) - n_tokens)
+                 / (CAST(n_tokens AS DOUBLE) * n_tokens), 6) AS yules_k
+    FROM agg ORDER BY source
+    """,
+)
+def q_text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yule's characteristic K per source — the classic lexical-
+    repetitiveness constant K = 10⁴·(Σm²V(m) − N)/N² over the
+    frequency-of-frequencies spectrum V(m): unlike type/token ratio it
+    is (asymptotically) length-invariant, so sources of different sizes
+    are comparable — the stylometric complement to q_text_burrows_delta
+    and the repetitiveness screen next to q_text_simpson.
+
+    Two hash aggregations, each strictly smaller than the last: tokens
+    → (source, word, m) → (source, m, V(m)) — the second relation is
+    bounded by the distinct-frequency count (≲ √tokens), not the vocab.
+    Σm²V ≤ N² ≈ 1e18 at a 1e9-token source — rides HUGEINT/DECIMAL(38)
+    (BIGINT would overflow exactly at that corpus size); N and V exact
+    BIGINTs; K is one fixed-order double expression."""
+    words = (
+        spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    tf = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("m")
+    )
+    fof = tf.groupBy("source", "m").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    agg = fof.groupBy("source").agg(
+        F.sum(F.col("m") * F.col("v")).cast("long").alias("n_tokens"),
+        F.sum("v").cast("long").alias("n_types"),
+        F.sum(
+            F.col("m").cast("decimal(38,0)") * F.col("m") * F.col("v")
+        ).alias("s2"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(
+            1e4
+            * (F.col("s2").cast("double") - F.col("n_tokens"))
+            / (F.col("n_tokens").cast("double") * F.col("n_tokens")),
+            6,
+        ).alias("yules_k"),
+    ).orderBy("source")
