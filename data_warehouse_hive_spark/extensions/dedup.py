@@ -2015,6 +2015,11 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("key", F.array_join("arr", SUB_SEP))
         .withColumn("bkt", F.substring("key", 1, 2))
+        # the suffix fan-out is the expensive stage and BOTH the
+        # within-bucket lead() and the per-bucket (first,last) rollup
+        # consume it — cut lineage so it is computed once, not once per
+        # consumer (plan audit showed 4 documents scans without this)
+        .localCheckpoint(eager=False)
     )
     w_in = Window.partitionBy("bkt").orderBy("key", "doc_id", "pos")
     within = (
