@@ -500,6 +500,7 @@ EXT_R9 = [
     "q_stats_reliability_bins",
     "q_text_yules_k",
     "q_sample_bernoulli_hash",
+    "q_graph_betweenness",
 ]
 
 

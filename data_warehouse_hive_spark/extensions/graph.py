@@ -1810,3 +1810,222 @@ from data_warehouse_hive_spark.registry import REGISTRY as _REG8  # noqa: E402
 _spec8 = _REG8["q_graph_eccentricity"]
 object.__setattr__(_spec8, "oracle", _spec8.oracle.format(pairs=_o_candidate_edges()))
 del _REG8, _spec8
+
+
+# ---------------------------------------------------------------------------
+# Betweenness centrality (round 9): the brokerage number the centrality
+# suite lacked (closeness = "can get anywhere fast", pagerank = "flows
+# in", betweenness = "sits on the shortest routes BETWEEN others").
+# ---------------------------------------------------------------------------
+
+BTW_MAX_D = 4  # walk powers computed; covers every observed shortest
+               # path on the thresholded trade graph (diameter ≤ 4 —
+               # longer pairs contribute nothing and are excluded by
+               # construction in BOTH engines, so the bound is exact)
+
+
+@query(
+    "q_graph_betweenness",
+    oracle=f"""
+    WITH flow AS (
+      SELECT ns.n_name AS src, nc.n_name AS dst,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem l
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+      JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+      WHERE ns.n_name <> nc.n_name
+      GROUP BY 1, 2
+    ),
+    avgw AS (SELECT CAST(SUM(w) AS BIGINT) AS tw,
+                    CAST(COUNT(*) AS BIGINT) AS ne FROM flow),
+    trans AS MATERIALIZED (
+      SELECT src, dst FROM flow CROSS JOIN avgw WHERE w * ne > tw
+    ),
+    w1 AS (SELECT src AS s, dst AS t, CAST(1 AS BIGINT) AS c FROM trans),
+    w2 AS MATERIALIZED (
+      SELECT a.s, e.dst AS t, CAST(SUM(a.c) AS BIGINT) AS c
+      FROM w1 a JOIN trans e ON e.src = a.t GROUP BY 1, 2
+    ),
+    w3 AS MATERIALIZED (
+      SELECT a.s, e.dst AS t, CAST(SUM(a.c) AS BIGINT) AS c
+      FROM w2 a JOIN trans e ON e.src = a.t GROUP BY 1, 2
+    ),
+    w4 AS (
+      SELECT a.s, e.dst AS t, CAST(SUM(a.c) AS BIGINT) AS c
+      FROM w3 a JOIN trans e ON e.src = a.t GROUP BY 1, 2
+    ),
+    walks AS (
+      SELECT 1 AS k, * FROM w1 UNION ALL SELECT 2, * FROM w2
+      UNION ALL SELECT 3, * FROM w3 UNION ALL SELECT 4, * FROM w4
+    ),
+    sp AS MATERIALIZED (
+      SELECT s, t, CAST(MIN(k) AS BIGINT) AS d FROM walks
+      WHERE s <> t GROUP BY 1, 2
+    ),
+    sigma AS MATERIALIZED (
+      SELECT sp.s, sp.t, sp.d, w.c AS sigma
+      FROM sp JOIN walks w ON w.s = sp.s AND w.t = sp.t AND w.k = sp.d
+    ),
+    contrib AS (
+      SELECT sv.t AS node,
+             CAST(floor(CAST(sv.sigma * vt.sigma AS DOUBLE)
+                        / st.sigma * 1e9 + 0.5) AS BIGINT) AS c9
+      FROM sigma sv
+      JOIN sigma vt ON vt.s = sv.t
+      JOIN sigma st ON st.s = sv.s AND st.t = vt.t
+      WHERE sv.s <> vt.t AND sv.d + vt.d = st.d
+    ),
+    nodes AS (
+      SELECT src AS node FROM trans UNION SELECT dst FROM trans
+    )
+    SELECT n.node,
+           round(CAST(COALESCE(SUM(c.c9), 0) AS DOUBLE) / 1e9, 6)
+             AS betweenness,
+           CAST(COUNT(c.c9) AS BIGINT) AS n_pairs_through
+    FROM nodes n LEFT JOIN contrib c ON c.node = n.node
+    GROUP BY n.node ORDER BY n.node
+    """,
+)
+def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact directed betweenness centrality on the STRONG-TRADE nation
+    graph (supplier nation → customer nation, keeping edges with
+    above-mean lineitem flow): Σ over (s,t) pairs of
+    σ(s,v)·σ(v,t)/σ(s,t) where v lies ON a shortest s→t path
+    (d(s,v)+d(v,t)=d(s,t)) — the brokerage centrality that finds which
+    nations sit BETWEEN trade flows (closeness and PageRank, already in
+    the suite, answer different questions).  The event-type transition
+    graph is complete (betweenness ≡ 0 there); the above-mean threshold
+    — an EXACT integer compare w·|E| > Σw, no division — leaves a
+    structurally varied 25-node graph with real multi-hop routes.
+
+    No Brandes backward recursion needed at this domain size: on a
+    shortest route no node repeats, so every minimal-length WALK is a
+    shortest PATH and σ(s,t) is simply the (s,t) entry of Aᵈ at the
+    first power d with a nonzero entry.  The walk powers A¹..A⁴ are
+    three bounded relational squarings of the ≤|V|² edge relation; the
+    pair dependency is a triple join over ≤|V|³ combinations —
+    everything after the ONE fact-scale star join (the flow rollup,
+    keyed on the uniform orderkey/custkey/suppkey) is |V|-domain-
+    bounded regardless of corpus size.  σ products are exact BIGINTs;
+    each rational σσ/σ term is floored onto the 1e9 carrier so
+    per-node sums are order-free in both engines."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    flow = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .join(c, o["o_custkey"] == c["c_custkey"])
+        .join(s, li["l_suppkey"] == s["s_suppkey"])
+        .join(
+            broadcast(n.select(
+                F.col("n_nationkey").alias("ck"),
+                F.col("n_name").alias("dst"),
+            )),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .join(
+            broadcast(n.select(
+                F.col("n_nationkey").alias("sk"),
+                F.col("n_name").alias("src"),
+            )),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("w"))
+    )
+    avgw = flow.agg(
+        F.sum("w").cast("long").alias("tw"),
+        F.count(F.lit(1)).cast("long").alias("ne"),
+    )
+    trans = (
+        flow.crossJoin(broadcast(avgw))
+        .filter(F.col("w") * F.col("ne") > F.col("tw"))
+        .select("src", "dst")
+        .localCheckpoint(eager=False)
+    )
+    wk = trans.select(
+        F.col("src").alias("s"),
+        F.col("dst").alias("t"),
+        F.lit(1).cast("long").alias("c"),
+    )
+    walks = wk.withColumn("k", F.lit(1).cast("long"))
+    for k in range(2, BTW_MAX_D + 1):
+        wk = (
+            wk.join(trans, F.col("t") == F.col("src"))
+            .groupBy("s", F.col("dst").alias("t2"))
+            .agg(F.sum("c").cast("long").alias("c"))
+            .select("s", F.col("t2").alias("t"), "c")
+        )
+        walks = walks.unionByName(
+            wk.withColumn("k", F.lit(k).cast("long"))
+        )
+    walks = walks.localCheckpoint(eager=False)
+    sp = (
+        walks.filter(F.col("s") != F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.min("k").alias("d"))
+    )
+    sigma = (
+        sp.join(walks.select("s", "t", "k", F.col("c").alias("sigma")),
+                ["s", "t"])
+        .filter(F.col("k") == F.col("d"))
+        .select("s", "t", "d", "sigma")
+        .localCheckpoint(eager=False)
+    )
+    sv = sigma.select(
+        F.col("s").alias("o_s"),
+        F.col("t").alias("node"),
+        F.col("d").alias("d_sv"),
+        F.col("sigma").alias("sig_sv"),
+    )
+    vt = sigma.select(
+        F.col("s").alias("node"),
+        F.col("t").alias("o_t"),
+        F.col("d").alias("d_vt"),
+        F.col("sigma").alias("sig_vt"),
+    )
+    st = sigma.select(
+        F.col("s").alias("o_s"),
+        F.col("t").alias("o_t"),
+        F.col("d").alias("d_st"),
+        F.col("sigma").alias("sig_st"),
+    )
+    contrib = (
+        sv.join(vt, "node")
+        .filter(F.col("o_s") != F.col("o_t"))
+        .join(st, ["o_s", "o_t"])
+        .filter(F.col("d_sv") + F.col("d_vt") == F.col("d_st"))
+        .select(
+            "node",
+            F.floor(
+                (F.col("sig_sv") * F.col("sig_vt")).cast("double")
+                / F.col("sig_st")
+                * 1e9
+                + 0.5
+            )
+            .cast("long")
+            .alias("c9"),
+        )
+    )
+    nodes = (
+        trans.select(F.col("src").alias("node"))
+        .unionAll(trans.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    return (
+        nodes.join(contrib, "node", "left")
+        .groupBy("node")
+        .agg(
+            F.round(
+                F.coalesce(F.sum("c9"), F.lit(0)).cast("double") / 1e9, 6
+            ).alias("betweenness"),
+            F.count("c9").cast("long").alias("n_pairs_through"),
+        )
+        .orderBy("node")
+    )
