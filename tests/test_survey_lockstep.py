@@ -143,3 +143,43 @@ def test_round_batch_ids_are_benched():
     ):
         assert qid in bench.EXT_R8N, f"{qid} missing from bench.EXT_R8N"
     assert "q_sim_filtered_search" in bench.EXT_R8O
+
+
+def test_r9_batch_ids_are_benched():
+    """Round-9 ids must appear in bench.EXT_R9 (same per-round contract
+    the r7/r8 assertions above enforce)."""
+    import bench
+
+    for qid in (
+        "q_dedup_substring",
+        "q_embed_knn_refine",
+        "q_embed_knn_recall_lift",
+        "q_events_psi",
+        "q_events_ccf",
+        "q_stats_mann_kendall",
+        "q_orders_rfm",
+        "q_stats_auc",
+        "q_stats_roc_curve",
+        "q_stats_reliability_bins",
+        "q_text_yules_k",
+        "q_sample_bernoulli_hash",
+        "q_graph_betweenness",
+    ):
+        assert qid in bench.EXT_R9, f"{qid} missing from bench.EXT_R9"
+
+
+def test_bench_cohorts_partition_groups():
+    """The r9 isolation harness (one subprocess per round-cohort) is only
+    cross-round comparable if every timing group belongs to EXACTLY one
+    cohort — a group in no cohort is silently never benched; a group in
+    two runs twice and double-counts."""
+    import bench
+
+    groups = [g for g, _ in bench.GROUP_LISTS]
+    assigned: list[str] = []
+    for _cohort, gkeys in bench.COHORTS:
+        assigned.extend(gkeys)
+    assert sorted(assigned) == sorted(groups), (
+        sorted(set(groups) ^ set(assigned))
+    )
+    assert len(assigned) == len(set(assigned)), "group in two cohorts"
