@@ -19,7 +19,12 @@ DETERMINISTIC 10x replication of sf0.1 with key offsets:
     so per-day and per-type group sizes grow exactly 10x — precisely
     the growth direction the carrier bounds are written against
     (power sums Σx², Σx⁴, rank sums 2n², autocovariance products).
-  * dims + documents + embeddings: byte-copied as-is.
+  * documents: 10 copies with doc_id offsets (text unchanged — every
+    doc becomes a 10-way exact duplicate, which STRESSES dedup group
+    sizes and suffix-tie handling on top of the carrier bounds).
+  * embeddings: 10 copies with vec_id offsets (identical vectors →
+    cosine-1.0 ties — the tie-break paths get a real workout).
+  * dims: byte-copied as-is.
 
 For overflow validation this is BETTER than a true sf1 draw: value
 domains (cents < 1e5, 30 days, 5 types) are held fixed while n grows
@@ -75,6 +80,12 @@ TIGHT_BOUND_OPS = [
     "q_stats_ansari_bradley",   # Σ S²/c·1e6 HUGEINT (≈N³/4 growth)
     "q_embed_isotropy",         # Σ(S_k/1e6)²·1e6 HUGEINT
     "q_stats_brier",            # 1e6-grid rational rounding
+    # round 9: corpus-side tight carriers (documents/embeddings now
+    # replicate too — see build_fixtures)
+    "q_text_yules_k",           # Σm²V HUGEINT/DECIMAL(38)
+    "q_dedup_substring",        # suffix ordering + LCP at 10x corpus
+    "q_text_unigram_surprisal", # Σ tf·⌊−ln p·1e9⌋ BIGINT
+    "q_stats_auc",              # doubled-midrank R2 ≤ 2n² BIGINT
 ]
 
 
@@ -122,14 +133,34 @@ def build_fixtures(spark) -> None:
         .write.mode("overwrite")
         .parquet(f"{SF1_DIR}/events.parquet")
     )
+    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
+    doff = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+    (
+        docs.crossJoin(copies)
+        .withColumn("doc_id", F.col("doc_id") + F.col("copy_i") * doff)
+        .drop("copy_i")
+        .select(docs.columns)
+        .repartition(16)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/documents.parquet")
+    )
+    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    voff = emb.agg(F.max("vec_id") + 1).collect()[0][0]
+    (
+        emb.crossJoin(copies)
+        .withColumn("vec_id", F.col("vec_id") + F.col("copy_i") * voff)
+        .drop("copy_i")
+        .select(emb.columns)
+        .repartition(8)
+        .write.mode("overwrite")
+        .parquet(f"{SF1_DIR}/embeddings.parquet")
+    )
     for name in (
         "region",
         "nation",
         "customer",
         "supplier",
         "part",
-        "documents",
-        "embeddings",
     ):
         dst = f"{SF1_DIR}/{name}.parquet"
         if os.path.isdir(dst):
