@@ -501,6 +501,7 @@ EXT_R9 = [
     "q_text_yules_k",
     "q_sample_bernoulli_hash",
     "q_graph_betweenness",
+    "q_events_bitmap_retention",
 ]
 
 

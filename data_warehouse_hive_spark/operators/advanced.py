@@ -1871,3 +1871,126 @@ def q_sql_groupby_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY 1, 2
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Bitmap-index retention (round 9): the production bitmap trick for
+# audience intersection at scale.
+# ---------------------------------------------------------------------------
+
+BMP_BITS = 63  # bits per bucket word: DuckDB overflow-checks 1<<63, so
+               # 63 keeps every shift valid in BOTH engines
+
+
+@query(
+    "q_events_bitmap_retention",
+    oracle=f"""
+    WITH du AS (
+      SELECT DISTINCT strftime(ts, '%Y-%m-%d') AS day, user_id
+      FROM events
+    ),
+    maps AS (
+      SELECT day, user_id // {BMP_BITS} AS bkt,
+             CAST(bit_or(1::BIGINT << CAST(user_id % {BMP_BITS} AS INTEGER))
+                  AS BIGINT) AS bmp
+      FROM du GROUP BY 1, 2
+    ),
+    active AS (
+      SELECT day, CAST(SUM(bit_count(bmp)) AS BIGINT) AS n_active
+      FROM maps GROUP BY day
+    ),
+    paired AS (
+      SELECT a.day,
+             CAST(SUM(bit_count(a.bmp & b.bmp)) AS BIGINT) AS n_retained
+      FROM maps a
+      JOIN maps b ON b.bkt = a.bkt
+               AND b.day = strftime(CAST(a.day AS DATE)
+                                    + INTERVAL 1 DAY, '%Y-%m-%d')
+      GROUP BY a.day
+    )
+    SELECT x.day, x.n_active,
+           CAST(COALESCE(p.n_retained, 0) AS BIGINT) AS n_retained_d1,
+           round(CAST(COALESCE(p.n_retained, 0) AS DOUBLE) / x.n_active, 6)
+             AS retention_d1
+    FROM active x LEFT JOIN paired p USING (day)
+    ORDER BY x.day
+    """,
+)
+def q_events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-1 retention via BITMAP indexes: each (day, 63-user bucket)
+    collapses to ONE 63-bit word (bit_or of 1<<user%63); day-over-day
+    retained users are then popcount(a & b) over word pairs — the
+    roaring-bitmap/audience-index technique that replaces a
+    user-level self-join with bitwise ops on a relation 63x smaller
+    than the distinct-user-day table (q_events_wau computes reach by
+    exploding pairs; THIS is how the same answers scale when the
+    audience table itself is the bottleneck).
+
+    One pass to distinct (day, user) — the only fact-scale stage —
+    then per-(day, bucket) bit_or partials (map-side combined, shuffle
+    keyed on the uniform bucket), a date-shifted equi-join on (bucket,
+    day+1), and popcount sums.  Everything is exact integer bit
+    algebra; two's-complement words and bit_count agree bitwise across
+    engines (63-bit words keep DuckDB's overflow-checked shift in
+    range).  At 100 TB the word relation is |users|/63 × days rows —
+    the audience index you'd persist and reuse for every pairwise
+    cohort intersection."""
+    du = (
+        t(spark, sf_dir, "events")
+        .select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "user_id")
+        .distinct()
+    )
+    maps = (
+        du.groupBy(
+            "day",
+            F.expr(f"user_id div {BMP_BITS}").alias("bkt"),
+        )
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, CAST(user_id % {BMP_BITS} AS INT)))"
+            ).alias("bmp")
+        )
+        .localCheckpoint(eager=False)  # consumed by active + both join sides
+    )
+    active = maps.groupBy("day").agg(
+        F.sum(F.bit_count("bmp")).cast("long").alias("n_active")
+    )
+    nxt = maps.select(
+        F.col("bkt").alias("nbkt"),
+        F.col("day").alias("nday"),
+        F.col("bmp").alias("nbmp"),
+    )
+    paired = (
+        maps.join(
+            nxt,
+            (F.col("nbkt") == F.col("bkt"))
+            & (
+                F.col("nday")
+                == F.date_format(
+                    F.date_add(F.to_date("day"), 1), "yyyy-MM-dd"
+                )
+            ),
+        )
+        .groupBy("day")
+        .agg(
+            F.sum(F.bit_count(F.col("bmp").bitwiseAND(F.col("nbmp"))))
+            .cast("long")
+            .alias("n_retained")
+        )
+    )
+    return (
+        active.join(paired, "day", "left")
+        .select(
+            "day",
+            "n_active",
+            F.coalesce(F.col("n_retained"), F.lit(0))
+            .cast("long")
+            .alias("n_retained_d1"),
+            F.round(
+                F.coalesce(F.col("n_retained"), F.lit(0)).cast("double")
+                / F.col("n_active"),
+                6,
+            ).alias("retention_d1"),
+        )
+        .orderBy("day")
+    )
