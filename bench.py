@@ -502,6 +502,7 @@ EXT_R9 = [
     "q_sample_bernoulli_hash",
     "q_graph_betweenness",
     "q_events_bitmap_retention",
+    "q_text_rank_footrule",
 ]
 
 

@@ -3254,3 +3254,124 @@ def q_text_yules_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("yules_k"),
     ).orderBy("source")
+
+
+FOOTRULE_K = 20  # top-K term list compared per source pair
+
+
+@query(
+    "q_text_rank_footrule",
+    oracle=f"""
+    WITH words AS (
+      SELECT source,
+             unnest(list_filter(string_split_regex(trim(lower(text)),
+                    '\\s+'), x -> x != '')) AS w
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+      FROM words GROUP BY 1, 2
+    ),
+    topk AS (
+      SELECT source, w, CAST(rk AS BIGINT) AS rk FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY c DESC, w) AS rk
+        FROM tf
+      ) WHERE rk <= {FOOTRULE_K}
+    ),
+    shared AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(COUNT(*) AS BIGINT) AS n_shared,
+             CAST(SUM(abs(a.rk - b.rk)) AS BIGINT) AS s_absdiff,
+             CAST(SUM(2 * ({FOOTRULE_K} + 1) - a.rk - b.rk) AS BIGINT)
+               AS s_missing_credit
+      FROM topk a JOIN topk b
+        ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT source_a, source_b, n_shared,
+           CAST({FOOTRULE_K * (FOOTRULE_K + 1)} - s_missing_credit
+                + s_absdiff AS BIGINT) AS footrule,
+           round(1.0 - CAST({FOOTRULE_K * (FOOTRULE_K + 1)}
+                            - s_missing_credit + s_absdiff AS DOUBLE)
+                 / {FOOTRULE_K * (FOOTRULE_K + 1)}, 6) AS rank_similarity
+    FROM shared ORDER BY source_a, source_b
+    """,
+)
+def q_text_rank_footrule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-similarity join between sources (EDBT 2020 'Distributed
+    Similarity Joins over Top-K Rankings' shape, PAPERS.md): Fagin's
+    footrule distance F* between every pair of sources' top-{FOOTRULE_K}
+    term rankings, with missing items placed at rank K+1 — the
+    vocabulary-ORDER drift detector that complements q_text_js_drift's
+    mass comparison (two sources can share all terms but rank them
+    oppositely) and q_text_distinctive_terms' per-term z.
+
+    The pairwise distance needs ONLY the shared-term inner join:
+    F = K(K+1) − Σ_sh(2(K+1) − ra − rb) + Σ_sh|ra − rb| (the two
+    disjoint-tail sums telescope against the constant ΣK ranks) — so
+    the |sources|²-pair relation is fed by a join on the term key over
+    K-row-per-source lists, never a full-vocabulary pass per pair.
+    Pairs with NO shared term drop out of the join and correctly have
+    F = K(K+1) (similarity 0) — they are omitted from the output (the
+    similarity-JOIN contract: report pairs above zero overlap).  All
+    ranks and sums exact integers; one division at the end."""
+    words = (
+        spread(t(spark, sf_dir, "documents").select("source", "text"), spark)
+        .select(
+            "source",
+            F.explode(
+                F.filter(
+                    F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                    lambda x: x != "",
+                )
+            ).alias("w"),
+        )
+    )
+    tf = words.groupBy("source", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    )
+    wr = Window.partitionBy("source").orderBy(F.col("c").desc(), F.col("w"))
+    topk = (
+        tf.withColumn("rk", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rk") <= FOOTRULE_K)
+        .select("source", "w", "rk")
+        .localCheckpoint(eager=False)  # both sides of the pair join
+    )
+    b = topk.select(
+        F.col("source").alias("source_b"),
+        F.col("w").alias("wb"),
+        F.col("rk").alias("rkb"),
+    )
+    kk1 = FOOTRULE_K * (FOOTRULE_K + 1)
+    shared = (
+        topk.join(
+            b,
+            (F.col("w") == F.col("wb"))
+            & (F.col("source") < F.col("source_b")),
+        )
+        .groupBy(F.col("source").alias("source_a"), "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared"),
+            F.sum(F.abs(F.col("rk") - F.col("rkb")))
+            .cast("long")
+            .alias("s_absdiff"),
+            F.sum(
+                2 * (FOOTRULE_K + 1) - F.col("rk") - F.col("rkb")
+            )
+            .cast("long")
+            .alias("s_missing_credit"),
+        )
+    )
+    footrule = (
+        F.lit(kk1) - F.col("s_missing_credit") + F.col("s_absdiff")
+    ).cast("long")
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared",
+        footrule.alias("footrule"),
+        F.round(1.0 - footrule.cast("double") / kk1, 6).alias(
+            "rank_similarity"
+        ),
+    ).orderBy("source_a", "source_b")
