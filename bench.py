@@ -503,6 +503,7 @@ EXT_R9 = [
     "q_graph_betweenness",
     "q_events_bitmap_retention",
     "q_text_rank_footrule",
+    "q_stats_esd",
 ]
 
 

@@ -2379,3 +2379,187 @@ def q_stats_reliability_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+ESD_ROUNDS = 3  # outliers tested per group (NIST generalized ESD upper bound)
+
+
+@query(
+    "q_stats_esd",
+    oracle="""
+    WITH hist AS MATERIALIZED (
+      SELECT event_type AS grp,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ),
+    s1 AS (
+      SELECT grp, CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(xq * cnt) AS BIGINT) AS sx,
+             CAST(SUM(CAST(xq AS HUGEINT) * xq * cnt) AS HUGEINT) AS sxx
+      FROM hist GROUP BY grp
+    ),
+    a1 AS (
+      SELECT h.grp, s.n, s.sx, s.sxx,
+             CAST(MAX(abs(h.xq * s.n - s.sx) * 100000 + h.xq) AS BIGINT)
+               AS keyed
+      FROM hist h JOIN s1 s USING (grp)
+      GROUP BY h.grp, s.n, s.sx, s.sxx
+    ),
+    r1 AS (
+      SELECT grp, n, sx, sxx,
+             keyed % 100000 AS v, keyed // 100000 AS dev
+      FROM a1
+    ),
+    s2 AS (
+      SELECT grp, v AS v1, n - 1 AS n, sx - v AS sx,
+             sxx - CAST(v AS HUGEINT) * v AS sxx
+      FROM r1
+    ),
+    a2 AS (
+      SELECT h.grp, s.v1, s.n, s.sx, s.sxx,
+             CAST(MAX(abs(h.xq * s.n - s.sx) * 100000 + h.xq) AS BIGINT)
+               AS keyed
+      FROM hist h JOIN s2 s USING (grp)
+      WHERE h.cnt - CASE WHEN h.xq = s.v1 THEN 1 ELSE 0 END > 0
+      GROUP BY h.grp, s.v1, s.n, s.sx, s.sxx
+    ),
+    r2 AS (
+      SELECT grp, v1, n, sx, sxx,
+             keyed % 100000 AS v, keyed // 100000 AS dev
+      FROM a2
+    ),
+    s3 AS (
+      SELECT grp, v1, v AS v2, n - 1 AS n, sx - v AS sx,
+             sxx - CAST(v AS HUGEINT) * v AS sxx
+      FROM r2
+    ),
+    a3 AS (
+      SELECT h.grp, s.n, s.sx, s.sxx,
+             CAST(MAX(abs(h.xq * s.n - s.sx) * 100000 + h.xq) AS BIGINT)
+               AS keyed
+      FROM hist h JOIN s3 s USING (grp)
+      WHERE h.cnt - CASE WHEN h.xq = s.v1 THEN 1 ELSE 0 END
+                  - CASE WHEN h.xq = s.v2 THEN 1 ELSE 0 END > 0
+      GROUP BY h.grp, s.n, s.sx, s.sxx
+    ),
+    r3 AS (
+      SELECT grp, n, sx, sxx,
+             keyed % 100000 AS v, keyed // 100000 AS dev
+      FROM a3
+    ),
+    rounds AS (
+      SELECT grp, 1 AS round, n, v, dev, sx, sxx FROM r1
+      UNION ALL SELECT grp, 2, n, v, dev, sx, sxx FROM r2
+      UNION ALL SELECT grp, 3, n, v, dev, sx, sxx FROM r3
+    )
+    SELECT grp, CAST(round AS BIGINT) AS round,
+           CAST(n AS BIGINT) AS n_remaining,
+           round(v / 100.0, 2) AS outlier_value,
+           round((CAST(dev AS DOUBLE) / n)
+                 / sqrt((CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * sx / n) / (n - 1.0)), 6)
+             AS esd_r
+    FROM rounds ORDER BY grp, round
+    """,
+)
+def q_stats_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalized ESD (extreme studentized deviate, NIST) per event
+    type: {ESD_ROUNDS} iterated Grubbs rounds — each round reports
+    R_r = max|x − x̄|/s over the REMAINING data, then removes one
+    occurrence of the achieving value and recomputes the moments — the
+    multiple-outlier screen Grubbs alone cannot do (masking: a second
+    outlier inflates s and hides the first).
+
+    Fully relational unrolled iteration, NO driver loop: removal is a
+    CLOSED-FORM moment update (n−1, sx−v, sxx−v²) carried through
+    {ESD_ROUNDS} chained aggregates over the (grp, cents, cnt)
+    HISTOGRAM — the corpus is scanned once; every later round joins
+    histogram-sized relations (distinct cents ≤ 1e5 by the grubbs pack
+    domain), with multiplicity-aware eligibility (a value removed once
+    stays eligible while its count exceeds its removals).  Same packed
+    integer argmax as q_stats_grubbs (dev·1e5 + cents — deterministic
+    largest-value tiebreak); sxx adjustments ride HUGEINT/DECIMAL(38).
+    R_r values are reported without the λ_r critical thresholds (those
+    need t-quantiles; compare downstream)."""
+    hist = (
+        t(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("grp"),
+            F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+        .localCheckpoint(eager=False)
+    )
+    s = hist.groupBy("grp").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("xq") * F.col("cnt")).cast("long").alias("sx"),
+        F.sum(
+            F.col("xq").cast("decimal(38,0)") * F.col("xq") * F.col("cnt")
+        ).alias("sxx"),
+    )
+    removed: list = []  # column exprs of previously removed values
+    rounds = []
+    for r in range(1, ESD_ROUNDS + 1):
+        joined = hist.join(broadcast(s), "grp")
+        elig = F.col("cnt")
+        for vcol in removed:
+            elig = elig - F.when(F.col("xq") == F.col(vcol), 1).otherwise(0)
+        keyed = (
+            joined.filter(elig > 0)
+            .groupBy(
+                "grp",
+                "n",
+                "sx",
+                "sxx",
+                *removed,
+            )
+            .agg(
+                F.max(
+                    F.abs(F.col("xq") * F.col("n") - F.col("sx")) * 100000
+                    + F.col("xq")
+                )
+                .cast("long")
+                .alias("keyed")
+            )
+            .withColumn(f"v{r}", F.col("keyed") % 100000)
+            .withColumn("dev", F.expr("keyed div 100000"))
+        )
+        rounds.append(
+            keyed.select(
+                "grp",
+                F.lit(r).cast("long").alias("round"),
+                F.col("n").cast("long").alias("n_remaining"),
+                F.round(F.col(f"v{r}") / 100.0, 2).alias("outlier_value"),
+                F.round(
+                    (F.col("dev").cast("double") / F.col("n"))
+                    / F.sqrt(
+                        (
+                            F.col("sxx").cast("double")
+                            - F.col("sx").cast("double")
+                            * F.col("sx")
+                            / F.col("n")
+                        )
+                        / (F.col("n") - 1.0)
+                    ),
+                    6,
+                ).alias("esd_r"),
+            )
+        )
+        # closed-form removal for the next round
+        s = keyed.select(
+            "grp",
+            *removed,
+            F.col(f"v{r}"),
+            (F.col("n") - 1).cast("long").alias("n"),
+            (F.col("sx") - F.col(f"v{r}")).cast("long").alias("sx"),
+            (
+                F.col("sxx")
+                - F.col(f"v{r}").cast("decimal(38,0)") * F.col(f"v{r}")
+            ).alias("sxx"),
+        )
+        removed.append(f"v{r}")
+    out = rounds[0]
+    for rdf in rounds[1:]:
+        out = out.unionByName(rdf)
+    return out.orderBy("grp", "round")
