@@ -504,6 +504,7 @@ EXT_R9 = [
     "q_events_bitmap_retention",
     "q_text_rank_footrule",
     "q_stats_esd",
+    "q_embed_intrinsic_dim",
 ]
 
 

@@ -449,3 +449,145 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("c_nn_descent", ref))
         .orderBy("method")
     )
+
+
+@query(
+    "q_embed_intrinsic_dim",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    sq AS (
+      SELECT vec_id,
+             CAST(list_sum(list_transform(range(1, len(e) + 1),
+                  i -> CAST(floor(e[i] * e[i] * 1e6 + 0.5) AS BIGINT)))
+               AS BIGINT) AS s2
+      FROM v
+    ),
+    pairs AS (
+      SELECT a.vec_id, b.vec_id AS nid,
+             sa.s2 + sb.s2
+             - 2 * CAST(list_sum(list_transform(range(1, len(a.e) + 1),
+                    i -> CAST(floor(a.e[i] * b.e[i] * 1e6 + 0.5) AS BIGINT)))
+                 AS BIGINT) AS q2
+      FROM v a JOIN v b ON a.vec_id != b.vec_id
+      JOIN sq sa ON sa.vec_id = a.vec_id
+      JOIN sq sb ON sb.vec_id = b.vec_id
+    ),
+    nn2 AS (
+      SELECT vec_id,
+             MAX(CASE WHEN rk = 1 THEN q2 END) AS q1,
+             MAX(CASE WHEN rk = 2 THEN q2 END) AS q2_
+      FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                     ORDER BY q2, nid) AS rk
+        FROM pairs
+      ) WHERE rk <= 2 GROUP BY vec_id
+    ),
+    mu AS (
+      SELECT vec_id,
+             CAST(floor(0.5 * ln(CAST(q2_ AS DOUBLE) / q1) * 1e9 + 0.5)
+                  AS BIGINT) AS lmu9
+      FROM nn2 WHERE q1 > 0
+    )
+    SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS BIGINT) AS n_used,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / (CAST(SUM(lmu9) AS DOUBLE) / 1e9), 4) AS id_twonn
+    FROM mu
+    """,
+)
+def q_embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TwoNN intrinsic-dimension estimate of the embedding manifold
+    (Facco et al. 2017, public): for each vector the ratio μ = d₂/d₁ of
+    its two nearest EUCLIDEAN neighbor distances follows a Pareto law
+    with exponent = the intrinsic dimension, so the MLE is
+    ID = n / Σ ln μ — the curation-literature number that says how much
+    of the ambient 64 dims the data actually uses (feeds PCA/Matryoshka
+    truncation decisions next to q_embed_dim_profile's variance view).
+
+    All distance ORDERING is exact: d² = s_aa + s_bb − 2·s_ab over the
+    1e6 scaled-long carrier dots (one BIGINT per pair — the same
+    algebra as every search op), so both engines agree on each vector's
+    two nearest neighbors bit-for-bit including ties (nid tiebreak).
+    Each ln μ = ½ln(q₂/q₁) of exact integers is pinned to the 1e9
+    carrier so the final sum is order-free.  Vectors with a coincident
+    nearest neighbor (q₁ = 0 — exact duplicates) are excluded and
+    counted via n_used, exactly as the estimator prescribes.  Ground
+    truth is the Q×corpus exact pass (at 100 TB: a sampled node set,
+    the q_sim_recall contract); the norms relation joins by key, the
+    pair top-2 plans as WindowGroupLimit."""
+    v = _vectors(spark, sf_dir)  # e + nrm (nrm unused here)
+    sq = v.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(
+                F.col("e"),
+                F.col("e"),
+                lambda a, b: F.floor(a * b * 1e6 + 0.5).cast("long"),
+            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("s2"),
+    )
+    a = v.select("vec_id", "e").join(sq, "vec_id")
+    b = a.select(
+        F.col("vec_id").alias("nid"),
+        F.col("e").alias("ne"),
+        F.col("s2").alias("ns2"),
+    )
+    pairs = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("vec_id") != F.col("nid"))
+        .select(
+            "vec_id",
+            "nid",
+            (
+                F.col("s2")
+                + F.col("ns2")
+                - 2
+                * F.aggregate(
+                    F.zip_with(
+                        F.col("e"),
+                        F.col("ne"),
+                        lambda x, y: F.floor(x * y * 1e6 + 0.5).cast(
+                            "long"
+                        ),
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                )
+            ).alias("q2"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("q2", "nid")
+    nn2 = (
+        pairs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 2)
+        .groupBy("vec_id")
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("q2"))).alias("q1"),
+            F.max(F.when(F.col("rk") == 2, F.col("q2"))).alias("q2_"),
+        )
+    )
+    mu = nn2.filter(F.col("q1") > 0).select(
+        F.floor(
+            0.5
+            * F.log(F.col("q2_").cast("double") / F.col("q1"))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("lmu9")
+    )
+    n_vec = v.count()
+    return mu.agg(
+        F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.count(F.lit(1)).cast("long").alias("n_used"),
+        F.round(
+            F.count(F.lit(1)).cast("double")
+            / (F.sum("lmu9").cast("double") / 1e9),
+            4,
+        ).alias("id_twonn"),
+    )
