@@ -3117,21 +3117,23 @@ RFM_M_BANDS = (350_000_00, 290_000_00, 240_000_00, 190_000_00)  # cents
     """,
 )
 def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """RFM segmentation — the classic CRM partition of the customer
-    base by Recency / Frequency / Monetary scores (5..1 each) rolled
-    into named segments (champions, loyal, big_spenders, at_risk,
-    hibernating, regular; CASE order fixed so both engines label
-    identically).
+    """RFM segmentation with NAMED segments — the policy-banded sibling
+    of q_agg_rfm (operators/aggregates.py), which scores by data-driven
+    QUARTILES: quartile scores adapt to the population (good for
+    exploratory scoring) but shift every segment boundary whenever the
+    data grows; this operator freezes business bands (5..1 each) and
+    rolls customers into the named CRM segments an activation team
+    consumes (champions, loyal, big_spenders, at_risk, hibernating,
+    regular; CASE order fixed so both engines label identically).  Both
+    framings are standard practice — the pair covers both.
 
     One orders pass to the per-customer (recency, freq, cents) relation
     — the only shuffle, keyed on o_custkey; scoring is a stateless
-    projection against FIXED policy bands (see RFM_*_BANDS note: frozen
-    bands are both the business-correct and the scale-correct choice —
-    no quantile sort, no segment churn when data grows), and the
-    segment rollup aggregates a 6-row domain.  Monetary rides exact
-    integer cents; the averages are single fixed-order divisions.
-    Reference: delegated HiveQL analytics class
-    (backend/hive_manager.py:400)."""
+    projection against FIXED policy bands (no quantile pass, no segment
+    churn when data grows), and the segment rollup aggregates a 6-row
+    domain.  Monetary rides exact integer cents; the averages are
+    single fixed-order divisions.  Reference: delegated HiveQL
+    analytics class (backend/hive_manager.py:400)."""
     asof = F.lit(RFM_ASOF).cast("date")
     cust = (
         t(spark, sf_dir, "orders")
