@@ -1923,8 +1923,11 @@ def q_events_bitmap_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     roaring-bitmap/audience-index technique that replaces a
     user-level self-join with bitwise ops on a relation 63x smaller
     than the distinct-user-day table (q_events_wau computes reach by
-    exploding pairs; THIS is how the same answers scale when the
-    audience table itself is the bottleneck).
+    exploding pairs and q_events_retention builds the cohort-day curve
+    by user-level joins; THIS is how those same intersections scale
+    when the audience table itself is the bottleneck — and unlike
+    q_agg_bitmap_distinct's per-group distinct COUNTS, the persisted
+    words here support arbitrary pairwise set algebra).
 
     One pass to distinct (day, user) — the only fact-scale stage —
     then per-(day, bucket) bit_or partials (map-side combined, shuffle
