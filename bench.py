@@ -505,6 +505,7 @@ EXT_R9 = [
     "q_text_rank_footrule",
     "q_stats_esd",
     "q_embed_intrinsic_dim",
+    "q_orders_seasonal_index",
 ]
 
 

@@ -3208,3 +3208,59 @@ def q_orders_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("segment")
     )
+
+
+@query(
+    "q_orders_seasonal_index",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(COUNT(*) AS BIGINT) AS n_orders,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT CAST(SUM(rev_cents) AS BIGINT) AS total FROM m)
+    SELECT mo, n_orders,
+           round(rev_cents / 100.0, 2) AS revenue,
+           round(12.0 * rev_cents / t.total, 6) AS seasonal_index
+    FROM m CROSS JOIN tot t ORDER BY mo
+    """,
+)
+def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-month seasonality index of order revenue over the full
+    multi-year span: index_m = 12·rev_m / Σrev (1.0 = an average month)
+    — the demand-planning input that feeds q_orders_newsvendor's
+    stocking levels and deseasonalizes q_orders_share_shift's
+    comparisons; the events-side seasonal ops (q_events_seasonal,
+    q_stats_seasonal_strength) cover day-of-week on a 30-day window and
+    cannot see YEARLY cycles, which only the 6.5-year orders span
+    exposes.
+
+    One pass to the 12-row month domain (exact integer cents; the
+    month rollup is the only shuffle and its key domain is fixed);
+    the index is two exact BIGINTs in one fixed-order division, with
+    the total riding the 1-row broadcast crossJoin carrier pattern."""
+    m = (
+        t(spark, sf_dir, "orders")
+        .groupBy(F.month("o_orderdate").cast("long").alias("mo"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    )
+    tot = m.agg(F.sum("rev_cents").cast("long").alias("total"))
+    return (
+        m.crossJoin(F.broadcast(tot))
+        .select(
+            "mo",
+            "n_orders",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+            F.round(
+                12.0 * F.col("rev_cents") / F.col("total"), 6
+            ).alias("seasonal_index"),
+        )
+        .orderBy("mo")
+    )

@@ -168,6 +168,7 @@ def test_r9_batch_ids_are_benched():
         "q_text_rank_footrule",
         "q_stats_esd",
         "q_embed_intrinsic_dim",
+        "q_orders_seasonal_index",
     ):
         assert qid in bench.EXT_R9, f"{qid} missing from bench.EXT_R9"
 
