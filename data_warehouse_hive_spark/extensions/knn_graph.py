@@ -90,6 +90,44 @@ def _o_lsh_bucket2(e_expr: str) -> str:
     return "CAST((" + " + ".join(parts) + ") AS BIGINT)"
 
 
+# ---------------------------------------------------------------------------
+# Deterministic evaluation-node sample (bottom-K by md5 — a KMV/bottom-k
+# sketch).  The two evaluation ops below (TwoNN intrinsic dimension and
+# graph recall@k) are expectations over iid node draws, so restricting the
+# QUERY side to a fixed-size uniform node sample is statistically correct —
+# and, unlike a fixed-rate Bernoulli filter (whose sample grows with the
+# corpus, keeping the pair count quadratic), a hash-rank cap makes the
+# sample size a CONSTANT: sample × corpus pairs are corpus-LINEAR at any
+# scale.  md5 rank = the same engine-portable deterministic coin as
+# q_sample_bernoulli_hash (extensions/curation.py), strengthened from
+# rate-bound to count-bound; reruns and both engines select identical nodes.
+# ---------------------------------------------------------------------------
+
+EVAL_QUERY_NODES = 256  # < fixture corpus at every SF, so the path is
+#                         genuinely exercised at sf0.01 AND sf0.1
+
+_O_EVAL_SAMPLE = f"""
+    smp AS MATERIALIZED (
+      SELECT vec_id, e FROM (
+        SELECT vec_id, e,
+               ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                  vec_id) AS srk
+        FROM v
+      ) WHERE srk <= {EVAL_QUERY_NODES}
+    )
+"""
+
+
+def _eval_sample(v: DataFrame) -> DataFrame:
+    """Bottom-{K} nodes by md5(vec_id): TakeOrderedAndProject on the node
+    relation (per-partition top-K, no full shuffle), then broadcast — the
+    sample is the small side by construction."""
+    return (
+        v.orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(EVAL_QUERY_NODES)
+    )
+
+
 # Shared oracle fragment: 2-table init graph g2 + one descent round.
 _O_REFINE = f"""
     v AS (
@@ -164,9 +202,15 @@ _KNN_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 
 
 def _memo(spark: SparkSession, sf_dir: str, key: str, build) -> DataFrame:
-    k = (spark.sparkContext.applicationId, sf_dir, key)
+    scope = (spark.sparkContext.applicationId, sf_dir)
+    k = (*scope, key)
     hit = _KNN_CACHE.get(k)
     if hit is None:
+        # Bound the memo: entries are lazily-checkpointed DataFrames, so
+        # keeping other (app, sf_dir) scopes would pin them for the app
+        # lifetime — evict every scope we are no longer iterating on.
+        for stale in [s for s in _KNN_CACHE if s[:2] != scope]:
+            del _KNN_CACHE[stale]
         hit = build()
         _KNN_CACHE[k] = hit
     return hit
@@ -328,6 +372,7 @@ def q_embed_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_embed_knn_recall_lift",
     oracle=f"""
     WITH {_O_REFINE},
+    {_O_EVAL_SAMPLE},
     g1 AS MATERIALIZED (
       SELECT vec_id, neighbor_id FROM (
         SELECT a.vec_id, b.vec_id AS neighbor_id,
@@ -349,7 +394,7 @@ def q_embed_knn_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
                      / (sqrt(list_dot_product(a.e, a.e))
                         * sqrt(list_dot_product(b.e, b.e))), 6) DESC,
                  b.vec_id) AS rk
-        FROM v a JOIN v b ON a.vec_id != b.vec_id
+        FROM smp a JOIN v b ON a.vec_id != b.vec_id
       ) WHERE rk <= {KNN_K}
     )
     SELECT method, n_exact, n_hit,
@@ -383,15 +428,19 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape: exact top-k joined to each graph's edge list on
     (node, neighbor); hits/total is recall.
 
-    Ground truth here is the full-corpus exact graph (every node is a
-    query) — the standard kNN-graph recall metric; at 100 TB you
-    compute it on a sampled node set per index build, exactly the
-    q_sim_recall contract.  Descent hits are structurally ≥ init hits
-    (candidates contain current edges), so the c−b gap is the descent
-    round's net lift (measured +0.016 absolute recall at sf0.1)."""
+    Ground truth is the exact top-k of the deterministic
+    {EVAL_QUERY_NODES}-node bottom-K-by-md5 query sample (_eval_sample —
+    the enforced sampled-node contract): graph recall is an expectation
+    over node draws, so a uniform node sample estimates it unbiasedly
+    while the ground-truth pass stays corpus-LINEAR (sample broadcast,
+    corpus streaming) instead of the all-pairs crossJoin.  Descent hits
+    are structurally ≥ init hits (candidates contain current edges), so
+    the c−b gap is the descent round's net lift (measured +0.016
+    absolute recall full-corpus at sf0.1 pre-sampling; the sampled
+    readout tracks it within sampling noise)."""
     def build_exact() -> DataFrame:
         v = _vectors(spark, sf_dir)
-        a = v.select(
+        a = _eval_sample(v).select(
             F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
             F.col("nrm").alias("qn"),
         )
@@ -412,7 +461,7 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             eager=False
         )
 
-    exact = _memo(spark, sf_dir, "exact_graph", build_exact)
+    exact = _memo(spark, sf_dir, "exact_graph_smp", build_exact)
 
     g1 = q_embed_knn(spark, sf_dir).select("vec_id", "neighbor_id")
     g2 = knn_init_2table(spark, sf_dir).select("vec_id", "neighbor_id")
@@ -453,11 +502,12 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "q_embed_intrinsic_dim",
-    oracle="""
+    oracle=f"""
     WITH v AS (
       SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
       FROM embeddings
     ),
+    {_O_EVAL_SAMPLE},
     sq AS (
       SELECT vec_id,
              CAST(list_sum(list_transform(range(1, len(e) + 1),
@@ -471,7 +521,7 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
              - 2 * CAST(list_sum(list_transform(range(1, len(a.e) + 1),
                     i -> CAST(floor(a.e[i] * b.e[i] * 1e6 + 0.5) AS BIGINT)))
                  AS BIGINT) AS q2
-      FROM v a JOIN v b ON a.vec_id != b.vec_id
+      FROM smp a JOIN v b ON a.vec_id != b.vec_id
       JOIN sq sa ON sa.vec_id = a.vec_id
       JOIN sq sb ON sb.vec_id = b.vec_id
     ),
@@ -492,6 +542,7 @@ def q_embed_knn_recall_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM nn2 WHERE q1 > 0
     )
     SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_vectors,
+           CAST((SELECT COUNT(*) FROM smp) AS BIGINT) AS n_query,
            CAST(COUNT(*) AS BIGINT) AS n_used,
            round(CAST(COUNT(*) AS DOUBLE)
                  / (CAST(SUM(lmu9) AS DOUBLE) / 1e9), 4) AS id_twonn
@@ -514,10 +565,13 @@ def q_embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     Each ln μ = ½ln(q₂/q₁) of exact integers is pinned to the 1e9
     carrier so the final sum is order-free.  Vectors with a coincident
     nearest neighbor (q₁ = 0 — exact duplicates) are excluded and
-    counted via n_used, exactly as the estimator prescribes.  Ground
-    truth is the Q×corpus exact pass (at 100 TB: a sampled node set,
-    the q_sim_recall contract); the norms relation joins by key, the
-    pair top-2 plans as WindowGroupLimit."""
+    counted via n_used, exactly as the estimator prescribes.  The MLE is
+    an expectation over iid node draws, so the QUERY side is the
+    deterministic {EVAL_QUERY_NODES}-node bottom-K-by-md5 sample
+    (_eval_sample — the enforced sampled-node contract): sample × corpus
+    pairs stream corpus-LINEARLY with the broadcast on the SAMPLE side,
+    never all-pairs; the norms relation joins by key, the pair top-2
+    plans as WindowGroupLimit."""
     v = _vectors(spark, sf_dir)  # e + nrm (nrm unused here)
     sq = v.select(
         "vec_id",
@@ -531,14 +585,15 @@ def q_embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         ).alias("s2"),
     )
-    a = v.select("vec_id", "e").join(sq, "vec_id")
-    b = a.select(
+    full = v.select("vec_id", "e").join(sq, "vec_id")
+    a = _eval_sample(full)  # query side: capped deterministic node sample
+    b = full.select(
         F.col("vec_id").alias("nid"),
         F.col("e").alias("ne"),
         F.col("s2").alias("ns2"),
     )
     pairs = (
-        a.crossJoin(F.broadcast(b))
+        b.crossJoin(F.broadcast(a))  # corpus streams; SAMPLE broadcasts
         .filter(F.col("vec_id") != F.col("nid"))
         .select(
             "vec_id",
@@ -582,8 +637,10 @@ def q_embed_intrinsic_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("lmu9")
     )
     n_vec = v.count()
+    n_query = a.count()  # = min(corpus, EVAL_QUERY_NODES)
     return mu.agg(
         F.lit(n_vec).cast("long").alias("n_vectors"),
+        F.lit(n_query).cast("long").alias("n_query"),
         F.count(F.lit(1)).cast("long").alias("n_used"),
         F.round(
             F.count(F.lit(1)).cast("double")
