@@ -688,7 +688,10 @@ def main() -> None:
     first_run: dict[str, float] = {}
     cohort_sec: dict[str, float] = {}
     for cohort, _gkeys in COHORTS:
-        out_path = tempfile.mktemp(prefix=f"bench_{cohort}_", suffix=".json")
+        fd, out_path = tempfile.mkstemp(
+            prefix=f"bench_{cohort}_", suffix=".json"
+        )
+        os.close(fd)  # child writes the path; we only needed safe creation
         t0 = time.perf_counter()
         proc = subprocess.run(
             [sys.executable, here, "--cohort", cohort, "--out", out_path],
@@ -696,7 +699,7 @@ def main() -> None:
             stderr=subprocess.PIPE,
         )
         cohort_sec[cohort] = round(time.perf_counter() - t0, 1)
-        if proc.returncode != 0 or not os.path.exists(out_path):
+        if proc.returncode != 0 or os.path.getsize(out_path) == 0:
             tail = proc.stderr.decode(errors="replace")[-4000:]
             raise RuntimeError(
                 f"bench cohort {cohort!r} failed (rc={proc.returncode}):\n{tail}"

@@ -2402,7 +2402,9 @@ ESD_ROUNDS = 3  # outliers tested per group (NIST generalized ESD upper bound)
     a1 AS (
       SELECT h.grp, s.n, s.sx, s.sxx,
              CAST(MAX(abs(h.xq * s.n - s.sx) * 100000 + h.xq) AS BIGINT)
-               AS keyed
+               AS keyed,
+             CAST(MIN(h.xq) AS BIGINT) AS mn,
+             CAST(MAX(h.xq) AS BIGINT) AS mx
       FROM hist h JOIN s1 s USING (grp)
       GROUP BY h.grp, s.n, s.sx, s.sxx
     ),
@@ -2410,6 +2412,9 @@ ESD_ROUNDS = 3  # outliers tested per group (NIST generalized ESD upper bound)
       SELECT grp, n, sx, sxx,
              keyed % 100000 AS v, keyed // 100000 AS dev
       FROM a1
+      WHERE CASE WHEN mn < 0 OR mx >= 100000
+                 THEN error('q_stats_esd: cents value outside [0, 1e5) pack domain')
+                 ELSE TRUE END
     ),
     s2 AS (
       SELECT grp, v AS v1, n - 1 AS n, sx - v AS sx,
@@ -2491,12 +2496,36 @@ def q_stats_esd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
         .localCheckpoint(eager=False)
     )
-    s = hist.groupBy("grp").agg(
-        F.sum("cnt").cast("long").alias("n"),
-        F.sum(F.col("xq") * F.col("cnt")).cast("long").alias("sx"),
-        F.sum(
-            F.col("xq").cast("decimal(38,0)") * F.col("xq") * F.col("cnt")
-        ).alias("sxx"),
+    # Pack-domain guard (same contract as q_stats_grubbs): the packed
+    # argmax dev*100000 + xq decodes correctly only for xq in [0, 1e5) —
+    # raise rather than silently corrupt if the data ever leaves it.
+    # Removal rounds only ever re-use values from hist, so guarding the
+    # initial moments guards every round.
+    s = (
+        hist.groupBy("grp")
+        .agg(
+            F.sum("cnt").cast("long").alias("n"),
+            F.sum(F.col("xq") * F.col("cnt")).cast("long").alias("sx"),
+            F.sum(
+                F.col("xq").cast("decimal(38,0)")
+                * F.col("xq")
+                * F.col("cnt")
+            ).alias("sxx"),
+            F.min("xq").cast("long").alias("mn"),
+            F.max("xq").cast("long").alias("mx"),
+        )
+        .filter(
+            F.when(
+                (F.col("mn") < 0) | (F.col("mx") >= 100000),
+                F.raise_error(
+                    F.lit(
+                        "q_stats_esd: cents value outside [0, 1e5)"
+                        " pack domain"
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.lit(True))
+        )
+        .select("grp", "n", "sx", "sxx")
     )
     removed: list = []  # column exprs of previously removed values
     rounds = []

@@ -1819,9 +1819,10 @@ del _REG8, _spec8
 # ---------------------------------------------------------------------------
 
 BTW_MAX_D = 4  # walk powers computed; covers every observed shortest
-               # path on the thresholded trade graph (diameter ≤ 4 —
-               # longer pairs contribute nothing and are excluded by
-               # construction in BOTH engines, so the bound is exact)
+               # path on the thresholded trade graph (diameter ≤ 4).
+               # NOT assumed: both engines emit n_unreached_d5 (the
+               # k=5 BFS frontier minus sp) — 0 proves diameter ≤ 4,
+               # nonzero surfaces the violation in the result itself.
 
 
 @query(
@@ -1880,11 +1881,20 @@ BTW_MAX_D = 4  # walk powers computed; covers every observed shortest
     ),
     nodes AS (
       SELECT src AS node FROM trans UNION SELECT dst FROM trans
+    ),
+    w5 AS (
+      SELECT DISTINCT a.s, e.dst AS t
+      FROM w4 a JOIN trans e ON e.src = a.t WHERE a.s <> e.dst
+    ),
+    unreach AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_unreached_d5
+      FROM (SELECT s, t FROM w5 EXCEPT SELECT s, t FROM sp)
     )
     SELECT n.node,
            round(CAST(COALESCE(SUM(c.c9), 0) AS DOUBLE) / 1e9, 6)
              AS betweenness,
-           CAST(COUNT(c.c9) AS BIGINT) AS n_pairs_through
+           CAST(COUNT(c.c9) AS BIGINT) AS n_pairs_through,
+           (SELECT n_unreached_d5 FROM unreach) AS n_unreached_d5
     FROM nodes n LEFT JOIN contrib c ON c.node = n.node
     GROUP BY n.node ORDER BY n.node
     """,
@@ -2018,6 +2028,21 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(trans.select(F.col("dst").alias("node")))
         .distinct()
     )
+    # Diameter guard (audited, not assumed): the k=BTW_MAX_D+1 BFS
+    # frontier must be empty — a pair at distance MAX_D+2 would imply a
+    # pair at MAX_D+1 exists (its shortest path passes a node at that
+    # distance), so frontier-empty soundly proves diameter ≤ MAX_D.
+    # Emitted as a constant audit column so the oracle checks it too.
+    w5 = (
+        wk.join(trans, F.col("t") == F.col("src"))  # wk is A^MAX_D here
+        .select("s", F.col("dst").alias("t"))
+        .filter(F.col("s") != F.col("t"))
+        .distinct()
+    )
+    unreach = (
+        w5.join(sp.select("s", "t"), ["s", "t"], "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_unreached_d5"))
+    )
     return (
         nodes.join(contrib, "node", "left")
         .groupBy("node")
@@ -2027,5 +2052,6 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("betweenness"),
             F.count("c9").cast("long").alias("n_pairs_through"),
         )
+        .crossJoin(broadcast(unreach))
         .orderBy("node")
     )

@@ -1759,7 +1759,7 @@ def ddl_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     n_batches = {"n": 0}
 
-    def _sink(batch_df, _bid):
+    def _sink(batch_df, bid):
         n_batches["n"] += 1
         eval_h = spark.read.parquet(idx_dir)
         (
@@ -1767,8 +1767,11 @@ def ddl_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(F.broadcast(eval_h), "h")
             .groupBy("doc_id")
             .agg(F.countDistinct("h").alias("n_shared_grams"))
-            .write.mode("append")
-            .parquet(out)
+            # idempotent sink: a RETRIED micro-batch replays with the
+            # same batch id, so overwriting a batch-id-keyed partition
+            # dir makes the replay a no-op instead of an append-dup
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={bid}")
         )
 
     stream = (
@@ -1784,7 +1787,9 @@ def ddl_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     _await_drained(q, "ddl_stream_decontaminate")
 
-    streamed = spark.read.parquet(out)
+    # partition discovery surfaces batch_id as a column — drop it for
+    # the multiset compare against the batch twin
+    streamed = spark.read.parquet(out).drop("batch_id")
     batch = q_decontaminate(spark, sf_dir)
     extra = streamed.exceptAll(batch).count()
     missing = batch.exceptAll(streamed).count()
