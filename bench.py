@@ -487,6 +487,10 @@ EXT_R8O = [
 
 
 # round 9: suffix-ordering substring dedup + NN-descent kNN refinement.
+EXT_R10 = [
+    "q_orders_decompose",
+]
+
 EXT_R9 = [
     "q_dedup_substring",
     "q_embed_knn_refine",
@@ -572,6 +576,7 @@ GROUP_LISTS: list[tuple[str, list[str]]] = [
     ("ext_r8n", EXT_R8N),
     ("ext_r8o", EXT_R8O),
     ("ext_r9", EXT_R9),
+    ("ext_r10", EXT_R10),
 ]
 
 COHORTS: list[tuple[str, list[str]]] = [
@@ -587,6 +592,7 @@ COHORTS: list[tuple[str, list[str]]] = [
             "ext_r8f", "ext_r8g", "ext_r8h", "ext_r8i", "ext_r8j",
             "ext_r8k", "ext_r8l", "ext_r8m", "ext_r8n", "ext_r8o"]),
     ("r9", ["ext_r9"]),
+    ("r10", ["ext_r10"]),
 ]
 
 MEMOIZED_COLD_IDS = (

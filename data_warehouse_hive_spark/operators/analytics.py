@@ -3264,3 +3264,123 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("mo")
     )
+
+
+@query(
+    "q_orders_decompose",
+    oracle="""
+    WITH m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS t,
+             CAST(year(o_orderdate) AS BIGINT) AS yr,
+             CAST(month(o_orderdate) AS BIGINT) AS mo,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1, 2, 3
+    ),
+    tr AS (
+      SELECT *,
+             CASE WHEN COUNT(*) OVER w = 13
+                   AND MAX(t) OVER w - MIN(t) OVER w = 12
+                  THEN 2 * SUM(x) OVER w
+                       - FIRST_VALUE(x) OVER w - LAST_VALUE(x) OVER w
+             END AS t24
+      FROM m
+      WINDOW w AS (ORDER BY t ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
+    ),
+    det AS (
+      SELECT *, 24 * x - t24 AS d24 FROM tr WHERE t24 IS NOT NULL
+    ),
+    seas AS (
+      SELECT mo, CAST(SUM(d24) AS BIGINT) AS sum24,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM det GROUP BY mo
+    )
+    SELECT printf('%04d-%02d', d.yr, d.mo) AS ym,
+           round(d.x / 100.0, 2) AS observed,
+           round(d.t24 / 2400.0, 6) AS trend,
+           round(CAST(s.sum24 AS DOUBLE) / (2400 * s.cnt), 6) AS seasonal,
+           round(CAST(d.d24 * s.cnt - s.sum24 AS DOUBLE) / (2400 * s.cnt),
+                 6) AS remainder
+    FROM det d JOIN seas s USING (mo) ORDER BY ym
+    """,
+)
+def q_orders_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the MONTHLY order
+    revenue series — observed = trend + seasonal + remainder — the
+    decomposition twin of q_orders_seasonal_index (which reports the
+    calendar-month INDEX but no trend/remainder split) and the
+    completion of the time-series family next to Holt smoothing,
+    Mann-Kendall trend and CCF (r9 VERDICT task 7).  Trend is the
+    textbook centered 2x12 moving average (half weight on the +-6
+    endpoints); seasonal is the month-of-year mean of the detrended
+    series; remainder is what's left.
+
+    All algebra rides exact BIGINT carriers: T24 = 24*trend via
+    2*SUM(frame) - first - last over a 13-row window (contiguity is
+    CHECKED, not assumed: count=13 AND max(t)-min(t)=12, so a month gap
+    yields NULL trend rather than a silently shifted frame); detrended
+    d24 = 24x - T24; seasonal numerator sum24 = SUM(d24) per month; and
+    remainder numerator d24*cnt - sum24 — each reported value is ONE
+    fixed-order division of exact integers, so both engines agree
+    bitwise.  The identity x = T24/24 + sum24/(24c) + (d24c - sum24)/
+    (24c) holds exactly in the rationals by construction.  Scale shape:
+    one orders pass to the ~80-row month domain (the only data-sized
+    shuffle); the window, the 12-row seasonal rollup and the join are
+    all month-domain-bounded regardless of corpus size.  Head/tail
+    months with an incomplete 13-month frame are excluded, as classical
+    decomposition prescribes.  Reference: delegated HiveQL analytics
+    class (backend/hive_manager.py:400)."""
+    o = t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
+    m = o.groupBy(
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+        .cast("long")
+        .alias("t"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
+    ).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    w = Window.orderBy("t").rowsBetween(-6, 6)
+    tr = m.withColumn(
+        "t24",
+        F.when(
+            (F.count(F.lit(1)).over(w) == 13)
+            & (F.max("t").over(w) - F.min("t").over(w) == 12),
+            2 * F.sum("x").over(w)
+            - F.first("x").over(w)
+            - F.last("x").over(w),
+        ),
+    )
+    det = (
+        tr.filter(F.col("t24").isNotNull())
+        .withColumn("d24", 24 * F.col("x") - F.col("t24"))
+        # consumed by the seasonal rollup AND the final projection —
+        # cut lineage so the month rollup + window run once
+        .localCheckpoint(eager=False)
+    )
+    seas = det.groupBy("mo").agg(
+        F.sum("d24").cast("long").alias("sum24"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+    )
+    return (
+        det.join(F.broadcast(seas), "mo")
+        .select(
+            F.format_string("%04d-%02d", "yr", "mo").alias("ym"),
+            F.round(F.col("x") / 100.0, 2).alias("observed"),
+            F.round(F.col("t24") / 2400.0, 6).alias("trend"),
+            F.round(
+                F.col("sum24").cast("double") / (2400 * F.col("cnt")), 6
+            ).alias("seasonal"),
+            F.round(
+                (F.col("d24") * F.col("cnt") - F.col("sum24")).cast(
+                    "double"
+                )
+                / (2400 * F.col("cnt")),
+                6,
+            ).alias("remainder"),
+        )
+        .orderBy("ym")
+    )
