@@ -489,6 +489,7 @@ EXT_R8O = [
 # round 9: suffix-ordering substring dedup + NN-descent kNN refinement.
 EXT_R10 = [
     "q_orders_decompose",
+    "q_embed_knn_refine2",
 ]
 
 EXT_R9 = [
