@@ -490,6 +490,7 @@ EXT_R8O = [
 EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
+    "q_dedup_binary_simhash",
 ]
 
 EXT_R9 = [

@@ -2081,3 +2081,217 @@ def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lcp_tokens")
     )
+
+
+# ---------------------------------------------------------------------------
+# Byte-level SimHash over BINARY payloads (round 10, r9 VERDICT task 4):
+# the one LLM-pipeline dedup modality not yet covered — text had
+# minhash/simhash/semantic/substring, but binary media payloads had only
+# exact md5 equality.  64-bit SimHash over overlapping 8-byte shingles,
+# banded Manku-style (4 x 16-bit bands => every pair with Hamming <= 3
+# shares at least one full band, by pigeonhole), near-dup pairs via band
+# equi-join + exact Hamming filter.  All exact integer algebra, so the
+# DuckDB oracle replays it bit-for-bit.
+# ---------------------------------------------------------------------------
+
+BSH_SHINGLE_BYTES = 8     # shingle width
+BSH_BANDS = 4             # 16-bit bands over the 64-bit signature
+BSH_MAX_HAMMING = 3       # <= BANDS - 1, so banding has perfect recall
+
+
+def _bsh_oracle() -> str:
+    s_h1 = ", ".join(
+        f"CAST(SUM((h1 >> {j}) & 1) AS BIGINT) AS s{j}" for j in range(32)
+    )
+    s_h2 = ", ".join(
+        f"CAST(SUM((h2 >> {j}) & 1) AS BIGINT) AS s{32 + j}"
+        for j in range(32)
+    )
+    bands = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"CASE WHEN 2 * s{16 * b + u} >= m THEN {1 << u} ELSE 0 END"
+            for u in range(16)
+        )
+        + f") AS BIGINT) AS b{b}"
+        for b in range(BSH_BANDS)
+    )
+    ex = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS bi, b{b} AS bv FROM bands"
+        for b in range(BSH_BANDS)
+    )
+    ham = " + ".join(
+        f"bit_count(xor(x.b{b}, y.b{b}))" for b in range(BSH_BANDS)
+    )
+    return f"""
+    WITH d AS (
+      SELECT doc_id, hex(encode(text)) AS hx FROM documents
+    ),
+    sh AS (
+      SELECT doc_id, md5(substr(hx, 2 * i + 1, {2 * BSH_SHINGLE_BYTES}))
+               AS h
+      FROM d, LATERAL (
+        SELECT unnest(range(greatest(
+          length(hx) // 2 - {BSH_SHINGLE_BYTES - 1}, 1))) AS i
+      ) r
+    ),
+    hh AS (
+      SELECT doc_id,
+             ('0x' || substr(h, 1, 8))::UBIGINT::BIGINT AS h1,
+             ('0x' || substr(h, 9, 8))::UBIGINT::BIGINT AS h2
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS m, {s_h1}, {s_h2}
+      FROM hh GROUP BY doc_id
+    ),
+    bands AS MATERIALIZED (
+      SELECT doc_id, {bands} FROM sig
+    ),
+    ex AS ({ex}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ex a JOIN ex b ON a.bi = b.bi AND a.bv = b.bv
+                         AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, hamming FROM (
+      SELECT c.doc_a, c.doc_b, CAST({ham} AS BIGINT) AS hamming
+      FROM cand c
+      JOIN bands x ON x.doc_id = c.doc_a
+      JOIN bands y ON y.doc_id = c.doc_b
+    ) WHERE hamming <= {BSH_MAX_HAMMING}
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("q_dedup_binary_simhash", oracle=_bsh_oracle())
+def q_dedup_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-level near-dup pairs over BINARY payloads: 64-bit SimHash of
+    overlapping {BSH_SHINGLE_BYTES}-byte shingles, Manku-banded.  The
+    byte-payload sibling of the word-level q_dedup_simhash /
+    q_dedup_simhash_pairs pair: those vote with a doc's word set, this
+    one hashes raw BYTES (payload = encode(text) here, the same
+    synthesis as ddl_multimodal_features — a real media BLOB column
+    drops in unchanged, since nothing below reads the bytes as text).
+
+    Algebra, bit-identical in both engines: payload → hex → overlapping
+    16-hex-char (8-byte) windows → md5 → two 32-bit halves; per doc,
+    64 bit-majority votes (bit j set iff 2·Σbit_j ≥ m, ties up) packed
+    into {BSH_BANDS} 16-bit band values; candidates = band equi-join
+    (pigeonhole: Hamming ≤ {BSH_MAX_HAMMING} < {BSH_BANDS} bands forces
+    a shared band — banding has PERFECT recall at the threshold);
+    verify = exact Hamming via bit_count(xor) over the 4 bands.
+
+    Scale shape: one shingle fan-out (corpus-linear, ~n_bytes rows per
+    doc) into ONE hash aggregation keyed on doc_id (64 conditional SUMs
+    ride the same shuffle); the band self-join shuffles on the uniform
+    (band_idx, band_value) key and never materializes all-pairs —
+    exactly the q_dedup_minhash plan with a different sketch.  The
+    16-bit bands keep bucket skew bounded: ~65k buckets per band even
+    at 100 TB, and q_dedup_bucket_stats' workload audit applies as-is.
+    Reference: delegated HiveQL dedup class (backend/hive_manager.py:400);
+    SimHash banding from Manku et al. 2007 (public)."""
+    docs = spread(
+        t(spark, sf_dir, "documents").select(
+            "doc_id", F.hex(F.encode("text", "UTF-8")).alias("hx")
+        ),
+        spark,
+    )
+    nsh = F.greatest(
+        (F.length("hx") / 2).cast("int") - (BSH_SHINGLE_BYTES - 1),
+        F.lit(1),
+    )
+    sh = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), nsh)).alias("i"),
+        "hx",
+    ).select(
+        "doc_id",
+        F.md5(
+            F.col("hx").substr(
+                2 * F.col("i") - 1, F.lit(2 * BSH_SHINGLE_BYTES)
+            )
+        ).alias("h"),
+    )
+    hh = sh.select(
+        "doc_id",
+        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
+        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
+    )
+    aggs = [F.count(F.lit(1)).cast("long").alias("m")]
+    for j in range(32):
+        aggs.append(
+            F.sum(F.expr(f"shiftright(h1, {j}) & 1"))
+            .cast("long")
+            .alias(f"s{j}")
+        )
+    for j in range(32):
+        aggs.append(
+            F.sum(F.expr(f"shiftright(h2, {j}) & 1"))
+            .cast("long")
+            .alias(f"s{32 + j}")
+        )
+    sig = hh.groupBy("doc_id").agg(*aggs)
+
+    def band(b: int) -> Column:
+        v = None
+        for u in range(16):
+            term = F.when(
+                2 * F.col(f"s{16 * b + u}") >= F.col("m"), 1 << u
+            ).otherwise(0)
+            v = term if v is None else v + term
+        return v.cast("long").alias(f"b{b}")
+
+    # the band relation feeds the explode AND both hamming sides — cut
+    # lineage so the shingle fan-out + 64-sum agg runs once
+    bands = sig.select(
+        "doc_id", *[band(b) for b in range(BSH_BANDS)]
+    ).localCheckpoint(eager=False)
+    ex = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(BSH_BANDS)
+                ]
+            )
+        ).alias("kv"),
+    ).select("doc_id", F.col("kv.bi").alias("bi"), F.col("kv.bv").alias("bv"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    x = bands.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{b}").alias(f"xb{b}") for b in range(BSH_BANDS)],
+    )
+    y = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{b}").alias(f"yb{b}") for b in range(BSH_BANDS)],
+    )
+    ham = None
+    for b in range(BSH_BANDS):
+        term = F.bit_count(
+            F.col(f"xb{b}").bitwiseXOR(F.col(f"yb{b}"))
+        )
+        ham = term if ham is None else ham + term
+    return (
+        cand.join(x, "doc_a")
+        .join(y, "doc_b")
+        .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
+        .filter(F.col("hamming") <= BSH_MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    )
