@@ -491,6 +491,7 @@ EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
     "q_dedup_binary_simhash",
+    "q_graph_betweenness_approx",
 ]
 
 EXT_R9 = [

@@ -2055,3 +2055,315 @@ def q_graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(broadcast(unreach))
         .orderBy("node")
     )
+
+
+# ---------------------------------------------------------------------------
+# Approximate betweenness for unbounded graphs (round 10, r9 VERDICT
+# task 5): q_graph_betweenness' walk-power trick is exact but only
+# viable on |V|-bounded domains (the 25-node nation trade graph).  The
+# corpus-scale graph — the doc-similarity edge relation of
+# q_dedup_semantic — needs the sampled-source estimator (public:
+# Brandes-Pich 2007, Riondato-Kornaropoulos 2014): sample K sources
+# deterministically, run a bounded multi-source BFS (q_graph_closeness
+# shape) that also counts shortest paths, then accumulate Brandes
+# dependencies relationally in a depth-descending sweep.
+# ---------------------------------------------------------------------------
+
+BTWA_K = 16      # sampled sources (bottom-K by md5 — the enforced
+#                  deterministic sample contract, as in knn_graph)
+BTWA_D = 10      # BFS horizon; covers the observed diameter (9 at
+#                  sf0.01, 4 at sf0.1) and is AUDITED, not assumed:
+#                  n_frontier_open reports (origin, node) pairs still
+#                  reachable past the horizon (0 at every fixture SF)
+
+
+def _btwa_oracle() -> str:
+    from data_warehouse_hive_spark.extensions.similarity import (
+        SEMANTIC_COS,
+        _o_lsh_bucket,
+    )
+
+    # forward BFS levels l0..lD with path counts, unrolled
+    lv = []
+    for k in range(1, BTWA_D + 1):
+        lv.append(f"""
+    l{k} AS MATERIALIZED (
+      SELECT p.origin, e.dst AS node, CAST(SUM(p.sigma) AS BIGINT) AS sigma
+      FROM l{k - 1} p JOIN edges e ON e.src = p.node
+      WHERE NOT EXISTS (SELECT 1 FROM s{k - 1} s
+                        WHERE s.origin = p.origin AND s.node = e.dst)
+      GROUP BY 1, 2
+    ),
+    s{k} AS MATERIALIZED (
+      SELECT origin, node FROM s{k - 1}
+      UNION ALL SELECT origin, node FROM l{k}
+    )""")
+    # backward dependency sweep dD..d1
+    dv = [f"""
+    d{BTWA_D} AS (
+      SELECT origin, node, sigma, CAST(0 AS BIGINT) AS d9 FROM l{BTWA_D}
+    )"""]
+    for k in range(BTWA_D - 1, 0, -1):
+        dv.append(f"""
+    c{k} AS (
+      SELECT vk.origin, vk.node,
+             CAST(SUM(CAST(floor(CAST(vk.sigma AS DOUBLE)
+                 * (1000000000 + dn.d9) / dn.sigma + 0.5) AS BIGINT))
+               AS BIGINT) AS d9
+      FROM l{k} vk
+      JOIN edges e ON e.src = vk.node
+      JOIN d{k + 1} dn ON dn.origin = vk.origin AND dn.node = e.dst
+      GROUP BY 1, 2
+    ),
+    d{k} AS MATERIALIZED (
+      SELECT vk.origin, vk.node, vk.sigma, COALESCE(c.d9, 0) AS d9
+      FROM l{k} vk LEFT JOIN c{k} c
+        ON c.origin = vk.origin AND c.node = vk.node
+    )""")
+    alldelta = " UNION ALL ".join(
+        f"SELECT node, d9 FROM d{k}" for k in range(1, BTWA_D + 1)
+    )
+    return f"""
+    WITH v AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      FROM embeddings
+    ),
+    vb AS (SELECT *, {_o_lsh_bucket('e')} AS bucket FROM v),
+    pairs AS (
+      SELECT a.vec_id AS va, b.vec_id AS vbid
+      FROM vb a JOIN vb b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      WHERE round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 6)
+            >= {SEMANTIC_COS}
+    ),
+    edges AS MATERIALIZED (
+      SELECT va AS src, vbid AS dst FROM pairs
+      UNION ALL SELECT vbid, va FROM pairs
+    ),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges),
+    smpsrc AS (
+      SELECT node FROM (
+        SELECT node, ROW_NUMBER() OVER (ORDER BY md5(CAST(node AS VARCHAR)),
+                                        node) AS rk
+        FROM nodes
+      ) WHERE rk <= {BTWA_K}
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node AS origin, node, CAST(1 AS BIGINT) AS sigma FROM smpsrc
+    ),
+    s0 AS (SELECT origin, node FROM l0),
+    {",".join(lv)},
+    frontier AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_frontier_open FROM (
+        SELECT DISTINCT p.origin, e.dst
+        FROM l{BTWA_D} p JOIN edges e ON e.src = p.node
+        WHERE NOT EXISTS (SELECT 1 FROM s{BTWA_D} s
+                          WHERE s.origin = p.origin AND s.node = e.dst)
+      )
+    ),
+    {",".join(dv)},
+    bc AS (
+      SELECT node, CAST(SUM(d9) AS BIGINT) AS delta9_sum
+      FROM ({alldelta}) GROUP BY node
+    ),
+    meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
+    SELECT n.node AS vec_id,
+           CAST(COALESCE(b.delta9_sum, 0) AS BIGINT) AS delta9_sum,
+           round(CAST(COALESCE(b.delta9_sum, 0) AS DOUBLE) * m.n
+                 / ({2 * BTWA_K} * 1e9), 6) AS bc_est,
+           (SELECT n_frontier_open FROM frontier) AS n_frontier_open
+    FROM nodes n LEFT JOIN bc b ON b.node = n.node
+    CROSS JOIN meta m
+    ORDER BY vec_id
+    """
+
+
+@query("q_graph_betweenness_approx", oracle=_btwa_oracle())
+def q_graph_betweenness_approx(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Sampled-source approximate betweenness on the CORPUS-SCALE
+    doc-similarity graph (q_dedup_semantic's edge relation: LSH-bucket
+    cosine-threshold pairs over embeddings) — the estimator
+    q_graph_betweenness cannot be: its walk-power σ extraction is
+    |V|-domain-bounded, while this graph grows with the corpus.
+    Brandes-Pich/Riondato-Kornaropoulos form (public): BFS from
+    {BTWA_K} deterministically-sampled sources (bottom-K by md5 — the
+    same enforced sample contract as knn_graph's eval ops), counting
+    shortest paths σ per (origin, node); then the Brandes dependency
+    δ(v) = Σ_w σ_v/σ_w · (1 + δ_w) accumulated RELATIONALLY in a
+    depth-descending sweep (edges from level k to level k+1 only);
+    estimate = n/(2K) · Σ_sources δ (undirected halving).
+
+    Determinism contract: σ are exact BIGINTs (path counts summed
+    level-by-level); each δ term is pinned to the 1e9 carrier with ONE
+    identically-written double expression (σ_v·(1e9+δ9_w)/σ_w, floored)
+    so per-node sums are order-free and both engines agree bit-for-bit
+    — delta9_sum is emitted raw precisely so the oracle pins the exact
+    integers, not just the rounded estimate.  The {BTWA_D}-level
+    horizon is AUDITED like q_graph_betweenness's diameter guard:
+    n_frontier_open counts (origin, node) pairs first reachable at
+    depth {BTWA_D + 1} (0 at every fixture SF; nonzero = truncation is
+    visible in the result, and longer-than-horizon dependencies are
+    excluded on BOTH sides identically).
+
+    Scale shape: the only corpus-scale stages are the bucket self-join
+    building the edges (q_dedup_semantic's plan — never all-pairs) and
+    the K-source BFS whose frontier relation is ≤ K·|V| rows — K is a
+    CONSTANT, so forward+backward cost is O(K·(|V|+|E|)) total, the
+    textbook sampled-Brandes bound, vs O(|V|·|E|) exact.  Every level
+    is lineage-cut once (multi-consumer: next level, anti-join seen set,
+    backward sweep)."""
+    from data_warehouse_hive_spark.extensions.similarity import (
+        SEMANTIC_COS,
+        as_double_vec,
+        dot,
+        lsh_bucket_col,
+    )
+    from data_warehouse_hive_spark.tables import spread
+
+    v = spread(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id", as_double_vec("embedding").alias("e")
+        ),
+        spark,
+    ).withColumn("bucket", lsh_bucket_col(F.col("e"))).withColumn(
+        "nrm", F.sqrt(dot(F.col("e"), F.col("e")))
+    )
+    a = v.select(
+        F.col("vec_id").alias("va"), F.col("e").alias("ea"),
+        F.col("nrm").alias("na"), "bucket",
+    )
+    b = v.select(
+        F.col("vec_id").alias("vbid"), F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"), F.col("bucket").alias("bucket_b"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("bucket") == F.col("bucket_b"))
+            & (F.col("va") < F.col("vbid")),
+        )
+        .filter(
+            F.round(
+                dot(F.col("ea"), F.col("eb")) / (F.col("na") * F.col("nb")),
+                6,
+            )
+            >= SEMANTIC_COS
+        )
+        .select("va", "vbid")
+    )
+    edges = (
+        pairs.select(F.col("va").alias("src"), F.col("vbid").alias("dst"))
+        .unionAll(
+            pairs.select(F.col("vbid").alias("src"), F.col("va").alias("dst"))
+        )
+        .localCheckpoint(eager=False)  # consumed by every BFS round
+    )
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.count()
+    srcs = (
+        nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
+        .limit(BTWA_K)
+    )
+    lv = srcs.select(
+        F.col("node").alias("origin"),
+        "node",
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint(eager=False)
+    levels = [lv]
+    seen = lv.select("origin", "node").localCheckpoint(eager=False)
+    for _k in range(1, BTWA_D + 1):
+        new = (
+            lv.join(edges, F.col("node") == F.col("src"))
+            .groupBy("origin", F.col("dst").alias("node2"))
+            .agg(F.sum("sigma").cast("long").alias("sigma"))
+            .select("origin", F.col("node2").alias("node"), "sigma")
+            .join(seen, ["origin", "node"], "left_anti")
+            .localCheckpoint(eager=False)
+        )
+        levels.append(new)
+        seen = seen.unionAll(new.select("origin", "node")).localCheckpoint(
+            eager=False
+        )
+        lv = new
+    n_frontier_open = (
+        lv.join(edges, F.col("node") == F.col("src"))
+        .select("origin", F.col("dst").alias("node"))
+        .distinct()
+        .join(seen, ["origin", "node"], "left_anti")
+        .count()
+    )
+    # backward dependency sweep
+    delta = levels[BTWA_D].select(
+        "origin", "node", "sigma", F.lit(0).cast("long").alias("d9")
+    )
+    deltas = []
+    for k in range(BTWA_D - 1, 0, -1):
+        dn = delta.select(
+            F.col("origin").alias("o2"),
+            F.col("node").alias("wnode"),
+            F.col("sigma").alias("wsigma"),
+            F.col("d9").alias("wd9"),
+        )
+        contrib = (
+            levels[k]
+            .join(edges, F.col("node") == F.col("src"))
+            .join(
+                dn,
+                (F.col("origin") == F.col("o2"))
+                & (F.col("dst") == F.col("wnode")),
+            )
+            .groupBy("origin", "node")
+            .agg(
+                F.sum(
+                    F.floor(
+                        F.col("sigma").cast("double")
+                        * (F.lit(1000000000).cast("long") + F.col("wd9"))
+                        / F.col("wsigma")
+                        + 0.5
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("cd9")
+            )
+        )
+        delta = (
+            levels[k]
+            .join(contrib, ["origin", "node"], "left")
+            .select(
+                "origin",
+                "node",
+                "sigma",
+                F.coalesce(F.col("cd9"), F.lit(0)).cast("long").alias("d9"),
+            )
+            .localCheckpoint(eager=False)  # next round + final union
+        )
+        deltas.append(delta)
+    alldelta = levels[BTWA_D].select(
+        "node", F.lit(0).cast("long").alias("d9")
+    )
+    for d in deltas:
+        alldelta = alldelta.unionAll(d.select("node", "d9"))
+    bc = alldelta.groupBy("node").agg(
+        F.sum("d9").cast("long").alias("delta9_sum")
+    )
+    return (
+        nodes.join(bc, "node", "left")
+        .select(
+            F.col("node").alias("vec_id"),
+            F.coalesce(F.col("delta9_sum"), F.lit(0))
+            .cast("long")
+            .alias("delta9_sum"),
+            F.round(
+                F.coalesce(F.col("delta9_sum"), F.lit(0)).cast("double")
+                * n_nodes
+                / (2 * BTWA_K * 1e9),
+                6,
+            ).alias("bc_est"),
+            F.lit(n_frontier_open).cast("long").alias("n_frontier_open"),
+        )
+        .orderBy("vec_id")
+    )
