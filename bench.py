@@ -492,6 +492,7 @@ EXT_R10 = [
     "q_embed_knn_refine2",
     "q_dedup_binary_simhash",
     "q_graph_betweenness_approx",
+    "ddl_knn_index_persist",
 ]
 
 EXT_R9 = [

@@ -1802,3 +1802,115 @@ def ddl_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_flagged_docs long, n_eval_grams long, n_microbatches long,"
         " stream_equals_batch boolean",
     )
+
+
+@query("ddl_knn_index_persist")
+def ddl_knn_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted ANN index with incremental append (r9 VERDICT task 2):
+    the 2-table LSH bucket relation that every session previously
+    rebuilt into a memo (extensions/knn_graph.py) written ONCE as a
+    BUCKETED catalog table — the reference's external-table pattern
+    applied to the index itself — then a NEW batch of vectors admitted
+    by appending rows that touch only their own buckets (the
+    q_dedup_incremental admission shape, extensions/dedup.py).
+
+    Layout: one row per (hash-table, bucket, vector) with the combined
+    bucket id as the bucketBy key, so (a) a query probes exactly the
+    buckets its own hashes name (partition-pruned, never a corpus
+    scan), (b) candidate generation is a ZERO-SHUFFLE self-join — both
+    sides already share the bucket layout (ddl_bucketed_join property,
+    asserted on the executed plan here too), and (c) an incremental
+    batch append writes only the files of the buckets it lands in.
+
+    Behavioral checks: the appended index is row-for-row EQUAL to a
+    full rebuild over base+batch (exceptAll both ways — the same
+    incremental≡rebuild contract as q_dedup_incremental), and the
+    bucket self-join plans with zero shuffle Exchanges.  At 100 TB this
+    is the production shape: the index outlives the session, new
+    corpus shards append in O(batch), and bucket-pruned probes replace
+    the per-session LSH rebuild."""
+    from data_warehouse_hive_spark.extensions.knn_graph import (
+        lsh_bucket2_col,
+    )
+    from data_warehouse_hive_spark.extensions.similarity import (
+        LSH_BITS,
+        as_double_vec,
+        lsh_bucket_col,
+    )
+    from data_warehouse_hive_spark.sources.bucketing import (
+        create_bucketed_table,
+    )
+
+    v = t(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec("embedding").alias("e")
+    )
+    base = v.filter(F.col("vec_id") % 10 != 0)
+    batch = v.filter(F.col("vec_id") % 10 == 0)
+
+    def index_rows(df: DataFrame) -> DataFrame:
+        # combined key: table 0 → buckets [0, 2^bits), table 1 → offset
+        t1 = df.select(
+            "vec_id", "e", lsh_bucket_col(F.col("e")).alias("bkey")
+        )
+        t2 = df.select(
+            "vec_id",
+            "e",
+            (lsh_bucket2_col(F.col("e")) + F.lit(2**LSH_BITS).cast("long")
+             ).alias("bkey"),
+        )
+        return t1.unionByName(t2)
+
+    name = f"knn_idx_{uuid.uuid4().hex[:8]}"
+    create_bucketed_table(
+        index_rows(base), name, "bkey", n_buckets=8, sort_col="vec_id"
+    )
+    new_rows = index_rows(batch).localCheckpoint(eager=False)
+    n_buckets_touched = new_rows.select("bkey").distinct().count()
+    (
+        new_rows.write.mode("append")
+        .bucketBy(8, "bkey")
+        .sortBy("vec_id")
+        .saveAsTable(name)
+    )
+
+    merged = spark.table(name).select("bkey", "vec_id", "e")
+    rebuild = index_rows(v).select("bkey", "vec_id", "e")
+    extra = merged.exceptAll(rebuild).count()
+    missing = rebuild.exceptAll(merged).count()
+
+    # candidate generation: bucket self-join must be shuffle-free
+    old_thresh = spark.conf.get(
+        "spark.sql.autoBroadcastJoinThreshold", "10485760"
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        left = spark.table(name).select("bkey", "vec_id")
+        right = spark.table(name).select(
+            "bkey", F.col("vec_id").alias("vec_b")
+        )
+        cand = left.join(right, "bkey").filter(
+            F.col("vec_id") < F.col("vec_b")
+        )
+        plan = cand._jdf.queryExecution().executedPlan().toString()
+        n_shuffles = plan.count("Exchange hashpartitioning") + plan.count(
+            "Exchange rangepartitioning"
+        )
+        n_cand = cand.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+    n_index = merged.count()
+    cat.drop_table(spark, name)
+    assert extra == 0 and missing == 0, (extra, missing)
+    assert n_shuffles == 0, plan[:2000]
+    return spark.createDataFrame(
+        [
+            Row(
+                n_index_rows=n_index,
+                n_batch_rows=int(new_rows.count()),
+                n_buckets_touched=n_buckets_touched,
+                incremental_equals_rebuild=extra == 0 and missing == 0,
+                shuffle_exchanges=n_shuffles,
+                n_candidate_pairs=n_cand,
+            )
+        ]
+    )
