@@ -493,6 +493,8 @@ EXT_R10 = [
     "q_dedup_binary_simhash",
     "q_graph_betweenness_approx",
     "ddl_knn_index_persist",
+    "q_stats_wasserstein",
+    "q_stats_energy_distance",
 ]
 
 EXT_R9 = [

@@ -2497,3 +2497,233 @@ def q_events_ccf(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_overlap"),
         F.round(num / den, 6).alias("ccf"),
     ).orderBy("type_x", "type_y", "lag")
+
+
+# ---------------------------------------------------------------------------
+# 1-D Wasserstein (round 10): the UNBINNED exact complement of
+# q_events_psi in the same early/late framing — PSI is a binned
+# log-odds scorecard number; W1 is the integrated CDF gap (earth
+# mover's distance), computed EXACTLY on the cents histogram with no
+# quantile sort and no binning loss.  (The max-CDF-gap statistic
+# already exists as q_stats_ks, operators/aggregates.py, in the
+# click-vs-error two-cohort framing.)
+# ---------------------------------------------------------------------------
+
+_O_DRIFT_CDF = f"""
+    ev AS (
+      SELECT event_type,
+             CAST(floor(value * 100 + 0.5) AS BIGINT) AS xq,
+             CASE WHEN CAST(strftime(ts, '%d') AS BIGINT)
+                       <= {PSI_SPLIT_DOM} THEN 1 ELSE 0 END AS early
+      FROM events
+    ),
+    cells AS (
+      SELECT event_type, xq,
+             CAST(SUM(early) AS BIGINT) AS na,
+             CAST(SUM(1 - early) AS BIGINT) AS nb
+      FROM ev GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type, CAST(SUM(na) AS BIGINT) AS ta,
+             CAST(SUM(nb) AS BIGINT) AS tb
+      FROM cells GROUP BY 1
+    ),
+    cum AS (
+      SELECT c.event_type, c.xq, c.na, c.nb, t.ta, t.tb,
+             CAST(SUM(c.na) OVER w AS BIGINT) AS ca,
+             CAST(SUM(c.nb) OVER w AS BIGINT) AS cb,
+             CAST(SUM(c.na * c.xq) OVER w AS BIGINT) AS sa,
+             CAST(SUM(c.nb * c.xq) OVER w AS BIGINT) AS sb,
+             CAST(COALESCE(LEAD(c.xq) OVER w - c.xq, 0) AS BIGINT) AS gap
+      FROM cells c JOIN tot t USING (event_type)
+      WINDOW w AS (PARTITION BY c.event_type ORDER BY c.xq)
+    )
+"""
+
+
+def _drift_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(type, distinct cents value): early/late cumulative counts,
+    totals, and the gap to the next distinct value — the shared exact
+    empirical-CDF relation for KS and W1 (histogram midrank pattern: no
+    global sort of raw rows, one shuffle on the (type, value) domain)."""
+    ev = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
+        F.when(F.dayofmonth("ts") <= PSI_SPLIT_DOM, 1)
+        .otherwise(0)
+        .alias("early"),
+    )
+    cells = ev.groupBy("event_type", "xq").agg(
+        F.sum("early").cast("long").alias("na"),
+        F.sum(1 - F.col("early")).cast("long").alias("nb"),
+    )
+    tot = cells.groupBy("event_type").agg(
+        F.sum("na").cast("long").alias("ta"),
+        F.sum("nb").cast("long").alias("tb"),
+    )
+    w = Window.partitionBy("event_type").orderBy("xq")
+    return (
+        cells.join(broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "xq",
+            "na",
+            "nb",
+            "ta",
+            "tb",
+            F.sum("na").over(w).cast("long").alias("ca"),
+            F.sum("nb").over(w).cast("long").alias("cb"),
+            F.sum(F.col("na") * F.col("xq")).over(w).cast("long").alias("sa"),
+            F.sum(F.col("nb") * F.col("xq")).over(w).cast("long").alias("sb"),
+            F.coalesce(F.lead("xq").over(w) - F.col("xq"), F.lit(0))
+            .cast("long")
+            .alias("gap"),
+        )
+    )
+
+
+@query(
+    "q_stats_wasserstein",
+    oracle=f"""
+    WITH {_O_DRIFT_CDF}
+    SELECT event_type,
+           CAST(MAX(ta) AS BIGINT) AS n_early,
+           CAST(MAX(tb) AS BIGINT) AS n_late,
+           round(CAST(SUM(CAST(gap AS HUGEINT)
+                          * abs(ca * tb - cb * ta)) AS DOUBLE)
+                 / (CAST(MAX(ta) AS DOUBLE) * MAX(tb) * 100.0), 6)
+             AS w1_dollars
+    FROM cum GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q_stats_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth mover's) distance between the early and
+    late value distributions per event type — the INTEGRATED CDF gap
+    W1 = ∫|F_early − F_late| dx, in dollars: "how far does probability
+    mass actually move", the drift magnitude PSI (log-odds) and the
+    max-gap KS statistic (q_stats_ks, operators/aggregates.py — the
+    click-vs-error two-cohort framing) don't measure.  Closed form on
+    the exact CDF relation: Σ over consecutive distinct values of
+    (value gap)·|ca·tb − cb·ta|, every term an exact integer (HUGEINT /
+    DECIMAL(38) accumulator — gap·n²/4 exceeds BIGINT past ~10⁷ rows
+    per type), with ONE fixed-order double division at the end.
+    PSI + W1 over one framing (plus KS on its own) is the standard
+    drift-monitor panel; all are value-domain-bounded after their
+    first aggregation."""
+    cum = _drift_cdf(spark, sf_dir)
+    num = F.abs(F.col("ca") * F.col("tb") - F.col("cb") * F.col("ta"))
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("ta").cast("long").alias("n_early"),
+            F.max("tb").cast("long").alias("n_late"),
+            F.round(
+                F.sum(
+                    F.col("gap").cast("decimal(38,0)") * num
+                ).cast("double")
+                / (F.max("ta").cast("double") * F.max("tb") * 100.0),
+                6,
+            ).alias("w1_dollars"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@query(
+    "q_stats_energy_distance",
+    oracle=f"""
+    WITH {_O_DRIFT_CDF},
+    terms AS (
+      SELECT event_type, ta, tb,
+             CAST(nb AS HUGEINT) * (xq * (ca - na) - (sa - na * xq))
+             + CAST(na AS HUGEINT) * (xq * (cb - nb) - (sb - nb * xq))
+               AS cross_t,
+             CAST(na AS HUGEINT) * (xq * (ca - na) - (sa - na * xq))
+               AS aa_t,
+             CAST(nb AS HUGEINT) * (xq * (cb - nb) - (sb - nb * xq))
+               AS bb_t
+      FROM cum
+    ),
+    sums AS (
+      SELECT event_type, MAX(ta) AS ta, MAX(tb) AS tb,
+             SUM(cross_t) AS sc, SUM(aa_t) AS saa, SUM(bb_t) AS sbb
+      FROM terms GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(ta AS BIGINT) AS n_early,
+           CAST(tb AS BIGINT) AS n_late,
+           round(CAST(sc AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * tb * 100.0), 6)
+             AS mean_absdiff_dollars,
+           round((2.0 * CAST(sc AS DOUBLE) / (CAST(ta AS DOUBLE) * tb)
+                  - 2.0 * CAST(saa AS DOUBLE)
+                    / (CAST(ta AS DOUBLE) * ta)
+                  - 2.0 * CAST(sbb AS DOUBLE)
+                    / (CAST(tb AS DOUBLE) * tb)) / 100.0, 6)
+             AS energy_distance_dollars
+    FROM sums ORDER BY event_type
+    """,
+)
+def q_stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the early and late value distributions
+    per event type — E = 2·E|X−Y| − E|X−X'| − E|Y−Y'| (Székely, public)
+    — the drift statistic with POWER AGAINST EVERYTHING (zero iff the
+    distributions are equal), completing the monitor panel next to PSI
+    (binned log-odds), W1 (integrated gap) and KS (max gap).
+
+    The three pairwise |·|-sums are computed WITHOUT materializing any
+    pair, via the order-statistic identity on the shared exact CDF
+    relation: Σ_{{i<j}} (v_j−v_i)c_i c_j telescopes to
+    Σ_j c_j·(v_j·C_{{<j}} − S_{{<j}}) with C/S the strictly-below
+    cumulative count and value-sum (the same histogram-midrank trick
+    that de-sorted the rank statistics).  Every per-row term is an
+    exact integer on a HUGEINT/DECIMAL(38) accumulator (term bound
+    ~max_cents·n² — BIGINT would saturate past ~10⁷ rows per type), so
+    group sums are order-free; the V-statistic normalizations are
+    fixed-order double divisions at the end.  mean_absdiff_dollars
+    (= E|X−Y|, the cross Gini mean difference) rides along as the
+    interpretable scale."""
+    cum = _drift_cdf(spark, sf_dir)
+    below_a = F.col("xq") * (F.col("ca") - F.col("na")) - (
+        F.col("sa") - F.col("na") * F.col("xq")
+    )
+    below_b = F.col("xq") * (F.col("cb") - F.col("nb")) - (
+        F.col("sb") - F.col("nb") * F.col("xq")
+    )
+    terms = cum.select(
+        "event_type",
+        "ta",
+        "tb",
+        (
+            F.col("nb").cast("decimal(38,0)") * below_a
+            + F.col("na").cast("decimal(38,0)") * below_b
+        ).alias("cross_t"),
+        (F.col("na").cast("decimal(38,0)") * below_a).alias("aa_t"),
+        (F.col("nb").cast("decimal(38,0)") * below_b).alias("bb_t"),
+    )
+    sums = terms.groupBy("event_type").agg(
+        F.max("ta").alias("ta"),
+        F.max("tb").alias("tb"),
+        F.sum("cross_t").alias("sc"),
+        F.sum("aa_t").alias("saa"),
+        F.sum("bb_t").alias("sbb"),
+    )
+    ta_d = F.col("ta").cast("double")
+    tb_d = F.col("tb").cast("double")
+    return sums.select(
+        "event_type",
+        F.col("ta").cast("long").alias("n_early"),
+        F.col("tb").cast("long").alias("n_late"),
+        F.round(
+            F.col("sc").cast("double") / (ta_d * F.col("tb") * 100.0), 6
+        ).alias("mean_absdiff_dollars"),
+        F.round(
+            (
+                2.0 * F.col("sc").cast("double") / (ta_d * F.col("tb"))
+                - 2.0 * F.col("saa").cast("double") / (ta_d * F.col("ta"))
+                - 2.0 * F.col("sbb").cast("double") / (tb_d * F.col("tb"))
+            )
+            / 100.0,
+            6,
+        ).alias("energy_distance_dollars"),
+    ).orderBy("event_type")
