@@ -495,6 +495,7 @@ EXT_R10 = [
     "ddl_knn_index_persist",
     "q_stats_wasserstein",
     "q_stats_energy_distance",
+    "q_orders_anomaly_stl",
 ]
 
 EXT_R9 = [

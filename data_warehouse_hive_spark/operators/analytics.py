@@ -3266,10 +3266,11 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "q_orders_decompose",
-    oracle="""
-    WITH m AS (
+# Shared decomposition core (q_orders_decompose + q_orders_anomaly_stl):
+# monthly revenue series -> centered 2x12-MA trend carrier T24 ->
+# detrended d24 -> month-of-year seasonal numerators (sum24, cnt).
+_O_DECOMP_CORE = """
+    m AS (
       SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
                AS t,
              CAST(year(o_orderdate) AS BIGINT) AS yr,
@@ -3296,6 +3297,13 @@ def q_orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS BIGINT) AS cnt
       FROM det GROUP BY mo
     )
+"""
+
+
+@query(
+    "q_orders_decompose",
+    oracle=f"""
+    WITH {_O_DECOMP_CORE}
     SELECT printf('%04d-%02d', d.yr, d.mo) AS ym,
            round(d.x / 100.0, 2) AS observed,
            round(d.t24 / 2400.0, 6) AS trend,
@@ -3331,6 +3339,25 @@ def q_orders_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     months with an incomplete 13-month frame are excluded, as classical
     decomposition prescribes.  Reference: delegated HiveQL analytics
     class (backend/hive_manager.py:400)."""
+    return _decompose_df(spark, sf_dir).select(
+        F.format_string("%04d-%02d", "yr", "mo").alias("ym"),
+        F.round(F.col("x") / 100.0, 2).alias("observed"),
+        F.round(F.col("t24") / 2400.0, 6).alias("trend"),
+        F.round(
+            F.col("sum24").cast("double") / (2400 * F.col("cnt")), 6
+        ).alias("seasonal"),
+        F.round(
+            (F.col("d24") * F.col("cnt") - F.col("sum24")).cast("double")
+            / (2400 * F.col("cnt")),
+            6,
+        ).alias("remainder"),
+    ).orderBy("ym")
+
+
+def _decompose_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-carrier decomposition relation: one row per trend-defined
+    month with (yr, mo, x cents, T24, d24, sum24, cnt) — see
+    q_orders_decompose for the algebra."""
     o = t(spark, sf_dir, "orders").select("o_orderdate", "o_totalprice")
     m = o.groupBy(
         (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
@@ -3365,22 +3392,87 @@ def q_orders_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("d24").cast("long").alias("sum24"),
         F.count(F.lit(1)).cast("long").alias("cnt"),
     )
-    return (
-        det.join(F.broadcast(seas), "mo")
-        .select(
-            F.format_string("%04d-%02d", "yr", "mo").alias("ym"),
-            F.round(F.col("x") / 100.0, 2).alias("observed"),
-            F.round(F.col("t24") / 2400.0, 6).alias("trend"),
-            F.round(
-                F.col("sum24").cast("double") / (2400 * F.col("cnt")), 6
-            ).alias("seasonal"),
-            F.round(
-                (F.col("d24") * F.col("cnt") - F.col("sum24")).cast(
-                    "double"
-                )
-                / (2400 * F.col("cnt")),
-                6,
-            ).alias("remainder"),
+    return det.join(F.broadcast(seas), "mo")
+
+
+STL_MAD_K = 3  # flag months beyond 3 robust sigmas (1.4826*MAD), the
+#                standard residual-outlier rule
+
+
+@query(
+    "q_orders_anomaly_stl",
+    oracle=f"""
+    WITH {_O_DECOMP_CORE},
+    rem AS (
+      SELECT printf('%04d-%02d', d.yr, d.mo) AS ym,
+             CAST(floor(CAST(d.d24 * s.cnt - s.sum24 AS DOUBLE)
+                        / (2400 * s.cnt) * 1e9 + 0.5) AS BIGINT) AS r9
+      FROM det d JOIN seas s USING (mo)
+    ),
+    med AS (SELECT quantile_disc(r9, 0.5) AS med9 FROM rem),
+    dev AS (
+      SELECT r.ym, r.r9, abs(r.r9 - m.med9) AS adev
+      FROM rem r CROSS JOIN med m
+    ),
+    mad AS (SELECT quantile_disc(adev, 0.5) AS mad9 FROM dev)
+    SELECT d.ym,
+           round(d.r9 / 1e9, 4) AS remainder,
+           round(CAST(d.adev AS DOUBLE) / a.mad9, 4) AS dev_mads,
+           d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
+    FROM dev d CROSS JOIN mad a
+    ORDER BY ym
+    """,
+)
+def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual anomaly detection on the classical decomposition: a
+    month is anomalous when its decomposition REMAINDER sits more than
+    {STL_MAD_K} MADs from the median remainder — the STL-residual rule
+    that finds months deviating from BOTH their trend and their
+    seasonal norm (a raw-revenue threshold can't: December is always
+    'anomalous' against a flat threshold; against trend+seasonal it is
+    expected).  Composes q_orders_decompose (shared _decompose_df /
+    _O_DECOMP_CORE) with the q_anomaly_mad robust-threshold idiom.
+
+    Determinism: each remainder is pinned ONCE to a 1e9 carrier
+    (identical double expression both engines); median and MAD are
+    percentile_disc over those exact integers — discrete quantiles
+    return actual data values, so no interpolation ambiguity exists
+    anywhere.  All months are emitted with their deviation in MADs and
+    the flag (never an empty result).  Scale: the residual relation is
+    month-domain-bounded, so the two quantile passes sort ~80 integers
+    regardless of corpus size — the one corpus-scale stage remains the
+    orders month rollup inside the shared core."""
+    rem = _decompose_df(spark, sf_dir).select(
+        F.format_string("%04d-%02d", "yr", "mo").alias("ym"),
+        F.floor(
+            (F.col("d24") * F.col("cnt") - F.col("sum24")).cast("double")
+            / (2400 * F.col("cnt"))
+            * 1e9
+            + 0.5
         )
-        .orderBy("ym")
+        .cast("long")
+        .alias("r9"),
+    )
+    rem.createOrReplaceTempView("stl_rem")
+    return spark.sql(
+        f"""
+        WITH med AS (
+          SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY r9) AS med9
+          FROM stl_rem
+        ),
+        dev AS (
+          SELECT r.ym, r.r9, abs(r.r9 - m.med9) AS adev
+          FROM stl_rem r CROSS JOIN med m
+        ),
+        mad AS (
+          SELECT percentile_disc(0.5) WITHIN GROUP (ORDER BY adev) AS mad9
+          FROM dev
+        )
+        SELECT d.ym,
+               round(d.r9 / 1e9, 4) AS remainder,
+               round(CAST(d.adev AS DOUBLE) / a.mad9, 4) AS dev_mads,
+               d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
+        FROM dev d CROSS JOIN mad a
+        ORDER BY ym
+        """
     )
