@@ -496,6 +496,7 @@ EXT_R10 = [
     "q_stats_wasserstein",
     "q_stats_energy_distance",
     "q_orders_anomaly_stl",
+    "ddl_stream_binary_simhash",
 ]
 
 EXT_R9 = [

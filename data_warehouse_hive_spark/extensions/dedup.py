@@ -2197,6 +2197,45 @@ def q_dedup_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     )
+    # the band relation feeds the explode AND both hamming sides — cut
+    # lineage so the shingle fan-out + 64-sum agg runs once
+    bands = binary_simhash_bands(docs).localCheckpoint(eager=False)
+    ex = bands.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                    )
+                    for b in range(BSH_BANDS)
+                ]
+            )
+        ).alias("kv"),
+    ).select("doc_id", F.col("kv.bi").alias("bi"), F.col("kv.bv").alias("bv"))
+    cand = (
+        ex.alias("a")
+        .join(
+            ex.alias("b"),
+            (F.col("a.bi") == F.col("b.bi"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    return bsh_hamming_pairs(cand, bands).orderBy("doc_a", "doc_b")
+
+
+def binary_simhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, hx hex-payload) → (doc_id, b0..b3): the 64-bit byte-level
+    SimHash packed as four 16-bit band values — the per-doc stage of
+    q_dedup_binary_simhash, factored out so the streaming twin
+    (ddl_stream_binary_simhash) runs the identical signature algebra
+    per micro-batch.  Pure doc-local compute + ONE doc-keyed agg."""
     nsh = F.greatest(
         (F.length("hx") / 2).cast("int") - (BSH_SHINGLE_BYTES - 1),
         F.lit(1),
@@ -2242,38 +2281,12 @@ def q_dedup_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = term if v is None else v + term
         return v.cast("long").alias(f"b{b}")
 
-    # the band relation feeds the explode AND both hamming sides — cut
-    # lineage so the shingle fan-out + 64-sum agg runs once
-    bands = sig.select(
-        "doc_id", *[band(b) for b in range(BSH_BANDS)]
-    ).localCheckpoint(eager=False)
-    ex = bands.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
-                    )
-                    for b in range(BSH_BANDS)
-                ]
-            )
-        ).alias("kv"),
-    ).select("doc_id", F.col("kv.bi").alias("bi"), F.col("kv.bv").alias("bv"))
-    cand = (
-        ex.alias("a")
-        .join(
-            ex.alias("b"),
-            (F.col("a.bi") == F.col("b.bi"))
-            & (F.col("a.bv") == F.col("b.bv"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-        )
-        .distinct()
-    )
+    return sig.select("doc_id", *[band(b) for b in range(BSH_BANDS)])
+
+
+def bsh_hamming_pairs(cand: DataFrame, bands: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) candidates × band relation → exact-Hamming-verified
+    near-dup pairs (hamming <= BSH_MAX_HAMMING), unordered."""
     x = bands.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"b{b}").alias(f"xb{b}") for b in range(BSH_BANDS)],
@@ -2293,5 +2306,4 @@ def q_dedup_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(y, "doc_b")
         .select("doc_a", "doc_b", ham.cast("long").alias("hamming"))
         .filter(F.col("hamming") <= BSH_MAX_HAMMING)
-        .orderBy("doc_a", "doc_b")
     )

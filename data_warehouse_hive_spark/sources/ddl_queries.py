@@ -1914,3 +1914,142 @@ def ddl_knn_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
+
+
+@query("ddl_stream_binary_simhash")
+def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming byte-level SimHash admission — the ingest-side twin of
+    q_dedup_binary_simhash, closing the batch/stream symmetry for the
+    binary-payload dedup modality the same way ddl_stream_decontaminate
+    closed it for n-gram decontamination: the BASE corpus's band
+    signatures are persisted once (the ddl_knn_index_persist pattern
+    applied to the SimHash index), new documents arrive as a STREAM,
+    and each micro-batch computes its own 64-bit signatures with the
+    IDENTICAL factored algebra (binary_simhash_bands), probes the
+    persisted index on band equality, and appends exact-Hamming
+    near-dup pairs.  A document's signature is doc-local (its shingles
+    never span rows), so per-batch computation is complete with no
+    cross-batch state — the property that makes SimHash admission
+    horizontally scalable at ingest.
+
+    The sink is idempotent (batch_id-keyed partition overwrite — the
+    ddl_stream_decontaminate replay contract), and AvailableNow with
+    maxFilesPerTrigger=2 forces ≥2 real micro-batches.  Behavioral
+    (rows-only): stream result must equal the one-shot batch plan
+    row-for-row (exceptAll both ways)."""
+    from data_warehouse_hive_spark.extensions.dedup import (
+        BSH_BANDS,
+        binary_simhash_bands,
+        bsh_hamming_pairs,
+    )
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    is_base = F.col("doc_id") % 4 != 0
+
+    def to_hx(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id", F.hex(F.encode("text", "UTF-8")).alias("hx")
+        )
+
+    def explode_bands(bands: DataFrame) -> DataFrame:
+        return bands.select(
+            "doc_id",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("bi"), F.col(f"b{b}").alias("bv")
+                        )
+                        for b in range(BSH_BANDS)
+                    ]
+                )
+            ).alias("kv"),
+        ).select(
+            "doc_id", F.col("kv.bi").alias("bi"), F.col("kv.bv").alias("bv")
+        )
+
+    # persisted signature index for the base corpus (built once)
+    idx_dir = _tmpdir("stream_bsh_idx_")
+    binary_simhash_bands(to_hx(docs.filter(is_base))).write.mode(
+        "overwrite"
+    ).parquet(idx_dir)
+
+    src = _tmpdir("stream_bsh_src_")
+    out = _tmpdir("stream_bsh_out_")
+    docs.filter(~is_base).repartition(4).write.mode("append").parquet(src)
+
+    n_batches = {"n": 0}
+
+    def _sink(batch_df, bid):
+        n_batches["n"] += 1
+        base_bands = spark.read.parquet(idx_dir)
+        new_bands = binary_simhash_bands(to_hx(batch_df))
+        both = new_bands.unionByName(base_bands)
+        cand = (
+            explode_bands(new_bands)
+            .select(
+                F.col("doc_id").alias("doc_a"), "bi", "bv"
+            )
+            .join(
+                explode_bands(base_bands).select(
+                    F.col("doc_id").alias("doc_b"), "bi", "bv"
+                ),
+                ["bi", "bv"],
+            )
+            .select("doc_a", "doc_b")
+            .distinct()
+        )
+        (
+            bsh_hamming_pairs(cand, both)
+            .write.mode("overwrite")
+            .parquet(f"{out}/batch_id={bid}")
+        )
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_sink)
+        .option("checkpointLocation", _tmpdir("stream_bsh_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    _await_drained(q, "ddl_stream_binary_simhash")
+
+    streamed = spark.read.parquet(out).drop("batch_id")
+    # one-shot batch twin: identical algebra over the same split
+    all_bands = binary_simhash_bands(to_hx(docs)).localCheckpoint(
+        eager=False
+    )
+    new_ids = docs.filter(~is_base).select("doc_id")
+    base_ids = docs.filter(is_base).select("doc_id")
+    cand = (
+        explode_bands(all_bands)
+        .join(new_ids, "doc_id")
+        .select(F.col("doc_id").alias("doc_a"), "bi", "bv")
+        .join(
+            explode_bands(all_bands)
+            .join(base_ids, "doc_id")
+            .select(F.col("doc_id").alias("doc_b"), "bi", "bv"),
+            ["bi", "bv"],
+        )
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    batch = bsh_hamming_pairs(cand, all_bands)
+    extra = streamed.exceptAll(batch).count()
+    missing = batch.exceptAll(streamed).count()
+    n = streamed.count()
+    assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
+    assert n_batches["n"] >= 2, n_batches
+    return spark.createDataFrame(
+        [
+            Row(
+                n_near_dup_pairs=n,
+                n_microbatches=n_batches["n"],
+                stream_equals_batch=extra == 0 and missing == 0,
+            )
+        ]
+    )
