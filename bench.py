@@ -497,6 +497,7 @@ EXT_R10 = [
     "q_stats_energy_distance",
     "q_orders_anomaly_stl",
     "ddl_stream_binary_simhash",
+    "q_stats_jackknife_ratio",
 ]
 
 EXT_R9 = [

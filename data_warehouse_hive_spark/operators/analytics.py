@@ -3476,3 +3476,124 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY ym
         """
     )
+
+
+@query(
+    "q_stats_jackknife_ratio",
+    oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5)
+                  AS BIGINT) AS x,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+    ),
+    tot AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy
+      FROM r GROUP BY 1
+    ),
+    u AS (
+      SELECT r.l_returnflag, t.n, t.sx, t.sy,
+             CAST(floor(CAST(t.sx * CAST(r.y AS HUGEINT)
+                             - t.sy * CAST(r.x AS HUGEINT) AS DOUBLE)
+                        / (CAST(t.sy AS DOUBLE) * (t.sy - r.y))
+                        * 1e9 + 0.5) AS BIGINT) AS u9
+      FROM r JOIN tot t USING (l_returnflag)
+    ),
+    s AS (
+      SELECT l_returnflag, MAX(n) AS n, MAX(sx) AS sx, MAX(sy) AS sy,
+             CAST(SUM(u9) AS BIGINT) AS su,
+             SUM(CAST(u9 AS HUGEINT) * u9) AS suu
+      FROM u GROUP BY 1
+    )
+    SELECT l_returnflag, n,
+           round(CAST(sx AS DOUBLE) / (CAST(sy AS DOUBLE) * 1e4), 6)
+             AS ratio_dollars_per_unit,
+           round(sqrt((CAST(n AS DOUBLE) - 1) / n
+                      * (CAST(suu AS DOUBLE)
+                         - CAST(su AS DOUBLE) * su / n)) / 1e13, 6)
+             AS jackknife_se
+    FROM s ORDER BY l_returnflag
+    """,
+)
+def q_stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out jackknife standard error of the RATIO estimator
+    revenue/quantity per return flag — the delta-method-free SE for the
+    statistic A/B that q_stats_bootstrap's single-mean resampling and
+    q_stats_ratio_ci's binomial Wilson interval don't cover (a ratio of
+    two correlated sums has no closed-form exact SE; the jackknife is
+    the classical answer, Quenouille/Tukey, public).
+
+    No resampling pass exists: the LOO identity
+    θ_i − θ̂ = (Sx·y_i − Sy·x_i) / (Sy·(Sy − y_i)) makes every
+    leave-one-out deviation computable PER ROW from the group totals —
+    one aggregation for (n, Sx, Sy), a broadcast join back, and one
+    aggregation of the pinned deviations; Σ(θ_i − θ̄_J)² = Σ(u_i − ū)²
+    so centering at θ̂ also kills the catastrophic cancellation a raw
+    Σθ_i² would hit.  Carriers: x = 1e6-scaled revenue, y = 100-scaled
+    quantity (exact BIGINTs); the HUGEINT/DECIMAL(38) cross product
+    Sx·y_i − Sy·x_i is exact; each deviation is pinned ONCE to the 1e9
+    carrier by an identical double expression, so both engines sum the
+    same integers; Σu9² rides DECIMAL(38) (safe past sf100).  The SE
+    assembly is fixed-order double arithmetic at the end."""
+    r = t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 1e6
+            + 0.5
+        )
+        .cast("long")
+        .alias("x"),
+        F.floor(F.col("l_quantity") * 100 + 0.5).cast("long").alias("y"),
+    )
+    tot = r.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+    )
+    u = r.join(F.broadcast(tot), "l_returnflag").select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        F.floor(
+            (
+                F.col("sx").cast("decimal(38,0)") * F.col("y")
+                - F.col("sy").cast("decimal(38,0)") * F.col("x")
+            ).cast("double")
+            / (F.col("sy").cast("double") * (F.col("sy") - F.col("y")))
+            * 1e9
+            + 0.5
+        )
+        .cast("long")
+        .alias("u9"),
+    )
+    s = u.groupBy("l_returnflag").agg(
+        F.max("n").alias("n"),
+        F.max("sx").alias("sx"),
+        F.max("sy").alias("sy"),
+        F.sum("u9").cast("long").alias("su"),
+        F.sum(F.col("u9").cast("decimal(38,0)") * F.col("u9")).alias("suu"),
+    )
+    n_d = F.col("n").cast("double")
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(
+            F.col("sx").cast("double") / (F.col("sy").cast("double") * 1e4),
+            6,
+        ).alias("ratio_dollars_per_unit"),
+        F.round(
+            F.sqrt(
+                (n_d - 1)
+                / F.col("n")
+                * (
+                    F.col("suu").cast("double")
+                    - F.col("su").cast("double") * F.col("su") / F.col("n")
+                )
+            )
+            / 1e13,
+            6,
+        ).alias("jackknife_se"),
+    ).orderBy("l_returnflag")
