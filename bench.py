@@ -498,6 +498,7 @@ EXT_R10 = [
     "q_orders_anomaly_stl",
     "ddl_stream_binary_simhash",
     "q_stats_jackknife_ratio",
+    "q_stats_conformal",
 ]
 
 EXT_R9 = [

@@ -3597,3 +3597,178 @@ def q_stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jackknife_se"),
     ).orderBy("l_returnflag")
+
+
+CONF_ALPHA_PCT = 90  # nominal coverage of the conformal interval
+
+
+@query(
+    "q_stats_conformal",
+    oracle=f"""
+    WITH r AS (
+      SELECT l_quantity AS xv, l_extendedprice AS yv,
+             ('0x' || substr(md5(CAST(l_orderkey * 10 + l_linenumber
+                                      AS VARCHAR)), 1, 8))
+               ::UBIGINT::BIGINT % 100 AS h
+      FROM lineitem
+    ),
+    fit AS (
+      SELECT COUNT(*) AS n,
+             SUM(CAST(floor(xv * 1e6 + 0.5) AS BIGINT)) AS sx,
+             SUM(CAST(floor(yv * 1e6 + 0.5) AS BIGINT)) AS sy,
+             SUM(CAST(floor(xv * yv * 100.0 + 0.5) AS BIGINT)) AS sxy,
+             SUM(CAST(floor(xv * xv * 100.0 + 0.5) AS BIGINT)) AS sxx
+      FROM r WHERE h < 60
+    ),
+    coef AS (
+      SELECT n,
+        (CAST(sxy AS DOUBLE) / 100.0 / n
+         - (CAST(sx AS DOUBLE) / 1e6 / n) * (CAST(sy AS DOUBLE) / 1e6 / n))
+        / (CAST(sxx AS DOUBLE) / 100.0 / n
+           - (CAST(sx AS DOUBLE) / 1e6 / n) * (CAST(sx AS DOUBLE) / 1e6 / n))
+          AS slope,
+        CAST(sy AS DOUBLE) / 1e6 / n AS my,
+        CAST(sx AS DOUBLE) / 1e6 / n AS mx
+      FROM fit
+    ),
+    calib AS (
+      SELECT CAST(floor(abs(r.yv - (c.my - c.slope * c.mx
+                                    + c.slope * r.xv)) * 1e6 + 0.5)
+                  AS BIGINT) AS ar6
+      FROM r CROSS JOIN coef c WHERE r.h >= 60 AND r.h < 80
+    ),
+    q AS (
+      SELECT ar6 AS q6, n_cal FROM (
+        SELECT ar6,
+               ROW_NUMBER() OVER (ORDER BY ar6) AS rk,
+               CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
+        FROM calib
+      ) WHERE rk = CAST(ceil((n_cal + 1) * {CONF_ALPHA_PCT} / 100.0)
+                        AS BIGINT)
+    ),
+    test AS (
+      SELECT CAST(floor(abs(r.yv - (c.my - c.slope * c.mx
+                                    + c.slope * r.xv)) * 1e6 + 0.5)
+                  AS BIGINT) AS ar6
+      FROM r CROSS JOIN coef c WHERE r.h >= 80
+    )
+    SELECT (SELECT CAST(n AS BIGINT) FROM fit) AS n_train,
+           (SELECT n_cal FROM q) AS n_calib,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           round((SELECT q6 FROM q) / 1e6, 4) AS halfwidth,
+           CAST(SUM(CASE WHEN t.ar6 <= (SELECT q6 FROM q)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+           round(CAST(SUM(CASE WHEN t.ar6 <= (SELECT q6 FROM q)
+                              THEN 1 ELSE 0 END) AS DOUBLE)
+                 / COUNT(*), 6) AS coverage
+    FROM test t
+    """,
+)
+def q_stats_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction interval (Vovk; Lei et al., public)
+    around the OLS fit extendedprice ~ quantity: train/calibration/test
+    split by a deterministic md5 coin (the q_sample_bernoulli_hash
+    idiom — reruns and engines select identical rows), the conformal
+    quantile is the ⌈(n_cal+1)·{CONF_ALPHA_PCT}/100⌉-th smallest
+    absolute calibration residual (the FINITE-SAMPLE-valid rank, not a
+    plug-in percentile), and the test partition reports realized
+    coverage — the distribution-free uncertainty wrapper modern ML
+    pipelines put around any point model, here demonstrated on the
+    exact-sums OLS of q_stats_regression.
+
+    Determinism: the fit comes from exact carrier power sums (one
+    fixed-order double assembly); every residual is pinned ONCE to a
+    1e6 carrier so the rank selection orders exact integers (ties
+    inherit integer order, identically in both engines); coverage is an
+    integer ratio.  Scale: one pass for the sums, one for residuals;
+    the ONLY sort is over the calibration partition — a FIXED 20%
+    hash-slice, and at 100 TB you cap it with a tighter coin (the rank
+    statistic needs only ~1/α points for stable intervals), never the
+    corpus."""
+    key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
+    r = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").alias("xv"),
+        F.col("l_extendedprice").alias("yv"),
+        (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100)
+        .alias("h"),
+    )
+    fit = r.filter(F.col("h") < 60).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.floor(F.col("xv") * 1e6 + 0.5).cast("long")).alias("sx"),
+        F.sum(F.floor(F.col("yv") * 1e6 + 0.5).cast("long")).alias("sy"),
+        F.sum(
+            F.floor(F.col("xv") * F.col("yv") * 100.0 + 0.5).cast("long")
+        ).alias("sxy"),
+        F.sum(
+            F.floor(F.col("xv") * F.col("xv") * 100.0 + 0.5).cast("long")
+        ).alias("sxx"),
+    )
+    n_d = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / 1e6 / F.col("n")
+    my = F.col("sy").cast("double") / 1e6 / F.col("n")
+    coef = fit.select(
+        "n",
+        (
+            (F.col("sxy").cast("double") / 100.0 / F.col("n") - mx * my)
+            / (F.col("sxx").cast("double") / 100.0 / F.col("n") - mx * mx)
+        ).alias("slope"),
+        my.alias("my"),
+        mx.alias("mx"),
+    )
+    resid6 = F.floor(
+        F.abs(
+            F.col("yv")
+            - (
+                F.col("my")
+                - F.col("slope") * F.col("mx")
+                + F.col("slope") * F.col("xv")
+            )
+        )
+        * 1e6
+        + 0.5
+    ).cast("long")
+    calib = (
+        r.filter((F.col("h") >= 60) & (F.col("h") < 80))
+        .crossJoin(F.broadcast(coef))
+        .select(resid6.alias("ar6"))
+    )
+    wq = Window.orderBy("ar6")
+    q = (
+        calib.select(
+            "ar6",
+            F.row_number().over(wq).alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy()).cast("long")
+            .alias("n_cal"),
+        )
+        .filter(
+            F.col("rk")
+            == F.ceil((F.col("n_cal") + 1) * CONF_ALPHA_PCT / 100.0).cast(
+                "long"
+            )
+        )
+        .select(F.col("ar6").alias("q6"), "n_cal")
+    )
+    test = (
+        r.filter(F.col("h") >= 80)
+        .crossJoin(F.broadcast(coef))
+        .select(resid6.alias("ar6"), F.col("n").alias("n_train"))
+    )
+    return (
+        test.crossJoin(F.broadcast(q))
+        .agg(
+            F.max("n_train").cast("long").alias("n_train"),
+            F.max("n_cal").cast("long").alias("n_calib"),
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            F.round(F.max("q6") / 1e6, 4).alias("halfwidth"),
+            F.sum(F.when(F.col("ar6") <= F.col("q6"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_covered"),
+            F.round(
+                F.sum(
+                    F.when(F.col("ar6") <= F.col("q6"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("coverage"),
+        )
+    )
