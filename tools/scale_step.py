@@ -86,6 +86,14 @@ TIGHT_BOUND_OPS = [
     "q_dedup_substring",        # suffix ordering + LCP at 10x corpus
     "q_text_unigram_surprisal", # Σ tf·⌊−ln p·1e9⌋ BIGINT
     "q_stats_auc",              # doubled-midrank R2 ≤ 2n² BIGINT
+    # round 10: new tight-carrier ops
+    "q_stats_wasserstein",      # Σ gap·|ca·tb−cb·ta| HUGEINT/DECIMAL(38)
+    "q_stats_energy_distance",  # order-statistic pair sums, HUGEINT terms
+    "q_stats_jackknife_ratio",  # Sx·yᵢ−Sy·xᵢ cross products, Σu9² DEC38
+    "q_dedup_binary_simhash",   # 64 per-doc bit sums over 32-bit halves
+    "q_orders_decompose",       # T24/d24·cnt monthly carriers
+    "q_stats_conformal",        # 1e6-pinned residual rank at 10x calib
+    "q_graph_betweenness_approx",  # σ path counts at 10x clone density
 ]
 
 
