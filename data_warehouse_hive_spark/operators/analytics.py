@@ -3416,8 +3416,9 @@ STL_MAD_K = 3  # flag months beyond 3 robust sigmas (1.4826*MAD), the
     ),
     mad AS (SELECT quantile_disc(adev, 0.5) AS mad9 FROM dev)
     SELECT d.ym,
-           round(d.r9 / 1e9, 4) AS remainder,
-           round(CAST(d.adev AS DOUBLE) / a.mad9, 4) AS dev_mads,
+           floor(CAST(d.r9 AS DOUBLE) / 1e5 + 0.5) / 1e4 AS remainder,
+           floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4 + 0.5) / 1e4
+             AS dev_mads,
            d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
     FROM dev d CROSS JOIN mad a
     ORDER BY ym
@@ -3437,8 +3438,13 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     (identical double expression both engines); median and MAD are
     percentile_disc over those exact integers — discrete quantiles
     return actual data values, so no interpolation ambiguity exists
-    anywhere.  All months are emitted with their deviation in MADs and
-    the flag (never an empty result).  Scale: the residual relation is
+    anywhere.  Display values use the floor-pin idiom
+    (floor(x·10⁴+0.5)/10⁴), NOT round(): a 1e9-pinned carrier shown at
+    4 dp lands on exact .xxxx5 halfway doubles, where the engines'
+    round() implementations disagree (bit-identical floor arithmetic
+    does not — caught by the sf0.001 suite).  All months are emitted
+    with their deviation in MADs and the flag (never an empty
+    result).  Scale: the residual relation is
     month-domain-bounded, so the two quantile passes sort ~80 integers
     regardless of corpus size — the one corpus-scale stage remains the
     orders month rollup inside the shared core."""
@@ -3469,8 +3475,9 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM dev
         )
         SELECT d.ym,
-               round(d.r9 / 1e9, 4) AS remainder,
-               round(CAST(d.adev AS DOUBLE) / a.mad9, 4) AS dev_mads,
+               floor(CAST(d.r9 AS DOUBLE) / 1e5 + 0.5) / 1e4 AS remainder,
+               floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4 + 0.5) / 1e4
+                 AS dev_mads,
                d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
         FROM dev d CROSS JOIN mad a
         ORDER BY ym
