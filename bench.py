@@ -499,6 +499,8 @@ EXT_R10 = [
     "ddl_stream_binary_simhash",
     "q_stats_jackknife_ratio",
     "q_stats_conformal",
+    "q_orders_did",
+    "q_win_cume_dist",
 ]
 
 EXT_R9 = [

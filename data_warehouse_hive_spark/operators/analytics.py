@@ -825,7 +825,9 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_orders_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """STL-lite time-series decomposition of daily revenue:
     trend = centered 7-day moving average, seasonal = day-of-week mean
-    of the detrended series, residual = what's left — the
+    of the detrended series, residual = what's left (the WEEKLY-cycle
+    twin of q_orders_decompose, which decomposes the monthly series
+    against the yearly cycle) — the
     anomaly-vs-seasonality separation behind every "is this dip real"
     question, as three window/group passes over the O(days) rollup
     (raw facts aggregate once, everything after is tiny).
@@ -3322,7 +3324,11 @@ def q_orders_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     Mann-Kendall trend and CCF (r9 VERDICT task 7).  Trend is the
     textbook centered 2x12 moving average (half weight on the +-6
     endpoints); seasonal is the month-of-year mean of the detrended
-    series; remainder is what's left.
+    series; remainder is what's left.  Sibling granularity:
+    q_orders_seasonal_decompose is the DAILY twin (7-day MA, day-of-week
+    seasonal — the weekly cycle); this is the MONTHLY one (2x12 MA,
+    month-of-year — the yearly cycle only the multi-year span exposes),
+    the same documented pairing as q_agg_rfm / q_orders_rfm.
 
     All algebra rides exact BIGINT carriers: T24 = 24*trend via
     2*SUM(frame) - first - last over a 13-row window (contiguity is
@@ -3779,3 +3785,137 @@ def q_stats_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("coverage"),
         )
     )
+
+
+DID_SEGMENT = "BUILDING"     # treatment cohort (c_mktsegment)
+DID_CUT = "1998-07-01"       # policy date (span midpoint)
+DID_PLACEBO_CUT = "1996-10-01"  # fake cut INSIDE the pre-period
+
+
+@query(
+    "q_orders_did",
+    oracle=f"""
+    WITH j AS (
+      SELECT CASE WHEN c.c_mktsegment = '{DID_SEGMENT}' THEN 1 ELSE 0 END
+               AS treat,
+             o.o_orderdate AS d,
+             CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    cells AS (
+      SELECT 'a_did' AS estimate, treat,
+             CASE WHEN d >= DATE '{DID_CUT}' THEN 1 ELSE 0 END AS post,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM j GROUP BY 1, 2, 3
+      UNION ALL
+      SELECT 'b_placebo', treat,
+             CASE WHEN d >= DATE '{DID_PLACEBO_CUT}' THEN 1 ELSE 0 END,
+             CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+      FROM j WHERE d < DATE '{DID_CUT}' GROUP BY 1, 2, 3
+    ),
+    wide AS (
+      SELECT estimate,
+             MAX(CASE WHEN treat = 1 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_t_pre,
+             MAX(CASE WHEN treat = 1 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_t_post,
+             MAX(CASE WHEN treat = 0 AND post = 0 THEN CAST(s AS DOUBLE) / n END) AS m_c_pre,
+             MAX(CASE WHEN treat = 0 AND post = 1 THEN CAST(s AS DOUBLE) / n END) AS m_c_post,
+             CAST(SUM(n) AS BIGINT) AS n_orders
+      FROM cells GROUP BY estimate
+    )
+    SELECT estimate, n_orders,
+           round(m_t_pre / 100.0, 6) AS mean_treat_pre,
+           round(m_t_post / 100.0, 6) AS mean_treat_post,
+           round(m_c_pre / 100.0, 6) AS mean_ctrl_pre,
+           round(m_c_post / 100.0, 6) AS mean_ctrl_post,
+           round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / 100.0, 6)
+             AS did_effect
+    FROM wide ORDER BY estimate
+    """,
+)
+def q_orders_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences estimator — the first CAUSAL-inference
+    operator in the suite: effect of a policy at {DID_CUT} on average
+    order value for the '{DID_SEGMENT}' segment (treatment) vs all other
+    segments (control), DiD = (T,post − T,pre) − (C,post − C,pre) —
+    the parallel-trends design every pricing/rollout analysis runs,
+    plus the standard PLACEBO row: the same estimator at a fake cut
+    ({DID_PLACEBO_CUT}) entirely inside the pre-period, whose effect
+    should be ≈0 if the parallel-trends assumption holds (the
+    robustness check reviewers ask for first).
+
+    One fact pass: orders ⋈ broadcast(customer-segment flag) → the
+    2×2(×2 estimates) cell relation of exact integer cent sums and
+    counts — the ONLY shuffle is the 8-cell aggregation; each cell mean
+    is one fixed-order division and the DiD assembly is four doubles in
+    a fixed expression, identical in both engines.  Scale: cells are
+    estimate×treat×post bounded regardless of corpus size."""
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_mktsegment") == DID_SEGMENT, 1)
+        .otherwise(0)
+        .alias("treat"),
+    )
+    j = (
+        t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderdate", "o_totalprice")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            "treat",
+            F.col("o_orderdate").alias("d"),
+            F.floor(F.col("o_totalprice") * 100 + 0.5)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    cut = F.lit(DID_CUT).cast("date")
+    pcut = F.lit(DID_PLACEBO_CUT).cast("date")
+
+    def cells(df: DataFrame, name: str, cutoff) -> DataFrame:
+        return (
+            df.groupBy(
+                F.lit(name).alias("estimate"),
+                "treat",
+                F.when(F.col("d") >= cutoff, 1).otherwise(0).alias("post"),
+            )
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("cents").cast("long").alias("s"),
+            )
+        )
+
+    allcells = cells(j, "a_did", cut).unionByName(
+        cells(j.filter(F.col("d") < cut), "b_placebo", pcut)
+    )
+
+    def m(tr: int, po: int):
+        return F.max(
+            F.when(
+                (F.col("treat") == tr) & (F.col("post") == po),
+                F.col("s").cast("double") / F.col("n"),
+            )
+        )
+
+    wide = allcells.groupBy("estimate").agg(
+        m(1, 0).alias("m_t_pre"),
+        m(1, 1).alias("m_t_post"),
+        m(0, 0).alias("m_c_pre"),
+        m(0, 1).alias("m_c_post"),
+        F.sum("n").cast("long").alias("n_orders"),
+    )
+    return wide.select(
+        "estimate",
+        "n_orders",
+        F.round(F.col("m_t_pre") / 100.0, 6).alias("mean_treat_pre"),
+        F.round(F.col("m_t_post") / 100.0, 6).alias("mean_treat_post"),
+        F.round(F.col("m_c_pre") / 100.0, 6).alias("mean_ctrl_pre"),
+        F.round(F.col("m_c_post") / 100.0, 6).alias("mean_ctrl_post"),
+        F.round(
+            (
+                (F.col("m_t_post") - F.col("m_t_pre"))
+                - (F.col("m_c_post") - F.col("m_c_pre"))
+            )
+            / 100.0,
+            6,
+        ).alias("did_effect"),
+    ).orderBy("estimate")

@@ -882,3 +882,43 @@ def q_win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.abs(F.col("n") - F.col("roll_med")) > MAD_K * mad)
         ).alias("is_anomaly"),
     ).orderBy("event_type", "day")
+
+
+@query(
+    "q_win_cume_dist",
+    oracle="""
+    SELECT DISTINCT l_returnflag,
+           round(l_quantity, 2) AS quantity,
+           round(cume_dist() OVER w, 6) AS cume_dist,
+           round(percent_rank() OVER w, 6) AS pct_rank
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+    ORDER BY l_returnflag, quantity
+    """,
+)
+def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUME_DIST and PERCENT_RANK per return flag over quantity — the
+    two SQL-standard relative-rank window functions the §2.5 window
+    family still lacked (ntile, row_number, rank, nth, lag/lead and
+    frames were covered): cume_dist = rows ≤ v / n (the empirical CDF
+    as a window function), percent_rank = (rank−1)/(n−1).  Both are
+    tie-aware BY THE STANDARD (all peers share a value), so projecting
+    DISTINCT (flag, value) rows yields the bounded value-domain
+    relation — the windowed form of the histogram-CDF idiom the rank
+    statistics use.
+
+    Scale: one shuffle on the partition key; the per-partition sort is
+    the window's contract.  Both functions are exact rational counts
+    divided once — engine-identical on identical input multisets."""
+    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    return (
+        t(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.round(F.col("l_quantity"), 2).alias("quantity"),
+            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        )
+        .distinct()
+        .orderBy("l_returnflag", "quantity")
+    )
