@@ -2284,24 +2284,37 @@ def q_graph_betweenness_approx(
             .join(seen, ["origin", "node"], "left_anti")
             .localCheckpoint(eager=False)
         )
+        # EXACT early exit: an empty frontier at round k means every
+        # later level (and the k+1 open-frontier audit) is empty too —
+        # identical semantics to the oracle's full unroll over empty
+        # CTEs, at (diameter+1) rounds of driver-loop cost instead of a
+        # fixed BTWA_D (measured: the fixture diameter is 4-9, so this
+        # halves the per-round job count at sf0.1)
+        if new.isEmpty():
+            break
         levels.append(new)
         seen = seen.unionAll(new.select("origin", "node")).localCheckpoint(
             eager=False
         )
         lv = new
-    n_frontier_open = (
-        lv.join(edges, F.col("node") == F.col("src"))
-        .select("origin", F.col("dst").alias("node"))
-        .distinct()
-        .join(seen, ["origin", "node"], "left_anti")
-        .count()
-    )
-    # backward dependency sweep
-    delta = levels[BTWA_D].select(
+    max_d = len(levels) - 1  # deepest NON-EMPTY level reached
+    if max_d == BTWA_D:
+        n_frontier_open = (
+            lv.join(edges, F.col("node") == F.col("src"))
+            .select("origin", F.col("dst").alias("node"))
+            .distinct()
+            .join(seen, ["origin", "node"], "left_anti")
+            .count()
+        )
+    else:
+        n_frontier_open = 0  # BFS converged before the horizon
+    # backward dependency sweep (over non-empty levels only — empty
+    # levels contribute nothing on either side of the recurrence)
+    delta = levels[max_d].select(
         "origin", "node", "sigma", F.lit(0).cast("long").alias("d9")
     )
     deltas = []
-    for k in range(BTWA_D - 1, 0, -1):
+    for k in range(max_d - 1, 0, -1):
         dn = delta.select(
             F.col("origin").alias("o2"),
             F.col("node").alias("wnode"),
@@ -2342,7 +2355,7 @@ def q_graph_betweenness_approx(
             .localCheckpoint(eager=False)  # next round + final union
         )
         deltas.append(delta)
-    alldelta = levels[BTWA_D].select(
+    alldelta = levels[max_d].select(
         "node", F.lit(0).cast("long").alias("d9")
     )
     for d in deltas:
