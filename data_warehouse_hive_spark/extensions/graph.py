@@ -2171,8 +2171,8 @@ def _btwa_oracle() -> str:
     meta AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes)
     SELECT n.node AS vec_id,
            CAST(COALESCE(b.delta9_sum, 0) AS BIGINT) AS delta9_sum,
-           round(CAST(COALESCE(b.delta9_sum, 0) AS DOUBLE) * m.n
-                 / ({2 * BTWA_K} * 1e9), 6) AS bc_est,
+           floor(CAST(COALESCE(b.delta9_sum, 0) AS DOUBLE) * m.n
+                 / ({2 * BTWA_K} * 1e9) * 1e6 + 0.5) / 1e6 AS bc_est,
            (SELECT n_frontier_open FROM frontier) AS n_frontier_open
     FROM nodes n LEFT JOIN bc b ON b.node = n.node
     CROSS JOIN meta m
@@ -2370,11 +2370,20 @@ def q_graph_betweenness_approx(
             F.coalesce(F.col("delta9_sum"), F.lit(0))
             .cast("long")
             .alias("delta9_sum"),
-            F.round(
-                F.coalesce(F.col("delta9_sum"), F.lit(0)).cast("double")
-                * n_nodes
-                / (2 * BTWA_K * 1e9),
-                6,
+            # floor-pin, not round(): the estimate lands on exact
+            # .xxxxxx5 halfway doubles at clone-dense scales, where
+            # engine round() implementations split (sf1 sweep finding)
+            (
+                F.floor(
+                    F.coalesce(F.col("delta9_sum"), F.lit(0)).cast(
+                        "double"
+                    )
+                    * n_nodes
+                    / (2 * BTWA_K * 1e9)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("bc_est"),
             F.lit(n_frontier_open).cast("long").alias("n_frontier_open"),
         )

@@ -176,8 +176,9 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts AS c_ts, event_id AS c_event_id
-      FROM events WHERE event_type = 'click'
+      SELECT user_id, ts AS c_ts,
+             CAST(MAX(event_id) AS BIGINT) AS c_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
     )
     SELECT p.user_id, p.p_event_id, p.p_ts, p.p_value,
            c.c_event_id AS last_click_id, c.c_ts AS last_click_ts
@@ -197,8 +198,10 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     (last_value ignoring nulls).  One shuffle on user_id total —
     unlike the naive join+filter+rank (which shuffles the full pair
     blow-up), this scales linearly and is the standard streaming-friendly
-    as-of shape.  Tie rule: a click at exactly p_ts counts (<=), so
-    clicks sort before purchases at equal ts.
+    as-of shape.  Tie rules: a click at exactly p_ts counts (<=), so
+    clicks sort before purchases at equal ts; and clicks sharing an
+    exact ts collapse to the max event_id before the bind, making the
+    match deterministic under ts collisions.
     """
     e = t(spark, sf_dir, "events")
     purchases = e.filter(F.col("event_type") == "purchase").select(
@@ -208,12 +211,22 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("p_value"),
         F.lit(0).alias("side"),  # purchases after clicks at equal ts
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("ets"),
-        F.col("event_id").alias("eid"),
-        F.lit(None).cast("double").alias("p_value"),
-        F.lit(-1).alias("side"),
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        # collapse exact-ts ties to the max event_id BEFORE the as-of
+        # bind: equal-ts clicks (replays / at-least-once ingest — and
+        # the sf1 clone fixture) otherwise make ANY as-of join
+        # nondeterministic; native engines pick an arbitrary tie row
+        # (found by the sf1 sweep against DuckDB's ASOF JOIN)
+        .groupBy("user_id", F.col("ts").alias("ets"))
+        .agg(F.max("event_id").cast("long").alias("eid"))
+        .select(
+            "user_id",
+            "ets",
+            "eid",
+            F.lit(None).cast("double").alias("p_value"),
+            F.lit(-1).alias("side"),
+        )
     )
     unioned = purchases.unionByName(clicks)
     w = (
@@ -1219,8 +1232,9 @@ def q_sql_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events WHERE event_type = 'purchase'
     ),
     clicks AS (
-      SELECT user_id, ts AS c_ts, event_id AS c_event_id
-      FROM events WHERE event_type = 'click'
+      SELECT user_id, ts AS c_ts,
+             CAST(MAX(event_id) AS BIGINT) AS c_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
     ),
     matched AS (
       SELECT p.user_id, p.p_event_id, p.p_ts,
@@ -1261,10 +1275,12 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("ets"),
         F.col("event_id").alias("eid"),
     )
-    clicks = e.filter(F.col("event_type") == "click").select(
-        "user_id",
-        F.col("ts").alias("ets"),
-        F.col("event_id").alias("eid"),
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        # same equal-ts collapse as q_join_asof (deterministic ties)
+        .groupBy("user_id", F.col("ts").alias("ets"))
+        .agg(F.max("event_id").cast("long").alias("eid"))
+        .select("user_id", "ets", "eid")
     )
     tagged = purchases.withColumn("side", F.lit(1)).unionByName(
         clicks.withColumn("side", F.lit(0))

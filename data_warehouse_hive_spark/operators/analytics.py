@@ -2116,7 +2116,7 @@ def q_parts_sourcing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT mon, klass,
            COUNT(*) AS n_customers,
-           round(CAST(SUM(rev_c) AS DOUBLE) / 1e6, 6) AS revenue
+           CAST(SUM(rev_c) AS DOUBLE) / 1e6 AS revenue
     FROM classed
     GROUP BY mon, klass
     ORDER BY mon, klass
@@ -2166,7 +2166,11 @@ def q_orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         classed.groupBy("mon", "klass")
         .agg(
             F.count(F.lit(1)).alias("n_customers"),
-            F.round(F.sum("rev_c").cast("double") / 1e6, 6).alias("revenue"),
+            # carrier/1e6 is already the exact display value: round()
+            # on top of it DIVERGES between engines at ~1e10 magnitudes
+            # (DuckDB's multiply-round-divide path injects 1e-6 noise;
+            # found by the sf1 sweep) — one division, no re-round
+            (F.sum("rev_c").cast("double") / 1e6).alias("revenue"),
         )
         .orderBy("mon", "klass")
     )
@@ -2204,10 +2208,10 @@ def q_orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
       )
       SELECT * FROM rec
     )
-    SELECT x.mon, round(x.y, 6) AS actual,
-           round(r.level, 6) AS level,
-           round(r.trend, 6) AS trend,
-           round(r.level + r.trend, 6) AS forecast_next
+    SELECT x.mon, x.y AS actual,
+           floor(r.level * 1e6 + 0.5) / 1e6 AS level,
+           floor(r.trend * 1e6 + 0.5) / 1e6 AS trend,
+           floor((r.level + r.trend) * 1e6 + 0.5) / 1e6 AS forecast_next
     FROM r JOIN idx x ON x.i = r.i
     ORDER BY x.mon
     """,
@@ -2250,19 +2254,17 @@ def q_orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
         trend = 0.5 * (new_level - level) + 0.5 * trend
         level = new_level
         out.append((mons[i], ys[i], level, trend))
-    from decimal import ROUND_HALF_UP, Decimal
+    import math
 
     def _r6(x: float) -> float:
-        # HALF_UP on the shortest decimal repr — the same tie behavior
-        # as F.round / DuckDB round (Python's round() is banker's)
-        return float(
-            Decimal(repr(float(x))).quantize(
-                Decimal("1e-6"), rounding=ROUND_HALF_UP
-            )
-        )
+        # floor-pin (floor(x*1e6+0.5)/1e6), NOT decimal rounding: the
+        # identical IEEE op sequence as the oracle's SQL, so large
+        # magnitudes can't diverge the way engine round() does (the
+        # sf1 round-divergence class; see SCALING.md round 10)
+        return math.floor(float(x) * 1e6 + 0.5) / 1e6
 
     res = [
-        (m, _r6(y), _r6(lv), _r6(tr), _r6(lv + tr)) for (m, y, lv, tr) in out
+        (m, y, _r6(lv), _r6(tr), _r6(lv + tr)) for (m, y, lv, tr) in out
     ]
     return spark.createDataFrame(
         res,
@@ -2282,10 +2284,10 @@ def q_orders_forecast_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders GROUP BY mon
     )
     SELECT mon,
-           round(CAST(rev_c AS DOUBLE) / 1e6, 6) AS month_revenue,
-           round(CAST(SUM(rev_c) OVER (ORDER BY mon
-                      ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
-                      AS DOUBLE) / 1e6, 6) AS mat_revenue,
+           CAST(rev_c AS DOUBLE) / 1e6 AS month_revenue,
+           CAST(SUM(rev_c) OVER (ORDER BY mon
+                ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+                AS DOUBLE) / 1e6 AS mat_revenue,
            CAST(COUNT(*) OVER (ORDER BY mon
                 ROWS BETWEEN 11 PRECEDING AND CURRENT ROW) AS INT)
              AS months_in_window
@@ -2314,12 +2316,9 @@ def q_orders_mat(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.orderBy("mon").rowsBetween(-11, Window.currentRow)
     return monthly.select(
         "mon",
-        F.round(F.col("rev_c").cast("double") / 1e6, 6).alias(
-            "month_revenue"
-        ),
-        F.round(F.sum("rev_c").over(w).cast("double") / 1e6, 6).alias(
-            "mat_revenue"
-        ),
+        # exact carrier / 1e6, no re-round (sf1 round-divergence class)
+        (F.col("rev_c").cast("double") / 1e6).alias("month_revenue"),
+        (F.sum("rev_c").over(w).cast("double") / 1e6).alias("mat_revenue"),
         F.count(F.lit(1)).over(w).cast("int").alias("months_in_window"),
     ).orderBy("mon")
 
