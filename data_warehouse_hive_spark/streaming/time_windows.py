@@ -2978,23 +2978,26 @@ IV_WIDTH_US = 300_000_000  # each event covers [ts, ts + 5 min)
     "q_time_interval_union",
     oracle=f"""
     WITH iv AS (
-      SELECT event_type AS grp, user_id,
+      SELECT DISTINCT event_type AS grp, user_id,
              epoch_us(ts) AS s, epoch_us(ts) + {IV_WIDTH_US} AS e
       FROM events
     ),
     flagged AS (
       SELECT grp, user_id, s, e,
-             CASE WHEN MAX(e) OVER (PARTITION BY grp, user_id ORDER BY s
+             CASE WHEN MAX(e) OVER (PARTITION BY grp, user_id
+                    ORDER BY s, e
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                     IS NULL
-                  OR s > MAX(e) OVER (PARTITION BY grp, user_id ORDER BY s
+                  OR s > MAX(e) OVER (PARTITION BY grp, user_id
+                    ORDER BY s, e
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
                   THEN 1 ELSE 0 END AS new_isl
       FROM iv
     ),
     islid AS (
       SELECT grp, user_id, s, e,
-             CAST(SUM(new_isl) OVER (PARTITION BY grp, user_id ORDER BY s
+             CAST(SUM(new_isl) OVER (PARTITION BY grp, user_id
+                    ORDER BY s, e
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS BIGINT) AS isl
       FROM flagged
@@ -3036,15 +3039,21 @@ def q_time_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows), so the plan scales with the user key like every
     sessionization op here."""
     us = F.unix_micros("ts")
+    # DISTINCT intervals + a TOTAL (s, e) sort: identical intervals are
+    # idempotent in a union, and a ROWS frame over a NON-total order is
+    # tie-order-unstable ACROSS the two window passes — the flagged row
+    # can sort after its tie siblings in the island-id pass, attaching
+    # them to the previous island and inflating coverage across gaps
+    # (sf1 clone-fixture sweep finding: 200x overstated union_seconds)
     iv = t(spark, sf_dir, "events").select(
         F.col("event_type").alias("grp"),
         "user_id",
         us.alias("s"),
         (us + IV_WIDTH_US).alias("e"),
-    )
+    ).distinct()
     wprev = (
         Window.partitionBy("grp", "user_id")
-        .orderBy("s")
+        .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     pme = F.max("e").over(wprev)
@@ -3059,7 +3068,7 @@ def q_time_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     wcum = (
         Window.partitionBy("grp", "user_id")
-        .orderBy("s")
+        .orderBy("s", "e")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islid = flagged.select(
