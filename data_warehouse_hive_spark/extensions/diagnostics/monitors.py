@@ -2589,9 +2589,10 @@ def _drift_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(MAX(ta) AS BIGINT) AS n_early,
            CAST(MAX(tb) AS BIGINT) AS n_late,
-           round(CAST(SUM(CAST(gap AS HUGEINT)
+           floor(CAST(SUM(CAST(gap AS HUGEINT)
                           * abs(ca * tb - cb * ta)) AS DOUBLE)
-                 / (CAST(MAX(ta) AS DOUBLE) * MAX(tb) * 100.0), 6)
+                 / (CAST(MAX(ta) AS DOUBLE) * MAX(tb) * 100.0)
+                 * 1e6 + 0.5) / 1e6
              AS w1_dollars
     FROM cum GROUP BY event_type ORDER BY event_type
     """,
@@ -2617,12 +2618,16 @@ def q_stats_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max("ta").cast("long").alias("n_early"),
             F.max("tb").cast("long").alias("n_late"),
-            F.round(
-                F.sum(
-                    F.col("gap").cast("decimal(38,0)") * num
-                ).cast("double")
-                / (F.max("ta").cast("double") * F.max("tb") * 100.0),
-                6,
+            (
+                F.floor(
+                    F.sum(
+                        F.col("gap").cast("decimal(38,0)") * num
+                    ).cast("double")
+                    / (F.max("ta").cast("double") * F.max("tb") * 100.0)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6
             ).alias("w1_dollars"),
         )
         .orderBy("event_type")
@@ -2652,14 +2657,16 @@ def q_stats_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            CAST(ta AS BIGINT) AS n_early,
            CAST(tb AS BIGINT) AS n_late,
-           round(CAST(sc AS DOUBLE)
-                 / (CAST(ta AS DOUBLE) * tb * 100.0), 6)
+           floor(CAST(sc AS DOUBLE)
+                 / (CAST(ta AS DOUBLE) * tb * 100.0)
+                 * 1e6 + 0.5) / 1e6
              AS mean_absdiff_dollars,
-           round((2.0 * CAST(sc AS DOUBLE) / (CAST(ta AS DOUBLE) * tb)
+           floor((2.0 * CAST(sc AS DOUBLE) / (CAST(ta AS DOUBLE) * tb)
                   - 2.0 * CAST(saa AS DOUBLE)
                     / (CAST(ta AS DOUBLE) * ta)
                   - 2.0 * CAST(sbb AS DOUBLE)
-                    / (CAST(tb AS DOUBLE) * tb)) / 100.0, 6)
+                    / (CAST(tb AS DOUBLE) * tb)) / 100.0
+                 * 1e6 + 0.5) / 1e6
              AS energy_distance_dollars
     FROM sums ORDER BY event_type
     """,
@@ -2714,16 +2721,30 @@ def q_stats_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("ta").cast("long").alias("n_early"),
         F.col("tb").cast("long").alias("n_late"),
-        F.round(
-            F.col("sc").cast("double") / (ta_d * F.col("tb") * 100.0), 6
-        ).alias("mean_absdiff_dollars"),
-        F.round(
-            (
-                2.0 * F.col("sc").cast("double") / (ta_d * F.col("tb"))
-                - 2.0 * F.col("saa").cast("double") / (ta_d * F.col("ta"))
-                - 2.0 * F.col("sbb").cast("double") / (tb_d * F.col("tb"))
+        (
+            F.floor(
+                F.col("sc").cast("double")
+                / (ta_d * F.col("tb") * 100.0)
+                * 1e6
+                + 0.5
             )
-            / 100.0,
-            6,
+            / 1e6
+        ).alias("mean_absdiff_dollars"),
+        (
+            F.floor(
+                (
+                    2.0 * F.col("sc").cast("double") / (ta_d * F.col("tb"))
+                    - 2.0
+                    * F.col("saa").cast("double")
+                    / (ta_d * F.col("ta"))
+                    - 2.0
+                    * F.col("sbb").cast("double")
+                    / (tb_d * F.col("tb"))
+                )
+                / 100.0
+                * 1e6
+                + 0.5
+            )
+            / 1e6
         ).alias("energy_distance_dollars"),
     ).orderBy("event_type")

@@ -3422,9 +3422,12 @@ STL_MAD_K = 3  # flag months beyond 3 robust sigmas (1.4826*MAD), the
     mad AS (SELECT quantile_disc(adev, 0.5) AS mad9 FROM dev)
     SELECT d.ym,
            floor(CAST(d.r9 AS DOUBLE) / 1e5 + 0.5) / 1e4 AS remainder,
-           floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4 + 0.5) / 1e4
+           CASE WHEN a.mad9 = 0 THEN NULL
+                ELSE floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4 + 0.5)
+                     / 1e4 END
              AS dev_mads,
-           d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
+           CASE WHEN a.mad9 = 0 THEN FALSE
+                ELSE d.adev > {STL_MAD_K} * a.mad9 END AS is_anomaly
     FROM dev d CROSS JOIN mad a
     ORDER BY ym
     """,
@@ -3449,7 +3452,11 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
     round() implementations disagree (bit-identical floor arithmetic
     does not — caught by the sf0.001 suite).  All months are emitted
     with their deviation in MADs and the flag (never an empty
-    result).  Scale: the residual relation is
+    result).  Degenerate-MAD guard: when mad9 = 0 (half or more months
+    share the median remainder) the division would be NULL in Spark's
+    non-ANSI double arithmetic but inf in DuckDB — both engines
+    explicitly emit NULL dev_mads and is_anomaly = false in that
+    regime (no robust scale ⇒ no anomaly call).  Scale: the residual relation is
     month-domain-bounded, so the two quantile passes sort ~80 integers
     regardless of corpus size — the one corpus-scale stage remains the
     orders month rollup inside the shared core."""
@@ -3481,9 +3488,12 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT d.ym,
                floor(CAST(d.r9 AS DOUBLE) / 1e5 + 0.5) / 1e4 AS remainder,
-               floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4 + 0.5) / 1e4
+               CASE WHEN a.mad9 = 0 THEN NULL
+                    ELSE floor(CAST(d.adev AS DOUBLE) / a.mad9 * 1e4
+                               + 0.5) / 1e4 END
                  AS dev_mads,
-               d.adev > {STL_MAD_K} * a.mad9 AS is_anomaly
+               CASE WHEN a.mad9 = 0 THEN FALSE
+                    ELSE d.adev > {STL_MAD_K} * a.mad9 END AS is_anomaly
         FROM dev d CROSS JOIN mad a
         ORDER BY ym
         """
@@ -3520,11 +3530,13 @@ def q_orders_anomaly_stl(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM u GROUP BY 1
     )
     SELECT l_returnflag, n,
-           round(CAST(sx AS DOUBLE) / (CAST(sy AS DOUBLE) * 1e4), 6)
+           floor(CAST(sx AS DOUBLE) / (CAST(sy AS DOUBLE) * 1e4)
+                 * 1e6 + 0.5) / 1e6
              AS ratio_dollars_per_unit,
-           round(sqrt((CAST(n AS DOUBLE) - 1) / n
+           floor(sqrt((CAST(n AS DOUBLE) - 1) / n
                       * (CAST(suu AS DOUBLE)
-                         - CAST(su AS DOUBLE) * su / n)) / 1e13, 6)
+                         - CAST(su AS DOUBLE) * su / n)) / 1e13
+                 * 1e6 + 0.5) / 1e6
              AS jackknife_se
     FROM s ORDER BY l_returnflag
     """,
@@ -3592,21 +3604,32 @@ def q_stats_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "l_returnflag",
         "n",
-        F.round(
-            F.col("sx").cast("double") / (F.col("sy").cast("double") * 1e4),
-            6,
-        ).alias("ratio_dollars_per_unit"),
-        F.round(
-            F.sqrt(
-                (n_d - 1)
-                / F.col("n")
-                * (
-                    F.col("suu").cast("double")
-                    - F.col("su").cast("double") * F.col("su") / F.col("n")
-                )
+        (
+            F.floor(
+                F.col("sx").cast("double")
+                / (F.col("sy").cast("double") * 1e4)
+                * 1e6
+                + 0.5
             )
-            / 1e13,
-            6,
+            / 1e6
+        ).alias("ratio_dollars_per_unit"),
+        (
+            F.floor(
+                F.sqrt(
+                    (n_d - 1)
+                    / F.col("n")
+                    * (
+                        F.col("suu").cast("double")
+                        - F.col("su").cast("double")
+                        * F.col("su")
+                        / F.col("n")
+                    )
+                )
+                / 1e13
+                * 1e6
+                + 0.5
+            )
+            / 1e6
         ).alias("jackknife_se"),
     ).orderBy("l_returnflag")
 
@@ -3655,8 +3678,8 @@ CONF_ALPHA_PCT = 90  # nominal coverage of the conformal interval
                ROW_NUMBER() OVER (ORDER BY ar6) AS rk,
                CAST(COUNT(*) OVER () AS BIGINT) AS n_cal
         FROM calib
-      ) WHERE rk = CAST(ceil((n_cal + 1) * {CONF_ALPHA_PCT} / 100.0)
-                        AS BIGINT)
+      ) WHERE rk = CAST(least(ceil((n_cal + 1) * {CONF_ALPHA_PCT} / 100.0),
+                              CAST(n_cal AS DOUBLE)) AS BIGINT)
     ),
     test AS (
       SELECT CAST(floor(abs(r.yv - (c.my - c.slope * c.mx
@@ -3696,7 +3719,16 @@ def q_stats_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ONLY sort is over the calibration partition — a FIXED 20%
     hash-slice, and at 100 TB you cap it with a tighter coin (the rank
     statistic needs only ~1/α points for stable intervals), never the
-    corpus."""
+    corpus.
+
+    Degenerate-calibration guard: the finite-sample rank
+    ⌈(n_cal+1)·{CONF_ALPHA_PCT}/100⌉ exceeds n_cal whenever
+    n_cal < {CONF_ALPHA_PCT}/(100-{CONF_ALPHA_PCT}) = 9 — statistically
+    the interval is then infinite.  Both engines clamp the rank to
+    n_cal (`least(ceil(...), n_cal)`), so the widest finite interval is
+    reported and the row counts agree cross-engine even on tiny
+    slices; the n_cal ≥ 9 precondition is documented here and holds at
+    every shipped scale factor."""
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
     r = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").alias("xv"),
@@ -3754,9 +3786,10 @@ def q_stats_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(
             F.col("rk")
-            == F.ceil((F.col("n_cal") + 1) * CONF_ALPHA_PCT / 100.0).cast(
-                "long"
-            )
+            == F.least(
+                F.ceil((F.col("n_cal") + 1) * CONF_ALPHA_PCT / 100.0),
+                F.col("n_cal").cast("double"),
+            ).cast("long")
         )
         .select(F.col("ar6").alias("q6"), "n_cal")
     )
@@ -3823,11 +3856,12 @@ DID_PLACEBO_CUT = "1996-10-01"  # fake cut INSIDE the pre-period
       FROM cells GROUP BY estimate
     )
     SELECT estimate, n_orders,
-           round(m_t_pre / 100.0, 6) AS mean_treat_pre,
-           round(m_t_post / 100.0, 6) AS mean_treat_post,
-           round(m_c_pre / 100.0, 6) AS mean_ctrl_pre,
-           round(m_c_post / 100.0, 6) AS mean_ctrl_post,
-           round(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / 100.0, 6)
+           floor(m_t_pre / 100.0 * 1e6 + 0.5) / 1e6 AS mean_treat_pre,
+           floor(m_t_post / 100.0 * 1e6 + 0.5) / 1e6 AS mean_treat_post,
+           floor(m_c_pre / 100.0 * 1e6 + 0.5) / 1e6 AS mean_ctrl_pre,
+           floor(m_c_post / 100.0 * 1e6 + 0.5) / 1e6 AS mean_ctrl_post,
+           floor(((m_t_post - m_t_pre) - (m_c_post - m_c_pre)) / 100.0
+                 * 1e6 + 0.5) / 1e6
              AS did_effect
     FROM wide ORDER BY estimate
     """,
@@ -3902,19 +3936,24 @@ def q_orders_did(spark: SparkSession, sf_dir: str) -> DataFrame:
         m(0, 1).alias("m_c_post"),
         F.sum("n").cast("long").alias("n_orders"),
     )
+    def pin6(col) -> F.Column:
+        # floor-pin (floor(x*1e6+0.5)/1e6), NOT round(): the house rule
+        # after the sf1 sweep — round() on genuinely-computed doubles
+        # diverges cross-engine at halfway/magnitude edges.
+        return F.floor(col * 1e6 + 0.5) / 1e6
+
     return wide.select(
         "estimate",
         "n_orders",
-        F.round(F.col("m_t_pre") / 100.0, 6).alias("mean_treat_pre"),
-        F.round(F.col("m_t_post") / 100.0, 6).alias("mean_treat_post"),
-        F.round(F.col("m_c_pre") / 100.0, 6).alias("mean_ctrl_pre"),
-        F.round(F.col("m_c_post") / 100.0, 6).alias("mean_ctrl_post"),
-        F.round(
+        pin6(F.col("m_t_pre") / 100.0).alias("mean_treat_pre"),
+        pin6(F.col("m_t_post") / 100.0).alias("mean_treat_post"),
+        pin6(F.col("m_c_pre") / 100.0).alias("mean_ctrl_pre"),
+        pin6(F.col("m_c_post") / 100.0).alias("mean_ctrl_post"),
+        pin6(
             (
                 (F.col("m_t_post") - F.col("m_t_pre"))
                 - (F.col("m_c_post") - F.col("m_c_pre"))
             )
-            / 100.0,
-            6,
+            / 100.0
         ).alias("did_effect"),
     ).orderBy("estimate")

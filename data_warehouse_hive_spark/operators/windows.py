@@ -887,12 +887,17 @@ def q_win_rolling_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q_win_cume_dist",
     oracle="""
+    WITH r AS (
+      SELECT l_returnflag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS q100
+      FROM lineitem
+    )
     SELECT DISTINCT l_returnflag,
-           round(l_quantity, 2) AS quantity,
-           round(cume_dist() OVER w, 6) AS cume_dist,
-           round(percent_rank() OVER w, 6) AS pct_rank
-    FROM lineitem
-    WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_quantity)
+           q100 / 100.0 AS quantity,
+           floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume_dist,
+           floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank
+    FROM r
+    WINDOW w AS (PARTITION BY l_returnflag ORDER BY q100)
     ORDER BY l_returnflag, quantity
     """,
 )
@@ -909,15 +914,29 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one shuffle on the partition key; the per-partition sort is
     the window's contract.  Both functions are exact rational counts
-    divided once — engine-identical on identical input multisets."""
-    w = Window.partitionBy("l_returnflag").orderBy("l_quantity")
+    divided once — engine-identical on identical input multisets.
+
+    Determinism: the window ORDERS BY the exact 100× integer carrier
+    and the display value is that SAME carrier divided once, so the
+    output sort (flag, quantity) is TOTAL — windowing raw doubles while
+    displaying a 2-dp rounding would let two raws colliding at 2 dp
+    yield duplicate `quantity` rows in engine-dependent order (the
+    non-total-sort class the sf1 sweep fixed elsewhere).  The rank
+    values themselves are floor-pinned (house rule), not round()ed."""
+    q100 = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
+    w = Window.partitionBy("l_returnflag").orderBy("q100")
     return (
         t(spark, sf_dir, "lineitem")
+        .select("l_returnflag", q100.alias("q100"))
         .select(
             "l_returnflag",
-            F.round(F.col("l_quantity"), 2).alias("quantity"),
-            F.round(F.cume_dist().over(w), 6).alias("cume_dist"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            (F.col("q100") / 100.0).alias("quantity"),
+            (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias(
+                "cume_dist"
+            ),
+            (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias(
+                "pct_rank"
+            ),
         )
         .distinct()
         .orderBy("l_returnflag", "quantity")
