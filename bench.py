@@ -487,6 +487,11 @@ EXT_R8O = [
 
 
 # round 9: suffix-ordering substring dedup + NN-descent kNN refinement.
+EXT_R11 = [
+    "q_sql_scripting",
+    "ddl_minhash_index_persist",
+]
+
 EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
@@ -589,6 +594,7 @@ GROUP_LISTS: list[tuple[str, list[str]]] = [
     ("ext_r8o", EXT_R8O),
     ("ext_r9", EXT_R9),
     ("ext_r10", EXT_R10),
+    ("ext_r11", EXT_R11),
 ]
 
 COHORTS: list[tuple[str, list[str]]] = [
@@ -605,6 +611,7 @@ COHORTS: list[tuple[str, list[str]]] = [
             "ext_r8k", "ext_r8l", "ext_r8m", "ext_r8n", "ext_r8o"]),
     ("r9", ["ext_r9"]),
     ("r10", ["ext_r10"]),
+    ("r11", ["ext_r11"]),
 ]
 
 MEMOIZED_COLD_IDS = (

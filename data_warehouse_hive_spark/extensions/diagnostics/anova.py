@@ -192,22 +192,27 @@ AB_G1, AB_G2 = "click", "purchase"
     agg AS (
       SELECT MAX(n) AS n, MAX(n1) AS n1,
              CAST(SUM(sc) AS BIGINT) AS s_all,
-             CAST(SUM(CAST(floor(c1 * (CAST(sc AS DOUBLE) / c) * 1e6
-                                 + 0.5) AS HUGEINT)) AS HUGEINT) AS ab6,
-             CAST(SUM(CAST(floor((CAST(sc AS DOUBLE) * sc / c) * 1e6
-                                 + 0.5) AS HUGEINT)) AS HUGEINT) AS sq6
+             CAST(SUM((2000000 * CAST(c1 AS HUGEINT) * sc + c)
+                      // (2 * c)) AS HUGEINT) AS ab6,
+             CAST(SUM((2000000 * CAST(sc AS HUGEINT) * sc + c)
+                      // (2 * c)) AS HUGEINT) AS sq6
       FROM sv
+    ),
+    fin AS (
+      SELECT n1, n - n1 AS n2,
+             CAST(ab6 AS DOUBLE) / 1e6 AS ab,
+             CAST(n1 AS DOUBLE) * s_all / n AS e_ab,
+             CAST(n1 AS DOUBLE) * (n - n1)
+               * (n * (CAST(sq6 AS DOUBLE) / 1e6)
+                  - CAST(s_all AS DOUBLE) * s_all)
+               / (CAST(n AS DOUBLE) * n * (n - 1)) AS v
+      FROM agg
     )
-    SELECT n1, n - n1 AS n2,
-           round(CAST(ab6 AS DOUBLE) / 1e6, 4) AS ab,
-           round(CAST(n1 AS DOUBLE) * s_all / n, 4) AS e_ab,
-           round((CAST(ab6 AS DOUBLE) / 1e6
-                  - CAST(n1 AS DOUBLE) * s_all / n)
-                 / sqrt(CAST(n1 AS DOUBLE) * (n - n1)
-                        * (n * (CAST(sq6 AS DOUBLE) / 1e6)
-                           - CAST(s_all AS DOUBLE) * s_all)
-                        / (CAST(n AS DOUBLE) * n * (n - 1))), 6) AS z
-    FROM agg
+    SELECT n1, n2, ab, e_ab,
+           CASE WHEN v > 0
+                THEN floor((ab - e_ab) / sqrt(v) * 1e6 + 0.5) / 1e6
+                ELSE NULL END AS z
+    FROM fin
     """,
 )
 def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -226,7 +231,25 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     treatment), carried on 1e6 grids into HUGEINT/DECIMAL(38) sums (the
     Σ S²/c term reaches ~N³/4·1e6 at sf10 — far past BIGINT).  The
     1-row finish is the tie-corrected moment form
-    Var = n1·n2·(N·Σs² − S²)/(N²(N−1))."""
+    Var = n1·n2·(N·Σs² − S²)/(N²(N−1)).
+
+    sf10 finding (r11): the per-term 1e6 pins originally rode
+    floor(double) — Spark's floor() lands on BIGINT and OVERFLOWS at
+    the ~1.6e20 per-term magnitude sf10 reaches (sf1's 1.6e18 sat just
+    under the 9.2e18 line), corrupting sq6 into a negative variance →
+    z = NaN while DuckDB (double-typed floor) stayed finite.  Both
+    terms are now EXACT integer round-half-up of the rational:
+    (2·10⁶·x + c) // (2c) — DuckDB computes it directly on HUGEINT;
+    Spark decomposes via quotient/remainder (q = x div c, r = x mod c,
+    term = 10⁶·q-part + small-remainder part) because Spark's decimal
+    `div` wraps to BIGINT.  Bounds: r < c ≈ n/|cents domain| (~4e3 at
+    sf100), so every BIGINT intermediate is ≤ 2e6·c² ≈ 3e13; the
+    decimal(38) assembly holds past sf1000.  ab/e_ab are emitted as
+    their raw single divisions (house rule — re-rounding a
+    carrier-exact division is the documented divergence class at
+    ~1e12 display magnitudes), and z is floor-pinned with an explicit
+    v > 0 guard (degenerate all-tied pools emit NULL in BOTH engines
+    instead of NaN-vs-inf)."""
     pool = (
         t(spark, sf_dir, "events")
         .filter(F.col("event_type").isin(AB_G1, AB_G2))
@@ -277,22 +300,33 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(0)
     sv = runs.select("c", "c1", "n", "n1", sc.alias("sc"))
+    # exact integer round-half-up of the 1e6-pinned rationals — see
+    # docstring (sf10 finding): NEVER floor(double) here, Spark's floor
+    # is BIGINT-typed and overflows at the sf10 per-term magnitude.
+    # quotient/remainder split keeps every BIGINT intermediate small;
+    # the 1e6·q part rides decimal(38,0).
+    dec = "decimal(38,0)"
+
+    def pin6_ratio(num):  # floor(num·1e6/c + 0.5) exactly, num BIGINT
+        q = F.expr(f"({num}) div c")
+        small = F.expr(f"(2000000 * (({num}) % c) + c) div (2 * c)")
+        return q.cast(dec) * F.lit(1000000) + small
+
+    ab_term = pin6_ratio("c1 * sc")
+    # sc² overflows BIGINT past ~sf30: split sc = c·qs + rs first, then
+    # sc²·1e6/c = 1e6·(c·qs² + 2·qs·rs) + rs²·1e6/c with rs < c
+    qs = F.expr("sc div c")
+    rs = F.expr("sc % c")
+    sq_big = (
+        F.col("c").cast(dec) * qs * qs + F.lit(2).cast(dec) * qs * rs
+    ) * F.lit(1000000)
+    sq_small = F.expr("(2000000 * (sc % c) * (sc % c) + c) div (2 * c)")
     agg = sv.agg(
         F.max("n").alias("n"),
         F.max("n1").alias("n1"),
         F.sum("sc").cast("long").alias("s_all"),
-        F.sum(
-            F.floor(
-                F.col("c1") * (F.col("sc").cast("double") / F.col("c")) * 1e6
-                + 0.5
-            ).cast("decimal(38,0)")
-        ).alias("ab6"),
-        F.sum(
-            F.floor(
-                (F.col("sc").cast("double") * F.col("sc") / F.col("c")) * 1e6
-                + 0.5
-            ).cast("decimal(38,0)")
-        ).alias("sq6"),
+        F.sum(ab_term).alias("ab6"),
+        F.sum(sq_big + sq_small).alias("sq6"),
     )
     ab = F.col("ab6").cast("double") / 1e6
     e_ab = F.col("n1").cast("double") * F.col("s_all") / F.col("n")
@@ -308,9 +342,12 @@ def q_stats_ansari_bradley(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n1",
         (F.col("n") - F.col("n1")).alias("n2"),
-        F.round(ab, 4).alias("ab"),
-        F.round(e_ab, 4).alias("e_ab"),
-        F.round((ab - e_ab) / F.sqrt(var), 6).alias("z"),
+        ab.alias("ab"),
+        e_ab.alias("e_ab"),
+        F.when(
+            var > 0,
+            F.floor((ab - e_ab) / F.sqrt(var) * 1e6 + 0.5) / 1e6,
+        ).alias("z"),
     )
 
 

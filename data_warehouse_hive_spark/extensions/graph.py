@@ -2289,8 +2289,14 @@ def q_graph_betweenness_approx(
         # identical semantics to the oracle's full unroll over empty
         # CTEs, at (diameter+1) rounds of driver-loop cost instead of a
         # fixed BTWA_D (measured: the fixture diameter is 4-9, so this
-        # halves the per-round job count at sf0.1)
-        if new.isEmpty():
+        # halves the per-round job count at sf0.1).  count(), not
+        # isEmpty(): isEmpty is a take(1) that scans partitions in
+        # 1/4/16 escalating mini-jobs AND leaves the lazy checkpoint
+        # only partially materialized, so the seen-union, the next
+        # round, and the backward sweep each rematerialize the tail;
+        # one count() materializes every block exactly once (r10
+        # VERDICT task 6 — measured ~25 → ~14 jobs, same hashes).
+        if new.count() == 0:
             break
         levels.append(new)
         seen = seen.unionAll(new.select("origin", "node")).localCheckpoint(

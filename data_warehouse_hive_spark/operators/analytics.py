@@ -3306,11 +3306,11 @@ _O_DECOMP_CORE = """
     oracle=f"""
     WITH {_O_DECOMP_CORE}
     SELECT printf('%04d-%02d', d.yr, d.mo) AS ym,
-           round(d.x / 100.0, 2) AS observed,
-           round(d.t24 / 2400.0, 6) AS trend,
-           round(CAST(s.sum24 AS DOUBLE) / (2400 * s.cnt), 6) AS seasonal,
-           round(CAST(d.d24 * s.cnt - s.sum24 AS DOUBLE) / (2400 * s.cnt),
-                 6) AS remainder
+           d.x / 100.0 AS observed,
+           d.t24 / 2400.0 AS trend,
+           CAST(s.sum24 AS DOUBLE) / (2400 * s.cnt) AS seasonal,
+           CAST(d.d24 * s.cnt - s.sum24 AS DOUBLE) / (2400 * s.cnt)
+             AS remainder
     FROM det d JOIN seas s USING (mo) ORDER BY ym
     """,
 )
@@ -3344,17 +3344,21 @@ def q_orders_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     months with an incomplete 13-month frame are excluded, as classical
     decomposition prescribes.  Reference: delegated HiveQL analytics
     class (backend/hive_manager.py:400)."""
+    # every display is the RAW single division of exact integers (house
+    # rule, r11 sf10 finding: round(single-division, 6) at the ~1e9
+    # magnitudes sf10 reaches re-introduces the 1-ulp engine-round
+    # divergence the rule exists to prevent; the raw divisions are
+    # bit-identical by construction)
     return _decompose_df(spark, sf_dir).select(
         F.format_string("%04d-%02d", "yr", "mo").alias("ym"),
-        F.round(F.col("x") / 100.0, 2).alias("observed"),
-        F.round(F.col("t24") / 2400.0, 6).alias("trend"),
-        F.round(
-            F.col("sum24").cast("double") / (2400 * F.col("cnt")), 6
-        ).alias("seasonal"),
-        F.round(
+        (F.col("x") / 100.0).alias("observed"),
+        (F.col("t24") / 2400.0).alias("trend"),
+        (F.col("sum24").cast("double") / (2400 * F.col("cnt"))).alias(
+            "seasonal"
+        ),
+        (
             (F.col("d24") * F.col("cnt") - F.col("sum24")).cast("double")
-            / (2400 * F.col("cnt")),
-            6,
+            / (2400 * F.col("cnt"))
         ).alias("remainder"),
     ).orderBy("ym")
 

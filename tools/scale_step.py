@@ -33,6 +33,7 @@ domains (cents < 1e5, 30 days, 5 types) are held fixed while n grows
 Usage:
     python tools/scale_step.py            # build (if absent) + validate
     python tools/scale_step.py --rebuild  # force fixture rebuild
+    python tools/scale_step.py --sf10     # 100x sf0.1 for the SF10_OPS subset
 
 Writes fixtures to /tmp/sf1_scale (ephemeral; never committed) and
 prints one PASS/FAIL line per op plus a JSON summary.
@@ -52,7 +53,53 @@ sys.path.insert(
 
 SRC_DIR = "/root/testdata/sf0.1"
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF1_DIR", "/tmp/sf1_scale")
+SF10_DIR = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/sf10_scale")
 COPIES = 10
+
+# --sf10 mode (r10 VERDICT task 3): a second 10x replication (sf1 →
+# sf10) for the ops with the TIGHTEST documented overflow horizons —
+# events ≈ 1e7 rows (~2e6/type), lineitem ≈ 60M, orders ≈ 15M,
+# embeddings ≈ 200k.  documents is carried over from sf1 UNREPLICATED:
+# at 100-way clone density the dedup pair relations go quadratic in
+# clone count (16G pairs), which validates nothing about CARRIER bounds
+# — the axis sf10 probes is fact-table row growth, and the dedup ops'
+# sf1 validation already covers their clone-density axis.
+SF10_OPS = [
+    # corpus power sums / rank carriers — the bounds written vs n
+    "q_agg_gini",
+    "q_agg_moments",
+    "q_stats_jarque_bera",
+    "q_stats_dagostino",
+    "q_stats_anderson_darling",
+    "q_stats_cvm",
+    "q_stats_lilliefors",
+    "q_stats_ljung_box",
+    "q_stats_durbin_watson",
+    "q_stats_kruskal",
+    "q_stats_mannwhitney",
+    "q_stats_spearman",
+    "q_stats_grubbs",
+    "q_events_hurst",
+    "q_stats_mood_median",
+    "q_stats_bartlett",
+    "q_stats_tost",
+    "q_stats_welch_t",
+    "q_stats_ansari_bradley",
+    "q_stats_brier",
+    "q_stats_auc",
+    "q_orders_price_elasticity",
+    # r10/r11 tight rows (SCALING.md "New tight-carrier rows")
+    "q_stats_wasserstein",      # BIGINT saturates ~1e7 rows/type — AT sf10
+    "q_stats_energy_distance",
+    "q_stats_jackknife_ratio",
+    "q_stats_conformal",
+    "q_orders_decompose",
+    "q_orders_anomaly_stl",
+    "q_orders_did",
+    "q_sql_scripting",
+    # embeddings-corpus carrier
+    "q_embed_isotropy",
+]
 
 # The ops with the tightest documented carrier bounds (SCALING.md
 # round-7/8 tables) — power sums, rank carriers, HUGEINT/DECIMAL(38)
@@ -94,16 +141,31 @@ TIGHT_BOUND_OPS = [
     "q_orders_decompose",       # T24/d24·cnt monthly carriers
     "q_stats_conformal",        # 1e6-pinned residual rank at 10x calib
     "q_graph_betweenness_approx",  # σ path counts at 10x clone density
+    # round 11: the engine-side digest comparator (testing.py,
+    # DIGEST_ROW_LIMIT) closes the one count-only sf1 cell — the
+    # clone-dense pair relation is now VALUE-verified above the
+    # collect ceiling (r10 VERDICT task 1)
+    "q_dedup_simhash_pairs",    # 163M pairs at sf1 — digest compare
+    # round 11: new/advice-touched ops with scale-sensitive paths
+    "q_sql_scripting",          # Σc² DECIMAL(38)/HUGEINT per clip pass
+    "q_win_cume_dist",          # total-order carrier sort at 10x ties
+    "q_orders_did",             # 8-cell exact cents means at 10x
+    "q_orders_anomaly_stl",     # mad9=0 guard + 1e9 remainder carriers
 ]
 
 
-def build_fixtures(spark) -> None:
+def build_fixtures(
+    spark,
+    src_dir: str = SRC_DIR,
+    dst_dir: str = SF1_DIR,
+    replicate_documents: bool = True,
+) -> None:
     from pyspark.sql import functions as F
 
-    os.makedirs(SF1_DIR, exist_ok=True)
+    os.makedirs(dst_dir, exist_ok=True)
     copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
 
-    orders = spark.read.parquet(f"{SRC_DIR}/orders.parquet")
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
     off = orders.agg(F.max("o_orderkey") + 1).collect()[0][0]
     (
         orders.crossJoin(copies)
@@ -114,9 +176,9 @@ def build_fixtures(spark) -> None:
         .select(orders.columns)
         .repartition(16)
         .write.mode("overwrite")
-        .parquet(f"{SF1_DIR}/orders.parquet")
+        .parquet(f"{dst_dir}/orders.parquet")
     )
-    li = spark.read.parquet(f"{SRC_DIR}/lineitem.parquet")
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet")
     (
         li.crossJoin(copies)
         .withColumn(
@@ -126,9 +188,9 @@ def build_fixtures(spark) -> None:
         .select(li.columns)
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(f"{SF1_DIR}/lineitem.parquet")
+        .parquet(f"{dst_dir}/lineitem.parquet")
     )
-    ev = spark.read.parquet(f"{SRC_DIR}/events.parquet")
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
     eoff = ev.agg(F.max("event_id") + 1).collect()[0][0]
     (
         ev.crossJoin(copies)
@@ -139,20 +201,29 @@ def build_fixtures(spark) -> None:
         .select(ev.columns)
         .repartition(32)
         .write.mode("overwrite")
-        .parquet(f"{SF1_DIR}/events.parquet")
+        .parquet(f"{dst_dir}/events.parquet")
     )
-    docs = spark.read.parquet(f"{SRC_DIR}/documents.parquet")
-    doff = docs.agg(F.max("doc_id") + 1).collect()[0][0]
-    (
-        docs.crossJoin(copies)
-        .withColumn("doc_id", F.col("doc_id") + F.col("copy_i") * doff)
-        .drop("copy_i")
-        .select(docs.columns)
-        .repartition(16)
-        .write.mode("overwrite")
-        .parquet(f"{SF1_DIR}/documents.parquet")
-    )
-    emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    if replicate_documents:
+        doff = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+        (
+            docs.crossJoin(copies)
+            .withColumn(
+                "doc_id", F.col("doc_id") + F.col("copy_i") * doff
+            )
+            .drop("copy_i")
+            .select(docs.columns)
+            .repartition(16)
+            .write.mode("overwrite")
+            .parquet(f"{dst_dir}/documents.parquet")
+        )
+    else:
+        # carry over unreplicated (see SF10_OPS note: clone density is
+        # the sf1 axis; sf10 probes fact-table row growth)
+        docs.write.mode("overwrite").parquet(
+            f"{dst_dir}/documents.parquet"
+        )
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     voff = emb.agg(F.max("vec_id") + 1).collect()[0][0]
     (
         emb.crossJoin(copies)
@@ -161,7 +232,7 @@ def build_fixtures(spark) -> None:
         .select(emb.columns)
         .repartition(8)
         .write.mode("overwrite")
-        .parquet(f"{SF1_DIR}/embeddings.parquet")
+        .parquet(f"{dst_dir}/embeddings.parquet")
     )
     for name in (
         "region",
@@ -170,12 +241,12 @@ def build_fixtures(spark) -> None:
         "supplier",
         "part",
     ):
-        dst = f"{SF1_DIR}/{name}.parquet"
+        dst = f"{dst_dir}/{name}.parquet"
         if os.path.isdir(dst):
             shutil.rmtree(dst)
         elif os.path.exists(dst):
             os.unlink(dst)
-        shutil.copy(f"{SRC_DIR}/{name}.parquet", dst)
+        shutil.copy(f"{src_dir}/{name}.parquet", dst)
 
 
 def main() -> None:
@@ -187,6 +258,7 @@ def main() -> None:
     )
 
     rebuild = "--rebuild" in sys.argv
+    sf10 = "--sf10" in sys.argv
     spark = get_spark(app_name="dwh-spark-scale-step")
     if rebuild or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
         print(f"building sf1 fixtures ({COPIES}x sf0.1) -> {SF1_DIR}",
@@ -194,17 +266,30 @@ def main() -> None:
         t0 = time.perf_counter()
         build_fixtures(spark)
         print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+    if sf10 and (
+        rebuild or not os.path.exists(f"{SF10_DIR}/lineitem.parquet")
+    ):
+        print(f"building sf10 fixtures ({COPIES}x sf1) -> {SF10_DIR}",
+              flush=True)
+        t0 = time.perf_counter()
+        build_fixtures(
+            spark, src_dir=SF1_DIR, dst_dir=SF10_DIR,
+            replicate_documents=False,
+        )
+        print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
 
+    sf_dir = SF10_DIR if sf10 else SF1_DIR
+    ops = SF10_OPS if sf10 else TIGHT_BOUND_OPS
     registry = load_all()
-    con = duckdb_connection(SF1_DIR)
+    con = duckdb_connection(sf_dir)
     results: dict[str, dict] = {}
     n_fail = 0
-    for name in TIGHT_BOUND_OPS:
+    for name in ops:
         spec = registry[name]
         t0 = time.perf_counter()
         try:
             res = compare_to_oracle(
-                name, spec.fn(spark, SF1_DIR), spec.oracle, con
+                name, spec.fn(spark, sf_dir), spec.oracle, con
             )
             ok, detail = res.ok, "; ".join(res.problems)
         except Exception as e:  # overflow raises are exactly what we hunt
@@ -215,8 +300,8 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)"
               + (f" — {detail[:300]}" if detail else ""), flush=True)
     summary = {
-        "metric": "sf1_scale_step",
-        "n_ops": len(TIGHT_BOUND_OPS),
+        "metric": "sf10_scale_step" if sf10 else "sf1_scale_step",
+        "n_ops": len(ops),
         "n_fail": n_fail,
         "results": results,
     }
