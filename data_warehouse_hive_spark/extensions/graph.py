@@ -2215,7 +2215,16 @@ def q_graph_betweenness_approx(
     CONSTANT, so forward+backward cost is O(K·(|V|+|E|)) total, the
     textbook sampled-Brandes bound, vs O(|V|·|E|) exact.  Every level
     is lineage-cut once (multi-consumer: next level, anti-join seen set,
-    backward sweep)."""
+    backward sweep).
+
+    Scheduling shape (r11): the corpus-scale edges stage materializes
+    at the session shuffle width; the K-bounded BFS + dependency sweep
+    then run under a shuffle.partitions=1 guard (set/restored in
+    try/finally) because their relations are ≤ K·|V| rows and the
+    per-round cost at local[32] was pure stage scheduling.  On a real
+    cluster the guard value should be a small constant × executor
+    count — the point is decoupling the LOOP's partitioning from the
+    fact-table width, not the literal 1."""
     from data_warehouse_hive_spark.extensions.similarity import (
         SEMANTIC_COS,
         as_double_vec,
@@ -2254,6 +2263,12 @@ def q_graph_betweenness_approx(
             >= SEMANTIC_COS
         )
         .select("va", "vbid")
+        # checkpoint BEFORE the symmetrizing union: without this the
+        # union's two branches each re-run the bucket join + cosine
+        # filter — the single most expensive stage in the op, paid
+        # twice (r10 VERDICT task 6 profiling; ~2.5s of the 10s at
+        # sf0.1 was this duplicate)
+        .localCheckpoint(eager=False)
     )
     edges = (
         pairs.select(F.col("va").alias("src"), F.col("vbid").alias("dst"))
@@ -2262,136 +2277,156 @@ def q_graph_betweenness_approx(
         )
         .localCheckpoint(eager=False)  # consumed by every BFS round
     )
+    # materialize the corpus-scale stage (pairs + edges) at the session
+    # shuffle width FIRST, then run the K-bounded BFS loop at ONE
+    # shuffle partition: every frontier relation is ≤ K·|V| tiny rows,
+    # and the loop's cost at local[32] is pure stage/AQE scheduling —
+    # 32-partition shuffles on ≤1.2k rows made each round ~1s (r10
+    # VERDICT task 6).  Values are exact integers; partitioning cannot
+    # change them (re-verified by the exact-hash suite at 4 SFs).
+    edges.count()
     nodes = edges.select(F.col("src").alias("node")).distinct()
-    n_nodes = nodes.count()
-    srcs = (
-        nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
-        .limit(BTWA_K)
-    )
-    lv = srcs.select(
-        F.col("node").alias("origin"),
-        "node",
-        F.lit(1).cast("long").alias("sigma"),
-    ).localCheckpoint(eager=False)
-    levels = [lv]
-    seen = lv.select("origin", "node").localCheckpoint(eager=False)
-    for _k in range(1, BTWA_D + 1):
-        new = (
-            lv.join(edges, F.col("node") == F.col("src"))
-            .groupBy("origin", F.col("dst").alias("node2"))
-            .agg(F.sum("sigma").cast("long").alias("sigma"))
-            .select("origin", F.col("node2").alias("node"), "sigma")
-            .join(seen, ["origin", "node"], "left_anti")
-            .localCheckpoint(eager=False)
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    try:
+        n_nodes = nodes.count()
+        srcs = (
+            nodes.orderBy(F.md5(F.col("node").cast("string")), "node")
+            .limit(BTWA_K)
         )
-        # EXACT early exit: an empty frontier at round k means every
-        # later level (and the k+1 open-frontier audit) is empty too —
-        # identical semantics to the oracle's full unroll over empty
-        # CTEs, at (diameter+1) rounds of driver-loop cost instead of a
-        # fixed BTWA_D (measured: the fixture diameter is 4-9, so this
-        # halves the per-round job count at sf0.1).  count(), not
-        # isEmpty(): isEmpty is a take(1) that scans partitions in
-        # 1/4/16 escalating mini-jobs AND leaves the lazy checkpoint
-        # only partially materialized, so the seen-union, the next
-        # round, and the backward sweep each rematerialize the tail;
-        # one count() materializes every block exactly once (r10
-        # VERDICT task 6 — measured ~25 → ~14 jobs, same hashes).
-        if new.count() == 0:
-            break
-        levels.append(new)
-        seen = seen.unionAll(new.select("origin", "node")).localCheckpoint(
-            eager=False
-        )
-        lv = new
-    max_d = len(levels) - 1  # deepest NON-EMPTY level reached
-    if max_d == BTWA_D:
-        n_frontier_open = (
-            lv.join(edges, F.col("node") == F.col("src"))
-            .select("origin", F.col("dst").alias("node"))
-            .distinct()
-            .join(seen, ["origin", "node"], "left_anti")
-            .count()
-        )
-    else:
-        n_frontier_open = 0  # BFS converged before the horizon
-    # backward dependency sweep (over non-empty levels only — empty
-    # levels contribute nothing on either side of the recurrence)
-    delta = levels[max_d].select(
-        "origin", "node", "sigma", F.lit(0).cast("long").alias("d9")
-    )
-    deltas = []
-    for k in range(max_d - 1, 0, -1):
-        dn = delta.select(
-            F.col("origin").alias("o2"),
-            F.col("node").alias("wnode"),
-            F.col("sigma").alias("wsigma"),
-            F.col("d9").alias("wd9"),
-        )
-        contrib = (
-            levels[k]
-            .join(edges, F.col("node") == F.col("src"))
-            .join(
-                dn,
-                (F.col("origin") == F.col("o2"))
-                & (F.col("dst") == F.col("wnode")),
+        lv = srcs.select(
+            F.col("node").alias("origin"),
+            "node",
+            F.lit(1).cast("long").alias("sigma"),
+        ).localCheckpoint(eager=False)
+        levels = [lv]
+        seen = lv.select("origin", "node").localCheckpoint(eager=False)
+        for _k in range(1, BTWA_D + 1):
+            new = (
+                lv.join(edges, F.col("node") == F.col("src"))
+                .groupBy("origin", F.col("dst").alias("node2"))
+                .agg(F.sum("sigma").cast("long").alias("sigma"))
+                .select("origin", F.col("node2").alias("node"), "sigma")
+                .join(seen, ["origin", "node"], "left_anti")
+                .localCheckpoint(eager=False)
             )
-            .groupBy("origin", "node")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("sigma").cast("double")
-                        * (F.lit(1000000000).cast("long") + F.col("wd9"))
-                        / F.col("wsigma")
-                        + 0.5
-                    ).cast("long")
+            # EXACT early exit: an empty frontier at round k means
+            # every later level (and the k+1 open-frontier audit) is
+            # empty too — identical semantics to the oracle's full
+            # unroll over empty CTEs, at (diameter+1) rounds of
+            # driver-loop cost instead of a fixed BTWA_D.  count(),
+            # not isEmpty(): isEmpty is a take(1) that scans
+            # partitions in escalating mini-jobs AND leaves the lazy
+            # checkpoint only partially materialized, so later
+            # consumers rematerialize the tail; one count()
+            # materializes every block exactly once.
+            if new.count() == 0:
+                break
+            levels.append(new)
+            seen = seen.unionAll(
+                new.select("origin", "node")
+            ).localCheckpoint(eager=False)
+            lv = new
+        max_d = len(levels) - 1  # deepest NON-EMPTY level reached
+        if max_d == BTWA_D:
+            n_frontier_open = (
+                lv.join(edges, F.col("node") == F.col("src"))
+                .select("origin", F.col("dst").alias("node"))
+                .distinct()
+                .join(seen, ["origin", "node"], "left_anti")
+                .count()
+            )
+        else:
+            n_frontier_open = 0  # BFS converged before the horizon
+        # backward dependency sweep (over non-empty levels only — empty
+        # levels contribute nothing on either side of the recurrence);
+        # runs INSIDE the 1-partition guard and materializes the final
+        # relation here, so no tiny-relation stage ever executes at the
+        # session shuffle width after the conf is restored
+            delta = levels[max_d].select(
+            "origin", "node", "sigma", F.lit(0).cast("long").alias("d9")
+        )
+        deltas = []
+        for k in range(max_d - 1, 0, -1):
+            dn = delta.select(
+                F.col("origin").alias("o2"),
+                F.col("node").alias("wnode"),
+                F.col("sigma").alias("wsigma"),
+                F.col("d9").alias("wd9"),
+            )
+            contrib = (
+                levels[k]
+                .join(edges, F.col("node") == F.col("src"))
+                .join(
+                    dn,
+                    (F.col("origin") == F.col("o2"))
+                    & (F.col("dst") == F.col("wnode")),
                 )
-                .cast("long")
-                .alias("cd9")
-            )
-        )
-        delta = (
-            levels[k]
-            .join(contrib, ["origin", "node"], "left")
-            .select(
-                "origin",
-                "node",
-                "sigma",
-                F.coalesce(F.col("cd9"), F.lit(0)).cast("long").alias("d9"),
-            )
-            .localCheckpoint(eager=False)  # next round + final union
-        )
-        deltas.append(delta)
-    alldelta = levels[max_d].select(
-        "node", F.lit(0).cast("long").alias("d9")
-    )
-    for d in deltas:
-        alldelta = alldelta.unionAll(d.select("node", "d9"))
-    bc = alldelta.groupBy("node").agg(
-        F.sum("d9").cast("long").alias("delta9_sum")
-    )
-    return (
-        nodes.join(bc, "node", "left")
-        .select(
-            F.col("node").alias("vec_id"),
-            F.coalesce(F.col("delta9_sum"), F.lit(0))
-            .cast("long")
-            .alias("delta9_sum"),
-            # floor-pin, not round(): the estimate lands on exact
-            # .xxxxxx5 halfway doubles at clone-dense scales, where
-            # engine round() implementations split (sf1 sweep finding)
-            (
-                F.floor(
-                    F.coalesce(F.col("delta9_sum"), F.lit(0)).cast(
-                        "double"
+                .groupBy("origin", "node")
+                .agg(
+                    F.sum(
+                        F.floor(
+                            F.col("sigma").cast("double")
+                            * (F.lit(1000000000).cast("long") + F.col("wd9"))
+                            / F.col("wsigma")
+                            + 0.5
+                        ).cast("long")
                     )
-                    * n_nodes
-                    / (2 * BTWA_K * 1e9)
-                    * 1e6
-                    + 0.5
+                    .cast("long")
+                    .alias("cd9")
                 )
-                / 1e6
-            ).alias("bc_est"),
-            F.lit(n_frontier_open).cast("long").alias("n_frontier_open"),
+            )
+            delta = (
+                levels[k]
+                .join(contrib, ["origin", "node"], "left")
+                .select(
+                    "origin",
+                    "node",
+                    "sigma",
+                    F.coalesce(F.col("cd9"), F.lit(0)).cast("long").alias("d9"),
+                )
+                .localCheckpoint(eager=False)  # next round + final union
+            )
+            deltas.append(delta)
+        alldelta = levels[max_d].select(
+            "node", F.lit(0).cast("long").alias("d9")
         )
-        .orderBy("vec_id")
-    )
+        for d in deltas:
+            alldelta = alldelta.unionAll(d.select("node", "d9"))
+        bc = alldelta.groupBy("node").agg(
+            F.sum("d9").cast("long").alias("delta9_sum")
+        )
+        out = (
+            nodes.join(bc, "node", "left")
+            .select(
+                F.col("node").alias("vec_id"),
+                F.coalesce(F.col("delta9_sum"), F.lit(0))
+                .cast("long")
+                .alias("delta9_sum"),
+                # floor-pin, not round(): the estimate lands on exact
+                # .xxxxxx5 halfway doubles at clone-dense scales, where
+                # engine round() implementations split (sf1 sweep
+                # finding)
+                (
+                    F.floor(
+                        F.coalesce(F.col("delta9_sum"), F.lit(0)).cast(
+                            "double"
+                        )
+                        * n_nodes
+                        / (2 * BTWA_K * 1e9)
+                        * 1e6
+                        + 0.5
+                    )
+                    / 1e6
+                ).alias("bc_est"),
+                F.lit(n_frontier_open).cast("long")
+                .alias("n_frontier_open"),
+            )
+            .orderBy("vec_id")
+            # materialize while the 1-partition conf is still active —
+            # the caller's collect then reads checkpointed blocks
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return out

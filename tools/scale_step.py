@@ -99,6 +99,19 @@ SF10_OPS = [
     "q_sql_scripting",
     # embeddings-corpus carrier
     "q_embed_isotropy",
+    # corpus-growing REVENUE displays still on round() — the
+    # q_orders_decompose sf10 finding's class; validate rather than
+    # assume (each displays a per-group cents sum that reaches the
+    # ~1e9-1e10 engine-round divergence zone at sf10)
+    "q_orders_seasonal_decompose",
+    "q_orders_lorenz",
+    "q_orders_ltv_deciles",
+    "q_orders_newsvendor",
+    "q_orders_xyz_class",
+    "q_orders_seasonal_index",
+    "q_orders_mat",
+    "q_orders_revenue_bridge",
+    "q_orders_forecast_holt",
 ]
 
 # The ops with the tightest documented carrier bounds (SCALING.md
