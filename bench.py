@@ -489,6 +489,7 @@ EXT_R8O = [
 # round 9: suffix-ordering substring dedup + NN-descent kNN refinement.
 EXT_R11 = [
     "q_sql_scripting",
+    "q_sql_scripting_for",
     "ddl_minhash_index_persist",
 ]
 

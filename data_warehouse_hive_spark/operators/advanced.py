@@ -2148,3 +2148,110 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
         END
         """
     )
+
+
+@query(
+    "q_sql_scripting_for",
+    oracle="""
+    WITH RECURSIVE m AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+               AS t,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY 1
+    ),
+    tot AS (
+      SELECT CAST(SUM(x) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+      FROM m
+    ),
+    net AS (
+      SELECT t, x - (SELECT s // n FROM tot) AS net,
+             ROW_NUMBER() OVER (ORDER BY t) AS rn
+      FROM m
+    ),
+    walk(rn, bal, resets, mx) AS (
+      SELECT CAST(0 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
+      UNION ALL
+      SELECT n.rn,
+             CASE WHEN w.bal + n.net < 0 THEN 0
+                  ELSE w.bal + n.net END,
+             w.resets + CASE WHEN w.bal + n.net < 0 THEN 1 ELSE 0 END,
+             GREATEST(w.mx, CASE WHEN w.bal + n.net < 0 THEN 0
+                                 ELSE w.bal + n.net END)
+      FROM walk w JOIN net n ON n.rn = w.rn + 1
+    )
+    SELECT (SELECT n FROM tot) AS n_months,
+           CAST(resets AS BIGINT) AS n_resets,
+           bal / 100.0 AS final_balance,
+           mx / 100.0 AS max_balance
+    FROM walk ORDER BY rn DESC LIMIT 1
+    """,
+)
+def q_sql_scripting_for(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-scripting FOR-over-cursor (Spark 4 `FOR row AS SELECT … DO`)
+    — the second HPL/SQL staple next to q_sql_scripting's WHILE/IF
+    (Hive 4 ships the hplsql procedural front-end on the deployed
+    HiveServer2, docker/docker-compose.yml:73-105; cursor FOR loops
+    are its core construct).  The demonstration is genuinely
+    SEQUENTIAL state no single relation expresses: a cash-balance walk
+    over the monthly net series with reset-on-breach (balance += net;
+    if negative → count a reset and reset to 0; track the running
+    max).  Each month's state depends on every prior reset decision —
+    the branching recurrence that defeats window cumsum algebra — so
+    the DuckDB oracle states the IDENTICAL integer recurrence as a
+    recursive CTE.
+
+    Determinism: all state is exact BIGINT cents (budget = total DIV
+    n_months, integer floor division both engines); the cursor orders
+    by the total month key; displays are raw single divisions.  Scale:
+    the cursor ranges over the MONTH DOMAIN (~80 rows regardless of
+    corpus size) — the 100 TB contract for FOR-loops is that they walk
+    a domain-bounded relation, never the corpus; the corpus-scale work
+    (the month rollup) happens in ONE aggregation before the loop."""
+    from data_warehouse_hive_spark.tables import t as _t
+
+    m = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate"))
+            .cast("long")
+            .alias("t")
+        )
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long"))
+            .cast("long")
+            .alias("x")
+        )
+    )
+    tot = m.agg(
+        F.sum("x").cast("long").alias("s"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    m.crossJoin(F.broadcast(tot)).select(
+        "t", (F.col("x") - F.expr("s div n")).alias("net")
+    ).createOrReplaceTempView("sqlscript_months")
+    return spark.sql(
+        """
+        BEGIN
+          DECLARE bal BIGINT DEFAULT 0;
+          DECLARE mx BIGINT DEFAULT 0;
+          DECLARE resets BIGINT DEFAULT 0;
+          DECLARE nm BIGINT DEFAULT 0;
+          FOR r AS SELECT t, net FROM sqlscript_months ORDER BY t DO
+            SET bal = bal + r.net;
+            IF bal < 0 THEN
+              SET resets = resets + 1;
+              SET bal = 0;
+            END IF;
+            IF bal > mx THEN
+              SET mx = bal;
+            END IF;
+            SET nm = nm + 1;
+          END FOR;
+          SELECT nm AS n_months, resets AS n_resets,
+                 CAST(bal AS DOUBLE) / 100.0 AS final_balance,
+                 CAST(mx AS DOUBLE) / 100.0 AS max_balance;
+        END
+        """
+    )
