@@ -34,6 +34,7 @@ Usage:
     python tools/scale_step.py            # build (if absent) + validate
     python tools/scale_step.py --rebuild  # force fixture rebuild
     python tools/scale_step.py --sf10     # 100x sf0.1 for the SF10_OPS subset
+    python tools/scale_step.py --text10   # 500k-doc corpus for the text family
 
 Writes fixtures to /tmp/sf1_scale (ephemeral; never committed) and
 prints one PASS/FAIL line per op plus a JSON summary.
@@ -64,6 +65,27 @@ COPIES = 10
 # clone count (16G pairs), which validates nothing about CARRIER bounds
 # — the axis sf10 probes is fact-table row growth, and the dedup ops'
 # sf1 validation already covers their clone-density axis.
+# --text10 mode (r11): the CORPUS axis at sf10 — 500k documents built
+# by replicating sf1's 50k docs 10x with a per-copy suffix token
+# appended to the text (doc_id offset + ' xq<copy>' mutation), so the
+# corpus grows 10x in docs/tokens WITHOUT the 100-way exact-clone
+# explosion that would make the pair relations quadratic in clone
+# count: each sf0.1 doc now heads a family of ~100 highly-similar but
+# DISTINCT texts — realistic near-dup structure at 100x driver scale.
+# Other tables are carried over from sf1 (the ops below read only
+# documents).
+TEXT10_DIR = os.environ.get("SPARK_GRAFT_TEXT10_DIR", "/tmp/sf10_text")
+TEXT10_OPS = [
+    "q_text_stats",             # corpus profile at 1e8 tokens
+    "q_text_yules_k",           # Σm²V HUGEINT/DECIMAL(38) vs 10x vocab mass
+    "q_text_unigram_surprisal", # Σ tf·⌊−ln p·1e9⌋ ≈ 2.5e18 — nearest
+    #                             BIGINT bound in the text family
+    "q_text_heaps_law",         # x9·y9 HUGEINT OLS, ln(toks) at 1e8
+    "q_text_zipf",              # rank-frequency OLS on the 10x vocab
+    "q_dedup_minhash",          # banded LSH pairs at 500k docs — digest
+    #                             comparator above the collect ceiling
+]
+
 SF10_OPS = [
     # corpus power sums / rank carriers — the bounds written vs n
     "q_agg_gini",
@@ -274,6 +296,7 @@ def main() -> None:
 
     rebuild = "--rebuild" in sys.argv
     sf10 = "--sf10" in sys.argv
+    text10 = "--text10" in sys.argv
     spark = get_spark(app_name="dwh-spark-scale-step")
     if rebuild or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
         print(f"building sf1 fixtures ({COPIES}x sf0.1) -> {SF1_DIR}",
@@ -293,8 +316,51 @@ def main() -> None:
         )
         print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    sf_dir = SF10_DIR if sf10 else SF1_DIR
-    ops = SF10_OPS if sf10 else TIGHT_BOUND_OPS
+    if text10 and (
+        rebuild or not os.path.exists(f"{TEXT10_DIR}/documents.parquet")
+    ):
+        from pyspark.sql import functions as F
+
+        print(f"building text10 fixtures (10x sf1 docs, mutated) -> "
+              f"{TEXT10_DIR}", flush=True)
+        t0 = time.perf_counter()
+        os.makedirs(TEXT10_DIR, exist_ok=True)
+        docs = spark.read.parquet(f"{SF1_DIR}/documents.parquet")
+        doff = docs.agg(F.max("doc_id") + 1).collect()[0][0]
+        copies = spark.range(COPIES).select(F.col("id").alias("copy_i"))
+        (
+            docs.crossJoin(copies)
+            .select(
+                (F.col("doc_id") + F.col("copy_i") * doff).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" xq"),
+                    F.col("copy_i").cast("string"),
+                ).alias("text"),
+                "lang",
+                "source",
+                (F.col("n_chars") + 3 + F.length(
+                    F.col("copy_i").cast("string"))).alias("n_chars"),
+            )
+            .repartition(32)
+            .write.mode("overwrite")
+            .parquet(f"{TEXT10_DIR}/documents.parquet")
+        )
+        for name in ("region nation customer supplier part orders "
+                     "lineitem events embeddings").split():
+            dst = f"{TEXT10_DIR}/{name}.parquet"
+            src = f"{SF1_DIR}/{name}.parquet"
+            if os.path.isdir(dst):
+                shutil.rmtree(dst)
+            elif os.path.exists(dst):
+                os.unlink(dst)
+            if os.path.isdir(src):
+                shutil.copytree(src, dst)
+            else:
+                shutil.copy(src, dst)
+        print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    sf_dir = TEXT10_DIR if text10 else SF10_DIR if sf10 else SF1_DIR
+    ops = TEXT10_OPS if text10 else SF10_OPS if sf10 else TIGHT_BOUND_OPS
     registry = load_all()
     con = duckdb_connection(sf_dir)
     results: dict[str, dict] = {}
@@ -315,7 +381,7 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)"
               + (f" — {detail[:300]}" if detail else ""), flush=True)
     summary = {
-        "metric": "sf10_scale_step" if sf10 else "sf1_scale_step",
+        "metric": ("text10_scale_step" if text10 else "sf10_scale_step" if sf10 else "sf1_scale_step"),
         "n_ops": len(ops),
         "n_fail": n_fail,
         "results": results,
