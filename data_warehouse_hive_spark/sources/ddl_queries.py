@@ -2027,9 +2027,14 @@ def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     _await_drained(q, "ddl_stream_binary_simhash")
 
     streamed = spark.read.parquet(out).drop("batch_id")
-    # one-shot batch twin: identical algebra over the same split
-    all_bands = binary_simhash_bands(to_hx(docs)).localCheckpoint(
-        eager=False
+    # one-shot batch twin: identical algebra over the same split.  The
+    # base corpus's bands are ALREADY persisted in the index (the same
+    # deterministic function of the same rows) — read them back instead
+    # of recomputing 3/4 of the corpus's signatures a third time.
+    all_bands = (
+        spark.read.parquet(idx_dir)
+        .unionByName(binary_simhash_bands(to_hx(docs.filter(~is_base))))
+        .localCheckpoint(eager=False)
     )
     new_ids = docs.filter(~is_base).select("doc_id")
     base_ids = docs.filter(is_base).select("doc_id")
@@ -2047,17 +2052,35 @@ def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     batch = bsh_hamming_pairs(cand, all_bands)
-    extra = streamed.exceptAll(batch).count()
-    missing = batch.exceptAll(streamed).count()
-    n = streamed.count()
-    assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
+    # multiset equality in ONE aggregation instead of exceptAll both
+    # ways + a count (three actions, each re-running the batch-twin
+    # plan): tag sides +1/-1, group by the full row, Σ|side-sum| == 0
+    # iff the multisets are equal (Σ|d| is exactly extra + missing),
+    # and the streamed row count rides the same pass.
+    cols = streamed.columns
+    eq = (
+        streamed.withColumn("side", F.lit(1))
+        .unionByName(batch.withColumn("side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(
+            F.sum("side").alias("d"),
+            F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).alias("ns"),
+        )
+        .agg(
+            F.sum(F.abs(F.col("d"))).cast("long").alias("mismatch"),
+            F.sum("ns").cast("long").alias("n_streamed"),
+        )
+        .collect()[0]
+    )
+    mismatch, n = int(eq["mismatch"]), int(eq["n_streamed"])
+    assert mismatch == 0 and n > 0, (mismatch, n)
     assert n_batches["n"] >= 2, n_batches
     return spark.createDataFrame(
         [
             Row(
                 n_near_dup_pairs=n,
                 n_microbatches=n_batches["n"],
-                stream_equals_batch=extra == 0 and missing == 0,
+                stream_equals_batch=mismatch == 0,
             )
         ]
     )
