@@ -353,10 +353,17 @@ def ddl_health(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary payloads from the
     documents table, run the mapInPandas feature extractor (stubbed decode,
-    real Spark plumbing), count frame samples (see sources/multimodal.py)."""
+    real Spark plumbing), count frame samples, AND (r11) round-trip REAL
+    container headers — id-derived PNG / WAV / FLAC / MP3 / MP4 bytes
+    through the distributed header decoders (sources/multimodal.py),
+    asserting the parsed metadata matches what was synthesized."""
     from data_warehouse_hive_spark.sources.multimodal import (
+        audio_meta,
         extract_features,
         frame_sample_plan,
+        image_dims,
+        synth_media_payload,
+        video_meta,
     )
 
     docs = t(spark, sf_dir, "documents").limit(50)
@@ -374,8 +381,61 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     feats = extract_features(media)
     n_feat = feats.filter(F.size("feature") == 8).count()
     n_frames = frame_sample_plan(media, every_ms=1000).count()
+
+    # real-container round trip: payloads become id-derived PNG/WAV/
+    # FLAC/MP3/MP4 bytes, the header decoders run distributed, and the
+    # parsed fields must equal the synthesized ones
+    def synth(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [
+                synth_media_payload(m, k)
+                for m, k in zip(pdf["media_id"], pdf["kind"])
+            ]
+            yield pdf
+
+    real = media.mapInPandas(synth, schema=media.schema).localCheckpoint(
+        eager=False
+    )
+    kinds = {
+        r["kind"]: r["n"]
+        for r in real.groupBy("kind").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    n_img = (
+        image_dims(real)
+        .filter(
+            (F.col("format") == "png")
+            & (F.col("px_width") == (F.col("media_id") % 640) + 1)
+            & (F.col("px_height") == (F.col("media_id") % 480) + 1)
+        )
+        .count()
+    )
+    au = audio_meta(real).filter(F.col("sample_rate").isNotNull())
+    n_audio = au.count()
+    n_audio_formats = au.select("format").distinct().count()
+    n_vid = (
+        video_meta(real)
+        .filter(
+            (F.col("major_brand") == "isom") & (F.col("timescale") == 1000)
+        )
+        .count()
+    )
+    assert n_img == kinds.get("image", 0), (n_img, kinds)
+    assert n_audio == kinds.get("audio", 0), (n_audio, kinds)
+    assert n_vid == kinds.get("video", 0), (n_vid, kinds)
     return spark.createDataFrame(
-        [Row(n_features=n_feat, n_frame_samples=n_frames)]
+        [
+            Row(
+                n_features=n_feat,
+                n_frame_samples=n_frames,
+                n_image_meta=n_img,
+                n_audio_meta=n_audio,
+                n_audio_formats=n_audio_formats,
+                n_video_meta=n_vid,
+            )
+        ]
     )
 
 

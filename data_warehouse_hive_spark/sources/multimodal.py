@@ -359,14 +359,121 @@ def sniff_wav_meta(
     return ("wav", rate, chans, bits, n_frames, duration_ms)
 
 
+# MPEG1 Layer III constants (ISO/IEC 11172-3, public): bitrate table
+# index 1..14 in kbps, sample-rate table index 0..2.
+_MP3_BITRATES = (
+    None, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+)
+_MP3_RATES = (44100, 48000, 32000)
+
+
+def sniff_flac_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
+    """REAL FLAC STREAMINFO decode (format spec is public): after the
+    fLaC magic, walk the metadata-block list (1-byte header: last-flag
+    bit + 7-bit type; 3-byte big-endian length) to the type-0
+    STREAMINFO block and unpack the bit-packed fields — sample rate
+    (20 bits), channels-1 (3 bits), bits-per-sample-1 (5 bits), total
+    samples (36 bits).  Same 6-tuple contract as sniff_wav_meta; audio
+    sample decode stays stubbed, exactly like pixel decode."""
+    p = payload
+    none6 = (None, None, None, None, None, None)
+    if len(p) < 4 or p[:4] != b"fLaC":
+        return none6
+    i = 4
+    while i + 4 <= len(p):
+        hdr = p[i]
+        blen = int.from_bytes(p[i + 1 : i + 4], "big")
+        if (hdr & 0x7F) == 0 and i + 4 + 34 <= len(p) and blen >= 34:
+            b = p[i + 4 : i + 4 + 34]
+            sr = (b[10] << 12) | (b[11] << 4) | (b[12] >> 4)
+            ch = ((b[12] >> 1) & 0x7) + 1
+            bps = (((b[12] & 1) << 4) | (b[13] >> 4)) + 1
+            total = ((b[13] & 0xF) << 32) | int.from_bytes(
+                b[14:18], "big"
+            )
+            dur = (total * 1000) // sr if sr else None
+            return ("flac", sr, ch, bps, total, dur)
+        if hdr & 0x80:  # last-metadata-block flag
+            break
+        i += 4 + blen
+    return ("flac", None, None, None, None, None)
+
+
+def sniff_mp3_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
+    """REAL MP3 frame-header decode (MPEG1 Layer III, the standard
+    case): skip an ID3v2 tag if present (syncsafe 28-bit size), find
+    the 11-bit frame sync, and read sample rate, channel mode, and the
+    bitrate index; frame count and duration follow from the CBR frame
+    length 144·bitrate/rate (+padding) over the audio byte span —
+    byte arithmetic only, no codec.  bits_per_sample is None (MP3 is
+    not PCM).  Non-MPEG1-L3 syncs return the format with None fields
+    rather than guessing."""
+    p = payload
+    none6 = (None, None, None, None, None, None)
+    off = 0
+    if len(p) >= 10 and p[:3] == b"ID3":
+        size = (
+            ((p[6] & 0x7F) << 21)
+            | ((p[7] & 0x7F) << 14)
+            | ((p[8] & 0x7F) << 7)
+            | (p[9] & 0x7F)
+        )
+        off = 10 + size
+    if off + 4 > len(p) or p[off] != 0xFF or (p[off + 1] & 0xE0) != 0xE0:
+        return none6
+    h1, h2, h3 = p[off + 1], p[off + 2], p[off + 3]
+    version = (h1 >> 3) & 0x3   # 3 = MPEG1
+    layer = (h1 >> 1) & 0x3     # 1 = Layer III
+    if version != 3 or layer != 1:
+        return ("mp3", None, None, None, None, None)
+    br_idx = (h2 >> 4) & 0xF
+    sr_idx = (h2 >> 2) & 0x3
+    if br_idx in (0, 15) or sr_idx == 3:
+        return ("mp3", None, None, None, None, None)
+    rate = _MP3_RATES[sr_idx]
+    kbps = _MP3_BITRATES[br_idx]
+    channels = 1 if ((h3 >> 6) & 0x3) == 3 else 2
+    padding = (h2 >> 1) & 0x1
+    frame_len = (144 * kbps * 1000) // rate + padding
+    n_frames = (len(p) - off) // frame_len if frame_len else None
+    dur = (
+        (n_frames * 1152 * 1000) // rate if n_frames is not None else None
+    )
+    return ("mp3", rate, channels, None, n_frames, dur)
+
+
+def sniff_audio_meta(
+    payload: bytes,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
+    """Container dispatch on magic bytes: RIFF/WAVE → wav, fLaC → flac,
+    ID3 tag or raw MPEG sync → mp3 — one entry point so audio_meta
+    handles every supported audio container through the same Arrow
+    pipeline."""
+    p = payload
+    if p[:4] == b"RIFF":
+        return sniff_wav_meta(p)
+    if p[:4] == b"fLaC":
+        return sniff_flac_meta(p)
+    if p[:3] == b"ID3" or (
+        len(p) >= 2 and p[0] == 0xFF and (p[1] & 0xE0) == 0xE0
+    ):
+        return sniff_mp3_meta(p)
+    return (None, None, None, None, None, None)
+
+
 def audio_meta(media: DataFrame) -> DataFrame:
-    """Per-clip WAV metadata via mapInPandas over the binary payload —
-    partition-parallel, no shuffle, Arrow-batched; linear at 100 TB."""
+    """Per-clip audio metadata (WAV / FLAC / MP3 container headers) via
+    mapInPandas over the binary payload — partition-parallel, no
+    shuffle, Arrow-batched; linear at 100 TB."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
-                sniff_wav_meta(bytes(x) if x is not None else b"")
+                sniff_audio_meta(bytes(x) if x is not None else b"")
                 for x in pdf["payload"]
             ]
             yield pd.DataFrame(
@@ -490,3 +597,100 @@ def video_meta(media: DataFrame) -> DataFrame:
     return media.filter(F.col("kind") == "video").mapInPandas(
         run, schema=VIDEO_META_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic container synthesis — REAL bytes for every supported
+# format, keyed on media_id, so the registry's multimodal op exercises
+# the actual header decoders (not just the stubbed pixel path) with
+# payloads whose parsed metadata is predictable.
+# ---------------------------------------------------------------------------
+
+
+def _png_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", 13)
+        + b"IHDR"
+        + struct.pack(">II", width, height)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # CRC not validated by the sniffer
+    )
+
+
+def _wav_bytes(rate: int, chans: int, bits: int, n_frames: int) -> bytes:
+    import struct
+
+    data = b"\x00" * (n_frames * chans * (bits // 8))
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH",
+        16, 1, chans, rate, rate * chans * bits // 8,
+        chans * bits // 8, bits,
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _flac_bytes(rate: int, chans: int, bits: int, total: int) -> bytes:
+    import struct
+
+    b = bytearray(34)
+    struct.pack_into(">HH", b, 0, 4096, 4096)
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0xF) << 4) | (((chans - 1) & 0x7) << 1) | (
+        ((bits - 1) >> 4) & 0x1
+    )
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    b[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    return b"fLaC" + bytes([0x80]) + len(b).to_bytes(3, "big") + bytes(b)
+
+
+def _mp3_bytes(kbps: int, rate: int, n_frames: int, channels: int) -> bytes:
+    br_idx = _MP3_BITRATES.index(kbps)
+    sr_idx = _MP3_RATES.index(rate)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6])
+    frame_len = (144 * kbps * 1000) // rate
+    return (hdr + b"\x00" * (frame_len - 4)) * n_frames
+
+
+def _mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
+    import struct
+
+    def box(btype: bytes, payload: bytes) -> bytes:
+        return struct.pack(">I", len(payload) + 8) + btype + payload
+
+    mvhd = bytes(12) + struct.pack(">II", timescale, duration) + bytes(80)
+    moov = box(
+        b"moov", box(b"mvhd", mvhd) + b"".join(
+            box(b"trak", b"") for _ in range(n_tracks)
+        )
+    )
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def synth_media_payload(media_id: int, kind: str) -> bytes:
+    """Deterministic REAL container bytes for (media_id, kind): images
+    are PNGs with id-derived dimensions; audio rotates WAV / FLAC / MP3
+    by id so every audio decoder is exercised; video is a minimal
+    ISO-BMFF file (ftyp + moov/mvhd + one trak).  Parsed metadata is a
+    pure function of media_id — the registry op asserts it round-trips
+    through the distributed decode pipeline."""
+    m = int(media_id)
+    if kind == "image":
+        return _png_bytes((m % 640) + 1, (m % 480) + 1)
+    if kind == "audio":
+        # rotate on m//3, not m%3: the caller assigns kind by m%3, so
+        # every audio id shares the same residue
+        v = (m // 3) % 3
+        if v == 0:
+            return _wav_bytes(16000, (m % 2) + 1, 16, (m % 100) * 10 + 160)
+        if v == 1:
+            return _flac_bytes(44100, 2, 16, (m % 50) * 441 + 441)
+        return _mp3_bytes(128, 44100, (m % 5) + 1, 2)
+    if kind == "video":
+        return _mp4_bytes(1000, (m % 60) * 500 + 500, (m % 2) + 1)
+    return hashlib.md5(f"{kind}:{m}".encode()).digest() * 4

@@ -1,0 +1,135 @@
+"""FLAC / MP3 container-header decoders (r11): byte-constructed valid
+containers parse back exactly through the pure functions AND through the
+audio_meta mapInPandas pipeline, which now dispatches on magic bytes
+(WAV / FLAC / MP3 through one Arrow-batched op)."""
+
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from data_warehouse_hive_spark.sources.multimodal import (
+    audio_meta,
+    sniff_audio_meta,
+    sniff_flac_meta,
+    sniff_mp3_meta,
+)
+
+
+def flac(rate, chans, bits, total, pre_blocks=b""):
+    """Minimal valid FLAC: magic + optional benign metadata blocks +
+    STREAMINFO built bit-by-bit per the public spec."""
+    b = bytearray(34)
+    struct.pack_into(">HH", b, 0, 4096, 4096)  # min/max blocksize
+    b[10] = (rate >> 12) & 0xFF
+    b[11] = (rate >> 4) & 0xFF
+    b[12] = ((rate & 0xF) << 4) | (((chans - 1) & 0x7) << 1) | (
+        ((bits - 1) >> 4) & 0x1
+    )
+    b[13] = (((bits - 1) & 0xF) << 4) | ((total >> 32) & 0xF)
+    b[14:18] = struct.pack(">I", total & 0xFFFFFFFF)
+    streaminfo = bytes([0x80]) + len(b).to_bytes(3, "big") + bytes(b)
+    return b"fLaC" + pre_blocks + streaminfo
+
+
+def padding_block(n):
+    # type 1 = PADDING, not last
+    return bytes([0x01]) + n.to_bytes(3, "big") + b"\x00" * n
+
+
+def mp3_frames(kbps, rate, n_frames, channels=2, id3=b""):
+    """CBR MPEG1 Layer III frames: real 4-byte headers + zero payload."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _MP3_BITRATES,
+        _MP3_RATES,
+    )
+
+    br_idx = _MP3_BITRATES.index(kbps)
+    sr_idx = _MP3_RATES.index(rate)
+    mode = 3 if channels == 1 else 0
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), mode << 6]
+    )  # 0xFB = MPEG1, Layer III, no CRC
+    frame_len = (144 * kbps * 1000) // rate
+    frame = hdr + b"\x00" * (frame_len - 4)
+    return id3 + frame * n_frames
+
+
+def id3v2(size):
+    return b"ID3\x04\x00\x00" + bytes(
+        [(size >> 21) & 0x7F, (size >> 14) & 0x7F, (size >> 7) & 0x7F,
+         size & 0x7F]
+    ) + b"\x00" * size
+
+
+def test_flac_streaminfo_decode():
+    assert sniff_flac_meta(flac(44100, 2, 16, 441000)) == (
+        "flac", 44100, 2, 16, 441000, 10000,
+    )
+    # STREAMINFO after a padding block still found by the walker
+    assert sniff_flac_meta(
+        b"fLaC" + padding_block(17) + flac(48000, 1, 24, 48000)[4:]
+    ) == ("flac", 48000, 1, 24, 48000, 1000)
+    assert sniff_flac_meta(b"fLaCxx") == (
+        "flac", None, None, None, None, None,
+    )
+    assert sniff_flac_meta(b"junk") == (None,) * 6
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rate=st.sampled_from([8000, 16000, 22050, 44100, 48000, 96000]),
+    chans=st.integers(1, 8),
+    bits=st.sampled_from([8, 12, 16, 20, 24, 32]),
+    total=st.integers(0, 2**36 - 1),
+)
+def test_flac_roundtrip_property(rate, chans, bits, total):
+    fmt, r, c, b, n, dur = sniff_flac_meta(flac(rate, chans, bits, total))
+    assert (fmt, r, c, b, n) == ("flac", rate, chans, bits, total)
+    assert dur == (total * 1000) // rate
+
+
+def test_mp3_frame_header_decode():
+    # 128 kbps 44.1 kHz stereo, 10 frames, behind an ID3v2 tag
+    p = mp3_frames(128, 44100, 10, id3=id3v2(57))
+    fmt, rate, ch, bits, n, dur = sniff_mp3_meta(p)
+    assert (fmt, rate, ch, bits, n) == ("mp3", 44100, 2, None, 10)
+    assert dur == (10 * 1152 * 1000) // 44100
+    # mono, no tag
+    assert sniff_mp3_meta(mp3_frames(64, 32000, 3, channels=1))[:3] == (
+        "mp3", 32000, 1,
+    )
+    # free-format / bad sync degrade to None fields, not garbage
+    assert sniff_mp3_meta(b"\xff\xe0junk")[0] == "mp3" or sniff_mp3_meta(
+        b"\xff\xe0junk"
+    ) == (None,) * 6
+    assert sniff_mp3_meta(b"notmp3") == (None,) * 6
+
+
+def test_audio_meta_dispatches_all_formats(spark):
+    rows = [
+        (1, "audio", flac(44100, 2, 16, 44100)),
+        (2, "audio", mp3_frames(128, 44100, 5, id3=id3v2(10))),
+        (3, "audio", b"RIFFxxxxJUNK"),
+        (4, "audio", b"not audio"),
+        (5, "image", b"\x89PNG"),  # filtered out by kind
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, kind string, payload binary"
+    )
+    got = {r["media_id"]: r for r in audio_meta(media).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    assert (got[1]["format"], got[1]["sample_rate"], got[1]["n_frames"]) == (
+        "flac", 44100, 44100,
+    )
+    assert (got[2]["format"], got[2]["channels"], got[2]["n_frames"]) == (
+        "mp3", 2, 5,
+    )
+    assert got[3]["sample_rate"] is None  # RIFF but not a WAVE body
+    assert got[4]["format"] is None
+
+
+def test_dispatch_magic():
+    assert sniff_audio_meta(flac(8000, 1, 8, 0))[0] == "flac"
+    assert sniff_audio_meta(mp3_frames(32, 48000, 1))[0] == "mp3"
+    assert sniff_audio_meta(b"")[0] is None
