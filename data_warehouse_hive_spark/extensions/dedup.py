@@ -2252,32 +2252,52 @@ def binary_simhash_bands(docs: DataFrame) -> DataFrame:
             )
         ).alias("h"),
     )
+    # SWAR-packed bit-majority sums (r11, ~3x faster aggregation with
+    # BYTE-IDENTICAL outputs): instead of 64 per-bit SUM aggregates,
+    # pack the 64-bit hash's bits j, j+16, j+32, j+48 into the four
+    # 16-bit lanes of ONE long via (h64 >> k) & 0x0001000100010001 and
+    # keep 16 packed SUMs.  Lane totals are per-doc shingle bit-counts
+    # ≤ m, so no carry ever crosses a lane boundary as long as
+    # m < 65536 (guarded loudly below — the q_stats_grubbs pack-domain
+    # idiom); signed-long wrap in the top lane is harmless because
+    # two's-complement addition is modular and extraction uses the
+    # UNSIGNED shift.  s_j = lane b of sp_u for j = 16·b + u.
     hh = sh.select(
         "doc_id",
-        F.conv(F.substring("h", 1, 8), 16, 10).cast("long").alias("h1"),
-        F.conv(F.substring("h", 9, 8), 16, 10).cast("long").alias("h2"),
+        F.conv(F.substring("h", 1, 8), 16, 10)
+        .cast("long")
+        .bitwiseOR(
+            F.shiftleft(
+                F.conv(F.substring("h", 9, 8), 16, 10).cast("long"), 32
+            )
+        )
+        .alias("h64"),
     )
+    lane_mask = 0x0001000100010001
     aggs = [F.count(F.lit(1)).cast("long").alias("m")]
-    for j in range(32):
+    for k in range(16):
         aggs.append(
-            F.sum(F.expr(f"shiftright(h1, {j}) & 1"))
-            .cast("long")
-            .alias(f"s{j}")
+            F.sum(F.expr(f"shiftright(h64, {k}) & {lane_mask}")).alias(
+                f"sp{k}"
+            )
         )
-    for j in range(32):
-        aggs.append(
-            F.sum(F.expr(f"shiftright(h2, {j}) & 1"))
-            .cast("long")
-            .alias(f"s{32 + j}")
-        )
-    sig = hh.groupBy("doc_id").agg(*aggs)
+    sig = hh.groupBy("doc_id").agg(*aggs).filter(
+        F.when(
+            F.col("m") >= 65536,
+            F.raise_error(
+                F.lit(
+                    "binary_simhash_bands: >= 65536 shingles in one doc"
+                    " overflows the 16-bit SWAR lanes — widen lanes"
+                )
+            ).cast("boolean"),
+        ).otherwise(F.lit(True))
+    )
 
     def band(b: int) -> Column:
         v = None
         for u in range(16):
-            term = F.when(
-                2 * F.col(f"s{16 * b + u}") >= F.col("m"), 1 << u
-            ).otherwise(0)
+            s_j = F.expr(f"shiftrightunsigned(sp{u}, {16 * b}) & 65535")
+            term = F.when(2 * s_j >= F.col("m"), 1 << u).otherwise(0)
             v = term if v is None else v + term
         return v.cast("long").alias(f"b{b}")
 
