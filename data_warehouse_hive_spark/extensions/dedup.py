@@ -2258,10 +2258,16 @@ def binary_simhash_bands(docs: DataFrame) -> DataFrame:
     # 16-bit lanes of ONE long via (h64 >> k) & 0x0001000100010001 and
     # keep 16 packed SUMs.  Lane totals are per-doc shingle bit-counts
     # ≤ m, so no carry ever crosses a lane boundary as long as
-    # m < 65536 (guarded loudly below — the q_stats_grubbs pack-domain
-    # idiom); signed-long wrap in the top lane is harmless because
-    # two's-complement addition is modular and extraction uses the
-    # UNSIGNED shift.  s_j = lane b of sp_u for j = 16·b + u.
+    # m < 65536; but the binding limit is tighter: Spark 4 runs ANSI
+    # mode, where SUM(long) THROWS on signed-64 overflow, and the top
+    # lane's weight is 2^48 — a top-lane total ≥ 2^15 (possible once
+    # m ≥ 32768) crosses Long.MAX mid-aggregation and dies with an
+    # opaque ARITHMETIC_OVERFLOW before any post-agg guard can run.
+    # So the supported domain is m < 32768, guarded loudly below (the
+    # q_stats_grubbs pack-domain idiom); docs that would ALSO overflow
+    # still die in SUM first, but every non-overflowing breach of the
+    # domain gets the clear message.  s_j = lane b of sp_u for
+    # j = 16·b + u.
     hh = sh.select(
         "doc_id",
         F.conv(F.substring("h", 1, 8), 16, 10)
@@ -2283,11 +2289,12 @@ def binary_simhash_bands(docs: DataFrame) -> DataFrame:
         )
     sig = hh.groupBy("doc_id").agg(*aggs).filter(
         F.when(
-            F.col("m") >= 65536,
+            F.col("m") >= 32768,
             F.raise_error(
                 F.lit(
-                    "binary_simhash_bands: >= 65536 shingles in one doc"
-                    " overflows the 16-bit SWAR lanes — widen lanes"
+                    "binary_simhash_bands: >= 32768 shingles in one doc"
+                    " can overflow the signed top SWAR lane under ANSI"
+                    " SUM — widen lanes or sum into decimal"
                 )
             ).cast("boolean"),
         ).otherwise(F.lit(True))

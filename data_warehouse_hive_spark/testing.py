@@ -110,6 +110,10 @@ def compare_to_oracle(
     float_rtol: float = 0.0,
     digest_row_limit: int | None = DIGEST_ROW_LIMIT,
 ) -> CompareResult:
+    # NOTE: the COUNT(*) probe below executes the oracle once more even
+    # when the result is tiny — callers that KNOW the relation is small
+    # pass digest_row_limit=None to skip both the probe and the digest
+    # machinery entirely (r11 advice).
     if digest_row_limit is not None and float_rtol == 0.0:
         n_oracle = con.execute(
             f"SELECT COUNT(*) FROM ({oracle}) __t"
@@ -239,6 +243,23 @@ def compare_to_oracle_digest(
     from pyspark.sql import functions as F
 
     problems: list[str] = []
+    # Column-set check BEFORE digesting (r11 advice): the canonical
+    # expressions are derived from the Spark schema only, so an oracle
+    # relation with extra/renamed columns would otherwise digest-match
+    # undetected (the pandas path flags that mismatch; this path must
+    # too).  DESCRIBE binds without executing the query.
+    o_cols = sorted(
+        r[0] for r in con.execute(f"DESCRIBE ({oracle})").fetchall()
+    )
+    s_cols = sorted(f_.name for f_ in spark_df.schema.fields)
+    if s_cols != o_cols:
+        return CompareResult(
+            name=name,
+            ok=False,
+            spark_rows=-1,
+            oracle_rows=oracle_rows if oracle_rows is not None else -1,
+            problems=[f"columns differ: spark={s_cols} oracle={o_cols}"],
+        )
     s_exprs, d_exprs = _digest_exprs(spark_df)
     h = F.conv(
         F.substring(F.md5(F.concat_ws("|", *s_exprs)), 1, 11), 16, 10

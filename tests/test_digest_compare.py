@@ -58,6 +58,18 @@ def test_digest_catches_dropped_row(spark, sf_dir, con):
     assert any("row count differs" in p for p in res.problems)
 
 
+def test_digest_catches_column_set_mismatch(spark, sf_dir, con):
+    """r11 advice: the digest path derives canonical expressions from the
+    SPARK schema only, so it must assert the oracle column set up front —
+    an oracle with extra/renamed columns may not digest-mismatch."""
+    spec = load_all()["q_groupby_agg"]
+    df = spec.fn(spark, sf_dir)
+    renamed = df.withColumnRenamed(df.columns[-1], "not_a_real_col")
+    res = compare_to_oracle_digest("renamed", renamed, spec.oracle, con)
+    assert not res.ok
+    assert any("columns differ" in p for p in res.problems)
+
+
 def test_auto_switch_above_threshold(spark, sf_dir, con):
     """compare_to_oracle flips to the digest path above the row limit
     (forced here with a tiny limit) and still verdicts correctly."""

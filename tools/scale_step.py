@@ -184,7 +184,7 @@ TIGHT_BOUND_OPS = [
     "q_dedup_simhash_pairs",    # 163M pairs at sf1 — digest compare
     # round 11: new/advice-touched ops with scale-sensitive paths
     "q_sql_scripting",          # Σc² DECIMAL(38)/HUGEINT per clip pass
-    "q_sql_scripting_for",      # BIGINT cursor state over the month domain
+    "q_sql_scripting_for",      # BIGINT cursor state over the quarter domain
     "q_win_cume_dist",          # total-order carrier sort at 10x ties
     "q_orders_did",             # 8-cell exact cents means at 10x
     "q_orders_anomaly_stl",     # mad9=0 guard + 1e9 remainder carriers
