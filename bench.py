@@ -493,6 +493,13 @@ EXT_R11 = [
     "ddl_minhash_index_persist",
 ]
 
+# round 12: hot-bucket-capped LSH candidate generation (r11 VERDICT
+# task 1).
+EXT_R12 = [
+    "q_dedup_minhash_capped",
+    "q_fn_sql_udtf",
+]
+
 EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
@@ -596,6 +603,7 @@ GROUP_LISTS: list[tuple[str, list[str]]] = [
     ("ext_r9", EXT_R9),
     ("ext_r10", EXT_R10),
     ("ext_r11", EXT_R11),
+    ("ext_r12", EXT_R12),
 ]
 
 COHORTS: list[tuple[str, list[str]]] = [
@@ -613,6 +621,7 @@ COHORTS: list[tuple[str, list[str]]] = [
     ("r9", ["ext_r9"]),
     ("r10", ["ext_r10"]),
     ("r11", ["ext_r11"]),
+    ("r12", ["ext_r12"]),
 ]
 
 MEMOIZED_COLD_IDS = (
@@ -680,16 +689,29 @@ def run_cohort(cohort: str, out_path: str) -> None:
 
     first_run: dict[str, float] = {}
 
+    # Headline runs best-of-3 (r11 VERDICT task 7): the committed
+    # headline total is the round-over-round comparison number, and on
+    # this shared host best-of-2 left a 48% gap between the committed
+    # artifact and the same-code isolated best.  One extra run of the
+    # 17 headline ops costs ~10 s and tightens exactly the number that
+    # gets compared; the 570+ extension ops stay best-of-2.
+    n_runs = 3 if cohort == "headline" else 2
+
     def timed(name: str) -> float:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             _force(registry[name].fn(spark, sf_dir))
             runs.append(time.perf_counter() - t0)
         first_run[name] = round(runs[0], 3)
         return round(min(runs), 3)
 
-    out: dict = {"groups": {}, "first_run": first_run}
+    out: dict = {
+        "groups": {},
+        "first_run": first_run,
+        "load_avg_start": [round(x, 2) for x in os.getloadavg()],
+        "best_of": n_runs,
+    }
     for gkey in group_keys:
         g = {name: timed(name) for name in groups[gkey]}
         if gkey not in ("queries", "secondary"):
@@ -713,6 +735,8 @@ def main() -> None:
     merged_groups: dict[str, dict] = {}
     first_run: dict[str, float] = {}
     cohort_sec: dict[str, float] = {}
+    cohort_load: dict[str, list[float]] = {}
+    load_avg_start = [round(x, 2) for x in os.getloadavg()]
     for cohort, _gkeys in COHORTS:
         fd, out_path = tempfile.mkstemp(
             prefix=f"bench_{cohort}_", suffix=".json"
@@ -735,6 +759,7 @@ def main() -> None:
         os.unlink(out_path)
         merged_groups.update(child["groups"])
         first_run.update(child["first_run"])
+        cohort_load[cohort] = child.get("load_avg_start", [])
 
     timings = merged_groups["queries"]
     total = round(sum(timings.values()), 3)
@@ -756,8 +781,20 @@ def main() -> None:
             "n_queries": len(timings),
             "first_run": first_run,
             "isolation": "per-cohort subprocess (fresh JVM, cohort-only "
-            "sf0.001 warmup, best-of-2 at target SF) — r8 VERDICT task 1",
+            "sf0.001 warmup, best-of-2 at target SF; headline best-of-3) "
+            "— r8 VERDICT task 1 / r11 task 7",
             "cohort_wall_sec": cohort_sec,
+            # Noise context travels IN the artifact (r11 VERDICT task 7):
+            # 1-min/5-min/15-min load average at run start, parent-level
+            # and per-cohort-child, plus the measured same-code variance
+            # band so round-over-round readers stop false-flagging.
+            "load_avg": load_avg_start,
+            "cohort_load_avg": cohort_load,
+            "noise_note": "same-code headline totals vary ±25% on this "
+            "shared host (7.9–12.8 s across rounds on identical code; "
+            "three same-day isolated runs of r11 code measured "
+            "6.01/7.24/7.85 s) — compare per-query best-of-N against "
+            "load_avg context, not raw totals",
         }
     )
     # Full detail → disk (round-over-round comparison must never depend
@@ -781,6 +818,9 @@ def main() -> None:
                 "sf": sf,
                 "n_queries": len(timings),
                 "isolation": "per-cohort-subprocess",
+                "load_avg": load_avg_start,
+                "noise_band": "±25% same-code on this host; see "
+                "bench_result.json noise_note",
                 "group_totals": {
                     gkey: (
                         round(sum(merged_groups[gkey].values()), 3)

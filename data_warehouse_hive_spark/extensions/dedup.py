@@ -213,9 +213,11 @@ def _mh_exprs_oracle() -> str:
     )
 
 
-def _o_minhash_pairs_cte() -> str:
-    """The shared shingle-signature-bands-pairs chain of CTEs (reused by
-    the candidate-pair query and connected-components grouping)."""
+def _o_minhash_bands_cte() -> str:
+    """The shingle → signature → banded-keys chain of CTEs, stopping at
+    `bands` — the shared prefix of the uncapped pair join, the capped
+    variant (which filters buckets by size first), and the bucket-stats
+    audit."""
     return f"""sh_t AS (
       SELECT doc_id, {_o_shingles(3)} AS sh FROM documents
     ),
@@ -240,7 +242,13 @@ def _o_minhash_pairs_cte() -> str:
                )}
              END AS band_key
       FROM sig, LATERAL (SELECT unnest(range({LSH_BANDS})) AS band_id) b
-    ),
+    )"""
+
+
+def _o_minhash_pairs_cte() -> str:
+    """The shared shingle-signature-bands-pairs chain of CTEs (reused by
+    the candidate-pair query and connected-components grouping)."""
+    return f"""{_o_minhash_bands_cte()},
     pairs AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b
@@ -345,6 +353,161 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     index build — downstream pair consumers reuse its blocks.
     """
     return candidate_pairs_cached(spark, sf_dir)
+
+
+# Hot-bucket admission cap (r11 VERDICT task 1).  In-bucket pair
+# expansion is quadratic in bucket size by the nature of LSH; band keys
+# keep buckets tiny on natural corpora, but a boilerplate-flooded corpus
+# CAN herd a large doc family into one degenerate bucket (text10 already
+# measures 27.3M pairs from 500k docs — legitimate there, ruinous if one
+# bucket owned them).  The standard production mitigation is an
+# admission cap: buckets with more than CAP members are excluded from
+# pair expansion entirely and their skipped mass is emitted as an audit
+# so the recall loss is quantified, never silent.  64 bounds any single
+# bucket's expansion at 2,016 pairs — with ~2k buckets/band at sf0.01
+# density that keeps worst-case pair work linear in bucket count.
+DEDUP_BUCKET_CAP = 64
+
+# The registered correctness id uses a deliberately tiny cap so the
+# sf0.01 fixture exercises BOTH paths: the corpus there has 83 buckets
+# of size 2 (expanded) and 3 buckets of size 3 (skipped, 9 pairs of
+# audited mass).  Production callers pass DEDUP_BUCKET_CAP.
+_CAPPED_DEMO_CAP = 2
+
+
+def minhash_candidate_pairs_capped(
+    docs: DataFrame, cap: int = DEDUP_BUCKET_CAP
+) -> tuple[DataFrame, DataFrame]:
+    """LSH candidate pairs with a hot-bucket admission cap.
+
+    Returns ``(pairs, audit)``: distinct (doc_a < doc_b) pairs expanded
+    ONLY from buckets with 2..cap members, and a 1-row audit relation
+    (skipped_buckets, skipped_pair_work = Σ s(s−1)/2 over skipped
+    buckets, skipped_docs = distinct docs appearing in any skipped
+    bucket).  A doc in a skipped bucket can still pair through its
+    other B−1 bands — the cap degrades recall gracefully (quantified
+    against q_dedup_lsh_tuning's S-curve), it does not drop docs.
+
+    Plan shape: identical single (band_id, band_key) shuffle as the
+    uncapped generator; the bucket relation is checkpointed once and
+    re-scanned by the three consumers (pair expansion + two audit
+    aggregates), so the shingle→signature lineage runs exactly once.
+    """
+    sig = signature(docs)
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"mh_{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+        ).alias(f"band_{b}")
+        for b in range(LSH_BANDS)
+    ]
+    banded = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "band_key"),
+    )
+    buckets = (
+        banded.groupBy("band_id", "band_key")
+        .agg(F.collect_list("doc_id").alias("ids"))
+        .filter(F.size("ids") > 1)
+        .localCheckpoint(eager=False)
+    )
+    ids = F.col("ids")
+    pair_arr = F.filter(
+        F.flatten(
+            F.transform(
+                ids,
+                lambda x: F.transform(
+                    ids, lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b"))
+                ),
+            )
+        ),
+        lambda p: p.getField("doc_a") < p.getField("doc_b"),
+    )
+    pairs = (
+        buckets.filter(F.size("ids") <= cap)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+    )
+    hot = buckets.filter(F.size("ids") > cap)
+    mass = hot.agg(
+        F.count(F.lit(1)).cast("long").alias("skipped_buckets"),
+        F.coalesce(
+            F.sum(F.expr("size(ids) * (size(ids) - 1) div 2")), F.lit(0)
+        )
+        .cast("long")
+        .alias("skipped_pair_work"),
+    )
+    docs_skipped = hot.select(F.explode("ids").alias("d")).agg(
+        F.count_distinct(F.col("d")).cast("long").alias("skipped_docs")
+    )
+    return pairs, mass.crossJoin(docs_skipped)
+
+
+@query(
+    "q_dedup_minhash_capped",
+    oracle=f"""
+    WITH {_o_minhash_bands_cte()},
+    sizes AS (
+      SELECT band_id, band_key, COUNT(*) AS sz
+      FROM bands GROUP BY band_id, band_key
+    ),
+    small AS (
+      SELECT b.band_id, b.band_key, b.doc_id
+      FROM bands b JOIN sizes s
+        ON b.band_id = s.band_id AND b.band_key = s.band_key
+      WHERE s.sz BETWEEN 2 AND {_CAPPED_DEMO_CAP}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM small a JOIN small b
+        ON a.band_id = b.band_id AND a.band_key = b.band_key
+       AND a.doc_id < b.doc_id
+    ),
+    hot AS (
+      SELECT band_id, band_key, sz FROM sizes WHERE sz > {_CAPPED_DEMO_CAP}
+    ),
+    mass AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS skipped_buckets,
+             CAST(COALESCE(SUM(sz * (sz - 1) // 2), 0) AS BIGINT)
+               AS skipped_pair_work
+      FROM hot
+    ),
+    hotdocs AS (
+      SELECT CAST(COUNT(DISTINCT b.doc_id) AS BIGINT) AS skipped_docs
+      FROM bands b JOIN hot h
+        ON b.band_id = h.band_id AND b.band_key = h.band_key
+    )
+    SELECT doc_a, doc_b, skipped_buckets, skipped_pair_work, skipped_docs
+    FROM pairs CROSS JOIN mass CROSS JOIN hotdocs
+    """,
+)
+def q_dedup_minhash_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket-capped LSH candidate generation (r11 VERDICT task 1):
+    q_dedup_minhash's expansion with buckets over the admission cap
+    EXCLUDED and their skipped bucket/pair/doc mass carried on every
+    output row as audit columns — the production guardrail for the one
+    regime where banded LSH goes quadratic (a degenerate band key
+    herding a template-flooded doc family into one bucket).
+
+    q_dedup_bucket_stats MEASURES the Σ s(s−1)/2 workload; this op
+    BOUNDS it: no bucket contributes more than cap·(cap−1)/2 pairs, so
+    total pair work is ≤ buckets × cap² regardless of corpus shape.
+    The audit columns make the recall loss first-class data — at 100 TB
+    you alert on skipped_pair_work and either raise the cap or route
+    the hot buckets through exact dedup (their members share a full
+    band, i.e. 3 identical minhashes — overwhelmingly template clones
+    that exact/substring dedup handles at linear cost).
+
+    Uses a cap of 2 (_CAPPED_DEMO_CAP) so the correctness fixture
+    exercises both the expansion and the skip path (sf0.01: 83 buckets
+    expanded, 3 skipped); production callers use DEDUP_BUCKET_CAP via
+    minhash_candidate_pairs_capped.  Reference: delegated HiveQL dedup
+    class (backend/hive_manager.py:400); cap mitigation per Manku et
+    al. 2007 / Lee et al. 2022 (public)."""
+    pairs, audit = minhash_candidate_pairs_capped(
+        t(spark, sf_dir, "documents"), cap=_CAPPED_DEMO_CAP
+    )
+    return pairs.crossJoin(F.broadcast(audit))
 
 
 @query(

@@ -251,6 +251,66 @@ def q_fn_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q_fn_sql_udtf",
+    oracle="""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS tc
+      FROM orders WHERE o_orderstatus = 'O'
+    )
+    SELECT o_orderkey, CAST(u.i + 1 AS INT) AS k,
+           tc // 3 + (CASE WHEN u.i + 1 <= tc % 3 THEN 1 ELSE 0 END)
+             AS amount_cents
+    FROM o, LATERAL (SELECT unnest(range(3)) AS i) u
+    """,
+)
+def q_fn_sql_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined TABLE function (Spark 4 `CREATE FUNCTION ... RETURNS
+    TABLE ... RETURN SELECT`) joined LATERAL per outer row — the set-
+    returning half of the Hive CREATE FUNCTION parity surface
+    (backend/hive_manager.py ships function DDL to HiveServer2;
+    q_fn_sql_udf covers the scalar half).  Like the scalar form, the
+    body is INLINED at analysis time: the lateral expansion plans as a
+    correlated generate over the relational body, fully inside
+    Catalyst — no Python worker, no serialization boundary.
+
+    The function splits an exact-cents order total into n equal
+    installments with the remainder cents spread over the first rows —
+    integer-exact (Σ amount_cents == total_cents by construction), so
+    the oracle (the same algebra inlined over unnest(range)) matches
+    bit-for-bit.
+
+    Probe finding (r11 VERDICT task 5, kept for the record): a TVF body
+    of `FROM range(n)` fails analysis with NON_FOLDABLE_ARGUMENT — the
+    range() table function requires foldable bounds even inside a
+    function body.  `explode(sequence(1, n))` accepts correlated
+    arguments and is the working idiom for parameter-sized row
+    generation."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION installments(
+            total_cents BIGINT, n INT)
+        RETURNS TABLE (k INT, amount_cents BIGINT)
+        RETURN SELECT s.k,
+               total_cents DIV n
+                 + CASE WHEN s.k <= CAST(total_cents % n AS INT)
+                        THEN 1 ELSE 0 END AS amount_cents
+        FROM (SELECT explode(sequence(1, n)) AS k) s
+        """
+    )
+    t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sqltvf")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, i.k, i.amount_cents
+        FROM orders_sqltvf o,
+             LATERAL installments(
+               CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT), 3) i
+        WHERE o.o_orderstatus = 'O'
+        """
+    )
+
+
+@query(
     "q_agg_heavy_hitters",
     oracle="""
     WITH toks AS (

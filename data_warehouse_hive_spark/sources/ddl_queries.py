@@ -2169,7 +2169,11 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     Exchange; (c) the index probe finds the batch's cross-side
     near-dup candidates — the admission query q_dedup_incremental's
     near tier would run against this table at 100 TB instead of
-    re-banding the corpus nightly."""
+    re-banding the corpus nightly.  The probe applies the
+    q_dedup_minhash_capped hot-bucket admission cap (r12): bucket
+    sizes from an exchange-free groupBy on the bucket key, hot keys
+    broadcast as an anti-join filter, skipped bucket/pair mass
+    reported in the result row."""
     from data_warehouse_hive_spark.extensions.dedup import (
         LSH_BANDS,
         LSH_ROWS,
@@ -2233,10 +2237,39 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         try:
-            left = spark.table(name).select("bkey", "doc_id")
+            # Hot-bucket admission cap (r11 VERDICT task 1, the
+            # q_dedup_minhash_capped guardrail wired into the persisted
+            # index): bucket sizes come from a groupBy on the bucketBy
+            # key (no exchange — the scan is already hash-partitioned
+            # on bkey), the few hot keys are BROADCAST as an anti-join
+            # filter (hot keys are rare by construction, so the
+            # broadcast is tiny and the probe side never reshuffles),
+            # and the skipped mass is reported alongside the candidate
+            # count.  Cap 2 here so the sf0.01 fixture exercises the
+            # skip path; production admission uses DEDUP_BUCKET_CAP.
+            cap = 2
+            sizes = (
+                spark.table(name)
+                .groupBy("bkey")
+                .agg(F.count(F.lit(1)).cast("long").alias("sz"))
+                .filter(F.col("sz") > cap)
+                .localCheckpoint(eager=False)
+            )
+            hot_stats = sizes.agg(
+                F.count(F.lit(1)).cast("long").alias("nb"),
+                F.coalesce(F.sum(F.expr("sz * (sz - 1) div 2")), F.lit(0))
+                .cast("long")
+                .alias("pw"),
+            ).collect()[0]
+            n_hot_buckets = int(hot_stats["nb"])
+            n_skipped_pair_work = int(hot_stats["pw"])
+            hot_keys = F.broadcast(sizes.select("bkey"))
+            left = spark.table(name).select("bkey", "doc_id").join(
+                hot_keys, "bkey", "left_anti"
+            )
             right = spark.table(name).select(
                 "bkey", F.col("doc_id").alias("doc_b")
-            )
+            ).join(hot_keys, "bkey", "left_anti")
             cand = left.join(right, "bkey").filter(
                 F.col("doc_id") < F.col("doc_b")
             )
@@ -2276,6 +2309,8 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
                 incremental_equals_rebuild=extra == 0 and missing == 0,
                 shuffle_exchanges=n_shuffles,
                 n_near_dup_batch_docs=n_near_batch,
+                n_hot_buckets_skipped=n_hot_buckets,
+                skipped_pair_work=n_skipped_pair_work,
             )
         ]
     )

@@ -145,6 +145,91 @@ def test_minhash_single_band_shuffle(spark, sf_dir):
     assert count_exchanges(plan) <= 4, plan
 
 
+def test_minhash_capped_no_cartesian_and_bounded_shuffles(spark, sf_dir):
+    """The capped generator keeps the uncapped op's shape — pair
+    expansion via ONE band-bucket shuffle, never a self-join — and the
+    only nested-loop joins are the two BROADCAST 1-row audit attachments
+    (skipped-mass columns), never a CartesianProduct."""
+    plan = _plan(spark, sf_dir, "q_dedup_minhash_capped")
+    assert "CartesianProduct" not in plan, plan
+    loops = [s for s in join_strategies(plan) if "NestedLoop" in s]
+    assert all("Broadcast" in s for s in loops), join_strategies(plan)
+    # pair side: spread + groupBy(doc) + groupBy(band) + distinct = 4;
+    # audit side: two single-partition aggregates = 2 (+1 for the
+    # docs-skipped pre-agg partial) — anything beyond that means the
+    # bucket relation re-shuffled per consumer.
+    assert count_exchanges(plan) <= 8, plan
+
+
+def test_cbo_join_reorder_uses_analyze_stats(spark, sf_dir):
+    """ddl_analyze_stats' ANALYZE output must actually FEED Spark's CBO
+    (r11 VERDICT task 4): on a 3-table star written in a deliberately
+    bad join order (big dim first, selective dim last), enabling
+    spark.sql.cbo + joinReorder with table+column stats present moves
+    the selective dim's join BELOW the big dim's in the optimized tree;
+    with CBO off the syntactic order is kept.  Empirically verified
+    behavior of Spark 4.1 (probe 2026-08-16): reorder happens, so this
+    asserts the strong outcome, not just that stats are loaded."""
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    names = ("cboplan_fact", "cboplan_dima", "cboplan_dimb")
+    tbl(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).write.mode("overwrite").saveAsTable(names[0])
+    tbl(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    ).write.mode("overwrite").saveAsTable(names[1])
+    tbl(spark, sf_dir, "part").filter("p_size = 1").select(
+        "p_partkey", "p_brand"
+    ).write.mode("overwrite").saveAsTable(names[2])
+    old = {
+        k: spark.conf.get(k, "false")
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.cbo.joinReorder.enabled",
+        )
+    }
+    try:
+        for tb, cols in (
+            (names[0], "l_orderkey,l_partkey"),
+            (names[1], "o_orderkey"),
+            (names[2], "p_partkey"),
+        ):
+            spark.sql(
+                f"ANALYZE TABLE {tb} COMPUTE STATISTICS FOR COLUMNS {cols}"
+            )
+        q = f"""
+          SELECT sum(f.l_quantity) AS s
+          FROM {names[1]} a
+          JOIN {names[0]} f ON f.l_orderkey = a.o_orderkey
+          JOIN {names[2]} b ON f.l_partkey = b.p_partkey
+        """
+
+        def dim_order() -> list[str]:
+            opt = spark.sql(q)._jdf.queryExecution().optimizedPlan().toString()
+            pos = {n: opt.find(n) for n in (names[1], names[2])}
+            assert all(p >= 0 for p in pos.values()), opt
+            return sorted(pos, key=pos.get)
+
+        for k in old:
+            spark.conf.set(k, "false")
+        assert dim_order() == [names[1], names[2]], "syntactic order kept"
+        for k in old:
+            spark.conf.set(k, "true")
+        # deeper in the tree = earlier join = LATER in the plan string's
+        # indentation, but find() order tracks the top-down print: the
+        # reordered tree prints (fact ⋈ dimb) before the dima join input,
+        # i.e. dimb now appears first.
+        assert dim_order() == [names[2], names[1]], (
+            "CBO did not reorder the star despite ANALYZE stats"
+        )
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+
+
 def test_partition_pruning_static(spark, sf_dir, tmp_path):
     """A filter on the partition column must prune partitions at plan
     time: the scan's PartitionFilters carries the predicate and only the

@@ -173,6 +173,16 @@ def test_r9_batch_ids_are_benched():
         assert qid in bench.EXT_R9, f"{qid} missing from bench.EXT_R9"
 
 
+def test_r12_batch_ids_are_benched():
+    import bench
+
+    for qid in (
+        "q_dedup_minhash_capped",
+        "q_fn_sql_udtf",
+    ):
+        assert qid in bench.EXT_R12, f"{qid} missing from bench.EXT_R12"
+
+
 def test_bench_cohorts_partition_groups():
     """The r9 isolation harness (one subprocess per round-cohort) is only
     cross-round comparable if every timing group belongs to EXACTLY one

@@ -35,6 +35,7 @@ Usage:
     python tools/scale_step.py --rebuild  # force fixture rebuild
     python tools/scale_step.py --sf10     # 100x sf0.1 for the SF10_OPS subset
     python tools/scale_step.py --text10   # 500k-doc corpus for the text family
+    python tools/scale_step.py --embed10  # 20k mutated vectors for the embed family
 
 Writes fixtures to /tmp/sf1_scale (ephemeral; never committed) and
 prints one PASS/FAIL line per op plus a JSON summary.
@@ -84,6 +85,40 @@ TEXT10_OPS = [
     "q_text_zipf",              # rank-frequency OLS on the 10x vocab
     "q_dedup_minhash",          # banded LSH pairs at 500k docs — digest
     #                             comparator above the collect ceiling
+    # r12 (r11 VERDICT task 3): the posting-join / nearest-horizon
+    # carriers text10 had not yet run
+    "q_text_bm25",              # tf·idf carrier joins on the 10x postings
+    "q_text_dirichlet_ql",      # smoothed-LM log carriers, corpus cf mass
+    "q_text_lm_kn",             # Kneser-Ney continuation counts at 1e8 tok
+    "q_decontaminate",          # broadcast eval grams vs the 10x corpus
+    "q_dedup_substring",        # suffix-ordering global sort at 1e8 tokens
+    # r12 (r11 VERDICT task 1): capped candidate generation — the
+    # bounded-workload proof with the skipped-mass audit at 500k docs
+    "q_dedup_minhash_capped",
+]
+
+# --embed10 mode (r12, r11 VERDICT task 2): the EMBEDDING axis at 10x —
+# 20k vectors built by replicating sf0.1's 2,000 vectors 10x with a
+# deterministic per-copy perturbation (hash-derived ±0.01 per
+# component), so the vector corpus grows 10x WITHOUT the exact-clone
+# degeneracy of the sf1/sf10 replication (which collapses kNN/kmeans
+# structure: every neighbor list fills with distance-0 clones).  Copy 0
+# is the identity, so the base corpus is embedded verbatim.  Other
+# tables are carried over from sf0.1 (the ops below read only
+# embeddings).  NOTE the corpus-quadratic regimes: the one-table LSH
+# bucket join at LSH_BITS=4 is ~n²/16 in-bucket pairs — at 20k vectors
+# that is 25M exact dot products (tractable both engines); this is why
+# embed10 is a 10x-of-sf0.1 axis, not a 10x-of-sf1 one.
+EMBED10_DIR = os.environ.get("SPARK_GRAFT_EMBED10_DIR", "/tmp/sf10_embed")
+EMBED10_OPS = [
+    "q_embed_isotropy",         # HUGEINT Σe_i·e_j finish at 10x mass
+    "q_embed_intrinsic_dim",    # TwoNN over the 256-node eval sample
+    "q_embed_kmeans",           # decimal-exact means, 2 Lloyd rounds
+    "q_embed_knn",              # one-table LSH graph, 25M in-bucket pairs
+    "q_embed_knn_refine",       # 2-table init + NN-descent round
+    "q_embed_knn_refine2",      # second descent round composes
+    "q_embed_knn_recall_lift",  # recall@k vs exact on the eval sample
+    "q_sim_search_pq",          # PQ codebook/ADC carriers at 10x corpus
 ]
 
 SF10_OPS = [
@@ -297,8 +332,80 @@ def main() -> None:
     rebuild = "--rebuild" in sys.argv
     sf10 = "--sf10" in sys.argv
     text10 = "--text10" in sys.argv
+    embed10 = "--embed10" in sys.argv
     spark = get_spark(app_name="dwh-spark-scale-step")
-    if rebuild or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
+
+    if embed10:
+        # embed10 derives from sf0.1 directly — no sf1 build needed.
+        if rebuild or not os.path.exists(
+            f"{EMBED10_DIR}/embeddings.parquet"
+        ):
+            from pyspark.sql import functions as F
+
+            print(
+                f"building embed10 fixtures (10x sf0.1 vectors, mutated)"
+                f" -> {EMBED10_DIR}", flush=True,
+            )
+            t0 = time.perf_counter()
+            os.makedirs(EMBED10_DIR, exist_ok=True)
+            emb = spark.read.parquet(f"{SRC_DIR}/embeddings.parquet")
+            voff = emb.agg(F.max("vec_id") + 1).collect()[0][0]
+            copies = spark.range(COPIES).select(
+                F.col("id").alias("copy_i")
+            )
+            # per-component deterministic jitter in [-0.01, 0.01]:
+            # hash(vec_id, copy_i, dim) is a fixed integer, so rebuilds
+            # are byte-identical; copy 0 stays the untouched base.
+            (
+                emb.crossJoin(copies)
+                .select(
+                    (F.col("vec_id") + F.col("copy_i") * voff).alias(
+                        "vec_id"
+                    ),
+                    F.when(F.col("copy_i") == 0, F.col("embedding"))
+                    .otherwise(
+                        F.transform(
+                            F.col("embedding"),
+                            lambda x, i: (
+                                x
+                                + (
+                                    F.pmod(
+                                        F.hash(
+                                            F.col("vec_id"),
+                                            F.col("copy_i"),
+                                            i,
+                                        ),
+                                        F.lit(2001),
+                                    )
+                                    - 1000
+                                ).cast("double")
+                                / 100000.0
+                            ).cast("float"),
+                        )
+                    )
+                    .alias("embedding"),
+                    "label",
+                )
+                .repartition(8)
+                .write.mode("overwrite")
+                .parquet(f"{EMBED10_DIR}/embeddings.parquet")
+            )
+            for name in ("region nation customer supplier part orders "
+                         "lineitem events documents").split():
+                dst = f"{EMBED10_DIR}/{name}.parquet"
+                src = f"{SRC_DIR}/{name}.parquet"
+                if os.path.isdir(dst):
+                    shutil.rmtree(dst)
+                elif os.path.exists(dst):
+                    os.unlink(dst)
+                if os.path.isdir(src):
+                    shutil.copytree(src, dst)
+                else:
+                    shutil.copy(src, dst)
+            print(
+                f"  built in {time.perf_counter() - t0:.1f}s", flush=True
+            )
+    elif rebuild or not os.path.exists(f"{SF1_DIR}/lineitem.parquet"):
         print(f"building sf1 fixtures ({COPIES}x sf0.1) -> {SF1_DIR}",
               flush=True)
         t0 = time.perf_counter()
@@ -359,8 +466,18 @@ def main() -> None:
                 shutil.copy(src, dst)
         print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
 
-    sf_dir = TEXT10_DIR if text10 else SF10_DIR if sf10 else SF1_DIR
-    ops = TEXT10_OPS if text10 else SF10_OPS if sf10 else TIGHT_BOUND_OPS
+    sf_dir = (
+        EMBED10_DIR if embed10
+        else TEXT10_DIR if text10
+        else SF10_DIR if sf10
+        else SF1_DIR
+    )
+    ops = (
+        EMBED10_OPS if embed10
+        else TEXT10_OPS if text10
+        else SF10_OPS if sf10
+        else TIGHT_BOUND_OPS
+    )
     registry = load_all()
     con = duckdb_connection(sf_dir)
     results: dict[str, dict] = {}
@@ -381,7 +498,12 @@ def main() -> None:
         print(f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)"
               + (f" — {detail[:300]}" if detail else ""), flush=True)
     summary = {
-        "metric": ("text10_scale_step" if text10 else "sf10_scale_step" if sf10 else "sf1_scale_step"),
+        "metric": (
+            "embed10_scale_step" if embed10
+            else "text10_scale_step" if text10
+            else "sf10_scale_step" if sf10
+            else "sf1_scale_step"
+        ),
         "n_ops": len(ops),
         "n_fail": n_fail,
         "results": results,
