@@ -354,11 +354,16 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing end-to-end: synthesize binary payloads from the
     documents table, run the mapInPandas feature extractor (stubbed decode,
     real Spark plumbing), count frame samples, AND (r11) round-trip REAL
-    container headers — id-derived PNG / WAV / FLAC / MP3 / MP4 bytes
-    through the distributed header decoders (sources/multimodal.py),
-    asserting the parsed metadata matches what was synthesized."""
+    container headers — id-derived PNG / GIF / BMP / WAV / FLAC / MP3 /
+    MP4 bytes through the distributed header decoders
+    (sources/multimodal.py), asserting the parsed metadata matches what
+    was synthesized.  r12: the BMP payloads carry a full pixel array and
+    the feature extractor decodes them NATIVELY (struct+numpy, no codec
+    lib) — the distributed features must equal the driver-side decode of
+    the same bytes, bit for bit."""
     from data_warehouse_hive_spark.sources.multimodal import (
         audio_meta,
+        decode_bmp_image,
         extract_features,
         frame_sample_plan,
         image_dims,
@@ -403,14 +408,48 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
+    # image round trip is format-aware: ids rotate png/gif/bmp on
+    # media_id div 3 (all image ids share residue 1 mod 3), and the
+    # full-pixel BMPs use the smaller dim domain
+    v = (F.col("media_id") / 3).cast("long") % 3
+    exp_fmt = (
+        F.when(v == 0, "png").when(v == 1, "gif").otherwise("bmp")
+    )
+    exp_w = F.when(
+        v == 2, (F.col("media_id") % 64) + 1
+    ).otherwise((F.col("media_id") % 640) + 1)
+    exp_h = F.when(
+        v == 2, (F.col("media_id") % 48) + 1
+    ).otherwise((F.col("media_id") % 480) + 1)
+    img_meta = image_dims(real).localCheckpoint(eager=False)
     n_img = (
-        image_dims(real)
-        .filter(
-            (F.col("format") == "png")
-            & (F.col("px_width") == (F.col("media_id") % 640) + 1)
-            & (F.col("px_height") == (F.col("media_id") % 480) + 1)
+        img_meta.filter(
+            (F.col("format") == exp_fmt)
+            & (F.col("px_width") == exp_w)
+            & (F.col("px_height") == exp_h)
         )
         .count()
+    )
+    n_image_formats = img_meta.select("format").distinct().count()
+
+    # r12: REAL pixel round trip — the distributed extractor's native
+    # BMP decode must reproduce the driver-side decode of the same
+    # synthesized bytes exactly (same numpy float64 algebra both sides)
+    feat_rows = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(real)
+        .filter(F.col("kind") == "image")
+        .collect()
+    }
+    bmp_ids = [m for m in feat_rows if (m // 3) % 3 == 2]
+    n_bmp_pixel_decoded = sum(
+        1
+        for m in bmp_ids
+        if feat_rows[m] == decode_bmp_image(synth_media_payload(m, "image"))
+    )
+    assert bmp_ids and n_bmp_pixel_decoded == len(bmp_ids), (
+        n_bmp_pixel_decoded,
+        len(bmp_ids),
     )
     au = audio_meta(real).filter(F.col("sample_rate").isNotNull())
     n_audio = au.count()
@@ -431,6 +470,8 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_features=n_feat,
                 n_frame_samples=n_frames,
                 n_image_meta=n_img,
+                n_image_formats=n_image_formats,
+                n_bmp_pixel_decoded=n_bmp_pixel_decoded,
                 n_audio_meta=n_audio,
                 n_audio_formats=n_audio_formats,
                 n_video_meta=n_vid,

@@ -8,11 +8,21 @@ Arrow-batched pandas iterators via `mapInPandas`, so the Spark-side
 plumbing — schema, partitioning, batch shape — is identical whether the
 inner function calls Pillow/ffmpeg or a stub.
 
-The actual codec libraries are NOT in this container, so `decode_image`
-raises NotImplementedError and the pipeline is exercised end-to-end with
+The actual codec libraries are NOT in this container, so compressed
+formats (PNG/GIF/JPEG pixel data) raise NotImplementedError from
+`decode_image` and the pipeline is exercised end-to-end with
 `fake_decode_image` — a deterministic stand-in keyed on the payload's md5
 (real plumbing, fake pixels).  Swapping in a real decoder changes ONE
 function and zero Spark code.
+
+Exception (round 12): UNCOMPRESSED 24-bit BMP needs no codec — the pixel
+array is plain bytes behind a fixed header — so `decode_bmp_image`
+performs a REAL pixel decode (struct header parse + numpy row
+de-padding + luma downsample to the FEATURE_DIM strip) with zero new
+dependencies, and `decode_image`/`extract_features` route BMP payloads
+through it natively even when Pillow is absent.  One image format's
+decode is therefore fully real in this container, which pins the
+feature contract (normalized [0,1] strip) against actual pixels.
 """
 
 from __future__ import annotations
@@ -62,19 +72,81 @@ def real_decoder_available() -> bool:
         return False
 
 
+def is_plain_bmp(payload: bytes) -> bool:
+    """True for an uncompressed 24-bit bottom-up/top-down BMP whose pixel
+    array is fully present — the one image container decodable with no
+    codec library (the pixel rows are raw BGR bytes behind a fixed
+    54-byte header pair)."""
+    p = payload
+    if len(p) < 54 or p[:2] != b"BM":
+        return False
+    bpp = int.from_bytes(p[28:30], "little")
+    compression = int.from_bytes(p[30:34], "little")
+    if bpp != 24 or compression != 0:
+        return False
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h = int.from_bytes(p[22:26], "little", signed=True)
+    off = int.from_bytes(p[10:14], "little")
+    if w <= 0 or h == 0 or off < 54:
+        return False
+    stride = (w * 3 + 3) & ~3
+    return len(p) >= off + stride * abs(h)
+
+
+def decode_bmp_image(payload: bytes) -> list[float]:
+    """REAL pixel decode for uncompressed 24-bit BMP — no codec library:
+    struct-parse the header (pixel offset, dims, bottom-up sign), numpy
+    de-pad the 4-byte-aligned BGR rows, integer-exact BT.601 luma
+    (299R+587G+114B)/1000, then mean-pool columns into the FEATURE_DIM
+    strip (bucket b = columns [b·w/8, (b+1)·w/8), never empty), each
+    value normalized to [0,1].  float64 throughout with a fixed
+    reduction order, so driver and executors produce identical bits —
+    the round-trip assert in ddl_multimodal_features relies on that."""
+    import numpy as np
+
+    if not is_plain_bmp(payload):
+        raise ValueError("not an uncompressed 24-bit BMP")
+    p = payload
+    off = int.from_bytes(p[10:14], "little")
+    w = int.from_bytes(p[18:22], "little", signed=True)
+    h_signed = int.from_bytes(p[22:26], "little", signed=True)
+    h = abs(h_signed)
+    stride = (w * 3 + 3) & ~3
+    rows = np.frombuffer(
+        p, dtype=np.uint8, count=stride * h, offset=off
+    ).reshape(h, stride)[:, : w * 3]
+    px = rows.reshape(h, w, 3).astype(np.int64)  # BGR
+    if h_signed > 0:  # bottom-up storage → flip to image order
+        px = px[::-1]
+    luma = (
+        299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]
+    ) / 1000.0
+    out = []
+    for b in range(FEATURE_DIM):
+        lo = (b * w) // FEATURE_DIM
+        hi = max(((b + 1) * w) // FEATURE_DIM, lo + 1)
+        out.append(float(luma[:, lo:hi].mean() / 255.0))
+    return out
+
+
 def decode_image(payload: bytes) -> list[float]:
-    """Real decode path: Pillow-decode the payload, downsample to a
-    FEATURE_DIM-pixel grayscale strip, return normalized intensities —
-    the same (list[float], FEATURE_DIM) contract as fake_decode_image,
-    so the mapInPandas plumbing is byte-identical either way.  Raises
-    NotImplementedError when no codec library is installed (this
+    """Real decode path: native struct/numpy decode for uncompressed BMP
+    (always available — see decode_bmp_image), Pillow for compressed
+    formats; both downsample to a FEATURE_DIM grayscale strip of
+    normalized intensities — the same (list[float], FEATURE_DIM)
+    contract as fake_decode_image, so the mapInPandas plumbing is
+    byte-identical either way.  Raises NotImplementedError for
+    compressed formats when no codec library is installed (this
     container); fake_decode_image is the deterministic stand-in."""
+    if is_plain_bmp(payload):
+        return decode_bmp_image(payload)
     try:
         import PIL.Image
     except ImportError as exc:  # pragma: no cover - env without Pillow
         raise NotImplementedError(
-            "image decoding requires a codec library (e.g. Pillow); "
-            "use fake_decode_image for plumbing tests"
+            "compressed-image decoding requires a codec library (e.g. "
+            "Pillow); uncompressed BMP decodes natively, and "
+            "fake_decode_image covers plumbing tests"
         ) from exc
     import io
 
@@ -102,9 +174,11 @@ def extract_features(
 
     use_real_decoder=None (the default) auto-detects per worker: real
     Pillow decode where the codec is installed, the deterministic fake
-    elsewhere — so the same pipeline code runs in this codec-less
-    container AND on a production image with Pillow baked in.  Pass
-    True/False to force a branch (tests pin both)."""
+    elsewhere — EXCEPT uncompressed BMP, which decodes natively (real
+    pixels) in any environment — so the same pipeline code runs in this
+    codec-less container AND on a production image with Pillow baked
+    in.  Pass True/False to force a branch (tests pin both;
+    False forces the fake even for BMP)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = (
@@ -117,7 +191,9 @@ def extract_features(
             feats = []
             for p in payloads:
                 raw = bytes(p) if p is not None else b""
-                if real:
+                if use_real_decoder is not False and is_plain_bmp(raw):
+                    feats.append(decode_bmp_image(raw))
+                elif real:
                     feats.append(decode_image(raw))
                 else:
                     feats.append(fake_decode_image(raw))
@@ -620,6 +696,40 @@ def _png_bytes(width: int, height: int) -> bytes:
     )
 
 
+def _gif_bytes(width: int, height: int) -> bytes:
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+
+
+def _bmp_bytes(width: int, height: int, seed: int) -> bytes:
+    """A COMPLETE uncompressed 24-bit bottom-up BMP with deterministic
+    seed-derived BGR pixels — unlike the header-only PNG/GIF synth
+    payloads, this one carries a real pixel array so the native decode
+    path (decode_bmp_image) runs against actual data."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    img_size = stride * height
+    header = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + img_size, 0, 0, 54)
+        + struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, 24, 0, img_size,
+            2835, 2835, 0, 0,
+        )
+    )
+    rows = bytearray()
+    for y in range(height):  # bottom-up row order
+        row = bytearray()
+        for x in range(width):
+            v = (seed * 31 + y * width + x) * 97
+            row += bytes(((v) % 256, (v + 85) % 256, (v + 170) % 256))
+        row += b"\x00" * (stride - len(row))
+        rows += row
+    return header + bytes(rows)
+
+
 def _wav_bytes(rate: int, chans: int, bits: int, n_frames: int) -> bytes:
     import struct
 
@@ -674,14 +784,23 @@ def _mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
 
 def synth_media_payload(media_id: int, kind: str) -> bytes:
     """Deterministic REAL container bytes for (media_id, kind): images
-    are PNGs with id-derived dimensions; audio rotates WAV / FLAC / MP3
-    by id so every audio decoder is exercised; video is a minimal
-    ISO-BMFF file (ftyp + moov/mvhd + one trak).  Parsed metadata is a
-    pure function of media_id — the registry op asserts it round-trips
-    through the distributed decode pipeline."""
+    rotate PNG / GIF (header-only) / full-pixel BMP by id so every image
+    sniffer AND the native pixel decode are exercised, all with the same
+    id-derived dimensions; audio rotates WAV / FLAC / MP3 by id so every
+    audio decoder is exercised; video is a minimal ISO-BMFF file
+    (ftyp + moov/mvhd + one trak).  Parsed metadata is a pure function
+    of media_id — the registry op asserts it round-trips through the
+    distributed decode pipeline.  BMP dims stay modest (≤64×48) to keep
+    the pixel-bearing payloads small; the header-only formats use the
+    full 640×480 domain."""
     m = int(media_id)
     if kind == "image":
-        return _png_bytes((m % 640) + 1, (m % 480) + 1)
+        v = (m // 3) % 3
+        if v == 0:
+            return _png_bytes((m % 640) + 1, (m % 480) + 1)
+        if v == 1:
+            return _gif_bytes((m % 640) + 1, (m % 480) + 1)
+        return _bmp_bytes((m % 64) + 1, (m % 48) + 1, m)
     if kind == "audio":
         # rotate on m//3, not m%3: the caller assigns kind by m%3, so
         # every audio id shares the same residue

@@ -133,3 +133,115 @@ def test_dispatch_magic():
     assert sniff_audio_meta(flac(8000, 1, 8, 0))[0] == "flac"
     assert sniff_audio_meta(mp3_frames(32, 48000, 1))[0] == "mp3"
     assert sniff_audio_meta(b"")[0] is None
+
+
+# ---------------------------------------------------------------------------
+# r12: native BMP pixel decode — the one image format whose pixel array
+# needs no codec library, now REALLY decoded (struct + numpy).
+# ---------------------------------------------------------------------------
+
+
+def test_bmp_bytes_sniff_and_gate():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _bmp_bytes,
+        is_plain_bmp,
+        sniff_image_meta,
+    )
+
+    p = _bmp_bytes(17, 9, seed=42)
+    assert sniff_image_meta(p) == ("bmp", 17, 9)
+    assert is_plain_bmp(p)
+    # header-only / truncated payloads must NOT pass the gate
+    assert not is_plain_bmp(p[:53])
+    assert not is_plain_bmp(p[:-1])
+    assert not is_plain_bmp(b"BM" + b"\x00" * 60)  # bpp 0
+
+
+def test_bmp_pixel_decode_matches_independent_reference():
+    """decode_bmp_image's numpy fast path vs a pure-python per-pixel
+    reference over a sweep of widths (padding edge cases) and heights."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        FEATURE_DIM,
+        _bmp_bytes,
+        decode_bmp_image,
+    )
+
+    def reference(w, h, seed):
+        # same deterministic pixel formula as _bmp_bytes, decoded by hand
+        luma_cols = [[] for _ in range(w)]
+        for y in range(h):
+            for x in range(w):
+                v = (seed * 31 + y * w + x) * 97
+                bch, gch, rch = v % 256, (v + 85) % 256, (v + 170) % 256
+                luma_cols[x].append(
+                    (299 * rch + 587 * gch + 114 * bch) / 1000.0
+                )
+        out = []
+        for b in range(FEATURE_DIM):
+            lo = (b * w) // FEATURE_DIM
+            hi = max(((b + 1) * w) // FEATURE_DIM, lo + 1)
+            vals = [v for x in range(lo, hi) for v in luma_cols[x]]
+            out.append(sum(vals) / len(vals) / 255.0)
+        return out
+
+    for w, h, seed in [(1, 1, 0), (3, 2, 7), (8, 8, 1), (13, 5, 99),
+                       (16, 3, 4), (64, 48, 11)]:
+        got = decode_bmp_image(_bmp_bytes(w, h, seed))
+        exp = reference(w, h, seed)
+        assert len(got) == FEATURE_DIM
+        assert all(0.0 <= g <= 1.0 for g in got)
+        assert all(abs(g - e) < 1e-9 for g, e in zip(got, exp)), (w, h)
+
+
+def test_bmp_decode_top_down_storage():
+    """Negative biHeight = top-down row order; luma strip must be
+    identical to the bottom-up encoding of the same image only when the
+    pixel content is row-symmetric — here we just assert the decoder
+    honors the sign by comparing against a manual flip."""
+    import struct
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _bmp_bytes,
+        decode_bmp_image,
+    )
+
+    w, h, seed = 5, 3, 13
+    p = bytearray(_bmp_bytes(w, h, seed))
+    # flip to top-down: negate height and reverse the stored row order
+    struct.pack_into("<i", p, 22, -h)
+    stride = (w * 3 + 3) & ~3
+    body = p[54:]
+    rows = [bytes(body[i * stride:(i + 1) * stride]) for i in range(h)]
+    p[54:] = b"".join(reversed(rows))
+    assert decode_bmp_image(bytes(p)) == decode_bmp_image(
+        _bmp_bytes(w, h, seed)
+    )
+
+
+def test_extract_features_native_bmp_without_pillow(spark):
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _bmp_bytes,
+        decode_bmp_image,
+        extract_features,
+        fake_decode_image,
+    )
+
+    payload = _bmp_bytes(32, 24, seed=5)
+    media = spark.createDataFrame(
+        [(1, "image", payload), (2, "image", b"\x89PNG header-only")],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media).collect()
+    }
+    # BMP decodes natively (real pixels) even with no codec lib present;
+    # the compressed payload falls back to the deterministic fake
+    assert got[1] == decode_bmp_image(payload)
+    assert got[2] == fake_decode_image(b"\x89PNG header-only")
+    # explicit False forces the fake branch for everything (pin contract)
+    forced = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media, use_real_decoder=False).collect()
+    }
+    assert forced[1] == fake_decode_image(payload)
