@@ -195,6 +195,46 @@ def test_multimodal_real_decoder_branch_plumbing(monkeypatch):
     assert feat == [i / 255.0 for i in range(mm.FEATURE_DIM)]
 
 
+def test_minhash_capped_equals_uncapped_at_infinite_cap(spark, sf_dir):
+    """The capped generator is the SAME algebra as q_dedup_minhash with an
+    admission filter — so with a cap no bucket reaches, the pair set must
+    equal the uncapped one exactly and the audit must be all-zero."""
+    from data_warehouse_hive_spark.extensions.dedup import (
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_capped,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs, audit = minhash_candidate_pairs_capped(docs, cap=10**6)
+    a = audit.collect()[0]
+    assert (a["skipped_buckets"], a["skipped_pair_work"], a["skipped_docs"]) == (
+        0, 0, 0,
+    )
+    uncapped = minhash_candidate_pairs(docs)
+    assert pairs.exceptAll(uncapped).count() == 0
+    assert uncapped.exceptAll(pairs).count() == 0
+
+
+def test_minhash_capped_bounds_pair_work(spark, sf_dir):
+    """With cap c, no emitted pair can come from a bucket of size > c —
+    equivalently, pairs(cap) ⊆ pairs(∞) and the emitted count at the demo
+    cap is strictly below the uncapped count when any bucket was skipped."""
+    from data_warehouse_hive_spark.extensions.dedup import (
+        _CAPPED_DEMO_CAP,
+        minhash_candidate_pairs,
+        minhash_candidate_pairs_capped,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    pairs, audit = minhash_candidate_pairs_capped(docs, cap=_CAPPED_DEMO_CAP)
+    a = audit.collect()[0]
+    n_capped = pairs.count()
+    n_uncapped = minhash_candidate_pairs(docs).count()
+    assert pairs.exceptAll(minhash_candidate_pairs(docs)).count() == 0
+    if a["skipped_buckets"] > 0:
+        assert n_capped < n_uncapped
+
+
 def test_exact_dedup_survivor_is_min_doc_id(spark, sf_dir):
     out = REGISTRY["q_dedup_exact"].fn(spark, sf_dir)
     dupes = out.filter(F.col("n_copies") > 1)
