@@ -358,12 +358,15 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     MP4 bytes through the distributed header decoders
     (sources/multimodal.py), asserting the parsed metadata matches what
     was synthesized.  r12: the BMP payloads carry a full pixel array and
-    the feature extractor decodes them NATIVELY (struct+numpy, no codec
-    lib) — the distributed features must equal the driver-side decode of
-    the same bytes, bit for bit."""
+    the WAV payloads carry real PCM frames, and both decode NATIVELY
+    (struct+numpy, no codec lib) — the distributed features / windowed
+    RMS must equal the driver-side decode of the same bytes, bit for
+    bit."""
     from data_warehouse_hive_spark.sources.multimodal import (
         audio_meta,
+        audio_rms_windows,
         decode_bmp_image,
+        decode_wav_samples,
         extract_features,
         frame_sample_plan,
         image_dims,
@@ -454,6 +457,30 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     au = audio_meta(real).filter(F.col("sample_rate").isNotNull())
     n_audio = au.count()
     n_audio_formats = au.select("format").distinct().count()
+
+    # r12: REAL PCM round trip — the distributed windowed-RMS over the
+    # synthesized WAVs' actual sample frames must reproduce the
+    # driver-side decode of the same bytes exactly (float64, same
+    # numpy reduction order both sides)
+    import numpy as np
+
+    rms_rows: dict[int, dict[int, float]] = {}
+    for r in audio_rms_windows(real).collect():
+        rms_rows.setdefault(r["media_id"], {})[r["window_idx"]] = r["rms"]
+    wav_ids = [m for m in rms_rows if (m // 3) % 3 == 0]
+    n_wav_rms_real = 0
+    for m in wav_ids:
+        wave = decode_wav_samples(synth_media_payload(m, "audio"))
+        exp = {
+            w // 256: float(np.sqrt(np.mean(wave[w : w + 256] ** 2)))
+            for w in range(0, max(len(wave), 1), 256)
+        }
+        if rms_rows[m] == exp:
+            n_wav_rms_real += 1
+    assert wav_ids and n_wav_rms_real == len(wav_ids), (
+        n_wav_rms_real,
+        len(wav_ids),
+    )
     n_vid = (
         video_meta(real)
         .filter(
@@ -474,6 +501,7 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bmp_pixel_decoded=n_bmp_pixel_decoded,
                 n_audio_meta=n_audio,
                 n_audio_formats=n_audio_formats,
+                n_wav_rms_real=n_wav_rms_real,
                 n_video_meta=n_vid,
             )
         ]

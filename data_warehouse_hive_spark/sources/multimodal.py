@@ -15,14 +15,19 @@ formats (PNG/GIF/JPEG pixel data) raise NotImplementedError from
 (real plumbing, fake pixels).  Swapping in a real decoder changes ONE
 function and zero Spark code.
 
-Exception (round 12): UNCOMPRESSED 24-bit BMP needs no codec — the pixel
-array is plain bytes behind a fixed header — so `decode_bmp_image`
-performs a REAL pixel decode (struct header parse + numpy row
-de-padding + luma downsample to the FEATURE_DIM strip) with zero new
-dependencies, and `decode_image`/`extract_features` route BMP payloads
-through it natively even when Pillow is absent.  One image format's
-decode is therefore fully real in this container, which pins the
-feature contract (normalized [0,1] strip) against actual pixels.
+Exceptions (round 12): the UNCOMPRESSED containers need no codec — their
+sample/pixel arrays are plain bytes behind fixed headers — so they
+decode FOR REAL with zero new dependencies:
+
+- 24-bit BMP: `decode_bmp_image` (struct header parse + numpy row
+  de-padding + luma downsample to the FEATURE_DIM strip), routed
+  natively by `decode_image`/`extract_features` even without Pillow.
+- integer-PCM WAV: `decode_wav_samples` (RIFF chunk walk + numpy frame
+  read + channel downmix), routed natively by `audio_rms_windows`.
+
+One image format and one audio format are therefore fully real in this
+container, pinning the feature contracts against actual pixel/sample
+data; compressed formats keep the loud stub until a codec lib exists.
 """
 
 from __future__ import annotations
@@ -249,27 +254,97 @@ AUDIO_RMS_SCHEMA = T.StructType(
 )
 
 
+def is_plain_wav_pcm(payload: bytes) -> bool:
+    """True for a RIFF/WAVE container with an integer-PCM fmt chunk
+    (format code 1, 8 or 16 bits) and a fully-present data chunk — the
+    audio twin of is_plain_bmp: raw samples behind a fixed header, no
+    codec needed."""
+    p = payload
+    if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+        return False
+    fmt_ok = False
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 24 <= len(p):
+            audio_format = int.from_bytes(p[i + 8 : i + 10], "little")
+            bits = int.from_bytes(p[i + 22 : i + 24], "little")
+            fmt_ok = audio_format == 1 and bits in (8, 16)
+        elif cid == b"data":
+            return fmt_ok and i + 8 + clen <= len(p)
+        i += 8 + clen + (clen & 1)
+    return False
+
+
+def decode_wav_samples(payload: bytes):
+    """REAL PCM decode for integer-PCM WAV — no codec library: walk the
+    RIFF chunks to fmt and data, numpy-read the sample frames (u8 or
+    <i2), normalize to [-1, 1] (8-bit: (s-128)/128; 16-bit: s/32768),
+    and downmix channels by mean.  Returns a float64 mono waveform;
+    float64 with a fixed reduction order, so driver and executors agree
+    bit-for-bit (the ddl round-trip relies on that)."""
+    import numpy as np
+
+    if not is_plain_wav_pcm(payload):
+        raise ValueError("not an integer-PCM WAV")
+    p = payload
+    chans = bits = 1
+    i = 12
+    while i + 8 <= len(p):
+        cid = p[i : i + 4]
+        clen = int.from_bytes(p[i + 4 : i + 8], "little")
+        if cid == b"fmt ":
+            chans = int.from_bytes(p[i + 10 : i + 12], "little") or 1
+            bits = int.from_bytes(p[i + 22 : i + 24], "little")
+        elif cid == b"data":
+            raw = p[i + 8 : i + 8 + clen]
+            if bits == 8:
+                s = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+                s = (s - 128.0) / 128.0
+            else:
+                n = len(raw) // 2
+                s = (
+                    np.frombuffer(raw, dtype="<i2", count=n).astype(
+                        np.float64
+                    )
+                    / 32768.0
+                )
+            n_frames = len(s) // chans
+            return s[: n_frames * chans].reshape(n_frames, chans).mean(
+                axis=1
+            )
+        i += 8 + clen + (clen & 1)
+    raise ValueError("no data chunk")  # unreachable past the gate
+
+
 def audio_rms_windows(
     media: DataFrame, samples_per_window: int = 256
 ) -> DataFrame:
     """Audio feature extraction: windowed RMS over the decoded waveform —
     the 1-payload → N-feature-rows generator shape for audio.
 
-    Decode is the stubbed step (no audio codec in this container): the
-    payload BYTES are interpreted directly as unsigned 8-bit samples,
-    which keeps the whole pipeline deterministic and exactly testable
-    while the numpy windowing/RMS math and the Arrow batch plumbing are
-    real.  Swapping in an actual decoder (soundfile/ffmpeg) changes one
-    line.  Partition-parallel, no shuffle — linear at 100 TB."""
+    Integer-PCM WAV payloads are decoded FOR REAL (decode_wav_samples:
+    RIFF chunk walk + numpy sample read + channel downmix — no codec
+    library exists or is needed for PCM).  Other payloads keep the
+    stubbed interpretation — bytes as unsigned 8-bit samples — which
+    keeps the pipeline deterministic and exactly testable while
+    compressed-audio decode awaits a codec lib (soundfile/ffmpeg, one
+    line to swap in).  Partition-parallel, no shuffle — linear at
+    100 TB."""
     import numpy as np
 
     def rms(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out_id, out_w, out_n, out_rms = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                wave = np.frombuffer(
-                    bytes(payload) if payload is not None else b"", dtype=np.uint8
-                ).astype(np.float64)
+                raw = bytes(payload) if payload is not None else b""
+                if is_plain_wav_pcm(raw):
+                    wave = decode_wav_samples(raw)
+                else:
+                    wave = np.frombuffer(raw, dtype=np.uint8).astype(
+                        np.float64
+                    )
                 for w in range(0, max(len(wave), 1), samples_per_window):
                     chunk = wave[w : w + samples_per_window]
                     out_id.append(int(mid))
@@ -730,10 +805,25 @@ def _bmp_bytes(width: int, height: int, seed: int) -> bytes:
     return header + bytes(rows)
 
 
-def _wav_bytes(rate: int, chans: int, bits: int, n_frames: int) -> bytes:
+def _wav_bytes(
+    rate: int, chans: int, bits: int, n_frames: int, seed: int | None = None
+) -> bytes:
     import struct
 
-    data = b"\x00" * (n_frames * chans * (bits // 8))
+    if seed is None:
+        data = b"\x00" * (n_frames * chans * (bits // 8))
+    elif bits == 8:
+        data = bytes(
+            ((seed * 31 + j) * 2654435761) % 256
+            for j in range(n_frames * chans)
+        )
+    else:  # 16-bit little-endian signed PCM, deterministic per (seed, j)
+        data = b"".join(
+            struct.pack(
+                "<h", ((seed * 31 + j) * 2654435761) % 65536 - 32768
+            )
+            for j in range(n_frames * chans)
+        )
     fmt = b"fmt " + struct.pack(
         "<IHHIIHH",
         16, 1, chans, rate, rate * chans * bits // 8,
@@ -806,7 +896,11 @@ def synth_media_payload(media_id: int, kind: str) -> bytes:
         # every audio id shares the same residue
         v = (m // 3) % 3
         if v == 0:
-            return _wav_bytes(16000, (m % 2) + 1, 16, (m % 100) * 10 + 160)
+            # seed=m → REAL nonzero PCM frames, so the native decode in
+            # audio_rms_windows chews actual sample data (r12)
+            return _wav_bytes(
+                16000, (m % 2) + 1, 16, (m % 100) * 10 + 160, seed=m
+            )
         if v == 1:
             return _flac_bytes(44100, 2, 16, (m % 50) * 441 + 441)
         return _mp3_bytes(128, 44100, (m % 5) + 1, 2)

@@ -245,3 +245,88 @@ def test_extract_features_native_bmp_without_pillow(spark):
         for r in extract_features(media, use_real_decoder=False).collect()
     }
     assert forced[1] == fake_decode_image(payload)
+
+
+# ---------------------------------------------------------------------------
+# r12: native WAV PCM sample decode — the audio twin of the BMP path.
+# ---------------------------------------------------------------------------
+
+
+def test_wav_pcm_decode_matches_hand_computation():
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _wav_bytes,
+        decode_wav_samples,
+        is_plain_wav_pcm,
+    )
+
+    # 16-bit stereo: downmix = per-frame channel mean
+    p = _wav_bytes(8000, 2, 16, 4, seed=3)
+    assert is_plain_wav_pcm(p)
+    wave = decode_wav_samples(p)
+    assert wave.shape == (4,)
+    exp = []
+    for i in range(4):
+        vals = [
+            (((3 * 31 + i * 2 + c) * 2654435761) % 65536 - 32768) / 32768.0
+            for c in range(2)
+        ]
+        exp.append(sum(vals) / 2.0)
+    assert np.allclose(wave, exp, atol=1e-12)
+    # zero-filled payload (seed=None) decodes to silence
+    assert not decode_wav_samples(_wav_bytes(8000, 1, 16, 5)).any()
+    # non-PCM / truncated payloads fail the gate
+    assert not is_plain_wav_pcm(p[:-1])
+    assert not is_plain_wav_pcm(b"RIFFxxxxWAVE")
+
+
+def test_wav_pcm_8bit_and_chunk_walk():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_wav_samples,
+        is_plain_wav_pcm,
+    )
+    import struct
+
+    # hand-built 8-bit mono WAV with a LIST chunk BEFORE data — the
+    # decoder must walk chunks, not assume fixed offsets
+    samples = bytes([128, 255, 0, 128])
+    fmt = b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 8000, 1, 8)
+    lst = b"LIST" + struct.pack("<I", 4) + b"INFO"
+    body = b"WAVE" + fmt + lst + b"data" + struct.pack("<I", 4) + samples
+    p = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert is_plain_wav_pcm(p)
+    wave = decode_wav_samples(p)
+    assert list(wave) == [0.0, 127 / 128.0, -1.0, 0.0]
+
+
+def test_audio_rms_windows_native_wav(spark):
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _wav_bytes,
+        audio_rms_windows,
+        decode_wav_samples,
+    )
+
+    payload = _wav_bytes(16000, 2, 16, 600, seed=9)
+    media = spark.createDataFrame(
+        [(1, "audio", payload), (2, "audio", bytes(range(256)))],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        (r["media_id"], r["window_idx"]): (r["n_samples"], r["rms"])
+        for r in audio_rms_windows(media, samples_per_window=256).collect()
+    }
+    wave = decode_wav_samples(payload)
+    assert len(wave) == 600
+    for w in range(0, 600, 256):
+        chunk = wave[w : w + 256]
+        assert got[(1, w // 256)] == (
+            len(chunk), float(np.sqrt(np.mean(chunk ** 2))),
+        )
+    # non-WAV payload keeps the stubbed u8 interpretation
+    import math
+    assert got[(2, 0)][1] == float(
+        math.sqrt(sum(b * b for b in range(256)) / 256)
+    )
