@@ -361,11 +361,15 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     the WAV payloads carry real PCM frames, and both decode NATIVELY
     (struct+numpy, no codec lib) — the distributed features / windowed
     RMS must equal the driver-side decode of the same bytes, bit for
-    bit."""
+    bit.  r13: the PNG payloads (zlib IDAT + scanline filters) and GIF
+    payloads (LZW + palette) are full-pixel too, so ALL THREE image
+    formats round-trip real pixels through the same contract."""
     from data_warehouse_hive_spark.sources.multimodal import (
         audio_meta,
         audio_rms_windows,
         decode_bmp_image,
+        decode_gif_image,
+        decode_png_image,
         decode_wav_samples,
         extract_features,
         frame_sample_plan,
@@ -412,18 +416,19 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     }
     # image round trip is format-aware: ids rotate png/gif/bmp on
-    # media_id div 3 (all image ids share residue 1 mod 3), and the
-    # full-pixel BMPs use the smaller dim domain
+    # media_id div 3 (all image ids share residue 1 mod 3); the
+    # uncompressed-pixel GIF/BMP payloads use the smaller dim domain,
+    # PNG (deflated) keeps the full one
     v = (F.col("media_id") / 3).cast("long") % 3
     exp_fmt = (
         F.when(v == 0, "png").when(v == 1, "gif").otherwise("bmp")
     )
     exp_w = F.when(
-        v == 2, (F.col("media_id") % 64) + 1
-    ).otherwise((F.col("media_id") % 640) + 1)
+        v == 0, (F.col("media_id") % 640) + 1
+    ).otherwise((F.col("media_id") % 64) + 1)
     exp_h = F.when(
-        v == 2, (F.col("media_id") % 48) + 1
-    ).otherwise((F.col("media_id") % 480) + 1)
+        v == 0, (F.col("media_id") % 480) + 1
+    ).otherwise((F.col("media_id") % 48) + 1)
     img_meta = image_dims(real).localCheckpoint(eager=False)
     n_img = (
         img_meta.filter(
@@ -435,25 +440,37 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_image_formats = img_meta.select("format").distinct().count()
 
-    # r12: REAL pixel round trip — the distributed extractor's native
-    # BMP decode must reproduce the driver-side decode of the same
-    # synthesized bytes exactly (same numpy float64 algebra both sides)
+    # r12/r13: REAL pixel round trip — the distributed extractor's
+    # native decodes (BMP struct, PNG zlib+unfilter, GIF LZW+palette)
+    # must reproduce the driver-side decode of the same synthesized
+    # bytes exactly (same numpy float64 algebra both sides)
     feat_rows = {
         r["media_id"]: list(r["feature"])
         for r in extract_features(real)
         .filter(F.col("kind") == "image")
         .collect()
     }
-    bmp_ids = [m for m in feat_rows if (m // 3) % 3 == 2]
-    n_bmp_pixel_decoded = sum(
-        1
-        for m in bmp_ids
-        if feat_rows[m] == decode_bmp_image(synth_media_payload(m, "image"))
-    )
-    assert bmp_ids and n_bmp_pixel_decoded == len(bmp_ids), (
-        n_bmp_pixel_decoded,
-        len(bmp_ids),
-    )
+    pixel_decoders = {
+        0: decode_png_image,
+        1: decode_gif_image,
+        2: decode_bmp_image,
+    }
+    n_pixel_decoded = {0: 0, 1: 0, 2: 0}
+    n_pixel_ids = {0: 0, 1: 0, 2: 0}
+    for m, feat in feat_rows.items():
+        fam = (m // 3) % 3
+        n_pixel_ids[fam] += 1
+        if feat == pixel_decoders[fam](synth_media_payload(m, "image")):
+            n_pixel_decoded[fam] += 1
+    for fam in (0, 1, 2):
+        assert n_pixel_ids[fam] and n_pixel_decoded[fam] == n_pixel_ids[fam], (
+            fam,
+            n_pixel_decoded[fam],
+            n_pixel_ids[fam],
+        )
+    n_bmp_pixel_decoded = n_pixel_decoded[2]
+    n_png_pixel_decoded = n_pixel_decoded[0]
+    n_gif_pixel_decoded = n_pixel_decoded[1]
     au = audio_meta(real).filter(F.col("sample_rate").isNotNull())
     n_audio = au.count()
     n_audio_formats = au.select("format").distinct().count()
@@ -461,19 +478,24 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # r12: REAL PCM round trip — the distributed windowed-RMS over the
     # synthesized WAVs' actual sample frames must reproduce the
     # driver-side decode of the same bytes exactly (float64, same
-    # numpy reduction order both sides)
+    # numpy reduction order both sides).  ONE window-size constant
+    # feeds both sides (r12 ADVICE: the driver-side 256 used to be a
+    # silent coupling with audio_rms_windows' default).
     import numpy as np
 
+    rms_window = 256
     rms_rows: dict[int, dict[int, float]] = {}
-    for r in audio_rms_windows(real).collect():
+    for r in audio_rms_windows(real, samples_per_window=rms_window).collect():
         rms_rows.setdefault(r["media_id"], {})[r["window_idx"]] = r["rms"]
     wav_ids = [m for m in rms_rows if (m // 3) % 3 == 0]
     n_wav_rms_real = 0
     for m in wav_ids:
         wave = decode_wav_samples(synth_media_payload(m, "audio"))
         exp = {
-            w // 256: float(np.sqrt(np.mean(wave[w : w + 256] ** 2)))
-            for w in range(0, max(len(wave), 1), 256)
+            w // rms_window: float(
+                np.sqrt(np.mean(wave[w : w + rms_window] ** 2))
+            )
+            for w in range(0, max(len(wave), 1), rms_window)
         }
         if rms_rows[m] == exp:
             n_wav_rms_real += 1
@@ -499,6 +521,8 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_image_meta=n_img,
                 n_image_formats=n_image_formats,
                 n_bmp_pixel_decoded=n_bmp_pixel_decoded,
+                n_png_pixel_decoded=n_png_pixel_decoded,
+                n_gif_pixel_decoded=n_gif_pixel_decoded,
                 n_audio_meta=n_audio,
                 n_audio_formats=n_audio_formats,
                 n_wav_rms_real=n_wav_rms_real,

@@ -8,26 +8,32 @@ Arrow-batched pandas iterators via `mapInPandas`, so the Spark-side
 plumbing — schema, partitioning, batch shape — is identical whether the
 inner function calls Pillow/ffmpeg or a stub.
 
-The actual codec libraries are NOT in this container, so compressed
-formats (PNG/GIF/JPEG pixel data) raise NotImplementedError from
-`decode_image` and the pipeline is exercised end-to-end with
-`fake_decode_image` — a deterministic stand-in keyed on the payload's md5
-(real plumbing, fake pixels).  Swapping in a real decoder changes ONE
-function and zero Spark code.
+The actual codec libraries are NOT in this container, so codec-needing
+formats (JPEG pixels, palette/interlaced PNG-GIF, FLAC/MP3 samples)
+raise NotImplementedError from `decode_image` and the pipeline is
+exercised end-to-end with `fake_decode_image` — a deterministic
+stand-in keyed on the payload's md5 (real plumbing, fake pixels).
+Swapping in a real decoder changes ONE function and zero Spark code.
 
-Exceptions (round 12): the UNCOMPRESSED containers need no codec — their
-sample/pixel arrays are plain bytes behind fixed headers — so they
-decode FOR REAL with zero new dependencies:
+Exceptions (rounds 12-13): formats whose decode needs only stdlib +
+numpy are REAL with zero new dependencies:
 
-- 24-bit BMP: `decode_bmp_image` (struct header parse + numpy row
-  de-padding + luma downsample to the FEATURE_DIM strip), routed
-  natively by `decode_image`/`extract_features` even without Pillow.
-- integer-PCM WAV: `decode_wav_samples` (RIFF chunk walk + numpy frame
-  read + channel downmix), routed natively by `audio_rms_windows`.
+- 24-bit BMP (r12): `decode_bmp_image` — struct header parse + numpy
+  row de-padding + luma downsample to the FEATURE_DIM strip.
+- 8-bit truecolor/gray PNG, non-interlaced (r13): `decode_png_image` —
+  stdlib zlib inflates the IDAT stream, numpy unfilters the scanlines
+  (None/Sub/Up/Average/Paeth per the public spec), same luma strip.
+- non-interlaced GIF (r13): `decode_gif_image` — pure-Python GIF-LZW
+  over the first frame, palette lookup, same luma strip.
+- integer-PCM WAV (r12): `decode_wav_samples` — RIFF chunk walk + numpy
+  frame read + channel downmix, routed natively by `audio_rms_windows`.
 
-One image format and one audio format are therefore fully real in this
-container, pinning the feature contracts against actual pixel/sample
-data; compressed formats keep the loud stub until a codec lib exists.
+All are routed natively by `decode_image`/`extract_features` even
+without Pillow (dispatch: `native_image_decode`).  Three of the four
+sniffed image formats and one audio format are therefore fully real in
+this container, pinning the feature contracts against actual
+pixel/sample data; the rest keep the loud stub until a codec lib
+exists.
 """
 
 from __future__ import annotations
@@ -75,6 +81,22 @@ def real_decoder_available() -> bool:
         return True
     except Exception:
         return False
+
+
+def _luma_strip(luma) -> list[float]:
+    """(h, w) float64 luma plane → FEATURE_DIM column-pooled strip of
+    [0,1] intensities: bucket b = columns [b·w/8, (b+1)·w/8), never
+    empty.  ONE implementation shared by every native pixel decoder
+    (BMP/PNG/GIF), so a format pair that decodes to the same pixels is
+    guaranteed the same feature bits — fixed float64 reduction order,
+    driver ≡ executor."""
+    w = luma.shape[1]
+    out = []
+    for b in range(FEATURE_DIM):
+        lo = (b * w) // FEATURE_DIM
+        hi = max(((b + 1) * w) // FEATURE_DIM, lo + 1)
+        out.append(float(luma[:, lo:hi].mean() / 255.0))
+    return out
 
 
 def is_plain_bmp(payload: bytes) -> bool:
@@ -126,32 +148,357 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     luma = (
         299 * px[:, :, 2] + 587 * px[:, :, 1] + 114 * px[:, :, 0]
     ) / 1000.0
-    out = []
-    for b in range(FEATURE_DIM):
-        lo = (b * w) // FEATURE_DIM
-        hi = max(((b + 1) * w) // FEATURE_DIM, lo + 1)
-        out.append(float(luma[:, lo:hi].mean() / 255.0))
-    return out
+    return _luma_strip(luma)
+
+
+# PNG color type → sample channels (palette type 3 stays stubbed: its
+# pixels are palette indices and PLTE handling is where real codec
+# complexity starts; everything truecolor/grayscale decodes natively).
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_parse(payload: bytes):
+    """ONE structural chunk walk shared by the gate (is_plain_png) and
+    the decoder (decode_png_pixels), so the two can never disagree on
+    malformed payloads — the lesson from the r12 WAV advice, applied
+    from the start here.  Returns (width, height, bit_depth, color_type,
+    interlace, idat_bytes) for a structurally complete PNG (signature,
+    13-byte IHDR first, every chunk length in bounds, ≥1 IDAT, IEND
+    reached), else None.  CRCs are not validated — corrupt pixel data
+    is caught by the zlib stream and the exact length check instead."""
+    p = payload
+    if len(p) < 8 + 25 or p[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    ihdr = None
+    idat = []
+    seen_end = False
+    i = 8
+    while i + 8 <= len(p):
+        clen = int.from_bytes(p[i : i + 4], "big")
+        ctype = p[i + 4 : i + 8]
+        if i + 12 + clen > len(p):
+            return None
+        body = p[i + 8 : i + 8 + clen]
+        if ctype == b"IHDR":
+            if clen != 13 or ihdr is not None or i != 8:
+                return None
+            ihdr = body
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        i += 12 + clen
+    if ihdr is None or not idat or not seen_end:
+        return None
+    w = int.from_bytes(ihdr[0:4], "big")
+    h = int.from_bytes(ihdr[4:8], "big")
+    bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
+    if compression != 0 or filter_method != 0:
+        return None
+    return (w, h, bit_depth, color_type, interlace, b"".join(idat))
+
+
+def is_plain_png(payload: bytes) -> bool:
+    """True for a natively-decodable PNG: 8-bit grayscale / RGB /
+    gray+alpha / RGBA, non-interlaced, structurally complete chunk list.
+    Palette (type 3) and interlaced images keep the loud codec stub —
+    the gate answers 'will decode_png_pixels accept this container',
+    exactly as is_plain_bmp does for BMP (corrupt DEFLATE data inside a
+    structurally valid container is the one case only decompression can
+    catch; decode raises ValueError there)."""
+    parsed = _png_parse(payload)
+    if parsed is None:
+        return False
+    w, h, depth, color, interlace, _ = parsed
+    return (
+        depth == 8 and color in _PNG_CHANNELS and interlace == 0
+        and w > 0 and h > 0
+    )
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode with zero new dependencies (r12 VERDICT
+    task 1): the IDAT stream is zlib-deflate, which the stdlib inflates;
+    per-scanline unfiltering (None/Sub/Up/Average/Paeth, PNG spec §9 —
+    public) reconstructs the raw samples.  Returns an (h, w, channels)
+    uint8 array for 8-bit gray/RGB/gray+alpha/RGBA non-interlaced
+    images; raises ValueError otherwise (including corrupt DEFLATE data
+    or a pixel-stream length mismatch — loud, never a silent fake)."""
+    import zlib
+
+    import numpy as np
+
+    parsed = _png_parse(payload)
+    if parsed is None or not is_plain_png(payload):
+        raise ValueError("not a natively-decodable PNG")
+    w, h, _depth, color, _interlace, idat = parsed
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    rowlen = w * ch
+    if len(raw) != h * (1 + rowlen):
+        raise ValueError("PNG pixel stream length mismatch")
+    out = np.empty((h, rowlen), dtype=np.uint8)
+    prev = np.zeros(rowlen, dtype=np.uint8)
+    for y in range(h):
+        base = y * (1 + rowlen)
+        ftype = raw[base]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=rowlen, offset=base + 1
+        ).copy()
+        if ftype == 0:  # None
+            cur = line
+        elif ftype == 2:  # Up — vectorized; uint8 addition wraps mod 256
+            cur = line + prev
+        elif ftype == 1:  # Sub — sequential left dependency
+            cur = line
+            for x in range(ch, rowlen):
+                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line
+            for x in range(rowlen):
+                left = int(cur[x - ch]) if x >= ch else 0
+                cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line
+            for x in range(rowlen):
+                a = int(cur[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = c
+                cur[x] = (int(line[x]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        out[y] = cur
+        prev = out[y]
+    return out.reshape(h, w, ch)
+
+
+def decode_png_image(payload: bytes) -> list[float]:
+    """decode_png_pixels → BT.601 integer luma (gray channel passes
+    through for grayscale; alpha ignored) → the shared FEATURE_DIM
+    column strip.  Same (list[float], FEATURE_DIM) contract and the
+    same float64 algebra as decode_bmp_image, so a PNG and a BMP of
+    identical pixels produce identical feature bits."""
+    px = decode_png_pixels(payload).astype("int64")
+    if px.shape[2] >= 3:  # RGB / RGBA — PNG sample order is R,G,B
+        luma = (
+            299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+        ) / 1000.0
+    else:  # grayscale / gray+alpha
+        luma = px[:, :, 0] / 1.0
+    return _luma_strip(luma)
+
+
+def _gif_first_frame(payload: bytes):
+    """ONE structural walk shared by the gate (is_plain_gif) and the
+    decoder (decode_gif_image): header + logical screen descriptor +
+    optional global color table, skip extension blocks, stop at the
+    FIRST image descriptor and collect its LZW data sub-blocks.
+    Returns (frame_w, frame_h, palette_bytes, lzw_min_code_size,
+    lzw_data, interlace_flag) — palette is the local color table when
+    the frame carries one, else the global table (None if neither).
+    None when the payload is not a structurally complete GIF frame
+    (truncated sub-block chain, missing terminator, trailer before any
+    image, …)."""
+    p = payload
+    if len(p) < 14 or p[:6] not in (b"GIF87a", b"GIF89a"):
+        return None
+    packed = p[10]
+    i = 13
+    gct = None
+    if packed & 0x80:
+        n = 3 * (2 << (packed & 0x7))
+        if i + n > len(p):
+            return None
+        gct = p[i : i + n]
+        i += n
+    while i < len(p):
+        b0 = p[i]
+        if b0 == 0x21:  # extension: introducer, label, then sub-blocks
+            i += 2
+            while i < len(p) and p[i] != 0:
+                i += 1 + p[i]
+            if i >= len(p):
+                return None
+            i += 1  # block terminator
+        elif b0 == 0x2C:  # image descriptor
+            if i + 10 > len(p):
+                return None
+            fw = int.from_bytes(p[i + 5 : i + 7], "little")
+            fh = int.from_bytes(p[i + 7 : i + 9], "little")
+            fpacked = p[i + 9]
+            i += 10
+            pal = gct
+            if fpacked & 0x80:  # local color table wins
+                n = 3 * (2 << (fpacked & 0x7))
+                if i + n > len(p):
+                    return None
+                pal = p[i : i + n]
+                i += n
+            if i >= len(p):
+                return None
+            mcs = p[i]
+            i += 1
+            chunks = []
+            while i < len(p) and p[i] != 0:
+                ln = p[i]
+                if i + 1 + ln > len(p):
+                    return None
+                chunks.append(p[i + 1 : i + 1 + ln])
+                i += 1 + ln
+            if i >= len(p):
+                return None  # missing sub-block terminator
+            return (fw, fh, pal, mcs, b"".join(chunks), (fpacked >> 6) & 1)
+        else:  # trailer (0x3B) or garbage before any image descriptor
+            return None
+    return None
+
+
+def is_plain_gif(payload: bytes) -> bool:
+    """True for a natively-decodable GIF: 87a/89a, a color table (global
+    or frame-local), a structurally complete first frame, LZW minimum
+    code size in [2, 8], non-interlaced.  Interlaced frames keep the
+    loud stub (row reordering is where this stops being ~60 lines);
+    corrupt LZW data inside a valid container raises ValueError from
+    the decoder, exactly like a corrupt PNG DEFLATE stream."""
+    f = _gif_first_frame(payload)
+    if f is None:
+        return False
+    fw, fh, pal, mcs, data, interlace = f
+    return (
+        fw > 0 and fh > 0 and pal is not None and len(pal) >= 6
+        and 2 <= mcs <= 8 and interlace == 0 and len(data) > 0
+    )
+
+
+def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
+    """GIF-variant LZW decode (public spec, GIF89a appendix F): variable
+    code width starting at min_code_size+1, LSB-first bit packing, CLEAR
+    resets the table, codes grow the table by one entry each until the
+    12-bit ceiling.  Pure bytes→bytes (palette indices); stops after
+    n_expected pixels.  Raises ValueError on codes outside the table —
+    loud on corrupt data, same contract as the PNG/BMP decoders."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    code_size = min_code_size + 1
+    out = bytearray()
+    prev = None
+    acc = nbits = pos = 0
+    while len(out) < n_expected:
+        while nbits < code_size:
+            if pos >= len(data):
+                return bytes(out[:n_expected])  # stream ended early
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << code_size) - 1)
+        acc >>= code_size
+        nbits -= code_size
+        if code == end:
+            break
+        if code == clear:
+            table = list(base)
+            code_size = min_code_size + 1
+            prev = None
+            continue
+        if code < len(table) and code != end and code != clear:
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]  # the KwKwK case
+        else:
+            raise ValueError(f"corrupt GIF LZW stream (code {code})")
+        out += entry
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << code_size) and code_size < 12:
+                code_size += 1
+        prev = entry
+    return bytes(out[:n_expected])
+
+
+def decode_gif_image(payload: bytes) -> list[float]:
+    """REAL GIF pixel decode with zero new dependencies (r12 VERDICT
+    task 6): stdlib-free LZW over the first frame's data sub-blocks,
+    indexed pixels resolved through the (global or local) color table,
+    then BT.601 luma and the shared FEATURE_DIM strip.  Same float64
+    algebra as decode_bmp_image/decode_png_image, so identical pixels
+    in any of the three formats give identical feature bits."""
+    import numpy as np
+
+    f = _gif_first_frame(payload)
+    if f is None or not is_plain_gif(payload):
+        raise ValueError("not a natively-decodable GIF")
+    fw, fh, pal, mcs, data, _interlace = f
+    idx_bytes = _gif_lzw_decode(mcs, data, fw * fh)
+    if len(idx_bytes) < fw * fh:
+        raise ValueError("GIF pixel stream truncated")
+    palette = (
+        np.frombuffer(pal, dtype=np.uint8)
+        .reshape(-1, 3)
+        .astype(np.int64)
+    )
+    idx = np.frombuffer(idx_bytes, dtype=np.uint8).astype(np.int64)
+    if int(idx.max()) >= palette.shape[0]:
+        raise ValueError("GIF palette index out of range")
+    px = palette[idx].reshape(fh, fw, 3)  # palette entries are R,G,B
+    luma = (
+        299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
+    ) / 1000.0
+    return _luma_strip(luma)
+
+
+def native_image_decode(payload: bytes) -> list[float] | None:
+    """Single dispatch for every dependency-free REAL pixel decoder
+    (BMP → PNG → GIF, cheapest structural gate first).  Returns the
+    feature strip when the payload is a complete instance of a natively
+    decodable format, None when no native decoder claims it.  A gated
+    payload whose compressed stream is corrupt raises ValueError — the
+    pipeline caller (extract_features) maps that to the deterministic
+    fake, the loud path (decode_image) lets it propagate."""
+    if is_plain_bmp(payload):
+        return decode_bmp_image(payload)
+    if is_plain_png(payload):
+        return decode_png_image(payload)
+    if is_plain_gif(payload):
+        return decode_gif_image(payload)
+    return None
 
 
 def decode_image(payload: bytes) -> list[float]:
-    """Real decode path: native struct/numpy decode for uncompressed BMP
-    (always available — see decode_bmp_image), Pillow for compressed
-    formats; both downsample to a FEATURE_DIM grayscale strip of
-    normalized intensities — the same (list[float], FEATURE_DIM)
-    contract as fake_decode_image, so the mapInPandas plumbing is
-    byte-identical either way.  Raises NotImplementedError for
-    compressed formats when no codec library is installed (this
-    container); fake_decode_image is the deterministic stand-in."""
-    if is_plain_bmp(payload):
-        return decode_bmp_image(payload)
+    """Real decode path: native struct/numpy/zlib decode for BMP, 8-bit
+    truecolor/grayscale PNG, and non-interlaced GIF (always available —
+    see decode_bmp_image / decode_png_image / decode_gif_image), Pillow
+    for the remaining formats (JPEG, palette/interlaced PNG-GIF); all
+    downsample to a FEATURE_DIM grayscale strip of normalized
+    intensities — the same (list[float], FEATURE_DIM) contract as
+    fake_decode_image, so the mapInPandas plumbing is byte-identical
+    either way.  Raises NotImplementedError for codec-needing formats
+    when no codec library is installed (this container), ValueError on
+    corrupt native-format data; fake_decode_image is the deterministic
+    stand-in."""
+    native = native_image_decode(payload)
+    if native is not None:
+        return native
     try:
         import PIL.Image
     except ImportError as exc:  # pragma: no cover - env without Pillow
         raise NotImplementedError(
-            "compressed-image decoding requires a codec library (e.g. "
-            "Pillow); uncompressed BMP decodes natively, and "
-            "fake_decode_image covers plumbing tests"
+            "JPEG / palette / interlaced image decoding requires a codec "
+            "library (e.g. Pillow); BMP + 8-bit truecolor/gray PNG + "
+            "non-interlaced GIF decode natively, and fake_decode_image "
+            "covers plumbing tests"
         ) from exc
     import io
 
@@ -179,11 +526,16 @@ def extract_features(
 
     use_real_decoder=None (the default) auto-detects per worker: real
     Pillow decode where the codec is installed, the deterministic fake
-    elsewhere — EXCEPT uncompressed BMP, which decodes natively (real
-    pixels) in any environment — so the same pipeline code runs in this
-    codec-less container AND on a production image with Pillow baked
-    in.  Pass True/False to force a branch (tests pin both;
-    False forces the fake even for BMP)."""
+    elsewhere — EXCEPT BMP / plain PNG / plain GIF, which decode
+    natively (real pixels) in any environment — so the same pipeline
+    code runs in this codec-less container AND on a production image
+    with Pillow baked in.  A payload that passes a native gate but
+    carries a corrupt compressed stream falls back to the deterministic
+    fake rather than failing the job — at 100 TB one bad file must not
+    kill the stage, and the md5-fake is already the documented stand-in
+    for undecodable payloads.  Pass True/False to force a branch (tests
+    pin both; False forces the fake even for natively-decodable
+    formats)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         real = (
@@ -196,8 +548,14 @@ def extract_features(
             feats = []
             for p in payloads:
                 raw = bytes(p) if p is not None else b""
-                if use_real_decoder is not False and is_plain_bmp(raw):
-                    feats.append(decode_bmp_image(raw))
+                native = None
+                if use_real_decoder is not False:
+                    try:
+                        native = native_image_decode(raw)
+                    except ValueError:
+                        native = None  # corrupt stream → deterministic fake
+                if native is not None:
+                    feats.append(native)
                 elif real:
                     feats.append(decode_image(raw))
                 else:
@@ -254,68 +612,71 @@ AUDIO_RMS_SCHEMA = T.StructType(
 )
 
 
-def is_plain_wav_pcm(payload: bytes) -> bool:
-    """True for a RIFF/WAVE container with an integer-PCM fmt chunk
-    (format code 1, 8 or 16 bits) and a fully-present data chunk — the
-    audio twin of is_plain_bmp: raw samples behind a fixed header, no
-    codec needed."""
+def _wav_pcm_chunks(payload: bytes):
+    """ONE RIFF chunk walk shared by the gate (is_plain_wav_pcm) and the
+    decoder (decode_wav_samples), so the two can never disagree on
+    malformed payloads (r12 ADVICE): returns
+    ((audio_format, channels, bits), data_start, data_len) for the LAST
+    fmt chunk seen before the FIRST data chunk, or None when there is
+    no complete data chunk / no RIFF-WAVE framing / no fmt chunk before
+    data.  Honors the word-alignment pad byte on odd chunk lengths."""
     p = payload
     if len(p) < 12 or p[:4] != b"RIFF" or p[8:12] != b"WAVE":
-        return False
-    fmt_ok = False
+        return None
+    fmt = None
     i = 12
     while i + 8 <= len(p):
         cid = p[i : i + 4]
         clen = int.from_bytes(p[i + 4 : i + 8], "little")
         if cid == b"fmt " and i + 24 <= len(p):
-            audio_format = int.from_bytes(p[i + 8 : i + 10], "little")
-            bits = int.from_bytes(p[i + 22 : i + 24], "little")
-            fmt_ok = audio_format == 1 and bits in (8, 16)
+            fmt = (
+                int.from_bytes(p[i + 8 : i + 10], "little"),
+                int.from_bytes(p[i + 10 : i + 12], "little") or 1,
+                int.from_bytes(p[i + 22 : i + 24], "little"),
+            )
         elif cid == b"data":
-            return fmt_ok and i + 8 + clen <= len(p)
+            if fmt is None or i + 8 + clen > len(p):
+                return None
+            return (fmt, i + 8, clen)
         i += 8 + clen + (clen & 1)
-    return False
+    return None
+
+
+def is_plain_wav_pcm(payload: bytes) -> bool:
+    """True for a RIFF/WAVE container with an integer-PCM fmt chunk
+    (format code 1, 8 or 16 bits) and a fully-present data chunk — the
+    audio twin of is_plain_bmp: raw samples behind a fixed header, no
+    codec needed.  Same chunk walk as the decoder by construction."""
+    parsed = _wav_pcm_chunks(payload)
+    if parsed is None:
+        return False
+    (audio_format, _chans, bits), _start, _len = parsed
+    return audio_format == 1 and bits in (8, 16)
 
 
 def decode_wav_samples(payload: bytes):
-    """REAL PCM decode for integer-PCM WAV — no codec library: walk the
-    RIFF chunks to fmt and data, numpy-read the sample frames (u8 or
-    <i2), normalize to [-1, 1] (8-bit: (s-128)/128; 16-bit: s/32768),
-    and downmix channels by mean.  Returns a float64 mono waveform;
-    float64 with a fixed reduction order, so driver and executors agree
-    bit-for-bit (the ddl round-trip relies on that)."""
+    """REAL PCM decode for integer-PCM WAV — no codec library: the
+    shared RIFF walk (_wav_pcm_chunks) locates fmt and data, numpy
+    reads the sample frames (u8 or <i2), normalizes to [-1, 1]
+    (8-bit: (s-128)/128; 16-bit: s/32768), and downmixes channels by
+    mean.  Returns a float64 mono waveform; float64 with a fixed
+    reduction order, so driver and executors agree bit-for-bit (the
+    ddl round-trip relies on that)."""
     import numpy as np
 
-    if not is_plain_wav_pcm(payload):
+    parsed = _wav_pcm_chunks(payload)
+    if parsed is None or not is_plain_wav_pcm(payload):
         raise ValueError("not an integer-PCM WAV")
-    p = payload
-    chans = bits = 1
-    i = 12
-    while i + 8 <= len(p):
-        cid = p[i : i + 4]
-        clen = int.from_bytes(p[i + 4 : i + 8], "little")
-        if cid == b"fmt ":
-            chans = int.from_bytes(p[i + 10 : i + 12], "little") or 1
-            bits = int.from_bytes(p[i + 22 : i + 24], "little")
-        elif cid == b"data":
-            raw = p[i + 8 : i + 8 + clen]
-            if bits == 8:
-                s = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
-                s = (s - 128.0) / 128.0
-            else:
-                n = len(raw) // 2
-                s = (
-                    np.frombuffer(raw, dtype="<i2", count=n).astype(
-                        np.float64
-                    )
-                    / 32768.0
-                )
-            n_frames = len(s) // chans
-            return s[: n_frames * chans].reshape(n_frames, chans).mean(
-                axis=1
-            )
-        i += 8 + clen + (clen & 1)
-    raise ValueError("no data chunk")  # unreachable past the gate
+    (_fmt, chans, bits), start, clen = parsed
+    raw = payload[start : start + clen]
+    if bits == 8:
+        s = np.frombuffer(raw, dtype=np.uint8).astype(np.float64)
+        s = (s - 128.0) / 128.0
+    else:
+        n = len(raw) // 2
+        s = np.frombuffer(raw, dtype="<i2", count=n).astype(np.float64) / 32768.0
+    n_frames = len(s) // chans
+    return s[: n_frames * chans].reshape(n_frames, chans).mean(axis=1)
 
 
 def audio_rms_windows(
@@ -758,23 +1119,113 @@ def video_meta(media: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _png_bytes(width: int, height: int) -> bytes:
+def _png_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE 8-bit RGB PNG with deterministic seed-derived pixels —
+    the SAME (y, x) → RGB formula as _bmp_bytes, so a PNG and a BMP of
+    equal (width, height, seed) decode to identical luma strips (the
+    cross-format test relies on that).  Filter-0 scanlines, real CRCs,
+    one IDAT chunk; generation is numpy-vectorized so the synth runs at
+    Arrow batch speed inside executors."""
     import struct
+    import zlib
 
+    import numpy as np
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    v = (seed * 31 + np.arange(height * width, dtype=np.int64)) * 97
+    px = (
+        np.stack([(v + 170) % 256, (v + 85) % 256, v % 256], axis=-1)
+        .astype(np.uint8)
+        .reshape(height, width * 3)
+    )
+    scan = np.zeros((height, 1 + width * 3), dtype=np.uint8)
+    # _bmp_bytes stores formula-row 0 as the BOTTOM image row (bottom-up
+    # BMP); flip here so a PNG of the same (w, h, seed) shows the SAME
+    # image top-to-bottom — identical luma matrices, identical feature
+    # bits (float reduction order included)
+    scan[:, 1:] = px[::-1]  # filter byte 0 (None) on every row
+    idat = zlib.compress(scan.tobytes())
     return (
         b"\x89PNG\r\n\x1a\n"
-        + struct.pack(">I", 13)
-        + b"IHDR"
-        + struct.pack(">II", width, height)
-        + b"\x08\x02\x00\x00\x00"
-        + b"\x00\x00\x00\x00"  # CRC not validated by the sniffer
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
     )
 
 
-def _gif_bytes(width: int, height: int) -> bytes:
+def _gif_lzw_encode_literal(min_code_size: int, indices) -> bytes:
+    """'Uncompressed' GIF LZW (the classic literal-code trick): emit
+    CLEAR, then every pixel index as a literal code, re-emitting CLEAR
+    before the decoder's table growth would force a code-width bump —
+    so every code is exactly min_code_size+1 bits and the whole stream
+    packs in one vectorized numpy pass.  Valid LZW output with zero
+    compression logic; ~12% larger than raw indices at 8-bit."""
+    import numpy as np
+
+    clear = 1 << min_code_size
+    end = clear + 1
+    # After CLEAR the decoder table holds clear+2 entries; the first
+    # literal adds none, each later literal adds one, and the width
+    # bumps when the table reaches 2^(min_code_size+1).  clear-2
+    # literals per group keeps the table at capacity-1, width fixed.
+    group = max(clear - 2, 1)
+    codes: list[int] = [clear]
+    for g in range(0, len(indices), group):
+        if g:
+            codes.append(clear)
+        codes.extend(int(x) for x in indices[g : g + group])
+    codes.append(end)
+    width = min_code_size + 1
+    arr = np.asarray(codes, dtype=np.uint32)
+    bits = (
+        (arr[:, None] >> np.arange(width, dtype=np.uint32)) & 1
+    ).astype(np.uint8)
+    return np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+
+
+def _gif_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE GIF89a: 256-entry global color table + one
+    non-interlaced full-frame image whose LZW data encodes deterministic
+    seed-derived palette indices.  Palette entry j is the RGB that
+    _bmp_bytes/_png_bytes assign to luma value v = j·97 — with pixel
+    index (seed·31 + y·w + x) mod 256 the decoded colors are IDENTICAL
+    to a BMP/PNG of the same (width, height, seed), so all three native
+    decoders can be cross-checked bit-for-bit."""
     import struct
 
-    return b"GIF89a" + struct.pack("<HH", width, height) + b"\x00\x00\x00"
+    import numpy as np
+
+    idx = (
+        ((seed * 31 + np.arange(height * width, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(height, width)[::-1]  # match _bmp_bytes' bottom-up image
+        .reshape(-1)
+    )
+    data = _gif_lzw_encode_literal(8, idx)
+    palette = bytes(
+        b
+        for j in range(256)
+        for b in ((j * 97 + 170) % 256, (j * 97 + 85) % 256, (j * 97) % 256)
+    )
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", width, height)
+    out += bytes([0xF7, 0, 0])  # GCT flag set, 2^(7+1) = 256 entries
+    out += palette
+    out += b"\x2C" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
+    out += bytes([8])  # LZW minimum code size
+    for i in range(0, len(data), 255):
+        block = data[i : i + 255]
+        out += bytes([len(block)]) + block
+    out += b"\x00\x3B"  # sub-block terminator + trailer
+    return bytes(out)
 
 
 def _bmp_bytes(width: int, height: int, seed: int) -> bytes:
@@ -874,22 +1325,22 @@ def _mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
 
 def synth_media_payload(media_id: int, kind: str) -> bytes:
     """Deterministic REAL container bytes for (media_id, kind): images
-    rotate PNG / GIF (header-only) / full-pixel BMP by id so every image
-    sniffer AND the native pixel decode are exercised, all with the same
-    id-derived dimensions; audio rotates WAV / FLAC / MP3 by id so every
-    audio decoder is exercised; video is a minimal ISO-BMFF file
-    (ftyp + moov/mvhd + one trak).  Parsed metadata is a pure function
-    of media_id — the registry op asserts it round-trips through the
-    distributed decode pipeline.  BMP dims stay modest (≤64×48) to keep
-    the pixel-bearing payloads small; the header-only formats use the
-    full 640×480 domain."""
+    rotate full-pixel PNG / GIF / BMP by id so every image sniffer AND
+    all three native pixel decoders are exercised against actual pixel
+    data; audio rotates WAV / FLAC / MP3 by id so every audio decoder
+    is exercised; video is a minimal ISO-BMFF file (ftyp + moov/mvhd +
+    one trak).  Parsed metadata is a pure function of media_id — the
+    registry op asserts it round-trips through the distributed decode
+    pipeline.  GIF/BMP dims stay modest (≤64×48: their pixel payloads
+    are uncompressed-sized); PNG deflates its periodic pattern to a few
+    KB, so it keeps the full 640×480 domain."""
     m = int(media_id)
     if kind == "image":
         v = (m // 3) % 3
         if v == 0:
-            return _png_bytes((m % 640) + 1, (m % 480) + 1)
+            return _png_bytes((m % 640) + 1, (m % 480) + 1, seed=m)
         if v == 1:
-            return _gif_bytes((m % 640) + 1, (m % 480) + 1)
+            return _gif_bytes((m % 64) + 1, (m % 48) + 1, seed=m)
         return _bmp_bytes((m % 64) + 1, (m % 48) + 1, m)
     if kind == "audio":
         # rotate on m//3, not m%3: the caller assigns kind by m%3, so

@@ -224,6 +224,7 @@ def test_extract_features_native_bmp_without_pillow(spark):
         decode_bmp_image,
         extract_features,
         fake_decode_image,
+        real_decoder_available,
     )
 
     payload = _bmp_bytes(32, 24, seed=5)
@@ -235,16 +236,306 @@ def test_extract_features_native_bmp_without_pillow(spark):
         r["media_id"]: list(r["feature"])
         for r in extract_features(media).collect()
     }
-    # BMP decodes natively (real pixels) even with no codec lib present;
-    # the compressed payload falls back to the deterministic fake
+    # BMP decodes natively (real pixels) even with no codec lib present
     assert got[1] == decode_bmp_image(payload)
-    assert got[2] == fake_decode_image(b"\x89PNG header-only")
+    # the non-native payload falls back to the deterministic fake ONLY
+    # when no codec lib is installed (r12 ADVICE: with Pillow present,
+    # auto-detect routes it to the real decoder, which raises on the
+    # truncated bytes — don't assert the fake there)
+    if not real_decoder_available():
+        assert got[2] == fake_decode_image(b"\x89PNG header-only")
     # explicit False forces the fake branch for everything (pin contract)
     forced = {
         r["media_id"]: list(r["feature"])
         for r in extract_features(media, use_real_decoder=False).collect()
     }
     assert forced[1] == fake_decode_image(payload)
+
+
+# ---------------------------------------------------------------------------
+# r13: native PNG pixel decode — stdlib zlib inflate + scanline
+# unfiltering (r12 VERDICT task 1).
+# ---------------------------------------------------------------------------
+
+
+def _png_with_filters(pxmat, filters):
+    """Independent PNG encoder for the tests: per-row filter types from
+    `filters` (cycled), encoding each row with a straight-line reference
+    implementation of the spec's filter equations — decoder must invert
+    every one of them."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pxmat.shape
+    raw = bytearray()
+    prev = np.zeros(w * ch, np.int64)
+    for y in range(h):
+        line = pxmat[y].reshape(-1).astype(np.int64)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        for x in range(w * ch):
+            a = int(line[x - ch]) if x >= ch else 0
+            b = int(prev[x])
+            c = int(prev[x - ch]) if x >= ch else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(line[x]) - pred) % 256)
+        prev = line
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_bytes_sniff_and_gate():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _png_bytes,
+        is_plain_png,
+        sniff_image_meta,
+    )
+
+    p = _png_bytes(17, 9, seed=42)
+    assert sniff_image_meta(p) == ("png", 17, 9)
+    assert is_plain_png(p)
+    # truncated / header-only payloads must NOT pass the gate
+    assert not is_plain_png(p[:-5])
+    assert not is_plain_png(p[:33])
+    assert not is_plain_png(b"\x89PNG...")
+
+
+def test_png_unfilter_all_filter_types():
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_png_pixels,
+    )
+
+    rng = np.random.RandomState(7)
+    pxmat = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png_pixels(_png_with_filters(pxmat, filters))
+        assert (got == pxmat).all(), filters
+
+
+def test_png_grayscale_and_rgba_decode():
+    """Color types 0 (gray) and 6 (RGBA) take the non-RGB luma paths:
+    gray passes through, alpha is ignored."""
+    import zlib
+
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        FEATURE_DIM,
+        decode_png_image,
+        decode_png_pixels,
+    )
+
+    def png(color_type, ch, pxflat, w, h):
+        def chunk(t, body):
+            return (
+                struct.pack(">I", len(body)) + t + body
+                + struct.pack(">I", zlib.crc32(t + body))
+            )
+
+        raw = bytearray()
+        for y in range(h):
+            raw.append(0)
+            raw += bytes(pxflat[y * w * ch : (y + 1) * w * ch])
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    # 4x2 grayscale ramp: strip buckets pool single columns
+    gray_vals = [0, 51, 102, 153, 204, 255, 34, 68]
+    g = png(0, 1, gray_vals, 4, 2)
+    px = decode_png_pixels(g)
+    assert px.shape == (2, 4, 1)
+    feat = decode_png_image(g)
+    assert len(feat) == FEATURE_DIM
+    cols = np.array(gray_vals, dtype=np.float64).reshape(2, 4)
+    # FEATURE_DIM=8 > w=4: bucket b covers max(1) column starting b*4//8
+    for b in range(FEATURE_DIM):
+        lo = (b * 4) // FEATURE_DIM
+        hi = max(((b + 1) * 4) // FEATURE_DIM, lo + 1)
+        assert abs(feat[b] - cols[:, lo:hi].mean() / 255.0) < 1e-12
+    # RGBA: alpha must not influence the luma
+    rgba = [10, 20, 30, 0, 10, 20, 30, 255]  # same RGB, opposite alpha
+    r = png(6, 4, rgba, 2, 1)
+    f = decode_png_image(r)
+    lum = (299 * 10 + 587 * 20 + 114 * 30) / 1000.0 / 255.0
+    assert all(abs(x - lum) < 1e-12 for x in f)
+
+
+def test_png_corrupt_stream_raises_value_error():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _png_bytes,
+        decode_png_image,
+        is_plain_png,
+    )
+    import pytest
+
+    p = bytearray(_png_bytes(10, 10, seed=2))
+    i = p.index(b"IDAT")
+    p[i + 10] ^= 0xFF
+    p[i + 11] ^= 0xFF
+    corrupt = bytes(p)
+    assert is_plain_png(corrupt)  # structurally complete…
+    with pytest.raises(ValueError):  # …but the DEFLATE stream is junk
+        decode_png_image(corrupt)
+
+
+# ---------------------------------------------------------------------------
+# r13: native GIF pixel decode — pure-Python GIF-LZW + palette lookup
+# (r12 VERDICT task 6).
+# ---------------------------------------------------------------------------
+
+
+def test_gif_bytes_sniff_and_gate():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_bytes,
+        is_plain_gif,
+        sniff_image_meta,
+    )
+
+    p = _gif_bytes(17, 9, seed=42)
+    assert sniff_image_meta(p) == ("gif", 17, 9)
+    assert is_plain_gif(p)
+    assert not is_plain_gif(p[:-3])  # truncated sub-block chain
+    assert not is_plain_gif(b"GIF89a" + struct.pack("<HH", 4, 4) + b"\x00\x00\x00")
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    mcs=st.integers(2, 8),
+    n=st.integers(1, 700),
+    data=st.data(),
+)
+def test_gif_lzw_literal_roundtrip_property(mcs, n, data):
+    """The literal-code encoder must produce streams the (independent)
+    decoder inverts exactly, for every minimum code size — including
+    the CLEAR-before-width-bump boundary."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode_literal,
+    )
+
+    idx = bytes(
+        data.draw(
+            st.lists(
+                st.integers(0, (1 << mcs) - 1), min_size=n, max_size=n
+            )
+        )
+    )
+    enc = _gif_lzw_encode_literal(mcs, idx)
+    assert _gif_lzw_decode(mcs, enc, n) == idx
+
+
+def test_gif_lzw_decode_real_compression():
+    """The decoder must handle genuinely compressed streams (table-entry
+    codes, KwKwK case, width growth), not just our literal encoding —
+    hand-build one: with mcs=2, codes CLEAR,1,1,… exercise entry reuse."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_lzw_decode,
+    )
+
+    # mcs=2: clear=4, end=5, width starts at 3.
+    # Emit: CLEAR(4), 1, 6 — code 6 is the first table entry; at the
+    # time it arrives the table has exactly 6 entries so it's the KwKwK
+    # case: entry = prev + prev[0] = b"\x11".
+    import numpy as np
+
+    codes = [4, 1, 6, 5]
+    width = 3
+    bits = (
+        (np.asarray(codes, dtype=np.uint32)[:, None]
+         >> np.arange(width, dtype=np.uint32)) & 1
+    ).astype(np.uint8)
+    stream = np.packbits(bits.reshape(-1), bitorder="little").tobytes()
+    assert _gif_lzw_decode(2, stream, 3) == b"\x01\x01\x01"
+
+
+def test_gif_pixel_decode_cross_format_equality():
+    """A GIF, PNG, and BMP of the same (w, h, seed) render the SAME
+    image by construction — all three native decoders must emit
+    bit-identical feature strips."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _bmp_bytes,
+        _gif_bytes,
+        _png_bytes,
+        decode_bmp_image,
+        decode_gif_image,
+        decode_png_image,
+    )
+
+    for w, h, seed in [(1, 1, 0), (3, 2, 7), (13, 5, 99), (64, 48, 11)]:
+        fb = decode_bmp_image(_bmp_bytes(w, h, seed))
+        fp = decode_png_image(_png_bytes(w, h, seed=seed))
+        fg = decode_gif_image(_gif_bytes(w, h, seed=seed))
+        assert fb == fp == fg, (w, h, seed)
+
+
+def test_extract_features_native_png_gif(spark):
+    """The distributed pipeline routes PNG and GIF through the native
+    decoders with no codec lib — and corrupt gated payloads degrade to
+    the deterministic fake instead of failing the stage."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_bytes,
+        _png_bytes,
+        decode_gif_image,
+        decode_png_image,
+        extract_features,
+        fake_decode_image,
+    )
+
+    png = _png_bytes(20, 10, seed=3)
+    gif = _gif_bytes(20, 10, seed=3)
+    corrupt = bytearray(png)
+    i = corrupt.index(b"IDAT")
+    corrupt[i + 10] ^= 0xFF
+    corrupt[i + 11] ^= 0xFF
+    corrupt = bytes(corrupt)
+    media = spark.createDataFrame(
+        [(1, "image", png), (2, "image", gif), (3, "image", corrupt)],
+        "media_id long, kind string, payload binary",
+    )
+    got = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media).collect()
+    }
+    assert got[1] == decode_png_image(png)
+    assert got[2] == decode_gif_image(gif)
+    assert got[1] == got[2]  # same (w, h, seed) → same image
+    assert got[3] == fake_decode_image(corrupt)
+    forced = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media, use_real_decoder=False).collect()
+    }
+    assert forced[1] == fake_decode_image(png)
+    assert forced[2] == fake_decode_image(gif)
 
 
 # ---------------------------------------------------------------------------

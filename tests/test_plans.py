@@ -1318,3 +1318,68 @@ def test_interval_union_windows_partitioned(spark, sf_dir):
     seg = seg[: seg.find("\n@query")]
     assert 'partitionBy("grp", "user_id")' in seg
     assert "Window.orderBy" not in seg  # no global windows
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The ENGINE path for hot keys (r12 VERDICT task 4): q_join_salted
+    demonstrates MANUAL salting, but at 100× the NULL-class/hot-key
+    joins rely on AQE's runtime skew handling — this proves the engine
+    conf (session.py: adaptive.skewJoin.enabled=true) actually fires.
+    A deliberately skewed sort-merge join (97% of the left side on one
+    key) must come back from execution with OptimizeSkewedJoin applied:
+    SortMergeJoin(skew=true) and an 'AQEShuffleRead … skewed' reader in
+    the final adaptive plan.  Thresholds are lowered to make a ~2 MB
+    hot partition count as skewed at test scale — production keeps the
+    defaults (256 MB / factor 5), where the same rule fires on real
+    hot partitions.  Negative control: with skewJoin disabled the same
+    join executes without the split, pinning that the assert tracks the
+    optimizer rule, not an incidental plan string."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "65536",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "65536",
+        # force SMJ both at plan time and at AQE re-plan time — a
+        # broadcast join has no skewed shuffle to split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k, None) for k in lowered}
+    old["spark.sql.adaptive.skewJoin.enabled"] = spark.conf.get(
+        "spark.sql.adaptive.skewJoin.enabled", "true"
+    )
+
+    def skewed_join():
+        left = spark.range(200000).select(
+            F.when(F.col("id") % 100 < 97, F.lit(0))
+            .otherwise(F.col("id") % 1000)
+            .alias("k"),
+            (F.col("id") * 7).alias("payload"),
+        )
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") + 5).alias("rv")
+        )
+        return left.join(right, "k")
+
+    def executed_plan(df) -> str:
+        df.collect()  # the action must run THIS QueryExecution (AQE
+        # finalizes per-execution; count() would plan a different one)
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        plan = executed_plan(skewed_join())
+        assert "isFinalPlan=true" in plan, plan
+        assert "skew=true" in plan, plan
+        assert re.search(r"AQEShuffleRead.*skewed", plan), plan
+
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "false")
+        plan_off = executed_plan(skewed_join())
+        assert "skew=true" not in plan_off, plan_off
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -35,6 +35,23 @@ def test_survey_matches_registry_exactly():
     )
 
 
+def test_survey_ids_listed_exactly_once():
+    """Every id owns exactly ONE inventory row (r12 verdict task 7:
+    q_agg_heavy_hitters used to head rows in both §2.9 and §2.12,
+    making naive per-section tallies sum past the registry count).
+    Capability cross-references are prose cells, never a second
+    id-leading row."""
+    from collections import Counter
+
+    counts: Counter[str] = Counter()
+    for line in (REPO / "SURVEY.md").read_text().splitlines():
+        m = re.match(r"\|\s*((?:q|ddl)_\w+)\s*\|", line)
+        if m:
+            counts[m.group(1)] += 1
+    dupes = {k: v for k, v in counts.items() if v > 1}
+    assert not dupes, f"ids listed more than once in SURVEY.md: {dupes}"
+
+
 def test_bench_lists_resolve_in_registry():
     """bench.py's timing groups are curated samples (headline + TPC-H +
     per-round batches), not the whole registry — but every name they
