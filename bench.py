@@ -664,6 +664,21 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+def _cpu_probe() -> float:
+    """Fixed single-core busy-loop (10M integer adds) timed in seconds —
+    a machine-throughput calibration recorded per cohort child.  The r12
+    artifact showed byte-identical code swinging 2.3× UNIFORMLY across a
+    cohort (every op scaled by the same factor) with load_avg near idle:
+    whole-host throughput varies (co-tenant/frequency effects loadavg
+    cannot see).  A cohort whose ops all scale by ~(probe/0.31) is the
+    environment, not a regression; a single op moving alone is code."""
+    t0 = time.perf_counter()
+    x = 0
+    for i in range(10_000_000):
+        x += i
+    return round(time.perf_counter() - t0, 4)
+
+
 def run_cohort(cohort: str, out_path: str) -> None:
     """Child-process entry: bench ONE round-cohort in a fresh JVM.
 
@@ -695,7 +710,10 @@ def run_cohort(cohort: str, out_path: str) -> None:
     # artifact and the same-code isolated best.  One extra run of the
     # 17 headline ops costs ~10 s and tightens exactly the number that
     # gets compared; the 570+ extension ops stay best-of-2.
-    n_runs = 3 if cohort == "headline" else 2
+    # r13 (r12 VERDICT task 2): tpch promoted to best-of-3 too — its
+    # 22-query total is the other cross-round comparison number, and the
+    # r12 artifact showed a 2.2× load-noise swing on untouched code.
+    n_runs = 3 if cohort in ("headline", "tpch") else 2
 
     def timed(name: str) -> float:
         runs = []
@@ -711,12 +729,14 @@ def run_cohort(cohort: str, out_path: str) -> None:
         "first_run": first_run,
         "load_avg_start": [round(x, 2) for x in os.getloadavg()],
         "best_of": n_runs,
+        "cpu_probe_start_sec": _cpu_probe(),
     }
     for gkey in group_keys:
         g = {name: timed(name) for name in groups[gkey]}
         if gkey not in ("queries", "secondary"):
             g["total"] = round(sum(g.values()), 3)
         out["groups"][gkey] = g
+    out["cpu_probe_end_sec"] = _cpu_probe()
     with open(out_path, "w") as f:
         json.dump(out, f)
 
@@ -736,6 +756,8 @@ def main() -> None:
     first_run: dict[str, float] = {}
     cohort_sec: dict[str, float] = {}
     cohort_load: dict[str, list[float]] = {}
+    cohort_best_of: dict[str, int] = {}
+    cohort_cpu_probe: dict[str, list] = {}
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
     for cohort, _gkeys in COHORTS:
         fd, out_path = tempfile.mkstemp(
@@ -760,6 +782,11 @@ def main() -> None:
         merged_groups.update(child["groups"])
         first_run.update(child["first_run"])
         cohort_load[cohort] = child.get("load_avg_start", [])
+        cohort_best_of[cohort] = child.get("best_of", 2)
+        cohort_cpu_probe[cohort] = [
+            child.get("cpu_probe_start_sec"),
+            child.get("cpu_probe_end_sec"),
+        ]
 
     timings = merged_groups["queries"]
     total = round(sum(timings.values()), 3)
@@ -781,9 +808,22 @@ def main() -> None:
             "n_queries": len(timings),
             "first_run": first_run,
             "isolation": "per-cohort subprocess (fresh JVM, cohort-only "
-            "sf0.001 warmup, best-of-2 at target SF; headline best-of-3) "
-            "— r8 VERDICT task 1 / r11 task 7",
+            "sf0.001 warmup, best-of-2 at target SF; headline and tpch "
+            "best-of-3) — r8 VERDICT task 1 / r11 task 7 / r12 task 2",
             "cohort_wall_sec": cohort_sec,
+            # per-cohort best-of-N, machine-readable (r12 ADVICE: the
+            # child's best_of used to be dropped at merge time, leaving
+            # only the prose isolation string to say which timings were
+            # best-of-3 vs best-of-2)
+            "cohort_best_of": cohort_best_of,
+            # machine-throughput calibration bracketing each cohort
+            # (fixed 10M-add busy loop, seconds; ~0.31 s on this host at
+            # full speed).  A cohort whose ops ALL scale by probe-ratio
+            # is environment throughput, not a code regression (r13
+            # finding: byte-identical ext_r4 measured 10.7 s and 25.0 s
+            # same-day at near-idle load_avg — loadavg alone cannot
+            # explain same-code swings; this probe can).
+            "cohort_cpu_probe_sec": cohort_cpu_probe,
             # Noise context travels IN the artifact (r11 VERDICT task 7):
             # 1-min/5-min/15-min load average at run start, parent-level
             # and per-cohort-child, plus the measured same-code variance
