@@ -500,6 +500,10 @@ EXT_R12 = [
     "q_fn_sql_udtf",
 ]
 
+EXT_R13 = [
+    "ddl_aqe_skew_join",
+]
+
 EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
@@ -604,6 +608,7 @@ GROUP_LISTS: list[tuple[str, list[str]]] = [
     ("ext_r10", EXT_R10),
     ("ext_r11", EXT_R11),
     ("ext_r12", EXT_R12),
+    ("ext_r13", EXT_R13),
 ]
 
 COHORTS: list[tuple[str, list[str]]] = [
@@ -622,6 +627,7 @@ COHORTS: list[tuple[str, list[str]]] = [
     ("r10", ["ext_r10"]),
     ("r11", ["ext_r11"]),
     ("r12", ["ext_r12"]),
+    ("r13", ["ext_r13"]),
 ]
 
 MEMOIZED_COLD_IDS = (

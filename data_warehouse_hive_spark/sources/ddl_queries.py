@@ -9,6 +9,7 @@ name and cleans up after itself, so re-runs are idempotent.
 from __future__ import annotations
 
 import os
+import re
 import tempfile
 import uuid
 
@@ -55,12 +56,17 @@ def _tmpdir(prefix: str) -> str:
     return d
 
 
-def _await_drained(q, what: str, timeout: int = 120) -> None:
+def _await_drained(q, what: str, timeout: int | None = None) -> None:
     """awaitTermination(timeout) returns False on timeout WITHOUT
     stopping the query — an unconditional q.stop() then truncates the
     availableNow run mid-batch and the downstream accounting asserts
     fail with a misleading message (r8 ADVICE).  Raise the real
-    diagnosis instead, then stop."""
+    diagnosis instead, then stop.  Default 120 s suits the fixture
+    scales; the stream10 scale step raises it via
+    SPARK_GRAFT_STREAM_DRAIN_S (10M-row landings through the same
+    ops)."""
+    if timeout is None:
+        timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "120"))
     drained = q.awaitTermination(timeout)
     if not drained:
         q.stop()
@@ -927,6 +933,117 @@ def ddl_ctas_view(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ctas_rows=ctas_rows,
                 view_rows=view_rows,
                 filter_reaches_scan=pushed,
+            )
+        ]
+    )
+
+
+@query("ddl_aqe_skew_join")
+def ddl_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime skew-join handling as a first-class behavioral surface
+    (r12 VERDICT task 4 made registered+driver-visible): q_join_salted
+    demonstrates MANUAL salting; at 100× the hot-key / NULL-class joins
+    rely on the ENGINE splitting skewed partitions at runtime, and this
+    op returns the engine's own evidence that it does.  A deliberately
+    skewed fact join is derived from lineitem (97% of rows collapsed
+    onto one key), skew thresholds are lowered so the ~1 MB hot
+    partition counts as skewed at driver scale (production keeps the
+    256 MB / factor-5 defaults — same rule, real sizes), and the final
+    adaptive plan must show OptimizeSkewedJoin applied:
+    SortMergeJoin(skew=true) + an 'AQEShuffleRead … skewed' reader.
+    The negative control (skewJoin disabled, same data) must execute
+    WITHOUT the split — proving the flag tracks the optimizer rule.
+    Plan-level twin: tests/test_plans.py
+    test_aqe_splits_skewed_join_partition.
+
+    Behavioral (rows-only): executed-plan introspection cannot run in
+    the oracle; the plan-marker assertions ARE the check."""
+    lowered = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16384",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+    }
+    old = {}
+    for k in lowered:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+
+    def skewed_join() -> DataFrame:
+        # Two fixture-scale traps, both instructive at 100 TB:
+        # (1) payload must be high-entropy — skew detection reads
+        #     COMPRESSED shuffle bytes, and a constant-key row
+        #     lz4-compresses to almost nothing; xxhash64 gives 8
+        #     incompressible bytes so partition bytes track rows.
+        # (2) the fact scan must have >1 map task — OptimizeSkewedJoin
+        #     splits a reduce partition at MAP-OUTPUT boundaries, so a
+        #     single-mapper scan (the one-file fixture) is UNSPLITTABLE
+        #     no matter how skewed; repartition(32) stands in for the
+        #     thousands of input splits a real fact table has.
+        li = (
+            t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_linenumber", "l_quantity")
+            .repartition(32)
+            .select(
+                F.when(F.col("l_linenumber") <= 6, F.lit(0))
+                .otherwise(F.col("l_orderkey") % 1000)
+                .alias("k"),
+                F.xxhash64(
+                    "l_orderkey", "l_linenumber", "l_quantity"
+                ).alias("payload"),
+            )
+        )
+        dim = spark.range(1000).select(
+            F.col("id").alias("k"), (F.col("id") % 7).alias("grp")
+        )
+        return li.join(dim, "k")
+
+    def run(enabled: bool) -> tuple[str, int]:
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.enabled", str(enabled).lower()
+        )
+        df = skewed_join()
+        n = len(df.collect())  # the action must execute THIS plan —
+        # AQE finalizes per QueryExecution, a count() would plan its own
+        return df._jdf.queryExecution().executedPlan().toString(), n
+
+    try:
+        for k, v in lowered.items():
+            spark.conf.set(k, v)
+        plan_on, n_rows = run(True)
+        plan_off, n_rows_off = run(False)
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    skew_applied = (
+        "isFinalPlan=true" in plan_on
+        and "skew=true" in plan_on
+        and bool(re.search(r"AQEShuffleRead.*skewed", plan_on))
+    )
+    control_clean = "skew=true" not in plan_off
+    n_hot = t(spark, sf_dir, "lineitem").filter(
+        F.col("l_linenumber") <= 6
+    ).count()
+    assert skew_applied and control_clean and n_rows == n_rows_off, (
+        skew_applied,
+        control_clean,
+        n_rows,
+        n_rows_off,
+    )
+    return spark.createDataFrame(
+        [
+            Row(
+                skew_split_applied=skew_applied,
+                control_without_rule_clean=control_clean,
+                n_hot_key_rows=n_hot,
+                n_join_rows=n_rows,
             )
         ]
     )

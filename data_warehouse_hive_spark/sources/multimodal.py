@@ -20,9 +20,10 @@ numpy are REAL with zero new dependencies:
 
 - 24-bit BMP (r12): `decode_bmp_image` — struct header parse + numpy
   row de-padding + luma downsample to the FEATURE_DIM strip.
-- 8-bit truecolor/gray PNG, non-interlaced (r13): `decode_png_image` —
-  stdlib zlib inflates the IDAT stream, numpy unfilters the scanlines
-  (None/Sub/Up/Average/Paeth per the public spec), same luma strip.
+- 8-bit PNG, all color types, non-interlaced (r13): `decode_png_image`
+  — stdlib zlib inflates the IDAT stream, numpy unfilters the
+  scanlines (None/Sub/Up/Average/Paeth per the public spec), palette
+  indices resolve through PLTE, same luma strip.
 - non-interlaced GIF (r13): `decode_gif_image` — pure-Python GIF-LZW
   over the first frame, palette lookup, same luma strip.
 - integer-PCM WAV (r12): `decode_wav_samples` — RIFF chunk walk + numpy
@@ -151,10 +152,10 @@ def decode_bmp_image(payload: bytes) -> list[float]:
     return _luma_strip(luma)
 
 
-# PNG color type → sample channels (palette type 3 stays stubbed: its
-# pixels are palette indices and PLTE handling is where real codec
-# complexity starts; everything truecolor/grayscale decodes natively).
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# PNG color type → samples per pixel IN THE FILTERED STREAM.  Palette
+# (type 3) carries one index byte per pixel, resolved through the PLTE
+# chunk after unfiltering — the same palette-lookup step as GIF.
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 
 def _png_parse(payload: bytes):
@@ -170,6 +171,7 @@ def _png_parse(payload: bytes):
     if len(p) < 8 + 25 or p[:8] != b"\x89PNG\r\n\x1a\n":
         return None
     ihdr = None
+    plte = None
     idat = []
     seen_end = False
     i = 8
@@ -183,6 +185,10 @@ def _png_parse(payload: bytes):
             if clen != 13 or ihdr is not None or i != 8:
                 return None
             ihdr = body
+        elif ctype == b"PLTE":
+            if clen % 3 != 0 or clen == 0:
+                return None
+            plte = body
         elif ctype == b"IDAT":
             idat.append(body)
         elif ctype == b"IEND":
@@ -196,24 +202,25 @@ def _png_parse(payload: bytes):
     bit_depth, color_type, compression, filter_method, interlace = ihdr[8:13]
     if compression != 0 or filter_method != 0:
         return None
-    return (w, h, bit_depth, color_type, interlace, b"".join(idat))
+    return (w, h, bit_depth, color_type, interlace, b"".join(idat), plte)
 
 
 def is_plain_png(payload: bytes) -> bool:
     """True for a natively-decodable PNG: 8-bit grayscale / RGB /
-    gray+alpha / RGBA, non-interlaced, structurally complete chunk list.
-    Palette (type 3) and interlaced images keep the loud codec stub —
-    the gate answers 'will decode_png_pixels accept this container',
-    exactly as is_plain_bmp does for BMP (corrupt DEFLATE data inside a
+    palette / gray+alpha / RGBA, non-interlaced, structurally complete
+    chunk list (palette requires a PLTE chunk).  Interlaced images and
+    sub-byte bit depths keep the loud codec stub — the gate answers
+    'will decode_png_pixels accept this container', exactly as
+    is_plain_bmp does for BMP (corrupt DEFLATE data inside a
     structurally valid container is the one case only decompression can
     catch; decode raises ValueError there)."""
     parsed = _png_parse(payload)
     if parsed is None:
         return False
-    w, h, depth, color, interlace, _ = parsed
+    w, h, depth, color, interlace, _idat, plte = parsed
     return (
         depth == 8 and color in _PNG_CHANNELS and interlace == 0
-        and w > 0 and h > 0
+        and w > 0 and h > 0 and (color != 3 or plte is not None)
     )
 
 
@@ -221,9 +228,10 @@ def decode_png_pixels(payload: bytes):
     """REAL PNG pixel decode with zero new dependencies (r12 VERDICT
     task 1): the IDAT stream is zlib-deflate, which the stdlib inflates;
     per-scanline unfiltering (None/Sub/Up/Average/Paeth, PNG spec §9 —
-    public) reconstructs the raw samples.  Returns an (h, w, channels)
-    uint8 array for 8-bit gray/RGB/gray+alpha/RGBA non-interlaced
-    images; raises ValueError otherwise (including corrupt DEFLATE data
+    public) reconstructs the raw samples; palette images (type 3)
+    resolve their index bytes through the PLTE chunk.  Returns an
+    (h, w, channels) uint8 array for any 8-bit non-interlaced color
+    type; raises ValueError otherwise (including corrupt DEFLATE data
     or a pixel-stream length mismatch — loud, never a silent fake)."""
     import zlib
 
@@ -232,7 +240,7 @@ def decode_png_pixels(payload: bytes):
     parsed = _png_parse(payload)
     if parsed is None or not is_plain_png(payload):
         raise ValueError("not a natively-decodable PNG")
-    w, h, _depth, color, _interlace, idat = parsed
+    w, h, _depth, color, _interlace, idat, plte = parsed
     ch = _PNG_CHANNELS[color]
     try:
         raw = zlib.decompress(idat)
@@ -280,7 +288,14 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
         prev = out[y]
-    return out.reshape(h, w, ch)
+    px = out.reshape(h, w, ch)
+    if color == 3:  # palette indices → RGB through PLTE (the GIF step)
+        palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        idx = px.reshape(h, w)
+        if int(idx.max()) >= palette.shape[0]:
+            raise ValueError("PNG palette index out of range")
+        return palette[idx]  # (h, w, 3) uint8
+    return px
 
 
 def decode_png_image(payload: bytes) -> list[float]:
@@ -477,10 +492,11 @@ def native_image_decode(payload: bytes) -> list[float] | None:
 
 
 def decode_image(payload: bytes) -> list[float]:
-    """Real decode path: native struct/numpy/zlib decode for BMP, 8-bit
-    truecolor/grayscale PNG, and non-interlaced GIF (always available —
-    see decode_bmp_image / decode_png_image / decode_gif_image), Pillow
-    for the remaining formats (JPEG, palette/interlaced PNG-GIF); all
+    """Real decode path: native struct/numpy/zlib decode for BMP, any
+    8-bit non-interlaced PNG (gray/RGB/palette/alpha), and
+    non-interlaced GIF (always available — see decode_bmp_image /
+    decode_png_image / decode_gif_image), Pillow for the remaining
+    formats (JPEG, interlaced frames, sub-byte palette depths); all
     downsample to a FEATURE_DIM grayscale strip of normalized
     intensities — the same (list[float], FEATURE_DIM) contract as
     fake_decode_image, so the mapInPandas plumbing is byte-identical
@@ -495,10 +511,10 @@ def decode_image(payload: bytes) -> list[float]:
         import PIL.Image
     except ImportError as exc:  # pragma: no cover - env without Pillow
         raise NotImplementedError(
-            "JPEG / palette / interlaced image decoding requires a codec "
-            "library (e.g. Pillow); BMP + 8-bit truecolor/gray PNG + "
-            "non-interlaced GIF decode natively, and fake_decode_image "
-            "covers plumbing tests"
+            "JPEG / interlaced / sub-byte-depth image decoding requires "
+            "a codec library (e.g. Pillow); BMP + 8-bit PNG (all color "
+            "types) + non-interlaced GIF decode natively, and "
+            "fake_decode_image covers plumbing tests"
         ) from exc
     import io
 
@@ -1161,6 +1177,47 @@ def _png_bytes(width: int, height: int, seed: int = 0) -> bytes:
     )
 
 
+def _png_palette_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE 8-bit PALETTE PNG (color type 3): PLTE carries the
+    same 256-entry table as _gif_bytes and the index plane is the same
+    seed-derived pattern, so a palette PNG, a GIF, and a BMP of equal
+    (width, height, seed) decode to identical luma strips — the
+    cross-format tests pin all three."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body))
+        )
+
+    plte = bytes(
+        b
+        for j in range(256)
+        for b in ((j * 97 + 170) % 256, (j * 97 + 85) % 256, (j * 97) % 256)
+    )
+    idx = (
+        ((seed * 31 + np.arange(height * width, dtype=np.int64)) % 256)
+        .astype(np.uint8)
+        .reshape(height, width)[::-1]  # match _bmp_bytes' bottom-up image
+    )
+    scan = np.zeros((height, 1 + width), dtype=np.uint8)
+    scan[:, 1:] = idx  # filter byte 0 (None) on every row
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"PLTE", plte)
+        + chunk(b"IDAT", zlib.compress(scan.tobytes()))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _gif_lzw_encode_literal(min_code_size: int, indices) -> bytes:
     """'Uncompressed' GIF LZW (the classic literal-code trick): emit
     CLEAR, then every pixel index as a literal code, re-emitting CLEAR
@@ -1338,7 +1395,10 @@ def synth_media_payload(media_id: int, kind: str) -> bytes:
     if kind == "image":
         v = (m // 3) % 3
         if v == 0:
-            return _png_bytes((m % 640) + 1, (m % 480) + 1, seed=m)
+            # alternate truecolor / palette PNG by id so BOTH native
+            # PNG paths run through the distributed round-trip
+            builder = _png_palette_bytes if (m // 9) % 2 else _png_bytes
+            return builder((m % 640) + 1, (m % 480) + 1, seed=m)
         if v == 1:
             return _gif_bytes((m % 64) + 1, (m % 48) + 1, seed=m)
         return _bmp_bytes((m % 64) + 1, (m % 48) + 1, m)

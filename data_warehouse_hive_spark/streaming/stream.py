@@ -111,11 +111,15 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    if not q.awaitTermination(120):
+    # default 120 s suits the sf0.001-0.1 fixtures; scale steps
+    # (tools/scale_step.py --stream10 drives 10M-row landings through
+    # the same ops) raise it via env rather than forking the op code
+    timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "120"))
+    if not q.awaitTermination(timeout):
         q.stop()
         raise RuntimeError(
             f"run_available_now({sink_table}): stream did not drain "
-            "within 120s (availableNow trigger still running)"
+            f"within {timeout}s (availableNow trigger still running)"
         )
     return q
 

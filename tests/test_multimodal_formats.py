@@ -390,6 +390,35 @@ def test_png_grayscale_and_rgba_decode():
     assert all(abs(x - lum) < 1e-12 for x in f)
 
 
+def test_png_palette_decode_cross_format():
+    """8-bit palette PNG (color type 3): index bytes unfilter like any
+    scanline, then resolve through PLTE — built here with the exact
+    palette/index scheme _gif_bytes uses, so the palette PNG must
+    decode bit-identically to the GIF and BMP of the same (w, h,
+    seed)."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _bmp_bytes,
+        _gif_bytes,
+        _png_palette_bytes as palette_png,
+        decode_bmp_image,
+        decode_gif_image,
+        decode_png_image,
+        is_plain_png,
+    )
+
+    for w, h, seed in [(1, 1, 0), (13, 5, 99), (64, 48, 11)]:
+        p = palette_png(w, h, seed)
+        assert is_plain_png(p)
+        fp = decode_png_image(p)
+        assert fp == decode_gif_image(_gif_bytes(w, h, seed=seed))
+        assert fp == decode_bmp_image(_bmp_bytes(w, h, seed))
+    # palette type WITHOUT a PLTE chunk fails the gate, not the decoder
+    broken = palette_png(4, 4, 1)
+    i = broken.index(b"PLTE")
+    no_plte = broken[: i - 4] + broken[i + 4 + 768 + 4 :]
+    assert not is_plain_png(no_plte)
+
+
 def test_png_corrupt_stream_raises_value_error():
     from data_warehouse_hive_spark.sources.multimodal import (
         _png_bytes,

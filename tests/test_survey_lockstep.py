@@ -200,6 +200,13 @@ def test_r12_batch_ids_are_benched():
         assert qid in bench.EXT_R12, f"{qid} missing from bench.EXT_R12"
 
 
+def test_r13_batch_ids_are_benched():
+    import bench
+
+    for qid in ("ddl_aqe_skew_join",):
+        assert qid in bench.EXT_R13, f"{qid} missing from bench.EXT_R13"
+
+
 def test_bench_cohorts_partition_groups():
     """The r9 isolation harness (one subprocess per round-cohort) is only
     cross-round comparable if every timing group belongs to EXACTLY one

@@ -121,6 +121,107 @@ EMBED10_OPS = [
     "q_sim_search_pq",          # PQ codebook/ADC carriers at 10x corpus
 ]
 
+# --stream10 mode (r13, r12 VERDICT task 3): the STREAMING axis — the
+# admission ops were the only operator family never taken past fixture
+# scale.  Two sub-axes matching the inputs each op streams:
+#   events axis (SF10_DIR, 100x sf0.1 events): ddl_stream_dedup,
+#     ddl_stream_session — the two STATEFUL streams (watermarked dedup
+#     state, session-window merge state).
+#   text axis (TEXT10_DIR, 500k docs): ddl_stream_decontaminate,
+#     ddl_stream_binary_simhash — the two INDEX-probing streams
+#     (stateless foreachBatch against a persisted index).
+# Each registered ddl op asserts stream≡batch parity internally, so
+# running it at scale IS the parity check.  On top, two instrumented
+# probes stream the sf10 events through the same helpers with forced
+# micro-batching and read the engine's stateOperators metrics, asserting
+# the state-store contract the docstrings claim: state is bounded by
+# (arrival rate × watermark horizon) / open-session cardinality — NOT by
+# input size.
+STREAM10_EVENT_DDLS = ["ddl_stream_dedup", "ddl_stream_session"]
+STREAM10_TEXT_DDLS = ["ddl_stream_decontaminate", "ddl_stream_binary_simhash"]
+
+
+def stream10_state_probes(spark) -> dict:
+    """Instrumented state-growth runs over the sf10 events (the
+    registered ddls prove CORRECTNESS at scale; these prove the STATE
+    CONTRACT).  Forces real micro-batching (maxFilesPerTrigger=2 over a
+    16-file landing) so the watermark advances mid-run and eviction is
+    observable, then asserts from the engine's own stateOperators
+    metrics:
+
+    - dedup (dropDuplicatesWithinWatermark): max state ≈ the cold-start
+      batch (watermark still -inf) — ≤ 25% of input for 2/16 files —
+      and FINAL state collapses to the 2h watermark horizon, not the
+      key universe: ≤ 2×horizon + 2% slack.
+    - session (session_window): state = OPEN sessions; final ≤ the
+      session output cardinality (never input rows), max ≤ 25% input.
+    """
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        read_events_stream,
+        sessionized,
+        stream_dedup,
+    )
+    from data_warehouse_hive_spark.tables import t as tbl
+
+    ev = tbl(spark, SF10_DIR, "events")
+    n_input = ev.count()
+    mx = ev.agg(F.max("ts")).collect()[0][0]
+    horizon_rows = ev.filter(
+        F.col("ts") >= F.lit(mx) - F.expr("INTERVAL 2 HOURS")
+    ).count()
+
+    src = tempfile.mkdtemp(prefix="stream10_src_")
+    ev.repartition(16).write.mode("overwrite").parquet(src)
+
+    def run_probe(transform, name: str) -> dict:
+        ckpt = tempfile.mkdtemp(prefix=f"stream10_ckpt_{name}_")
+        q = (
+            transform(read_events_stream(spark, src, max_files_per_trigger=2))
+            .writeStream.format("noop")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .outputMode("append")
+            .start()
+        )
+        q.awaitTermination()
+        per_batch = [
+            (p["batchId"], so["operatorName"], so["numRowsTotal"])
+            for p in q.recentProgress
+            for so in (p["stateOperators"] or [])
+        ]
+        assert per_batch, f"{name}: no stateOperators metrics captured"
+        totals = [rows for _b, _o, rows in per_batch]
+        return {
+            "n_batches": len({b for b, _o, _r in per_batch}),
+            "state_rows_max": max(totals),
+            "state_rows_final": per_batch[-1][2],
+            "per_batch": per_batch,
+        }
+
+    dedup = run_probe(stream_dedup, "dedup")
+    assert dedup["state_rows_max"] <= 0.25 * n_input, dedup
+    assert (
+        dedup["state_rows_final"] <= 2 * horizon_rows + 0.02 * n_input
+    ), (dedup, horizon_rows)
+
+    session = run_probe(sessionized, "session")
+    n_sessions = sessionized(ev).count()
+    assert session["state_rows_max"] <= 0.25 * n_input, session
+    assert session["state_rows_final"] <= n_sessions, (session, n_sessions)
+
+    return {
+        "n_input_rows": n_input,
+        "watermark_horizon_rows": horizon_rows,
+        "n_sessions_batch": n_sessions,
+        "dedup": {k: v for k, v in dedup.items() if k != "per_batch"},
+        "session": {k: v for k, v in session.items() if k != "per_batch"},
+    }
+
+
 SF10_OPS = [
     # corpus power sums / rank carriers — the bounds written vs n
     "q_agg_gini",
@@ -330,9 +431,10 @@ def main() -> None:
     )
 
     rebuild = "--rebuild" in sys.argv
-    sf10 = "--sf10" in sys.argv
-    text10 = "--text10" in sys.argv
+    sf10 = "--sf10" in sys.argv or "--stream10" in sys.argv
+    text10 = "--text10" in sys.argv or "--stream10" in sys.argv
     embed10 = "--embed10" in sys.argv
+    stream10 = "--stream10" in sys.argv
     spark = get_spark(app_name="dwh-spark-scale-step")
 
     if embed10:
@@ -465,6 +567,68 @@ def main() -> None:
             else:
                 shutil.copy(src, dst)
         print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+
+    if stream10:
+        # streaming axis: registered ddls at scale (internal parity
+        # asserts ARE the check — they raise on stream≢batch) + the
+        # instrumented state-contract probes.
+        #
+        # 100 TB state-store posture: ddl_stream_dedup's AvailableNow
+        # cold-start admits the whole sf10 events landing (~11M keys) in
+        # ONE micro-batch, and the default HDFSBackedStateStore keeps
+        # every entry on the JVM heap — an 8g driver OOMs exactly as an
+        # unsized production job would (observed r13 first run).  RocksDB
+        # is what a real cluster runs for large state: native memory +
+        # local disk, heap-bounded.  Run with SPARK_GRAFT_DRIVER_MEM=32g
+        # for comfortable shuffle headroom at this SF.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        registry = load_all()
+        results: dict[str, dict] = {}
+        n_fail = 0
+        for name, run_dir in [
+            (n, SF10_DIR) for n in STREAM10_EVENT_DDLS
+        ] + [(n, TEXT10_DIR) for n in STREAM10_TEXT_DDLS]:
+            t0 = time.perf_counter()
+            try:
+                rows = registry[name].fn(spark, run_dir).collect()
+                ok, detail = True, "; ".join(
+                    f"{k}={v}" for k, v in rows[0].asDict().items()
+                )
+            except Exception as e:
+                ok, detail = False, f"{type(e).__name__}: {e}"
+            dt = round(time.perf_counter() - t0, 2)
+            results[name] = {"ok": ok, "sec": dt, "detail": detail[:500]}
+            n_fail += 0 if ok else 1
+            print(
+                f"[{'PASS' if ok else 'FAIL'}] {name} @{run_dir} ({dt}s)"
+                + (f" — {detail[:300]}" if detail else ""),
+                flush=True,
+            )
+        t0 = time.perf_counter()
+        try:
+            probes = stream10_state_probes(spark)
+            ok, detail = True, json.dumps(probes)
+        except Exception as e:
+            probes, ok, detail = {}, False, f"{type(e).__name__}: {e}"
+        dt = round(time.perf_counter() - t0, 2)
+        results["state_probes"] = {"ok": ok, "sec": dt, "detail": detail[:800]}
+        n_fail += 0 if ok else 1
+        print(
+            f"[{'PASS' if ok else 'FAIL'}] state_probes ({dt}s) — "
+            f"{detail[:400]}",
+            flush=True,
+        )
+        print(json.dumps({
+            "metric": "stream10_scale_step",
+            "n_ops": len(results),
+            "n_fail": n_fail,
+            "results": results,
+        }))
+        sys.exit(1 if n_fail else 0)
 
     sf_dir = (
         EMBED10_DIR if embed10
