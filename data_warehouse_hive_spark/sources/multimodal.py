@@ -9,32 +9,34 @@ plumbing — schema, partitioning, batch shape — is identical whether the
 inner function calls Pillow/ffmpeg or a stub.
 
 The actual codec libraries are NOT in this container, so codec-needing
-formats (JPEG pixels, palette/interlaced PNG-GIF, FLAC/MP3 samples)
-raise NotImplementedError from `decode_image` and the pipeline is
-exercised end-to-end with `fake_decode_image` — a deterministic
-stand-in keyed on the payload's md5 (real plumbing, fake pixels).
-Swapping in a real decoder changes ONE function and zero Spark code.
+formats (JPEG pixels, sub-byte PNG bit depths, FLAC/MP3 samples) raise
+NotImplementedError from `decode_image` and the pipeline is exercised
+end-to-end with `fake_decode_image` — a deterministic stand-in keyed on
+the payload's md5 (real plumbing, fake pixels).  Swapping in a real
+decoder changes ONE function and zero Spark code.
 
 Exceptions (rounds 12-13): formats whose decode needs only stdlib +
 numpy are REAL with zero new dependencies:
 
 - 24-bit BMP (r12): `decode_bmp_image` — struct header parse + numpy
   row de-padding + luma downsample to the FEATURE_DIM strip.
-- 8-bit PNG, all color types, non-interlaced (r13): `decode_png_image`
-  — stdlib zlib inflates the IDAT stream, numpy unfilters the
-  scanlines (None/Sub/Up/Average/Paeth per the public spec), palette
-  indices resolve through PLTE, same luma strip.
-- non-interlaced GIF (r13): `decode_gif_image` — pure-Python GIF-LZW
-  over the first frame, palette lookup, same luma strip.
+- 8-bit PNG, ALL color types (gray/RGB/palette/alpha), sequential AND
+  Adam7-interlaced (r13): `decode_png_image` — stdlib zlib inflates
+  the IDAT stream, numpy unfilters the scanlines
+  (None/Sub/Up/Average/Paeth per the public spec, per Adam7 pass for
+  interlaced), palette indices resolve through PLTE, same luma strip.
+- GIF, interlaced or not (r13): `decode_gif_image` — pure-Python
+  GIF-LZW over the first frame, palette lookup, 4-pass row
+  de-interlace, same luma strip.
 - integer-PCM WAV (r12): `decode_wav_samples` — RIFF chunk walk + numpy
   frame read + channel downmix, routed natively by `audio_rms_windows`.
 
 All are routed natively by `decode_image`/`extract_features` even
 without Pillow (dispatch: `native_image_decode`).  Three of the four
-sniffed image formats and one audio format are therefore fully real in
-this container, pinning the feature contracts against actual
-pixel/sample data; the rest keep the loud stub until a codec lib
-exists.
+sniffed image formats (every PNG and GIF a real 8-bit corpus contains,
+plus BMP) and one audio format are therefore fully real in this
+container, pinning the feature contracts against actual pixel/sample
+data; JPEG keeps the loud stub until a codec lib exists.
 """
 
 from __future__ import annotations
@@ -207,10 +209,10 @@ def _png_parse(payload: bytes):
 
 def is_plain_png(payload: bytes) -> bool:
     """True for a natively-decodable PNG: 8-bit grayscale / RGB /
-    palette / gray+alpha / RGBA, non-interlaced, structurally complete
-    chunk list (palette requires a PLTE chunk).  Interlaced images and
-    sub-byte bit depths keep the loud codec stub — the gate answers
-    'will decode_png_pixels accept this container', exactly as
+    palette / gray+alpha / RGBA, sequential OR Adam7-interlaced,
+    structurally complete chunk list (palette requires a PLTE chunk).
+    Only sub-byte bit depths keep the loud codec stub — the gate
+    answers 'will decode_png_pixels accept this container', exactly as
     is_plain_bmp does for BMP (corrupt DEFLATE data inside a
     structurally valid container is the one case only decompression can
     catch; decode raises ValueError there)."""
@@ -219,63 +221,59 @@ def is_plain_png(payload: bytes) -> bool:
         return False
     w, h, depth, color, interlace, _idat, plte = parsed
     return (
-        depth == 8 and color in _PNG_CHANNELS and interlace == 0
+        depth == 8 and color in _PNG_CHANNELS and interlace in (0, 1)
         and w > 0 and h > 0 and (color != 3 or plte is not None)
     )
 
 
-def decode_png_pixels(payload: bytes):
-    """REAL PNG pixel decode with zero new dependencies (r12 VERDICT
-    task 1): the IDAT stream is zlib-deflate, which the stdlib inflates;
-    per-scanline unfiltering (None/Sub/Up/Average/Paeth, PNG spec §9 —
-    public) reconstructs the raw samples; palette images (type 3)
-    resolve their index bytes through the PLTE chunk.  Returns an
-    (h, w, channels) uint8 array for any 8-bit non-interlaced color
-    type; raises ValueError otherwise (including corrupt DEFLATE data
-    or a pixel-stream length mismatch — loud, never a silent fake)."""
-    import zlib
+# Adam7 interlace passes (PNG spec §8.2, public): (x0, y0, dx, dy) —
+# each pass is an independently-filtered scanline sequence over the
+# subgrid it owns, concatenated in this order inside the IDAT stream.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
 
+
+def _png_unfilter(raw: bytes, n_rows: int, rowlen: int, bpp: int, pos: int = 0):
+    """Unfilter n_rows scanlines of rowlen data bytes starting at
+    raw[pos] (each row = 1 filter-type byte + rowlen bytes;
+    None/Sub/Up/Average/Paeth per PNG spec §9).  Returns
+    ((n_rows, rowlen) uint8 array, next offset).  ONE implementation
+    shared by the sequential path and every Adam7 pass — a pass is its
+    own filtered sequence with its own row width and its own
+    prior-row state."""
     import numpy as np
 
-    parsed = _png_parse(payload)
-    if parsed is None or not is_plain_png(payload):
-        raise ValueError("not a natively-decodable PNG")
-    w, h, _depth, color, _interlace, idat, plte = parsed
-    ch = _PNG_CHANNELS[color]
-    try:
-        raw = zlib.decompress(idat)
-    except zlib.error as exc:
-        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    rowlen = w * ch
-    if len(raw) != h * (1 + rowlen):
-        raise ValueError("PNG pixel stream length mismatch")
-    out = np.empty((h, rowlen), dtype=np.uint8)
+    out = np.empty((n_rows, rowlen), dtype=np.uint8)
     prev = np.zeros(rowlen, dtype=np.uint8)
-    for y in range(h):
-        base = y * (1 + rowlen)
-        ftype = raw[base]
+    for y in range(n_rows):
+        if pos + 1 + rowlen > len(raw):
+            raise ValueError("PNG pixel stream truncated")
+        ftype = raw[pos]
         line = np.frombuffer(
-            raw, dtype=np.uint8, count=rowlen, offset=base + 1
+            raw, dtype=np.uint8, count=rowlen, offset=pos + 1
         ).copy()
+        pos += 1 + rowlen
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up — vectorized; uint8 addition wraps mod 256
             cur = line + prev
         elif ftype == 1:  # Sub — sequential left dependency
             cur = line
-            for x in range(ch, rowlen):
-                cur[x] = (int(cur[x]) + int(cur[x - ch])) & 0xFF
+            for x in range(bpp, rowlen):
+                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
         elif ftype == 3:  # Average
             cur = line
             for x in range(rowlen):
-                left = int(cur[x - ch]) if x >= ch else 0
+                left = int(cur[x - bpp]) if x >= bpp else 0
                 cur[x] = (int(line[x]) + (left + int(prev[x])) // 2) & 0xFF
         elif ftype == 4:  # Paeth
             cur = line
             for x in range(rowlen):
-                a = int(cur[x - ch]) if x >= ch else 0
+                a = int(cur[x - bpp]) if x >= bpp else 0
                 b = int(prev[x])
-                c = int(prev[x - ch]) if x >= ch else 0
+                c = int(prev[x - bpp]) if x >= bpp else 0
                 pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
                 if pa <= pb and pa <= pc:
                     pred = a
@@ -288,7 +286,50 @@ def decode_png_pixels(payload: bytes):
             raise ValueError(f"unknown PNG filter type {ftype}")
         out[y] = cur
         prev = out[y]
-    px = out.reshape(h, w, ch)
+    return out, pos
+
+
+def decode_png_pixels(payload: bytes):
+    """REAL PNG pixel decode with zero new dependencies (r12 VERDICT
+    task 1): the IDAT stream is zlib-deflate, which the stdlib inflates;
+    per-scanline unfiltering (_png_unfilter) reconstructs the raw
+    samples — sequentially, or pass-by-pass through the Adam7 subgrids
+    for interlaced images; palette images (type 3) resolve their index
+    bytes through the PLTE chunk.  Returns an (h, w, channels) uint8
+    array for any 8-bit color type, interlaced or not; raises
+    ValueError otherwise (including corrupt DEFLATE data or a
+    pixel-stream length mismatch — loud, never a silent fake)."""
+    import zlib
+
+    import numpy as np
+
+    parsed = _png_parse(payload)
+    if parsed is None or not is_plain_png(payload):
+        raise ValueError("not a natively-decodable PNG")
+    w, h, _depth, color, interlace, idat, plte = parsed
+    ch = _PNG_CHANNELS[color]
+    try:
+        raw = zlib.decompress(idat)
+    except zlib.error as exc:
+        raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
+    rowlen = w * ch
+    if interlace == 0:
+        if len(raw) != h * (1 + rowlen):
+            raise ValueError("PNG pixel stream length mismatch")
+        out, _pos = _png_unfilter(raw, h, rowlen, ch)
+        px = out.reshape(h, w, ch)
+    else:  # Adam7: 7 subgrid passes, each its own filtered sequence
+        px = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
+            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+            if pw == 0 or ph == 0:
+                continue
+            block, pos = _png_unfilter(raw, ph, pw * ch, ch, pos)
+            px[y0::dy, x0::dx, :] = block.reshape(ph, pw, ch)
+        if pos != len(raw):
+            raise ValueError("PNG pixel stream length mismatch")
     if color == 3:  # palette indices → RGB through PLTE (the GIF step)
         palette = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
         idx = px.reshape(h, w)
@@ -382,17 +423,18 @@ def _gif_first_frame(payload: bytes):
 def is_plain_gif(payload: bytes) -> bool:
     """True for a natively-decodable GIF: 87a/89a, a color table (global
     or frame-local), a structurally complete first frame, LZW minimum
-    code size in [2, 8], non-interlaced.  Interlaced frames keep the
-    loud stub (row reordering is where this stops being ~60 lines);
-    corrupt LZW data inside a valid container raises ValueError from
-    the decoder, exactly like a corrupt PNG DEFLATE stream."""
+    code size in [2, 8].  Interlaced frames decode too (GIF interlace
+    is a fixed 4-pass ROW permutation — rows 0,8,…; 4,12,…; 2,6,…;
+    odd — applied after the LZW+palette steps); corrupt LZW data
+    inside a valid container raises ValueError from the decoder,
+    exactly like a corrupt PNG DEFLATE stream."""
     f = _gif_first_frame(payload)
     if f is None:
         return False
-    fw, fh, pal, mcs, data, interlace = f
+    fw, fh, pal, mcs, data, _interlace = f
     return (
         fw > 0 and fh > 0 and pal is not None and len(pal) >= 6
-        and 2 <= mcs <= 8 and interlace == 0 and len(data) > 0
+        and 2 <= mcs <= 8 and len(data) > 0
     )
 
 
@@ -455,7 +497,7 @@ def decode_gif_image(payload: bytes) -> list[float]:
     f = _gif_first_frame(payload)
     if f is None or not is_plain_gif(payload):
         raise ValueError("not a natively-decodable GIF")
-    fw, fh, pal, mcs, data, _interlace = f
+    fw, fh, pal, mcs, data, interlace = f
     idx_bytes = _gif_lzw_decode(mcs, data, fw * fh)
     if len(idx_bytes) < fw * fh:
         raise ValueError("GIF pixel stream truncated")
@@ -468,6 +510,15 @@ def decode_gif_image(payload: bytes) -> list[float]:
     if int(idx.max()) >= palette.shape[0]:
         raise ValueError("GIF palette index out of range")
     px = palette[idx].reshape(fh, fw, 3)  # palette entries are R,G,B
+    if interlace:  # stored row i is image row order[i] — scatter back
+        order = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, fh, step)
+        ]
+        img = np.empty_like(px)
+        img[order] = px
+        px = img
     luma = (
         299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
     ) / 1000.0
@@ -493,10 +544,10 @@ def native_image_decode(payload: bytes) -> list[float] | None:
 
 def decode_image(payload: bytes) -> list[float]:
     """Real decode path: native struct/numpy/zlib decode for BMP, any
-    8-bit non-interlaced PNG (gray/RGB/palette/alpha), and
-    non-interlaced GIF (always available — see decode_bmp_image /
-    decode_png_image / decode_gif_image), Pillow for the remaining
-    formats (JPEG, interlaced frames, sub-byte palette depths); all
+    8-bit PNG (gray/RGB/palette/alpha, Adam7 included), and any GIF
+    (always available — see decode_bmp_image / decode_png_image /
+    decode_gif_image), Pillow for the remaining formats (JPEG,
+    sub-byte PNG depths); all
     downsample to a FEATURE_DIM grayscale strip of normalized
     intensities — the same (list[float], FEATURE_DIM) contract as
     fake_decode_image, so the mapInPandas plumbing is byte-identical
@@ -511,10 +562,10 @@ def decode_image(payload: bytes) -> list[float]:
         import PIL.Image
     except ImportError as exc:  # pragma: no cover - env without Pillow
         raise NotImplementedError(
-            "JPEG / interlaced / sub-byte-depth image decoding requires "
-            "a codec library (e.g. Pillow); BMP + 8-bit PNG (all color "
-            "types) + non-interlaced GIF decode natively, and "
-            "fake_decode_image covers plumbing tests"
+            "JPEG / sub-byte-depth image decoding requires a codec "
+            "library (e.g. Pillow); BMP + any 8-bit PNG + any GIF "
+            "decode natively, and fake_decode_image covers plumbing "
+            "tests"
         ) from exc
     import io
 

@@ -650,3 +650,191 @@ def test_audio_rms_windows_native_wav(spark):
     assert got[(2, 0)][1] == float(
         math.sqrt(sum(b * b for b in range(256)) / 256)
     )
+
+
+# ---------------------------------------------------------------------------
+# r13: interlaced containers — Adam7 PNG and 4-pass GIF row interlace.
+# ---------------------------------------------------------------------------
+
+_ADAM7_TEST = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _interlaced_png(pxmat, filters=(0,)):
+    """Independent Adam7 encoder: scatter the image into the 7 passes,
+    filter each pass's scanlines with the reference filter equations
+    (cycled per row), concatenate."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pxmat.shape
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7_TEST:
+        sub = pxmat[y0::dy, x0::dx, :]
+        ph, pw = sub.shape[0], sub.shape[1]
+        if ph == 0 or pw == 0:
+            continue
+        prev = np.zeros(pw * ch, np.int64)
+        for y in range(ph):
+            line = sub[y].reshape(-1).astype(np.int64)
+            ft = filters[y % len(filters)]
+            raw.append(ft)
+            for x in range(pw * ch):
+                a = int(line[x - ch]) if x >= ch else 0
+                b = int(prev[x])
+                c = int(prev[x - ch]) if x >= ch else 0
+                if ft == 0:
+                    pred = 0
+                elif ft == 1:
+                    pred = a
+                elif ft == 2:
+                    pred = b
+                elif ft == 3:
+                    pred = (a + b) // 2
+                else:
+                    pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                    pred = (
+                        a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    )
+                raw.append((int(line[x]) - pred) % 256)
+            prev = line
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 1)  # interlace=1
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_adam7_interlaced_decode():
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_png_pixels,
+        is_plain_png,
+    )
+
+    rng = np.random.RandomState(11)
+    for w, h in [(1, 1), (2, 3), (7, 5), (8, 8), (13, 9), (64, 48)]:
+        img = rng.randint(0, 256, size=(h, w, 3)).astype(np.uint8)
+        for filters in ((0,), (2,), (0, 1, 2, 3, 4)):
+            p = _interlaced_png(img, filters)
+            assert is_plain_png(p), (w, h)
+            got = decode_png_pixels(p)
+            assert (got == img).all(), (w, h, filters)
+
+
+def test_png_adam7_matches_sequential_feature_bits():
+    """The SAME image encoded interlaced and sequential must give the
+    SAME feature strip — interlacing is storage order, not content."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _png_bytes,
+        decode_png_image,
+        decode_png_pixels,
+    )
+
+    seq = _png_bytes(13, 5, seed=99)
+    img = decode_png_pixels(seq)
+    assert decode_png_image(_interlaced_png(img)) == decode_png_image(seq)
+
+
+def test_gif_interlaced_decode():
+    """GIF interlace = fixed 4-pass row permutation (rows 0,8,…; 4,12,…;
+    2,6,…; odd).  Build one by reordering the index rows and setting
+    the interlace flag; decode must equal the sequential twin."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_bytes,
+        _gif_lzw_encode_literal,
+        decode_gif_image,
+        is_plain_gif,
+    )
+
+    def interlaced_gif(w, h, seed):
+        idx = (
+            ((seed * 31 + np.arange(h * w, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w)[::-1]  # same image as _gif_bytes
+        )
+        order = [
+            r
+            for start, step in ((0, 8), (4, 8), (2, 4), (1, 2))
+            for r in range(start, h, step)
+        ]
+        stored = idx[order].reshape(-1)  # rows in interlaced order
+        data = _gif_lzw_encode_literal(8, stored)
+        palette = bytes(
+            b
+            for j in range(256)
+            for b in (
+                (j * 97 + 170) % 256, (j * 97 + 85) % 256, (j * 97) % 256,
+            )
+        )
+        out = bytearray(b"GIF89a")
+        out += struct.pack("<HH", w, h)
+        out += bytes([0xF7, 0, 0])
+        out += palette
+        # image descriptor with the INTERLACE flag (0x40)
+        out += b"\x2C" + struct.pack("<HHHH", 0, 0, w, h) + b"\x40"
+        out += bytes([8])
+        for i in range(0, len(data), 255):
+            block = data[i : i + 255]
+            out += bytes([len(block)]) + block
+        out += b"\x00\x3B"
+        return bytes(out)
+
+    for w, h, seed in [(5, 1, 2), (9, 4, 3), (13, 5, 99), (64, 48, 11)]:
+        p = interlaced_gif(w, h, seed)
+        assert is_plain_gif(p)
+        assert decode_gif_image(p) == decode_gif_image(
+            _gif_bytes(w, h, seed=seed)
+        ), (w, h, seed)
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 20),
+    h=st.integers(1, 16),
+    interlaced=st.booleans(),
+    data=st.data(),
+)
+def test_png_decode_roundtrip_property(w, h, interlaced, data):
+    """Property: ANY 8-bit RGB image, encoded with ANY per-row filter
+    choice, sequential or Adam7-interlaced, decodes back bit-exact."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_png_pixels,
+        is_plain_png,
+    )
+
+    flat = data.draw(
+        st.lists(
+            st.integers(0, 255), min_size=w * h * 3, max_size=w * h * 3
+        )
+    )
+    img = np.asarray(flat, dtype=np.uint8).reshape(h, w, 3)
+    filters = tuple(
+        data.draw(st.lists(st.integers(0, 4), min_size=1, max_size=5))
+    )
+    p = (
+        _interlaced_png(img, filters)
+        if interlaced
+        else _png_with_filters(img, list(filters))
+    )
+    assert is_plain_png(p)
+    assert (decode_png_pixels(p) == img).all()
