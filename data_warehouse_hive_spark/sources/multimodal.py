@@ -22,9 +22,11 @@ numpy are REAL with zero new dependencies:
   row de-padding + luma downsample to the FEATURE_DIM strip.
 - 8-bit PNG, ALL color types (gray/RGB/palette/alpha), sequential AND
   Adam7-interlaced (r13): `decode_png_image` — stdlib zlib inflates
-  the IDAT stream, numpy unfilters the scanlines
-  (None/Sub/Up/Average/Paeth per the public spec, per Adam7 pass for
-  interlaced), palette indices resolve through PLTE, same luma strip.
+  the IDAT stream (hard-capped at the header-implied size, so deflate
+  bombs fail as ValueError not as allocations), scanlines unfilter per
+  the public spec — None/Up/Sub vectorized in numpy, Average/Paeth as
+  spec-faithful scalar loops (their left+up dependency is inherently
+  sequential) — palette indices resolve through PLTE, same luma strip.
 - GIF, interlaced or not (r13): `decode_gif_image` — pure-Python
   GIF-LZW over the first frame, palette lookup, 4-pass row
   de-interlace, same luma strip.
@@ -207,23 +209,41 @@ def _png_parse(payload: bytes):
     return (w, h, bit_depth, color_type, interlace, b"".join(idat), plte)
 
 
-def is_plain_png(payload: bytes) -> bool:
-    """True for a natively-decodable PNG: 8-bit grayscale / RGB /
-    palette / gray+alpha / RGBA, sequential OR Adam7-interlaced,
-    structurally complete chunk list (palette requires a PLTE chunk).
-    Only sub-byte bit depths keep the loud codec stub — the gate
-    answers 'will decode_png_pixels accept this container', exactly as
-    is_plain_bmp does for BMP (corrupt DEFLATE data inside a
-    structurally valid container is the one case only decompression can
-    catch; decode raises ValueError there)."""
-    parsed = _png_parse(payload)
+# Upper bound on pixels a native decoder will touch (16.7M ≈ 4096²):
+# header-claimed dimensions size several allocations (decompress cap,
+# index/palette buffers), so an absurd-dims header must fail the GATE —
+# falling back to the deterministic fake — rather than attempt a
+# multi-GB allocation that dies as MemoryError (which the pipeline's
+# except-ValueError fallback could not catch).
+_MAX_NATIVE_PIXELS = 1 << 24
+
+
+def _png_supported(parsed) -> bool:
+    """Gate conditions over an already-parsed chunk walk — ONE
+    implementation consumed by is_plain_png and decode_png_pixels so
+    they can never disagree, with no redundant re-parse in the decode
+    hot path."""
     if parsed is None:
         return False
     w, h, depth, color, interlace, _idat, plte = parsed
     return (
         depth == 8 and color in _PNG_CHANNELS and interlace in (0, 1)
-        and w > 0 and h > 0 and (color != 3 or plte is not None)
+        and w > 0 and h > 0 and w * h <= _MAX_NATIVE_PIXELS
+        and (color != 3 or plte is not None)
     )
+
+
+def is_plain_png(payload: bytes) -> bool:
+    """True for a natively-decodable PNG: 8-bit grayscale / RGB /
+    palette / gray+alpha / RGBA, sequential OR Adam7-interlaced,
+    structurally complete chunk list (palette requires a PLTE chunk),
+    header dims within _MAX_NATIVE_PIXELS.  Only sub-byte bit depths
+    keep the loud codec stub — the gate answers 'will
+    decode_png_pixels accept this container', exactly as is_plain_bmp
+    does for BMP (corrupt DEFLATE data inside a structurally valid
+    container is the one case only decompression can catch; decode
+    raises ValueError there)."""
+    return _png_supported(_png_parse(payload))
 
 
 # Adam7 interlace passes (PNG spec §8.2, public): (x0, y0, dx, dy) —
@@ -259,10 +279,11 @@ def _png_unfilter(raw: bytes, n_rows: int, rowlen: int, bpp: int, pos: int = 0):
             cur = line
         elif ftype == 2:  # Up — vectorized; uint8 addition wraps mod 256
             cur = line + prev
-        elif ftype == 1:  # Sub — sequential left dependency
-            cur = line
-            for x in range(bpp, rowlen):
-                cur[x] = (int(cur[x]) + int(cur[x - bpp])) & 0xFF
+        elif ftype == 1:  # Sub — per-channel prefix sum; uint8
+            # accumulate wraps mod 256, exactly the spec's arithmetic
+            cur = np.add.accumulate(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
         elif ftype == 3:  # Average
             cur = line
             for x in range(rowlen):
@@ -304,26 +325,41 @@ def decode_png_pixels(payload: bytes):
     import numpy as np
 
     parsed = _png_parse(payload)
-    if parsed is None or not is_plain_png(payload):
+    if not _png_supported(parsed):
         raise ValueError("not a natively-decodable PNG")
     w, h, _depth, color, interlace, idat, plte = parsed
     ch = _PNG_CHANNELS[color]
+    rowlen = w * ch
+    # expected filtered-stream size follows from the (gate-bounded)
+    # header dims — computed BEFORE inflating so the decompressor can be
+    # hard-capped at it: a deflate bomb (KBs of IDAT inflating to GBs)
+    # stops at expected+1 bytes and fails the exact-length check as a
+    # ValueError, never as an executor-killing allocation
+    if interlace == 0:
+        pass_dims = [(w, h)]
+    else:
+        pass_dims = [
+            (
+                (w - x0 + dx - 1) // dx if w > x0 else 0,
+                (h - y0 + dy - 1) // dy if h > y0 else 0,
+            )
+            for x0, y0, dx, dy in _ADAM7
+        ]
+    expected = sum(ph * (1 + pw * ch) for pw, ph in pass_dims if pw and ph)
     try:
-        raw = zlib.decompress(idat)
+        dobj = zlib.decompressobj()
+        raw = dobj.decompress(idat, expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    rowlen = w * ch
+    if len(raw) != expected or dobj.unconsumed_tail:
+        raise ValueError("PNG pixel stream length mismatch")
     if interlace == 0:
-        if len(raw) != h * (1 + rowlen):
-            raise ValueError("PNG pixel stream length mismatch")
         out, _pos = _png_unfilter(raw, h, rowlen, ch)
         px = out.reshape(h, w, ch)
     else:  # Adam7: 7 subgrid passes, each its own filtered sequence
         px = np.zeros((h, w, ch), dtype=np.uint8)
         pos = 0
-        for x0, y0, dx, dy in _ADAM7:
-            pw = (w - x0 + dx - 1) // dx if w > x0 else 0
-            ph = (h - y0 + dy - 1) // dy if h > y0 else 0
+        for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, pass_dims):
             if pw == 0 or ph == 0:
                 continue
             block, pos = _png_unfilter(raw, ph, pw * ch, ch, pos)
@@ -420,22 +456,32 @@ def _gif_first_frame(payload: bytes):
     return None
 
 
-def is_plain_gif(payload: bytes) -> bool:
-    """True for a natively-decodable GIF: 87a/89a, a color table (global
-    or frame-local), a structurally complete first frame, LZW minimum
-    code size in [2, 8].  Interlaced frames decode too (GIF interlace
-    is a fixed 4-pass ROW permutation — rows 0,8,…; 4,12,…; 2,6,…;
-    odd — applied after the LZW+palette steps); corrupt LZW data
-    inside a valid container raises ValueError from the decoder,
-    exactly like a corrupt PNG DEFLATE stream."""
-    f = _gif_first_frame(payload)
+def _gif_supported(f) -> bool:
+    """Gate conditions over an already-parsed first frame — ONE
+    implementation consumed by is_plain_gif and decode_gif_image
+    (the _png_supported pattern).  The pixel cap bounds the LZW
+    expansion buffer: a 4-byte descriptor claiming 65535×65535 would
+    otherwise let a tiny looping stream expand to GBs."""
     if f is None:
         return False
     fw, fh, pal, mcs, data, _interlace = f
     return (
-        fw > 0 and fh > 0 and pal is not None and len(pal) >= 6
+        fw > 0 and fh > 0 and fw * fh <= _MAX_NATIVE_PIXELS
+        and pal is not None and len(pal) >= 6
         and 2 <= mcs <= 8 and len(data) > 0
     )
+
+
+def is_plain_gif(payload: bytes) -> bool:
+    """True for a natively-decodable GIF: 87a/89a, a color table (global
+    or frame-local), a structurally complete first frame, LZW minimum
+    code size in [2, 8], header dims within _MAX_NATIVE_PIXELS.
+    Interlaced frames decode too (GIF interlace is a fixed 4-pass ROW
+    permutation — rows 0,8,…; 4,12,…; 2,6,…; odd — applied after the
+    LZW+palette steps); corrupt LZW data inside a valid container
+    raises ValueError from the decoder, exactly like a corrupt PNG
+    DEFLATE stream."""
+    return _gif_supported(_gif_first_frame(payload))
 
 
 def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
@@ -470,7 +516,7 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
             code_size = min_code_size + 1
             prev = None
             continue
-        if code < len(table) and code != end and code != clear:
+        if code < len(table):  # end/clear were consumed above
             entry = table[code]
         elif code == len(table) and prev is not None:
             entry = prev + prev[:1]  # the KwKwK case
@@ -495,7 +541,7 @@ def decode_gif_image(payload: bytes) -> list[float]:
     import numpy as np
 
     f = _gif_first_frame(payload)
-    if f is None or not is_plain_gif(payload):
+    if not _gif_supported(f):
         raise ValueError("not a natively-decodable GIF")
     fw, fh, pal, mcs, data, interlace = f
     idx_bytes = _gif_lzw_decode(mcs, data, fw * fh)
@@ -615,18 +661,20 @@ def extract_features(
             feats = []
             for p in payloads:
                 raw = bytes(p) if p is not None else b""
-                native = None
+                feat = None
                 if use_real_decoder is not False:
                     try:
-                        native = native_image_decode(raw)
+                        feat = native_image_decode(raw)
                     except ValueError:
-                        native = None  # corrupt stream → deterministic fake
-                if native is not None:
-                    feats.append(native)
-                elif real:
-                    feats.append(decode_image(raw))
-                else:
-                    feats.append(fake_decode_image(raw))
+                        # a native gate CLAIMED the payload but its
+                        # compressed stream is corrupt → deterministic
+                        # fake, unconditionally — routing it onward to
+                        # decode_image would just re-raise the same
+                        # error inside the stage
+                        feat = fake_decode_image(raw)
+                if feat is None:
+                    feat = decode_image(raw) if real else fake_decode_image(raw)
+                feats.append(feat)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -709,16 +757,22 @@ def _wav_pcm_chunks(payload: bytes):
     return None
 
 
+def _wav_supported(parsed) -> bool:
+    """Gate conditions over an already-walked chunk list — consumed by
+    both is_plain_wav_pcm and decode_wav_samples (no re-walk in the
+    decode hot path)."""
+    if parsed is None:
+        return False
+    (audio_format, _chans, bits), _start, _len = parsed
+    return audio_format == 1 and bits in (8, 16)
+
+
 def is_plain_wav_pcm(payload: bytes) -> bool:
     """True for a RIFF/WAVE container with an integer-PCM fmt chunk
     (format code 1, 8 or 16 bits) and a fully-present data chunk — the
     audio twin of is_plain_bmp: raw samples behind a fixed header, no
     codec needed.  Same chunk walk as the decoder by construction."""
-    parsed = _wav_pcm_chunks(payload)
-    if parsed is None:
-        return False
-    (audio_format, _chans, bits), _start, _len = parsed
-    return audio_format == 1 and bits in (8, 16)
+    return _wav_supported(_wav_pcm_chunks(payload))
 
 
 def decode_wav_samples(payload: bytes):
@@ -732,7 +786,7 @@ def decode_wav_samples(payload: bytes):
     import numpy as np
 
     parsed = _wav_pcm_chunks(payload)
-    if parsed is None or not is_plain_wav_pcm(payload):
+    if not _wav_supported(parsed):
         raise ValueError("not an integer-PCM WAV")
     (_fmt, chans, bits), start, clen = parsed
     raw = payload[start : start + clen]

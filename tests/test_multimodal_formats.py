@@ -838,3 +838,64 @@ def test_png_decode_roundtrip_property(w, h, interlaced, data):
     )
     assert is_plain_png(p)
     assert (decode_png_pixels(p) == img).all()
+
+
+def test_bogus_dimension_headers_fail_closed():
+    """A tiny payload claiming absurd dimensions must fail the GATE
+    (→ deterministic fake downstream), not die as a multi-GB
+    allocation; an IDAT stream inflating past the header-implied size
+    (deflate bomb) must raise ValueError from the capped decompressor."""
+    import zlib
+
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _gif_bytes,
+        _png_bytes,
+        decode_png_image,
+        fake_decode_image,
+        is_plain_gif,
+        is_plain_png,
+        native_image_decode,
+    )
+
+    # PNG claiming 100000×100000 (> _MAX_NATIVE_PIXELS): gate rejects
+    p = bytearray(_png_bytes(4, 4, seed=1))
+    struct.pack_into(">II", p, 16, 100000, 100000)  # IHDR w,h
+    assert not is_plain_png(bytes(p))
+    assert native_image_decode(bytes(p)) is None  # falls to fake/Pillow
+
+    # GIF frame descriptor claiming 65535×65535: gate rejects.  The
+    # descriptor sits at a fixed offset here: 13-byte header + 768-byte
+    # global color table (0x2C bytes occur inside the palette, so
+    # searching would hit the wrong spot).
+    g = bytearray(_gif_bytes(4, 4, seed=1))
+    i = 13 + 768
+    assert g[i] == 0x2C
+    struct.pack_into("<HH", g, i + 5, 65535, 65535)
+    assert not is_plain_gif(bytes(g))
+
+    # deflate bomb inside legit dims: IDAT inflates past the
+    # header-implied size → ValueError (capped decompress), never a
+    # giant allocation; the pipeline fallback is the deterministic fake
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    oversized = zlib.compress(bytes(4 * (1 + 12)) + b"\x00" * 100000)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", oversized)
+        + chunk(b"IEND", b"")
+    )
+    assert is_plain_png(bomb)  # structurally fine…
+    import pytest
+
+    with pytest.raises(ValueError):
+        decode_png_image(bomb)
+    # …and the documented pipeline-side behavior is the fake
+    assert fake_decode_image(bomb) is not None

@@ -586,6 +586,10 @@ def main() -> None:
             "org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider",
         )
+        # the 10M-row AvailableNow landing needs ~4 min; the ops read
+        # this env at call time, so a bare --stream10 run works without
+        # a manual export (the 120 s default suits only fixture scales)
+        os.environ.setdefault("SPARK_GRAFT_STREAM_DRAIN_S", "900")
         registry = load_all()
         results: dict[str, dict] = {}
         n_fail = 0
