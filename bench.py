@@ -502,6 +502,7 @@ EXT_R12 = [
 
 EXT_R13 = [
     "ddl_aqe_skew_join",
+    "q_media_fingerprint",
 ]
 
 EXT_R10 = [

@@ -3242,3 +3242,71 @@ def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+_HEX = "0123456789abcdef"
+_MEDIA_FP_ORACLE_FEATS = ",\n           ".join(
+    f"CAST((instr('{_HEX}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
+    f" + instr('{_HEX}', substr(h, {2 * i + 2}, 1)) - 1 AS DOUBLE)"
+    f" / 255.0 AS f{i}"
+    for i in range(8)
+)
+
+
+@query(
+    "q_media_fingerprint",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id,
+             md5(text) AS h,
+             CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes
+      FROM documents
+      WHERE text IS NOT NULL
+    )
+    SELECT doc_id,
+           h AS payload_md5,
+           payload_bytes,
+           {_MEDIA_FP_ORACLE_FEATS}
+    FROM hx
+    """,
+)
+def q_media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal family's ORACLE-EXACT id (r13): the distributed
+    feature pipeline (sources/multimodal.py extract_features — Arrow
+    mapInPandas, the exact plumbing the real decoders ride) runs in its
+    deterministic-fake mode over document bytes, and DuckDB recomputes
+    the same md5 closed form (feature_i = md5_byte_i / 255, hex-pair
+    arithmetic in ANSI SQL).  An exact hash match proves the Python
+    side of the multimodal stack — batch shape, binary handling,
+    per-payload md5/size accounting, feature algebra — bit-for-bit
+    against an independent engine; the sibling ddl_multimodal_features
+    keeps the REAL-decoder round-trips (rows-only by nature: DuckDB
+    cannot parse PNG/GIF/BMP/WAV containers).
+
+    Scale: one narrow mapInPandas pass, zero shuffle — feature
+    extraction stays embarrassingly parallel at 100 TB (the reference
+    carries media as external-store pointers the same way,
+    backend/hive_manager.py:176)."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        extract_features,
+    )
+
+    media = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("kind"),
+            F.encode("text", "UTF-8").alias("payload"),
+        )
+    )
+    feats = extract_features(media, use_real_decoder=False)
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        "payload_md5",
+        "payload_bytes",
+        *[
+            F.element_at("feature", i + 1).alias(f"f{i}")
+            for i in range(8)
+        ],
+    )

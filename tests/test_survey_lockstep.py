@@ -203,7 +203,7 @@ def test_r12_batch_ids_are_benched():
 def test_r13_batch_ids_are_benched():
     import bench
 
-    for qid in ("ddl_aqe_skew_join",):
+    for qid in ("ddl_aqe_skew_join", "q_media_fingerprint"):
         assert qid in bench.EXT_R13, f"{qid} missing from bench.EXT_R13"
 
 
