@@ -310,7 +310,7 @@ def _png_unfilter(raw: bytes, n_rows: int, rowlen: int, bpp: int, pos: int = 0):
     return out, pos
 
 
-def decode_png_pixels(payload: bytes):
+def decode_png_pixels(payload: bytes, _parsed=None):
     """REAL PNG pixel decode with zero new dependencies (r12 VERDICT
     task 1): the IDAT stream is zlib-deflate, which the stdlib inflates;
     per-scanline unfiltering (_png_unfilter) reconstructs the raw
@@ -324,7 +324,7 @@ def decode_png_pixels(payload: bytes):
 
     import numpy as np
 
-    parsed = _png_parse(payload)
+    parsed = _png_parse(payload) if _parsed is None else _parsed
     if not _png_supported(parsed):
         raise ValueError("not a natively-decodable PNG")
     w, h, _depth, color, interlace, idat, plte = parsed
@@ -351,7 +351,10 @@ def decode_png_pixels(payload: bytes):
         raw = dobj.decompress(idat, expected + 1)
     except zlib.error as exc:
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
-    if len(raw) != expected or dobj.unconsumed_tail:
+    # dobj.eof keeps the old zlib.decompress strictness: a stream
+    # truncated inside its adler32 trailer inflates to the right size
+    # but never reaches end-of-stream — still corrupt, still loud
+    if len(raw) != expected or dobj.unconsumed_tail or not dobj.eof:
         raise ValueError("PNG pixel stream length mismatch")
     if interlace == 0:
         out, _pos = _png_unfilter(raw, h, rowlen, ch)
@@ -375,13 +378,13 @@ def decode_png_pixels(payload: bytes):
     return px
 
 
-def decode_png_image(payload: bytes) -> list[float]:
+def decode_png_image(payload: bytes, _parsed=None) -> list[float]:
     """decode_png_pixels → BT.601 integer luma (gray channel passes
     through for grayscale; alpha ignored) → the shared FEATURE_DIM
     column strip.  Same (list[float], FEATURE_DIM) contract and the
     same float64 algebra as decode_bmp_image, so a PNG and a BMP of
     identical pixels produce identical feature bits."""
-    px = decode_png_pixels(payload).astype("int64")
+    px = decode_png_pixels(payload, _parsed).astype("int64")
     if px.shape[2] >= 3:  # RGB / RGBA — PNG sample order is R,G,B
         luma = (
             299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
@@ -531,7 +534,7 @@ def _gif_lzw_decode(min_code_size: int, data: bytes, n_expected: int) -> bytes:
     return bytes(out[:n_expected])
 
 
-def decode_gif_image(payload: bytes) -> list[float]:
+def decode_gif_image(payload: bytes, _frame=None) -> list[float]:
     """REAL GIF pixel decode with zero new dependencies (r12 VERDICT
     task 6): stdlib-free LZW over the first frame's data sub-blocks,
     indexed pixels resolved through the (global or local) color table,
@@ -540,7 +543,7 @@ def decode_gif_image(payload: bytes) -> list[float]:
     in any of the three formats give identical feature bits."""
     import numpy as np
 
-    f = _gif_first_frame(payload)
+    f = _gif_first_frame(payload) if _frame is None else _frame
     if not _gif_supported(f):
         raise ValueError("not a natively-decodable GIF")
     fw, fh, pal, mcs, data, interlace = f
@@ -578,13 +581,18 @@ def native_image_decode(payload: bytes) -> list[float] | None:
     decodable format, None when no native decoder claims it.  A gated
     payload whose compressed stream is corrupt raises ValueError — the
     pipeline caller (extract_features) maps that to the deterministic
-    fake, the loud path (decode_image) lets it propagate."""
-    if is_plain_bmp(payload):
+    fake, the loud path (decode_image) lets it propagate.  Each
+    container is structurally parsed ONCE — the gate runs on the parse
+    result and the decoder receives it, so the hot path never re-walks
+    chunk lists or re-joins multi-MB IDAT/LZW streams."""
+    if is_plain_bmp(payload):  # O(1) header-field gate, no stream copy
         return decode_bmp_image(payload)
-    if is_plain_png(payload):
-        return decode_png_image(payload)
-    if is_plain_gif(payload):
-        return decode_gif_image(payload)
+    parsed = _png_parse(payload)
+    if _png_supported(parsed):
+        return decode_png_image(payload, parsed)
+    frame = _gif_first_frame(payload)
+    if _gif_supported(frame):
+        return decode_gif_image(payload, frame)
     return None
 
 
@@ -775,7 +783,7 @@ def is_plain_wav_pcm(payload: bytes) -> bool:
     return _wav_supported(_wav_pcm_chunks(payload))
 
 
-def decode_wav_samples(payload: bytes):
+def decode_wav_samples(payload: bytes, _parsed=None):
     """REAL PCM decode for integer-PCM WAV — no codec library: the
     shared RIFF walk (_wav_pcm_chunks) locates fmt and data, numpy
     reads the sample frames (u8 or <i2), normalizes to [-1, 1]
@@ -785,7 +793,7 @@ def decode_wav_samples(payload: bytes):
     ddl round-trip relies on that)."""
     import numpy as np
 
-    parsed = _wav_pcm_chunks(payload)
+    parsed = _wav_pcm_chunks(payload) if _parsed is None else _parsed
     if not _wav_supported(parsed):
         raise ValueError("not an integer-PCM WAV")
     (_fmt, chans, bits), start, clen = parsed
@@ -821,8 +829,9 @@ def audio_rms_windows(
             out_id, out_w, out_n, out_rms = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 raw = bytes(payload) if payload is not None else b""
-                if is_plain_wav_pcm(raw):
-                    wave = decode_wav_samples(raw)
+                parsed = _wav_pcm_chunks(raw)  # one walk: gate + decode
+                if _wav_supported(parsed):
+                    wave = decode_wav_samples(raw, parsed)
                 else:
                     wave = np.frombuffer(raw, dtype=np.uint8).astype(
                         np.float64

@@ -847,8 +847,6 @@ def test_bogus_dimension_headers_fail_closed():
     (deflate bomb) must raise ValueError from the capped decompressor."""
     import zlib
 
-    import numpy as np
-
     from data_warehouse_hive_spark.sources.multimodal import (
         _gif_bytes,
         _png_bytes,
@@ -899,3 +897,34 @@ def test_bogus_dimension_headers_fail_closed():
         decode_png_image(bomb)
     # …and the documented pipeline-side behavior is the fake
     assert fake_decode_image(bomb) is not None
+
+
+def test_png_truncated_adler_trailer_raises():
+    """A zlib stream cut inside its adler32 trailer inflates to exactly
+    the expected byte count but never reaches end-of-stream — the capped
+    decompressor must stay as strict as zlib.decompress was (dobj.eof),
+    keeping corrupt data loud."""
+    import zlib
+
+    import pytest
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _png_bytes,
+        decode_png_image,
+        is_plain_png,
+    )
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    p = _png_bytes(4, 4, seed=1)
+    i = p.index(b"IDAT") - 4
+    ln = int.from_bytes(p[i : i + 4], "big")
+    idat = p[i + 8 : i + 8 + ln]
+    rebuilt = p[:i] + chunk(b"IDAT", idat[:-4]) + chunk(b"IEND", b"")
+    assert is_plain_png(rebuilt)  # structurally complete…
+    with pytest.raises(ValueError):  # …but the stream never finishes
+        decode_png_image(rebuilt)
