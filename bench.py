@@ -671,6 +671,25 @@ def _sf_of(sf_dir: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+# _cpu_probe() wall-seconds on this host at full machine speed — the
+# r13 calibration constant (SCALING.md).  Normalized totals divide by
+# (measured probe / this), converting "the host was 1.8× slow" into a
+# number instead of an adjudication essay (r13 VERDICT task 3).
+PROBE_FULL_SPEED_SEC = 0.31
+
+
+def _probe_ratio(probes) -> float | None:
+    """Mean of a cohort's bracketing probe times ÷ full-speed constant:
+    1.0 = full machine speed, 2.0 = host ran everything 2× slow."""
+    vals = [
+        p for p in (probes or [])
+        if isinstance(p, (int, float)) and p > 0
+    ]
+    if not vals:
+        return None
+    return round((sum(vals) / len(vals)) / PROBE_FULL_SPEED_SEC, 3)
+
+
 def _cpu_probe() -> float:
     """Fixed single-core busy-loop (10M integer adds) timed in seconds —
     a machine-throughput calibration recorded per cohort child.  The r12
@@ -799,6 +818,80 @@ def main() -> None:
     total = round(sum(timings.values()), 3)
     secondary = merged_groups["secondary"]
 
+    # ---- probe-normalized totals + prev-round deltas (r13 task 3) ----
+    group_to_cohort = {g: c for c, gs in COHORTS for g in gs}
+    cohort_ratio = {
+        c: _probe_ratio(p) for c, p in cohort_cpu_probe.items()
+    }
+
+    def _ratio_for(group: str) -> float | None:
+        cohort = (
+            "headline" if group == "headline" else group_to_cohort[group]
+        )
+        return cohort_ratio.get(cohort)
+
+    group_totals: dict[str, float] = {"headline": total}
+    for gkey, _ops in GROUP_LISTS:
+        if gkey not in ("queries", "secondary"):
+            group_totals[gkey] = merged_groups[gkey]["total"]
+    group_totals_normalized = {
+        g: (round(tot / r, 3) if (r := _ratio_for(g)) else None)
+        for g, tot in group_totals.items()
+    }
+
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
+    )
+    # prev snapshot = the COMMITTED bench_result.json from the last
+    # round's final run (read before this run overwrites it) — it
+    # carries its own probes, so both sides of the delta normalize
+    prev_round_delta: dict = {}
+    try:
+        with open(detail_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    if prev:
+        prev_ratio = {
+            c: _probe_ratio(p)
+            for c, p in (prev.get("cohort_cpu_probe_sec") or {}).items()
+        }
+        prev_totals: dict[str, float] = {"headline": prev.get("value")}
+        for gkey, _ops in GROUP_LISTS:
+            if gkey not in ("queries", "secondary"):
+                g = prev.get(gkey)
+                if isinstance(g, dict) and "total" in g:
+                    prev_totals[gkey] = g["total"]
+        for g, cur in group_totals.items():
+            pv = prev_totals.get(g)
+            if not pv:
+                continue
+            cohort = (
+                "headline" if g == "headline" else group_to_cohort[g]
+            )
+            pr = prev_ratio.get(cohort)
+            pn = round(pv / pr, 3) if pr else pv
+            cn = group_totals_normalized[g] or cur
+            prev_round_delta[g] = {
+                "prev": pv,
+                "cur": cur,
+                "delta_pct": round((cur - pv) / pv * 100.0, 1),
+                "prev_normalized": pn,
+                "cur_normalized": cn,
+                "delta_pct_normalized": round(
+                    (cn - pn) / pn * 100.0, 1
+                ),
+            }
+    # the one-number regression summary: groups whose PROBE-NORMALIZED
+    # total moved >20% round-over-round (an op moving alone is code;
+    # everything scaling together is environment, and normalization
+    # already divided that out)
+    flagged = {
+        g: d["delta_pct_normalized"]
+        for g, d in prev_round_delta.items()
+        if d["delta_pct_normalized"] > 20.0
+    }
+
     full = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -840,63 +933,81 @@ def main() -> None:
             "noise_note": "same-code headline totals vary ±25% on this "
             "shared host (7.9–12.8 s across rounds on identical code; "
             "three same-day isolated runs of r11 code measured "
-            "6.01/7.24/7.85 s) — compare per-query best-of-N against "
-            "load_avg context, not raw totals",
+            "6.01/7.24/7.85 s) — compare the probe-NORMALIZED totals "
+            "(group_totals_normalized / prev_round_delta), which divide "
+            "out measured host throughput, before flagging regressions",
+            # r13 task 3: normalization as numbers in the artifact —
+            # total ÷ (cohort probe / 0.31) — plus per-group deltas vs
+            # the previous committed bench_result.json, both sides
+            # normalized by their own recorded probes
+            "probe_full_speed_sec": PROBE_FULL_SPEED_SEC,
+            "cohort_probe_ratio": cohort_ratio,
+            "group_totals": group_totals,
+            "group_totals_normalized": group_totals_normalized,
+            "prev_round_delta": prev_round_delta,
+            "regressions_normalized_gt20pct": flagged,
+            # moved here from stdout when the line hit the 2000-char
+            # tail budget (see below)
+            "memoized_cold": {
+                name: first_run[name]
+                for name in MEMOIZED_COLD_IDS
+                if name in first_run
+            },
+            # queries whose build step runs a bounded fixpoint
+            # driver-side (collect of a capped relation + local
+            # iteration, per the q_embed_pca precedent): their timings
+            # include that driver work, and the returned DataFrame
+            # embeds precomputed literals rather than re-executing a
+            # distributed plan (r6 advice note)
+            "driver_side_build": [
+                n for n in ("q_graph_hits", "q_embed_pca") if n in first_run
+            ],
         }
     )
     # Full detail → disk (round-over-round comparison must never depend
     # on how much stdout tail a log capture keeps — BENCH_r04.json came
     # back parsed:null from exactly that truncation)…
-    detail_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "bench_result.json"
-    )
     with open(detail_path, "w") as f:
         json.dump(full, f, indent=1)
     # …and ONE compact line on stdout with the driver-contract keys
-    # (metric/value/unit/queries/sf) plus the group totals, small enough
-    # that no tail window can cut it.
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-                "n_queries": len(timings),
-                "isolation": "per-cohort-subprocess",
-                "load_avg": load_avg_start,
-                "noise_band": "±25% same-code on this host; see "
-                "bench_result.json noise_note",
-                "group_totals": {
-                    gkey: (
-                        round(sum(merged_groups[gkey].values()), 3)
-                        if gkey == "secondary"
-                        else merged_groups[gkey]["total"]
-                    )
-                    for gkey, _ops in GROUP_LISTS
-                    if gkey != "queries"
-                },
-                "memoized_cold": {
-                    name: first_run[name]
-                    for name in MEMOIZED_COLD_IDS
-                    if name in first_run
-                },
-                # queries whose build step runs a bounded fixpoint
-                # driver-side (collect of a capped relation + local
-                # iteration, per the q_embed_pca precedent): their
-                # timings include that driver work, and the returned
-                # DataFrame embeds precomputed literals rather than
-                # re-executing a distributed plan (r6 advice note)
-                "driver_side_build": [
-                    n
-                    for n in ("q_graph_hits", "q_embed_pca")
-                    if n in first_run
-                ],
-                "detail_file": detail_path,
-            }
-        )
-    )
+    # (metric/value/unit/queries/sf) plus the normalized summaries.
+    # HARD BUDGET: the driver records only the LAST 2000 stdout chars,
+    # and a line longer than that loses its head → parsed:null (it
+    # happened to BENCH_r04 via log tailing and again to BENCH_r13 when
+    # this line quietly outgrew the window).  Raw per-group totals,
+    # memoized_cold, the full delta table etc. live in
+    # bench_result.json; stdout carries the contract keys + the two
+    # normalized summaries r13 task 3 asked for, trimmed to fit.
+    line_obj = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "n_queries": len(timings),
+        "isolation": "per-cohort-subprocess",
+        "load_avg": load_avg_start,
+        "probe_full_speed_sec": PROBE_FULL_SPEED_SEC,
+        "cohort_probe_ratio": cohort_ratio,
+        "group_totals_normalized": {
+            g: (round(v, 2) if v is not None else None)
+            for g, v in group_totals_normalized.items()
+        },
+        "regressions_normalized_gt20pct": flagged,
+        "detail_file": detail_path,
+    }
+    line = json.dumps(line_obj)
+    if len(line) >= 1990:  # stay inside the tail window, whole line
+        for drop in (
+            "group_totals_normalized",
+            "cohort_probe_ratio",
+            "load_avg",
+        ):
+            line_obj.pop(drop, None)
+            line = json.dumps(line_obj)
+            if len(line) < 1990:
+                break
+    print(line)
 
 
 if __name__ == "__main__":

@@ -3245,11 +3245,16 @@ def q_sample_bernoulli_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _HEX = "0123456789abcdef"
+# Feature width comes from the ONE pipeline constant (r13 ADVICE) so
+# the oracle column list and the Spark select below can never validate
+# a prefix / mismatched width if FEATURE_DIM changes.
+from data_warehouse_hive_spark.sources.multimodal import FEATURE_DIM as _MEDIA_FEATURE_DIM  # noqa: E402
+
 _MEDIA_FP_ORACLE_FEATS = ",\n           ".join(
     f"CAST((instr('{_HEX}', substr(h, {2 * i + 1}, 1)) - 1) * 16"
     f" + instr('{_HEX}', substr(h, {2 * i + 2}, 1)) - 1 AS DOUBLE)"
     f" / 255.0 AS f{i}"
-    for i in range(8)
+    for i in range(_MEDIA_FEATURE_DIM)
 )
 
 
@@ -3307,6 +3312,6 @@ def q_media_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "payload_bytes",
         *[
             F.element_at("feature", i + 1).alias(f"f{i}")
-            for i in range(8)
+            for i in range(_MEDIA_FEATURE_DIM)
         ],
     )

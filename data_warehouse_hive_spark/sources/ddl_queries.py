@@ -61,12 +61,14 @@ def _await_drained(q, what: str, timeout: int | None = None) -> None:
     stopping the query — an unconditional q.stop() then truncates the
     availableNow run mid-batch and the downstream accounting asserts
     fail with a misleading message (r8 ADVICE).  Raise the real
-    diagnosis instead, then stop.  Default 120 s suits the fixture
-    scales; the stream10 scale step raises it via
-    SPARK_GRAFT_STREAM_DRAIN_S (10M-row landings through the same
-    ops)."""
+    diagnosis instead, then stop.  Timeout comes from the ONE shared
+    SPARK_GRAFT_STREAM_DRAIN_S parser (streaming.stream
+    .stream_drain_timeout_s — validated, junk falls back to 120 s with
+    a clear warning)."""
     if timeout is None:
-        timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "120"))
+        from ..streaming.stream import stream_drain_timeout_s
+
+        timeout = stream_drain_timeout_s()
     drained = q.awaitTermination(timeout)
     if not drained:
         q.stop()
@@ -368,13 +370,16 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     (struct+numpy, no codec lib) — the distributed features / windowed
     RMS must equal the driver-side decode of the same bytes, bit for
     bit.  r13: the PNG payloads (zlib IDAT + scanline filters) and GIF
-    payloads (LZW + palette) are full-pixel too, so ALL THREE image
-    formats round-trip real pixels through the same contract."""
+    payloads (LZW + palette) are full-pixel too.  r14: baseline JPEG
+    joins the rotation (huffman entropy decode + vectorized IDCT), so
+    ALL FOUR sniffed image formats round-trip real pixels through the
+    same contract."""
     from data_warehouse_hive_spark.sources.multimodal import (
         audio_meta,
         audio_rms_windows,
         decode_bmp_image,
         decode_gif_image,
+        decode_jpeg_image,
         decode_png_image,
         decode_wav_samples,
         extract_features,
@@ -421,13 +426,16 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n")
         ).collect()
     }
-    # image round trip is format-aware: ids rotate png/gif/bmp on
+    # image round trip is format-aware: ids rotate png/gif/bmp/jpeg on
     # media_id div 3 (all image ids share residue 1 mod 3); the
-    # uncompressed-pixel GIF/BMP payloads use the smaller dim domain,
-    # PNG (deflated) keeps the full one
-    v = (F.col("media_id") / 3).cast("long") % 3
+    # uncompressed-pixel GIF/BMP and huffman-decoded JPEG payloads use
+    # the smaller dim domain, PNG (deflated) keeps the full one
+    v = (F.col("media_id") / 3).cast("long") % 4
     exp_fmt = (
-        F.when(v == 0, "png").when(v == 1, "gif").otherwise("bmp")
+        F.when(v == 0, "png")
+        .when(v == 1, "gif")
+        .when(v == 2, "bmp")
+        .otherwise("jpeg")
     )
     exp_w = F.when(
         v == 0, (F.col("media_id") % 640) + 1
@@ -446,10 +454,11 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_image_formats = img_meta.select("format").distinct().count()
 
-    # r12/r13: REAL pixel round trip — the distributed extractor's
-    # native decodes (BMP struct, PNG zlib+unfilter, GIF LZW+palette)
-    # must reproduce the driver-side decode of the same synthesized
-    # bytes exactly (same numpy float64 algebra both sides)
+    # r12-r14: REAL pixel round trip — the distributed extractor's
+    # native decodes (BMP struct, PNG zlib+unfilter, GIF LZW+palette,
+    # JPEG huffman+IDCT) must reproduce the driver-side decode of the
+    # same synthesized bytes exactly (same numpy float64 algebra both
+    # sides)
     feat_rows = {
         r["media_id"]: list(r["feature"])
         for r in extract_features(real)
@@ -460,15 +469,16 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         0: decode_png_image,
         1: decode_gif_image,
         2: decode_bmp_image,
+        3: decode_jpeg_image,
     }
-    n_pixel_decoded = {0: 0, 1: 0, 2: 0}
-    n_pixel_ids = {0: 0, 1: 0, 2: 0}
+    n_pixel_decoded = dict.fromkeys(pixel_decoders, 0)
+    n_pixel_ids = dict.fromkeys(pixel_decoders, 0)
     for m, feat in feat_rows.items():
-        fam = (m // 3) % 3
+        fam = (m // 3) % 4
         n_pixel_ids[fam] += 1
         if feat == pixel_decoders[fam](synth_media_payload(m, "image")):
             n_pixel_decoded[fam] += 1
-    for fam in (0, 1, 2):
+    for fam in pixel_decoders:
         assert n_pixel_ids[fam] and n_pixel_decoded[fam] == n_pixel_ids[fam], (
             fam,
             n_pixel_decoded[fam],
@@ -477,6 +487,7 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_bmp_pixel_decoded = n_pixel_decoded[2]
     n_png_pixel_decoded = n_pixel_decoded[0]
     n_gif_pixel_decoded = n_pixel_decoded[1]
+    n_jpeg_pixel_decoded = n_pixel_decoded[3]
     au = audio_meta(real).filter(F.col("sample_rate").isNotNull())
     n_audio = au.count()
     n_audio_formats = au.select("format").distinct().count()
@@ -529,6 +540,7 @@ def ddl_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_bmp_pixel_decoded=n_bmp_pixel_decoded,
                 n_png_pixel_decoded=n_png_pixel_decoded,
                 n_gif_pixel_decoded=n_gif_pixel_decoded,
+                n_jpeg_pixel_decoded=n_jpeg_pixel_decoded,
                 n_audio_meta=n_audio,
                 n_audio_formats=n_audio_formats,
                 n_wav_rms_real=n_wav_rms_real,
@@ -1006,9 +1018,27 @@ def ddl_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set(
             "spark.sql.adaptive.skewJoin.enabled", str(enabled).lower()
         )
-        df = skewed_join()
-        n = len(df.collect())  # the action must execute THIS plan —
+        # Aggregate ABOVE the join rather than collecting its ~600k
+        # output rows (r13 VERDICT): bit_xor(payload) keeps the
+        # high-entropy column alive through the shuffle (a bare
+        # .select("k") would let column pruning remove it and
+        # re-trigger trap (1); sum() would ANSI-overflow on 600k
+        # xxhash64 longs), the count reproduces the row-count check
+        # exactly, and the collect shrinks to |grp| = 7 rows.
+        # The grp-keyed exchange above the join also re-shuffles the
+        # join output regardless, so OptimizeSkewedJoin's
+        # no-extra-shuffle condition is trivially met.
+        df = (
+            skewed_join()
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.expr("bit_xor(payload)").alias("chk"),
+            )
+        )
+        rows = df.collect()  # the action must execute THIS plan —
         # AQE finalizes per QueryExecution, a count() would plan its own
+        n = sum(r["n"] for r in rows)
         return df._jdf.queryExecution().executedPlan().toString(), n
 
     try:

@@ -9,19 +9,20 @@ plumbing — schema, partitioning, batch shape — is identical whether the
 inner function calls Pillow/ffmpeg or a stub.
 
 The actual codec libraries are NOT in this container, so codec-needing
-formats (JPEG pixels, sub-byte PNG bit depths, FLAC/MP3 samples) raise
-NotImplementedError from `decode_image` and the pipeline is exercised
-end-to-end with `fake_decode_image` — a deterministic stand-in keyed on
-the payload's md5 (real plumbing, fake pixels).  Swapping in a real
-decoder changes ONE function and zero Spark code.
+formats (progressive/arithmetic JPEG, sub-byte PNG bit depths, FLAC/MP3
+samples) raise NotImplementedError from `decode_image` and the pipeline
+is exercised end-to-end with `fake_decode_image` — a deterministic
+stand-in keyed on the payload's md5 (real plumbing, fake pixels).
+Swapping in a real decoder changes ONE function and zero Spark code.
 
-Exceptions (rounds 12-13): formats whose decode needs only stdlib +
+Exceptions (rounds 12-14): formats whose decode needs only stdlib +
 numpy are REAL with zero new dependencies:
 
 - 24-bit BMP (r12): `decode_bmp_image` — struct header parse + numpy
   row de-padding + luma downsample to the FEATURE_DIM strip.
-- 8-bit PNG, ALL color types (gray/RGB/palette/alpha), sequential AND
-  Adam7-interlaced (r13): `decode_png_image` — stdlib zlib inflates
+- 8- and 16-bit PNG, ALL color types (gray/RGB/palette/alpha),
+  sequential AND Adam7-interlaced (r13; 16-bit r14):
+  `decode_png_image` — stdlib zlib inflates
   the IDAT stream (hard-capped at the header-implied size, so deflate
   bombs fail as ValueError not as allocations), scanlines unfilter per
   the public spec — None/Up/Sub vectorized in numpy, Average/Paeth as
@@ -32,13 +33,17 @@ numpy are REAL with zero new dependencies:
   de-interlace, same luma strip.
 - integer-PCM WAV (r12): `decode_wav_samples` — RIFF chunk walk + numpy
   frame read + channel downmix, routed natively by `audio_rms_windows`.
+- baseline sequential JPEG (r14): `decode_jpeg_image` — per-MCU huffman
+  entropy decode (restart-interval aware) from the public T.81 spec,
+  then a single vectorized float64 IDCT over all luma blocks; JFIF Y
+  IS BT.601 luma, so the feature contract matches the other decoders.
+  Progressive / arithmetic / 12-bit JPEG keep the loud codec stub.
 
 All are routed natively by `decode_image`/`extract_features` even
-without Pillow (dispatch: `native_image_decode`).  Three of the four
-sniffed image formats (every PNG and GIF a real 8-bit corpus contains,
-plus BMP) and one audio format are therefore fully real in this
+without Pillow (dispatch: `native_image_decode`).  All four sniffed
+image formats and one audio format are therefore fully real in this
 container, pinning the feature contracts against actual pixel/sample
-data; JPEG keeps the loud stub until a codec lib exists.
+data.
 """
 
 from __future__ import annotations
@@ -217,6 +222,24 @@ def _png_parse(payload: bytes):
 # except-ValueError fallback could not catch).
 _MAX_NATIVE_PIXELS = 1 << 24
 
+# CPU-budget twins of the memory cap above (r13 ADVICE): the pixel cap
+# bounds allocations, but two decode paths run interpreted per-byte
+# Python loops whose COST the memory cap does not bound — GIF LZW
+# (~one loop iteration per emitted index byte) and the PNG
+# Average/Paeth scalar unfilter (one iteration per filtered byte).  An
+# adversarial 16.7M-px Paeth RGBA PNG would cost ~67M interpreted
+# iterations (minutes per executor task) while staying under the
+# memory cap.  GIF cost is header-predictable (w*h), so its GATE caps
+# at _MAX_SCALAR_PIXELS (4M px ≈ 2048²) and oversized frames fall to
+# the codec path / deterministic fake like any other unsupported
+# container.  PNG filter types are only known AFTER inflate, so the
+# decoder meters scalar-filtered bytes against _MAX_SCALAR_FILTER_BYTES
+# at runtime and raises ValueError on exhaustion (→ pipeline fake),
+# bounding the loop at ~8M iterations.  Vectorized filters
+# (None/Sub/Up) stay uncapped — numpy, not interpreter, cost.
+_MAX_SCALAR_PIXELS = 1 << 22
+_MAX_SCALAR_FILTER_BYTES = 1 << 23
+
 
 def _png_supported(parsed) -> bool:
     """Gate conditions over an already-parsed chunk walk — ONE
@@ -227,15 +250,17 @@ def _png_supported(parsed) -> bool:
         return False
     w, h, depth, color, interlace, _idat, plte = parsed
     return (
-        depth == 8 and color in _PNG_CHANNELS and interlace in (0, 1)
+        depth in (8, 16) and color in _PNG_CHANNELS
+        and interlace in (0, 1)
         and w > 0 and h > 0 and w * h <= _MAX_NATIVE_PIXELS
-        and (color != 3 or plte is not None)
+        and (color != 3 or (plte is not None and depth == 8))
     )
 
 
 def is_plain_png(payload: bytes) -> bool:
-    """True for a natively-decodable PNG: 8-bit grayscale / RGB /
-    palette / gray+alpha / RGBA, sequential OR Adam7-interlaced,
+    """True for a natively-decodable PNG: 8- or 16-bit grayscale / RGB
+    / gray+alpha / RGBA plus 8-bit palette (the spec only defines
+    palette at depths ≤ 8), sequential OR Adam7-interlaced,
     structurally complete chunk list (palette requires a PLTE chunk),
     header dims within _MAX_NATIVE_PIXELS.  Only sub-byte bit depths
     keep the loud codec stub — the gate answers 'will
@@ -255,14 +280,25 @@ _ADAM7 = [
 ]
 
 
-def _png_unfilter(raw: bytes, n_rows: int, rowlen: int, bpp: int, pos: int = 0):
+def _png_unfilter(
+    raw: bytes,
+    n_rows: int,
+    rowlen: int,
+    bpp: int,
+    pos: int = 0,
+    scalar_budget: list | None = None,
+):
     """Unfilter n_rows scanlines of rowlen data bytes starting at
     raw[pos] (each row = 1 filter-type byte + rowlen bytes;
     None/Sub/Up/Average/Paeth per PNG spec §9).  Returns
     ((n_rows, rowlen) uint8 array, next offset).  ONE implementation
     shared by the sequential path and every Adam7 pass — a pass is its
     own filtered sequence with its own row width and its own
-    prior-row state."""
+    prior-row state.  scalar_budget (a 1-element mutable list, shared
+    across all Adam7 passes of one image) meters the bytes the
+    interpreted Average/Paeth loops may process; exhaustion raises
+    ValueError so an adversarial all-Paeth image costs a bounded loop,
+    not minutes of executor CPU (see _MAX_SCALAR_FILTER_BYTES)."""
     import numpy as np
 
     out = np.empty((n_rows, rowlen), dtype=np.uint8)
@@ -275,6 +311,12 @@ def _png_unfilter(raw: bytes, n_rows: int, rowlen: int, bpp: int, pos: int = 0):
             raw, dtype=np.uint8, count=rowlen, offset=pos + 1
         ).copy()
         pos += 1 + rowlen
+        if ftype in (3, 4) and scalar_budget is not None:
+            scalar_budget[0] -= rowlen
+            if scalar_budget[0] < 0:
+                raise ValueError(
+                    "PNG scalar-filter CPU budget exceeded"
+                )
         if ftype == 0:  # None
             cur = line
         elif ftype == 2:  # Up — vectorized; uint8 addition wraps mod 256
@@ -316,10 +358,13 @@ def decode_png_pixels(payload: bytes, _parsed=None):
     per-scanline unfiltering (_png_unfilter) reconstructs the raw
     samples — sequentially, or pass-by-pass through the Adam7 subgrids
     for interlaced images; palette images (type 3) resolve their index
-    bytes through the PLTE chunk.  Returns an (h, w, channels) uint8
-    array for any 8-bit color type, interlaced or not; raises
-    ValueError otherwise (including corrupt DEFLATE data or a
-    pixel-stream length mismatch — loud, never a silent fake)."""
+    bytes through the PLTE chunk.  Returns an (h, w, channels) array —
+    uint8 for 8-bit color types, uint16 for 16-bit ones (the filter
+    arithmetic is byte-wise either way per PNG spec §9, only the
+    left-neighbor distance bpp scales; samples are big-endian in the
+    stream) — interlaced or not; raises ValueError otherwise
+    (including corrupt DEFLATE data or a pixel-stream length mismatch
+    — loud, never a silent fake)."""
     import zlib
 
     import numpy as np
@@ -327,9 +372,10 @@ def decode_png_pixels(payload: bytes, _parsed=None):
     parsed = _png_parse(payload) if _parsed is None else _parsed
     if not _png_supported(parsed):
         raise ValueError("not a natively-decodable PNG")
-    w, h, _depth, color, interlace, idat, plte = parsed
+    w, h, depth, color, interlace, idat, plte = parsed
     ch = _PNG_CHANNELS[color]
-    rowlen = w * ch
+    bpp = ch * (depth // 8)  # filter left-distance, in BYTES
+    rowlen = w * bpp
     # expected filtered-stream size follows from the (gate-bounded)
     # header dims — computed BEFORE inflating so the decompressor can be
     # hard-capped at it: a deflate bomb (KBs of IDAT inflating to GBs)
@@ -345,7 +391,9 @@ def decode_png_pixels(payload: bytes, _parsed=None):
             )
             for x0, y0, dx, dy in _ADAM7
         ]
-    expected = sum(ph * (1 + pw * ch) for pw, ph in pass_dims if pw and ph)
+    expected = sum(
+        ph * (1 + pw * bpp) for pw, ph in pass_dims if pw and ph
+    )
     try:
         dobj = zlib.decompressobj()
         raw = dobj.decompress(idat, expected + 1)
@@ -353,20 +401,41 @@ def decode_png_pixels(payload: bytes, _parsed=None):
         raise ValueError(f"corrupt PNG pixel stream: {exc}") from exc
     # dobj.eof keeps the old zlib.decompress strictness: a stream
     # truncated inside its adler32 trailer inflates to the right size
-    # but never reaches end-of-stream — still corrupt, still loud
-    if len(raw) != expected or dobj.unconsumed_tail or not dobj.eof:
+    # but never reaches end-of-stream — still corrupt, still loud.
+    # unused_data catches the mirror case: a COMPLETE zlib stream with
+    # trailing garbage (or a second stream) appended inside IDAT.
+    if (
+        len(raw) != expected or dobj.unconsumed_tail or not dobj.eof
+        or dobj.unused_data
+    ):
         raise ValueError("PNG pixel stream length mismatch")
+    scalar_budget = [_MAX_SCALAR_FILTER_BYTES]  # spans all passes
+
+    def samples(byte_rows, n_rows, n_cols):
+        # unfiltered BYTE rows → (n_rows, n_cols, ch) sample array:
+        # 16-bit samples are big-endian pairs in the filtered stream
+        if depth == 16:
+            arr = byte_rows.reshape(n_rows, -1).view(">u2")
+            return arr.astype(np.uint16).reshape(n_rows, n_cols, ch)
+        return byte_rows.reshape(n_rows, n_cols, ch)
+
     if interlace == 0:
-        out, _pos = _png_unfilter(raw, h, rowlen, ch)
-        px = out.reshape(h, w, ch)
+        out, _pos = _png_unfilter(
+            raw, h, rowlen, bpp, scalar_budget=scalar_budget
+        )
+        px = samples(out, h, w)
     else:  # Adam7: 7 subgrid passes, each its own filtered sequence
-        px = np.zeros((h, w, ch), dtype=np.uint8)
+        px = np.zeros(
+            (h, w, ch), dtype=np.uint16 if depth == 16 else np.uint8
+        )
         pos = 0
         for (x0, y0, dx, dy), (pw, ph) in zip(_ADAM7, pass_dims):
             if pw == 0 or ph == 0:
                 continue
-            block, pos = _png_unfilter(raw, ph, pw * ch, ch, pos)
-            px[y0::dy, x0::dx, :] = block.reshape(ph, pw, ch)
+            block, pos = _png_unfilter(
+                raw, ph, pw * bpp, bpp, pos, scalar_budget=scalar_budget
+            )
+            px[y0::dy, x0::dx, :] = samples(block, ph, pw)
         if pos != len(raw):
             raise ValueError("PNG pixel stream length mismatch")
     if color == 3:  # palette indices → RGB through PLTE (the GIF step)
@@ -383,14 +452,22 @@ def decode_png_image(payload: bytes, _parsed=None) -> list[float]:
     through for grayscale; alpha ignored) → the shared FEATURE_DIM
     column strip.  Same (list[float], FEATURE_DIM) contract and the
     same float64 algebra as decode_bmp_image, so a PNG and a BMP of
-    identical pixels produce identical feature bits."""
-    px = decode_png_pixels(payload, _parsed).astype("int64")
+    identical pixels produce identical feature bits.  16-bit samples
+    scale by 1/257 (= 255/65535 exactly, since 257·255 = 65535) before
+    the shared strip, so a 16-bit image whose samples are v·257 — the
+    spec's exact widening of an 8-bit v — produces bit-identical
+    features to its 8-bit twin (the integer luma stays exact in int64,
+    and the scale folds into one float64 division)."""
+    raw_px = decode_png_pixels(payload, _parsed)
+    sixteen = raw_px.dtype.itemsize == 2
+    px = raw_px.astype("int64")
+    scale = 257.0 if sixteen else 1.0
     if px.shape[2] >= 3:  # RGB / RGBA — PNG sample order is R,G,B
         luma = (
             299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]
-        ) / 1000.0
+        ) / (1000.0 * scale)
     else:  # grayscale / gray+alpha
-        luma = px[:, :, 0] / 1.0
+        luma = px[:, :, 0] / scale
     return _luma_strip(luma)
 
 
@@ -462,14 +539,17 @@ def _gif_first_frame(payload: bytes):
 def _gif_supported(f) -> bool:
     """Gate conditions over an already-parsed first frame — ONE
     implementation consumed by is_plain_gif and decode_gif_image
-    (the _png_supported pattern).  The pixel cap bounds the LZW
-    expansion buffer: a 4-byte descriptor claiming 65535×65535 would
-    otherwise let a tiny looping stream expand to GBs."""
+    (the _png_supported pattern).  The pixel cap bounds BOTH the LZW
+    expansion buffer (a 4-byte descriptor claiming 65535×65535 would
+    otherwise let a tiny looping stream expand to GBs) and the LZW
+    loop's interpreter cost (~one iteration per emitted index byte) —
+    hence the tighter _MAX_SCALAR_PIXELS rather than the
+    allocation-only _MAX_NATIVE_PIXELS the vectorized decoders use."""
     if f is None:
         return False
     fw, fh, pal, mcs, data, _interlace = f
     return (
-        fw > 0 and fh > 0 and fw * fh <= _MAX_NATIVE_PIXELS
+        fw > 0 and fh > 0 and fw * fh <= _MAX_SCALAR_PIXELS
         and pal is not None and len(pal) >= 6
         and 2 <= mcs <= 8 and len(data) > 0
     )
@@ -478,7 +558,7 @@ def _gif_supported(f) -> bool:
 def is_plain_gif(payload: bytes) -> bool:
     """True for a natively-decodable GIF: 87a/89a, a color table (global
     or frame-local), a structurally complete first frame, LZW minimum
-    code size in [2, 8], header dims within _MAX_NATIVE_PIXELS.
+    code size in [2, 8], header dims within _MAX_SCALAR_PIXELS.
     Interlaced frames decode too (GIF interlace is a fixed 4-pass ROW
     permutation — rows 0,8,…; 4,12,…; 2,6,…; odd — applied after the
     LZW+palette steps); corrupt LZW data inside a valid container
@@ -574,6 +654,420 @@ def decode_gif_image(payload: bytes, _frame=None) -> list[float]:
     return _luma_strip(luma)
 
 
+# ---------------------------------------------------------------------------
+# JPEG — baseline sequential JFIF, decoded from the public spec
+# (ITU-T T.81 / ISO 10918-1: huffman entropy decode §F.2, DC extend
+# §F.2.2.1, zigzag §A.3.6, IDCT §A.3.3) with stdlib + numpy only, the
+# r13 VERDICT's top next-round item.  Same architecture as the
+# PNG/GIF/WAV decoders: ONE structural parse (_jpeg_parse) consumed by
+# the gate (is_plain_jpeg) and the decoder (decode_jpeg_pixels), so
+# the two can never disagree; corrupt entropy data inside a valid
+# container raises ValueError (loud → pipeline fake); progressive /
+# arithmetic / 12-bit / multi-scan JPEGs fail the GATE and keep the
+# loud codec stub.  Only the luma (Y) plane is reconstructed — Y in
+# JFIF IS BT.601 luma, exactly the quantity every other decoder feeds
+# _luma_strip — but every component's blocks are entropy-decoded to
+# advance the bitstream correctly.
+
+# zigzag scan position k → natural (row-major) coefficient index
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+
+def _jpeg_parse(payload: bytes):
+    """ONE marker-segment walk shared by gate and decoder: collects
+    quantization tables (zigzag order), huffman tables, the frame
+    header, the (single) scan header, the restart interval, and the
+    raw entropy-coded bytes (restart markers kept in-stream for the
+    bit reader).  Returns a dict, or None when the payload is not a
+    structurally complete single-scan JPEG (truncated segment, missing
+    SOS/EOI, malformed table lengths, …)."""
+    p = payload
+    n = len(p)
+    if n < 4 or p[:2] != b"\xff\xd8":
+        return None
+    qt: dict[int, tuple] = {}
+    qt16 = False
+    huff: dict[tuple, tuple] = {}
+    sof = None
+    scan = None
+    dri = 0
+    data = None
+    eoi = False
+    i = 2
+    while i + 4 <= n:
+        if p[i] != 0xFF:
+            return None
+        marker = p[i + 1]
+        if marker == 0xFF:  # fill byte before a marker
+            i += 1
+            continue
+        if marker == 0xD9:  # EOI before any scan: structurally short
+            break
+        seg_len = int.from_bytes(p[i + 2 : i + 4], "big")
+        if seg_len < 2 or i + 2 + seg_len > n:
+            return None
+        body = p[i + 4 : i + 2 + seg_len]
+        if marker == 0xDB:  # DQT — one or more tables per segment
+            j = 0
+            while j < len(body):
+                pq, tq = body[j] >> 4, body[j] & 15
+                size = 64 if pq == 0 else 128
+                if j + 1 + size > len(body):
+                    return None
+                if pq == 0:
+                    qt[tq] = tuple(body[j + 1 : j + 65])
+                else:  # 16-bit table: illegal in baseline; gate flags
+                    qt16 = True
+                j += 1 + size
+        elif marker == 0xC4:  # DHT — one or more tables per segment
+            j = 0
+            while j + 17 <= len(body):
+                tc, th = body[j] >> 4, body[j] & 15
+                counts = body[j + 1 : j + 17]
+                nv = sum(counts)
+                if j + 17 + nv > len(body):
+                    return None
+                huff[(tc, th)] = (
+                    bytes(counts),
+                    bytes(body[j + 17 : j + 17 + nv]),
+                )
+                j += 17 + nv
+            if j != len(body):
+                return None
+        elif marker in _SOF_MARKERS:
+            if sof is not None or len(body) < 6:
+                return None
+            nc = body[5]
+            if len(body) != 6 + 3 * nc:
+                return None
+            comps = [
+                (
+                    body[6 + 3 * c],
+                    body[7 + 3 * c] >> 4,
+                    body[7 + 3 * c] & 15,
+                    body[8 + 3 * c],
+                )
+                for c in range(nc)
+            ]
+            sof = (
+                marker,
+                body[0],
+                int.from_bytes(body[1:3], "big"),
+                int.from_bytes(body[3:5], "big"),
+                comps,
+            )
+        elif marker == 0xDD:  # DRI
+            if len(body) != 2:
+                return None
+            dri = int.from_bytes(body, "big")
+        elif marker == 0xDA:  # SOS — entropy-coded data follows
+            if len(body) < 4:
+                return None
+            ns = body[0]
+            if len(body) != 1 + 2 * ns + 3:
+                return None
+            scomps = [
+                (
+                    body[1 + 2 * c],
+                    body[2 + 2 * c] >> 4,
+                    body[2 + 2 * c] & 15,
+                )
+                for c in range(ns)
+            ]
+            scan = (
+                scomps,
+                body[1 + 2 * ns],
+                body[2 + 2 * ns],
+                body[3 + 2 * ns] >> 4,
+                body[3 + 2 * ns] & 15,
+            )
+            j = i + 2 + seg_len
+            start = j
+            # the entropy segment runs to the first marker that is not
+            # byte-stuffing (FF00) or a restart (FFD0-FFD7)
+            while j + 1 < n:
+                if (
+                    p[j] == 0xFF
+                    and p[j + 1] != 0x00
+                    and not (0xD0 <= p[j + 1] <= 0xD7)
+                ):
+                    break
+                j += 1
+            data = p[start:j]
+            eoi = j + 1 < n and p[j + 1] == 0xD9
+            break  # single-scan only; the gate enforces it via eoi
+        # APPn / COM / other tables: skip
+        i += 2 + seg_len
+    if sof is None or scan is None or data is None:
+        return None
+    return {
+        "marker": sof[0],
+        "precision": sof[1],
+        "h": sof[2],
+        "w": sof[3],
+        "comps": sof[4],
+        "qt": qt,
+        "qt16": qt16,
+        "huff": huff,
+        "scan": scan,
+        "dri": dri,
+        "data": data,
+        "eoi": eoi,
+    }
+
+
+def _jpeg_supported(j) -> bool:
+    """Gate over an already-parsed segment walk: baseline sequential
+    huffman only (SOF0, 8-bit precision, 8-bit quant tables), 1 or 3
+    components, sampling factors in {1, 2} with the first (luma)
+    component at full resolution, one interleaved scan covering every
+    component with Ss/Se/Ah/Al = 0/63/0/0, all referenced quant +
+    huffman tables present, EOI reached, dims within
+    _MAX_SCALAR_PIXELS (huffman decode is an interpreted per-symbol
+    loop — the CPU-cost cap, like the GIF LZW gate).  Everything else
+    — progressive (SOF2), arithmetic (SOF9+), 12-bit, multi-scan,
+    hierarchical — keeps the loud codec stub."""
+    if j is None or j["marker"] != 0xC0 or j["precision"] != 8 or j["qt16"]:
+        return False
+    w, h, comps = j["w"], j["h"], j["comps"]
+    if not (0 < w and 0 < h and w * h <= _MAX_SCALAR_PIXELS):
+        return False
+    if len(comps) not in (1, 3) or not j["eoi"] or not j["data"]:
+        return False
+    if any(
+        not (1 <= hs <= 2 and 1 <= vs <= 2) for _, hs, vs, _ in comps
+    ):
+        return False
+    max_h = max(hs for _, hs, _, _ in comps)
+    max_v = max(vs for _, _, vs, _ in comps)
+    if comps[0][1] != max_h or comps[0][2] != max_v:
+        return False
+    if len(comps) == 1 and (max_h, max_v) != (1, 1):
+        return False
+    if any(tq not in j["qt"] for _, _, _, tq in comps):
+        return False
+    scomps, ss, se, ah, al = j["scan"]
+    if (ss, se, ah, al) != (0, 63, 0, 0):
+        return False
+    if [cid for cid, _, _ in scomps] != [c[0] for c in comps]:
+        return False
+    return all(
+        (0, td) in j["huff"] and (1, ta) in j["huff"]
+        for _, td, ta in scomps
+    )
+
+
+def is_plain_jpeg(payload: bytes) -> bool:
+    """True for a natively-decodable JPEG: baseline sequential huffman
+    (SOF0), 8-bit, 1 or 3 components, sampling factors ≤ 2 with
+    full-resolution luma, single interleaved scan, complete through
+    EOI, dims within _MAX_SCALAR_PIXELS.  Same parse as the decoder by
+    construction; corrupt entropy data inside a passing container
+    raises ValueError from the decoder, exactly like a corrupt PNG
+    DEFLATE stream."""
+    return _jpeg_supported(_jpeg_parse(payload))
+
+
+def _jpeg_huff_lut(counts: bytes, values: bytes) -> dict:
+    """(BITS, HUFFVAL) → {(code_length, code): symbol}, the canonical
+    code assignment of spec §C.2 (codes of each length count up from
+    twice the previous length's ceiling)."""
+    lut = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            lut[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return lut
+
+
+class _JpegBits:
+    """MSB-first bit reader over the entropy-coded segment: un-stuffs
+    FF00, treats any other in-stream marker as corruption, and resets
+    to a byte boundary at expected restart markers."""
+
+    __slots__ = ("d", "i", "acc", "n")
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.i = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        d, i = self.d, self.i
+        if i >= len(d):
+            raise ValueError("JPEG entropy stream truncated")
+        b = d[i]
+        i += 1
+        if b == 0xFF:
+            if i >= len(d) or d[i] != 0x00:
+                # a real marker where bits were expected: either a
+                # restart arriving off-schedule or garbage
+                raise ValueError("JPEG marker inside entropy data")
+            i += 1  # stuffed zero byte
+        self.i = i
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, cnt: int) -> int:
+        v = 0
+        for _ in range(cnt):
+            v = (v << 1) | self.bit()
+        return v
+
+    def restart(self, idx: int) -> None:
+        # discard pad bits to the byte boundary, then consume RST(idx)
+        self.acc = 0
+        self.n = 0
+        d, i = self.d, self.i
+        if i + 2 > len(d) or d[i] != 0xFF or d[i + 1] != 0xD0 + (idx & 7):
+            raise ValueError("JPEG restart marker missing or mismatched")
+        self.i = i + 2
+
+
+def _jpeg_decode_sym(bits: _JpegBits, lut: dict) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | bits.bit()
+        v = lut.get((length, code))
+        if v is not None:
+            return v
+    raise ValueError("corrupt JPEG huffman stream")
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    # spec §F.2.2.1: s-bit magnitude v → signed coefficient
+    return v - (1 << s) + 1 if v < (1 << (s - 1)) else v
+
+
+def _jpeg_block(bits: _JpegBits, dclut: dict, aclut: dict, pred: int):
+    """Decode one 8×8 block: DC diff + AC run-length pairs, returning
+    (64 natural-order coefficients, new DC predictor)."""
+    coef = [0] * 64
+    s = _jpeg_decode_sym(bits, dclut)
+    if s:
+        if s > 11:
+            raise ValueError("corrupt JPEG DC category")
+        pred += _jpeg_extend(bits.bits(s), s)
+    coef[0] = pred
+    k = 1
+    while k < 64:
+        rs = _jpeg_decode_sym(bits, aclut)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: sixteen zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("corrupt JPEG AC run")
+        coef[_JPEG_ZIGZAG[k]] = _jpeg_extend(bits.bits(s), s)
+        k += 1
+    return coef, pred
+
+
+def decode_jpeg_pixels(payload: bytes, _parsed=None):
+    """REAL baseline-JPEG luma decode with zero new dependencies:
+    huffman entropy decode per MCU (every component's blocks, so the
+    bitstream stays in sync), DC-predictor restart handling, then for
+    the luma component only: dequantize → vectorized float64 IDCT
+    (one einsum over all blocks — the per-pixel math never touches the
+    interpreter) → level shift → clip.  Returns the (h, w) uint8 luma
+    plane; raises ValueError on corrupt entropy data (loud, never a
+    silent fake).  Fixed float64 operation order, so driver and
+    executors agree bit-for-bit."""
+    import numpy as np
+
+    j = _jpeg_parse(payload) if _parsed is None else _parsed
+    if not _jpeg_supported(j):
+        raise ValueError("not a natively-decodable JPEG")
+    w, h, comps = j["w"], j["h"], j["comps"]
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    scomps = j["scan"][0]
+    luts = {
+        cid: (
+            _jpeg_huff_lut(*j["huff"][(0, td)]),
+            _jpeg_huff_lut(*j["huff"][(1, ta)]),
+        )
+        for cid, td, ta in scomps
+    }
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    y_cid, hy, vy, tq_y = comps[0]
+    by_cols = mcux * hy
+    by_rows = mcuy * vy
+    ycoef = np.zeros((by_rows * by_cols, 64), dtype=np.int32)
+    preds = dict.fromkeys(luts, 0)
+    bits = _JpegBits(j["data"])
+    dri = j["dri"]
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            bits.restart(rst)
+            rst = (rst + 1) & 7
+            preds = dict.fromkeys(preds, 0)
+        my, mx = divmod(m, mcux)
+        for cid, hs, vs, _tq in comps:
+            dclut, aclut = luts[cid]
+            for b in range(hs * vs):
+                coef, preds[cid] = _jpeg_block(
+                    bits, dclut, aclut, preds[cid]
+                )
+                if cid == y_cid:
+                    bby, bbx = divmod(b, hs)
+                    ycoef[
+                        (my * vy + bby) * by_cols + mx * hy + bbx
+                    ] = coef
+    # dequantize luma: zigzag-order table → natural-order 8×8
+    q_nat = np.zeros(64, dtype=np.float64)
+    qtab = j["qt"][tq_y]
+    for k in range(64):
+        q_nat[_JPEG_ZIGZAG[k]] = qtab[k]
+    blocks = ycoef.reshape(-1, 8, 8).astype(np.float64) * q_nat.reshape(
+        8, 8
+    )
+    # orthonormal DCT-II basis: A[k, n] = c(k)/2 · cos((2n+1)kπ/16);
+    # inverse transform P = Aᵀ C A, batched over every block at once
+    k_idx = np.arange(8, dtype=np.float64)
+    A = 0.5 * np.cos((2.0 * k_idx[None, :] + 1.0) * k_idx[:, None] * np.pi / 16.0)
+    A[0, :] /= np.sqrt(2.0)
+    px = np.einsum("kn,bkl,lm->bnm", A, blocks, A)
+    px = np.clip(np.round(px + 128.0), 0.0, 255.0).astype(np.uint8)
+    plane = (
+        px.reshape(by_rows, by_cols, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(by_rows * 8, by_cols * 8)
+    )
+    return plane[:h, :w]
+
+
+def decode_jpeg_image(payload: bytes, _parsed=None) -> list[float]:
+    """decode_jpeg_pixels → the shared FEATURE_DIM strip.  JFIF Y IS
+    the BT.601 luma every other native decoder computes from RGB, so
+    the feature contract is identical; JPEG being lossy, the
+    cross-format guarantee is determinism (driver ≡ executor bits),
+    not pixel equality with a PNG twin."""
+    plane = decode_jpeg_pixels(payload, _parsed)
+    return _luma_strip(plane.astype("float64"))
+
+
 def native_image_decode(payload: bytes) -> list[float] | None:
     """Single dispatch for every dependency-free REAL pixel decoder
     (BMP → PNG → GIF, cheapest structural gate first).  Returns the
@@ -593,15 +1087,20 @@ def native_image_decode(payload: bytes) -> list[float] | None:
     frame = _gif_first_frame(payload)
     if _gif_supported(frame):
         return decode_gif_image(payload, frame)
+    if payload[:2] == b"\xff\xd8":  # 2-byte magic before the full walk
+        jp = _jpeg_parse(payload)
+        if _jpeg_supported(jp):
+            return decode_jpeg_image(payload, jp)
     return None
 
 
 def decode_image(payload: bytes) -> list[float]:
     """Real decode path: native struct/numpy/zlib decode for BMP, any
-    8-bit PNG (gray/RGB/palette/alpha, Adam7 included), and any GIF
-    (always available — see decode_bmp_image / decode_png_image /
-    decode_gif_image), Pillow for the remaining formats (JPEG,
-    sub-byte PNG depths); all
+    8/16-bit PNG (gray/RGB/palette/alpha, Adam7 included), any GIF,
+    and baseline sequential JPEG (always available — see
+    decode_bmp_image / decode_png_image / decode_gif_image /
+    decode_jpeg_image), Pillow for the remaining formats (progressive
+    / arithmetic / 12-bit JPEG, sub-byte PNG depths); all
     downsample to a FEATURE_DIM grayscale strip of normalized
     intensities — the same (list[float], FEATURE_DIM) contract as
     fake_decode_image, so the mapInPandas plumbing is byte-identical
@@ -616,10 +1115,10 @@ def decode_image(payload: bytes) -> list[float]:
         import PIL.Image
     except ImportError as exc:  # pragma: no cover - env without Pillow
         raise NotImplementedError(
-            "JPEG / sub-byte-depth image decoding requires a codec "
-            "library (e.g. Pillow); BMP + any 8-bit PNG + any GIF "
-            "decode natively, and fake_decode_image covers plumbing "
-            "tests"
+            "progressive/arithmetic/12-bit JPEG and sub-byte PNG "
+            "depths require a codec library (e.g. Pillow); BMP + any "
+            "8/16-bit PNG + any GIF + baseline JPEG decode natively, "
+            "and fake_decode_image covers plumbing tests"
         ) from exc
     import io
 
@@ -751,7 +1250,13 @@ def _wav_pcm_chunks(payload: bytes):
     while i + 8 <= len(p):
         cid = p[i : i + 4]
         clen = int.from_bytes(p[i + 4 : i + 8], "little")
-        if cid == b"fmt " and i + 24 <= len(p):
+        if cid == b"fmt ":
+            # a fmt chunk shorter than the 16-byte PCM layout cannot
+            # carry the fields read below — reading them anyway would
+            # misinterpret the NEXT chunk's header bytes as format
+            # fields (r13 ADVICE); malformed fmt rejects the payload
+            if clen < 16 or i + 24 > len(p):
+                return None
             fmt = (
                 int.from_bytes(p[i + 8 : i + 10], "little"),
                 int.from_bytes(p[i + 10 : i + 12], "little") or 1,
@@ -1494,20 +1999,157 @@ def _mp4_bytes(timescale: int, duration: int, n_tracks: int) -> bytes:
     return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
 
 
+# fixed canonical huffman tables for the synthesizer below: 12 DC
+# categories at 4 bits, the full 162 AC (run, size) alphabet at
+# 8 bits — deliberately uniform-length (suboptimal compression, dead
+# simple), fully legal canonical tables any spec-conforming decoder
+# accepts.  values order defines symbol-per-code-index; the decoder
+# rebuilds the same assignment from (counts, values) via §C.2.
+_JPEG_SYNTH_DC = (
+    bytes([0, 0, 0, 12] + [0] * 12),
+    bytes(range(12)),
+)
+_JPEG_SYNTH_AC = (
+    bytes([0] * 7 + [162] + [0] * 8),
+    bytes(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    ),
+)
+
+
+def _jpeg_bytes(width: int, height: int, seed: int = 0) -> bytes:
+    """A COMPLETE baseline sequential grayscale JPEG (SOF0, single
+    component, flat quant table of 16s, the fixed canonical huffman
+    tables above) with deterministic seed-derived pixels — the
+    synthesizer twin of _png_bytes/_gif_bytes for the distributed
+    round-trip: forward DCT is one vectorized float64 einsum, the
+    per-block entropy encode mirrors spec §F.1 (DC diff categories,
+    AC run-length with ZRL/EOB, FF00 byte stuffing, 1-padding to the
+    byte boundary)."""
+    import struct
+
+    import numpy as np
+
+    v = (seed * 31 + np.arange(height * width, dtype=np.int64)) * 97
+    px = (v % 256).astype(np.float64).reshape(height, width)
+    bw, bh = -(-width // 8), -(-height // 8)
+    padded = np.zeros((bh * 8, bw * 8), dtype=np.float64)
+    padded[:height, :width] = px
+    padded[height:, :width] = px[-1:, :]  # edge-replicate pad
+    padded[:, width:] = padded[:, width - 1 : width]
+    blocks = (
+        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
+        - 128.0
+    )
+    k_idx = np.arange(8, dtype=np.float64)
+    A = 0.5 * np.cos(
+        (2.0 * k_idx[None, :] + 1.0) * k_idx[:, None] * np.pi / 16.0
+    )
+    A[0, :] /= np.sqrt(2.0)
+    # forward: C = A P Aᵀ (the decoder inverts with P = Aᵀ C A)
+    coefs = np.einsum("kn,bnm,lm->bkl", A, blocks, A)
+    q = 16.0
+    quant = np.round(coefs / q).astype(np.int64)
+
+    dclut = {
+        s: (4, c) for c, s in enumerate(_JPEG_SYNTH_DC[1])
+    }  # symbol → (len, code)
+    aclut = {s: (8, c) for c, s in enumerate(_JPEG_SYNTH_AC[1])}
+
+    buf = bytearray()
+    state = [0, 0]  # bit accumulator, bit count
+
+    def put(val: int, nbits: int) -> None:
+        acc, n = state
+        for b in range(nbits - 1, -1, -1):
+            acc = (acc << 1) | ((val >> b) & 1)
+            n += 1
+            if n == 8:
+                buf.append(acc)
+                if acc == 0xFF:
+                    buf.append(0x00)  # byte stuffing
+                acc = 0
+                n = 0
+        state[0], state[1] = acc, n
+
+    def put_sym(lut, sym: int) -> None:
+        ln, code = lut[sym]
+        put(code, ln)
+
+    def put_coef(lut, run_sym_base: int, x: int) -> None:
+        s = abs(x).bit_length()
+        put_sym(lut, run_sym_base | s)
+        if s:
+            put(x if x > 0 else x + (1 << s) - 1, s)
+
+    pred = 0
+    for blk in quant:
+        zz = [int(blk.reshape(-1)[_JPEG_ZIGZAG[k]]) for k in range(64)]
+        put_coef(dclut, 0, zz[0] - pred)
+        pred = zz[0]
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                put_sym(aclut, 0xF0)  # ZRL
+                run -= 16
+            put_coef(aclut, run << 4, zz[k])
+            run = 0
+        if run:
+            put_sym(aclut, 0x00)  # EOB
+    while state[1]:
+        put(1, 1)  # 1-pad to byte boundary
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([0x00]) + bytes(
+        [16] * 64
+    )
+    out += (
+        b"\xff\xc0"
+        + struct.pack(">H", 11)
+        + bytes([8])
+        + struct.pack(">HH", height, width)
+        + bytes([1, 1, 0x11, 0])
+    )
+    for tcth, (counts, values) in (
+        (0x00, _JPEG_SYNTH_DC),
+        (0x10, _JPEG_SYNTH_AC),
+    ):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(values))
+            + bytes([tcth])
+            + counts
+            + values
+        )
+    out += (
+        b"\xff\xda"
+        + struct.pack(">H", 8)
+        + bytes([1, 1, 0x00, 0, 63, 0])
+    )
+    out += buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
 def synth_media_payload(media_id: int, kind: str) -> bytes:
     """Deterministic REAL container bytes for (media_id, kind): images
-    rotate full-pixel PNG / GIF / BMP by id so every image sniffer AND
-    all three native pixel decoders are exercised against actual pixel
-    data; audio rotates WAV / FLAC / MP3 by id so every audio decoder
-    is exercised; video is a minimal ISO-BMFF file (ftyp + moov/mvhd +
-    one trak).  Parsed metadata is a pure function of media_id — the
-    registry op asserts it round-trips through the distributed decode
-    pipeline.  GIF/BMP dims stay modest (≤64×48: their pixel payloads
-    are uncompressed-sized); PNG deflates its periodic pattern to a few
-    KB, so it keeps the full 640×480 domain."""
+    rotate full-pixel PNG / GIF / BMP / JPEG by id so every image
+    sniffer AND all four native pixel decoders are exercised against
+    actual pixel data; audio rotates WAV / FLAC / MP3 by id so every
+    audio decoder is exercised; video is a minimal ISO-BMFF file
+    (ftyp + moov/mvhd + one trak).  Parsed metadata is a pure function
+    of media_id — the registry op asserts it round-trips through the
+    distributed decode pipeline.  GIF/BMP/JPEG dims stay modest
+    (≤64×48: uncompressed-sized pixel payloads / interpreted huffman
+    decode); PNG deflates its periodic pattern to a few KB, so it
+    keeps the full 640×480 domain."""
     m = int(media_id)
     if kind == "image":
-        v = (m // 3) % 3
+        v = (m // 3) % 4
         if v == 0:
             # alternate truecolor / palette PNG by id so BOTH native
             # PNG paths run through the distributed round-trip
@@ -1515,7 +2157,9 @@ def synth_media_payload(media_id: int, kind: str) -> bytes:
             return builder((m % 640) + 1, (m % 480) + 1, seed=m)
         if v == 1:
             return _gif_bytes((m % 64) + 1, (m % 48) + 1, seed=m)
-        return _bmp_bytes((m % 64) + 1, (m % 48) + 1, m)
+        if v == 2:
+            return _bmp_bytes((m % 64) + 1, (m % 48) + 1, m)
+        return _jpeg_bytes((m % 64) + 1, (m % 48) + 1, seed=m)
     if kind == "audio":
         # rotate on m//3, not m%3: the caller assigns kind by m%3, so
         # every audio id shares the same residue

@@ -98,6 +98,35 @@ def sessionized(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 
     )
 
 
+def stream_drain_timeout_s(default: int = 120) -> int:
+    """THE parser for SPARK_GRAFT_STREAM_DRAIN_S — one implementation
+    consumed by every availableNow drain site (here and
+    sources/ddl_queries._await_drained), so the validation can never
+    drift (r13 ADVICE).  The default 120 s suits the sf0.001-0.1
+    fixtures; scale steps (tools/scale_step.py --stream10 drives
+    10M-row landings through the same ops) raise it via env rather
+    than forking the op code.  A malformed or non-positive value falls
+    back to the default with one clear warning instead of surfacing a
+    bare ValueError from deep inside the stream path."""
+    raw = os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S")
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        val = 0
+    if val <= 0:
+        import warnings
+
+        warnings.warn(
+            f"SPARK_GRAFT_STREAM_DRAIN_S={raw!r} is not a positive "
+            f"integer number of seconds; using the default {default}s",
+            stacklevel=2,
+        )
+        return default
+    return val
+
+
 def run_available_now(
     stream_df: DataFrame, sink_table: str, output_mode: str = "complete"
 ) -> StreamingQuery:
@@ -111,10 +140,7 @@ def run_available_now(
         .trigger(availableNow=True)
         .start()
     )
-    # default 120 s suits the sf0.001-0.1 fixtures; scale steps
-    # (tools/scale_step.py --stream10 drives 10M-row landings through
-    # the same ops) raise it via env rather than forking the op code
-    timeout = int(os.environ.get("SPARK_GRAFT_STREAM_DRAIN_S", "120"))
+    timeout = stream_drain_timeout_s()
     if not q.awaitTermination(timeout):
         q.stop()
         raise RuntimeError(

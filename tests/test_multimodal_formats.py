@@ -928,3 +928,646 @@ def test_png_truncated_adler_trailer_raises():
     assert is_plain_png(rebuilt)  # structurally complete…
     with pytest.raises(ValueError):  # …but the stream never finishes
         decode_png_image(rebuilt)
+
+
+def test_png_trailing_garbage_after_zlib_stream_raises():
+    """A COMPLETE valid zlib stream with garbage (or a second stream)
+    appended inside IDAT inflates to exactly the expected byte count
+    with eof reached — only dobj.unused_data distinguishes it from a
+    clean payload.  'Corrupt data stays loud' (r13 ADVICE): it must
+    raise, never decode silently."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _png_bytes,
+        decode_png_image,
+        is_plain_png,
+    )
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    p = _png_bytes(4, 4, seed=3)
+    i = p.index(b"IDAT") - 4
+    ln = int.from_bytes(p[i : i + 4], "big")
+    idat = p[i + 8 : i + 8 + ln]
+    for tail in (b"\x00garbage after the stream", idat):
+        rebuilt = (
+            p[:i] + chunk(b"IDAT", idat + tail) + chunk(b"IEND", b"")
+        )
+        assert is_plain_png(rebuilt)  # structurally complete…
+        with pytest.raises(ValueError):  # …but the payload is dirty
+            decode_png_image(rebuilt)
+
+
+def test_png_scalar_filter_cpu_budget(monkeypatch):
+    """The Average/Paeth unfilter loops are interpreted per-byte; the
+    byte budget (r13 ADVICE) bounds their cost so an adversarial
+    all-Paeth image raises ValueError (→ pipeline fake) instead of
+    stalling an executor for minutes.  Vectorized filter rows
+    (None/Sub/Up) are numpy cost and must stay unmetered."""
+    import numpy as np
+    import pytest
+
+    from data_warehouse_hive_spark.sources import multimodal as mm
+
+    rng = np.random.RandomState(11)
+    pxmat = rng.randint(0, 256, size=(9, 11, 3)).astype(np.uint8)
+    monkeypatch.setattr(mm, "_MAX_SCALAR_FILTER_BYTES", 64)
+    for scalar in ([3], [4]):  # 9 rows × 33 bytes = 297 > 64
+        with pytest.raises(ValueError, match="CPU budget"):
+            mm.decode_png_pixels(_png_with_filters(pxmat, scalar))
+    for vector in ([0], [1], [2]):  # unmetered vectorized paths
+        got = mm.decode_png_pixels(_png_with_filters(pxmat, vector))
+        assert (got == pxmat).all()
+    # one scalar row under the budget still decodes — the budget meters
+    # cumulative scalar bytes, not the mere presence of a scalar filter
+    got = mm.decode_png_pixels(_png_with_filters(pxmat, [4] + [0] * 8))
+    assert (got == pxmat).all()
+
+
+def test_gif_gate_caps_lzw_pixels():
+    """GIF decode cost is ~one interpreted loop iteration per pixel, so
+    its gate caps at _MAX_SCALAR_PIXELS (4M), tighter than the
+    allocation-only _MAX_NATIVE_PIXELS the vectorized decoders use: a
+    frame descriptor claiming 3000×3000 (9M px — fine memory-wise,
+    minutes of LZW CPU) must fail the gate and fall to the codec
+    path / deterministic fake."""
+    import struct
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _MAX_SCALAR_PIXELS,
+        _gif_bytes,
+        is_plain_gif,
+        native_image_decode,
+    )
+
+    assert 3000 * 3000 > _MAX_SCALAR_PIXELS
+    g = bytearray(_gif_bytes(4, 4, seed=2))
+    i = 13 + 768  # fixed offset: header + global color table
+    assert g[i] == 0x2C
+    struct.pack_into("<HH", g, i + 5, 3000, 3000)
+    assert not is_plain_gif(bytes(g))
+    assert native_image_decode(bytes(g)) is None
+
+
+def test_wav_short_fmt_chunk_rejected():
+    """A fmt chunk whose declared length is under the 16-byte PCM
+    layout cannot carry the format fields; reading them anyway would
+    misinterpret the NEXT chunk's header bytes as format fields (r13
+    ADVICE).  The shared chunk walk must reject the payload, for the
+    gate and therefore the decoder."""
+    import struct
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _wav_pcm_chunks,
+        is_plain_wav_pcm,
+    )
+
+    samples = struct.pack("<4h", 100, -200, 300, -400)
+    # fmt claims clen=4: the bytes that a fixed-offset read would
+    # interpret as bits-per-sample actually belong to the data header
+    bad_fmt = b"fmt " + struct.pack("<I", 4) + struct.pack("<HH", 1, 1)
+    data = b"data" + struct.pack("<I", len(samples)) + samples
+    body = b"WAVE" + bad_fmt + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert _wav_pcm_chunks(payload) is None
+    assert not is_plain_wav_pcm(payload)
+
+    # control: the same container with a full 16-byte fmt chunk passes
+    good_fmt = b"fmt " + struct.pack("<I", 16) + struct.pack(
+        "<HHIIHH", 1, 1, 8000, 16000, 2, 16
+    )
+    body = b"WAVE" + good_fmt + data
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+    assert is_plain_wav_pcm(payload)
+
+
+def _png16_with_filters(pxmat16, filters, color_type):
+    """Independent 16-bit PNG encoder for the tests (big-endian
+    samples, byte-wise filters with bpp = channels*2 per spec §9),
+    straight-line like _png_with_filters so the decoder must invert a
+    second implementation, not itself."""
+    import zlib
+
+    import numpy as np
+
+    h, w, ch = pxmat16.shape
+    bpp = ch * 2
+    raw = bytearray()
+    prev = np.zeros(w * bpp, np.int64)
+    for y in range(h):
+        line = np.frombuffer(
+            pxmat16[y].astype(">u2").tobytes(), dtype=np.uint8
+        ).astype(np.int64)
+        ft = filters[y % len(filters)]
+        raw.append(ft)
+        out_line = np.zeros(w * bpp, np.int64)
+        for x in range(w * bpp):
+            a = int(out_line[x - bpp]) if x >= bpp else 0
+            b = int(prev[x])
+            c = int(prev[x - bpp]) if x >= bpp else 0
+            if ft == 0:
+                pred = 0
+            elif ft == 1:
+                pred = a
+            elif ft == 2:
+                pred = b
+            elif ft == 3:
+                pred = (a + b) // 2
+            else:
+                pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+            raw.append((int(line[x]) - pred) % 256)
+            out_line[x] = line[x]
+        prev = line
+
+    def chunk(t, body):
+        return (
+            struct.pack(">I", len(body)) + t + body
+            + struct.pack(">I", zlib.crc32(t + body))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 16, color_type, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_16bit_decode_all_filters():
+    """16-bit PNG (r13 VERDICT task 4): gate accepts depth 16 for the
+    non-palette color types, decode returns exact uint16 samples
+    through every filter type — the filter arithmetic is byte-wise
+    with the left-distance scaled to channels*2."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_png_pixels,
+        is_plain_png,
+    )
+
+    rng = np.random.RandomState(23)
+    for ch, ctype in ((1, 0), (3, 2), (2, 4), (4, 6)):
+        pxmat = rng.randint(0, 65536, size=(7, 9, ch)).astype(np.uint16)
+        for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+            p = _png16_with_filters(pxmat, filters, ctype)
+            assert is_plain_png(p), (ctype, filters)
+            got = decode_png_pixels(p)
+            assert got.dtype == np.uint16
+            assert (got == pxmat).all(), (ctype, filters)
+
+
+def test_png_16bit_feature_bits_match_8bit_twin():
+    """A 16-bit image whose samples are v·257 (the spec's exact
+    widening of 8-bit v) must produce bit-identical features to its
+    8-bit twin — the 1/257 scale is exact in float64 because
+    257·255 = 65535."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_png_image,
+    )
+
+    rng = np.random.RandomState(29)
+    px8 = rng.randint(0, 256, size=(6, 10, 3)).astype(np.uint8)
+    p8 = _png_with_filters(px8, [0, 2, 1])
+    p16 = _png16_with_filters(
+        (px8.astype(np.uint16) * 257), [0, 2, 1], 2
+    )
+    assert decode_png_image(p16) == decode_png_image(p8)
+
+
+def test_png_16bit_palette_rejected():
+    """Depth-16 palette is illegal per the PNG spec (index depth ≤ 8);
+    the gate must reject it rather than hand the decoder a palette
+    lookup on 16-bit indices."""
+    from data_warehouse_hive_spark.sources.multimodal import (
+        is_plain_png,
+    )
+
+    # take a valid 16-bit grayscale container and flip its color type
+    # to 3 with a PLTE bolted on — structurally complete, semantically
+    # illegal
+    import struct as _s
+    import zlib
+
+    import numpy as np
+
+    px = np.zeros((2, 2, 1), dtype=np.uint16)
+    p = bytearray(_png16_with_filters(px, [0], 0))
+    p[8 + 4 + 4 + 9] = 3  # IHDR color-type byte
+
+    def chunk(t, body):
+        return (
+            _s.pack(">I", len(body)) + t + body
+            + _s.pack(">I", zlib.crc32(t + body))
+        )
+
+    i = bytes(p).index(b"IDAT") - 4
+    rebuilt = bytes(p[:i]) + chunk(b"PLTE", b"\x00" * 768) + bytes(p[i:])
+    assert not is_plain_png(rebuilt)
+
+
+# ---------------------------------------------------------------------------
+# JPEG (r14): independent straight-line baseline encoder — double-loop
+# DCT, its own huffman table layout and bit packer — so the decoder
+# must invert a second implementation, not itself (the
+# _png_with_filters pattern).
+
+
+def _jpeg_ref_tables():
+    """Uniform-length canonical tables: 12 DC categories at 4 bits,
+    the full 162-symbol AC alphabet at 8 bits — legal per spec §C.2
+    and trivially independent of the decoder's table builder."""
+    dc_counts = bytes([0, 0, 0, 12] + [0] * 12)
+    dc_values = bytes(range(12))
+    ac_counts = bytes([0] * 7 + [162] + [0] * 8)
+    ac_values = bytes(
+        [0x00, 0xF0]
+        + [(r << 4) | s for r in range(16) for s in range(1, 11)]
+    )
+    return (dc_counts, dc_values), (ac_counts, ac_values)
+
+
+_JPEG_REF_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _JpegRefWriter:
+    """MSB-first bit packer with FF00 stuffing + restart emission."""
+
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, val, nbits):
+        for b in range(nbits - 1, -1, -1):
+            self.acc = (self.acc << 1) | ((val >> b) & 1)
+            self.n += 1
+            if self.n == 8:
+                self.out.append(self.acc)
+                if self.acc == 0xFF:
+                    self.out.append(0x00)
+                self.acc = 0
+                self.n = 0
+
+    def pad_and_rst(self, idx):
+        while self.n:
+            self.put(1, 1)
+        self.out += bytes([0xFF, 0xD0 + (idx & 7)])
+
+    def done(self):
+        while self.n:
+            self.put(1, 1)
+        return bytes(self.out)
+
+
+def _jpeg_ref_fdct_quant(block, q):
+    """Straight-line double-loop DCT-II + quantize: independent of the
+    decoder's einsum path."""
+    import math
+
+    out = [[0] * 8 for _ in range(8)]
+    for u in range(8):
+        for v in range(8):
+            s = 0.0
+            for x in range(8):
+                for y in range(8):
+                    s += (
+                        (block[x][y] - 128.0)
+                        * math.cos((2 * x + 1) * u * math.pi / 16)
+                        * math.cos((2 * y + 1) * v * math.pi / 16)
+                    )
+            cu = 1 / math.sqrt(2) if u == 0 else 1.0
+            cv = 1 / math.sqrt(2) if v == 0 else 1.0
+            out[u][v] = round(0.25 * cu * cv * s / q)
+    return out
+
+
+def _jpeg_ref_encode_block(w, coefs, pred, dclut, aclut):
+    flat = [coefs[i // 8][i % 8] for i in range(64)]
+    zz = [flat[_JPEG_REF_ZZ[k]] for k in range(64)]
+
+    def put_val(x, sym_base, lut):
+        s = abs(x).bit_length()
+        ln, code = lut[sym_base | s]
+        w.put(code, ln)
+        if s:
+            w.put(x if x > 0 else x + (1 << s) - 1, s)
+
+    put_val(zz[0] - pred, 0, dclut)
+    run = 0
+    for k in range(1, 64):
+        if zz[k] == 0:
+            run += 1
+            continue
+        while run > 15:
+            ln, code = aclut[0xF0]
+            w.put(code, ln)
+            run -= 16
+        put_val(zz[k], run << 4, aclut)
+        run = 0
+    if run:
+        ln, code = aclut[0x00]
+        w.put(code, ln)
+    return zz[0]
+
+
+def _jpeg_ref_bytes(
+    ypx, q=8, subsample=False, cb=None, cr=None, dri=0
+):
+    """Independent baseline encoder: grayscale by default; with
+    subsample=True, a 3-component 4:2:0 frame whose chroma planes
+    default to flat 128 (all-zero coefficients).  Returns the payload
+    AND the quantized luma coefficient blocks (natural order) so the
+    test can compute the expected decode independently."""
+    import struct
+
+    h = len(ypx)
+    w_ = len(ypx[0])
+    (dcc, dcv), (acc_, acv) = _jpeg_ref_tables()
+    dclut = {s: (4, c) for c, s in enumerate(dcv)}
+    aclut = {s: (8, c) for c, s in enumerate(acv)}
+
+    mh = 2 if subsample else 1
+    bw = -(-w_ // (8 * mh)) * mh
+    bh = -(-h // (8 * mh)) * mh
+
+    def block_at(px, by, bx, default=128):
+        return [
+            [
+                (
+                    px[min(by * 8 + x, len(px) - 1)][
+                        min(bx * 8 + y, len(px[0]) - 1)
+                    ]
+                    if px
+                    else default
+                )
+                for y in range(8)
+            ]
+            for x in range(8)
+        ]
+
+    wtr = _JpegRefWriter()
+    ycoef_blocks = {}
+    preds = {1: 0, 2: 0, 3: 0}
+    mcux = bw // mh
+    mcuy = bh // mh
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            wtr.pad_and_rst(rst)
+            rst = (rst + 1) & 7
+            preds = {1: 0, 2: 0, 3: 0}
+        my, mx = divmod(m, mcux)
+        for by in range(mh):
+            for bx in range(mh):
+                c = _jpeg_ref_fdct_quant(
+                    block_at(ypx, my * mh + by, mx * mh + bx), q
+                )
+                ycoef_blocks[(my * mh + by, mx * mh + bx)] = c
+                preds[1] = _jpeg_ref_encode_block(
+                    wtr, c, preds[1], dclut, aclut
+                )
+        if subsample:
+            for cid, plane in ((2, cb), (3, cr)):
+                c = _jpeg_ref_fdct_quant(
+                    block_at(plane or [], my, mx), q
+                )
+                preds[cid] = _jpeg_ref_encode_block(
+                    wtr, c, preds[cid], dclut, aclut
+                )
+    data = wtr.done()
+
+    ncomp = 3 if subsample else 1
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xdb" + struct.pack(">H", 67) + bytes([0]) + bytes([q] * 64)
+    )
+    sof = bytes([8]) + struct.pack(">HH", h, w_) + bytes([ncomp])
+    sof += bytes([1, (mh << 4) | mh, 0])
+    if subsample:
+        sof += bytes([2, 0x11, 0, 3, 0x11, 0])
+    out += b"\xff\xc0" + struct.pack(">H", 2 + len(sof)) + sof
+    for tcth, (counts, values) in ((0x00, (dcc, dcv)), (0x10, (acc_, acv))):
+        out += (
+            b"\xff\xc4"
+            + struct.pack(">H", 2 + 1 + 16 + len(values))
+            + bytes([tcth])
+            + counts
+            + values
+        )
+    if dri:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, dri)
+    sos = bytes([ncomp])
+    for cid in range(1, ncomp + 1):
+        sos += bytes([cid, 0x00])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += data + b"\xff\xd9"
+    return bytes(out), ycoef_blocks
+
+
+def _jpeg_ref_expected_plane(ycoef_blocks, q, h, w_):
+    """Independent IDCT of the quantized coefficients (double loop) —
+    what a correct decoder must produce, up to float64 rounding at
+    exact-.5 boundaries."""
+    import math
+
+    bh = max(k[0] for k in ycoef_blocks) + 1
+    bw = max(k[1] for k in ycoef_blocks) + 1
+    plane = [[0] * (bw * 8) for _ in range(bh * 8)]
+    for (by, bx), c in ycoef_blocks.items():
+        for x in range(8):
+            for y in range(8):
+                s = 0.0
+                for u in range(8):
+                    for v in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        s += (
+                            cu * cv * c[u][v] * q
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                val = round(0.25 * s + 128)
+                plane[by * 8 + x][bx * 8 + y] = min(255, max(0, val))
+    return [row[:w_] for row in plane[:h]]
+
+
+def test_jpeg_sniff_and_gate():
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _jpeg_bytes,
+        is_plain_jpeg,
+        sniff_image_meta,
+    )
+
+    p = _jpeg_bytes(17, 9, seed=42)
+    assert sniff_image_meta(p) == ("jpeg", 17, 9)
+    assert is_plain_jpeg(p)
+    # truncated payloads (no EOI / mid-segment cut) must fail the gate
+    assert not is_plain_jpeg(p[:-2])
+    assert not is_plain_jpeg(p[:20])
+    assert not is_plain_jpeg(b"\xff\xd8\xff\xd9")
+    # progressive (SOF2) and 12-bit precision stay behind the stub
+    prog = bytearray(p)
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2
+    assert not is_plain_jpeg(bytes(prog))
+    twelve = bytearray(p)
+    twelve[i + 4] = 12  # precision byte
+    assert not is_plain_jpeg(bytes(twelve))
+
+
+def test_jpeg_decode_matches_independent_reference():
+    """Decoder (huffman → dequant → einsum IDCT) vs the test's own
+    double-loop IDCT of the same quantized coefficients: every pixel
+    within ±1 (float64 summation-order at exact-.5 boundaries), and
+    the overwhelming majority exact."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_jpeg_pixels,
+        is_plain_jpeg,
+    )
+
+    rng = np.random.RandomState(31)
+    ypx = rng.randint(0, 256, size=(21, 13)).tolist()
+    payload, ycoefs = _jpeg_ref_bytes(ypx, q=8)
+    assert is_plain_jpeg(payload)
+    got = decode_jpeg_pixels(payload)
+    exp = np.array(_jpeg_ref_expected_plane(ycoefs, 8, 21, 13))
+    diff = np.abs(got.astype(np.int64) - exp)
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.95
+
+
+def test_jpeg_420_subsampling_luma():
+    """3-component 4:2:0: the decoder must walk chroma blocks to stay
+    bit-synchronized, and its luma output must match the grayscale
+    encoding of the same Y plane (chroma flat at 128 → zero
+    coefficients)."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_jpeg_pixels,
+        is_plain_jpeg,
+    )
+
+    rng = np.random.RandomState(37)
+    ypx = rng.randint(0, 256, size=(19, 22)).tolist()
+    color, _ = _jpeg_ref_bytes(ypx, q=8, subsample=True)
+    gray, _ = _jpeg_ref_bytes(ypx, q=8)
+    assert is_plain_jpeg(color) and is_plain_jpeg(gray)
+    got_color = decode_jpeg_pixels(color)
+    got_gray = decode_jpeg_pixels(gray)
+    assert got_color.shape == (19, 22)
+    # 4:2:0 pads the luma grid to 16-pixel MCUs; the cropped planes
+    # agree wherever both encoders saw the same source block
+    assert (got_color[:16, :16] == got_gray[:16, :16]).all()
+
+
+def test_jpeg_restart_markers():
+    """A DRI=2 stream (RST markers every 2 MCUs, DC predictors reset)
+    must decode to exactly the same plane as the unrestarted stream."""
+    import numpy as np
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        decode_jpeg_pixels,
+    )
+
+    rng = np.random.RandomState(41)
+    ypx = rng.randint(0, 256, size=(24, 32)).tolist()
+    plain, _ = _jpeg_ref_bytes(ypx, q=8)
+    restarted, _ = _jpeg_ref_bytes(ypx, q=8, dri=2)
+    assert b"\xff\xd0" in restarted or b"\xff\xd1" in restarted
+    assert (
+        decode_jpeg_pixels(plain) == decode_jpeg_pixels(restarted)
+    ).all()
+
+
+def test_jpeg_corrupt_stream_raises():
+    import pytest
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _jpeg_bytes,
+        decode_jpeg_pixels,
+        is_plain_jpeg,
+    )
+
+    p = _jpeg_bytes(32, 24, seed=5)
+    i = p.index(b"\xff\xda") + 10  # inside the entropy segment
+    # replace the tail of the entropy data with a byte pattern whose
+    # first full AC lookup is code 162 at length 8 — outside the
+    # 162-entry table (codes 0..161), and no longer code matches either
+    corrupt = p[:i] + b"\xa2" * (len(p) - i - 2) + b"\xff\xd9"
+    assert is_plain_jpeg(corrupt)  # structurally complete…
+    with pytest.raises(ValueError):  # …but the huffman stream is junk
+        decode_jpeg_pixels(corrupt)
+
+
+def test_jpeg_cpu_pixel_cap_gates():
+    """JPEG huffman decode is an interpreted per-symbol loop, so the
+    gate caps at _MAX_SCALAR_PIXELS like GIF LZW."""
+    import struct
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _MAX_SCALAR_PIXELS,
+        _jpeg_bytes,
+        is_plain_jpeg,
+        native_image_decode,
+    )
+
+    p = bytearray(_jpeg_bytes(8, 8, seed=1))
+    i = bytes(p).index(b"\xff\xc0")
+    struct.pack_into(">HH", p, i + 5, 3000, 3000)  # h, w in SOF
+    assert 3000 * 3000 > _MAX_SCALAR_PIXELS
+    assert not is_plain_jpeg(bytes(p))
+    assert native_image_decode(bytes(p)) is None
+
+
+def test_extract_features_native_jpeg(spark):
+    """Distributed extract_features over synthesized baseline JPEGs
+    must equal the driver-side decode of the same bytes bit-for-bit —
+    the same contract the BMP/PNG/GIF twins pin."""
+    from pyspark.sql import Row
+
+    from data_warehouse_hive_spark.sources.multimodal import (
+        _jpeg_bytes,
+        decode_jpeg_image,
+        extract_features,
+    )
+
+    rows = [
+        Row(
+            media_id=m,
+            kind="image",
+            payload=_jpeg_bytes((m * 13) % 60 + 4, (m * 7) % 40 + 4, seed=m),
+        )
+        for m in range(1, 9)
+    ]
+    media = spark.createDataFrame(rows)
+    got = {
+        r["media_id"]: list(r["feature"])
+        for r in extract_features(media).collect()
+    }
+    assert len(got) == 8
+    for m in range(1, 9):
+        exp = decode_jpeg_image(
+            _jpeg_bytes((m * 13) % 60 + 4, (m * 7) % 40 + 4, seed=m)
+        )
+        assert got[m] == exp, m

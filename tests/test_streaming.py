@@ -644,3 +644,26 @@ def test_session_merge_across_batches(spark, tmp_path):
         ).tz_localize(None)
     finally:
         q.stop()
+
+
+def test_stream_drain_timeout_env_parsing(monkeypatch):
+    """ONE shared parser for SPARK_GRAFT_STREAM_DRAIN_S (r13 ADVICE):
+    junk / non-positive values fall back to the 120s default with a
+    clear warning instead of surfacing a bare ValueError deep in the
+    stream path; valid values pass through."""
+    import warnings
+
+    from data_warehouse_hive_spark.streaming.stream import (
+        stream_drain_timeout_s,
+    )
+
+    monkeypatch.delenv("SPARK_GRAFT_STREAM_DRAIN_S", raising=False)
+    assert stream_drain_timeout_s() == 120
+    monkeypatch.setenv("SPARK_GRAFT_STREAM_DRAIN_S", "900")
+    assert stream_drain_timeout_s() == 900
+    for junk in ("12.5", "soon", "", "-4", "0"):
+        monkeypatch.setenv("SPARK_GRAFT_STREAM_DRAIN_S", junk)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            assert stream_drain_timeout_s() == 120
+        assert any("SPARK_GRAFT_STREAM_DRAIN_S" in str(x.message) for x in w)

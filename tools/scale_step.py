@@ -422,7 +422,184 @@ def build_fixtures(
         shutil.copy(f"{src_dir}/{name}.parquet", dst)
 
 
+# --sf10-full mode (r14, r13 VERDICT task 5): walk EVERY oracle-carrying
+# registry id at sf10 — the jump that breaks carriers (overflow, skew,
+# memory) is usually 10×, and before r14 half the registry had never run
+# above sf0.1.  Chunked child subprocesses (fresh JVM per chunk, so one
+# pathological op cannot poison the rest), per-op watchdog
+# (cancelAllJobs + duckdb interrupt at SPARK_GRAFT_SF10_OP_TIMEOUT,
+# default 600 s), append-only JSONL results so a rerun RESUMES where the
+# last one stopped.  Fixture note: sf10 carries documents over from sf1
+# UNREPLICATED (the 100-way exact-clone axis would make pair relations
+# quadratic in clone count — that axis is text10's job) and embeddings
+# replicated 100-way exact-clone (the degenerate-tie regime; embed10
+# covers the realistic-perturbation axis).
+SF10_FULL_RESULTS = os.environ.get(
+    "SPARK_GRAFT_SF10_FULL_RESULTS", "/tmp/sf10_full_results.jsonl"
+)
+
+
+def _sf10_full_chunk(ids: list[str]) -> None:
+    """Child: compare each id vs its DuckDB oracle on the sf10
+    fixtures, appending one JSONL record per op (flushed immediately,
+    so a crash mid-chunk loses at most the in-flight op)."""
+    import threading
+
+    from data_warehouse_hive_spark.registry import load_all
+    from data_warehouse_hive_spark.session import get_spark
+    from data_warehouse_hive_spark.testing import (
+        compare_to_oracle,
+        duckdb_connection,
+    )
+
+    spark = get_spark(app_name="dwh-spark-sf10-full")
+    registry = load_all()
+    con = duckdb_connection(SF10_DIR)
+    op_timeout = int(os.environ.get("SPARK_GRAFT_SF10_OP_TIMEOUT", "600"))
+    with open(SF10_FULL_RESULTS, "a") as out:
+        for name in ids:
+            spec = registry[name]
+            t0 = time.perf_counter()
+            timed_out: list[bool] = []
+
+            def cancel() -> None:
+                timed_out.append(True)
+                try:
+                    spark.sparkContext.cancelAllJobs()
+                except Exception:
+                    pass
+                try:
+                    con.interrupt()
+                except Exception:
+                    pass
+
+            w = threading.Timer(op_timeout, cancel)
+            w.daemon = True
+            w.start()
+            try:
+                res = compare_to_oracle(
+                    name, spec.fn(spark, SF10_DIR), spec.oracle, con
+                )
+                ok, detail = res.ok, "; ".join(res.problems)
+            except Exception as e:
+                ok, detail = False, f"{type(e).__name__}: {e}"
+            finally:
+                w.cancel()
+            if timed_out:
+                ok = False
+                detail = f"TIMEOUT>{op_timeout}s; " + detail[:300]
+            dt = round(time.perf_counter() - t0, 2)
+            out.write(
+                json.dumps(
+                    {"id": name, "ok": ok, "sec": dt, "detail": detail[:500]}
+                )
+                + "\n"
+            )
+            out.flush()
+            print(
+                f"[{'PASS' if ok else 'FAIL'}] {name} ({dt}s)"
+                + (f" — {detail[:200]}" if detail else ""),
+                flush=True,
+            )
+
+
+def _sf10_full_parent(chunk_size: int = 25) -> None:
+    """Parent: build fixtures once (subprocess), then drive the id list
+    through chunked children; resumable via the JSONL."""
+    import subprocess
+
+    from data_warehouse_hive_spark.registry import load_all
+
+    here = os.path.abspath(__file__)
+    if not os.path.exists(f"{SF10_DIR}/lineitem.parquet"):
+        print("building sf1+sf10 fixtures via subprocess", flush=True)
+        rc = subprocess.run(
+            [sys.executable, here, "--sf10-build-only"]
+        ).returncode
+        if rc != 0:
+            raise RuntimeError(f"fixture build failed rc={rc}")
+    registry = load_all()
+    ids = sorted(n for n, s in registry.items() if s.oracle)
+    done: set[str] = set()
+    if os.path.exists(SF10_FULL_RESULTS):
+        with open(SF10_FULL_RESULTS) as f:
+            done = {json.loads(ln)["id"] for ln in f if ln.strip()}
+    todo = [n for n in ids if n not in done]
+    op_timeout = int(os.environ.get("SPARK_GRAFT_SF10_OP_TIMEOUT", "600"))
+    print(
+        f"sf10-full: {len(ids)} oracle ids, {len(done)} done, "
+        f"{len(todo)} to go (chunk={chunk_size})",
+        flush=True,
+    )
+    while todo:
+        chunk, todo = todo[:chunk_size], todo[chunk_size:]
+        t0 = time.perf_counter()
+        try:
+            subprocess.run(
+                [sys.executable, here, "--sf10-chunk", ",".join(chunk)],
+                timeout=len(chunk) * op_timeout + 1200,
+            )
+        except subprocess.TimeoutExpired:
+            pass  # fall through: mark the in-flight op below
+        with open(SF10_FULL_RESULTS) as f:
+            got = {json.loads(ln)["id"] for ln in f if ln.strip()}
+        missing = [n for n in chunk if n not in got]
+        if missing:
+            # the first missing id is the one that hung/crashed the
+            # child — record it so the resume skips it; requeue the rest
+            with open(SF10_FULL_RESULTS, "a") as f:
+                f.write(
+                    json.dumps(
+                        {
+                            "id": missing[0],
+                            "ok": False,
+                            "sec": None,
+                            "detail": "CHILD_DIED: chunk subprocess "
+                            "exited/killed while this op was in flight",
+                        }
+                    )
+                    + "\n"
+                )
+            todo = missing[1:] + todo
+        print(
+            f"chunk done in {time.perf_counter() - t0:.0f}s; "
+            f"{len(todo)} remaining",
+            flush=True,
+        )
+    with open(SF10_FULL_RESULTS) as f:
+        recs = [json.loads(ln) for ln in f if ln.strip()]
+    by_id = {r["id"]: r for r in recs}  # last record wins
+    fails = {n: r for n, r in sorted(by_id.items()) if not r["ok"]}
+    print(
+        json.dumps(
+            {
+                "metric": "sf10_full_scale_step",
+                "n_ops": len(by_id),
+                "n_fail": len(fails),
+                "failures": {
+                    n: r["detail"][:200] for n, r in fails.items()
+                },
+                "results_file": SF10_FULL_RESULTS,
+            }
+        )
+    )
+    sys.exit(1 if fails else 0)
+
+
 def main() -> None:
+    if "--sf10-chunk" in sys.argv:
+        ids = sys.argv[sys.argv.index("--sf10-chunk") + 1].split(",")
+        _sf10_full_chunk(ids)
+        return
+    if "--sf10-full" in sys.argv:
+        chunk_size = 25
+        if "--chunk-size" in sys.argv:
+            chunk_size = int(
+                sys.argv[sys.argv.index("--chunk-size") + 1]
+            )
+        _sf10_full_parent(chunk_size)
+        return
+
     from data_warehouse_hive_spark.registry import load_all
     from data_warehouse_hive_spark.session import get_spark
     from data_warehouse_hive_spark.testing import (
@@ -431,7 +608,10 @@ def main() -> None:
     )
 
     rebuild = "--rebuild" in sys.argv
-    sf10 = "--sf10" in sys.argv or "--stream10" in sys.argv
+    build_only = "--sf10-build-only" in sys.argv
+    sf10 = (
+        "--sf10" in sys.argv or "--stream10" in sys.argv or build_only
+    )
     text10 = "--text10" in sys.argv or "--stream10" in sys.argv
     embed10 = "--embed10" in sys.argv
     stream10 = "--stream10" in sys.argv
@@ -524,6 +704,9 @@ def main() -> None:
             replicate_documents=False,
         )
         print(f"  built in {time.perf_counter() - t0:.1f}s", flush=True)
+    if build_only:
+        print("fixtures ready (sf1 + sf10)", flush=True)
+        return
 
     if text10 and (
         rebuild or not os.path.exists(f"{TEXT10_DIR}/documents.parquet")
