@@ -505,6 +505,10 @@ EXT_R13 = [
     "q_media_fingerprint",
 ]
 
+EXT_R14 = [
+    "q_media_dims",
+]
+
 EXT_R10 = [
     "q_orders_decompose",
     "q_embed_knn_refine2",
@@ -610,6 +614,7 @@ GROUP_LISTS: list[tuple[str, list[str]]] = [
     ("ext_r11", EXT_R11),
     ("ext_r12", EXT_R12),
     ("ext_r13", EXT_R13),
+    ("ext_r14", EXT_R14),
 ]
 
 COHORTS: list[tuple[str, list[str]]] = [
@@ -629,6 +634,7 @@ COHORTS: list[tuple[str, list[str]]] = [
     ("r11", ["ext_r11"]),
     ("r12", ["ext_r12"]),
     ("r13", ["ext_r13"]),
+    ("r14", ["ext_r14"]),
 ]
 
 MEMOIZED_COLD_IDS = (

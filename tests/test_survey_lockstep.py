@@ -207,6 +207,13 @@ def test_r13_batch_ids_are_benched():
         assert qid in bench.EXT_R13, f"{qid} missing from bench.EXT_R13"
 
 
+def test_r14_batch_ids_are_benched():
+    import bench
+
+    for qid in ("q_media_dims",):
+        assert qid in bench.EXT_R14, f"{qid} missing from bench.EXT_R14"
+
+
 def test_bench_cohorts_partition_groups():
     """The r9 isolation harness (one subprocess per round-cohort) is only
     cross-round comparable if every timing group belongs to EXACTLY one
