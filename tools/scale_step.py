@@ -438,12 +438,33 @@ SF10_FULL_RESULTS = os.environ.get(
     "SPARK_GRAFT_SF10_FULL_RESULTS", "/tmp/sf10_full_results.jsonl"
 )
 
+# The embedding/similarity family runs on the EMBED10 fixture inside
+# the full sweep, not on SF10: sf10 replicates embeddings as 100-way
+# EXACT clones, which makes every bucket/pair join quadratic in clone
+# count (q_dedup_embedding burned its whole 600 s watchdog there — the
+# degenerate regime the embed10 axis was built to avoid) while
+# validating nothing about the family's real scale behavior.  embed10
+# is 10x sf0.1 vectors with per-copy perturbation — realistic near-dup
+# structure, tractable both engines — so routing the family there
+# gives each of its ~43 ids a genuine above-fixture run instead of a
+# skip.  NOT a silent cap: the per-id `dir` field in the results
+# records which fixture each op ran on.
+import re as _re
+
+_SF10_EMBED_AXIS = _re.compile(r"embed|sim_|knn|semantic")
+
 
 def _sf10_full_chunk(ids: list[str]) -> None:
     """Child: compare each id vs its DuckDB oracle on the sf10
     fixtures, appending one JSONL record per op (flushed immediately,
     so a crash mid-chunk loses at most the in-flight op)."""
     import threading
+
+    # sf10 facts are 100x the driver fixture (lineitem 60M rows): exact
+    # order-statistic aggs legitimately need more than the 8g default;
+    # chunks run serially so 24g is safe on this 128 GiB host.  Must be
+    # set BEFORE the first get_spark builds the JVM.
+    os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
     from data_warehouse_hive_spark.registry import load_all
     from data_warehouse_hive_spark.session import get_spark
@@ -454,15 +475,21 @@ def _sf10_full_chunk(ids: list[str]) -> None:
 
     spark = get_spark(app_name="dwh-spark-sf10-full")
     registry = load_all()
-    con = duckdb_connection(SF10_DIR)
+    cons = {SF10_DIR: duckdb_connection(SF10_DIR)}
     op_timeout = int(os.environ.get("SPARK_GRAFT_SF10_OP_TIMEOUT", "600"))
     with open(SF10_FULL_RESULTS, "a") as out:
         for name in ids:
             spec = registry[name]
+            run_dir = (
+                EMBED10_DIR if _SF10_EMBED_AXIS.search(name) else SF10_DIR
+            )
+            if run_dir not in cons:
+                cons[run_dir] = duckdb_connection(run_dir)
+            con = cons[run_dir]
             t0 = time.perf_counter()
             timed_out: list[bool] = []
 
-            def cancel() -> None:
+            def cancel(con=con) -> None:
                 timed_out.append(True)
                 try:
                     spark.sparkContext.cancelAllJobs()
@@ -478,7 +505,7 @@ def _sf10_full_chunk(ids: list[str]) -> None:
             w.start()
             try:
                 res = compare_to_oracle(
-                    name, spec.fn(spark, SF10_DIR), spec.oracle, con
+                    name, spec.fn(spark, run_dir), spec.oracle, con
                 )
                 ok, detail = res.ok, "; ".join(res.problems)
             except Exception as e:
@@ -489,9 +516,27 @@ def _sf10_full_chunk(ids: list[str]) -> None:
                 ok = False
                 detail = f"TIMEOUT>{op_timeout}s; " + detail[:300]
             dt = round(time.perf_counter() - t0, 2)
+            # a dead JVM (driver OOM kills the py4j gateway) answers
+            # ConnectionRefused for THIS op and would answer the same
+            # for every op after it — record the real culprit once and
+            # exit so the parent requeues the untouched rest instead of
+            # poisoning the chunk with bogus failures
+            jvm_dead = not ok and (
+                "ConnectionRefused" in detail
+                or "Answer from Java side is empty" in detail
+                or "Py4JNetworkError" in detail
+            )
+            if jvm_dead:
+                detail = "JVM_DEAD (driver crash/OOM during op); " + detail
             out.write(
                 json.dumps(
-                    {"id": name, "ok": ok, "sec": dt, "detail": detail[:500]}
+                    {
+                        "id": name,
+                        "ok": ok,
+                        "sec": dt,
+                        "dir": os.path.basename(run_dir),
+                        "detail": detail[:500],
+                    }
                 )
                 + "\n"
             )
@@ -501,6 +546,8 @@ def _sf10_full_chunk(ids: list[str]) -> None:
                 + (f" — {detail[:200]}" if detail else ""),
                 flush=True,
             )
+            if jvm_dead:
+                sys.exit(1)
 
 
 def _sf10_full_parent(chunk_size: int = 25) -> None:
@@ -518,12 +565,30 @@ def _sf10_full_parent(chunk_size: int = 25) -> None:
         ).returncode
         if rc != 0:
             raise RuntimeError(f"fixture build failed rc={rc}")
+    if not os.path.exists(f"{EMBED10_DIR}/embeddings.parquet"):
+        print("building embed10 fixtures via subprocess", flush=True)
+        rc = subprocess.run(
+            [sys.executable, here, "--embed10-build-only"]
+        ).returncode
+        if rc != 0:
+            raise RuntimeError(f"embed10 build failed rc={rc}")
     registry = load_all()
     ids = sorted(n for n, s in registry.items() if s.oracle)
     done: set[str] = set()
     if os.path.exists(SF10_FULL_RESULTS):
         with open(SF10_FULL_RESULTS) as f:
-            done = {json.loads(ln)["id"] for ln in f if ln.strip()}
+            for ln in f:
+                if not ln.strip():
+                    continue
+                r = json.loads(ln)
+                # records written while the chunk JVM was already dead
+                # are bogus (every op answers ConnectionRefused) — only
+                # the culprit op's JVM_DEAD record is a real finding
+                if "ConnectionRefused" in (r.get("detail") or "") and (
+                    "JVM_DEAD" not in (r.get("detail") or "")
+                ):
+                    continue
+                done.add(r["id"])
     todo = [n for n in ids if n not in done]
     op_timeout = int(os.environ.get("SPARK_GRAFT_SF10_OP_TIMEOUT", "600"))
     print(
@@ -545,22 +610,28 @@ def _sf10_full_parent(chunk_size: int = 25) -> None:
             got = {json.loads(ln)["id"] for ln in f if ln.strip()}
         missing = [n for n in chunk if n not in got]
         if missing:
-            # the first missing id is the one that hung/crashed the
-            # child — record it so the resume skips it; requeue the rest
-            with open(SF10_FULL_RESULTS, "a") as f:
-                f.write(
-                    json.dumps(
-                        {
-                            "id": missing[0],
-                            "ok": False,
-                            "sec": None,
-                            "detail": "CHILD_DIED: chunk subprocess "
-                            "exited/killed while this op was in flight",
-                        }
+            if missing == chunk:
+                # zero progress: the FIRST op killed the child before
+                # it could write anything (or the child never started)
+                # — record it so the resume skips it, else we loop
+                with open(SF10_FULL_RESULTS, "a") as f:
+                    f.write(
+                        json.dumps(
+                            {
+                                "id": missing[0],
+                                "ok": False,
+                                "sec": None,
+                                "detail": "CHILD_DIED: chunk subprocess"
+                                " exited/killed while this op was in"
+                                " flight",
+                            }
+                        )
+                        + "\n"
                     )
-                    + "\n"
-                )
-            todo = missing[1:] + todo
+                missing = missing[1:]
+            # a JVM_DEAD child already recorded its culprit op itself —
+            # the remaining ids are untouched, requeue them as-is
+            todo = missing + todo
         print(
             f"chunk done in {time.perf_counter() - t0:.0f}s; "
             f"{len(todo)} remaining",
@@ -608,12 +679,19 @@ def main() -> None:
     )
 
     rebuild = "--rebuild" in sys.argv
-    build_only = "--sf10-build-only" in sys.argv
+    build_only = (
+        "--sf10-build-only" in sys.argv
+        or "--embed10-build-only" in sys.argv
+    )
     sf10 = (
-        "--sf10" in sys.argv or "--stream10" in sys.argv or build_only
+        "--sf10" in sys.argv
+        or "--stream10" in sys.argv
+        or "--sf10-build-only" in sys.argv
     )
     text10 = "--text10" in sys.argv or "--stream10" in sys.argv
-    embed10 = "--embed10" in sys.argv
+    embed10 = (
+        "--embed10" in sys.argv or "--embed10-build-only" in sys.argv
+    )
     stream10 = "--stream10" in sys.argv
     spark = get_spark(app_name="dwh-spark-scale-step")
 
