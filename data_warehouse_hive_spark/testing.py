@@ -216,6 +216,18 @@ def _digest_exprs(spark_df) -> tuple[list, list[str]]:
             d = f"CAST(CAST(floor({c} * 1e6 + 0.5) AS BIGINT) AS VARCHAR)"
         elif t_ == "date":
             s, d = F.date_format(c, "yyyy-MM-dd"), f"CAST({c} AS VARCHAR)"
+        elif t_ in ("timestamp", "timestamp_ntz"):
+            # fixed-width microsecond rendering on both sides: Spark's
+            # SSSSSS and DuckDB's %f are both zero-padded 6-digit
+            # fractions, so 12:00:00 and 12:00:00.500000 digest
+            # distinctly and identically in each engine (the variable
+            # precision of a bare CAST-to-VARCHAR would not).  The
+            # session runs UTC, so LTZ formatting matches DuckDB's
+            # naive timestamps wherever the pandas-path compare already
+            # matches.  Found by the r14 sf10 sweep: q_fn_interval /
+            # q_filter_compare cross DIGEST_ROW_LIMIT only above sf0.1.
+            s = F.date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            d = f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')"
         else:
             raise NotImplementedError(
                 f"digest compare: unsupported column type {t_!r} for "

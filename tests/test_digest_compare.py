@@ -22,6 +22,11 @@ REPRESENTATIVE = [
     "q_groupby_agg",
     "q_win_cume_dist",
     "q_orders_did",
+    # covers timestamp/timestamp_ntz canonicalization (r14: the sf10
+    # sweep found q_fn_interval/q_filter_compare cross DIGEST_ROW_LIMIT
+    # only above sf0.1, where the digest path had no timestamp support)
+    "q_fn_interval",
+    "q_filter_compare",
 ]
 
 
