@@ -294,14 +294,22 @@ def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUPING SETS + grouping_id() (same MSB-first bitmask in Spark and
-    DuckDB, verified)."""
+    DuckDB, verified).
+
+    sum_price rides the BIGINT-micros carrier on BOTH sides (not a
+    DECIMAL sum cast at the end): the r14 sf10 sweep caught a last-ulp
+    divergence — once the micros mass crosses 2^53 the
+    decimal-sum→double and int-sum→double÷1e6 paths round at different
+    points, so the two engines must share ONE rounding sequence.
+    Carrier headroom: Σ micros ≈ 1.6e18 at sf10, bound 2^63 ≈ 9.2e18 →
+    safe past sf50."""
     li = t(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("lineitem_gs")
     return spark.sql(
-        f"""
+        """
         SELECT l_returnflag, l_linestatus,
                CAST(GROUPING_ID(l_returnflag, l_linestatus) AS BIGINT) AS gid,
-               CAST(SUM(CAST(l_extendedprice AS {DEC})) AS DOUBLE) AS sum_price,
+               CAST(SUM(CAST(floor(l_extendedprice * 1e6 + 0.5) AS BIGINT)) AS DOUBLE) / 1e6 AS sum_price,
                COUNT(*) AS n
         FROM lineitem_gs
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linestatus))
