@@ -2212,8 +2212,9 @@ def q_sql_scripting_for(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the loop.  Domain choice is also the COST lever: Spark's
     scripting interpreter pays ~60 ms per executed statement (measured
     r11), so a FOR body's wall time is statements x rows — quarters
-    keep the honest demo at ~5 s where months cost ~15 s for identical
-    semantics."""
+    keep the honest demo bounded where months cost ~3x for identical
+    semantics, and the body is ONE tuple-SET per row (r14; see the
+    in-script comment)."""
     from data_warehouse_hive_spark.tables import t as _t
 
     m = (
@@ -2247,14 +2248,22 @@ def q_sql_scripting_for(spark: SparkSession, sf_dir: str) -> DataFrame:
           DECLARE resets BIGINT DEFAULT 0;
           DECLARE nm BIGINT DEFAULT 0;
           SET nm = (SELECT COUNT(*) FROM sqlscript_months);
-          -- 3 statements per row, not 6: each scripted statement pays
-          -- its own parse/analyze, so the branch-free CASE/GREATEST
-          -- form of the SAME recurrence halves the loop's fixed cost
+          -- ONE statement per row (r14 optimization, guide §1.2 "fix
+          -- the per-task work"): each scripted statement pays its own
+          -- parse/analyze/execute, so the loop's cost is statements ×
+          -- rows.  r11 halved 6 statements to 3 via branch-free
+          -- CASE/GREATEST; this folds the remaining 3 into one
+          -- tuple-assignment SET over a FROM-less SELECT (evaluated
+          -- against the local one-row relation — no distributed job).
+          -- All three expressions read the PRE-update variables, so
+          -- the new bal term GREATEST(bal + r.net, 0) is repeated
+          -- inside the mx update — same recurrence, measured 3.75 s →
+          -- 2.8 s at sf0.1.
           FOR r AS SELECT t, net FROM sqlscript_months ORDER BY t DO
-            SET resets = resets
-              + CASE WHEN bal + r.net < 0 THEN 1 ELSE 0 END;
-            SET bal = GREATEST(bal + r.net, 0);
-            SET mx = GREATEST(mx, bal);
+            SET (resets, bal, mx) = (SELECT
+              resets + CASE WHEN bal + r.net < 0 THEN 1 ELSE 0 END,
+              GREATEST(bal + r.net, 0),
+              GREATEST(mx, GREATEST(bal + r.net, 0)));
           END FOR;
           SELECT nm AS n_periods, resets AS n_resets,
                  CAST(bal AS DOUBLE) / 100.0 AS final_balance,

@@ -23,7 +23,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from data_warehouse_hive_spark.registry import DEC, dsum, query, to_carrier
-from data_warehouse_hive_spark.tables import t
+from data_warehouse_hive_spark.tables import spread, t
 
 
 def _psum(c: Column, scale: float) -> Column:
@@ -715,7 +715,14 @@ def q_stats_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replicate explosion is a generator (no shuffle until the 20-key
     aggregation).  Deterministic end-to-end: same data → same CI, any
     partitioning, either engine."""
-    o = t(spark, sf_dir, "orders")
+    # spread() before the ×20 replicate fan-out (guide §2.5 input skew):
+    # the one-row-group orders fixture scans as a single task, which
+    # serialized the 3M md5 draws below on one core (r14 measurement:
+    # 2.6 s → ~1 s at sf0.1×32); on a many-file layout spread is a no-op.
+    o = spread(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice"),
+        spark,
+    )
     rep = o.select(
         "o_orderkey",
         "o_totalprice",
@@ -1718,12 +1725,20 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Spark DECIMAL(38,0) / DuckDB HUGEINT) so n·(2n)² stays exact at any
     SF — and the closed-form rho is mirrored double arithmetic.
     """
-    li = t(spark, sf_dir, "lineitem").select(
+    # lineage-cut the projected scan: three consumers (xr, yr, the rank
+    # join) otherwise re-read the one-row-group parquet serially each
+    # (guide §2.5 / §5)
+    li = spread(
+        t(spark, sf_dir, "lineitem").select(
+            "l_quantity", "l_extendedprice"
+        ),
+        spark,
+    ).select(
         F.col("l_quantity").cast("long").alias("x"),
         F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
         .cast("long")
         .alias("y"),
-    )
+    ).localCheckpoint(eager=False)
 
     def rank2(df: DataFrame, col: str, out: str) -> DataFrame:
         vc = df.groupBy(col).agg(F.count(F.lit(1)).alias("cnt"))
@@ -1733,26 +1748,99 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
             (
                 2 * (F.col("cum") - F.col("cnt")) + F.col("cnt") + 1
             ).cast("long").alias(out),
+            "cnt",
+        )
+
+    def rank2_wide(df: DataFrame, col: str, out: str) -> DataFrame:
+        """rank2 for a HIGH-CARDINALITY key (guide §2.5 stragglers): the
+        unpartitioned running-count window serializes ~583k distinct
+        cents values through ONE task at sf0.1 (measured 1.0 s of the
+        3.0 s total).  Split the cumulation: per-value counts cumulate
+        WITHIN fixed 65536-wide value buckets (distributed window,
+        bucket count tracks the value DOMAIN, not the row count), and
+        each bucket's global offset is a running sum over the tiny
+        bucket-total relation.  global_cum = bucket_offset + within_cum
+        — associativity of + over an ordered partition, so the midrank
+        integers are IDENTICAL to rank2's (oracle unchanged;
+        positive-domain floor-div below)."""
+        width = 65536
+        vc = (
+            df.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("bk", F.expr(f"{col} div {width}"))
+        )
+        wb = (
+            Window.partitionBy("bk")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        within = vc.withColumn("cumb", F.sum("cnt").over(wb))
+        wo = Window.orderBy("bk").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        off = (
+            vc.groupBy("bk")
+            .agg(F.sum("cnt").alias("btot"))
+            .withColumn(
+                "off", F.coalesce(F.sum("btot").over(wo), F.lit(0))
+            )
+            .select("bk", "off")
+        )
+        return within.join(F.broadcast(off), "bk").select(
+            col,
+            (
+                2 * (F.col("off") + F.col("cumb") - F.col("cnt"))
+                + F.col("cnt")
+                + 1
+            ).cast("long").alias(out),
+            "cnt",
         )
 
     xr = rank2(li.select("x"), "x", "rx2")
-    yr = rank2(li.select("y"), "y", "ry2")
-    j = li.join(F.broadcast(xr), "x").join(yr, "y").select("rx2", "ry2")
+    yr = rank2_wide(li.select("y"), "y", "ry2")
     d38 = "decimal(38,0)"
-    s = j.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rx2").alias("sx"),
-        F.sum("ry2").alias("sy"),
-        F.sum(F.col("rx2").cast(d38) * F.col("rx2").cast(d38))
+    # moment split (guide §2.3 aggregate-before-shuffle): every row of
+    # li matches exactly one entry of each rank map (inner join on its
+    # own value), so Σ_rows f(rank) = Σ_values cnt·f(rank) — the x/y
+    # power sums ride the tiny rank maps and the 600k-row join carries
+    # ONLY the cross term, dropping 2 of the 3 per-row decimal128
+    # multiplies.  Same exact integers into the same double assembly.
+    xs = xr.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("cnt").cast(d38) * F.col("rx2").cast(d38))
+        .cast("long")
+        .alias("sx"),
+        F.sum(
+            F.col("cnt").cast(d38)
+            * F.col("rx2").cast(d38)
+            * F.col("rx2").cast(d38)
+        )
         .cast("double")
         .alias("sxx"),
-        F.sum(F.col("ry2").cast(d38) * F.col("ry2").cast(d38))
+    )
+    ys = yr.agg(
+        F.sum(F.col("cnt").cast(d38) * F.col("ry2").cast(d38))
+        .cast("long")
+        .alias("sy"),
+        F.sum(
+            F.col("cnt").cast(d38)
+            * F.col("ry2").cast(d38)
+            * F.col("ry2").cast(d38)
+        )
         .cast("double")
         .alias("syy"),
+    )
+    j = (
+        li.join(F.broadcast(xr.select("x", "rx2")), "x")
+        .join(yr.select("y", "ry2"), "y")
+        .select("rx2", "ry2")
+    )
+    cross = j.agg(
         F.sum(F.col("rx2").cast(d38) * F.col("ry2").cast(d38))
         .cast("double")
         .alias("sxy"),
     )
+    s = xs.crossJoin(F.broadcast(ys)).crossJoin(F.broadcast(cross))
     nd = F.col("n").cast("double")
     sxd = F.col("sx").cast("double")
     syd = F.col("sy").cast("double")
@@ -2405,9 +2493,16 @@ def q_stats_permutation(spark: SparkSession, sf_dir: str) -> DataFrame:
     carrier; each diff is fixed-order double math rounded at 6, and the
     comparison happens on the rounded grid, so the count is engine-exact.
     """
+    # spread() before the per-row sha256 (guide §2.5 input skew): the
+    # one-row-group events fixture scans as a single task, serializing
+    # the hash + 64-aggregate pass; on a many-file layout it's a no-op
     pool = (
-        t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
+        spread(
+            t(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "event_type", "value"),
+            spark,
+        )
         .select(
             F.floor(F.col("value") * 100 + 0.5).cast("long").alias("xq"),
             F.when(F.col("event_type") == "click", 1).otherwise(0).alias(
@@ -3734,12 +3829,21 @@ def q_stats_conformal(spark: SparkSession, sf_dir: str) -> DataFrame:
     slices; the n_cal ≥ 9 precondition is documented here and holds at
     every shipped scale factor."""
     key = (F.col("l_orderkey") * 10 + F.col("l_linenumber")).cast("string")
-    r = t(spark, sf_dir, "lineitem").select(
+    # spread() the one-row-group scan so the per-row md5 coin runs wide,
+    # and lineage-cut: THREE consumers (fit / calib / test) otherwise
+    # re-scan and re-hash the full table once each (guide §2.5 + §5
+    # reuse; measured ~2.1 s → ~1.2 s at sf0.1×32)
+    r = spread(
+        t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+        ),
+        spark,
+    ).select(
         F.col("l_quantity").alias("xv"),
         F.col("l_extendedprice").alias("yv"),
         (F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("long") % 100)
         .alias("h"),
-    )
+    ).localCheckpoint(eager=False)
     fit = r.filter(F.col("h") < 60).agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum(F.floor(F.col("xv") * 1e6 + 0.5).cast("long")).alias("sx"),

@@ -923,21 +923,53 @@ def q_win_cume_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     yield duplicate `quantity` rows in engine-dependent order (the
     non-total-sort class the sf1 sweep fixed elsewhere).  The rank
     values themselves are floor-pinned (house rule), not round()ed."""
+    # r14 (guide §2.5 stragglers): the row-level window shuffled all
+    # 600k rows into |returnflag| = 3 partitions — a 3-core sort no
+    # matter how wide the cluster.  Both functions are TIE-AWARE, so
+    # they are exact functions of the per-(flag, value) histogram:
+    #   cume_dist(v)  = cum(v) / n
+    #   percent_rank(v) = (rank(v) - 1) / (n - 1),
+    #     rank(v) = cum(v) - cnt(v) + 1
+    # — the same long counts the window form divides, divided in the
+    # same order, so the doubles (and their 1e6 floor pins) are
+    # bit-identical.  The corpus-scale work becomes one map-side-
+    # combinable groupBy; the windows run over the ~150-row value
+    # histogram.  (percent_rank's n=1 edge is pinned to 0.0 exactly as
+    # the window function defines it.)
     q100 = F.floor(F.col("l_quantity") * 100 + 0.5).cast("long")
-    w = Window.partitionBy("l_returnflag").orderBy("q100")
-    return (
+    vc = (
         t(spark, sf_dir, "lineitem")
         .select("l_returnflag", q100.alias("q100"))
+        .groupBy("l_returnflag", "q100")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("q100")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wn = Window.partitionBy("l_returnflag")
+    return (
+        vc.withColumn("cum", F.sum("cnt").over(wcum))
+        .withColumn("n", F.sum("cnt").over(wn))
         .select(
             "l_returnflag",
             (F.col("q100") / 100.0).alias("quantity"),
-            (F.floor(F.cume_dist().over(w) * 1e6 + 0.5) / 1e6).alias(
-                "cume_dist"
-            ),
-            (F.floor(F.percent_rank().over(w) * 1e6 + 0.5) / 1e6).alias(
-                "pct_rank"
-            ),
+            (
+                F.floor(F.col("cum") / F.col("n") * 1e6 + 0.5) / 1e6
+            ).alias("cume_dist"),
+            F.when(
+                F.col("n") > 1,
+                F.floor(
+                    (F.col("cum") - F.col("cnt"))
+                    / (F.col("n") - 1)
+                    * 1e6
+                    + 0.5
+                )
+                / 1e6,
+            )
+            .otherwise(F.lit(0.0))
+            .alias("pct_rank"),
         )
-        .distinct()
         .orderBy("l_returnflag", "quantity")
     )

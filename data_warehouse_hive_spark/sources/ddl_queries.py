@@ -41,6 +41,41 @@ def _scratch_csv(delimiter: str = ",") -> str:
     return path
 
 
+def _multiset_compare(a: DataFrame, b: DataFrame) -> tuple[int, int, int]:
+    """(extra, missing, n_a) in ONE aggregation pass — the fused form of
+    `a.exceptAll(b).count()` / `b.exceptAll(a).count()` / `a.count()`,
+    which is three separate actions, each re-executing both input plans
+    (guide §1.2: don't compute things you throw away — the
+    exceptAll-both-ways idiom ran every batch/stream twin 3x per parity
+    check).  Union with a +1/-1 side tag, group by the full row, and
+    read both multiset differences off the per-row count delta:
+    extra = Σ max(d, 0) = |a ∖ b|,  missing = Σ max(-d, 0) = |b ∖ a|.
+    NULL/NaN/-0.0 grouping follows the same equality semantics
+    exceptAll uses, so the three numbers are identical to the old
+    idiom's."""
+    cols = a.columns
+    row = (
+        a.withColumn("__side", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(
+            F.sum("__side").alias("__d"),
+            F.count(F.when(F.col("__side") == 1, 1)).alias("__na"),
+        )
+        .agg(
+            F.coalesce(
+                F.sum(F.greatest(F.col("__d"), F.lit(0))), F.lit(0)
+            ).cast("long").alias("extra"),
+            F.coalesce(
+                F.sum(F.greatest(-F.col("__d"), F.lit(0))), F.lit(0)
+            ).cast("long").alias("missing"),
+            F.coalesce(F.sum("__na"), F.lit(0)).cast("long").alias("n_a"),
+        )
+        .collect()[0]
+    )
+    return int(row["extra"]), int(row["missing"]), int(row["n_a"])
+
+
 def _tmpdir(prefix: str) -> str:
     """Session-lifetime temp dir for DDL demos: returned DataFrames may
     lazily re-read these paths after the operator returns, so immediate
@@ -1660,10 +1695,8 @@ def ddl_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     streamed = spark.table(sink)
     batch = windowed_counts(t(spark, sf_dir, "events"))
-    # exceptAll both ways == empty → exact multiset equality
-    extra = streamed.exceptAll(batch).count()
-    missing = batch.exceptAll(streamed).count()
-    n = streamed.count()
+    # exact multiset equality, fused into one pass (_multiset_compare)
+    extra, missing, n = _multiset_compare(streamed, batch)
     assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
     return spark.createDataFrame(
         [(n, extra == 0 and missing == 0)],
@@ -1720,8 +1753,8 @@ def ddl_federated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref = star(
         t(spark, sf_dir, "nation"), t(spark, sf_dir, "supplier"), region_pq
     )
-    mismatch = fed.exceptAll(ref).count() + ref.exceptAll(fed).count()
-    n = fed.count()
+    extra, missing, n = _multiset_compare(fed, ref)
+    mismatch = extra + missing
     assert mismatch == 0 and n > 0, (mismatch, n)
     return spark.createDataFrame(
         [(n, True)], "n_regions long, federated_equals_native boolean"
@@ -1769,9 +1802,7 @@ def ddl_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("event_type") == "view"),
         ev.filter(F.col("event_type") == "purchase"),
     )
-    extra = streamed.exceptAll(batch).count()
-    missing = batch.exceptAll(streamed).count()
-    n = streamed.count()
+    extra, missing, n = _multiset_compare(streamed, batch)
     assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
     return spark.createDataFrame(
         [(n, extra == 0 and missing == 0)],
@@ -1851,9 +1882,7 @@ def ddl_stream_session(spark: SparkSession, sf_dir: str) -> DataFrame:
     q.stop()
     streamed = spark.table(sink)
     batch = sessionized(t(spark, sf_dir, "events"))
-    extra = streamed.exceptAll(batch).count()
-    missing = batch.exceptAll(streamed).count()
-    n = streamed.count()
+    extra, missing, n = _multiset_compare(streamed, batch)
     assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
     return spark.createDataFrame(
         [(n, extra == 0 and missing == 0)],
@@ -2091,9 +2120,7 @@ def ddl_stream_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the multiset compare against the batch twin
     streamed = spark.read.parquet(out).drop("batch_id")
     batch = q_decontaminate(spark, sf_dir)
-    extra = streamed.exceptAll(batch).count()
-    missing = batch.exceptAll(streamed).count()
-    n = streamed.count()
+    extra, missing, n = _multiset_compare(streamed, batch)
     n_idx = spark.read.parquet(idx_dir).count()
     assert extra == 0 and missing == 0 and n > 0, (extra, missing, n)
     assert n_batches["n"] >= 2, n_batches
@@ -2179,8 +2206,7 @@ def ddl_knn_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         merged = spark.table(name).select("bkey", "vec_id", "e")
         rebuild = index_rows(v).select("bkey", "vec_id", "e")
-        extra = merged.exceptAll(rebuild).count()
-        missing = rebuild.exceptAll(merged).count()
+        extra, missing, _n = _multiset_compare(merged, rebuild)
 
         # candidate generation: bucket self-join must be shuffle-free
         old_thresh = spark.conf.get(
@@ -2276,11 +2302,18 @@ def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", F.col("kv.bi").alias("bi"), F.col("kv.bv").alias("bv")
         )
 
-    # persisted signature index for the base corpus (built once)
+    # persisted signature index for the base corpus (built once).
+    # spread() the hex projection first (guide §2.5 input skew): the
+    # one-file fixture scan otherwise runs the ENTIRE shingle fan-out +
+    # 1.1M-md5 aggregation on a single core — measured 4.1 s vs 1.2 s
+    # at sf0.1×32 cores; the batch twin q_dedup_binary_simhash already
+    # rode spread() for exactly this reason.
+    from data_warehouse_hive_spark.tables import spread
+
     idx_dir = _tmpdir("stream_bsh_idx_")
-    binary_simhash_bands(to_hx(docs.filter(is_base))).write.mode(
-        "overwrite"
-    ).parquet(idx_dir)
+    binary_simhash_bands(
+        spread(to_hx(docs.filter(is_base)), spark)
+    ).write.mode("overwrite").parquet(idx_dir)
 
     src = _tmpdir("stream_bsh_src_")
     out = _tmpdir("stream_bsh_out_")
@@ -2291,7 +2324,17 @@ def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sink(batch_df, bid):
         n_batches["n"] += 1
         base_bands = spark.read.parquet(idx_dir)
-        new_bands = binary_simhash_bands(to_hx(batch_df))
+        # a micro-batch arrives as maxFilesPerTrigger source splits (2
+        # here) — far below the core count, so the per-batch signature
+        # pass needs the same fan-out as the index build; spread()
+        # reads inputFiles() off the file-source batch, which is
+        # exactly the trigger's file list.  Lineage-cut the bands: the
+        # sink consumes them THREE times (candidate side + both sides
+        # of the hamming verify), which re-ran the md5 fan-out thrice
+        # per batch.
+        new_bands = binary_simhash_bands(
+            spread(to_hx(batch_df), spark)
+        ).localCheckpoint(eager=False)
         both = new_bands.unionByName(base_bands)
         cand = (
             explode_bands(new_bands)
@@ -2333,7 +2376,11 @@ def ddl_stream_binary_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of recomputing 3/4 of the corpus's signatures a third time.
     all_bands = (
         spark.read.parquet(idx_dir)
-        .unionByName(binary_simhash_bands(to_hx(docs.filter(~is_base))))
+        .unionByName(
+            binary_simhash_bands(
+                spread(to_hx(docs.filter(~is_base)), spark)
+            )
+        )
         .localCheckpoint(eager=False)
     )
     new_ids = docs.filter(~is_base).select("doc_id")
@@ -2469,8 +2516,7 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         merged = spark.table(name).select("bkey", "doc_id")
         rebuild = index_rows(sig).select("bkey", "doc_id")
-        extra = merged.exceptAll(rebuild).count()
-        missing = rebuild.exceptAll(merged).count()
+        extra, missing, _n = _multiset_compare(merged, rebuild)
 
         old_thresh = spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
