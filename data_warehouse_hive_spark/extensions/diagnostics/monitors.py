@@ -670,7 +670,17 @@ def q_join_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
         pj = dim.select(_bloom_pos_spark(F.col("c_custkey"), j).alias("p"))
         bits = pj if bits is None else bits.unionAll(pj)
     bits = bits.distinct()
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # spread() the fact side (r14, guide §2.5): the prefilter is
+    # broadcast-only BY DESIGN (no shuffle ever touches the fact), so
+    # the one-row-group fixture scan would otherwise run all three
+    # per-row bloom hashes on a single core; on a real multi-file fact
+    # layout spread is a no-op and the no-shuffle property is unchanged
+    from data_warehouse_hive_spark.tables import spread
+
+    o = spread(
+        t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey"),
+        spark,
+    )
     passed = o
     for j in range(BLOOM_K):
         passed = passed.withColumn(

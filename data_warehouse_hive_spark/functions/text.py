@@ -1240,13 +1240,18 @@ def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("pos", "w"),
     ).localCheckpoint(eager=False)
-    a = toks.select("doc_id", "pos", F.col("w").alias("w1"))
-    b = toks.select(
-        F.col("doc_id").alias("d2"), F.col("pos").alias("p2"), F.col("w").alias("w2")
+    # adjacent-position pairing as ONE lead() window instead of a
+    # positional self-join (r14, guide §2.4 remove shuffles outright):
+    # the join shuffled the token relation TWICE on the composite
+    # (doc_id, pos) key; lead over (doc_id, pos) shuffles it once.
+    # posexplode positions are dense and consecutive, so lead(w) is
+    # exactly the w2 the p2 = pos + 1 join produced.
+    wadj = Window.partitionBy("doc_id").orderBy("pos")
+    bigrams = (
+        toks.withColumn("w2", F.lead("w").over(wadj))
+        .filter(F.col("w2").isNotNull())
+        .select("doc_id", F.col("w").alias("w1"), "w2")
     )
-    bigrams = a.join(
-        b, (F.col("d2") == F.col("doc_id")) & (F.col("p2") == F.col("pos") + 1)
-    ).select("doc_id", "w1", "w2")
     bg_cnt = bigrams.groupBy(
         F.col("w1").alias("cw1"), F.col("w2").alias("cw2")
     ).agg(F.count(F.lit(1)).alias("c2"))
@@ -1442,8 +1447,13 @@ def q_text_artifacts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Pure narrow map in whole-stage codegen (regexp length deltas + one
     token-filter lambda); zero shuffles.  Counts are exact integers; the
-    only float is the 6 dp digit ratio."""
-    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    only float is the 6 dp digit ratio.  Precisely BECAUSE it is
+    zero-shuffle, the one-row-group fixture scan would run every regex
+    pass on a single core — spread() first (r14, guide §2.5; no-op on
+    a real multi-file layout)."""
+    d = spread(
+        t(spark, sf_dir, "documents").select("doc_id", "text"), spark
+    )
     ws = tokens("text")
     n_nonascii = F.length("text") - F.length(
         F.regexp_replace("text", r"[ -~]", "")
