@@ -2127,17 +2127,36 @@ def q_sql_scripting(spark: SparkSession, sf_dir: str) -> DataFrame:
                 FROM sqlscript_cents
                 WHERE CAST(c AS DOUBLE) >= lo AND CAST(c AS DOUBLE) <= hi);
             END IF;
-            SET m = CAST(sx AS DOUBLE) / n;
-            SET s = sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
-                         / (CAST(n AS DOUBLE) * (n - 1)));
-            IF i = 1 THEN
-              SET first_m = m;
-              SET first_s = s;
-            END IF;
-            SET lo = m - 2 * s;
-            SET hi = m + 2 * s;
-            SET i = i + 1;
+            -- ONE tuple-SET for the whole post-aggregate update (r14,
+            -- the q_sql_scripting_for fold): every RHS reads only the
+            -- PRE-update variables (n, sx, sxx, i, first_m, first_s),
+            -- so the mean/sd expressions are repeated verbatim where
+            -- the scalar form chained them through m and s — the same
+            -- deterministic double expressions evaluate to the same
+            -- bits, and 5-7 interpreted statements per iteration
+            -- become 1 (measured 1.24 s → 0.65-0.87 s at sf0.1,
+            -- identical output at every SF).
+            SET (m, s, first_m, first_s, lo, hi, i) = (SELECT
+              CAST(sx AS DOUBLE) / n,
+              sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (n - 1))),
+              CASE WHEN i = 1 THEN CAST(sx AS DOUBLE) / n
+                   ELSE first_m END,
+              CASE WHEN i = 1 THEN
+                sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * (n - 1)))
+                   ELSE first_s END,
+              CAST(sx AS DOUBLE) / n
+                - 2 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (n - 1))),
+              CAST(sx AS DOUBLE) / n
+                + 2 * sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                           / (CAST(n AS DOUBLE) * (n - 1))),
+              i + 1);
           END WHILE;
           SELECT n AS n_kept,
                  floor(m / 100.0 * 1e6 + 0.5) / 1e6 AS mean_dollars,
