@@ -54,6 +54,17 @@ SECONDARY = [
     # the LSH-bucket self-join k-NN graph — the two new heaviest plans
     "q_curate_e2e",
     "q_embed_knn",
+    # round 15 (r14 VERDICT task 2): a deliberately COMPUTE-heavy scaling
+    # canary.  Every headline op is fixed-overhead-bound at sf0.1 (0.01-0.7s,
+    # all-broadcast pruned plans), so the driver's 8-core/32-core per-query
+    # ratios are structurally ≈1 and cannot distinguish "cores ignored" from
+    # "nothing left to parallelize".  q_stats_bootstrap (×20 replicate md5
+    # fan-out over the spread orders scan) IS core-bound; its seconds are
+    # surfaced in the stdout line as `scaling_canary` so both the 32-core and
+    # the low-core artifacts carry a ratio that CAN move.  Secondary entries
+    # never sum into the headline `value`, so cross-round comparability of
+    # the contract metric is untouched.
+    "q_stats_bootstrap",
 ]
 
 # round 4: the TPC-H-derived decision-support suite (operators/tpch.py),
@@ -761,6 +772,13 @@ def run_cohort(cohort: str, out_path: str) -> None:
         "first_run": first_run,
         "load_avg_start": [round(x, 2) for x in os.getloadavg()],
         "best_of": n_runs,
+        # r14 VERDICT task 2: PROVE the core count to the driver.
+        # $SPARK_GRAFT_CPUS flows through session.get_spark into
+        # master("local[N]"); defaultParallelism is the session's actual
+        # scheduling width, read back from the live SparkContext — if the
+        # env were ignored this would not move between the driver's
+        # 32-core and 8-core bench invocations.
+        "cpus_effective": spark.sparkContext.defaultParallelism,
         "cpu_probe_start_sec": _cpu_probe(),
     }
     for gkey in group_keys:
@@ -789,6 +807,7 @@ def main() -> None:
     cohort_sec: dict[str, float] = {}
     cohort_load: dict[str, list[float]] = {}
     cohort_best_of: dict[str, int] = {}
+    cohort_cpus_effective: dict[str, int | None] = {}
     cohort_cpu_probe: dict[str, list] = {}
     load_avg_start = [round(x, 2) for x in os.getloadavg()]
     for cohort, _gkeys in COHORTS:
@@ -815,6 +834,7 @@ def main() -> None:
         first_run.update(child["first_run"])
         cohort_load[cohort] = child.get("load_avg_start", [])
         cohort_best_of[cohort] = child.get("best_of", 2)
+        cohort_cpus_effective[cohort] = child.get("cpus_effective")
         cohort_cpu_probe[cohort] = [
             child.get("cpu_probe_start_sec"),
             child.get("cpu_probe_end_sec"),
@@ -922,6 +942,10 @@ def main() -> None:
             # only the prose isolation string to say which timings were
             # best-of-3 vs best-of-2)
             "cohort_best_of": cohort_best_of,
+            # per-cohort-child defaultParallelism read from the live
+            # SparkContext (r14 VERDICT task 2: the scaling block could
+            # not tell "env ignored" from "overhead-bound queries")
+            "cohort_cpus_effective": cohort_cpus_effective,
             # machine-throughput calibration bracketing each cohort
             # (fixed 10M-add busy loop, seconds; ~0.31 s on this host at
             # full speed).  A cohort whose ops ALL scale by probe-ratio
@@ -984,6 +1008,13 @@ def main() -> None:
     # memoized_cold, the full delta table etc. live in
     # bench_result.json; stdout carries the contract keys + the two
     # normalized summaries r13 task 3 asked for, trimmed to fit.
+    # one number when every cohort child saw the same width (the normal
+    # case — children inherit the env), else the full map so a skew is
+    # visible rather than averaged away
+    _cpus_vals = {v for v in cohort_cpus_effective.values() if v}
+    cpus_effective = (
+        _cpus_vals.pop() if len(_cpus_vals) == 1 else cohort_cpus_effective
+    )
     line_obj = {
         "metric": "headline_queries_total_runtime",
         "value": total,
@@ -991,6 +1022,15 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "n_queries": len(timings),
+        # r14 VERDICT task 2: the driver benches at two core counts; these
+        # two keys let it SEE that the env took effect (cpus_effective =
+        # defaultParallelism of the cohort children) and give it one
+        # timing that CAN scale with cores (the headline set is
+        # overhead-bound at sf0.1; the canary's replicate fan-out is not).
+        "cpus_effective": cpus_effective,
+        "scaling_canary": {
+            "q_stats_bootstrap": secondary.get("q_stats_bootstrap")
+        },
         "isolation": "per-cohort-subprocess",
         "load_avg": load_avg_start,
         "probe_full_speed_sec": PROBE_FULL_SPEED_SEC,
