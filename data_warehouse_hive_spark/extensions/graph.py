@@ -65,13 +65,12 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS) -> DataFrame:
     the same rule.  The loop is driver-side and bounded (iters is a
     constant, like q_dedup_groups' max-round guard).
     """
-    # lineage-cut the aggregated edge relation FIRST (r14, guide §5):
-    # it is tiny (the (u,v) type-domain) but its lineage is the
-    # corpus-scale window pass, and every consumer below — the node
-    # count, out_w, and each iteration's contrib (each checkpointed
-    # pr materializes as its own action, so cross-action exchange
-    # reuse never applies) — was replaying that window once per use.
-    edges = edges.localCheckpoint(eager=False)
+    # NOTE: the edge relation must arrive lineage-cut (guide §5) — every
+    # consumer below (node count, out_w, each iteration's contrib) runs
+    # as its own action, so an un-cut corpus-scale lineage would replay
+    # once per use.  _edges() carries that localCheckpoint at the
+    # corpus/bounded boundary; re-checkpointing here would materialize
+    # the same tiny relation twice on executors (r15, r14 ADVICE).
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
@@ -2232,14 +2231,18 @@ def q_graph_betweenness_approx(
     is lineage-cut once (multi-consumer: next level, anti-join seen set,
     backward sweep).
 
-    Scheduling shape (r11): the corpus-scale edges stage materializes
-    at the session shuffle width; the K-bounded BFS + dependency sweep
-    then run under a shuffle.partitions=1 guard (set/restored in
-    try/finally) because their relations are ≤ K·|V| rows and the
-    per-round cost at local[32] was pure stage scheduling.  On a real
-    cluster the guard value should be a small constant × executor
-    count — the point is decoupling the LOOP's partitioning from the
-    fact-table width, not the literal 1."""
+    Scheduling shape (r11, widened r15): the corpus-scale edges stage
+    materializes at the session shuffle width; the K-bounded BFS +
+    dependency sweep then run under a shuffle-partitions guard
+    (set/restored in try/finally) whose width is DERIVED from the
+    measured edge count (~25k edge rows per partition, clamped to
+    [1, defaultParallelism]) — 1 at every fixture SF, where the loop
+    relations are ≤1.2k rows and wider shuffles were pure stage
+    scheduling, and the full session width on clone-dense graphs,
+    where a 1-partition loop serialized multi-million-row per-level
+    joins through single tasks (the r14 sf10-sweep watchdog finding).
+    The point is decoupling the LOOP's partitioning from the
+    fact-table width AND from any fixture-tuned constant."""
     from data_warehouse_hive_spark.extensions.similarity import (
         SEMANTIC_COS,
         as_double_vec,
@@ -2293,16 +2296,28 @@ def q_graph_betweenness_approx(
         .localCheckpoint(eager=False)  # consumed by every BFS round
     )
     # materialize the corpus-scale stage (pairs + edges) at the session
-    # shuffle width FIRST, then run the K-bounded BFS loop at ONE
-    # shuffle partition: every frontier relation is ≤ K·|V| tiny rows,
-    # and the loop's cost at local[32] is pure stage/AQE scheduling —
-    # 32-partition shuffles on ≤1.2k rows made each round ~1s (r10
-    # VERDICT task 6).  Values are exact integers; partitioning cannot
-    # change them (re-verified by the exact-hash suite at 4 SFs).
-    edges.count()
+    # shuffle width FIRST, then run the K-bounded BFS loop at a width
+    # derived from the MEASURED graph rather than a constant.  r11 pinned
+    # the loop to ONE shuffle partition because every frontier relation
+    # at fixture scale is ≤1.2k rows and 32-partition shuffles on that
+    # were pure stage/AQE scheduling (~1 s/round) — but the literal 1 is
+    # itself a fixture-scale constant: on the 10× clone-density graph
+    # (sf10 sweep, SCALING.md) the per-level frontier⋈edges joins carry
+    # millions of rows and a 1-partition loop serializes ALL of them
+    # through one task per level — the op blew the 1800 s watchdog there
+    # (r14 VERDICT task 1).  Scale-adaptive form: ~25k edge rows per
+    # partition, clamped to [1, defaultParallelism] — still 1 at every
+    # fixture SF (identical bench plan), full width on dense graphs.
+    # Values are exact integers; partitioning cannot change them
+    # (re-verified by the exact-hash suite at 4 SFs).
+    n_edges = edges.count()
     nodes = edges.select(F.col("src").alias("node")).distinct()
+    loop_parts = max(
+        1,
+        min(spark.sparkContext.defaultParallelism, n_edges // 25_000),
+    )
     old_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "1")
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
     try:
         n_nodes = nodes.count()
         srcs = (

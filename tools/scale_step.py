@@ -451,7 +451,16 @@ SF10_FULL_RESULTS = os.environ.get(
 # records which fixture each op ran on.
 import re as _re
 
-_SF10_EMBED_AXIS = _re.compile(r"embed|sim_|knn|semantic")
+# r15: q_graph_betweenness_approx added to the embed axis.  It reads ONLY
+# embeddings (its graph is q_dedup_semantic's LSH-bucket cosine edge
+# relation), so it belongs to exactly the family this routing exists for —
+# on SF10's 100-way EXACT-clone embeddings the in-bucket pair join is
+# quadratic in clone count (~2.5e9 candidate pairs, every intra-clone pair
+# at cosine 1.0) and the clone cliques blow up σ path mass, the documented
+# degenerate regime (q_dedup_embedding burned its watchdog there in r14).
+# The r14 sweep ran it on SF10 only because its NAME misses the family
+# tokens; the per-id `dir` field keeps recording which fixture ran.
+_SF10_EMBED_AXIS = _re.compile(r"embed|sim_|knn|semantic|betweenness_approx")
 
 
 def _sf10_full_chunk(ids: list[str]) -> None:
