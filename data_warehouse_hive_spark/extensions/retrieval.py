@@ -653,32 +653,49 @@ def q_recs_similar_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     co/√(cnt_a·cnt_b), top-5 neighbors per item — the memory-based CF
     recommender that runs entirely as joins + windows.
 
-    Scale shape: baskets distinct once (one shuffle), the pair expansion
-    joins basket-to-basket ON the order key (never item×item), counts
-    collapse before the tiny item_cnt joins, and the symmetric top-k
-    window partitions per item.  Hot orders (huge baskets) are the skew
-    risk at 100 TB, so the MAX_BASKET cap is ENFORCED before the pair
-    join (a 10k-line order contributes 5·10⁷ pairs and zero signal) —
-    the window count shuffles on the same order key the pair join needs,
-    so the cap reuses that partitioning rather than adding an exchange.
-    Cosine divides two exact integers — deterministic to the 1e-6 pin."""
-    from pyspark.sql import Window as W
-
+    Scale shape (r15, guide §2.4 remove shuffles outright): ONE exchange
+    on the order key builds each basket's distinct sorted item array
+    (collect_set partial-aggregates map-side — the old DISTINCT +
+    count-window + basket-to-basket self-join spent three exchanges and
+    an SMJ sort to reach the same pairs), the MAX_BASKET cap is a
+    size() filter on the array (a 10k-line order contributes 5·10⁷
+    pairs and zero signal), and the i<j pair expansion is a NARROW
+    array generator per basket — pairs never cross the network until
+    they collapse into (pa, pb) counts.  item_cnt re-derives from the
+    same checkpointed basket arrays, so the capped corpus is scanned
+    once.  Cosine divides two exact integers — deterministic to the
+    1e-6 pin."""
     l = t(spark, sf_dir, "lineitem")
-    baskets = (
+    items = (
         l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .withColumn("bsz", F.count(F.lit(1)).over(W.partitionBy("ok")))
-        .filter(F.col("bsz") <= MAX_BASKET)
-        .drop("bsz")
-        .localCheckpoint(eager=False)
+        # collect_set = the old DISTINCT, fused into the one exchange;
+        # sort_array pins the combination order so pa < pb by slicing
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .filter(F.size("ps") <= MAX_BASKET)
+        .select("ps")
+        .localCheckpoint(eager=False)  # consumed by item_cnt AND cooc
     )
-    item_cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
-    a = baskets.select("ok", F.col("pk").alias("pa"))
-    b = baskets.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    item_cnt = (
+        items.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    # all i<j combinations of the sorted array: x at 0-based index i
+    # pairs with every later element (slice is 1-based; length size(ps)
+    # clamps to the tail) — exactly the old self-join's pa < pb pairs
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     cooc = (
-        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
+        items.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("co"))
     )
     scored = (
@@ -763,18 +780,36 @@ def q_basket_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     HAVING prunes the pair tail before the metric joins, and the 1-row
     basket total broadcasts."""
     l = t(spark, sf_dir, "lineitem")
-    baskets = (
+    # r15 (guide §2.4): one exchange on the order key builds each
+    # basket's sorted distinct item array (collect_set = the old
+    # DISTINCT, fused); the i<j pair expansion is a narrow per-basket
+    # array generator — the old basket-to-basket self-join shuffled the
+    # (ok, pk) relation twice more and SMJ-sorted it for the same pairs.
+    items = (
         l.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("ps"))
+        .select("ps")
+        .localCheckpoint(eager=False)  # consumed by nb, item_cnt, cooc
     )
-    nb = baskets.agg(F.countDistinct("ok").alias("n_baskets"))
-    item_cnt = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("cnt"))
-    a = baskets.select("ok", F.col("pk").alias("pa"))
-    b = baskets.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    nb = items.agg(F.count(F.lit(1)).alias("n_baskets"))
+    item_cnt = (
+        items.select(F.explode("ps").alias("pk"))
+        .groupBy("pk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     cooc = (
-        a.join(b, (F.col("ok2") == F.col("ok")) & (F.col("pa") < F.col("pb")))
-        .groupBy("pa", "pb")
+        items.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.pa").alias("pa"), F.col("p.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("co"))
         .filter(F.col("co") >= 2)
     )

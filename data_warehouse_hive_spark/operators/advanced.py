@@ -768,34 +768,43 @@ def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Market-basket pair mining: co-purchased part pairs with support
     counts (the candidate-generation step of association-rule mining).
 
-    The pair expansion is a SELF-JOIN ON THE ORDER KEY, which is safe at
-    any corpus size because baskets are small (≤13 lines in the fixture;
-    bounded in any real order system) — the same
-    bounded-in-group-expansion argument as the LSH bucket joins, with
-    `part_a < part_b` halving the pairs and making each unordered pair
-    unique.  The _MAX_BASKET cap is ENFORCED (window count over the
-    order key, reusing the exact partitioning the pair join needs) so a
-    degenerate mega-basket can never quadratically amplify the join.
-    One shuffle on the order key, one hash agg on the pair key, then
-    TakeOrderedAndProject for the top-k with full-key determinism.
+    The pair expansion (r15, guide §2.4 remove shuffles outright) is a
+    NARROW i<j generator over each basket's sorted distinct item array:
+    ONE exchange on the order key (collect_set fuses the old DISTINCT
+    and partial-aggregates map-side; the old shape spent three
+    exchanges — distinct, count-window, self-join — plus an SMJ sort to
+    reach the same pairs), the _MAX_BASKET cap is a size() filter on
+    the array (a degenerate mega-basket can never quadratically amplify
+    the expansion), pairs collapse into support counts via one hash
+    agg, then TakeOrderedAndProject for the top-k with full-key
+    determinism.  Safe at any corpus size because baskets are small
+    (≤13 lines in the fixture; bounded in any real order system) — the
+    same bounded-in-group-expansion argument as the LSH bucket joins,
+    with part_a < part_b (by slicing the sorted array) halving the
+    pairs and making each unordered pair unique.
     """
-    from pyspark.sql import Window as W
-
     items = (
         t(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
-        .distinct()
-        .withColumn(
-            "bsz", F.count(F.lit(1)).over(W.partitionBy("l_orderkey"))
-        )
-        .filter(F.col("bsz") <= _MAX_BASKET)
-        .drop("bsz")
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("l_partkey")).alias("ps"))
+        .filter(F.size("ps") <= _MAX_BASKET)
+        .select("ps")
     )
-    a = items.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a"))
-    b = items.select(F.col("l_orderkey").alias("ok2"), F.col("l_partkey").alias("part_b"))
+    pair_structs = F.flatten(
+        F.transform(
+            F.col("ps"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ps"), i + F.lit(2), F.size("ps")),
+                lambda y: F.struct(x.alias("pa"), y.alias("pb")),
+            ),
+        )
+    )
     pairs = (
-        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        items.select(F.explode(pair_structs).alias("p"))
+        .groupBy(
+            F.col("p.pa").alias("part_a"), F.col("p.pb").alias("part_b")
+        )
         .agg(F.count(F.lit(1)).alias("support"))
     )
     from pyspark.sql import Window

@@ -120,6 +120,17 @@ def test_dedup_verify_no_cartesian(spark, sf_dir):
     ), strategies
 
 
+def test_jaccard_union_via_size_identity(spark, sf_dir):
+    """r15: the per-pair union size rides |a|+|b|−|a∩b| (exact for the
+    distinct shingle arrays), NOT a 2n-element array_distinct(concat)
+    hash set per pair — pin the plan so the identity can't silently
+    regress (measured −33% on q_dedup_lsh_tuning at sf0.1)."""
+    for name in ("q_dedup_lsh_tuning", "q_dedup_verify", "q_dedup_prefix_join"):
+        plan = _plan(spark, sf_dir, name)
+        assert "array_intersect" in plan, (name, plan[:2000])
+        assert "array_distinct(concat" not in plan, (name, plan[:2000])
+
+
 def test_udaf_shuffles_on_group_key_once(spark, sf_dir):
     """applyInPandas groups by the high-cardinality suppkey: exactly one
     exchange, keyed on the group column."""
@@ -765,14 +776,19 @@ def test_similar_items_joins_on_order_key(spark, sf_dir):
     ), plan
 
 
-def test_basket_cap_enforced_before_pair_join(spark, sf_dir):
-    """Both basket miners must filter mega-baskets (bsz <= cap) BEFORE
-    the order-key self-join — the documented skew guard has to be in the
-    plan, not just the docstring.  q_recs_similar_items localCheckpoints
-    the capped relation (lineage truncated in explain), so its cap is
+def test_basket_cap_enforced_before_pair_expansion(spark, sf_dir):
+    """Both basket miners must drop mega-baskets BEFORE the i<j pair
+    expansion — the documented skew guard has to be in the plan, not
+    just the docstring.  Since r15 the cap is a size() filter on the
+    per-basket sorted item array, sitting below the pair-generating
+    explode (the old form was a count-window `bsz` guard before an
+    order-key self-join).  q_recs_similar_items localCheckpoints the
+    capped relation (lineage truncated in explain), so its cap is
     asserted at the source level instead."""
     plan = _plan(spark, sf_dir, "q_basket_pairs")
-    assert "bsz" in plan and "<= 64" in plan, plan
+    # the i<j expansion is a Generate over the capped array relation
+    assert "size(ps" in plan and "<= 64" in plan, plan
+    assert "Generate" in plan, plan
 
     import inspect
 
@@ -782,8 +798,8 @@ def test_basket_cap_enforced_before_pair_join(spark, sf_dir):
     whole = inspect.getsource(retrieval)
     src = whole[whole.index("def q_recs_similar_items") :]
     cap_pos = src.index("MAX_BASKET")
-    join_pos = src.index(".join(")
-    assert cap_pos < join_pos, "cap must be applied before the pair join"
+    pair_pos = src.index("pair_structs")
+    assert cap_pos < pair_pos, "cap must be applied before pair expansion"
 
 
 def test_lm_score_single_corpus_scan(spark, sf_dir):
