@@ -705,8 +705,12 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_arrays(d, 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    # |a∪b| = |a|+|b|−|a∩b| for distinct shingle arrays (shingle_arrays
+    # dedups) — the same integer size(array_distinct(concat)) built a
+    # 2n-element hash set per pair to count (r15, guide §1.2)
+    uni = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     return (
         a.join(b, F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", (inter / uni).alias("jaccard"))
@@ -818,8 +822,11 @@ def q_dedup_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_arrays(docs, 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    # |a∪b| = |a|+|b|−|a∩b| on distinct shingle arrays — same integer,
+    # no 2n-element per-pair hash set (r15, guide §1.2)
+    uni = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -1042,8 +1049,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = shingle_arrays(docs, 3)
     a = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b"))).cast("double")
+    inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    inter = inter_n.cast("double")
+    # |a∪b| = |a|+|b|−|a∩b| on distinct shingle arrays — same integer,
+    # no 2n-element per-pair hash set (r15, guide §1.2)
+    uni = (F.size("sh_a") + F.size("sh_b") - inter_n).cast("double")
     return (
         pairs.join(a, "doc_a")
         .join(b, "doc_b")
@@ -1265,8 +1275,11 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = shv.select(F.col("doc_id").alias("a_id"), F.col("shs").alias("sh_a"))
     b = shv.select(F.col("doc_id").alias("b_id"), F.col("shs").alias("sh_b"))
     est_raw = eq.cast("double") / F.lit(float(MINHASH_K))
-    exact_raw = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_distinct(F.concat("sh_a", "sh_b"))
+    # |a∪b| = |a|+|b|−|a∩b| on distinct shingle arrays — same integer,
+    # no 2n-element per-pair hash set (r15, guide §1.2)
+    _inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact_raw = _inter_n.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - _inter_n
     ).cast("double")
     return (
         pairs.join(sa, F.col("sa_id") == F.col("doc_a"))
@@ -1371,8 +1384,11 @@ def q_dedup_lsh_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
     shv = shingle_arrays(docs).localCheckpoint(eager=False)
     a = shv.select(F.col("doc_id").alias("ka"), F.col("sh").alias("sh_a"))
     b = shv.select(F.col("doc_id").alias("kb"), F.col("sh").alias("sh_b"))
-    j = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
-        F.array_distinct(F.concat("sh_a", "sh_b"))
+    # |a∪b| = |a|+|b|−|a∩b| on distinct shingle arrays — same integer,
+    # no 2n-element per-pair hash set (r15, guide §1.2)
+    _inter_n = F.size(F.array_intersect("sh_a", "sh_b"))
+    j = _inter_n.cast("double") / (
+        F.size("sh_a") + F.size("sh_b") - _inter_n
     ).cast("double")
     blocked = (
         blocked_keys.join(a, F.col("ka") == F.col("da"))
@@ -1509,7 +1525,10 @@ def q_dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     x = shv.select(F.col("doc_id").alias("xa"), F.col("sh").alias("sh_a"))
     y = shv.select(F.col("doc_id").alias("yb"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    uni = F.size(F.array_distinct(F.concat("sh_a", "sh_b")))
+    # |a∪b| = |a|+|b|−|a∩b| on distinct shingle arrays — same integer,
+    # no 2n-element per-pair hash set (r15, guide §1.2); the integer
+    # cross-multiplication threshold below is unchanged
+    uni = F.size("sh_a") + F.size("sh_b") - inter
     return (
         cand.join(x, F.col("xa") == F.col("doc_a"))
         .join(y, F.col("yb") == F.col("doc_b"))
