@@ -2349,12 +2349,19 @@ def q_sample_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
     relevance, k-centers maximizes metric coverage; it is the 2-approx
     of the k-center objective).
 
-    Each of the K−1 rounds is one corpus pass: cross join against the
-    ≤K-row broadcast center set, per-vector MIN of the exact carrier
-    distances (map-side combined), anti-join of already-chosen ids, and
-    a global top-1 (TakeOrderedAndProject).  The driver loop is bounded
-    by the constant K, localCheckpoint truncates the compounding plan —
-    the q_embed_kmeans/MMR iteration discipline.
+    Each of the K−1 rounds (r15, guide §1.2 the-distributed-algorithm):
+    the classic INCREMENTAL farthest-point form carries one running
+    (vec_id, e, md) relation where md = min distance to the chosen set,
+    and each round updates it with least(md, d2-to-latest-pick) — one
+    broadcast of a single row + a narrow project, NO per-round exchange.
+    The pre-r15 form recomputed a k-way crossJoin + groupBy-MIN per
+    round: n·K(K−1)/2 distance evaluations and a hash-agg shuffle per
+    round vs n·(K−1) and none now; min is associative, so the md longs
+    (and the rounded min_d2 doubles) are bit-identical.  Already-chosen
+    ids are excluded by a tiny left_anti; the global top-1 is a
+    TakeOrderedAndProject.  The driver loop is bounded by the constant
+    K, localCheckpoint truncates the compounding plan — the
+    q_embed_kmeans/MMR iteration discipline.
     """
     v = spread(
         t(spark, sf_dir, "embeddings").select(
@@ -2362,28 +2369,24 @@ def q_sample_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         spark,
     ).localCheckpoint(eager=False)
-    cents = v.filter(F.col("vec_id") == 0)
-    out = v.filter(F.col("vec_id") == 0).select(
+    seed = v.filter(F.col("vec_id") == 0)
+    out = seed.select(
         F.lit(0).alias("sel_rank"),
         "vec_id",
         F.lit(0.0).alias("min_d2"),
     )
+    cur = (
+        v.crossJoin(broadcast(seed.select(F.col("e").alias("ce"))))
+        .select("vec_id", "e", _d2q(F.col("e"), F.col("ce")).alias("md"))
+        .localCheckpoint(eager=False)
+    )
+    chosen = seed.select("vec_id")
     for k in range(1, KCENTERS_K):
-        md = (
-            v.crossJoin(broadcast(cents.select(F.col("e").alias("ce"))))
-            .select("vec_id", _d2q(F.col("e"), F.col("ce")).alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min("d2").alias("md"))
-            .join(
-                cents.select(F.col("vec_id").alias("cid")),
-                F.col("vec_id") == F.col("cid"),
-                "left_anti",
-            )
-        )
         pick = (
-            md.orderBy(F.col("md").desc(), "vec_id")
+            cur.join(chosen, "vec_id", "left_anti")
+            .orderBy(F.col("md").desc(), "vec_id")
             .limit(1)
-            .localCheckpoint(eager=False)
+            .localCheckpoint(eager=False)  # out row + md update + chosen
         )
         out = out.unionAll(
             pick.select(
@@ -2392,13 +2395,21 @@ def q_sample_kcenters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("md").cast("double") / 1e6, 6).alias("min_d2"),
             )
         )
-        cents = cents.unionAll(
-            v.join(
-                pick.select(F.col("vec_id").alias("pid")),
-                F.col("vec_id") == F.col("pid"),
-                "left_semi",
+        if k < KCENTERS_K - 1:
+            cur = (
+                cur.crossJoin(broadcast(pick.select(F.col("e").alias("ce"))))
+                .select(
+                    "vec_id",
+                    "e",
+                    F.least(F.col("md"), _d2q(F.col("e"), F.col("ce"))).alias(
+                        "md"
+                    ),
+                )
+                .localCheckpoint(eager=False)
             )
-        ).localCheckpoint(eager=False)
+            chosen = chosen.unionAll(pick.select("vec_id")).localCheckpoint(
+                eager=False
+            )
     return out.orderBy("sel_rank")
 
 
