@@ -54,6 +54,14 @@ def _multiset_compare(a: DataFrame, b: DataFrame) -> tuple[int, int, int]:
     exceptAll uses, so the three numbers are identical to the old
     idiom's."""
     cols = a.columns
+    # r14 ADVICE: exceptAll compares POSITIONALLY; this helper compares
+    # by name (unionByName + b.select(*a.columns)).  The two agree only
+    # when both sides share the same columns in the same order, and the
+    # tag/delta columns must not collide with payload names — assert
+    # both so a future caller diverging from the contract fails loudly
+    # instead of comparing reordered columns.
+    assert cols == b.columns, (cols, b.columns)
+    assert not {"__side", "__d", "__na"} & set(cols), cols
     row = (
         a.withColumn("__side", F.lit(1))
         .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
@@ -2206,7 +2214,9 @@ def ddl_knn_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         merged = spark.table(name).select("bkey", "vec_id", "e")
         rebuild = index_rows(v).select("bkey", "vec_id", "e")
-        extra, missing, _n = _multiset_compare(merged, rebuild)
+        # n_a from the fused compare IS merged.count() — the separate
+        # count() below was a second full scan of the catalog table (r15)
+        extra, missing, n_index = _multiset_compare(merged, rebuild)
 
         # candidate generation: bucket self-join must be shuffle-free
         old_thresh = spark.conf.get(
@@ -2230,7 +2240,6 @@ def ddl_knn_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", old_thresh
             )
-        n_index = merged.count()
         n_batch = int(new_rows.count())
     finally:
         cat.drop_table(spark, name)
@@ -2516,7 +2525,9 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         merged = spark.table(name).select("bkey", "doc_id")
         rebuild = index_rows(sig).select("bkey", "doc_id")
-        extra, missing, _n = _multiset_compare(merged, rebuild)
+        # n_a from the fused compare IS merged.count() — the separate
+        # count() below was a second full scan of the catalog table (r15)
+        extra, missing, n_index = _multiset_compare(merged, rebuild)
 
         old_thresh = spark.conf.get(
             "spark.sql.autoBroadcastJoinThreshold", "10485760"
@@ -2580,7 +2591,6 @@ def ddl_minhash_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(
                 "spark.sql.autoBroadcastJoinThreshold", old_thresh
             )
-        n_index = merged.count()
         n_batch = int(new_rows.count())
     finally:
         cat.drop_table(spark, name)
