@@ -1764,10 +1764,31 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
         integers are IDENTICAL to rank2's (oracle unchanged;
         positive-domain floor-div below)."""
         width = 65536
+        # truncating `div` would interleave bucket 0 across signs, so the
+        # non-negative precondition is ENFORCED, not just documented (r14
+        # ADVICE): a signed-domain caller fails loudly instead of getting
+        # silently corrupted midranks.  The branch is codegen'd per
+        # distinct value (not per row) — no measurable cost.
         vc = (
             df.groupBy(col)
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("bk", F.expr(f"{col} div {width}"))
+            .withColumn(
+                "bk",
+                F.when(
+                    F.col(col) >= 0, F.expr(f"{col} div {width}")
+                ).otherwise(
+                    F.raise_error(
+                        F.lit(
+                            "rank2_wide requires a non-negative domain "
+                            f"(got a negative {col})"
+                        )
+                    ).cast("long")
+                ),
+            )
+            # vc feeds two branches (within-bucket cumulation + bucket
+            # offsets); cut its lineage once so the 600k-row per-value
+            # aggregation is guaranteed single-execution (r14 ADVICE)
+            .localCheckpoint(eager=False)
         )
         wb = (
             Window.partitionBy("bk")
